@@ -1,13 +1,540 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TextAnalysis
+import graft.operators.{ChangelogOps, Dedup, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2
+  * (+ the large-scale training-data-pipeline operators), each with a
+  * DuckDB-runnable oracle where the semantics are ANSI-SQL-expressible.
+  *
+  * Determinism conventions (so Spark parquet output hash-matches the
+  * DuckDB oracle):
+  *  - timestamps are emitted as epoch MICROS bigints (`unix_micros` /
+  *    `epoch_us`) — sidesteps parquet logical-type/timezone skew;
+  *  - aggregated doubles go through DECIMAL(18,4) (exact, order-
+  *    independent summation) and are emitted as doubles;
+  *  - cosine similarities are rounded to 6 decimals (both engines
+  *    compute double-precision cosine; last-ulp accumulation-order
+  *    noise is far below 1e-6);
+  *  - every ranking has a unique-id tiebreak.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact order-independent sum of a double column via decimal. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_enrich_join")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── aggregation (SURVEY §2.3 group-by agg; lab-aggregations) ──
+    // Money math is done in DECIMAL end-to-end: the base columns are
+    // 2-dp values (tie-free double→decimal casts), products/sums are
+    // then exact and order-independent — bit-identical to the oracle.
+    "q01_pricing_agg" -> ((s, dir) => {
+      val ep = col("l_extendedprice").cast("decimal(12,2)")
+      val disc1 = lit(1) - col("l_discount").cast("decimal(4,2)")
+      val tax1 = lit(1) + col("l_tax").cast("decimal(4,2)")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(ep * disc1).cast("double").as("sum_disc_price"),
+          sum(ep * disc1 * tax1).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ── filter + projection, pushed to the parquet scan (SURVEY §2.3) ──
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * col("l_discount")).as("disc_revenue"))
+    }),
+
+    // ── multi-way INNER equi-join w/ broadcast dims (SURVEY §2.2 S6) ──
+    "q03_enrich_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      val n = broadcast(t(s, dir, "nation"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("n_name"))
+    }),
+
+    // ── join + agg + deterministic top-k (SURVEY §2.3 Top-N) ──
+    "q04_revenue_topn" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1) - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+        .select(col("o_orderkey"), unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+          col("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ── upsert materialization: latest row per key (SURVEY §2.2 S1/S3) ──
+    "q05_upsert_latest" -> ((s, dir) => {
+      ChangelogOps.latestByKey(t(s, dir, "events"),
+          keys = Seq("user_id"), orderBy = Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"),
+          unix_micros(col("ts")).as("ts_us"))
+    }),
+
+    // ── dedup first-row-per-key (SURVEY §2.3 dedup) ──
+    "q06_dedup_first" -> ((s, dir) => {
+      ChangelogOps.firstByKey(t(s, dir, "events"),
+          keys = Seq("user_id", "event_type"), orderBy = Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("first_event_id"), unix_micros(col("ts")).as("first_ts_us"))
+    }),
+
+    // ── event-time tumbling window (SURVEY §2.3 TUMBLE; lab-time) ──
+    "q07_window_tumble" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
+    // ── event-time hopping window (SURVEY §2.3 HOP; lab-time) ──
+    "q08_window_hop" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("n_events"), col("sum_value"))
+    }),
+
+    // ── event-time session window, 30 min gap (SURVEY §2.3 SESSION) ──
+    "q09_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"), col("sum_value"))
+    }),
+
+    // ── Top-N per group via ranking window (SURVEY §2.3) ──
+    "q10_topn_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ── interval join: purchase ↔ clicks in preceding hour (SURVEY §2.3) ──
+    "q11_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      p.join(c, Seq("user_id"))
+        .where(col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("click_id"), col("user_id"))
+    }),
+
+    // ── as-of (temporal) join: latest view at-or-before each purchase ──
+    "q12_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          when(col("event_type") === "view", col("event_id")).as("view_id"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_p"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.withColumn("matched_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("matched_view_id"))
+    }),
+
+    // ── retract-changelog materialization (SURVEY §2.2 S5) ──
+    "q13_retract_net" -> ((s, dir) => {
+      val changelog = t(s, dir, "events")
+        .where(col("event_type").isin("click", "error"))
+        .withColumn("op", when(col("event_type") === "click", 1).otherwise(-1))
+      ChangelogOps.materializeRetract(changelog, opCol = "op",
+        keys = Seq("user_id"), valueCols = Seq("value"))
+    }),
+
+    // ── text analysis: token statistics ──
+    "q14_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(TextAnalysis.tokens(col("text")))).as("n_distinct_tokens"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stopwords"),
+        length(col("text")).as("n_chars_raw"))
+    }),
+
+    // ── text analysis: quality scoring ──
+    "q15_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    // ── text analysis: n-gram-heuristic language ID ──
+    "q16_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("pred_lang"),
+        (TextAnalysis.langId(col("text")) === col("lang")).as("is_match"))
+    }),
+
+    // ── exact dedup on content fingerprint (md5) ──
+    "q17_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ── near-dup: word-3-gram Jaccard via inverted-index join ──
+    "q18_ngram_dedup" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.8)),
+
+    // ── near-dup: MinHash+LSH (no SQL oracle: engine-specific hashes;
+    //    verified against exact Jaccard in DedupSpec) ──
+    "q19_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
+
+    // ── near-dup: SimHash 64-bit fingerprint (no SQL oracle) ──
+    "q20_simhash" -> ((s, dir) =>
+      Dedup.simHash64(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ── similarity search: exact brute-force cosine top-k ──
+    "q21_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceKnn(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("cos_sim"))
+    }),
+
+    // ── similarity search: LSH-bucketed ANN (no SQL oracle; recall
+    //    vs bruteForceKnn asserted in SimilaritySpec) ──
+    "q22_knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshKnn(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, dim = 64, nBits = 12)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("cos_sim"))
+    }),
+
+    // ── embedding-cosine near-duplicate pairs ──
+    "q23_embedding_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
+    // ── set operations (SURVEY §2.4) ──
+    "q24_setops" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.intersect(o).select(lit("both").as("tag"), col("c_custkey"))
+        .unionAll(c.except(o).select(lit("no_orders").as("tag"), col("c_custkey")))
+    }),
+
+    // ── grouping sets / rollup (SURVEY §2.4) ──
+    "q25_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ── scalar functions: string/date/math/conditional (SURVEY §2.4) ──
+    "q26_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        year(col("l_shipdate")).as("ship_year"),
+        month(col("l_shipdate")).as("ship_month"),
+        concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("flag_status"),
+        upper(col("l_returnflag")).as("flag_upper"),
+        abs(col("l_extendedprice") - col("l_quantity") * 1000.0).as("price_gap"),
+        when(col("l_quantity") > 25.0, "big").otherwise("small").as("size_class"))
+    }),
+
+    // ── anti join / NOT EXISTS (SURVEY §2.4 joins) ──
+    "q27_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // ── distinct aggregation (SURVEY §2.3) ──
+    "q28_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(countDistinct(col("o_orderpriority")).as("n_priorities"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // ── analytic window functions: rank / lag / running sum (SURVEY §2.4) ──
+    "q29_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))).as("price_rank"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,4)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_total"))
+    }),
+
+    // ── multimodal: opaque binary column + typed metadata ──
+    "q30_binary_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("content", col("text").cast("binary"))
+        .select(col("doc_id"),
+          octet_length(col("content")).as("n_bytes"),
+          hex(substring(col("text"), 1, 8).cast("binary")).as("head_hex"))
+    }))
+
+  /** DuckDB-runnable oracle per query (same parquet tables registered
+    * under their bare names). Column names/aliases match the Spark side
+    * exactly — the driver sorts columns by name before hashing. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice * l_discount AS disc_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""",
+    "q03_enrich_join" ->
+      """SELECT o_orderkey, o_totalprice, c_name, n_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey""",
+    "q04_revenue_topn" ->
+      """SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    "q05_upsert_latest" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+         value AS last_value, epoch_us(ts) AS ts_us
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1""",
+    "q06_dedup_first" ->
+      """SELECT user_id, event_type, event_id AS first_event_id, epoch_us(ts) AS first_ts_us
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
+               FROM events) WHERE rn = 1""",
+    "q07_window_tumble" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q08_window_hop" ->
+      """SELECT (epoch_us(ts) // 1800000000 - k) * 1800000000 AS window_start_us,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events CROSS JOIN (VALUES (0), (1)) AS probes(k)
+         GROUP BY 1""",
+    "q09_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), numbered AS (
+           SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM marked
+         )
+         SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM numbered GROUP BY user_id, sess_id""",
+    "q10_topn_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+               FROM orders) WHERE rn <= 3""",
+    "q11_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""",
+    "q12_asof_join" ->
+      """SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us, matched_view_id
+         FROM (
+           SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_view_id
+           FROM events WHERE event_type IN ('view', 'purchase')
+         ) WHERE event_type = 'purchase'""",
+    "q13_retract_net" ->
+      """SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE -1 END) AS BIGINT) AS net_count,
+         CAST(sum((CASE WHEN event_type = 'click' THEN 1 ELSE -1 END) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS net_value
+         FROM events WHERE event_type IN ('click', 'error')
+         GROUP BY user_id
+         HAVING sum(CASE WHEN event_type = 'click' THEN 1 ELSE -1 END) <> 0""",
+    "q14_token_stats" ->
+      """SELECT doc_id,
+         len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens,
+         len(list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))) AS n_distinct_tokens,
+         len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+             t -> t IN ('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is', 'it'))) AS n_stopwords,
+         length(text) AS n_chars_raw
+         FROM documents""",
+    "q15_quality_score" ->
+      """WITH n AS (
+           SELECT doc_id, text,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents
+         ), c AS (
+           SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(toks) AS DOUBLE) AS n_toks,
+             CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is', 'it'))) AS DOUBLE) AS n_stop,
+             CAST(length(replace(norm, ' ', '')) AS DOUBLE) AS n_tok_chars
+           FROM n
+         )
+         SELECT doc_id,
+           least(n_chars / 500.0, 1.0) * 0.4
+           + least(n_stop / n_toks / 0.1, 1.0) * 0.3
+           + (CASE WHEN n_tok_chars / n_toks >= 3.0 AND n_tok_chars / n_toks <= 8.0 THEN 1.0 ELSE 0.0 END) * 0.3 AS quality
+         FROM c""",
+    "q16_lang_id" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+           FROM documents
+         ), sc AS (
+           SELECT doc_id, lang,
+             len(list_filter(tk, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))) AS s_en,
+             len(list_filter(tk, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))) AS s_de,
+             len(list_filter(tk, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))) AS s_es,
+             len(list_filter(tk, t -> t IN ('le', 'la', 'et', 'les', 'des', 'est', 'une'))) AS s_fr
+           FROM toks
+         )
+         SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           (CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END) = lang AS is_match
+         FROM sc""",
+    "q17_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "q18_ngram_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM t WHERE len(toks) >= 3
+         ), sizes AS (
+           SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+         ), inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+         FROM inter
+         JOIN sizes sa ON id_a = sa.doc_id
+         JOIN sizes sb ON id_b = sb.doc_id
+         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8""",
+    "q21_knn_brute" ->
+      """SELECT q.vec_id AS query_id,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id ASC) AS rank,
+         c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         WHERE q.vec_id < 10
+         QUALIFY rank <= 5""",
+    "q23_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+    "q24_setops" ->
+      """SELECT 'both' AS tag, c_custkey FROM
+           (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+         UNION ALL
+         SELECT 'no_orders' AS tag, c_custkey FROM
+           (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)""",
+    "q25_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q26_scalar_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         year(l_shipdate) AS ship_year, month(l_shipdate) AS ship_month,
+         l_returnflag || '-' || l_linestatus AS flag_status,
+         upper(l_returnflag) AS flag_upper,
+         abs(l_extendedprice - l_quantity * 1000.0) AS price_gap,
+         CASE WHEN l_quantity > 25.0 THEN 'big' ELSE 'small' END AS size_class
+         FROM lineitem""",
+    "q27_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q28_distinct_agg" ->
+      """SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_priorities,
+         count(DISTINCT o_orderstatus) AS n_statuses, count(*) AS n_orders
+         FROM orders GROUP BY o_custkey""",
+    "q29_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank,
+         lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         FROM orders""",
+    "q30_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         hex(encode(substring(text, 1, 8))) AS head_hex
+         FROM documents""")
 }

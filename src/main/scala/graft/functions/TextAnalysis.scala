@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale document pipelines:
+  * normalization, fingerprinting, token statistics, quality scoring and
+  * n-gram-heuristic language ID. All are pure `Column` expressions
+  * (whole-stage-codegen'd, no UDFs) so they stay inside the scan's
+  * codegen span and scale linearly over 100 TB of documents.
+  *
+  * Every function has an exact ANSI-SQL twin (see `SparkEntry.oracleSql`)
+  * so results are DuckDB-verifiable.
+  */
+object TextAnalysis {
+
+  /** Lowercase, strip non-alphanumerics, collapse whitespace. */
+  def normText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Deterministic document fingerprint: md5 of the normalized text.
+    * (md5 is bit-identical across engines, unlike murmur/xxhash.) */
+  def fingerprint(text: Column): Column = md5(normText(text))
+
+  def tokens(text: Column): Column = split(normText(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-token count: alpha runs, digit runs, other symbols. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+  def stopwordCount(text: Column, stop: Seq[String] = EnStopwords): Column =
+    size(filter(tokens(text), t => t.isin(stop.map(lit(_)): _*)))
+
+  /** Heuristic quality score in [0,1]:
+    * 0.4 * length saturation (chars/500 capped at 1)
+    * + 0.3 * stopword-ratio saturation (ratio/0.1 capped at 1)
+    * + 0.3 * mean-token-length plausibility (in [3,8] chars).
+    * Arithmetic is double-only on integer counts → bit-exact vs DuckDB.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nToks = tokenCount(text).cast("double")
+    val nStop = stopwordCount(text).cast("double")
+    val lenScore = least(nChars / 500.0, lit(1.0))
+    val stopScore = least(nStop / nToks / 0.1, lit(1.0))
+    val meanTok = length(regexp_replace(normText(text), " ", "")).cast("double") / nToks
+    val tokScore = when(meanTok >= 3.0 && meanTok <= 8.0, 1.0).otherwise(0.0)
+    lenScore * 0.4 + stopScore * 0.3 + tokScore * 0.3
+  }
+
+  /** Marker stopword sets per language for the n-gram-heuristic
+    * language ID. Deterministic argmax with fixed preference order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "que", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val markers = LangMarkers.toMap.apply(lang)
+    size(filter(tokens(text), t => t.isin(markers.map(lit(_)): _*)))
+  }
+
+  /** Predicted language = first language (in LangMarkers order) whose
+    * marker count equals the max; "und" if no marker hits at all. */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val mx = greatest(scores.map(_._2): _*)
+    // first language (in LangMarkers order) reaching the max wins
+    val first = scores.foldLeft(lit(null).cast("string")) { case (acc, (l, s)) =>
+      coalesce(acc, when(s === mx, lit(l)))
+    }
+    when(mx === 0, lit("und")).otherwise(first)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Four families, in increasing fuzziness:
+  *  - exact: group on a content fingerprint (md5 of normalized text),
+  *    keep the smallest id — one map-combinable shuffle.
+  *  - n-gram Jaccard: word-n-gram shingles, inverted-index self-join
+  *    (pairs only materialize for docs SHARING a shingle — never the
+  *    O(n²) cross product), exact Jaccard on the candidate pairs.
+  *  - MinHash + LSH: constant-size signatures (k min-hashes), banded
+  *    into b buckets; candidate pairs arise only within a bucket. The
+  *    100 TB path: cost is O(n·k) + bucket-local joins.
+  *  - SimHash: 64-bit fingerprint whose Hamming distance tracks cosine
+  *    similarity of the token multiset; near-dups share the fingerprint.
+  *
+  * All shuffles key on shingle/bucket — skew guard: `maxShingleFreq`
+  * drops ubiquitous shingles (stopword runs) that would otherwise
+  * create quadratic hot buckets.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized-text fingerprint: keeps the lowest id per
+    * group, reports the group size. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-n-gram shingles per doc: (id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // shingle i = tokens[i..i+n-1], 0-based transform over size-n+1 windows
+    val sh = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    docs.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+      .where(length(col("shingle")) > 0)
+  }
+
+  /** Candidate pairs sharing ≥1 shingle, with exact Jaccard similarity;
+    * filtered to `minJaccard`. Inverted-index join: shuffle keys are
+    * shingles, so only co-shingled docs ever meet.
+    * `maxShingleFreq`: drop shingles appearing in more docs than this
+    * (frequency-capped posting lists — the standard skew guard).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, minJaccard: Double,
+                        maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val posting = maxShingleFreq match {
+      case Some(cap) =>
+        val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select("shingle")
+        sh.join(freq, "shingle")
+      case None => sh
+    }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = posting.select(col(idCol).as("id_a"), col("shingle"))
+    val b = posting.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: for seed i in [0, numHashes), sig_i =
+    * min over shingles of xxhash64(i, shingle). Computed as one
+    * map-combinable aggregation (array of per-seed mins). */
+  def minHashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH near-dup pairs: signatures → bands of `rowsPerBand`
+    * hashes → bucket join per band → candidates → verify with the
+    * estimated Jaccard (fraction of agreeing minhashes) ≥ minJaccard.
+    * Never materializes non-colliding pairs.
+    */
+  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, numHashes: Int, bands: Int,
+                      minJaccard: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = shingles(docs, idCol, textCol, shingleN)
+    val sig = minHashSignatures(sh, idCol, numHashes).cache()
+    val banded = sig.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows))))))
+      .toDF(idCol, "band", "bucket")
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    val cand = l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val est = cand
+      .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes)
+    est.where(col("est_jaccard") >= minJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over the token multiset: bit i of the hash of each
+    * token votes +1/-1; the sign of the per-bit vote total sets bit i.
+    * Two map-combinable aggregations; no pairwise work at all. */
+  def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bits = tok.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(63)),
+        i => when(call_function("shiftright", col("h"), i).bitwiseAND(1) === 1, 1)
+          .otherwise(-1))))
+      .toDF(idCol, "bit", "vote")
+    bits.groupBy(col(idCol), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .withColumn("bitval",
+        when(col("v") > 0,
+          call_function("shiftleft", lit(1L), col("bit").cast("int"))).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(sum(col("bitval")).cast("long").as("simhash"))
+  }
+}
