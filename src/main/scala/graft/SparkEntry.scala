@@ -238,7 +238,7 @@ object SparkEntry {
     "q22_knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshKnn(emb, emb.where(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, dim = 64, nBits = 12)
+          "vec_id", "embedding", k = 5, dim = 64, nBits = 8, numTables = 8)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("sim"), 6).as("cos_sim"))
     }),

@@ -1,0 +1,121 @@
+package graft.exec
+
+import graft.catalog.{ChangelogMode, InMemoryCatalog, TableMeta}
+import graft.ddl.StatementPreprocessor
+import graft.ddl.StatementPreprocessor._
+import graft.operators.ChangelogOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Executes scripts of reference-dialect statements (SURVEY.md §3.1):
+  * preprocessor → engine catalog → Spark plan. Statement ordering is the
+  * caller's (the reference orders via a terraform `depends_on` DAG,
+  * `terraform/lab-aggregations/main.tf:442-444,541-544,574-576`; a
+  * sequential script subsumes it).
+  *
+  * Execution model (bounded/batch form — the streaming form is
+  * `graft.streaming`): every table is a temp view; INSERT INTO an
+  * upsert-keyed table materializes latest-row-per-key over the
+  * accumulated changelog (ONE map-combinable shuffle per refresh, see
+  * `ChangelogOps.latestByKey`); INSERT INTO a retract table keeps the
+  * append form plus an `__op` column.
+  */
+final class StatementRunner(spark: SparkSession, val catalog: InMemoryCatalog = new InMemoryCatalog) {
+
+  /** Monotone ingestion sequence per target table: the Kafka offset
+    * analog that makes "latest row per key" well-defined. */
+  private val seq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+
+  def runScript(script: String): Unit =
+    StatementPreprocessor.splitScript(script).foreach(run)
+
+  def run(stmt: String): Option[DataFrame] = StatementPreprocessor.parse(stmt) match {
+
+    case ct: CreateTable =>
+      catalog.register(TableMeta(
+        name = ct.name,
+        primaryKey = ct.primaryKey,
+        buckets = ct.buckets,
+        changelogMode = ct.changelogMode,
+        options = ct.options))
+      // materialize an empty relation with the declared schema
+      val ddlSchema = ct.columns
+        .map { case (n, t) => s"`$n` ${StatementPreprocessor.toSparkType(t)}" }
+        .mkString(", ")
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddlSchema))
+      empty.createOrReplaceTempView(ct.name)
+      None
+
+    case InsertInto(target, targetCols, select) =>
+      val meta = catalog.getOrCreate(target)
+      val selected = spark.sql(select)
+      // positional mapping to the target's declared columns (reference:
+      // `id` → `customer_id` via INSERT order, lab-aggregations :431/:498)
+      val targetSchema = spark.table(target).schema
+      val renamed =
+        if (targetCols.nonEmpty) selected.toDF(targetCols: _*)
+        else selected.toDF(targetSchema.fieldNames.take(selected.columns.length): _*)
+      val casted = targetSchema.fields.foldLeft(renamed) { (df, f) =>
+        if (df.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
+        else df
+      }
+      val startSeq = seq(target)
+      seq(target) = startSeq + 1
+      val stamped = casted.withColumn("__seq", lit(startSeq))
+      val existing = appended.get(target)
+      val changelog = existing.map(_.unionByName(stamped)).getOrElse(stamped)
+      appended(target) = changelog
+      val visible = meta.changelogMode match {
+        case ChangelogMode.Upsert if meta.primaryKey.nonEmpty =>
+          val latest = ChangelogOps.latestByKey(changelog, meta.primaryKey, Seq("__seq"))
+            .drop("__seq")
+          meta.buckets.map(n => latest.repartition(n, meta.primaryKey.map(col): _*))
+            .getOrElse(latest)
+        case ChangelogMode.Retract =>
+          changelog.drop("__seq").withColumn("__op", lit("+I"))
+        case _ =>
+          changelog.drop("__seq")
+      }
+      visible.createOrReplaceTempView(target)
+      Some(visible)
+
+    case AlterModifyColumn(table, column, newType) =>
+      catalog.update(table)(m => m.copy(
+        columnCasts = m.columnCasts + (column -> StatementPreprocessor.toSparkType(newType))))
+      // applied lazily at next scan (SURVEY.md §3.3); if the view exists
+      // now, refresh it eagerly so downstream statements see the cast
+      if (spark.catalog.tableExists(table)) {
+        val df = spark.table(table)
+        if (df.columns.contains(column)) {
+          df.withColumn(column, col(column).cast(StatementPreprocessor.toSparkType(newType)))
+            .createOrReplaceTempView(table)
+        }
+      }
+      None
+
+    case AlterModifyWatermark(table, column, expr) =>
+      // `WATERMARK FOR ts AS ts` = zero-delay; `AS ts - INTERVAL 'n' ...`
+      // would carry a delay — the reference only uses the zero form
+      // (`terraform/lab-joins/main.tf:531,564`).
+      val delay = if (expr.trim.equalsIgnoreCase(column)) "0 seconds" else expr
+      catalog.update(table)(_.copy(watermarkCol = Some(column), watermarkDelay = delay))
+      None
+
+    case Passthrough(sql) =>
+      Some(spark.sql(sql))
+  }
+
+  /** Raw accumulated changelog per target (insert history). */
+  private val appended = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** The materialized (visible) form of a table. */
+  def table(name: String): DataFrame = {
+    val df = spark.table(name)
+    val meta = catalog.getOrCreate(name)
+    meta.columnCasts.foldLeft(df) { case (d, (c, t)) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(t)) else d
+    }
+  }
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the reference's dynamic-table operators
+  * (SURVEY.md §1.1): zero-delay watermarks (S9/S10), upsert
+  * materialization (S1/S3), dedup, windowed aggregation (lab-time), and
+  * the interval join (lab-joins). Batch forms live in
+  * `graft.operators.ChangelogOps`; the stream-vs-batch differential spec
+  * asserts they agree — the "dynamic table = table" contract the course
+  * teaches.
+  *
+  * State scale: every stateful op here keys its state by the same
+  * column the shuffle keys on, so state is sharded across executors by
+  * the exchange; per-key state is O(1) (latest row) or O(versions)
+  * (temporal join history) — no operator holds unbounded per-key state.
+  */
+object StreamOps {
+
+  /** `WATERMARK FOR ts AS ts` (reference `terraform/lab-joins/main.tf:
+    * 531,564`): zero tolerance — rows later than the max seen event
+    * time are dropped by the stateful operators downstream. */
+  def withZeroDelayWatermark(df: DataFrame, tsCol: String): DataFrame =
+    df.withWatermark(tsCol, "0 seconds")
+
+  /** Streaming upsert materialization (latest row per key) in update
+    * mode, as `PRIMARY KEY ... NOT ENFORCED` tables materialize.
+    * Emits the new latest row whenever a key's latest changes.
+    * State = exactly one row per key. */
+  def latestByKey[K: Encoder, T: Encoder](ds: Dataset[T], key: T => K,
+                                          newer: (T, T) => Boolean): Dataset[T] = {
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[T, T](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[T]) =>
+          var cur = state.getOption
+          var changed = false
+          rows.foreach { r =>
+            if (cur.forall(c => newer(r, c))) { cur = Some(r); changed = true }
+          }
+          cur.filter(_ => changed).foreach(state.update)
+          if (changed) Iterator.single(cur.get) else Iterator.empty
+      }
+  }
+
+  /** Streaming dedup, first row per key (Flink `ROW_NUMBER()=1` dedup):
+    * native `dropDuplicates` — state expires with the watermark when
+    * the key includes an event-time bound. */
+  def firstPerKey(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.dropDuplicates(keyCols)
+
+  /** Tumbling/hopping event-time window aggregation (lab-time). */
+  def windowedCounts(df: DataFrame, tsCol: String, windowLen: String,
+                     slide: Option[String], groupCols: Seq[String]): DataFrame = {
+    val w = slide.map(s => window(col(tsCol), windowLen, s))
+      .getOrElse(window(col(tsCol), windowLen))
+    df.groupBy((w +: groupCols.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select((Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++ groupCols.map(col) :+ col("n_events")): _*)
+  }
+
+  /** Stream-stream interval join (SURVEY.md §2.3: order ↔ preceding
+    * clicks): native Spark time-range join; both sides watermarked so
+    * join state is pruned to the interval width. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String,
+                   lowerBound: String, upperBound: String): DataFrame = {
+    val l = left.withWatermark(leftTs, "0 seconds").alias("l")
+    val r = right.withWatermark(rightTs, "0 seconds").alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lowerBound") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperBound"))
+  }
+
+  /** Event-time temporal (versioned-table / as-of) join — the reference's
+    * `FOR SYSTEM_TIME AS OF` setup (compacted dim topics + watermarked
+    * fact stream, `terraform/lab-joins/main.tf:106,122,531`). Spark has
+    * no built-in; this is the custom stateful co-process of SURVEY §4.
+    *
+    * Both inputs are unioned (dim rows tagged), shuffled once on the
+    * join key; per key the state holds the dim VERSION HISTORY (ts-sorted)
+    * and each fact row is emitted with the latest dim version at-or-before
+    * its event time. Facts arriving before any applicable version emit
+    * with a null match (left semantics).
+    *
+    * `maxVersions` bounds per-key state (compaction analog).
+    */
+  def temporalJoin(facts: Dataset[TemporalRow], dims: Dataset[TemporalRow],
+                   maxVersions: Int = 64): Dataset[TemporalMatch] = {
+    import facts.sparkSession.implicits._
+    val tagged = facts.map(_.copy(isDim = false)).unionByName(dims.map(_.copy(isDim = true)))
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[List[TemporalRow], TemporalMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[TemporalRow], state: GroupState[List[TemporalRow]]) =>
+          var versions = state.getOption.getOrElse(Nil) // newest-first
+          val out = scala.collection.mutable.ArrayBuffer.empty[TemporalMatch]
+          // process in event-time order within the batch for determinism
+          rows.toSeq.sortBy(r => (r.tsMillis, !r.isDim)).foreach { r =>
+            if (r.isDim) {
+              versions = (r :: versions).sortBy(-_.tsMillis).take(maxVersions)
+            } else {
+              val m = versions.find(_.tsMillis <= r.tsMillis)
+              out += TemporalMatch(key, r.id, r.tsMillis, m.map(_.id), m.map(_.payload))
+            }
+          }
+          state.update(versions)
+          out.iterator
+      }
+  }
+}
+
+/** Generic keyed, timestamped row for the temporal join: `key` = join
+  * key, `id` = unique row id, `payload` = carried dim attribute. */
+final case class TemporalRow(key: String, id: Long, tsMillis: Long,
+                             payload: String, isDim: Boolean = false)
+final case class TemporalMatch(key: String, factId: Long, factTsMillis: Long,
+                               dimId: Option[Long], dimPayload: Option[String])

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.ChangelogOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class ChangelogOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    // (user, ts, id, type, value)
+    (1L, 10L, 100L, "click", 1.0),
+    (1L, 20L, 101L, "click", 2.0),
+    (1L, 20L, 102L, "view", 3.0), // same ts as 101: id breaks the tie
+    (2L, 5L, 103L, "click", 4.0),
+    (2L, 50L, 104L, "error", 5.0)
+  ).toDF("user_id", "ts", "event_id", "event_type", "value")
+
+  test("latestByKey picks the max (orderBy tuple) row per key") {
+    val got = ChangelogOps.latestByKey(events, Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 102L, 2L -> 104L))
+  }
+
+  test("latestByKey equals the row_number oracle") {
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val oracle = events.withColumn("rn", row_number().over(w)).where($"rn" === 1).drop("rn")
+    val got = ChangelogOps.latestByKey(events, Seq("user_id"), Seq("ts", "event_id"))
+    assert(got.select(oracle.columns.map(col).toIndexedSeq: _*).except(oracle).isEmpty)
+    assert(oracle.except(got.select(oracle.columns.map(col).toIndexedSeq: _*)).isEmpty)
+  }
+
+  test("firstByKey picks the min row per key") {
+    val got = ChangelogOps.firstByKey(events, Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 100L, 2L -> 103L))
+  }
+
+  test("materializeRetract nets out inserts and retracts, drops fully-retracted keys") {
+    val changelog = Seq(
+      (1L, 1, 10.0), (1L, 1, 5.0), (1L, -1, 10.0), // user 1: net 1 row, 5.0
+      (2L, 1, 7.0), (2L, -1, 7.0) // user 2: fully retracted
+    ).toDF("user_id", "op", "value")
+    val got = ChangelogOps.materializeRetract(changelog, "op", Seq("user_id"), Seq("value"))
+    val rows = got.as[(Long, Long, Double)].collect()
+    assert(rows.toSeq === Seq((1L, 1L, 5.0)))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  private def docs = Seq(
+    (1L, base),
+    (2L, base + " indeed"), // near-dup of 1
+    (3L, base.replace("quick", "slow")), // near-dup of 1
+    (4L, "completely different content about spark engines and data processing pipelines here"),
+    (5L, base) // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized text, keeps lowest id") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(got(1L) === 2L) // docs 1 and 5 collapse
+    assert(got.values.sum === 5L)
+  }
+
+  test("shingles are distinct per doc and n-sized") {
+    val sh = Dedup.shingles(docs.where($"doc_id" === 1), "doc_id", "text", 3)
+      .select("shingle").as[String].collect()
+    assert(sh.length === sh.distinct.length)
+    assert(sh.forall(_.split(" ").length === 3))
+    // 14 tokens → 12 trigrams (minus dups: "the" appears twice but
+    // trigrams are all distinct here)
+    assert(sh.length === 12)
+  }
+
+  test("ngram Jaccard finds planted near-dups and not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L))) // exact dup → jaccard 1.0
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH candidates cover all high-jaccard pairs (recall) on fixture docs") {
+    val fixtures = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(fixtures, "doc_id", "text", n = 3, minJaccard = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(fixtures, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhash: near-dups land within small hamming distance, unrelated far") {
+    val hashes = Dedup.simHash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hashes(1L) === hashes(5L)) // identical text, identical hash
+    assert(hamming(hashes(1L), hashes(2L)) <= 12)
+    assert(hamming(hashes(1L), hashes(4L)) > 12)
+  }
+}

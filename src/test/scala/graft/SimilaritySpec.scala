@@ -1,0 +1,59 @@
+package graft
+
+import graft.expressions.VectorExpressions.vecDot
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("VectorDot matches the interpreted left-to-right fold bit-for-bit") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, -0.6f))
+    ).toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(vecDot(col("a"), col("b")).as("fast"), hof.as("slow"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (f, s) => assert(f === s) }
+  }
+
+  test("VectorDot handles mixed float/double arrays and empty arrays") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0))).toDF("a", "b")
+    assert(df.select(vecDot(col("a"), col("b"))).as[Double].head() === 11.0)
+    val empty = Seq((Array.empty[Float], Array.empty[Float])).toDF("a", "b")
+    assert(empty.select(vecDot(col("a"), col("b"))).as[Double].head() === 0.0)
+  }
+
+  test("bruteForceKnn returns k neighbors ranked by cosine, self excluded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val knn = Similarity.bruteForceKnn(emb, emb.where($"vec_id" < 3), "vec_id", "embedding", 5)
+    val rows = knn.select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
+    assert(rows.length === 15)
+    assert(rows.forall { case (q, _, n) => q != n })
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+    }
+  }
+
+  test("lshKnn achieves decent recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshKnn(emb, queries, "vec_id", "embedding", 5,
+      dim = 64, nBits = 8, numTables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH multi-probe recall $recall")
+  }
+
+  test("cosineNearDupPairs is symmetric-free (id_a < id_b) and thresholded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, s) => a < b && s >= 0.4 })
+  }
+}

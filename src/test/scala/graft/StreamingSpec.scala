@@ -1,0 +1,145 @@
+package graft
+
+import graft.streaming.{StreamOps, TemporalMatch, TemporalRow}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+
+/** Structured Streaming semantics: upsert in update mode, dedup,
+  * windowed aggregation with watermark-driven late-row drop, interval
+  * join, temporal join, and the stream-vs-batch differential (SURVEY.md
+  * §5 items 1 and 4).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  private def runToCompletion(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("streaming latestByKey emits updated latest per key (upsert materialization)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val result = StreamOps.latestByKey[Long, Ev](in.toDS(), _.user_id,
+      (a, b) => Ordering[(Long, Long)].gteq((a.ts.getTime, a.event_id), (b.ts.getTime, b.event_id)))
+    val q = result.writeStream.format("memory").queryName("upsert_t")
+      .outputMode("update").start()
+    in.addData(Ev(1, ts(10), 100, 1.0), Ev(1, ts(20), 101, 2.0), Ev(2, ts(5), 102, 3.0))
+    q.processAllAvailable()
+    in.addData(Ev(1, ts(15), 103, 9.9)) // older than current latest → no update
+    in.addData(Ev(2, ts(50), 104, 4.0)) // newer → update
+    runToCompletion(q)
+    // final latest per key from the update log = last emission per key
+    val updates = spark.table("upsert_t").as[Ev].collect()
+    val finalPerKey = updates.groupBy(_.user_id).map { case (k, g) =>
+      k -> g.maxBy(e => (e.ts.getTime, e.event_id)).event_id
+    }
+    assert(finalPerKey === Map(1L -> 101L, 2L -> 104L))
+    // the stale event 103 must never have been emitted
+    assert(!updates.exists(_.event_id == 103L))
+  }
+
+  test("stream-vs-batch differential: streaming upsert final state == batch latestByKey") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = (1 to 40).map(i => Ev(i % 5, ts(i), i, i * 1.0))
+    val in = MemoryStream[Ev]
+    val result = StreamOps.latestByKey[Long, Ev](in.toDS(), _.user_id,
+      (a, b) => Ordering[(Long, Long)].gteq((a.ts.getTime, a.event_id), (b.ts.getTime, b.event_id)))
+    val q = result.writeStream.format("memory").queryName("diff_t")
+      .outputMode("update").start()
+    data.grouped(7).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val streamingFinal = spark.table("diff_t").as[Ev].collect()
+      .groupBy(_.user_id).map { case (k, g) => k -> g.maxBy(e => (e.ts.getTime, e.event_id)).event_id }
+    val batchFinal = graft.operators.ChangelogOps
+      .latestByKey(data.toDF(), Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(streamingFinal === batchFinal)
+  }
+
+  test("windowed aggregation with zero-delay watermark drops late rows at close") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = StreamOps.withZeroDelayWatermark(in.toDF(), "ts")
+      .groupBy(window($"ts", "10 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"n")
+    val q = agg.writeStream.format("memory").queryName("win_t")
+      .outputMode("append").start()
+    in.addData(Ev(1, ts(1), 1, 1.0), Ev(1, ts(5), 2, 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(1, ts(25), 3, 1.0)) // advances watermark to 25 → closes [0,10)
+    q.processAllAvailable()
+    in.addData(Ev(1, ts(7), 4, 1.0)) // late for [0,10): dropped
+    in.addData(Ev(1, ts(40), 5, 1.0)) // closes [20,30)
+    runToCompletion(q)
+    val rows = spark.table("win_t").as[(java.sql.Timestamp, Long)].collect()
+      .map { case (w, n) => (w.getTime / 1000, n) }.toMap
+    assert(rows.get(0L) === Some(2L)) // the late row 4 did NOT bump this
+    assert(rows.get(20L) === Some(1L))
+  }
+
+  test("streaming interval join pairs rows within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoin(
+      purchases.toDF().select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id")),
+      clicks.toDF().select($"user_id", $"ts".as("c_ts"), $"event_id".as("click_id")),
+      keyCol = "user_id", leftTs = "p_ts", rightTs = "c_ts",
+      lowerBound = "1 HOUR", upperBound = "0 SECONDS")
+      .select("purchase_id", "click_id")
+    val q = joined.writeStream.format("memory").queryName("ij_t")
+      .outputMode("append").start()
+    clicks.addData(Ev(1, ts(100), 11, 0), Ev(1, ts(5000), 12, 0))
+    purchases.addData(Ev(1, ts(3000), 21, 0)) // click 11 within 1h before; 12 is after
+    // advance both watermarks far so results flush
+    clicks.addData(Ev(9, ts(100000), 13, 0))
+    purchases.addData(Ev(9, ts(100000), 22, 0))
+    runToCompletion(q)
+    val got = spark.table("ij_t").as[(Long, Long)].collect().toSet
+    assert(got.contains((21L, 11L)))
+    assert(!got.contains((21L, 12L)))
+  }
+
+  test("temporal join matches each fact to the dim version at-or-before its time") {
+    implicit val sqlCtx = spark.sqlContext
+    val facts = MemoryStream[TemporalRow]
+    val dims = MemoryStream[TemporalRow]
+    val out = StreamOps.temporalJoin(facts.toDS(), dims.toDS())
+    val q = out.writeStream.format("memory").queryName("tj_t")
+      .outputMode("append").start()
+    dims.addData(
+      TemporalRow("k1", 1, 100, "v1", isDim = true),
+      TemporalRow("k1", 2, 200, "v2", isDim = true))
+    q.processAllAvailable()
+    facts.addData(
+      TemporalRow("k1", 10, 150, "", isDim = false), // between v1 and v2 → v1
+      TemporalRow("k1", 11, 250, "", isDim = false), // after v2 → v2
+      TemporalRow("k1", 12, 50, "", isDim = false), // before any version → null
+      TemporalRow("k2", 13, 500, "", isDim = false)) // unknown key → null
+    runToCompletion(q)
+    val got = spark.table("tj_t").as[TemporalMatch].collect()
+      .map(m => m.factId -> m.dimPayload).toMap
+    assert(got === Map(10L -> Some("v1"), 11L -> Some("v2"), 12L -> None, 13L -> None))
+  }
+
+  test("streaming dedup keeps first row per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val result = StreamOps.firstPerKey(in.toDF(), Seq("user_id"))
+    val q = result.writeStream.format("memory").queryName("dd_t")
+      .outputMode("append").start()
+    in.addData(Ev(1, ts(10), 100, 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(1, ts(20), 101, 2.0), Ev(2, ts(30), 102, 3.0))
+    runToCompletion(q)
+    val got = spark.table("dd_t").as[Ev].collect().map(_.event_id).toSet
+    assert(got === Set(100L, 102L))
+  }
+}

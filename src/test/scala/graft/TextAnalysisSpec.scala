@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normText lowercases, strips punctuation, collapses whitespace") {
+    val got = Seq("  Hello,   WORLD!! 42 ").toDF("t")
+      .select(TextAnalysis.normText($"t")).as[String].head()
+    assert(got === "hello world 42")
+  }
+
+  test("fingerprint is stable and normalization-invariant") {
+    val fps = Seq("Hello  World", "hello world", "HELLO, WORLD").toDF("t")
+      .select(TextAnalysis.fingerprint($"t")).as[String].collect()
+    assert(fps.distinct.length === 1)
+  }
+
+  test("tokenCount and stopwordCount") {
+    val df = Seq("the cat sat on the mat").toDF("t")
+    assert(df.select(TextAnalysis.tokenCount($"t")).as[Int].head() === 6)
+    assert(df.select(TextAnalysis.stopwordCount($"t")).as[Int].head() === 2)
+  }
+
+  test("qualityScore is in [0,1] and higher for longer stopword-bearing prose") {
+    val scores = Seq(
+      ("good", "the data is in the table and it is a good set of rows to read now"),
+      ("bad", "zzz qq")
+    ).toDF("k", "t").select($"k", TextAnalysis.qualityScore($"t"))
+      .as[(String, Double)].collect().toMap
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores("good") > scores("bad"))
+  }
+
+  test("langId picks the language with most marker hits, und when none") {
+    val got = Seq(
+      ("the cat and the dog is here", "en"),
+      ("der hund und die katze ist nicht da", "de"),
+      ("el perro y la casa es un lugar", "es"),
+      ("xyzzy qwerty", "und")
+    ).toDF("t", "expected")
+    val rows = got.select(TextAnalysis.langId($"t"), $"expected").as[(String, String)].collect()
+    rows.foreach { case (pred, exp) => assert(pred === exp) }
+  }
+}
