@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextAnalysis
-import graft.operators.{ChangelogOps, Dedup, Similarity}
+import graft.operators.{ChangelogOps, Dedup, Multimodal, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -313,6 +313,41 @@ object SparkEntry {
         .select(col("doc_id"),
           octet_length(col("content")).as("n_bytes"),
           hex(substring(col("text"), 1, 8).cast("binary")).as("head_hex"))
+    }),
+
+    // ── JSON scalar functions over the events props column (§2.4) ──
+    "q32_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+        .where(col("prop_k") >= 50)
+    }),
+
+    // ── left outer join + conditional count (§2.4 joins) ──
+    "q33_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total_spend"))
+    }),
+
+    // ── cube grouping sets (§2.4) ──
+    "q34_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
+    }),
+
+    // ── multimodal: stubbed decode + feature extraction over binary
+    //    payloads via mapPartitions (no SQL oracle: kernel is a stub;
+    //    determinism + batch shape asserted in MultimodalSpec) ──
+    "q31_media_features" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("id"), col("n_bytes"), col("features"))
     }))
 
   /** DuckDB-runnable oracle per query (same parquet tables registered
@@ -536,5 +571,17 @@ object SparkEntry {
     "q30_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          hex(encode(substring(text, 1, 8))) AS head_hex
-         FROM documents""")
+         FROM documents""",
+    "q32_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+         FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50""",
+    "q33_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+    "q34_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Codegen'd dot product over `array<float>` / `array<double>` columns.
   *
@@ -82,6 +82,74 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** All `numTables` random-hyperplane LSH signatures of a vector in ONE
+  * expression node: bit i of signature t = sign(dot(v, plane[t][i])).
+  *
+  * The plane matrix is generated from the seed ONCE per plan (a
+  * reference object in codegen) — embedding planes as literal arrays
+  * instead produces a ~(tables·bits·dim)-node expression tree that
+  * blows past optimizer and codegen budgets (measured 48 s of plan
+  * overhead at 8x8x64). Returns array<long> of length `numTables`.
+  */
+case class LshSignatures(child: Expression, dim: Int, nBits: Int,
+                         numTables: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_signatures"
+
+  // planes[t][i] is one hyperplane of `dim` components, flattened
+  @transient lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numTables * nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def signaturesOf(v: ArrayData): Array[Long] = {
+    val isF = elemIsFloat
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var sig = 0L
+      var b = 0
+      while (b < nBits) {
+        val p = planes(t * nBits + b)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+          acc += x * p(i)
+          i += 1
+        }
+        if (acc >= 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      signaturesOf(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("lshSigs", this, classOf[LshSignatures].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  $self.signaturesOf($v));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API: codegen'd dot product. */
   def vecDot(a: Column, b: Column): Column =
@@ -92,4 +160,10 @@ object VectorExpressions {
     import org.apache.spark.sql.functions.sqrt
     sqrt(vecDot(a, a))
   }
+
+  /** array<long> of `numTables` LSH signatures for the vector column. */
+  def lshSignatures(v: Column, dim: Int, nBits: Int, numTables: Int,
+                    seed: Long = 42L): Column =
+    GraftSqlBridge.column(LshSignatures(
+      GraftSqlBridge.expression(v), dim, nBits, numTables, seed))
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Media payload row: opaque bytes + typed metadata — the multimodal
+  * column convention for a training-data pipeline. Content stays an
+  * uninterpreted `binary` column end-to-end (Spark shuffles/spills it
+  * like any other column); only the explicitly-invoked decode stage
+  * looks inside. */
+final case class MediaRow(id: Long, kind: String, content: Array[Byte],
+                          width: Int, height: Int, format: String)
+
+/** Decoded/feature output: fixed-width feature vector per media item. */
+final case class MediaFeatures(id: Long, kind: String, n_bytes: Int,
+                               features: Array[Float])
+
+/** Multimodal (image/audio/video-as-bytes) plumbing.
+  *
+  * The decode kernel is a STUB (this environment has no media codecs):
+  * `decodeStub` derives a deterministic 16-bin byte histogram instead of
+  * running a real decoder. Everything AROUND the kernel is the real
+  * production shape:
+  *
+  *  - media rows travel as `binary` + metadata struct columns;
+  *  - feature extraction runs via `mapPartitions` — the kernel is
+  *    handed an ITERATOR of rows per partition, so a real decoder can
+  *    amortize model/codec initialization once per partition (the same
+  *    batch shape a vectorized/Arrow UDF would get);
+  *  - partition sizing is the caller's control surface: media blobs are
+  *    large, so repartition by byte budget, not row count, before
+  *    decoding at scale.
+  */
+object Multimodal {
+
+  /** Wrap a documents-like table into media rows (fixture adapter:
+    * text bytes stand in for image bytes; deterministic metadata). */
+  def asMedia(docs: DataFrame, idCol: String, payloadCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col(idCol).cast("long").as("id"),
+      lit("image").as("kind"),
+      col(payloadCol).cast("binary").as("content"),
+      (pmod(col(idCol), lit(4)) * 64 + 64).cast("int").as("width"),
+      (pmod(col(idCol), lit(3)) * 64 + 64).cast("int").as("height"),
+      lit("png").as("format")).as[MediaRow]
+  }
+
+  /** STUB decode kernel: 16-bin byte histogram normalized to [0,1].
+    * A real implementation would decode `content` with a codec and
+    * run a feature extractor; the signature and batch shape would not
+    * change. Deterministic: same bytes → same features. */
+  private[operators] def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xFF) >> 4) += 1f
+      i += 1
+    }
+    if (bytes.length > 0) {
+      var j = 0
+      while (j < 16) { hist(j) /= bytes.length; j += 1 }
+    }
+    hist
+  }
+
+  /** Feature extraction over media rows. `mapPartitions` so per-partition
+    * init (codec/model load in a real pipeline) happens once, and rows
+    * stream through without materializing the partition. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init would go here (decoder handle, model weights)
+      rows.map { r =>
+        MediaFeatures(r.id, r.kind, r.content.length, decodeStub(r.content))
+      }
+    }
+  }
+
+  /** Frame-sample stub: pick every `stride`-th byte window as a "frame"
+    * (the video analog: sample frames, decode each). Returns one row per
+    * sampled frame — the explode shape a real frame sampler produces. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int, frameLen: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val n = r.content.length
+      (0 until n by stride).take(32).map { off =>
+        val end = math.min(off + frameLen, n)
+        (r.id, off, java.util.Arrays.copyOfRange(r.content, off, end))
+      }
+    }.toDF("id", "frame_offset", "frame_bytes")
+  }
+
+  /** Metadata-only projection — never touches content bytes, so column
+    * pruning keeps the blob out of the scan entirely. */
+  def metadata(media: Dataset[MediaRow]): DataFrame =
+    media.toDF().select(col("id"), col("kind"), col("width"), col("height"),
+      col("format"), octet_length(col("content")).as("n_bytes"))
+}

@@ -51,20 +51,10 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
-  /** Deterministic pseudorandom hyperplanes (fixed seed per table), as
-    * literal array<double> columns; `nBits` planes of `dim` components. */
-  private def planes(dim: Int, nBits: Int, seed: Long): Seq[Column] = {
-    val rnd = new scala.util.Random(seed)
-    (0 until nBits).map { _ =>
-      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
-    }
-  }
-
-  /** Signature = long whose bit i is sign(dot(v, plane_i)). */
+  /** Signature = long whose bit i is sign(dot(v, plane_i)); one table. */
   def lshSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column =
-    planes(dim, nBits, seed).zipWithIndex.map { case (p, i) =>
-      when(vecDot(vec, p) >= 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
+    element_at(graft.expressions.VectorExpressions
+      .lshSignatures(vec, dim, nBits, numTables = 1, seed), 1)
 
   /** ANN top-k: exact cosine ranking restricted to LSH candidates.
     *
@@ -82,26 +72,24 @@ object Similarity {
   def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, dim: Int, nBits: Int = 8,
              numTables: Int = 8): DataFrame = {
-    val tableSigs = (0 until numTables).map { t =>
-      struct(lit(t).as("t"), lshSignature(col("cv"), dim, nBits, seed = 42L + t).as("sig"))
-    }
+    import graft.expressions.VectorExpressions.lshSignatures
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", vecNorm(col("cv")))
-      .withColumn("bucket", explode(array(tableSigs: _*)))
       .select(col("neighbor_id"), col("cv"), col("cn"),
-        col("bucket.t").as("t"), col("bucket.sig").as("sig"))
-    val qProbes = (0 until numTables).flatMap { t =>
-      val sig = lshSignature(col("qv"), dim, nBits, seed = 42L + t)
-      val flips = (0 until nBits).map(i => sig.bitwiseXOR(lit(1L << i)))
-      (sig +: flips).map(s => struct(lit(t).as("t"), s.as("sig")))
-    }
+        posexplode(lshSignatures(col("cv"), dim, nBits, numTables)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
+    // per table: probe the exact bucket plus every 1-bit flip
+    val probeStructs = posexplode(lshSignatures(col("qv"), dim, nBits, numTables))
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", vecNorm(col("qv")))
-      .withColumn("probe", explode(array(qProbes: _*)))
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("probe.t").as("t"), col("probe.sig").as("sig")))
+      .select(col("query_id"), col("qv"), col("qn"), probeStructs)
+      .withColumnRenamed("pos", "t")
+      .withColumn("sig", explode(array_union(array(col("col")),
+        transform(sequence(lit(0), lit(nBits - 1)),
+          i => col("col").bitwiseXOR(call_function("shiftleft", lit(1L), i.cast("int")))))))
+      .drop("col"))
     val cand = c.join(q, Seq("t", "sig"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()

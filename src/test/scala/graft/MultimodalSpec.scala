@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "hello world of bytes"),
+    (2L, ""),
+    (3L, "another payload with different content entirely")
+  ).toDF("doc_id", "text")
+
+  test("asMedia carries bytes + typed metadata; extractFeatures is deterministic") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.id)
+    assert(feats.map(_.id).toSeq === Seq(1L, 2L, 3L))
+    assert(feats.forall(_.features.length === 16))
+    assert(feats.head.n_bytes === "hello world of bytes".getBytes.length)
+    // empty payload → zero histogram, no NaN
+    assert(feats(1).features.forall(_ === 0f))
+    // histogram is normalized
+    assert(math.abs(feats.head.features.sum - 1f) < 1e-5)
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media).collect().sortBy(_.id)
+    assert(again.head.features.toSeq === feats.head.features.toSeq)
+  }
+
+  test("metadata projection never reads content (column pruned scan)") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val meta = Multimodal.metadata(media)
+    assert(meta.columns.toSeq ===
+      Seq("id", "kind", "width", "height", "format", "n_bytes"))
+    assert(meta.count() === 3)
+  }
+
+  test("sampleFrames explodes byte windows per media row") {
+    val media = Multimodal.asMedia(docs.where($"doc_id" === 1), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, stride = 8, frameLen = 8).collect()
+    assert(frames.length === 3) // 20 bytes / stride 8 → offsets 0,8,16
+    assert(frames.map(_.getInt(1)).toSeq.sorted === Seq(0, 8, 16))
+  }
+}
