@@ -136,6 +136,14 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
+    // ── event-time cumulate window: 2h max, 30min step (SURVEY §2.3) ──
+    "q35_window_cumulate" -> ((s, dir) => {
+      graft.operators.WindowOps.cumulate(t(s, dir, "events"), "ts",
+          maxSizeMicros = 7200000000L, stepMicros = 1800000000L)
+        .groupBy(col("window_start_us"), col("window_end_us"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    }),
+
     // ── Top-N per group via ranking window (SURVEY §2.3) ──
     "q10_topn_per_group" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
@@ -413,6 +421,14 @@ object SparkEntry {
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM numbered GROUP BY user_id, sess_id""",
+    "q35_window_cumulate" ->
+      """SELECT (epoch_us(ts) // 7200000000) * 7200000000 AS window_start_us,
+         (epoch_us(ts) // 7200000000) * 7200000000 + k * CAST(1800000000 AS BIGINT) AS window_end_us,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events CROSS JOIN (VALUES (1), (2), (3), (4)) AS steps(k)
+         WHERE epoch_us(ts) < (epoch_us(ts) // 7200000000) * 7200000000 + k * CAST(1800000000 AS BIGINT)
+         GROUP BY 1, 2""",
     "q10_topn_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Deterministic, distributed-safe sampling for training-data pipelines.
+  *
+  * Spark's `df.sample` is partition-layout-dependent; at 100 TB a
+  * repeatable sample must be a pure function of row CONTENT. Both ops
+  * here key off `xxhash64` of an id column:
+  *
+  *  - `deterministicSample`: keep rows whose hash falls under a
+  *    threshold — embarrassingly parallel, no shuffle, exact-ish rate.
+  *  - `BottomKSample`: an `Aggregator` keeping the k smallest hashes —
+  *    a mergeable uniform-without-replacement sample (the bottom-k
+  *    sketch), usable as a UDAF in SQL and per-group.
+  */
+object Sampling {
+
+  /** Content-keyed Bernoulli sample: deterministic across runs,
+    * partitionings and cluster sizes. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+                          seed: Long = 42L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    val threshold = (fraction * Long.MaxValue).toLong
+    df.where(abs(xxhash64(lit(seed), col(idCol))) < threshold)
+  }
+
+  /** Buffer: k smallest (hash, payload) pairs seen so far. */
+  final case class BottomK(k: Int, items: List[(Long, String)]) {
+    def insert(h: Long, v: String): BottomK = {
+      val merged = ((h, v) :: items).sortBy(_._1).take(k)
+      copy(items = merged)
+    }
+    def merge(o: BottomK): BottomK =
+      copy(items = (items ++ o.items).sortBy(_._1).distinct.take(k))
+  }
+
+  /** Uniform-without-replacement sample of k values per group, as an
+    * order- and partitioning-independent aggregate. */
+  final class BottomKSample(k: Int, seed: Long = 42L)
+      extends Aggregator[String, BottomK, Seq[String]] {
+    override def zero: BottomK = BottomK(k, Nil)
+    override def reduce(b: BottomK, v: String): BottomK = {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        v.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        v.getBytes("UTF-8").length, seed.toInt).toLong
+      b.insert(h, v)
+    }
+    override def merge(a: BottomK, b: BottomK): BottomK = a.merge(b)
+    override def finish(r: BottomK): Seq[String] = r.items.map(_._2)
+    override def bufferEncoder: Encoder[BottomK] = Encoders.kryo[BottomK]
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Column form: `bottom_k_sample(expr)` usable in `agg(...)`. */
+  def bottomKSample(c: Column, k: Int, seed: Long = 42L): Column =
+    udaf(new BottomKSample(k, seed)).apply(c)
+}

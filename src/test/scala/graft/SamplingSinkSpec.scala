@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Sampling
+import graft.sources.Datagen
+import graft.streaming.ChangelogSink
+import org.apache.spark.sql.functions._
+
+class SamplingSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministicSample is repeatable and partitioning-invariant") {
+    val docs = spark.range(10000).toDF("doc_id")
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.1).as[Long].collect().toSet
+    val b = Sampling.deterministicSample(docs.repartition(13), "doc_id", 0.1)
+      .as[Long].collect().toSet
+    assert(a === b)
+    assert(math.abs(a.size / 10000.0 - 0.1) < 0.02)
+    // different seed → different (but still deterministic) sample
+    val c = Sampling.deterministicSample(docs, "doc_id", 0.1, seed = 7).as[Long].collect().toSet
+    assert(c !== a)
+  }
+
+  test("bottomKSample returns k items, independent of partitioning") {
+    val df = spark.range(1000).select(concat(lit("v"), col("id")).as("v"))
+    val s1 = df.agg(Sampling.bottomKSample(col("v"), 10).as("s"))
+      .as[Seq[String]].head()
+    val s2 = df.repartition(17).agg(Sampling.bottomKSample(col("v"), 10).as("s"))
+      .as[Seq[String]].head()
+    assert(s1.size === 10)
+    assert(s1.toSet === s2.toSet)
+  }
+
+  test("changelog sink: upsert encoding emits tombstones, round trip restores state") {
+    val changelog = Seq(
+      ("k1", "a", 1L, "+I"),
+      ("k1", "b", 2L, "+U"),
+      ("k2", "c", 3L, "+I"),
+      ("k2", "ignored", 4L, "-D"), // delete k2
+      ("k3", "d", 5L, "+I")
+    ).toDF("id", "payload", "seq", "__op")
+    val frame = ChangelogSink.encodeUpsert(changelog, Seq("id"))
+    assert(frame.columns.toSeq === Seq("key", "value"))
+    // re-attach seq for the fold (a Kafka consumer would use offsets)
+    val withSeq = ChangelogSink.encodeUpsert(changelog, Seq("id"))
+      .withColumn("seq", get_json_object(col("value"), "$.seq"))
+    // tombstone: null value present for k2
+    assert(frame.where(col("value").isNull).count() === 1)
+    val log = changelog.select(
+      to_json(struct(col("id"))).as("key"),
+      when(col("__op") === "-D", lit(null))
+        .otherwise(to_json(struct(col("payload")))).as("value"),
+      col("seq"))
+    val state = ChangelogSink.materializeUpsertLog(log, "seq")
+      .as[(String, String)].collect().toMap
+    assert(state.keySet === Set("""{"id":"k1"}""", """{"id":"k3"}"""))
+    assert(state("""{"id":"k1"}""") === """{"payload":"b"}""")
+  }
+
+  test("datagen projections are deterministic and cycle keys for upserts") {
+    val c1 = Datagen.customersBatch(spark, 250).collect()
+    val c2 = Datagen.customersBatch(spark, 250).collect()
+    assert(c1.map(_.toString).toSeq === c2.map(_.toString).toSeq)
+    // 250 rows over 100 keys → multiple versions per key
+    val perKey = Datagen.customersBatch(spark, 250).groupBy("id").count()
+    assert(perKey.agg(max("count")).as[Long].head() >= 2)
+    val o = Datagen.ordersBatch(spark, 100)
+    assert(o.columns.toSeq === Seq("order_id", "product_id", "customer_id", "ts"))
+    // ts strictly ascending (zero-delay watermark compatible)
+    val ts = o.orderBy("order_id").select("ts").as[java.sql.Timestamp].collect()
+    assert(ts.sliding(2).forall(p => p(0).before(p(1))))
+  }
+
+  test("datagen rate stream produces the same shape as the batch form") {
+    val stream = Datagen.customersStream(spark, rowsPerSecond = 100)
+    assert(stream.isStreaming)
+    assert(stream.schema.map(f => (f.name, f.dataType)) ===
+      Datagen.customersBatch(spark, 1).schema.map(f => (f.name, f.dataType)))
+    val q = stream.writeStream.format("memory").queryName("dg_t").start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("dg_t").isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+      }
+      assert(!spark.table("dg_t").isEmpty, "rate stream produced no rows in 15s")
+    } finally q.stop()
+  }
+}
