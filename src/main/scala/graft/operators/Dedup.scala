@@ -60,18 +60,23 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, minJaccard: Double,
                         maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).cache()
+    // postings join on the 64-bit shingle hash, not the string: smaller
+    // shuffle rows and fixed-width comparisons. A cross-doc hash
+    // collision would perturb one intersection count with probability
+    // ~|shingle vocab|²/2⁶⁴ — negligible against the Jaccard threshold.
+    val sh = shingles(docs, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh_h")).cache()
     val posting = maxShingleFreq match {
       case Some(cap) =>
-        val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .where(col("df") <= cap).select("shingle")
-        sh.join(freq, "shingle")
+        val freq = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select("sh_h")
+        sh.join(freq, "sh_h")
       case None => sh
     }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = posting.select(col(idCol).as("id_a"), col("shingle"))
-    val b = posting.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
+    val a = posting.select(col(idCol).as("id_a"), col("sh_h"))
+    val b = posting.select(col(idCol).as("id_b"), col("sh_h"))
+    val inter = a.join(b, Seq("sh_h")).where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     inter
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")

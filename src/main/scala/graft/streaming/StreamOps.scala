@@ -75,6 +75,30 @@ object StreamOps {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperBound"))
   }
 
+  /** Streaming Top-N per key (Flink `ROW_NUMBER() <= n` over a
+    * changelog, SURVEY §2.3): bounded per-key heap in state; emits the
+    * refreshed top list whenever it changes. Update-mode output — each
+    * emission is the key's CURRENT top-n (retraction of the previous
+    * list is implied, as in Flink's update stream). */
+  def topNPerKey[K: Encoder, T: Encoder](ds: Dataset[T], key: T => K, n: Int,
+                                         better: (T, T) => Boolean)(
+      implicit listEnc: Encoder[List[T]], outEnc: Encoder[(K, List[T])]): Dataset[(K, List[T])] = {
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[List[T], (K, List[T])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: K, rows: Iterator[T], state: GroupState[List[T]]) =>
+          val before = state.getOption.getOrElse(Nil)
+          var top = before
+          rows.foreach { r =>
+            top = (r :: top).sortWith(better).take(n)
+          }
+          if (top != before) {
+            state.update(top)
+            Iterator.single((k, top))
+          } else Iterator.empty
+      }
+  }
+
   /** Event-time temporal (versioned-table / as-of) join — the reference's
     * `FOR SYSTEM_TIME AS OF` setup (compacted dim topics + watermarked
     * fact stream, `terraform/lab-joins/main.tf:106,122,531`). Spark has

@@ -129,6 +129,26 @@ class StreamingSpec extends SparkSpec {
     assert(got === Map(10L -> Some("v1"), 11L -> Some("v2"), 12L -> None, 13L -> None))
   }
 
+  test("streaming topN keeps a bounded per-key heap, emits on change only") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val result = StreamOps.topNPerKey[Long, Ev](in.toDS(), _.user_id, 2,
+      (a, b) => a.value > b.value)
+    val q = result.writeStream.format("memory").queryName("topn_t")
+      .outputMode("update").start()
+    in.addData(Ev(1, ts(1), 1, 10.0), Ev(1, ts(2), 2, 20.0), Ev(1, ts(3), 3, 5.0))
+    q.processAllAvailable()
+    in.addData(Ev(1, ts(4), 4, 1.0)) // below top-2 → no emission
+    in.addData(Ev(1, ts(5), 5, 30.0)) // new best → emission
+    runToCompletion(q)
+    val emissions = spark.table("topn_t")
+      .as[(Long, List[Ev])].collect()
+    val finalTop = emissions.last._2.map(_.event_id)
+    assert(finalTop === List(5L, 2L))
+    // the no-op batch (event 4) produced no emission
+    assert(emissions.length === 2)
+  }
+
   test("streaming dedup keeps first row per key") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
