@@ -349,6 +349,17 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
     }),
 
+    // ── array functions over the embedding column (§2.4 scalar/array) ──
+    "q36_array_funcs" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_dim"),
+        round(aggregate(col("embedding"),
+          lit(0.0), (acc, v) => acc + v.cast("double")), 6).as("vec_sum"),
+        round(array_max(col("embedding")).cast("double"), 6).as("vec_max"))
+    }),
+
     // ── multimodal: stubbed decode + feature extraction over binary
     //    payloads via mapPartitions (no SQL oracle: kernel is a stub;
     //    determinism + batch shape asserted in MultimodalSpec) ──
@@ -588,6 +599,12 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          hex(encode(substring(text, 1, 8))) AS head_hex
          FROM documents""",
+    "q36_array_funcs" ->
+      """SELECT vec_id, len(embedding) AS n_dims,
+         round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+         round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 6) AS vec_sum,
+         round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vec_max
+         FROM embeddings""",
     "q32_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
          FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50""",

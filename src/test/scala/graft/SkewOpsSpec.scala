@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.SkewOps
+import org.apache.spark.sql.functions._
+
+class SkewOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 90% of rows share one hot key
+  private def skewed = spark.range(10000)
+    .select(when($"id" % 10 === 0, $"id" % 7).otherwise(lit(999L)).as("key"),
+      $"id".as("rid"), ($"id" % 100 / 10.0).as("value"))
+
+  test("saltedAggregate equals the direct aggregation") {
+    val direct = skewed.groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,4)")).cast("double").as("sum_value"))
+    val salted = SkewOps.saltedAggregate(skewed, Seq("key"), Seq("value"),
+      salts = 8, saltSource = $"rid")
+    assert(direct.except(salted).isEmpty && salted.except(direct).isEmpty)
+  }
+
+  test("saltedJoin equals the direct join on a skewed probe side") {
+    val dim = Seq((999L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "d"), (4L, "e"), (5L, "f"), (6L, "g")).toDF("key", "name")
+    val direct = skewed.join(dim, Seq("key")).select("rid", "name")
+    val salted = SkewOps.saltedJoin(skewed, dim, "key", salts = 8, probeSalt = $"rid")
+      .select("rid", "name")
+    assert(direct.except(salted).isEmpty && salted.except(direct).isEmpty)
+    assert(salted.count() === 10000)
+  }
+}
