@@ -1,0 +1,63 @@
+package graft
+
+import graft.exec.StreamingStatementRunner
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+final case class SCust(id: String, first_name: String, last_name: String, email: String)
+final case class SOrd(order_id: Int, product_id: String, customer_id: String)
+
+/** The reference's S1/S2 (and the S6 join shape) executed as LONG-RUNNING
+  * streaming statements through the dialect runner, fed by MemoryStreams
+  * standing in for the Kafka-topic sources. */
+class StreamingStatementRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming INSERT INTO an upsert table maintains latest-by-key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val customers = MemoryStream[SCust]
+    customers.toDF().createOrReplaceTempView("shoe_customers")
+
+    val r = new StreamingStatementRunner(spark)
+    r.run("""CREATE TABLE shoe_customers_keyed (
+             customer_id STRING, first_name STRING, last_name STRING, email STRING,
+             PRIMARY KEY (customer_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    val q = r.run(
+      "INSERT INTO shoe_customers_keyed SELECT id, first_name, last_name, email FROM shoe_customers")
+    assert(q.isDefined, "INSERT must become a streaming query")
+
+    customers.addData(SCust("c1", "Ann", "Ames", "a@x"), SCust("c2", "Bob", "Baker", "b@x"))
+    r.processAllAvailable()
+    assert(spark.table("shoe_customers_keyed").count() === 2)
+
+    // upsert arrives in a later micro-batch — the never-terminating
+    // statement keeps folding it in
+    customers.addData(SCust("c1", "Anna", "Ames", "a2@x"))
+    r.processAllAvailable()
+    val state = spark.table("shoe_customers_keyed")
+      .select("customer_id", "first_name").as[(String, String)].collect().toMap
+    assert(state === Map("c1" -> "Anna", "c2" -> "Bob"))
+    r.stopAll()
+  }
+
+  test("streaming INSERT into an append table accumulates micro-batches; retract tags __op") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[SOrd]
+    orders.toDF().createOrReplaceTempView("shoe_orders_stream")
+
+    val r = new StreamingStatementRunner(spark)
+    r.run("""CREATE TABLE orders_log (order_id INT, product_id STRING, customer_id STRING)
+             WITH ('changelog.mode' = 'retract')""")
+    r.run("INSERT INTO orders_log SELECT order_id, product_id, customer_id FROM shoe_orders_stream")
+
+    orders.addData(SOrd(1, "p1", "c1"))
+    r.processAllAvailable()
+    orders.addData(SOrd(2, "p2", "c2"), SOrd(3, "p1", "c2"))
+    r.processAllAvailable()
+    val log = spark.table("orders_log")
+    assert(log.count() === 3)
+    assert(log.columns.contains("__op"))
+    assert(log.select("__op").distinct().as[String].collect().toSeq === Seq("+I"))
+    r.stopAll()
+  }
+}
