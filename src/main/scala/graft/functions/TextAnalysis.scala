@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Lowercase, strip non-alphanumerics, collapse whitespace. */
+  /** Lowercase, strip non-alphanumerics, collapse whitespace.
+    * Single-scan codegen kernel (`NormalizeText`); semantically equal to
+    * `trim(regexp_replace(regexp_replace(lower(t),'[^a-z0-9 ]',' '),' +',' '))`
+    * — the formulation the DuckDB oracles keep using. */
   def normText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+    graft.expressions.NormalizeText.normText(text)
 
   /** Deterministic document fingerprint: md5 of the normalized text.
     * (md5 is bit-identical across engines, unlike murmur/xxhash.) */
