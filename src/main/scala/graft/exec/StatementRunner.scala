@@ -32,19 +32,20 @@ final class StatementRunner(spark: SparkSession, val catalog: InMemoryCatalog = 
   def run(stmt: String): Option[DataFrame] = StatementPreprocessor.parse(stmt) match {
 
     case ct: CreateTable =>
+      val ddlSchema = ct.columns
+        .map { case (n, t) => s"`$n` ${StatementPreprocessor.toSparkType(t)}" }
+        .mkString(", ")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(ddlSchema)
       catalog.register(TableMeta(
         name = ct.name,
+        schema = Some(schema),
         primaryKey = ct.primaryKey,
         buckets = ct.buckets,
         changelogMode = ct.changelogMode,
         options = ct.options))
       // materialize an empty relation with the declared schema
-      val ddlSchema = ct.columns
-        .map { case (n, t) => s"`$n` ${StatementPreprocessor.toSparkType(t)}" }
-        .mkString(", ")
       val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(ddlSchema))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       empty.createOrReplaceTempView(ct.name)
       None
 
@@ -53,7 +54,7 @@ final class StatementRunner(spark: SparkSession, val catalog: InMemoryCatalog = 
       val selected = spark.sql(select)
       // positional mapping to the target's declared columns (reference:
       // `id` → `customer_id` via INSERT order, lab-aggregations :431/:498)
-      val targetSchema = spark.table(target).schema
+      val targetSchema = meta.schema.getOrElse(spark.table(target).schema)
       val renamed =
         if (targetCols.nonEmpty) selected.toDF(targetCols: _*)
         else selected.toDF(targetSchema.fieldNames.take(selected.columns.length): _*)

@@ -149,6 +149,26 @@ class StreamingSpec extends SparkSpec {
     assert(emissions.length === 2)
   }
 
+  test("cumulate windows work on a stream (growing per-window counts)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // 40s max window, 10s step → 4 growing windows per 40s span
+    val agg = graft.operators.WindowOps
+      .cumulate(StreamOps.withZeroDelayWatermark(in.toDF(), "ts"), "ts",
+        maxSizeMicros = 40000000L, stepMicros = 10000000L)
+      .groupBy($"window_start_us", $"window_end_us")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("cum_t")
+      .outputMode("complete").start()
+    in.addData(Ev(1, ts(5), 1, 1.0), Ev(1, ts(15), 2, 1.0), Ev(1, ts(35), 3, 1.0))
+    runToCompletion(q)
+    val rows = spark.table("cum_t").as[(Long, Long, Long)].collect()
+      .map { case (ws, we, n) => (ws / 1000000, we / 1000000, n) }.toSet
+    // event at 5s is in all 4 expansions; at 15s in [0,20/30/40); at 35s only [0,40)
+    assert(rows === Set(
+      (0L, 10L, 1L), (0L, 20L, 2L), (0L, 30L, 2L), (0L, 40L, 3L)))
+  }
+
   test("streaming dedup keeps first row per key") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
