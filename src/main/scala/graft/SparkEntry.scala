@@ -285,10 +285,11 @@ object SparkEntry {
         when(col("l_quantity") > 25.0, "big").otherwise("small").as("size_class"))
     }),
 
-    // ── anti join / NOT EXISTS (SURVEY §2.4 joins) ──
+    // ── anti join / NOT EXISTS (SURVEY §2.4 joins): customers with no
+    //    urgent orders (filtered so the result is non-empty at every sf) ──
     "q27_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     }),
@@ -582,7 +583,8 @@ object SparkEntry {
          FROM lineitem""",
     "q27_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
     "q28_distinct_agg" ->
       """SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_priorities,
          count(DISTINCT o_orderstatus) AS n_statuses, count(*) AS n_orders
