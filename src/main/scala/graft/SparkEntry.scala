@@ -421,7 +421,7 @@ object SparkEntry {
       """WITH marked AS (
            SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
          ), numbered AS (
            SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts

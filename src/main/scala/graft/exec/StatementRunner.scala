@@ -64,20 +64,25 @@ final class StatementRunner(spark: SparkSession, val catalog: InMemoryCatalog = 
       }
       val startSeq = seq(target)
       seq(target) = startSeq + 1
+      // __seq orders ACROSS inserts; __sub orders WITHIN one insert by
+      // source scan order (the Kafka-offset analog — later source rows
+      // of the same key win the upsert deterministically)
       val stamped = casted.withColumn("__seq", lit(startSeq))
+        .withColumn("__sub", monotonically_increasing_id())
       val existing = appended.get(target)
       val changelog = existing.map(_.unionByName(stamped)).getOrElse(stamped)
       appended(target) = changelog
       val visible = meta.changelogMode match {
         case ChangelogMode.Upsert if meta.primaryKey.nonEmpty =>
-          val latest = ChangelogOps.latestByKey(changelog, meta.primaryKey, Seq("__seq"))
-            .drop("__seq")
+          val latest = ChangelogOps.latestByKey(changelog, meta.primaryKey,
+              Seq("__seq", "__sub"))
+            .drop("__seq", "__sub")
           meta.buckets.map(n => latest.repartition(n, meta.primaryKey.map(col): _*))
             .getOrElse(latest)
         case ChangelogMode.Retract =>
-          changelog.drop("__seq").withColumn("__op", lit("+I"))
+          changelog.drop("__seq", "__sub").withColumn("__op", lit("+I"))
         case _ =>
-          changelog.drop("__seq")
+          changelog.drop("__seq", "__sub")
       }
       visible.createOrReplaceTempView(target)
       Some(visible)

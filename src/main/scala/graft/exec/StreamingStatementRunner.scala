@@ -49,10 +49,18 @@ final class StreamingStatementRunner(spark: SparkSession,
       val ddl = ct.columns
         .map { case (n, t) => s"`$n` ${StatementPreprocessor.toSparkType(t)}" }
         .mkString(", ")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
       catalog.register(TableMeta(ct.name,
-        schema = Some(org.apache.spark.sql.types.StructType.fromDDL(ddl)),
+        schema = Some(schema),
         primaryKey = ct.primaryKey,
         buckets = ct.buckets, changelogMode = ct.changelogMode, options = ct.options))
+      // materialize an empty view NOW so later statements in the same
+      // script can be analyzed before the INSERT's first micro-batch
+      // replaces the view (the reference's depends_on DAG only orders
+      // creation, not data arrival)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .createOrReplaceTempView(ct.name)
       None
 
     case InsertInto(target, targetCols, select) =>
@@ -99,11 +107,15 @@ final class StreamingStatementRunner(spark: SparkSession,
   private def startUpsert(target: String, meta: TableMeta, df: DataFrame): StreamingQuery = {
     df.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // __seq orders across micro-batches, __sub within one batch by
+        // arrival order (Kafka-offset analog): two versions of a key in
+        // the same batch resolve to the later one deterministically
         val stamped = batch.withColumn("__seq", lit(seqCounter.incrementAndGet()))
+          .withColumn("__sub", monotonically_increasing_id())
         appendRows(s"${target}__log", stamped)
         val log = spark.table(s"${target}__log")
-        val visible = ChangelogOps.latestByKey(log, meta.primaryKey, Seq("__seq"))
-          .drop("__seq")
+        val visible = ChangelogOps.latestByKey(log, meta.primaryKey, Seq("__seq", "__sub"))
+          .drop("__seq", "__sub")
         visible.createOrReplaceTempView(target)
         ()
       }.start()

@@ -34,7 +34,15 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
 }
 
 object NormalizeText {
-  /** Static kernel shared by interpreted and generated code paths. */
+  private val NonAlnum = java.util.regex.Pattern.compile("[^a-z0-9 ]")
+  private val Spaces = java.util.regex.Pattern.compile(" +")
+
+  /** Static kernel shared by interpreted and generated code paths.
+    * ASCII fast path = single scan; any non-ASCII input falls back to
+    * the exact JDK lower+regex pipeline (what Spark's own
+    * lower/regexp_replace execute), because per-char lowercasing
+    * diverges from full-string lowercasing for characters like U+0130
+    * whose lowercase is multi-char. */
   def normalize(s: UTF8String): UTF8String = {
     val str = s.toString
     val n = str.length
@@ -43,8 +51,8 @@ object NormalizeText {
     var i = 0
     while (i < n) {
       val c0 = str.charAt(i)
-      // Char.toLower on the codepoint start; [^a-z0-9 ] → space
-      val c = Character.toLowerCase(c0)
+      if (c0 >= 0x80) return normalizeSlow(str)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
       val keep = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
       if (keep) {
         if (pendingSpace && out.length > 0) out.append(' ')
@@ -56,6 +64,12 @@ object NormalizeText {
       i += 1
     }
     UTF8String.fromString(out.toString)
+  }
+
+  private def normalizeSlow(str: String): UTF8String = {
+    val lowered = str.toLowerCase(java.util.Locale.ROOT)
+    val stripped = NonAlnum.matcher(lowered).replaceAll(" ")
+    UTF8String.fromString(Spaces.matcher(stripped).replaceAll(" ").trim)
   }
 
   def normText(c: Column): Column =

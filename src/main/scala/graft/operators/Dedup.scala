@@ -42,6 +42,9 @@ object Dedup {
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val withToks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      // docs with < n tokens yield no shingles; without this guard
+      // sequence(0, size-n) would go negative and element_at(_, 0) throws
+      .where(size(col("__toks")) >= n)
     val toks = col("__toks")
     // shingle i = tokens[i..i+n-1], 0-based transform over size-n+1 windows
     val sh = transform(

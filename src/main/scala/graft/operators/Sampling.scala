@@ -29,12 +29,13 @@ object Sampling {
 
   /** Buffer: k smallest (hash, payload) pairs seen so far. */
   final case class BottomK(k: Int, items: List[(Long, String)]) {
-    def insert(h: Long, v: String): BottomK = {
-      val merged = ((h, v) :: items).sortBy(_._1).take(k)
-      copy(items = merged)
-    }
+    // distinct BEFORE take in both paths: duplicate values must occupy
+    // one slot regardless of whether they met in insert or merge, or the
+    // sample would depend on partitioning
+    def insert(h: Long, v: String): BottomK =
+      copy(items = ((h, v) :: items).distinct.sortBy(_._1).take(k))
     def merge(o: BottomK): BottomK =
-      copy(items = (items ++ o.items).sortBy(_._1).distinct.take(k))
+      copy(items = (items ++ o.items).distinct.sortBy(_._1).take(k))
   }
 
   /** Uniform-without-replacement sample of k values per group, as an

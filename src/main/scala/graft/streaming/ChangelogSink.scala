@@ -28,9 +28,7 @@ object ChangelogSink {
     df.select(
       to_json(struct(keyCols.map(col): _*)).as("key"),
       (if (hasOp) when(col("__op") === "-D", lit(null)).otherwise(value)
-       else value).as("value"),
-      (if (hasOp) col("__op") else lit("+I")).as("__op"))
-      .drop("__op")
+       else value).as("value"))
   }
 
   /** Fold an ordered upsert log (key,value) back into final state:

@@ -40,6 +40,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("shingles and jaccard tolerate documents shorter than n tokens") {
+    val short = Seq((1L, "just two"), (2L, ""), (3L, "!!!"),
+      (4L, base), (5L, base)).toDF("doc_id", "text")
+    assert(Dedup.shingles(short.where($"doc_id" <= 3), "doc_id", "text", 3).count() === 0)
+    val pairs = Dedup.ngramJaccardPairs(short, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((4L, 5L))) // short docs neither crash nor pair
+  }
+
   test("minhash LSH candidates cover all high-jaccard pairs (recall) on fixture docs") {
     val fixtures = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(fixtures, "doc_id", "text", n = 3, minJaccard = 0.9)

@@ -30,6 +30,16 @@ class SamplingSinkSpec extends SparkSpec {
     assert(s1.toSet === s2.toSet)
   }
 
+  test("bottomKSample is partitioning-invariant even with duplicate values") {
+    val dup = spark.range(200).select(concat(lit("v"), col("id") % 50).as("v")) // each value 4x
+    val s1 = dup.coalesce(1).agg(Sampling.bottomKSample(col("v"), 10).as("s"))
+      .as[Seq[String]].head()
+    val s2 = dup.repartition(19).agg(Sampling.bottomKSample(col("v"), 10).as("s"))
+      .as[Seq[String]].head()
+    assert(s1 === s2)
+    assert(s1.distinct.size === 10) // duplicates occupy one slot
+  }
+
   test("changelog sink: upsert encoding emits tombstones, round trip restores state") {
     val changelog = Seq(
       ("k1", "a", 1L, "+I"),

@@ -92,6 +92,20 @@ class StatementRunnerSpec extends SparkSpec {
     assert(rows === Map("c1" -> "ann.new@x.com", "c2" -> "bob@x.com"))
   }
 
+  test("two versions of a key in ONE insert: later source row wins deterministically") {
+    val r = freshRunner()
+    Seq(
+      ("c1", "Ann", "Ames", "old@x.com"),
+      ("c1", "Ann", "Ames", "new@x.com") // later row = later Kafka offset
+    ).toDF("id", "first_name", "last_name", "email")
+      .coalesce(1) // a topic partition is ordered; mirror that
+      .createOrReplaceTempView("shoe_customers")
+    r.run(s1); r.run(s2)
+    val email = spark.table("shoe_customers_keyed")
+      .select("email").as[String].collect()
+    assert(email.toSeq === Seq("new@x.com"))
+  }
+
   test("S1–S6 pipeline: enriched output equals the batch oracle join") {
     val r = freshRunner()
     Seq(s1, s2, s3, s4, s5, s6).foreach(r.run(_))

@@ -37,6 +37,13 @@ class StreamingStatementRunnerSpec extends SparkSpec {
     val state = spark.table("shoe_customers_keyed")
       .select("customer_id", "first_name").as[(String, String)].collect().toMap
     assert(state === Map("c1" -> "Anna", "c2" -> "Bob"))
+
+    // two versions of one key in the SAME micro-batch: later record wins
+    customers.addData(SCust("c2", "Rob", "B", "r1@x"), SCust("c2", "Robert", "B", "r2@x"))
+    r.processAllAvailable()
+    val c2 = spark.table("shoe_customers_keyed")
+      .where($"customer_id" === "c2").select("first_name").as[String].collect()
+    assert(c2.toSeq === Seq("Robert"))
     r.stopAll()
   }
 

@@ -12,6 +12,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === "hello world 42")
   }
 
+  test("normText non-ASCII fallback matches Spark's lower+regex chain") {
+    val inputs = Seq("İstanbul city", "héllo wörld", "ASCII only 42", "ümlaut ÜBER straße")
+    val df = inputs.toDF("t")
+    val regexChain = trim(regexp_replace(
+      regexp_replace(lower($"t"), "[^a-z0-9 ]", " "), " +", " "))
+    val rows = df.select(TextAnalysis.normText($"t"), regexChain)
+      .as[(String, String)].collect()
+    rows.foreach { case (fast, ref) => assert(fast === ref) }
+  }
+
   test("fingerprint is stable and normalization-invariant") {
     val fps = Seq("Hello  World", "hello world", "HELLO, WORLD").toDF("t")
       .select(TextAnalysis.fingerprint($"t")).as[String].collect()
