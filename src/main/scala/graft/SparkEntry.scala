@@ -361,6 +361,28 @@ object SparkEntry {
         round(array_max(col("embedding")).cast("double"), 6).as("vec_max"))
     }),
 
+    // ── pivot: per-user event-type counts as columns (§2.4) ──
+    "q37_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count().na.fill(0L)
+        .withColumnsRenamed(Map("click" -> "n_click", "view" -> "n_view",
+          "purchase" -> "n_purchase", "signup" -> "n_signup", "error" -> "n_error"))
+    }),
+
+    // ── correlated-subquery pattern: orders above their customer's avg
+    //    (decorrelated to a window — the scalable plan shape) (§2.4) ──
+    "q38_above_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+      t(s, dir, "orders")
+        .withColumn("cust_avg",
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+            / count(lit(1)).over(w))
+        .where(col("o_totalprice") > col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+    }),
+
     // ── multimodal: stubbed decode + feature extraction over binary
     //    payloads via mapPartitions (no SQL oracle: kernel is a stub;
     //    determinism + batch shape asserted in MultimodalSpec) ──
@@ -601,6 +623,21 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          hex(encode(substring(text, 1, 8))) AS head_hex
          FROM documents""",
+    "q37_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click') AS n_click,
+         count(*) FILTER (WHERE event_type = 'view') AS n_view,
+         count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+         count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+         count(*) FILTER (WHERE event_type = 'error') AS n_error
+         FROM events GROUP BY user_id""",
+    "q38_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+              / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+         FROM orders
+         QUALIFY o_totalprice > CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+              / count(*) OVER (PARTITION BY o_custkey)""",
     "q36_array_funcs" ->
       """SELECT vec_id, len(embedding) AS n_dims,
          round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
