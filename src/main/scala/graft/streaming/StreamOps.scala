@@ -99,16 +99,20 @@ object StreamOps {
       }
   }
 
-  /** Event-time temporal (versioned-table / as-of) join — the reference's
-    * `FOR SYSTEM_TIME AS OF` setup (compacted dim topics + watermarked
-    * fact stream, `terraform/lab-joins/main.tf:106,122,531`). Spark has
-    * no built-in; this is the custom stateful co-process of SURVEY §4.
+  /** PROCESSING-TIME temporal (versioned-table / as-of) join — the
+    * reference's `FOR SYSTEM_TIME AS OF` setup (compacted dim topics +
+    * watermarked fact stream, `terraform/lab-joins/main.tf:106,122,531`).
+    * Spark has no built-in; this is the custom stateful co-process of
+    * SURVEY §4.
     *
     * Both inputs are unioned (dim rows tagged), shuffled once on the
     * join key; per key the state holds the dim VERSION HISTORY (ts-sorted)
     * and each fact row is emitted with the latest dim version at-or-before
-    * its event time. Facts arriving before any applicable version emit
-    * with a null match (left semantics).
+    * its event time. Facts are joined ON ARRIVAL: a dim version that
+    * arrives in a LATER micro-batch than a fact it should have matched is
+    * missed (Flink's processing-time temporal join has the same caveat).
+    * For cross-batch event-time correctness use
+    * [[temporalJoinEventTime]].
     *
     * `maxVersions` bounds per-key state (compaction analog).
     */
@@ -135,7 +139,68 @@ object StreamOps {
           out.iterator
       }
   }
+  /** EVENT-TIME-correct temporal join (Flink's `FOR SYSTEM_TIME AS OF`
+    * with event-time semantics): facts are BUFFERED in state until the
+    * query watermark passes their event time, then joined against the
+    * dim version that was valid AT their event time — so a dim version
+    * arriving in a later micro-batch (but with an earlier event time)
+    * is still matched correctly. Emission is therefore watermark-delayed,
+    * the price of correctness; both inputs must feed the query watermark
+    * (`withZeroDelayWatermark` on the union's ts).
+    *
+    * State per key = version history (≤ maxVersions) + pending facts
+    * (bounded by watermark lag). Versions older than the newest version
+    * at-or-before the watermark are pruned once no pending fact can need
+    * them.
+    */
+  def temporalJoinEventTime(facts: Dataset[TemporalRow], dims: Dataset[TemporalRow],
+                            maxVersions: Int = 64): Dataset[TemporalMatch] = {
+    import facts.sparkSession.implicits._
+    // the watermarked event-time column must remain visible to the fMGWS
+    // input (a projection dropping it loses the event-time attribute and
+    // getCurrentWatermarkMs refuses to run) — hence the widened row type
+    val tagged = facts.map(_.copy(isDim = false)).unionByName(dims.map(_.copy(isDim = true)))
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[TemporalRowTs]
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[TemporalState, TemporalMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rowsTs: Iterator[TemporalRowTs], state: GroupState[TemporalState]) =>
+          val rows = rowsTs.map(r => TemporalRow(r.key, r.id, r.tsMillis, r.payload, r.isDim))
+          val st = state.getOption.getOrElse(TemporalState(Nil, Nil))
+          var versions = st.versions // newest-first
+          var pending = st.pending
+          rows.foreach { r =>
+            if (r.isDim) versions = (r :: versions).sortBy(-_.tsMillis).take(maxVersions)
+            else pending = r :: pending
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, stillPending) = pending.partition(_.tsMillis <= wm)
+          val out = ready.sortBy(f => (f.tsMillis, f.id)).map { f =>
+            val m = versions.find(_.tsMillis <= f.tsMillis)
+            TemporalMatch(key, f.id, f.tsMillis, m.map(_.id), m.map(_.payload))
+          }
+          // prune versions no pending fact can need: keep the newest
+          // version at-or-before the horizon plus everything after it
+          val horizon = (wm :: stillPending.map(_.tsMillis)).min
+          val keptIdx = versions.indexWhere(_.tsMillis <= horizon)
+          if (keptIdx >= 0) versions = versions.take(keptIdx + 1)
+          state.update(TemporalState(versions, stillPending))
+          out.iterator
+      }
+  }
 }
+
+/** Temporal-join state: dim version history (newest-first) + facts
+  * buffered until the watermark passes their event time. */
+final case class TemporalState(versions: List[TemporalRow], pending: List[TemporalRow])
+
+/** TemporalRow widened with the watermarked event-time column (must stay
+  * in the fMGWS input plan for `getCurrentWatermarkMs` to be legal). */
+final case class TemporalRowTs(key: String, id: Long, tsMillis: Long,
+                               payload: String, isDim: Boolean,
+                               eventTime: java.sql.Timestamp)
 
 /** Generic keyed, timestamped row for the temporal join: `key` = join
   * key, `id` = unique row id, `payload` = carried dim attribute. */

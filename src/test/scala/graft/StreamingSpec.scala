@@ -169,6 +169,38 @@ class StreamingSpec extends SparkSpec {
       (0L, 10L, 1L), (0L, 20L, 2L), (0L, 30L, 2L), (0L, 40L, 3L)))
   }
 
+  test("event-time temporal join matches a dim version that arrives in a LATER batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val facts = MemoryStream[TemporalRow]
+    val dims = MemoryStream[TemporalRow]
+    val out = StreamOps.temporalJoinEventTime(facts.toDS(), dims.toDS())
+    val q = out.writeStream.format("memory").queryName("tje_t")
+      .outputMode("append").start()
+
+    // batch 1: v1@100 and a fact@200 — watermark too low, fact must WAIT
+    dims.addData(TemporalRow("k1", 1, 100, "v1", isDim = true))
+    facts.addData(TemporalRow("k1", 10, 200, "", isDim = false))
+    q.processAllAvailable()
+    assert(spark.table("tje_t").isEmpty, "fact must buffer until watermark passes")
+
+    // batch 2: the version ACTUALLY valid at t=200 arrives late (v2@180),
+    // plus far-future rows to push the watermark beyond 200
+    dims.addData(TemporalRow("k1", 2, 180, "v2", isDim = true),
+      TemporalRow("k9", 99, 100000, "wm", isDim = true))
+    facts.addData(TemporalRow("k9", 98, 100000, "", isDim = false))
+    q.processAllAvailable()
+    // one more cycle so the watermark computed from batch 2 applies
+    facts.addData(TemporalRow("k9", 97, 200000, "", isDim = false))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("tje_t").as[TemporalMatch].collect()
+      .map(m => m.factId -> m.dimPayload).toMap
+    // event-time correctness: fact@200 matches v2@180 (arrived later),
+    // NOT v1@100 (the only version present when the fact arrived)
+    assert(got(10L) === Some("v2"))
+  }
+
   test("streaming dedup keeps first row per key") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
