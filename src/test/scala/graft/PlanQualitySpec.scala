@@ -1,0 +1,56 @@
+package graft
+
+/** Plan-shape regression guards: the properties that decide whether a
+  * query survives a 100× scale-up, asserted on the optimized/executed
+  * plans so a future change can't silently trade them away. */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("q02: filters and column pruning reach the parquet scan") {
+    val plan = executedPlan("q02_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"filter pushdown missing:\n$plan")
+    assert(!plan.contains("l_partkey"), "scan reads columns the query never uses")
+  }
+
+  test("q03: both dimension joins broadcast (no shuffle of the fact side)") {
+    val plan = executedPlan("q03_enrich_join")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, s"expected 2 BHJ:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$plan")
+  }
+
+  test("q01: aggregation is partial (map-side) before the single exchange") {
+    val plan = executedPlan("q01_pricing_agg")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial+final aggregate expected:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"exactly one shuffle expected:\n$plan")
+  }
+
+  test("q05: upsert materialization has no sort (max_by agg, not a rank window)") {
+    val plan = executedPlan("q05_upsert_latest")
+    assert(!plan.contains("Window"), s"latest-by-key must not window-sort:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"), s"expected aggregate-based upsert:\n$plan")
+  }
+
+  test("q21: corpus side is never shuffled (queries broadcast)") {
+    val plan = executedPlan("q21_knn_brute")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query set must broadcast:\n$plan")
+  }
+
+  test("vector similarity uses the codegen dot product, not interpreted HOFs") {
+    val df = SparkEntry.queries("q23_embedding_neardup")(spark, dir)
+    df.collect() // finalize THIS query's adaptive plan
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("vector_dot"), s"VectorDot not in plan:\n$plan")
+    assert(!plan.contains("zip_with"), s"interpreted HOF fallback:\n$plan")
+    // '*(n)' node prefixes mark WholeStageCodegen stages in simpleString
+    assert(plan.contains("*(1)"), s"codegen missing:\n$plan")
+  }
+}
