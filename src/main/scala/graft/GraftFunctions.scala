@@ -1,0 +1,51 @@
+package graft
+
+import graft.expressions.{LshSignatures, NormalizeText, VectorDot}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the engine's custom Catalyst expressions, so the
+  * functions are usable from `spark.sql(...)` exactly like built-ins
+  * (the reference's users write SQL, not the DataFrame API).
+  *
+  * Two registration paths:
+  *  - `GraftFunctions.register(spark)` — per-session, for an existing
+  *    session (tests, notebooks);
+  *  - `spark.sql.extensions=graft.GraftExtensions` — builder-time
+  *    injection for cluster deployment.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vector_dot" -> (exprs => VectorDot(exprs(0), exprs(1))),
+    "normalize_text" -> (exprs => NormalizeText(exprs.head)),
+    // lsh_signatures(vec, dim, nBits, numTables[, seed])
+    "lsh_signatures" -> (exprs => LshSignatures(exprs(0),
+      intLit(exprs(1), "dim"), intLit(exprs(2), "nBits"),
+      intLit(exprs(3), "numTables"),
+      if (exprs.length > 4) intLit(exprs(4), "seed").toLong else 42L)))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** Builder-time injection: `.config("spark.sql.extensions",
+  * "graft.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
