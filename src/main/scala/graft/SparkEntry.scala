@@ -197,6 +197,7 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         size(array_distinct(TextAnalysis.tokens(col("text")))).as("n_distinct_tokens"),
         TextAnalysis.stopwordCount(col("text")).as("n_stopwords"),
+        TextAnalysis.regexTokenCount(col("text")).as("n_subword_tokens"),
         length(col("text")).as("n_chars_raw"))
     }),
 
@@ -497,6 +498,7 @@ object SparkEntry {
          len(list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))) AS n_distinct_tokens,
          len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
              t -> t IN ('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is', 'it'))) AS n_stopwords,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subword_tokens,
          length(text) AS n_chars_raw
          FROM documents""",
     "q15_quality_score" ->
