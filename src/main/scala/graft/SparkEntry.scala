@@ -252,6 +252,16 @@ object SparkEntry {
           round(col("sim"), 6).as("cos_sim"))
     }),
 
+    // ── similarity search: IVF cluster-probed ANN (no SQL oracle;
+    //    recall vs bruteForceKnn asserted in SimilaritySpec) ──
+    "q39_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfKnn(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 6)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("cos_sim"))
+    }),
+
     // ── embedding-cosine near-duplicate pairs ──
     "q23_embedding_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",

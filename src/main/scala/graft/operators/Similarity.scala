@@ -101,6 +101,54 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** IVF (inverted-file) ANN top-k: the cluster-based scale path.
+    *
+    *  1. centroids = a deterministic content-keyed sample of the corpus
+    *     (bottom-`nCentroids` by id hash — reproducible, no k-means
+    *     iterations needed for a coarse quantizer);
+    *  2. index build: every corpus vector is assigned to its nearest
+    *     centroid (one corpus pass × nCentroids dots — the write-side
+    *     cost; at 100 TB the assignment is persisted partitioned by
+    *     cluster);
+    *  3. query: probe the `nProbe` nearest clusters, exact-rerank only
+    *     their members.
+    *
+    * Recall < 1 by construction; `bruteForceKnn` is the oracle
+    * (asserted in SimilaritySpec). */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val cent = broadcast(
+      corpus.select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
+        .withColumn("cnn", vecNorm(col("centv")))
+        .orderBy(abs(xxhash64(col("cent_id"))), col("cent_id"))
+        .limit(nCentroids))
+    def nearestCentroids(df: DataFrame, id: String, vec: String, norm: String,
+                         keep: Int): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(desc("csim"), asc("cent_id"))
+      df.crossJoin(cent)
+        .withColumn("csim", vecDot(col(vec), col("centv")) / (col(norm) * col("cnn")))
+        .withColumn("crnk", row_number().over(w))
+        .where(col("crnk") <= keep)
+        .drop("centv", "cnn", "csim", "crnk")
+    }
+    val assigned = nearestCentroids(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .withColumn("cn", vecNorm(col("cv"))),
+      "neighbor_id", "cv", "cn", keep = 1)
+    val probes = broadcast(nearestCentroids(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("qn", vecNorm(col("qv"))),
+      "query_id", "qv", "qn", keep = nProbe))
+    val cand = assigned.join(probes, Seq("cent_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+    val scored = cand.withColumn("sim",
+      vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs ≥ threshold. Exact form is a
     * self-join over id-ordered pairs with one codegen'd dot per pair;
     * the scale path replaces the pairing with LSH buckets (`lshKnn`).

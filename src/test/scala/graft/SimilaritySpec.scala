@@ -49,6 +49,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH multi-probe recall $recall")
   }
 
+  test("ivfKnn achieves decent recall vs brute force, touching few clusters") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(emb, queries, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 6)
+    val approx = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall")
+    // determinism: same call, same result
+    val again = Similarity.ivfKnn(emb, queries, "vec_id", "embedding", 5, 16, 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again === approx)
+  }
+
   test("cosineNearDupPairs is symmetric-free (id_a < id_b) and thresholded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
