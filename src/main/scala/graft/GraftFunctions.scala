@@ -18,20 +18,35 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 object GraftFunctions {
 
-  private def intLit(e: Expression, what: String): Int = e match {
-    case Literal(v: Int, _) => v
+  private def intLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
 
+  private def arity(name: String, exprs: Seq[Expression], min: Int, max: Int): Unit =
+    require(exprs.length >= min && exprs.length <= max,
+      s"$name expects $min${if (max != min) s"..$max" else ""} arguments, " +
+        s"got ${exprs.length}")
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vector_dot" -> (exprs => VectorDot(exprs(0), exprs(1))),
-    "normalize_text" -> (exprs => NormalizeText(exprs.head)),
+    "vector_dot" -> (exprs => {
+      arity("vector_dot", exprs, 2, 2)
+      VectorDot(exprs(0), exprs(1))
+    }),
+    "normalize_text" -> (exprs => {
+      arity("normalize_text", exprs, 1, 1)
+      NormalizeText(exprs.head)
+    }),
     // lsh_signatures(vec, dim, nBits, numTables[, seed])
-    "lsh_signatures" -> (exprs => LshSignatures(exprs(0),
-      intLit(exprs(1), "dim"), intLit(exprs(2), "nBits"),
-      intLit(exprs(3), "numTables"),
-      if (exprs.length > 4) intLit(exprs(4), "seed").toLong else 42L)))
+    "lsh_signatures" -> (exprs => {
+      arity("lsh_signatures", exprs, 4, 5)
+      LshSignatures(exprs(0),
+        intLit(exprs(1), "dim").toInt, intLit(exprs(2), "nBits").toInt,
+        intLit(exprs(3), "numTables").toInt,
+        if (exprs.length > 4) intLit(exprs(4), "seed") else 42L)
+    }))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

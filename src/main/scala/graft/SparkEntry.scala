@@ -76,14 +76,18 @@ object SparkEntry {
     }),
 
     // ── join + agg + deterministic top-k (SURVEY §2.3 Top-N) ──
+    // aggregation is pushed BELOW the join (all aggregated columns come
+    // from lineitem): 4 lineitem rows/order collapse to 1 before the
+    // join, a rewrite Catalyst does not perform itself — at 100 TB this
+    // shrinks the join's shuffled side by the fan-out factor
     "q04_revenue_topn" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate"))
+      val perOrder = li.groupBy(col("l_orderkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
           * (lit(1) - col("l_discount").cast("decimal(4,2)")))
           .cast("double").as("revenue"))
+      perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
         .select(col("o_orderkey"), unix_micros(col("o_orderdate")).as("o_orderdate_us"),
           col("revenue"))
         .orderBy(desc("revenue"), asc("o_orderkey"))
@@ -377,7 +381,10 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-        .count().na.fill(0L)
+        .count()
+        // scope the fill to the pivot counts: an unscoped fill would
+        // rewrite a NULL group key and diverge from the oracle
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
         .withColumnsRenamed(Map("click" -> "n_click", "view" -> "n_view",
           "purchase" -> "n_purchase", "signup" -> "n_signup", "error" -> "n_error"))
     }),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Codegen'd dot product over `array<float>` / `array<double>` columns.
   *
@@ -150,6 +150,62 @@ case class LshSignatures(child: Expression, dim: Int, nBits: Int,
     copy(child = newChild)
 }
 
+/** The `nProbe` nearest centroids (by cosine) of a vector, as
+  * array<int> of centroid indices — per-row argmax over a small
+  * centroid matrix held as a codegen reference object. This is the
+  * IVF assignment/probe kernel: NO join, NO shuffle, one corpus pass.
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+                            nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val centroidNorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def probesOf(v: ArrayData): Array[Int] = {
+    val isF = elemIsFloat
+    val sims = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val p = centroids(c)
+      val n = math.min(v.numElements(), p.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+        acc += x * p(i)
+        i += 1
+      }
+      sims(c) = if (centroidNorms(c) > 0) acc / centroidNorms(c) else Double.MinValue
+      c += 1
+    }
+    // top-nProbe indices by sim, index ascending on ties (deterministic)
+    sims.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      probesOf(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearCent", this, classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  $self.probesOf($v));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API: codegen'd dot product. */
   def vecDot(a: Column, b: Column): Column =
@@ -166,4 +222,10 @@ object VectorExpressions {
                     seed: Long = 42L): Column =
     GraftSqlBridge.column(LshSignatures(
       GraftSqlBridge.expression(v), dim, nBits, numTables, seed))
+
+  /** array<int> of the `nProbe` nearest centroid indices for the vector. */
+  def nearestCentroids(v: Column, centroids: Array[Array[Double]],
+                       nProbe: Int): Column =
+    GraftSqlBridge.column(NearestCentroids(
+      GraftSqlBridge.expression(v), centroids, nProbe))
 }

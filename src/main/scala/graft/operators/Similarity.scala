@@ -33,6 +33,18 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = vecDot(a, b) / (vecNorm(a) * vecNorm(b))
 
+  /** Exact cosine score + per-query top-k over candidate rows carrying
+    * (query_id, qv, qn, neighbor_id, cv, cn) — the shared tail of every
+    * knn variant, so tiebreak/rounding fixes happen in ONE place. */
+  private def topKByCosine(cand: DataFrame, k: Int): DataFrame = {
+    val scored = cand.withColumn("sim",
+      vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Exact cosine top-k for each query vector. Queries must be small
     * enough to broadcast (they are, by construction of ANN workloads).
     * Ties broken by ascending corpus id for determinism.
@@ -43,12 +55,7 @@ object Similarity {
       .withColumn("qn", vecNorm(col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", vecNorm(col("cv")))
-    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    topKByCosine(c.join(q, col("query_id") =!= col("neighbor_id")), k)
   }
 
   /** Signature = long whose bit i is sign(dot(v, plane_i)); one table. */
@@ -93,12 +100,7 @@ object Similarity {
     val cand = c.join(q, Seq("t", "sig"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
-    val scored = cand.withColumn("sim",
-      vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    topKByCosine(cand, k)
   }
 
   /** IVF (inverted-file) ANN top-k: the cluster-based scale path.
@@ -117,36 +119,31 @@ object Similarity {
     * (asserted in SimilaritySpec). */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
-    val cent = broadcast(
-      corpus.select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
-        .withColumn("cnn", vecNorm(col("centv")))
-        .orderBy(abs(xxhash64(col("cent_id"))), col("cent_id"))
-        .limit(nCentroids))
-    def nearestCentroids(df: DataFrame, id: String, vec: String, norm: String,
-                         keep: Int): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(desc("csim"), asc("cent_id"))
-      df.crossJoin(cent)
-        .withColumn("csim", vecDot(col(vec), col("centv")) / (col(norm) * col("cnn")))
-        .withColumn("crnk", row_number().over(w))
-        .where(col("crnk") <= keep)
-        .drop("centv", "cnn", "csim", "crnk")
-    }
-    val assigned = nearestCentroids(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-        .withColumn("cn", vecNorm(col("cv"))),
-      "neighbor_id", "cv", "cn", keep = 1)
-    val probes = broadcast(nearestCentroids(
+    import graft.expressions.VectorExpressions.nearestCentroids
+    // index-build-time centroid sample: deterministic bottom-k by id
+    // hash, collected to the driver (nCentroids is small by design) and
+    // embedded as a codegen reference object — the assignment below is
+    // then a PER-ROW argmax: no join, no shuffle of the corpus
+    val matrix: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(abs(xxhash64(col(idCol))), col(idCol))
+      .limit(nCentroids)
+      .collect()
+      .map(_.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => throw new IllegalArgumentException(s"bad element: $other")
+      }.toArray)
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", vecNorm(col("cv")))
+      .withColumn("cent_id", element_at(nearestCentroids(col("cv"), matrix, 1), 1))
+    val probes = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-        .withColumn("qn", vecNorm(col("qv"))),
-      "query_id", "qv", "qn", keep = nProbe))
+        .withColumn("qn", vecNorm(col("qv")))
+        .withColumn("cent_id", explode(nearestCentroids(col("qv"), matrix, nProbe))))
     val cand = assigned.join(probes, Seq("cent_id"))
       .where(col("query_id") =!= col("neighbor_id"))
-    val scored = cand.withColumn("sim",
-      vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    topKByCosine(cand, k)
   }
 
   /** Embedding-cosine near-duplicate pairs ≥ threshold. Exact form is a

@@ -144,28 +144,36 @@ object StreamOps {
     * query watermark passes their event time, then joined against the
     * dim version that was valid AT their event time — so a dim version
     * arriving in a later micro-batch (but with an earlier event time)
-    * is still matched correctly. Emission is therefore watermark-delayed,
-    * the price of correctness; both inputs must feed the query watermark
-    * (`withZeroDelayWatermark` on the union's ts).
+    * is still matched correctly, PROVIDED it is within the watermark
+    * tolerance. Emission is watermark-delayed, the price of correctness.
+    *
+    * `watermarkDelay` is the allowed out-of-orderness of the UNION of
+    * both inputs (the fact and dim streams share the query watermark).
+    * With the zero-delay default, a fact at time T immediately advances
+    * the watermark to T and any dim version older than T arriving later
+    * is LATE and dropped by Spark — the standard watermark contract; give
+    * a real delay to tolerate cross-batch dim lateness.
     *
     * State per key = version history (≤ maxVersions) + pending facts
     * (bounded by watermark lag). Versions older than the newest version
     * at-or-before the watermark are pruned once no pending fact can need
-    * them.
+    * them; quiet keys are flushed by an event-time timeout when the
+    * watermark passes their oldest pending fact.
     */
   def temporalJoinEventTime(facts: Dataset[TemporalRow], dims: Dataset[TemporalRow],
-                            maxVersions: Int = 64): Dataset[TemporalMatch] = {
+                            maxVersions: Int = 64,
+                            watermarkDelay: String = "0 seconds"): Dataset[TemporalMatch] = {
     import facts.sparkSession.implicits._
     // the watermarked event-time column must remain visible to the fMGWS
     // input (a projection dropping it loses the event-time attribute and
     // getCurrentWatermarkMs refuses to run) — hence the widened row type
     val tagged = facts.map(_.copy(isDim = false)).unionByName(dims.map(_.copy(isDim = true)))
       .withColumn("eventTime", timestamp_millis(col("tsMillis")))
-      .withWatermark("eventTime", "0 seconds")
+      .withWatermark("eventTime", watermarkDelay)
       .as[TemporalRowTs]
     tagged.groupByKey(_.key)
       .flatMapGroupsWithState[TemporalState, TemporalMatch](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, rowsTs: Iterator[TemporalRowTs], state: GroupState[TemporalState]) =>
           val rows = rowsTs.map(r => TemporalRow(r.key, r.id, r.tsMillis, r.payload, r.isDim))
           val st = state.getOption.getOrElse(TemporalState(Nil, Nil))
@@ -176,17 +184,27 @@ object StreamOps {
             else pending = r :: pending
           }
           val wm = state.getCurrentWatermarkMs()
-          val (ready, stillPending) = pending.partition(_.tsMillis <= wm)
+          // STRICTLY below the watermark: a dim version with ts == wm is
+          // still on-time (Spark drops only eventTime < watermark) and
+          // could arrive in a later batch, so ts == wm facts must wait
+          val (ready, stillPending) = pending.partition(_.tsMillis < wm)
           val out = ready.sortBy(f => (f.tsMillis, f.id)).map { f =>
             val m = versions.find(_.tsMillis <= f.tsMillis)
             TemporalMatch(key, f.id, f.tsMillis, m.map(_.id), m.map(_.payload))
           }
-          // prune versions no pending fact can need: keep the newest
-          // version at-or-before the horizon plus everything after it
-          val horizon = (wm :: stillPending.map(_.tsMillis)).min
-          val keptIdx = versions.indexWhere(_.tsMillis <= horizon)
+          // prune versions no future fact can need: every pending fact
+          // has ts >= wm (by the partition above), and future facts have
+          // ts >= wm (watermark), so keep the newest version <= wm and
+          // everything after it
+          val keptIdx = versions.indexWhere(_.tsMillis <= wm)
           if (keptIdx >= 0) versions = versions.take(keptIdx + 1)
           state.update(TemporalState(versions, stillPending))
+          // wake this key when the watermark passes its oldest pending
+          // fact — without this, facts on quiet keys flush only if the
+          // key happens to receive more rows
+          if (stillPending.nonEmpty) {
+            state.setTimeoutTimestamp(stillPending.map(_.tsMillis).min + 1)
+          }
           out.iterator
       }
   }

@@ -44,6 +44,21 @@ class PlanQualitySpec extends SparkSpec {
       s"query set must broadcast:\n$plan")
   }
 
+  test("q39: IVF assignment is a per-row expression — corpus never shuffles for it") {
+    val df = SparkEntry.queries("q39_knn_ivf")(spark, dir)
+    df.collect()
+    // AQE's toString echoes the pre-adaptive plan too — assert on the
+    // final section only
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("nearest_centroids"), s"centroid expr missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$plan")
+    // the only exchange allowed is the per-query top-k window over the
+    // (small) candidate set — never the assignment itself
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"unexpected shuffle in IVF plan:\n$plan")
+  }
+
   test("vector similarity uses the codegen dot product, not interpreted HOFs") {
     val df = SparkEntry.queries("q23_embedding_neardup")(spark, dir)
     df.collect() // finalize THIS query's adaptive plan

@@ -173,7 +173,11 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val facts = MemoryStream[TemporalRow]
     val dims = MemoryStream[TemporalRow]
-    val out = StreamOps.temporalJoinEventTime(facts.toDS(), dims.toDS())
+    // 1 minute tolerance: a fact at T advances the watermark only to
+    // T - 60s, so dim versions up to a minute behind may still arrive in
+    // later batches (zero delay would drop them as late — correctly)
+    val out = StreamOps.temporalJoinEventTime(facts.toDS(), dims.toDS(),
+      watermarkDelay = "1 minute")
     val q = out.writeStream.format("memory").queryName("tje_t")
       .outputMode("append").start()
 
@@ -183,13 +187,18 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     assert(spark.table("tje_t").isEmpty, "fact must buffer until watermark passes")
 
-    // batch 2: the version ACTUALLY valid at t=200 arrives late (v2@180),
-    // plus far-future rows to push the watermark beyond 200
+    // batch 2: the version ACTUALLY valid at t=200 arrives in a LATER
+    // batch (v2@180 — within the 1-minute tolerance), a fact on a QUIET
+    // key (k2 — never sees another row), plus far-future rows to push
+    // the watermark beyond 200
     dims.addData(TemporalRow("k1", 2, 180, "v2", isDim = true),
       TemporalRow("k9", 99, 100000, "wm", isDim = true))
-    facts.addData(TemporalRow("k9", 98, 100000, "", isDim = false))
+    facts.addData(TemporalRow("k2", 20, 300, "", isDim = false),
+      TemporalRow("k9", 98, 100000, "", isDim = false))
     q.processAllAvailable()
     // one more cycle so the watermark computed from batch 2 applies
+    // (k1 and k2 receive NO rows here — only the event-time timeout
+    // can flush their buffered facts)
     facts.addData(TemporalRow("k9", 97, 200000, "", isDim = false))
     q.processAllAvailable()
     q.stop()
@@ -199,6 +208,8 @@ class StreamingSpec extends SparkSpec {
     // event-time correctness: fact@200 matches v2@180 (arrived later),
     // NOT v1@100 (the only version present when the fact arrived)
     assert(got(10L) === Some("v2"))
+    // quiet-key fact flushed by the timeout, no version for k2 → null
+    assert(got.get(20L) === Some(None))
   }
 
   test("streaming dedup keeps first row per key") {
