@@ -222,18 +222,24 @@ object SparkEntry {
     "q17_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
 
-    // ── near-dup: word-3-gram Jaccard via inverted-index join ──
+    // ── near-dup: word-3-gram Jaccard via inverted-index join, with
+    //    the document-frequency skew cap engaged: a ubiquitous shingle
+    //    (stopword run) would otherwise build a quadratic hot posting
+    //    list at scale ──
     "q18_ngram_dedup" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, minJaccard = 0.8)),
+        n = 3, minJaccard = 0.8, maxShingleFreq = Some(1000))),
 
-    // ── near-dup: MinHash+LSH (no SQL oracle: engine-specific hashes;
-    //    verified against exact Jaccard in DedupSpec) ──
+    // ── near-dup: MinHash+LSH. md5-derived portable signatures → the
+    //    DuckDB oracle reproduces them bit-for-bit; with minJaccard 0.8
+    //    > 1 - bands/numHashes the banded-bucket output is exactly the
+    //    ≥0.8-signature-agreement pairs, engine-independent ──
     "q19_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
 
-    // ── near-dup: SimHash 64-bit fingerprint (no SQL oracle) ──
+    // ── near-dup: SimHash 64-bit fingerprint (md5-derived token hash,
+    //    bit-identical in the DuckDB oracle) ──
     "q20_simhash" -> ((s, dir) =>
       Dedup.simHash64(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -246,8 +252,11 @@ object SparkEntry {
           round(col("sim"), 6).as("cos_sim"))
     }),
 
-    // ── similarity search: LSH-bucketed ANN (no SQL oracle; recall
-    //    vs bruteForceKnn asserted in SimilaritySpec) ──
+    // ── similarity search: LSH-bucketed ANN. Signatures are integer-
+    //    quantized sign-random-projections from md5-seeded ±1 planes —
+    //    fully order-independent and engine-portable, so the DuckDB
+    //    oracle reproduces the exact candidate set and ranking (recall
+    //    vs bruteForceKnn additionally asserted in SimilaritySpec) ──
     "q22_knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshKnn(emb, emb.where(col("vec_id") < 10),
@@ -256,8 +265,10 @@ object SparkEntry {
           round(col("sim"), 6).as("cos_sim"))
     }),
 
-    // ── similarity search: IVF cluster-probed ANN (no SQL oracle;
-    //    recall vs bruteForceKnn asserted in SimilaritySpec) ──
+    // ── similarity search: IVF cluster-probed ANN. The centroid sample
+    //    is keyed on md5-hex string order (engine-portable), so the
+    //    DuckDB oracle rebuilds the same index and probes — full
+    //    output equality, not just recall (also in SimilaritySpec) ──
     "q39_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfKnn(emb, emb.where(col("vec_id") < 10),
@@ -266,10 +277,14 @@ object SparkEntry {
           round(col("sim"), 6).as("cos_sim"))
     }),
 
-    // ── embedding-cosine near-duplicate pairs ──
+    // ── embedding-cosine near-duplicate pairs: LSH candidate buckets +
+    //    exact-cosine verification — the 100 TB shape (equi-join on
+    //    buckets, never the O(n²) cross product). Portable signatures →
+    //    the oracle reproduces the same candidates, so this is exact-
+    //    checked, not rows-only ──
     "q23_embedding_neardup" -> ((s, dir) => {
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.4)
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, dim = 64, nBits = 8, numTables = 8)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
@@ -339,11 +354,15 @@ object SparkEntry {
           hex(substring(col("text"), 1, 8).cast("binary")).as("head_hex"))
     }),
 
-    // ── JSON scalar functions over the events props column (§2.4) ──
+    // ── JSON scalar functions over the events props column (§2.4).
+    //    ONE from_json pass with a typed schema — get_json_object is a
+    //    per-call path evaluation and re-parses per extracted field ──
     "q32_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("prop_k"))
         .where(col("prop_k") >= 50)
     }),
 
@@ -402,13 +421,38 @@ object SparkEntry {
     }),
 
     // ── multimodal: stubbed decode + feature extraction over binary
-    //    payloads via mapPartitions (no SQL oracle: kernel is a stub;
-    //    determinism + batch shape asserted in MultimodalSpec) ──
+    //    payloads via mapPartitions. The query emits the integer
+    //    histogram counts (exploded to scalar columns) rather than the
+    //    normalized float vector so every cell is oracle-hashable;
+    //    the float path is covered by MultimodalSpec. ──
     "q31_media_features" -> ((s, dir) => {
       val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
-      Multimodal.extractFeatures(media).toDF()
-        .select(col("id"), col("n_bytes"), col("features"))
+      val hist = Multimodal.byteHistogram(media).toDF()
+      hist.select(col("id") +: col("n_bytes") +:
+        (0 until 16).map(i => element_at(col("counts"), i + 1).as(f"bin_$i%02d")): _*)
     }))
+
+  /** DuckDB CTE block reproducing `LshSignatures` bit-for-bit: ±1 plane
+    * signs from md5("plane|seed|t|b|d"), dot over floor(v·2^20) integer
+    * quantizations (order-independent), bit b set when the dot ≥ 0.
+    * Yields `sig(vec_id, t, sig)`. */
+  private def srpSigCtes(tables: Int, bits: Int, dim: Int, seed: Long): String =
+    s"""signs AS (
+         SELECT t.t, b.b, d.d,
+           CASE WHEN (strpos('0123456789abcdef', substring(md5('plane|$seed|' || CAST(t.t AS VARCHAR) || '|' || CAST(b.b AS VARCHAR) || '|' || CAST(d.d AS VARCHAR)), 32, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END AS s
+         FROM range($tables) t(t), range($bits) b(b), range($dim) d(d)
+       ), qv AS (
+         SELECT vec_id, d.d,
+           CAST(floor(CAST(embedding[CAST(d.d + 1 AS INT)] AS DOUBLE) * 1048576.0) AS BIGINT) AS qd
+         FROM embeddings, range($dim) d(d)
+       ), sigbits AS (
+         SELECT qv.vec_id, signs.t, signs.b,
+           CASE WHEN sum(signs.s * qv.qd) >= 0 THEN (CAST(1 AS BIGINT) << CAST(signs.b AS INT)) ELSE 0 END AS bit
+         FROM qv JOIN signs ON qv.d = signs.d
+         GROUP BY qv.vec_id, signs.t, signs.b
+       ), sig AS (
+         SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS sig FROM sigbits GROUP BY vec_id, t
+       )"""
 
   /** DuckDB-runnable oracle per query (same parquet tables registered
     * under their bare names). Column names/aliases match the Spark side
@@ -578,9 +622,13 @@ object SparkEntry {
            FROM t WHERE len(toks) >= 3
          ), sizes AS (
            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+         ), capped AS (
+           SELECT sh.doc_id, sh.shingle FROM sh
+           JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000) keep
+             USING (shingle)
          ), inter AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            GROUP BY 1, 2
          )
          SELECT id_a, id_b,
@@ -589,6 +637,69 @@ object SparkEntry {
          JOIN sizes sa ON id_a = sa.doc_id
          JOIN sizes sb ON id_b = sb.doc_id
          WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8""",
+    // MinHash: sig_i = min over shingles of (h1 + i·h2), h1/h2 = the two
+    // 48-bit halves of md5(shingle) — exact integers in both engines.
+    // Banding: any pair agreeing on ≥ 52/64 positions shares ≥1 fully-
+    // equal band (pigeonhole), so bucket identity == slice equality.
+    "q19_minhash_lsh" -> {
+      def parse12(start: Int) =
+        s"CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + $start AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT)"
+      s"""WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM t WHERE len(toks) >= 3
+         ), hh AS (
+           SELECT doc_id, ${parse12(1)} AS h1, ${parse12(13)} AS h2
+           FROM (SELECT doc_id, md5(shingle) AS hx FROM sh)
+         ), mh AS (
+           SELECT doc_id, i.i AS i, min(h1 + i.i * h2) AS mh
+           FROM hh CROSS JOIN range(64) i(i) GROUP BY doc_id, i.i
+         ), band AS (
+           SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+           FROM mh GROUP BY doc_id, band
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         )
+         SELECT id_a, id_b,
+           CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 AS est_jaccard
+         FROM cand
+         JOIN mh ma ON ma.doc_id = id_a
+         JOIN mh mb ON mb.doc_id = id_b AND ma.i = mb.i
+         GROUP BY id_a, id_b
+         HAVING CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 >= 0.8"""
+    },
+    // SimHash: bit i of md5(token) (parsed nibble-wise from the first 16
+    // hex chars) votes ±1; simhash = Σ 2^i over positive vote totals.
+    "q20_simhash" -> {
+      val votes = (0 until 64).map { i =>
+        val p = 16 - i / 4
+        val m = 1 << (i % 4)
+        s"sum(CASE WHEN (strpos('0123456789abcdef', substring(hx, $p, 1)) - 1) // $m % 2 = 1 THEN 1 ELSE -1 END) AS b$i"
+      }.mkString(",\n             ")
+      val bits = (0 until 64).map { i =>
+        s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      }.mkString("\n           + ")
+      s"""WITH tk AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+           FROM documents
+         ), h AS (
+           SELECT doc_id, md5(tok) AS hx FROM tk
+         ), v AS (
+           SELECT doc_id,
+             $votes
+           FROM h GROUP BY doc_id
+         )
+         SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v"""
+    },
     "q21_knn_brute" ->
       """SELECT q.vec_id AS query_id,
          row_number() OVER (PARTITION BY q.vec_id
@@ -599,11 +710,86 @@ object SparkEntry {
          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
          WHERE q.vec_id < 10
          QUALIFY rank <= 5""",
+    // LSH ANN: same portable signatures as the engine, exact bucket +
+    // every 1-bit flip (multi-probe), exact-cosine rerank of candidates.
+    "q22_knn_lsh" ->
+      s"""WITH ${srpSigCtes(tables = 8, bits = 8, dim = 64, seed = 42L)},
+         probes AS (
+           SELECT s.vec_id AS query_id, s.t,
+             CASE WHEN f.f = 8 THEN s.sig
+                  ELSE xor(s.sig, CAST(1 AS BIGINT) << CAST(f.f AS INT)) END AS sig
+           FROM sig s, range(9) f(f) WHERE s.vec_id < 10
+         ), cand AS (
+           SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+           FROM probes p JOIN sig c ON p.t = c.t AND p.sig = c.sig
+           WHERE p.query_id <> c.vec_id
+         ), scored AS (
+           SELECT query_id, neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                        neighbor_id ASC) AS rank
+           FROM cand
+           JOIN embeddings q ON query_id = q.vec_id
+           JOIN embeddings c ON neighbor_id = c.vec_id
+         )
+         SELECT query_id, rank, neighbor_id, round(sim, 6) AS cos_sim
+         FROM scored WHERE rank <= 5""",
+    // Near-dup pairs: LSH candidates (one-sided 1-bit multi-probe) +
+    // exact-cosine verification — identical candidate set to the engine.
     "q23_embedding_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      s"""WITH ${srpSigCtes(tables = 8, bits = 8, dim = 64, seed = 42L)},
+         probes AS (
+           SELECT s.vec_id, s.t,
+             CASE WHEN f.f = 8 THEN s.sig
+                  ELSE xor(s.sig, CAST(1 AS BIGINT) << CAST(f.f AS INT)) END AS sig
+           FROM sig s, range(9) f(f)
+         ), cand AS (
+           SELECT DISTINCT p.vec_id AS id_a, c.vec_id AS id_b
+           FROM probes p JOIN sig c ON p.t = c.t AND p.sig = c.sig
+           WHERE p.vec_id < c.vec_id
+         )
+         SELECT id_a, id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+         FROM cand
+         JOIN embeddings a ON id_a = a.vec_id
+         JOIN embeddings b ON id_b = b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+    // IVF ANN: centroid sample keyed on md5-hex string order, nearest-
+    // centroid assignment, nProbe=6 probed clusters, exact rerank.
+    "q39_knn_ivf" ->
+      """WITH cent AS (
+           SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cpos,
+                  CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+         ), assign AS (
+           SELECT e.vec_id AS neighbor_id, cpos
+           FROM embeddings e CROSS JOIN cent
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ce) DESC, cpos ASC) = 1
+         ), probes AS (
+           SELECT q.vec_id AS query_id, cpos
+           FROM embeddings q CROSS JOIN cent
+           WHERE q.vec_id < 10
+           QUALIFY row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ce) DESC, cpos ASC) <= 6
+         ), cand AS (
+           SELECT query_id, neighbor_id
+           FROM probes JOIN assign USING (cpos)
+           WHERE query_id <> neighbor_id
+         ), scored AS (
+           SELECT query_id, neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                        neighbor_id ASC) AS rank
+           FROM cand
+           JOIN embeddings q ON query_id = q.vec_id
+           JOIN embeddings c ON neighbor_id = c.vec_id
+         )
+         SELECT query_id, rank, neighbor_id, round(sim, 6) AS cos_sim
+         FROM scored WHERE rank <= 5""",
     "q24_setops" ->
       """SELECT 'both' AS tag, c_custkey FROM
            (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
@@ -666,6 +852,24 @@ object SparkEntry {
     "q32_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
          FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50""",
+    // byte histogram via the hex dump: the high nibble of UTF-8 byte i is
+    // hex char 2i-1 — pure SQL byte access (DuckDB has no BLOB substring)
+    "q31_media_features" -> {
+      val bins = (0 until 16).map(i =>
+        f"count(d) FILTER (WHERE d = '${i.toHexString}') AS bin_$i%02d").mkString(",\n           ")
+      s"""WITH h AS (
+           SELECT CAST(doc_id AS BIGINT) AS id, lower(hex(encode(text))) AS hx,
+                  CAST(octet_length(encode(text)) AS INT) AS n_bytes
+           FROM documents
+         ), nb AS (
+           SELECT id, substring(hx, CAST(2*unnest(range(1, CAST(length(hx)//2 AS INT)+1))-1 AS INT), 1) AS d
+           FROM h
+         )
+         SELECT h.id, h.n_bytes,
+           $bins
+         FROM h LEFT JOIN nb ON h.id = nb.id
+         GROUP BY h.id, h.n_bytes"""
+    },
     "q33_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend

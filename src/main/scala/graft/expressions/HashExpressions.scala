@@ -1,0 +1,95 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Full MinHash signature of a shingle set in ONE expression node.
+  *
+  * For each shingle: md5 → h1 = first 48 bits, h2 = next 48 bits
+  * (both as non-negative longs); hash_i = h1 + i·h2
+  * (Kirsch–Mitzenmacher double hashing). sig[i] = min over shingles.
+  *
+  * Two properties drive the design:
+  *  - ONE pass: the whole `numHashes`-wide signature is computed per row
+  *    from the shingle array — no explode, no 64-column aggregate, no
+  *    shuffle (the round-1 formulation spent 18% of the bench here);
+  *  - engine-portable: md5 is bit-identical everywhere and
+  *    h1 + i·h2 ≤ 2^48·(1+numHashes) stays exactly representable in
+  *    BIGINT *and* DOUBLE arithmetic, so a SQL oracle (DuckDB) can
+  *    reproduce the signature bit-for-bit by parsing the md5 hex.
+  *
+  * Empty shingle arrays yield a signature of Long.MaxValue sentinels —
+  * callers filter size(shingles) > 0 upstream.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature expects array<string>, got ${other.simpleString}")
+    }
+
+  private def read48(dig: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 6) {
+      v = (v << 8) | (dig(off + i) & 0xFFL)
+      i += 1
+    }
+    v
+  }
+
+  def signatureOf(arr: ArrayData): Array[Long] = {
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val md = MessageDigest.getInstance("MD5")
+    var s = 0
+    val n = arr.numElements()
+    while (s < n) {
+      val dig = md.digest(arr.getUTF8String(s).getBytes)
+      md.reset()
+      val h1 = read48(dig, 0)
+      val h2 = read48(dig, 6)
+      var i = 0
+      while (i < numHashes) {
+        val h = h1 + i.toLong * h2
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(signatureOf(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  $self.signatureOf($v));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashExpressions {
+  /** Column API: array<long> MinHash signature of a shingle array. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(MinHashSignature(
+      GraftSqlBridge.expression(shingles), numHashes))
+}

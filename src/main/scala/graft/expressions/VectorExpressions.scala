@@ -83,13 +83,23 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 /** All `numTables` random-hyperplane LSH signatures of a vector in ONE
-  * expression node: bit i of signature t = sign(dot(v, plane[t][i])).
+  * expression node: bit b of signature t = sign(dot(v, plane[t][b])).
   *
-  * The plane matrix is generated from the seed ONCE per plan (a
-  * reference object in codegen) — embedding planes as literal arrays
-  * instead produces a ~(tables·bits·dim)-node expression tree that
-  * blows past optimizer and codegen budgets (measured 48 s of plan
-  * overhead at 8x8x64). Returns array<long> of length `numTables`.
+  * Planes are Rademacher (±1-component) hyperplanes — the classic
+  * sign-random-projection family (Charikar '02) with ±1 instead of
+  * Gaussian components, which preserves the cosine-collision property.
+  * Two portability choices make the bucketing bit-exact across engines
+  * (so a SQL oracle can reproduce it):
+  *  - plane signs come from md5("plane|seed|t|b|d") (low bit of the
+  *    digest), not a JVM RNG;
+  *  - the dot runs over floor(v[d]·2^20) INTEGER quantizations, so the
+  *    sum is order-independent (no float accumulation to replicate).
+  *
+  * The sign matrix is generated ONCE per plan (a reference object in
+  * codegen) — embedding planes as literal arrays instead produces a
+  * ~(tables·bits·dim)-node expression tree that blows past optimizer
+  * and codegen budgets (measured 48 s of plan overhead at 8x8x64).
+  * Returns array<long> of length `numTables`.
   */
 case class LshSignatures(child: Expression, dim: Int, nBits: Int,
                          numTables: Int, seed: Long)
@@ -98,10 +108,27 @@ case class LshSignatures(child: Expression, dim: Int, nBits: Int,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_signatures"
 
-  // planes[t][i] is one hyperplane of `dim` components, flattened
-  @transient lazy val planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(numTables * nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  // signs(((t*nBits)+b)*dim + d) ∈ {-1, +1}
+  @transient lazy val signs: Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Byte](numTables * nBits * dim)
+    var idx = 0
+    var t = 0
+    while (t < numTables) {
+      var b = 0
+      while (b < nBits) {
+        var d = 0
+        while (d < dim) {
+          val dig = md.digest(s"plane|$seed|$t|$b|$d".getBytes("UTF-8"))
+          out(idx) = if ((dig(15) & 1) == 1) 1 else -1
+          idx += 1
+          d += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    out
   }
 
   private def elemIsFloat: Boolean = child.dataType match {
@@ -112,19 +139,28 @@ case class LshSignatures(child: Expression, dim: Int, nBits: Int,
   def signaturesOf(v: ArrayData): Array[Long] = {
     val isF = elemIsFloat
     val n = math.min(v.numElements(), dim)
+    // quantize once per vector: float→double is exact and ·2^20 is a
+    // power-of-two scale, so floor() is identical in any IEEE engine
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      q(i) = math.floor(x * 1048576.0).toLong
+      i += 1
+    }
     val out = new Array[Long](numTables)
+    val sg = signs
     var t = 0
     while (t < numTables) {
       var sig = 0L
       var b = 0
       while (b < nBits) {
-        val p = planes(t * nBits + b)
-        var acc = 0.0
-        var i = 0
-        while (i < n) {
-          val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
-          acc += x * p(i)
-          i += 1
+        val base = (t * nBits + b) * dim
+        var acc = 0L
+        var d = 0
+        while (d < n) {
+          acc += sg(base + d) * q(d)
+          d += 1
         }
         if (acc >= 0) sig |= (1L << b)
         b += 1

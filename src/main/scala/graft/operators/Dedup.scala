@@ -90,28 +90,51 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature: for seed i in [0, numHashes), sig_i =
-    * min over shingles of xxhash64(i, shingle). Computed as one
-    * map-combinable aggregation (array of per-seed mins). */
-  def minHashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  /** Per-doc DISTINCT shingle ARRAYS (the pre-explode twin of
+    * `shingles`) — feeds the one-pass `MinHashSignature` kernel, which
+    * needs the whole set in a single row. */
+  def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val withToks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+    val toks = col("__toks")
+    val sh = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    withToks.select(col(idCol),
+        filter(array_distinct(sh), s => length(s) > 0).as("shingles"))
+      .where(size(col("shingles")) > 0)
   }
+
+  /** MinHash signature per doc, computed by the one-pass
+    * `MinHashSignature` codegen kernel over the doc's shingle array —
+    * NO explode, NO aggregation, NO shuffle (the round-1 64-column
+    * `min()` aggregate formulation was 18% of the whole bench). The
+    * md5-derived hashes are engine-portable: a SQL oracle reproduces
+    * the signatures bit-for-bit. */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, numHashes: Int): DataFrame =
+    shingleArrays(docs, idCol, textCol, shingleN)
+      .select(col(idCol),
+        graft.expressions.HashExpressions
+          .minHashSignature(col("shingles"), numHashes).as("sig"))
 
   /** MinHash-LSH near-dup pairs: signatures → bands of `rowsPerBand`
     * hashes → bucket join per band → candidates → verify with the
     * estimated Jaccard (fraction of agreeing minhashes) ≥ minJaccard.
     * Never materializes non-colliding pairs.
+    *
+    * With `minJaccard > 1 - bands/numHashes` the output is EXACTLY the
+    * set of pairs whose signatures agree on ≥ minJaccard·numHashes
+    * positions (any surviving pair must share a fully-equal band by
+    * pigeonhole), independent of the band-bucket hash — which makes the
+    * result SQL-oracle-checkable despite the xxhash64 bucketing.
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numHashes: Int, bands: Int,
                       minJaccard: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = shingles(docs, idCol, textCol, shingleN)
-    val sig = minHashSignatures(sh, idCol, numHashes).cache()
+    val sig = minHashSignatures(docs, idCol, textCol, shingleN, numHashes).cache()
     val banded = sig.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -136,11 +159,18 @@ object Dedup {
     *
     * One map-combinable aggregation with 64 codegen'd conditional-sum
     * columns — no row explosion (a posexplode formulation would shuffle
-    * 64× the token count), ONE shuffle keyed on the doc id. */
+    * 64× the token count), ONE shuffle keyed on the doc id.
+    *
+    * The token hash is md5-derived (two 32-bit hex halves recombined),
+    * not xxhash64: md5 is bit-identical in every engine, so the SQL
+    * oracle recomputes the exact same fingerprints. */
   def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hx = md5(col("tok"))
+    val h64 = shiftleft(conv(substring(hx, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(hx, 9, 8), 16, 10).cast("long"))
     val tok = docs.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", h64)
     val votes = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
     tok.groupBy(col(idCol))

@@ -15,6 +15,12 @@ final case class MediaRow(id: Long, kind: String, content: Array[Byte],
 final case class MediaFeatures(id: Long, kind: String, n_bytes: Int,
                                features: Array[Float])
 
+/** Integer twin of MediaFeatures: the raw 16-bin byte histogram the
+  * stub kernel derives its normalized features from. Integer counts are
+  * exactly comparable across engines (no float normalization), so this
+  * is the oracle-checkable face of the multimodal decode path. */
+final case class MediaHistogram(id: Long, n_bytes: Int, counts: Array[Long])
+
 /** Multimodal (image/audio/video-as-bytes) plumbing.
   *
   * The decode kernel is a STUB (this environment has no media codecs):
@@ -75,6 +81,28 @@ object Multimodal {
       // per-partition init would go here (decoder handle, model weights)
       rows.map { r =>
         MediaFeatures(r.id, r.kind, r.content.length, decodeStub(r.content))
+      }
+    }
+  }
+
+  /** Un-normalized histogram variant of the decode kernel: same
+    * `mapPartitions` batch shape as `extractFeatures`, but emits the raw
+    * high-nibble byte-histogram COUNTS (features = counts / n_bytes).
+    * Integer output → bit-exact across engines, which makes this the
+    * driver-checkable query form of the multimodal pipeline. */
+  def byteHistogram(media: Dataset[MediaRow]): Dataset[MediaHistogram] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init would go here (decoder handle, model weights)
+      rows.map { r =>
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < r.content.length) {
+          hist((r.content(i) & 0xFF) >> 4) += 1L
+          i += 1
+        }
+        MediaHistogram(r.id, r.content.length, hist)
       }
     }
   }

@@ -124,9 +124,12 @@ object Similarity {
     // hash, collected to the driver (nCentroids is small by design) and
     // embedded as a codegen reference object — the assignment below is
     // then a PER-ROW argmax: no join, no shuffle of the corpus
+    // ordering key is the md5 hex STRING of the id — lexicographic order
+    // of lowercase hex is identical in every engine, so a SQL oracle
+    // selects the exact same centroid sample
     val matrix: Array[Array[Double]] = corpus
       .select(col(idCol), col(vecCol))
-      .orderBy(abs(xxhash64(col(idCol))), col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(nCentroids)
       .collect()
       .map(_.getSeq[Any](1).map {
@@ -146,10 +149,47 @@ object Similarity {
     topKByCosine(cand, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs ≥ threshold. Exact form is a
-    * self-join over id-ordered pairs with one codegen'd dot per pair;
-    * the scale path replaces the pairing with LSH buckets (`lshKnn`).
-    * Kept exact here because it is the oracle-checkable variant. */
+  /** Embedding-cosine near-duplicate pairs via LSH candidate generation
+    * + exact verification — the scale path for pairwise near-dup: the
+    * only join is an equi-join on (table, signature-bucket), so pairs
+    * materialize ONLY for vectors landing in the same (or 1-bit-adjacent,
+    * via one-sided multi-probe) bucket — never the O(n²) cross product.
+    * Every candidate is then exact-cosine verified, so precision is 1;
+    * recall is the LSH collision probability at the threshold (tune
+    * nBits down / numTables up for higher recall; nBits should grow
+    * ~log n to keep buckets bounded). Signatures are the portable
+    * integer-quantized sign-random-projection (`LshSignatures`), so a
+    * SQL oracle reproduces the exact candidate set. */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, dim: Int, nBits: Int = 8,
+                      numTables: Int = 8): DataFrame = {
+    import graft.expressions.VectorExpressions.lshSignatures
+    val base = emb
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), posexplode(lshSignatures(col("v"), dim, nBits, numTables)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
+    // one-sided 1-bit multi-probe covers hamming≤1 pairs symmetrically
+    val probed = base.withColumn("sig", explode(array_union(array(col("sig")),
+      transform(sequence(lit(0), lit(nBits - 1)),
+        i => col("sig").bitwiseXOR(call_function("shiftleft", lit(1L), i.cast("int")))))))
+    val cand = probed.select(col("id").as("id_a"), col("t"), col("sig"))
+      .join(base.select(col("id").as("id_b"), col("t"), col("sig")), Seq("t", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val withNorm = emb.select(col(idCol), col(vecCol))
+      .withColumn("__n", vecNorm(col(vecCol)))
+    cand
+      .join(withNorm.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("__n").as("na")), "id_a")
+      .join(withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("__n").as("nb")), "id_b")
+      .withColumn("cos_sim", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs ≥ threshold, EXACT all-pairs
+    * form: a self-join over id-ordered pairs with one codegen'd dot per
+    * pair — O(n²), the spec-level recall oracle for `lshNearDupPairs`,
+    * not a shape to ship at scale. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
     val withNorm = emb.select(col(idCol), col(vecCol))
