@@ -15,12 +15,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen paths once so per-query numbers are stable,
-    // then run in sorted order (Map iteration order is not deterministic)
+    // then run in sorted order (Map iteration order is not deterministic).
+    // Each query runs `reps` times and reports the MIN: a single pass is
+    // at the mercy of host contention (a contended run once read 3-8x
+    // slow across queries untouched by any code change) — min-of-n is
+    // the standard noise floor estimator for wall-clock benchmarks.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

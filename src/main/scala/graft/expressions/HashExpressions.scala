@@ -5,9 +5,9 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** Full MinHash signature of a shingle set in ONE expression node.
   *
@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   *    from the shingle array — no explode, no 64-column aggregate, no
   *    shuffle (the round-1 formulation spent 18% of the bench here);
   *  - engine-portable: md5 is bit-identical everywhere and
-  *    h1 + i·h2 ≤ 2^48·(1+numHashes) stays exactly representable in
-  *    BIGINT *and* DOUBLE arithmetic, so a SQL oracle (DuckDB) can
-  *    reproduce the signature bit-for-bit by parsing the md5 hex.
+  *    h1 + i·h2 ≤ 2^48·(1+numHashes) fits a 64-bit BIGINT without
+  *    overflow, so a SQL oracle (DuckDB) using 64-bit integer math
+  *    reproduces the signature bit-for-bit by parsing the md5 hex.
+  *    (NOT exactly representable in DOUBLE once numHashes > 31 — the
+  *    max exceeds 2^53 — so a double-arithmetic oracle port would
+  *    silently diverge; the oracle must stay integer.)
   *
   * Empty shingle arrays yield a signature of Long.MaxValue sentinels —
   * callers filter size(shingles) > 0 upstream.
@@ -87,9 +90,72 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Count of positions where two equal-length `array<long>` signatures
+  * agree — the MinHash estimated-Jaccard numerator.
+  *
+  * The `zip_with`/`filter` HOF form of this is interpreted (no
+  * whole-stage codegen) and allocates an intermediate boolean array per
+  * candidate pair; at 100 TB candidate-pair counts that per-pair verify
+  * IS the hot loop. This compiles to a tight primitive loop inside the
+  * WholeStageCodegen span (same pattern as `VectorDot`).
+  */
+case class SignatureAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "signature_agreement"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"signature_agreement expects two array<bigint> args, got " +
+            s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) agree += 1
+      i += 1
+    }
+    agree
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val agree = ctx.freshName("agree")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $agree = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $agree++;
+         |}
+         |${ev.value} = $agree;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashExpressions {
   /** Column API: array<long> MinHash signature of a shingle array. */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSignature(
       GraftSqlBridge.expression(shingles), numHashes))
+
+  /** Column API: number of agreeing positions of two signatures. */
+  def signatureAgreement(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SignatureAgreement(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

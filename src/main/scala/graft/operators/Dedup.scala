@@ -67,15 +67,27 @@ object Dedup {
     // shuffle rows and fixed-width comparisons. A cross-doc hash
     // collision would perturb one intersection count with probability
     // ~|shingle vocab|²/2⁶⁴ — negligible against the Jaccard threshold.
+    // The same sensitivity applies to the frequency cap below (it groups
+    // on the hash, the SQL oracle on the raw string): a collision merging
+    // two shingles' doc frequencies across the cap boundary would change
+    // posting membership — same ~2⁻⁶⁴-scale odds, accepted on the same
+    // grounds.
     val sh = shingles(docs, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("shingle")).as("sh_h")).cache()
-    val posting = maxShingleFreq match {
+    // The cap drops HOT shingles (df > cap) — a tiny set by construction
+    // (at most |postings|/cap keys). Broadcast that drop set and
+    // anti-join, rather than inner-joining the huge ≤-cap keep set:
+    // the keep set is ~the whole shingle vocabulary (most shingles are
+    // rare), which would shuffle the entire posting list to filter out
+    // a handful of hot keys. Cache the capped postings: they feed BOTH
+    // sides of the self-join below.
+    val posting = (maxShingleFreq match {
       case Some(cap) =>
-        val freq = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
-          .where(col("df") <= cap).select("sh_h")
-        sh.join(freq, "sh_h")
+        val hot = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("sh_h")
+        sh.join(broadcast(hot), Seq("sh_h"), "left_anti")
       case None => sh
-    }
+    }).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = posting.select(col(idCol).as("id_a"), col("sh_h"))
     val b = posting.select(col(idCol).as("id_b"), col("sh_h"))
@@ -144,12 +156,16 @@ object Dedup {
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     val cand = l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // per-pair verify runs once per candidate — at scale this is the hot
+    // loop, so it's the codegen SignatureAgreement kernel, not an
+    // interpreted zip_with/filter HOF (CLAUDE.md rule)
     val est = cand
       .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes)
+        graft.expressions.HashExpressions
+          .signatureAgreement(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes)
     est.where(col("est_jaccard") >= minJaccard)
       .select("id_a", "id_b", "est_jaccard")
   }

@@ -68,4 +68,34 @@ class PlanQualitySpec extends SparkSpec {
     // '*(n)' node prefixes mark WholeStageCodegen stages in simpleString
     assert(plan.contains("*(1)"), s"codegen missing:\n$plan")
   }
+
+  test("q23: near-dup pairs join only on LSH buckets — never the O(n²) cross product") {
+    // the round-1 scale-killer was a BroadcastNestedLoopJoin over all
+    // pairs; a refactor must not silently reintroduce it
+    val df = SparkEntry.queries("q23_embedding_neardup")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs BNLJ regression:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product regression:\n$plan")
+  }
+
+  test("q18: the shingle-frequency cap anti-joins a broadcast hot set") {
+    // the drop set (df > cap) is tiny by construction; the cap must be a
+    // broadcast LeftAnti against it, not a shuffled inner join against
+    // the huge <=cap keep set (~the whole shingle vocabulary)
+    val df = SparkEntry.queries("q18_ngram_dedup")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("LeftAnti"), s"cap must be an anti-join:\n$plan")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"anti-join must broadcast the hot set:\n$plan")
+  }
+
+  test("q19: MinHash verify tail is the codegen kernel, not interpreted HOFs") {
+    val df = SparkEntry.queries("q19_minhash_lsh")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("signature_agreement"), s"SignatureAgreement missing:\n$plan")
+    assert(!plan.contains("zip_with"), s"interpreted HOF verify tail:\n$plan")
+  }
 }

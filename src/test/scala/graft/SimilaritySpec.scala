@@ -72,4 +72,16 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.nonEmpty)
     assert(pairs.forall { case (a, b, s) => a < b && s >= 0.4 })
   }
+
+  test("lshNearDupPairs: precision 1 and decent recall vs the exact all-pairs oracle") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact verification of every candidate ⇒ no false positives, ever
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    val recall = if (exact.isEmpty) 1.0 else lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH near-dup recall $recall over ${exact.size} true pairs")
+  }
 }
