@@ -30,22 +30,40 @@ final case class TableMeta(
     columnCasts: Map[String, String] = Map.empty, // ALTER ... MODIFY (col TYPE)
     options: Map[String, String] = Map.empty)
 
-/** In-memory catalog: environment/cluster scoping in the reference
-  * (`sql.current-catalog` / `sql.current-database`,
-  * `terraform/lab-aggregations/main.tf:398-399`) reduces to a flat
-  * namespace here; scoping is modelled by `database`. */
+/** In-memory catalog with environment/cluster scoping: every reference
+  * statement runs under a session `sql.current-catalog` (environment) /
+  * `sql.current-database` (Kafka cluster) pair
+  * (`terraform/lab-aggregations/main.tf:398-399`), and unqualified table
+  * names resolve inside that scope. Tables are keyed by the fully
+  * qualified `catalog.database.table`; `qualify` applies the session
+  * context to bare names, so two same-named tables in different
+  * databases are distinct entries. */
 final class InMemoryCatalog {
   private val tables = scala.collection.mutable.LinkedHashMap.empty[String, TableMeta]
   @volatile var currentCatalog: String = "default_env"
   @volatile var currentDatabase: String = "default_cluster"
 
-  def register(meta: TableMeta): Unit = synchronized { tables(meta.name) = meta }
-  def get(name: String): Option[TableMeta] = synchronized { tables.get(name) }
+  /** Fully qualified key for a (possibly bare) table name under the
+    * session context. Accepts `table`, `db.table`, `cat.db.table`. */
+  def qualify(name: String): String = name.count(_ == '.') match {
+    case 0 => s"$currentCatalog.$currentDatabase.$name"
+    case 1 => s"$currentCatalog.$name"
+    case _ => name
+  }
+
+  def register(meta: TableMeta): Unit = synchronized { tables(qualify(meta.name)) = meta }
+  def get(name: String): Option[TableMeta] = synchronized { tables.get(qualify(name)) }
   def getOrCreate(name: String): TableMeta = synchronized {
-    tables.getOrElseUpdate(name, TableMeta(name))
+    tables.getOrElseUpdate(qualify(name), TableMeta(name))
   }
   def update(name: String)(f: TableMeta => TableMeta): TableMeta = synchronized {
-    val m = f(getOrCreate(name)); tables(name) = m; m
+    val m = f(getOrCreate(name)); tables(qualify(name)) = m; m
   }
   def list: Seq[TableMeta] = synchronized { tables.values.toSeq }
+
+  /** Bare names of the tables registered under the CURRENT scope. */
+  def inScope: Seq[String] = synchronized {
+    val prefix = s"$currentCatalog.$currentDatabase."
+    tables.keys.filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).toSeq
+  }
 }

@@ -39,6 +39,11 @@ object StatementPreprocessor {
                                      newType: String) extends Statement
   final case class AlterModifyWatermark(table: String, column: String,
                                         expr: String) extends Statement
+  /** `USE CATALOG env` / `USE cluster` — session scoping (reference:
+    * `sql.current-catalog`/`sql.current-database` statement properties,
+    * `terraform/lab-aggregations/main.tf:398-399`). */
+  final case class UseCatalog(name: String) extends Statement
+  final case class UseDatabase(name: String) extends Statement
   /** Anything else: vanilla SQL passed straight to Spark. */
   final case class Passthrough(sql: String) extends Statement
 
@@ -54,6 +59,8 @@ object StatementPreprocessor {
     """(?is)\s*ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+WATERMARK\s+FOR\s+`?(\w+)`?\s+AS\s+(.*?);?\s*""".r
   private val PkRe =
     """(?is)PRIMARY\s+KEY\s*\(([^)]*)\)\s*NOT\s+ENFORCED""".r
+  private val UseCatalogRe = """(?is)\s*USE\s+CATALOG\s+`?([\w.-]+)`?\s*;?\s*""".r
+  private val UseDbRe = """(?is)\s*USE\s+`?([\w.-]+)`?\s*;?\s*""".r
 
   def splitScript(script: String): Seq[String] =
     script.split(";").map(_.trim).filter(_.nonEmpty).toSeq
@@ -88,6 +95,8 @@ object StatementPreprocessor {
       AlterModifyColumn(table, column, newType)
     case AlterWmRe(table, column, expr) =>
       AlterModifyWatermark(table, column, stripQuotes(expr))
+    case UseCatalogRe(name) => UseCatalog(name)
+    case UseDbRe(name) => UseDatabase(name)
     case other => Passthrough(other.trim)
   }
 
@@ -130,18 +139,40 @@ object StatementPreprocessor {
     """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(s)
       .map(m => m.group(1) -> m.group(2)).toMap
 
-  /** Flink type name → Spark SQL type name (SURVEY.md §1.3). */
-  def toSparkType(flinkType: String): String = flinkType.trim.toUpperCase match {
-    case "STRING" | "VARCHAR" => "STRING"
-    case "INT" | "INTEGER" => "INT"
-    case "BIGINT" => "BIGINT"
-    case "DOUBLE" => "DOUBLE"
-    case "FLOAT" => "FLOAT"
-    case "BOOLEAN" => "BOOLEAN"
-    case "BYTES" => "BINARY"
-    case t if t.startsWith("TIMESTAMP") => "TIMESTAMP"
-    case t if t.startsWith("DECIMAL") => t
-    case t if t.startsWith("CHAR") || t.startsWith("VARCHAR") => "STRING"
-    case other => other
+  /** Flink type name → Spark SQL type name (SURVEY.md §1.3). Recursive:
+    * `ROW<f t, ...>` (the ORDERS quickstart `address` struct, reference
+    * `terraform/lab-tables/main.tf:174`) → `STRUCT<f: t, ...>`;
+    * `ARRAY<t>` / `MAP<k, v>` / `MULTISET<t>` map element-wise. A
+    * trailing `NOT NULL` is stripped (Spark DDL nullability is carried
+    * by the schema, not the type name). */
+  def toSparkType(flinkType: String): String = {
+    val t = flinkType.trim.replaceAll("(?i)\\s+NOT\\s+NULL\\s*$", "")
+    val up = t.toUpperCase
+    def innerOf(s: String): String = s.substring(s.indexOf('<') + 1, s.lastIndexOf('>'))
+    if (up.startsWith("ROW<") || up.startsWith("ROW ")) {
+      val fields = splitTopLevel(innerOf(t)).filter(_.nonEmpty).map { f =>
+        val parts = f.trim.split("\\s+", 2)
+        val ft = if (parts.length > 1) parts(1) else "STRING"
+        s"`${stripQuotes(parts(0))}`: ${toSparkType(ft)}"
+      }
+      s"STRUCT<${fields.mkString(", ")}>"
+    } else if (up.startsWith("ARRAY<") || up.startsWith("MULTISET<")) {
+      s"ARRAY<${toSparkType(innerOf(t))}>"
+    } else if (up.startsWith("MAP<")) {
+      val kv = splitTopLevel(innerOf(t))
+      s"MAP<${toSparkType(kv(0))}, ${toSparkType(kv(1))}>"
+    } else up match {
+      case "STRING" | "VARCHAR" => "STRING"
+      case "INT" | "INTEGER" => "INT"
+      case "BIGINT" => "BIGINT"
+      case "DOUBLE" => "DOUBLE"
+      case "FLOAT" => "FLOAT"
+      case "BOOLEAN" => "BOOLEAN"
+      case "BYTES" => "BINARY"
+      case s if s.startsWith("TIMESTAMP") => "TIMESTAMP"
+      case s if s.startsWith("DECIMAL") => s
+      case s if s.startsWith("CHAR") || s.startsWith("VARCHAR") => "STRING"
+      case other => other
+    }
   }
 }

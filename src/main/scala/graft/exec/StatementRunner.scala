@@ -29,6 +29,28 @@ final class StatementRunner(spark: SparkSession, val catalog: InMemoryCatalog = 
   def runScript(script: String): Unit =
     StatementPreprocessor.splitScript(script).foreach(run)
 
+  /** Spark temp views have a flat namespace, so each scoped table also
+    * gets a fully-qualified shadow view (`cat__db__table`); the BARE
+    * name is a binding of the CURRENT scope, re-pointed on USE. */
+  private def scopedView(bare: String): String =
+    catalog.qualify(bare).replace(".", "__")
+
+  /** Re-point all bare-name bindings when the session scope changes:
+    * unbind the old scope's tables, switch, bind the new scope's. Views
+    * the runner never created (externally registered sources) are left
+    * alone. */
+  private def switchScope(switch: () => Unit): Unit = {
+    catalog.inScope.foreach { bare =>
+      if (spark.catalog.tableExists(scopedView(bare)))
+        spark.catalog.dropTempView(bare)
+    }
+    switch()
+    catalog.inScope.foreach { bare =>
+      if (spark.catalog.tableExists(scopedView(bare)))
+        spark.table(scopedView(bare)).createOrReplaceTempView(bare)
+    }
+  }
+
   def run(stmt: String): Option[DataFrame] = StatementPreprocessor.parse(stmt) match {
 
     case ct: CreateTable =>
@@ -43,9 +65,11 @@ final class StatementRunner(spark: SparkSession, val catalog: InMemoryCatalog = 
         buckets = ct.buckets,
         changelogMode = ct.changelogMode,
         options = ct.options))
-      // materialize an empty relation with the declared schema
+      // materialize an empty relation with the declared schema, under
+      // both the scoped shadow view and the bare current-scope binding
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      empty.createOrReplaceTempView(scopedView(ct.name))
       empty.createOrReplaceTempView(ct.name)
       None
 
@@ -62,16 +86,17 @@ final class StatementRunner(spark: SparkSession, val catalog: InMemoryCatalog = 
         if (df.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
         else df
       }
-      val startSeq = seq(target)
-      seq(target) = startSeq + 1
+      val qualified = catalog.qualify(target)
+      val startSeq = seq(qualified)
+      seq(qualified) = startSeq + 1
       // __seq orders ACROSS inserts; __sub orders WITHIN one insert by
       // source scan order (the Kafka-offset analog — later source rows
       // of the same key win the upsert deterministically)
       val stamped = casted.withColumn("__seq", lit(startSeq))
         .withColumn("__sub", monotonically_increasing_id())
-      val existing = appended.get(target)
+      val existing = appended.get(qualified)
       val changelog = existing.map(_.unionByName(stamped)).getOrElse(stamped)
-      appended(target) = changelog
+      appended(qualified) = changelog
       val visible = meta.changelogMode match {
         case ChangelogMode.Upsert if meta.primaryKey.nonEmpty =>
           val latest = ChangelogOps.latestByKey(changelog, meta.primaryKey,
@@ -84,6 +109,7 @@ final class StatementRunner(spark: SparkSession, val catalog: InMemoryCatalog = 
         case _ =>
           changelog.drop("__seq", "__sub")
       }
+      visible.createOrReplaceTempView(scopedView(target))
       visible.createOrReplaceTempView(target)
       Some(visible)
 
@@ -107,6 +133,14 @@ final class StatementRunner(spark: SparkSession, val catalog: InMemoryCatalog = 
       // (`terraform/lab-joins/main.tf:531,564`).
       val delay = if (expr.trim.equalsIgnoreCase(column)) "0 seconds" else expr
       catalog.update(table)(_.copy(watermarkCol = Some(column), watermarkDelay = delay))
+      None
+
+    case UseCatalog(name) =>
+      switchScope(() => catalog.currentCatalog = name)
+      None
+
+    case UseDatabase(name) =>
+      switchScope(() => catalog.currentDatabase = name)
       None
 
     case Passthrough(sql) =>

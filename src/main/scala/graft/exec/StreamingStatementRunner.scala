@@ -97,6 +97,16 @@ final class StreamingStatementRunner(spark: SparkSession,
       catalog.update(table)(_.copy(watermarkCol = Some(column), watermarkDelay = delay))
       None
 
+    case UseCatalog(name) =>
+      // streaming runner: context scopes catalog METADATA (qualified
+      // keys); view-level bare-name rebinding is the batch runner's job
+      catalog.currentCatalog = name
+      None
+
+    case UseDatabase(name) =>
+      catalog.currentDatabase = name
+      None
+
     case Passthrough(sql) =>
       spark.sql(sql)
       None

@@ -142,4 +142,50 @@ class StatementRunnerSpec extends SparkSpec {
     val df = r.run("SELECT 1 AS one").get
     assert(df.as[Int].head() === 1)
   }
+
+  test("USE CATALOG / USE scope resolution: same-named tables in two databases stay isolated") {
+    // reference: every statement runs under sql.current-catalog /
+    // sql.current-database (lab-aggregations main.tf:398-399)
+    val r = freshRunner()
+    Seq("v1").toDF("tag").createOrReplaceTempView("src_a")
+    Seq("v2").toDF("tag").createOrReplaceTempView("src_b")
+
+    r.run("USE CATALOG env1"); r.run("USE cluster_a")
+    r.run("CREATE TABLE t (tag STRING)")
+    r.run("INSERT INTO t SELECT tag FROM src_a")
+    assert(spark.table("t").as[String].head() === "v1")
+
+    r.run("USE cluster_b") // same catalog, different database
+    r.run("CREATE TABLE t (tag STRING)")
+    r.run("INSERT INTO t SELECT tag FROM src_b")
+    assert(spark.table("t").as[String].head() === "v2")
+
+    // switching back resolves the FIRST table again — no clobbering
+    r.run("USE cluster_a")
+    assert(spark.table("t").as[String].head() === "v1")
+    assert(r.catalog.get("t").get.name === "t")
+    // both qualified entries coexist in the catalog
+    assert(r.catalog.list.count(_.name == "t") === 2)
+  }
+
+  test("CREATE TABLE with ROW<...> maps to a Spark struct (ORDERS quickstart address)") {
+    // the ORDERS quickstart schema nests an address record
+    // (reference terraform/lab-tables/main.tf:174, FIXTURES.md)
+    val r = freshRunner()
+    r.run(
+      """CREATE TABLE orders_q (
+         ordertime BIGINT, orderid INT, itemid STRING, orderunits DOUBLE,
+         address ROW<city STRING, state STRING, zipcode BIGINT>,
+         tags ARRAY<STRING>, attrs MAP<STRING, ROW<n INT>>)""")
+    val schema = r.catalog.get("orders_q").get.schema.get
+    val addr = schema("address").dataType
+    assert(addr.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val st = addr.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st.fieldNames.toSeq === Seq("city", "state", "zipcode"))
+    assert(st("zipcode").dataType.typeName === "long")
+    assert(schema("tags").dataType.typeName === "array")
+    assert(schema("attrs").dataType.typeName === "map")
+    // the registered empty view is queryable with struct field access
+    assert(spark.sql("SELECT address.city FROM orders_q").count() === 0)
+  }
 }
