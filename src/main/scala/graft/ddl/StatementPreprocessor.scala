@@ -53,10 +53,12 @@ object StatementPreprocessor {
   private val WithRe = """(?is)WITH\s*\((.*?)\)""".r
   private val InsertRe =
     """(?is)\s*INSERT\s+INTO\s+`?(\w+)`?\s*(\(([^)]*)\))?\s*(SELECT\b.*?);?\s*""".r
+  // column char class includes `$`: the system column `$rowtime` is a
+  // legal ALTER target (watermarks default to it, SURVEY.md §1.4)
   private val AlterColRe =
-    """(?is)\s*ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s*\(\s*`?(\w+)`?\s+(\w+(?:\(\d+(?:,\s*\d+)?\))?)\s*\)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s*\(\s*`?([\w$]+)`?\s+(\w+(?:\(\d+(?:,\s*\d+)?\))?)\s*\)\s*;?\s*""".r
   private val AlterWmRe =
-    """(?is)\s*ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+WATERMARK\s+FOR\s+`?(\w+)`?\s+AS\s+(.*?);?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+WATERMARK\s+FOR\s+`?([\w$]+)`?\s+AS\s+(.*?);?\s*""".r
   private val PkRe =
     """(?is)PRIMARY\s+KEY\s*\(([^)]*)\)\s*NOT\s+ENFORCED""".r
   private val UseCatalogRe = """(?is)\s*USE\s+CATALOG\s+`?([\w.-]+)`?\s*;?\s*""".r

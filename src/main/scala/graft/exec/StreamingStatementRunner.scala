@@ -4,44 +4,90 @@ import graft.catalog.{ChangelogMode, InMemoryCatalog, TableMeta}
 import graft.ddl.StatementPreprocessor
 import graft.ddl.StatementPreprocessor._
 import graft.operators.ChangelogOps
+import graft.sources.{TopicConf, Topics}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
 /** Streaming execution of the reference's statement dialect: every
   * `INSERT INTO` becomes a LONG-RUNNING StreamingQuery, exactly as a
   * `confluent_flink_statement` INSERT is a never-terminating job
   * (SURVEY.md §3.1 "The INSERT statements are long-running").
   *
-  * Execution scheme per target-table changelog mode:
+  * Every table is topic-backed (`graft.sources.Topics`): INSERT sinks
+  * encode each micro-batch into Kafka-shaped records and append them to
+  * the target's topic with a fully DISTRIBUTED write — no rows ever
+  * funnel through the driver. The visible table view is a
+  * materialization over the topic read-back:
   *
-  *  - upsert (PRIMARY KEY): the select's stream is keyed and folded with
-  *    `flatMapGroupsWithState`-equivalent update-mode semantics into an
-  *    update log (memory sink `<table>__log`); the TABLE view exposed to
-  *    downstream statements is latest-by-key over that log — the
-  *    compacted-topic materialization. Downstream statements read the
-  *    snapshot (Flink regular join against a versioned table's latest
-  *    state).
-  *  - append/retract: `foreachBatch` — each micro-batch of the (possibly
-  *    stream-to-snapshot joined) select is appended to the target's
-  *    accumulated table, retract targets tagged `__op`.
+  *  - upsert (PRIMARY KEY): compacted-topic contract — key = PK JSON,
+  *    value = rest; visible state = latest record per key by offset
+  *    (`ChangelogOps.latestByKey`, sort-free).
+  *  - append/retract: the value carries the whole row (plus the `__op`
+  *    tag for retract); visible state = every record in offset order.
   *
-  * Sources may be true streams (rate/memory/file) registered as temp
-  * views; the select is analyzed against them unchanged. DDL statements
-  * behave as in the batch `StatementRunner` (shared catalog semantics).
+  * Source tables registered via `registerTopicSource` expose the two
+  * system columns the reference exposes (SURVEY.md §1.4): `key` — raw
+  * message key bytes, retyped AT SCAN by `ALTER TABLE ... MODIFY (key
+  * STRING)` (S7/S8, `terraform/lab-joins/main.tf:465,498`) — and
+  * `$rowtime` — the record timestamp, the watermark column (S9/S10).
+  *
+  * Join execution: an INSERT whose select references ONE streaming
+  * table plus materialized (batch) views runs as a per-micro-batch
+  * snapshot join — the micro-batch shadows the streaming view's name,
+  * the select is re-resolved FRESH so dimension tables join at their
+  * CURRENT upsert state (the Flink regular join against a versioned
+  * table's latest state). Pure-streaming selects run natively.
   */
 final class StreamingStatementRunner(spark: SparkSession,
-                                     val catalog: InMemoryCatalog = new InMemoryCatalog) {
+                                     val catalog: InMemoryCatalog = new InMemoryCatalog,
+                                     topicConf: Option[TopicConf] = None) {
+
+  val conf: TopicConf = topicConf.getOrElse(
+    TopicConf(java.nio.file.Files.createTempDirectory("graft-topics").toString))
 
   private val queries = scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
   private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val appendState =
-    scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]]
+  /** decoded (pre-cast, pre-watermark) topic sources by table name */
+  private val sources = scala.collection.mutable.Map.empty[String, DataFrame]
 
   def activeQueries: Seq[StreamingQuery] = queries.toSeq
 
   def runScript(script: String): Unit =
     StatementPreprocessor.splitScript(script).foreach(run)
+
+  /** Register a topic-backed source table: unbounded scan of the topic's
+    * records, JSON values decoded to `valueSchema` (+ `keySchema` fields
+    * for compacted topics), with `key`/`$rowtime` system columns. The
+    * reference's analog is catalog auto-registration of every topic via
+    * Schema Registry (SURVEY.md §1.1 — no CREATE TABLE exists for the
+    * datagen tables, yet statements query them). */
+  def registerTopicSource(name: String, valueSchema: StructType,
+                          keySchema: Option[StructType] = None): Unit = {
+    Topics.ensureTopic(conf, name)
+    val records = Topics.readStreamRecords(spark, name, conf)
+    sources(name) = Topics.decodeJson(records, valueSchema, keySchema).drop("__offset")
+    catalog.getOrCreate(name)
+    refreshSourceView(name)
+  }
+
+  /** (Re)bind a topic source's view applying the CURRENT catalog state:
+    * ALTER MODIFY column casts act at scan (S7/S8 key retype), the
+    * watermark (S9/S10) applies to its declared column. */
+  private def refreshSourceView(name: String): Unit = sources.get(name).foreach { base =>
+    val meta = catalog.getOrCreate(name)
+    val casted = meta.columnCasts.foldLeft(base) { case (df, (c, t)) =>
+      if (df.columns.contains(c)) df.withColumn(c, col(c).cast(t)) else df
+    }
+    val watermarked = meta.watermarkCol match {
+      case Some(wc) if casted.columns.contains(wc) =>
+        // backtick-quote: `$rowtime` would otherwise be parsed
+        casted.withWatermark(s"`$wc`", meta.watermarkDelay)
+      case _ => casted
+    }
+    watermarked.createOrReplaceTempView(name)
+  }
 
   def run(stmt: String): Option[StreamingQuery] = StatementPreprocessor.parse(stmt) match {
 
@@ -54,6 +100,7 @@ final class StreamingStatementRunner(spark: SparkSession,
         schema = Some(schema),
         primaryKey = ct.primaryKey,
         buckets = ct.buckets, changelogMode = ct.changelogMode, options = ct.options))
+      Topics.ensureTopic(conf, ct.name)
       // materialize an empty view NOW so later statements in the same
       // script can be analyzed before the INSERT's first micro-batch
       // replaces the view (the reference's depends_on DAG only orders
@@ -65,41 +112,32 @@ final class StreamingStatementRunner(spark: SparkSession,
 
     case InsertInto(target, targetCols, select) =>
       val meta = catalog.getOrCreate(target)
-      val selected = spark.sql(select)
-      require(selected.isStreaming,
+      val refs = tableRefs(select)
+      val streamRefs = refs.filter(r =>
+        spark.catalog.tableExists(r) && spark.table(r).isStreaming)
+      require(streamRefs.nonEmpty,
         s"INSERT INTO $target: select is not streaming; use StatementRunner for batch")
-      // positional mapping to the declared target columns (reference:
-      // `id` → `customer_id` via INSERT order, lab-aggregations :431)
-      val renamed =
-        if (targetCols.nonEmpty) selected.toDF(targetCols: _*)
-        else meta.schema match {
-          case Some(sc) => selected.toDF(sc.fieldNames.take(selected.columns.length).toIndexedSeq: _*)
-          case None => selected
-        }
-      val q = meta.changelogMode match {
-        case ChangelogMode.Upsert if meta.primaryKey.nonEmpty =>
-          // stamp micro-batch arrival order; fold via foreachBatch into
-          // the target's update log view
-          startUpsert(target, meta, renamed)
-        case mode =>
-          startAppend(target, renamed, retract = mode == ChangelogMode.Retract)
-      }
+      val q =
+        if (streamRefs.size == 1 && refs.size > 1)
+          startSnapshotJoin(target, meta, targetCols, select, streamRefs.head)
+        else
+          startDirect(target, meta, targetCols, select)
       queries += q
       Some(q)
 
     case AlterModifyColumn(table, column, newType) =>
       catalog.update(table)(m => m.copy(
         columnCasts = m.columnCasts + (column -> StatementPreprocessor.toSparkType(newType))))
+      refreshSourceView(table)
       None
 
     case AlterModifyWatermark(table, column, expr) =>
       val delay = if (expr.trim.equalsIgnoreCase(column)) "0 seconds" else expr
       catalog.update(table)(_.copy(watermarkCol = Some(column), watermarkDelay = delay))
+      refreshSourceView(table)
       None
 
     case UseCatalog(name) =>
-      // streaming runner: context scopes catalog METADATA (qualified
-      // keys); view-level bare-name rebinding is the batch runner's job
       catalog.currentCatalog = name
       None
 
@@ -112,46 +150,104 @@ final class StreamingStatementRunner(spark: SparkSession,
       None
   }
 
-  /** Upsert INSERT: every micro-batch is stamped with a monotone seq and
-    * appended to the log; the exposed view is latest-by-key over it. */
-  private def startUpsert(target: String, meta: TableMeta, df: DataFrame): StreamingQuery = {
-    df.writeStream.outputMode("append")
+  /** Table names a select references (pre-analysis, so shadowing views
+    * per micro-batch is possible before resolution). */
+  private def tableRefs(select: String): Seq[String] =
+    spark.sessionState.sqlParser.parsePlan(select).collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last
+    }.distinct
+
+  /** Positional mapping to the declared target columns (reference:
+    * `id` → `customer_id` via INSERT order, lab-aggregations :431). */
+  private def renameTo(meta: TableMeta, targetCols: Seq[String], df: DataFrame): DataFrame =
+    if (targetCols.nonEmpty) df.toDF(targetCols: _*)
+    else meta.schema match {
+      case Some(sc) => df.toDF(sc.fieldNames.take(df.columns.length).toIndexedSeq: _*)
+      case None => df
+    }
+
+  /** Pure-streaming INSERT: the select streams end-to-end; each
+    * micro-batch sinks to the target topic. */
+  private def startDirect(target: String, meta: TableMeta, targetCols: Seq[String],
+                          select: String): StreamingQuery = {
+    val renamed = renameTo(meta, targetCols, spark.sql(select))
+    renamed.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // __seq orders across micro-batches, __sub within one batch by
-        // arrival order (Kafka-offset analog): two versions of a key in
-        // the same batch resolve to the later one deterministically
-        val stamped = batch.withColumn("__seq", lit(seqCounter.incrementAndGet()))
-          .withColumn("__sub", monotonically_increasing_id())
-        appendRows(s"${target}__log", stamped)
-        val log = spark.table(s"${target}__log")
-        val visible = ChangelogOps.latestByKey(log, meta.primaryKey, Seq("__seq", "__sub"))
-          .drop("__seq", "__sub")
-        visible.createOrReplaceTempView(target)
+        sinkBatch(target, meta, batch)
         ()
       }.start()
   }
 
-  /** Append/retract INSERT: each micro-batch's rows accumulate into the
-    * target view; retract targets carry `__op`. */
-  private def startAppend(target: String, df: DataFrame, retract: Boolean): StreamingQuery = {
-    df.writeStream.outputMode("append")
+  /** Stream-to-snapshot INSERT (the Flink regular join, SURVEY.md §3.2):
+    * the single streaming ref drives; per micro-batch its name is
+    * shadowed by the batch data and the select re-resolves FRESH, so
+    * materialized dimension views join at their CURRENT state. */
+  private def startSnapshotJoin(target: String, meta: TableMeta, targetCols: Seq[String],
+                                select: String, driverRef: String): StreamingQuery = {
+    val stream = spark.table(driverRef)
+    stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val tagged = if (retract) batch.withColumn("__op", lit("+I")) else batch
-        appendRows(target, tagged)
+        synchronized {
+          // `batch` is bound to the stream's CLONED session whose view
+          // catalog is a snapshot — re-home it (distributed, no collect)
+          // so the shadow registers in the MAIN session the select
+          // resolves against
+          org.apache.spark.sql.GraftSqlBridge.toSession(spark, batch)
+            .createOrReplaceTempView(driverRef)
+          try {
+            val result = renameTo(meta, targetCols, spark.sql(select))
+            sinkBatch(target, meta, result)
+          } finally {
+            // restore the streaming binding (via refresh if it's a topic
+            // source, so a concurrent ALTER isn't clobbered)
+            if (sources.contains(driverRef)) refreshSourceView(driverRef)
+            else stream.createOrReplaceTempView(driverRef)
+          }
+        }
         ()
       }.start()
   }
 
-  /** Accumulate rows under a registered temp view (driver-side buffer —
-    * the test/local analog of a topic; a production sink would be Kafka
-    * via `ChangelogSink.encodeUpsert`). */
-  private def appendRows(view: String, batch: DataFrame): Unit = synchronized {
-    val rows = batch.collect()
-    val buf = appendState.getOrElseUpdate(view,
-      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row])
-    buf ++= rows
-    spark.createDataFrame(spark.sparkContext.parallelize(buf.toSeq), batch.schema)
-      .createOrReplaceTempView(view)
+  /** Sink ONE micro-batch: encode to Kafka-shaped records, append to the
+    * target topic (distributed write — `Topics.appendJson` never
+    * collects), re-materialize the visible view from the read-back. */
+  private def sinkBatch(target: String, meta: TableMeta, batch: DataFrame): Unit = synchronized {
+    val epoch = seqCounter.incrementAndGet()
+    val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
+    val retract = meta.changelogMode == ChangelogMode.Retract
+    val tagged =
+      if (retract && !batch.columns.contains("__op")) batch.withColumn("__op", lit("+I"))
+      else batch
+    Topics.appendJson(tagged, target, conf,
+      keyCols = if (isUpsert) meta.primaryKey else Nil, epoch = epoch)
+    refreshTargetView(target, meta, tagged.schema)
+  }
+
+  /** Rebuild the target's visible view from its topic. Upsert targets
+    * materialize latest-by-offset per key (the compacted-topic contract);
+    * append/retract targets expose every record. Metadata columns are
+    * dropped unless the table declares them. */
+  private def refreshTargetView(target: String, meta: TableMeta,
+                                written: StructType): Unit = {
+    val records = Topics.readBatchRecords(spark, target, conf)
+    val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
+    val visible =
+      if (isUpsert) {
+        val keySchema = StructType(written.fields.filter(f => meta.primaryKey.contains(f.name)))
+        val valueSchema = StructType(
+          written.fields.filterNot(f => meta.primaryKey.contains(f.name) || f.name == "__op"))
+        // tombstones (null value) would need key-only grouping; the
+        // dialect has no DELETE statement, so live records only
+        val decoded = Topics.decodeJson(
+          records.where(col("value").isNotNull), valueSchema, Some(keySchema))
+        ChangelogOps.latestByKey(decoded, meta.primaryKey, Seq("__offset"))
+          .select(written.fieldNames.filterNot(_ == "__op").map(col).toIndexedSeq: _*)
+      } else {
+        val decoded = Topics.decodeJson(records, written)
+        decoded.select(written.fieldNames.map(col).toIndexedSeq: _*)
+      }
+    visible.createOrReplaceTempView(target)
   }
 
   def processAllAvailable(): Unit = queries.foreach(_.processAllAvailable())

@@ -1,0 +1,171 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Transport configuration for topic-backed tables.
+  *
+  * `files` (default): a topic is a directory of parquet record files
+  * under `root` — readable as a Structured Streaming file source (new
+  * files are discovered per trigger, the micro-batch analog of new
+  * Kafka records) and testable in any environment.
+  *
+  * `kafka`: the real thing — `readStream.format("kafka")` /
+  * `write.format("kafka")` against `bootstrapServers`. Requires the
+  * spark-sql-kafka connector jars on the classpath (not bundled here);
+  * both transports produce/consume the SAME record shape, so every
+  * downstream decode / metadata-column / materialization path is
+  * transport-agnostic.
+  */
+final case class TopicConf(root: String,
+                           transport: String = TopicConf.Files,
+                           bootstrapServers: String = "")
+object TopicConf {
+  val Files = "files"
+  val Kafka = "kafka"
+}
+
+/** Kafka-shaped topics: the engine's record-stream layer (reference:
+  * every table is a Kafka topic, `terraform/lab-tables/main.tf:98-108`,
+  * read through Schema Registry with Avro values at `:173`).
+  *
+  * The record schema mirrors the Kafka source's projection EXACTLY —
+  * (key, value, topic, partition, offset, timestamp) — so the file
+  * transport is a drop-in stand-in for a broker. Two system columns
+  * surface to tables from it (SURVEY.md §1.4):
+  *  - `key`: the raw message key bytes, retypeable by
+  *    `ALTER TABLE ... MODIFY (key STRING)` (reference S7/S8,
+  *    `terraform/lab-joins/main.tf:465,498`);
+  *  - `$rowtime`: the record timestamp — the default watermark column.
+  */
+object Topics {
+
+  val recordSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType)))
+
+  private def dirOf(conf: TopicConf, topic: String): String = s"${conf.root}/$topic"
+
+  def ensureTopic(conf: TopicConf, topic: String): Unit =
+    if (conf.transport == TopicConf.Files)
+      new java.io.File(dirOf(conf, topic)).mkdirs()
+
+  /** Unbounded scan of a topic's raw records. */
+  def readStreamRecords(spark: SparkSession, topic: String, conf: TopicConf): DataFrame =
+    conf.transport match {
+      case TopicConf.Kafka =>
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", conf.bootstrapServers)
+          .option("subscribe", topic)
+          .option("startingOffsets", "earliest")
+          .load()
+          .select("key", "value", "topic", "partition", "offset", "timestamp")
+      case _ =>
+        ensureTopic(conf, topic)
+        spark.readStream.schema(recordSchema).parquet(dirOf(conf, topic))
+    }
+
+  /** Bounded scan of everything currently in a topic. */
+  def readBatchRecords(spark: SparkSession, topic: String, conf: TopicConf): DataFrame =
+    conf.transport match {
+      case TopicConf.Kafka =>
+        spark.read.format("kafka")
+          .option("kafka.bootstrap.servers", conf.bootstrapServers)
+          .option("subscribe", topic)
+          .option("startingOffsets", "earliest")
+          .option("endingOffsets", "latest")
+          .load()
+          .select("key", "value", "topic", "partition", "offset", "timestamp")
+      case _ =>
+        ensureTopic(conf, topic)
+        spark.read.schema(recordSchema).parquet(dirOf(conf, topic))
+    }
+
+  /** Producer/sink side: JSON-encode typed rows into records and append
+    * to the topic. A fully DISTRIBUTED write — each task writes its own
+    * partition's records; nothing funnels through the driver.
+    *
+    * Encoding follows `graft.streaming.ChangelogSink`'s conventions:
+    * with `keyCols` (upsert/compacted topics) the key is the JSON of the
+    * key columns, the value the JSON of the rest, and an `__op = "-D"`
+    * row becomes a tombstone (null value); without `keyCols` the whole
+    * row (including any `__op` retract tag) is the value.
+    *
+    * `epoch` orders appends ACROSS calls: record offset =
+    * epoch·2^40 + monotonically_increasing_id(), monotone per partition
+    * exactly like a Kafka offset (mono-id < 2^39 at ≤64 partitions;
+    * epoch < 2^23 — both comfortably inside BIGINT).
+    */
+  def appendJson(df: DataFrame, topic: String, conf: TopicConf,
+                 keyCols: Seq[String], epoch: Long,
+                 eventTimeCol: Option[String] = None): Unit = {
+    val hasOp = df.columns.contains("__op")
+    val key =
+      if (keyCols.nonEmpty) to_json(struct(keyCols.map(col): _*)).cast("binary")
+      else lit(null).cast("binary")
+    val valueCols =
+      if (keyCols.nonEmpty) df.columns.filterNot(c => keyCols.contains(c) || c == "__op")
+      else df.columns
+    val valueJson = to_json(struct(valueCols.map(col): _*))
+    val value =
+      if (hasOp && keyCols.nonEmpty)
+        when(col("__op") === "-D", lit(null)).otherwise(valueJson)
+      else valueJson
+    val ts = eventTimeCol.map(c => col(c).cast("timestamp")).getOrElse(current_timestamp())
+    val records = df.select(
+      key.as("key"),
+      value.cast("binary").as("value"),
+      lit(topic).as("topic"),
+      spark_partition_id().as("partition"),
+      (lit(epoch * (1L << 40)) + monotonically_increasing_id()).as("offset"),
+      ts.as("timestamp"))
+    appendRecords(records, topic, conf)
+  }
+
+  /** Append pre-encoded records (the Kafka wire frame) to a topic. */
+  def appendRecords(records: DataFrame, topic: String, conf: TopicConf): Unit =
+    conf.transport match {
+      case TopicConf.Kafka =>
+        records.select("key", "value").write.format("kafka")
+          .option("kafka.bootstrap.servers", conf.bootstrapServers)
+          .option("topic", topic)
+          .save()
+      case _ =>
+        ensureTopic(conf, topic)
+        records.write.mode("append").parquet(dirOf(conf, topic))
+    }
+
+  /** Decode JSON-valued records into typed table columns plus the
+    * system columns: decoded key fields (when `keySchema` is given —
+    * compacted-topic form), decoded value fields, raw `key` bytes,
+    * `$rowtime` (record timestamp) and `__offset` (record order, the
+    * upsert-materialization sort key). Tombstones (null value) must be
+    * filtered by the caller BEFORE decode if unsupported downstream.
+    */
+  def decodeJson(records: DataFrame, valueSchema: StructType,
+                 keySchema: Option[StructType] = None): DataFrame = {
+    val parsed = records.select(
+      keySchema.map(ks => from_json(col("key").cast("string"), ks).as("__k")).toSeq ++ Seq(
+        from_json(col("value").cast("string"), valueSchema).as("__v"),
+        col("key"),
+        col("timestamp").as("$rowtime"),
+        col("offset").as("__offset")): _*)
+    parsed.select(
+      keySchema.map(_ => col("__k.*")).toSeq ++ Seq(
+        col("__v.*"), col("key"), col("$rowtime"), col("__offset")): _*)
+  }
+
+  /** Decode binary Avro-valued records (the reference's wire format —
+    * `output.data.format = "AVRO"`, `terraform/lab-tables/main.tf:173`)
+    * via `AvroCodec`; metadata columns as in `decodeJson`. */
+  def decodeAvro(records: DataFrame, valueSchemaJson: String): DataFrame = {
+    val carried = records.select(col("value"), col("key"),
+      col("timestamp").as("$rowtime"), col("offset").as("__offset"))
+    AvroCodec.decodeAvro(carried, "value", valueSchemaJson)
+  }
+}

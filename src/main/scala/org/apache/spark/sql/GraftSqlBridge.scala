@@ -9,4 +9,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Re-home a batch DataFrame onto `session` WITHOUT collecting: the
+    * InternalRow RDD is re-wrapped under the target session's state.
+    * Needed because `foreachBatch` hands a frame bound to the stream's
+    * CLONED session, whose temp-view catalog is a snapshot — views
+    * registered through it are invisible to the main session (and vice
+    * versa). The RDD stays distributed and lazy. */
+  def toSession(session: SparkSession, df: Dataset[Row]): DataFrame = {
+    val cs = session.asInstanceOf[classic.SparkSession]
+    val cdf = df.asInstanceOf[classic.DataFrame]
+    cs.internalCreateDataFrame(cdf.queryExecution.toRdd, cdf.schema)
+  }
 }
