@@ -100,6 +100,11 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   * ~(tables·bits·dim)-node expression tree that blows past optimizer
   * and codegen budgets (measured 48 s of plan overhead at 8x8x64).
   * Returns array<long> of length `numTables`.
+  *
+  * Zero-length/all-missing vectors: acc = 0 sets EVERY bit (acc >= 0),
+  * while a SQL oracle's sum() over no rows is NULL → bit 0 — a silent
+  * engine/oracle divergence. Callers MUST filter empty vectors upstream
+  * (`Similarity` does), mirroring the MinHash empty-shingle guard.
   */
 case class LshSignatures(child: Expression, dim: Int, nBits: Int,
                          numTables: Int, seed: Long)
@@ -190,6 +195,15 @@ case class LshSignatures(child: Expression, dim: Int, nBits: Int,
   * array<int> of centroid indices — per-row argmax over a small
   * centroid matrix held as a codegen reference object. This is the
   * IVF assignment/probe kernel: NO join, NO shuffle, one corpus pass.
+  *
+  * Oracle-equivalence assumption (documented, accepted): the ranking
+  * key here is dot/|centroid| (|v| omitted — constant per row, so the
+  * argmax is mathematically identical to cosine), while a SQL oracle
+  * ranks by full cosine via its own float code path. The orderings
+  * agree unless two centroids tie within float ulps of each other for
+  * some row — vanishingly unlikely for real embeddings, but a known
+  * sensitivity at larger scale factors; a divergence would surface as
+  * a hash-gate mismatch, not silent corruption.
   */
 case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
                             nProbe: Int)

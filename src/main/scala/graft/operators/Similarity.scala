@@ -80,7 +80,10 @@ object Similarity {
              vecCol: String, k: Int, dim: Int, nBits: Int = 8,
              numTables: Int = 8): DataFrame = {
     import graft.expressions.VectorExpressions.lshSignatures
-    val c = corpus
+    // empty vectors would sign-collide into all-ones signatures while a
+    // SQL oracle's sum(NULL) gives all-zero — exclude them up front
+    // (they can't rank by cosine anyway: zero norm)
+    val c = corpus.where(size(col(vecCol)) > 0)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", vecNorm(col("cv")))
       .select(col("neighbor_id"), col("cv"), col("cn"),
@@ -88,7 +91,7 @@ object Similarity {
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
     // per table: probe the exact bucket plus every 1-bit flip
     val probeStructs = posexplode(lshSignatures(col("qv"), dim, nBits, numTables))
-    val q = broadcast(queries
+    val q = broadcast(queries.where(size(col(vecCol)) > 0)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", vecNorm(col("qv")))
       .select(col("query_id"), col("qv"), col("qn"), probeStructs)
@@ -159,12 +162,21 @@ object Similarity {
     * nBits down / numTables up for higher recall; nBits should grow
     * ~log n to keep buckets bounded). Signatures are the portable
     * integer-quantized sign-random-projection (`LshSignatures`), so a
-    * SQL oracle reproduces the exact candidate set. */
+    * SQL oracle reproduces the exact candidate set.
+    *
+    * Oracle-equivalence assumption (documented, accepted): the final
+    * `cos_sim >= threshold` filter compares an UNROUNDED double from
+    * `VectorDot` against the oracle's own cosine code path. Both are
+    * double left-to-right folds so they agree today; a pair landing
+    * within ulps of the threshold could diverge at other scale
+    * factors — surfacing as a hash-gate mismatch, not silent
+    * corruption. The emitted cos_sim column itself is round(6)-
+    * compared per the repo rule. */
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, dim: Int, nBits: Int = 8,
                       numTables: Int = 8): DataFrame = {
     import graft.expressions.VectorExpressions.lshSignatures
-    val base = emb
+    val base = emb.where(size(col(vecCol)) > 0)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), posexplode(lshSignatures(col("v"), dim, nBits, numTables)))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "sig")
