@@ -243,6 +243,13 @@ object SparkEntry {
     "q20_simhash" -> ((s, dir) =>
       Dedup.simHash64(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ── document fingerprinting: winnowing (rolling k-gram window-min,
+    //    Schleimer '03) — one codegen pass per doc; md5-derived 48-bit
+    //    gram hashes make the selected-min VALUE SET engine-portable ──
+    "q40_winnow_fingerprint" -> ((s, dir) =>
+      Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 8)),
+
     // ── similarity search: exact brute-force cosine top-k ──
     "q21_knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -700,6 +707,35 @@ object SparkEntry {
          )
          SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v"""
     },
+    // Winnowing: 4-gram hashes = first 48 bits of md5 (parse the first
+    // 12 hex chars — exact integers both engines); fingerprints = the
+    // DISTINCT window-min VALUES over sliding windows of 8 grams
+    // (value-set output makes the tiebreak rule irrelevant). Docs with
+    // fewer than 8 grams fingerprint their single truncated window.
+    "q40_winnow_fingerprint" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), g AS (
+           SELECT doc_id, i,
+             CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT) AS h
+           FROM (
+             SELECT doc_id, i,
+               md5(toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2] || ' ' || toks[CAST(i AS INT) + 3]) AS hx
+             FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+                   FROM t WHERE len(toks) >= 4)
+           )
+         ), gc AS (
+           SELECT doc_id, count(*) AS m FROM g GROUP BY doc_id
+         ), wins AS (
+           SELECT doc_id, unnest(range(1, greatest(2, m - 6))) AS win FROM gc
+         ), sel AS (
+           SELECT w.doc_id, w.win, min(g.h) AS fp
+           FROM wins w JOIN g ON g.doc_id = w.doc_id AND g.i BETWEEN w.win AND w.win + 7
+           GROUP BY 1, 2
+         )
+         SELECT DISTINCT doc_id, fp FROM sel""",
     "q21_knn_brute" ->
       """SELECT q.vec_id AS query_id,
          row_number() OVER (PARTITION BY q.vec_id

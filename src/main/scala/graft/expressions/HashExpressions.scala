@@ -148,6 +148,101 @@ case class SignatureAgreement(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03,
+  * public algorithm) in ONE expression node: token k-gram hashes →
+  * sliding windows of `w` hashes → the MINIMUM hash of each window is
+  * selected → the DISTINCT selected values, ascending.
+  *
+  * Winnowing's guarantee: any shared token run of length ≥ w+k-1
+  * between two documents yields at least one shared fingerprint, while
+  * only ~2/(w+1) of the grams are kept — constant-factor compression
+  * with a locality guarantee, the standard near-dup/plagiarism
+  * fingerprint. (Emitting the value set rather than (pos, hash) pairs
+  * makes the min-tiebreak rule irrelevant, which keeps a SQL oracle
+  * trivial.)
+  *
+  * One pass, O(m) via a monotonic deque — no explode, no shuffle; the
+  * k-gram hash is the first 48 bits of md5 (engine-portable, same
+  * trick as `MinHashSignature`). Documents with fewer than w grams
+  * fingerprint their single truncated window (short docs still hash).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fingerprints expects array<string>, got ${other.simpleString}")
+    }
+
+  private def read48(dig: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (dig(off + i) & 0xFFL); i += 1 }
+    v
+  }
+
+  def fingerprintsOf(arr: ArrayData): Array[Long] = {
+    val n = arr.numElements()
+    if (n < k) return Array.empty
+    val m = n - k + 1
+    val md = MessageDigest.getInstance("MD5")
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val dig = md.digest(sb.toString.getBytes("UTF-8"))
+      md.reset()
+      h(i) = read48(dig, 0)
+      i += 1
+    }
+    // sliding-window min, O(m): deque holds indices with increasing h
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val deque = new java.util.ArrayDeque[Integer]()
+    var p = 0
+    while (p < m) {
+      while (!deque.isEmpty && h(deque.peekLast()) >= h(p)) deque.pollLast()
+      deque.addLast(p)
+      if (deque.peekFirst() <= p - w) deque.pollFirst()
+      // window ending at p starts at p-w+1; first full (or only) window
+      // completes at p = min(w, m) - 1
+      if (p >= math.min(w, m) - 1) sel.add(h(deque.peekFirst()))
+      p += 1
+    }
+    val out = new Array[Long](sel.size())
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(fingerprintsOf(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("winnow", this, classOf[WinnowFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  $self.fingerprintsOf($v));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Column API: array<long> MinHash signature of a shingle array. */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
@@ -158,4 +253,10 @@ object HashExpressions {
   def signatureAgreement(a: Column, b: Column): Column =
     GraftSqlBridge.column(SignatureAgreement(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column API: ascending distinct winnowing fingerprints of a token
+    * array (k-gram size k, window w). */
+  def winnowFingerprints(tokens: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(WinnowFingerprints(
+      GraftSqlBridge.expression(tokens), k, w))
 }

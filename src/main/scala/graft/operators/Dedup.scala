@@ -170,6 +170,24 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Winnowing document fingerprints (Schleimer et al. '03): distinct
+    * selected window-min k-gram hashes per doc, exploded to
+    * (id, fingerprint) rows — the inverted-index input for
+    * plagiarism-style overlap detection (docs sharing a fingerprint
+    * provably share a ≥ w+k-1 token run).
+    *
+    * One `WinnowFingerprints` codegen pass per row (O(tokens), sliding
+    * deque): no explode before selection, no shuffle — at 100 TB the
+    * only shuffle is whatever join consumes the fingerprints, on a
+    * stream ~2/(w+1) the size of the gram stream. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame =
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(col(idCol),
+        explode(graft.expressions.HashExpressions
+          .winnowFingerprints(col("__toks"), k, w)).as("fp"))
+
   /** 64-bit SimHash over the token multiset: bit i of the hash of each
     * token votes +1/-1; the sign of the per-bit vote total sets bit i.
     *

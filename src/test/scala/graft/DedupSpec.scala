@@ -69,4 +69,40 @@ class DedupSpec extends SparkSpec {
     assert(hamming(hashes(1L), hashes(2L)) <= 12)
     assert(hamming(hashes(1L), hashes(4L)) > 12)
   }
+
+  test("winnowing fingerprints match a slow reference; shared runs share a fingerprint") {
+    // slow reference: O(m·w) window mins over md5-48 gram hashes
+    def slow(text: String, k: Int, w: Int): Set[Long] = {
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim.split(" ").toSeq
+      if (toks.length < k) return Set.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = (0 to toks.length - k).map { i =>
+        val dig = md.digest(toks.slice(i, i + k).mkString(" ").getBytes("UTF-8"))
+        md.reset()
+        (0 until 6).foldLeft(0L)((acc, b) => (acc << 8) | (dig(b) & 0xFFL))
+      }
+      val nWin = math.max(1, h.length - w + 1)
+      (0 until nWin).map(i => h.slice(i, math.min(i + w, h.length)).min).toSet
+    }
+    val got = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 8)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      assert(got.getOrElse(id, Set.empty) === slow(text, 4, 8), s"doc $id")
+    }
+    // winnowing guarantee: docs 1 and 2 share a long token run ⇒ ≥1
+    // shared fingerprint; doc 4 is unrelated ⇒ disjoint
+    assert(got(1L).intersect(got(2L)).nonEmpty)
+    assert(got(1L).intersect(got(4L)).isEmpty)
+    assert(got(1L) === got(5L)) // identical docs, identical fingerprints
+  }
+
+  test("winnowing handles short docs (fewer grams than the window) and tiny docs") {
+    val tiny = Seq((1L, "one two three"), (2L, "a b c d e f"), (3L, "x")).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(tiny, "doc_id", "text", k = 4, w = 8)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.length).toMap
+    assert(!got.contains(1L)) // 3 tokens < k — no grams
+    assert(got(2L) === 1)     // 3 grams < w — single truncated window min
+    assert(!got.contains(3L))
+  }
 }
