@@ -87,11 +87,19 @@ object SparkEntry {
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
           * (lit(1) - col("l_discount").cast("decimal(4,2)")))
           .cast("double").as("revenue"))
-      perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
+      // top-k BELOW the join: revenue is a lineitem-only aggregate and
+      // every l_orderkey has an orders row (TPC-H FK), so the top-10 set
+      // is join-invariant — take it first (TakeOrderedAndProject over
+      // the agg, partition-local heads + one merge), then join TEN rows
+      // to orders instead of the full aggregate. Same tiebreak key both
+      // sides of the limit keeps the boundary deterministic.
+      val top = perOrder
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+      broadcast(top).join(o, top("l_orderkey") === o("o_orderkey"))
         .select(col("o_orderkey"), unix_micros(col("o_orderdate")).as("o_orderdate_us"),
           col("revenue"))
         .orderBy(desc("revenue"), asc("o_orderkey"))
-        .limit(10)
     }),
 
     // ── upsert materialization: latest row per key (SURVEY §2.2 S1/S3) ──

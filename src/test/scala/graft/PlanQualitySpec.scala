@@ -91,6 +91,15 @@ class PlanQualitySpec extends SparkSpec {
       s"anti-join must broadcast the hot set:\n$plan")
   }
 
+  test("q04: top-k runs below the join — ten rows meet orders, not the full aggregate") {
+    val df = SparkEntry.queries("q04_revenue_topn")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must be partial-heap, not global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"10-row side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"join degraded to SMJ:\n$plan")
+  }
+
   test("q19: MinHash verify tail is the codegen kernel, not interpreted HOFs") {
     val df = SparkEntry.queries("q19_minhash_lsh")(spark, dir)
     df.collect()
