@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{LshSignatures, NormalizeText, VectorDot}
+import graft.expressions.{LshSignatures, MinHashSignature, NormalizeText, SignatureAgreement, VectorDot, WinnowFingerprints}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -46,6 +46,22 @@ object GraftFunctions {
         intLit(exprs(1), "dim").toInt, intLit(exprs(2), "nBits").toInt,
         intLit(exprs(3), "numTables").toInt,
         if (exprs.length > 4) intLit(exprs(4), "seed") else 42L)
+    }),
+    // minhash_signature(shingles, numHashes)
+    "minhash_signature" -> (exprs => {
+      arity("minhash_signature", exprs, 2, 2)
+      MinHashSignature(exprs(0), intLit(exprs(1), "numHashes").toInt)
+    }),
+    // signature_agreement(sigA, sigB)
+    "signature_agreement" -> (exprs => {
+      arity("signature_agreement", exprs, 2, 2)
+      SignatureAgreement(exprs(0), exprs(1))
+    }),
+    // winnow_fingerprints(tokens, k, w)
+    "winnow_fingerprints" -> (exprs => {
+      arity("winnow_fingerprints", exprs, 3, 3)
+      WinnowFingerprints(exprs(0),
+        intLit(exprs(1), "k").toInt, intLit(exprs(2), "w").toInt)
     }))
 
   def register(spark: SparkSession): Unit =

@@ -17,6 +17,18 @@ class GraftFunctionsSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(sigs.length === 4)
     assert(sigs.forall(s => s >= 0 && s < 256))
+    val mh = spark.sql(
+      "SELECT minhash_signature(array('a b c', 'b c d'), 16) AS s")
+      .as[Seq[Long]].head()
+    assert(mh.length === 16 && mh.forall(_ != Long.MaxValue))
+    val agree = spark.sql(
+      "SELECT signature_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS a")
+      .as[Int].head()
+    assert(agree === 2)
+    val fps = spark.sql(
+      "SELECT winnow_fingerprints(array('a','b','c','d','e','f'), 4, 8) AS f")
+      .as[Seq[Long]].head()
+    assert(fps.length === 1) // 3 grams < window — single truncated min
   }
 
   test("SQL form equals the Column-API form on fixture data") {
