@@ -148,6 +148,75 @@ case class SignatureAgreement(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** DISTINCT 64-bit hashes of a token array's word n-grams in ONE
+  * expression node — the inverted-index posting generator for n-gram
+  * Jaccard dedup.
+  *
+  * Replaces the interpreted pipeline `transform(sequence, i →
+  * concat_ws(element_at…)) → array_distinct → explode → xxhash64`:
+  * higher-order functions run outside whole-stage codegen and
+  * materialize every gram STRING per row; this builds each gram once in
+  * a reused buffer, hashes it (xxHash64, Spark's own kernel), and
+  * dedupes by hash. The hash is engine-INTERNAL (the SQL oracle joins
+  * on raw gram strings), so only self-consistency matters; a within-doc
+  * hash collision merging two grams has the same ~2⁻⁶⁴-scale odds as
+  * the documented cross-doc case.
+  */
+case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_hashes expects array<string>, got ${other.simpleString}")
+    }
+
+  def hashesOf(arr: ArrayData): Array[Long] = {
+    val m = arr.numElements() - n + 1
+    if (m <= 0) return Array.empty
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val bytes = sb.toString.getBytes("UTF-8")
+      set.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L))
+      i += 1
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(hashesOf(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("gramHashes", this, classOf[GramHashes].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  $self.hashesOf($v));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03,
   * public algorithm) in ONE expression node: token k-gram hashes →
   * sliding windows of `w` hashes → the MINIMUM hash of each window is
@@ -259,4 +328,10 @@ object HashExpressions {
   def winnowFingerprints(tokens: Column, k: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowFingerprints(
       GraftSqlBridge.expression(tokens), k, w))
+
+  /** Column API: ascending distinct xxHash64 values of a token array's
+    * word n-grams. */
+  def gramHashes(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(GramHashes(
+      GraftSqlBridge.expression(tokens), n))
 }

@@ -68,12 +68,18 @@ object Dedup {
     // collision would perturb one intersection count with probability
     // ~|shingle vocab|²/2⁶⁴ — negligible against the Jaccard threshold.
     // The same sensitivity applies to the frequency cap below (it groups
-    // on the hash, the SQL oracle on the raw string): a collision merging
-    // two shingles' doc frequencies across the cap boundary would change
-    // posting membership — same ~2⁻⁶⁴-scale odds, accepted on the same
-    // grounds.
-    val sh = shingles(docs, idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("shingle")).as("sh_h")).cache()
+    // on the hash, the SQL oracle on the raw string), and to within-doc
+    // gram dedup (the `GramHashes` kernel dedupes by hash, not string) —
+    // same ~2⁻⁶⁴-scale odds, accepted on the same grounds.
+    // Posting generation is the one-pass `GramHashes` codegen kernel:
+    // tokens → distinct gram hashes directly, never materializing gram
+    // strings through the interpreted transform/concat_ws HOF pipeline.
+    val sh = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col(idCol),
+        explode(graft.expressions.HashExpressions.gramHashes(col("__toks"), n)).as("sh_h"))
+      .cache()
     // The cap drops HOT shingles (df > cap) — a tiny set by construction
     // (at most |postings|/cap keys). Broadcast that drop set and
     // anti-join, rather than inner-joining the huge ≤-cap keep set:
