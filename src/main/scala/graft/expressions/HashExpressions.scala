@@ -148,6 +148,83 @@ case class SignatureAgreement(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MinHash signature straight from the TOKEN array: word n-grams are
+  * built in a reused buffer, md5-hashed and Kirsch–Mitzenmacher-mixed
+  * into the running minima in ONE fused pass — no shingle-string array
+  * is ever materialized (the `transform`/`concat_ws` pipeline that
+  * built it ran interpreted and was the dominant cold-run cost of the
+  * MinHash query). Bit-identical to `MinHashSignature` over the
+  * distinct shingle set: min() over a multiset equals min() over its
+  * set, so skipping the dedup changes nothing.
+  * Callers filter docs with fewer than n tokens (as with
+  * `MinHashSignature`'s empty-array sentinel).
+  */
+case class MinHashTokens(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(n >= 1 && numHashes >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_tokens"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_tokens expects array<string>, got ${other.simpleString}")
+    }
+
+  private def read48(dig: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (dig(off + i) & 0xFFL); i += 1 }
+    v
+  }
+
+  def signatureOf(arr: ArrayData): Array[Long] = {
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val m = arr.numElements() - n + 1
+    val md = MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val dig = md.digest(sb.toString.getBytes("UTF-8"))
+      md.reset()
+      val h1 = read48(dig, 0)
+      val h2 = read48(dig, 6)
+      var k = 0
+      while (k < numHashes) {
+        val h = h1 + k.toLong * h2
+        if (h < out(k)) out(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(signatureOf(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minHashToks", this, classOf[MinHashTokens].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  $self.signatureOf($v));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** DISTINCT 64-bit hashes of a token array's word n-grams in ONE
   * expression node — the inverted-index posting generator for n-gram
   * Jaccard dedup.
@@ -334,4 +411,9 @@ object HashExpressions {
   def gramHashes(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(GramHashes(
       GraftSqlBridge.expression(tokens), n))
+
+  /** Column API: fused tokens→n-gram→MinHash signature. */
+  def minHashTokens(tokens: Column, n: Int, numHashes: Int): Column =
+    GraftSqlBridge.column(MinHashTokens(
+      GraftSqlBridge.expression(tokens), n, numHashes))
 }

@@ -123,18 +123,21 @@ object Dedup {
       .where(size(col("shingles")) > 0)
   }
 
-  /** MinHash signature per doc, computed by the one-pass
-    * `MinHashSignature` codegen kernel over the doc's shingle array —
-    * NO explode, NO aggregation, NO shuffle (the round-1 64-column
-    * `min()` aggregate formulation was 18% of the whole bench). The
-    * md5-derived hashes are engine-portable: a SQL oracle reproduces
-    * the signatures bit-for-bit. */
+  /** MinHash signature per doc, computed by the FUSED `MinHashTokens`
+    * codegen kernel straight from the token array — no shingle-string
+    * array, no explode, no aggregation, no shuffle (the round-1
+    * 64-column `min()` aggregate was 18% of the whole bench; the
+    * round-2 `MinHashSignature`-over-`shingleArrays` form still built
+    * the string arrays through interpreted HOFs, the dominant cold-run
+    * cost). The md5-derived hashes are engine-portable: a SQL oracle
+    * reproduces the signatures bit-for-bit. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int): DataFrame =
-    shingleArrays(docs, idCol, textCol, shingleN)
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= shingleN)
       .select(col(idCol),
         graft.expressions.HashExpressions
-          .minHashSignature(col("shingles"), numHashes).as("sig"))
+          .minHashTokens(col("__toks"), shingleN, numHashes).as("sig"))
 
   /** MinHash-LSH near-dup pairs: signatures → bands of `rowsPerBand`
     * hashes → bucket join per band → candidates → verify with the
