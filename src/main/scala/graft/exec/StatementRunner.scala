@@ -20,7 +20,17 @@ import org.apache.spark.sql.functions._
   * `ChangelogOps.latestByKey`); INSERT INTO a retract table keeps the
   * append form plus an `__op` column.
   */
-final class StatementRunner(spark: SparkSession, val catalog: InMemoryCatalog = new InMemoryCatalog) {
+/** @param bucketedWrites when true, an upsert target declared
+  *   `DISTRIBUTED INTO n BUCKETS` is materialized as a NATIVE bucketed
+  *   managed table on every refresh (hash-partitioned at write, the
+  *   physical meaning of the clause — `terraform/lab-aggregations/
+  *   main.tf:396,463`): downstream joins/aggs on the primary key elide
+  *   their exchange entirely. Off by default — the in-memory
+  *   `repartition` form gives the same single-plan co-location without
+  *   a warehouse write per refresh (the right trade for tests/small
+  *   batches; bucketed storage is the 100 TB ingest-once shape). */
+final class StatementRunner(spark: SparkSession, val catalog: InMemoryCatalog = new InMemoryCatalog,
+                            bucketedWrites: Boolean = false) {
 
   /** Monotone ingestion sequence per target table: the Kafka offset
     * analog that makes "latest row per key" well-defined. */
@@ -102,8 +112,17 @@ final class StatementRunner(spark: SparkSession, val catalog: InMemoryCatalog = 
           val latest = ChangelogOps.latestByKey(changelog, meta.primaryKey,
               Seq("__seq", "__sub"))
             .drop("__seq", "__sub")
-          meta.buckets.map(n => latest.repartition(n, meta.primaryKey.map(col): _*))
-            .getOrElse(latest)
+          meta.buckets match {
+            case Some(n) if bucketedWrites =>
+              // pay the hash-distribution at write: downstream joins on
+              // the PK read bucket-aligned files, no exchange
+              val store = s"${target}__bucketed"
+              graft.operators.Bucketing.writeBucketedMulti(
+                latest, store, meta.primaryKey, n)
+              spark.table(store)
+            case Some(n) => latest.repartition(n, meta.primaryKey.map(col): _*)
+            case None => latest
+          }
         case ChangelogMode.Retract =>
           changelog.drop("__seq", "__sub").withColumn("__op", lit("+I"))
         case _ =>

@@ -21,8 +21,14 @@ object Bucketing {
   /** Write `df` as a managed bucketed table (overwriting). Sorted within
     * buckets so merge joins skip the sort too. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketedMulti(df, table, Seq(key), buckets)
+
+  /** Multi-column bucket key form (composite PRIMARY KEY tables). */
+  def writeBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
+                         buckets: Int): Unit =
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table) // managed table under spark.sql.warehouse.dir
 
   /** Join two same-bucketed tables on their bucket key. */

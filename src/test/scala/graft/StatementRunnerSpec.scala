@@ -168,6 +168,29 @@ class StatementRunnerSpec extends SparkSpec {
     assert(r.catalog.list.count(_.name == "t") === 2)
   }
 
+  test("bucketedWrites: DISTRIBUTED INTO materializes native buckets; PK join is exchange-free") {
+    val r = new StatementRunner(spark, bucketedWrites = true)
+    Seq(("c1", "Ann"), ("c2", "Bob"), ("c3", "Cay"))
+      .toDF("id", "name").createOrReplaceTempView("cust_src")
+    Seq(("c1", "gold"), ("c2", "basic"))
+      .toDF("id", "tier").createOrReplaceTempView("tier_src")
+    r.runScript("""
+      CREATE TABLE cust_b (customer_id STRING, name STRING,
+        PRIMARY KEY (customer_id) NOT ENFORCED) DISTRIBUTED INTO 4 BUCKETS;
+      INSERT INTO cust_b SELECT id, name FROM cust_src;
+      CREATE TABLE tier_b (customer_id STRING, tier STRING,
+        PRIMARY KEY (customer_id) NOT ENFORCED) DISTRIBUTED INTO 4 BUCKETS;
+      INSERT INTO tier_b SELECT id, tier FROM tier_src""")
+    // both sides bucketed INTO 4 on the join key → the join plans with
+    // zero exchanges (the 100 TB point of DISTRIBUTED INTO)
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(cust_b) */ c.customer_id, c.name, t.tier
+         FROM cust_b c JOIN tier_b t ON c.customer_id = t.customer_id""")
+    assert(joined.count() === 2)
+    assert(graft.operators.Bucketing.isShuffleFree(joined),
+      s"bucketed PK join must not exchange:\n${joined.queryExecution.executedPlan}")
+  }
+
   test("CREATE TABLE with ROW<...> maps to a Spark struct (ORDERS quickstart address)") {
     // the ORDERS quickstart schema nests an address record
     // (reference terraform/lab-tables/main.tf:174, FIXTURES.md)
