@@ -94,6 +94,46 @@ class TopicPipelineSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("stream-stream interval join through the runner: two watermarked topic sources") {
+    val conf = TopicConf(
+      java.nio.file.Files.createTempDirectory("graft-topic-ss").toString)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(mins: Int) = new java.sql.Timestamp(t0.getTime + mins * 60000L)
+    Topics.appendJson(Seq(("o1", "c1", ts(0)), ("o2", "c2", ts(120)))
+      .toDF("order_id", "cust", "ts"), "orders_s", conf, Nil, 1,
+      eventTimeCol = Some("ts"))
+    Topics.appendJson(Seq(("c1", "/buy", ts(10)), ("c2", "/view", ts(300)))
+      .toDF("cust", "url", "ts"), "clicks_s", conf, Nil, 1,
+      eventTimeCol = Some("ts"))
+
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    val schema = (f: Seq[(String, org.apache.spark.sql.types.DataType)]) =>
+      StructType(f.map { case (n, t) => StructField(n, t) })
+    r.registerTopicSource("orders_s", schema(Seq(
+      "order_id" -> StringType, "cust" -> StringType, "ts" -> TimestampType)))
+    r.registerTopicSource("clicks_s", schema(Seq(
+      "cust" -> StringType, "url" -> StringType, "ts" -> TimestampType)))
+    // S9/S10-style watermarks on the record-timestamp system column —
+    // both sides need one for the stream-stream state to be prunable
+    r.run("ALTER TABLE orders_s MODIFY WATERMARK FOR `$rowtime` AS `$rowtime`")
+    r.run("ALTER TABLE clicks_s MODIFY WATERMARK FOR `$rowtime` AS `$rowtime`")
+
+    r.run("""CREATE TABLE order_clicks (order_id STRING, url STRING)""")
+    // clicks within ±1h of the order (both refs streaming → native
+    // Spark stream-stream interval join, no snapshot path)
+    r.run("""INSERT INTO order_clicks
+             SELECT o.order_id, c.url
+             FROM orders_s o JOIN clicks_s c
+             ON o.cust = c.cust
+             AND c.`$rowtime` BETWEEN o.`$rowtime` - INTERVAL 1 HOUR
+                                  AND o.`$rowtime` + INTERVAL 1 HOUR""")
+    r.processAllAvailable()
+    val got = spark.table("order_clicks").as[(String, String)].collect().toSet
+    // o1/c1 within 10 min: joins; o2's click is 3h later: out of range
+    assert(got === Set(("o1", "/buy")))
+    r.stopAll()
+  }
+
   test("S7/S8: key metadata column retyped at scan; S9/S10: watermark on $rowtime") {
     val conf = TopicConf(
       java.nio.file.Files.createTempDirectory("graft-topic-keys").toString)
