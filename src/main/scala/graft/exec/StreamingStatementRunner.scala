@@ -227,7 +227,12 @@ final class StreamingStatementRunner(spark: SparkSession,
   /** Rebuild the target's visible view from its topic. Upsert targets
     * materialize latest-by-offset per key (the compacted-topic contract);
     * append/retract targets expose every record. Metadata columns are
-    * dropped unless the table declares them. */
+    * dropped unless the table declares them.
+    *
+    * The view is LAZY — per micro-batch this only re-registers a plan;
+    * the O(log length) materialization runs when a consumer queries it,
+    * which is the compacted-topic contract cost. `Topics.compact` bounds
+    * it at O(live keys), exactly as Kafka log compaction does. */
   private def refreshTargetView(target: String, meta: TableMeta,
                                 written: StructType): Unit = {
     val records = Topics.readBatchRecords(spark, target, conf)

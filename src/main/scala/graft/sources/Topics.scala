@@ -160,6 +160,33 @@ object Topics {
         col("__v.*"), col("key"), col("$rowtime"), col("__offset")): _*)
   }
 
+  /** Log compaction (files transport): rewrite a topic keeping only the
+    * LATEST record per key (tombstones removed) — the
+    * `cleanup.policy = compact` contract of the reference's keyed topics
+    * (`terraform/lab-joins/main.tf:106,122`). Materializing an upsert
+    * view costs O(log length); periodic compaction bounds that at
+    * O(live keys), exactly why Kafka compacts. Offsets are preserved,
+    * so materialization order is unchanged. Distributed read + write;
+    * the directory swap is the only driver-side step. */
+  def compact(spark: SparkSession, topic: String, conf: TopicConf): Unit = {
+    require(conf.transport == TopicConf.Files, "compact applies to the files transport")
+    val dir = dirOf(conf, topic)
+    val records = readBatchRecords(spark, topic, conf)
+    // sort-free latest-per-key (max_by struct), the house upsert shape
+    val latest = graft.operators.ChangelogOps
+      .latestByKey(records, Seq("key"), Seq("offset"))
+      .where(col("value").isNotNull) // fully-compacted: tombstones drop out
+    val tmp = s"$dir.compacting"
+    latest.write.mode("overwrite").parquet(tmp)
+    val dirF = new java.io.File(dir)
+    val oldF = new java.io.File(s"$dir.old")
+    if (oldF.exists()) { oldF.listFiles().foreach(_.delete()); oldF.delete() }
+    dirF.renameTo(oldF)
+    new java.io.File(tmp).renameTo(dirF)
+    oldF.listFiles().foreach(_.delete()); oldF.delete()
+    spark.catalog.refreshByPath(dir)
+  }
+
   /** Decode binary Avro-valued records (the reference's wire format —
     * `output.data.format = "AVRO"`, `terraform/lab-tables/main.tf:173`)
     * via `AvroCodec`; metadata columns as in `decodeJson`. */

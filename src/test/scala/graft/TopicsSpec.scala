@@ -67,6 +67,26 @@ class TopicsSpec extends SparkSpec {
       === Set(("k1", "v1"), ("k2", "v2")))
   }
 
+  test("compaction keeps the latest record per key, drops tombstones, preserves offsets") {
+    val conf = freshConf()
+    Topics.appendJson(Seq(("k1", "v1", "+I"), ("k2", "v2", "+I"))
+      .toDF("id", "payload", "__op"), "tc", conf, Seq("id"), epoch = 1)
+    Topics.appendJson(Seq(("k1", "v1b", "+I"), ("k3", "v3", "+I"), ("k2", "x", "-D"))
+      .toDF("id", "payload", "__op"), "tc", conf, Seq("id"), epoch = 2)
+    val before = Topics.readBatchRecords(spark, "tc", conf).count()
+    assert(before === 5)
+    Topics.compact(spark, "tc", conf)
+    val after = Topics.readBatchRecords(spark, "tc", conf)
+    assert(after.count() === 2) // k1 latest + k3; k2 tombstoned away
+    val decoded = Topics.decodeJson(after,
+      StructType(Seq(StructField("payload", StringType))),
+      Some(StructType(Seq(StructField("id", StringType)))))
+    assert(decoded.select("id", "payload").as[(String, String)].collect().toSet
+      === Set(("k1", "v1b"), ("k3", "v3")))
+    // offsets preserved: surviving k1 carries its epoch-2 offset
+    assert(after.where(col("offset") >= 2L * (1L << 40)).count() === 2)
+  }
+
   test("Avro-valued records decode through the codec with metadata columns intact") {
     val conf = freshConf()
     val schemaJson =
