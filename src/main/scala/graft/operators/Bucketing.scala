@@ -25,11 +25,25 @@ object Bucketing {
 
   /** Multi-column bucket key form (composite PRIMARY KEY tables). */
   def writeBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
-                         buckets: Int): Unit =
+                         buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a previous JVM may have left the managed location on disk with no
+    // catalog entry — saveAsTable refuses to reuse it (LOCATION_ALREADY_
+    // EXISTS), so clear both the entry and any orphaned location
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new java.io.File(
+      warehouse.stripPrefix("file:"), table.toLowerCase)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (path.exists()) rm(path)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+  }
 
   /** Join two same-bucketed tables on their bucket key. */
   def bucketedJoin(spark: SparkSession, left: String, right: String,

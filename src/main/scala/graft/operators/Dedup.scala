@@ -108,21 +108,6 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Per-doc DISTINCT shingle ARRAYS (the pre-explode twin of
-    * `shingles`) — feeds the one-pass `MinHashSignature` kernel, which
-    * needs the whole set in a single row. */
-  def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val withToks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .where(size(col("__toks")) >= n)
-    val toks = col("__toks")
-    val sh = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-    withToks.select(col(idCol),
-        filter(array_distinct(sh), s => length(s) > 0).as("shingles"))
-      .where(size(col("shingles")) > 0)
-  }
-
   /** MinHash signature per doc, computed by the FUSED `MinHashTokens`
     * codegen kernel straight from the token array — no shingle-string
     * array, no explode, no aggregation, no shuffle (the round-1
