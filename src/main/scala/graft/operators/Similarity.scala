@@ -120,17 +120,15 @@ object Similarity {
     *
     * Recall < 1 by construction; `bruteForceKnn` is the oracle
     * (asserted in SimilaritySpec). */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
-    import graft.expressions.VectorExpressions.nearestCentroids
-    // index-build-time centroid sample: deterministic bottom-k by id
-    // hash, collected to the driver (nCentroids is small by design) and
-    // embedded as a codegen reference object — the assignment below is
-    // then a PER-ROW argmax: no join, no shuffle of the corpus
-    // ordering key is the md5 hex STRING of the id — lexicographic order
-    // of lowercase hex is identical in every engine, so a SQL oracle
-    // selects the exact same centroid sample
-    val matrix: Array[Array[Double]] = corpus
+  /** Index-build-time centroid sample: deterministic bottom-k by id
+    * hash, collected to the driver (nCentroids is small by design) and
+    * embedded as a codegen reference object. The ordering key is the
+    * md5 hex STRING of the id — lexicographic order of lowercase hex is
+    * identical in every engine, so a SQL oracle selects the exact same
+    * centroid sample. */
+  private def sampledCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                               nCentroids: Int): Array[Array[Double]] =
+    corpus
       .select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(nCentroids)
@@ -140,6 +138,13 @@ object Similarity {
         case d: Double => d
         case other => throw new IllegalArgumentException(s"bad element: $other")
       }.toArray)
+
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    import graft.expressions.VectorExpressions.nearestCentroids
+    // the assignment below is a PER-ROW argmax over the sampled
+    // centroids: no join, no shuffle of the corpus
+    val matrix = sampledCentroids(corpus, idCol, vecCol, nCentroids)
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", vecNorm(col("cv")))
       .withColumn("cent_id", element_at(nearestCentroids(col("cv"), matrix, 1), 1))
@@ -148,6 +153,56 @@ object Similarity {
         .withColumn("qn", vecNorm(col("qv")))
         .withColumn("cent_id", explode(nearestCentroids(col("qv"), matrix, nProbe))))
     val cand = assigned.join(probes, Seq("cent_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+    topKByCosine(cand, k)
+  }
+
+  /** PERSISTED IVF index — the write-once 100 TB shape: corpus vectors
+    * are assigned to their nearest centroid (one pass, per-row codegen
+    * argmax) and written PARTITIONED BY cluster id; the centroid matrix
+    * rides along as a tiny sidecar. Queries then touch only their
+    * probed clusters' files via static partition pruning
+    * (`ivfKnnIndexed`) — the corpus is never rescanned or reshuffled
+    * per query batch. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    dir: String, nCentroids: Int): Unit = {
+    import graft.expressions.VectorExpressions.nearestCentroids
+    val matrix = sampledCentroids(corpus, idCol, vecCol, nCentroids)
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", vecNorm(col("cv")))
+      .withColumn("cent_id", element_at(nearestCentroids(col("cv"), matrix, 1), 1))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(dir)
+    val json = matrix.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_centroids.json"),
+      json.getBytes("UTF-8"))
+    ()
+  }
+
+  /** Query a persisted IVF index: the distinct probed cluster ids
+    * (bounded by nCentroids) prune the scan to those PARTITIONS —
+    * `PartitionFilters` on the index scan, plan-asserted in
+    * `PlanQualitySpec`. Results are identical to `ivfKnn` over the same
+    * corpus/parameters. */
+  def ivfKnnIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nProbe: Int): DataFrame = {
+    import graft.expressions.VectorExpressions.nearestCentroids
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_centroids.json")), "UTF-8")
+    val matrix: Array[Array[Double]] = json.stripPrefix("[").stripSuffix("]")
+      .split("\\],\\[").map(_.stripPrefix("[").stripSuffix("]")
+        .split(",").map(_.toDouble))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", vecNorm(col("qv")))
+      .withColumn("cent_id", explode(nearestCentroids(col("qv"), matrix, nProbe)))
+    // distinct probed clusters: ≤ nCentroids values, safe to collect —
+    // turning the probe set into a LITERAL predicate is what lets the
+    // scan prune statically instead of reading every partition
+    val probedIds = probes.select("cent_id").distinct().collect().map(_.getInt(0))
+    val index = spark.read.parquet(dir)
+      .where(col("cent_id").isin(probedIds.toIndexedSeq: _*))
+    val cand = index.join(broadcast(probes), Seq("cent_id"))
       .where(col("query_id") =!= col("neighbor_id"))
     topKByCosine(cand, k)
   }

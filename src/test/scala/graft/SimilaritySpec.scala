@@ -65,6 +65,26 @@ class SimilaritySpec extends SparkSpec {
     assert(again === approx)
   }
 
+  test("persisted IVF index: identical results to the inline form; scan prunes to probed partitions") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCentroids = 16)
+    val indexed = Similarity.ivfKnnIndexed(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 6)
+    val inline = Similarity.ivfKnn(emb, queries, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 6)
+    val a = indexed.select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val b = inline.select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(a === b, "persisted index must reproduce the inline IVF results")
+    // the scale property: the index scan carries PartitionFilters on
+    // cent_id — only probed clusters' files are read
+    indexed.collect()
+    val plan = indexed.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("cent_id"),
+      s"index scan must prune partitions:\n$plan")
+  }
+
   test("cosineNearDupPairs is symmetric-free (id_a < id_b) and thresholded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
