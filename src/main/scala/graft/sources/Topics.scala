@@ -167,7 +167,13 @@ object Topics {
     * view costs O(log length); periodic compaction bounds that at
     * O(live keys), exactly why Kafka compacts. Offsets are preserved,
     * so materialization order is unchanged. Distributed read + write;
-    * the directory swap is the only driver-side step. */
+    * the directory swap is the only driver-side step.
+    *
+    * Use on KEYED (compacted) topics only: a live streaming reader sees
+    * the rewritten files as new records — re-delivery of latest-per-key
+    * is idempotent under upsert materialization, but would duplicate
+    * rows for an append-mode consumer (exactly Kafka's rule: compaction
+    * is a per-topic policy, not safe on append topics). */
   def compact(spark: SparkSession, topic: String, conf: TopicConf): Unit = {
     require(conf.transport == TopicConf.Files, "compact applies to the files transport")
     val dir = dirOf(conf, topic)
