@@ -41,9 +41,12 @@ final class StatementRunner(spark: SparkSession, val catalog: InMemoryCatalog = 
 
   /** Spark temp views have a flat namespace, so each scoped table also
     * gets a fully-qualified shadow view (`cat__db__table`); the BARE
-    * name is a binding of the CURRENT scope, re-pointed on USE. */
+    * name is a binding of the CURRENT scope, re-pointed on USE.
+    * Non-word characters are sanitized: the reference's environment ids
+    * are hyphenated (`env-abc123`), and a hyphen inside a temp-view
+    * identifier is a ParseException. */
   private def scopedView(bare: String): String =
-    catalog.qualify(bare).replace(".", "__")
+    catalog.qualify(bare).replace(".", "__").replaceAll("[^\\w]", "_")
 
   /** Re-point all bare-name bindings when the session scope changes:
     * unbind the old scope's tables, switch, bind the new scope's. Views
@@ -115,8 +118,10 @@ final class StatementRunner(spark: SparkSession, val catalog: InMemoryCatalog = 
           meta.buckets match {
             case Some(n) if bucketedWrites =>
               // pay the hash-distribution at write: downstream joins on
-              // the PK read bucket-aligned files, no exchange
-              val store = s"${target}__bucketed"
+              // the PK read bucket-aligned files, no exchange. The store
+              // name is SCOPED — same-named tables in two databases must
+              // not clobber each other's bucketed data.
+              val store = s"${scopedView(target)}__bucketed"
               graft.operators.Bucketing.writeBucketedMulti(
                 latest, store, meta.primaryKey, n)
               spark.table(store)

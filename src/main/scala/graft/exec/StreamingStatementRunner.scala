@@ -51,6 +51,16 @@ final class StreamingStatementRunner(spark: SparkSession,
   private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0L)
   /** decoded (pre-cast, pre-watermark) topic sources by table name */
   private val sources = scala.collection.mutable.Map.empty[String, DataFrame]
+  /** qualified table name → physical topic name. Externally-registered
+    * sources keep their given topic; runner-created targets get a
+    * SCOPED topic (qualified name, sanitized), so two same-named tables
+    * in different catalog/database scopes never share a log. */
+  private val topicOf = scala.collection.mutable.Map.empty[String, String]
+
+  private def targetTopic(name: String): String = synchronized {
+    topicOf.getOrElseUpdate(catalog.qualify(name),
+      catalog.qualify(name).replaceAll("[^\\w]", "_"))
+  }
 
   def activeQueries: Seq[StreamingQuery] = queries.toSeq
 
@@ -69,6 +79,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     val records = Topics.readStreamRecords(spark, name, conf)
     sources(name) = Topics.decodeJson(records, valueSchema, keySchema).drop("__offset")
     catalog.getOrCreate(name)
+    topicOf(catalog.qualify(name)) = name // external topic keeps its name
     refreshSourceView(name)
   }
 
@@ -100,7 +111,7 @@ final class StreamingStatementRunner(spark: SparkSession,
         schema = Some(schema),
         primaryKey = ct.primaryKey,
         buckets = ct.buckets, changelogMode = ct.changelogMode, options = ct.options))
-      Topics.ensureTopic(conf, ct.name)
+      Topics.ensureTopic(conf, targetTopic(ct.name))
       // materialize an empty view NOW so later statements in the same
       // script can be analyzed before the INSERT's first micro-batch
       // replaces the view (the reference's depends_on DAG only orders
@@ -151,12 +162,26 @@ final class StreamingStatementRunner(spark: SparkSession,
   }
 
   /** Table names a select references (pre-analysis, so shadowing views
-    * per micro-batch is possible before resolution). */
-  private def tableRefs(select: String): Seq[String] =
-    spark.sessionState.sqlParser.parsePlan(select).collect {
-      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        r.multipartIdentifier.last
-    }.distinct
+    * per micro-batch is possible before resolution). CTE aliases are
+    * NOT references — counting them would misroute a pure single-stream
+    * select with a WITH clause onto the snapshot-join path. */
+  private[graft] def tableRefs(select: String): Seq[String] = {
+    val plan = spark.sessionState.sqlParser.parsePlan(select)
+    // CTE definition plans are NOT in `children` — collect them
+    // explicitly, both to traverse the real relations inside them and
+    // to exclude the aliases themselves from the reference list
+    val ctes = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations
+    }.flatten
+    val cteNames = ctes.map(_._1).toSet
+    (plan +: ctes.map(_._2: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan))
+      .flatMap(_.collect {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.last
+      })
+      .distinct.filterNot(cteNames.contains)
+  }
 
   /** Positional mapping to the declared target columns (reference:
     * `id` → `customer_id` via INSERT order, lab-aggregations :431). */
@@ -219,7 +244,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     val tagged =
       if (retract && !batch.columns.contains("__op")) batch.withColumn("__op", lit("+I"))
       else batch
-    Topics.appendJson(tagged, target, conf,
+    Topics.appendJson(tagged, targetTopic(target), conf,
       keyCols = if (isUpsert) meta.primaryKey else Nil, epoch = epoch)
     refreshTargetView(target, meta, tagged.schema)
   }
@@ -235,19 +260,21 @@ final class StreamingStatementRunner(spark: SparkSession,
     * it at O(live keys), exactly as Kafka log compaction does. */
   private def refreshTargetView(target: String, meta: TableMeta,
                                 written: StructType): Unit = {
-    val records = Topics.readBatchRecords(spark, target, conf)
+    val records = Topics.readBatchRecords(spark, targetTopic(target), conf)
     val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
     val visible =
       if (isUpsert) {
         val keySchema = StructType(written.fields.filter(f => meta.primaryKey.contains(f.name)))
         val valueSchema = StructType(
           written.fields.filterNot(f => meta.primaryKey.contains(f.name) || f.name == "__op"))
-        // tombstones (null value) would need key-only grouping; the
-        // dialect has no DELETE statement, so live records only
-        val decoded = Topics.decodeJson(
-          records.where(col("value").isNotNull), valueSchema, Some(keySchema))
-        ChangelogOps.latestByKey(decoded, meta.primaryKey, Seq("__offset"))
-          .select(written.fieldNames.filterNot(_ == "__op").map(col).toIndexedSeq: _*)
+        // latest record per KEY BYTES by offset FIRST, tombstone filter
+        // AFTER — the same fold `Topics.compact` applies, so the view is
+        // identical before and after compaction. Filtering tombstones
+        // first would resurrect a deleted key's previous value.
+        val latestRec = ChangelogOps.latestByKey(records, Seq("key"), Seq("offset"))
+          .where(col("value").isNotNull)
+        val decoded = Topics.decodeJson(latestRec, valueSchema, Some(keySchema))
+        decoded.select(written.fieldNames.filterNot(_ == "__op").map(col).toIndexedSeq: _*)
       } else {
         val decoded = Topics.decodeJson(records, written)
         decoded.select(written.fieldNames.map(col).toIndexedSeq: _*)

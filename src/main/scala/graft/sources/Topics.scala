@@ -96,10 +96,15 @@ object Topics {
     * row becomes a tombstone (null value); without `keyCols` the whole
     * row (including any `__op` retract tag) is the value.
     *
-    * `epoch` orders appends ACROSS calls: record offset =
-    * epoch·2^40 + monotonically_increasing_id(), monotone per partition
-    * exactly like a Kafka offset (mono-id < 2^39 at ≤64 partitions;
-    * epoch < 2^23 — both comfortably inside BIGINT).
+    * `epoch` orders appends ACROSS calls: record offset packs
+    * epoch·2^40 | partition·2^27 | row-in-partition, monotone per
+    * partition exactly like a Kafka offset. The partition id is
+    * REPACKED out of `monotonically_increasing_id` (which stores it at
+    * bit 33 — left there, partition ≥128 would overflow into the next
+    * epoch's bucket and invert cross-epoch order). Bounds: 2^13
+    * partitions, 2^27 rows per partition per append (row clamps at the
+    * cap — ordering beyond it degrades, never inverts epochs),
+    * 2^23 epochs.
     */
   def appendJson(df: DataFrame, topic: String, conf: TopicConf,
                  keyCols: Seq[String], epoch: Long,
@@ -117,12 +122,15 @@ object Topics {
         when(col("__op") === "-D", lit(null)).otherwise(valueJson)
       else valueJson
     val ts = eventTimeCol.map(c => col(c).cast("timestamp")).getOrElse(current_timestamp())
+    val mono = monotonically_increasing_id()
+    val pid = least(shiftright(mono, 33), lit((1L << 13) - 1))
+    val row = least(mono.bitwiseAND(lit((1L << 33) - 1)), lit((1L << 27) - 1))
     val records = df.select(
       key.as("key"),
       value.cast("binary").as("value"),
       lit(topic).as("topic"),
       spark_partition_id().as("partition"),
-      (lit(epoch * (1L << 40)) + monotonically_increasing_id()).as("offset"),
+      (lit(epoch * (1L << 40)) + shiftleft(pid, 27) + row).as("offset"),
       ts.as("timestamp"))
     appendRecords(records, topic, conf)
   }
@@ -184,12 +192,23 @@ object Topics {
       .where(col("value").isNotNull) // fully-compacted: tombstones drop out
     val tmp = s"$dir.compacting"
     latest.write.mode("overwrite").parquet(tmp)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
     val dirF = new java.io.File(dir)
     val oldF = new java.io.File(s"$dir.old")
-    if (oldF.exists()) { oldF.listFiles().foreach(_.delete()); oldF.delete() }
-    dirF.renameTo(oldF)
-    new java.io.File(tmp).renameTo(dirF)
-    oldF.listFiles().foreach(_.delete()); oldF.delete()
+    if (oldF.exists()) rmTree(oldF)
+    // swap with rollback: every rename result is checked — a silent
+    // false return would otherwise leave a half-swapped topic (or NPE
+    // on the cleanup listing)
+    if (!dirF.renameTo(oldF))
+      throw new java.io.IOException(s"compact: cannot stage $dir aside")
+    if (!new java.io.File(tmp).renameTo(dirF)) {
+      oldF.renameTo(dirF) // roll back to the uncompacted log
+      throw new java.io.IOException(s"compact: cannot swap $tmp into place")
+    }
+    rmTree(oldF)
     spark.catalog.refreshByPath(dir)
   }
 

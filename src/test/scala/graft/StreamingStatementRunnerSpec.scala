@@ -67,4 +67,15 @@ class StreamingStatementRunnerSpec extends SparkSpec {
     assert(log.select("__op").distinct().as[String].collect().toSeq === Seq("+I"))
     r.stopAll()
   }
+
+  test("tableRefs: CTE aliases are not table references; dotted names resolve to the last part") {
+    val r = new graft.exec.StreamingStatementRunner(spark)
+    // a CTE alias counted as a ref would misroute a pure single-stream
+    // select with a WITH clause onto the snapshot-join path
+    assert(r.tableRefs(
+      "WITH c AS (SELECT * FROM clicks_stream) SELECT user, count(*) FROM c GROUP BY user")
+      === Seq("clicks_stream"))
+    assert(r.tableRefs(
+      "SELECT * FROM a JOIN db.b ON a.k = b.k").sorted === Seq("a", "b"))
+  }
 }
