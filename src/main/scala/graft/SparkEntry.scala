@@ -258,6 +258,17 @@ object SparkEntry {
       Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
         k = 4, w = 8)),
 
+    // ── benchmark decontamination: docs (corpus = doc_id%10≠0) scored
+    //    by the fraction of their 3-grams leaking from a reference set
+    //    (doc_id%10=0) — one membership join on gram hashes, linear ──
+    "q41_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminationScores(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, threshold = 0.5)
+    }),
+
     // ── similarity search: exact brute-force cosine top-k ──
     "q21_knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -744,6 +755,42 @@ object SparkEntry {
            GROUP BY 1, 2
          )
          SELECT DISTINCT doc_id, fp FROM sel""",
+    // Decontamination: membership of corpus 3-grams in the reference
+    // gram set, on raw gram strings (the engine joins 64-bit hashes —
+    // equivalent modulo the documented 2^-64 collision class). The
+    // contaminated flag compares n_shared >= 0.5*n_grams (float-exact).
+    "q41_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), g AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+           FROM t WHERE len(toks) >= 3
+         ), corp AS (
+           SELECT * FROM g WHERE doc_id % 10 <> 0
+         ), refg AS (
+           SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0
+         ), sizes AS (
+           SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY 1
+         ), shared AS (
+           SELECT corp.doc_id, count(*) AS n_shared
+           FROM corp JOIN refg USING (gram) GROUP BY 1
+         )
+         SELECT d.doc_id,
+           coalesce(s.n_grams, 0) AS n_grams,
+           coalesce(sh.n_shared, 0) AS n_shared,
+           CASE WHEN coalesce(s.n_grams, 0) = 0 THEN 0.0
+                ELSE round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / s.n_grams, 6)
+           END AS overlap,
+           coalesce(s.n_grams, 0) > 0 AND
+             CAST(coalesce(sh.n_shared, 0) AS DOUBLE) >= 0.5 * coalesce(s.n_grams, 0)
+             AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+         LEFT JOIN sizes s ON d.doc_id = s.doc_id
+         LEFT JOIN shared sh ON d.doc_id = sh.doc_id""",
     "q21_knn_brute" ->
       """SELECT q.vec_id AS query_id,
          row_number() OVER (PARTITION BY q.vec_id

@@ -164,6 +164,52 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Benchmark decontamination: for every corpus document, the fraction
+    * of its distinct word n-grams that appear ANYWHERE in a reference
+    * corpus (the test/benchmark set) — the standard training-data
+    * hygiene operator (drop/flag docs that leak evaluation data).
+    *
+    * Whole-reference membership (not per-pair overlap) keeps the shape
+    * linear: postings from the one-pass `GramHashes` kernel on both
+    * sides, ONE equi-join of corpus postings against the DISTINCT
+    * reference gram set on 8-byte hashes, map-combinable counts — no
+    * pair explosion, no cross product. At 100 TB the reference set is
+    * the small side (benchmarks are tiny vs training corpora) and
+    * broadcasts.
+    *
+    * Docs with fewer than n tokens have no grams: reported with
+    * n_grams = 0, overlap 0.0 — unflaggable, never silently dropped.
+    */
+  def decontaminationScores(corpus: DataFrame, reference: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            threshold: Double): DataFrame = {
+    def posting(docs: DataFrame) = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col(idCol),
+        explode(graft.expressions.HashExpressions.gramHashes(col("__toks"), n)).as("sh_h"))
+    val cg = posting(corpus).cache()
+    val rg = posting(reference).select("sh_h").distinct()
+    val sizes = cg.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val shared = cg.join(broadcast(rg), "sh_h")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    val ng = coalesce(col("n_grams"), lit(0L))
+    val ns = coalesce(col("n_shared"), lit(0L))
+    corpus.select(col(idCol))
+      .join(sizes, Seq(idCol), "left")
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        ng.as("n_grams"),
+        ns.as("n_shared"),
+        round(when(ng === 0, lit(0.0))
+          .otherwise(ns.cast("double") / ng.cast("double")), 6).as("overlap"),
+        // flag on n_shared >= threshold·n_grams — with a power-of-two
+        // threshold the product is float-exact in every engine, so the
+        // boundary never hinges on division rounding
+        (ng > 0 && ns.cast("double") >= lit(threshold) * ng.cast("double"))
+          .as("contaminated"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al. '03): distinct
     * selected window-min k-gram hashes per doc, exploded to
     * (id, fingerprint) rows — the inverted-index input for

@@ -97,6 +97,25 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) === got(5L)) // identical docs, identical fingerprints
   }
 
+  test("decontamination flags corpus docs overlapping the reference, leaves clean and tiny docs") {
+    val reference = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, base),                      // full leak: overlap 1.0
+      (2L, base + " extra tail words here today"),   // partial leak
+      (3L, "completely different content about spark engines and data processing"),
+      (4L, "ab cd")                    // < 3 tokens: no grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminationScores(corpus, reference, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._4 === 1.0 && got(1L)._5)
+    assert(got(2L)._4 > 0.0 && got(2L)._4 < 1.0)
+    assert(got(3L)._3 === 0L && got(3L)._4 === 0.0 && !got(3L)._5)
+    assert(got(4L)._2 === 0L && !got(4L)._5) // gramless doc present, unflagged
+    assert(got.size === 4)
+  }
+
   test("winnowing handles short docs (fewer grams than the window) and tiny docs") {
     val tiny = Seq((1L, "one two three"), (2L, "a b c d e f"), (3L, "x")).toDF("doc_id", "text")
     val got = Dedup.winnowFingerprints(tiny, "doc_id", "text", k = 4, w = 8)
