@@ -62,6 +62,44 @@ final class StreamingStatementRunner(spark: SparkSession,
       catalog.qualify(name).replaceAll("[^\\w]", "_"))
   }
 
+  /** A target's identity, RESOLVED at statement-run time: `USE` mid-
+    * stream must not re-route a running INSERT's micro-batches — the
+    * scoped view and topic are captured here, not re-qualified per
+    * batch. Temp views are a flat namespace, so (as in the batch
+    * runner) each scoped table gets a fully-qualified shadow view and
+    * the BARE name is a binding of the CURRENT scope. */
+  private final case class TargetBinding(bare: String, qualified: String,
+                                         scoped: String, topic: String)
+
+  private def bind(bare: String): TargetBinding = synchronized {
+    val q = catalog.qualify(bare)
+    TargetBinding(bare, q, q.replace(".", "__").replaceAll("[^\\w]", "_"),
+      targetTopic(bare))
+  }
+
+  /** True when `b`'s table is what the CURRENT scope resolves its bare
+    * name to — only then may a view refresh touch the bare binding. */
+  private def inCurrentScope(b: TargetBinding): Boolean =
+    catalog.qualify(b.bare) == b.qualified
+
+  /** Re-point bare-name bindings on USE (mirrors the batch runner):
+    * unbind the old scope's runner-created views, switch, rebind the
+    * new scope's from their scoped shadows. Externally-registered
+    * sources (no shadow view) are left alone. */
+  private def switchScope(switch: () => Unit): Unit = synchronized {
+    def shadowOf(bare: String): String =
+      catalog.qualify(bare).replace(".", "__").replaceAll("[^\\w]", "_")
+    catalog.inScope.foreach { bare =>
+      if (spark.catalog.tableExists(shadowOf(bare)))
+        spark.catalog.dropTempView(bare)
+    }
+    switch()
+    catalog.inScope.foreach { bare =>
+      if (spark.catalog.tableExists(shadowOf(bare)))
+        spark.table(shadowOf(bare)).createOrReplaceTempView(bare)
+    }
+  }
+
   def activeQueries: Seq[StreamingQuery] = queries.toSeq
 
   def runScript(script: String): Unit =
@@ -75,7 +113,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     * datagen tables, yet statements query them). */
   def registerTopicSource(name: String, valueSchema: StructType,
                           keySchema: Option[StructType] = None): Unit = {
-    Topics.ensureTopic(conf, name)
+    Topics.ensureTopic(spark, conf, name)
     val records = Topics.readStreamRecords(spark, name, conf)
     sources(name) = Topics.decodeJson(records, valueSchema, keySchema).drop("__offset")
     catalog.getOrCreate(name)
@@ -111,18 +149,21 @@ final class StreamingStatementRunner(spark: SparkSession,
         schema = Some(schema),
         primaryKey = ct.primaryKey,
         buckets = ct.buckets, changelogMode = ct.changelogMode, options = ct.options))
-      Topics.ensureTopic(conf, targetTopic(ct.name))
-      // materialize an empty view NOW so later statements in the same
-      // script can be analyzed before the INSERT's first micro-batch
-      // replaces the view (the reference's depends_on DAG only orders
-      // creation, not data arrival)
-      spark.createDataFrame(
+      val b = bind(ct.name)
+      Topics.ensureTopic(spark, conf, b.topic)
+      // materialize an empty view NOW (scoped shadow + bare binding) so
+      // later statements in the same script can be analyzed before the
+      // INSERT's first micro-batch replaces the view (the reference's
+      // depends_on DAG only orders creation, not data arrival)
+      val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .createOrReplaceTempView(ct.name)
+      empty.createOrReplaceTempView(b.scoped)
+      empty.createOrReplaceTempView(ct.name)
       None
 
     case InsertInto(target, targetCols, select) =>
       val meta = catalog.getOrCreate(target)
+      val binding = bind(target)
       val refs = tableRefs(select)
       val streamRefs = refs.filter(r =>
         spark.catalog.tableExists(r) && spark.table(r).isStreaming)
@@ -130,9 +171,9 @@ final class StreamingStatementRunner(spark: SparkSession,
         s"INSERT INTO $target: select is not streaming; use StatementRunner for batch")
       val q =
         if (streamRefs.size == 1 && refs.size > 1)
-          startSnapshotJoin(target, meta, targetCols, select, streamRefs.head)
+          startSnapshotJoin(binding, meta, targetCols, select, streamRefs.head)
         else
-          startDirect(target, meta, targetCols, select)
+          startDirect(binding, meta, targetCols, select)
       queries += q
       Some(q)
 
@@ -149,11 +190,11 @@ final class StreamingStatementRunner(spark: SparkSession,
       None
 
     case UseCatalog(name) =>
-      catalog.currentCatalog = name
+      switchScope(() => catalog.currentCatalog = name)
       None
 
     case UseDatabase(name) =>
-      catalog.currentDatabase = name
+      switchScope(() => catalog.currentDatabase = name)
       None
 
     case Passthrough(sql) =>
@@ -194,7 +235,7 @@ final class StreamingStatementRunner(spark: SparkSession,
 
   /** Pure-streaming INSERT: the select streams end-to-end; each
     * micro-batch sinks to the target topic. */
-  private def startDirect(target: String, meta: TableMeta, targetCols: Seq[String],
+  private def startDirect(target: TargetBinding, meta: TableMeta, targetCols: Seq[String],
                           select: String): StreamingQuery = {
     val renamed = renameTo(meta, targetCols, spark.sql(select))
     renamed.writeStream.outputMode("append")
@@ -208,7 +249,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     * the single streaming ref drives; per micro-batch its name is
     * shadowed by the batch data and the select re-resolves FRESH, so
     * materialized dimension views join at their CURRENT state. */
-  private def startSnapshotJoin(target: String, meta: TableMeta, targetCols: Seq[String],
+  private def startSnapshotJoin(target: TargetBinding, meta: TableMeta, targetCols: Seq[String],
                                 select: String, driverRef: String): StreamingQuery = {
     val stream = spark.table(driverRef)
     stream.writeStream.outputMode("append")
@@ -237,14 +278,14 @@ final class StreamingStatementRunner(spark: SparkSession,
   /** Sink ONE micro-batch: encode to Kafka-shaped records, append to the
     * target topic (distributed write — `Topics.appendJson` never
     * collects), re-materialize the visible view from the read-back. */
-  private def sinkBatch(target: String, meta: TableMeta, batch: DataFrame): Unit = synchronized {
+  private def sinkBatch(target: TargetBinding, meta: TableMeta, batch: DataFrame): Unit = synchronized {
     val epoch = seqCounter.incrementAndGet()
     val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
     val retract = meta.changelogMode == ChangelogMode.Retract
     val tagged =
       if (retract && !batch.columns.contains("__op")) batch.withColumn("__op", lit("+I"))
       else batch
-    Topics.appendJson(tagged, targetTopic(target), conf,
+    Topics.appendJson(tagged, target.topic, conf,
       keyCols = if (isUpsert) meta.primaryKey else Nil, epoch = epoch)
     refreshTargetView(target, meta, tagged.schema)
   }
@@ -258,9 +299,9 @@ final class StreamingStatementRunner(spark: SparkSession,
     * the O(log length) materialization runs when a consumer queries it,
     * which is the compacted-topic contract cost. `Topics.compact` bounds
     * it at O(live keys), exactly as Kafka log compaction does. */
-  private def refreshTargetView(target: String, meta: TableMeta,
+  private def refreshTargetView(target: TargetBinding, meta: TableMeta,
                                 written: StructType): Unit = {
-    val records = Topics.readBatchRecords(spark, targetTopic(target), conf)
+    val records = Topics.readBatchRecords(spark, target.topic, conf)
     val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
     val visible =
       if (isUpsert) {
@@ -279,7 +320,12 @@ final class StreamingStatementRunner(spark: SparkSession,
         val decoded = Topics.decodeJson(records, written)
         decoded.select(written.fieldNames.map(col).toIndexedSeq: _*)
       }
-    visible.createOrReplaceTempView(target)
+    // scoped shadow always; the bare binding only while this table is
+    // what the current scope resolves the bare name to — a micro-batch
+    // arriving after USE switched away must not clobber the other
+    // scope's same-named view
+    visible.createOrReplaceTempView(target.scoped)
+    if (inCurrentScope(target)) visible.createOrReplaceTempView(target.bare)
   }
 
   def processAllAvailable(): Unit = queries.foreach(_.processAllAvailable())

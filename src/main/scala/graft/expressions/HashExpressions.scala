@@ -98,6 +98,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * candidate pair; at 100 TB candidate-pair counts that per-pair verify
   * IS the hot loop. This compiles to a tight primitive loop inside the
   * WholeStageCodegen span (same pattern as `VectorDot`).
+  *
+  * Signatures of UNEQUAL length are an error (silently comparing the
+  * common prefix would return a wrong Jaccard numerator); a NULL element
+  * at a position never agrees (SQL semantics: NULL = NULL is not true —
+  * the SQL-exposed form accepts any array<bigint>, nullable included).
   */
 case class SignatureAgreement(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -115,33 +120,28 @@ case class SignatureAgreement(left: Expression, right: Expression)
             s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+  def agreementOf(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"signature_agreement: signature lengths differ ($n vs ${y.numElements()})")
     var agree = 0
     var i = 0
     while (i < n) {
-      if (x.getLong(i) == y.getLong(i)) agree += 1
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) agree += 1
       i += 1
     }
     agree
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val agree = ctx.freshName("agree")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |int $agree = 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $agree++;
-         |}
-         |${ev.value} = $agree;
-       """.stripMargin
-    })
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    agreementOf(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sigAgree", this, classOf[SignatureAgreement].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $self.agreementOf($a, $b);")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =

@@ -32,13 +32,9 @@ object Bucketing {
     // EXISTS), so clear both the entry and any orphaned location
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val path = new java.io.File(
-      warehouse.stripPrefix("file:"), table.toLowerCase)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    if (path.exists()) rm(path)
+    // through Hadoop FileSystem: a warehouse on HDFS/S3A cleans up too
+    graft.sources.Fs.deleteRecursive(
+      spark, s"${warehouse.stripSuffix("/")}/${table.toLowerCase}")
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -173,10 +173,7 @@ object Similarity {
       .withColumn("cent_id", element_at(nearestCentroids(col("cv"), matrix, 1), 1))
       .write.mode("overwrite").partitionBy("cent_id").parquet(dir)
     val json = matrix.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_centroids.json"),
-      json.getBytes("UTF-8"))
-    ()
+    graft.sources.Fs.writeUtf8(corpus.sparkSession, s"$dir/_centroids.json", json)
   }
 
   /** Query a persisted IVF index: the distinct probed cluster ids
@@ -188,8 +185,7 @@ object Similarity {
                     queries: DataFrame, idCol: String, vecCol: String,
                     k: Int, nProbe: Int): DataFrame = {
     import graft.expressions.VectorExpressions.nearestCentroids
-    val json = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "_centroids.json")), "UTF-8")
+    val json = graft.sources.Fs.readUtf8(spark, s"$dir/_centroids.json")
     val matrix: Array[Array[Double]] = json.stripPrefix("[").stripSuffix("]")
       .split("\\],\\[").map(_.stripPrefix("[").stripSuffix("]")
         .split(",").map(_.toDouble))

@@ -51,9 +51,9 @@ object Topics {
 
   private def dirOf(conf: TopicConf, topic: String): String = s"${conf.root}/$topic"
 
-  def ensureTopic(conf: TopicConf, topic: String): Unit =
+  def ensureTopic(spark: SparkSession, conf: TopicConf, topic: String): Unit =
     if (conf.transport == TopicConf.Files)
-      new java.io.File(dirOf(conf, topic)).mkdirs()
+      Fs.mkdirs(spark, dirOf(conf, topic))
 
   /** Unbounded scan of a topic's raw records. */
   def readStreamRecords(spark: SparkSession, topic: String, conf: TopicConf): DataFrame =
@@ -66,7 +66,7 @@ object Topics {
           .load()
           .select("key", "value", "topic", "partition", "offset", "timestamp")
       case _ =>
-        ensureTopic(conf, topic)
+        ensureTopic(spark, conf, topic)
         spark.readStream.schema(recordSchema).parquet(dirOf(conf, topic))
     }
 
@@ -82,7 +82,7 @@ object Topics {
           .load()
           .select("key", "value", "topic", "partition", "offset", "timestamp")
       case _ =>
-        ensureTopic(conf, topic)
+        ensureTopic(spark, conf, topic)
         spark.read.schema(recordSchema).parquet(dirOf(conf, topic))
     }
 
@@ -101,10 +101,11 @@ object Topics {
     * partition exactly like a Kafka offset. The partition id is
     * REPACKED out of `monotonically_increasing_id` (which stores it at
     * bit 33 — left there, partition ≥128 would overflow into the next
-    * epoch's bucket and invert cross-epoch order). Bounds: 2^13
-    * partitions, 2^27 rows per partition per append (row clamps at the
-    * cap — ordering beyond it degrades, never inverts epochs),
-    * 2^23 epochs.
+    * epoch's bucket and invert cross-epoch order). Bounds are HARD
+    * invariants, not clamps: 2^13 partitions, 2^27 rows per partition
+    * per append, 2^23 epochs — exceeding one throws (a clamp would
+    * alias offsets at the cap, making latest-by-offset upsert order
+    * nondeterministic among the aliased records).
     */
   def appendJson(df: DataFrame, topic: String, conf: TopicConf,
                  keyCols: Seq[String], epoch: Long,
@@ -121,16 +122,24 @@ object Topics {
       if (hasOp && keyCols.nonEmpty)
         when(col("__op") === "-D", lit(null)).otherwise(valueJson)
       else valueJson
+    require(epoch >= 0 && epoch < (1L << 23),
+      s"appendJson($topic): epoch $epoch outside [0, 2^23)")
     val ts = eventTimeCol.map(c => col(c).cast("timestamp")).getOrElse(current_timestamp())
     val mono = monotonically_increasing_id()
-    val pid = least(shiftright(mono, 33), lit((1L << 13) - 1))
-    val row = least(mono.bitwiseAND(lit((1L << 33) - 1)), lit((1L << 27) - 1))
+    val pid = shiftright(mono, 33)
+    val row = mono.bitwiseAND(lit((1L << 33) - 1))
+    val packed = lit(epoch * (1L << 40)) + shiftleft(pid, 27) + row
+    val offset = coalesce(
+      assert_true(pid < lit(1L << 13) && row < lit(1L << 27),
+        lit(s"appendJson($topic): offset packing overflow — " +
+          "≥2^13 partitions or ≥2^27 rows in one partition in one append")).cast("long"),
+      packed)
     val records = df.select(
       key.as("key"),
       value.cast("binary").as("value"),
       lit(topic).as("topic"),
       spark_partition_id().as("partition"),
-      (lit(epoch * (1L << 40)) + shiftleft(pid, 27) + row).as("offset"),
+      offset.as("offset"),
       ts.as("timestamp"))
     appendRecords(records, topic, conf)
   }
@@ -144,7 +153,7 @@ object Topics {
           .option("topic", topic)
           .save()
       case _ =>
-        ensureTopic(conf, topic)
+        ensureTopic(records.sparkSession, conf, topic)
         records.write.mode("append").parquet(dirOf(conf, topic))
     }
 
@@ -192,23 +201,18 @@ object Topics {
       .where(col("value").isNotNull) // fully-compacted: tombstones drop out
     val tmp = s"$dir.compacting"
     latest.write.mode("overwrite").parquet(tmp)
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    val dirF = new java.io.File(dir)
-    val oldF = new java.io.File(s"$dir.old")
-    if (oldF.exists()) rmTree(oldF)
-    // swap with rollback: every rename result is checked — a silent
-    // false return would otherwise leave a half-swapped topic (or NPE
-    // on the cleanup listing)
-    if (!dirF.renameTo(oldF))
+    val old = s"$dir.old"
+    Fs.deleteRecursive(spark, old)
+    // swap with rollback, through Hadoop FileSystem so a topic root on
+    // HDFS/S3A works too; every rename result is checked — a silent
+    // false return would otherwise leave a half-swapped topic
+    if (!Fs.rename(spark, dir, old))
       throw new java.io.IOException(s"compact: cannot stage $dir aside")
-    if (!new java.io.File(tmp).renameTo(dirF)) {
-      oldF.renameTo(dirF) // roll back to the uncompacted log
+    if (!Fs.rename(spark, tmp, dir)) {
+      Fs.rename(spark, old, dir) // roll back to the uncompacted log
       throw new java.io.IOException(s"compact: cannot swap $tmp into place")
     }
-    rmTree(oldF)
+    Fs.deleteRecursive(spark, old)
     spark.catalog.refreshByPath(dir)
   }
 

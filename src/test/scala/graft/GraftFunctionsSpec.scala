@@ -31,6 +31,23 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(fps.length === 1) // 3 grams < window — single truncated min
   }
 
+  test("signature_agreement: unequal lengths throw; a null position never agrees") {
+    GraftFunctions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT signature_agreement(array(1L, 2L), array(1L, 2L, 3L)) AS a").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("lengths differ")))
+    // two nulls at one position are NOT an agreement (SQL: NULL = NULL
+    // is not true) — getLong on a null slot would have yielded 0 == 0
+    val agree = spark.sql(
+      """SELECT signature_agreement(array(1L, CAST(NULL AS BIGINT), 3L),
+                                    array(1L, CAST(NULL AS BIGINT), 4L)) AS a""")
+      .as[Int].head()
+    assert(agree === 1)
+  }
+
   test("SQL form equals the Column-API form on fixture data") {
     GraftFunctions.register(spark)
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

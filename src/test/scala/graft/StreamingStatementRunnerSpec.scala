@@ -68,6 +68,52 @@ class StreamingStatementRunnerSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("USE scoping: same-named streaming targets in two scopes stay isolated") {
+    implicit val sqlCtx = spark.sqlContext
+    val s1 = MemoryStream[SCust]
+    val s2 = MemoryStream[SCust]
+    s1.toDF().createOrReplaceTempView("src_env1")
+    s2.toDF().createOrReplaceTempView("src_env2")
+
+    val r = new StreamingStatementRunner(spark)
+    r.run("USE CATALOG scoped_env1")
+    r.run("""CREATE TABLE keyed_scoped (customer_id STRING, first_name STRING,
+             last_name STRING, email STRING,
+             PRIMARY KEY (customer_id) NOT ENFORCED)""")
+    r.run("INSERT INTO keyed_scoped SELECT id, first_name, last_name, email FROM src_env1")
+    r.run("USE CATALOG scoped_env2")
+    r.run("""CREATE TABLE keyed_scoped (customer_id STRING, first_name STRING,
+             last_name STRING, email STRING,
+             PRIMARY KEY (customer_id) NOT ENFORCED)""")
+    r.run("INSERT INTO keyed_scoped SELECT id, first_name, last_name, email FROM src_env2")
+
+    s1.addData(SCust("c1", "Env1", "A", "1@x"))
+    s2.addData(SCust("c1", "Env2", "B", "2@x"), SCust("c9", "Nine", "N", "9@x"))
+    r.processAllAvailable()
+
+    // current scope is env2: the bare name resolves to env2's table, and
+    // env1's micro-batches (which also arrived) must not have clobbered it
+    val env2 = spark.table("keyed_scoped").select("customer_id", "first_name")
+      .as[(String, String)].collect().toMap
+    assert(env2 === Map("c1" -> "Env2", "c9" -> "Nine"))
+
+    // switching back rebinds the bare name to env1's state
+    r.run("USE CATALOG scoped_env1")
+    val env1 = spark.table("keyed_scoped").select("customer_id", "first_name")
+      .as[(String, String)].collect().toMap
+    assert(env1 === Map("c1" -> "Env1"))
+
+    // a micro-batch for env2's table landing while env1 is current must
+    // refresh only env2's scoped shadow, not the bare binding
+    s2.addData(SCust("c2", "Late", "L", "l@x"))
+    r.processAllAvailable()
+    assert(spark.table("keyed_scoped").select("customer_id", "first_name")
+      .as[(String, String)].collect().toMap === Map("c1" -> "Env1"))
+    r.run("USE CATALOG scoped_env2")
+    assert(spark.table("keyed_scoped").count() === 3)
+    r.stopAll()
+  }
+
   test("tableRefs: CTE aliases are not table references; dotted names resolve to the last part") {
     val r = new graft.exec.StreamingStatementRunner(spark)
     // a CTE alias counted as a ref would misroute a pure single-stream

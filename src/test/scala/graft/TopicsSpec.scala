@@ -87,6 +87,16 @@ class TopicsSpec extends SparkSpec {
     assert(after.where(col("offset") >= 2L * (1L << 40)).count() === 2)
   }
 
+  test("appendJson rejects an out-of-range epoch (offset-packing hard invariant)") {
+    val conf = freshConf()
+    intercept[IllegalArgumentException] {
+      Topics.appendJson(Seq(("a", 1)).toDF("k", "n"), "te", conf, Nil, epoch = 1L << 23)
+    }
+    intercept[IllegalArgumentException] {
+      Topics.appendJson(Seq(("a", 1)).toDF("k", "n"), "te", conf, Nil, epoch = -1L)
+    }
+  }
+
   test("Avro-valued records decode through the codec with metadata columns intact") {
     val conf = freshConf()
     val schemaJson =
