@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextAnalysis
-import graft.operators.{ChangelogOps, Dedup, Multimodal, Similarity}
+import graft.operators.{ChangelogOps, CorpusStats, Dedup, Multimodal, Sampling, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -456,7 +456,32 @@ object SparkEntry {
       val hist = Multimodal.byteHistogram(media).toDF()
       hist.select(col("id") +: col("n_bytes") +:
         (0 until 16).map(i => element_at(col("counts"), i + 1).as(f"bin_$i%02d")): _*)
-    }))
+    }),
+
+    // ── corpus vocabulary: top-50 heavy-hitter tokens. (token, doc)
+    //    pre-agg de-skews hot stopword keys; top-k is
+    //    TakeOrderedAndProject, never a global sort ──
+    "q42_heavy_hitters" -> ((s, dir) =>
+      CorpusStats.heavyHitterTokens(t(s, dir, "documents"), "doc_id", "text", k = 50)),
+
+    // ── TF-IDF: top-5 terms per doc; N in-plan, tf⋈df token-shuffle
+    //    join, rank on the ROUNDED score with token tiebreak ──
+    "q43_tfidf" -> ((s, dir) =>
+      CorpusStats.tfIdf(t(s, dir, "documents"), "doc_id", "text", topPerDoc = 5)),
+
+    // ── deterministic content-hash sampling: md5-bucket < 10 of 100 —
+    //    engine-portable (exact oracle), partitioning-independent, the
+    //    train/holdout split primitive ──
+    "q44_hash_sample" -> ((s, dir) =>
+      Sampling.portableSample(t(s, dir, "documents"), "doc_id", keep = 10)
+        .select("doc_id", "lang", "source", "n_chars", "bucket")),
+
+    // ── exact token-count quantiles per language — distributed-sort
+    //    interpolation, NOT Spark's buffering percentile aggregate ──
+    "q45_token_quantiles" -> ((s, dir) =>
+      CorpusStats.tokenQuantiles(t(s, dir, "documents"), "lang", "text")
+        .select("lang", "n_docs", "total_tokens", "avg_tokens",
+          "p50_tokens", "p90_tokens", "p99_tokens")))
 
   /** DuckDB CTE block reproducing `LshSignatures` bit-for-bit: ±1 plane
     * signs from md5("plane|seed|t|b|d"), dot over floor(v·2^20) integer
@@ -969,5 +994,81 @@ object SparkEntry {
     "q34_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q42_heavy_hitters" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           FROM documents
+         ), c AS (
+           SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+           FROM tk GROUP BY 1
+         ), r AS (
+           SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS INT) AS rank,
+                  token, n_occurrences, n_docs
+           FROM c
+         )
+         SELECT rank, token, n_occurrences, n_docs FROM r WHERE rank <= 50""",
+    // rank on the ROUNDED score (token tiebreak): both engines rank the
+    // same 6-dp values, immune to last-ulp ln() differences
+    "q43_tfidf" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2
+         ), dfq AS (
+           SELECT token, count(*) AS df FROM tf GROUP BY 1
+         ), n AS (
+           SELECT count(*) AS n_docs FROM documents
+         ), s AS (
+           SELECT doc_id, token, round(tf * ln(n_docs / df), 6) AS tfidf
+           FROM tf JOIN dfq USING (token) CROSS JOIN n
+         ), r AS (
+           SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rank,
+             token, tfidf
+           FROM s
+         )
+         SELECT doc_id, rank, token, tfidf FROM r WHERE rank <= 5""",
+    // bucket = first 32 bits of md5('graft:' || id) mod 100 — the same
+    // hex-nibble parse the MinHash oracle uses
+    "q44_hash_sample" ->
+      """SELECT doc_id, lang, source, n_chars, bucket FROM (
+           SELECT doc_id, lang, source, n_chars,
+             CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS INT) AS bucket
+           FROM (SELECT doc_id, lang, source, n_chars,
+                   md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+         ) WHERE bucket < 10""",
+    // explicit quantile interpolation (idx = (n-1)p; v_lo(1-frac) +
+    // v_hi·frac) — the same IEEE ops the Spark plan runs, NOT
+    // quantile_cont, so the doubles match bit-for-bit pre-round
+    "q45_token_quantiles" -> {
+      def q(p: String, alias: String) =
+        s"""round(sum(CASE
+              WHEN rn = floor(CAST(n - 1 AS DOUBLE) * $p) + 1
+                THEN v * (1.0 - (CAST(n - 1 AS DOUBLE) * $p - floor(CAST(n - 1 AS DOUBLE) * $p)))
+              WHEN rn = floor(CAST(n - 1 AS DOUBLE) * $p) + 2
+                THEN v * (CAST(n - 1 AS DOUBLE) * $p - floor(CAST(n - 1 AS DOUBLE) * $p))
+              ELSE 0.0 END), 6) AS $alias"""
+      s"""WITH b AS (
+           SELECT lang AS grp,
+             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS DOUBLE) AS v
+           FROM documents
+         ), r AS (
+           SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+           FROM b
+         )
+         SELECT grp AS lang, count(*) AS n_docs,
+           CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS total_tokens,
+           round(CAST(CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_tokens,
+           ${q("0.5", "p50_tokens")},
+           ${q("0.9", "p90_tokens")},
+           ${q("0.99", "p99_tokens")}
+         FROM r GROUP BY grp"""
+    })
 }

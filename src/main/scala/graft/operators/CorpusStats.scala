@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term statistics for training-data curation: the
+  * vocabulary views a pipeline consults before filtering (heavy
+  * hitters), weighting (TF-IDF) or profiling (token-count quantiles) a
+  * document set. All plans are shuffle-minimal and skew-aware:
+  * per-(token, doc) pre-aggregation bounds any hot token's partition to
+  * the distinct-doc count, and quantiles are computed with a
+  * distributed sort — never by buffering a group's values in memory
+  * (Spark's exact `percentile` aggregate does, which caps it at
+  * driver-scale groups; this formulation survives 100 TB).
+  */
+object CorpusStats {
+
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+
+  /** Top-k corpus tokens by total occurrences (ties broken by token).
+    * Two map-combinable shuffles: (token, doc) pre-agg — which also
+    * de-skews ubiquitous tokens — then per-token totals; the top-k is a
+    * TakeOrderedAndProject, not a global sort. Output: rank, token,
+    * n_occurrences, n_docs. */
+  def heavyHitterTokens(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    val perDoc = tokenized(docs, idCol, textCol)
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("n_in_doc"))
+    val counts = perDoc.groupBy("token").agg(
+      sum("n_in_doc").as("n_occurrences"), count(lit(1)).as("n_docs"))
+    val topK = counts.orderBy(desc("n_occurrences"), asc("token")).limit(k)
+    // the window ranks only the k surviving rows — not the vocabulary
+    topK.withColumn("rank",
+        row_number().over(Window.orderBy(desc("n_occurrences"), asc("token"))))
+      .select("rank", "token", "n_occurrences", "n_docs")
+  }
+
+  /** Top-`topPerDoc` TF-IDF terms per document.
+    *
+    * idf = ln(N / df) with N computed IN the plan (a broadcast 1-row
+    * aggregate, no driver action); tf ⋈ df is a token-key shuffle join
+    * (df can be vocabulary-sized — never broadcast it). Ranking uses
+    * the ROUNDED score (6 dp) with the token as tiebreak, so the
+    * ranking is reproducible engine-to-engine even where libm `ln`
+    * differs in the last ulp (the repo's metric-double rule). */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String,
+            topPerDoc: Int): DataFrame = {
+    val tf = tokenized(docs, idCol, textCol)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topPerDoc)
+      .select("doc_id", "rank", "token", "tfidf")
+  }
+
+  /** Exact token-count distribution per group: count, total, mean and
+    * linearly-interpolated quantiles (the `quantile_cont` definition:
+    * idx = (n-1)·p; v = v_lo·(1-frac) + v_hi·frac).
+    *
+    * Distributed: one window sort per group (spillable), then one
+    * combinable aggregation — each quantile is a conditional sum over
+    * the two bracketing ranks, so NO group's values are ever buffered.
+    * The interpolation arithmetic is spelled out (not a built-in) so an
+    * oracle running the same IEEE ops reproduces it bit-for-bit. */
+  def tokenQuantiles(docs: DataFrame, groupCol: String, textCol: String,
+                     ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val base = docs.select(col(groupCol).as("grp"),
+      TextAnalysis.tokenCount(col(textCol)).cast("double").as("v"))
+    val ranked = base
+      .withColumn("rn", row_number().over(Window.partitionBy("grp").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+    val quantileCols = ps.map { p =>
+      val idx = (col("n") - 1).cast("double") * lit(p)
+      val lo = floor(idx) + 1 // rn is 1-based
+      val frac = idx - floor(idx)
+      // ties in v make rank assignment among equals irrelevant: the
+      // bracketing values are equal whichever row got the rank
+      val contrib = when(col("rn") === lo, col("v") * (lit(1.0) - frac))
+        .when(col("rn") === lo + 1, col("v") * frac)
+        .otherwise(lit(0.0))
+      round(sum(contrib), 6).as(s"p${(p * 100).toInt}_tokens")
+    }
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      sum(col("v").cast("long")).as("total_tokens")) ++ quantileCols
+    ranked.groupBy(col("grp").as(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("avg_tokens",
+        round(col("total_tokens").cast("double") / col("n_docs").cast("double"), 6))
+  }
+}

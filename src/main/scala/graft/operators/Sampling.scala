@@ -27,6 +27,22 @@ object Sampling {
     df.where(abs(xxhash64(lit(seed), col(idCol))) < threshold)
   }
 
+  /** Engine-portable content-keyed sample: keep rows whose bucket —
+    * the first 32 bits of md5(seed ':' id) taken mod `outOf` — falls
+    * below `keep`. Same contract as `deterministicSample` (pure
+    * function of content: no shuffle, stable across partitionings and
+    * cluster sizes) but md5-derived, so any SQL engine reproduces the
+    * exact row set (xxhash64 seeds/variants differ between engines).
+    * The bucket column is also how a pipeline splits train/holdout
+    * deterministically. */
+  def portableSample(df: DataFrame, idCol: String, keep: Int, outOf: Int = 100,
+                     seed: String = "graft"): DataFrame = {
+    require(keep >= 0 && keep <= outOf && outOf > 0)
+    val hx = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary"))
+    val bucket = (conv(substring(hx, 1, 8), 16, 10).cast("long") % outOf).cast("int")
+    df.withColumn("bucket", bucket).where(col("bucket") < keep)
+  }
+
   /** Buffer: k smallest (hash, payload) pairs seen so far. */
   final case class BottomK(k: Int, items: List[(Long, String)]) {
     // distinct BEFORE take in both paths: duplicate values must occupy

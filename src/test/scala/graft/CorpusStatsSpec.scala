@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{CorpusStats, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Behavioral checks for the corpus-statistics operators (their exact
+  * engine-vs-oracle equivalence is covered by the driver queries
+  * q42–q45; these pin the semantics on hand-computed inputs). */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("heavyHitterTokens: counts, doc frequencies and deterministic tie ranking") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma"),
+      (3L, "alpha")).toDF("doc_id", "text")
+    val top = CorpusStats.heavyHitterTokens(docs, "doc_id", "text", k = 10)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    // alpha: 3 occurrences / 2 docs; beta: 2/2; gamma: 1/1
+    assert(top === Seq((1, "alpha", 3L, 2L), (2, "beta", 2L, 2L), (3, "gamma", 1L, 1L)))
+  }
+
+  test("tfIdf: a token present in every document scores zero; ranking tiebreaks on token") {
+    val docs = Seq(
+      (1L, "common rare rare"),
+      (2L, "common solo")).toDF("doc_id", "text")
+    val scores = CorpusStats.tfIdf(docs, "doc_id", "text", topPerDoc = 3)
+      .as[(Long, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    // idf(common) = ln(2/2) = 0 → always ranked below any positive score
+    assert(scores(1L) === Seq(("rare", math.rint(2 * math.log(2.0) * 1e6) / 1e6), ("common", 0.0)))
+    assert(scores(2L).head._1 === "solo")
+    assert(scores(2L).last === (("common", 0.0)))
+  }
+
+  test("tokenQuantiles: linear interpolation matches the hand-computed values") {
+    // token counts 1,2,3,4,5 → p50 = 3; p90: idx 3.6 → 4·0.4 + 5·0.6 = 4.6;
+    // p99: idx 3.96 → 4·0.04 + 5·0.96 = 4.96
+    val docs = Seq(
+      ("en", "a"), ("en", "a b"), ("en", "a b c"),
+      ("en", "a b c d"), ("en", "a b c d e")).toDF("lang", "text")
+    val row = CorpusStats.tokenQuantiles(docs, "lang", "text")
+      .select("lang", "n_docs", "total_tokens", "avg_tokens",
+        "p50_tokens", "p90_tokens", "p99_tokens")
+      .as[(String, Long, Long, Double, Double, Double, Double)].head()
+    assert(row === (("en", 5L, 15L, 3.0, 3.0, 4.6, 4.96)))
+  }
+
+  test("portableSample: deterministic under repartitioning; buckets partition the rows") {
+    val docs = spark.range(0, 1000).toDF("doc_id")
+    val a = Sampling.portableSample(docs, "doc_id", keep = 10)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.portableSample(docs.repartition(13), "doc_id", keep = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b, "sample must be a pure function of content")
+    assert(a.nonEmpty && a.size < 1000)
+    // keep = outOf keeps everything; buckets stay inside [0, outOf)
+    val all = Sampling.portableSample(docs, "doc_id", keep = 100)
+    assert(all.count() === 1000)
+    assert(all.agg(min(col("bucket")), max(col("bucket")))
+      .as[(Int, Int)].head() match { case (lo, hi) => lo >= 0 && hi < 100 })
+  }
+}

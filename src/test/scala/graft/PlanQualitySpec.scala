@@ -107,4 +107,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("signature_agreement"), s"SignatureAgreement missing:\n$plan")
     assert(!plan.contains("zip_with"), s"interpreted HOF verify tail:\n$plan")
   }
+
+  test("q42: top-k is a bounded heap over the aggregate, never a global sort") {
+    val df = SparkEntry.queries("q42_heavy_hitters")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocabulary top-k must be TakeOrderedAndProject:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"token counts must partial-aggregate map-side:\n$plan")
+  }
+
+  test("q44: content-hash sampling is a pure scan filter — zero shuffles") {
+    val plan = executedPlan("q44_hash_sample")
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
+  test("q45: quantiles reuse the window's partitioning — one shuffle, no global window") {
+    val df = SparkEntry.queries("q45_token_quantiles")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"window partitioning must satisfy the final aggregation:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"quantile window must be partitioned by group, not global:\n$plan")
+  }
 }
