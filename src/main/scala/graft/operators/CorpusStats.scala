@@ -49,8 +49,13 @@ object CorpusStats {
     * differs in the last ulp (the repo's metric-double rule). */
   def tfIdf(docs: DataFrame, idCol: String, textCol: String,
             topPerDoc: Int): DataFrame = {
+    // cached: tf feeds BOTH the df aggregation and the join — uncached,
+    // Catalyst re-scans and re-tokenizes the whole corpus for each use.
+    // tf is the per-(doc, token) aggregate (~10× smaller than the text;
+    // spills to disk if memory-tight), the standard thing to persist.
     val tf = tokenized(docs, idCol, textCol)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .cache()
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))

@@ -118,6 +118,15 @@ class PlanQualitySpec extends SparkSpec {
       s"token counts must partial-aggregate map-side:\n$plan")
   }
 
+  test("q43: the corpus is tokenized ONCE — df reuses the cached tf aggregate") {
+    val df = SparkEntry.queries("q43_tfidf")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert("Generate explode".r.findAllIn(plan).size === 1,
+      s"tf must be cached — uncached, the corpus re-tokenizes per use:\n$plan")
+  }
+
   test("q44: content-hash sampling is a pure scan filter — zero shuffles") {
     val plan = executedPlan("q44_hash_sample")
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
