@@ -15,6 +15,11 @@ import graft.catalog.ChangelogMode
   *   INSERT INTO t [(col, ...)] SELECT ...;
   *   ALTER TABLE t MODIFY (`col` TYPE);
   *   ALTER TABLE t MODIFY WATERMARK FOR `col` AS `col` [expr];
+  *
+  * plus the windowing TVFs the lab-time scope implies (SURVEY.md §2.3):
+  * `TABLE(TUMBLE|HOP|CUMULATE(TABLE t, DESCRIPTOR(ts), INTERVAL ...))`
+  * inside any SELECT, lowered to Spark `window()` / explode subqueries
+  * by `rewriteWindowTvfs`.
   */
 object StatementPreprocessor {
 
@@ -92,14 +97,98 @@ object StatementPreprocessor {
     case InsertRe(target, _, colList, select) =>
       val cols = Option(colList)
         .map(_.split(",").map(stripQuotes).toSeq).getOrElse(Nil)
-      InsertInto(target, cols, select.trim)
+      InsertInto(target, cols, rewriteWindowTvfs(select.trim))
     case AlterColRe(table, column, newType) =>
       AlterModifyColumn(table, column, newType)
     case AlterWmRe(table, column, expr) =>
       AlterModifyWatermark(table, column, stripQuotes(expr))
     case UseCatalogRe(name) => UseCatalog(name)
     case UseDbRe(name) => UseDatabase(name)
-    case other => Passthrough(other.trim)
+    case other => Passthrough(rewriteWindowTvfs(other.trim))
+  }
+
+  // ── windowing TVFs (SURVEY.md §2.4: "lower to Spark window()/
+  //    session_window() expressions at translation time") ──
+  // Flink:  FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL 'n' UNIT))
+  // The rewrite yields a subquery exposing the TVF contract columns
+  // `window_start`/`window_end` next to every source column, so the
+  // canonical `GROUP BY window_start, window_end` works unchanged.
+  private val TumbleRe =
+    ("""(?is)TABLE\s*\(\s*TUMBLE\s*\(\s*(?:DATA\s*=>\s*)?TABLE\s+`?(\w+)`?\s*,\s*""" +
+      """(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*`?([\w$]+)`?\s*\)\s*,\s*""" +
+      """(?:SIZE\s*=>\s*)?INTERVAL\s+'([^']+)'\s+(\w+)\s*\)\s*\)""").r
+  private val HopRe =
+    ("""(?is)TABLE\s*\(\s*HOP\s*\(\s*(?:DATA\s*=>\s*)?TABLE\s+`?(\w+)`?\s*,\s*""" +
+      """(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*`?([\w$]+)`?\s*\)\s*,\s*""" +
+      """(?:SLIDE\s*=>\s*)?INTERVAL\s+'([^']+)'\s+(\w+)\s*,\s*""" +
+      """(?:SIZE\s*=>\s*)?INTERVAL\s+'([^']+)'\s+(\w+)\s*\)\s*\)""").r
+  private val CumulateRe =
+    ("""(?is)TABLE\s*\(\s*CUMULATE\s*\(\s*(?:DATA\s*=>\s*)?TABLE\s+`?(\w+)`?\s*,\s*""" +
+      """(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*`?([\w$]+)`?\s*\)\s*,\s*""" +
+      """(?:STEP\s*=>\s*)?INTERVAL\s+'([^']+)'\s+(\w+)\s*,\s*""" +
+      """(?:SIZE\s*=>\s*)?INTERVAL\s+'([^']+)'\s+(\w+)\s*\)\s*\)""").r
+  private val SessionTvfRe = """(?is)TABLE\s*\(\s*SESSION\s*\(""".r
+
+  private def intervalStr(n: String, unit: String): String =
+    s"${n.trim} ${unit.trim.toLowerCase}"
+
+  private def intervalMicros(n: String, unit: String): Long = {
+    val base = unit.trim.toLowerCase.stripSuffix("s") match {
+      case "millisecond" => 1000L
+      case "second" => 1000000L
+      case "minute" => 60L * 1000000L
+      case "hour" => 3600L * 1000000L
+      case "day" => 86400L * 1000000L
+      case other => throw new IllegalArgumentException(s"unsupported interval unit: $other")
+    }
+    n.trim.toLong * base
+  }
+
+  /** Rewrite `TABLE(TUMBLE|HOP|CUMULATE(...))` windowing TVFs to Spark
+    * subqueries. TUMBLE/HOP lower to the native `window()` expression;
+    * CUMULATE (no Spark analog) lowers to the same explode-over-
+    * expansions shape as `graft.operators.WindowOps.cumulate`: windows
+    * share a start aligned to SIZE and grow by STEP — a stateless
+    * row-local expansion, streaming-compatible.
+    * `TABLE(SESSION(...))` is rejected with direction to Spark's
+    * `GROUP BY session_window(ts, gap)` (session merging is an
+    * aggregation, not a row-local projection — it cannot be a TVF
+    * subquery). */
+  def rewriteWindowTvfs(sql: String): String = {
+    if (SessionTvfRe.findFirstIn(sql).isDefined)
+      throw new IllegalArgumentException(
+        "TABLE(SESSION(...)) has no row-local lowering; write " +
+          "GROUP BY session_window(`ts`, '<gap>') instead")
+    val t1 = TumbleRe.replaceAllIn(sql, m => {
+      val (tbl, ts, n, u) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      java.util.regex.Matcher.quoteReplacement(
+        s"""(SELECT * EXCEPT(__w), __w.start AS window_start, __w.end AS window_end
+           | FROM (SELECT *, window(`$ts`, '${intervalStr(n, u)}') AS __w FROM $tbl))""".stripMargin)
+    })
+    val t2 = HopRe.replaceAllIn(t1, m => {
+      val (tbl, ts) = (m.group(1), m.group(2))
+      val slide = intervalStr(m.group(3), m.group(4))
+      val size = intervalStr(m.group(5), m.group(6))
+      java.util.regex.Matcher.quoteReplacement(
+        s"""(SELECT * EXCEPT(__w), __w.start AS window_start, __w.end AS window_end
+           | FROM (SELECT *, window(`$ts`, '$size', '$slide') AS __w FROM $tbl))""".stripMargin)
+    })
+    CumulateRe.replaceAllIn(t2, m => {
+      val (tbl, ts) = (m.group(1), m.group(2))
+      val stepUs = intervalMicros(m.group(3), m.group(4))
+      val sizeUs = intervalMicros(m.group(5), m.group(6))
+      require(sizeUs % stepUs == 0, "CUMULATE: step must divide size")
+      val steps = sizeUs / stepUs
+      java.util.regex.Matcher.quoteReplacement(
+        s"""(SELECT * EXCEPT(__ws_us, __we_us),
+           |        timestamp_micros(__ws_us) AS window_start,
+           |        timestamp_micros(__we_us) AS window_end
+           | FROM (SELECT * EXCEPT(__k), __ws_us + __k * ${stepUs}L AS __we_us
+           |       FROM (SELECT *, (unix_micros(`$ts`) div ${sizeUs}L) * ${sizeUs}L AS __ws_us,
+           |                    explode(sequence(1, $steps)) AS __k
+           |             FROM $tbl))
+           | WHERE unix_micros(`$ts`) < __we_us)""".stripMargin)
+    })
   }
 
   /** Index of the ')' matching the '(' at position 0 of `s`. */

@@ -234,11 +234,21 @@ final class StreamingStatementRunner(spark: SparkSession,
     }
 
   /** Pure-streaming INSERT: the select streams end-to-end; each
-    * micro-batch sinks to the target topic. */
+    * micro-batch sinks to the target topic.
+    *
+    * Output mode: `update` for upsert-keyed targets — each micro-batch
+    * carries the CHANGED rows, which the upsert topic folds by primary
+    * key. That is exactly Flink's update-mode aggregation (the S1–S6
+    * keyed-table pipeline's semantics, SURVEY.md §2.3): a streaming
+    * `GROUP BY k` INSERT INTO a PRIMARY KEY table continuously revises
+    * per-key aggregates. For non-aggregating selects `update` emits the
+    * same rows `append` would, so the mode is safe across the board;
+    * append/retract targets keep `append` (every record is a fact). */
   private def startDirect(target: TargetBinding, meta: TableMeta, targetCols: Seq[String],
                           select: String): StreamingQuery = {
     val renamed = renameTo(meta, targetCols, spark.sql(select))
-    renamed.writeStream.outputMode("append")
+    val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
+    renamed.writeStream.outputMode(if (isUpsert) "update" else "append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sinkBatch(target, meta, batch)
         ()

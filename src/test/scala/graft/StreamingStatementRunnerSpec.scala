@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 final case class SCust(id: String, first_name: String, last_name: String, email: String)
 final case class SOrd(order_id: Int, product_id: String, customer_id: String)
+final case class SEvt(user_id: String, ts: java.sql.Timestamp)
 
 /** The reference's S1/S2 (and the S6 join shape) executed as LONG-RUNNING
   * streaming statements through the dialect runner, fed by MemoryStreams
@@ -65,6 +66,61 @@ class StreamingStatementRunnerSpec extends SparkSpec {
     assert(log.count() === 3)
     assert(log.columns.contains("__op"))
     assert(log.select("__op").distinct().as[String].collect().toSeq === Seq("+I"))
+    r.stopAll()
+  }
+
+  test("streaming update-mode aggregation into an upsert table revises per-key aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[SOrd]
+    orders.toDF().createOrReplaceTempView("orders_s_agg")
+
+    val r = new StreamingStatementRunner(spark)
+    r.run("""CREATE TABLE orders_per_cust (customer_id STRING, n BIGINT,
+             PRIMARY KEY (customer_id) NOT ENFORCED)""")
+    // Flink's update-mode aggregation: the keyed table continuously
+    // revises per-key aggregates as new orders stream in
+    r.run("INSERT INTO orders_per_cust SELECT customer_id, count(*) FROM orders_s_agg GROUP BY customer_id")
+
+    orders.addData(SOrd(1, "p1", "c1"), SOrd(2, "p2", "c1"), SOrd(3, "p3", "c2"))
+    r.processAllAvailable()
+    assert(spark.table("orders_per_cust").as[(String, Long)].collect().toMap
+      === Map("c1" -> 2L, "c2" -> 1L))
+
+    // a later micro-batch revises only c1; c2's state must survive
+    orders.addData(SOrd(4, "p4", "c1"))
+    r.processAllAvailable()
+    assert(spark.table("orders_per_cust").as[(String, Long)].collect().toMap
+      === Map("c1" -> 3L, "c2" -> 1L))
+    r.stopAll()
+  }
+
+  test("streaming TUMBLE TVF aggregation maintains per-window counts") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val clicks = MemoryStream[SEvt]
+    clicks.toDF().createOrReplaceTempView("clicks_tvf_s")
+
+    val r = new StreamingStatementRunner(spark)
+    r.run("""CREATE TABLE clicks_per_window (window_start TIMESTAMP, window_end TIMESTAMP,
+             n BIGINT, PRIMARY KEY (window_start) NOT ENFORCED)""")
+    r.run("""INSERT INTO clicks_per_window
+             SELECT window_start, window_end, count(*)
+             FROM TABLE(TUMBLE(TABLE clicks_tvf_s, DESCRIPTOR(ts), INTERVAL '10' MINUTES))
+             GROUP BY window_start, window_end""")
+
+    clicks.addData(SEvt("u1", ts(1)), SEvt("u2", ts(4)), SEvt("u1", ts(12)))
+    r.processAllAvailable()
+    val w1 = spark.table("clicks_per_window")
+      .select(unix_micros(col("window_start")), col("n")).as[(Long, Long)].collect().toMap
+    def us(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00").getTime * 1000
+    assert(w1 === Map(us(0) -> 2L, us(10) -> 1L))
+
+    // a late-batch arrival in the first window revises that window only
+    clicks.addData(SEvt("u3", ts(7)))
+    r.processAllAvailable()
+    val w2 = spark.table("clicks_per_window")
+      .select(unix_micros(col("window_start")), col("n")).as[(Long, Long)].collect().toMap
+    assert(w2 === Map(us(0) -> 3L, us(10) -> 1L))
     r.stopAll()
   }
 
