@@ -458,6 +458,23 @@ object SparkEntry {
         (0 until 16).map(i => element_at(col("counts"), i + 1).as(f"bin_$i%02d")): _*)
     }),
 
+    // ── quality signal: within-doc repetition (duplicated-bigram
+    //    fraction — boilerplate/spam marker). Pure per-row scan op:
+    //    the one-pass GramHashes kernel counts distinct bigrams, no
+    //    explode, no shuffle (hash-distinct ≈ string-distinct at the
+    //    documented ~2⁻⁶⁴ collision odds, as in q18) ──
+    "q46_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .where(size(col("__toks")) >= 2)
+        .select(col("doc_id"),
+          (size(col("__toks")) - 1).as("n_grams"),
+          size(graft.expressions.HashExpressions.gramHashes(col("__toks"), 2))
+            .as("n_distinct_grams"))
+        .withColumn("repetition_ratio",
+          round(lit(1.0) - col("n_distinct_grams").cast("double")
+            / col("n_grams").cast("double"), 6))),
+
     // ── corpus vocabulary: top-50 heavy-hitter tokens. (token, doc)
     //    pre-agg de-skews hot stopword keys; top-k is
     //    TakeOrderedAndProject, never a global sort ──
@@ -995,6 +1012,23 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q46_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), g AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS gram
+           FROM t WHERE len(toks) >= 2
+         ), c AS (
+           SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+             CAST(count(DISTINCT gram) AS INT) AS n_distinct_grams
+           FROM g GROUP BY 1
+         )
+         SELECT doc_id, n_grams, n_distinct_grams,
+           round(1.0 - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS repetition_ratio
+         FROM c""",
     "q42_heavy_hitters" ->
       """WITH tk AS (
            SELECT doc_id,
