@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{LshSignatures, MinHashSignature, NormalizeText, SignatureAgreement, VectorDot, WinnowFingerprints}
+import graft.expressions.{GramHashes, LshSignatures, MinHashSignature, MinHashTokens, NormalizeText, SignatureAgreement, VectorDot, WinnowFingerprints}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -62,6 +62,17 @@ object GraftFunctions {
       arity("winnow_fingerprints", exprs, 3, 3)
       WinnowFingerprints(exprs(0),
         intLit(exprs(1), "k").toInt, intLit(exprs(2), "w").toInt)
+    }),
+    // gram_hashes(tokens, n) — distinct 64-bit word-n-gram hashes
+    "gram_hashes" -> (exprs => {
+      arity("gram_hashes", exprs, 2, 2)
+      GramHashes(exprs(0), intLit(exprs(1), "n").toInt)
+    }),
+    // minhash_tokens(tokens, n, numHashes) — fused tokens→grams→MinHash
+    "minhash_tokens" -> (exprs => {
+      arity("minhash_tokens", exprs, 3, 3)
+      MinHashTokens(exprs(0),
+        intLit(exprs(1), "n").toInt, intLit(exprs(2), "numHashes").toInt)
     }))
 
   def register(spark: SparkSession): Unit =
