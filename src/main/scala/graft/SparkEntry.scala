@@ -498,7 +498,35 @@ object SparkEntry {
     "q45_token_quantiles" -> ((s, dir) =>
       CorpusStats.tokenQuantiles(t(s, dir, "documents"), "lang", "text")
         .select("lang", "n_docs", "total_tokens", "avg_tokens",
-          "p50_tokens", "p90_tokens", "p99_tokens")))
+          "p50_tokens", "p90_tokens", "p99_tokens")),
+
+    // ── near-dup CLUSTERS: q19's LSH pairs → connected components
+    //    (iterated min-label propagation; O(diameter) rounds, each one
+    //    sparse equi-join + map-combinable min — nothing quadratic) ──
+    "q47_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
+
+    // ── fingerprint-overlap near-dup pairs (MOSS): inverted index on
+    //    winnowing fingerprints, broadcast-anti-join hot-fp cap — finds
+    //    copied PASSAGES whole-doc Jaccard misses ──
+    "q48_fingerprint_overlap" -> ((s, dir) =>
+      Dedup.fingerprintOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 8, minShared = 2, maxFpFreq = Some(100))),
+
+    // ── deterministic Lloyd k-means (2 iterations): per-row codegen L2
+    //    argmin assignment, one (cluster, dim)-key shuffle per update,
+    //    6-dp-rounded means so the replay is engine-portable ──
+    "q49_kmeans_refine" -> ((s, dir) =>
+      Similarity.kmeansRefine(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)),
+
+    // ── stratified corpus rebalancing: per-language keep rates over the
+    //    portable md5 bucket — stateless per-row filter, no shuffle ──
+    "q50_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedPortableSample(t(s, dir, "documents"), "doc_id", "lang",
+          rates = Map("en" -> 10, "zh" -> 80), defaultKeep = 30)
+        .select("doc_id", "lang", "source", "bucket")))
 
   /** DuckDB CTE block reproducing `LshSignatures` bit-for-bit: ±1 plane
     * signs from md5("plane|seed|t|b|d"), dot over floor(v·2^20) integer
@@ -521,6 +549,117 @@ object SparkEntry {
        ), sig AS (
          SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS sig FROM sigbits GROUP BY vec_id, t
        )"""
+
+  /** DuckDB query reproducing `Dedup.minHashLshPairs` (q19) exactly —
+    * factored out so the q47 clustering oracle can build its edge list
+    * from the same pairs. sig_i = min over shingles of (h1 + i·h2),
+    * h1/h2 = the two 48-bit halves of md5(shingle) — exact integers in
+    * both engines. Banding: any pair agreeing on ≥ 52/64 positions
+    * shares ≥1 fully-equal band (pigeonhole), so bucket identity ==
+    * slice equality. */
+  private def minhashPairsSql: String = {
+    def parse12(start: Int) =
+      s"CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + $start AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT)"
+    s"""WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM t WHERE len(toks) >= 3
+         ), hh AS (
+           SELECT doc_id, ${parse12(1)} AS h1, ${parse12(13)} AS h2
+           FROM (SELECT doc_id, md5(shingle) AS hx FROM sh)
+         ), mh AS (
+           SELECT doc_id, i.i AS i, min(h1 + i.i * h2) AS mh
+           FROM hh CROSS JOIN range(64) i(i) GROUP BY doc_id, i.i
+         ), band AS (
+           SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+           FROM mh GROUP BY doc_id, band
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         )
+         SELECT id_a, id_b,
+           CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 AS est_jaccard
+         FROM cand
+         JOIN mh ma ON ma.doc_id = id_a
+         JOIN mh mb ON mb.doc_id = id_b AND ma.i = mb.i
+         GROUP BY id_a, id_b
+         HAVING CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 >= 0.8"""
+  }
+
+  /** DuckDB CTE block reproducing `Dedup.winnowFingerprints` (q40):
+    * 4-gram hashes = first 48 bits of md5; fingerprints = DISTINCT
+    * window-min VALUES over sliding windows of 8 grams. Yields
+    * `sel(doc_id, win, fp)` — consumers take DISTINCT (doc_id, fp).
+    * Factored out so the q48 overlap oracle reuses it. */
+  private val winnowFpCtes: String =
+    """t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), g AS (
+           SELECT doc_id, i,
+             CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT) AS h
+           FROM (
+             SELECT doc_id, i,
+               md5(toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2] || ' ' || toks[CAST(i AS INT) + 3]) AS hx
+             FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+                   FROM t WHERE len(toks) >= 4)
+           )
+         ), gc AS (
+           SELECT doc_id, count(*) AS m FROM g GROUP BY doc_id
+         ), wins AS (
+           SELECT doc_id, unnest(range(1, greatest(2, m - 6))) AS win FROM gc
+         ), sel AS (
+           SELECT w.doc_id, w.win, min(g.h) AS fp
+           FROM wins w JOIN g ON g.doc_id = w.doc_id AND g.i BETWEEN w.win AND w.win + 7
+           GROUP BY 1, 2
+         )"""
+
+  /** DuckDB replay of `Similarity.kmeansRefine` (q49): c0 = the same
+    * md5-hex-keyed centroid sample as q39; each iteration = exact-L2
+    * argmin assignment (lowest-cluster tiebreak) + per-dim means
+    * ROUNDED to 6 dp (the rounding is what makes engine-to-engine
+    * summation-order noise non-compounding); empty clusters keep their
+    * previous centroid via the LEFT JOIN + coalesce. */
+  private def kmeansRefineSql(k: Int, dim: Int, iters: Int): String = {
+    def assign(it: Int, prev: String) =
+      s"""a$it AS (
+           SELECT vec_id, c, dist FROM (
+             SELECT e.vec_id, cc.c AS c,
+               list_sum(list_transform(range($dim), i ->
+                 (e.v[CAST(i+1 AS INT)] - cc.ce[CAST(i+1 AS INT)]) * (e.v[CAST(i+1 AS INT)] - cc.ce[CAST(i+1 AS INT)]))) AS dist
+             FROM e CROSS JOIN $prev cc
+           ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) = 1
+         )"""
+    def update(it: Int, prev: String) =
+      s"""m$it AS (
+           SELECT a.c, i.i, round(avg(e.v[CAST(i.i+1 AS INT)]), 6) AS w
+           FROM a$it a JOIN e USING (vec_id) CROSS JOIN range($dim) i(i)
+           GROUP BY a.c, i.i
+         ), c$it AS (
+           SELECT p.c, coalesce(nu.ce, p.ce) AS ce
+           FROM $prev p LEFT JOIN (SELECT c, list(w ORDER BY i) AS ce FROM m$it GROUP BY c) nu USING (c)
+         )"""
+    val ctes = Seq(
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+                  CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k
+         )""") ++
+      (1 to iters).flatMap(it => Seq(assign(it, s"c${it - 1}"), update(it, s"c${it - 1}"))) :+
+      assign(iters + 1, s"c$iters")
+    s"""WITH ${ctes.mkString(",\n         ")}
+         SELECT vec_id, CAST(c AS INT) AS cluster, round(dist, 6) AS l2sq
+         FROM a${iters + 1}"""
+  }
 
   /** DuckDB-runnable oracle per query (same parquet tables registered
     * under their bare names). Column names/aliases match the Spark side
@@ -709,41 +848,30 @@ object SparkEntry {
     // 48-bit halves of md5(shingle) — exact integers in both engines.
     // Banding: any pair agreeing on ≥ 52/64 positions shares ≥1 fully-
     // equal band (pigeonhole), so bucket identity == slice equality.
-    "q19_minhash_lsh" -> {
-      def parse12(start: Int) =
-        s"CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + $start AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT)"
-      s"""WITH t AS (
-           SELECT doc_id,
-             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
-           FROM documents
-         ), sh AS (
-           SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, len(toks) - 1),
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-           FROM t WHERE len(toks) >= 3
-         ), hh AS (
-           SELECT doc_id, ${parse12(1)} AS h1, ${parse12(13)} AS h2
-           FROM (SELECT doc_id, md5(shingle) AS hx FROM sh)
-         ), mh AS (
-           SELECT doc_id, i.i AS i, min(h1 + i.i * h2) AS mh
-           FROM hh CROSS JOIN range(64) i(i) GROUP BY doc_id, i.i
-         ), band AS (
-           SELECT doc_id, i // 4 AS band,
-             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
-           FROM mh GROUP BY doc_id, band
-         ), cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM band a JOIN band b
-             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    "q19_minhash_lsh" -> minhashPairsSql,
+    // Near-dup CLUSTERS: connected components (min reachable id) over
+    // the q19 MinHash-LSH pair list, via a recursive reachability CTE —
+    // replays the engine's iterated min-label propagation exactly.
+    "q47_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+           SELECT id_a, id_b FROM ($minhashPairsSql)
+         ), edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION
+           SELECT id_b, id_a FROM pairs
+         ), nodes AS (
+           SELECT DISTINCT u AS id FROM edges
+         ), reach(id, lab) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+         ), comp AS (
+           SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
          )
-         SELECT id_a, id_b,
-           CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 AS est_jaccard
-         FROM cand
-         JOIN mh ma ON ma.doc_id = id_a
-         JOIN mh mb ON mb.doc_id = id_b AND ma.i = mb.i
-         GROUP BY id_a, id_b
-         HAVING CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 >= 0.8"""
-    },
+         SELECT c.doc_id, c.cluster_id, s.cluster_size
+         FROM comp c
+         JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) s
+           USING (cluster_id)""",
     // SimHash: bit i of md5(token) (parsed nibble-wise from the first 16
     // hex chars) votes ±1; simhash = Σ 2^i over positive vote totals.
     "q20_simhash" -> {
@@ -774,29 +902,42 @@ object SparkEntry {
     // (value-set output makes the tiebreak rule irrelevant). Docs with
     // fewer than 8 grams fingerprint their single truncated window.
     "q40_winnow_fingerprint" ->
-      """WITH t AS (
-           SELECT doc_id,
-             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
-           FROM documents
-         ), g AS (
-           SELECT doc_id, i,
-             CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT) AS h
-           FROM (
-             SELECT doc_id, i,
-               md5(toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2] || ' ' || toks[CAST(i AS INT) + 3]) AS hx
-             FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
-                   FROM t WHERE len(toks) >= 4)
-           )
-         ), gc AS (
-           SELECT doc_id, count(*) AS m FROM g GROUP BY doc_id
-         ), wins AS (
-           SELECT doc_id, unnest(range(1, greatest(2, m - 6))) AS win FROM gc
-         ), sel AS (
-           SELECT w.doc_id, w.win, min(g.h) AS fp
-           FROM wins w JOIN g ON g.doc_id = w.doc_id AND g.i BETWEEN w.win AND w.win + 7
-           GROUP BY 1, 2
-         )
+      s"""WITH $winnowFpCtes
          SELECT DISTINCT doc_id, fp FROM sel""",
+    // Fingerprint-overlap pairs (MOSS): docs sharing >= 2 winnowing
+    // fingerprints, with both containment ratios. The >100-doc hot-
+    // fingerprint cap mirrors the engine's broadcast anti-join guard
+    // (vacuous at this sf, engaged at scale).
+    "q48_fingerprint_overlap" ->
+      s"""WITH $winnowFpCtes, fps AS (
+           SELECT DISTINCT doc_id, fp FROM sel
+         ), kept AS (
+           SELECT * FROM fps WHERE fp NOT IN (
+             SELECT fp FROM fps GROUP BY fp HAVING count(*) > 100)
+         ), sizes AS (
+           SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id
+         ), shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+           FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2
+         )
+         SELECT id_a, id_b, n_shared,
+           CAST(n_shared AS DOUBLE) / sa.n_fp AS containment_a,
+           CAST(n_shared AS DOUBLE) / sb.n_fp AS containment_b
+         FROM shared
+         JOIN sizes sa ON id_a = sa.doc_id
+         JOIN sizes sb ON id_b = sb.doc_id""",
+    // Lloyd k-means replay: see kmeansRefineSql scaladoc.
+    "q49_kmeans_refine" -> kmeansRefineSql(k = 8, dim = 64, iters = 2),
+    // Stratified portable sample: q44's md5 bucket, per-lang keep rate.
+    "q50_stratified_sample" ->
+      """SELECT doc_id, lang, source, bucket FROM (
+           SELECT doc_id, lang, source,
+             CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS INT) AS bucket
+           FROM (SELECT doc_id, lang, source,
+                   md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+         ) WHERE bucket < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 80 ELSE 30 END""",
     // Decontamination: membership of corpus 3-grams in the reference
     // gram set, on raw gram strings (the engine joins 64-bit hashes —
     // equivalent modulo the documented 2^-64 collision class). The

@@ -256,6 +256,70 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Squared-L2 nearest-centroid assignment: returns
+  * `struct<cluster int, l2sq double>` — the argmin centroid index and
+  * the (unrounded) squared Euclidean distance to it. The k-means
+  * assignment step as a single per-row codegen kernel: no join against
+  * a centroid table, no shuffle of the corpus, the centroid matrix
+  * rides along as a codegen reference object (never a literal tree —
+  * CLAUDE.md rule).
+  *
+  * Distance is accumulated double-precision left-to-right over the
+  * dimensions — the same fold order a SQL oracle's list-sum uses — and
+  * ties break to the LOWEST centroid index (strict `<` keeps the first
+  * minimum). Same documented ulp-tie sensitivity as
+  * [[NearestCentroids]]: an exact tie between two centroids within one
+  * ulp would surface as a hash-gate mismatch, not silent corruption.
+  */
+case class CentroidAssignL2(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("l2sq", DoubleType, nullable = false)))
+  override def prettyName: String = "centroid_assign_l2"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def assignOf(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val isF = elemIsFloat
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val p = centroids(c)
+      val n = math.min(v.numElements(), p.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+        val d = x - p(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestD)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    assignOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("centAssign", this, classOf[CentroidAssignL2].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.assignOf($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API: codegen'd dot product. */
   def vecDot(a: Column, b: Column): Column =
@@ -278,4 +342,9 @@ object VectorExpressions {
                        nProbe: Int): Column =
     GraftSqlBridge.column(NearestCentroids(
       GraftSqlBridge.expression(v), centroids, nProbe))
+
+  /** struct<cluster int, l2sq double>: squared-L2 argmin assignment. */
+  def centroidAssignL2(v: Column, centroids: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(CentroidAssignL2(
+      GraftSqlBridge.expression(v), centroids))
 }

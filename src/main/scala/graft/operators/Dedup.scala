@@ -238,6 +238,112 @@ object Dedup {
     * The token hash is md5-derived (two 32-bit hex halves recombined),
     * not xxhash64: md5 is bit-identical in every engine, so the SQL
     * oracle recomputes the exact same fingerprints. */
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS (keep one doc per
+    * component, drop the rest). Labels propagate to the minimum
+    * reachable id by iterated sparse joins:
+    *
+    *   label(u) ← min(label(u), min over neighbors v of label(v))
+    *
+    * Each round is one equi-join of the label table against the edge
+    * list plus one map-combinable min-aggregation — both shuffles keyed
+    * on node id, nothing quadratic, edge list never grows. Rounds
+    * needed = graph diameter; near-dup components are dense blobs of
+    * mutually-similar docs (diameter ≤ ~3 in practice), so the loop is
+    * 2–4 rounds. (For adversarially long chains the alternating
+    * large-star/small-star variant — Kiveris et al., "Connected
+    * Components in MapReduce", SoCC'14 — bounds rounds at O(log n);
+    * same per-round plan shape, not needed for the dedup workload.)
+    *
+    * Convergence detection is exact and cheap: Σ labels is strictly
+    * decreasing until the fixpoint, so one scalar aggregate per round
+    * decides termination — no row-level diff join. `localCheckpoint`
+    * truncates the lineage each round (an iterative plan otherwise
+    * re-analyzes a growing tree every iteration).
+    *
+    * Output: (doc_id, cluster_id = min id in component, cluster_size),
+    * one row per node that appears in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .unionAll(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long = df
+      .agg(coalesce(org.apache.spark.sql.functions.sum("comp"), lit(0L)))
+      .head.getLong(0)
+    var sum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate labels: own + every neighbor's current label
+      val next = labels
+        .unionAll(labels.join(edges, labels("id") === edges("u"))
+          .select(edges("v").as("id"), labels("comp")))
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      converged = nextSum == sum
+      sum = nextSum
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  /** End-to-end near-dup clustering: MinHash-LSH candidate pairs →
+    * connected components. One doc per cluster_id survives a dedup
+    * pass; the rest are its near-duplicates. */
+  def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int, numHashes: Int, bands: Int,
+                    minJaccard: Double): DataFrame =
+    connectedComponents(
+      minHashLshPairs(docs, idCol, textCol, shingleN, numHashes, bands, minJaccard))
+
+  /** Fingerprint-overlap near-dup pairs (the MOSS shape, Schleimer '03
+    * §4): docs sharing ≥ `minShared` winnowing fingerprints, with both
+    * containment ratios (shared / own fingerprint count). Catches
+    * partial overlap — a doc embedding a copied PASSAGE — that
+    * whole-document Jaccard misses.
+    *
+    * Plan: inverted index on the 48-bit fingerprint value (pairs only
+    * materialize for docs sharing a fingerprint — never O(n²)), with
+    * the same skew guard as `ngramJaccardPairs`: fingerprints shared by
+    * more than `maxFpFreq` docs are boilerplate; the tiny hot set is
+    * collected into a broadcast anti-join, never inner-joined. */
+  def fingerprintOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int, w: Int, minShared: Int,
+                              maxFpFreq: Option[Int] = None): DataFrame = {
+    val fp0 = winnowFingerprints(docs, idCol, textCol, k, w)
+    val fp = (maxFpFreq match {
+      case Some(cap) =>
+        val hot = fp0.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("fp")
+        fp0.join(broadcast(hot), Seq("fp"), "left_anti")
+      case None => fp0
+    }).persist()
+    val sizes = fp.groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
+    val l = fp.select(col(idCol).as("id_a"), col("fp"))
+    val r = fp.select(col(idCol).as("id_b"), col("fp"))
+    val shared = l.join(r, "fp").where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    shared
+      .join(sizes.select(col(idCol).as("id_a"), col("n_fp").as("n_fp_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_fp").as("n_fp_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_fp_a")).as("containment_a"),
+        (col("n_shared").cast("double") / col("n_fp_b")).as("containment_b"))
+  }
+
   def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hx = md5(col("tok"))
     val h64 = shiftleft(conv(substring(hx, 1, 8), 16, 10).cast("long"), 32)

@@ -43,6 +43,32 @@ object Sampling {
     df.withColumn("bucket", bucket).where(col("bucket") < keep)
   }
 
+  /** Stratified engine-portable sample: per-stratum keep rates over the
+    * same md5 bucket as `portableSample`. The rate lookup is a literal
+    * CASE chain (strata maps are small by definition — languages,
+    * sources, quality tiers), so the whole operator stays a stateless
+    * per-row filter: no shuffle, no join, deterministic across runs,
+    * partitionings and engines. This is how a curation pipeline
+    * rebalances a corpus (e.g. downsample English to X%, keep all of a
+    * low-resource language) without ever materializing per-stratum
+    * row numbers.
+    *
+    * Strata absent from `rates` fall back to `defaultKeep`. */
+  def stratifiedPortableSample(df: DataFrame, idCol: String, strataCol: String,
+                               rates: Map[String, Int], defaultKeep: Int,
+                               outOf: Int = 100, seed: String = "graft"): DataFrame = {
+    require(defaultKeep >= 0 && defaultKeep <= outOf && outOf > 0)
+    rates.values.foreach(r => require(r >= 0 && r <= outOf))
+    val hx = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary"))
+    val bucket = (conv(substring(hx, 1, 8), 16, 10).cast("long") % outOf).cast("int")
+    // deterministic CASE order (sorted keys) — plan text is reproducible
+    val keepFor = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultKeep)) {
+      case (acc, (stratum, keep)) =>
+        when(col(strataCol) === stratum, lit(keep)).otherwise(acc)
+    }
+    df.withColumn("bucket", bucket).where(col("bucket") < keepFor)
+  }
+
   /** Buffer: k smallest (hash, payload) pairs seen so far. */
   final case class BottomK(k: Int, items: List[(Long, String)]) {
     // distinct BEFORE take in both paths: duplicate values must occupy

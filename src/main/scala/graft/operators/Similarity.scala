@@ -203,6 +203,56 @@ object Similarity {
     topKByCosine(cand, k)
   }
 
+  /** Deterministic Lloyd's k-means refinement over an embedding column —
+    * the quantizer-training step a real IVF index runs before
+    * `buildIvfIndex` (which uses the raw sample as a coarse quantizer).
+    *
+    * Each of the `iters` rounds is:
+    *  1. assignment — one corpus pass through the per-row codegen
+    *     [[graft.expressions.CentroidAssignL2]] kernel (no join, no
+    *     corpus shuffle);
+    *  2. update — `posexplode` of assigned vectors, ONE map-combinable
+    *     shuffle of (cluster, dim) partial sums (k·dim groups, tiny),
+    *     means collected to the driver (k·dim doubles — bounded by the
+    *     parameters, not the data).
+    *
+    * Total cost: `iters` corpus passes, each embarrassingly parallel —
+    * the 100 TB shape. Determinism (and engine-portability, so a SQL
+    * oracle replays the exact run):
+    *  - init = the md5-hex-keyed content sample of `sampledCentroids`;
+    *  - updated centroid means are ROUNDED to 6 dp in-plan before
+    *    being fed back (summation-order noise never compounds across
+    *    iterations);
+    *  - empty clusters keep their previous centroid;
+    *  - assignment ties break to the lowest cluster id.
+    *
+    * Output: (id, cluster, l2sq = round(squared distance to the final
+    * centroid, 6)) — one row per corpus vector. */
+  def kmeansRefine(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    import graft.expressions.VectorExpressions.centroidAssignL2
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    var cents = sampledCentroids(corpus, idCol, vecCol, k)
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("cluster",
+        centroidAssignL2(col(vecCol), cents).getField("cluster"))
+      val means = assigned
+        .select(col("cluster"), posexplode(col(vecCol)))
+        .groupBy("cluster", "pos")
+        .agg(round(avg(col("col").cast("double")), 6).as("w"))
+        .collect()
+      val next = cents.map(_.clone())
+      val byCluster = means.groupBy(_.getInt(0))
+      byCluster.foreach { case (c, rows) =>
+        rows.foreach(r => next(c)(r.getInt(1)) = r.getDouble(2))
+      }
+      cents = next // clusters absent from `means` keep their old centroid
+    }
+    vecs.withColumn("__a", centroidAssignL2(col(vecCol), cents))
+      .select(col(idCol), col("__a.cluster").as("cluster"),
+        round(col("__a.l2sq"), 6).as("l2sq"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH candidate generation
     * + exact verification — the scale path for pairwise near-dup: the
     * only join is an equi-join on (table, signature-bucket), so pairs

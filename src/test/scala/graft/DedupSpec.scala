@@ -124,4 +124,57 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === 1)     // 3 grams < w — single truncated window min
     assert(!got.contains(3L))
   }
+
+  test("connectedComponents labels chains and stars to the min id, sizes correct") {
+    import spark.implicits._
+    // two components: a 4-chain {1-2-3-4} (diameter 3 — exercises
+    // multi-round propagation) and an edge {10,11}; 7 is absent (no pairs)
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(
+      1L -> (1L, 4L), 2L -> (1L, 4L), 3L -> (1L, 4L), 4L -> (1L, 4L),
+      10L -> (10L, 2L), 11L -> (10L, 2L)))
+  }
+
+  test("connectedComponents on an empty pair list returns no rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() === 0L)
+  }
+
+  test("dedupClusters groups the planted near-dup family into one cluster") {
+    val got = Dedup.dedupClusters(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1, 2, 5 are mutual near/exact dups -> one cluster rooted at 1
+    assert(got(1L) === 1L && got(2L) === 1L && got(5L) === 1L)
+    assert(!got.contains(4L)) // unrelated doc never pairs, so never appears
+  }
+
+  test("fingerprintOverlapPairs finds the shared passage, containment in (0,1]") {
+    val got = Dedup.fingerprintOverlapPairs(docs, "doc_id", "text",
+        k = 4, w = 4, minShared = 2, maxFpFreq = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.contains((1L, 5L))) // exact dup: every fingerprint shared
+    val (_, ca, cb) = got((1L, 5L))
+    assert(ca === 1.0 && cb === 1.0)
+    got.values.foreach { case (n, a, b) =>
+      assert(n >= 2L && a > 0 && a <= 1.0 && b > 0 && b <= 1.0)
+    }
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("fingerprintOverlapPairs hot-fingerprint cap drops ubiquitous fingerprints") {
+    import spark.implicits._
+    // every doc shares the same text -> every fingerprint has df = 4 > cap
+    val same = (1L to 4L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup.fingerprintOverlapPairs(same, "doc_id", "text",
+      k = 4, w = 4, minShared = 1, maxFpFreq = Some(3))
+    assert(capped.count() === 0L)
+    val uncapped = Dedup.fingerprintOverlapPairs(same, "doc_id", "text",
+      k = 4, w = 4, minShared = 1, maxFpFreq = None)
+    assert(uncapped.count() === 6L) // all C(4,2) pairs
+  }
 }

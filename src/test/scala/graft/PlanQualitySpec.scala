@@ -142,4 +142,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       s"quantile window must be partitioned by group, not global:\n$plan")
   }
+
+  test("q48: hot-fingerprint cap is a broadcast anti-join; pairs never cross-product") {
+    val plan = executedPlan("q48_fingerprint_overlap")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fingerprint overlap must stay an equi-join on fp:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hot-fp cap must broadcast-anti-join the tiny drop set:\n$plan")
+  }
+
+  test("q49: k-means final assignment is a pure per-row kernel — no join, no shuffle") {
+    val dfq = SparkEntry.queries("q49_kmeans_refine")(spark, dir)
+    val plan = dfq.queryExecution.executedPlan.toString()
+    assert(plan.contains("centroid_assign_l2"), s"codegen assignment kernel missing:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"assignment must not shuffle or join the corpus:\n$plan")
+  }
+
+  test("q47: component labels and sizes join hash-partitions on the id — no cross product") {
+    val plan = executedPlan("q47_dedup_clusters")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"clustering must stay sparse:\n$plan")
+  }
 }

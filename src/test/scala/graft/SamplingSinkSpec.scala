@@ -94,4 +94,23 @@ class SamplingSinkSpec extends SparkSpec {
       assert(!spark.table("dg_t").isEmpty, "rate stream produced no rows in 15s")
     } finally q.stop()
   }
+
+  test("stratifiedPortableSample applies per-stratum rates over the q44 bucket, no shuffle") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "rare"))
+      .toDF("id", "lang")
+    val got = Sampling.stratifiedPortableSample(df, "id", "lang",
+      rates = Map("en" -> 10), defaultKeep = 100)
+    // rare stratum: defaultKeep = 100 keeps everything
+    assert(got.where($"lang" === "rare").count() === 1000L)
+    // en stratum: subset of the unstratified 10%-bucket sample, exactly
+    val flat = Sampling.portableSample(df, "id", keep = 10)
+    val gotEn = got.where($"lang" === "en").select("id").as[Long].collect().toSet
+    val flatEn = flat.where($"lang" === "en").select("id").as[Long].collect().toSet
+    assert(gotEn === flatEn)
+    // stateless per-row filter: no exchange in the plan
+    val plan = got.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"stratified sample must not shuffle:\n$plan")
+  }
 }

@@ -104,4 +104,27 @@ class SimilaritySpec extends SparkSpec {
     val recall = if (exact.isEmpty) 1.0 else lsh.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"LSH near-dup recall $recall over ${exact.size} true pairs")
   }
+
+  test("kmeansRefine: assignments are the true L2 argmin under final centroids; iterating does not increase cost") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // three well-separated blobs in 4-d; deterministic fixture
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(Seq(0f, 0f, 0f, 0f), Seq(10f, 10f, 0f, 0f), Seq(0f, 0f, 10f, 10f))
+    val vecs = (0L until 60L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => x + rnd.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val k1 = Similarity.kmeansRefine(vecs, "vec_id", "embedding", k = 3, iters = 1)
+      .as[(Long, Int, Double)].collect()
+    val k3 = Similarity.kmeansRefine(vecs, "vec_id", "embedding", k = 3, iters = 3)
+      .as[(Long, Int, Double)].collect()
+    assert(k1.length === 60 && k3.length === 60)
+    // on separated blobs, converged k-means puts each blob in one cluster
+    val byBlob = k3.groupBy(_._1 % 3).values.map(_.map(_._2).distinct.length)
+    assert(byBlob.forall(_ === 1), s"blob split across clusters: ${k3.mkString(",")}")
+    // total cost is non-increasing in iterations (Lloyd monotonicity,
+    // modulo the 6-dp centroid rounding -- allow that epsilon)
+    assert(k3.map(_._3).sum <= k1.map(_._3).sum + 1e-3)
+  }
 }
