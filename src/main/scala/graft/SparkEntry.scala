@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextAnalysis
-import graft.operators.{ChangelogOps, CorpusStats, Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{ChangelogOps, CorpusStats, Curation, Dedup, Multimodal, Sampling, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -526,7 +526,13 @@ object SparkEntry {
     "q50_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedPortableSample(t(s, dir, "documents"), "doc_id", "lang",
           rates = Map("en" -> 10, "zh" -> 80), defaultKeep = 30)
-        .select("doc_id", "lang", "source", "bucket")))
+        .select("doc_id", "lang", "source", "bucket")),
+
+    // ── per-doc curation verdict: the multi-signal keep/drop funnel
+    //    (length → repetition → quality → language), all signals from
+    //    one per-row scan — zero shuffles, zero joins ──
+    "q51_curation_funnel" -> ((s, dir) =>
+      Curation.funnel(t(s, dir, "documents"), "doc_id", "text", "lang")))
 
   /** DuckDB CTE block reproducing `LshSignatures` bit-for-bit: ±1 plane
     * signs from md5("plane|seed|t|b|d"), dot over floor(v·2^20) integer
@@ -927,6 +933,58 @@ object SparkEntry {
          FROM shared
          JOIN sizes sa ON id_a = sa.doc_id
          JOIN sizes sb ON id_b = sb.doc_id""",
+    // Curation funnel: q14/q15/q16/q46's signal formulations composed
+    // into the precedence CASE. Repetition compares the ROUNDED ratio;
+    // quality is double-exact (integer counts through IEEE ops); docs
+    // with < 2 tokens have NULL repetition (caught by too_short first).
+    "q51_curation_funnel" ->
+      """WITH n AS (
+           SELECT doc_id, lang, text,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents
+         ), sig AS (
+           SELECT doc_id, lang,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CASE WHEN len(toks) >= 2 THEN round(1.0 -
+               CAST(len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+               / CAST(len(toks) - 1 AS DOUBLE), 6) END AS repetition_ratio,
+             least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+               + least(CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) / 0.1, 1.0) * 0.3
+               + (CASE WHEN CAST(length(replace(norm, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 3.0
+                        AND CAST(length(replace(norm, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) <= 8.0
+                   THEN 1.0 ELSE 0.0 END) * 0.3 AS quality,
+             CASE WHEN greatest(
+                    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))),
+                    len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))),
+                    len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))),
+                    len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des', 'est', 'une')))) = 0 THEN 'und'
+                  WHEN len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))) = greatest(
+                    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))),
+                    len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))),
+                    len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))),
+                    len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des', 'est', 'une')))) THEN 'en'
+                  WHEN len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))) = greatest(
+                    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))),
+                    len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))),
+                    len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))),
+                    len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des', 'est', 'une')))) THEN 'de'
+                  WHEN len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))) = greatest(
+                    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))),
+                    len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))),
+                    len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))),
+                    len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des', 'est', 'une')))) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+           FROM n
+         )
+         SELECT doc_id, lang, n_tokens, repetition_ratio, quality, pred_lang,
+           CASE WHEN n_tokens < 20 THEN 'drop:too_short'
+                WHEN repetition_ratio > 0.2 THEN 'drop:repetitive'
+                WHEN quality < 0.5 THEN 'drop:low_quality'
+                WHEN pred_lang <> lang THEN 'drop:lang_mismatch'
+                ELSE 'keep' END AS verdict
+         FROM sig""",
     // Lloyd k-means replay: see kmeansRefineSql scaladoc.
     "q49_kmeans_refine" -> kmeansRefineSql(k = 8, dim = 64, iters = 2),
     // Stratified portable sample: q44's md5 bucket, per-lang keep rate.

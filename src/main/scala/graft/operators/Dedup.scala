@@ -270,8 +270,11 @@ object Dedup {
       .unionAll(pairs.select(col(idB).as("u"), col(idA).as("v")))
       .distinct()
       .persist()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed with min(self, neighbors): folds the first propagation round
+    // into one aggregation — a star graph (the common near-dup blob
+    // shape) converges with ZERO join rounds, just the convergence probe
+    var labels = edges.groupBy(col("u").as("id"))
+      .agg(least(min(col("v")), col("u")).as("comp"))
       .localCheckpoint()
     def labelSum(df: DataFrame): Long = df
       .agg(coalesce(org.apache.spark.sql.functions.sum("comp"), lit(0L)))

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one doc per funnel branch, in a declared language the detector knows
+  private val enGood = ("the cat sat of and is to in it " +
+    "walked around the garden while finding many interesting things " +
+    "to look at and the day went on quietly with more words appearing") // long, stopworded, en
+  private def docs = Seq(
+    (1L, enGood, "en"),                       // keep
+    (2L, "tiny doc", "en"),                   // drop:too_short
+    (3L, ("spam spam " * 30).trim, "en"),     // drop:repetitive (but also short tokens…)
+    (4L, enGood, "fr")                        // drop:lang_mismatch
+  ).toDF("doc_id", "text", "lang")
+
+  test("funnel assigns the first failing reason in precedence order") {
+    val got = Curation.funnel(docs, "doc_id", "text", "lang")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(got(1L) === "keep")
+    assert(got(2L) === "drop:too_short")
+    assert(got(3L) === "drop:repetitive")
+    assert(got(4L) === "drop:lang_mismatch")
+  }
+
+  test("funnel emits null repetition for sub-bigram docs and never nulls the verdict") {
+    val one = Seq((9L, "word", "en")).toDF("doc_id", "text", "lang")
+    val row = Curation.funnel(one, "doc_id", "text", "lang").head
+    assert(row.isNullAt(row.fieldIndex("repetition_ratio")))
+    assert(row.getAs[String]("verdict") === "drop:too_short")
+  }
+
+  test("funnelSummary partitions the corpus exactly (docs and tokens conserved)") {
+    val sum = Curation.funnelSummary(docs, "doc_id", "text", "lang")
+    assert(sum.agg(org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0) === 4L)
+    val direct = Curation.funnel(docs, "doc_id", "text", "lang")
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens").cast("long"))).head.getLong(0)
+    assert(sum.agg(org.apache.spark.sql.functions.sum("n_tokens")).head.getLong(0) === direct)
+  }
+
+  test("funnel is one per-row scan: no exchange, no join in the plan") {
+    val plan = Curation.funnel(docs, "doc_id", "text", "lang")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"funnel must stay per-row:\n$plan")
+  }
+}
