@@ -273,9 +273,15 @@ object Dedup {
     // seed with min(self, neighbors): folds the first propagation round
     // into one aggregation — a star graph (the common near-dup blob
     // shape) converges with ZERO join rounds, just the convergence probe
+    //
+    // per round: LAZY localCheckpoint + Σ-labels probe = ONE job (the
+    // probe materializes the checkpoint). Checkpointing (not persist)
+    // matters: the union below references the previous round's plan
+    // TWICE, so an un-truncated lineage doubles every round —
+    // exponential analysis cost by round 10
     var labels = edges.groupBy(col("u").as("id"))
       .agg(least(min(col("v")), col("u")).as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     def labelSum(df: DataFrame): Long = df
       .agg(coalesce(org.apache.spark.sql.functions.sum("comp"), lit(0L)))
       .head.getLong(0)
@@ -283,12 +289,14 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // candidate labels: own + every neighbor's current label
+      // candidate labels: own + every neighbor's current label.
+      // labels derives from edges, so the join is a self-join on shared
+      // lineage — qualify both sides or the analyzer rejects it
       val next = labels
-        .unionAll(labels.join(edges, labels("id") === edges("u"))
-          .select(edges("v").as("id"), labels("comp")))
+        .unionAll(labels.as("l").join(edges.as("e"), col("l.id") === col("e.u"))
+          .select(col("e.v").as("id"), col("l.comp").as("comp")))
         .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       converged = nextSum == sum
       sum = nextSum
