@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextAnalysis
-import graft.operators.{ChangelogOps, CorpusStats, Curation, Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{ChangelogOps, CorpusStats, Curation, Dedup, Multimodal, Sampling, Similarity, SkewOps}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -532,7 +532,24 @@ object SparkEntry {
     //    (length → repetition → quality → language), all signals from
     //    one per-row scan — zero shuffles, zero joins ──
     "q51_curation_funnel" -> ((s, dir) =>
-      Curation.funnel(t(s, dir, "documents"), "doc_id", "text", "lang")))
+      Curation.funnel(t(s, dir, "documents"), "doc_id", "text", "lang")),
+
+    // ── KMV distinct sketch: per-lang distinct-bigram estimate from a
+    //    mergeable 64-value bottom-k buffer — O(k) state, and because
+    //    the hashes are md5-48 the ESTIMATE itself is oracle-exact ──
+    "q52_kmv_distinct" -> ((s, dir) =>
+      CorpusStats.kmvDistinctGrams(t(s, dir, "documents"), "lang", "text",
+        n = 2, k = 64)),
+
+    // ── salted two-phase aggregation: the manual hot-key guard (AQE
+    //    can't re-plan streaming state) — decimal partials make the
+    //    two-phase result bit-equal to the one-phase oracle ──
+    "q53_salted_agg" -> ((s, dir) =>
+      SkewOps.saltedAggregate(t(s, dir, "lineitem"),
+          keys = Seq("l_returnflag"),
+          valueCols = Seq("l_quantity", "l_extendedprice"),
+          salts = 16, saltSource = col("l_orderkey"))
+        .select("l_returnflag", "n", "sum_l_quantity", "sum_l_extendedprice")))
 
   /** DuckDB CTE block reproducing `LshSignatures` bit-for-bit: ±1 plane
     * signs from md5("plane|seed|t|b|d"), dot over floor(v·2^20) integer
@@ -985,6 +1002,43 @@ object SparkEntry {
                 WHEN pred_lang <> lang THEN 'drop:lang_mismatch'
                 ELSE 'keep' END AS verdict
          FROM sig""",
+    // KMV distinct sketch: the k-th smallest DISTINCT md5-48 bigram hash
+    // is an order statistic — engine-independent — so the estimate
+    // (k-1)·2^48/h_k is the SAME double in both engines. Exact when a
+    // group has fewer than k distinct grams.
+    "q52_kmv_distinct" ->
+      """WITH t AS (
+           SELECT lang,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), g AS (
+           SELECT lang, md5(gram) AS hx FROM (
+             SELECT lang, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS gram
+             FROM t WHERE len(toks) >= 2)
+         ), h AS (
+           SELECT DISTINCT lang,
+             CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT) AS h
+           FROM g
+         ), r AS (
+           SELECT lang, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY lang) AS nd
+           FROM h
+         )
+         SELECT lang, CAST(max(nd) AS BIGINT) AS n_exact,
+           CAST(least(max(nd), 64) AS BIGINT) AS n_kept,
+           round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+                 ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+                 END, 6) AS est_distinct_grams
+         FROM r GROUP BY lang""",
+    // Salted two-phase aggregation: decimal partial sums merge exactly,
+    // so the oracle is the plain one-phase GROUP BY.
+    "q53_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_quantity,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_extendedprice
+         FROM lineitem GROUP BY l_returnflag""",
     // Lloyd k-means replay: see kmeansRefineSql scaladoc.
     "q49_kmeans_refine" -> kmeansRefineSql(k = 8, dim = 64, iters = 2),
     // Stratified portable sample: q44's md5 bucket, per-lang keep rate.

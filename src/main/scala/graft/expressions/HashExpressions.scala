@@ -389,6 +389,74 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** DISTINCT 48-bit md5-derived hashes of a token array's word n-grams,
+  * ascending — [[GramHashes]]'s engine-PORTABLE sibling. Where
+  * `GramHashes` uses xxHash64 (engine-internal: its values never leave
+  * a join), these values are OUTPUTS (e.g. the KMV distinct sketch's
+  * order statistics enter the published estimate), so they must be
+  * reproducible by a SQL oracle: hash = the first 6 md5 bytes, exactly
+  * the `parse12(md5hex)` integer every other oracle here uses. Same
+  * one-fused-pass shape: gram built once in a reused buffer, hashed,
+  * deduped by TreeSet — no gram-string array, no interpreted HOFs. */
+case class Md5GramHashes48(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_gram_hashes48"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_gram_hashes48 expects array<string>, got ${other.simpleString}")
+    }
+
+  def hashesOf(arr: ArrayData): Array[Long] = {
+    val m = arr.numElements() - n + 1
+    if (m <= 0) return Array.empty
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val md = MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val dig = md.digest(sb.toString.getBytes("UTF-8"))
+      md.reset()
+      var v = 0L
+      var b = 0
+      while (b < 6) { v = (v << 8) | (dig(b) & 0xFFL); b += 1 }
+      set.add(v)
+      i += 1
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(hashesOf(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("md5GramHashes", this, classOf[Md5GramHashes48].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  $self.hashesOf($v));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Column API: array<long> MinHash signature of a shingle array. */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
@@ -416,4 +484,10 @@ object HashExpressions {
   def minHashTokens(tokens: Column, n: Int, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashTokens(
       GraftSqlBridge.expression(tokens), n, numHashes))
+
+  /** Column API: ascending distinct md5-48 hashes of a token array's
+    * word n-grams (engine-portable values). */
+  def md5GramHashes48(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(Md5GramHashes48(
+      GraftSqlBridge.expression(tokens), n))
 }

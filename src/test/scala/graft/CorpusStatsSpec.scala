@@ -60,4 +60,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(all.agg(min(col("bucket")), max(col("bucket")))
       .as[(Int, Int)].head() match { case (lo, hi) => lo >= 0 && hi < 100 })
   }
+
+  test("kmvDistinctGrams: exact when a group has fewer than k distinct grams") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val docs = Seq((1L, "a b c d", "g1"), (2L, "a b c d e", "g1"))
+      .toDF("doc_id", "text", "grp")
+    val r = CorpusStats.kmvDistinctGrams(docs, "grp", "text", n = 2, k = 64).head
+    // bigrams: {a b, b c, c d} ∪ {a b, b c, c d, d e} = 4 distinct
+    assert(r.getAs[Long]("n_exact") === 4L)
+    assert(r.getAs[Long]("n_kept") === 4L)
+    assert(r.getAs[Double]("est_distinct_grams") === 4.0)
+  }
+
+  test("kmvDistinctGrams: estimate within 30% of exact on a >k vocabulary, invariant to partitioning") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    // 500 docs of unique bigrams: "w<i> w<i+1>" -> ~999 distinct bigrams
+    val docs = (0 until 500).map(i => (i.toLong, s"w${2 * i} w${2 * i + 1} w${2 * i + 2}", "g"))
+      .toDF("doc_id", "text", "grp")
+    val r = CorpusStats.kmvDistinctGrams(docs, "grp", "text", n = 2, k = 64).head
+    val exact = r.getAs[Long]("n_exact").toDouble
+    val est = r.getAs[Double]("est_distinct_grams")
+    assert(r.getAs[Long]("n_kept") === 64L)
+    assert(math.abs(est - exact) / exact < 0.3, s"est $est vs exact $exact")
+    // mergeable sketch: result is independent of the partition layout
+    val r1 = CorpusStats.kmvDistinctGrams(docs.repartition(13), "grp", "text", n = 2, k = 64).head
+    assert(r1.getAs[Double]("est_distinct_grams") === est)
+  }
 }
