@@ -135,17 +135,28 @@ object Dedup {
     * pigeonhole), independent of the band-bucket hash — which makes the
     * result SQL-oracle-checkable despite the xxhash64 bucketing.
     */
+  /** (id, sig, band, bucket) rows for a signature table: bucket = hash
+    * of the band's signature slice. The LSH index layout shared by the
+    * batch pair join and the streaming near-dup gate; `sig` rides along
+    * so streaming callers can verify candidates WITHOUT a second join
+    * back to the signature table (which on a stream would be a
+    * stream-stream self-join needing watermark state). */
+  def bandedBuckets(sig: DataFrame, idCol: String, numHashes: Int,
+                    bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    sig.select(
+      col(idCol), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows))))))
+      .toDF(idCol, "sig", "band", "bucket")
+  }
+
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numHashes: Int, bands: Int,
                       minJaccard: Double): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val sig = minHashSignatures(docs, idCol, textCol, shingleN, numHashes).cache()
-    val banded = sig.select(
-      col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows))))))
-      .toDF(idCol, "band", "bucket")
+    val banded = bandedBuckets(sig, idCol, numHashes, bands)
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     val cand = l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))

@@ -225,4 +225,38 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("dd_t").as[Ev].collect().map(_.event_id).toSet
     assert(got === Set(100L, 102L))
   }
+
+  test("streaming near-dup gate: arriving near-dups of corpus docs flagged, novel docs pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val corpus = Seq((100L, base),
+        (101L, "an entirely different corpus document about spark query planning internals"))
+      .toDF("doc_id", "text")
+    val index = StreamingDedup.bucketIndex(corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16)
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val flagged = StreamingDedup.flagNearDups(stream, index, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+    val q = flagged.writeStream.format("memory").queryName("neardup_gate")
+      .outputMode("append").start()
+    in.addData((1L, base + " indeed"), (2L, "completely novel text mentioning neither document"))
+    q.processAllAvailable()
+    in.addData((3L, base)) // exact copy arriving in a later batch
+    runToCompletion(q)
+    val got = spark.table("neardup_gate")
+      .select("doc_id", "corpus_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 100L)) && got.contains((3L, 100L)))
+    assert(!got.exists(_._1 == 2L)) // novel doc never flagged
+    assert(!got.exists(_._2 == 101L)) // unrelated corpus doc never matched
+    // batch/stream parity: same pairs as the batch pair join over the union
+    val batchPairs = graft.operators.Dedup.minHashLshPairs(
+        corpus.unionAll(Seq((1L, base + " indeed"), (3L, base)).toDF("doc_id", "text")),
+        "doc_id", "text", 3, 64, 16, 0.8)
+      .where($"id_b" >= 100L && $"id_a" < 100L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === batchPairs)
+  }
 }
