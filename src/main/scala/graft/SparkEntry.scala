@@ -549,7 +549,19 @@ object SparkEntry {
           keys = Seq("l_returnflag"),
           valueCols = Seq("l_quantity", "l_extendedprice"),
           salts = 16, saltSource = col("l_orderkey"))
-        .select("l_returnflag", "n", "sum_l_quantity", "sum_l_extendedprice")))
+        .select("l_returnflag", "n", "sum_l_quantity", "sum_l_extendedprice")),
+
+    // ── per-language deterministic holdout: the 5 content-keyed picks
+    //    per group (md5-hex order) — exact per-group eval-set carving ──
+    "q54_group_holdout" -> ((s, dir) =>
+      Sampling.groupHoldout(t(s, dir, "documents"), "doc_id", "lang", k = 5)
+        .select("doc_id", "lang", "source", "n_chars", "holdout_rank")),
+
+    // ── per-label embedding profile: centroid norm + mean vector norm —
+    //    the class-drift/collapse diagnostics, one corpus read ──
+    "q55_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroidStats(t(s, dir, "embeddings"), "label",
+        "embedding", "vec_id")))
 
   /** DuckDB CTE block reproducing `LshSignatures` bit-for-bit: ±1 plane
     * signs from md5("plane|seed|t|b|d"), dot over floor(v·2^20) integer
@@ -1039,6 +1051,32 @@ object SparkEntry {
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_quantity,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_extendedprice
          FROM lineitem GROUP BY l_returnflag""",
+    // Group holdout: identical md5-hex ordering key in both engines.
+    "q54_group_holdout" ->
+      """SELECT doc_id, lang, source, n_chars, holdout_rank FROM (
+           SELECT doc_id, lang, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS holdout_rank
+           FROM documents
+         ) WHERE holdout_rank <= 5""",
+    // Label centroid stats: mean per dim = Σ/n (same IEEE ops), norms
+    // are left-to-right double folds; 6-dp rounding bridges group-order
+    // summation noise (the repo metric rule).
+    "q55_label_centroids" ->
+      """WITH e AS (
+           SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         ), d AS (
+           SELECT label, i.i AS pos, sum(v[CAST(i.i + 1 AS INT)]) / count(*) AS m
+           FROM e CROSS JOIN range(64) i(i) GROUP BY label, i.i
+         ), cn AS (
+           SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm FROM d GROUP BY label
+         ), vs AS (
+           SELECT label, count(*) AS n_vecs,
+             round(sum(sqrt(list_sum(list_transform(v, x -> x * x)))) / count(*), 6) AS avg_vec_norm
+           FROM e GROUP BY label
+         )
+         SELECT label, n_vecs, centroid_norm, avg_vec_norm
+         FROM vs JOIN cn USING (label)""",
     // Lloyd k-means replay: see kmeansRefineSql scaladoc.
     "q49_kmeans_refine" -> kmeansRefineSql(k = 8, dim = 64, iters = 2),
     // Stratified portable sample: q44's md5 bucket, per-lang keep rate.

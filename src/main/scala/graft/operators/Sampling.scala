@@ -69,6 +69,25 @@ object Sampling {
     df.withColumn("bucket", bucket).where(col("bucket") < keepFor)
   }
 
+  /** Per-group deterministic holdout: the k rows with the smallest
+    * md5(seed ':' id) per group — a uniform-without-replacement sample
+    * that is a pure function of row content (same contract as
+    * `portableSample`, but an exact per-GROUP count instead of a
+    * global rate). The md5 hex STRING is the ordering key, so any SQL
+    * engine picks the identical rows. One window sort per group,
+    * spillable, never buffers a group in memory. For a shuffle-free
+    * sketch version of the same idea see [[BottomKSample]]. */
+  def groupHoldout(df: DataFrame, idCol: String, groupCol: String, k: Int,
+                   seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hx = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary"))
+    df.withColumn("__hx", hx)
+      .withColumn("holdout_rank", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__hx"), col(idCol))))
+      .where(col("holdout_rank") <= k)
+      .drop("__hx")
+  }
+
   /** Buffer: k smallest (hash, payload) pairs seen so far. */
   final case class BottomK(k: Int, items: List[(Long, String)]) {
     // distinct BEFORE take in both paths: duplicate values must occupy

@@ -253,6 +253,29 @@ object Similarity {
         round(col("__a.l2sq"), 6).as("l2sq"))
   }
 
+  /** Per-label embedding profile: count, the norm of the mean vector
+    * and the mean per-vector norm — the drift/collapse diagnostics an
+    * embedding pipeline tracks per class. One posexplode + ONE
+    * map-combinable (label, dim) shuffle for the mean vector (k·dim
+    * groups), one scalar-per-row pass for the norms — the corpus is
+    * read once and never joined. Doubles are rounded at 6 dp (metric
+    * rule); the mean is Σ/n computed identically in the oracle. */
+  def labelCentroidStats(emb: DataFrame, labelCol: String, vecCol: String,
+                         idCol: String): DataFrame = {
+    val perDim = emb.select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .groupBy("label", "pos")
+      .agg((sum(col("col").cast("double")) / count(lit(1))).as("m"))
+    val centroidNorm = perDim.groupBy("label")
+      .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"))
+    val vecStats = emb.select(col(labelCol).as("label"),
+        vecNorm(col(vecCol)).as("__n"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("__n")) / count(lit(1)), 6).as("avg_vec_norm"))
+    vecStats.join(centroidNorm, "label")
+      .select("label", "n_vecs", "centroid_norm", "avg_vec_norm")
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH candidate generation
     * + exact verification — the scale path for pairwise near-dup: the
     * only join is an equi-join on (table, signature-bucket), so pairs

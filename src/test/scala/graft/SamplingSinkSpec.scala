@@ -113,4 +113,16 @@ class SamplingSinkSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"), s"stratified sample must not shuffle:\n$plan")
   }
+
+  test("groupHoldout picks exactly k rows per group, stable across partitionings") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val a = Sampling.groupHoldout(df, "id", "grp", k = 7)
+    assert(a.groupBy("grp").count().collect().forall(_.getLong(1) === 7L))
+    val b = Sampling.groupHoldout(df.repartition(11), "id", "grp", k = 7)
+    assert(a.select("id").as[Long].collect().toSet === b.select("id").as[Long].collect().toSet)
+    // rank is 1..k within each group
+    assert(a.agg(max("holdout_rank")).head.getInt(0) === 7)
+  }
 }

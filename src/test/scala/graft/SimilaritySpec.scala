@@ -127,4 +127,17 @@ class SimilaritySpec extends SparkSpec {
     // modulo the 6-dp centroid rounding -- allow that epsilon)
     assert(k3.map(_._3).sum <= k1.map(_._3).sum + 1e-3)
   }
+
+  test("labelCentroidStats: collapsed class has centroid_norm == avg_vec_norm; scattered class lower") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val collapsed = (0L until 10L).map(i => (i, Seq(3f, 4f, 0f), 0))
+    val scattered = (10L until 20L).map(i =>
+      (i, if (i % 2 == 0) Seq(5f, 0f, 0f) else Seq(-5f, 0f, 0f), 1))
+    val emb = (collapsed ++ scattered).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidStats(emb, "label", "embedding", "vec_id")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(0) === ((10L, 5.0, 5.0)))      // identical vectors: centroid == each vector
+    assert(got(1)._2 === 0.0 && got(1)._3 === 5.0) // opposing vectors cancel the centroid
+  }
 }
