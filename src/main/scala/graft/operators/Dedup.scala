@@ -273,7 +273,10 @@ object Dedup {
     * re-analyzes a growing tree every iteration).
     *
     * Output: (doc_id, cluster_id = min id in component, cluster_size),
-    * one row per node that appears in `pairs`.
+    * one row per node that appears in `pairs`. Throws if the graph's
+    * diameter exceeds `maxIter` (an unconverged result would be
+    * silently wrong); [[connectedComponentsStar]] handles
+    * high-diameter graphs in O(log n) rounds.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
@@ -315,6 +318,91 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // an unconverged label table is silently WRONG (labels lag the
+    // component minimum by the unfinished distance) — refuse to return
+    // it; high-diameter graphs belong to connectedComponentsStar
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — the pair " +
+        "graph has diameter > maxIter; raise maxIter or use connectedComponentsStar")
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  /** Connected components by ALTERNATING STARS (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log n)-round path for adversarially long chains where plain
+    * min-label propagation ([[connectedComponents]]) needs
+    * O(diameter) rounds. Near-dup graphs don't need this (blobs have
+    * tiny diameters); reach for it when the pair graph is arbitrary —
+    * e.g. citation/link graphs, entity resolution.
+    *
+    * Each round rewires the edge list itself:
+    *  - large-star(u): every neighbor v > u re-points to
+    *    m = min(Γ(u) ∪ {u});
+    *  - small-star(u): every neighbor v ≤ u (and u itself) re-points
+    *    to m = min over that set.
+    *
+    * Both are one groupBy-min + one join per phase — same sparse
+    * shuffle shape as a propagation round, edge count never grows.
+    * At the fixpoint the edges form stars rooted at component minima.
+    * Convergence = the canonical (min, max)-oriented edge set's
+    * (count, hash-sum) signature repeating — two scalar aggregates, no
+    * row-diff join. Output matches [[connectedComponents]] exactly:
+    * (doc_id, cluster_id, cluster_size). */
+  def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
+                              idB: String = "id_b", maxIter: Int = 30): DataFrame = {
+    // canonical undirected form, self-loops dropped
+    def canon(df: DataFrame) = df
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    def signature(df: DataFrame): (Long, String) = {
+      // decimal accumulation: a long sum of 2^63-scale hashes overflows
+      // under ANSI mode
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1).toPlainString)
+    }
+    // one star phase: for each center u (over the symmetrized edges,
+    // restricted to the phase's neighbor side), re-point the selected
+    // neighbors to min(selected ∪ {u})
+    def phase(edges: DataFrame, large: Boolean): DataFrame = {
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val side = if (large) sym.where(col("v") > col("u"))
+                 else sym.where(col("v") < col("u"))
+      // min over the full neighborhood ∪ {u} for large-star;
+      // min over the ≤-side ∪ {u} for small-star
+      val m = (if (large) sym else side)
+        .groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      val rewired = side.join(m, "u").select(col("v").as("u"), col("m").as("v"))
+      val selfEdge = if (large) rewired
+                     else rewired.unionAll(m.select(col("u"), col("m").as("v")))
+      canon(selfEdge)
+    }
+    var edges = canon(pairs.select(col(idA).as("u"), col(idB).as("v"))).localCheckpoint(false)
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = canon(phase(phase(edges, large = true), large = false))
+        .localCheckpoint(false)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      iter += 1
+    }
+    // fixpoint: every edge is (root, member). Labels: members point to
+    // their root; roots label themselves.
+    val members = edges.select(col("v").as("id"), col("u").as("comp"))
+    val roots = edges.select(col("u").as("id")).distinct()
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("comp", col("id"))
+    val labels = members.unionAll(roots)
+      .groupBy("id").agg(min("comp").as("comp"))
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"),

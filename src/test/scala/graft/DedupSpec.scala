@@ -177,4 +177,40 @@ class DedupSpec extends SparkSpec {
       k = 4, w = 4, minShared = 1, maxFpFreq = None)
     assert(uncapped.count() === 6L) // all C(4,2) pairs
   }
+
+  test("connectedComponentsStar: equivalent to label propagation on random graphs, chains, stars") {
+    import spark.implicits._
+    def check(pairs: Seq[(Long, Long)]): Unit = {
+      val df = pairs.toDF("id_a", "id_b")
+      // lp needs O(diameter) rounds -- give it enough for the 40-chain
+      val lp = Dedup.connectedComponents(df, maxIter = 45)
+        .as[(Long, Long, Long)].collect().toSet
+      val st = Dedup.connectedComponentsStar(df)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(st === lp, s"pairs=$pairs")
+    }
+    // worst-case diameter: one long chain
+    check((0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq)
+    // star with high root id (exercises small-star re-rooting)
+    check((0L until 10L).map(i => (50L, i)))
+    // random graphs across densities, deterministic seeds
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val m = 10 + rnd.nextInt(50)
+      val pairs = (0 until m).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      if (pairs.nonEmpty) check(pairs)
+    }
+  }
+
+  test("connectedComponents refuses to return unconverged labels (high-diameter graph)") {
+    import spark.implicits._
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 5).collect()
+    }
+    assert(e.getMessage.contains("connectedComponentsStar"))
+  }
 }
