@@ -226,7 +226,12 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
     var c = 0
     while (c < centroids.length) {
       val p = centroids(c)
-      val n = math.min(v.numElements(), p.length)
+      // strict-length contract (same as SignatureAgreement): a short or
+      // corrupt embedding must fail loudly, not get a biased probe list
+      val n = v.numElements()
+      if (n != p.length)
+        throw new IllegalArgumentException(
+          s"nearest_centroids: vector dim $n != centroid dim ${p.length}")
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -293,7 +298,13 @@ case class CentroidAssignL2(child: Expression, centroids: Array[Array[Double]])
     var c = 0
     while (c < centroids.length) {
       val p = centroids(c)
-      val n = math.min(v.numElements(), p.length)
+      // strict-length contract (same as SignatureAgreement): a short or
+      // corrupt embedding must fail loudly, not get a biased assignment
+      // from a truncated distance
+      val n = v.numElements()
+      if (n != p.length)
+        throw new IllegalArgumentException(
+          s"centroid_assign_l2: vector dim $n != centroid dim ${p.length}")
       var acc = 0.0
       var i = 0
       while (i < n) {

@@ -53,6 +53,11 @@ object CorpusStats {
     // Catalyst re-scans and re-tokenizes the whole corpus for each use.
     // tf is the per-(doc, token) aggregate (~10× smaller than the text;
     // spills to disk if memory-tight), the standard thing to persist.
+    // Lifecycle: the cache is plan-keyed and shared across calls on the
+    // same input (a repeat call warns "already cached", it does not
+    // double the storage); the caller releases it with
+    // `spark.catalog.clearCache()` (what Bench does between reps) or
+    // `df.unpersist()` once the result is materialized.
     val tf = tokenized(docs, idCol, textCol)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .cache()

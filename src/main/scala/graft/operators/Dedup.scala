@@ -296,9 +296,13 @@ object Dedup {
     var labels = edges.groupBy(col("u").as("id"))
       .agg(least(min(col("v")), col("u")).as("comp"))
       .localCheckpoint(false)
-    def labelSum(df: DataFrame): Long = df
-      .agg(coalesce(org.apache.spark.sql.functions.sum("comp"), lit(0L)))
-      .head.getLong(0)
+    // decimal accumulation: hash-derived 2^63-scale labels overflow a
+    // long sum under ANSI mode (same trap connectedComponentsStar's
+    // signature guards against)
+    def labelSum(df: DataFrame): String = df
+      .agg(coalesce(org.apache.spark.sql.functions.sum(col("comp").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")))
+      .head.getDecimal(0).toPlainString
     var sum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -395,6 +399,11 @@ object Dedup {
       edges = next
       iter += 1
     }
+    // same refusal as connectedComponents: an unconverged star
+    // decomposition yields wrong cluster labels with no other signal
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds; raise maxIter")
     // fixpoint: every edge is (root, member). Labels: members point to
     // their root; roots label themselves.
     val members = edges.select(col("v").as("id"), col("u").as("comp"))
@@ -428,7 +437,13 @@ object Dedup {
     * materialize for docs sharing a fingerprint — never O(n²)), with
     * the same skew guard as `ngramJaccardPairs`: fingerprints shared by
     * more than `maxFpFreq` docs are boilerplate; the tiny hot set is
-    * collected into a broadcast anti-join, never inner-joined. */
+    * collected into a broadcast anti-join, never inner-joined.
+    *
+    * Cache lifecycle: `fp` feeds the sizes aggregate and both join
+    * sides; the persist is plan-keyed and shared across calls on the
+    * same input. The caller releases it with
+    * `spark.catalog.clearCache()` (what Bench does between reps) or
+    * `unpersist()` once the result is materialized. */
   def fingerprintOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
                               k: Int, w: Int, minShared: Int,
                               maxFpFreq: Option[Int] = None): DataFrame = {
