@@ -561,7 +561,50 @@ object SparkEntry {
     //    the class-drift/collapse diagnostics, one corpus read ──
     "q55_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroidStats(t(s, dir, "embeddings"), "label",
-        "embedding", "vec_id")))
+        "embedding", "vec_id")),
+
+    // ── SemDeDup (Abbas et al. 2023): k-means-scoped semantic dedup —
+    //    near-dup pairs only WITHIN a cluster (Σ n_c², never n²); the
+    //    deterministic k-means replay makes even the cluster partition
+    //    oracle-exact ──
+    "q56_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 1, threshold = 0.35)),
+
+    // ── token-budget domain mixing: cap every source at a token budget
+    //    via portable md5 buckets — ONE corpus scan into a
+    //    (domain, bucket) pre-agg, all integer arithmetic ──
+    "q57_token_budget_mix" -> ((s, dir) =>
+      Sampling.tokenBudgetMix(t(s, dir, "documents"), "doc_id", "source",
+        graft.functions.TextAnalysis.tokenCount(col("text")),
+        budgetTokens = 800)
+        .withColumnRenamed("domain", "source")),
+
+    // ── count-min sketch: d×w mergeable frequency summary built from
+    //    the vocab aggregate; md5-derived bucket hashes make the
+    //    APPROXIMATE estimates oracle-exact (est ≥ exact always) ──
+    "q58_cms_estimates" -> ((s, dir) =>
+      CorpusStats.cmsTokenEstimates(t(s, dir, "documents"), "doc_id", "text",
+        d = 3, w = 16, topK = 30)),
+
+    // ── char-entropy quality signal: codepoint histogram + Shannon
+    //    entropy in ONE codegen pass per doc — zero shuffles ──
+    "q59_char_entropy" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("__cs", graft.functions.TextAnalysis.charStats(col("text")))
+        .select(col("doc_id"),
+          col("__cs.n_chars").as("n_chars"),
+          col("__cs.n_unique").as("n_unique"),
+          round(col("__cs.entropy"), 6).as("entropy"))),
+
+    // ── ANN recall@k eval: LSH hits vs exact brute-force ground truth
+    //    on a query sample — both legs deterministic, so the EVAL
+    //    itself is oracle-exact ──
+    "q60_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annRecallAtK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64, nBits = 8, numTables = 8)
+    }))
 
   /** DuckDB CTE block reproducing `LshSignatures` bit-for-bit: ±1 plane
     * signs from md5("plane|seed|t|b|d"), dot over floor(v·2^20) integer
@@ -694,6 +737,31 @@ object SparkEntry {
     s"""WITH ${ctes.mkString(",\n         ")}
          SELECT vec_id, CAST(c AS INT) AS cluster, round(dist, 6) AS l2sq
          FROM a${iters + 1}"""
+  }
+
+  /** DuckDB replay of `Similarity.semDedup` (q56): the same k-means
+    * CTE chain as q49 (so the cluster partition is identical), then a
+    * within-cluster-only pair join — a vector is dropped when a
+    * smaller-id cluster-mate has round-6 cosine ≥ the threshold. */
+  private def semDedupSql(k: Int, dim: Int, iters: Int, threshold: Double): String = {
+    val refine = kmeansRefineSql(k, dim, iters)
+    // reuse the full replay as a subquery: its SELECT is exactly the
+    // per-vector (vec_id, cluster, l2sq) assignment table
+    s"""WITH asg AS (SELECT vec_id, cluster FROM ($refine)),
+         pair AS (
+           SELECT a.vec_id AS id, a.cluster,
+             round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS cs
+           FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+           JOIN embeddings ea ON a.vec_id = ea.vec_id
+           JOIN embeddings eb ON b.vec_id = eb.vec_id
+         ), d AS (
+           SELECT id, count(*) AS n_dups, max(cs) AS max_cos
+           FROM pair WHERE cs >= $threshold GROUP BY id
+         )
+         SELECT a.vec_id, a.cluster,
+           coalesce(d.n_dups, 0) AS n_dups, d.max_cos,
+           coalesce(d.n_dups, 0) = 0 AS keep
+         FROM asg a LEFT JOIN d ON a.vec_id = d.id"""
   }
 
   /** DuckDB-runnable oracle per query (same parquet tables registered
@@ -1077,6 +1145,119 @@ object SparkEntry {
          )
          SELECT label, n_vecs, centroid_norm, avg_vec_norm
          FROM vs JOIN cn USING (label)""",
+    // SemDeDup: q49's k-means replay + within-cluster pair join.
+    "q56_semdedup" -> semDedupSql(k = 8, dim = 64, iters = 1, threshold = 0.35),
+    // Token-budget mix: q44's md5 bucket, q45's tokenizer, integer `//`.
+    "q57_token_budget_mix" ->
+      """WITH b AS (
+           SELECT source,
+             CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS INT) AS bucket,
+             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+           FROM (SELECT source, text,
+                   md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+         ), g AS (
+           SELECT source, bucket, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+           FROM b GROUP BY 1, 2
+         ), tot AS (
+           SELECT source, sum(n_docs) AS total_docs, sum(n_tokens) AS total_tokens,
+             least(100, 800 * 100 // sum(n_tokens)) AS keep_buckets
+           FROM g GROUP BY source
+         )
+         SELECT t.source, t.total_docs, t.total_tokens, t.keep_buckets,
+           sum(CASE WHEN g.bucket < t.keep_buckets THEN g.n_docs ELSE 0 END) AS kept_docs,
+           sum(CASE WHEN g.bucket < t.keep_buckets THEN g.n_tokens ELSE 0 END) AS kept_tokens
+         FROM g JOIN tot t USING (source)
+         GROUP BY t.source, t.total_docs, t.total_tokens, t.keep_buckets""",
+    // Count-min sketch: md5-48("cms|r|token") mod w bucket hashes —
+    // the sketch cells and min-estimates are exact integers both sides.
+    "q58_cms_estimates" ->
+      """WITH tok AS (
+           SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           FROM documents
+         ), vocab AS (
+           SELECT token, count(*) AS n_exact FROM tok GROUP BY token
+         ), hashed AS (
+           SELECT token, n_exact, r.r,
+             CAST(list_sum(list_transform(range(12),
+               j -> CAST(strpos('0123456789abcdef', substring(md5('cms|' || CAST(r.r AS VARCHAR) || '|' || token), CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT) % 16 AS bucket
+           FROM vocab, range(3) r(r)
+         ), sketch AS (
+           SELECT r, bucket, sum(n_exact) AS cell FROM hashed GROUP BY 1, 2
+         ), top AS (
+           SELECT token, n_exact FROM vocab ORDER BY n_exact DESC, token LIMIT 30
+         ), est AS (
+           SELECT t.token, t.n_exact, min(s.cell) AS n_est
+           FROM top t JOIN hashed h ON t.token = h.token
+           JOIN sketch s ON h.r = s.r AND h.bucket = s.bucket
+           GROUP BY 1, 2
+         )
+         SELECT row_number() OVER (ORDER BY n_exact DESC, token) AS rank,
+           token, n_exact, n_est, n_est - n_exact AS overcount
+         FROM est""",
+    // Char entropy: per-codepoint histogram; Σ cnt·ln cnt folded in
+    // ascending-codepoint order (list ORDER BY c = UTF-8 byte order =
+    // codepoint order), H = (ln n − S/n) / the shared LN2 literal.
+    "q59_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, c, count(*) AS cnt
+           FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+                 FROM documents)
+           GROUP BY 1, 2
+         ), s AS (
+           SELECT doc_id,
+             CAST(sum(cnt) AS INT) AS n_chars,
+             CAST(count(*) AS INT) AS n_unique,
+             CAST(sum(cnt) AS DOUBLE) AS n,
+             list_sum(list_transform(list(CAST(cnt AS DOUBLE) ORDER BY c), x -> x * ln(x))) AS sl
+           FROM ch GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+           coalesce(s.n_chars, 0) AS n_chars,
+           coalesce(s.n_unique, 0) AS n_unique,
+           round(CASE WHEN s.n IS NULL OR s.n = 0 THEN 0.0
+                      ELSE (ln(s.n) - s.sl / s.n) / 0.6931471805599453 END, 6) AS entropy
+         FROM documents d LEFT JOIN s USING (doc_id)""",
+    // ANN recall eval: q21's exact ranking vs q22's LSH ranking.
+    "q60_ann_recall" ->
+      s"""WITH ${srpSigCtes(tables = 8, bits = 8, dim = 64, seed = 42L)},
+         probes AS (
+           SELECT s.vec_id AS query_id, s.t,
+             CASE WHEN f.f = 8 THEN s.sig
+                  ELSE xor(s.sig, CAST(1 AS BIGINT) << CAST(f.f AS INT)) END AS sig
+           FROM sig s, range(9) f(f) WHERE s.vec_id < 10
+         ), cand AS (
+           SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+           FROM probes p JOIN sig c ON p.t = c.t AND p.sig = c.sig
+           WHERE p.query_id <> c.vec_id
+         ), approx AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                          neighbor_id ASC) AS rank
+             FROM cand
+             JOIN embeddings q ON query_id = q.vec_id
+             JOIN embeddings c ON neighbor_id = c.vec_id
+           ) WHERE rank <= 5
+         ), truth AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10
+           QUALIFY row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id ASC) <= 5
+         ), hits AS (
+           SELECT t.query_id, count(*) AS n_hits
+           FROM truth t JOIN approx a
+             ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+           GROUP BY 1
+         )
+         SELECT n.query_id, n.n_truth,
+           coalesce(h.n_hits, 0) AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / n.n_truth, 6) AS recall
+         FROM (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1) n
+         LEFT JOIN hits h USING (query_id)""",
     // Lloyd k-means replay: see kmeansRefineSql scaladoc.
     "q49_kmeans_refine" -> kmeansRefineSql(k = 8, dim = 64, iters = 2),
     // Stratified portable sample: q44's md5 bucket, per-lang keep rate.

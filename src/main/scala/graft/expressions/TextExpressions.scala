@@ -33,6 +33,88 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-scan character-distribution stats:
+  * `struct<n_chars int, n_unique int, entropy double>` over the raw
+  * text's CODEPOINTS — the character-entropy quality signal (low
+  * entropy = repeated-char spam / binary junk; the standard cheap
+  * filter next to length and stopword ratios).
+  *
+  * Shannon entropy in bits, computed as
+  * `H = (ln n − (Σ_c cnt_c·ln cnt_c)/n) / LN2` with the Σ folded in
+  * ASCENDING codepoint order and LN2 the fixed literal
+  * 0.6931471805599453 — the exact expression a SQL oracle can replay
+  * term-for-term (same fold order, same constant), leaving only
+  * sub-ulp libm `ln` noise for the 6-dp round to absorb (the repo's
+  * metric-double rule; entropy is emitted unrounded, callers round).
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_unique", IntegerType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharEntropy.statsOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.CharEntropy.statsOf($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  /** The double nearest ln 2 — a shared LITERAL on both engines so the
+    * bits-conversion divisor cannot differ by an ulp. */
+  val Ln2 = 0.6931471805599453
+
+  def statsOf(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    // histogram over codepoints; ASCII fast path = fixed array (sorted
+    // by construction), otherwise a sorted map — the entropy fold must
+    // run in ascending-codepoint order to match the oracle's ordered
+    // list sum
+    var ascii = true
+    var i = 0
+    while (ascii && i < str.length) { if (str.charAt(i) >= 0x80) ascii = false; i += 1 }
+    var n = 0
+    var unique = 0
+    var sum = 0.0
+    if (ascii) {
+      val h = new Array[Int](128)
+      var j = 0
+      while (j < str.length) { h(str.charAt(j)) += 1; j += 1 }
+      n = str.length
+      var c = 0
+      while (c < 128) {
+        val cnt = h(c)
+        if (cnt > 0) { unique += 1; sum += cnt * math.log(cnt.toDouble) }
+        c += 1
+      }
+    } else {
+      val h = new java.util.TreeMap[Integer, Integer]()
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        h.merge(cp, 1, (a, b) => a + b)
+        n += 1
+        j += Character.charCount(cp)
+      }
+      unique = h.size()
+      val it = h.values().iterator()
+      while (it.hasNext) { val cnt = it.next(); sum += cnt * math.log(cnt.toDouble) }
+    }
+    val entropy = if (n == 0) 0.0 else (math.log(n.toDouble) - sum / n) / Ln2
+    org.apache.spark.sql.catalyst.InternalRow(n, unique, entropy)
+  }
+
+  def charEntropyStats(c: Column): Column =
+    GraftSqlBridge.column(CharEntropy(GraftSqlBridge.expression(c)))
+}
+
 object NormalizeText {
   private val NonAlnum = java.util.regex.Pattern.compile("[^a-z0-9 ]")
   private val Spaces = java.util.regex.Pattern.compile(" +")

@@ -56,6 +56,15 @@ object TextAnalysis {
     lenScore * 0.4 + stopScore * 0.3 + tokScore * 0.3
   }
 
+  /** Character-distribution stats over the RAW text's codepoints:
+    * `struct<n_chars, n_unique, entropy>` in one codegen pass (see
+    * `graft.expressions.CharEntropy`). Low entropy = repeated-char
+    * spam / degenerate boilerplate; the standard cheap quality filter
+    * next to length and stopword ratios. Entropy is unrounded — round
+    * at 6 dp before emitting (metric-double rule). */
+  def charStats(text: Column): Column =
+    graft.expressions.CharEntropy.charEntropyStats(text)
+
   /** Marker stopword sets per language for the n-gram-heuristic
     * language ID. Deterministic argmax with fixed preference order. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -164,4 +164,49 @@ object CorpusStats {
         col("__kmv._1").as("n_kept"),
         round(col("__kmv._2"), 6).as("est_distinct_grams"))
   }
+
+  /** Count-min sketch over token frequencies (Cormode & Muthukrishnan
+    * 2005): `d` hash rows × `w` buckets, cell = Σ counts of tokens
+    * hashing there; estimate = min over the d cells — never an
+    * UNDERcount. The fixed-size mergeable summary a pipeline ships
+    * instead of a vocabulary when it only needs approximate frequencies
+    * (trend monitors, per-shard token accounting).
+    *
+    * Built from the VOCABULARY aggregate, not the raw token stream:
+    * counting (token → n) first is semantically identical and turns the
+    * sketch build into a pass over |vocab| rows instead of the full
+    * corpus token stream. Hash = md5-48("cms|r|token") mod w — exact
+    * integers on any engine, so even the approximate estimates are
+    * oracle-exact (same property as [[kmvDistinctGrams]]).
+    *
+    * Scale shape: ONE corpus-sized combinable shuffle (the vocab agg,
+    * reused via the plan-keyed cache — see [[tfIdf]]'s lifecycle note);
+    * the sketch agg has d·w groups and the d·w-row sketch BROADCASTS to
+    * the top-k probe join. Output (top `topK` exact tokens, ties by
+    * token): (rank, token, n_exact, n_est, overcount ≥ 0). */
+  def cmsTokenEstimates(docs: DataFrame, idCol: String, textCol: String,
+                        d: Int = 4, w: Int = 512, topK: Int = 30): DataFrame = {
+    require(d >= 1 && w >= 1 && topK >= 1)
+    val vocab = tokenized(docs, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .cache()
+    def bucketOf(rCol: org.apache.spark.sql.Column, token: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("cms|"), rCol.cast("string"), lit("|"), token)
+        .cast("binary")), 1, 12), 16, 10).cast("long") % w
+    val rows = vocab.select(col("token"), col("n_exact"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("bucket", bucketOf(col("r"), col("token")))
+    val sketch = rows.groupBy("r", "bucket").agg(sum("n_exact").as("cell"))
+    val top = vocab.orderBy(desc("n_exact"), asc("token")).limit(topK)
+      .select(col("token"), col("n_exact"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("bucket", bucketOf(col("r"), col("token")))
+    top.join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy("token", "n_exact")
+      .agg(min("cell").as("n_est"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("n_exact"), asc("token"))))
+      .select(col("rank"), col("token"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+  }
 }

@@ -88,6 +88,57 @@ object Sampling {
       .drop("__hx")
   }
 
+  /** Token-budget domain mixing: give every domain (source, language,
+    * quality tier…) at most `budgetTokens` tokens in the output mix by
+    * downsampling over-represented domains with the [[portableSample]]
+    * md5 bucket — the data-mixing step a pretraining pipeline runs to
+    * hit a per-domain token allocation (cf. the domain-weighting setup
+    * in Gopher/DoReMi-style mixes, re-expressed as deterministic
+    * bucket filtering).
+    *
+    * A domain keeps `keep_buckets = min(outOf, ⌊budget·outOf /
+    * total_tokens⌋)` of `outOf` content-keyed buckets — all integer
+    * arithmetic, so the mix is exact-reproducible on any engine, any
+    * partitioning, any cluster size. A domain under budget keeps
+    * everything.
+    *
+    * Scale shape: ONE corpus scan into a (domain, bucket) pre-aggregate
+    * (≤ |domains|·outOf groups, map-combined); totals, rates and kept
+    * counts all derive from that tiny frame — the text column is never
+    * rescanned and no per-row join ever happens. To materialize the
+    * kept ROWS at scale, reuse the same bucket predicate as a stateless
+    * filter (`portableSample` contract) in a second scan.
+    *
+    * Output: one row per domain — (domain, total_docs, total_tokens,
+    * keep_buckets, kept_docs, kept_tokens). */
+  def tokenBudgetMix(df: DataFrame, idCol: String, domainCol: String,
+                     nTokens: Column, budgetTokens: Long, outOf: Int = 100,
+                     seed: String = "graft"): DataFrame = {
+    require(budgetTokens > 0 && outOf > 0)
+    val hx = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary"))
+    val bucket = (conv(substring(hx, 1, 8), 16, 10).cast("long") % outOf).cast("int")
+    val perBucket = df
+      .select(col(domainCol).as("domain"), bucket.as("bucket"),
+        nTokens.cast("long").as("n_tokens"))
+      .groupBy("domain", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
+    perBucket
+      .withColumn("total_docs", sum("n_docs").over(w))
+      .withColumn("total_tokens", sum("n_tokens").over(w))
+      // `div` = exact integral division (Spark `div`, DuckDB `//`) — a
+      // double `/` + floor can misround within an ulp of an integer
+      .withColumn("keep_buckets",
+        least(lit(outOf.toLong),
+          expr(s"${budgetTokens}L * $outOf div total_tokens")))
+      .groupBy(col("domain"), col("total_docs"), col("total_tokens"), col("keep_buckets"))
+      .agg(
+        sum(when(col("bucket") < col("keep_buckets"), col("n_docs")).otherwise(0L)).as("kept_docs"),
+        sum(when(col("bucket") < col("keep_buckets"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .select("domain", "total_docs", "total_tokens", "keep_buckets",
+        "kept_docs", "kept_tokens")
+  }
+
   /** Buffer: k smallest (hash, payload) pairs seen so far. */
   final case class BottomK(k: Int, items: List[(Long, String)]) {
     // distinct BEFORE take in both paths: duplicate values must occupy

@@ -337,4 +337,84 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  /** Recall@k of the LSH ANN path against the exact brute-force
+    * ranking — the eval harness an ANN deployment runs on a QUERY
+    * SAMPLE before trusting approximate search at scale (tune nBits /
+    * numTables until the sampled recall clears target). Both legs are
+    * deterministic here (portable signatures, id tiebreaks), so even
+    * this evaluation is oracle-exact.
+    *
+    * Scale shape: the O(n·|queries|) brute-force leg is the cost —
+    * that is inherent to ground truth and is why `queries` is a small
+    * sample; the comparison itself is two k·|queries|-row aggregates.
+    *
+    * Output: one row per query — (query_id, n_truth, n_hits,
+    * recall = n_hits/n_truth rounded 6dp). */
+  def annRecallAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, dim: Int, nBits: Int = 8,
+                   numTables: Int = 8): DataFrame = {
+    val truth = bruteForceKnn(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = lshKnn(corpus, queries, idCol, vecCol, k, dim, nBits, numTables)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    // mark-and-aggregate in ONE pass over truth: the expensive
+    // brute-force leg must not be computed once for n_truth and again
+    // for the hit join (plan-guarded: a single BNLJ in the whole plan)
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
+  }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then look
+    * for near-duplicates ONLY within a cluster — the published trick
+    * that turns O(n²) semantic dedup into Σ_c O(n_c²) with n_c bounded
+    * by growing k with the corpus. Reference scope: the
+    * training-data-pipeline extension family (SURVEY §2 extensions),
+    * sibling of `lshNearDupPairs`.
+    *
+    * Clustering is the deterministic [[kmeansRefine]] run (md5-keyed
+    * init, 6-dp-rounded means), so a SQL oracle replays the identical
+    * partition. Within a cluster, a vector is DROPPED when any
+    * smaller-id cluster-mate has cosine ≥ `threshold` (keep-one-
+    * representative, lowest id wins — SemDeDup keeps one point per
+    * ε-ball). The threshold compares the 6-dp-ROUNDED cosine on both
+    * engines (metric-double rule), so the verdict cannot flip on libm
+    * ulps.
+    *
+    * Scale shape: the only join is the within-cluster equi-join — no
+    * cross-cluster pair ever materializes (plan-guarded: no BNLJ /
+    * cartesian). Per-pair work is one codegen `VectorDot`.
+    *
+    * Output: one row per vector — (id, cluster, n_dups = #smaller-id
+    * near-dup cluster-mates, max_cos = their max rounded cosine or NULL,
+    * keep = n_dups == 0). */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, threshold: Double): DataFrame = {
+    val assigned = kmeansRefine(emb, idCol, vecCol, k, iters)
+      .select(col(idCol), col("cluster"))
+    val sided = assigned.join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+      .withColumn("__n", vecNorm(col(vecCol)))
+    val a = sided.select(col(idCol).as("id"), col("cluster"),
+      col(vecCol).as("va"), col("__n").as("na"))
+    val b = sided.select(col(idCol).as("id_b"), col("cluster"),
+      col(vecCol).as("vb"), col("__n").as("nb"))
+    val dups = a.join(b, Seq("cluster"))
+      .where(col("id_b") < col("id"))
+      .withColumn("cos_sim",
+        round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .where(col("cos_sim") >= threshold)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_dups"), max("cos_sim").as("max_cos"))
+    assigned.select(col(idCol).as("id"), col("cluster"))
+      .join(dups, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("max_cos"),
+        (coalesce(col("n_dups"), lit(0L)) === 0L).as("keep"))
+  }
 }

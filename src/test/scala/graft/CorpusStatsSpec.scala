@@ -88,4 +88,30 @@ class CorpusStatsSpec extends SparkSpec {
     val r1 = CorpusStats.kmvDistinctGrams(docs.repartition(13), "grp", "text", n = 2, k = 64).head
     assert(r1.getAs[Double]("est_distinct_grams") === est)
   }
+
+  test("cmsTokenEstimates: never undercounts; exact when the sketch is wide enough") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"tok${i % 7} tok${i % 7} tok${i % 13} filler${i % 29}")).toDF("doc_id", "text")
+    // narrow sketch: collisions guaranteed (>> 8 distinct tokens), but
+    // the CMS invariant est >= exact must hold for every row
+    val narrow = CorpusStats.cmsTokenEstimates(docs, "doc_id", "text",
+      d = 2, w = 8, topK = 20).collect()
+    assert(narrow.nonEmpty)
+    narrow.foreach { r =>
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_exact"),
+        s"CMS undercounted: $r")
+      assert(r.getAs[Long]("overcount") === r.getAs[Long]("n_est") - r.getAs[Long]("n_exact"))
+    }
+    // ranks are 1..n in exact-count order
+    val ranks = narrow.sortBy(_.getAs[Int]("rank"))
+    assert(ranks.map(_.getAs[Int]("rank")).toSeq === (1 to narrow.length))
+    assert(ranks.sliding(2).forall(p => p.head.getAs[Long]("n_exact") >= p.last.getAs[Long]("n_exact")))
+    // wide sketch over a tiny vocabulary: no collisions, estimates exact
+    val wide = CorpusStats.cmsTokenEstimates(docs, "doc_id", "text",
+      d = 4, w = 4096, topK = 20).collect()
+    wide.foreach(r => assert(r.getAs[Long]("overcount") === 0L, s"collision at w=4096: $r"))
+    spark.catalog.clearCache()
+  }
 }

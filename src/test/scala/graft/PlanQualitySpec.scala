@@ -164,4 +164,55 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"clustering must stay sparse:\n$plan")
   }
+
+  test("q56: SemDeDup pairs join only WITHIN a cluster — never the n² cross product") {
+    // the whole point of SemDeDup is Σ n_c² instead of n²: the pair join
+    // must stay an equi-join on the cluster id
+    val df = SparkEntry.queries("q56_semdedup")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"semantic dedup degraded to all-pairs:\n$plan")
+    assert(plan.contains("vector_dot"), s"per-pair work must be the codegen dot:\n$plan")
+    assert(plan.contains("centroid_assign_l2"), s"assignment must be the per-row kernel:\n$plan")
+  }
+
+  test("q57: token-budget mix reads the text column ONCE — no per-row join") {
+    val df = SparkEntry.queries("q57_token_budget_mix")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).size === 1,
+      s"the corpus must be scanned exactly once:\n$plan")
+    assert(!plan.contains("Join"), s"rates derive from the tiny pre-agg, never a row join:\n$plan")
+  }
+
+  test("q58: CMS probe join broadcasts the d·w-cell sketch; vocab aggregates once") {
+    val df = SparkEntry.queries("q58_cms_estimates")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"sketch must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"probe join degraded to SMJ:\n$plan")
+    assert("Generate explode".r.findAllIn(plan).size <= 2,
+      s"vocab must be cached — uncached, the corpus re-tokenizes per use:\n$plan")
+  }
+
+  test("q59: char entropy is a pure per-row scan — zero shuffles, codegen kernel") {
+    val plan = executedPlan("q59_char_entropy")
+    assert(!plan.contains("Exchange"), s"entropy must not shuffle:\n$plan")
+    assert(plan.contains("char_entropy"), s"codegen kernel missing:\n$plan")
+  }
+
+  test("q60: recall eval never cross-products (BNLJ allowed only in the brute leg)") {
+    val df = SparkEntry.queries("q60_ann_recall")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), s"cartesian regression:\n$plan")
+    // exactly the one deliberate BNLJ: the ground-truth brute-force leg
+    // (computed ONCE — mark-and-aggregate, not a second pass for counts)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"only the brute-force ground-truth leg may BNLJ:\n$plan")
+  }
 }

@@ -125,4 +125,34 @@ class SamplingSinkSpec extends SparkSpec {
     // rank is 1..k within each group
     assert(a.agg(max("holdout_rank")).head.getInt(0) === 7)
   }
+
+  test("tokenBudgetMix: under-budget domains keep everything; over-budget ones cap at the integral rate") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // "big" has 200 docs x 5 tokens = 1000 tokens; "small" has 10 x 5 = 50
+    val docs = ((0L until 200L).map(i => (i, "big", "a b c d e")) ++
+      (200L until 210L).map(i => (i, "small", "a b c d e")))
+      .toDF("doc_id", "domain", "text")
+    val mix = Sampling.tokenBudgetMix(docs, "doc_id", "domain",
+        graft.functions.TextAnalysis.tokenCount($"text"), budgetTokens = 300L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (bigDocs, bigToks, bigKeep, bigKeptD, bigKeptT) = mix("big")
+    assert((bigDocs, bigToks) === ((200L, 1000L)))
+    assert(bigKeep === 300L * 100L / 1000L) // = 30 of 100 buckets
+    assert(bigKeptD < bigDocs && bigKeptT < bigToks)
+    val (smDocs, smToks, smKeep, smKeptD, smKeptT) = mix("small")
+    assert(smKeep === 100L, "under-budget domain must keep all buckets")
+    assert((smKeptD, smKeptT) === ((smDocs, smToks)))
+    // the summary's kept counts equal a direct portableSample-style
+    // bucket filter at the same rate — the materialization predicate
+    val direct = Sampling.portableSample(
+      docs.where($"domain" === "big"), "doc_id", keep = bigKeep.toInt).count()
+    assert(direct === bigKeptD)
+    // partitioning-independent (pure content function)
+    val again = Sampling.tokenBudgetMix(docs.repartition(17), "doc_id", "domain",
+        graft.functions.TextAnalysis.tokenCount($"text"), budgetTokens = 300L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(again("big") === bigKeptD && again("small") === smKeptD)
+  }
 }

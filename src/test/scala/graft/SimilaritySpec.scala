@@ -140,4 +140,53 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0) === ((10L, 5.0, 5.0)))      // identical vectors: centroid == each vector
     assert(got(1)._2 === 0.0 && got(1)._3 === 5.0) // opposing vectors cancel the centroid
   }
+
+  test("semDedup: keep ⟺ no smaller-id near-dup; identical pair drops the higher id") {
+    import spark.implicits._
+    // ids 1/2 are exact duplicates; 10/11 near-identical; 20 a loner
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(1f, 0f, 0f, 0f)),
+      (10L, Seq(0f, 1f, 0f, 0f)), (11L, Seq(0f, 0.99f, 0.1f, 0f)),
+      (20L, Seq(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(emb, "vec_id", "embedding",
+        k = 2, iters = 1, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getBoolean(4))).toMap
+    // identical vectors always co-cluster: higher id must drop at cos 1.0
+    assert(got(1L)._3, "lowest id of a dup ball must keep")
+    assert(!got(2L)._3 && got(2L)._2 >= 1L, "exact duplicate must drop")
+    assert(!got(11L)._3, "near-identical higher id must drop")
+    assert(got(20L)._3, "loner must keep")
+    // general invariant: keep ⟺ n_dups == 0, and each cluster's lowest
+    // id always keeps (it has no smaller-id cluster-mate)
+    val all = Similarity.semDedup(emb, "vec_id", "embedding", k = 2, iters = 1, threshold = 0.9)
+      .collect()
+    all.foreach(r => assert(r.getBoolean(4) === (r.getLong(2) == 0L)))
+    all.groupBy(_.getInt(1)).values.foreach { c =>
+      val lowest = c.minBy(_.getLong(0))
+      assert(lowest.getBoolean(4), "cluster's lowest id must always keep")
+    }
+  }
+
+  test("annRecallAtK: bounds, hit-consistency and determinism on real embeddings") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = Similarity.annRecallAtK(emb, emb.where($"vec_id" < 5),
+      "vec_id", "embedding", k = 5, dim = 64, nBits = 8, numTables = 8)
+    val rows = r.collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(rows.length === 5)
+    rows.foreach { case (_, nTruth, nHits, recall) =>
+      assert(nTruth === 5L)
+      assert(nHits >= 0L && nHits <= nTruth)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(recall === BigDecimal(nHits.toDouble / nTruth)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val again = Similarity.annRecallAtK(emb, emb.where($"vec_id" < 5),
+      "vec_id", "embedding", k = 5, dim = 64, nBits = 8, numTables = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toMap
+    rows.foreach { case (q, _, h, _) => assert(again(q) === h) }
+  }
 }

@@ -54,4 +54,20 @@ class TextAnalysisSpec extends SparkSpec {
     val rows = got.select(TextAnalysis.langId($"t"), $"expected").as[(String, String)].collect()
     rows.foreach { case (pred, exp) => assert(pred === exp) }
   }
+
+  test("charStats: hand-computed entropies, empty input, non-ASCII path") {
+    val cases = Seq(
+      ("aabb", (4, 2, 1.0)),       // two symbols, equal mass -> 1 bit
+      ("abab", (4, 2, 1.0)),       // order-independent
+      ("aaaa", (4, 1, 0.0)),       // degenerate -> 0 bits
+      ("abcd", (4, 4, 2.0)),       // uniform over 4 -> 2 bits
+      ("", (0, 0, 0.0)),           // empty defined as 0
+      ("ééaa", (4, 2, 1.0)),       // TreeMap (non-ASCII) path
+      ("éa", (2, 2, 1.0)))
+    val got = cases.map(_._1).toDF("t")
+      .select($"t", TextAnalysis.charStats($"t").as("s"))
+      .select($"t", $"s.n_chars", $"s.n_unique", round($"s.entropy", 9))
+      .as[(String, Int, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    cases.foreach { case (in, exp) => assert(got(in) === exp, s"input '$in'") }
+  }
 }
