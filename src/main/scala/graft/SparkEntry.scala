@@ -604,7 +604,36 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.annRecallAtK(emb, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, dim = 64, nBits = 8, numTables = 8)
-    }))
+    }),
+
+    // ── inter-doc duplicate-gram fraction: corpus-recurrent span
+    //    detector (Lee et al. 2022 statistics) — df agg + join back on
+    //    the gram hash, nothing pairwise ever materializes ──
+    "q61_interdup_grams" -> ((s, dir) =>
+      Dedup.interDocGramStats(t(s, dir, "documents"), "doc_id", "text", n = 5)),
+
+    // ── Bloom-filter decontamination: the broadcast side is bounded by
+    //    m bits no matter how big the reference suite — false positives
+    //    observable (and oracle-exact) via the exact-hit contrast ──
+    "q62_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.bloomDecontaminationScores(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, m = 16384, k = 3)
+    }),
+
+    // ── per-dimension embedding profile: mean/std/min/max per position,
+    //    ONE map-combinable dim-key shuffle — dead/skewed-dim detector ──
+    "q63_embedding_dimstats" -> ((s, dir) =>
+      Similarity.embeddingDimStats(t(s, dir, "embeddings"), "embedding")),
+
+    // ── materialized dedup: corpus ∖ non-representative cluster members
+    //    via ONE anti-join on the id — doc rows never enter clustering ──
+    "q64_dedup_materialize" -> ((s, dir) =>
+      Dedup.dedupedCorpus(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+        .select("doc_id", "lang", "source", "n_chars")))
 
   /** DuckDB CTE block reproducing `LshSignatures` bit-for-bit: ±1 plane
     * signs from md5("plane|seed|t|b|d"), dot over floor(v·2^20) integer
@@ -1258,6 +1287,105 @@ object SparkEntry {
            round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / n.n_truth, 6) AS recall
          FROM (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1) n
          LEFT JOIN hits h USING (query_id)""",
+    // Inter-doc duplicate grams: distinct 5-grams per doc (raw strings —
+    // the engine's 64-bit hash join is equivalent modulo the documented
+    // 2^-64 collision class), df >= 2 means some OTHER doc shares it.
+    "q61_interdup_grams" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), g AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram
+           FROM t WHERE len(toks) >= 5
+         ), df AS (
+           SELECT gram, count(*) AS df FROM g GROUP BY gram
+         )
+         SELECT g.doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(CAST(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+         FROM g JOIN df USING (gram)
+         GROUP BY g.doc_id""",
+    // Bloom decontamination: grams hash to md5-48 (portable), position
+    // j of hash h = md5-48('bloom|j|h') mod m — the filter bits, hits
+    // and FALSE POSITIVES are all engine-exact integers.
+    "q62_bloom_decontaminate" -> {
+      def parse12(e: String) =
+        s"CAST(list_sum(list_transform(range(12), j2 -> CAST(strpos('0123456789abcdef', substring($e, CAST(j2 + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j2 AS INT))))) AS BIGINT)"
+      s"""WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), cg AS (
+           SELECT DISTINCT doc_id, ${parse12("md5(gram)")} AS h FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+             FROM t WHERE doc_id % 10 <> 0 AND len(toks) >= 3)
+         ), rg AS (
+           SELECT DISTINCT ${parse12("md5(gram)")} AS h FROM (
+             SELECT unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+             FROM t WHERE doc_id % 10 = 0 AND len(toks) >= 3)
+         ), fbits AS (
+           SELECT DISTINCT ${parse12("md5('bloom|' || CAST(j.j AS VARCHAR) || '|' || CAST(h AS VARCHAR))")} % 16384 AS pos
+           FROM rg, range(3) j(j)
+         ), cpos AS (
+           SELECT doc_id, h,
+             ${parse12("md5('bloom|' || CAST(j.j AS VARCHAR) || '|' || CAST(h AS VARCHAR))")} % 16384 AS pos
+           FROM cg, range(3) j(j)
+         ), bh AS (
+           SELECT doc_id, h FROM cpos
+           WHERE pos IN (SELECT pos FROM fbits)
+           GROUP BY doc_id, h HAVING count(*) = 3
+         ), bhc AS (
+           SELECT doc_id, count(*) AS n_bloom_hits FROM bh GROUP BY 1
+         ), eh AS (
+           SELECT c.doc_id, count(*) AS n_exact_hits FROM cg c JOIN rg USING (h) GROUP BY 1
+         )
+         SELECT s.doc_id, s.n_grams,
+           coalesce(b.n_bloom_hits, 0) AS n_bloom_hits,
+           coalesce(e.n_exact_hits, 0) AS n_exact_hits,
+           coalesce(b.n_bloom_hits, 0) - coalesce(e.n_exact_hits, 0) AS n_false_pos
+         FROM (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1) s
+         LEFT JOIN bhc b USING (doc_id)
+         LEFT JOIN eh e USING (doc_id)"""
+    },
+    // Per-dimension embedding stats: population std over per-dim sums.
+    "q63_embedding_dimstats" ->
+      """WITH d AS (
+           SELECT i.i AS pos, CAST(embedding[CAST(i.i + 1 AS INT)] AS DOUBLE) AS x
+           FROM embeddings, range(64) i(i)
+         )
+         SELECT pos, count(*) AS n,
+           round(sum(x) / count(*), 6) AS mean_x,
+           round(sqrt(greatest(sum(x * x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*)), 0.0)), 6) AS std_x,
+           round(min(x), 6) AS min_x,
+           round(max(x), 6) AS max_x
+         FROM d GROUP BY pos""",
+    // Materialized dedup: documents minus non-representative members of
+    // the q47 component labeling.
+    "q64_dedup_materialize" ->
+      s"""WITH RECURSIVE pairs AS (
+           SELECT id_a, id_b FROM ($minhashPairsSql)
+         ), edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION
+           SELECT id_b, id_a FROM pairs
+         ), nodes AS (
+           SELECT DISTINCT u AS id FROM edges
+         ), reach(id, lab) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+         ), comp AS (
+           SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+         )
+         SELECT d.doc_id, d.lang, d.source, d.n_chars
+         FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM comp c
+           WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)""",
     // Lloyd k-means replay: see kmeansRefineSql scaladoc.
     "q49_kmeans_refine" -> kmeansRefineSql(k = 8, dim = 64, iters = 2),
     // Stratified portable sample: q44's md5 bucket, per-lang keep rate.

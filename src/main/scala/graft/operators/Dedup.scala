@@ -221,6 +221,103 @@ object Dedup {
           .as("contaminated"))
   }
 
+  /** Per-doc INTER-document duplicate-gram fraction: what share of a
+    * doc's distinct n-grams also appear in at least one OTHER document.
+    * The corpus-level boilerplate/template detector (cf. the duplicated
+    * n-gram statistics of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better") — high `dup_frac` marks docs built
+    * from corpus-recurrent spans even when no single pair passes a
+    * whole-doc Jaccard test.
+    *
+    * Plan: the [[ngramJaccardPairs]] posting shape WITHOUT the pair
+    * join — one combinable df aggregate on the 64-bit gram hash, one
+    * hash-key join back, one per-doc aggregate. Nothing pairwise ever
+    * materializes, so this scales strictly better than any pair query.
+    * A gram is "shared" when df ≥ 2; since the kernel dedupes grams
+    * within a doc, df ≥ 2 ⟺ some other doc has it.
+    *
+    * Output (docs with ≥ n tokens): (id, n_grams, n_shared, dup_frac
+    * rounded 6dp). */
+  def interDocGramStats(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    val g = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col(idCol),
+        explode(graft.expressions.HashExpressions.gramHashes(col("__toks"), n)).as("sh_h"))
+      .cache()
+    val df = g.groupBy("sh_h").agg(count(lit(1)).as("df"))
+    g.join(df, "sh_h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col(idCol), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams").cast("double"), 6)
+          .as("dup_frac"))
+  }
+
+  /** Bloom-filter benchmark decontamination: the fixed-size variant of
+    * [[decontaminationScores]]. The reference gram set is folded into
+    * an `m`-bit Bloom filter (`k` md5-derived positions per gram —
+    * Bloom '70); corpus grams test membership against the filter's
+    * ≤ m set positions instead of the full distinct reference gram set.
+    *
+    * Why at scale: the broadcast side is BOUNDED BY m — a few KB —
+    * no matter how large the reference suite grows, where the exact
+    * path broadcasts the whole distinct gram set. The price is false
+    * positives (a gram whose k positions are all set by OTHER grams);
+    * the emitted `n_bloom_hits ≥ n_exact_hits` gap makes that rate
+    * observable, and the md5-derived positions make even the false
+    * positives engine-exact.
+    *
+    * Grams hash through `Md5GramHashes48` (not the xx-style 64-bit
+    * `GramHashes`): positions derive from the HASH VALUE, so the hash
+    * itself must be engine-portable for a SQL oracle to set the same
+    * filter bits.
+    *
+    * Output (docs with ≥ n tokens): (id, n_grams, n_bloom_hits,
+    * n_exact_hits, n_false_pos). */
+  def bloomDecontaminationScores(corpus: DataFrame, reference: DataFrame,
+                                 idCol: String, textCol: String, n: Int,
+                                 m: Int, k: Int): DataFrame = {
+    require(m > 0 && k >= 1)
+    def grams(docs: DataFrame) = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col(idCol),
+        explode(graft.expressions.HashExpressions.md5GramHashes48(col("__toks"), n)).as("sh_h"))
+    // position j of gram hash h = md5("bloom|j|h") mod m (md5-48 —
+    // exact integers in any engine)
+    def positions(df: DataFrame) = df.select(col(idCol), col("sh_h"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .withColumn("pos",
+        conv(substring(md5(concat(lit("bloom|"), col("j").cast("string"), lit("|"),
+          col("sh_h").cast("string")).cast("binary")), 1, 12), 16, 10)
+          .cast("long") % m)
+    val cg = grams(corpus).cache()
+    val refGrams = grams(reference).select("sh_h").distinct()
+    // the filter: the ≤ m distinct set positions, broadcast
+    val filterBits = positions(refGrams.withColumn(idCol, lit(0L)))
+      .select("pos").distinct()
+    // a corpus gram bloom-hits iff ALL k of its positions are set
+    val bloomHits = positions(cg)
+      .join(broadcast(filterBits), Seq("pos"), "left_semi")
+      .groupBy(col(idCol), col("sh_h")).agg(count(lit(1)).as("n_set"))
+      .where(col("n_set") === k)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_bloom_hits"))
+    val exactHits = cg.join(broadcast(refGrams), "sh_h")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_exact_hits"))
+    val sizes = cg.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    sizes
+      .join(bloomHits, Seq(idCol), "left")
+      .join(exactHits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_bloom_hits"), lit(0L)).as("n_bloom_hits"),
+        coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"),
+        (coalesce(col("n_bloom_hits"), lit(0L)) -
+          coalesce(col("n_exact_hits"), lit(0L))).as("n_false_pos"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al. '03): distinct
     * selected window-min k-gram hashes per doc, exploded to
     * (id, fingerprint) rows — the inverted-index input for
@@ -426,6 +523,23 @@ object Dedup {
                     minJaccard: Double): DataFrame =
     connectedComponents(
       minHashLshPairs(docs, idCol, textCol, shingleN, numHashes, bands, minJaccard))
+
+  /** The MATERIALIZED dedup pass: every near-dup cluster collapsed to
+    * its lowest-id representative, all un-clustered docs untouched —
+    * the actual "write the deduplicated corpus" step downstream of
+    * [[dedupClusters]] (which only LABELS). Drop set = cluster members
+    * whose id is not the cluster minimum; survivors = corpus ∖ drop via
+    * ONE anti-join on the id — the full doc rows (text included) are
+    * never shuffled into the clustering, only their ids meet it. */
+  def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int, numHashes: Int, bands: Int,
+                    minJaccard: Double): DataFrame = {
+    val clusters = dedupClusters(docs, idCol, textCol, shingleN, numHashes,
+      bands, minJaccard)
+    val drop = clusters.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 
   /** Fingerprint-overlap near-dup pairs (the MOSS shape, Schleimer '03
     * §4): docs sharing ≥ `minShared` winnowing fingerprints, with both

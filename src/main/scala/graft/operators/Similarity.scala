@@ -338,6 +338,30 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** Per-dimension embedding distribution profile: n, mean, population
+    * std, min, max for every vector position — the drift/health report
+    * an embedding pipeline checks before normalizing or whitening a
+    * corpus (a dead dimension has std 0; a scale-skewed one dominates
+    * L2 distances). One posexplode + ONE map-combinable (dim)-key
+    * shuffle — `dim` groups total, corpus read once, never joined.
+    * Doubles rounded 6dp (metric rule); std uses the population form
+    * √(Σx²/n − mean²), clamped at 0 against rounding. */
+  def embeddingDimStats(emb: DataFrame, vecCol: String): DataFrame = {
+    emb.select(posexplode(col(vecCol)))
+      .select(col("pos"), col("col").cast("double").as("x"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("x")) / count(lit(1))).as("__m"),
+        (sum(col("x") * col("x")) / count(lit(1))).as("__m2"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      .select(col("pos"), col("n"),
+        round(col("__m"), 6).as("mean_x"),
+        round(sqrt(greatest(col("__m2") - col("__m") * col("__m"), lit(0.0))), 6)
+          .as("std_x"),
+        round(col("min_x"), 6).as("min_x"),
+        round(col("max_x"), 6).as("max_x"))
+  }
+
   /** Recall@k of the LSH ANN path against the exact brute-force
     * ranking — the eval harness an ANN deployment runs on a QUERY
     * SAMPLE before trusting approximate search at scale (tune nBits /

@@ -213,4 +213,56 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("connectedComponentsStar"))
   }
+
+  test("interDocGramStats: shared passage counts against both docs, unique text scores zero") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon" // one shared 5-gram
+    val docs = Seq(
+      (1L, s"$passage zeta unique1 u2 u3 u4"),
+      (2L, s"prefix1 p2 p3 p4 $passage"),
+      (3L, "lone wolf text with nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.interDocGramStats(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc1: 6 distinct 5-grams, 1 shared; doc2: 5 grams, 1 shared
+    assert(got(1L)._1 === 6L && got(1L)._2 === 1L)
+    assert(got(2L)._1 === 5L && got(2L)._2 === 1L)
+    assert(got(3L)._2 === 0L && got(3L)._3 === 0.0)
+    spark.catalog.clearCache()
+  }
+
+  test("bloomDecontaminationScores: bloom hits dominate exact hits; planted leak flagged") {
+    import spark.implicits._
+    val leak = "the quick brown fox jumps over the lazy dog"
+    val corpus = Seq(
+      (1L, s"irrelevant words only here nothing to see move along now"),
+      (2L, s"contaminated doc contains $leak verbatim inside")
+    ).toDF("doc_id", "text")
+    val ref = Seq((100L, leak)).toDF("doc_id", "text")
+    val got = Dedup.bloomDecontaminationScores(corpus, ref, "doc_id", "text",
+        n = 3, m = 4096, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    got.values.foreach { case (_, bloom, exact, fp) =>
+      assert(bloom >= exact, "Bloom filters never produce false negatives")
+      assert(fp === bloom - exact && fp >= 0L)
+    }
+    assert(got(2L)._3 >= 7L, "planted leak's 3-grams must exact-hit")
+    assert(got(1L)._3 === 0L, "clean doc has no exact hits")
+    spark.catalog.clearCache()
+  }
+
+  test("dedupedCorpus keeps exactly one representative (the lowest id) per near-dup group") {
+    import spark.implicits._
+    val dupText = "spark catalyst tungsten shuffle partition broadcast join aggregate window watermark"
+    val docs = (Seq(5L, 9L, 17L).map(i => (i, dupText)) ++
+      Seq((1L, "totally different first document about nothing in particular with many words"),
+          (2L, "another unrelated second document mentioning entirely other topics and themes")))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupedCorpus(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 5L), s"got $kept")
+    spark.catalog.clearCache()
+  }
 }

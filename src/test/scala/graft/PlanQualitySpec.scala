@@ -204,6 +204,52 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("char_entropy"), s"codegen kernel missing:\n$plan")
   }
 
+  test("q61: inter-doc gram stats never pair up docs — df join keys on the gram hash") {
+    val df = SparkEntry.queries("q61_interdup_grams")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nothing pairwise may materialize:\n$plan")
+    // both the df aggregate and the join side must read the POSTING
+    // CACHE (InMemoryRelation prints its build plan, so counting
+    // Generate nodes overcounts — count the cache scans instead)
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"postings must be cached — uncached, the corpus re-tokenizes per use:\n$plan")
+  }
+
+  test("q62: bloom filter bits and reference grams broadcast; corpus never re-shuffles for membership") {
+    val df = SparkEntry.queries("q62_bloom_decontaminate")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"membership joins must broadcast:\n$plan")
+    assert(plan.contains("LeftSemi"), s"bit membership must be a semi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"bounded filter side degraded to SMJ:\n$plan")
+  }
+
+  test("q63: per-dimension stats are one map-combinable shuffle — no join") {
+    val df = SparkEntry.queries("q63_embedding_dimstats")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"dim stats must not join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"one dim-key shuffle expected:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"per-dim sums must partial-aggregate map-side:\n$plan")
+  }
+
+  test("q64: materialization is ONE anti-join on the id — doc rows never enter clustering") {
+    val df = SparkEntry.queries("q64_dedup_materialize")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("LeftAnti"), s"survivors = corpus anti-join drop set:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"clustering must stay sparse:\n$plan")
+  }
+
   test("q60: recall eval never cross-products (BNLJ allowed only in the brute leg)") {
     val df = SparkEntry.queries("q60_ann_recall")(spark, dir)
     df.collect()

@@ -169,6 +169,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingDimStats: hand-computed per-dimension moments") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(0f, 2f, -1f)),
+      (2L, Seq(2f, 2f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDimStats(emb, "embedding")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(0) === ((2L, 1.0, 1.0, 0.0, 2.0)))  // mean 1, std 1
+    assert(got(1) === ((2L, 2.0, 0.0, 2.0, 2.0)))  // dead dimension: std 0
+    assert(got(2) === ((2L, 0.0, 1.0, -1.0, 1.0)))
+  }
+
   test("annRecallAtK: bounds, hit-consistency and determinism on real embeddings") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
