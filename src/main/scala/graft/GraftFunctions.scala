@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{GramHashes, LshSignatures, MinHashSignature, MinHashTokens, NormalizeText, SignatureAgreement, VectorDot, WinnowFingerprints}
+import graft.expressions.{CharEntropy, GramHashes, LshSignatures, Md5GramHashes48, MinHashSignature, MinHashTokens, NormalizeText, SignatureAgreement, VectorDot, WinnowFingerprints}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -73,6 +73,16 @@ object GraftFunctions {
       arity("minhash_tokens", exprs, 3, 3)
       MinHashTokens(exprs(0),
         intLit(exprs(1), "n").toInt, intLit(exprs(2), "numHashes").toInt)
+    }),
+    // md5_gram_hashes48(tokens, n) — distinct PORTABLE md5-48 gram hashes
+    "md5_gram_hashes48" -> (exprs => {
+      arity("md5_gram_hashes48", exprs, 2, 2)
+      Md5GramHashes48(exprs(0), intLit(exprs(1), "n").toInt)
+    }),
+    // char_entropy(text) — struct<n_chars, n_unique, entropy>
+    "char_entropy" -> (exprs => {
+      arity("char_entropy", exprs, 1, 1)
+      CharEntropy(exprs.head)
     }))
 
   def register(spark: SparkSession): Unit =

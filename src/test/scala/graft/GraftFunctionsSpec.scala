@@ -29,6 +29,15 @@ class GraftFunctionsSpec extends SparkSpec {
       "SELECT winnow_fingerprints(array('a','b','c','d','e','f'), 4, 8) AS f")
       .as[Seq[Long]].head()
     assert(fps.length === 1) // 3 grams < window — single truncated min
+    val mg = spark.sql(
+      "SELECT md5_gram_hashes48(array('a','b','a','b'), 2) AS g")
+      .as[Seq[Long]].head()
+    assert(mg.length === 2) // 'a b','b a' distinct; dupes deduped
+    assert(mg.forall(h => h >= 0 && h < (1L << 48)))
+    val ce = spark.sql("SELECT char_entropy('aabb') AS c")
+      .select($"c.n_chars", $"c.n_unique", $"c.entropy")
+      .as[(Int, Int, Double)].head()
+    assert(ce === ((4, 2, 1.0)))
   }
 
   test("signature_agreement: unequal lengths throw; a null position never agrees") {

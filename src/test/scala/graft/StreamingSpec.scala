@@ -259,4 +259,43 @@ class StreamingSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got === batchPairs)
   }
+
+  test("curation funnel and char-entropy run unchanged on a stream (stateless per-row ops)") {
+    // the per-row quality signals are plain Column expressions, so the
+    // SAME operator code gates a live ingest stream in append mode with
+    // no state, no watermark — and must agree with its batch form
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then the dog is in it again " +
+        "to make this long enough for the minimum token gate to pass it", "en"),
+      (2L, "short", "en"),
+      (3L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam " +
+        "spam spam spam spam spam spam spam spam spam spam", "en"))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val stream = in.toDF().toDF("doc_id", "text", "lang")
+    val gated = graft.operators.Curation.funnel(stream, "doc_id", "text", "lang")
+    val scored = stream.select(col("doc_id"),
+      round(graft.functions.TextAnalysis.charStats(col("text")).getField("entropy"), 6)
+        .as("entropy"))
+    val q1 = gated.writeStream.format("memory").queryName("curation_gate")
+      .outputMode("append").start()
+    val q2 = scored.writeStream.format("memory").queryName("entropy_gate")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    runToCompletion(q1); runToCompletion(q2)
+    val gotVerdicts = spark.table("curation_gate").select("doc_id", "verdict")
+      .as[(Long, String)].collect().toMap
+    val gotEntropy = spark.table("entropy_gate")
+      .as[(Long, Double)].collect().toMap
+    val batchDf = rows.toDF("doc_id", "text", "lang")
+    val batchVerdicts = graft.operators.Curation.funnel(batchDf, "doc_id", "text", "lang")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    val batchEntropy = batchDf.select(col("doc_id"),
+        round(graft.functions.TextAnalysis.charStats(col("text")).getField("entropy"), 6))
+      .as[(Long, Double)].collect().toMap
+    assert(gotVerdicts === batchVerdicts)
+    assert(gotEntropy === batchEntropy)
+    assert(gotVerdicts(2L) === "drop:too_short")
+    assert(gotVerdicts(3L).startsWith("drop:"))
+  }
 }
