@@ -633,7 +633,22 @@ object SparkEntry {
     "q64_dedup_materialize" -> ((s, dir) =>
       Dedup.dedupedCorpus(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
-        .select("doc_id", "lang", "source", "n_chars")))
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // ── document chunking: fixed-size token windows with overlap —
+    //    pure per-row explosion, integer chunk boundaries, zero
+    //    shuffles (the context-window packing step) ──
+    "q65_chunking" -> ((s, dir) =>
+      operators.Chunking.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)),
+
+    // ── tumbling-window dedup: first event per (user, type, 30-min
+    //    window) + suppressed count — ONE min_by(struct) aggregation,
+    //    no rank window (streaming twin: dropDuplicatesWithinWatermark) ──
+    "q66_window_dedup" -> ((s, dir) =>
+      operators.WindowOps.windowedDedupFirst(t(s, dir, "events"),
+        tsCol = "ts", tieCol = "event_id", keys = Seq("user_id", "event_type"),
+        windowMicros = 1800000000L, valueCols = Seq("value"))))
 
   /** DuckDB CTE block reproducing `LshSignatures` bit-for-bit: ±1 plane
     * signs from md5("plane|seed|t|b|d"), dot over floor(v·2^20) integer
@@ -1386,6 +1401,43 @@ object SparkEntry {
          FROM documents d
          WHERE NOT EXISTS (SELECT 1 FROM comp c
            WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)""",
+    // Chunking: integer chunk boundaries (step 24 = 32 - 8), 1-based
+    // inclusive list slice == Spark's slice(start, length) clipped.
+    "q65_chunking" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), b AS (
+           SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE 1 + (CAST(len(toks) AS BIGINT) - 32 + 23) // 24 END AS n_starts
+           FROM t WHERE len(toks) >= 1
+         ), c AS (
+           SELECT doc_id, toks, n, unnest(range(n_starts)) AS chunk_id FROM b
+         )
+         SELECT doc_id, chunk_id,
+           least(32, n - chunk_id * 24) AS chunk_tokens,
+           array_to_string(toks[CAST(chunk_id * 24 + 1 AS INT) : CAST(least(chunk_id * 24 + 32, n) AS INT)], ' ') AS chunk_text
+         FROM c""",
+    // Windowed dedup: first row per (user, type, 30-min tumble) by
+    // (ts, event_id), plus the suppressed-duplicate count.
+    "q66_window_dedup" ->
+      """WITH b AS (
+           SELECT user_id, event_type,
+             (epoch_us(ts) // 1800000000) * 1800000000 AS window_start_us,
+             ts, event_id, value
+           FROM events
+         ), r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY user_id, event_type, window_start_us ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type, window_start_us) AS n_rows
+           FROM b
+         )
+         SELECT user_id, event_type, window_start_us,
+           epoch_us(ts) AS first_ts_us, event_id AS first_event_id,
+           value AS first_value, n_rows - 1 AS n_dups
+         FROM r WHERE rn = 1""",
     // Lloyd k-means replay: see kmeansRefineSql scaladoc.
     "q49_kmeans_refine" -> kmeansRefineSql(k = 8, dim = 64, iters = 2),
     // Stratified portable sample: q44's md5 bucket, per-lang keep rate.

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document chunking: split each document into fixed-size token windows
+  * with overlap — the context-window packing step between curation and
+  * tokenization in a training-data pipeline (and the unit RAG indexes
+  * embed). Pure per-row explosion: chunk i of a doc covers tokens
+  * `[i·step, i·step + chunkTokens)` with `step = chunkTokens − overlap`,
+  * the last chunk may run short, and a short doc yields exactly one
+  * chunk.
+  *
+  * Scale shape: zero shuffles, zero joins — one `explode` over a
+  * per-row `sequence` whose length is ⌈tokens/step⌉; output row count
+  * is ~(1 + overlap/step)× the token volume, the inherent cost of
+  * overlapping windows. Chunk counts use pure INTEGER arithmetic
+  * (`div`), so a SQL oracle reproduces the exact chunk boundaries.
+  */
+object Chunking {
+
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      "need chunkTokens >= 1 and 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val n = col("__n")
+    // n <= chunkTokens -> 1 chunk; else 1 + ceil((n - chunkTokens)/step)
+    // in integer math: 1 + (n - chunkTokens + step - 1) div step
+    val nStarts = when(n <= chunkTokens, lit(1L))
+      .otherwise(expr(s"1L + (__n - $chunkTokens + ${step - 1}) div $step"))
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .where(n >= 1)
+      .withColumn("chunk_id", explode(sequence(lit(0L), nStarts - 1)))
+      .select(col(idCol), col("chunk_id"),
+        least(lit(chunkTokens.toLong), n - col("chunk_id") * step).as("chunk_tokens"),
+        array_join(slice(col("__toks"),
+          (col("chunk_id") * step + 1).cast("int"), lit(chunkTokens)), " ").as("chunk_text"))
+  }
+}

@@ -32,4 +32,29 @@ object WindowOps {
       .where(tsUs < col("window_end_us"))
       .drop("__k")
   }
+
+  /** Tumbling-window dedup: the FIRST row per (keys, window) by
+    * (tsCol, tieCol), plus how many duplicates the window suppressed —
+    * time-bounded duplicate suppression (retry storms, at-least-once
+    * ingestion) where whole-stream dedup ([[graft.operators.ChangelogOps.firstByKey]])
+    * would hold state forever. Same plan discipline as the S1/S3 upsert:
+    * ONE map-combinable `min_by(struct)` aggregation — no rank window,
+    * no per-partition sort. The streaming twin is
+    * `StreamOps.dedupWithinWatermark` (native
+    * `dropDuplicatesWithinWatermark`, state pruned by the watermark). */
+  def windowedDedupFirst(df: DataFrame, tsCol: String, tieCol: String,
+                         keys: Seq[String], windowMicros: Long,
+                         valueCols: Seq[String]): DataFrame = {
+    val ws = expr(s"unix_micros($tsCol) div ${windowMicros}L") * windowMicros
+    val payload = struct((Seq(tsCol, tieCol) ++ valueCols).map(col): _*)
+    val order = struct(col(tsCol), col(tieCol))
+    df.withColumn("window_start_us", ws)
+      .groupBy((keys.map(col) :+ col("window_start_us")): _*)
+      .agg(min_by(payload, order).as("__first"), count(lit(1)).as("n_rows"))
+      .select((keys.map(col) :+ col("window_start_us")) ++
+        Seq(unix_micros(col(s"__first.$tsCol")).as("first_ts_us"),
+          col(s"__first.$tieCol").as(s"first_$tieCol")) ++
+        valueCols.map(c => col(s"__first.$c").as(s"first_$c")) :+
+        (col("n_rows") - 1).as("n_dups"): _*)
+  }
 }

@@ -50,6 +50,17 @@ object StreamOps {
   def firstPerKey(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.dropDuplicates(keyCols)
 
+  /** Time-bounded streaming dedup: suppress key repeats arriving within
+    * the watermark delay of the first occurrence — the
+    * at-least-once-ingest guard whose state is PRUNED as the watermark
+    * advances (unbounded `dropDuplicates` state grows with the key
+    * cardinality forever). Native `dropDuplicatesWithinWatermark`; the
+    * batch analog over closed windows is
+    * [[graft.operators.WindowOps.windowedDedupFirst]]. */
+  def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String],
+                           tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
+
   /** Tumbling/hopping event-time window aggregation (lab-time). */
   def windowedCounts(df: DataFrame, tsCol: String, windowLen: String,
                      slide: Option[String], groupCols: Seq[String]): DataFrame = {

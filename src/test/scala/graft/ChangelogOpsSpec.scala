@@ -36,6 +36,26 @@ class ChangelogOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 100L, 2L -> 103L))
   }
 
+  test("windowedDedupFirst keeps the earliest row per (key, tumble) and counts suppressed dups") {
+    import graft.operators.WindowOps
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, "click", ts(10), 100L, 1.0),   // window 0: first
+      (1L, "click", ts(20), 101L, 2.0),   // window 0: dup
+      (1L, "click", ts(25), 102L, 3.0),   // window 0: dup
+      (1L, "click", ts(70), 103L, 4.0),   // window 1 (60s tumble): new first
+      (2L, "view", ts(10), 104L, 5.0)     // other key, alone
+    ).toDF("user_id", "event_type", "ts", "event_id", "value")
+    val got = WindowOps.windowedDedupFirst(ev, "ts", "event_id",
+        Seq("user_id", "event_type"), windowMicros = 60000000L, Seq("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(4), r.getDouble(5), r.getLong(6)))).toMap
+    assert(got((1L, "click", 0L)) === ((100L, 1.0, 2L)))
+    assert(got((1L, "click", 60000000L)) === ((103L, 4.0, 0L)))
+    assert(got((2L, "view", 0L)) === ((104L, 5.0, 0L)))
+    assert(got.size === 3)
+  }
+
   test("materializeRetract nets out inserts and retracts, drops fully-retracted keys") {
     val changelog = Seq(
       (1L, 1, 10.0), (1L, 1, 5.0), (1L, -1, 10.0), // user 1: net 1 row, 5.0

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Chunking
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkDocuments: boundaries, overlap, short last chunk, single-chunk doc") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val two = "a b"
+    val docs = Seq((1L, ten), (2L, two)).toDF("doc_id", "text")
+    val got = Chunking.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    // step 3: starts 0,3,6 -> [w1..w4], [w4..w7], [w7..w10]
+    assert(got((1L, 0L)) === ((4L, "w1 w2 w3 w4")))
+    assert(got((1L, 1L)) === ((4L, "w4 w5 w6 w7")))
+    assert(got((1L, 2L)) === ((4L, "w7 w8 w9 w10")))
+    assert(!got.contains((1L, 3L)))
+    // short doc: exactly one (short) chunk
+    assert(got((2L, 0L)) === ((2L, "a b")))
+  }
+
+  test("chunkDocuments: every token position is covered and consecutive chunks overlap") {
+    val n = 23
+    val docs = Seq((1L, (1 to n).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Chunking.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 8, overlap = 3)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    val step = 8 - 3
+    chunks.foreach { case (id, nTok, text) =>
+      assert(text.split(" ").length.toLong === nTok)
+      assert(text.split(" ").head === s"t${id * step + 1}")
+    }
+    // coverage: union of [id*step, id*step + nTok) is exactly [0, n)
+    val covered = chunks.flatMap { case (id, nTok, _) =>
+      (id * step) until (id * step + nTok) }.toSet
+    assert(covered === (0L until n.toLong).toSet)
+    // overlap: chunk i+1 starts before chunk i ends
+    chunks.sliding(2).foreach {
+      case Array((i, nTok, _), (j, _, _)) => assert(j * step < i * step + nTok)
+      case _ =>
+    }
+  }
+}

@@ -250,6 +250,23 @@ class PlanQualitySpec extends SparkSpec {
       s"clustering must stay sparse:\n$plan")
   }
 
+  test("q65: chunking is a pure per-row explosion — zero shuffles, zero joins") {
+    val plan = executedPlan("q65_chunking")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"chunking must stay row-local:\n$plan")
+  }
+
+  test("q66: windowed dedup is one combinable min_by aggregation — no rank window") {
+    val plan = executedPlan("q66_window_dedup")
+    assert(!plan.contains("Window"), s"windowed dedup must not window-sort:\n$plan")
+    // struct-buffer min_by compiles to SortAggregate; the property that
+    // matters is the MAP-SIDE partial before the single exchange
+    assert(plan.contains("partial_min_by"),
+      s"min_by must partial-aggregate map-side:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"exactly one shuffle expected:\n$plan")
+  }
+
   test("q60: recall eval never cross-products (BNLJ allowed only in the brute leg)") {
     val df = SparkEntry.queries("q60_ann_recall")(spark, dir)
     df.collect()

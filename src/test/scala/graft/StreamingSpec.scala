@@ -260,6 +260,29 @@ class StreamingSpec extends SparkSpec {
     assert(got === batchPairs)
   }
 
+  test("dedupWithinWatermark suppresses repeats inside the delay, re-admits after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val deduped = StreamOps.dedupWithinWatermark(
+      in.toDF(), Seq("user_id"), "ts", "30 seconds")
+    val q = deduped.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    // batch 1: three arrivals of key 1 within 30s -> ONE row out;
+    // the aux key pushes the watermark to 100s - 30s = 70s at batch end,
+    // past key 1's expiry (10s + 30s)
+    in.addData(Ev(1L, ts(10), 100L, 1.0), Ev(1L, ts(12), 101L, 2.0),
+      Ev(1L, ts(25), 102L, 3.0), Ev(9L, ts(100), 103L, 9.0))
+    q.processAllAvailable()
+    // batch 2: key 1 again, well past expiry -> admitted as a new first
+    in.addData(Ev(1L, ts(200), 104L, 4.0))
+    runToCompletion(q)
+    val got = spark.table("wm_dedup").select("user_id", "event_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got.count(_._1 == 1L) === 2, s"got $got")
+    assert(got.contains((1L, 100L)) && got.contains((1L, 104L)))
+    assert(!got.exists(g => g._2 == 101L || g._2 == 102L))
+  }
+
   test("curation funnel and char-entropy run unchanged on a stream (stateless per-row ops)") {
     // the per-row quality signals are plain Column expressions, so the
     // SAME operator code gates a live ingest stream in append mode with
