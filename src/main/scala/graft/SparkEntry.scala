@@ -648,7 +648,12 @@ object SparkEntry {
     "q66_window_dedup" -> ((s, dir) =>
       operators.WindowOps.windowedDedupFirst(t(s, dir, "events"),
         tsCol = "ts", tieCol = "event_id", keys = Seq("user_id", "event_type"),
-        windowMicros = 1800000000L, valueCols = Seq("value"))))
+        windowMicros = 1800000000L, valueCols = Seq("value"))),
+
+    // ── mean unigram log-prob per doc: the LM-free perplexity proxy —
+    //    vocab agg + token-key join, total computed in-plan ──
+    "q67_unigram_logprob" -> ((s, dir) =>
+      CorpusStats.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")))
 
   /** DuckDB CTE block reproducing `LshSignatures` bit-for-bit: ±1 plane
     * signs from md5("plane|seed|t|b|d"), dot over floor(v·2^20) integer
@@ -1438,6 +1443,22 @@ object SparkEntry {
            epoch_us(ts) AS first_ts_us, event_id AS first_event_id,
            value AS first_value, n_rows - 1 AS n_dups
          FROM r WHERE rn = 1""",
+    // Unigram log-prob: p from the corpus's own unigram counts; the
+    // per-doc mean is a double sum both engines round at 6dp.
+    "q67_unigram_logprob" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           FROM documents
+         ), vocab AS (
+           SELECT token, count(*) AS c FROM tok GROUP BY token
+         ), tot AS (
+           SELECT count(*) AS n_total FROM tok
+         )
+         SELECT t.doc_id, count(*) AS n_tokens,
+           round(sum(ln(CAST(v.c AS DOUBLE) / CAST(tot.n_total AS DOUBLE))) / count(*), 6) AS mean_logprob
+         FROM tok t JOIN vocab v USING (token) CROSS JOIN tot
+         GROUP BY t.doc_id""",
     // Lloyd k-means replay: see kmeansRefineSql scaladoc.
     "q49_kmeans_refine" -> kmeansRefineSql(k = 8, dim = 64, iters = 2),
     // Stratified portable sample: q44's md5 bucket, per-lang keep rate.

@@ -165,6 +165,31 @@ object CorpusStats {
         round(col("__kmv._2"), 6).as("est_distinct_grams"))
   }
 
+  /** Mean unigram log-probability per document — the LM-free
+    * perplexity proxy a curation pipeline uses to rank docs by
+    * "typicality" under the corpus's own unigram distribution (very
+    * low = gibberish/OCR noise, very high = stopword soup; both tails
+    * get filtered). p(tok) = corpus count / total tokens; score =
+    * mean over the doc's tokens of ln p(tok), rounded 6dp.
+    *
+    * Plan: the [[tfIdf]] shape minus the rank window — the vocabulary
+    * aggregate (cached, plan-keyed) feeds a token-key shuffle join
+    * back to the token stream (the vocabulary can be corpus-scale:
+    * never broadcast), with the total-token count computed IN-plan as
+    * a broadcast 1-row aggregate. One corpus-sized combinable shuffle
+    * + one token-key join + one per-doc aggregate. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = tokenized(docs, idCol, textCol).cache()
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(vocab, "token").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(log(col("c").cast("double") / col("n_total").cast("double"))) /
+          count(lit(1)), 6).as("mean_logprob"))
+      .select(col("doc_id").as(idCol), col("n_tokens"), col("mean_logprob"))
+  }
+
   /** Count-min sketch over token frequencies (Cormode & Muthukrishnan
     * 2005): `d` hash rows × `w` buckets, cell = Σ counts of tokens
     * hashing there; estimate = min over the d cells — never an

@@ -114,4 +114,25 @@ class CorpusStatsSpec extends SparkSpec {
     wide.foreach(r => assert(r.getAs[Long]("overcount") === 0L, s"collision at w=4096: $r"))
     spark.catalog.clearCache()
   }
+
+  test("unigramLogProb: uniform corpus scores ln(p); rare-token docs score lower") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    // a:4 b:4 of 8 tokens -> p = 0.5 for every token of docs 1/2
+    val uniform = Seq((1L, "a b a b"), (2L, "b a b a")).toDF("doc_id", "text")
+    val gotU = CorpusStats.unigramLogProb(uniform, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected = BigDecimal(math.log(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gotU(1L) === ((4L, expected)) && gotU(2L) === ((4L, expected)))
+    spark.catalog.clearCache()
+    // doc 9's token appears once in 9 tokens -> much lower mean logprob
+    val skewed = Seq((1L, "c c c c"), (2L, "c c c c"), (9L, "zzz")).toDF("doc_id", "text")
+    val gotS = CorpusStats.unigramLogProb(skewed, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(gotS(9L) < gotS(1L))
+    assert(gotS(1L) === BigDecimal(math.log(8.0 / 9.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    spark.catalog.clearCache()
+  }
 }

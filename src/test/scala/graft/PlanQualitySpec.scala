@@ -250,6 +250,17 @@ class PlanQualitySpec extends SparkSpec {
       s"clustering must stay sparse:\n$plan")
   }
 
+  test("q67: unigram scoring tokenizes ONCE (cached token stream); no cross product") {
+    val df = SparkEntry.queries("q67_unigram_logprob")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), s"cartesian regression:\n$plan")
+    // vocab agg, total agg and the join side must all read the cache
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"token stream must be cached — uncached, the corpus re-tokenizes per use:\n$plan")
+  }
+
   test("q65: chunking is a pure per-row explosion — zero shuffles, zero joins") {
     val plan = executedPlan("q65_chunking")
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
