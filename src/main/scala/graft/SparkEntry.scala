@@ -653,7 +653,29 @@ object SparkEntry {
     // ── mean unigram log-prob per doc: the LM-free perplexity proxy —
     //    vocab agg + token-key join, total computed in-plan ──
     "q67_unigram_logprob" -> ((s, dir) =>
-      CorpusStats.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")))
+      CorpusStats.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ── alternating-stars connected components (Kiveris et al. SoCC'14):
+    //    the O(log n)-round path for high-diameter graphs — must label
+    //    the q19 pair graph IDENTICALLY to q47's min-propagation ──
+    "q68_components_star" -> ((s, dir) =>
+      Dedup.connectedComponentsStar(
+        Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8))),
+
+    // ── sampled quantile estimation: the exact quantile machinery over
+    //    the 30/100 content-keyed sample vs the full corpus — the
+    //    profile-on-a-sample pattern with engine-exact error ──
+    "q69_sampled_quantiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = CorpusStats.tokenQuantiles(docs, "lang", "text")
+        .select(col("lang"), col("n_docs"), col("p50_tokens"), col("p90_tokens"))
+      val est = CorpusStats.tokenQuantiles(
+          Sampling.portableSample(docs, "doc_id", keep = 30), "lang", "text")
+        .select(col("lang"), col("n_docs").as("n_docs_sample"),
+          col("p50_tokens").as("p50_est"), col("p90_tokens").as("p90_est"))
+      exact.join(est, "lang")
+    }))
 
   /** DuckDB CTE block reproducing `LshSignatures` bit-for-bit: ±1 plane
     * signs from md5("plane|seed|t|b|d"), dot over floor(v·2^20) integer
@@ -812,6 +834,31 @@ object SparkEntry {
            coalesce(d.n_dups, 0) = 0 AS keep
          FROM asg a LEFT JOIN d ON a.vec_id = d.id"""
   }
+
+  /** Exact component labeling over the q19 pair graph by recursive
+    * reachability — the shared oracle for BOTH connected-components
+    * implementations (q47 min-propagation, q68 alternating stars),
+    * which must agree row-for-row. */
+  private def componentsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+           SELECT id_a, id_b FROM ($minhashPairsSql)
+         ), edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION
+           SELECT id_b, id_a FROM pairs
+         ), nodes AS (
+           SELECT DISTINCT u AS id FROM edges
+         ), reach(id, lab) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+         ), comp AS (
+           SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+         )
+         SELECT c.doc_id, c.cluster_id, s.cluster_size
+         FROM comp c
+         JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) s
+           USING (cluster_id)"""
 
   /** DuckDB-runnable oracle per query (same parquet tables registered
     * under their bare names). Column names/aliases match the Spark side
@@ -1004,26 +1051,10 @@ object SparkEntry {
     // Near-dup CLUSTERS: connected components (min reachable id) over
     // the q19 MinHash-LSH pair list, via a recursive reachability CTE —
     // replays the engine's iterated min-label propagation exactly.
-    "q47_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
-           SELECT id_a, id_b FROM ($minhashPairsSql)
-         ), edges AS (
-           SELECT id_a AS u, id_b AS v FROM pairs
-           UNION
-           SELECT id_b, id_a FROM pairs
-         ), nodes AS (
-           SELECT DISTINCT u AS id FROM edges
-         ), reach(id, lab) AS (
-           SELECT id, id FROM nodes
-           UNION
-           SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
-         ), comp AS (
-           SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
-         )
-         SELECT c.doc_id, c.cluster_id, s.cluster_size
-         FROM comp c
-         JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) s
-           USING (cluster_id)""",
+    "q47_dedup_clusters" -> componentsSql,
+    // Alternating stars must produce the IDENTICAL labeling — the same
+    // reachability oracle checks both implementations.
+    "q68_components_star" -> componentsSql,
     // SimHash: bit i of md5(token) (parsed nibble-wise from the first 16
     // hex chars) votes ±1; simhash = Σ 2^i over positive vote totals.
     "q20_simhash" -> {
@@ -1752,30 +1783,52 @@ object SparkEntry {
     // explicit quantile interpolation (idx = (n-1)p; v_lo(1-frac) +
     // v_hi·frac) — the same IEEE ops the Spark plan runs, NOT
     // quantile_cont, so the doubles match bit-for-bit pre-round
-    "q45_token_quantiles" -> {
-      def q(p: String, alias: String) =
-        s"""round(sum(CASE
-              WHEN rn = floor(CAST(n - 1 AS DOUBLE) * $p) + 1
-                THEN v * (1.0 - (CAST(n - 1 AS DOUBLE) * $p - floor(CAST(n - 1 AS DOUBLE) * $p)))
-              WHEN rn = floor(CAST(n - 1 AS DOUBLE) * $p) + 2
-                THEN v * (CAST(n - 1 AS DOUBLE) * $p - floor(CAST(n - 1 AS DOUBLE) * $p))
-              ELSE 0.0 END), 6) AS $alias"""
-      s"""WITH b AS (
-           SELECT lang AS grp,
-             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS DOUBLE) AS v
-           FROM documents
-         ), r AS (
-           SELECT grp, v,
-             row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
-             count(*) OVER (PARTITION BY grp) AS n
-           FROM b
-         )
-         SELECT grp AS lang, count(*) AS n_docs,
+    "q45_token_quantiles" -> tokenQuantilesSql("documents"),
+    // Sampled quantile estimation: the SAME quantile machinery over the
+    // deterministic 30/100 md5-bucket sample (q44's formula) joined to
+    // the exact profile — estimation error is observable AND
+    // engine-exact because the sample is content-keyed, not random.
+    "q69_sampled_quantiles" -> {
+      val sampled = """(SELECT * FROM (
+             SELECT d.*,
+               CAST(CAST(list_sum(list_transform(range(8),
+                 j -> CAST(strpos('0123456789abcdef', substring(md5('graft:' || CAST(doc_id AS VARCHAR)), CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS INT) AS bucket
+             FROM documents d
+           ) WHERE bucket < 30)"""
+      s"""WITH ex AS (${tokenQuantilesSql("documents")}),
+           es AS (${tokenQuantilesSql(sampled)})
+         SELECT ex.lang, ex.n_docs, es.n_docs AS n_docs_sample,
+           ex.p50_tokens, es.p50_tokens AS p50_est,
+           ex.p90_tokens, es.p90_tokens AS p90_est
+         FROM ex JOIN es USING (lang)"""
+    })
+
+  /** The q45 quantile-replay SQL over an arbitrary documents-shaped
+    * source (must expose `lang`, `text`): explicit `quantile_cont`
+    * interpolation — the same IEEE ops the Spark plan runs. */
+  private def tokenQuantilesSql(source: String): String = {
+    def q(p: String, alias: String) =
+      s"""round(sum(CASE
+            WHEN rn = floor(CAST(n - 1 AS DOUBLE) * $p) + 1
+              THEN v * (1.0 - (CAST(n - 1 AS DOUBLE) * $p - floor(CAST(n - 1 AS DOUBLE) * $p)))
+            WHEN rn = floor(CAST(n - 1 AS DOUBLE) * $p) + 2
+              THEN v * (CAST(n - 1 AS DOUBLE) * $p - floor(CAST(n - 1 AS DOUBLE) * $p))
+            ELSE 0.0 END), 6) AS $alias"""
+    s"""SELECT grp AS lang, count(*) AS n_docs,
            CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS total_tokens,
            round(CAST(CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_tokens,
            ${q("0.5", "p50_tokens")},
            ${q("0.9", "p90_tokens")},
            ${q("0.99", "p99_tokens")}
-         FROM r GROUP BY grp"""
-    })
+         FROM (
+           SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+           FROM (
+             SELECT lang AS grp,
+               CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS DOUBLE) AS v
+             FROM $source
+           )
+         ) GROUP BY grp"""
+  }
 }
