@@ -675,7 +675,14 @@ object SparkEntry {
         .select(col("lang"), col("n_docs").as("n_docs_sample"),
           col("p50_tokens").as("p50_est"), col("p90_tokens").as("p90_est"))
       exact.join(est, "lang")
-    }))
+    }),
+
+    // ── greedy sequence packing: per-source concat-and-slice into
+    //    1024-token sequences — one window sort per domain over
+    //    (id, n_tokens) only, all integer arithmetic ──
+    "q70_sequence_packing" -> ((s, dir) =>
+      operators.Chunking.packSequences(t(s, dir, "documents"), "doc_id", "source",
+        graft.functions.TextAnalysis.tokenCount(col("text")), seqTokens = 1024)))
 
   /** DuckDB CTE block reproducing `LshSignatures` bit-for-bit: ±1 plane
     * signs from md5("plane|seed|t|b|d"), dot over floor(v·2^20) integer
@@ -1490,6 +1497,22 @@ object SparkEntry {
            round(sum(ln(CAST(v.c AS DOUBLE) / CAST(tot.n_total AS DOUBLE))) / count(*), 6) AS mean_logprob
          FROM tok t JOIN vocab v USING (token) CROSS JOIN tot
          GROUP BY t.doc_id""",
+    // Sequence packing: exclusive running token sum per source (ordered
+    // by doc_id), integer div/mod into 1024-token sequences.
+    "q70_sequence_packing" ->
+      """WITH b AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+           FROM documents
+         ), r AS (
+           SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens, 0) AS s
+           FROM b
+         )
+         SELECT doc_id, source, n_tokens,
+           s // 1024 AS seq_id, s % 1024 AS seq_offset
+         FROM r""",
     // Lloyd k-means replay: see kmeansRefineSql scaladoc.
     "q49_kmeans_refine" -> kmeansRefineSql(k = 8, dim = 64, iters = 2),
     // Stratified portable sample: q44's md5 bucket, per-lang keep rate.

@@ -40,4 +40,31 @@ object Chunking {
         array_join(slice(col("__toks"),
           (col("chunk_id") * step + 1).cast("int"), lit(chunkTokens)), " ").as("chunk_text"))
   }
+
+  /** Greedy training-sequence packing (the GPT-style concat-and-slice
+    * step): per domain, documents concatenate in ascending-id order
+    * into one token stream that is then cut into `seqTokens`-sized
+    * sequences; each doc is labeled with the sequence its FIRST token
+    * falls in and its offset there (a doc may spill into the next
+    * sequence — that is the packing contract; samplers mask across the
+    * boundary). All integer arithmetic over an exclusive running sum —
+    * deterministic on any engine/partitioning.
+    *
+    * Scale shape: ONE window sort per domain (spillable, no driver
+    * state) over rows that carry only (id, n_tokens) — the text column
+    * never enters the window. */
+  def packSequences(docs: DataFrame, idCol: String, domainCol: String,
+                    nTokens: org.apache.spark.sql.Column,
+                    seqTokens: Int): DataFrame = {
+    require(seqTokens >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col(idCol))
+    docs
+      .select(col(idCol), col(domainCol), nTokens.cast("long").as("n_tokens"))
+      .withColumn("__start",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .select(col(idCol), col(domainCol), col("n_tokens"),
+        expr(s"__start div $seqTokens").as("seq_id"),
+        (col("__start") % seqTokens).as("seq_offset"))
+  }
 }

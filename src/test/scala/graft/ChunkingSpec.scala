@@ -44,4 +44,27 @@ class ChunkingSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("packSequences: exclusive running offsets, boundary spill, per-domain streams") {
+    import org.apache.spark.sql.functions._
+    // domain A: 6+6+6 tokens into 10-token sequences; domain B independent
+    val docs = Seq(
+      (1L, "A", "a b c d e f"), (2L, "A", "g h i j k l"), (3L, "A", "m n o p q r"),
+      (10L, "B", "x y z")
+    ).toDF("doc_id", "domain", "text")
+    val got = Chunking.packSequences(docs, "doc_id", "domain",
+        graft.functions.TextAnalysis.tokenCount(col("text")), seqTokens = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) === ((6L, 0L, 0L)))   // starts seq 0 at offset 0
+    assert(got(2L) === ((6L, 0L, 6L)))   // starts in seq 0, spills into seq 1
+    assert(got(3L) === ((6L, 1L, 2L)))   // starts at token 12 -> seq 1 offset 2
+    assert(got(10L) === ((3L, 0L, 0L)))  // domain B has its own stream
+    // determinism across partitionings (pure function of content+order)
+    val again = Chunking.packSequences(docs.repartition(7), "doc_id", "domain",
+        graft.functions.TextAnalysis.tokenCount(col("text")), seqTokens = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(again === got)
+  }
 }
