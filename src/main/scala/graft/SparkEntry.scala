@@ -682,7 +682,20 @@ object SparkEntry {
     //    (id, n_tokens) only, all integer arithmetic ──
     "q70_sequence_packing" -> ((s, dir) =>
       operators.Chunking.packSequences(t(s, dir, "documents"), "doc_id", "source",
-        graft.functions.TextAnalysis.tokenCount(col("text")), seqTokens = 1024)))
+        graft.functions.TextAnalysis.tokenCount(col("text")), seqTokens = 1024)),
+
+    // ── idf-weighted gram-cosine pairs: the WEIGHTED lexical near-dup
+    //    path (rare shared grams outweigh common ones) — inverted-index
+    //    join on gram hashes, broadcast anti-join hot-gram cap ──
+    "q71_idf_cosine_pairs" -> ((s, dir) =>
+      CorpusStats.idfGramCosinePairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minCosine = 0.2, maxGramDf = 100)),
+
+    // ── BM25 full-text ranking: query terms filter-pushed into the tf
+    //    aggregate, N/avgdl in-plan, top-k via TakeOrderedAndProject ──
+    "q72_bm25_search" -> ((s, dir) =>
+      CorpusStats.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("vector", "merge", "stream", "window"), k = 20)))
 
   /** DuckDB CTE block reproducing `LshSignatures` bit-for-bit: ±1 plane
     * signs from md5("plane|seed|t|b|d"), dot over floor(v·2^20) integer
@@ -1513,6 +1526,74 @@ object SparkEntry {
          SELECT doc_id, source, n_tokens,
            s // 1024 AS seq_id, s % 1024 AS seq_offset
          FROM r""",
+    // Idf-weighted gram cosine: raw gram strings stand in for the
+    // engine's md5-48 hashes (weights depend only on df — the
+    // documented hash/string set equivalence); threshold on the
+    // ROUNDED cosine both sides.
+    "q71_idf_cosine_pairs" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), g AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+           FROM t WHERE len(toks) >= 3
+         ), dfr AS (
+           SELECT gram, count(*) AS df FROM g GROUP BY gram
+         ), w AS (
+           SELECT doc_id, gram, w FROM (
+             SELECT g.doc_id, g.gram,
+               ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / CAST(dfr.df AS DOUBLE)) AS w
+             FROM g JOIN dfr USING (gram) WHERE dfr.df <= 100
+           ) WHERE w > 0
+         ), nrm AS (
+           SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+         ), p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS n_shared, sum(a.w * b.w) AS dot
+           FROM w a JOIN w b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT id_a, id_b, n_shared,
+           round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+         FROM p
+         JOIN nrm na ON p.id_a = na.doc_id
+         JOIN nrm nb ON p.id_b = nb.doc_id
+         WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.2""",
+    // BM25: same k1=1.2 / b=0.75 literals and the same double-op order
+    // (avgdl = total/n first, then dl/avgdl) as the Spark plan.
+    "q72_bm25_search" ->
+      """WITH lens AS (
+           SELECT doc_id,
+             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS dl
+           FROM documents
+         ), stats AS (
+           SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens
+         ), tok AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ('vector', 'merge', 'stream', 'window')
+           GROUP BY 1, 2
+         ), dfr AS (
+           SELECT token, count(*) AS df FROM tf GROUP BY token
+         ), sc AS (
+           SELECT tf.doc_id, count(*) AS n_matched,
+             round(sum(
+               ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(lens.dl AS DOUBLE) / (CAST(stats.total_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
+             ), 6) AS score
+           FROM tf JOIN dfr USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id
+         )
+         SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, n_matched, score
+         FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20""",
     // Lloyd k-means replay: see kmeansRefineSql scaladoc.
     "q49_kmeans_refine" -> kmeansRefineSql(k = 8, dim = 64, iters = 2),
     // Stratified portable sample: q44's md5 bucket, per-lang keep rate.

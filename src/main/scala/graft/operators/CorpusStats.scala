@@ -190,6 +190,94 @@ object CorpusStats {
       .select(col("doc_id").as(idCol), col("n_tokens"), col("mean_logprob"))
   }
 
+  /** Idf-weighted gram-cosine near-dup pairs: document similarity
+    * through the INVERTED INDEX (gram-key join), never an embedding or
+    * an all-pairs product — the WEIGHTED lexical complement to
+    * `Dedup.ngramJaccardPairs` (Jaccard counts every shared gram
+    * equally; here a rare shared gram outweighs a common one). Docs
+    * are binary vectors over their DISTINCT n-gram hashes with weight
+    * w = ln(N/df); cos = Σ_shared w² / (|w_a||w_b|). Same hot-gram
+    * guard as q18: df > maxGramDf grams are boilerplate — broadcast
+    * anti-join drops them (near-zero weight, quadratic pair volume).
+    *
+    * Determinism: weights are exact-input doubles; per-pair and
+    * per-doc Σ run in engine-arbitrary order, so the emitted cosine is
+    * rounded 6dp and the threshold compares the ROUNDED value (metric
+    * rule). Output: (id_a, id_b, n_shared, cos_sim) with id_a < id_b. */
+  def idfGramCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, minCosine: Double, maxGramDf: Int): DataFrame = {
+    val g = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col("doc_id"),
+        explode(graft.expressions.HashExpressions.md5GramHashes48(col("__toks"), n)).as("h"))
+      .cache()
+    val dfreq = g.groupBy("h").agg(count(lit(1)).as("df"))
+    val hot = dfreq.where(col("df") > maxGramDf).select("h")
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val w = g.join(broadcast(hot), Seq("h"), "left_anti")
+      .join(dfreq, "h").crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("h"),
+        log(col("n_docs").cast("double") / col("df").cast("double")).as("w"))
+      // df == N grams weigh exactly 0: they add nothing to any dot or
+      // norm, and a doc made ONLY of them would have a zero norm —
+      // which under ANSI mode turns the cosine into a divide-by-zero
+      .where(col("w") > 0)
+      .cache()
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val pairDots = w.select(col("doc_id").as("id_a"), col("h"), col("w").as("wa"))
+      .join(w.select(col("doc_id").as("id_b"), col("h"), col("w").as("wb")), "h")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"), sum(col("wa") * col("wb")).as("dot"))
+    pairDots
+      .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= minCosine)
+  }
+
+  /** BM25 full-text ranking (Robertson–Spärck Jones; k1/b literals):
+    * score(d, q) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl))
+    * with idf = ln(1 + (N−df+0.5)/(df+0.5)). The retrieval operator a
+    * corpus-search surface exposes; also the standard hard-negative
+    * miner for embedding training.
+    *
+    * Plan: query terms are a literal filter pushed into the tf
+    * aggregate; N/avgdl are a broadcast 1-row aggregate — ONE
+    * corpus-sized combinable shuffle, one per-doc aggregate, top-k as
+    * TakeOrderedAndProject. Scores are double sums over ≤|q| terms,
+    * rounded 6dp, rank ties broken by doc id. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1)
+    val lens = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    val tf = tokenized(docs, idCol, textCol)
+      .where(col("token").isin(queryTerms.map(x => x: Any): _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .join(lens, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5)))
+      .withColumn("term_score", col("idf") * (col("tf").cast("double") * lit(k1 + 1)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), round(sum("term_score"), 6).as("score"))
+    scored.orderBy(desc("score"), asc("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score"), asc("doc_id"))))
+      .select("rank", "doc_id", "n_matched", "score")
+  }
+
   /** Count-min sketch over token frequencies (Cormode & Muthukrishnan
     * 2005): `d` hash rows × `w` buckets, cell = Σ counts of tokens
     * hashing there; estimate = min over the d cells — never an

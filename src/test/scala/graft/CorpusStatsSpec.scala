@@ -115,6 +115,58 @@ class CorpusStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("idfGramCosinePairs: identical docs score 1; rare shared grams outweigh common ones") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val shared = "alpha beta gamma delta"          // one shared passage
+    val boiler = "standard footer text here"       // boilerplate in MANY docs
+    val docs = (Seq(
+      (1L, s"$shared unique1 u2 u3"),
+      (2L, s"$shared unique4 u5 u6"),
+      (3L, "totally unrelated content with nothing else whatsoever")) ++
+      (10L until 20L).map(i => (i, s"$boiler filler$i f$i ff$i")))
+      .toDF("doc_id", "text")
+    val pairs = CorpusStats.idfGramCosinePairs(docs, "doc_id", "text",
+        n = 3, minCosine = 0.1, maxGramDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs.contains((1L, 2L)), s"shared-passage pair missing: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // identical docs -> cosine 1 (third doc keeps their grams df < N)
+    val ident = CorpusStats.idfGramCosinePairs(
+        Seq((1L, shared), (2L, shared),
+          (3L, "some other words entirely different")).toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, minCosine = 0.1, maxGramDf = 100)
+      .collect()
+    assert(ident.length === 1 && ident.head.getDouble(3) === 1.0)
+    // degenerate corpus where EVERY gram is in every doc: all weights
+    // are zero -> no pairs, and no ANSI divide-by-zero
+    val degen = CorpusStats.idfGramCosinePairs(
+        Seq((1L, shared), (2L, shared)).toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, minCosine = 0.0, maxGramDf = 100)
+      .collect()
+    assert(degen.isEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("bm25Search: more matched terms rank higher; shorter docs beat longer at equal tf") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (1L, "needle one fill fill fill fill"),                 // 1 hit, short
+      (2L, "needle two needle fill fill fill fill fill fill fill fill fill"), // 2 hits, long
+      (3L, "needle three fill fill fill fill fill fill fill fill fill fill fill fill"), // 1 hit, longer
+      (4L, "nothing relevant at all here whatsoever")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.bm25Search(docs, "doc_id", "text",
+        queryTerms = Seq("needle"), k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(!got.exists(_._2 == 4L), "no-hit doc must not appear")
+    assert(got.map(_._1).toSeq === (1 to got.length))
+    val byDoc = got.map(g => g._2 -> g._4).toMap
+    assert(byDoc(2L) > byDoc(1L), "double tf must outrank single tf here")
+    assert(byDoc(1L) > byDoc(3L), "shorter doc must outrank longer at equal tf")
+  }
+
   test("unigramLogProb: uniform corpus scores ln(p); rare-token docs score lower") {
     import spark.implicits._
     import graft.operators.CorpusStats

@@ -261,6 +261,37 @@ class PlanQualitySpec extends SparkSpec {
       s"token stream must be cached — uncached, the corpus re-tokenizes per use:\n$plan")
   }
 
+  test("q71: weighted pairs stay an inverted-index equi-join; hot grams broadcast-anti-join") {
+    // pre-execution plan: AQE's empty-relation propagation would
+    // legitimately erase the (empty at this SF) anti-join from the
+    // final plan — the SHAPE is what this guard locks
+    val plan = executedPlan("q71_idf_cosine_pairs")
+    assert(!plan.contains("CartesianProduct"),
+      s"weighted similarity degraded to all-pairs:\n$plan")
+    // the only BNLJs allowed are Cross joins against the broadcast
+    // 1-row N aggregate (the tfIdf in-plan-N pattern) — any doc×doc
+    // BNLJ would be the all-pairs regression
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach(l =>
+      assert(l.contains("Cross"), s"non-cross BNLJ in pair plan:\n$plan"))
+    assert(plan.contains("LeftAnti"), s"hot-gram cap must be an anti-join:\n$plan")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"gram postings and weights must be cached:\n$plan")
+  }
+
+  test("q72: BM25 term filter reaches the scan; top-k is a bounded heap") {
+    val df = SparkEntry.queries("q72_bm25_search")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be partial-heap, not global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"df/stats joins must broadcast:\n$plan")
+    // the IN (query terms) predicate must prune the token stream BEFORE
+    // the tf aggregate — scoring never aggregates the full vocabulary
+    assert(plan.contains("Filter") && plan.contains("INSET") || plan.contains(" IN ("),
+      s"query-term filter missing below the aggregate:\n$plan")
+  }
+
   test("q65: chunking is a pure per-row explosion — zero shuffles, zero joins") {
     val plan = executedPlan("q65_chunking")
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
