@@ -695,7 +695,28 @@ object SparkEntry {
     //    aggregate, N/avgdl in-plan, top-k via TakeOrderedAndProject ──
     "q72_bm25_search" -> ((s, dir) =>
       CorpusStats.bm25Search(t(s, dir, "documents"), "doc_id", "text",
-        queryTerms = Seq("vector", "merge", "stream", "window"), k = 20)))
+        queryTerms = Seq("vector", "merge", "stream", "window"), k = 20)),
+
+    // ── hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    //    top-50 and the exact dense top-50 (doc_id ↔ vec_id aligned
+    //    corpus) — calibration-free fusion of two retrievers ──
+    "q73_hybrid_rrf" -> ((s, dir) => {
+      val lex = CorpusStats.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("vector", "merge", "stream", "window"), k = 50)
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceKnn(emb, emb.where(col("vec_id") === 0),
+          "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      CorpusStats.rrfFuse(lex, dense, "doc_id", k = 20)
+    }),
+
+    // ── conversion funnel: first click → purchase within 1h — two
+    //    filtered pre-aggregations meeting in one user-key equi-join ──
+    "q74_conversion" -> ((s, dir) =>
+      operators.WindowOps.conversionWithin(t(s, dir, "events"),
+        "user_id", "event_type", "ts", fromType = "click", toType = "purchase",
+        withinMicros = 3600000000L)))
 
   /** DuckDB CTE block reproducing `LshSignatures` bit-for-bit: ±1 plane
     * signs from md5("plane|seed|t|b|d"), dot over floor(v·2^20) integer
@@ -1594,6 +1615,76 @@ object SparkEntry {
          SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
            doc_id, n_matched, score
          FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20""",
+    // Hybrid RRF: BM25 top-50 (same scoring as q72) fused with the
+    // exact dense top-50 for query vector 0; 1/(60+rank) sums are
+    // fixed-order exact-input doubles.
+    "q73_hybrid_rrf" ->
+      """WITH lens AS (
+           SELECT doc_id,
+             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS dl
+           FROM documents
+         ), stats AS (
+           SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens
+         ), tok AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ('vector', 'merge', 'stream', 'window')
+           GROUP BY 1, 2
+         ), dfr AS (
+           SELECT token, count(*) AS df FROM tf GROUP BY token
+         ), sc AS (
+           SELECT tf.doc_id,
+             round(sum(
+               ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(lens.dl AS DOUBLE) / (CAST(stats.total_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
+             ), 6) AS score
+           FROM tf JOIN dfr USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id
+         ), lex AS (
+           SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+           FROM sc ORDER BY score DESC, doc_id ASC LIMIT 50
+         ), dense AS (
+           SELECT doc_id, rank FROM (
+             SELECT c.vec_id AS doc_id,
+               row_number() OVER (ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank
+             FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             WHERE q.vec_id = 0
+           ) WHERE rank <= 50
+         ), f AS (
+           SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + l.rank), 0.0) + coalesce(1.0 / (60 + d.rank), 0.0), 6) AS rrf_score,
+             l.doc_id IS NOT NULL AS in_lexical,
+             d.doc_id IS NOT NULL AS in_dense
+           FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+         )
+         SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank,
+           doc_id, rrf_score, in_lexical, in_dense
+         FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""",
+    // Conversion funnel: first click per user, earliest purchase within
+    // the hour — all delay math in exact epoch-micros integers.
+    "q74_conversion" ->
+      """WITH f AS (
+           SELECT user_id, min(epoch_us(ts)) AS from_us FROM events
+           WHERE event_type = 'click' GROUP BY 1
+         ), t2 AS (
+           SELECT user_id, epoch_us(ts) AS to_us FROM events
+           WHERE event_type = 'purchase'
+         ), c AS (
+           SELECT f.user_id, min(to_us - from_us) AS delay_us
+           FROM f JOIN t2 USING (user_id)
+           WHERE to_us >= from_us AND to_us <= from_us + 3600000000
+           GROUP BY 1
+         )
+         SELECT count(*) AS n_from_users,
+           count(c.delay_us) AS n_converted,
+           round(CAST(count(c.delay_us) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS conv_rate,
+           round(CAST(sum(c.delay_us) AS DOUBLE) / CAST(count(c.delay_us) AS DOUBLE), 6) AS avg_delay_us,
+           min(c.delay_us) AS min_delay_us
+         FROM f LEFT JOIN c USING (user_id)""",
     // Lloyd k-means replay: see kmeansRefineSql scaladoc.
     "q49_kmeans_refine" -> kmeansRefineSql(k = 8, dim = 64, iters = 2),
     // Stratified portable sample: q44's md5 bucket, per-lang keep rate.

@@ -278,6 +278,31 @@ object CorpusStats {
       .select("rank", "doc_id", "n_matched", "score")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two rankings:
+    * rrf(d) = Σ_lists 1/(c + rank_d), documents missing from a list
+    * contribute nothing for it — the standard way to fuse a lexical
+    * (BM25) and a dense (ANN) retriever without score calibration.
+    * Inputs are (id, rank) frames; both are top-k-sized by
+    * construction, so the fusion is a join of two SMALL lists — cost
+    * lives in the retrievers, not here. 1/(c+rank) is a division of
+    * exact integers and the two-term sum has a fixed order, so the
+    * fused score is the same double on any engine (rounded 6dp for the
+    * metric rule anyway). Ties break by id. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
+              c: Int = 60): DataFrame = {
+    val fa = a.select(col(idCol), (lit(1.0) / (col("rank").cast("double") + c)).as("sa"))
+    val fb = b.select(col(idCol), (lit(1.0) / (col("rank").cast("double") + c)).as("sb"))
+    fa.join(fb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(coalesce(col("sa"), lit(0.0)) + coalesce(col("sb"), lit(0.0)), 6)
+          .as("rrf_score"),
+        col("sa").isNotNull.as("in_lexical"), col("sb").isNotNull.as("in_dense"))
+      .orderBy(desc("rrf_score"), asc(idCol)).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("rrf_score"), asc(idCol))))
+      .select("rank", idCol, "rrf_score", "in_lexical", "in_dense")
+  }
+
   /** Count-min sketch over token frequencies (Cormode & Muthukrishnan
     * 2005): `d` hash rows × `w` buckets, cell = Σ counts of tokens
     * hashing there; estimate = min over the d cells — never an

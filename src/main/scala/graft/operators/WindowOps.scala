@@ -42,6 +42,39 @@ object WindowOps {
     * no per-partition sort. The streaming twin is
     * `StreamOps.dedupWithinWatermark` (native
     * `dropDuplicatesWithinWatermark`, state pruned by the watermark). */
+  /** Conversion funnel over an event stream: of the users whose FIRST
+    * `fromType` event exists, how many produced a `toType` event within
+    * `withinMicros` of it, and how fast. The product-analytics
+    * staple (signup→activation, click→purchase) — and the shape is two
+    * filtered pre-aggregations meeting in ONE user-key equi-join, so
+    * neither event type is ever scanned twice nor joined row-to-row
+    * before aggregation. Delay stats are exact integer micros; the
+    * rate and mean delay are rounded 6dp. Output: one summary row
+    * (n_from_users, n_converted, conv_rate, avg_delay_us_of
+    * converted users, min_delay_us). */
+  def conversionWithin(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, fromType: String, toType: String,
+                       withinMicros: Long): DataFrame = {
+    val from = events.where(col(typeCol) === fromType)
+      .groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("from_us"))
+    val to = events.where(col(typeCol) === toType)
+      .select(col(userCol), unix_micros(col(tsCol)).as("to_us"))
+    val conv = from.join(to, Seq(userCol))
+      .where(col("to_us") >= col("from_us") &&
+        col("to_us") <= col("from_us") + withinMicros)
+      .groupBy(col(userCol))
+      .agg(min(col("to_us") - col("from_us")).as("delay_us"))
+    from.join(conv, Seq(userCol), "left")
+      .agg(count(lit(1)).as("n_from_users"),
+        count(col("delay_us")).as("n_converted"),
+        round(count(col("delay_us")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("conv_rate"),
+        round(sum(col("delay_us")).cast("double") / count(col("delay_us")).cast("double"), 6)
+          .as("avg_delay_us"),
+        min(col("delay_us")).as("min_delay_us"))
+  }
+
   def windowedDedupFirst(df: DataFrame, tsCol: String, tieCol: String,
                          keys: Seq[String], windowMicros: Long,
                          valueCols: Seq[String]): DataFrame = {

@@ -56,6 +56,25 @@ class ChangelogOpsSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("conversionWithin counts in-window conversions from the FIRST from-event only") {
+    import graft.operators.WindowOps
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, "click", ts(100)), (1L, "purchase", ts(200)),      // converts, delay 100s
+      (2L, "click", ts(100)), (2L, "purchase", ts(100 + 7200)), // too late (>1h)
+      (3L, "click", ts(100)),                                   // never purchases
+      (4L, "purchase", ts(50)), (4L, "click", ts(100)),         // purchase BEFORE click only
+      (5L, "purchase", ts(500))                                 // no click: not in funnel
+    ).toDF("user_id", "event_type", "ts")
+    val r = WindowOps.conversionWithin(ev, "user_id", "event_type", "ts",
+      "click", "purchase", withinMicros = 3600000000L).head
+    assert(r.getLong(0) === 4L, "four users clicked")
+    assert(r.getLong(1) === 1L, "only user 1 converted in-window")
+    assert(r.getDouble(2) === 0.25)
+    assert(r.getDouble(3) === 100000000.0)  // 100s in micros
+    assert(r.getLong(4) === 100000000L)
+  }
+
   test("materializeRetract nets out inserts and retracts, drops fully-retracted keys") {
     val changelog = Seq(
       (1L, 1, 10.0), (1L, 1, 5.0), (1L, -1, 10.0), // user 1: net 1 row, 5.0

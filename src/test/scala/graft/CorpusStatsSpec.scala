@@ -167,6 +167,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(byDoc(1L) > byDoc(3L), "shorter doc must outrank longer at equal tf")
   }
 
+  test("rrfFuse: both-list docs outrank single-list docs; exact 1/(c+rank) scores") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val dense = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val got = CorpusStats.rrfFuse(lex, dense, "doc_id", k = 10)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getInt(0), r.getDouble(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    def s(r: Int) = 1.0 / (60 + r)
+    def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(20L)._1 === 1, "doc in both lists must fuse to the top")
+    assert(got(20L)._2 === rd(s(2) + s(1)))
+    assert(got(20L)._3 && got(20L)._4)
+    assert(got(10L)._2 === rd(s(1)) && got(10L)._3 && !got(10L)._4)
+    assert(got(40L)._2 === rd(s(2)) && !got(40L)._3 && got(40L)._4)
+    // full ordering: 20 (both), then 10 (lex#1), then 40 (dense#2), then 30
+    assert(got.toSeq.sortBy(_._2._1).map(_._1) === Seq(20L, 10L, 40L, 30L))
+  }
+
   test("unigramLogProb: uniform corpus scores ln(p); rare-token docs score lower") {
     import spark.implicits._
     import graft.operators.CorpusStats
