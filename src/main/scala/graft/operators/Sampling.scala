@@ -127,10 +127,14 @@ object Sampling {
       .withColumn("total_docs", sum("n_docs").over(w))
       .withColumn("total_tokens", sum("n_tokens").over(w))
       // `div` = exact integral division (Spark `div`, DuckDB `//`) — a
-      // double `/` + floor can misround within an ulp of an integer
+      // double `/` + floor can misround within an ulp of an integer.
+      // A zero-token domain (possible with a caller-supplied count
+      // expression) keeps everything rather than ANSI-throwing on the
+      // zero divisor.
       .withColumn("keep_buckets",
-        least(lit(outOf.toLong),
-          expr(s"${budgetTokens}L * $outOf div total_tokens")))
+        when(col("total_tokens") <= 0, lit(outOf.toLong))
+          .otherwise(least(lit(outOf.toLong),
+            expr(s"${budgetTokens}L * $outOf div total_tokens"))))
       .groupBy(col("domain"), col("total_docs"), col("total_tokens"), col("keep_buckets"))
       .agg(
         sum(when(col("bucket") < col("keep_buckets"), col("n_docs")).otherwise(0L)).as("kept_docs"),

@@ -65,12 +65,16 @@ object WindowOps {
         col("to_us") <= col("from_us") + withinMicros)
       .groupBy(col(userCol))
       .agg(min(col("to_us") - col("from_us")).as("delay_us"))
+    // guard the zero denominators (no from-events / no conversions) —
+    // ANSI mode turns them into DIVIDE_BY_ZERO errors, not NaN/null
     from.join(conv, Seq(userCol), "left")
       .agg(count(lit(1)).as("n_from_users"),
         count(col("delay_us")).as("n_converted"),
-        round(count(col("delay_us")).cast("double") / count(lit(1)).cast("double"), 6)
+        round(when(count(lit(1)) === 0, lit(0.0))
+          .otherwise(count(col("delay_us")).cast("double") / count(lit(1)).cast("double")), 6)
           .as("conv_rate"),
-        round(sum(col("delay_us")).cast("double") / count(col("delay_us")).cast("double"), 6)
+        round(when(count(col("delay_us")) === 0, lit(null).cast("double"))
+          .otherwise(sum(col("delay_us")).cast("double") / count(col("delay_us")).cast("double")), 6)
           .as("avg_delay_us"),
         min(col("delay_us")).as("min_delay_us"))
   }

@@ -73,6 +73,13 @@ class ChangelogOpsSpec extends SparkSpec {
     assert(r.getDouble(2) === 0.25)
     assert(r.getDouble(3) === 100000000.0)  // 100s in micros
     assert(r.getLong(4) === 100000000L)
+    // degenerate funnels must not ANSI-divide by zero
+    val noConv = WindowOps.conversionWithin(ev, "user_id", "event_type", "ts",
+      "click", "error", withinMicros = 1L).head
+    assert(noConv.getLong(1) === 0L && noConv.getDouble(2) === 0.0 && noConv.isNullAt(3))
+    val noFrom = WindowOps.conversionWithin(ev, "user_id", "event_type", "ts",
+      "view", "purchase", withinMicros = 1L).head
+    assert(noFrom.getLong(0) === 0L && noFrom.getDouble(2) === 0.0)
   }
 
   test("materializeRetract nets out inserts and retracts, drops fully-retracted keys") {

@@ -154,5 +154,10 @@ class SamplingSinkSpec extends SparkSpec {
         graft.functions.TextAnalysis.tokenCount($"text"), budgetTokens = 300L)
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(again("big") === bigKeptD && again("small") === smKeptD)
+    // a zero-token domain keeps everything instead of ANSI-dividing by 0
+    val zeroTok = Sampling.tokenBudgetMix(docs, "doc_id", "domain",
+        lit(0L), budgetTokens = 300L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(zeroTok("big") === ((100L, 200L)) && zeroTok("small") === ((100L, 10L)))
   }
 }
