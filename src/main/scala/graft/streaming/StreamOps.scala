@@ -50,6 +50,37 @@ object StreamOps {
   def firstPerKey(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.dropDuplicates(keyCols)
 
+  /** Streaming token-budget admission gate — the LIVE-ingest analog of
+    * `Sampling.tokenBudgetMix`: each domain carries a running admitted-
+    * token total in keyed state; a document is admitted iff the total
+    * plus its tokens stays within `budgetTokens` (greedy skip-and-
+    * continue: an over-size doc is rejected but later smaller docs may
+    * still fit). State per domain = ONE long, sharded by the group-by
+    * exchange. Emits every doc once with its verdict (append mode).
+    *
+    * Ordering contract: verdicts depend on arrival order WITHIN a
+    * micro-batch per domain (the iterator order of the shuffled group);
+    * cross-batch order is the trigger order. Deterministic replay needs
+    * a deterministic source order — the same caveat every first-come
+    * admission policy carries. */
+  def tokenBudgetGate(ds: Dataset[BudgetDoc], budgetTokens: Long): Dataset[BudgetVerdict] = {
+    implicit val verdictEnc: Encoder[BudgetVerdict] = Encoders.product[BudgetVerdict]
+    implicit val stateEnc: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(_.domain)(Encoders.STRING)
+      .flatMapGroupsWithState[Long, BudgetVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (domain: String, rows: Iterator[BudgetDoc], state: GroupState[Long]) =>
+          var total = state.getOption.getOrElse(0L)
+          val out = rows.map { r =>
+            val admit = total + r.n_tokens <= budgetTokens
+            if (admit) total += r.n_tokens
+            BudgetVerdict(domain, r.id, r.n_tokens, admit, total)
+          }.toList // materialize BEFORE the state update below runs
+          state.update(total)
+          out.iterator
+      }
+  }
+
   /** Time-bounded streaming dedup: suppress key repeats arriving within
     * the watermark delay of the first occurrence — the
     * at-least-once-ingest guard whose state is PRUNED as the watermark
@@ -223,6 +254,10 @@ object StreamOps {
 
 /** Temporal-join state: dim version history (newest-first) + facts
   * buffered until the watermark passes their event time. */
+final case class BudgetDoc(domain: String, id: Long, n_tokens: Long)
+final case class BudgetVerdict(domain: String, id: Long, n_tokens: Long,
+                               admitted: Boolean, total_after: Long)
+
 final case class TemporalState(versions: List[TemporalRow], pending: List[TemporalRow])
 
 /** TemporalRow widened with the watermarked event-time column (must stay

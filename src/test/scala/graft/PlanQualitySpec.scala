@@ -309,6 +309,36 @@ class PlanQualitySpec extends SparkSpec {
       s"exactly one shuffle expected:\n$plan")
   }
 
+  test("q70: sequence packing is one per-domain window — text never enters the sort") {
+    val plan = executedPlan("q70_sequence_packing")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"one domain-key shuffle expected:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"packing must partition by domain, not globally:\n$plan")
+    // only (id, domain, n_tokens) may flow into the window sort — the
+    // text column must be projected away at the scan
+    val sortLine = plan.linesIterator.find(_.contains("Sort [")).getOrElse("")
+    assert(!sortLine.contains("text"), s"text reached the window sort:\n$plan")
+  }
+
+  test("q73: RRF fuses two top-k lists — no unbounded join, bounded heap output") {
+    val df = SparkEntry.queries("q73_hybrid_rrf")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fused top-k must be a bounded heap:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian regression:\n$plan")
+  }
+
+  test("q74: funnel joins are equi-joins on the user key with partial aggregation") {
+    val plan = executedPlan("q74_conversion")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"funnel must stay an equi-join on user_id:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"per-user firsts must partial-aggregate map-side:\n$plan")
+  }
+
   test("q60: recall eval never cross-products (BNLJ allowed only in the brute leg)") {
     val df = SparkEntry.queries("q60_ann_recall")(spark, dir)
     df.collect()

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{StreamOps, TemporalMatch, TemporalRow}
+import graft.streaming.{BudgetDoc, BudgetVerdict, StreamOps, TemporalMatch, TemporalRow}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
@@ -281,6 +281,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._1 == 1L) === 2, s"got $got")
     assert(got.contains((1L, 100L)) && got.contains((1L, 104L)))
     assert(!got.exists(g => g._2 == 101L || g._2 == 102L))
+  }
+
+  test("tokenBudgetGate admits greedily per domain, carries state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[BudgetDoc]
+    val gated = StreamOps.tokenBudgetGate(in.toDS(), budgetTokens = 10L)
+    val q = gated.writeStream.format("memory").queryName("budget_gate")
+      .outputMode("append").start()
+    // one doc per batch -> fully deterministic admission order
+    Seq(
+      BudgetDoc("a", 1L, 4L),  // total 4 -> admit
+      BudgetDoc("a", 2L, 4L),  // total 8 -> admit
+      BudgetDoc("a", 3L, 4L),  // would be 12 > 10 -> reject, total stays 8
+      BudgetDoc("a", 4L, 2L),  // fits exactly -> admit, total 10
+      BudgetDoc("b", 9L, 9L)   // independent domain state
+    ).foreach { d => in.addData(d); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("budget_gate")
+      .as[BudgetVerdict].collect().map(v => v.id -> ((v.admitted, v.total_after))).toMap
+    assert(got(1L) === ((true, 4L)))
+    assert(got(2L) === ((true, 8L)))
+    assert(got(3L) === ((false, 8L)))
+    assert(got(4L) === ((true, 10L)))
+    assert(got(9L) === ((true, 9L)))
   }
 
   test("curation funnel and char-entropy run unchanged on a stream (stateless per-row ops)") {
