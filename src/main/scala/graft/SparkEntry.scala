@@ -716,7 +716,21 @@ object SparkEntry {
     "q74_conversion" -> ((s, dir) =>
       operators.WindowOps.conversionWithin(t(s, dir, "events"),
         "user_id", "event_type", "ts", fromType = "click", toType = "purchase",
-        withinMicros = 3600000000L)))
+        withinMicros = 3600000000L)),
+
+    // ── multimodal resize: nearest-neighbor byte-grid downsample to
+    //    32×32 — integer source indices make even the STUB kernel's
+    //    sampled bytes oracle-exact (checksummed) ──
+    "q75_media_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = operators.Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
+      operators.Multimodal.resizeStub(media, newW = 32, newH = 32).map { r =>
+        var sum = 0L
+        var i = 0
+        while (i < r.content.length) { sum += (r.content(i) & 0xFF); i += 1 }
+        (r.id, r.width, r.height, r.content.length, sum)
+      }.toDF("id", "out_w", "out_h", "n_bytes_out", "byte_sum")
+    }))
 
   /** DuckDB CTE block reproducing `LshSignatures` bit-for-bit: ±1 plane
     * signs from md5("plane|seed|t|b|d"), dot over floor(v·2^20) integer
@@ -1685,6 +1699,21 @@ object SparkEntry {
            round(CAST(sum(c.delay_us) AS DOUBLE) / CAST(count(c.delay_us) AS DOUBLE), 6) AS avg_delay_us,
            min(c.delay_us) AS min_delay_us
          FROM f LEFT JOIN c USING (user_id)""",
+    // Media resize: the stub's nearest-neighbor source index is pure
+    // integer math over the asMedia metadata (w = id%4*64+64,
+    // h = id%3*64+64); text is ASCII so ord(char) == byte value.
+    "q75_media_resize" ->
+      """WITH m AS (
+           SELECT doc_id AS id, text, len(text) AS n,
+             (doc_id % 4) * 64 + 64 AS w, (doc_id % 3) * 64 + 64 AS h
+           FROM documents
+         )
+         SELECT id, 32 AS out_w, 32 AS out_h, 1024 AS n_bytes_out,
+           CAST(list_sum(list_transform(range(1024), i ->
+             ord(substr(text,
+               CAST(least(((i // 32) * h // 32) * w + ((i % 32) * w // 32), n - 1) + 1 AS INT),
+               1)))) AS BIGINT) AS byte_sum
+         FROM m""",
     // Lloyd k-means replay: see kmeansRefineSql scaladoc.
     "q49_kmeans_refine" -> kmeansRefineSql(k = 8, dim = 64, iters = 2),
     // Stratified portable sample: q44's md5 bucket, per-lang keep rate.

@@ -107,6 +107,41 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: nearest-neighbor sample over the (width × height)
+    * byte grid down to `newW × newH` — the thumbnail/normalize-
+    * resolution step. A real implementation decodes and interpolates
+    * pixels; the stub samples source index
+    * `min(⌊y·h/newH⌋·w + ⌊x·w/newW⌋, n−1)` — ALL integer arithmetic,
+    * so a SQL oracle reproduces the sampled bytes exactly. Same
+    * `mapPartitions` batch shape as the other kernels (per-partition
+    * codec init in a real pipeline). */
+  def resizeStub(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
+    require(newW >= 1 && newH >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init would go here (decoder handle)
+      rows.map { r =>
+        val n = r.content.length
+        val out = new Array[Byte](newW * newH)
+        if (n > 0) {
+          var y = 0
+          while (y < newH) {
+            val sy = y * r.height / newH
+            var x = 0
+            while (x < newW) {
+              val sx = x * r.width / newW
+              out(y * newW + x) = r.content(math.min(sy * r.width + sx, n - 1))
+              x += 1
+            }
+            y += 1
+          }
+        }
+        r.copy(content = out, width = newW, height = newH)
+      }
+    }
+  }
+
   /** Frame-sample stub: pick every `stride`-th byte window as a "frame"
     * (the video analog: sample frames, decode each). Returns one row per
     * sampled frame — the explode shape a real frame sampler produces. */

@@ -40,4 +40,22 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length === 3) // 20 bytes / stride 8 → offsets 0,8,16
     assert(frames.map(_.getInt(1)).toSeq.sorted === Seq(0, 8, 16))
   }
+
+  test("resizeStub samples the integer nearest-neighbor grid, clipped to content length") {
+    import graft.operators.MediaRow
+    // 2x2 "image" abcd: 1x1 resize picks index 0; 4x4 upsample repeats
+    // each source byte in a 2x2 block (y*2/4 = y/2, x*2/4 = x/2)
+    val media = Seq(
+      MediaRow(1L, "image", "abcd".getBytes("UTF-8"), 2, 2, "png")).toDS()
+    val one = Multimodal.resizeStub(media, 1, 1).collect().head
+    assert(one.content.toSeq === "a".getBytes("UTF-8").toSeq)
+    assert(one.width === 1 && one.height === 1)
+    val four = Multimodal.resizeStub(media, 4, 4).collect().head
+    assert(new String(four.content, "UTF-8") === "aabbaabbccddccdd")
+    // metadata claims a larger grid than content: indices clip to n-1
+    val short = Seq(MediaRow(2L, "image", "xy".getBytes("UTF-8"), 64, 64, "png")).toDS()
+    val clipped = Multimodal.resizeStub(short, 2, 2).collect().head
+    assert(clipped.content.length === 4)
+    assert(clipped.content.forall(b => b == 'x'.toByte || b == 'y'.toByte))
+  }
 }
