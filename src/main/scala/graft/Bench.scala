@@ -26,12 +26,13 @@ object Bench {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
         // operators cache intermediates (tf, postings, signatures) —
-        // release them between reps so a rep is a cold run and repeated
-        // invocations don't pin executor storage or warn
-        // "Asked to cache already cached data"
+        // release them OUTSIDE the timed region so a rep is a cold run
+        // (and repeated invocations don't pin executor storage) without
+        // billing the eviction to the query
         spark.catalog.clearCache()
-        (ok, (System.nanoTime() - t0) / 1e9)
+        (ok, elapsed)
       }
       // a failing query must read as a FAILURE (-1), not as its
       // time-to-exception masquerading as a speedup

@@ -915,6 +915,38 @@ object SparkEntry {
          JOIN (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) s
            USING (cluster_id)"""
 
+  /** Shared BM25 scoring CTE chain (through `sc`) for q72 and q73 —
+    * ONE copy of the k1/b literals, idf formula and double-op order,
+    * so the lexical leg of the hybrid fusion can never drift from the
+    * standalone ranking. */
+  private def bm25ScoreCtes: String =
+    """lens AS (
+           SELECT doc_id,
+             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS dl
+           FROM documents
+         ), stats AS (
+           SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens
+         ), tok AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ('vector', 'merge', 'stream', 'window')
+           GROUP BY 1, 2
+         ), dfr AS (
+           SELECT token, count(*) AS df FROM tf GROUP BY token
+         ), sc AS (
+           SELECT tf.doc_id, count(*) AS n_matched,
+             round(sum(
+               ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(lens.dl AS DOUBLE) / (CAST(stats.total_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
+             ), 6) AS score
+           FROM tf JOIN dfr USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
+           GROUP BY tf.doc_id
+         )"""
+
   /** DuckDB-runnable oracle per query (same parquet tables registered
     * under their bare names). Column names/aliases match the Spark side
     * exactly — the driver sorts columns by name before hashing. */
@@ -1296,7 +1328,8 @@ object SparkEntry {
            FROM b GROUP BY 1, 2
          ), tot AS (
            SELECT source, sum(n_docs) AS total_docs, sum(n_tokens) AS total_tokens,
-             least(100, 800 * 100 // sum(n_tokens)) AS keep_buckets
+             CASE WHEN sum(n_tokens) <= 0 THEN 100
+                  ELSE least(100, 800 * 100 // sum(n_tokens)) END AS keep_buckets
            FROM g GROUP BY source
          )
          SELECT t.source, t.total_docs, t.total_tokens, t.keep_buckets,
@@ -1471,26 +1504,12 @@ object SparkEntry {
            round(max(x), 6) AS max_x
          FROM d GROUP BY pos""",
     // Materialized dedup: documents minus non-representative members of
-    // the q47 component labeling.
+    // the SAME labeling componentsSql produces for q47/q68 — one copy
+    // of the component SQL, three consumers.
     "q64_dedup_materialize" ->
-      s"""WITH RECURSIVE pairs AS (
-           SELECT id_a, id_b FROM ($minhashPairsSql)
-         ), edges AS (
-           SELECT id_a AS u, id_b AS v FROM pairs
-           UNION
-           SELECT id_b, id_a FROM pairs
-         ), nodes AS (
-           SELECT DISTINCT u AS id FROM edges
-         ), reach(id, lab) AS (
-           SELECT id, id FROM nodes
-           UNION
-           SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
-         ), comp AS (
-           SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
-         )
-         SELECT d.doc_id, d.lang, d.source, d.n_chars
+      s"""SELECT d.doc_id, d.lang, d.source, d.n_chars
          FROM documents d
-         WHERE NOT EXISTS (SELECT 1 FROM comp c
+         WHERE NOT EXISTS (SELECT 1 FROM ($componentsSql) c
            WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)""",
     // Chunking: integer chunk boundaries (step 24 = 32 - 8), 1-based
     // inclusive list slice == Spark's slice(start, length) clipped.
@@ -1600,65 +1619,15 @@ object SparkEntry {
     // BM25: same k1=1.2 / b=0.75 literals and the same double-op order
     // (avgdl = total/n first, then dl/avgdl) as the Spark plan.
     "q72_bm25_search" ->
-      """WITH lens AS (
-           SELECT doc_id,
-             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS dl
-           FROM documents
-         ), stats AS (
-           SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens
-         ), tok AS (
-           SELECT doc_id,
-             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
-           FROM documents
-         ), tf AS (
-           SELECT doc_id, token, count(*) AS tf FROM tok
-           WHERE token IN ('vector', 'merge', 'stream', 'window')
-           GROUP BY 1, 2
-         ), dfr AS (
-           SELECT token, count(*) AS df FROM tf GROUP BY token
-         ), sc AS (
-           SELECT tf.doc_id, count(*) AS n_matched,
-             round(sum(
-               ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5))
-               * (CAST(tf.tf AS DOUBLE) * 2.2)
-               / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(lens.dl AS DOUBLE) / (CAST(stats.total_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
-             ), 6) AS score
-           FROM tf JOIN dfr USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
-           GROUP BY tf.doc_id
-         )
+      s"""WITH $bm25ScoreCtes
          SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
            doc_id, n_matched, score
          FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20""",
-    // Hybrid RRF: BM25 top-50 (same scoring as q72) fused with the
-    // exact dense top-50 for query vector 0; 1/(60+rank) sums are
-    // fixed-order exact-input doubles.
+    // Hybrid RRF: BM25 top-50 (the SAME bm25ScoreCtes as q72 — the
+    // lexical leg cannot drift) fused with the exact dense top-50 for
+    // query vector 0; 1/(60+rank) sums are fixed-order exact doubles.
     "q73_hybrid_rrf" ->
-      """WITH lens AS (
-           SELECT doc_id,
-             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS dl
-           FROM documents
-         ), stats AS (
-           SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens
-         ), tok AS (
-           SELECT doc_id,
-             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
-           FROM documents
-         ), tf AS (
-           SELECT doc_id, token, count(*) AS tf FROM tok
-           WHERE token IN ('vector', 'merge', 'stream', 'window')
-           GROUP BY 1, 2
-         ), dfr AS (
-           SELECT token, count(*) AS df FROM tf GROUP BY token
-         ), sc AS (
-           SELECT tf.doc_id,
-             round(sum(
-               ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5))
-               * (CAST(tf.tf AS DOUBLE) * 2.2)
-               / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(lens.dl AS DOUBLE) / (CAST(stats.total_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
-             ), 6) AS score
-           FROM tf JOIN dfr USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
-           GROUP BY tf.doc_id
-         ), lex AS (
+      s"""WITH $bm25ScoreCtes, lex AS (
            SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
            FROM sc ORDER BY score DESC, doc_id ASC LIMIT 50
          ), dense AS (
@@ -1695,8 +1664,10 @@ object SparkEntry {
          )
          SELECT count(*) AS n_from_users,
            count(c.delay_us) AS n_converted,
-           round(CAST(count(c.delay_us) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS conv_rate,
-           round(CAST(sum(c.delay_us) AS DOUBLE) / CAST(count(c.delay_us) AS DOUBLE), 6) AS avg_delay_us,
+           round(CASE WHEN count(*) = 0 THEN 0.0
+                 ELSE CAST(count(c.delay_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) END, 6) AS conv_rate,
+           round(CASE WHEN count(c.delay_us) = 0 THEN NULL
+                 ELSE CAST(sum(c.delay_us) AS DOUBLE) / CAST(count(c.delay_us) AS DOUBLE) END, 6) AS avg_delay_us,
            min(c.delay_us) AS min_delay_us
          FROM f LEFT JOIN c USING (user_id)""",
     // Media resize: the stub's nearest-neighbor source index is pure
@@ -1709,10 +1680,11 @@ object SparkEntry {
            FROM documents
          )
          SELECT id, 32 AS out_w, 32 AS out_h, 1024 AS n_bytes_out,
-           CAST(list_sum(list_transform(range(1024), i ->
-             ord(substr(text,
-               CAST(least(((i // 32) * h // 32) * w + ((i % 32) * w // 32), n - 1) + 1 AS INT),
-               1)))) AS BIGINT) AS byte_sum
+           CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(list_sum(list_transform(range(1024), i ->
+                  ord(substr(text,
+                    CAST(least(((i // 32) * h // 32) * w + ((i % 32) * w // 32), n - 1) + 1 AS INT),
+                    1)))) AS BIGINT) END AS byte_sum
          FROM m""",
     // Lloyd k-means replay: see kmeansRefineSql scaladoc.
     "q49_kmeans_refine" -> kmeansRefineSql(k = 8, dim = 64, iters = 2),

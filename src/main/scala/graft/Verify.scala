@@ -24,6 +24,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release the operators' plan-keyed caches (tf, postings, vocab,
+      // weights) per query — across ~75 queries they would otherwise
+      // accumulate pinned storage for the whole run (the documented
+      // cache lifecycle: the CALLER releases)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -57,8 +57,14 @@ object Chunking {
                     nTokens: org.apache.spark.sql.Column,
                     seqTokens: Int): DataFrame = {
     require(seqTokens >= 1)
+    // explicit ROWS frame: the default RANGE frame treats duplicate
+    // (domain, id) rows as peers and folds BOTH into each row's
+    // "exclusive" prefix — the ROWS frame (what the oracle also
+    // specifies) keeps the running sum per physical row
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     docs
       .select(col(idCol), col(domainCol), nTokens.cast("long").as("n_tokens"))
       .withColumn("__start",

@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** THE portable bucket: first 32 bits of md5(seed ':' id) mod
+    * `outOf`. Every content-keyed sampling op derives from this one
+    * expression — it is the cross-engine determinism contract the
+    * q44/q50/q57 oracles replicate, so it must exist exactly once. */
+  private def md5Bucket(idCol: String, outOf: Int, seed: String): Column = {
+    val hx = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary"))
+    (conv(substring(hx, 1, 8), 16, 10).cast("long") % outOf).cast("int")
+  }
+
   /** Content-keyed Bernoulli sample: deterministic across runs,
     * partitionings and cluster sizes. */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
@@ -38,9 +47,8 @@ object Sampling {
   def portableSample(df: DataFrame, idCol: String, keep: Int, outOf: Int = 100,
                      seed: String = "graft"): DataFrame = {
     require(keep >= 0 && keep <= outOf && outOf > 0)
-    val hx = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary"))
-    val bucket = (conv(substring(hx, 1, 8), 16, 10).cast("long") % outOf).cast("int")
-    df.withColumn("bucket", bucket).where(col("bucket") < keep)
+    df.withColumn("bucket", md5Bucket(idCol, outOf, seed))
+      .where(col("bucket") < keep)
   }
 
   /** Stratified engine-portable sample: per-stratum keep rates over the
@@ -59,14 +67,13 @@ object Sampling {
                                outOf: Int = 100, seed: String = "graft"): DataFrame = {
     require(defaultKeep >= 0 && defaultKeep <= outOf && outOf > 0)
     rates.values.foreach(r => require(r >= 0 && r <= outOf))
-    val hx = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary"))
-    val bucket = (conv(substring(hx, 1, 8), 16, 10).cast("long") % outOf).cast("int")
     // deterministic CASE order (sorted keys) — plan text is reproducible
     val keepFor = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultKeep)) {
       case (acc, (stratum, keep)) =>
         when(col(strataCol) === stratum, lit(keep)).otherwise(acc)
     }
-    df.withColumn("bucket", bucket).where(col("bucket") < keepFor)
+    df.withColumn("bucket", md5Bucket(idCol, outOf, seed))
+      .where(col("bucket") < keepFor)
   }
 
   /** Per-group deterministic holdout: the k rows with the smallest
@@ -115,10 +122,9 @@ object Sampling {
                      nTokens: Column, budgetTokens: Long, outOf: Int = 100,
                      seed: String = "graft"): DataFrame = {
     require(budgetTokens > 0 && outOf > 0)
-    val hx = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary"))
-    val bucket = (conv(substring(hx, 1, 8), 16, 10).cast("long") % outOf).cast("int")
     val perBucket = df
-      .select(col(domainCol).as("domain"), bucket.as("bucket"),
+      .select(col(domainCol).as("domain"),
+        md5Bucket(idCol, outOf, seed).as("bucket"),
         nTokens.cast("long").as("n_tokens"))
       .groupBy("domain", "bucket")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
