@@ -718,6 +718,29 @@ object SparkEntry {
         "user_id", "event_type", "ts", fromType = "click", toType = "purchase",
         withinMicros = 3600000000L)),
 
+    // ── split-leakage audit: holdout grams ∩ train grams via a SHUFFLE
+    //    equi-join (train is corpus-sized — q41's broadcast is the
+    //    wrong shape here); holdout = q44's bucket < 10 ──
+    "q76_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hx = md5(concat(lit("graft"), lit(":"), col("doc_id").cast("string")).cast("binary"))
+      val bucket = (conv(substring(hx, 1, 8), 16, 10).cast("long") % 100).cast("int")
+      Dedup.splitLeakageScores(docs, "doc_id", "text",
+        holdoutPred = bucket < 10, n = 3)
+    }),
+
+    // ── per-lang quality percentile: percent_rank normalization of the
+    //    heuristic quality score — one window per language ──
+    "q77_quality_percentile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "documents")
+        .withColumn("quality",
+          round(graft.functions.TextAnalysis.qualityScore(col("text")), 6))
+        .withColumn("q_pctile", round(percent_rank().over(
+          Window.partitionBy("lang").orderBy(col("quality"), col("doc_id"))), 6))
+        .select("doc_id", "lang", "quality", "q_pctile")
+    }),
+
     // ── multimodal resize: nearest-neighbor byte-grid downsample to
     //    32×32 — integer source indices make even the STUB kernel's
     //    sampled bytes oracle-exact (checksummed) ──
@@ -1670,6 +1693,58 @@ object SparkEntry {
                  ELSE CAST(sum(c.delay_us) AS DOUBLE) / CAST(count(c.delay_us) AS DOUBLE) END, 6) AS avg_delay_us,
            min(c.delay_us) AS min_delay_us
          FROM f LEFT JOIN c USING (user_id)""",
+    // Split leakage: holdout = q44's md5 bucket < 10; membership by
+    // raw gram strings (hash/string set equivalence, as q18/q41/q61).
+    "q76_split_leakage" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(md5('graft:' || CAST(doc_id AS VARCHAR)), CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS INT) < 10 AS holdout,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), g AS (
+           SELECT DISTINCT doc_id, holdout,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+           FROM t WHERE len(toks) >= 3
+         ), tg AS (
+           SELECT DISTINCT gram FROM g WHERE NOT holdout
+         ), ho AS (
+           SELECT doc_id, gram FROM g WHERE holdout
+         ), l AS (
+           SELECT ho.doc_id, count(*) AS n_leaked
+           FROM ho JOIN tg USING (gram) GROUP BY 1
+         )
+         SELECT h.doc_id, h.n_grams,
+           coalesce(l.n_leaked, 0) AS n_leaked,
+           round(CAST(coalesce(l.n_leaked, 0) AS DOUBLE) / CAST(h.n_grams AS DOUBLE), 6) AS leak_frac
+         FROM (SELECT doc_id, count(*) AS n_grams FROM ho GROUP BY 1) h
+         LEFT JOIN l USING (doc_id)""",
+    // Quality percentile: q15's exact quality expression, rounded 6dp,
+    // then percent_rank over (quality, doc_id) — tie-free ordering.
+    "q77_quality_percentile" ->
+      """WITH n AS (
+           SELECT doc_id, lang, text,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents
+         ), c AS (
+           SELECT doc_id, lang,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(toks) AS DOUBLE) AS n_toks,
+             CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is', 'it'))) AS DOUBLE) AS n_stop,
+             CAST(length(replace(norm, ' ', '')) AS DOUBLE) AS n_tok_chars
+           FROM n
+         ), q AS (
+           SELECT doc_id, lang,
+             round(least(n_chars / 500.0, 1.0) * 0.4
+               + least(n_stop / n_toks / 0.1, 1.0) * 0.3
+               + (CASE WHEN n_tok_chars / n_toks >= 3.0 AND n_tok_chars / n_toks <= 8.0 THEN 1.0 ELSE 0.0 END) * 0.3, 6) AS quality
+           FROM c
+         )
+         SELECT doc_id, lang, quality,
+           round(percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id), 6) AS q_pctile
+         FROM q""",
     // Media resize: the stub's nearest-neighbor source index is pure
     // integer math over the asMedia metadata (w = id%4*64+64,
     // h = id%3*64+64); text is ASCII so ord(char) == byte value.

@@ -318,6 +318,42 @@ object Dedup {
           coalesce(col("n_exact_hits"), lit(0L))).as("n_false_pos"))
   }
 
+  /** Train/holdout split-leakage audit: for every HOLDOUT document,
+    * how many of its n-grams also occur in the TRAIN split — the
+    * eval-set hygiene check a pipeline runs after carving a holdout
+    * (leaked grams mean eval answers sit in the training data).
+    *
+    * Same family as [[decontaminationScores]] but the membership side
+    * is the TRAIN split — corpus-sized, so it must NOT broadcast: the
+    * gram sets meet in a SHUFFLE equi-join on the 64-bit gram hash
+    * (the broadcast form is only right when the reference is small,
+    * q41's shape). Holdout postings are the small side of that join by
+    * construction (holdout ≪ train).
+    *
+    * Output (holdout docs with ≥ n tokens): (id, n_grams, n_leaked,
+    * leak_frac rounded 6dp). */
+  def splitLeakageScores(docs: DataFrame, idCol: String, textCol: String,
+                         holdoutPred: org.apache.spark.sql.Column,
+                         n: Int): DataFrame = {
+    val g = docs
+      .select(col(idCol), holdoutPred.as("__holdout"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col(idCol), col("__holdout"),
+        explode(graft.expressions.HashExpressions.gramHashes(col("__toks"), n)).as("sh_h"))
+      .cache()
+    val trainGrams = g.where(!col("__holdout")).select("sh_h").distinct()
+    val ho = g.where(col("__holdout")).select(col(idCol), col("sh_h"))
+    val leaked = ho.join(trainGrams, Seq("sh_h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_leaked"))
+    ho.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(leaked, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        round(coalesce(col("n_leaked"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 6).as("leak_frac"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al. '03): distinct
     * selected window-min k-gram hashes per doc, exploded to
     * (id, fingerprint) rows — the inverted-index input for

@@ -252,6 +252,24 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("splitLeakageScores: holdout grams found in train count as leaked; holdout-only don't") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta"
+    val docs = Seq(
+      (1L, s"$passage train filler words here"),          // train
+      (2L, "other training material entirely unrelated"), // train
+      (10L, s"$passage holdout tail words"),              // holdout: shares passage
+      (11L, "completely novel holdout text nothing shared") // holdout: clean
+    ).toDF("doc_id", "text")
+    val got = Dedup.splitLeakageScores(docs, "doc_id", "text",
+        holdoutPred = $"doc_id" >= 10L, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set(10L, 11L), "only holdout docs are audited")
+    assert(got(10L)._2 === 2L, "the two shared passage 3-grams leak") // alpha-beta-gamma, beta-gamma-delta
+    assert(got(11L)._2 === 0L && got(11L)._3 === 0.0)
+    spark.catalog.clearCache()
+  }
+
   test("dedupedCorpus keeps exactly one representative (the lowest id) per near-dup group") {
     import spark.implicits._
     val dupText = "spark catalyst tungsten shuffle partition broadcast join aggregate window watermark"

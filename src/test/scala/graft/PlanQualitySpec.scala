@@ -292,6 +292,26 @@ class PlanQualitySpec extends SparkSpec {
       s"query-term filter missing below the aggregate:\n$plan")
   }
 
+  test("q76: leakage membership is a semi-join on the gram hash; postings cached") {
+    val df = SparkEntry.queries("q76_split_leakage")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"leakage audit degraded to all-pairs:\n$plan")
+    assert(plan.contains("LeftSemi"), s"membership must be a semi-join:\n$plan")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"gram postings must be cached across the three uses:\n$plan")
+  }
+
+  test("q77: percentile normalization windows per language, never globally") {
+    val plan = executedPlan("q77_quality_percentile")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"percent_rank must partition by lang, not move all rows to one partition:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"one lang-key shuffle expected:\n$plan")
+  }
+
   test("q65: chunking is a pure per-row explosion — zero shuffles, zero joins") {
     val plan = executedPlan("q65_chunking")
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
