@@ -218,10 +218,15 @@ object Topics {
 
   /** Decode binary Avro-valued records (the reference's wire format —
     * `output.data.format = "AVRO"`, `terraform/lab-tables/main.tf:173`)
-    * via `AvroCodec`; metadata columns as in `decodeJson`. */
-  def decodeAvro(records: DataFrame, valueSchemaJson: String): DataFrame = {
+    * via `AvroCodec`; metadata columns as in `decodeJson`. Pass
+    * `idSchemas` (e.g. `registry.idSchemas`) to also accept
+    * Confluent-SR-framed records — magic byte + schema id + payload —
+    * with per-record writer-schema resolution; without it every value
+    * is bare Avro. */
+  def decodeAvro(records: DataFrame, valueSchemaJson: String,
+                 idSchemas: Map[Int, String] = Map.empty): DataFrame = {
     val carried = records.select(col("value"), col("key"),
       col("timestamp").as("$rowtime"), col("offset").as("__offset"))
-    AvroCodec.decodeAvro(carried, "value", valueSchemaJson)
+    AvroCodec.decodeAvro(carried, "value", valueSchemaJson, idSchemas)
   }
 }

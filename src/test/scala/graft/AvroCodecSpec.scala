@@ -44,6 +44,61 @@ class AvroCodecSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("key")).toSeq === Seq("key0", "key1"))
   }
 
+  test("SR wire format: framed records round-trip, mixed with bare Avro in one column") {
+    val reg = new AvroCodec.SchemaSubjects
+    val id = reg.register("orders-value", ordersSchema)
+    assert(reg.idFor("orders-value") === Some(id))
+    assert(reg.lookupById(id) === Some(ordersSchema))
+    // same schema under a second subject → SAME global id (SR semantics)
+    assert(reg.register("orders-dlq-value", ordersSchema) === id)
+
+    val rec = Map("ordertime" -> 1700000000000L, "orderid" -> 7, "itemid" -> "item_7",
+      "orderunits" -> 2.0,
+      "address" -> Map("city" -> "Oslo", "state" -> null, "zipcode" -> 1L))
+    val framed = AvroCodec.encodeFramedRecord(reg, "orders-value", rec)
+    assert(framed(0) === 0x00.toByte) // magic
+    assert(AvroCodec.unframe(framed).map(_._1) === Some(id))
+    val bare = AvroCodec.encodeRecord(ordersSchema,
+      rec + ("orderid" -> 8) + ("itemid" -> "item_8"))
+    assert(AvroCodec.unframe(bare).isEmpty || !reg.idSchemas.contains(
+      AvroCodec.unframe(bare).get._1) || bare(0) != 0x00.toByte)
+
+    val df = Seq(("k7", framed), ("k8", bare)).toDF("key", "value")
+    val decoded = AvroCodec.decodeAvro(df, "value", ordersSchema, reg.idSchemas)
+      .orderBy("orderid").collect()
+    assert(decoded.map(_.getAs[Int]("orderid")).toSeq === Seq(7, 8))
+    assert(decoded.map(_.getAs[String]("itemid")).toSeq === Seq("item_7", "item_8"))
+  }
+
+  test("SR wire format: framed record with evolved writer schema decodes under reader schema") {
+    // writer v1 has no `state`-less address and no orderunits; reader
+    // (the subject's current schema) supplies defaults — SR consumer
+    // schema-evolution semantics
+    val v1 =
+      """{"type":"record","name":"orders","fields":[
+         {"name":"ordertime","type":"long"},
+         {"name":"orderid","type":"int"},
+         {"name":"itemid","type":"string"}]}"""
+    val v2 =
+      """{"type":"record","name":"orders","fields":[
+         {"name":"ordertime","type":"long"},
+         {"name":"orderid","type":"int"},
+         {"name":"itemid","type":"string"},
+         {"name":"orderunits","type":"double","default":0.0}]}"""
+    val reg = new AvroCodec.SchemaSubjects
+    val idV1 = reg.register("orders-value", v1)
+    reg.register("orders-value", v2) // subject now at v2; v1 id still resolvable
+    val oldFrame = AvroCodec.wireFrame(idV1, AvroCodec.encodeRecord(v1,
+      Map("ordertime" -> 1L, "orderid" -> 1, "itemid" -> "legacy")))
+    val newFrame = AvroCodec.encodeFramedRecord(reg, "orders-value",
+      Map("ordertime" -> 2L, "orderid" -> 2, "itemid" -> "current", "orderunits" -> 4.5))
+    val df = Seq(("a", oldFrame), ("b", newFrame)).toDF("key", "value")
+    val rows = AvroCodec.decodeAvro(df, "value", v2, reg.idSchemas)
+      .orderBy("orderid").collect()
+    assert(rows.map(_.getAs[Double]("orderunits")).toSeq === Seq(0.0, 4.5))
+    assert(rows.map(_.getAs[String]("itemid")).toSeq === Seq("legacy", "current"))
+  }
+
   test("schema subjects registry: inference = subject lookup") {
     val reg = new AvroCodec.SchemaSubjects
     reg.register("orders-value", ordersSchema)
