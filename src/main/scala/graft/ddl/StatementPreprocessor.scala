@@ -127,6 +127,11 @@ object StatementPreprocessor {
       """(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*`?([\w$]+)`?\s*\)\s*,\s*""" +
       """(?:STEP\s*=>\s*)?INTERVAL\s+'([^']+)'\s+(\w+)\s*,\s*""" +
       """(?:SIZE\s*=>\s*)?INTERVAL\s+'([^']+)'\s+(\w+)\s*\)\s*\)""").r
+  private val SessionRe =
+    ("""(?is)TABLE\s*\(\s*SESSION\s*\(\s*(?:DATA\s*=>\s*)?TABLE\s+`?(\w+)`?\s*""" +
+      """(?:PARTITION\s+BY\s+(\([^)]*\)|`?[\w$]+`?)\s*)?,\s*""" +
+      """(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*`?([\w$]+)`?\s*\)\s*,\s*""" +
+      """(?:GAP\s*=>\s*)?INTERVAL\s+'([^']+)'\s+(\w+)\s*\)\s*\)""").r
   private val SessionTvfRe = """(?is)TABLE\s*\(\s*SESSION\s*\(""".r
 
   private def intervalStr(n: String, unit: String): String =
@@ -150,16 +155,45 @@ object StatementPreprocessor {
     * expansions shape as `graft.operators.WindowOps.cumulate`: windows
     * share a start aligned to SIZE and grow by STEP — a stateless
     * row-local expansion, streaming-compatible.
-    * `TABLE(SESSION(...))` is rejected with direction to Spark's
-    * `GROUP BY session_window(ts, gap)` (session merging is an
-    * aggregation, not a row-local projection — it cannot be a TVF
-    * subquery). */
+    * `TABLE(SESSION(...))` (Flink 1.19's session TVF, incl. its
+    * `PARTITION BY` clause) has no row-local lowering — session merge
+    * is inherently an aggregation — so it lowers to the islands-and-
+    * gaps window-function subquery: a new-session flag (event-time gap
+    * from the previous row ≥ GAP), a running-sum session id, then
+    * per-session min/max for the contract columns. `window_end = last
+    * rowtime + gap` and "a gap of exactly GAP starts a new session"
+    * both match Spark's native `session_window` (asserted equivalent
+    * in WindowTvfSpec). Scale note: the window functions partition on
+    * the TVF's PARTITION BY keys; WITHOUT keys the running session id
+    * is a single ordered partition — same as any engine's keyless
+    * session window, use PARTITION BY at scale. */
   def rewriteWindowTvfs(sql: String): String = {
-    if (SessionTvfRe.findFirstIn(sql).isDefined)
+    val t0 = SessionRe.replaceAllIn(sql, m => {
+      val (tbl, ts) = (m.group(1), m.group(3))
+      val gapUs = intervalMicros(m.group(4), m.group(5))
+      val keys = Option(m.group(2)).toSeq.flatMap(
+        _.stripPrefix("(").stripSuffix(")").split(',').toSeq)
+        .map(k => s"`${stripQuotes(k)}`")
+      val over = (if (keys.isEmpty) "" else keys.mkString("PARTITION BY ", ", ", " ")) +
+        s"ORDER BY `$ts`"
+      val sidPart = (keys :+ "__sid").mkString("PARTITION BY ", ", ", "")
+      java.util.regex.Matcher.quoteReplacement(
+        s"""(SELECT * EXCEPT(__sid),
+           |        timestamp_micros(min(unix_micros(`$ts`)) OVER ($sidPart)) AS window_start,
+           |        timestamp_micros(max(unix_micros(`$ts`)) OVER ($sidPart) + ${gapUs}L) AS window_end
+           | FROM (SELECT * EXCEPT(__new), sum(__new) OVER ($over) AS __sid
+           |       FROM (SELECT *,
+           |                    CASE WHEN unix_micros(`$ts`)
+           |                           - lag(unix_micros(`$ts`)) OVER ($over) < ${gapUs}L
+           |                         THEN 0 ELSE 1 END AS __new
+           |             FROM $tbl)))""".stripMargin)
+    })
+    if (SessionTvfRe.findFirstIn(t0).isDefined)
       throw new IllegalArgumentException(
-        "TABLE(SESSION(...)) has no row-local lowering; write " +
-          "GROUP BY session_window(`ts`, '<gap>') instead")
-    val t1 = TumbleRe.replaceAllIn(sql, m => {
+        "unsupported TABLE(SESSION(...)) form — supported: TABLE(SESSION(TABLE t " +
+          "[PARTITION BY (k, ...)], DESCRIPTOR(ts), INTERVAL 'n' UNIT)); or write " +
+          "GROUP BY session_window(`ts`, '<gap>') natively")
+    val t1 = TumbleRe.replaceAllIn(t0, m => {
       val (tbl, ts, n, u) = (m.group(1), m.group(2), m.group(3), m.group(4))
       java.util.regex.Matcher.quoteReplacement(
         s"""(SELECT * EXCEPT(__w), __w.start AS window_start, __w.end AS window_end

@@ -74,10 +74,38 @@ class WindowTvfSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("window_start", "user_id", "n"))
   }
 
-  test("SESSION TVF is rejected with direction to session_window") {
+  test("SESSION TVF with PARTITION BY ≡ groupBy(key, session_window)") {
+    val ev = events()
+    val r = new StatementRunner(spark)
+    val viaTvf = r.run(
+      """SELECT user_id, window_start, window_end, count(*) AS n
+         FROM TABLE(SESSION(TABLE events_tvf PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '10' MINUTES))
+         GROUP BY user_id, window_start, window_end""").get
+    val native = ev.groupBy($"user_id", session_window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"session_window.start".as("window_start"),
+        $"session_window.end".as("window_end"), $"n")
+    same(viaTvf, native)
+  }
+
+  test("SESSION TVF without keys ≡ global session_window") {
+    val ev = events()
+    val r = new StatementRunner(spark)
+    val viaTvf = r.run(
+      """SELECT window_start, window_end, count(*) AS n
+         FROM TABLE(SESSION(TABLE events_tvf, DESCRIPTOR(ts), INTERVAL '30' MINUTES))
+         GROUP BY window_start, window_end""").get
+    val native = ev.groupBy(session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("window_start"),
+        $"session_window.end".as("window_end"), $"n")
+    same(viaTvf, native)
+  }
+
+  test("unsupported SESSION TVF form is rejected with direction to session_window") {
     val ex = intercept[IllegalArgumentException] {
       StatementPreprocessor.rewriteWindowTvfs(
-        "SELECT * FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTES))")
+        "SELECT * FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts), 42))")
     }
     assert(ex.getMessage.contains("session_window"))
   }
