@@ -723,10 +723,11 @@ object SparkEntry {
     //    wrong shape here); holdout = q44's bucket < 10 ──
     "q76_split_leakage" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val hx = md5(concat(lit("graft"), lit(":"), col("doc_id").cast("string")).cast("binary"))
-      val bucket = (conv(substring(hx, 1, 8), 16, 10).cast("long") % 100).cast("int")
+      // the holdout predicate MUST be the sampler's own bucket
+      // expression (Sampling.md5Bucket) — an inlined copy could drift
+      // from the q44/q50/q57 sample and silently audit the wrong split
       Dedup.splitLeakageScores(docs, "doc_id", "text",
-        holdoutPred = bucket < 10, n = 3)
+        holdoutPred = operators.Sampling.md5Bucket("doc_id", 100) < 10, n = 3)
     }),
 
     // ── per-lang quality percentile: percent_rank normalization of the
@@ -746,7 +747,15 @@ object SparkEntry {
     //    sampled bytes oracle-exact (checksummed) ──
     "q75_media_resize" -> ((s, dir) => {
       import s.implicits._
-      val media = operators.Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
+      // ASCII-only docs (byte length == char length): the oracle reads
+      // CHARACTER codepoints (ord/substr) while the engine samples
+      // UTF-8 BYTES — identical only on ASCII, so the invariant is
+      // enforced structurally on BOTH sides rather than assumed of the
+      // fixture (a single multibyte char at another SF would otherwise
+      // silently flip the hash)
+      val ascii = t(s, dir, "documents")
+        .where(octet_length(col("text")) === length(col("text")))
+      val media = operators.Multimodal.asMedia(ascii, "doc_id", "text")
       operators.Multimodal.resizeStub(media, newW = 32, newH = 32).map { r =>
         var sum = 0L
         var i = 0
@@ -1747,12 +1756,15 @@ object SparkEntry {
          FROM q""",
     // Media resize: the stub's nearest-neighbor source index is pure
     // integer math over the asMedia metadata (w = id%4*64+64,
-    // h = id%3*64+64); text is ASCII so ord(char) == byte value.
+    // h = id%3*64+64). Both sides restrict to ASCII docs (byte length
+    // == char length) so ord(char-at) == byte-at holds by construction,
+    // not by fixture luck.
     "q75_media_resize" ->
       """WITH m AS (
            SELECT doc_id AS id, text, len(text) AS n,
              (doc_id % 4) * 64 + 64 AS w, (doc_id % 3) * 64 + 64 AS h
            FROM documents
+           WHERE strlen(text) = len(text)
          )
          SELECT id, 32 AS out_w, 32 AS out_h, 1024 AS n_bytes_out,
            CASE WHEN n = 0 THEN CAST(0 AS BIGINT)

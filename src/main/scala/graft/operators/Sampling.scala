@@ -21,8 +21,12 @@ object Sampling {
   /** THE portable bucket: first 32 bits of md5(seed ':' id) mod
     * `outOf`. Every content-keyed sampling op derives from this one
     * expression — it is the cross-engine determinism contract the
-    * q44/q50/q57 oracles replicate, so it must exist exactly once. */
-  private def md5Bucket(idCol: String, outOf: Int, seed: String): Column = {
+    * q44/q50/q57 oracles replicate, so it must exist exactly once.
+    * Public so OTHER operators that must agree with the sample
+    * (e.g. the split-leakage audit's holdout predicate) call this
+    * instead of re-inlining the formula — a drifted copy would
+    * silently audit a different holdout than the sampler produced. */
+  def md5Bucket(idCol: String, outOf: Int, seed: String = "graft"): Column = {
     val hx = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary"))
     (conv(substring(hx, 1, 8), 16, 10).cast("long") % outOf).cast("int")
   }

@@ -419,8 +419,15 @@ object Similarity {
     * keep = n_dups == 0). */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, threshold: Double): DataFrame = {
+    // `assigned` feeds BOTH sides of the within-cluster self-join (via
+    // `sided`) and the final output join — uncached, the iterative
+    // kmeansRefine lineage (cost grows with iters·k) would re-execute
+    // up to three times. Plan-keyed persist, same caller-releases
+    // lifecycle as tfIdf/fingerprintOverlapPairs: `clearCache()` or
+    // unpersist once the result is materialized.
     val assigned = kmeansRefine(emb, idCol, vecCol, k, iters)
       .select(col(idCol), col("cluster"))
+      .persist()
     val sided = assigned.join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
       .withColumn("__n", vecNorm(col(vecCol)))
     val a = sided.select(col(idCol).as("id"), col("cluster"),
