@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.TextAnalysis
+import graft.functions.{PiiScrub, TextAnalysis}
 import graft.operators.{ChangelogOps, CorpusStats, Curation, Dedup, Multimodal, Sampling, Similarity, SkewOps}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -741,6 +741,42 @@ object SparkEntry {
           Window.partitionBy("lang").orderBy(col("quality"), col("doc_id"))), 6))
         .select("doc_id", "lang", "quality", "q_pctile")
     }),
+
+    // ── Gopher quality rules: per-rule boolean flags + keep — pure
+    //    per-row Column arithmetic riding the scan, zero shuffles ──
+    "q78_gopher_rules" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.gopherRules(col("text"), minWords = 50).as("__r"))
+        .select(col("doc_id"), col("__r.r_words").as("r_words"),
+          col("__r.r_mean_len").as("r_mean_len"), col("__r.r_stop").as("r_stop"),
+          col("__r.r_alpha").as("r_alpha"), col("__r.r_rep").as("r_rep"),
+          col("__r.keep").as("keep"))),
+
+    // ── PII scrub: detection counts + redacted text, patterns from the
+    //    Java∩RE2 regex subset so the oracle reproduces the redaction
+    //    byte-for-byte (fixture has no PII — the planted-PII redaction
+    //    path is exercised by PiiScrubSpec's in-engine oracle) ──
+    "q79_pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), PiiScrub.piiCounts(col("text")).as("__c"),
+          PiiScrub.redact(col("text")).as("redacted"))
+        .select(col("doc_id"), col("__c.n_email").as("n_email"),
+          col("__c.n_ipv4").as("n_ipv4"), col("__c.n_ssn").as("n_ssn"),
+          col("__c.n_phone").as("n_phone"), col("redacted"))),
+
+    // ── gram novelty vs the corpus prefix: one min-agg on the gram
+    //    hash + one hash-key join back — NO doc pairs (q61's shape
+    //    with first-seen attribution) ──
+    "q80_gram_novelty" -> ((s, dir) =>
+      Dedup.gramNovelty(t(s, dir, "documents"), "doc_id", "text", n = 3)),
+
+    // ── corpus data card per (source, lang): every stat algebraic in
+    //    ONE combinable shuffle; quality mass summed in exact integer
+    //    micro-units (derived-double→decimal is the known tie trap) ──
+    "q81_corpus_card" -> ((s, dir) =>
+      operators.CorpusStats.corpusCard(t(s, dir, "documents"), "doc_id", "text",
+        groupCols = Seq("source", "lang"))),
 
     // ── multimodal resize: nearest-neighbor byte-grid downsample to
     //    32×32 — integer source indices make even the STUB kernel's
@@ -2084,7 +2120,102 @@ object SparkEntry {
            ex.p50_tokens, es.p50_tokens AS p50_est,
            ex.p90_tokens, es.p90_tokens AS p90_est
          FROM ex JOIN es USING (lang)"""
-    })
+    },
+    // Gopher rules: per-row arithmetic over the normalized token list;
+    // distinct-2-gram count via list_distinct == the engine's distinct
+    // gram-hash cardinality (collision-free at corpus scale, same
+    // identity q46 relies on).
+    "q78_gopher_rules" ->
+      """WITH t AS (
+           SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), c AS (
+           SELECT doc_id, len(toks) AS n,
+             CAST(len(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS mean_len,
+             len(list_intersect(toks, ['the','a','an','of','and','or','to','in','is','it'])) AS n_stop,
+             CAST(len(list_filter(toks, t2 -> regexp_matches(t2, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha_frac,
+             CASE WHEN len(toks) >= 2
+                  THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1)
+                  ELSE 0.0 END AS rep_ratio
+           FROM t
+         )
+         SELECT doc_id,
+           n >= 50 AND n <= 100000 AS r_words,
+           mean_len >= 3.0 AND mean_len <= 10.0 AS r_mean_len,
+           n_stop >= 2 AS r_stop,
+           alpha_frac >= 0.8 AS r_alpha,
+           rep_ratio <= 0.5 AS r_rep,
+           (n >= 50 AND n <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+             AND n_stop >= 2 AND alpha_frac >= 0.8 AND rep_ratio <= 0.5 AS keep
+         FROM c""",
+    // PII scrub: identical Java∩RE2 patterns, redaction order
+    // email → ipv4 → ssn → phone (placeholders carry no digits/@ so a
+    // replacement can never re-match a later pattern).
+    "q79_pii_redact" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+           len(regexp_extract_all(text, '\+?\b(?:[0-9]{1,2}[ .-]?)?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b')) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+             '\+?\b(?:[0-9]{1,2}[ .-]?)?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+         FROM documents""",
+    // Gram novelty: q61's distinct-gram explode with min-doc_id
+    // attribution instead of df counting.
+    "q80_gram_novelty" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), g AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+           FROM t WHERE len(toks) >= 3
+         ), fs AS (
+           SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+         )
+         SELECT g.doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN fs.first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+           round(1.0 - CAST(sum(CASE WHEN fs.first_doc < g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+         FROM g JOIN fs USING (gram)
+         GROUP BY g.doc_id""",
+    // Corpus card: all-algebraic group stats; quality mass in exact
+    // integer micro-units of the 6-dp-rounded score (derived-double →
+    // DECIMAL is the tie-rounding trap; round(q*1e6) has no .5 ties
+    // because q*1e6 is within an ulp of an integer).
+    "q81_corpus_card" ->
+      """WITH q AS (
+           SELECT source, lang,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+             len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n_toks,
+             CAST(round(round(
+               least(len(text) / 500.0, 1.0) * 0.4
+               + least(CAST(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+                   t2 -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t2))) AS DOUBLE)
+                 / len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) / 0.1, 1.0) * 0.3
+               + (CASE WHEN CAST(len(replace(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ', '')) AS DOUBLE)
+                        / len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) BETWEEN 3.0 AND 8.0
+                  THEN 1.0 ELSE 0.0 END) * 0.3, 6) * 1e6) AS BIGINT) AS q_micro
+           FROM documents
+         )
+         SELECT source, lang,
+           count(*) AS n_docs,
+           count(*) - count(DISTINCT fp) AS n_dup_docs,
+           sum(n_toks) AS n_tokens,
+           min(n_toks) AS min_toks,
+           max(n_toks) AS max_toks,
+           round(CAST(sum(q_micro) AS DOUBLE) / count(*) / 1e6, 6) AS mean_quality
+         FROM q
+         GROUP BY source, lang""")
 
   /** The q45 quantile-replay SQL over an arbitrary documents-shaped
     * source (must expose `lang`, `text`): explicit `quantile_cont`

@@ -78,6 +78,49 @@ object TextAnalysis {
     size(filter(tokens(text), t => t.isin(markers.map(lit(_)): _*)))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Appendix A1.1), adapted to the
+    * signals available from normalized text — each rule is an
+    * independent boolean column so the filter REASON is observable
+    * (pipelines report per-rule rejection rates, not just a keep bit):
+    *
+    *  - `r_words`:    token count within [minWords, maxWords]
+    *  - `r_mean_len`: mean token length within [3, 10] chars
+    *  - `r_stop`:     ≥ 2 DISTINCT stopword hits (the "contains
+    *                  common English words" rule)
+    *  - `r_alpha`:    ≥ 80% of tokens contain an alphabetic char
+    *  - `r_rep`:      2-gram repetition ratio ≤ 0.5 (the duplicate
+    *                  n-gram rule; line-based duplicate rules don't
+    *                  apply to single-line normalized text)
+    *  - `keep`:       conjunction of all rules
+    *
+    * All per-row `Column` arithmetic over integer counts (gram
+    * distincts via the codegen `GramHashes` kernel) — no UDFs, no
+    * shuffle; the whole rule set rides the document scan. */
+  def gopherRules(text: Column, minWords: Int = 50,
+                  maxWords: Int = 100000): Column = {
+    val toks = tokens(text)
+    val nToks = size(toks).cast("double")
+    val meanLen = length(regexp_replace(normText(text), " ", "")).cast("double") / nToks
+    val nStopDistinct = size(array_intersect(toks,
+      array(EnStopwords.map(lit(_)): _*)))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("double")
+    val nGrams = size(toks) - 1
+    val nDistinct = size(graft.expressions.HashExpressions.gramHashes(toks, 2))
+    val rWords = size(toks) >= minWords && size(toks) <= maxWords
+    val rMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val rStop = nStopDistinct >= 2
+    val rAlpha = nAlpha / nToks >= 0.8
+    // docs too short to form a 2-gram have nothing to repeat → ratio 0
+    val rRep = when(nGrams >= 1,
+      lit(1.0) - nDistinct.cast("double") / nGrams.cast("double"))
+      .otherwise(lit(0.0)) <= 0.5
+    struct(
+      rWords.as("r_words"), rMeanLen.as("r_mean_len"), rStop.as("r_stop"),
+      rAlpha.as("r_alpha"), rRep.as("r_rep"),
+      (rWords && rMeanLen && rStop && rAlpha && rRep).as("keep"))
+  }
+
   /** Predicted language = first language (in LangMarkers order) whose
     * marker count equals the max; "und" if no marker hits at all. */
   def langId(text: Column): Column = {

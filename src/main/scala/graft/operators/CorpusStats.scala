@@ -39,6 +39,45 @@ object CorpusStats {
       .select("rank", "token", "n_occurrences", "n_docs")
   }
 
+  /** Per-group corpus "data card": the one-pass summary a curation
+    * pipeline publishes alongside a released dataset (docs, tokens,
+    * exact-dup counts, token-count range, quality mass) grouped by
+    * arbitrary columns — typically (source, lang).
+    *
+    * ONE scan + two map-combinable shuffles: the exact dup count
+    * (count-distinct of the fingerprint) forces a (keys, fp) dedup
+    * stage before the group-key stage — both partial-aggregate
+    * map-side, so per-mapper output is bounded by distinct keys, not
+    * rows. Every other statistic is algebraic (count / sum / min /
+    * max) and rides the same stages. Quality is aggregated as exact integer
+    * MICRO-units — `round(q·1e6)` of the 6-dp-rounded score — because
+    * summing doubles is order-dependent under distribution and casting
+    * a derived double to DECIMAL is the known Spark/DuckDB tie-rounding
+    * trap (CLAUDE.md); the integer sum is order-independent and
+    * engine-exact, and the mean divides it back out deterministically.
+    *
+    * Output per group: n_docs, n_dup_docs (docs beyond the first with
+    * an identical normalized fingerprint), n_tokens, min_toks,
+    * max_toks, mean_quality (6 dp). */
+  def corpusCard(docs: DataFrame, idCol: String, textCol: String,
+                 groupCols: Seq[String]): DataFrame = {
+    val perDoc = docs.select(
+      groupCols.map(col) :+
+        TextAnalysis.fingerprint(col(textCol)).as("__fp") :+
+        TextAnalysis.tokenCount(col(textCol)).as("__toks") :+
+        round(round(TextAnalysis.qualityScore(col(textCol)), 6) * 1e6)
+          .cast("long").as("__q_micro"): _*)
+    perDoc.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"),
+        sum(col("__toks")).as("n_tokens"),
+        min(col("__toks")).as("min_toks"),
+        max(col("__toks")).as("max_toks"),
+        round(sum(col("__q_micro")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_quality"))
+  }
+
   /** Top-`topPerDoc` TF-IDF terms per document.
     *
     * idf = ln(N / df) with N computed IN the plan (a broadcast 1-row

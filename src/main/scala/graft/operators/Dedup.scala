@@ -256,6 +256,41 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Per-doc n-gram NOVELTY against the corpus prefix: the fraction of
+    * a doc's distinct n-grams whose FIRST occurrence (minimum doc id
+    * over the whole corpus) is an earlier doc. The corpus-growth /
+    * memorization metric (Lee et al. 2022 §4 measure duplication this
+    * way): novelty → 0 means the doc adds nothing the corpus didn't
+    * already contain; ingest pipelines rank/stop on it.
+    *
+    * Same scale shape as [[interDocGramStats]] — distinct (doc, gram)
+    * explode, one map-combinable min-aggregation on the gram hash,
+    * one hash-key join back; NO doc-pair ever materializes, so cost is
+    * linear in total gram count regardless of duplication structure.
+    * `g` feeds both the min-agg and the join-back (plan-keyed cache,
+    * caller-releases lifecycle).
+    *
+    * Output (docs with ≥ n tokens): (id, n_grams = distinct grams,
+    * n_seen = grams first seen in an earlier doc,
+    * novelty = 1 − n_seen/n_grams, rounded 6 dp). */
+  def gramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
+    val g = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col(idCol),
+        explode(graft.expressions.HashExpressions.gramHashes(col("__toks"), n)).as("sh_h"))
+      .cache()
+    val firstSeen = g.groupBy("sh_h").agg(min(col(idCol)).as("__first"))
+    g.join(firstSeen, "sh_h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") < col(idCol), 1L).otherwise(0L)).as("n_seen"))
+      .select(col(idCol), col("n_grams"), col("n_seen"),
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novelty"))
+  }
+
   /** Bloom-filter benchmark decontamination: the fixed-size variant of
     * [[decontaminationScores]]. The reference gram set is folded into
     * an `m`-bit Bloom filter (`k` md5-derived positions per gram —

@@ -206,4 +206,29 @@ class CorpusStatsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     spark.catalog.clearCache()
   }
+
+  test("corpusCard: dup counting, token totals and exact quality mass per group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "web", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog", "web", "en"), // exact dup of 1
+      (3L, "completely different text in the same group here", "web", "en"),
+      (4L, "short", "books", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val got = CorpusStats.corpusCard(docs, "doc_id", "text", Seq("source", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val web = got(("web", "en"))
+    assert(web.getAs[Long]("n_docs") === 3L)
+    assert(web.getAs[Long]("n_dup_docs") === 1L)      // docs 1+2 share a fingerprint
+    assert(web.getAs[Long]("n_tokens") === 9L + 9L + 8L)
+    assert(web.getAs[Int]("min_toks") === 8)
+    assert(web.getAs[Int]("max_toks") === 9)
+    val books = got(("books", "en"))
+    assert(books.getAs[Long]("n_dup_docs") === 0L)
+    // quality mass: mean over ONE doc equals that doc's rounded score
+    val q4 = docs.where($"doc_id" === 4L)
+      .select(round(graft.functions.TextAnalysis.qualityScore($"text"), 6))
+      .as[Double].head()
+    assert(math.abs(books.getAs[Double]("mean_quality") - q4) < 1e-9)
+  }
 }

@@ -283,4 +283,26 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 2L, 5L), s"got $kept")
     spark.catalog.clearCache()
   }
+
+  test("gramNovelty: an exact copy has zero novelty, the original full novelty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // first occurrence of everything
+      (2L, "alpha beta gamma delta epsilon zeta"),   // exact copy -> novelty 0
+      (3L, "one two three four five six"),           // disjoint -> novelty 1
+      (4L, "alpha beta gamma one two three four")    // half borrowed, half new
+    ).toDF("doc_id", "text")
+    val got = Dedup.gramNovelty(docs, "doc_id", "text", n = 3)
+      .select("doc_id", "n_grams", "n_seen", "novelty")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 0L, 1.0)))
+    assert(got(2L) === ((2L, 4L, 4L, 0.0)))
+    assert(got(3L) === ((3L, 4L, 0L, 1.0)))
+    // doc 4: grams "alpha beta gamma" (seen in doc 1), "beta gamma one",
+    // "gamma one two" (new), "one two three", "two three four" (seen in doc 3...
+    // no: doc 3 has lower id, so seen), -> 3 of 5 first-seen earlier
+    assert(got(4L)._2 === 5L)
+    assert(got(4L)._3 === 3L)
+    spark.catalog.clearCache()
+  }
 }

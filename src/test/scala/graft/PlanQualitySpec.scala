@@ -370,4 +370,43 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
       s"only the brute-force ground-truth leg may BNLJ:\n$plan")
   }
+
+  test("q78/q79: gopher rules and PII scrub are pure per-row scans — zero shuffles, no UDFs") {
+    Seq("q78_gopher_rules", "q79_pii_redact").foreach { name =>
+      val plan = executedPlan(name)
+      assert(!plan.contains("Exchange"), s"$name must not shuffle:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        s"$name must stay codegen, no UDFs:\n$plan")
+    }
+  }
+
+  test("q80: gram novelty never pairs docs — first-seen join keys on the gram hash") {
+    val df = SparkEntry.queries("q80_gram_novelty")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nothing pairwise may materialize:\n$plan")
+    // min-agg side and join-back side must both read the posting cache
+    // (q61's rule: counting Generate nodes overcounts through
+    // InMemoryRelation's printed build plan)
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"postings must be cached — uncached, the corpus re-tokenizes per use:\n$plan")
+  }
+
+  test("q81: corpus card is two map-combinable shuffles (distinct-fp dedup + group keys) — no join, no window") {
+    val df = SparkEntry.queries("q81_corpus_card")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"card must not join:\n$plan")
+    assert(!plan.contains("Window"), s"card must not window:\n$plan")
+    // count(distinct fp) legitimately needs a (keys, fp) dedup stage
+    // before the group-key stage; anything beyond those two is a
+    // regression
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"two shuffles expected (fp-dedup + group keys):\n$plan")
+    assert(plan.contains("partial_count"),
+      s"stats must partial-aggregate map-side:\n$plan")
+  }
 }

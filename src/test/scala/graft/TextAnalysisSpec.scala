@@ -70,4 +70,27 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Int, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     cases.foreach { case (in, exp) => assert(got(in) === exp, s"input '$in'") }
   }
+
+  test("gopherRules: each rule trips on its crafted violation") {
+    val longOk = (Seq("the", "a") ++ (1 to 60).map(i => "tok" + i)).mkString(" ")
+    val cases = Seq(
+      // (text, expected (r_words, r_mean_len, r_stop, r_alpha, r_rep, keep))
+      (longOk, (true, true, true, true, true, true)),
+      ("the a few words only", (false, true, true, true, true, false)),  // too short
+      ((Seq("the", "a") ++ (1 to 60).map(_ => "supercalifragilistic")).mkString(" "),
+        (true, false, true, true, false, false)),  // mean len > 10 AND one repeated gram
+      ((1 to 60).map(i => "tok" + i).mkString(" "),
+        (true, true, false, true, true, false)),   // no stopwords
+      ((Seq("the", "a") ++ (1 to 60).map(i => i.toString + "00")).mkString(" "),
+        (true, true, true, false, true, false)))   // digit tokens: alpha frac ~ 0.03
+    val got = cases.map(_._1).toDF("t")
+      .select($"t", TextAnalysis.gopherRules($"t", minWords = 20).as("r"))
+      .select($"t", $"r.r_words", $"r.r_mean_len", $"r.r_stop", $"r.r_alpha",
+        $"r.r_rep", $"r.keep")
+      .as[(String, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    cases.foreach { case (in, exp) =>
+      assert(got(in) === exp, s"input: ${in.take(60)}")
+    }
+  }
 }
