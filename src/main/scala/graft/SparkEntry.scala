@@ -778,6 +778,43 @@ object SparkEntry {
       operators.CorpusStats.corpusCard(t(s, dir, "documents"), "doc_id", "text",
         groupCols = Seq("source", "lang"))),
 
+    // ── hashed-feature linear classifier: codegen kernel sums the
+    //    pseudo-weight table in exact INTEGER units per row — one
+    //    double divide at the end, zero shuffles, rides the scan ──
+    "q82_hash_classifier" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.hashedClassifier(col("text")).as("__c"))
+        .select(col("doc_id"), col("__c.n_tokens").cast("long").as("n_tokens"),
+          col("__c.w_sum").as("w_sum"), col("__c.logit").as("logit"),
+          col("__c.label").as("label"))),
+
+    // ── α=0.5 temperature mixture weights per domain: one combinable
+    //    shuffle to |domains| rows + broadcast 1-row totals; √ snapped
+    //    to integer micro-units BEFORE the cross-domain Σ ──
+    "q83_domain_mixture" -> ((s, dir) =>
+      Sampling.domainMixture(t(s, dir, "documents"), "source",
+        TextAnalysis.tokenCount(col("text")))),
+
+    // ── fixed-block duplicate-text fraction: non-overlapping 10-token
+    //    blocks, duplicates COUNTED (passage granularity, q61's shape:
+    //    count-agg on block hash + join back, no doc pairs) ──
+    "q84_chunk_dup" -> ((s, dir) =>
+      Dedup.chunkDupStats(t(s, dir, "documents"), "doc_id", "text", k = 10)),
+
+    // ── quality-proportional sampling: keep iff md5 bucket < quality
+    //    micro-units — both sides integers, a stateless filter riding
+    //    the scan (the q44/q57 portable-bucket contract, rate=quality) ──
+    "q85_quality_sample" -> ((s, dir) =>
+      Sampling.qualityProportionalSample(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.qualityScore(col("text")))
+        .select("doc_id", "lang", "source", "q_micro", "bucket")),
+
+    // ── PSI drift between the two halves of the event time range:
+    //    map-combined scan → |categories| rows; bounds/totals are
+    //    broadcast 1-row aggregates computed IN the plan ──
+    "q86_psi_drift" -> ((s, dir) =>
+      operators.Drift.psiDrift(t(s, dir, "events"), "event_type", "ts")),
+
     // ── multimodal resize: nearest-neighbor byte-grid downsample to
     //    32×32 — integer source indices make even the STUB kernel's
     //    sampled bytes oracle-exact (checksummed) ──
@@ -2215,7 +2252,114 @@ object SparkEntry {
            max(n_toks) AS max_toks,
            round(CAST(sum(q_micro) AS DOUBLE) / count(*) / 1e6, 6) AS mean_quality
          FROM q
-         GROUP BY source, lang""")
+         GROUP BY source, lang""",
+    // Hashed linear classifier: per-token weight = ((first32(md5(tok))
+    // % 4096) % 1001) − 500 (the q44 hex-parse idiom per token); the
+    // sum is integer-exact, logit is the single double divide.
+    "q82_hash_classifier" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), w AS (
+           SELECT doc_id, unnest(toks) AS tok FROM t
+         ), b AS (
+           SELECT doc_id,
+             (CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(md5(tok), CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 4096) % 1001 - 500 AS wt
+           FROM w
+         )
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(wt) AS BIGINT) AS w_sum,
+           round(CAST(sum(wt) AS DOUBLE) / (count(*) * 500.0), 6) AS logit,
+           sum(wt) >= 0 AS label
+         FROM b GROUP BY doc_id""",
+    // Domain mixture: √n_tokens snapped to integer micro-units BEFORE
+    // the cross-domain sums (√ is IEEE-correctly-rounded; a raw double
+    // Σ would be FP-order-dependent), ratios are single divides.
+    "q83_domain_mixture" ->
+      """WITH d AS (
+           SELECT source AS domain, count(*) AS n_docs,
+             CAST(sum(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1
+         ), s AS (
+           SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS s_micro FROM d
+         ), t AS (
+           SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                  CAST(sum(s_micro) AS BIGINT) AS tot_s FROM s
+         )
+         SELECT domain, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6) AS p_raw,
+           round(CAST(s_micro AS DOUBLE) / CAST(tot_s AS DOUBLE), 6) AS p_temp,
+           round((CAST(s_micro AS DOUBLE) / CAST(tot_s AS DOUBLE))
+               / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6) AS epochs
+         FROM s, t""",
+    // Chunk dup: group by the BLOCK STRING where the engine groups by
+    // its md5-48 (string/hash grouping equivalence, the q18/q61
+    // convention); duplicates preserved — each occurrence is a row.
+    "q84_chunk_dup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), c AS (
+           SELECT doc_id, unnest(list_transform(range(len(toks) // 10),
+             i -> array_to_string(toks[(CAST(i AS INT)*10+1):(CAST(i AS INT)*10+10)], ' '))) AS chunk
+           FROM t WHERE len(toks) >= 10
+         ), g AS (
+           SELECT chunk, count(*) AS c FROM c GROUP BY chunk
+         )
+         SELECT c.doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN g.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(CAST(sum(CASE WHEN g.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+         FROM c JOIN g USING (chunk)
+         GROUP BY c.doc_id""",
+    // Quality-proportional sample: bucket (md5, seed 'qs', mod 10⁶)
+    // vs quality micro-units — integers on both sides of the keep
+    // comparison; quality formula = q81's exactly.
+    "q85_quality_sample" ->
+      """SELECT doc_id, lang, source, q_micro, bucket FROM (
+           SELECT doc_id, lang, source,
+             CAST(round(round(
+               least(len(text) / 500.0, 1.0) * 0.4
+               + least(CAST(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+                   t2 -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t2))) AS DOUBLE)
+                 / len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) / 0.1, 1.0) * 0.3
+               + (CASE WHEN CAST(len(replace(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ', '')) AS DOUBLE)
+                        / len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) BETWEEN 3.0 AND 8.0
+                  THEN 1.0 ELSE 0.0 END) * 0.3, 6) * 1e6) AS BIGINT) AS q_micro,
+             CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 1000000 AS bucket
+           FROM (SELECT doc_id, lang, source, text,
+                   md5('qs:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+         ) WHERE bucket < q_micro""",
+    // PSI drift: integral midpoint split (// on epoch micros), Laplace
+    // +1/(tot+k) smoothing, ln under the q67 libm-parity contract.
+    "q86_psi_drift" ->
+      """WITH e AS (
+           SELECT event_type AS category, epoch_us(ts) AS us FROM events
+         ), b AS (
+           SELECT min(us) AS lo, max(us) AS hi FROM e
+         ), h AS (
+           SELECT category, us < lo + (hi - lo) // 2 AS first_half FROM e, b
+         ), pc AS (
+           SELECT category,
+             CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+             CAST(sum(CASE WHEN NOT first_half THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+           FROM h GROUP BY category
+         ), t AS (
+           SELECT CAST(sum(n_first) AS BIGINT) AS tot_a,
+                  CAST(sum(n_second) AS BIGINT) AS tot_b,
+                  count(*) AS k FROM pc
+         )
+         SELECT category, n_first, n_second,
+           round(CAST(n_first + 1 AS DOUBLE) / CAST(tot_a + k AS DOUBLE), 6) AS p_first,
+           round(CAST(n_second + 1 AS DOUBLE) / CAST(tot_b + k AS DOUBLE), 6) AS p_second,
+           round((CAST(n_first + 1 AS DOUBLE) / CAST(tot_a + k AS DOUBLE)
+                - CAST(n_second + 1 AS DOUBLE) / CAST(tot_b + k AS DOUBLE))
+             * ln((CAST(n_first + 1 AS DOUBLE) / CAST(tot_a + k AS DOUBLE))
+                / (CAST(n_second + 1 AS DOUBLE) / CAST(tot_b + k AS DOUBLE))), 6) AS psi_term
+         FROM pc, t""")
 
   /** The q45 quantile-replay SQL over an arbitrary documents-shaped
     * source (must expose `lang`, `text`): explicit `quantile_cont`

@@ -457,6 +457,141 @@ case class Md5GramHashes48(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Hashed-feature linear model score: Σ over tokens of
+  * w(token), where w = ((first32(md5(token)) mod `vocab`) mod
+  * `weightMod`) − `weightMod`/2 — the fasttext-style
+  * hash-into-buckets trick with a DETERMINISTIC pseudo-weight table
+  * (the weight is a pure function of the bucket, so no trained-model
+  * artifact ships with the query and a SQL oracle reproduces the
+  * score exactly).
+  *
+  * The sum is kept in INTEGER weight units (±weightMod/2 per token;
+  * 2^31 tokens × 500 fits a long with 2^20 headroom) so it is exact
+  * and order-independent — the caller divides by (n · weightMod/2)
+  * to get the [-1, 1] logit and rounds there (metric-double rule).
+  * One fused scan pass per row: no explode, no interpreted HOF, no
+  * shuffle — at 100 TB this is a pure map riding the parquet scan.
+  *
+  * first32(md5) is the SAME integer `Sampling.md5Bucket` parses
+  * (`conv(substring(md5hex,1,8),16,10)`), so the oracle reuses the
+  * q44 hex-parse idiom per token.
+  */
+case class HashedWeightSum(child: Expression, vocab: Int, weightMod: Int)
+  extends UnaryExpression {
+  require(vocab >= 1 && weightMod >= 1)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hashed_weight_sum"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hashed_weight_sum expects array<string>, got ${other.simpleString}")
+    }
+
+  def sumOf(arr: ArrayData): Long = {
+    val m = arr.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    val half = weightMod / 2
+    var sum = 0L
+    var i = 0
+    while (i < m) {
+      val dig = md.digest(arr.getUTF8String(i).toString.getBytes("UTF-8"))
+      md.reset()
+      // first 4 digest bytes as the unsigned 32-bit int the hex parse yields
+      val v32 = ((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
+        ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)
+      sum += (v32 % vocab) % weightMod - half
+      i += 1
+    }
+    sum
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    sumOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hashedWeightSum", this, classOf[HashedWeightSum].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.sumOf($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Md5-48 hashes of a token array's NON-OVERLAPPING `k`-token blocks
+  * (trailing partial block dropped), duplicates PRESERVED — the unit
+  * of the fixed-block duplicate-text measure (Gopher-style "fraction
+  * of text in duplicated passages", at block rather than n-gram
+  * granularity). Where [[Md5GramHashes48]] dedups overlapping grams
+  * for set similarity, here each block is one countable unit of
+  * document text: a block repeated across (or within) documents must
+  * be counted each time it occurs.
+  *
+  * Same fused-pass shape as the gram kernels: block string built once
+  * in a reused buffer, hashed, emitted — no gram-string array, no
+  * interpreted HOFs; the values feed an engine-internal count-join
+  * but stay oracle-reproducible (parse12 of the md5 hex) so a spec
+  * can check them directly.
+  */
+case class ChunkHashes48(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "chunk_hashes48"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"chunk_hashes48 expects array<string>, got ${other.simpleString}")
+    }
+
+  def hashesOf(arr: ArrayData): Array[Long] = {
+    val m = arr.numElements() / k
+    if (m <= 0) return Array.empty
+    val out = new Array[Long](m)
+    val md = MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    var c = 0
+    while (c < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(c * k + j).toString)
+        j += 1
+      }
+      val dig = md.digest(sb.toString.getBytes("UTF-8"))
+      md.reset()
+      var v = 0L
+      var b = 0
+      while (b < 6) { v = (v << 8) | (dig(b) & 0xFFL); b += 1 }
+      out(c) = v
+      c += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(hashesOf(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("chunkHashes48", this, classOf[ChunkHashes48].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  $self.hashesOf($v));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Column API: array<long> MinHash signature of a shingle array. */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
@@ -490,4 +625,16 @@ object HashExpressions {
   def md5GramHashes48(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(Md5GramHashes48(
       GraftSqlBridge.expression(tokens), n))
+
+  /** Column API: exact integer-unit hashed-linear-model weight sum of
+    * a token array (vocab buckets, weights in ±weightMod/2). */
+  def hashedWeightSum(tokens: Column, vocab: Int, weightMod: Int): Column =
+    GraftSqlBridge.column(HashedWeightSum(
+      GraftSqlBridge.expression(tokens), vocab, weightMod))
+
+  /** Column API: md5-48 hashes of the non-overlapping k-token blocks,
+    * duplicates preserved, document order. */
+  def chunkHashes48(tokens: Column, k: Int): Column =
+    GraftSqlBridge.column(ChunkHashes48(
+      GraftSqlBridge.expression(tokens), k))
 }

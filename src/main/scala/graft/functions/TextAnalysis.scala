@@ -121,6 +121,28 @@ object TextAnalysis {
       (rWords && rMeanLen && rStop && rAlpha && rRep).as("keep"))
   }
 
+  /** Hashed-feature linear quality classifier (fasttext-style shape
+    * with a deterministic pseudo-weight table — see
+    * [[graft.expressions.HashedWeightSum]]):
+    * `struct<n_tokens, w_sum, logit, label>` where
+    * logit = w_sum / (n_tokens · 500) ∈ [-1, 1] rounded 6 dp and
+    * label = (w_sum >= 0). The score stays in exact integer weight
+    * units until the single final division, so the only double op is
+    * one correctly-rounded divide — bit-identical cross-engine with
+    * no Σ-order or libm dependence (deliberately NOT sigmoid: exp is
+    * not correctly rounded and a tie at the 6th dp would flip the
+    * oracle hash). Pure per-row kernel riding the scan: at 100 TB
+    * this classifies in the map phase with zero shuffle. */
+  def hashedClassifier(text: Column, vocab: Int = 4096): Column = {
+    val toks = tokens(text)
+    val wSum = graft.expressions.HashExpressions.hashedWeightSum(toks, vocab, 1001)
+    val n = size(toks)
+    struct(
+      n.as("n_tokens"), wSum.as("w_sum"),
+      round(wSum.cast("double") / (n.cast("double") * 500.0), 6).as("logit"),
+      (wSum >= 0).as("label"))
+  }
+
   /** Predicted language = first language (in LangMarkers order) whose
     * marker count equals the max; "und" if no marker hits at all. */
   def langId(text: Column): Column = {

@@ -256,6 +256,44 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Fixed-block duplicate-TEXT fraction (the passage-granularity
+    * complement of [[interDocGramStats]]): the token stream is cut
+    * into non-overlapping `k`-token blocks (trailing partial dropped)
+    * and a block is "duplicated" when its value occurs ≥ 2 times in
+    * the whole corpus — within OR across documents, each occurrence
+    * counted (the [[graft.expressions.ChunkHashes48]] kernel keeps
+    * duplicates, unlike the set-semantics gram kernels). dup_frac is
+    * then the fraction of the document's (block-covered) text that is
+    * copy-pasted boilerplate — the "fraction of text in duplicated
+    * passages" cut that Gopher-style repetition filters act on, where
+    * gram-level df stats over-fire on happenstance word overlap.
+    *
+    * Same linear scale shape: blocks explode to ~n_tokens/k rows, one
+    * map-combinable count on the block hash, one hash-key join back —
+    * NO doc pair materializes; cost is linear in corpus token count.
+    * `c` feeds both the count and the join-back (plan-keyed cache,
+    * caller-releases lifecycle).
+    *
+    * Output (docs with ≥ k tokens): (id, n_chunks,
+    * n_dup = blocks occurring ≥ 2× corpus-wide, dup_frac 6 dp). */
+  def chunkDupStats(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val c = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(col(idCol),
+        explode(graft.expressions.HashExpressions.chunkHashes48(col("__toks"), k)).as("ch_h"))
+      .cache()
+    val cnt = c.groupBy("ch_h").agg(count(lit(1)).as("__c"))
+    c.join(cnt, "ch_h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col(idCol), col("n_chunks"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_chunks").cast("double"), 6)
+          .as("dup_frac"))
+  }
+
   /** Per-doc n-gram NOVELTY against the corpus prefix: the fraction of
     * a doc's distinct n-grams whose FIRST occurrence (minimum doc id
     * over the whole corpus) is an earlier doc. The corpus-growth /

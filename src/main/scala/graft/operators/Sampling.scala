@@ -153,6 +153,70 @@ object Sampling {
         "kept_docs", "kept_tokens")
   }
 
+  /** Temperature-scaled domain mixture weights (the α-sampling rule of
+    * multilingual/multi-domain pretraining, e.g. mBERT/XLM-R's
+    * p_i ∝ p_i^α): per domain, the raw token share p_raw, the
+    * α=0.5-tempered share p_temp ∝ √n_tokens, and the resampling
+    * factor epochs = p_temp / p_raw a mixer must apply to hit the
+    * tempered mix (>1 = upsample rare domain, <1 = downsample).
+    *
+    * Cross-engine determinism: √ is IEEE-correctly-rounded (unlike
+    * exp/pow — α is therefore FIXED at 0.5 rather than a parameter),
+    * and each √n_tokens is snapped to integer micro-units
+    * (⌊√n·10⁶⌋) BEFORE the cross-domain Σ, so both sums are exact
+    * integer math with no FP-order dependence; the emitted ratios are
+    * single correctly-rounded divides, rounded 6 dp.
+    *
+    * Scale shape: ONE map-combined corpus scan → |domains| rows; the
+    * cross-domain totals are an unpartitioned window over that tiny
+    * frame (the [[tokenBudgetMix]] idiom — a separate totals aggregate
+    * would re-scan the corpus for a 1-row result). Nothing per-row
+    * survives the pre-aggregate. */
+  def domainMixture(df: DataFrame, domainCol: String, nTokens: Column): DataFrame = {
+    val perDom = df
+      .select(col(domainCol).as("domain"), nTokens.cast("long").as("__t"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("n_tokens"))
+      .withColumn("__s_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    // empty partitionBy = every domain row in ONE window partition —
+    // correct here precisely because the frame is |domains|-sized
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    perDom
+      .withColumn("__tot_tokens", sum("n_tokens").over(w))
+      .withColumn("__tot_s", sum("__s_micro").over(w))
+      .select(
+        col("domain"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("__tot_tokens").cast("double"), 6)
+          .as("p_raw"),
+        round(col("__s_micro").cast("double") / col("__tot_s").cast("double"), 6)
+          .as("p_temp"),
+        round((col("__s_micro").cast("double") / col("__tot_s").cast("double")) /
+          (col("n_tokens").cast("double") / col("__tot_tokens").cast("double")), 6)
+          .as("epochs"))
+  }
+
+  /** Quality-proportional deterministic sampling ("soft" quality
+    * filtering à la FineWeb: don't hard-threshold, keep each document
+    * with probability = its quality score): keep iff
+    * md5Bucket(id, 10⁶, seed) < round(quality·10⁶) — the
+    * content-keyed Bernoulli trial at the document's own rate.
+    *
+    * Both sides of the comparison are INTEGERS (the [[md5Bucket]]
+    * contract on the left; quality snapped to 6-dp micro-units on the
+    * right, the q81 corpus-card idiom), so the kept set is an exact
+    * pure function of content — reproducible on any engine or
+    * partitioning, and auditable: a row's keep decision can be
+    * re-derived from the row alone. Zero shuffle: a stateless filter
+    * riding the scan, trivially parallel at 100 TB. */
+  def qualityProportionalSample(df: DataFrame, idCol: String, quality: Column,
+                                seed: String = "qs"): DataFrame = {
+    val qMicro = round(round(quality, 6) * 1e6).cast("long")
+    df.withColumn("q_micro", qMicro)
+      .withColumn("bucket", md5Bucket(idCol, 1000000, seed).cast("long"))
+      .where(col("bucket") < col("q_micro"))
+  }
+
   /** Buffer: k smallest (hash, payload) pairs seen so far. */
   final case class BottomK(k: Int, items: List[(Long, String)]) {
     // distinct BEFORE take in both paths: duplicate values must occupy

@@ -305,4 +305,24 @@ class DedupSpec extends SparkSpec {
     assert(got(4L)._3 === 3L)
     spark.catalog.clearCache()
   }
+
+  test("chunkDupStats: each block occurrence counts (within AND across docs); partials dropped") {
+    val block = (1 to 10).map(i => "w" + i).mkString(" ")
+    val docs = Seq(
+      (1L, block + " " + block),                        // 20 toks → 2 identical blocks
+      (2L, block + " tail tokens here"),                // 13 toks → 1 block (= doc 1's), partial dropped
+      (3L, (11 to 25).map(i => "u" + i).mkString(" "))  // 15 toks → 1 unique block
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDupStats(docs, "doc_id", "text", k = 10)
+      .select("doc_id", "n_chunks", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // the shared block occurs 3× corpus-wide → every occurrence is dup
+    assert(got(1L) === ((2L, 2L, 1.0)))
+    assert(got(2L) === ((1L, 1L, 1.0)))
+    assert(got(3L) === ((1L, 0L, 0.0)))
+    // docs shorter than one full block produce no row (nothing to measure)
+    assert(Dedup.chunkDupStats(
+      Seq((9L, "too short")).toDF("doc_id", "text"), "doc_id", "text", 10).count() === 0)
+    spark.catalog.clearCache()
+  }
 }

@@ -409,4 +409,58 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_count"),
       s"stats must partial-aggregate map-side:\n$plan")
   }
+
+  test("q82/q85: classifier and quality sample are pure per-row scans — zero exchanges") {
+    for (q <- Seq("q82_hash_classifier", "q85_quality_sample")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Exchange"), s"$q must ride the scan:\n$plan")
+      assert(!plan.contains("Join") && !plan.contains("Window"),
+        s"$q is per-row only:\n$plan")
+    }
+    assert(executedPlan("q82_hash_classifier").contains("hashed_weight_sum"),
+      "classifier must use the codegen kernel, not an interpreted HOF")
+  }
+
+  test("q83/q86: mixture and drift pre-aggregate to tiny frames; no second row-volume pass") {
+    for (q <- Seq("q83_domain_mixture", "q86_psi_drift")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==").head
+      // the only row-volume shuffle allowed is the per-category
+      // pre-aggregate; totals fold into a tiny-frame window
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+        s"$q: one combinable shuffle expected:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: scalar join degraded to SMJ:\n$plan")
+    }
+    // q83: the corpus is scanned ONCE — cross-domain totals must not
+    // re-read documents for a 1-row result
+    val p83 = executedPlan("q83_domain_mixture")
+    assert("FileScan parquet".r.findAllIn(p83).size === 1,
+      s"q83 must single-scan the corpus:\n$p83")
+    // q86: the split point comes in as a broadcast 1-row bounds frame
+    // (it gates the per-event half assignment, so a second events scan
+    // for min/max is inherent — but it must broadcast, never shuffle)
+    val p86 = SparkEntry.queries("q86_psi_drift")(spark, dir)
+    p86.collect()
+    val plan86 = p86.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan86.contains("BroadcastNestedLoopJoin"),
+      s"q86 bounds must broadcast:\n$plan86")
+  }
+
+  test("q84: chunk dup is an inverted count-join on the block hash — no doc pairs") {
+    val df = SparkEntry.queries("q84_chunk_dup")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("chunk_hashes48"),
+      s"block hashing must be the codegen kernel:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nothing pairwise may materialize:\n$plan")
+    // count side and join-back side must both read the block cache
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"blocks must be cached — uncached, the corpus re-tokenizes per use:\n$plan")
+  }
 }

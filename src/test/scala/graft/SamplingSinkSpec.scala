@@ -160,4 +160,42 @@ class SamplingSinkSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
     assert(zeroTok("big") === ((100L, 200L)) && zeroTok("small") === ((100L, 10L)))
   }
+
+  test("domainMixture: α=0.5 tempering upsamples the rare domain with exact micro-unit sums") {
+    import spark.implicits._
+    val rows = (1 to 90).map(i => (i.toLong, "big", 100L)) ++
+      (91 to 100).map(i => (i.toLong, "rare", 100L))
+    val got = Sampling.domainMixture(
+        rows.toDF("doc_id", "domain", "n"), "domain", $"n")
+      .select("domain", "n_docs", "n_tokens", "p_raw", "p_temp", "epochs")
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("big")._2 === 90L && got("big")._3 === 9000L)
+    assert(got("big")._4 === 0.9 && got("rare")._4 === 0.1)
+    // replicate the exact integer-micro-unit arithmetic
+    val sBig = math.floor(math.sqrt(9000.0) * 1e6).toLong
+    val sRare = math.floor(math.sqrt(1000.0) * 1e6).toLong
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got("big")._5 === r6(sBig.toDouble / (sBig + sRare)))
+    assert(got("rare")._5 === r6(sRare.toDouble / (sBig + sRare)))
+    // tempering pulls toward uniform: rare upsampled, big downsampled
+    assert(got("rare")._6 > 1.0 && got("big")._6 < 1.0)
+    assert(got("rare")._5 > got("rare")._4 && got("big")._5 < got("big")._4)
+  }
+
+  test("qualityProportionalSample: keep iff bucket < quality micro-units, content-keyed") {
+    import spark.implicits._
+    val df = (1 to 200).map(_.toLong).toDF("id")
+    // boundary rates: q=1 → bucket<10⁶ always true; q=0 → never
+    assert(Sampling.qualityProportionalSample(df, "id", lit(1.0)).count() === 200)
+    assert(Sampling.qualityProportionalSample(df, "id", lit(0.0)).count() === 0)
+    // per-row rate: the kept set is a pure content function — identical
+    // across partitionings, and the empirical rate tracks q
+    val kept = Sampling.qualityProportionalSample(df, "id", lit(0.3))
+      .select("id").as[Long].collect().toSet
+    val again = Sampling.qualityProportionalSample(df.repartition(13), "id", lit(0.3))
+      .select("id").as[Long].collect().toSet
+    assert(kept === again)
+    assert(kept.size > 30 && kept.size < 90) // 200·0.3 = 60 expected
+  }
 }

@@ -93,4 +93,23 @@ class TextAnalysisSpec extends SparkSpec {
       assert(got(in) === exp, s"input: ${in.take(60)}")
     }
   }
+
+  test("hashedClassifier: exact integer weight units, portable md5 bucket, additive sum") {
+    def run(t: String): (Int, Long, Double, Boolean) =
+      Seq(t).toDF("t").select(TextAnalysis.hashedClassifier($"t").as("c"))
+        .select($"c.n_tokens", $"c.w_sum", $"c.logit", $"c.label")
+        .as[(Int, Long, Double, Boolean)].head()
+    // w("the") = ((first32(md5('the')) % 4096) % 1001) − 500 = −322,
+    // verified against the DuckDB hex-parse (the cross-engine contract)
+    assert(run("the") === ((1, -322L, -0.644, false)))
+    // the sum is exact integer units → strictly additive per occurrence
+    val (_, wThe, _, _) = run("the")
+    val (_, wFox, _, _) = run("fox")
+    val (n3, w3, logit3, _) = run("the the fox")
+    assert(n3 === 3 && w3 === 2 * wThe + wFox)
+    assert(logit3 === math.rint(w3.toDouble / 1500.0 * 1e6) / 1e6)
+    // label is the sign of the exact sum, not of the rounded logit
+    val (_, wSumPos, _, labelPos) = run("fox fox fox")
+    assert(labelPos === (wSumPos >= 0))
+  }
 }
