@@ -500,12 +500,15 @@ object SparkEntry {
         .select("lang", "n_docs", "total_tokens", "avg_tokens",
           "p50_tokens", "p90_tokens", "p99_tokens")),
 
-    // ── near-dup CLUSTERS: q19's LSH pairs → connected components
-    //    (iterated min-label propagation; O(diameter) rounds, each one
-    //    sparse equi-join + map-combinable min — nothing quadratic) ──
+    // ── near-dup CLUSTERS: q19's LSH pairs → connected components.
+    //    useStar=false pins the MIN-LABEL variant here (O(diameter)
+    //    rounds of sparse join + combinable min) so both CC algorithms
+    //    stay query-covered: q68 runs alternating-stars on the same
+    //    graph, and dedupClusters' production DEFAULT is star (q64) ──
     "q47_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
+        useStar = false)),
 
     // ── fingerprint-overlap near-dup pairs (MOSS): inverted index on
     //    winnowing fingerprints, broadcast-anti-join hot-fp cap — finds
@@ -814,6 +817,15 @@ object SparkEntry {
     //    broadcast 1-row aggregates computed IN the plan ──
     "q86_psi_drift" -> ((s, dir) =>
       operators.Drift.psiDrift(t(s, dir, "events"), "event_type", "ts")),
+
+    // ── PQ ADC search: corpus compressed to 8 codebook indices per
+    //    vector, queries broadcast their m×ks lookup tables — the ADC
+    //    scan is m table lookups per candidate, corpus never shuffles ──
+    "q87_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqAdcSearch(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, m = 8, ks = 16)
+    }),
 
     // ── multimodal resize: nearest-neighbor byte-grid downsample to
     //    32×32 — integer source indices make even the STUB kernel's
@@ -2255,7 +2267,10 @@ object SparkEntry {
          GROUP BY source, lang""",
     // Hashed linear classifier: per-token weight = ((first32(md5(tok))
     // % 4096) % 1001) − 500 (the q44 hex-parse idiom per token); the
-    // sum is integer-exact, logit is the single double divide.
+    // sum is integer-exact. The 6-dp logit is INTEGER half-up on the
+    // exact rational (shifted non-negative so // ≡ Spark div) — a
+    // round(double) ties at the 6th dp (−2094/32000 at sf0.1) and the
+    // engines send shortest-repr ties to different sides.
     "q82_hash_classifier" ->
       """WITH t AS (
            SELECT doc_id,
@@ -2268,12 +2283,14 @@ object SparkEntry {
              (CAST(list_sum(list_transform(range(8),
                j -> CAST(strpos('0123456789abcdef', substring(md5(tok), CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 4096) % 1001 - 500 AS wt
            FROM w
+         ), agg AS (
+           SELECT doc_id, count(*) AS n, CAST(sum(wt) AS BIGINT) AS w_sum
+           FROM b GROUP BY doc_id
          )
-         SELECT doc_id, count(*) AS n_tokens,
-           CAST(sum(wt) AS BIGINT) AS w_sum,
-           round(CAST(sum(wt) AS DOUBLE) / (count(*) * 500.0), 6) AS logit,
-           sum(wt) >= 0 AS label
-         FROM b GROUP BY doc_id""",
+         SELECT doc_id, n AS n_tokens, w_sum,
+           CAST(((w_sum + 500*n) * 2000000 + 500*n) // (1000*n) - 1000000 AS DOUBLE) / 1e6 AS logit,
+           w_sum >= 0 AS label
+         FROM agg""",
     // Domain mixture: √n_tokens snapped to integer micro-units BEFORE
     // the cross-domain sums (√ is IEEE-correctly-rounded; a raw double
     // Σ would be FP-order-dependent), ratios are single divides.
@@ -2359,7 +2376,52 @@ object SparkEntry {
                 - CAST(n_second + 1 AS DOUBLE) / CAST(tot_b + k AS DOUBLE))
              * ln((CAST(n_first + 1 AS DOUBLE) / CAST(tot_a + k AS DOUBLE))
                 / (CAST(n_second + 1 AS DOUBLE) / CAST(tot_b + k AS DOUBLE))), 6) AS psi_term
-         FROM pc, t""")
+         FROM pc, t""",
+    // PQ ADC replay: codebooks = the q49 c0 content-sample sliced per
+    // subspace; codes/lut by per-subspace L2 argmin (same fold the
+    // kernels run); ADC = join codes↔lut on (subspace, code), ranked
+    // on the ROUNDED distance with id tiebreak (metric rule).
+    "q87_pq_adc" -> pqAdcSql(m = 8, subDim = 8, ks = 16, k = 10))
+
+  /** DuckDB replay of `Similarity.pqAdcSearch` (q87). The subspace-s
+    * slice of a vector is elements s·subDim+1 … (s+1)·subDim
+    * (1-based); argmin via QUALIFY ORDER BY (dist, c) = the kernels'
+    * strict-< lowest-index tie rule. */
+  private def pqAdcSql(m: Int, subDim: Int, ks: Int, k: Int): String = {
+    val subDist =
+      s"""list_sum(list_transform(range($subDim), i ->
+            (e.v[CAST(s.s*$subDim + i + 1 AS INT)] - cb.ce[CAST(s.s*$subDim + i + 1 AS INT)])
+          * (e.v[CAST(s.s*$subDim + i + 1 AS INT)] - cb.ce[CAST(s.s*$subDim + i + 1 AS INT)])))"""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (
+           SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+                  CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ks
+         ),
+         codes AS (
+           SELECT vec_id, s, c AS code FROM (
+             SELECT e.vec_id, s.s, cb.c, $subDist AS dist
+             FROM e CROSS JOIN range($m) s(s) CROSS JOIN cb
+           ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) = 1
+         ),
+         lut AS (
+           SELECT e.vec_id AS query_id, s.s, cb.c, $subDist AS d
+           FROM e CROSS JOIN range($m) s(s) CROSS JOIN cb
+           WHERE e.vec_id < 5
+         ),
+         adc AS (
+           SELECT lut.query_id, codes.vec_id AS neighbor_id, sum(lut.d) AS dist
+           FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.c
+           WHERE codes.vec_id <> lut.query_id
+           GROUP BY 1, 2
+         )
+         SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, adc_dist FROM (
+           SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(dist, 6) ASC, neighbor_id ASC) AS rnk
+           FROM adc
+         ) WHERE rnk <= $k"""
+  }
 
   /** The q45 quantile-replay SQL over an arbitrary documents-shaped
     * source (must expose `lang`, `text`): explicit `quantile_cont`

@@ -632,6 +632,15 @@ object HashExpressions {
     GraftSqlBridge.column(HashedWeightSum(
       GraftSqlBridge.expression(tokens), vocab, weightMod))
 
+  /** Column API: integral division (SQL `div` / DuckDB `//`) — the
+    * Column DSL only exposes double `/`, which loses exactness above
+    * 2^53. Callers keep both operands non-negative where cross-engine
+    * agreement matters (floor vs truncate differ on negatives). */
+  def intDiv(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** Column API: md5-48 hashes of the non-overlapping k-token blocks,
     * duplicates preserved, document order. */
   def chunkHashes48(tokens: Column, k: Int): Column =

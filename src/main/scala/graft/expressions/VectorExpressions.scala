@@ -331,6 +331,186 @@ case class CentroidAssignL2(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Product-quantization encoder (Jégou et al. 2011): the vector is cut
+  * into `m` subspaces of `subDim` dims; per subspace, the code is the
+  * squared-L2-argmin index into that subspace's codebook (strict `<`,
+  * so a tie keeps the LOWEST index — deterministic, and what a SQL
+  * oracle's `ORDER BY dist, c` argmin reproduces). A 64-float vector
+  * compresses to m small ints — the memory step that makes a 100 TB
+  * ANN corpus RAM-resident.
+  *
+  * The codebook rides as a codegen reference object (never a literal
+  * tree — CLAUDE.md rule); per-subspace distances accumulate
+  * double-precision left-to-right, the same fold the oracle's
+  * `list_sum(list_transform(...))` runs, so the argmin is
+  * cross-engine exact (the q49 assignment contract). Strict-dim: a
+  * ragged vector fails loudly (repo-wide vector contract). */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def codesOf(v: ArrayData): Array[Int] = {
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dim ${v.numElements()} != ${m}x$subDim")
+    val isF = elemIsFloat
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val book = codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val p = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = if (isF) v.getFloat(s * subDim + i).toDouble
+                  else v.getDouble(s * subDim + i)
+          val d = x - p(i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(codesOf(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  $self.codesOf($v));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Query-side PQ lookup table: `lut[s][c]` = squared L2 between the
+  * query's subspace-s slice and codebook centroid c — computed ONCE
+  * per query row, so the ADC scan over the corpus is pure table
+  * lookups ([[AdcDistance]]). Same fold order and strict-dim contract
+  * as [[PqEncode]]. */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def lutOf(v: ArrayData): Array[Array[Double]] = {
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_lut: vector dim ${v.numElements()} != ${m}x$subDim")
+    val isF = elemIsFloat
+    val out = new Array[Array[Double]](m)
+    var s = 0
+    while (s < m) {
+      val book = codebooks(s)
+      val row = new Array[Double](book.length)
+      var c = 0
+      while (c < book.length) {
+        val p = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = if (isF) v.getFloat(s * subDim + i).toDouble
+                  else v.getDouble(s * subDim + i)
+          val d = x - p(i)
+          acc += d * d
+          i += 1
+        }
+        row(c) = acc
+        c += 1
+      }
+      out(s) = row
+      s += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(lutOf(input.asInstanceOf[ArrayData])
+      .map(r => ArrayData.toArrayData(r)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+    val arrCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""double[][] lutRows = $self.lutOf($v);
+         |$arrCls[] lutArr = new $arrCls[lutRows.length];
+         |for (int li = 0; li < lutRows.length; li++) {
+         |  lutArr[li] = $arrCls.toArrayData(lutRows[li]);
+         |}
+         |${ev.value} = $arrCls.toArrayData(lutArr);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance computation: Σ_s lut[s][codes[s]] — the PQ
+  * approximate squared L2 between a query (via its [[PqLut]] table)
+  * and a compressed corpus vector (its [[PqEncode]] codes). The hot
+  * ADC loop is m array lookups + adds per candidate, fixed s=0..m−1
+  * order (the emitted value is rounded 6 dp by the caller — the Σ is
+  * m doubles, so engine-order ulp noise sits far below the round). */
+case class AdcDistance(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_distance"
+
+  def distOf(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    if (lut.numElements() != m)
+      throw new IllegalArgumentException(
+        s"adc_distance: ${lut.numElements()} lut rows != $m codes")
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += lut.getArray(s).getDouble(codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    distOf(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("adcDist", this, classOf[AdcDistance].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $self.distOf($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column API: codegen'd dot product. */
   def vecDot(a: Column, b: Column): Column =
@@ -358,4 +538,17 @@ object VectorExpressions {
   def centroidAssignL2(v: Column, centroids: Array[Array[Double]]): Column =
     GraftSqlBridge.column(CentroidAssignL2(
       GraftSqlBridge.expression(v), centroids))
+
+  /** array<int> PQ codes (one argmin index per subspace). */
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(v), codebooks))
+
+  /** array<array<double>> per-query PQ lookup table (m × ks sub-L2s). */
+  def pqLut(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftSqlBridge.column(PqLut(GraftSqlBridge.expression(v), codebooks))
+
+  /** double: Σ_s lut[s][codes[s]] asymmetric PQ distance. */
+  def adcDistance(codes: Column, lut: Column): Column =
+    GraftSqlBridge.column(AdcDistance(
+      GraftSqlBridge.expression(codes), GraftSqlBridge.expression(lut)))
 }

@@ -125,21 +125,32 @@ object TextAnalysis {
     * with a deterministic pseudo-weight table — see
     * [[graft.expressions.HashedWeightSum]]):
     * `struct<n_tokens, w_sum, logit, label>` where
-    * logit = w_sum / (n_tokens · 500) ∈ [-1, 1] rounded 6 dp and
-    * label = (w_sum >= 0). The score stays in exact integer weight
-    * units until the single final division, so the only double op is
-    * one correctly-rounded divide — bit-identical cross-engine with
-    * no Σ-order or libm dependence (deliberately NOT sigmoid: exp is
-    * not correctly rounded and a tie at the 6th dp would flip the
-    * oracle hash). Pure per-row kernel riding the scan: at 100 TB
-    * this classifies in the map phase with zero shuffle. */
+    * logit = w_sum / (n_tokens · 500) ∈ [-1, 1] at 6 dp and
+    * label = (w_sum >= 0). (Deliberately NOT sigmoid: exp is not
+    * correctly rounded cross-engine.)
+    *
+    * The 6-dp logit is computed ENTIRELY in integer arithmetic: the
+    * exact rational w_sum/(500n) lands exactly on 6th-decimal ties
+    * (seen at sf0.1: −2094/32000 = −0.0654375, which Spark's
+    * shortest-repr HALF_UP and DuckDB's exact-binary round send to
+    * DIFFERENT sides — the CLAUDE.md derived-double trap), so instead
+    * of round(double): shift to a' = w_sum + 500n ≥ 0 (every operand
+    * non-negative, so floor-div ≡ `div` ≡ DuckDB `//`), then
+    * half-up micro-units = (2·a'·10⁶ + 500n) div (1000n), unshift,
+    * and the ONLY double op is the final /10⁶ (correctly rounded,
+    * identical everywhere). Fits a long for any n < 4.6e9 tokens.
+    * Pure per-row kernel riding the scan: at 100 TB this classifies
+    * in the map phase with zero shuffle. */
   def hashedClassifier(text: Column, vocab: Int = 4096): Column = {
+    import graft.expressions.HashExpressions.intDiv
     val toks = tokens(text)
     val wSum = graft.expressions.HashExpressions.hashedWeightSum(toks, vocab, 1001)
-    val n = size(toks)
+    val n = size(toks).cast("long")
+    val aPrime = wSum + lit(500L) * n
+    val micro = intDiv(aPrime * lit(2000000L) + lit(500L) * n, lit(1000L) * n)
     struct(
-      n.as("n_tokens"), wSum.as("w_sum"),
-      round(wSum.cast("double") / (n.cast("double") * 500.0), 6).as("logit"),
+      size(tokens(text)).as("n_tokens"), wSum.as("w_sum"),
+      ((micro - lit(1000000L)).cast("double") / 1e6).as("logit"),
       (wSum >= 0).as("label"))
   }
 

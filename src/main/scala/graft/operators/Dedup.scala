@@ -626,12 +626,21 @@ object Dedup {
 
   /** End-to-end near-dup clustering: MinHash-LSH candidate pairs →
     * connected components. One doc per cluster_id survives a dedup
-    * pass; the rest are its near-duplicates. */
+    * pass; the rest are its near-duplicates.
+    *
+    * Defaults to [[connectedComponentsStar]] (O(log n) rounds): at
+    * 100 TB a duplication CHAIN (a→b→c→…, each link within the LSH
+    * threshold) gives the pair graph a diameter that min-label
+    * propagation pays round-by-round, while alternating stars
+    * collapses it logarithmically. Both variants produce identical
+    * labels (the min-id fixpoint — q47/q68 share one oracle);
+    * `useStar = false` keeps the min-label path selectable. */
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, numHashes: Int, bands: Int,
-                    minJaccard: Double): DataFrame =
-    connectedComponents(
-      minHashLshPairs(docs, idCol, textCol, shingleN, numHashes, bands, minJaccard))
+                    minJaccard: Double, useStar: Boolean = true): DataFrame = {
+    val pairs = minHashLshPairs(docs, idCol, textCol, shingleN, numHashes, bands, minJaccard)
+    if (useStar) connectedComponentsStar(pairs) else connectedComponents(pairs)
+  }
 
   /** The MATERIALIZED dedup pass: every near-dup cluster collapsed to
     * its lowest-id representative, all un-clustered docs untouched —

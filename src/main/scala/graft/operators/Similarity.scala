@@ -253,6 +253,48 @@ object Similarity {
         round(col("__a.l2sq"), 6).as("l2sq"))
   }
 
+  /** Product-quantization ADC search (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): corpus vectors
+    * compress to `m` per-subspace codebook indices
+    * ([[graft.expressions.PqEncode]]); each query precomputes an
+    * m × ks table of subspace distances ([[graft.expressions.PqLut]]);
+    * the scan then scores every candidate with m table lookups
+    * ([[graft.expressions.AdcDistance]]) instead of a dim-length
+    * float loop. THE memory/bandwidth scale path for ANN: at 100 TB
+    * the compressed codes (m bytes/vector vs 4·dim) fit node RAM, and
+    * the scan is embarrassingly parallel — queries broadcast, the
+    * corpus never shuffles (the top-k window partitions by query over
+    * rank-k-bounded frames).
+    *
+    * Codebooks are the [[sampledCentroids]] md5-content sample sliced
+    * per subspace — deterministic and oracle-reproducible (same c0
+    * CTE as the q49 k-means replay); a trained codebook drops into
+    * the same reference-object seam. Ranking follows the metric rule:
+    * the ADC Σ (m doubles, engine-order) is rounded 6 dp BEFORE the
+    * rank, ties broken by neighbor id.
+    *
+    * Output: (query_id, rank, neighbor_id, adc_dist) — top `k` by
+    * ascending approximate squared L2, self-matches excluded. */
+  def pqAdcSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, m: Int = 8, ks: Int = 16): DataFrame = {
+    import graft.expressions.VectorExpressions.{adcDistance, pqEncode, pqLut}
+    val sample = sampledCentroids(corpus, idCol, vecCol, ks)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val cb = Array.tabulate(m)(s => sample.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val encoded = corpus.select(col(idCol).as("neighbor_id"),
+      pqEncode(col(vecCol), cb).as("__codes"))
+    val probes = broadcast(queries.select(col(idCol).as("query_id"),
+      pqLut(col(vecCol), cb).as("__lut")))
+    val scored = encoded.join(probes, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", round(adcDistance(col("__codes"), col("__lut")), 6))
+    val w = Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+  }
+
   /** Per-label embedding profile: count, the norm of the mean vector
     * and the mean per-vector norm — the drift/collapse diagnostics an
     * embedding pipeline tracks per class. One posexplode + ONE

@@ -450,6 +450,21 @@ class PlanQualitySpec extends SparkSpec {
       s"q86 bounds must broadcast:\n$plan86")
   }
 
+  test("q87: PQ ADC scan — corpus encodes per-row, queries broadcast, one top-k window") {
+    val df = SparkEntry.queries("q87_pq_adc")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("pq_encode") && plan.contains("adc_distance"),
+      s"ADC must run on compressed codes via the codegen kernels:\n$plan")
+    // the query side (tiny by construction) broadcasts; the corpus is
+    // never hash-shuffled except for the per-query top-k window
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"only the top-k window may shuffle:\n$plan")
+  }
+
   test("q84: chunk dup is an inverted count-join on the block hash — no doc pairs") {
     val df = SparkEntry.queries("q84_chunk_dup")(spark, dir)
     df.collect()

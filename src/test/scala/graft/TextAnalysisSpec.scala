@@ -107,7 +107,13 @@ class TextAnalysisSpec extends SparkSpec {
     val (_, wFox, _, _) = run("fox")
     val (n3, w3, logit3, _) = run("the the fox")
     assert(n3 === 3 && w3 === 2 * wThe + wFox)
-    assert(logit3 === math.rint(w3.toDouble / 1500.0 * 1e6) / 1e6)
+    // exact integer half-up replay (the oracle's formula)
+    assert(logit3 === (((w3 + 1500L) * 2000000L + 1500L) / 3000L - 1000000L) / 1e6)
+    // regression: the sf0.1 tie case −2094/32000 = −0.0654375 must
+    // round half-UP on the exact rational (−0.065437), not on the
+    // double's shortest repr (Spark round() gave −0.065438)
+    val tie = ((-2094L + 500L * 64L) * 2000000L + 500L * 64L) / (1000L * 64L) - 1000000L
+    assert(tie === -65437L)
     // label is the sign of the exact sum, not of the rounded logit
     val (_, wSumPos, _, labelPos) = run("fox fox fox")
     assert(labelPos === (wSumPos >= 0))
