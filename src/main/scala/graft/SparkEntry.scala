@@ -827,6 +827,15 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, m = 8, ks = 16)
     }),
 
+    // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
+    //    back onto the corpus scan for full-precision re-scoring —
+    //    full vectors touched only for |queries|·shortlist rows ──
+    "q88_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqRerankSearch(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, shortlist = 50, m = 8, ks = 16)
+    }),
+
     // ── multimodal resize: nearest-neighbor byte-grid downsample to
     //    32×32 — integer source indices make even the STUB kernel's
     //    sampled bytes oracle-exact (checksummed) ──
@@ -2381,7 +2390,28 @@ object SparkEntry {
     // subspace; codes/lut by per-subspace L2 argmin (same fold the
     // kernels run); ADC = join codes↔lut on (subspace, code), ranked
     // on the ROUNDED distance with id tiebreak (metric rule).
-    "q87_pq_adc" -> pqAdcSql(m = 8, subDim = 8, ks = 16, k = 10))
+    "q87_pq_adc" -> pqAdcSql(m = 8, subDim = 8, ks = 16, k = 10),
+    // PQ + exact re-rank: the q87 ADC replay (at shortlist size) feeds
+    // an exact direct-fold L2 re-scoring — same fold as VectorL2Sq —
+    // ranked on the ROUNDED distance with id tiebreak.
+    "q88_pq_rerank" ->
+      s"""WITH sl AS (${pqAdcSql(m = 8, subDim = 8, ks = 16, k = 50)}),
+           e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           ex AS (
+             SELECT sl.query_id, sl.neighbor_id,
+               round(list_sum(list_transform(range(64), i ->
+                 (q.v[CAST(i + 1 AS INT)] - c.v[CAST(i + 1 AS INT)])
+               * (q.v[CAST(i + 1 AS INT)] - c.v[CAST(i + 1 AS INT)]))), 6) AS l2_dist
+             FROM sl
+             JOIN e2 q ON q.vec_id = sl.query_id
+             JOIN e2 c ON c.vec_id = sl.neighbor_id
+           )
+           SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, l2_dist FROM (
+             SELECT query_id, neighbor_id, l2_dist,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY l2_dist ASC, neighbor_id ASC) AS rnk
+             FROM ex
+           ) WHERE rnk <= 10""")
 
   /** DuckDB replay of `Similarity.pqAdcSearch` (q87). The subspace-s
     * slice of a vector is elements s·subDim+1 … (s+1)·subDim

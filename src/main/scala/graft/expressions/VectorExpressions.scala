@@ -82,6 +82,88 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared Euclidean distance of two vector columns as the DIRECT
+  * left-to-right fold Σ (x_i − y_i)² — deliberately NOT the
+  * dot-product expansion |x|² − 2x·y + |y|² ([[VectorDot]]-based),
+  * which is a DIFFERENT sequence of float ops: a SQL oracle's
+  * `list_sum(list_transform(..., (x−y)²))` is this fold, and the
+  * exact-rerank ranking compares these doubles, so the op order must
+  * match bit-for-bit (pre-round). Same mixed float/double handling
+  * and codegen shape as [[VectorDot]]. */
+case class VectorL2Sq(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_l2sq"
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"vector_l2sq expects array<float|double>, got $other")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_l2sq expects two array<float|double> args, got " +
+            s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    // strict-dim contract (repo-wide vector rule): fail loudly
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vector_l2sq: dims ${n} != ${y.numElements()}")
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "vector_l2sq: dims " + $n + " != " + $b.numElements());
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ((double) $a.$lGet($i)) - ((double) $b.$rGet($i));
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All `numTables` random-hyperplane LSH signatures of a vector in ONE
   * expression node: bit b of signature t = sign(dot(v, plane[t][b])).
   *
@@ -551,4 +633,9 @@ object VectorExpressions {
   def adcDistance(codes: Column, lut: Column): Column =
     GraftSqlBridge.column(AdcDistance(
       GraftSqlBridge.expression(codes), GraftSqlBridge.expression(lut)))
+
+  /** double: direct-fold squared L2 distance (oracle op order). */
+  def vecL2Sq(a: Column, b: Column): Column =
+    GraftSqlBridge.column(VectorL2Sq(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

@@ -295,6 +295,43 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "adc_dist")
   }
 
+  /** PQ search with exact re-ranking (the IVFADC+R pipeline, Jégou
+    * et al. 2011 §VI): the compressed [[pqAdcSearch]] scan nominates a
+    * `shortlist`-sized candidate set per query, then ONLY those
+    * candidates are re-scored against their full-precision vectors and
+    * the top `k` re-ranked by exact squared L2. Quantization error
+    * then only costs recall when a true neighbor falls outside the
+    * whole shortlist — the standard accuracy/memory trade: the full
+    * corpus is touched compressed, full vectors only for
+    * |queries|·shortlist rows.
+    *
+    * Plan shape: the shortlist (tiny by construction) BROADCASTS back
+    * onto the corpus scan for the vector fetch — the corpus is never
+    * shuffled; the final ranking windows over ≤ shortlist rows per
+    * query. Exact distances use the direct-fold
+    * [[graft.expressions.VectorL2Sq]] (the oracle's op order), ranked
+    * ROUNDED with id tiebreak (metric rule).
+    *
+    * Output: (query_id, rank, neighbor_id, l2_dist) — top `k`. */
+  def pqRerankSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, shortlist: Int,
+                     m: Int = 8, ks: Int = 16): DataFrame = {
+    import graft.expressions.VectorExpressions.vecL2Sq
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val cand = pqAdcSearch(corpus, queries, idCol, vecCol, shortlist, m, ks)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val fetched = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+    val w = Window.partitionBy("query_id").orderBy(asc("l2_dist"), asc("neighbor_id"))
+    fetched
+      .withColumn("l2_dist", round(vecL2Sq(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "l2_dist")
+  }
+
   /** Per-label embedding profile: count, the norm of the mean vector
     * and the mean per-vector norm — the drift/collapse diagnostics an
     * embedding pipeline tracks per class. One posexplode + ONE

@@ -465,6 +465,22 @@ class PlanQualitySpec extends SparkSpec {
       s"only the top-k window may shuffle:\n$plan")
   }
 
+  test("q88: rerank fetches full vectors ONLY for the broadcast shortlist") {
+    val df = SparkEntry.queries("q88_pq_rerank")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("pq_encode") && plan.contains("vector_l2sq"),
+      s"ADC nomination + exact refold kernels expected:\n$plan")
+    // both the shortlist→corpus fetch and the query-vector attach must
+    // broadcast — the corpus is never hash-shuffled for the join
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"rerank joins must broadcast:\n$plan")
+    // exchanges: ADC top-k window + final ≤shortlist-row window
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"only the two rank windows may shuffle:\n$plan")
+  }
+
   test("q84: chunk dup is an inverted count-join on the block hash — no doc pairs") {
     val df = SparkEntry.queries("q84_chunk_dup")(spark, dir)
     df.collect()

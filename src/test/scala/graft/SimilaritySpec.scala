@@ -251,5 +251,22 @@ class SimilaritySpec extends SparkSpec {
     // inter-center distance); the compressed scan must recover ≥ 90%
     val hits = got.count { case (q, n) => q / 100 == n / 100 }
     assert(hits >= 45, s"PQ cluster recall too low: $hits/50")
+
+    // exact re-rank: with the shortlist (50) ⊇ every cluster-mate (20),
+    // the re-ranked top-10 must EQUAL the exact-L2 top-10
+    import graft.expressions.VectorExpressions.vecL2Sq
+    val reranked = Similarity.pqRerankSearch(emb, queries, "vec_id", "embedding",
+      k = 10, shortlist = 50, m = 8, ks = 16)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val q2 = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val exact = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("cv"))
+      .crossJoin(broadcast(q2)).where($"query_id" =!= $"neighbor_id")
+      .withColumn("l2", round(vecL2Sq($"qv", $"cv"), 6))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy($"l2".asc, $"neighbor_id".asc)))
+      .where($"rank" <= 10).select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(reranked === exact, "re-ranked top-10 must match exact L2 top-10")
   }
 }
