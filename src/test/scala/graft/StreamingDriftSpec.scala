@@ -1,0 +1,74 @@
+package graft
+
+import graft.streaming.StreamingDrift
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  case class CatEv(category: String, event_time: java.sql.Timestamp)
+
+  private val baseline = Map("A" -> 0.5, "B" -> 0.5)
+
+  test("windowedPsi: a window emits once when the watermark closes it, with hand-computed terms") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CatEv]
+    val out = StreamingDrift.windowedPsi(in.toDF(), "category", "event_time",
+      windowLen = "10 seconds", windowMillis = 10000L, delay = "0 seconds", baseline)
+    val q = out.writeStream.format("memory").queryName("psi_t")
+      .outputMode("append").start()
+    // window [0,10): 3×A + 1×B — a shift vs the 50/50 baseline
+    in.addData(CatEv("A", ts(1)), CatEv("A", ts(2)), CatEv("A", ts(3)), CatEv("B", ts(4)))
+    q.processAllAvailable()
+    // window still open (watermark at 4s): nothing emitted yet
+    assert(spark.table("psi_t").count() === 0)
+    // an event at 25s pushes the watermark past 10s → [0,10) closes
+    in.addData(CatEv("B", ts(25)))
+    q.processAllAvailable()
+    val rows = spark.table("psi_t")
+      .as[(Long, String, Long, Double, Double)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(rows.keySet === Set("A", "B"))
+    // smoothed shares: tot=4, K=2 → p(A)=(3+1)/6, p(B)=(1+1)/6
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val (pA, pB) = (4.0 / 6.0, 2.0 / 6.0)
+    assert(rows("A")._1 === 0L && rows("A")._3 === 3L)
+    assert(rows("A")._4 === r6(pA))
+    assert(rows("A")._5 === r6((pA - 0.5) * math.log(pA / 0.5)))
+    assert(rows("B")._3 === 1L)
+    assert(rows("B")._5 === r6((pB - 0.5) * math.log(pB / 0.5)))
+    // PSI terms are non-negative by construction
+    assert(rows.values.forall(_._5 >= 0.0))
+    q.stop()
+  }
+
+  test("windowedPsi: vanished baseline category still gets a row; state is per-window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CatEv]
+    val out = StreamingDrift.windowedPsi(in.toDF(), "category", "event_time",
+      windowLen = "10 seconds", windowMillis = 10000L, delay = "0 seconds", baseline)
+    val q = out.writeStream.format("memory").queryName("psi_t2")
+      .outputMode("append").start()
+    // [0,10): only A; [10,20): only B; both close when watermark hits 45
+    in.addData(CatEv("A", ts(1)), CatEv("A", ts(2)))
+    q.processAllAvailable()
+    in.addData(CatEv("B", ts(12)), CatEv("B", ts(13)), CatEv("B", ts(14)))
+    q.processAllAvailable()
+    in.addData(CatEv("A", ts(45)))
+    q.processAllAvailable()
+    val rows = spark.table("psi_t2")
+      .as[(Long, String, Long, Double, Double)].collect()
+    val byWin = rows.groupBy(_._1).map { case (w, g) =>
+      w -> g.map(r => r._2 -> r._3).toMap
+    }
+    // every closed window emits BOTH baseline categories, zeros included
+    assert(byWin(0L) === Map("A" -> 2L, "B" -> 0L))
+    assert(byWin(10000000L) === Map("A" -> 0L, "B" -> 3L))
+    // the vanished category carries positive drift, not a dropped row
+    val vanishedB = rows.find(r => r._1 == 0L && r._2 == "B").get
+    assert(vanishedB._5 > 0.0)
+    q.stop()
+  }
+}
