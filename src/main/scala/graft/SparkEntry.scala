@@ -827,6 +827,12 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, m = 8, ks = 16)
     }),
 
+    // ── cross-source contamination matrix: distinct (source, gram)
+    //    self-join — pair volume bounded by |sources|²·grams, never
+    //    docs²; the provenance check run BEFORE doc-level dedup ──
+    "q89_source_overlap" -> ((s, dir) =>
+      CorpusStats.sourceOverlapMatrix(t(s, dir, "documents"), "source", "text", n = 3)),
+
     // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
     //    back onto the corpus scan for full-precision re-scoring —
     //    full vectors touched only for |queries|·shortlist rows ──
@@ -2411,7 +2417,32 @@ object SparkEntry {
                row_number() OVER (PARTITION BY query_id
                  ORDER BY l2_dist ASC, neighbor_id ASC) AS rnk
              FROM ex
-           ) WHERE rnk <= 10""")
+           ) WHERE rnk <= 10""",
+    // Source overlap: gram STRINGS where the engine joins 64-bit
+    // hashes (hash/string set equivalence, the q18/q41/q61 class).
+    "q89_source_overlap" ->
+      """WITH t AS (
+           SELECT source,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), g AS (
+           SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+           FROM t WHERE len(toks) >= 3
+         ), sz AS (
+           SELECT source, count(*) AS n FROM g GROUP BY 1
+         ), sh AS (
+           SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+           FROM g a JOIN g b USING (gram)
+           WHERE a.source < b.source
+           GROUP BY 1, 2
+         )
+         SELECT source_a, source_b, n_shared,
+           round(CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE), 6) AS jaccard
+         FROM sh
+         JOIN sz na ON na.source = sh.source_a
+         JOIN sz nb ON nb.source = sh.source_b""")
 
   /** DuckDB replay of `Similarity.pqAdcSearch` (q87). The subspace-s
     * slice of a vector is elements s·subDim+1 … (s+1)·subDim

@@ -243,6 +243,44 @@ object CorpusStats {
     * per-doc Σ run in engine-arbitrary order, so the emitted cosine is
     * rounded 6dp and the threshold compares the ROUNDED value (metric
     * rule). Output: (id_a, id_b, n_shared, cos_sim) with id_a < id_b. */
+  /** Cross-SOURCE contamination matrix: for every source pair, how
+    * many distinct word n-grams they share and the gram-set Jaccard —
+    * the provenance diagnostic ("is src A scraping src B?", "are two
+    * dumps the same crawl?") a corpus intake runs BEFORE doc-level
+    * dedup decides what to drop.
+    *
+    * Scale shape: grams dedup to DISTINCT (source, gram) rows first
+    * (the per-doc explode never survives), so the self-join on the
+    * gram key emits ≤ C(s_g, 2) rows per gram where s_g ≤ |sources| —
+    * pair volume is bounded by |sources|²·grams, NOT docs². The
+    * |sources|-is-catalog-sized assumption (tens to hundreds) is the
+    * documented contract; with thousands of sources, pre-bucket
+    * sources first. Output rows: ≤ C(|sources|, 2).
+    *
+    * Output: (source_a < source_b, n_shared, jaccard 6 dp). */
+  def sourceOverlapMatrix(docs: DataFrame, srcCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val g = docs
+      .select(col(srcCol).as("__src"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col("__src"),
+        explode(graft.expressions.HashExpressions.gramHashes(col("__toks"), n)).as("gh"))
+      .distinct()
+      .cache()
+    val sizes = g.groupBy("__src").agg(count(lit(1)).as("__n"))
+    val shared = g.select(col("__src").as("source_a"), col("gh"))
+      .join(g.select(col("__src").as("source_b"), col("gh")), "gh")
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("__src").as("source_a"), col("__n").as("__na")), "source_a")
+      .join(sizes.select(col("__src").as("source_b"), col("__n").as("__nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   def idfGramCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                          n: Int, minCosine: Double, maxGramDf: Int): DataFrame = {
     val g = docs

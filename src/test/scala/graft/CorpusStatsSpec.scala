@@ -231,4 +231,28 @@ class CorpusStatsSpec extends SparkSpec {
       .as[Double].head()
     assert(math.abs(books.getAs[Double]("mean_quality") - q4) < 1e-9)
   }
+
+  test("sourceOverlapMatrix: shared grams counted once per source pair, disjoint pairs absent") {
+    // srcA and srcB share exactly the grams of the common sentence
+    // (present in TWO srcA docs — distinct-per-source must count it once);
+    // srcC shares nothing with anyone
+    val common = "alpha beta gamma delta epsilon"   // 5 toks → 3 trigrams
+    val docs = Seq(
+      (1L, common + " one two three", "srcA"),      // 8 toks → 6 grams
+      (2L, common + " four five six", "srcA"),      // 6 more grams (3 shared w/ doc1)
+      (3L, common, "srcB"),                         // exactly the 3 common grams
+      (4L, "seven eight nine ten eleven twelve", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusStats.sourceOverlapMatrix(docs, "source", "text", n = 3)
+      .select("source_a", "source_b", "n_shared", "jaccard")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // srcA distinct grams: doc1 6 + doc2 6, overlapping in the 3 common → 9
+    // srcB grams: 3, all shared → jaccard = 3/(9+3-3)
+    assert(got(("srcA", "srcB")) ===
+      ((3L, math.rint(3.0 / 9.0 * 1e6) / 1e6)))
+    // disjoint sources emit NO row (sparse matrix, not a zero-filled one)
+    assert(!got.contains(("srcA", "srcC")) && !got.contains(("srcB", "srcC")))
+    spark.catalog.clearCache()
+  }
 }

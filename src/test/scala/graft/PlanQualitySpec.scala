@@ -481,6 +481,20 @@ class PlanQualitySpec extends SparkSpec {
       s"only the two rank windows may shuffle:\n$plan")
   }
 
+  test("q89: source overlap joins DISTINCT (source, gram) rows — doc explode never self-joins") {
+    val df = SparkEntry.queries("q89_source_overlap")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"source pairs must meet on the gram key:\n$plan")
+    // the deduped (source, gram) frame is cached (q61's rule: node
+    // COUNTS overcount through InMemoryRelation's printed build plan
+    // and undercount through AQE stage reuse — assert presence only)
+    assert(plan.contains("InMemoryTableScan"),
+      s"distinct gram frame must be cached:\n$plan")
+  }
+
   test("q84: chunk dup is an inverted count-join on the block hash — no doc pairs") {
     val df = SparkEntry.queries("q84_chunk_dup")(spark, dir)
     df.collect()
