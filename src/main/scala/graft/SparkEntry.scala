@@ -833,6 +833,13 @@ object SparkEntry {
     "q89_source_overlap" -> ((s, dir) =>
       CorpusStats.sourceOverlapMatrix(t(s, dir, "documents"), "source", "text", n = 3)),
 
+    // ── KMV-sketch source overlap: q89's estimator form — the
+    //    pairwise pass reads |sources|·k sketch rows, NOT the corpus;
+    //    deterministic sketch ⇒ even the estimation error is exact ──
+    "q90_kmv_source_overlap" -> ((s, dir) =>
+      CorpusStats.kmvSourceOverlap(t(s, dir, "documents"), "source", "text",
+        n = 3, k = 64)),
+
     // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
     //    back onto the corpus scan for full-precision re-scoring —
     //    full vectors touched only for |queries|·shortlist rows ──
@@ -2442,7 +2449,55 @@ object SparkEntry {
            round(CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE), 6) AS jaccard
          FROM sh
          JOIN sz na ON na.source = sh.source_a
-         JOIN sz nb ON nb.source = sh.source_b""")
+         JOIN sz nb ON nb.source = sh.source_b""",
+    // KMV source overlap: q52's parse12 bottom-k sketch per source,
+    // pairwise merge-k with membership flags; jaccard via the q82
+    // integer half-up micro form, union via q52's (k−1)·2^48/h_k.
+    "q90_kmv_source_overlap" ->
+      """WITH t AS (
+           SELECT source,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), gr AS (
+           SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+           FROM t WHERE len(toks) >= 3
+         ), h AS (
+           SELECT DISTINCT source,
+             CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(md5(gram), CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT) AS h
+           FROM gr
+         ), bk AS (
+           SELECT source, h FROM h
+           QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 64
+         ), prs AS (
+           SELECT a.source AS sa, b.source AS sb
+           FROM (SELECT DISTINCT source FROM bk) a, (SELECT DISTINCT source FROM bk) b
+           WHERE a.source < b.source
+         ), m AS (
+           SELECT sa, sb, h, max(ina) AS ina, max(inb) AS inb FROM (
+             SELECT prs.sa, prs.sb, bk.h, 1 AS ina, 0 AS inb
+             FROM prs JOIN bk ON bk.source = prs.sa
+             UNION ALL
+             SELECT prs.sa, prs.sb, bk.h, 0 AS ina, 1 AS inb
+             FROM prs JOIN bk ON bk.source = prs.sb
+           ) GROUP BY 1, 2, 3
+         ), tk AS (
+           SELECT sa, sb, h, ina, inb,
+             row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+           FROM m QUALIFY rn <= 64
+         ), agg AS (
+           SELECT sa, sb, count(*) AS sample_k,
+             max(CASE WHEN rn = 64 THEN h END) AS hk,
+             CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+           FROM tk GROUP BY 1, 2
+         )
+         SELECT sa AS source_a, sb AS source_b,
+           CAST(sample_k AS BIGINT) AS sample_k, n_both,
+           CAST((n_both * 2000000 + sample_k) // (sample_k * 2) AS DOUBLE) / 1e6 AS jaccard_est,
+           round(CASE WHEN hk IS NULL THEN CAST(sample_k AS DOUBLE)
+                 ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(hk AS DOUBLE) END, 6) AS union_est
+         FROM agg""")
 
   /** DuckDB replay of `Similarity.pqAdcSearch` (q87). The subspace-s
     * slice of a vector is elements s·subDim+1 … (s+1)·subDim

@@ -177,6 +177,22 @@ object CorpusStats {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]()
   }
 
+  /** [[KmvDistinct]]'s VALUE-emitting sibling: the sorted bottom-k
+    * distinct hashes themselves (for set-operation estimates that need
+    * the sample, not just its size — [[kmvSourceOverlap]]). Same
+    * dedup-in-buffer semantics, so the input needs no global distinct:
+    * the sketch build is one map-combinable shuffle of ≤k-value
+    * buffers. */
+  final class KmvSketch(k: Int) extends Aggregator[Long, KmvBuf, Seq[Long]] {
+    override def zero: KmvBuf = KmvBuf(k, Nil)
+    override def reduce(b: KmvBuf, h: Long): KmvBuf = b.insert(h)
+    override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = a.merge(b)
+    override def finish(r: KmvBuf): Seq[Long] = r.items
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.kryo[KmvBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Per-group distinct word-n-gram cardinality: exact count next to the
     * KMV estimate — the sketch a 100 TB profile pass ships INSTEAD of
     * the exact count (the exact column here is the built-in contrast;
@@ -279,6 +295,74 @@ object CorpusStats {
         round(col("n_shared").cast("double") /
           (col("__na") + col("__nb") - col("n_shared")).cast("double"), 6)
           .as("jaccard"))
+  }
+
+  /** KMV-sketch pairwise source overlap — [[sourceOverlapMatrix]]'s
+    * scale path for the MANY-sources regime its contract excludes:
+    * per source, the k smallest distinct 48-bit gram hashes (the KMV
+    * bottom-k sketch, q52's estimator); for each source pair, the k
+    * smallest of the MERGED sample give
+    *   jaccard_est = |in both| / k            (Beyer et al. 2007)
+    *   union_est   = (k−1)·2^48 / h_k         (q52's KMV form)
+    * so the pairwise pass touches only |sources|·k sketch rows —
+    * corpus-size-independent — instead of q89's |sources|²·grams join
+    * volume.
+    *
+    * The sketch is DETERMINISTIC (bottom-k of md5-derived hashes — no
+    * RNG), so even the estimation ERROR is engine-exact and the whole
+    * estimate has an exact DuckDB oracle (the q69 profile-on-a-sample
+    * property). jaccard_est's 6-dp rounding uses the integer half-up
+    * form (q82's rule: n/m can land exactly on a 6th-decimal tie);
+    * union_est mirrors q52's double form. Emits ALL pairs (n_both = 0
+    * included) — the sketch makes the full matrix cheap.
+    *
+    * Output: (source_a < source_b, sample_k = |merged sample| ≤ k,
+    * n_both, jaccard_est, union_est). */
+  def kmvSourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                       n: Int, k: Int = 64): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    import org.apache.spark.sql.expressions.Window
+    // the sketch build is ONE map-combinable shuffle of ≤k-value
+    // buffers ([[KmvSketch]] dedups in-buffer) — NOT a corpus-wide
+    // distinct + per-source sort, which costs a full shuffle+sort of
+    // every distinct gram for a k-row result
+    val sketch = udaf(new KmvSketch(k))
+    val bk = docs
+      .select(col(srcCol).as("__src"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col("__src"),
+        explode(graft.expressions.HashExpressions.md5GramHashes48(col("__toks"), n)).as("h"))
+      .groupBy("__src").agg(sketch(col("h")).as("__bk"))
+      .select(col("__src"), explode(col("__bk")).as("h"))
+      .cache()
+    val srcs = bk.select("__src").distinct()
+    val prs = broadcast(srcs.select(col("__src").as("source_a")))
+      .crossJoin(broadcast(srcs.select(col("__src").as("source_b"))))
+      .where(col("source_a") < col("source_b"))
+    val fromA = prs.join(bk.withColumnRenamed("__src", "source_a"), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("h"),
+        lit(1).as("__ina"), lit(0).as("__inb"))
+    val fromB = prs.join(bk.withColumnRenamed("__src", "source_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("h"),
+        lit(0).as("__ina"), lit(1).as("__inb"))
+    val merged = fromA.unionByName(fromB)
+      .groupBy("source_a", "source_b", "h")
+      .agg(max(col("__ina")).as("__ina"), max(col("__inb")).as("__inb"))
+    val topk = merged
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("source_a", "source_b").orderBy("h")))
+      .where(col("__r") <= k)
+    topk.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("sample_k"),
+        max(when(col("__r") === k, col("h"))).as("__hk"),
+        sum(when(col("__ina") === 1 && col("__inb") === 1, 1L).otherwise(0L)).as("n_both"))
+      .select(col("source_a"), col("source_b"), col("sample_k"), col("n_both"),
+        (intDiv(col("n_both") * lit(2000000L) + col("sample_k"),
+          col("sample_k") * lit(2L)).cast("double") / 1e6).as("jaccard_est"),
+        // sample smaller than k ⟹ the union was fully sampled: exact
+        round(when(col("__hk").isNull, col("sample_k").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 281474976710656.0) /
+            col("__hk").cast("double")), 6).as("union_est"))
   }
 
   def idfGramCosinePairs(docs: DataFrame, idCol: String, textCol: String,

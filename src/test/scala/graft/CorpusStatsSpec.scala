@@ -255,4 +255,39 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!got.contains(("srcA", "srcC")) && !got.contains(("srcB", "srcC")))
     spark.catalog.clearCache()
   }
+
+  test("kmvSourceOverlap: exact when the union fits the sketch; tracks exact jaccard on the fixture") {
+    val common = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, common + " one two three", "srcA"),
+      (2L, common + " four five six", "srcA"),
+      (3L, common, "srcB"),
+      (4L, "seven eight nine ten eleven twelve", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusStats.kmvSourceOverlap(docs, "source", "text", n = 3, k = 64)
+      .select("source_a", "source_b", "sample_k", "n_both", "jaccard_est", "union_est")
+      .as[(String, String, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // union (9 distinct grams) < k ⇒ the sketch IS the union: everything exact
+    assert(got(("srcA", "srcB")) === ((9L, 3L, 0.333333, 9.0)))
+    // zero-overlap pairs are EMITTED here (full matrix, unlike the exact op)
+    assert(got(("srcA", "srcC"))._2 === 0L)
+    assert(got(("srcB", "srcC"))._2 === 0L)
+    spark.catalog.clearCache()
+
+    // fixture: the k=64 estimate must track the exact jaccard closely
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = CorpusStats.sourceOverlapMatrix(fixture, "source", "text", n = 3)
+      .select("source_a", "source_b", "jaccard")
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    spark.catalog.clearCache()
+    val est = CorpusStats.kmvSourceOverlap(fixture, "source", "text", n = 3, k = 64)
+      .select("source_a", "source_b", "jaccard_est")
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    spark.catalog.clearCache()
+    val errs = est.map { case (pair, j) => math.abs(j - exact.getOrElse(pair, 0.0)) }
+    assert(errs.nonEmpty)
+    val meanErr = errs.sum / errs.size
+    assert(meanErr < 0.15, s"KMV jaccard mean error too high: $meanErr")
+  }
 }

@@ -495,6 +495,22 @@ class PlanQualitySpec extends SparkSpec {
       s"distinct gram frame must be cached:\n$plan")
   }
 
+  test("q90: KMV overlap's pairwise stage reads cached sketch rows, never the corpus") {
+    val df = SparkEntry.queries("q90_kmv_source_overlap")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // the only cross product is |sources|×|sources| (tiny, broadcast);
+    // sketch rows come from the cache — the corpus never re-tokenizes
+    // into the pair join
+    assert(plan.contains("InMemoryTableScan"),
+      s"bottom-k sketch must be cached:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"source pairing must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"sketch joins must stay broadcast/hash:\n$plan")
+  }
+
   test("q84: chunk dup is an inverted count-join on the block hash — no doc pairs") {
     val df = SparkEntry.queries("q84_chunk_dup")(spark, dir)
     df.collect()
