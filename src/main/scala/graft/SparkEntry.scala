@@ -840,6 +840,13 @@ object SparkEntry {
       CorpusStats.kmvSourceOverlap(t(s, dir, "documents"), "source", "text",
         n = 3, k = 64)),
 
+    // ── numeric profile card: exact fixed-point moments + integral
+    //    bin assignment (no float boundary two engines could bracket
+    //    differently); bounds broadcast, ONE ≤bins-group shuffle ──
+    "q91_numeric_profile" -> ((s, dir) =>
+      operators.Profiling.numericProfile(t(s, dir, "orders"), "o_totalprice",
+        bins = 20)),
+
     // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
     //    back onto the corpus scan for full-precision re-scoring —
     //    full vectors touched only for |queries|·shortlist rows ──
@@ -2497,7 +2504,35 @@ object SparkEntry {
            CAST((n_both * 2000000 + sample_k) // (sample_k * 2) AS DOUBLE) / 1e6 AS jaccard_est,
            round(CASE WHEN hk IS NULL THEN CAST(sample_k AS DOUBLE)
                  ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(hk AS DOUBLE) END, 6) AS union_est
-         FROM agg""")
+         FROM agg""",
+    // Numeric profile: identical fixed-point micro-unit pipeline —
+    // integral bin div (non-negative // ≡ Spark div), moments from
+    // exact integer/decimal sums, frac via the q82 half-up micro form.
+    "q91_numeric_profile" ->
+      """WITH v AS (
+           SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vv FROM orders
+         ), s AS (
+           SELECT count(*) AS n, min(vv) AS lo, max(vv) AS hi,
+                  CAST(sum(vv) AS BIGINT) AS s1,
+                  sum(CAST(vv AS DECIMAL(38,0)) * CAST(vv AS DECIMAL(38,0))) AS s2
+           FROM v
+         ), b AS (
+           SELECT CASE WHEN s.hi = s.lo THEN 0
+                       ELSE least(19, ((vv - lo) * 20) // (hi - lo)) END AS bin,
+                  n, lo, hi, s1, s2
+           FROM v, s
+         ), g AS (
+           SELECT bin, n, lo, hi, s1, s2, count(*) AS nb FROM b GROUP BY 1,2,3,4,5,6
+         )
+         SELECT CAST(bin AS BIGINT) AS bin,
+           round((lo + bin * (hi - lo) / 20) / 10000.0, 6) AS bin_lo,
+           round((lo + (bin + 1) * (hi - lo) / 20) / 10000.0, 6) AS bin_hi,
+           nb AS n,
+           CAST((nb * 2000000 + n) // (n * 2) AS DOUBLE) / 1e6 AS frac,
+           round(CAST(s1 AS DOUBLE) / n / 10000.0, 6) AS mean,
+           round(sqrt(greatest(CAST(s2 AS DOUBLE) / n
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0)) / 10000.0, 6) AS stddev
+         FROM g""")
 
   /** DuckDB replay of `Similarity.pqAdcSearch` (q87). The subspace-s
     * slice of a vector is elements s·subDim+1 … (s+1)·subDim

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Numeric column profiling — the data-quality card a pipeline renders
+  * for every metric/money/measurement column at intake: fixed-width
+  * histogram + moments in ONE result, engine-exact.
+  *
+  * Everything is computed in EXACT integer fixed-point (the 2-dp/4-dp
+  * base column snaps losslessly to `round(v·10⁴)` micro-units via the
+  * repo's decimal rule) so every aggregate — min, max, Σ, Σ² — is
+  * order-independent integer math; the only doubles are final derived
+  * values computed by the identical op sequence on both engines, and
+  * the bin assignment is pure integral arithmetic (`div` on
+  * non-negative operands), never a float boundary that two engines
+  * could bracket differently.
+  */
+object Profiling {
+
+  /** Fixed-width histogram + moments of a ≤4-dp numeric column.
+    *
+    * Output: one row per OCCUPIED bin — (bin, bin_lo, bin_hi, n, frac,
+    * mean, stddev); mean/stddev (population) repeat on every row so the
+    * result is a self-contained profile card. bin = (v−lo)·bins div
+    * (hi−lo) clamped to bins−1 (the max lands in the last bin).
+    *
+    * Scale shape: one scan for the bounds/moments 1-row aggregate
+    * (broadcast back — the q86 bounds pattern), one scan + ONE
+    * ≤`bins`-group combinable shuffle for the histogram. Σv fits a
+    * long to ~9e14 micro-units × rows (document-scale corpora: fine;
+    * beyond, widen to decimal); Σv² accumulates in DECIMAL(38,0)
+    * (squares reach ~e19 — decimal, not long, and exact). */
+  def numericProfile(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    require(bins >= 1)
+    // exact fixed-point: base → decimal (tie-free for ≤4-dp bases) → micro-units
+    val vFix = (col(valueCol).cast("decimal(18,4)") * 10000).cast("long")
+    val rows = df.select(vFix.as("__v"))
+    val stats = rows.agg(
+      count(lit(1)).as("__n"),
+      min("__v").as("__lo"), max("__v").as("__hi"),
+      sum("__v").as("__s1"),
+      sum(col("__v").cast("decimal(38,0)") * col("__v").cast("decimal(38,0)")).as("__s2"))
+    val binned = rows.crossJoin(broadcast(stats))
+      .select(
+        // degenerate hi==lo → single bin 0; else integral div, clamped
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(lit(bins - 1L),
+            intDiv((col("__v") - col("__lo")) * bins, col("__hi") - col("__lo"))))
+          .as("bin"),
+        col("__n"), col("__lo"), col("__hi"), col("__s1"), col("__s2"))
+    val nD = col("__n").cast("double")
+    val meanMicro = col("__s1").cast("double") / nD
+    val varMicro2 = col("__s2").cast("double") / nD - meanMicro * meanMicro
+    val width = col("__hi") - col("__lo")
+    binned
+      .groupBy("bin", "__n", "__lo", "__hi", "__s1", "__s2")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("bin"),
+        round((col("__lo") + col("bin") * width / bins).cast("double") / 1e4, 6).as("bin_lo"),
+        round((col("__lo") + (col("bin") + 1) * width / bins).cast("double") / 1e4, 6).as("bin_hi"),
+        col("n"),
+        // n/total can land exactly on a 6th-decimal tie → integer half-up
+        (intDiv(col("n") * lit(2000000L) + col("__n"), col("__n") * 2)
+          .cast("double") / 1e6).as("frac"),
+        round(meanMicro / 1e4, 6).as("mean"),
+        round(sqrt(greatest(varMicro2, lit(0.0))) / 1e4, 6).as("stddev"))
+  }
+}

@@ -511,6 +511,19 @@ class PlanQualitySpec extends SparkSpec {
       s"sketch joins must stay broadcast/hash:\n$plan")
   }
 
+  test("q91: profile bounds broadcast into the scan; histogram is one combinable shuffle") {
+    val df = SparkEntry.queries("q91_numeric_profile")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row bounds/moments must broadcast:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"only the ≤bins-group aggregate may shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"profile needs no sort/window:\n$plan")
+  }
+
   test("q84: chunk dup is an inverted count-join on the block hash — no doc pairs") {
     val df = SparkEntry.queries("q84_chunk_dup")(spark, dir)
     df.collect()

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Profiling
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("numericProfile: hand-computed bins, moments, and half-up fracs") {
+    // values 0.00, 1.00, …, 9.00 in 5 bins of width 1.8: micro units
+    // 0..90000, width 18000 → bins [0,1.8):{0,1}, [1.8,3.6):{2,3}, … and
+    // 9.0 clamps into bin 4 → counts 2,2,2,2,2
+    val df = (0 to 9).map(_.toDouble).toDF("v")
+    val got = Profiling.numericProfile(df, "v", bins = 5)
+      .orderBy("bin")
+      .select("bin", "bin_lo", "bin_hi", "n", "frac", "mean", "stddev")
+      .as[(Long, Double, Double, Long, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSeq === (0L to 4L))
+    assert(got.map(_._4).forall(_ === 2L))
+    assert(got.map(_._5).forall(_ === 0.2))
+    assert(got.head._2 === 0.0 && got.head._3 === 1.8)
+    assert(got.last._3 === 9.0)
+    // mean 4.5; population stddev = sqrt(mean(v²) − mean²) = sqrt(8.25)
+    assert(got.head._6 === 4.5)
+    assert(got.head._7 === math.rint(math.sqrt(8.25) * 1e6) / 1e6)
+  }
+
+  test("numericProfile: constant column degenerates to one full bin with zero spread") {
+    val df = Seq.fill(7)(3.25).toDF("v")
+    val got = Profiling.numericProfile(df, "v", bins = 20)
+      .select("bin", "n", "frac", "mean", "stddev")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.length === 1)
+    assert(got.head === ((0L, 7L, 1.0, 3.25, 0.0)))
+  }
+
+  test("numericProfile: 2-dp money snaps exactly — fracs sum to 1 and counts to n") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val got = Profiling.numericProfile(df, "o_totalprice", bins = 20)
+      .select("n", "frac").as[(Long, Double)].collect()
+    assert(got.map(_._1).sum === df.count())
+    // half-up micro fracs: each within 5e-7 of exact, so the sum lands
+    // within 20·5e-7 of 1
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-5)
+  }
+}
