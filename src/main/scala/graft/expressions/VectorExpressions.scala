@@ -543,13 +543,18 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
     val arrCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+    // freshName, not fixed identifiers: two PqLut nodes in one codegen
+    // stage would otherwise collide and kick the stage to interpreted
+    val rowsV = ctx.freshName("lutRows")
+    val arrV = ctx.freshName("lutArr")
+    val iV = ctx.freshName("li")
     nullSafeCodeGen(ctx, ev, v =>
-      s"""double[][] lutRows = $self.lutOf($v);
-         |$arrCls[] lutArr = new $arrCls[lutRows.length];
-         |for (int li = 0; li < lutRows.length; li++) {
-         |  lutArr[li] = $arrCls.toArrayData(lutRows[li]);
+      s"""double[][] $rowsV = $self.lutOf($v);
+         |$arrCls[] $arrV = new $arrCls[$rowsV.length];
+         |for (int $iV = 0; $iV < $rowsV.length; $iV++) {
+         |  $arrV[$iV] = $arrCls.toArrayData($rowsV[$iV]);
          |}
-         |${ev.value} = $arrCls.toArrayData(lutArr);""".stripMargin)
+         |${ev.value} = $arrCls.toArrayData($arrV);""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
