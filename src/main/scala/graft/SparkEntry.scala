@@ -840,6 +840,13 @@ object SparkEntry {
       CorpusStats.kmvSourceOverlap(t(s, dir, "documents"), "source", "text",
         n = 3, k = 64)),
 
+    // ── cluster-vs-label purity: q49's deterministic k-means +
+    //    one (cluster,label) combinable cross-tab; majority tiebreaks
+    //    on the smallest label, purity via integer half-up micro ──
+    "q92_cluster_purity" -> ((s, dir) =>
+      Similarity.clusterLabelPurity(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", k = 8, iters = 2)),
+
     // ── numeric profile card: exact fixed-point moments + integral
     //    bin assignment (no float boundary two engines could bracket
     //    differently); bounds broadcast, ONE ≤bins-group shuffle ──
@@ -2505,6 +2512,24 @@ object SparkEntry {
            round(CASE WHEN hk IS NULL THEN CAST(sample_k AS DOUBLE)
                  ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(hk AS DOUBLE) END, 6) AS union_est
          FROM agg""",
+    // Cluster purity: the q49 k-means replay (identical partition) +
+    // label cross-tab; majority by (n DESC, label ASC), purity via the
+    // q82 integer half-up micro form.
+    "q92_cluster_purity" ->
+      s"""WITH asg AS (SELECT vec_id, cluster FROM (${kmeansRefineSql(k = 8, dim = 64, iters = 2)})),
+           cont AS (
+             SELECT asg.cluster, e.label, count(*) AS n
+             FROM asg JOIN embeddings e USING (vec_id)
+             GROUP BY 1, 2
+           )
+           SELECT cluster, n_vecs, majority_label, n_majority,
+             CAST((n_majority * 2000000 + n_vecs) // (n_vecs * 2) AS DOUBLE) / 1e6 AS purity
+           FROM (
+             SELECT cluster, label AS majority_label, CAST(n AS BIGINT) AS n_majority,
+               CAST(sum(n) OVER (PARTITION BY cluster) AS BIGINT) AS n_vecs,
+               row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label ASC) AS rn
+             FROM cont
+           ) WHERE rn = 1""",
     // Numeric profile: identical fixed-point micro-unit pipeline —
     // integral bin div (non-negative // ≡ Spark div), moments from
     // exact integer/decimal sums, frac via the q82 half-up micro form.

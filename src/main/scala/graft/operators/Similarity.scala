@@ -332,6 +332,42 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "l2_dist")
   }
 
+  /** Cluster-vs-label agreement: k-means the embeddings, cross-tab the
+    * clusters against the ground-truth labels, and report per cluster
+    * its size, MAJORITY label and purity (majority count / cluster
+    * size) — the standard embedding-quality eval (does unsupervised
+    * geometry recover the labels?) that sits next to [[kmeansRefine]]
+    * (the clustering), [[labelCentroidStats]] (the per-class profile)
+    * and [[annRecallAtK]] (the retrieval eval).
+    *
+    * Determinism: clusters are [[kmeansRefine]]'s (deterministic init
+    * + fixed iters); the majority tiebreaks on the smallest label;
+    * purity is an exact-integer ratio rounded via the half-up micro
+    * form (the q82 tie rule). Scale shape: the contingency table is
+    * ONE map-combinable (cluster, label) shuffle of the assignment
+    * frame — k·|labels| groups; `assigned` is cached (it feeds the
+    * contingency AND its own final assignment pass; caller releases).
+    *
+    * Output: (cluster, n_vecs, majority_label, n_majority, purity). */
+  def clusterLabelPurity(emb: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String, k: Int, iters: Int): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val assigned = kmeansRefine(emb, idCol, vecCol, k, iters).cache()
+    val cont = assigned
+      .join(emb.select(col(idCol), col(labelCol).as("__label")), idCol)
+      .groupBy("cluster", "__label").agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(desc("__n"), asc("__label"))
+    cont
+      .withColumn("__tot", sum("__n").over(Window.partitionBy("cluster")))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col("cluster"), col("__tot").as("n_vecs"),
+        col("__label").as("majority_label"), col("__n").as("n_majority"),
+        (intDiv(col("__n") * lit(2000000L) + col("__tot"), col("__tot") * 2)
+          .cast("double") / 1e6).as("purity"))
+  }
+
   /** Per-label embedding profile: count, the norm of the mean vector
     * and the mean per-vector norm — the drift/collapse diagnostics an
     * embedding pipeline tracks per class. One posexplode + ONE

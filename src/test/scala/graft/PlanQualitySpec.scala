@@ -511,6 +511,20 @@ class PlanQualitySpec extends SparkSpec {
       s"sketch joins must stay broadcast/hash:\n$plan")
   }
 
+  test("q92: purity cross-tab partial-aggregates; assignment frame cached") {
+    val df = SparkEntry.queries("q92_cluster_purity")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_count"),
+      s"contingency must map-combine:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"kmeans assignment must be cached (feeds join + its own pass):\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"label attach is an id equi-join:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("q91: profile bounds broadcast into the scan; histogram is one combinable shuffle") {
     val df = SparkEntry.queries("q91_numeric_profile")(spark, dir)
     df.collect()

@@ -269,4 +269,25 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(reranked === exact, "re-ranked top-10 must match exact L2 top-10")
   }
+
+  test("clusterLabelPurity: sizes sum to corpus, purity in (0,1], majority is a real label") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val labels = emb.select($"label").as[Int].collect().toSet
+    val got = Similarity.clusterLabelPurity(emb, "vec_id", "embedding", "label",
+      k = 8, iters = 2)
+      .select("cluster", "n_vecs", "majority_label", "n_majority", "purity")
+      .as[(Int, Long, Int, Long, Double)].collect()
+    spark.catalog.clearCache()
+    assert(got.map(_._2).sum === emb.count())
+    got.foreach { case (_, nVecs, maj, nMaj, purity) =>
+      assert(labels.contains(maj))
+      assert(nMaj >= 1L && nMaj <= nVecs)
+      assert(purity > 0.0 && purity <= 1.0)
+      // purity replays the exact integer half-up micro form
+      assert(purity === ((nMaj * 2000000L + nVecs) / (nVecs * 2L)) / 1e6)
+    }
+    // purity must beat the trivial floor 1/|labels| on at least one
+    // cluster (labels are not uniformly shredded across every cluster)
+    assert(got.exists(_._5 > 1.0 / labels.size))
+  }
 }
