@@ -89,8 +89,15 @@ object StreamingDrift {
             }
             state.update(counts)
             // fire once the WATERMARK (not processing time) passes the
-            // window end — the window is then complete by definition
-            state.setTimeoutTimestamp(wsMs + windowMillis)
+            // window end — the window is then complete by definition.
+            // The max-clamp is defense-in-depth: a row that passes the
+            // watermark filter has ts ≥ watermark, so its window end is
+            // always > watermark and the plain timeout is legal — but a
+            // timeout ≤ watermark THROWS (killing the query), so guard
+            // the invariant rather than assume it of every future
+            // caller/source shape (spec pins the drop behavior).
+            state.setTimeoutTimestamp(
+              math.max(wsMs + windowMillis, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

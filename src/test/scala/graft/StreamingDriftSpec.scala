@@ -71,4 +71,35 @@ class StreamingDriftSpec extends SparkSpec {
     assert(vanishedB._5 > 0.0)
     q.stop()
   }
+
+  test("windowedPsi: delay>0 — a straggler behind the watermark is DROPPED, and the query survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CatEv]
+    val out = StreamingDrift.windowedPsi(in.toDF(), "category", "event_time",
+      windowLen = "10 seconds", windowMillis = 10000L, delay = "15 seconds", baseline)
+    val q = out.writeStream.format("memory").queryName("psi_t3")
+      .outputMode("append").start()
+    // watermark reaches 40−15 = 25 — already past window [10,20)'s end
+    in.addData(CatEv("A", ts(40)))
+    q.processAllAvailable()
+    // straggler at 18s is behind the watermark: the watermark filter
+    // drops it BEFORE the stateful operator (which is also why a
+    // passing row can never carry a window end ≤ watermark — any row
+    // that survives has ts ≥ wm and its window end > ts; the timeout
+    // clamp in windowedPsi is defense-in-depth, not a reachable path)
+    in.addData(CatEv("B", ts(18)))
+    q.processAllAvailable()
+    in.addData(CatEv("A", ts(90)))
+    q.processAllAvailable()
+    in.addData(CatEv("A", ts(200)))
+    q.processAllAvailable()
+    val rows = spark.table("psi_t3")
+      .as[(Long, String, Long, Double, Double)].collect()
+    // the dropped straggler's window never materializes…
+    assert(!rows.exists(_._1 == 10000000L))
+    // …while on-time windows close and emit normally
+    assert(rows.exists(r => r._1 == 40000000L && r._2 == "A" && r._3 == 1L))
+    assert(rows.exists(r => r._1 == 90000000L && r._2 == "A" && r._3 == 1L))
+    q.stop()
+  }
 }
