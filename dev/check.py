@@ -15,6 +15,33 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def type_drift(duck_types, spark_types):
+    """The driver's hash is TYPE-AWARE; Python fetch is type-blind (HUGEINT
+    -> int looks identical locally but hash-fails the gate — burned rounds
+    5+6 on q57/q58/q70/q81). Returns (fatal, warnings): fatal for any
+    oracle HUGEINT/DECIMAL or cross-class drift vs the Spark parquet
+    schema; warnings for int-width drift (INT vs BIGINT), which the
+    driver's hash normalizes."""
+    fatal, warns = [], []
+    for c, dt in duck_types.items():
+        st = spark_types.get(c)
+        if st is None:
+            continue  # schema mismatch reported separately
+        if dt == st:
+            continue
+        if dt in ("HUGEINT", "UHUGEINT") or dt.startswith("DECIMAL"):
+            fatal.append(f"col '{c}': oracle {dt} vs spark {st} — "
+                         f"CAST the oracle column (driver hash WOULD FAIL)")
+        elif dt in INT_TYPES and st in INT_TYPES:
+            warns.append(f"col '{c}': int width {dt} vs {st}")
+        else:
+            fatal.append(f"col '{c}': oracle {dt} vs spark {st}")
+    return fatal, warns
+
 
 def norm_cell(v):
     if isinstance(v, float):
@@ -76,19 +103,29 @@ def main():
         if only and name not in only:
             continue
         try:
-            duck = con.execute(oracle[name])
-            duck_rows = duck.fetchall()
-            duck_cols = [d[0] for d in duck.description]
+            duck_rel = con.sql(oracle[name])
+            duck_types = {c: str(t) for c, t in
+                          zip(duck_rel.columns, duck_rel.types)}
+            duck_rows = duck_rel.fetchall()
+            duck_cols = duck_rel.columns
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         try:
-            sq = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            sq = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            spark_types = {c: str(t) for c, t in zip(sq.columns, sq.types)}
             spark_rows = sq.fetchall()
-            spark_cols = [d[0] for d in sq.description]
+            spark_cols = sq.columns
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        fatal, warns = type_drift(duck_types, spark_types)
+        for w in warns:
+            print(f"WARN {name}: {w}")
+        if fatal:
+            print(f"FAIL {name}: TYPE DRIFT: " + "; ".join(fatal))
             n_fail += 1
             continue
         err = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)

@@ -809,7 +809,7 @@ object SparkEntry {
     //    the scan (the q44/q57 portable-bucket contract, rate=quality) ──
     "q85_quality_sample" -> ((s, dir) =>
       Sampling.qualityProportionalSample(t(s, dir, "documents"), "doc_id",
-        TextAnalysis.qualityScore(col("text")))
+        TextAnalysis.qualityMicro(col("text")))
         .select("doc_id", "lang", "source", "q_micro", "bucket")),
 
     // ── PSI drift between the two halves of the event time range:
@@ -1480,14 +1480,16 @@ object SparkEntry {
            SELECT source, bucket, count(*) AS n_docs, sum(n_tokens) AS n_tokens
            FROM b GROUP BY 1, 2
          ), tot AS (
-           SELECT source, sum(n_docs) AS total_docs, sum(n_tokens) AS total_tokens,
-             CASE WHEN sum(n_tokens) <= 0 THEN 100
-                  ELSE least(100, 800 * 100 // sum(n_tokens)) END AS keep_buckets
+           SELECT source,
+             CAST(sum(n_docs) AS BIGINT) AS total_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(CASE WHEN sum(n_tokens) <= 0 THEN 100
+                  ELSE least(100, 800 * 100 // sum(n_tokens)) END AS BIGINT) AS keep_buckets
            FROM g GROUP BY source
          )
          SELECT t.source, t.total_docs, t.total_tokens, t.keep_buckets,
-           sum(CASE WHEN g.bucket < t.keep_buckets THEN g.n_docs ELSE 0 END) AS kept_docs,
-           sum(CASE WHEN g.bucket < t.keep_buckets THEN g.n_tokens ELSE 0 END) AS kept_tokens
+           CAST(sum(CASE WHEN g.bucket < t.keep_buckets THEN g.n_docs ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(sum(CASE WHEN g.bucket < t.keep_buckets THEN g.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
          FROM g JOIN tot t USING (source)
          GROUP BY t.source, t.total_docs, t.total_tokens, t.keep_buckets""",
     // Count-min sketch: md5-48("cms|r|token") mod w bucket hashes —
@@ -1508,7 +1510,7 @@ object SparkEntry {
          ), top AS (
            SELECT token, n_exact FROM vocab ORDER BY n_exact DESC, token LIMIT 30
          ), est AS (
-           SELECT t.token, t.n_exact, min(s.cell) AS n_est
+           SELECT t.token, t.n_exact, CAST(min(s.cell) AS BIGINT) AS n_est
            FROM top t JOIN hashed h ON t.token = h.token
            JOIN sketch s ON h.r = s.r AND h.bucket = s.bucket
            GROUP BY 1, 2
@@ -1726,8 +1728,8 @@ object SparkEntry {
            FROM documents
          ), r AS (
            SELECT doc_id, source, n_tokens,
-             coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens, 0) AS s
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens, 0) AS BIGINT) AS s
            FROM b
          )
          SELECT doc_id, source, n_tokens,
@@ -2273,32 +2275,43 @@ object SparkEntry {
            round(1.0 - CAST(sum(CASE WHEN fs.first_doc < g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
          FROM g JOIN fs USING (gram)
          GROUP BY g.doc_id""",
-    // Corpus card: all-algebraic group stats; quality mass in exact
-    // integer micro-units of the 6-dp-rounded score (derived-double →
-    // DECIMAL is the tie-rounding trap; round(q*1e6) has no .5 ties
-    // because q*1e6 is within an ulp of an integer).
+    // Corpus card: all-algebraic group stats; quality mass in EXACT
+    // integer micro-units (the qualityMicro integer form — the only
+    // fractional term, 0.3·min(10s/n,1), is half-up via the shifted
+    // (2x+y)//(2y) idiom; round(double·1e6) is the tie trap).
+    // mean_quality = Σq_micro/n is itself an integer ratio → same
+    // shifted intDiv half-up, never round(double, 6). sum() outputs
+    // CAST to BIGINT (DuckDB sum is HUGEINT; the driver hash is
+    // type-aware).
     "q81_corpus_card" ->
-      """WITH q AS (
-           SELECT source, lang,
-             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
-             len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n_toks,
-             CAST(round(round(
-               least(len(text) / 500.0, 1.0) * 0.4
-               + least(CAST(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
-                   t2 -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t2))) AS DOUBLE)
-                 / len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) / 0.1, 1.0) * 0.3
-               + (CASE WHEN CAST(len(replace(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ', '')) AS DOUBLE)
-                        / len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) BETWEEN 3.0 AND 8.0
-                  THEN 1.0 ELSE 0.0 END) * 0.3, 6) * 1e6) AS BIGINT) AS q_micro
+      """WITH nrm AS (
+           SELECT source, lang, text,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
            FROM documents
+         ), q AS (
+           SELECT source, lang,
+             md5(norm) AS fp,
+             len(string_split(norm, ' ')) AS n_toks,
+             least(len(text), 500) * 800
+             + (CASE WHEN 10 * len(list_filter(string_split(norm, ' '),
+                      t2 -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t2)))
+                      >= len(string_split(norm, ' ')) THEN 300000
+                ELSE (6000000 * len(list_filter(string_split(norm, ' '),
+                        t2 -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t2)))
+                      + len(string_split(norm, ' ')))
+                     // (2 * len(string_split(norm, ' '))) END)
+             + (CASE WHEN len(replace(norm, ' ', '')) >= 3 * len(string_split(norm, ' '))
+                      AND len(replace(norm, ' ', '')) <= 8 * len(string_split(norm, ' '))
+                THEN 300000 ELSE 0 END) AS q_micro
+           FROM nrm
          )
          SELECT source, lang,
            count(*) AS n_docs,
            count(*) - count(DISTINCT fp) AS n_dup_docs,
-           sum(n_toks) AS n_tokens,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
            min(n_toks) AS min_toks,
            max(n_toks) AS max_toks,
-           round(CAST(sum(q_micro) AS DOUBLE) / count(*) / 1e6, 6) AS mean_quality
+           CAST((2 * CAST(sum(q_micro) AS BIGINT) + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS mean_quality
          FROM q
          GROUP BY source, lang""",
     // Hashed linear classifier: per-token weight = ((first32(md5(tok))
@@ -2369,21 +2382,26 @@ object SparkEntry {
          GROUP BY c.doc_id""",
     // Quality-proportional sample: bucket (md5, seed 'qs', mod 10⁶)
     // vs quality micro-units — integers on both sides of the keep
-    // comparison; quality formula = q81's exactly.
+    // comparison; q_micro = q81's EXACT integer qualityMicro form (a
+    // tie flip here would move a whole row in or out of the sample).
     "q85_quality_sample" ->
       """SELECT doc_id, lang, source, q_micro, bucket FROM (
            SELECT doc_id, lang, source,
-             CAST(round(round(
-               least(len(text) / 500.0, 1.0) * 0.4
-               + least(CAST(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
-                   t2 -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t2))) AS DOUBLE)
-                 / len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) / 0.1, 1.0) * 0.3
-               + (CASE WHEN CAST(len(replace(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ', '')) AS DOUBLE)
-                        / len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) BETWEEN 3.0 AND 8.0
-                  THEN 1.0 ELSE 0.0 END) * 0.3, 6) * 1e6) AS BIGINT) AS q_micro,
+             least(len(text), 500) * 800
+             + (CASE WHEN 10 * len(list_filter(string_split(norm, ' '),
+                      t2 -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t2)))
+                      >= len(string_split(norm, ' ')) THEN 300000
+                ELSE (6000000 * len(list_filter(string_split(norm, ' '),
+                        t2 -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t2)))
+                      + len(string_split(norm, ' ')))
+                     // (2 * len(string_split(norm, ' '))) END)
+             + (CASE WHEN len(replace(norm, ' ', '')) >= 3 * len(string_split(norm, ' '))
+                      AND len(replace(norm, ' ', '')) <= 8 * len(string_split(norm, ' '))
+                THEN 300000 ELSE 0 END) AS q_micro,
              CAST(list_sum(list_transform(range(8),
                j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 1000000 AS bucket
            FROM (SELECT doc_id, lang, source, text,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
                    md5('qs:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents)
          ) WHERE bucket < q_micro""",
     // PSI drift: integral midpoint split (// on epoch micros), Laplace

@@ -56,6 +56,32 @@ object TextAnalysis {
     lenScore * 0.4 + stopScore * 0.3 + tokScore * 0.3
   }
 
+  /** Exact 6-dp micro-units of [[qualityScore]], computed ENTIRELY in
+    * integer arithmetic (the CLAUDE.md integer-ratio tie rule): the
+    * score is a sum of exact-integer ratios — 0.4·min(c,500)/500 is
+    * integral (= 800·min(c,500) micro), the mean-token-length band is
+    * two integer comparisons, and the only fractional term,
+    * 0.3·min(10s/n, 1), is rounded half-up in micro-units via the
+    * shifted intDiv form (2x+y) div (2y) with x = 3·10⁶·s, y = n ≥ 1
+    * (normText of "" splits to [""], so n is never 0). A
+    * round(double·1e6) here can land on an exact 6th-decimal tie where
+    * Spark's shortest-repr HALF_UP and DuckDB's exact-binary round
+    * diverge — and downstream a one-ulp flip moves a whole row in or
+    * out of a sample (q85) or shifts a mean (q81). */
+  def qualityMicro(text: Column): Column = {
+    import graft.expressions.HashExpressions.intDiv
+    val c = length(text).cast("long")
+    val n = tokenCount(text).cast("long")
+    val s = stopwordCount(text).cast("long")
+    val t1 = least(c, lit(500L)) * lit(800L)
+    val t2 = when(s * lit(10L) >= n, lit(300000L))
+      .otherwise(intDiv(s * lit(6000000L) + n, n * lit(2L)))
+    val nc = length(regexp_replace(normText(text), " ", "")).cast("long")
+    val t3 = when(nc >= n * lit(3L) && nc <= n * lit(8L), lit(300000L))
+      .otherwise(lit(0L))
+    t1 + t2 + t3
+  }
+
   /** Character-distribution stats over the RAW text's codepoints:
     * `struct<n_chars, n_unique, entropy>` in one codegen pass (see
     * `graft.expressions.CharEntropy`). Low entropy = repeated-char

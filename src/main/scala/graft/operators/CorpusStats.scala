@@ -65,8 +65,12 @@ object CorpusStats {
       groupCols.map(col) :+
         TextAnalysis.fingerprint(col(textCol)).as("__fp") :+
         TextAnalysis.tokenCount(col(textCol)).as("__toks") :+
-        round(round(TextAnalysis.qualityScore(col(textCol)), 6) * 1e6)
-          .cast("long").as("__q_micro"): _*)
+        TextAnalysis.qualityMicro(col(textCol)).as("__q_micro"): _*)
+    // mean_quality: Σq_micro/n is a ratio of exact integers — half-up
+    // micro via the shifted intDiv form, never round(double, 6)
+    // (CLAUDE.md tie rule; both operands non-negative).
+    val sq = sum(col("__q_micro"))
+    val n = count(lit(1))
     perDoc.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),
@@ -74,8 +78,8 @@ object CorpusStats {
         sum(col("__toks")).as("n_tokens"),
         min(col("__toks")).as("min_toks"),
         max(col("__toks")).as("max_toks"),
-        round(sum(col("__q_micro")).cast("double") / count(lit(1)) / 1e6, 6)
-          .as("mean_quality"))
+        (graft.expressions.HashExpressions.intDiv(sq * lit(2L) + n, n * lit(2L))
+          .cast("double") / 1e6).as("mean_quality"))
   }
 
   /** Top-`topPerDoc` TF-IDF terms per document.

@@ -203,16 +203,18 @@ object Sampling {
     * content-keyed Bernoulli trial at the document's own rate.
     *
     * Both sides of the comparison are INTEGERS (the [[md5Bucket]]
-    * contract on the left; quality snapped to 6-dp micro-units on the
-    * right, the q81 corpus-card idiom), so the kept set is an exact
-    * pure function of content — reproducible on any engine or
-    * partitioning, and auditable: a row's keep decision can be
-    * re-derived from the row alone. Zero shuffle: a stateless filter
-    * riding the scan, trivially parallel at 100 TB. */
-  def qualityProportionalSample(df: DataFrame, idCol: String, quality: Column,
+    * contract on the left; quality as EXACT 6-dp micro-units on the
+    * right — e.g. [[graft.functions.TextAnalysis.qualityMicro]], never
+    * a `round(double·1e6)`: a one-ulp tie flip would move a whole row
+    * in or out of the sample), so the kept set is an exact pure
+    * function of content — reproducible on any engine or partitioning,
+    * and auditable: a row's keep decision can be re-derived from the
+    * row alone. Zero shuffle: a stateless filter riding the scan,
+    * trivially parallel at 100 TB. */
+  def qualityProportionalSample(df: DataFrame, idCol: String,
+                                qualityMicro: Column,
                                 seed: String = "qs"): DataFrame = {
-    val qMicro = round(round(quality, 6) * 1e6).cast("long")
-    df.withColumn("q_micro", qMicro)
+    df.withColumn("q_micro", qualityMicro.cast("long"))
       .withColumn("bucket", md5Bucket(idCol, 1000000, seed).cast("long"))
       .where(col("bucket") < col("q_micro"))
   }

@@ -186,14 +186,14 @@ class SamplingSinkSpec extends SparkSpec {
   test("qualityProportionalSample: keep iff bucket < quality micro-units, content-keyed") {
     import spark.implicits._
     val df = (1 to 200).map(_.toLong).toDF("id")
-    // boundary rates: q=1 → bucket<10⁶ always true; q=0 → never
-    assert(Sampling.qualityProportionalSample(df, "id", lit(1.0)).count() === 200)
-    assert(Sampling.qualityProportionalSample(df, "id", lit(0.0)).count() === 0)
+    // boundary rates (micro-units): q=10⁶ → bucket<10⁶ always; q=0 → never
+    assert(Sampling.qualityProportionalSample(df, "id", lit(1000000L)).count() === 200)
+    assert(Sampling.qualityProportionalSample(df, "id", lit(0L)).count() === 0)
     // per-row rate: the kept set is a pure content function — identical
     // across partitionings, and the empirical rate tracks q
-    val kept = Sampling.qualityProportionalSample(df, "id", lit(0.3))
+    val kept = Sampling.qualityProportionalSample(df, "id", lit(300000L))
       .select("id").as[Long].collect().toSet
-    val again = Sampling.qualityProportionalSample(df.repartition(13), "id", lit(0.3))
+    val again = Sampling.qualityProportionalSample(df.repartition(13), "id", lit(300000L))
       .select("id").as[Long].collect().toSet
     assert(kept === again)
     assert(kept.size > 30 && kept.size < 90) // 200·0.3 = 60 expected
