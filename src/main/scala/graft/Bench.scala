@@ -30,9 +30,13 @@ object Bench {
     // spike must recur at the same suite offset in every pass to
     // survive the min.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // optional comma-separated subset (iterating on one operator's perf)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     spark.catalog.clearCache()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = (1 to reps).flatMap { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -55,7 +59,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // also write the FULL per-query JSON to a file: the driver's stdout
+    // tail capture truncates a third of the suite (BENCH_r06 lost
+    // q01–q32) — the committed file is the complete artifact
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+    try {
+      val w = new java.io.PrintWriter(outFile, "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => } // bench result on stdout regardless
     spark.stop()
   }
 }

@@ -76,7 +76,13 @@ object StreamingDrift {
               throw new IllegalArgumentException(
                 s"category '$c' observed in window $wsMs but absent from the baseline")
             }
-            def r6(x: Double) = math.rint(x * 1e6) / 1e6
+            // Spark round()'s semantics (HALF_UP on the shortest decimal
+            // repr), NOT math.rint (half-even on the scaled binary):
+            // batch Drift.psiDrift emits Spark round(x, 6), and the two
+            // disagree on exact 6th-decimal ties — batch/stream parity
+            // requires the same tie side.
+            def r6(x: Double) =
+              BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
             baseline.toSeq.sortBy(_._1).map { case (cat, pB) =>
               val n = counts.getOrElse(cat, 0L)
               val pA = (n + 1).toDouble / (tot + k).toDouble

@@ -32,7 +32,10 @@ class StreamingDriftSpec extends SparkSpec {
       .map(r => r._2 -> r).toMap
     assert(rows.keySet === Set("A", "B"))
     // smoothed shares: tot=4, K=2 → p(A)=(3+1)/6, p(B)=(1+1)/6
-    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // (HALF_UP on the decimal repr — Spark round()'s semantics, the
+    // same tie side as batch Drift.psiDrift)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val (pA, pB) = (4.0 / 6.0, 2.0 / 6.0)
     assert(rows("A")._1 === 0L && rows("A")._3 === 3L)
     assert(rows("A")._4 === r6(pA))
@@ -69,6 +72,34 @@ class StreamingDriftSpec extends SparkSpec {
     // the vanished category carries positive drift, not a dropped row
     val vanishedB = rows.find(r => r._1 == 0L && r._2 == "B").get
     assert(vanishedB._5 > 0.0)
+    q.stop()
+  }
+
+  test("windowedPsi: exact 6th-decimal tie rounds HALF_UP, matching batch round()") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CatEv]
+    val out = StreamingDrift.windowedPsi(in.toDF(), "category", "event_time",
+      windowLen = "10 seconds", windowMillis = 10000L, delay = "0 seconds", baseline)
+    val q = out.writeStream.format("memory").queryName("psi_tie")
+      .outputMode("append").start()
+    // 126 A-events in [0,10s): tot+K = 128 → share(B) = 1/128 =
+    // 0.0078125 EXACTLY (power-of-two denominator, exact in binary):
+    // micro-units 7812.5 is a true tie. HALF_UP → 0.007813; half-even
+    // (math.rint, the old bug) would emit 0.007812.
+    in.addData((1 to 126).map(i => CatEv("A", new java.sql.Timestamp(i.toLong))): _*)
+    q.processAllAvailable()
+    in.addData(CatEv("B", ts(25)))
+    q.processAllAvailable()
+    val rows = spark.table("psi_tie")
+      .as[(Long, String, Long, Double, Double)].collect()
+      .filter(_._1 == 0L).map(r => r._2 -> r).toMap
+    assert(rows("B")._3 === 0L)
+    assert(rows("B")._4 === 0.007813)
+    assert(rows("A")._4 === 0.992188) // 127/128 = 0.9921875, tie up
+    // parity: Spark's round() sends the same value to the same side
+    val sparkSide = Seq(0.0078125).toDF("x")
+      .select(org.apache.spark.sql.functions.round($"x", 6)).as[Double].head()
+    assert(rows("B")._4 === sparkSide)
     q.stop()
   }
 
