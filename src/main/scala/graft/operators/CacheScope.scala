@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Operator-scoped cache lifecycle.
+  *
+  * Several operators cache an intermediate frame that feeds two or
+  * more branches of ONE returned plan (tf → df-agg AND join; postings
+  * → both sides of a self-join). The cache is required while the
+  * caller materializes the result, but a bare `.cache()` in a library
+  * function leaks: Spark's CacheManager holds the plan by strong
+  * reference until an explicit `unpersist()`/`clearCache()`, so a
+  * long-lived session accumulates every intermediate any operator ever
+  * cached.
+  *
+  * [[scoped]] gives the cache an automatic release point: the operator
+  * registers its intermediates against its RESULT plan, and a
+  * session-level action-completion listener unpersists them after the
+  * FIRST completed action whose analyzed plan contains that result
+  * (matched with `sameResult`, so caller-side projections/renames on
+  * top don't break it). Verify's per-query parquet write, Bench's
+  * `count()`, and a library user's terminal action all fire it.
+  *
+  * Contract: the cache lives exactly until the first action that
+  * consumes the operator's result (success OR failure). Re-running the
+  * same result afterwards recomputes without the cache — correct,
+  * just uncached; call the operator again for a fresh scoped cache.
+  * Results never acted on keep their registration until [[releaseAll]]
+  * (or session `clearCache()`), the same liability an unreleased
+  * manual cache had — but now with a one-call global release.
+  *
+  * Iterative operators that truncate lineage (`localCheckpoint` in the
+  * component loops) hide consumed upstream plans from the listener —
+  * they call [[releaseFor]] on their input once their first internal
+  * action has materialized everything they need from it.
+  */
+object CacheScope {
+
+  private final case class Entry(owner: LogicalPlan, caches: Seq[Dataset[_]])
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Register `caches` (already `.cache()`/`.persist()`ed intermediates
+    * of `result`'s plan) for release after the first action on
+    * `result`. Returns `result` unchanged. */
+  def scoped[T](result: Dataset[T], caches: Dataset[_]*): Dataset[T] = {
+    if (caches.nonEmpty) {
+      ensureListener(result.sparkSession)
+      pending.add(Entry(GraftSqlBridge.analyzedPlan(result), caches))
+    }
+    result
+  }
+
+  /** Release every pending registration whose owner plan occurs inside
+    * `consumed`'s analyzed plan — for operators whose internal actions
+    * run behind a lineage-truncating checkpoint, where the listener
+    * can't see what was consumed. */
+  def releaseFor(consumed: Dataset[_]): Unit =
+    releaseMatching(GraftSqlBridge.analyzedPlan(consumed))
+
+  /** Unpersist every still-pending scoped cache (results that were
+    * never materialized). */
+  def releaseAll(): Unit = {
+    var e = pending.poll()
+    while (e != null) {
+      e.caches.foreach(_.unpersist(false))
+      e = pending.poll()
+    }
+  }
+
+  private def releaseMatching(plan: LogicalPlan): Unit = {
+    val it = pending.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (plan.exists(_.sameResult(e.owner))) {
+        it.remove()
+        e.caches.foreach(_.unpersist(false))
+      }
+    }
+  }
+
+  private def ensureListener(spark: SparkSession): Unit =
+    if (hooked.add(spark))
+      GraftSqlBridge.onActionComplete(spark, qe => releaseMatching(qe.analyzed))
+}

@@ -96,11 +96,8 @@ object CorpusStats {
     // Catalyst re-scans and re-tokenizes the whole corpus for each use.
     // tf is the per-(doc, token) aggregate (~10× smaller than the text;
     // spills to disk if memory-tight), the standard thing to persist.
-    // Lifecycle: the cache is plan-keyed and shared across calls on the
-    // same input (a repeat call warns "already cached", it does not
-    // double the storage); the caller releases it with
-    // `spark.catalog.clearCache()` (what Bench does between reps) or
-    // `df.unpersist()` once the result is materialized.
+    // Lifecycle: CacheScope-scoped — released after the first action on
+    // the returned frame.
     val tf = tokenized(docs, idCol, textCol)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .cache()
@@ -109,9 +106,9 @@ object CorpusStats {
     val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
-    scored.withColumn("rank", row_number().over(w))
+    CacheScope.scoped(scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= topPerDoc)
-      .select("doc_id", "rank", "token", "tfidf")
+      .select("doc_id", "rank", "token", "tfidf"), tf)
   }
 
   /** Exact token-count distribution per group: count, total, mean and
@@ -241,12 +238,12 @@ object CorpusStats {
     val tok = tokenized(docs, idCol, textCol).cache()
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
     val total = tok.agg(count(lit(1)).as("n_total"))
-    tok.join(vocab, "token").crossJoin(broadcast(total))
+    CacheScope.scoped(tok.join(vocab, "token").crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(log(col("c").cast("double") / col("n_total").cast("double"))) /
           count(lit(1)), 6).as("mean_logprob"))
-      .select(col("doc_id").as(idCol), col("n_tokens"), col("mean_logprob"))
+      .select(col("doc_id").as(idCol), col("n_tokens"), col("mean_logprob")), tok)
   }
 
   /** Idf-weighted gram-cosine near-dup pairs: document similarity
@@ -292,13 +289,13 @@ object CorpusStats {
       .join(g.select(col("__src").as("source_b"), col("gh")), "gh")
       .where(col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
-    shared
+    CacheScope.scoped(shared
       .join(sizes.select(col("__src").as("source_a"), col("__n").as("__na")), "source_a")
       .join(sizes.select(col("__src").as("source_b"), col("__n").as("__nb")), "source_b")
       .select(col("source_a"), col("source_b"), col("n_shared"),
         round(col("n_shared").cast("double") /
           (col("__na") + col("__nb") - col("n_shared")).cast("double"), 6)
-          .as("jaccard"))
+          .as("jaccard")), g)
   }
 
   /** KMV-sketch pairwise source overlap — [[sourceOverlapMatrix]]'s
@@ -356,7 +353,7 @@ object CorpusStats {
       .withColumn("__r", row_number().over(
         Window.partitionBy("source_a", "source_b").orderBy("h")))
       .where(col("__r") <= k)
-    topk.groupBy("source_a", "source_b")
+    CacheScope.scoped(topk.groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("sample_k"),
         max(when(col("__r") === k, col("h"))).as("__hk"),
         sum(when(col("__ina") === 1 && col("__inb") === 1, 1L).otherwise(0L)).as("n_both"))
@@ -366,7 +363,7 @@ object CorpusStats {
         // sample smaller than k ⟹ the union was fully sampled: exact
         round(when(col("__hk").isNull, col("sample_k").cast("double"))
           .otherwise(lit((k - 1).toDouble * 281474976710656.0) /
-            col("__hk").cast("double")), 6).as("union_est"))
+            col("__hk").cast("double")), 6).as("union_est")), bk)
   }
 
   def idfGramCosinePairs(docs: DataFrame, idCol: String, textCol: String,
@@ -396,12 +393,12 @@ object CorpusStats {
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"), sum(col("wa") * col("wb")).as("dot"))
-    pairDots
+    CacheScope.scoped(pairDots
       .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")), "id_a")
       .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"), col("n_shared"),
         round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
-      .where(col("cos_sim") >= minCosine)
+      .where(col("cos_sim") >= minCosine), g, w)
   }
 
   /** BM25 full-text ranking (Robertson–Spärck Jones; k1/b literals):
@@ -504,12 +501,12 @@ object CorpusStats {
       .select(col("token"), col("n_exact"),
         explode(sequence(lit(0), lit(d - 1))).as("r"))
       .withColumn("bucket", bucketOf(col("r"), col("token")))
-    top.join(broadcast(sketch), Seq("r", "bucket"))
+    CacheScope.scoped(top.join(broadcast(sketch), Seq("r", "bucket"))
       .groupBy("token", "n_exact")
       .agg(min("cell").as("n_est"))
       .withColumn("rank", row_number().over(
         Window.orderBy(desc("n_exact"), asc("token"))))
       .select(col("rank"), col("token"), col("n_exact"), col("n_est"),
-        (col("n_est") - col("n_exact")).as("overcount"))
+        (col("n_est") - col("n_exact")).as("overcount")), vocab)
   }
 }

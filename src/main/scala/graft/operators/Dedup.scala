@@ -99,13 +99,13 @@ object Dedup {
     val b = posting.select(col(idCol).as("id_b"), col("sh_h"))
     val inter = a.join(b, Seq("sh_h")).where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    inter
+    CacheScope.scoped(inter
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .where(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "jaccard"), sh, posting)
   }
 
   /** MinHash signature per doc, computed by the FUSED `MinHashTokens`
@@ -171,8 +171,8 @@ object Dedup {
         graft.expressions.HashExpressions
           .signatureAgreement(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes)
-    est.where(col("est_jaccard") >= minJaccard)
-      .select("id_a", "id_b", "est_jaccard")
+    CacheScope.scoped(est.where(col("est_jaccard") >= minJaccard)
+      .select("id_a", "id_b", "est_jaccard"), sig)
   }
 
   /** Benchmark decontamination: for every corpus document, the fraction
@@ -206,7 +206,7 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
     val ng = coalesce(col("n_grams"), lit(0L))
     val ns = coalesce(col("n_shared"), lit(0L))
-    corpus.select(col(idCol))
+    CacheScope.scoped(corpus.select(col(idCol))
       .join(sizes, Seq(idCol), "left")
       .join(shared, Seq(idCol), "left")
       .select(col(idCol),
@@ -218,7 +218,7 @@ object Dedup {
         // threshold the product is float-exact in every engine, so the
         // boundary never hinges on division rounding
         (ng > 0 && ns.cast("double") >= lit(threshold) * ng.cast("double"))
-          .as("contaminated"))
+          .as("contaminated")), cg)
   }
 
   /** Per-doc INTER-document duplicate-gram fraction: what share of a
@@ -247,13 +247,13 @@ object Dedup {
         explode(graft.expressions.HashExpressions.gramHashes(col("__toks"), n)).as("sh_h"))
       .cache()
     val df = g.groupBy("sh_h").agg(count(lit(1)).as("df"))
-    g.join(df, "sh_h")
+    CacheScope.scoped(g.join(df, "sh_h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
       .select(col(idCol), col("n_grams"), col("n_shared"),
         round(col("n_shared").cast("double") / col("n_grams").cast("double"), 6)
-          .as("dup_frac"))
+          .as("dup_frac")), g)
   }
 
   /** Fixed-block duplicate-TEXT fraction (the passage-granularity
@@ -285,13 +285,13 @@ object Dedup {
         explode(graft.expressions.HashExpressions.chunkHashes48(col("__toks"), k)).as("ch_h"))
       .cache()
     val cnt = c.groupBy("ch_h").agg(count(lit(1)).as("__c"))
-    c.join(cnt, "ch_h")
+    CacheScope.scoped(c.join(cnt, "ch_h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("n_dup"))
       .select(col(idCol), col("n_chunks"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_chunks").cast("double"), 6)
-          .as("dup_frac"))
+          .as("dup_frac")), c)
   }
 
   /** Per-doc n-gram NOVELTY against the corpus prefix: the fraction of
@@ -320,13 +320,13 @@ object Dedup {
         explode(graft.expressions.HashExpressions.gramHashes(col("__toks"), n)).as("sh_h"))
       .cache()
     val firstSeen = g.groupBy("sh_h").agg(min(col(idCol)).as("__first"))
-    g.join(firstSeen, "sh_h")
+    CacheScope.scoped(g.join(firstSeen, "sh_h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__first") < col(idCol), 1L).otherwise(0L)).as("n_seen"))
       .select(col(idCol), col("n_grams"), col("n_seen"),
         round(lit(1.0) - col("n_seen").cast("double") / col("n_grams").cast("double"), 6)
-          .as("novelty"))
+          .as("novelty")), g)
   }
 
   /** Bloom-filter benchmark decontamination: the fixed-size variant of
@@ -381,14 +381,14 @@ object Dedup {
     val exactHits = cg.join(broadcast(refGrams), "sh_h")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_exact_hits"))
     val sizes = cg.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    sizes
+    CacheScope.scoped(sizes
       .join(bloomHits, Seq(idCol), "left")
       .join(exactHits, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         coalesce(col("n_bloom_hits"), lit(0L)).as("n_bloom_hits"),
         coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"),
         (coalesce(col("n_bloom_hits"), lit(0L)) -
-          coalesce(col("n_exact_hits"), lit(0L))).as("n_false_pos"))
+          coalesce(col("n_exact_hits"), lit(0L))).as("n_false_pos")), cg)
   }
 
   /** Train/holdout split-leakage audit: for every HOLDOUT document,
@@ -419,12 +419,12 @@ object Dedup {
     val ho = g.where(col("__holdout")).select(col(idCol), col("sh_h"))
     val leaked = ho.join(trainGrams, Seq("sh_h"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_leaked"))
-    ho.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    CacheScope.scoped(ho.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
       .join(leaked, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
         round(coalesce(col("n_leaked"), lit(0L)).cast("double") /
-          col("n_grams").cast("double"), 6).as("leak_frac"))
+          col("n_grams").cast("double"), 6).as("leak_frac")), g)
   }
 
   /** Winnowing document fingerprints (Schleimer et al. '03): distinct
@@ -510,6 +510,11 @@ object Dedup {
         lit(0).cast("decimal(38,0)")))
       .head.getDecimal(0).toPlainString
     var sum = labelSum(labels)
+    // the probe above materialized edges (persisted) — everything the
+    // loop needs from `pairs` is now snapshotted, and the checkpoint
+    // hides the consumed lineage from CacheScope's listener: release
+    // upstream scoped caches (e.g. minHashLshPairs' signatures) here
+    CacheScope.releaseFor(pairs)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -594,6 +599,10 @@ object Dedup {
     }
     var edges = canon(pairs.select(col(idA).as("u"), col(idB).as("v"))).localCheckpoint(false)
     var sig = signature(edges)
+    // the signature probe materialized the checkpointed edge snapshot —
+    // upstream scoped caches (LSH signatures etc.) are fully consumed,
+    // and the checkpoint hides that lineage from CacheScope's listener
+    CacheScope.releaseFor(pairs)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -672,10 +681,8 @@ object Dedup {
     * collected into a broadcast anti-join, never inner-joined.
     *
     * Cache lifecycle: `fp` feeds the sizes aggregate and both join
-    * sides; the persist is plan-keyed and shared across calls on the
-    * same input. The caller releases it with
-    * `spark.catalog.clearCache()` (what Bench does between reps) or
-    * `unpersist()` once the result is materialized. */
+    * sides; [[CacheScope]]-scoped — released after the first action on
+    * the returned pairs. */
   def fingerprintOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
                               k: Int, w: Int, minShared: Int,
                               maxFpFreq: Option[Int] = None): DataFrame = {
@@ -693,12 +700,12 @@ object Dedup {
     val shared = l.join(r, "fp").where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-    shared
+    CacheScope.scoped(shared
       .join(sizes.select(col(idCol).as("id_a"), col("n_fp").as("n_fp_a")), "id_a")
       .join(sizes.select(col(idCol).as("id_b"), col("n_fp").as("n_fp_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_fp_a")).as("containment_a"),
-        (col("n_shared").cast("double") / col("n_fp_b")).as("containment_b"))
+        (col("n_shared").cast("double") / col("n_fp_b")).as("containment_b")), fp)
   }
 
   def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -346,7 +346,7 @@ object Similarity {
     * form (the q82 tie rule). Scale shape: the contingency table is
     * ONE map-combinable (cluster, label) shuffle of the assignment
     * frame — k·|labels| groups; `assigned` is cached (it feeds the
-    * contingency AND its own final assignment pass; caller releases).
+    * contingency AND its own final assignment pass; CacheScope-scoped).
     *
     * Output: (cluster, n_vecs, majority_label, n_majority, purity). */
   def clusterLabelPurity(emb: DataFrame, idCol: String, vecCol: String,
@@ -358,14 +358,14 @@ object Similarity {
       .groupBy("cluster", "__label").agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy("cluster")
       .orderBy(desc("__n"), asc("__label"))
-    cont
+    CacheScope.scoped(cont
       .withColumn("__tot", sum("__n").over(Window.partitionBy("cluster")))
       .withColumn("__r", row_number().over(w))
       .where(col("__r") === 1)
       .select(col("cluster"), col("__tot").as("n_vecs"),
         col("__label").as("majority_label"), col("__n").as("n_majority"),
         (intDiv(col("__n") * lit(2000000L) + col("__tot"), col("__tot") * 2)
-          .cast("double") / 1e6).as("purity"))
+          .cast("double") / 1e6).as("purity")), assigned)
   }
 
   /** Per-label embedding profile: count, the norm of the mean vector
@@ -537,9 +537,8 @@ object Similarity {
     // `assigned` feeds BOTH sides of the within-cluster self-join (via
     // `sided`) and the final output join — uncached, the iterative
     // kmeansRefine lineage (cost grows with iters·k) would re-execute
-    // up to three times. Plan-keyed persist, same caller-releases
-    // lifecycle as tfIdf/fingerprintOverlapPairs: `clearCache()` or
-    // unpersist once the result is materialized.
+    // up to three times. CacheScope-scoped: released after the first
+    // action on the returned frame.
     val assigned = kmeansRefine(emb, idCol, vecCol, k, iters)
       .select(col(idCol), col("cluster"))
       .persist()
@@ -556,11 +555,11 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
       .groupBy("id")
       .agg(count(lit(1)).as("n_dups"), max("cos_sim").as("max_cos"))
-    assigned.select(col(idCol).as("id"), col("cluster"))
+    CacheScope.scoped(assigned.select(col(idCol).as("id"), col("cluster"))
       .join(dups, Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         col("max_cos"),
-        (coalesce(col("n_dups"), lit(0L)) === 0L).as("keep"))
+        (coalesce(col("n_dups"), lit(0L)) === 0L).as("keep")), assigned)
   }
 }

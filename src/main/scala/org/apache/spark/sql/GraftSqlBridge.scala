@@ -21,4 +21,26 @@ object GraftSqlBridge {
     val cdf = df.asInstanceOf[classic.DataFrame]
     cs.internalCreateDataFrame(cdf.queryExecution.toRdd, cdf.schema)
   }
+
+  /** Analyzed logical plan of a Dataset (queryExecution is classic-only
+    * in the unified-API split). */
+  def analyzedPlan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Register a query-execution listener (action-completion hook) on a
+    * session (`listenerManager` is classic-only). */
+  def onActionComplete(session: SparkSession,
+                       f: execution.QueryExecution => Unit): Unit =
+    session.asInstanceOf[classic.SparkSession].listenerManager.register(
+      new util.QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: execution.QueryExecution,
+                               durationNs: Long): Unit = f(qe)
+        override def onFailure(funcName: String, qe: execution.QueryExecution,
+                               exception: Exception): Unit = f(qe)
+      })
+
+  /** True when the session's shared cache manager holds no cached
+    * (InMemoryRelation) plans — the library-hygiene assertion surface. */
+  def cacheManagerIsEmpty(session: SparkSession): Boolean =
+    session.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }

@@ -551,4 +551,33 @@ class PlanQualitySpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
       s"blocks must be cached — uncached, the corpus re-tokenizes per use:\n$plan")
   }
+
+  test("cache hygiene: no InMemoryRelation survives a query's first action (CacheScope)") {
+    import org.apache.spark.sql.GraftSqlBridge
+    // every operator that caches an intermediate — exact-scope contract:
+    // the cache is registered at plan construction and released by the
+    // listener after the first completed action on the result
+    val cacheHeavy = Seq(
+      "q18_ngram_dedup", "q19_minhash_lsh", "q41_decontaminate",
+      "q43_tfidf", "q47_dedup_clusters", "q48_fingerprint_overlap",
+      "q56_semdedup", "q58_cms_estimates", "q61_interdup_grams",
+      "q62_bloom_decontaminate", "q64_dedup_materialize",
+      "q67_unigram_logprob", "q71_idf_cosine_pairs", "q76_split_leakage",
+      "q80_gram_novelty", "q84_chunk_dup", "q89_source_overlap",
+      "q90_kmv_source_overlap", "q92_cluster_purity")
+    // earlier plan-shape tests construct (and thus cache-register)
+    // plans without ever acting on them — start from a clean slate
+    graft.operators.CacheScope.releaseAll()
+    spark.catalog.clearCache()
+    for (name <- cacheHeavy) {
+      SparkEntry.queries(name)(spark, dir).count()
+      // listener delivery rides the (async) listener bus — poll
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!GraftSqlBridge.cacheManagerIsEmpty(spark) &&
+             System.nanoTime() < deadline)
+        Thread.sleep(25)
+      assert(GraftSqlBridge.cacheManagerIsEmpty(spark),
+        s"$name left cached plans behind after its action")
+    }
+  }
 }
