@@ -854,6 +854,47 @@ object SparkEntry {
       operators.Profiling.numericProfile(t(s, dir, "orders"), "o_totalprice",
         bins = 20)),
 
+    // ── top-V vocabulary coverage curve: one combinable vocab shuffle,
+    //    limit BEFORE the rank window, Σn from the vocab agg (no second
+    //    scan); coverage via integer half-up micro ──
+    "q93_vocab_coverage" -> ((s, dir) =>
+      CorpusStats.vocabCoverage(t(s, dir, "documents"), "doc_id", "text",
+        topV = 50)),
+
+    // ── adjacent-bigram PMI collocations: two combinable count
+    //    shuffles; the top-K frame broadcasts into the unigram lookups
+    //    (vocab never broadcast); fixed-order ln fold, rounded 6 dp ──
+    "q94_pmi_bigrams" -> ((s, dir) =>
+      CorpusStats.pmiBigrams(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5, topK = 30)),
+
+    // ── Zipf rank-frequency OLS over the top-R vocab: rank-ordered
+    //    array fold (q59's ordered-fold pattern) so the double sums are
+    //    order-identical on both engines ──
+    "q95_zipf_fit" -> ((s, dir) =>
+      CorpusStats.zipfFit(t(s, dir, "documents"), "doc_id", "text",
+        topR = 100)),
+
+    // ── perplexity-band gate: q67's logprob scored against [p10, p90]
+    //    interpolated-quantile bounds from the 20/100 portable sample —
+    //    bounds broadcast back, sort only over the sample ──
+    "q96_ppl_band" -> ((s, dir) =>
+      CorpusStats.logprobBandGate(t(s, dir, "documents"), "doc_id", "text",
+        pLo = 0.10, pHi = 0.90, sampleKeep = 20)),
+
+    // ── UniMax epoch-capped budget mix: water-filling closed form over
+    //    the per-lang token aggregate — prefix-sum windows on a
+    //    catalog-sized frame, all-integer allocations ──
+    "q97_epoch_mix" -> ((s, dir) =>
+      Sampling.epochCappedMix(t(s, dir, "documents"), "lang", "text",
+        budgetTokens = 3000000L, maxEpochs = 3)),
+
+    // ── add-one bigram LM fluency score: cached bigram stream feeds
+    //    the count agg AND the join back; (a,b)- and a-keyed combinable
+    //    shuffles; V broadcast as a 1-row aggregate ──
+    "q98_bigram_lm" -> ((s, dir) =>
+      CorpusStats.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+
     // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
     //    back onto the corpus scan for full-precision re-scoring —
     //    full vectors touched only for |queries|·shortlist rows ──
@@ -2575,7 +2616,210 @@ object SparkEntry {
            round(CAST(s1 AS DOUBLE) / n / 10000.0, 6) AS mean,
            round(sqrt(greatest(CAST(s2 AS DOUBLE) / n
              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0)) / 10000.0, 6) AS stddev
-         FROM g""")
+         FROM g""",
+    // Vocab coverage: limit-before-window top-V; cum window sum CAST to
+    // BIGINT (type parity); coverage = cum/total via the q82 integer
+    // half-up micro form.
+    "q93_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           FROM documents
+         ), vocab AS (
+           SELECT token, count(*) AS n FROM tok GROUP BY token
+         ), tot AS (
+           SELECT CAST(sum(n) AS BIGINT) AS tot FROM vocab
+         ), top AS (
+           SELECT token, n FROM vocab ORDER BY n DESC, token LIMIT 50
+         ), rk AS (
+           SELECT row_number() OVER (ORDER BY n DESC, token) AS rank, token, n,
+             CAST(sum(n) OVER (ORDER BY n DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+           FROM top
+         )
+         SELECT rank, token, n, cum_n,
+           CAST((2000000 * cum_n + tot) // (2 * tot) AS DOUBLE) / 1e6 AS coverage
+         FROM rk, tot""",
+    // Bigram PMI: adjacent pairs by 1-based index; the ln fold order is
+    // written IDENTICALLY to the Spark expression (left-assoc:
+    // ((((ln n_ab + ln U) + ln U) − ln n_a) − ln n_b) − ln B).
+    "q94_pmi_bigrams" ->
+      """WITH t AS (
+           SELECT string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), tok AS (
+           SELECT unnest(toks) AS token FROM t
+         ), uni AS (
+           SELECT token, count(*) AS cnt FROM tok GROUP BY token
+         ), u AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS u FROM uni
+         ), bi AS (
+           SELECT toks[i] AS tok_a, toks[i + 1] AS tok_b
+           FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM t WHERE len(toks) >= 2)
+         ), big AS (
+           SELECT tok_a, tok_b, count(*) AS n_ab FROM bi GROUP BY 1, 2
+         ), b AS (
+           SELECT CAST(sum(n_ab) AS BIGINT) AS b FROM big
+         ), top AS (
+           SELECT tok_a, tok_b, n_ab FROM big WHERE n_ab >= 5
+           ORDER BY n_ab DESC, tok_a, tok_b LIMIT 30
+         )
+         SELECT row_number() OVER (ORDER BY n_ab DESC, tok_a, tok_b) AS rank,
+           tok_a, tok_b, n_ab, ua.cnt AS n_a, ub.cnt AS n_b,
+           round(ln(CAST(n_ab AS DOUBLE)) + ln(CAST(u.u AS DOUBLE)) + ln(CAST(u.u AS DOUBLE))
+             - ln(CAST(ua.cnt AS DOUBLE)) - ln(CAST(ub.cnt AS DOUBLE)) - ln(CAST(b.b AS DOUBLE)), 6) AS pmi
+         FROM top
+         JOIN uni ua ON top.tok_a = ua.token
+         JOIN uni ub ON top.tok_b = ub.token
+         CROSS JOIN u CROSS JOIN b""",
+    // Zipf OLS: the ≤R points collected into ONE rank-ordered list and
+    // folded in list order (q59's ordered-fold precedent) so the double
+    // sums match Spark's left fold; ln under the q67 libm contract.
+    "q95_zipf_fit" ->
+      """WITH tok AS (
+           SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           FROM documents
+         ), vocab AS (
+           SELECT token, count(*) AS n FROM tok GROUP BY token
+         ), top AS (
+           SELECT token, n FROM vocab ORDER BY n DESC, token LIMIT 100
+         ), pts AS (
+           SELECT row_number() OVER (ORDER BY n DESC, token) AS rank,
+             ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE)) AS x,
+             ln(CAST(n AS DOUBLE)) AS y
+           FROM top
+         ), s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_terms,
+             list_sum(list_transform(list(x ORDER BY rank), v -> v)) AS sx,
+             list_sum(list_transform(list(y ORDER BY rank), v -> v)) AS sy,
+             list_sum(list_transform(list({'x': x, 'y': y} ORDER BY rank), e -> e.x * e.y)) AS sxy,
+             list_sum(list_transform(list(x ORDER BY rank), v -> v * v)) AS sxx,
+             list_sum(list_transform(list(y ORDER BY rank), v -> v * v)) AS syy
+           FROM pts
+         )
+         SELECT n_terms,
+           round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+           round((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n_terms AS DOUBLE), 6) AS intercept,
+           round(((CAST(n_terms AS DOUBLE) * sxy - sx * sy) * (CAST(n_terms AS DOUBLE) * sxy - sx * sy))
+             / ((CAST(n_terms AS DOUBLE) * sxx - sx * sx) * (CAST(n_terms AS DOUBLE) * syy - sy * sy)), 6) AS r2
+         FROM s""",
+    // Perplexity band: q67's scored frame + q44's md5 bucket (seed
+    // 'ppl', keep 20/100) + q45's spelled-out interpolation; the band
+    // compare runs on the 6-dp-ROUNDED score both sides.
+    "q96_ppl_band" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           FROM documents
+         ), vocab AS (
+           SELECT token, count(*) AS c FROM tok GROUP BY token
+         ), tot AS (
+           SELECT count(*) AS n_total FROM tok
+         ), scored AS (
+           SELECT t.doc_id, count(*) AS n_tokens,
+             round(sum(ln(CAST(v.c AS DOUBLE) / CAST(tot.n_total AS DOUBLE))) / count(*), 6) AS mean_logprob
+           FROM tok t JOIN vocab v USING (token) CROSS JOIN tot
+           GROUP BY t.doc_id
+         ), samp AS (
+           SELECT s.doc_id, s.mean_logprob FROM scored s JOIN (
+             SELECT doc_id FROM (
+               SELECT doc_id,
+                 CAST(list_sum(list_transform(range(8),
+                   j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS bucket
+               FROM (SELECT doc_id, md5('ppl:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents))
+             WHERE bucket < 20) USING (doc_id)
+         ), rk AS (
+           SELECT mean_logprob,
+             row_number() OVER (ORDER BY mean_logprob, doc_id) AS rn,
+             count(*) OVER () AS n
+           FROM samp
+         ), bounds AS (
+           SELECT
+             round(sum(CASE
+               WHEN rn = floor(CAST(n - 1 AS DOUBLE) * 0.1) + 1
+                 THEN mean_logprob * (1.0 - (CAST(n - 1 AS DOUBLE) * 0.1 - floor(CAST(n - 1 AS DOUBLE) * 0.1)))
+               WHEN rn = floor(CAST(n - 1 AS DOUBLE) * 0.1) + 2
+                 THEN mean_logprob * (CAST(n - 1 AS DOUBLE) * 0.1 - floor(CAST(n - 1 AS DOUBLE) * 0.1))
+               ELSE 0.0 END), 6) AS lo_bound,
+             round(sum(CASE
+               WHEN rn = floor(CAST(n - 1 AS DOUBLE) * 0.9) + 1
+                 THEN mean_logprob * (1.0 - (CAST(n - 1 AS DOUBLE) * 0.9 - floor(CAST(n - 1 AS DOUBLE) * 0.9)))
+               WHEN rn = floor(CAST(n - 1 AS DOUBLE) * 0.9) + 2
+                 THEN mean_logprob * (CAST(n - 1 AS DOUBLE) * 0.9 - floor(CAST(n - 1 AS DOUBLE) * 0.9))
+               ELSE 0.0 END), 6) AS hi_bound
+           FROM rk
+         )
+         SELECT doc_id, n_tokens, mean_logprob, lo_bound, hi_bound,
+           mean_logprob >= lo_bound AND mean_logprob <= hi_bound AS keep
+         FROM scored, bounds""",
+    // UniMax epoch-capped mix: the water-filling closed form — prefix
+    // windows over the per-lang aggregate, all-integer allocations,
+    // epochs via the q82 half-up micro form. B = 3,000,000, E = 3.
+    "q97_epoch_mix" ->
+      """WITH d AS (
+           SELECT lang,
+             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS t
+           FROM documents
+         ), pl AS (
+           SELECT lang, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens
+           FROM d GROUP BY lang
+         ), rk AS (
+           SELECT lang, n_docs, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, lang) AS i,
+             count(*) OVER () AS l,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+           FROM pl
+         ), fl AS (
+           SELECT lang, n_docs, n_tokens,
+             min(CASE WHEN n_tokens * 3 * (l - i + 1) <= 3000000 - 3 * cum
+                 THEN 1 ELSE 0 END)
+               OVER (ORDER BY n_tokens, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped
+           FROM rk
+         ), caps AS (
+           SELECT CAST(coalesce(sum(CASE WHEN capped THEN n_tokens END), 0) AS BIGINT) AS cap_tok,
+             CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS n_cap,
+             count(*) AS l2
+           FROM fl
+         ), alloc AS (
+           SELECT lang, n_docs, n_tokens, capped,
+             CAST(CASE WHEN capped THEN n_tokens * 3
+                  ELSE (3000000 - 3 * cap_tok) // (l2 - n_cap) END AS BIGINT) AS alloc_tokens
+           FROM fl, caps
+         )
+         SELECT lang, n_docs, n_tokens, capped, alloc_tokens,
+           CAST((2000000 * alloc_tokens + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1e6 AS epochs
+         FROM alloc""",
+    // Bigram LM: add-one smoothing, counts from the corpus itself,
+    // V = |unigram vocab|; Σ ln / n is the q67 aggregation contract.
+    "q98_bigram_lm" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), tok AS (
+           SELECT unnest(toks) AS token FROM t
+         ), uni AS (
+           SELECT token, count(*) AS c_a FROM tok GROUP BY token
+         ), v AS (
+           SELECT count(*) AS v FROM uni
+         ), bi AS (
+           SELECT doc_id, toks[i] AS tok_a, toks[i + 1] AS tok_b
+           FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM t WHERE len(toks) >= 2)
+         ), big AS (
+           SELECT tok_a, tok_b, count(*) AS c_ab FROM bi GROUP BY 1, 2
+         )
+         SELECT b.doc_id, count(*) AS n_bigrams,
+           round(sum(ln((CAST(g.c_ab AS DOUBLE) + 1.0)
+             / (CAST(u.c_a AS DOUBLE) + CAST(v.v AS DOUBLE)))) / count(*), 6) AS mean_logprob
+         FROM bi b
+         JOIN big g USING (tok_a, tok_b)
+         JOIN uni u ON b.tok_a = u.token
+         CROSS JOIN v
+         GROUP BY b.doc_id""")
 
   /** DuckDB replay of `Similarity.pqAdcSearch` (q87). The subspace-s
     * slice of a vector is elements s·subDim+1 … (s+1)·subDim

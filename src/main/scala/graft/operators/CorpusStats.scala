@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextAnalysis
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
@@ -508,5 +508,215 @@ object CorpusStats {
         Window.orderBy(desc("n_exact"), asc("token"))))
       .select(col("rank"), col("token"), col("n_exact"), col("n_est"),
         (col("n_est") - col("n_exact")).as("overcount")), vocab)
+  }
+
+  /** Top-V vocabulary with cumulative token-mass coverage — the
+    * vocab-sizing / tokenizer-training diagnostic ("how many types
+    * cover 90% of the corpus?", Zipf mass curve).
+    *
+    * Scale shape: ONE corpus-sized combinable shuffle (the vocab
+    * aggregate); top-V via TakeOrderedAndProject (the `limit` runs
+    * BEFORE the rank window, so the single-partition window frame is
+    * ≤V rows — the repo's bounded-frame rule); total token mass is
+    * Σn over the vocab aggregate (no second corpus scan), broadcast
+    * as a 1-row aggregate. coverage = cum/total is a ratio of exact
+    * integers → shifted intDiv half-up micro form (tie rule).
+    *
+    * Output: (rank, token, n, cum_n, coverage 6 dp). */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    topV: Int): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val vocab = tokenized(docs, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val total = vocab.agg(sum("n").as("__tot"))
+    val top = vocab.orderBy(desc("n"), asc("token")).limit(topV)
+    val w = Window.orderBy(desc("n"), asc("token"))
+    top
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_n", sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("n"), col("cum_n"),
+        (intDiv(col("cum_n") * lit(2000000L) + col("__tot"), col("__tot") * lit(2L))
+          .cast("double") / 1e6).as("coverage"))
+  }
+
+  /** Adjacent-token (bigram) PMI collocations — phrase-mining /
+    * multi-word-expression detection over the corpus:
+    * pmi = ln p(ab) − ln p(a) − ln p(b) with p from the unigram/bigram
+    * streams, reported for the top-K bigrams by count (count ranking is
+    * exact; the PMI itself is the metric double, rounded 6 dp under the
+    * q67 libm-parity contract with a FIXED evaluation order both
+    * engines replay).
+    *
+    * Scale shape: bigram extraction is columnar slice/zip (codegen, no
+    * lambda HOF) exploding to ~token-count rows; unigram and bigram
+    * counts are each ONE map-combinable shuffle; the top-K frame
+    * (`limit` before the rank window) BROADCASTS into the two unigram
+    * lookups — the vocabulary (corpus-scale) is never broadcast and
+    * never re-shuffled.
+    *
+    * Output: (rank, tok_a, tok_b, n_ab, n_a, n_b, pmi). */
+  def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
+                 minCount: Int, topK: Int): DataFrame = {
+    val bi = docs
+      .select(TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("a"),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("b"))).as("__p"))
+      .select(col("__p.a").as("tok_a"), col("__p.b").as("tok_b"))
+    val uni = tokenized(docs, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val totals = uni.agg(sum("cnt").as("__u"))
+    val big = bi.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+    val totB = big.agg(sum("n_ab").as("__b"))
+    val top = big.where(col("n_ab") >= minCount)
+      .orderBy(desc("n_ab"), asc("tok_a"), asc("tok_b")).limit(topK)
+    val w = Window.orderBy(desc("n_ab"), asc("tok_a"), asc("tok_b"))
+    // evaluation order is FIXED and mirrored in the oracle:
+    // ((((ln n_ab + ln U) + ln U) − ln n_a) − ln n_b) − ln B
+    val pmi =
+      log(col("n_ab").cast("double")) + log(col("__u").cast("double")) +
+        log(col("__u").cast("double")) - log(col("n_a").cast("double")) -
+        log(col("n_b").cast("double")) - log(col("__b").cast("double"))
+    broadcast(top)
+      .join(uni.select(col("token").as("tok_a"), col("cnt").as("n_a")), "tok_a")
+      .join(uni.select(col("token").as("tok_b"), col("cnt").as("n_b")), "tok_b")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(totB))
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("tok_a"), col("tok_b"), col("n_ab"),
+        col("n_a"), col("n_b"), round(pmi, 6).as("pmi"))
+  }
+
+  /** Zipf rank-frequency fit over the top-R vocabulary: OLS of
+    * ln(freq) on ln(rank) — slope (≈ −1 for natural text; far off
+    * flags templated/synthetic corpora), intercept, and r². The
+    * corpus-card regression a curation pipeline reads next to the
+    * coverage curve ([[vocabCoverage]]).
+    *
+    * Determinism: Σx, Σy, Σxy, Σx², Σy² over the R points are DOUBLE
+    * sums — order-dependent — so the ≤R-row frame is collected into
+    * ONE rank-ordered array and folded left-to-right (`aggregate`,
+    * interpreted but R-bounded, once per query — not hot-path) exactly
+    * like the oracle's ordered `list_sum` folds (the q59 precedent);
+    * `ln` under the q67 libm-parity contract.
+    *
+    * Scale shape: vocab aggregate (one combinable shuffle) →
+    * TakeOrderedAndProject top-R → a single ≤R-element array on one
+    * row. Output: one row (n_terms, slope, intercept, r2; 6 dp). */
+  def zipfFit(docs: DataFrame, idCol: String, textCol: String,
+              topR: Int): DataFrame = {
+    val vocab = tokenized(docs, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val top = vocab.orderBy(desc("n"), asc("token")).limit(topR)
+    val w = Window.orderBy(desc("n"), asc("token"))
+    val ranked = top.withColumn("rank", row_number().over(w))
+      .select(col("rank"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    val arr = ranked.agg(
+      array_sort(collect_list(struct(col("rank"), col("x"), col("y")))).as("a"))
+    def fold(f: Column => Column): Column =
+      aggregate(col("a"), lit(0.0), (acc, e) => acc + f(e))
+    val sums = arr.select(
+      size(col("a")).cast("long").as("n_terms"),
+      fold(_.getField("x")).as("sx"), fold(_.getField("y")).as("sy"),
+      fold(e => e.getField("x") * e.getField("y")).as("sxy"),
+      fold(e => e.getField("x") * e.getField("x")).as("sxx"),
+      fold(e => e.getField("y") * e.getField("y")).as("syy"))
+    val nD = col("n_terms").cast("double")
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    val varx = nD * col("sxx") - col("sx") * col("sx")
+    val vary = nD * col("syy") - col("sy") * col("sy")
+    sums.select(col("n_terms"),
+      round(cov / varx, 6).as("slope"),
+      round((col("sy") - (cov / varx) * col("sx")) / nD, 6).as("intercept"),
+      round((cov * cov) / (varx * vary), 6).as("r2"))
+  }
+
+  /** Perplexity-band curation gate (the CCNet / Wenzek et al. 2020
+    * middle-band idea): keep documents whose unigram mean log-prob
+    * ([[unigramLogProb]], the LM-free perplexity proxy) falls inside
+    * the [pLo, pHi] quantile band — both tails go (low = gibberish,
+    * high = stopword soup).
+    *
+    * Scale shape: band bounds are interpolated quantiles (the q45
+    * spelled-out formula) over the `sampleKeep`/100 PORTABLE sample
+    * (q44's md5 bucket — deterministic, engine-exact), so the one
+    * window sort is over the sample, not the corpus (tune sampleKeep
+    * down as the corpus grows — the q69 estimate-on-a-sample
+    * pattern); bounds broadcast back as a 1-row aggregate. The band
+    * compare uses the 6-dp-ROUNDED score on both sides (metric rule).
+    *
+    * Output: one row per doc — (id, n_tokens, mean_logprob, lo_bound,
+    * hi_bound, keep). */
+  def logprobBandGate(docs: DataFrame, idCol: String, textCol: String,
+                      pLo: Double, pHi: Double,
+                      sampleKeep: Int = 20): DataFrame = {
+    val scored = unigramLogProb(docs, idCol, textCol).cache()
+    val samp = scored.where(Sampling.md5Bucket(idCol, 100, "ppl") < sampleKeep)
+    val ranked = samp
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("mean_logprob"), col(idCol))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+    def q(p: Double): Column = {
+      val idx = (col("cnt") - 1).cast("double") * lit(p)
+      val lo = floor(idx) + 1
+      val frac = idx - floor(idx)
+      val contrib = when(col("rn") === lo, col("mean_logprob") * (lit(1.0) - frac))
+        .when(col("rn") === lo + 1, col("mean_logprob") * frac)
+        .otherwise(lit(0.0))
+      round(sum(contrib), 6)
+    }
+    val bounds = ranked.agg(q(pLo).as("lo_bound"), q(pHi).as("hi_bound"))
+    CacheScope.scoped(
+      scored.crossJoin(broadcast(bounds))
+        .select(col(idCol), col("n_tokens"), col("mean_logprob"),
+          col("lo_bound"), col("hi_bound"),
+          (col("mean_logprob") >= col("lo_bound") &&
+            col("mean_logprob") <= col("hi_bound")).as("keep")),
+      scored)
+  }
+
+  /** Per-doc add-one-smoothed bigram LM score: mean over the doc's
+    * adjacent token pairs of ln p(b|a), p(b|a) = (c(ab)+1)/(c(a)+V)
+    * with counts from the corpus itself and V = |unigram vocab| — the
+    * next quality signal up from [[unigramLogProb]] (a KenLM-style
+    * fluency proxy without an external model: word-salad docs score
+    * low even when their unigrams are common).
+    *
+    * Scale shape: the bigram stream (columnar slice/zip explode, no
+    * lambda HOF) is cached — it feeds the corpus bigram-count
+    * aggregate AND the join back; counts meet the stream in TWO
+    * hash-key equi-joins ((a,b) then a) — both corpus-sized
+    * combinable shuffles, nothing broadcast except the 1-row V.
+    * Σ ln over a doc's bigrams is the q67 aggregation contract
+    * (round(Σ/n, 6); libm parity).
+    *
+    * Output (docs with ≥ 2 tokens): (id, n_bigrams, mean_logprob). */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("a"),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("b"))).as("__p"))
+      .select(col(idCol), col("__p.a").as("tok_a"), col("__p.b").as("tok_b"))
+      .cache()
+    val big = bi.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+    val uni = tokenized(docs, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("c_a"))
+    val v = uni.agg(count(lit(1)).as("__v"))
+    CacheScope.scoped(
+      bi.join(big, Seq("tok_a", "tok_b"))
+        .join(uni.select(col("token").as("tok_a"), col("c_a")), "tok_a")
+        .crossJoin(broadcast(v))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(log((col("c_ab").cast("double") + lit(1.0)) /
+            (col("c_a").cast("double") + col("__v").cast("double")))) /
+            count(lit(1)), 6).as("mean_logprob")),
+      bi)
   }
 }

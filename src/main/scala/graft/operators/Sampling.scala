@@ -196,6 +196,74 @@ object Sampling {
           .as("epochs"))
   }
 
+  /** UniMax-style epoch-capped budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining"): distribute a token budget
+    * B across languages so no language repeats more than `maxEpochs`
+    * times, giving low-resource languages their full capped mass and
+    * splitting the remainder evenly.
+    *
+    * Computed via the WATER-FILLING closed form rather than the
+    * paper's sequential greedy loop: with languages ascending by size,
+    * a language takes its cap n·E iff every smaller language did AND
+    * n_i·E·(L−i+1) ≤ B − E·cum_{i−1} (once a language falls to the
+    * fair share, every larger one does too, and the fair share
+    * rem/(langs left) is INVARIANT from there on — so the greedy
+    * recursion collapses to prefix sums). That makes the whole
+    * allocation window arithmetic over the |langs|-row aggregate: no
+    * driver loop, no iteration, exact integers end-to-end (epochs via
+    * the shifted intDiv half-up micro form, DECIMAL-widened so the
+    * ·2·10⁶ shift can't overflow at 100-TB token counts).
+    *
+    * Scale shape: ONE corpus-sized map-combinable shuffle (per-lang
+    * counts) → a catalog-sized frame (windows over |langs| rows — the
+    * bounded-frame rule) + a 1-row broadcast of the capped totals.
+    *
+    * Output: (lang, n_docs, n_tokens, capped, alloc_tokens,
+    * epochs 6 dp). */
+  def epochCappedMix(docs: DataFrame, langCol: String, textCol: String,
+                     budgetTokens: Long, maxEpochs: Int): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val w = org.apache.spark.sql.expressions.Window
+    require(budgetTokens >= 0 && maxEpochs >= 1)
+    val perLang = docs
+      .select(col(langCol).as("lang"),
+        graft.functions.TextAnalysis.tokenCount(col(textCol)).cast("long").as("__t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("n_tokens"))
+    val wOrd = w.orderBy(asc("n_tokens"), asc("lang"))
+    val ranked = perLang
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__L", count(lit(1)).over(w.partitionBy()))
+      .withColumn("__cum", coalesce(sum("n_tokens").over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val cond = col("n_tokens") * lit(maxEpochs.toLong) * (col("__L") - col("__i") + 1) <=
+      lit(budgetTokens) - lit(maxEpochs.toLong) * col("__cum")
+    val flagged = ranked.withColumn("__capped",
+      min(when(cond, 1L).otherwise(0L)).over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)) === 1L)
+    val caps = flagged.agg(
+      coalesce(sum(when(col("__capped"), col("n_tokens"))), lit(0L)).as("__capTok"),
+      coalesce(sum(when(col("__capped"), 1L)), lit(0L)).as("__nCap"),
+      count(lit(1)).as("__L2"))
+    val alloc = when(col("__capped"), col("n_tokens") * lit(maxEpochs.toLong))
+      .otherwise(intDiv(
+        lit(budgetTokens) - lit(maxEpochs.toLong) * col("__capTok"),
+        col("__L2") - col("__nCap")))
+    flagged.crossJoin(broadcast(caps))
+      .withColumn("alloc_tokens", alloc)
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("__capped").as("capped"),
+        col("alloc_tokens"),
+        // epochs = alloc/n_tokens — exact-integer ratio; DECIMAL(38)
+        // operands keep alloc·2·10⁶ exact far past the long range
+        (intDiv(
+          col("alloc_tokens").cast("decimal(38,0)") * lit(2000000L) + col("n_tokens"),
+          col("n_tokens").cast("decimal(38,0)") * lit(2L))
+          .cast("double") / 1e6).as("epochs"))
+  }
+
   /** Quality-proportional deterministic sampling ("soft" quality
     * filtering à la FineWeb: don't hard-threshold, keep each document
     * with probability = its quality score): keep iff

@@ -290,4 +290,75 @@ class CorpusStatsSpec extends SparkSpec {
     val meanErr = errs.sum / errs.size
     assert(meanErr < 0.15, s"KMV jaccard mean error too high: $meanErr")
   }
+
+  test("vocabCoverage: cumulative mass is monotone, ends at 1 when V ≥ vocab") {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b d")).toDF("doc_id", "text")
+    val got = CorpusStats.vocabCoverage(docs, "doc_id", "text", topV = 10)
+      .as[(Int, String, Long, Long, Double)].collect().sortBy(_._1)
+    // a:4 b:3 c:1 d:1 of 9 total; ties (c, d) break on token
+    assert(got.map(r => (r._2, r._3)).toSeq ===
+      Seq(("a", 4L), ("b", 3L), ("c", 1L), ("d", 1L)))
+    assert(got.map(_._4).toSeq === Seq(4L, 7L, 8L, 9L))
+    // half-up micro of 4/9, 7/9, 8/9, 9/9
+    assert(got.map(_._5).toSeq === Seq(0.444444, 0.777778, 0.888889, 1.0))
+  }
+
+  test("pmiBigrams: attracted pair scores positive, repelled negative; counts exact") {
+    // "x y" always co-occur; "x z" never adjacent
+    val docs = Seq(
+      (1L, "x y x y x y"),
+      (2L, "z q z q z q")).toDF("doc_id", "text")
+    val got = CorpusStats.pmiBigrams(docs, "doc_id", "text", minCount = 1, topK = 10)
+      .as[(Int, String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._2, r._3) -> r).toMap
+    // bigrams doc1: xy yx xy yx xy; doc2: zq qz zq qz zq
+    assert(got(("x", "y"))._4 === 3L)
+    assert(got(("y", "x"))._4 === 2L)
+    // p(xy) = 3/10 ≫ p(x)p(y) = (3/12)(3/12) → strongly positive PMI
+    assert(got(("x", "y"))._7 > 1.0)
+    assert(got(("x", "y"))._5 === 3L && got(("x", "y"))._6 === 3L)
+  }
+
+  test("zipfFit: an exact power law recovers its slope") {
+    // counts n(rank) = 1024 / rank  → ln n = ln 1024 − 1·ln rank
+    val docs = (1 to 16).flatMap { r =>
+      val tok = f"t$r%02d" // token names sort with rank so ties can't reorder
+      Seq.fill(1024 / r)(tok)
+    }.zipWithIndex.map { case (tok, i) => (i.toLong, tok) }.toDF("doc_id", "text")
+    val got = CorpusStats.zipfFit(docs, "doc_id", "text", topR = 16)
+      .as[(Long, Double, Double, Double)].head()
+    assert(got._1 === 16L)
+    // 1024/r truncates (not exact for r=3,5,…) → slope near −1, r² near 1
+    assert(math.abs(got._2 - (-1.0)) < 0.02, s"slope ${got._2}")
+    assert(got._4 > 0.999, s"r2 ${got._4}")
+  }
+
+  test("logprobBandGate: bounds bracket the kept set; tails dropped") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = CorpusStats.logprobBandGate(docs, "doc_id", "text",
+      pLo = 0.10, pHi = 0.90, sampleKeep = 50)
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect()
+    val (lo, hi) = (got.head._4, got.head._5)
+    assert(lo < hi)
+    assert(got.forall(r => r._6 === (r._3 >= lo && r._3 <= hi)))
+    // both tails must actually exist and be dropped
+    assert(got.exists(r => r._3 < lo))
+    assert(got.exists(r => r._3 > hi))
+    val kept = got.count(_._6).toDouble / got.length
+    assert(kept > 0.5 && kept < 0.95, s"kept fraction $kept")
+  }
+
+  test("bigramLogProb: repeated bigram scores higher than word salad") {
+    val docs = Seq(
+      (1L, "a b a b a b a b"),   // one dominant bigram pattern
+      (2L, "c d e f g h i j"))   // every bigram unique
+      .toDF("doc_id", "text")
+    val got = CorpusStats.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 7L && got(2L)._2 === 7L)
+    assert(got(1L)._3 > got(2L)._3)
+    spark.catalog.clearCache()
+  }
 }

@@ -552,6 +552,38 @@ class PlanQualitySpec extends SparkSpec {
       s"blocks must be cached — uncached, the corpus re-tokenizes per use:\n$plan")
   }
 
+  test("q93: top-V limit runs before the rank window; totals broadcast as 1 row") {
+    val plan = executedPlan("q93_vocab_coverage")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-V must be TakeOrderedAndProject, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no SMJ expected:\n$plan")
+  }
+
+  test("q94: top-K bigrams broadcast into the unigram lookups — vocab never broadcast") {
+    val df = SparkEntry.queries("q94_pmi_bigrams")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"both unigram lookups must be broadcast joins of the K-row side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a vocab-sized shuffle join means the wrong side broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-K must limit first:\n$plan")
+  }
+
+  test("q98: cached bigram stream feeds count-agg AND join-back; nothing pairwise") {
+    val df = SparkEntry.queries("q98_bigram_lm")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"bigram stream must be cached (else the corpus re-tokenizes per use):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("cache hygiene: no InMemoryRelation survives a query's first action (CacheScope)") {
     import org.apache.spark.sql.GraftSqlBridge
     // every operator that caches an intermediate — exact-scope contract:
@@ -564,7 +596,8 @@ class PlanQualitySpec extends SparkSpec {
       "q62_bloom_decontaminate", "q64_dedup_materialize",
       "q67_unigram_logprob", "q71_idf_cosine_pairs", "q76_split_leakage",
       "q80_gram_novelty", "q84_chunk_dup", "q89_source_overlap",
-      "q90_kmv_source_overlap", "q92_cluster_purity")
+      "q90_kmv_source_overlap", "q92_cluster_purity", "q96_ppl_band",
+      "q98_bigram_lm")
     // earlier plan-shape tests construct (and thus cache-register)
     // plans without ever acting on them — start from a clean slate
     graft.operators.CacheScope.releaseAll()

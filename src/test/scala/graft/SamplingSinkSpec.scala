@@ -183,6 +183,49 @@ class SamplingSinkSpec extends SparkSpec {
     assert(got("rare")._5 > got("rare")._4 && got("big")._5 < got("big")._4)
   }
 
+  test("epochCappedMix: water-filling matches the sequential UniMax greedy") {
+    import spark.implicits._
+    // langs sized 2, 10, 50, 200 tokens (docs of one token each)
+    def mk(lang: String, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, lang, "tok"))
+    val docs = (mk("aa", 2, 0) ++ mk("bb", 10, 100) ++ mk("cc", 50, 1000) ++
+      mk("dd", 200, 10000)).toDF("doc_id", "lang", "text")
+    def run(budget: Long, e: Int): Map[String, (Long, Boolean, Long, Double)] =
+      Sampling.epochCappedMix(docs, "lang", "text", budget, e)
+        .as[(String, Long, Long, Boolean, Long, Double)].collect()
+        .map(r => r._1 -> (r._3, r._4, r._5, r._6)).toMap
+    // reference: the paper's sequential greedy, smallest lang first.
+    // Greedy ≡ the operator's water-filling closed form except when
+    // integer floor-division dust cascades to later languages (e.g.
+    // B=41 below would differ by 1 token); the (B, E) points chosen
+    // here are dust-free, so the comparison is exact.
+    def greedy(sizes: Seq[(String, Long)], budget: Long, e: Int): Map[String, Long] = {
+      var rem = budget
+      val sorted = sizes.sortBy(s => (s._2, s._1))
+      sorted.zipWithIndex.map { case ((lang, n), i) =>
+        val fair = rem / (sorted.length - i)
+        val a = math.min(n * e, fair)
+        rem -= a
+        lang -> a
+      }.toMap
+    }
+    val sizes = Seq("aa" -> 2L, "bb" -> 10L, "cc" -> 50L, "dd" -> 200L)
+    for ((b, e) <- Seq((100L, 3), (1000L, 3), (40L, 2), (10000L, 5))) {
+      val got = run(b, e)
+      val want = greedy(sizes, b, e)
+      for ((lang, alloc) <- want)
+        assert(got(lang)._3 === alloc, s"B=$b E=$e lang=$lang")
+      // budget never exceeded; epochs never exceed the cap
+      assert(got.values.map(_._3).sum <= b)
+      assert(got.values.forall(_._4 <= e + 1e-9))
+    }
+    // all-capped: budget exceeds E·total — everyone gets exactly n·E
+    val cap = run(100000L, 4)
+    assert(cap.values.forall(_._2))
+    for ((lang, n) <- sizes) assert(cap(lang)._3 === n * 4)
+    assert(cap("aa")._4 === 4.0)
+  }
+
   test("qualityProportionalSample: keep iff bucket < quality micro-units, content-keyed") {
     import spark.implicits._
     val df = (1 to 200).map(_.toLong).toDF("id")
