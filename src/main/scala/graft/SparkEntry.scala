@@ -895,6 +895,15 @@ object SparkEntry {
     "q98_bigram_lm" -> ((s, dir) =>
       CorpusStats.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ── Matryoshka dim-ablation recall: prefix-d cosine top-k vs the
+    //    full-dim truth — queries broadcast, one corpus stream per
+    //    ablation point, exact-integer hit counts ──
+    "q99_dim_ablation" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.dimAblationRecall(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, dims = Seq(16, 32, 64))
+    }),
+
     // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
     //    back onto the corpus scan for full-precision re-scoring —
     //    full vectors touched only for |queries|·shortlist rows ──
@@ -2819,7 +2828,42 @@ object SparkEntry {
          JOIN big g USING (tok_a, tok_b)
          JOIN uni u ON b.tok_a = u.token
          CROSS JOIN v
-         GROUP BY b.doc_id""")
+         GROUP BY b.doc_id""",
+    // Dim-ablation recall: q21's brute-force ranking on list_slice
+    // prefixes vs the full-dim truth; hit counts exact integers, the
+    // q60 recall-join shape.
+    "q99_dim_ablation" ->
+      """WITH truth AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 5
+           QUALIFY row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id ASC) <= 5
+         ), approx AS (
+           SELECT dd.d AS dims, q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM (SELECT unnest([16, 32, 64]) AS d) dd
+           CROSS JOIN embeddings q
+           JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 5
+           QUALIFY row_number() OVER (PARTITION BY dd.d, q.vec_id
+             ORDER BY list_cosine_similarity(
+                 CAST(list_slice(q.embedding, 1, CAST(dd.d AS INT)) AS DOUBLE[]),
+                 CAST(list_slice(c.embedding, 1, CAST(dd.d AS INT)) AS DOUBLE[])) DESC,
+                      c.vec_id ASC) <= 5
+         ), hits AS (
+           SELECT a.dims, a.query_id,
+             CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           FROM approx a
+           LEFT JOIN truth t
+             ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+           GROUP BY 1, 2
+         ), tc AS (
+           SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1
+         )
+         SELECT h.query_id, CAST(h.dims AS INT) AS dims, tc.n_truth, h.n_hits,
+           round(CAST(h.n_hits AS DOUBLE) / tc.n_truth, 6) AS recall
+         FROM hits h JOIN tc USING (query_id)""")
 
   /** DuckDB replay of `Similarity.pqAdcSearch` (q87). The subspace-s
     * slice of a vector is elements s·subDim+1 … (s+1)·subDim

@@ -508,6 +508,47 @@ object Similarity {
         round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
   }
 
+  /** Embedding-dimension ablation (the Matryoshka-representation
+    * question, Kusupati et al. 2022: "how much recall does a truncated
+    * prefix keep?"): for each d in `dims`, recall@k of the exact top-k
+    * under PREFIX-d cosine against the full-dimension top-k truth —
+    * the eval a pipeline runs before storing truncated embeddings to
+    * cut index cost.
+    *
+    * Scale shape: queries broadcast (ANN-workload contract, as
+    * [[bruteForceKnn]]); the corpus streams once per ablation point
+    * (|dims|+1 scans — an eval over a broadcastable query set, each
+    * scan embarrassingly parallel, nothing ever shuffles the corpus);
+    * rank ties break on neighbor id (metric rule); recall counts are
+    * exact integers.
+    *
+    * Output: one row per (query, d) — (query_id, dims, n_truth,
+    * n_hits, recall 6 dp). */
+  def dimAblationRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty)
+    val truth = bruteForceKnn(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val byDim = dims.map { d =>
+      val q = broadcast(queries
+        .select(col(idCol).as("query_id"), slice(col(vecCol), 1, d).as("qv"))
+        .withColumn("qn", vecNorm(col("qv"))))
+      val c = corpus
+        .select(col(idCol).as("neighbor_id"), slice(col(vecCol), 1, d).as("cv"))
+        .withColumn("cn", vecNorm(col("cv")))
+      topKByCosine(c.join(q, col("query_id") =!= col("neighbor_id")), k)
+        .select(col("query_id"), col("neighbor_id"), lit(d).as("dims"))
+    }.reduce(_ unionAll _)
+    val truthCnt = truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+    byDim
+      .join(truth.withColumn("__t", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("dims", "query_id")
+      .agg(sum(coalesce(col("__t"), lit(0L))).as("n_hits"))
+      .join(truthCnt, "query_id")
+      .select(col("query_id"), col("dims"), col("n_truth"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space, then look
     * for near-duplicates ONLY within a cluster — the published trick

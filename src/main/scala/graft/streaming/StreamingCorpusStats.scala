@@ -1,0 +1,148 @@
+package graft.streaming
+
+import graft.operators.CorpusStats.KmvBuf
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One emitted row per (closed window, surviving counter). */
+case class WindowHeavyHitter(window_start_us: Long, rank: Int, token: String,
+                             mg_count: Long, n_rows: Long)
+
+/** One emitted row per closed window. */
+case class WindowDistinct(window_start_us: Long, n_rows: Long, n_kept: Long,
+                          estimate: Double)
+
+/** LIVE corpus statistics — streaming counterparts of the batch
+  * [[graft.operators.CorpusStats]] sketches, following the
+  * [[StreamingDrift]] shape: custom keyed state per OPEN event-time
+  * window, watermark-driven exactly-once emission (EventTimeTimeout at
+  * window end), closed windows remove their state.
+  *
+  * Why custom state: both sketches need sub-linear PER-WINDOW state
+  * (k counters / k hashes) with merge-on-arrival semantics — a plain
+  * windowed `groupBy(token)` would carry data-sized state (every
+  * distinct token of the open windows) to produce a k-sized answer. */
+object StreamingCorpusStats {
+
+  /** Tumbling-window Misra–Gries heavy hitters (Misra & Gries 1982):
+    * at most `k` counters per open window; an arriving token
+    * increments its counter, claims a free slot, or — when all `k`
+    * slots are taken — decrements every counter (zeroed counters free
+    * their slots). On window close the surviving counters emit ranked
+    * by (count DESC, token ASC).
+    *
+    * Guarantee (the MG bound, asserted by the spec): for every token,
+    * true_count − n_rows/(k+1) ≤ mg_count ≤ true_count — any token
+    * with frequency above n/(k+1) is guaranteed a surviving counter.
+    * The COUNTS are arrival-order-dependent (inherent to MG — state
+    * merge is not commutative beyond the bound), so downstream logic
+    * must rely on the bound, not on exact values; the batch exact
+    * counterpart is `CorpusStats.heavyHitterTokens` (q42).
+    *
+    * State per open window: ≤ k (token, count) pairs + one row count —
+    * monitoring-sized, never data-sized. */
+  def windowedHeavyHitters(df: DataFrame, tokenCol: String, tsCol: String,
+                           windowLen: String, windowMillis: Long,
+                           delay: String, k: Int): Dataset[WindowHeavyHitter] = {
+    require(k >= 1)
+    implicit val outEnc: Encoder[WindowHeavyHitter] =
+      Encoders.product[WindowHeavyHitter]
+    implicit val stateEnc: Encoder[(Map[String, Long], Long)] =
+      Encoders.kryo[(Map[String, Long], Long)]
+    implicit val rowEnc: Encoder[(java.sql.Timestamp, String, java.sql.Timestamp)] =
+      Encoders.product[(java.sql.Timestamp, String, java.sql.Timestamp)]
+    // the WATERMARKED event-time column itself must survive into the
+    // stateful operator (EventTimeTimeout resolves the watermark from
+    // its tag; `window(...).start` does NOT inherit it) — the raw
+    // tsCol rides along as _3, unused by the state function
+    val winRows = df
+      .withWatermark(tsCol, delay)
+      .select(window(col(tsCol), windowLen).getField("start").as("_1"),
+        col(tokenCol).cast("string").as("_2"),
+        col(tsCol).as("_3"))
+      .as[(java.sql.Timestamp, String, java.sql.Timestamp)]
+    winRows.groupByKey(_._1.getTime)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Map[String, Long], Long), WindowHeavyHitter](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wsMs: Long, rows: Iterator[(java.sql.Timestamp, String, java.sql.Timestamp)],
+         state: GroupState[(Map[String, Long], Long)]) =>
+          if (state.hasTimedOut) {
+            val (counters, nRows) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+            state.remove()
+            counters.toSeq.sortBy { case (tok, c) => (-c, tok) }.zipWithIndex
+              .map { case ((tok, c), i) =>
+                WindowHeavyHitter(wsMs * 1000L, i + 1, tok, c, nRows)
+              }.iterator
+          } else {
+            var (counters, nRows) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+            rows.foreach { case (_, tok, _) =>
+              nRows += 1L
+              counters.get(tok) match {
+                case Some(c) => counters = counters.updated(tok, c + 1L)
+                case None if counters.size < k => counters = counters.updated(tok, 1L)
+                case None => // decrement-all; zeroed counters free their slot
+                  counters = counters.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+              }
+            }
+            state.update((counters, nRows))
+            state.setTimeoutTimestamp(
+              math.max(wsMs + windowMillis, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Tumbling-window KMV distinct-count estimate — the streaming twin
+    * of `CorpusStats.kmvDistinctGrams` (q52): per open window the
+    * ≤ k smallest DISTINCT md5-48 hashes of the value column
+    * ([[KmvBuf]], whose insert/merge is COMMUTATIVE — unlike
+    * Misra–Gries, the emitted estimate is independent of arrival
+    * order and partitioning), estimate = (k−1)·2⁴⁸/h_k, exact when
+    * fewer than k distinct values were seen.
+    *
+    * The hash is computed as a COLUMN expression before the stateful
+    * operator (codegen, engine-portable md5), so state never sees raw
+    * values: per-window state is ≤ k longs + one row count. */
+  def windowedKmvDistinct(df: DataFrame, valueCol: String, tsCol: String,
+                          windowLen: String, windowMillis: Long,
+                          delay: String, k: Int): Dataset[WindowDistinct] = {
+    require(k >= 2)
+    implicit val outEnc: Encoder[WindowDistinct] = Encoders.product[WindowDistinct]
+    implicit val stateEnc: Encoder[(KmvBuf, Long)] = Encoders.kryo[(KmvBuf, Long)]
+    implicit val rowEnc: Encoder[(java.sql.Timestamp, Long, java.sql.Timestamp)] =
+      Encoders.product[(java.sql.Timestamp, Long, java.sql.Timestamp)]
+    val h48 = conv(substring(md5(col(valueCol).cast("string").cast("binary")), 1, 12),
+      16, 10).cast("long")
+    // raw tsCol rides along as _3 to carry the watermark tag (see
+    // windowedHeavyHitters)
+    val winRows = df
+      .withWatermark(tsCol, delay)
+      .select(window(col(tsCol), windowLen).getField("start").as("_1"),
+        h48.as("_2"),
+        col(tsCol).as("_3"))
+      .as[(java.sql.Timestamp, Long, java.sql.Timestamp)]
+    winRows.groupByKey(_._1.getTime)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(KmvBuf, Long), WindowDistinct](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wsMs: Long, rows: Iterator[(java.sql.Timestamp, Long, java.sql.Timestamp)],
+         state: GroupState[(KmvBuf, Long)]) =>
+          if (state.hasTimedOut) {
+            val (buf, nRows) = state.getOption.getOrElse((KmvBuf(k, Nil), 0L))
+            state.remove()
+            val kept = buf.items.length.toLong
+            val est =
+              if (kept < k) kept.toDouble
+              else (k - 1).toDouble * 281474976710656.0 / buf.items.last.toDouble
+            Iterator.single(WindowDistinct(wsMs * 1000L, nRows, kept, est))
+          } else {
+            var (buf, nRows) = state.getOption.getOrElse((KmvBuf(k, Nil), 0L))
+            rows.foreach { case (_, h, _) => buf = buf.insert(h); nRows += 1L }
+            state.update((buf, nRows))
+            state.setTimeoutTimestamp(
+              math.max(wsMs + windowMillis, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+}

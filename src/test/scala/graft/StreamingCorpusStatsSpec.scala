@@ -1,0 +1,87 @@
+package graft
+
+import graft.streaming.StreamingCorpusStats
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingCorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  case class TokEv(token: String, event_time: java.sql.Timestamp)
+
+  test("windowedHeavyHitters: heavy token survives with the MG bound; exactly-once; state per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TokEv]
+    val out = StreamingCorpusStats.windowedHeavyHitters(in.toDF(), "token",
+      "event_time", windowLen = "10 seconds", windowMillis = 10000L,
+      delay = "0 seconds", k = 2)
+    val q = out.writeStream.format("memory").queryName("mg_t")
+      .outputMode("append").start()
+    // window [0,10): hot×6 among 4 distinct others — n=10, k=2:
+    // any token with count > n/(k+1) = 3.33 MUST survive
+    // start at 1s: a ts-0 row sits ON the initial watermark and drops
+    val tokens = Seq("hot", "a", "hot", "b", "hot", "c", "hot", "d", "hot", "hot")
+    in.addData(tokens.zipWithIndex.map { case (t, i) =>
+      TokEv(t, new java.sql.Timestamp(1000L + i.toLong * 500))
+    }: _*)
+    q.processAllAvailable()
+    assert(spark.table("mg_t").count() === 0) // window still open
+    in.addData(TokEv("x", ts(25)))
+    q.processAllAvailable()
+    val rows = spark.table("mg_t")
+      .as[(Long, Int, String, Long, Long)].collect().filter(_._1 == 0L)
+    assert(rows.nonEmpty && rows.length <= 2, rows.toSeq.toString) // ≤ k counters survive
+    assert(rows.forall(_._5 === 10L), rows.toSeq.toString)
+    val hot = rows.find(_._3 == "hot")
+    assert(hot.isDefined, s"frequency-6 token must survive MG with k=2: ${rows.toSeq}")
+    // MG bound: true − n/(k+1) ≤ mg ≤ true
+    assert(hot.get._4 <= 6L && hot.get._4 >= 6L - 10L / 3L)
+    assert(hot.get._2 === 1) // ranked first: no other count can exceed it
+    // second window closes independently with its own state
+    in.addData(TokEv("solo", ts(26)), TokEv("solo", ts(27)))
+    q.processAllAvailable()
+    in.addData(TokEv("y", ts(55)))
+    q.processAllAvailable()
+    val w2 = spark.table("mg_t")
+      .as[(Long, Int, String, Long, Long)].collect().filter(_._1 == 20000000L)
+    assert(w2.exists(r => r._3 == "solo" && r._4 == 2L && r._5 == 3L))
+    q.stop()
+  }
+
+  test("windowedKmvDistinct: exact below k, arrival-order independent, matches hand KMV above k") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TokEv]
+    val out = StreamingCorpusStats.windowedKmvDistinct(in.toDF(), "token",
+      "event_time", windowLen = "10 seconds", windowMillis = 10000L,
+      delay = "0 seconds", k = 4)
+    val q = out.writeStream.format("memory").queryName("kmv_t")
+      .outputMode("append").start()
+    // window [0,10): 3 distinct values (< k) repeated — exact count
+    in.addData(TokEv("u", ts(1)), TokEv("v", ts(2)), TokEv("u", ts(3)),
+      TokEv("w", ts(4)), TokEv("v", ts(5)))
+    q.processAllAvailable()
+    // window [10,20): 8 distinct values (> k) — KMV estimate; feed in
+    // one order here, compare against the hand fold in sorted order
+    val vals = Seq("p1", "p2", "p3", "p4", "p5", "p6", "p7", "p8")
+    in.addData(vals.zipWithIndex.map { case (v, i) =>
+      TokEv(v, new java.sql.Timestamp(12000L + i))
+    }: _*)
+    q.processAllAvailable()
+    in.addData(TokEv("z", ts(45)))
+    q.processAllAvailable()
+    val rows = spark.table("kmv_t")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rows(0L)._2 === 5L && rows(0L)._3 === 3L && rows(0L)._4 === 3.0)
+    // hand KMV: same md5-48 hash, k smallest of the SORTED distinct set
+    def h48(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+    val hs = vals.map(h48).distinct.sorted.take(4)
+    val expected = 3.0 * 281474976710656.0 / hs.last.toDouble
+    assert(rows(10000000L)._3 === 4L)
+    assert(rows(10000000L)._4 === expected)
+    q.stop()
+  }
+}
