@@ -705,8 +705,13 @@ object CorpusStats {
       .select(col(idCol), col("__p.a").as("tok_a"), col("__p.b").as("tok_b"))
       .cache()
     val big = bi.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+    // uni cached too: the V 1-row aggregate and the join-back branch
+    // apply different pushed filters, which defeats Spark's exchange
+    // reuse — uncached, V re-scans and re-tokenizes the whole corpus
+    // for a single number (vocab-sized frame, same class as tfIdf's tf)
     val uni = tokenized(docs, idCol, textCol)
       .groupBy("token").agg(count(lit(1)).as("c_a"))
+      .cache()
     val v = uni.agg(count(lit(1)).as("__v"))
     CacheScope.scoped(
       bi.join(big, Seq("tok_a", "tok_b"))
@@ -717,6 +722,6 @@ object CorpusStats {
           round(sum(log((col("c_ab").cast("double") + lit(1.0)) /
             (col("c_a").cast("double") + col("__v").cast("double")))) /
             count(lit(1)), 6).as("mean_logprob")),
-      bi)
+      bi, uni)
   }
 }

@@ -240,10 +240,14 @@ object Sampling {
         lit(0L)))
     val cond = col("n_tokens") * lit(maxEpochs.toLong) * (col("__L") - col("__i") + 1) <=
       lit(budgetTokens) - lit(maxEpochs.toLong) * col("__cum")
+    // cached: `flagged` (a |langs|-row frame) feeds BOTH the caps 1-row
+    // aggregate and the final select — uncached, each branch re-scans
+    // the whole corpus for the per-lang aggregate. CacheScope-scoped.
     val flagged = ranked.withColumn("__capped",
       min(when(cond, 1L).otherwise(0L)).over(
         wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)) === 1L)
+      .cache()
     val caps = flagged.agg(
       coalesce(sum(when(col("__capped"), col("n_tokens"))), lit(0L)).as("__capTok"),
       coalesce(sum(when(col("__capped"), 1L)), lit(0L)).as("__nCap"),
@@ -252,16 +256,18 @@ object Sampling {
       .otherwise(intDiv(
         lit(budgetTokens) - lit(maxEpochs.toLong) * col("__capTok"),
         col("__L2") - col("__nCap")))
-    flagged.crossJoin(broadcast(caps))
-      .withColumn("alloc_tokens", alloc)
-      .select(col("lang"), col("n_docs"), col("n_tokens"), col("__capped").as("capped"),
-        col("alloc_tokens"),
-        // epochs = alloc/n_tokens — exact-integer ratio; DECIMAL(38)
-        // operands keep alloc·2·10⁶ exact far past the long range
-        (intDiv(
-          col("alloc_tokens").cast("decimal(38,0)") * lit(2000000L) + col("n_tokens"),
-          col("n_tokens").cast("decimal(38,0)") * lit(2L))
-          .cast("double") / 1e6).as("epochs"))
+    CacheScope.scoped(
+      flagged.crossJoin(broadcast(caps))
+        .withColumn("alloc_tokens", alloc)
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("__capped").as("capped"),
+          col("alloc_tokens"),
+          // epochs = alloc/n_tokens — exact-integer ratio; DECIMAL(38)
+          // operands keep alloc·2·10⁶ exact far past the long range
+          (intDiv(
+            col("alloc_tokens").cast("decimal(38,0)") * lit(2000000L) + col("n_tokens"),
+            col("n_tokens").cast("decimal(38,0)") * lit(2L))
+            .cast("double") / 1e6).as("epochs")),
+      flagged)
   }
 
   /** Quality-proportional deterministic sampling ("soft" quality
