@@ -904,6 +904,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, dims = Seq(16, 32, 64))
     }),
 
+    // ── incremental ingest dedup: the 30/100-bucket "new batch" gated
+    //    against the 70/100 "accepted corpus" — fingerprint semi-join
+    //    (old side corpus-sized, never broadcast) + asymmetric
+    //    LSH-index probe with signature-agreement verify ──
+    "q100_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val b = operators.Sampling.md5Bucket("doc_id", 100)
+      Dedup.incrementalNearDup(docs.where(b >= 70), docs.where(b < 70),
+        "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+        minJaccard = 0.8)
+    }),
+
     // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
     //    back onto the corpus scan for full-precision re-scoring —
     //    full vectors touched only for |queries|·shortlist rows ──
@@ -998,6 +1010,71 @@ object SparkEntry {
          JOIN mh mb ON mb.doc_id = id_b AND ma.i = mb.i
          GROUP BY id_a, id_b
          HAVING CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 >= 0.8"""
+  }
+
+  /** DuckDB replay of `Dedup.incrementalNearDup` (q100): the q19
+    * MinHash CTEs over ALL docs, candidate pairs restricted to
+    * (new-bucket ≥ 70) × (old-bucket < 70) band collisions, exact
+    * fingerprint membership against the old side's distinct digests.
+    * est values are exact multiples of 1/64 — max() needs no round. */
+  private def incrementalDedupSql: String = {
+    def parse12(start: Int) =
+      s"CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + $start AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT)"
+    val norm =
+      "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    s"""WITH bkt AS (
+           SELECT doc_id, text,
+             CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS bucket
+           FROM (SELECT doc_id, text, md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+         ), t AS (
+           SELECT doc_id, string_split($norm, ' ') AS toks FROM bkt
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM t WHERE len(toks) >= 3
+         ), hh AS (
+           SELECT doc_id, ${parse12(1)} AS h1, ${parse12(13)} AS h2
+           FROM (SELECT doc_id, md5(shingle) AS hx FROM sh)
+         ), mh AS (
+           SELECT doc_id, i.i AS i, min(h1 + i.i * h2) AS mh
+           FROM hh CROSS JOIN range(64) i(i) GROUP BY doc_id, i.i
+         ), band AS (
+           SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+           FROM mh GROUP BY doc_id, band
+         ), cand AS (
+           SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+           FROM band n
+           JOIN bkt bn ON n.doc_id = bn.doc_id AND bn.bucket >= 70
+           JOIN band o ON n.band = o.band AND n.bkey = o.bkey
+           JOIN bkt bo ON o.doc_id = bo.doc_id AND bo.bucket < 70
+         ), est AS (
+           SELECT id_new, id_old,
+             CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 AS est
+           FROM cand
+           JOIN mh ma ON ma.doc_id = id_new
+           JOIN mh mb ON mb.doc_id = id_old AND ma.i = mb.i
+           GROUP BY 1, 2
+           HAVING CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 >= 0.8
+         ), near AS (
+           SELECT id_new AS doc_id, CAST(count(*) AS BIGINT) AS n_near_dups,
+             max(est) AS max_est_jaccard
+           FROM est GROUP BY 1
+         ), oldfp AS (
+           SELECT DISTINCT md5($norm) AS fp FROM bkt WHERE bucket < 70
+         ), newdocs AS (
+           SELECT doc_id, md5($norm) AS fp FROM bkt WHERE bucket >= 70
+         )
+         SELECT n.doc_id,
+           (o.fp IS NOT NULL) AS exact_dup,
+           CAST(coalesce(nr.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+           nr.max_est_jaccard,
+           (o.fp IS NULL AND coalesce(nr.n_near_dups, 0) = 0) AS keep
+         FROM newdocs n
+         LEFT JOIN oldfp o ON n.fp = o.fp
+         LEFT JOIN near nr ON n.doc_id = nr.doc_id"""
   }
 
   /** DuckDB CTE block reproducing `Dedup.winnowFingerprints` (q40):
@@ -2863,7 +2940,8 @@ object SparkEntry {
          )
          SELECT h.query_id, CAST(h.dims AS INT) AS dims, tc.n_truth, h.n_hits,
            round(CAST(h.n_hits AS DOUBLE) / tc.n_truth, 6) AS recall
-         FROM hits h JOIN tc USING (query_id)""")
+         FROM hits h JOIN tc USING (query_id)""",
+    "q100_incremental_dedup" -> incrementalDedupSql)
 
   /** DuckDB replay of `Similarity.pqAdcSearch` (q87). The subspace-s
     * slice of a vector is elements s·subDim+1 … (s+1)·subDim

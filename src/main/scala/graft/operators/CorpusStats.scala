@@ -629,10 +629,15 @@ object CorpusStats {
     val cov = nD * col("sxy") - col("sx") * col("sy")
     val varx = nD * col("sxx") - col("sx") * col("sx")
     val vary = nD * col("syy") - col("sy") * col("sy")
+    // degenerate corpora (≤1 term → varx = 0; uniform counts → vary =
+    // 0; empty → n = 0) have no defined fit — emit NULL, don't crash
+    // the whole job on ANSI DIVIDE_BY_ZERO
     sums.select(col("n_terms"),
-      round(cov / varx, 6).as("slope"),
-      round((col("sy") - (cov / varx) * col("sx")) / nD, 6).as("intercept"),
-      round((cov * cov) / (varx * vary), 6).as("r2"))
+      when(varx =!= 0.0, round(cov / varx, 6)).as("slope"),
+      when(varx =!= 0.0 && nD =!= 0.0,
+        round((col("sy") - (cov / varx) * col("sx")) / nD, 6)).as("intercept"),
+      when(varx * vary =!= 0.0,
+        round((cov * cov) / (varx * vary), 6)).as("r2"))
   }
 
   /** Perplexity-band curation gate (the CCNet / Wenzek et al. 2020

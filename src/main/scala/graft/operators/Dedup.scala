@@ -175,6 +175,62 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard"), sig)
   }
 
+  /** Incremental (new-batch vs existing-corpus) dedup gate — the
+    * ingest-time form of near-dup dedup: an arriving batch is checked
+    * against the ALREADY-ACCEPTED corpus, never against itself (batch-
+    * internal duplicates are [[minHashLshPairs]]' job on the accepted
+    * set later; gating arrivals on each other would make acceptance
+    * order-dependent).
+    *
+    * Two checks per new doc: EXACT (normalized md5 fingerprint seen in
+    * the old corpus — a shuffle semi-join on the digest; the old side
+    * is corpus-sized, never broadcast) and NEAR (MinHash-LSH: new-side
+    * banded buckets equi-join the old side's — the asymmetric form of
+    * the q19 self-join, i.e. the write-once LSH INDEX of the accepted
+    * corpus probed by the batch — then exact signature-agreement
+    * verification at `minJaccard`). est_jaccard values are exact
+    * multiples of 1/numHashes, so max() needs no rounding.
+    *
+    * Output: one row per new doc — (id, exact_dup, n_near_dups,
+    * max_est_jaccard ∣ null, keep = ¬exact ∧ n_near = 0). */
+  def incrementalNearDup(newDocs: DataFrame, oldDocs: DataFrame,
+                         idCol: String, textCol: String, shingleN: Int,
+                         numHashes: Int, bands: Int,
+                         minJaccard: Double): DataFrame = {
+    val oldFp = oldDocs
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+    val newFp = newDocs.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    val exact = newFp.join(oldFp.withColumn("__hit", lit(1)), Seq("__fp"), "left")
+      .select(col(idCol), (col("__hit").isNotNull).as("exact_dup"))
+    val bNew = bandedBuckets(
+        minHashSignatures(newDocs, idCol, textCol, shingleN, numHashes),
+        idCol, numHashes, bands)
+      .select(col(idCol).as("__id_new"), col("sig").as("__sig_new"),
+        col("band"), col("bucket"))
+    val bOld = bandedBuckets(
+        minHashSignatures(oldDocs, idCol, textCol, shingleN, numHashes),
+        idCol, numHashes, bands)
+      .select(col(idCol).as("__id_old"), col("sig").as("__sig_old"),
+        col("band"), col("bucket"))
+    val near = bNew.join(bOld, Seq("band", "bucket"))
+      .select(col("__id_new"), col("__sig_new"), col("__id_old"), col("__sig_old"))
+      .distinct()
+      .withColumn("__est",
+        graft.expressions.HashExpressions
+          .signatureAgreement(col("__sig_new"), col("__sig_old"))
+          .cast("double") / numHashes)
+      .where(col("__est") >= minJaccard)
+      .groupBy(col("__id_new").as(idCol))
+      .agg(count(lit(1)).as("n_near_dups"), max(col("__est")).as("max_est_jaccard"))
+    exact.join(near, Seq(idCol), "left")
+      .select(col(idCol), col("exact_dup"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        col("max_est_jaccard"),
+        (!col("exact_dup") && coalesce(col("n_near_dups"), lit(0L)) === 0L)
+          .as("keep"))
+  }
+
   /** Benchmark decontamination: for every corpus document, the fraction
     * of its distinct word n-grams that appear ANYWHERE in a reference
     * corpus (the test/benchmark set) — the standard training-data

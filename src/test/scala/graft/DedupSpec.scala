@@ -325,4 +325,31 @@ class DedupSpec extends SparkSpec {
       Seq((9L, "too short")).toDF("doc_id", "text"), "doc_id", "text", 10).count() === 0)
     spark.catalog.clearCache()
   }
+
+  test("incrementalNearDup: exact dup, near dup and novel docs flagged against the OLD corpus only") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val old = Seq(
+      (1L, base),
+      (2L, "completely unrelated reference text about streaming engines")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, base),                                  // exact dup of old 1
+      (11L, base + " extra"),                       // near dup of old 1
+      (12L, "entirely novel content nothing shares any shingle with this"),
+      (13L, base + " extra")                        // batch-internal dup of 11 — NOT flagged (gate checks OLD only)
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(fresh, old, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+      .as[(Long, Boolean, Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(10L)._2 === true  && got(10L)._5 === false)
+    assert(got(11L)._2 === false && got(11L)._3 >= 1L && got(11L)._5 === false)
+    assert(got(11L)._4.exists(j => j >= 0.5 && j <= 1.0))
+    assert(got(12L)._2 === false && got(12L)._3 === 0L &&
+      got(12L)._4.isEmpty && got(12L)._5 === true)
+    // 13 duplicates 11 (same BATCH) but nothing in the old corpus
+    // exactly — still a near-dup of old 1 through the shared base text
+    assert(got(13L)._2 === false && got(13L)._3 >= 1L)
+    assert(got.size === 4) // every new doc gets a verdict row
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators.{CorpusStats, Dedup, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input contracts: null text, empty string, empty corpus.
+  * The fixtures never contain these, so the oracle gate can't see
+  * them — but a library MUST behave sanely (ANSI mode turns an
+  * unguarded 0/0 into a job-killing exception, not a quiet NaN).
+  * These tests PIN the intended behaviors:
+  *  - null text → null per-row scores (Spark null propagation), and
+  *    null-text docs drop out of gram/token operators via the
+  *    size-guard predicates;
+  *  - empty string → ONE empty token (split contract; n ≥ 1 is the
+  *    documented divide-by-zero guard in qualityMicro);
+  *  - empty corpus → empty result, or an explicit all-NULL fit row
+  *    (zipfFit), never an exception. */
+class RobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq((1L, "normal text here with words"),
+    (2L, null.asInstanceOf[String]), (3L, "")).toDF("doc_id", "text")
+  private def wide = docs.withColumn("source", lit("s")).withColumn("lang", lit("en"))
+  private def empty = wide.where(lit(false))
+
+  test("null and empty text: per-row functions propagate null / score the empty token") {
+    assert(docs.select(TextAnalysis.tokenCount(col("text")))
+      .as[Option[Int]].collect().toSeq === Seq(Some(5), None, Some(1)))
+    assert(docs.select(TextAnalysis.qualityMicro(col("text")))
+      .as[Option[Long]].collect().toSeq === Seq(Some(321600L), None, Some(0L)))
+    // null fingerprint: the doc joins no dedup group; in corpusCard it
+    // is EXCLUDED from countDistinct, so it counts toward n_dup_docs —
+    // null-text docs must be filtered before exact dedup if that
+    // matters (documented here, deliberate)
+    val fps = docs.select(TextAnalysis.fingerprint(col("text")))
+      .as[Option[String]].collect()
+    assert(fps(1).isEmpty && fps(0).isDefined && fps(2).isDefined)
+  }
+
+  test("gram operators drop null/short docs via their size guards, keep the rest") {
+    val got = Dedup.interDocGramStats(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L)) // null + "" have < 3 tokens
+    assert(got.head._3 === 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("corpusCard: null text participates in counts with null-valued stats absorbed") {
+    val card = CorpusStats.corpusCard(wide, "doc_id", "text", Seq("source", "lang"))
+      .as[(String, String, Long, Long, Long, Int, Int, Double)].collect()
+    assert(card.length === 1)
+    val (_, _, nDocs, nDup, nToks, minT, maxT, _) = card.head
+    assert(nDocs === 3L && nToks === 6L && minT === 1 && maxT === 5)
+    assert(nDup === 1L) // the null-fp doc (see the per-row test above)
+  }
+
+  test("empty corpus: empty results everywhere; zipfFit emits an explicit NULL fit") {
+    assert(CorpusStats.corpusCard(empty, "doc_id", "text", Seq("source", "lang")).count() === 0)
+    assert(CorpusStats.vocabCoverage(empty, "doc_id", "text", 5).count() === 0)
+    assert(Sampling.epochCappedMix(empty, "lang", "text", 1000L, 3).count() === 0)
+    val fit = CorpusStats.zipfFit(empty, "doc_id", "text", 10)
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(fit === ((0L, None, None, None)))
+  }
+
+  test("zipfFit: uniform counts (vary = 0) yield slope 0 and NULL r2, not DIVIDE_BY_ZERO") {
+    val uniform = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text") // every count = 1
+    val fit = CorpusStats.zipfFit(uniform, "doc_id", "text", 10)
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(fit._1 === 4L)
+    assert(fit._2 === Some(0.0) && fit._4.isEmpty)
+  }
+}
