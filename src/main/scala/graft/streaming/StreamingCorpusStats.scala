@@ -25,6 +25,40 @@ case class WindowDistinct(window_start_us: Long, n_rows: Long, n_kept: Long,
   * distinct token of the open windows) to produce a k-sized answer. */
 object StreamingCorpusStats {
 
+  /** Tumbling-window corpus data card — the NO-custom-state member of
+    * the live monitoring family: per event-time window, doc count,
+    * token mass, token-count range and mean quality, all ALGEBRAIC
+    * aggregates over per-row codegen columns, so this is one native
+    * watermarked windowed aggregation (append mode, exactly-once on
+    * window close, state pruned by the watermark — nothing bespoke).
+    * Quality aggregates as exact integer micro-units and the mean uses
+    * the shifted intDiv half-up form — bit-identical to the batch
+    * `CorpusStats.corpusCard` mean (asserted by the parity spec).
+    * The batch card's n_dup_docs is deliberately absent: it needs a
+    * count-distinct of the fingerprint, which append-mode streaming
+    * can't chain under a windowed aggregate — run the batch card (or
+    * [[windowedKmvDistinct]] on the fingerprint) for dup monitoring. */
+  def windowedCorpusCard(df: DataFrame, textCol: String, tsCol: String,
+                         windowLen: String, delay: String): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    import graft.functions.TextAnalysis
+    val toks = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val sq = sum(TextAnalysis.qualityMicro(col(textCol)))
+    val n = count(lit(1))
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(
+        n.as("n_docs"),
+        sum(toks).as("n_tokens"),
+        min(toks).as("min_toks"),
+        max(toks).as("max_toks"),
+        (intDiv(sq * lit(2L) + n, n * lit(2L)).cast("double") / 1e6)
+          .as("mean_quality"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_docs"), col("n_tokens"), col("min_toks"), col("max_toks"),
+        col("mean_quality"))
+  }
+
   /** Tumbling-window Misra–Gries heavy hitters (Misra & Gries 1982):
     * at most `k` counters per open window; an arriving token
     * increments its counter, claims a free slot, or — when all `k`

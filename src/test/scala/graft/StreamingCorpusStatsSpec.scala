@@ -49,6 +49,41 @@ class StreamingCorpusStatsSpec extends SparkSpec {
     q.stop()
   }
 
+  case class DocEv(text: String, event_time: java.sql.Timestamp)
+
+  test("windowedCorpusCard: closed window matches the batch corpusCard bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[DocEv]
+    val out = StreamingCorpusStats.windowedCorpusCard(in.toDF(), "text",
+      "event_time", windowLen = "10 seconds", delay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("card_t")
+      .outputMode("append").start()
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "short one",
+      "a much longer document with many more words in it than the others have")
+    in.addData(texts.zipWithIndex.map { case (t, i) => DocEv(t, ts(i + 1)) }: _*)
+    q.processAllAvailable()
+    in.addData(DocEv("closer", ts(25)))
+    q.processAllAvailable()
+    val rows = spark.table("card_t")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().filter(_._1 == 0L)
+    assert(rows.length === 1)
+    val stream = rows.head
+    // batch parity: same docs through the batch card (one group)
+    import spark.implicits._
+    val batch = graft.operators.CorpusStats.corpusCard(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "g", "g") }
+        .toDF("doc_id", "text", "source", "lang"),
+      "doc_id", "text", Seq("source", "lang"))
+      .select("n_docs", "n_tokens", "min_toks", "max_toks", "mean_quality")
+      .as[(Long, Long, Int, Int, Double)].head()
+    assert((stream._2, stream._3, stream._4, stream._5, stream._6) ===
+      ((batch._1, batch._2, batch._3.toLong, batch._4.toLong, batch._5)))
+    q.stop()
+  }
+
   test("windowedKmvDistinct: exact below k, arrival-order independent, matches hand KMV above k") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TokEv]
