@@ -584,6 +584,16 @@ class PlanQualitySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("global sweep: no query plans a CartesianProduct") {
+    // crossJoin is only ever used against a broadcast 1-row aggregate
+    // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an
+    // equi-key was lost and the query would melt at scale
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      executedPlan(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
+
   test("cache hygiene: no InMemoryRelation survives a query's first action (CacheScope)") {
     import org.apache.spark.sql.GraftSqlBridge
     // every operator that caches an intermediate — exact-scope contract:
