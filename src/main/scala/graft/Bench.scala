@@ -63,12 +63,18 @@ object Bench {
     println(json)
     // also write the FULL per-query JSON to a file: the driver's stdout
     // tail capture truncates a third of the suite (BENCH_r06 lost
-    // q01–q32) — the committed file is the complete artifact
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
-    try {
-      val w = new java.io.PrintWriter(outFile, "UTF-8")
-      try w.println(json) finally w.close()
-    } catch { case _: Throwable => } // bench result on stdout regardless
+    // q01–q32) — the committed file is the complete artifact. A SUBSET
+    // run must NOT clobber it (its "total" would be the subset's): only
+    // write the default artifact for full-suite runs; subset runs write
+    // only when SPARK_GRAFT_BENCH_OUT names a file explicitly.
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("bench_latest.json") else None)
+    outFile.foreach { f =>
+      try {
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        try w.println(json) finally w.close()
+      } catch { case _: Throwable => } // bench result on stdout regardless
+    }
     spark.stop()
   }
 }

@@ -2723,7 +2723,7 @@ object SparkEntry {
            FROM top
          )
          SELECT rank, token, n, cum_n,
-           CAST((2000000 * cum_n + tot) // (2 * tot) AS DOUBLE) / 1e6 AS coverage
+           CAST((2000000 * CAST(cum_n AS HUGEINT) + tot) // (2 * CAST(tot AS HUGEINT)) AS DOUBLE) / 1e6 AS coverage
          FROM rk, tot""",
     // Bigram PMI: adjacent pairs by 1-based index; the ln fold order is
     // written IDENTICALLY to the Spark expression (left-assoc:

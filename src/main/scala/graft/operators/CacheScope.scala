@@ -37,7 +37,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   */
 object CacheScope {
 
-  private final case class Entry(owner: LogicalPlan, caches: Seq[Dataset[_]])
+  private final case class Entry(session: SparkSession, owner: LogicalPlan,
+                                 caches: Seq[Dataset[_]])
   private val pending = new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
   private val hooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
@@ -47,10 +48,23 @@ object CacheScope {
     * `result`. Returns `result` unchanged. */
   def scoped[T](result: Dataset[T], caches: Dataset[_]*): Dataset[T] = {
     if (caches.nonEmpty) {
+      purgeStopped()
       ensureListener(result.sparkSession)
-      pending.add(Entry(GraftSqlBridge.analyzedPlan(result), caches))
+      pending.add(Entry(result.sparkSession,
+        GraftSqlBridge.analyzedPlan(result), caches))
     }
     result
+  }
+
+  /** Drop state tied to STOPPED sessions: their caches are gone with
+    * the context, so holding the entry (or the session in `hooked`)
+    * would just re-create the leak this object exists to close, one
+    * layer up. Called from every mutation path — both collections stay
+    * bounded by LIVE sessions' registrations. */
+  private def purgeStopped(): Unit = {
+    val it = pending.iterator()
+    while (it.hasNext) if (it.next().session.sparkContext.isStopped) it.remove()
+    hooked.removeIf(s => s.sparkContext.isStopped)
   }
 
   /** Release every pending registration whose owner plan occurs inside
@@ -74,7 +88,8 @@ object CacheScope {
     val it = pending.iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (plan.exists(_.sameResult(e.owner))) {
+      if (e.session.sparkContext.isStopped) it.remove()
+      else if (plan.exists(_.sameResult(e.owner))) {
         it.remove()
         e.caches.foreach(_.unpersist(false))
       }

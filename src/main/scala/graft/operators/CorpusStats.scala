@@ -520,7 +520,9 @@ object CorpusStats {
     * ≤V rows — the repo's bounded-frame rule); total token mass is
     * Σn over the vocab aggregate (no second corpus scan), broadcast
     * as a 1-row aggregate. coverage = cum/total is a ratio of exact
-    * integers → shifted intDiv half-up micro form (tie rule).
+    * integers → shifted intDiv half-up micro form (tie rule;
+    * DECIMAL(38)-widened — cum·2·10⁶ overflows a long past ~4.6e12
+    * corpus tokens, well inside the 100-TB design scale).
     *
     * Output: (rank, token, n, cum_n, coverage 6 dp). */
   def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
@@ -537,7 +539,9 @@ object CorpusStats {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(total))
       .select(col("rank"), col("token"), col("n"), col("cum_n"),
-        (intDiv(col("cum_n") * lit(2000000L) + col("__tot"), col("__tot") * lit(2L))
+        (intDiv(
+          col("cum_n").cast("decimal(38,0)") * lit(2000000L) + col("__tot"),
+          col("__tot").cast("decimal(38,0)") * lit(2L))
           .cast("double") / 1e6).as("coverage"))
   }
 

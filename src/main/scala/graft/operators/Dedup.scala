@@ -203,19 +203,27 @@ object Dedup {
       TextAnalysis.fingerprint(col(textCol)).as("__fp"))
     val exact = newFp.join(oldFp.withColumn("__hit", lit(1)), Seq("__fp"), "left")
       .select(col(idCol), (col("__hit").isNotNull).as("exact_dup"))
-    val bNew = bandedBuckets(
-        minHashSignatures(newDocs, idCol, textCol, shingleN, numHashes),
-        idCol, numHashes, bands)
-      .select(col(idCol).as("__id_new"), col("sig").as("__sig_new"),
-        col("band"), col("bucket"))
-    val bOld = bandedBuckets(
-        minHashSignatures(oldDocs, idCol, textCol, shingleN, numHashes),
-        idCol, numHashes, bands)
-      .select(col(idCol).as("__id_old"), col("sig").as("__sig_old"),
-        col("band"), col("bucket"))
-    val near = bNew.join(bOld, Seq("band", "bucket"))
-      .select(col("__id_new"), col("__sig_new"), col("__id_old"), col("__sig_old"))
+    // signatures cached: each feeds its banded index AND the verify
+    // join-back. The candidate distinct runs over (id, id) PAIRS ONLY
+    // (q19's shape) — distincting rows that carry the two 64-long
+    // signatures would haul ~1 KB/row through the shuffle, multiplied
+    // by every shared band. CacheScope-scoped.
+    val sigNew = minHashSignatures(newDocs, idCol, textCol, shingleN, numHashes)
+      .cache()
+    val sigOld = minHashSignatures(oldDocs, idCol, textCol, shingleN, numHashes)
+      .cache()
+    val bNew = bandedBuckets(sigNew, idCol, numHashes, bands)
+      .select(col(idCol).as("__id_new"), col("band"), col("bucket"))
+    val bOld = bandedBuckets(sigOld, idCol, numHashes, bands)
+      .select(col(idCol).as("__id_old"), col("band"), col("bucket"))
+    val cand = bNew.join(bOld, Seq("band", "bucket"))
+      .select(col("__id_new"), col("__id_old"))
       .distinct()
+    val near = cand
+      .join(sigNew.select(col(idCol).as("__id_new"), col("sig").as("__sig_new")),
+        "__id_new")
+      .join(sigOld.select(col(idCol).as("__id_old"), col("sig").as("__sig_old")),
+        "__id_old")
       .withColumn("__est",
         graft.expressions.HashExpressions
           .signatureAgreement(col("__sig_new"), col("__sig_old"))
@@ -223,12 +231,14 @@ object Dedup {
       .where(col("__est") >= minJaccard)
       .groupBy(col("__id_new").as(idCol))
       .agg(count(lit(1)).as("n_near_dups"), max(col("__est")).as("max_est_jaccard"))
-    exact.join(near, Seq(idCol), "left")
-      .select(col(idCol), col("exact_dup"),
-        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
-        col("max_est_jaccard"),
-        (!col("exact_dup") && coalesce(col("n_near_dups"), lit(0L)) === 0L)
-          .as("keep"))
+    CacheScope.scoped(
+      exact.join(near, Seq(idCol), "left")
+        .select(col(idCol), col("exact_dup"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          col("max_est_jaccard"),
+          (!col("exact_dup") && coalesce(col("n_near_dups"), lit(0L)) === 0L)
+            .as("keep")),
+      sigNew, sigOld)
   }
 
   /** Benchmark decontamination: for every corpus document, the fraction

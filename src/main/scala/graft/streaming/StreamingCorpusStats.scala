@@ -164,10 +164,10 @@ object StreamingCorpusStats {
           if (state.hasTimedOut) {
             val (buf, nRows) = state.getOption.getOrElse((KmvBuf(k, Nil), 0L))
             state.remove()
-            val kept = buf.items.length.toLong
-            val est =
-              if (kept < k) kept.toDouble
-              else (k - 1).toDouble * 281474976710656.0 / buf.items.last.toDouble
+            // the ONE estimator implementation — batch (q52), this
+            // window close, and the spec all agree by construction
+            val (kept, est) =
+              new graft.operators.CorpusStats.KmvDistinct(k).finish(buf)
             Iterator.single(WindowDistinct(wsMs * 1000L, nRows, kept, est))
           } else {
             var (buf, nRows) = state.getOption.getOrElse((KmvBuf(k, Nil), 0L))
