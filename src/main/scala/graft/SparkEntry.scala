@@ -904,6 +904,12 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, dims = Seq(16, 32, 64))
     }),
 
+    // ── exact duplicated-substring stats (ExactSubstr, Lee et al.
+    //    2022): covered sliding-gram start positions → interval union —
+    //    df-agg + join back (no pairs), per-doc island windows ──
+    "q101_exact_substr" -> ((s, dir) =>
+      Dedup.exactSubstrStats(t(s, dir, "documents"), "doc_id", "text", k = 10)),
+
     // ── incremental ingest dedup: the 30/100-bucket "new batch" gated
     //    against the 70/100 "accepted corpus" — fingerprint semi-join
     //    (old side corpus-sized, never broadcast) + asymmetric
@@ -2941,7 +2947,59 @@ object SparkEntry {
          SELECT h.query_id, CAST(h.dims AS INT) AS dims, tc.n_truth, h.n_hits,
            round(CAST(h.n_hits AS DOUBLE) / tc.n_truth, 6) AS recall
          FROM hits h JOIN tc USING (query_id)""",
-    "q100_incremental_dedup" -> incrementalDedupSql)
+    "q100_incremental_dedup" -> incrementalDedupSql,
+    // Exact duplicated-substring stats: positional sliding-10-gram
+    // md5-48 hashes (1-based slice → 0-based pos), df ≥ 2 covered
+    // starts, gap ≤ k−1 islands-and-gaps merge, span = (max−min)+k;
+    // dup_frac via the q82 integer half-up micro form; sum() outputs
+    // CAST to BIGINT (type parity).
+    "q101_exact_substr" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), pos AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(list_sum(list_transform(range(12),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT) AS h
+           FROM (
+             SELECT doc_id, i, md5(array_to_string(toks[i:i+9], ' ')) AS hx
+             FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS i
+                   FROM t WHERE len(toks) >= 10)
+           )
+         ), dfq AS (
+           SELECT h, count(*) AS df FROM pos GROUP BY h
+         ), cov AS (
+           SELECT doc_id, pos FROM pos JOIN dfq USING (h) WHERE df >= 2
+         ), isl AS (
+           SELECT doc_id, pos,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND pos - prev > 9 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl
+           FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                 FROM cov)
+         ), pisl AS (
+           SELECT doc_id, isl, max(pos) - min(pos) + 10 AS len, count(*) AS nst
+           FROM isl GROUP BY 1, 2
+         ), agg AS (
+           SELECT doc_id,
+             CAST(sum(nst) AS BIGINT) AS n_dup_positions,
+             CAST(sum(len) AS BIGINT) AS dup_tokens,
+             CAST(max(len) AS BIGINT) AS longest_dup_run
+           FROM pisl GROUP BY 1
+         ), base AS (
+           SELECT doc_id,
+             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+           FROM documents
+         )
+         SELECT b.doc_id, b.n_tokens,
+           coalesce(a.n_dup_positions, 0) AS n_dup_positions,
+           coalesce(a.dup_tokens, 0) AS dup_tokens,
+           coalesce(a.longest_dup_run, 0) AS longest_dup_run,
+           CAST((2000000 * coalesce(a.dup_tokens, 0) + b.n_tokens)
+             // (2 * b.n_tokens) AS DOUBLE) / 1e6 AS dup_frac
+         FROM base b LEFT JOIN agg a USING (doc_id)""")
 
   /** DuckDB replay of `Similarity.pqAdcSearch` (q87). The subspace-s
     * slice of a vector is elements s·subDim+1 … (s+1)·subDim

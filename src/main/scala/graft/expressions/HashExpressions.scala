@@ -522,6 +522,73 @@ case class HashedWeightSum(child: Expression, vocab: Int, weightMod: Int)
     copy(child = newChild)
 }
 
+/** Md5-48 hash of the SLIDING `n`-token gram starting at EVERY
+  * position, document order, duplicates preserved — one hash per
+  * start 0..len−n. Where [[Md5GramHashes48]] dedups to a set (for
+  * similarity), the POSITIONS are the whole point here: a duplicated
+  * substring of length L ≥ n covers exactly the L−n+1 consecutive
+  * start positions whose grams repeat corpus-wide, so interval math
+  * over covered starts recovers exact duplicated-substring statistics
+  * (the Lee et al. 2022 ExactSubstr measures) without a suffix array.
+  * Same fused-pass shape as the sibling kernels: gram built once in a
+  * reused buffer, hashed, emitted in order — no gram-string array, no
+  * interpreted HOFs; oracle-reproducible (parse12 of the md5 hex). */
+case class PositionalGramHashes48(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "positional_gram_hashes48"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"positional_gram_hashes48 expects array<string>, got ${other.simpleString}")
+    }
+
+  def hashesOf(arr: ArrayData): Array[Long] = {
+    val m = arr.numElements() - n + 1
+    if (m <= 0) return Array.empty
+    val out = new Array[Long](m)
+    val md = MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val dig = md.digest(sb.toString.getBytes("UTF-8"))
+      md.reset()
+      var v = 0L
+      var b = 0
+      while (b < 6) { v = (v << 8) | (dig(b) & 0xFFL); b += 1 }
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(hashesOf(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("posGramHashes", this,
+      classOf[PositionalGramHashes48].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  $self.hashesOf($v));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Md5-48 hashes of a token array's NON-OVERLAPPING `k`-token blocks
   * (trailing partial block dropped), duplicates PRESERVED — the unit
   * of the fixed-block duplicate-text measure (Gopher-style "fraction
@@ -646,4 +713,10 @@ object HashExpressions {
   def chunkHashes48(tokens: Column, k: Int): Column =
     GraftSqlBridge.column(ChunkHashes48(
       GraftSqlBridge.expression(tokens), k))
+
+  /** Column API: md5-48 hash of the sliding n-gram at EVERY start
+    * position, document order, duplicates preserved. */
+  def positionalGramHashes48(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(PositionalGramHashes48(
+      GraftSqlBridge.expression(tokens), n))
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextAnalysis
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines.
@@ -173,6 +174,68 @@ object Dedup {
           .cast("double") / numHashes)
     CacheScope.scoped(est.where(col("est_jaccard") >= minJaccard)
       .select("id_a", "id_b", "est_jaccard"), sig)
+  }
+
+  /** Exact duplicated-substring statistics (the ExactSubstr measures
+    * of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", §4 — fraction of a document inside a substring of
+    * ≥ `k` tokens that occurs ≥ 2× corpus-wide, and the longest such
+    * run) WITHOUT a suffix array: a duplicated substring of length
+    * L ≥ k covers exactly its L−k+1 consecutive sliding-k-gram start
+    * positions, each of whose gram repeats corpus-wide — so covered
+    * starts recover the exact token-interval union. Positional gram
+    * hashes come from the fused [[graft.expressions
+    * .PositionalGramHashes48]] kernel (order kept, duplicates kept);
+    * covered starts with gap ≤ k−1 merge into one island (their token
+    * spans overlap), island token span = (max−min)+k.
+    *
+    * Scale shape: the only corpus-sized shuffles are the gram-hash df
+    * aggregate and the join back (q61's no-pairs shape); the island
+    * window sorts COVERED positions per doc — keyed by doc, spillable.
+    * `dup_frac` is an exact-integer ratio → shifted intDiv half-up
+    * micro (tie rule). Hash-collision odds are the documented 2⁻⁴⁸
+    * class shared by every gram operator here.
+    *
+    * Output (ALL docs): (id, n_tokens, n_dup_positions, dup_tokens,
+    * longest_dup_run, dup_frac 6 dp). */
+  def exactSubstrStats(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val pos = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(
+        graft.expressions.HashExpressions.positionalGramHashes48(col("__toks"), k)))
+      .select(col(idCol), col("pos").cast("long").as("__pos"), col("col").as("__h"))
+      .cache()
+    val dfreq = pos.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val covered = pos.join(dfreq, "__h").where(col("__df") >= 2)
+      .select(col(idCol), col("__pos"))
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val islands = covered
+      .withColumn("__new",
+        when(col("__pos") - lag("__pos", 1).over(w) > lit(k - 1).cast("long"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg((max("__pos") - min("__pos") + k).as("__len"),
+        count(lit(1)).as("__nstarts"))
+      .groupBy(col(idCol))
+      .agg(sum("__nstarts").as("n_dup_positions"),
+        sum("__len").as("dup_tokens"),
+        max("__len").as("longest_dup_run"))
+    val base = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    CacheScope.scoped(
+      base.join(islands, Seq(idCol), "left")
+        .select(col(idCol), col("n_tokens"),
+          coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          coalesce(col("longest_dup_run"), lit(0L)).as("longest_dup_run"),
+          (intDiv(coalesce(col("dup_tokens"), lit(0L)) * lit(2000000L) + col("n_tokens"),
+            col("n_tokens") * lit(2L)).cast("double") / 1e6).as("dup_frac")),
+      pos)
   }
 
   /** Incremental (new-batch vs existing-corpus) dedup gate — the

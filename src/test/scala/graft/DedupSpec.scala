@@ -326,6 +326,29 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("exactSubstrStats: interval union over covered gram starts recovers planted spans exactly") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ") // 12-token duplicated span
+    val docs = Seq(
+      (1L, "a1 a2 a3 " + shared + " a4 a5"),             // span at positions 3..14
+      (2L, "b1 b2 " + shared + " b3"),                   // same span, different context
+      (3L, "r1 r2 r3 r4 r5 r1 r2 r3 r4 r5 x"),          // WITHIN-doc repeat, k-sized
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")    // nothing repeated
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrStats(docs, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // the 12-token span covers 12−5+1 = 8 consecutive starts → ONE
+    // island of (7−0)+5 = 12 tokens; boundary-crossing grams are
+    // unique (different context) so nothing else is covered
+    assert(got(1L) === ((1L, 17L, 8L, 12L, 12L, 0.705882)))
+    assert(got(2L) === ((2L, 15L, 8L, 12L, 12L, 0.8)))
+    // within-doc: the 5-gram r1..r5 occurs at starts 0 and 5 (gap 5 >
+    // k−1 → two touching-but-separate islands of 5 tokens each)
+    assert(got(3L) === ((3L, 11L, 2L, 10L, 5L, 0.909091)))
+    assert(got(4L) === ((4L, 12L, 0L, 0L, 0L, 0.0)))
+    spark.catalog.clearCache()
+  }
+
   test("incrementalNearDup: exact dup, near dup and novel docs flagged against the OLD corpus only") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val old = Seq(

@@ -607,7 +607,8 @@ class PlanQualitySpec extends SparkSpec {
       "q67_unigram_logprob", "q71_idf_cosine_pairs", "q76_split_leakage",
       "q80_gram_novelty", "q84_chunk_dup", "q89_source_overlap",
       "q90_kmv_source_overlap", "q92_cluster_purity", "q96_ppl_band",
-      "q97_epoch_mix", "q98_bigram_lm", "q100_incremental_dedup")
+      "q97_epoch_mix", "q98_bigram_lm", "q100_incremental_dedup",
+      "q101_exact_substr")
     // earlier plan-shape tests construct (and thus cache-register)
     // plans without ever acting on them — start from a clean slate
     graft.operators.CacheScope.releaseAll()
