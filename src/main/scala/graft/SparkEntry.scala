@@ -2986,7 +2986,7 @@ object SparkEntry {
            SELECT doc_id,
              CAST(sum(nst) AS BIGINT) AS n_dup_positions,
              CAST(sum(len) AS BIGINT) AS dup_tokens,
-             CAST(max(len) AS BIGINT) AS longest_dup_run
+             CAST(max(len) AS BIGINT) AS longest_dup_span
            FROM pisl GROUP BY 1
          ), base AS (
            SELECT doc_id,
@@ -2996,7 +2996,7 @@ object SparkEntry {
          SELECT b.doc_id, b.n_tokens,
            coalesce(a.n_dup_positions, 0) AS n_dup_positions,
            coalesce(a.dup_tokens, 0) AS dup_tokens,
-           coalesce(a.longest_dup_run, 0) AS longest_dup_run,
+           coalesce(a.longest_dup_span, 0) AS longest_dup_span,
            CAST((2000000 * coalesce(a.dup_tokens, 0) + b.n_tokens)
              // (2 * b.n_tokens) AS DOUBLE) / 1e6 AS dup_frac
          FROM base b LEFT JOIN agg a USING (doc_id)""")

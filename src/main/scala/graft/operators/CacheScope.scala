@@ -75,11 +75,14 @@ object CacheScope {
     releaseMatching(GraftSqlBridge.analyzedPlan(consumed))
 
   /** Unpersist every still-pending scoped cache (results that were
-    * never materialized). */
+    * never materialized). Entries of STOPPED sessions are dropped, not
+    * unpersisted — their caches died with the context, and an RPC
+    * against a stopped env would throw and abort the drain mid-queue. */
   def releaseAll(): Unit = {
     var e = pending.poll()
     while (e != null) {
-      e.caches.foreach(_.unpersist(false))
+      if (!e.session.sparkContext.isStopped)
+        e.caches.foreach(_.unpersist(false))
       e = pending.poll()
     }
   }

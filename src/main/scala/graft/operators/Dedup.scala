@@ -176,18 +176,27 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard"), sig)
   }
 
-  /** Exact duplicated-substring statistics (the ExactSubstr measures
+  /** Exact duplicated-substring statistics (the ExactSubstr measure
     * of Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better", §4 — fraction of a document inside a substring of
-    * ≥ `k` tokens that occurs ≥ 2× corpus-wide, and the longest such
-    * run) WITHOUT a suffix array: a duplicated substring of length
-    * L ≥ k covers exactly its L−k+1 consecutive sliding-k-gram start
-    * positions, each of whose gram repeats corpus-wide — so covered
-    * starts recover the exact token-interval union. Positional gram
-    * hashes come from the fused [[graft.expressions
+    * ≥ `k` tokens that occurs ≥ 2× corpus-wide) WITHOUT a suffix
+    * array: a duplicated substring of length L ≥ k covers exactly its
+    * L−k+1 consecutive sliding-k-gram start positions, each of whose
+    * gram repeats corpus-wide — so covered starts recover the exact
+    * token-interval union (`dup_tokens`/`dup_frac` are exact).
+    * Positional gram hashes come from the fused [[graft.expressions
     * .PositionalGramHashes48]] kernel (order kept, duplicates kept);
     * covered starts with gap ≤ k−1 merge into one island (their token
     * spans overlap), island token span = (max−min)+k.
+    *
+    * `longest_dup_span` is the longest contiguous token span covered
+    * by duplicated k-grams — an UPPER bound (≥ k, tight when the span
+    * repeats as one substring) on the longest single duplicated
+    * substring: two overlapping grams duplicated from DIFFERENT
+    * sources merge into one span even though the union never occurs
+    * twice as a whole. The exact longest-substring needs gram-chain
+    * co-occurrence (suffix-array territory), deliberately out of
+    * scope.
     *
     * Scale shape: the only corpus-sized shuffles are the gram-hash df
     * aggregate and the join back (q61's no-pairs shape); the island
@@ -197,7 +206,7 @@ object Dedup {
     * class shared by every gram operator here.
     *
     * Output (ALL docs): (id, n_tokens, n_dup_positions, dup_tokens,
-    * longest_dup_run, dup_frac 6 dp). */
+    * longest_dup_span, dup_frac 6 dp). */
   def exactSubstrStats(docs: DataFrame, idCol: String, textCol: String,
                        k: Int): DataFrame = {
     import graft.expressions.HashExpressions.intDiv
@@ -224,7 +233,7 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sum("__nstarts").as("n_dup_positions"),
         sum("__len").as("dup_tokens"),
-        max("__len").as("longest_dup_run"))
+        max("__len").as("longest_dup_span"))
     val base = docs.select(col(idCol),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     CacheScope.scoped(
@@ -232,7 +241,7 @@ object Dedup {
         .select(col(idCol), col("n_tokens"),
           coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-          coalesce(col("longest_dup_run"), lit(0L)).as("longest_dup_run"),
+          coalesce(col("longest_dup_span"), lit(0L)).as("longest_dup_span"),
           (intDiv(coalesce(col("dup_tokens"), lit(0L)) * lit(2000000L) + col("n_tokens"),
             col("n_tokens") * lit(2L)).cast("double") / 1e6).as("dup_frac")),
       pos)

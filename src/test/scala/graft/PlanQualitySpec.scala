@@ -584,6 +584,21 @@ class PlanQualitySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q101: covered-start discovery is a df count-join on the gram hash — no doc pairs") {
+    val df = SparkEntry.queries("q101_exact_substr")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("positional_gram_hashes48"),
+      s"positional grams must come from the codegen kernel:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nothing pairwise may materialize:\n$plan")
+    // df-agg side and join-back side must both read the cached postings
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"positional postings must be cached (else the corpus re-tokenizes per use):\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("global sweep: no query plans a CartesianProduct") {
     // crossJoin is only ever used against a broadcast 1-row aggregate
     // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an
