@@ -904,6 +904,14 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, dims = Seq(16, 32, 64))
     }),
 
+    // ── END-TO-END curation manifest: per-row funnel ∧ near-dup
+    //    cluster survival ∧ token-budget bucket — every gate's verdict
+    //    per doc in one frame; budget table broadcasts, drop set is
+    //    id-keyed ──
+    "q102_pipeline_manifest" -> ((s, dir) =>
+      operators.Curation.pipelineManifest(t(s, dir, "documents"),
+        "doc_id", "text", "lang", "source", budgetTokens = 800L)),
+
     // ── exact duplicated-substring stats (ExactSubstr, Lee et al.
     //    2022): covered sliding-gram start positions → interval union —
     //    df-agg + join back (no pairs), per-doc island windows ──
@@ -1180,6 +1188,85 @@ object SparkEntry {
     * reachability — the shared oracle for BOTH connected-components
     * implementations (q47 min-propagation, q68 alternating stars),
     * which must agree row-for-row. */
+  /** q51's funnel-verdict oracle, factored out so the q102 pipeline
+    * manifest composes the IDENTICAL gate (one copy of the thresholds,
+    * signal formulas and verdict precedence). */
+  private def curationFunnelSql: String =
+    """WITH n AS (
+           SELECT doc_id, lang, text,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents
+         ), sig AS (
+           SELECT doc_id, lang,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CASE WHEN len(toks) >= 2 THEN round(1.0 -
+               CAST(len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+               / CAST(len(toks) - 1 AS DOUBLE), 6) END AS repetition_ratio,
+             least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+               + least(CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) / 0.1, 1.0) * 0.3
+               + (CASE WHEN CAST(length(replace(norm, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 3.0
+                        AND CAST(length(replace(norm, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) <= 8.0
+                   THEN 1.0 ELSE 0.0 END) * 0.3 AS quality,
+             CASE WHEN greatest(
+                    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))),
+                    len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))),
+                    len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))),
+                    len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des', 'est', 'une')))) = 0 THEN 'und'
+                  WHEN len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))) = greatest(
+                    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))),
+                    len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))),
+                    len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))),
+                    len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des', 'est', 'une')))) THEN 'en'
+                  WHEN len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))) = greatest(
+                    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))),
+                    len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))),
+                    len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))),
+                    len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des', 'est', 'une')))) THEN 'de'
+                  WHEN len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))) = greatest(
+                    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))),
+                    len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))),
+                    len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))),
+                    len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des', 'est', 'une')))) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+           FROM n
+         )
+         SELECT doc_id, lang, n_tokens, repetition_ratio, quality, pred_lang,
+           CASE WHEN n_tokens < 20 THEN 'drop:too_short'
+                WHEN repetition_ratio > 0.2 THEN 'drop:repetitive'
+                WHEN quality < 0.5 THEN 'drop:low_quality'
+                WHEN pred_lang <> lang THEN 'drop:lang_mismatch'
+                ELSE 'keep' END AS verdict
+         FROM sig"""
+
+  /** q57's token-budget oracle, factored out so the q102 pipeline
+    * manifest composes the IDENTICAL per-source keep_buckets. */
+  private def tokenBudgetMixSql: String =
+    """WITH b AS (
+           SELECT source,
+             CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS INT) AS bucket,
+             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+           FROM (SELECT source, text,
+                   md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+         ), g AS (
+           SELECT source, bucket, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+           FROM b GROUP BY 1, 2
+         ), tot AS (
+           SELECT source,
+             CAST(sum(n_docs) AS BIGINT) AS total_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(CASE WHEN sum(n_tokens) <= 0 THEN 100
+                  ELSE least(100, 800 * 100 // sum(n_tokens)) END AS BIGINT) AS keep_buckets
+           FROM g GROUP BY source
+         )
+         SELECT t.source, t.total_docs, t.total_tokens, t.keep_buckets,
+           CAST(sum(CASE WHEN g.bucket < t.keep_buckets THEN g.n_docs ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(sum(CASE WHEN g.bucket < t.keep_buckets THEN g.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+         FROM g JOIN tot t USING (source)
+         GROUP BY t.source, t.total_docs, t.total_tokens, t.keep_buckets"""
+
   private def componentsSql: String =
     s"""WITH RECURSIVE pairs AS (
            SELECT id_a, id_b FROM ($minhashPairsSql)
@@ -1487,54 +1574,7 @@ object SparkEntry {
     // into the precedence CASE. Repetition compares the ROUNDED ratio;
     // quality is double-exact (integer counts through IEEE ops); docs
     // with < 2 tokens have NULL repetition (caught by too_short first).
-    "q51_curation_funnel" ->
-      """WITH n AS (
-           SELECT doc_id, lang, text,
-             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks,
-             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
-           FROM documents
-         ), sig AS (
-           SELECT doc_id, lang,
-             CAST(len(toks) AS INT) AS n_tokens,
-             CASE WHEN len(toks) >= 2 THEN round(1.0 -
-               CAST(len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
-               / CAST(len(toks) - 1 AS DOUBLE), 6) END AS repetition_ratio,
-             least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-               + least(CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is', 'it'))) AS DOUBLE)
-                 / CAST(len(toks) AS DOUBLE) / 0.1, 1.0) * 0.3
-               + (CASE WHEN CAST(length(replace(norm, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 3.0
-                        AND CAST(length(replace(norm, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) <= 8.0
-                   THEN 1.0 ELSE 0.0 END) * 0.3 AS quality,
-             CASE WHEN greatest(
-                    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))),
-                    len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))),
-                    len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))),
-                    len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des', 'est', 'une')))) = 0 THEN 'und'
-                  WHEN len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))) = greatest(
-                    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))),
-                    len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))),
-                    len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))),
-                    len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des', 'est', 'une')))) THEN 'en'
-                  WHEN len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))) = greatest(
-                    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))),
-                    len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))),
-                    len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))),
-                    len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des', 'est', 'une')))) THEN 'de'
-                  WHEN len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))) = greatest(
-                    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))),
-                    len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))),
-                    len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))),
-                    len(list_filter(toks, t -> t IN ('le', 'la', 'et', 'les', 'des', 'est', 'une')))) THEN 'es'
-                  ELSE 'fr' END AS pred_lang
-           FROM n
-         )
-         SELECT doc_id, lang, n_tokens, repetition_ratio, quality, pred_lang,
-           CASE WHEN n_tokens < 20 THEN 'drop:too_short'
-                WHEN repetition_ratio > 0.2 THEN 'drop:repetitive'
-                WHEN quality < 0.5 THEN 'drop:low_quality'
-                WHEN pred_lang <> lang THEN 'drop:lang_mismatch'
-                ELSE 'keep' END AS verdict
-         FROM sig""",
+    "q51_curation_funnel" -> curationFunnelSql,
     // KMV distinct sketch: the k-th smallest DISTINCT md5-48 bigram hash
     // is an order statistic — engine-independent — so the estimate
     // (k-1)·2^48/h_k is the SAME double in both engines. Exact when a
@@ -1601,30 +1641,7 @@ object SparkEntry {
     // SemDeDup: q49's k-means replay + within-cluster pair join.
     "q56_semdedup" -> semDedupSql(k = 8, dim = 64, iters = 1, threshold = 0.35),
     // Token-budget mix: q44's md5 bucket, q45's tokenizer, integer `//`.
-    "q57_token_budget_mix" ->
-      """WITH b AS (
-           SELECT source,
-             CAST(CAST(list_sum(list_transform(range(8),
-               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS INT) AS bucket,
-             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
-           FROM (SELECT source, text,
-                   md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents)
-         ), g AS (
-           SELECT source, bucket, count(*) AS n_docs, sum(n_tokens) AS n_tokens
-           FROM b GROUP BY 1, 2
-         ), tot AS (
-           SELECT source,
-             CAST(sum(n_docs) AS BIGINT) AS total_docs,
-             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-             CAST(CASE WHEN sum(n_tokens) <= 0 THEN 100
-                  ELSE least(100, 800 * 100 // sum(n_tokens)) END AS BIGINT) AS keep_buckets
-           FROM g GROUP BY source
-         )
-         SELECT t.source, t.total_docs, t.total_tokens, t.keep_buckets,
-           CAST(sum(CASE WHEN g.bucket < t.keep_buckets THEN g.n_docs ELSE 0 END) AS BIGINT) AS kept_docs,
-           CAST(sum(CASE WHEN g.bucket < t.keep_buckets THEN g.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
-         FROM g JOIN tot t USING (source)
-         GROUP BY t.source, t.total_docs, t.total_tokens, t.keep_buckets""",
+    "q57_token_budget_mix" -> tokenBudgetMixSql,
     // Count-min sketch: md5-48("cms|r|token") mod w bucket hashes —
     // the sketch cells and min-estimates are exact integers both sides.
     "q58_cms_estimates" ->
@@ -2948,6 +2965,29 @@ object SparkEntry {
            round(CAST(h.n_hits AS DOUBLE) / tc.n_truth, 6) AS recall
          FROM hits h JOIN tc USING (query_id)""",
     "q100_incremental_dedup" -> incrementalDedupSql,
+    // Pipeline manifest: the q51 funnel, q47 components and q57 budget
+    // oracles composed VERBATIM (shared defs — one copy of each gate's
+    // formulas), joined per doc; bucket = the q44 md5 idiom.
+    "q102_pipeline_manifest" ->
+      s"""WITH f AS ($curationFunnelSql),
+         c AS ($componentsSql),
+         b AS ($tokenBudgetMixSql),
+         d AS (
+           SELECT doc_id, source,
+             CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS bucket
+           FROM (SELECT doc_id, source, md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+         )
+         SELECT d.doc_id, f.lang, d.source,
+           (f.verdict = 'keep') AS keep_funnel,
+           (c.doc_id IS NULL OR c.doc_id = c.cluster_id) AS keep_dedup,
+           (d.bucket < b.keep_buckets) AS keep_budget,
+           ((f.verdict = 'keep') AND (c.doc_id IS NULL OR c.doc_id = c.cluster_id)
+             AND d.bucket < b.keep_buckets) AS keep
+         FROM d
+         JOIN f USING (doc_id)
+         LEFT JOIN c ON d.doc_id = c.doc_id
+         JOIN b ON d.source = b.source""",
     // Exact duplicated-substring stats: positional sliding-10-gram
     // md5-48 hashes (1-based slice → 0-based pos), df ≥ 2 covered
     // starts, gap ≤ k−1 islands-and-gaps merge, span = (max−min)+k;

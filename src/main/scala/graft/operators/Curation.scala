@@ -55,6 +55,54 @@ object Curation {
         col("pred_lang") === col("lang"), minTokens, maxRepetition, minQuality))
   }
 
+  /** The END-TO-END curation manifest — every corpus-level gate's
+    * verdict for every document in ONE frame, the composition a real
+    * pipeline materializes before writing the curated corpus:
+    *
+    *  - `keep_funnel`: the per-row [[funnel]] verdict (length /
+    *    repetition / quality / language) — zero-shuffle scan signals;
+    *  - `keep_dedup`: the doc survives MinHash-LSH near-dup clustering
+    *    ([[Dedup.dedupClusters]] — lowest id per cluster survives);
+    *  - `keep_budget`: the doc's portable md5 bucket falls inside its
+    *    source's token-budget keep set ([[Sampling.tokenBudgetMix]]);
+    *  - `keep`: the conjunction — the final curated-corpus membership.
+    *
+    * Per-gate flags (not just the conjunction) are the point: pipeline
+    * audits recount any stage without re-running the others.
+    *
+    * Scale shape: the funnel rides the scan; dedup is the q47 cluster
+    * path (LSH index + sparse component joins); the budget table is
+    * |sources| rows and BROADCASTS; everything meets in id-keyed joins
+    * (the drop set is cluster members only — corpus-sized text never
+    * joins anything). */
+  def pipelineManifest(docs: DataFrame, idCol: String, textCol: String,
+                       declaredLangCol: String, sourceCol: String,
+                       budgetTokens: Long, shingleN: Int = 3,
+                       numHashes: Int = 64, bands: Int = 16,
+                       minJaccard: Double = 0.8): DataFrame = {
+    val fun = funnel(docs, idCol, textCol, declaredLangCol)
+      .select(col(idCol), col("lang"),
+        (col("verdict") === lit("keep")).as("keep_funnel"))
+    val drop = Dedup.dedupClusters(docs, idCol, textCol, shingleN, numHashes,
+        bands, minJaccard, useStar = false)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol), lit(true).as("__dropped"))
+    val budget = Sampling.tokenBudgetMix(docs, idCol, sourceCol,
+        TextAnalysis.tokenCount(col(textCol)), budgetTokens)
+      .select(col("domain").as(sourceCol), col("keep_buckets"))
+    docs.select(col(idCol), col(sourceCol),
+        Sampling.md5Bucket(idCol, 100).cast("long").as("__bucket"))
+      .join(fun, Seq(idCol))
+      .join(drop, Seq(idCol), "left")
+      .join(broadcast(budget), Seq(sourceCol))
+      .select(col(idCol), col("lang"), col(sourceCol),
+        col("keep_funnel"),
+        col("__dropped").isNull.as("keep_dedup"),
+        (col("__bucket") < col("keep_buckets")).as("keep_budget"),
+        (col("keep_funnel") && col("__dropped").isNull &&
+          col("__bucket") < col("keep_buckets")).as("keep"))
+  }
+
   /** Funnel attrition summary — the numbers a pipeline report leads
     * with: rows and token volume per (declared language, verdict). One
     * map-combinable shuffle over ≤ |langs|·|reasons| groups. */

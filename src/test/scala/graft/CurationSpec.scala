@@ -47,4 +47,26 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       s"funnel must stay per-row:\n$plan")
   }
+
+  test("pipelineManifest: each gate flag matches its standalone operator on the fixture") {
+    import spark.implicits._
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val manifest = Curation.pipelineManifest(fixture, "doc_id", "text",
+        "lang", "source", budgetTokens = 800L)
+      .as[(Long, String, String, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(manifest.size === fixture.count()) // every doc gets a verdict
+    // keep = the exact conjunction, row by row
+    assert(manifest.values.forall(r => r._7 === (r._4 && r._5 && r._6)))
+    // keep_funnel ≡ the standalone funnel verdict
+    val funnelKeep = Curation.funnel(fixture, "doc_id", "text", "lang")
+      .where(col("verdict") === "keep").select("doc_id").as[Long].collect().toSet
+    assert(manifest.values.forall(r => r._4 === funnelKeep.contains(r._1)))
+    // keep_dedup ≡ survival of the standalone materialized dedup pass
+    val survivors = graft.operators.Dedup.dedupedCorpus(fixture, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(manifest.values.forall(r => r._5 === survivors.contains(r._1)))
+    spark.catalog.clearCache()
+  }
 }

@@ -623,7 +623,7 @@ class PlanQualitySpec extends SparkSpec {
       "q80_gram_novelty", "q84_chunk_dup", "q89_source_overlap",
       "q90_kmv_source_overlap", "q92_cluster_purity", "q96_ppl_band",
       "q97_epoch_mix", "q98_bigram_lm", "q100_incremental_dedup",
-      "q101_exact_substr")
+      "q101_exact_substr", "q102_pipeline_manifest")
     // earlier plan-shape tests construct (and thus cache-register)
     // plans without ever acting on them — start from a clean slate
     graft.operators.CacheScope.releaseAll()
