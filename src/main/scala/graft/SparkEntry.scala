@@ -930,6 +930,38 @@ object SparkEntry {
         minJaccard = 0.8)
     }),
 
+    // ── DSIR importance weights: hashed-unigram target-vs-raw log
+    //    ratio, λ snapped to integer micro-units on the B-row bucket
+    //    frame (broadcast back) — per-doc Σ is exact-integer ──
+    "q103_dsir_weights" -> ((s, dir) =>
+      CorpusStats.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        targetPred = col("source").isin("src0", "src1"), buckets = 1024)),
+
+    // ── within-source boilerplate grams: per-(source, gram) df vs
+    //    source size (relative threshold), per-doc boilerplate
+    //    fraction in half-up micro-units ──
+    "q104_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateGrams(t(s, dir, "documents"), "doc_id", "source",
+        "text", n = 2, minFracNum = 1, minFracDen = 5, minDf = 2)),
+
+    // ── Efraimidis–Spirakis weighted sample w/o replacement: per-row
+    //    ln(u)/w key off the portable md5 uniform, TakeOrdered top-k
+    //    (never a global sort), rank window on ≤k rows ──
+    "q105_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSampleTopK(t(s, dir, "documents"), "doc_id",
+        col("n_chars"), k = 100)),
+
+    // ── hard-negative mining: brute kNN shape + label-inequality fused
+    //    into the broadcast join; neighbor label carried for triplet
+    //    assembly ──
+    "q106_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("neighbor_label"), round(col("sim"), 6).as("cos_sim"))
+    }),
+
     // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
     //    back onto the corpus scan for full-precision re-scoring —
     //    full vectors touched only for |queries|·shortlist rows ──
@@ -2965,6 +2997,98 @@ object SparkEntry {
            round(CAST(h.n_hits AS DOUBLE) / tc.n_truth, 6) AS recall
          FROM hits h JOIN tc USING (query_id)""",
     "q100_incremental_dedup" -> incrementalDedupSql,
+    // DSIR: md5-32 token buckets mod 1024 (q82's nibble idiom), Laplace
+    // log-ratio λ floored to micro-units on the bucket frame, per-doc
+    // Σ exact-integer — output all-BIGINT, no rounding surface.
+    "q103_dsir_weights" ->
+      """WITH tok AS (
+           SELECT doc_id, (source IN ('src0', 'src1')) AS tgt,
+             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           FROM documents
+         ), b AS (
+           SELECT doc_id, tgt,
+             CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(md5(token), CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 1024 AS INT) AS bucket
+           FROM tok
+         ), counts AS (
+           SELECT bucket,
+             CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+             CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+           FROM b GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t_tot,
+                  CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS r_tot
+           FROM b
+         ), lam AS (
+           SELECT bucket,
+             CAST(floor(1e6 * (ln(CAST(c_t + 1 AS DOUBLE) / CAST(t_tot + 1024 AS DOUBLE))
+                             - ln(CAST(c_r + 1 AS DOUBLE) / CAST(r_tot + 1024 AS DOUBLE)))) AS BIGINT) AS lam_micro
+           FROM counts CROSS JOIN tot
+         )
+         SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lam_micro) AS BIGINT) AS logw_micro
+         FROM b JOIN lam USING (bucket)
+         GROUP BY b.doc_id""",
+    // Boilerplate bigrams: DISTINCT (doc, source, gram), per-(source,
+    // gram) df vs source size (relative threshold df·5 ≥ n_src, df ≥
+    // 2), per-doc fraction via the q82 integer half-up micro form.
+    "q104_boilerplate" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), g AS (
+           SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS gram
+           FROM t WHERE len(toks) >= 2
+         ), sz AS (
+           SELECT source, count(DISTINCT doc_id) AS n_src FROM g GROUP BY 1
+         ), fl AS (
+           SELECT source, gram,
+             (df * 5 >= n_src AND df >= 2) AS boiler
+           FROM (SELECT source, gram, count(*) AS df FROM g GROUP BY 1, 2)
+           JOIN sz USING (source)
+         )
+         SELECT g.doc_id, g.source,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST((sum(CASE WHEN boiler THEN 1 ELSE 0 END) * 2000000 + count(*))
+             // (count(*) * 2) AS DOUBLE) / 1e6 AS boiler_frac
+         FROM g JOIN fl USING (source, gram)
+         GROUP BY 1, 2""",
+    // Efraimidis–Spirakis: u = (md5-32(seed:id)+1)/2^32 (exact dyadic),
+    // key = round(ln(u)/w, 6), top-100 by (key DESC, id) — the metric
+    // rule (ln outputs can't land exactly on 6-dp ties).
+    "q105_weighted_sample" ->
+      """WITH h AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(md5('es:' || CAST(doc_id AS VARCHAR)), CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) AS m
+           FROM documents WHERE n_chars > 0
+         ), k AS (
+           SELECT doc_id, weight,
+             round(ln(CAST(m + 1 AS DOUBLE) / 4294967296.0) / CAST(weight AS DOUBLE), 6) AS es_key
+           FROM h
+         )
+         SELECT * FROM (
+           SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS INT) AS rank,
+             doc_id, weight, es_key
+           FROM k
+         ) WHERE rank <= 100""",
+    // Hard negatives: q21's brute-kNN oracle + label-inequality join
+    // predicate; neighbor label carried through.
+    "q106_hard_negatives" ->
+      """SELECT q.vec_id AS query_id,
+         CAST(row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id ASC) AS INT) AS rank,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+         FROM embeddings q JOIN embeddings c
+           ON q.vec_id <> c.vec_id AND q.label <> c.label
+         WHERE q.vec_id < 10
+         QUALIFY rank <= 5""",
     // Pipeline manifest: the q51 funnel, q47 components and q57 budget
     // oracles composed VERBATIM (shared defs — one copy of each gate's
     // formulas), joined per doc; bucket = the q44 md5 idiom.

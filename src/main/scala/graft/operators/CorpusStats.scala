@@ -733,4 +733,65 @@ object CorpusStats {
             count(lit(1)), 6).as("mean_logprob")),
       bi, uni)
   }
+
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023): score every raw document by how much more likely
+    * its hashed-unigram features are under a TARGET domain's
+    * distribution than under the raw corpus's — the standard
+    * "select pretraining data that looks like the high-quality target"
+    * step, here with Laplace-smoothed bucket distributions.
+    *
+    * Features are md5-derived token buckets (first 32 md5 bits mod
+    * `buckets` — the engine-portable hash contract every sampling op
+    * shares), so any SQL engine reproduces the exact bucketing.
+    * Per-bucket log-ratio λ_b = ln((c_t[b]+1)/(T+B)) −
+    * ln((c_r[b]+1)/(R+B)) is snapped to integer MICRO-units on the
+    * B-row bucket frame (floor(λ·1e6) — one floor of a double per
+    * bucket, not per token), so the per-doc score Σ λ_micro is EXACT
+    * integer arithmetic: no FP-accumulation-order dependence, and the
+    * output is all-BIGINT (no 6-dp rounding surface at all).
+    *
+    * Scale shape: ONE corpus tokenize feeding both sides (cached): a
+    * map-combinable shuffle onto ≤ B groups for the counts, then the
+    * tiny λ table (B rows) BROADCASTS back onto the token stream — the
+    * per-token join never shuffles the corpus, and the per-doc Σ is the
+    * only corpus-keyed shuffle. At 100 TB the λ table is built once and
+    * reused across selection runs.
+    *
+    * Output: (doc_id, n_tokens, logw_micro) — logw_micro/1e6 ≈ the DSIR
+    * log importance weight; resample by thresholding or by feeding it
+    * as the weight into [[Sampling.weightedSampleTopK]]. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0)
+    val tok = docs
+      .select(col(idCol).as("doc_id"), targetPred.as("__tgt"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("token").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % buckets).cast("int"))
+      .cache()
+    val counts = tok.groupBy("bucket").agg(
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("c_t"),
+        sum(when(col("__tgt"), 0L).otherwise(1L)).as("c_r"))
+      .cache()
+    // totals fold the ≤B-row counts frame — NOT a third pass over the
+    // (corpus-sized, possibly disk-spilled) cached token stream
+    val totals = counts.agg(
+      sum("c_t").cast("long").as("t_tot"), sum("c_r").cast("long").as("r_tot"))
+    val lam = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor(lit(1e6) *
+          (log((col("c_t") + 1).cast("double") /
+               (col("t_tot") + buckets).cast("double")) -
+           log((col("c_r") + 1).cast("double") /
+               (col("r_tot") + buckets).cast("double"))))
+          .cast("long").as("lam_micro"))
+    CacheScope.scoped(
+      tok.join(broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("lam_micro").as("logw_micro"))
+        .select(col("doc_id").as(idCol), col("n_tokens"), col("logw_micro")),
+      tok, counts)
+  }
 }

@@ -861,4 +861,58 @@ object Dedup {
         (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** Within-source boilerplate gram detection (the CCNet/C4 "strip the
+    * template" stage, at word-n-gram granularity): a gram is
+    * boilerplate for a source when it appears in at least
+    * `minFracNum/minFracDen` of that source's documents (and in ≥
+    * `minDf` of them) — headers, footers, nav chrome, license blurbs
+    * that repeat across one crawl but are NOT cross-corpus duplicates.
+    * Distinct from [[interDocGramStats]]: the threshold is
+    * RELATIVE to each source's size, so a 10-doc source and a 10M-doc
+    * source are judged by the same "fraction of the template" bar.
+    *
+    * Per-doc output: (doc_id, source, n_grams, n_boiler, boiler_frac)
+    * where boiler_frac is the exact integer ratio n_boiler/n_grams in
+    * half-up micro-units (the CLAUDE.md integer-ratio rule — both
+    * operands non-negative), emitted as micro/1e6 (one correctly-
+    * rounded double divide). Docs with fewer than n tokens have no
+    * grams and are excluded (same contract as [[ngramJaccardPairs]]).
+    *
+    * Scale shape: explode to DISTINCT (source, gram, doc) rows; the
+    * per-(source, gram) df is one map-combinable shuffle; source sizes
+    * are a catalog-sized broadcast; the flag joins back on the
+    * (source, gram) key — an equi-join keyed off the gram hash, never
+    * a pair product. Boilerplate grams being hot is the POINT here:
+    * df counting is linear in postings, no pair volume exists to cap. */
+  def boilerplateGrams(docs: DataFrame, idCol: String, srcCol: String,
+                       textCol: String, n: Int, minFracNum: Int = 1,
+                       minFracDen: Int = 2, minDf: Int = 2): DataFrame = {
+    require(n > 0 && minFracNum > 0 && minFracDen > 0 && minDf >= 1)
+    import graft.expressions.HashExpressions.{gramHashes, intDiv}
+    val g = docs
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(gramHashes(col("__toks"), n)).as("gh"))
+      .cache()
+    val srcSize = g.select("source", "doc_id").distinct()
+      .groupBy("source").agg(count(lit(1)).as("__n_src"))
+    val df = g.groupBy("source", "gh").agg(count(lit(1)).as("__df"))
+      .join(broadcast(srcSize), "source")
+      .withColumn("__boiler",
+        col("__df") * minFracDen >= col("__n_src") * minFracNum &&
+          col("__df") >= minDf)
+    CacheScope.scoped(
+      g.join(df.select("source", "gh", "__boiler"), Seq("source", "gh"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_boiler"))
+        .select(col("doc_id").as(idCol), col("source"), col("n_grams"),
+          col("n_boiler"),
+          (intDiv(col("n_boiler") * lit(2000000L) + col("n_grams"),
+            col("n_grams") * lit(2L)).cast("double") / 1e6).as("boiler_frac")),
+      g)
+  }
 }

@@ -325,4 +325,44 @@ object Sampling {
   /** Column form: `bottom_k_sample(expr)` usable in `agg(...)`. */
   def bottomKSample(c: Column, k: Int, seed: Long = 42L): Column =
     udaf(new BottomKSample(k, seed)).apply(c)
+
+  /** WEIGHTED sampling without replacement, top-k form (Efraimidis &
+    * Spirakis 2006): each row draws a content-keyed uniform u ∈ (0, 1]
+    * and is ranked by key = ln(u)/w (monotone in u^(1/w)); the k
+    * largest keys are a weight-proportional without-replacement sample
+    * — the "sample 100k docs proportional to token count / quality
+    * score" primitive a curation pipeline uses where Bernoulli rates
+    * ([[qualityProportionalSample]]) can't hit an exact output size.
+    *
+    * u derives from the SAME portable md5 contract as [[md5Bucket]]:
+    * the first 32 md5 bits m of (seed ':' id) give u = (m+1)/2³² —
+    * exact dyadic rational, so the only transcendental is ln. The key
+    * is ROUNDED to 6 dp and ties broken by id (the metric rule:
+    * ln differs across engines in the last ulp; a 6-dp landing
+    * exactly on a tie is not representable for ln outputs, unlike
+    * integer ratios). Weights must be positive integers.
+    *
+    * Scale shape: the key is a stateless per-row expression riding the
+    * scan; the top-k is `orderBy(...).limit(k)` — a per-partition
+    * partial top-k merged on the driver-side take (TakeOrdered), NEVER
+    * a global sort shuffle; the rank window then runs on ≤ k rows.
+    * Output: (rank, id, weight, es_key). */
+  def weightedSampleTopK(df: DataFrame, idCol: String, weightCol: Column,
+                         k: Int, seed: String = "es"): DataFrame = {
+    require(k > 0)
+    import org.apache.spark.sql.expressions.Window
+    val m = conv(substring(
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val u = (m + 1).cast("double") / lit(4294967296.0)
+    val top = df
+      .select(col(idCol), weightCol.cast("long").as("weight"))
+      .where(col("weight") > 0)
+      .withColumn("es_key", round(log(u) / col("weight").cast("double"), 6))
+      .orderBy(desc("es_key"), col(idCol).asc)
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(desc("es_key"), col(idCol).asc)))
+      .select(col("rank"), col(idCol), col("weight"), col("es_key"))
+  }
 }

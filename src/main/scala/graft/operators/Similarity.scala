@@ -36,13 +36,15 @@ object Similarity {
   /** Exact cosine score + per-query top-k over candidate rows carrying
     * (query_id, qv, qn, neighbor_id, cv, cn) — the shared tail of every
     * knn variant, so tiebreak/rounding fixes happen in ONE place. */
-  private def topKByCosine(cand: DataFrame, k: Int): DataFrame = {
+  private def topKByCosine(cand: DataFrame, k: Int,
+                           carry: Seq[String] = Nil): DataFrame = {
     val scored = cand.withColumn("sim",
       vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+      .select((Seq("query_id", "rank", "neighbor_id") ++ carry :+ "sim")
+        .map(col): _*)
   }
 
   /** Exact cosine top-k for each query vector. Queries must be small
@@ -602,5 +604,34 @@ object Similarity {
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         col("max_cos"),
         (coalesce(col("n_dups"), lit(0L)) === 0L).as("keep")), assigned)
+  }
+
+  /** Hard-negative mining: for each query vector, the top-k most
+    * cosine-similar corpus vectors carrying a DIFFERENT label — the
+    * standard contrastive-training data step (retrieval/embedding
+    * models train on "looks like the anchor but isn't its class";
+    * random negatives are too easy to carry gradient).
+    *
+    * Exactly [[bruteForceKnn]]'s shape — broadcast queries (with their
+    * labels), label-inequality predicate fused into the broadcast
+    * join, shared [[topKByCosine]] tail (6-dp rounding + id tiebreak
+    * happen in one place) — so its scale path is the same as kNN's:
+    * swap the brute candidate generator for the LSH/IVF index probe
+    * and keep the label filter on the probe result. Output adds the
+    * neighbor's label for downstream triplet assembly.
+    *
+    * Output: (query_id, rank, neighbor_id, neighbor_label, sim). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("__qlabel"))
+      .withColumn("qn", vecNorm(col("qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("neighbor_label"))
+      .withColumn("cn", vecNorm(col("cv")))
+    val cand = c.join(q, col("neighbor_label") =!= col("__qlabel") &&
+      col("query_id") =!= col("neighbor_id"))
+    topKByCosine(cand, k, carry = Seq("neighbor_label"))
   }
 }

@@ -361,4 +361,62 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(1L)._3 > got(2L)._3)
     spark.catalog.clearCache()
   }
+
+  test("dsirWeights: target-typical docs score above raw-typical docs; partition-invariant") {
+    // target speaks only 'alpha beta', raw speaks only 'gamma delta';
+    // the scored raw docs split into one target-like and one raw-like
+    val docs = Seq(
+      (1L, "tgt", "alpha beta alpha beta alpha beta"),
+      (2L, "tgt", "beta alpha beta alpha"),
+      (3L, "raw", "gamma delta gamma delta gamma delta"),
+      (4L, "raw", "alpha beta alpha beta"),   // looks like target
+      (5L, "raw", "gamma delta gamma delta")) // looks like raw
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.dsirWeights(docs, "doc_id", "text",
+        targetPred = col("source") === "tgt", buckets = 64)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(4L)._2 === 4L && got(5L)._2 === 4L)
+    assert(got(4L)._3 > 0L, "target-like doc must carry positive log weight")
+    assert(got(5L)._3 < 0L, "raw-like doc must carry negative log weight")
+    assert(got(4L)._3 > got(5L)._3)
+    // pure function of content: same result under any partitioning
+    val re = CorpusStats.dsirWeights(docs.repartition(7), "doc_id", "text",
+        targetPred = col("source") === "tgt", buckets = 64)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(re === got)
+    spark.catalog.clearCache()
+  }
+
+  test("weightedSampleTopK: exact E-S keys, weight monotonicity and repartition stability") {
+    val docs = (1L to 200L).map(i => (i, i)).toDF("doc_id", "w")
+    val got = Sampling.weightedSampleTopK(docs, "doc_id", col("w"), k = 50)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(got.length === 50)
+    assert(got.map(_._1).toSeq === (1 to 50))
+    // recompute the key from the portable md5 contract in plain Scala
+    def key(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"es:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4294967296.0
+      BigDecimal(math.log(u) / w).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    got.foreach { case (_, id, w, k) => assert(k === key(id, w), s"doc $id") }
+    // ranks strictly follow (key desc, id asc)
+    val pairs = got.sortBy(_._1).map(r => (r._4, r._2))
+    assert(pairs.sliding(2).forall { case Array((k1, i1), (k2, i2)) =>
+      k1 > k2 || (k1 == k2 && i1 < i2) })
+    // sample is a pure function of content
+    val re = Sampling.weightedSampleTopK(docs.repartition(13), "doc_id",
+      col("w"), k = 50).as[(Int, Long, Long, Double)].collect()
+    assert(re.toSeq === got.toSeq)
+    // weight-proportional: the top-weight half must dominate the sample
+    assert(got.count(_._3 > 100L) > 30)
+    // non-positive weights are excluded, k larger than n is the whole set
+    val tiny = Seq((1L, 5L), (2L, 0L), (3L, -4L)).toDF("doc_id", "w")
+    val kept = Sampling.weightedSampleTopK(tiny, "doc_id", col("w"), k = 10)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(kept.map(_._2).toSeq === Seq(1L))
+  }
 }

@@ -375,4 +375,40 @@ class DedupSpec extends SparkSpec {
     assert(got(13L)._2 === false && got(13L)._3 >= 1L)
     assert(got.size === 4) // every new doc gets a verdict row
   }
+
+  test("boilerplateGrams: within-source relative threshold flags the template bigram") {
+    import org.apache.spark.sql.functions.col
+    // source A: 4 docs, 'legal footer' in 3 of them (df 3 ≥ 4·1/2? no —
+    // use frac 1/2: 3·2 ≥ 4 ✓); source B: same bigram in only 1 of 4
+    // docs (1·2 ≥ 4 ✗) — the flag must be PER-SOURCE
+    val docs = Seq(
+      (1L, "A", "legal footer alpha beta"),
+      (2L, "A", "legal footer gamma delta"),
+      (3L, "A", "legal footer epsilon zeta"),
+      (4L, "A", "eta theta iota kappa"),
+      (5L, "B", "legal footer lambda mu"),
+      (6L, "B", "nu xi omicron pi"),
+      (7L, "B", "rho sigma tau upsilon"),
+      (8L, "B", "phi chi psi omega")).toDF("doc_id", "source", "text")
+    val got = Dedup.boilerplateGrams(docs, "doc_id", "source", "text",
+        n = 2, minFracNum = 1, minFracDen = 2, minDf = 2)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // every doc has 3 distinct bigrams; only A's 'legal footer' is boiler
+    assert(got.values.forall(_._3 === 3L))
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id)._4 === 1L, s"doc $id")
+      // 1/3 in half-up micro units: (2·1e6·1 + 3) div 6 = 333333
+      assert(got(id)._5 === 0.333333, s"doc $id")
+    }
+    Seq(4L, 5L, 6L, 7L, 8L).foreach { id =>
+      assert(got(id)._4 === 0L && got(id)._5 === 0.0, s"doc $id")
+    }
+    // partition-invariant: df counting must not depend on layout
+    val re = Dedup.boilerplateGrams(docs.repartition(5), "doc_id", "source",
+        "text", n = 2, minFracNum = 1, minFracDen = 2, minDf = 2)
+      .as[(Long, String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(re === got)
+    spark.catalog.clearCache()
+  }
 }

@@ -599,6 +599,53 @@ class PlanQualitySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q103: λ table broadcasts onto the token stream; totals fold the bucket frame") {
+    val df = SparkEntry.queries("q103_dsir_weights")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the B-row λ table must broadcast — a shuffle join would re-key the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-sized join expected:\n$plan")
+    // exactly one corpus-keyed exchange (the per-doc Σ) + one B-key
+    // exchange (bucket counts) + the 1-row totals — never more
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"unexpected extra shuffle:\n$plan")
+  }
+
+  test("q104: source sizes broadcast; df joins key on (source, gram) — no doc pairs") {
+    val df = SparkEntry.queries("q104_boilerplate")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the catalog-sized source-size frame must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"every join must stay an equi-join on (source, gram):\n$plan")
+  }
+
+  test("q105: weighted sample is a scan filter + TakeOrdered — no global sort, no shuffle") {
+    val plan = executedPlan("q105_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition partial, not a global sort:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"a range-partitioned sort means the whole corpus shuffles:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,0)]"),
+      s"the weight guard must reach the parquet scan:\n$plan")
+  }
+
+  test("q106: hard negatives broadcast the query set; per-query top-k is group-limited") {
+    val df = SparkEntry.queries("q106_hard_negatives")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query set must broadcast (corpus side never shuffles for the join):\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must prune below the exchange:\n$plan")
+  }
+
   test("global sweep: no query plans a CartesianProduct") {
     // crossJoin is only ever used against a broadcast 1-row aggregate
     // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an
@@ -623,7 +670,8 @@ class PlanQualitySpec extends SparkSpec {
       "q80_gram_novelty", "q84_chunk_dup", "q89_source_overlap",
       "q90_kmv_source_overlap", "q92_cluster_purity", "q96_ppl_band",
       "q97_epoch_mix", "q98_bigram_lm", "q100_incremental_dedup",
-      "q101_exact_substr", "q102_pipeline_manifest")
+      "q101_exact_substr", "q102_pipeline_manifest", "q103_dsir_weights",
+      "q104_boilerplate")
     // earlier plan-shape tests construct (and thus cache-register)
     // plans without ever acting on them — start from a clean slate
     graft.operators.CacheScope.releaseAll()

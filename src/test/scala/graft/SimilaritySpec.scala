@@ -290,4 +290,24 @@ class SimilaritySpec extends SparkSpec {
     // cluster (labels are not uniformly shredded across every cluster)
     assert(got.exists(_._5 > 1.0 / labels.size))
   }
+
+  test("hardNegatives: only other-label neighbors, ranked by cosine, self excluded") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0.99f, 0.1f), 0),  // same label: must never appear
+      (3L, Array(0.9f, 0.4f), 1),   // nearest cross-label
+      (4L, Array(0f, 1f), 1),
+      (5L, Array(-1f, 0f), 2)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs, vecs.where(col("vec_id") === 1L),
+        "vec_id", "embedding", "label", k = 3)
+      .as[(Long, Int, Long, Int, Double)].collect().sortBy(_._2)
+    assert(got.length === 3)
+    assert(got.forall(_._1 === 1L))
+    assert(got.forall(_._4 !== 0), "query's own label must be filtered")
+    assert(got.map(_._3).toSeq === Seq(3L, 4L, 5L), "cosine order")
+    // sims strictly descend and the carried label matches the corpus row
+    assert(got.map(_._5).toSeq === got.map(_._5).sortBy(-(_: Double)).toSeq)
+    assert(got.map(r => r._3 -> r._4).toMap === Map(3L -> 1, 4L -> 1, 5L -> 2))
+  }
 }
