@@ -962,6 +962,25 @@ object SparkEntry {
           col("neighbor_label"), round(col("sim"), 6).as("cos_sim"))
     }),
 
+    // ── per-group E-S weighted sample: one spillable window per
+    //    group, WindowGroupLimit prunes to k before the exchange ──
+    "q107_group_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedGroupSample(t(s, dir, "documents"), "doc_id",
+        "source", col("n_chars"), k = 5)),
+
+    // ── per-source JS divergence vs the corpus mix: one shuffle onto
+    //    ≤|sources|·B groups; term snap on the tiny frame, integer Σ ──
+    "q108_source_js_divergence" -> ((s, dir) =>
+      CorpusStats.sourceJsDivergence(t(s, dir, "documents"), "source",
+        "text", buckets = 1024)),
+
+    // ── leakage-safe split: near-dup CLUSTER representative keys the
+    //    split bucket, so a doc and its near-dups land together ──
+    "q109_leakage_safe_split" -> ((s, dir) =>
+      Sampling.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
+        holdoutKeep = 10)),
+
     // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
     //    back onto the corpus scan for full-precision re-scoring —
     //    full vectors touched only for |queries|·shortlist rows ──
@@ -3089,6 +3108,82 @@ object SparkEntry {
            ON q.vec_id <> c.vec_id AND q.label <> c.label
          WHERE q.vec_id < 10
          QUALIFY rank <= 5""",
+    // Per-group E-S sample: q105's key, ranked within each source.
+    "q107_group_weighted_sample" ->
+      """WITH h AS (
+           SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+             CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(md5('es:' || CAST(doc_id AS VARCHAR)), CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) AS m
+           FROM documents WHERE n_chars > 0
+         ), k AS (
+           SELECT source, doc_id, weight,
+             round(ln(CAST(m + 1 AS DOUBLE) / 4294967296.0) / CAST(weight AS DOUBLE), 6) AS es_key
+           FROM h
+         )
+         SELECT * FROM (
+           SELECT source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id ASC) AS INT) AS sample_rank,
+             doc_id, weight, es_key
+           FROM k
+         ) WHERE sample_rank <= 5""",
+    // Source-vs-corpus JS divergence: q103's md5-32 buckets; per-bucket
+    // 2·JS term floored to micro-units on the tiny (source × occupied
+    // bucket) frame, Σ exact integer — p = 0 term is 0 by convention.
+    "q108_source_js_divergence" ->
+      """WITH tok AS (
+           SELECT source,
+             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           FROM documents
+         ), b AS (
+           SELECT source,
+             CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(md5(token), CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 1024 AS INT) AS bucket
+           FROM tok
+         ), sb AS (
+           SELECT source, bucket, CAST(count(*) AS BIGINT) AS c_sb
+           FROM b GROUP BY 1, 2
+         ), g AS (
+           SELECT bucket, CAST(sum(c_sb) AS BIGINT) AS c_b FROM sb GROUP BY 1
+         ), ns AS (
+           SELECT source, CAST(sum(c_sb) AS BIGINT) AS n_s FROM sb GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(c_sb) AS BIGINT) AS n_tot FROM sb
+         ), terms AS (
+           SELECT ns.source, ns.n_s,
+             CAST(floor(1e6 * (
+               CASE WHEN COALESCE(sb.c_sb, 0) > 0
+                 THEN (CAST(sb.c_sb AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+                   * ln((CAST(sb.c_sb AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+                     / (((CAST(COALESCE(sb.c_sb, 0) AS DOUBLE) / CAST(ns.n_s AS DOUBLE)) + (CAST(g.c_b AS DOUBLE) / CAST(tot.n_tot AS DOUBLE))) / 2.0))
+                 ELSE 0.0 END
+               + (CAST(g.c_b AS DOUBLE) / CAST(tot.n_tot AS DOUBLE))
+                 * ln((CAST(g.c_b AS DOUBLE) / CAST(tot.n_tot AS DOUBLE))
+                   / (((CAST(COALESCE(sb.c_sb, 0) AS DOUBLE) / CAST(ns.n_s AS DOUBLE)) + (CAST(g.c_b AS DOUBLE) / CAST(tot.n_tot AS DOUBLE))) / 2.0))
+             )) AS BIGINT) AS term2_micro
+           FROM ns CROSS JOIN g
+           LEFT JOIN sb ON sb.source = ns.source AND sb.bucket = g.bucket
+           CROSS JOIN tot
+         )
+         SELECT source, max(n_s) AS n_tokens,
+           CAST(sum(term2_micro) AS BIGINT) AS js2_micro
+         FROM terms GROUP BY 1""",
+    // Leakage-safe split: q47's components label every clustered doc,
+    // singletons fall back to their own id; the q44 md5 bucket idiom
+    // runs on the CLUSTER id so near-dups share a split.
+    "q109_leakage_safe_split" ->
+      s"""WITH comp AS ($componentsSql),
+         a AS (
+           SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         ), bk AS (
+           SELECT doc_id, cluster_id,
+             CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(md5('graft:' || CAST(cluster_id AS VARCHAR)), CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS INT) AS bucket
+           FROM a
+         )
+         SELECT doc_id, cluster_id, bucket,
+           CASE WHEN bucket < 10 THEN 'holdout' ELSE 'train' END AS split
+         FROM bk""",
     // Pipeline manifest: the q51 funnel, q47 components and q57 budget
     // oracles composed VERBATIM (shared defs — one copy of each gate's
     // formulas), joined per doc; bucket = the q44 md5 idiom.

@@ -794,4 +794,53 @@ object CorpusStats {
         .select(col("doc_id").as(idCol), col("n_tokens"), col("logw_micro")),
       tok, counts)
   }
+
+  /** Per-source Jensen–Shannon divergence against the whole corpus's
+    * hashed-unigram distribution — the "which source's vocabulary is
+    * drifting from the mix" diagnostic (the lexical complement to
+    * q86's numeric-feature PSI): 0 = the source speaks exactly like
+    * the corpus, ln 2 ≈ 0.693 = disjoint vocabulary.
+    *
+    * Emitted as `js2_micro` = Σ_b ⌊1e6·(p·ln(p/m) + q·ln(q/m))⌋ over
+    * the corpus's occupied buckets (p = source share, q = corpus
+    * share, m = (p+q)/2; the p = 0 term is 0 by convention) — i.e.
+    * 2·JS in integer micro-units: the per-bucket snap happens on the
+    * ≤ |sources|·B-row frame (never per token), the cross-bucket Σ is
+    * exact integer, and the output carries no rounded double at all.
+    *
+    * Scale shape: ONE corpus-sized shuffle onto ≤ |sources|·B groups;
+    * the bucket/source marginals, the (source × occupied-bucket)
+    * frame and the term algebra are all tiny-frame derivations of
+    * that aggregate — the corpus text is read exactly once. */
+  def sourceJsDivergence(docs: DataFrame, srcCol: String, textCol: String,
+                         buckets: Int = 1024): DataFrame = {
+    require(buckets > 0)
+    val sb = docs
+      .select(col(srcCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .select(col("source"),
+        (conv(substring(md5(col("token").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % buckets).cast("int").as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("c_sb"))
+      .cache()
+    val g = sb.groupBy("bucket").agg(sum("c_sb").cast("long").as("c_b"))
+    val ns = sb.groupBy("source").agg(sum("c_sb").cast("long").as("n_s"))
+    val nTot = sb.agg(sum("c_sb").cast("long").as("n_tot"))
+    // every source must see every OCCUPIED bucket (a source missing a
+    // bucket still pays the q·ln 2 mass there) — |sources|·B rows, tiny
+    val p = col("c_sb").cast("double") / col("n_s").cast("double")
+    val q = col("c_b").cast("double") / col("n_tot").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term2 = when(col("c_sb") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+      q * log(q / m)
+    CacheScope.scoped(
+      ns.crossJoin(g)
+        .join(sb, Seq("source", "bucket"), "left")
+        .na.fill(0L, Seq("c_sb"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("term2_micro", floor(lit(1e6) * term2).cast("long"))
+        .groupBy("source")
+        .agg(max("n_s").as("n_tokens"), sum("term2_micro").as("js2_micro")),
+      sb)
+  }
 }

@@ -347,22 +347,92 @@ object Sampling {
     * partial top-k merged on the driver-side take (TakeOrdered), NEVER
     * a global sort shuffle; the rank window then runs on ≤ k rows.
     * Output: (rank, id, weight, es_key). */
-  def weightedSampleTopK(df: DataFrame, idCol: String, weightCol: Column,
-                         k: Int, seed: String = "es"): DataFrame = {
-    require(k > 0)
-    import org.apache.spark.sql.expressions.Window
+  /** The Efraimidis–Spirakis ranking key: ln(u)/w with u =
+    * (md5-32(seed ':' id) + 1)/2³² — an exact dyadic rational off the
+    * same portable md5 contract as [[md5Bucket]], so the only
+    * transcendental is ln. Rounded 6 dp (metric rule: ln outputs
+    * cannot land exactly on decimal ties, unlike integer ratios);
+    * callers tiebreak on the id. Larger key = more likely sampled. */
+  private def esKey(idCol: String, weight: Column, seed: String): Column = {
     val m = conv(substring(
       md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary")),
       1, 8), 16, 10).cast("long")
     val u = (m + 1).cast("double") / lit(4294967296.0)
+    round(log(u) / weight.cast("double"), 6)
+  }
+
+  def weightedSampleTopK(df: DataFrame, idCol: String, weightCol: Column,
+                         k: Int, seed: String = "es"): DataFrame = {
+    require(k > 0)
+    import org.apache.spark.sql.expressions.Window
     val top = df
       .select(col(idCol), weightCol.cast("long").as("weight"))
       .where(col("weight") > 0)
-      .withColumn("es_key", round(log(u) / col("weight").cast("double"), 6))
+      .withColumn("es_key", esKey(idCol, col("weight"), seed))
       .orderBy(desc("es_key"), col(idCol).asc)
       .limit(k)
     top.withColumn("rank", row_number().over(
         Window.orderBy(desc("es_key"), col(idCol).asc)))
       .select(col("rank"), col(idCol), col("weight"), col("es_key"))
+  }
+
+  /** Per-GROUP weighted sampling without replacement: the k largest
+    * [[esKey]] rows per group — [[groupHoldout]]'s exact-count-per-
+    * group contract with WEIGHT-proportional (instead of uniform)
+    * inclusion, e.g. "per language, hold out 1k docs proportional to
+    * token count". Same determinism contract as [[weightedSampleTopK]]
+    * (pure function of content; 6-dp key, id tiebreak).
+    *
+    * Scale shape: one window sort per group — keyed, spillable, never
+    * buffers a group in memory; Spark's WindowGroupLimit prunes to k
+    * rows per group BEFORE the exchange when the filter is on
+    * row_number. Output: (group, sample_rank, id, weight, es_key). */
+  /** LEAKAGE-SAFE train/holdout split: the split bucket keys off the
+    * doc's near-dup CLUSTER representative, not the doc itself — so a
+    * document and all its near-duplicates land in the SAME split. The
+    * per-doc [[portableSample]] split (q44) silently leaks: at
+    * real-corpus duplication rates a held-out doc's near-twin sits in
+    * train and the eval measures memorization (the failure q76's audit
+    * DETECTS; this operator prevents it by construction).
+    *
+    * cluster_id comes from [[Dedup.dedupClusters]] (MinHash-LSH pairs →
+    * alternating-stars components); un-clustered docs are their own
+    * singleton representative, so their assignment degenerates to
+    * exactly the q44 bucket on their own id (same md5 contract).
+    *
+    * Scale shape: clustering touches only ids/signatures (never doc
+    * text); the verdict is one id-keyed LEFT join of the label frame
+    * back to the id column + a stateless bucket expression. Output:
+    * (doc_id, cluster_id, bucket, split ∈ {holdout, train}). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, numHashes: Int, bands: Int,
+                       minJaccard: Double, holdoutKeep: Int, outOf: Int = 100,
+                       seed: String = "graft"): DataFrame = {
+    require(holdoutKeep >= 0 && holdoutKeep <= outOf && outOf > 0)
+    val clusters = Dedup.dedupClusters(docs, idCol, textCol, shingleN,
+        numHashes, bands, minJaccard)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("bucket", md5Bucket("cluster_id", outOf, seed))
+      .withColumn("split",
+        when(col("bucket") < holdoutKeep, lit("holdout")).otherwise(lit("train")))
+  }
+
+  def weightedGroupSample(df: DataFrame, idCol: String, groupCol: String,
+                          weightCol: Column, k: Int,
+                          seed: String = "es"): DataFrame = {
+    require(k > 0)
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(groupCol), col(idCol), weightCol.cast("long").as("weight"))
+      .where(col("weight") > 0)
+      .withColumn("es_key", esKey(idCol, col("weight"), seed))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(desc("es_key"), col(idCol).asc)))
+      .where(col("sample_rank") <= k)
+      .select(col(groupCol), col("sample_rank"), col(idCol), col("weight"),
+        col("es_key"))
   }
 }

@@ -419,4 +419,48 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(Int, Long, Long, Double)].collect()
     assert(kept.map(_._2).toSeq === Seq(1L))
   }
+
+  test("weightedGroupSample: exact k per group, groups ranked independently") {
+    val docs = (1L to 60L).map(i => (i, if (i % 3 == 0) "a" else "b", i))
+      .toDF("doc_id", "grp", "w")
+    val got = Sampling.weightedGroupSample(docs, "doc_id", "grp", col("w"), k = 7)
+      .as[(String, Int, Long, Long, Double)].collect()
+    val byGrp = got.groupBy(_._1)
+    assert(byGrp("a").length === 7 && byGrp("b").length === 7)
+    assert(byGrp.values.forall(_.map(_._2).sorted.toSeq === (1 to 7)))
+    // within a group, ranks follow (key desc, id asc); the global
+    // top-k operator must agree with the per-group ranking on a
+    // single-group input (same key, same tiebreak)
+    byGrp.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).map(r => (r._5, r._3))
+      assert(sorted.sliding(2).forall { case Array((k1, i1), (k2, i2)) =>
+        k1 > k2 || (k1 == k2 && i1 < i2) })
+    }
+    val only = docs.where(col("grp") === "a")
+    val global = Sampling.weightedSampleTopK(only, "doc_id", col("w"), k = 7)
+      .as[(Int, Long, Long, Double)].collect().map(r => (r._1, r._2)).toSeq
+    val grouped = byGrp("a").sortBy(_._2).map(r => (r._2, r._3)).toSeq
+    assert(global === grouped)
+  }
+
+  test("sourceJsDivergence: identical-mix sources score exactly 0; disjoint vocab scores near 2·ln 2") {
+    // two sources with the SAME text → each equals the corpus mix → every
+    // per-bucket term is ln(1) = 0 exactly (no floor slack)
+    val same = Seq((1L, "s1", "alpha beta gamma delta"),
+                   (2L, "s2", "alpha beta gamma delta"))
+      .toDF("doc_id", "source", "text")
+    val z = CorpusStats.sourceJsDivergence(same, "source", "text", buckets = 256)
+      .as[(String, Long, Long)].collect()
+    assert(z.length === 2 && z.forall(_._3 === 0L))
+    // disjoint vocabularies, equal mass → 2·JS = 2·ln 2 ≈ 1.386e6 micro;
+    // each source sees roughly half that against the 50/50 mix
+    val disj = Seq((1L, "s1", "alpha beta gamma delta"),
+                   (2L, "s2", "eps zeta eta theta"))
+      .toDF("doc_id", "source", "text")
+    val d = CorpusStats.sourceJsDivergence(disj, "source", "text", buckets = 256)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // analytic: p·ln(4/3) + (p/2)·ln(2/3) + (q/2)·ln 2 masses → ≈ 431523
+    assert(d.values.forall(v => v > 420000L && v < 440000L), d.toString)
+    spark.catalog.clearCache()
+  }
 }

@@ -411,4 +411,29 @@ class DedupSpec extends SparkSpec {
     assert(re === got)
     spark.catalog.clearCache()
   }
+
+  test("leakageSafeSplit: near-dup cluster members share a split; singletons use their own id") {
+    import graft.operators.Sampling
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val docs = Seq(
+      (1L, base + "one"), (2L, base + "two"),          // near-dup pair
+      (3L, "completely different text about nothing at all with many words here"),
+      (4L, base + "one more tail token variant"))      // near-dup of 1/2
+      .toDF("doc_id", "text")
+    val got = Sampling.leakageSafeSplit(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.5,
+        holdoutKeep = 50)
+      .as[(Long, Long, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(got.size === 4, "every doc gets exactly one verdict row")
+    // clustered docs share representative AND split
+    val cluster = Seq(1L, 2L, 4L).map(got(_))
+    assert(cluster.map(_._2).distinct.size === 1, "one cluster representative")
+    assert(cluster.map(_._4).distinct.size === 1, "cluster members split together")
+    // the singleton's bucket replays the per-doc portable bucket on its own id
+    assert(got(3L)._2 === 3L)
+    val expect = docs.where($"doc_id" === 3L)
+      .select(Sampling.md5Bucket("doc_id", 100)).as[Int].head()
+    assert(got(3L)._3 === expect)
+    spark.catalog.clearCache()
+  }
 }

@@ -646,6 +646,30 @@ class PlanQualitySpec extends SparkSpec {
       s"per-query top-k must prune below the exchange:\n$plan")
   }
 
+  test("q107: per-group sample prunes to k below the exchange; weight guard pushed") {
+    val df = SparkEntry.queries("q107_group_weighted_sample")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-group top-k must prune before the group exchange:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,0)]"),
+      s"the weight guard must reach the parquet scan:\n$plan")
+  }
+
+  test("q108: corpus shuffles ONCE onto (source, bucket); all marginal joins broadcast") {
+    val df = SparkEntry.queries("q108_source_js_divergence")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin"),
+      s"every join runs on tiny marginal frames — none may shuffle:\n$plan")
+    // (source,bucket) pre-agg + tiny re-aggs of the cached frame; the
+    // corpus-sized exchange must appear exactly once
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3,
+      s"unexpected extra shuffle:\n$plan")
+  }
+
   test("global sweep: no query plans a CartesianProduct") {
     // crossJoin is only ever used against a broadcast 1-row aggregate
     // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an
@@ -671,7 +695,7 @@ class PlanQualitySpec extends SparkSpec {
       "q90_kmv_source_overlap", "q92_cluster_purity", "q96_ppl_band",
       "q97_epoch_mix", "q98_bigram_lm", "q100_incremental_dedup",
       "q101_exact_substr", "q102_pipeline_manifest", "q103_dsir_weights",
-      "q104_boilerplate")
+      "q104_boilerplate", "q108_source_js_divergence", "q109_leakage_safe_split")
     // earlier plan-shape tests construct (and thus cache-register)
     // plans without ever acting on them — start from a clean slate
     graft.operators.CacheScope.releaseAll()
