@@ -981,6 +981,13 @@ object SparkEntry {
         shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
         holdoutKeep = 10)),
 
+    // ── per-source winsorization: q45's interpolated percentile
+    //    bounds, catalog-sized bounds broadcast back onto the ranked
+    //    stream — one scan, one group-keyed shuffle ──
+    "q110_winsorize" -> ((s, dir) =>
+      operators.Profiling.winsorize(t(s, dir, "documents"), "doc_id",
+        "source", col("n_chars"), pLo = 0.05, pHi = 0.95)),
+
     // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
     //    back onto the corpus scan for full-precision re-scoring —
     //    full vectors touched only for |queries|·shortlist rows ──
@@ -3184,6 +3191,35 @@ object SparkEntry {
          SELECT doc_id, cluster_id, bucket,
            CASE WHEN bucket < 10 THEN 'holdout' ELSE 'train' END AS split
          FROM bk""",
+    // Winsorize: q45's contribution-sum percentile interpolation per
+    // source (one copy of the rank/frac formulas), clip against the
+    // 6-dp-rounded bounds.
+    "q110_winsorize" ->
+      """WITH base AS (
+           SELECT doc_id, source AS grp, CAST(n_chars AS DOUBLE) AS v
+           FROM documents
+         ), r AS (
+           SELECT doc_id, grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+           FROM base
+         ), b AS (
+           SELECT grp,
+             round(sum(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.05) AS BIGINT) + 1
+                         THEN v * (1.0 - (CAST(n - 1 AS DOUBLE) * 0.05 - floor(CAST(n - 1 AS DOUBLE) * 0.05)))
+                       WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.05) AS BIGINT) + 2
+                         THEN v * (CAST(n - 1 AS DOUBLE) * 0.05 - floor(CAST(n - 1 AS DOUBLE) * 0.05))
+                       ELSE 0.0 END), 6) AS lo,
+             round(sum(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.95) AS BIGINT) + 1
+                         THEN v * (1.0 - (CAST(n - 1 AS DOUBLE) * 0.95 - floor(CAST(n - 1 AS DOUBLE) * 0.95)))
+                       WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.95) AS BIGINT) + 2
+                         THEN v * (CAST(n - 1 AS DOUBLE) * 0.95 - floor(CAST(n - 1 AS DOUBLE) * 0.95))
+                       ELSE 0.0 END), 6) AS hi
+           FROM r GROUP BY grp
+         )
+         SELECT r.doc_id, r.grp AS source, r.v, b.lo, b.hi,
+           least(greatest(r.v, b.lo), b.hi) AS v_winsor
+         FROM r JOIN b USING (grp)""",
     // Pipeline manifest: the q51 funnel, q47 components and q57 budget
     // oracles composed VERBATIM (shared defs — one copy of each gate's
     // formulas), joined per doc; bucket = the q44 md5 idiom.

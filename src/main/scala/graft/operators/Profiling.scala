@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Numeric column profiling — the data-quality card a pipeline renders
@@ -67,5 +67,49 @@ object Profiling {
           .cast("double") / 1e6).as("frac"),
         round(meanMicro / 1e4, 6).as("mean"),
         round(sqrt(greatest(varMicro2, lit(0.0))) / 1e4, 6).as("stddev"))
+  }
+
+  /** Per-group winsorization: clip a numeric column to its group's
+    * [pLo, pHi] interpolated percentile bounds — the robust-scaling
+    * step a pipeline runs before thresholding a quality/length signal
+    * globally (a source with a heavy tail would otherwise dominate any
+    * corpus-wide cutoff). Bounds use EXACTLY the q45
+    * ([[CorpusStats.tokenQuantiles]]) contribution-sum interpolation —
+    * one copy of the rank/frac formulas per engine pair, rounded 6 dp;
+    * the clip compares the raw value against the ROUNDED bounds (a tie
+    * lands on the bound itself, where clipping is the identity).
+    *
+    * Scale shape: ONE corpus scan — the rank/count windows shuffle
+    * once per group key (spillable sort, never a group in memory), the
+    * catalog-sized bounds frame broadcasts back onto the SAME ranked
+    * stream (no second scan, no re-shuffle: the join key is the
+    * window's own partitioning). Output: (id, group, v, lo, hi,
+    * v_winsor). */
+  def winsorize(df: DataFrame, idCol: String, groupCol: String,
+                valueCol: Column, pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pLo < pHi && pHi <= 1)
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .select(col(idCol), col(groupCol).as("__grp"), valueCol.cast("double").as("v"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("__grp").orderBy("v")))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__grp")))
+      .cache()
+    def bound(p: Double, name: String) = {
+      val idx = (col("__n") - 1).cast("double") * lit(p)
+      val lo = floor(idx) + 1 // __rn is 1-based
+      val frac = idx - floor(idx)
+      // ties in v make rank assignment among equals irrelevant (q45)
+      val contrib = when(col("__rn") === lo, col("v") * (lit(1.0) - frac))
+        .when(col("__rn") === lo + 1, col("v") * frac)
+        .otherwise(lit(0.0))
+      round(sum(contrib), 6).as(name)
+    }
+    val bounds = ranked.groupBy("__grp").agg(bound(pLo, "lo"), bound(pHi, "hi"))
+    CacheScope.scoped(
+      ranked.join(broadcast(bounds), "__grp")
+        .select(col(idCol), col("__grp").as(groupCol), col("v"),
+          col("lo"), col("hi"),
+          least(greatest(col("v"), col("lo")), col("hi")).as("v_winsor")),
+      ranked)
   }
 }

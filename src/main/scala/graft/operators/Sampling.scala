@@ -326,6 +326,56 @@ object Sampling {
   def bottomKSample(c: Column, k: Int, seed: Long = 42L): Column =
     udaf(new BottomKSample(k, seed)).apply(c)
 
+  /** Buffer: k largest (es_key, value) pairs seen so far — the
+    * WEIGHTED counterpart of [[BottomK]]. distinct-by-value before
+    * take in both paths (a duplicate value must occupy one slot
+    * regardless of where copies met) keeps the result partitioning-
+    * independent; ordering is (key DESC, value ASC) — the same
+    * tiebreak contract as [[weightedSampleTopK]]. */
+  final case class WeightedRes(k: Int, items: List[(Double, String)]) {
+    private def top(xs: List[(Double, String)]): List[(Double, String)] =
+      xs.distinctBy(_._2).sortBy { case (key, v) => (-key, v) }.take(k)
+    def insert(key: Double, v: String): WeightedRes =
+      copy(items = top((key, v) :: items))
+    def merge(o: WeightedRes): WeightedRes =
+      copy(items = top(items ++ o.items))
+  }
+
+  /** Mergeable Efraimidis–Spirakis weighted-without-replacement sample
+    * of k values, as an order- and partitioning-independent aggregate:
+    * the distributed-reduction form of [[weightedSampleTopK]] — usable
+    * per-GROUP in `agg(...)`, and in a Structured Streaming aggregation
+    * (insert/merge are commutative, state is ≤ k pairs). Input rows are
+    * (value, weight); weight ≤ 0 rows are ignored. The key replays the
+    * EXACT [[esKey]] contract (md5-32 uniform, ln(u)/w, 6-dp half-up,
+    * value tiebreak), so the sampled SET matches the window/TakeOrdered
+    * form bit-for-bit on the same data. */
+  final class WeightedReservoir(k: Int, seed: String = "es")
+      extends Aggregator[(String, Long), WeightedRes, Seq[String]] {
+    private def key(v: String, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4294967296.0
+      BigDecimal(math.log(u) / w).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    override def zero: WeightedRes = WeightedRes(k, Nil)
+    override def reduce(b: WeightedRes, in: (String, Long)): WeightedRes =
+      if (in._2 <= 0) b else b.insert(key(in._1, in._2), in._1)
+    override def merge(a: WeightedRes, b: WeightedRes): WeightedRes = a.merge(b)
+    override def finish(r: WeightedRes): Seq[String] = r.items.map(_._2)
+    override def bufferEncoder: Encoder[WeightedRes] = Encoders.kryo[WeightedRes]
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Column form: `weighted_reservoir(struct(value, weight))`. */
+  def weightedReservoir(value: Column, weight: Column, k: Int,
+                        seed: String = "es"): Column =
+    udaf(new WeightedReservoir(k, seed))
+      .apply(value.cast("string"), weight.cast("long"))
+
   /** WEIGHTED sampling without replacement, top-k form (Efraimidis &
     * Spirakis 2006): each row draws a content-keyed uniform u ∈ (0, 1]
     * and is ranked by key = ln(u)/w (monotone in u^(1/w)); the k

@@ -8,6 +8,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class WindowDrift(window_start_us: Long, category: String, n: Long,
                        share: Double, psi_term: Double)
 
+/** One emitted lexical-drift row per closed window: 2·JS divergence of
+  * the window's hashed-unigram mix vs the reference, in exact integer
+  * micro-units (the q108 convention). */
+case class WindowJs(window_start_us: Long, n_tokens: Long, js2_micro: Long)
+
 /** LIVE distribution-drift monitoring — the streaming counterpart of
   * [[graft.operators.Drift.psiDrift]]: per event-time tumbling window,
   * the category mix is scored against a FIXED reference distribution
@@ -102,6 +107,81 @@ object StreamingDrift {
             // timeout ≤ watermark THROWS (killing the query), so guard
             // the invariant rather than assume it of every future
             // caller/source shape (spec pins the drop behavior).
+            state.setTimeoutTimestamp(
+              math.max(wsMs + windowMillis, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** LIVE lexical drift — the streaming counterpart of
+    * [[graft.operators.CorpusStats.sourceJsDivergence]]: per event-time
+    * tumbling window, the window's hashed-unigram bucket distribution
+    * is scored against a FIXED reference distribution (the training-
+    * corpus mix) as 2·JS in integer micro-units, emitted exactly once
+    * when the watermark closes the window.
+    *
+    * Same math as the batch op — per-bucket term2 = p·ln(p/m) +
+    * q·ln(q/m), m = (p+q)/2, zero-mass side contributes 0, ⌊1e6·term⌋
+    * summed as exact integers — so a reference whose shares are the
+    * batch op's own c_b/n_tot double ratios reproduces the batch
+    * micro-values bit-for-bit (identical double-op order). Unlike the
+    * PSI gate, a NOVEL bucket (observed, absent from the reference) is
+    * legal: its mass lands as p·ln 2 — JS is defined on disjoint
+    * support, and "the stream speaks words the corpus never did" is
+    * precisely the drift to surface, not an error.
+    *
+    * State per open window = one Map[bucket → count] (≤ `buckets`
+    * entries — monitoring-sized); closed windows remove their state;
+    * the md5 bucketing runs as a codegen column BEFORE the stateful
+    * operator, so state never sees token strings. */
+  def windowedTokenJs(df: DataFrame, textCol: String, tsCol: String,
+                      windowLen: String, windowMillis: Long, delay: String,
+                      reference: Map[Int, Double],
+                      buckets: Int = 1024): Dataset[WindowJs] = {
+    require(buckets > 0 && reference.nonEmpty &&
+      reference.values.forall(_ > 0.0) && reference.keys.forall(b => b >= 0 && b < buckets),
+      "reference must assign positive shares to in-range buckets")
+    implicit val outEnc: Encoder[WindowJs] = Encoders.product[WindowJs]
+    implicit val stateEnc: Encoder[Map[Int, Long]] =
+      Encoders.kryo[Map[Int, Long]]
+    implicit val rowEnc: Encoder[(java.sql.Timestamp, Int, java.sql.Timestamp)] =
+      Encoders.product[(java.sql.Timestamp, Int, java.sql.Timestamp)]
+    val bucket = (conv(substring(md5(col("__tok").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets).cast("int")
+    val winRows = df
+      .withWatermark(tsCol, delay)
+      .select(col(tsCol), explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .select(window(col(tsCol), windowLen).getField("start").as("_1"),
+        bucket.as("_2"), col(tsCol).as("_3"))
+      .as[(java.sql.Timestamp, Int, java.sql.Timestamp)]
+    winRows.groupByKey(_._1.getTime)(Encoders.scalaLong)
+      .flatMapGroupsWithState[Map[Int, Long], WindowJs](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wsMs: Long, rows: Iterator[(java.sql.Timestamp, Int, java.sql.Timestamp)],
+         state: GroupState[Map[Int, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.getOption.getOrElse(Map.empty[Int, Long])
+            state.remove()
+            val tot = counts.values.sum
+            val support = (counts.keySet ++ reference.keySet).toSeq.sorted
+            val js2 = support.map { b =>
+              val p = if (tot == 0) 0.0
+                      else counts.getOrElse(b, 0L).toDouble / tot.toDouble
+              val q = reference.getOrElse(b, 0.0)
+              val m = (p + q) / 2.0
+              val term2 = (if (p > 0) p * math.log(p / m) else 0.0) +
+                (if (q > 0) q * math.log(q / m) else 0.0)
+              math.floor(1e6 * term2).toLong
+            }.sum
+            Iterator.single(WindowJs(wsMs * 1000L, tot, js2))
+          } else {
+            val counts = rows.foldLeft(state.getOption.getOrElse(Map.empty[Int, Long])) {
+              case (m, (_, b, _)) => m.updated(b, m.getOrElse(b, 0L) + 1L)
+            }
+            state.update(counts)
+            // watermark-driven firing; same sub-watermark guard as the
+            // PSI gate (a timeout ≤ watermark kills the query)
             state.setTimeoutTimestamp(
               math.max(wsMs + windowMillis, state.getCurrentWatermarkMs() + 1))
             Iterator.empty

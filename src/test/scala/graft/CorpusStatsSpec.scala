@@ -443,6 +443,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(global === grouped)
   }
 
+  test("WeightedReservoir: agrees with weightedSampleTopK; partitioning-independent") {
+    val docs = (1L to 200L).map(i => (i, i)).toDF("doc_id", "w")
+    val res = docs
+      .agg(Sampling.weightedReservoir(col("doc_id"), col("w"), k = 25)
+        .as("sample"))
+      .as[Seq[String]].head().map(_.toLong)
+    val topk = Sampling.weightedSampleTopK(docs, "doc_id", col("w"), k = 25)
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(res === topk, "reduction form must match the window form exactly")
+    val re = docs.repartition(17)
+      .agg(Sampling.weightedReservoir(col("doc_id"), col("w"), k = 25)
+        .as("sample"))
+      .as[Seq[String]].head().map(_.toLong)
+    assert(re === res)
+    // per-group usage: k rows per group, disjoint value sets
+    val grouped = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b", i))
+      .toDF("doc_id", "grp", "w")
+      .groupBy("grp")
+      .agg(Sampling.weightedReservoir(col("doc_id"), col("w"), k = 10)
+        .as("sample"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(grouped("a").length === 10 && grouped("b").length === 10)
+    assert(grouped("a").forall(_.toLong % 2 == 0))
+    assert(grouped("b").forall(_.toLong % 2 == 1))
+  }
+
   test("sourceJsDivergence: identical-mix sources score exactly 0; disjoint vocab scores near 2·ln 2") {
     // two sources with the SAME text → each equals the corpus mix → every
     // per-bucket term is ln(1) = 0 exactly (no floor slack)

@@ -670,6 +670,19 @@ class PlanQualitySpec extends SparkSpec {
       s"unexpected extra shuffle:\n$plan")
   }
 
+  test("q110: bounds broadcast back onto the ranked stream — one scan, one group shuffle") {
+    val df = SparkEntry.queries("q110_winsorize")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"catalog-sized bounds must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the ranked stream must never re-shuffle for the bounds join:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size === 1,
+      s"the corpus must be scanned exactly once (cached ranked stream):\n$plan")
+  }
+
   test("global sweep: no query plans a CartesianProduct") {
     // crossJoin is only ever used against a broadcast 1-row aggregate
     // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an
@@ -695,7 +708,8 @@ class PlanQualitySpec extends SparkSpec {
       "q90_kmv_source_overlap", "q92_cluster_purity", "q96_ppl_band",
       "q97_epoch_mix", "q98_bigram_lm", "q100_incremental_dedup",
       "q101_exact_substr", "q102_pipeline_manifest", "q103_dsir_weights",
-      "q104_boilerplate", "q108_source_js_divergence", "q109_leakage_safe_split")
+      "q104_boilerplate", "q108_source_js_divergence", "q109_leakage_safe_split",
+      "q110_winsorize")
     // earlier plan-shape tests construct (and thus cache-register)
     // plans without ever acting on them — start from a clean slate
     graft.operators.CacheScope.releaseAll()

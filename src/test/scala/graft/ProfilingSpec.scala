@@ -42,4 +42,24 @@ class ProfilingSpec extends SparkSpec {
     // within 20·5e-7 of 1
     assert(math.abs(got.map(_._2).sum - 1.0) < 1e-5)
   }
+
+  test("winsorize: hand-computed interpolated bounds clip exactly the tails") {
+    import org.apache.spark.sql.functions.col
+    // group a: v = 1..21 → idx_lo = 20·0.05 = 1.0 (rank 2, frac 0) →
+    // lo = 2; idx_hi = 19.0 (rank 20) → hi = 20. Only the endpoints clip.
+    val docs = ((1L to 21L).map(i => (i, "a", i)) ++
+      Seq((100L, "b", 7L), (101L, "b", 9L))).toDF("doc_id", "grp", "v")
+    val got = Profiling.winsorize(docs, "doc_id", "grp", col("v"),
+        pLo = 0.05, pHi = 0.95)
+      .as[(Long, String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "a", 1.0, 2.0, 20.0, 2.0)), "low tail clips up")
+    assert(got(21L) === ((21L, "a", 21.0, 2.0, 20.0, 20.0)), "high tail clips down")
+    (2L to 20L).foreach(i => assert(got(i)._6 === i.toDouble, s"v=$i untouched"))
+    // group b (n = 2): idx_lo = 0.05 → 0.95·7 + 0.05·9 = 7.1;
+    // idx_hi = 0.95 → 0.05·7 + 0.95·9 = 8.9 — interpolation BETWEEN ranks
+    assert(got(100L)._4 === 7.1 && got(100L)._5 === 8.9)
+    assert(got(100L)._6 === 7.1 && got(101L)._6 === 8.9)
+    spark.catalog.clearCache()
+  }
 }

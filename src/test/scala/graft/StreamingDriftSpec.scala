@@ -133,4 +133,72 @@ class StreamingDriftSpec extends SparkSpec {
     assert(rows.exists(r => r._1 == 90000000L && r._2 == "A" && r._3 == 1L))
     q.stop()
   }
+
+  case class DocEv(text: String, event_time: java.sql.Timestamp)
+
+  /** The operator's portable bucket, replayed in plain Scala. */
+  private def bucketOf(token: String, buckets: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 8), 16) % buckets).toInt
+  }
+
+  test("windowedTokenJs: window matching the reference scores 0; disjoint vocab near 2·ln 2") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference = the exact share doubles of the window's own mix →
+    // every per-bucket term is ln(1) = 0 exactly, no floor slack
+    val matchRef = Seq("alpha", "alpha", "beta", "gamma")
+      .groupBy(t => bucketOf(t, 1024)).map { case (b, ts) => b -> ts.size / 4.0 }
+    val in = MemoryStream[DocEv]
+    val out = StreamingDrift.windowedTokenJs(in.toDF(), "text", "event_time",
+      windowLen = "10 seconds", windowMillis = 10000L, delay = "0 seconds",
+      matchRef, buckets = 1024)
+    val q = out.writeStream.format("memory").queryName("js_t")
+      .outputMode("append").start()
+    in.addData(DocEv("alpha alpha beta gamma", ts(1)))
+    q.processAllAvailable()
+    assert(spark.table("js_t").count() === 0, "open window must not emit")
+    // [10,20): four tokens DISJOINT from the reference support
+    in.addData(DocEv("delta eps zeta theta", ts(12)))
+    q.processAllAvailable()
+    in.addData(DocEv("closer", ts(45)))
+    q.processAllAvailable()
+    val rows = spark.table("js_t").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(0L)._2 === 4L && rows(0L)._3 === 0L,
+      s"matching mix must score exactly 0: ${rows(0L)}")
+    // disjoint support: 2·JS = 2·ln 2 ≈ 1386294 micro, floor slack ≤
+    // |support| buckets
+    val dj = rows(10000000L)
+    assert(dj._2 === 4L)
+    assert(dj._3 > 1386000L && dj._3 <= 1386295L, s"disjoint 2·JS: $dj")
+    // exactly-once: one row per closed window
+    assert(rows.size === 2)
+    q.stop()
+  }
+
+  test("windowedTokenJs: novel buckets are legal drift, not an error; state is per-window") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Map(bucketOf("alpha", 64) -> 1.0)
+    val in = MemoryStream[DocEv]
+    val out = StreamingDrift.windowedTokenJs(in.toDF(), "text", "event_time",
+      windowLen = "10 seconds", windowMillis = 10000L, delay = "0 seconds",
+      ref, buckets = 64)
+    val q = out.writeStream.format("memory").queryName("js_t2")
+      .outputMode("append").start()
+    // half the window's mass is a token the reference never saw —
+    // must emit (not throw), with positive divergence
+    in.addData(DocEv("alpha novelword", ts(1)))
+    q.processAllAvailable()
+    in.addData(DocEv("alpha", ts(25)))
+    q.processAllAvailable()
+    in.addData(DocEv("alpha", ts(45)))
+    q.processAllAvailable()
+    val rows = spark.table("js_t2").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(0L)._3 > 0L, "novel-vocab window must carry positive drift")
+    // the all-alpha window [20,30) matches the reference exactly
+    assert(rows(20000000L)._2 === 1L && rows(20000000L)._3 === 0L)
+    q.stop()
+  }
 }
