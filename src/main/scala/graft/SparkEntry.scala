@@ -988,6 +988,22 @@ object SparkEntry {
       operators.Profiling.winsorize(t(s, dir, "documents"), "doc_id",
         "source", col("n_chars"), pLo = 0.05, pHi = 0.95)),
 
+    // ── eval-side span contamination: train's distinct-gram index
+    //    semi-joined by eval positional grams, q101's interval union
+    //    per eval doc ──
+    "q111_eval_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val b = Sampling.md5Bucket("doc_id", 100)
+      Dedup.evalSpanContamination(docs.where(b < 80), docs.where(b >= 80),
+        "doc_id", "text", k = 10)
+    }),
+
+    // ── dup-cluster size histogram: the q47 label frame aggregated to
+    //    ≤max-size groups; singleton row from two 1-row broadcasts ──
+    "q112_dup_cluster_stats" -> ((s, dir) =>
+      Dedup.dupClusterStats(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
+
     // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
     //    back onto the corpus scan for full-precision re-scoring —
     //    full vectors touched only for |queries|·shortlist rows ──
@@ -3220,6 +3236,85 @@ object SparkEntry {
          SELECT r.doc_id, r.grp AS source, r.v, b.lo, b.hi,
            least(greatest(r.v, b.lo), b.hi) AS v_winsor
          FROM r JOIN b USING (grp)""",
+    // Eval-side span contamination: q101's positional md5-48 grams and
+    // island windows, but coverage = membership in the TRAIN side's
+    // distinct gram set over the q44 80/20 bucket split.
+    "q111_eval_contamination" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks,
+             CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(md5('graft:' || CAST(doc_id AS VARCHAR)), CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS INT) AS bucket
+           FROM documents
+         ), pos AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(list_sum(list_transform(range(12),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT) AS h
+           FROM (
+             SELECT doc_id, i, md5(array_to_string(toks[i:i+9], ' ')) AS hx
+             FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS i
+                   FROM t WHERE bucket >= 80 AND len(toks) >= 10)
+           )
+         ), tg AS (
+           SELECT DISTINCT
+             CAST(list_sum(list_transform(range(12),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT) AS h
+           FROM (
+             SELECT md5(array_to_string(toks[i:i+9], ' ')) AS hx
+             FROM (SELECT toks, unnest(generate_series(1, len(toks) - 9)) AS i
+                   FROM t WHERE bucket < 80 AND len(toks) >= 10)
+           )
+         ), cov AS (
+           SELECT doc_id, pos FROM pos WHERE h IN (SELECT h FROM tg)
+         ), isl AS (
+           SELECT doc_id, pos,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND pos - prev > 9 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl
+           FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                 FROM cov)
+         ), pisl AS (
+           SELECT doc_id, isl, max(pos) - min(pos) + 10 AS len, count(*) AS nst
+           FROM isl GROUP BY 1, 2
+         ), agg AS (
+           SELECT doc_id,
+             CAST(sum(nst) AS BIGINT) AS n_contam_positions,
+             CAST(sum(len) AS BIGINT) AS contam_tokens,
+             CAST(max(len) AS BIGINT) AS longest_contam_span
+           FROM pisl GROUP BY 1
+         ), base AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+           FROM t WHERE bucket >= 80
+         )
+         SELECT b.doc_id, b.n_tokens,
+           COALESCE(a.n_contam_positions, 0) AS n_contam_positions,
+           COALESCE(a.contam_tokens, 0) AS contam_tokens,
+           COALESCE(a.longest_contam_span, 0) AS longest_contam_span,
+           CAST((COALESCE(a.contam_tokens, 0) * 2000000 + b.n_tokens)
+             // (b.n_tokens * 2) AS DOUBLE) / 1e6 AS contam_frac
+         FROM base b LEFT JOIN agg a USING (doc_id)""",
+    // Dup-cluster histogram: q47's components grouped by size; the
+    // size-1 row = corpus minus clustered docs.
+    "q112_dup_cluster_stats" ->
+      s"""WITH comp AS ($componentsSql),
+         s AS (
+           SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+             CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+             CAST(count(*) AS BIGINT) AS n_docs
+           FROM comp GROUP BY 1
+         ), tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS total FROM documents
+         ), c AS (
+           SELECT CAST(COALESCE(sum(n_docs), 0) AS BIGINT) AS clustered FROM s
+         )
+         SELECT cluster_size, n_clusters, n_docs,
+           CAST(n_docs - n_clusters AS BIGINT) AS n_redundant
+         FROM s
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), total - clustered, total - clustered,
+           CAST(0 AS BIGINT)
+         FROM tot CROSS JOIN c""",
     // Pipeline manifest: the q51 funnel, q47 components and q57 budget
     // oracles composed VERBATIM (shared defs — one copy of each gate's
     // formulas), joined per doc; bucket = the q44 md5 idiom.

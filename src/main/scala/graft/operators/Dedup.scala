@@ -247,6 +247,73 @@ object Dedup {
       pos)
   }
 
+  /** Eval-side SPAN contamination: for every EVAL document, the
+    * fraction of its tokens lying inside a ≥k-token substring that
+    * also occurs ANYWHERE in the training corpus — the positional
+    * form of benchmark decontamination (q41 thresholds on shared
+    * DISTINCT gram counts; this measures exactly WHICH spans leak and
+    * how much of the eval doc they cover, the Lee et al. 2022 /
+    * Carlini-style audit an eval owner runs before trusting a score).
+    *
+    * Same interval-union mechanics as [[exactSubstrStats]] (a leaked
+    * substring of length L covers its L−k+1 consecutive sliding-gram
+    * starts; islands-and-gaps at gap ≤ k−1 reconstructs exact span
+    * unions), but coverage comes from MEMBERSHIP of the eval gram in
+    * the train corpus's distinct gram SET — an asymmetric semi-join,
+    * never an eval-internal df.
+    *
+    * Scale shape: the train side reduces to DISTINCT 48-bit gram
+    * hashes (per-doc distinct via the fused kernel, then one global
+    * distinct — the write-once "train gram index"); eval positional
+    * grams LEFT-SEMI join it on the hash key (train is corpus-sized:
+    * shuffle semi-join, never broadcast); the island window sorts
+    * covered starts per EVAL doc only. Output (all eval docs):
+    * (id, n_tokens, n_contam_positions, contam_tokens,
+    * longest_contam_span, contam_frac 6 dp). */
+  def evalSpanContamination(train: DataFrame, evalDocs: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val pos = evalDocs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(
+        graft.expressions.HashExpressions.positionalGramHashes48(col("__toks"), k)))
+      .select(col(idCol), col("pos").cast("long").as("__pos"), col("col").as("__h"))
+    val trainGrams = train
+      .select(TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(explode(
+        graft.expressions.HashExpressions.md5GramHashes48(col("__toks"), k))
+        .as("__h"))
+      .distinct()
+    val covered = pos.join(trainGrams, Seq("__h"), "left_semi")
+      .select(col(idCol), col("__pos"))
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val islands = covered
+      .withColumn("__new",
+        when(col("__pos") - lag("__pos", 1).over(w) > lit(k - 1).cast("long"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg((max("__pos") - min("__pos") + k).as("__len"),
+        count(lit(1)).as("__nstarts"))
+      .groupBy(col(idCol))
+      .agg(sum("__nstarts").as("n_contam_positions"),
+        sum("__len").as("contam_tokens"),
+        max("__len").as("longest_contam_span"))
+    val base = evalDocs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    base.join(islands, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_contam_positions"), lit(0L)).as("n_contam_positions"),
+        coalesce(col("contam_tokens"), lit(0L)).as("contam_tokens"),
+        coalesce(col("longest_contam_span"), lit(0L)).as("longest_contam_span"),
+        (intDiv(coalesce(col("contam_tokens"), lit(0L)) * lit(2000000L) + col("n_tokens"),
+          col("n_tokens") * lit(2L)).cast("double") / 1e6).as("contam_frac"))
+  }
+
   /** Incremental (new-batch vs existing-corpus) dedup gate — the
     * ingest-time form of near-dup dedup: an arriving batch is checked
     * against the ALREADY-ACCEPTED corpus, never against itself (batch-
@@ -804,6 +871,42 @@ object Dedup {
     val drop = clusters.where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Duplication-cluster size histogram — the "how duplicated is this
+    * corpus" card a dedup pass reports before anything is dropped:
+    * per cluster size, how many clusters, how many docs they hold,
+    * and how many of those are redundant (droppable: all but one
+    * representative per cluster). The size-1 row covers every
+    * un-clustered doc (redundancy 0 by definition), so n_docs sums to
+    * the corpus and Σ n_redundant IS the dedup savings estimate.
+    *
+    * Scale shape: [[dedupClusters]]' label frame (ids only — text
+    * never enters) aggregates onto ≤ max-cluster-size groups; the
+    * singleton row derives from the corpus count and the histogram's
+    * own doc sum — two 1-row broadcasts, no extra corpus pass.
+    * Output: (cluster_size, n_clusters, n_docs, n_redundant). */
+  def dupClusterStats(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, numHashes: Int, bands: Int,
+                      minJaccard: Double): DataFrame = {
+    val cl = dedupClusters(docs, idCol, textCol, shingleN, numHashes, bands,
+      minJaccard)
+    val bySize = cl.groupBy("cluster_size")
+      .agg(countDistinct("cluster_id").as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .cache()
+    val total = docs.agg(count(lit(1)).as("__total"))
+    val clustered = bySize.agg(coalesce(sum("n_docs"), lit(0L)).as("__c"))
+    val singles = total.crossJoin(broadcast(clustered))
+      .select(lit(1L).as("cluster_size"),
+        (col("__total") - col("__c")).as("n_clusters"),
+        (col("__total") - col("__c")).as("n_docs"),
+        lit(0L).as("n_redundant"))
+    CacheScope.scoped(
+      bySize.select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+          (col("n_docs") - col("n_clusters")).as("n_redundant"))
+        .unionAll(singles),
+      bySize)
   }
 
   /** Fingerprint-overlap near-dup pairs (the MOSS shape, Schleimer '03

@@ -43,4 +43,30 @@ object GraftSqlBridge {
     * (InMemoryRelation) plans — the library-hygiene assertion surface. */
   def cacheManagerIsEmpty(session: SparkSession): Boolean =
     session.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
+  /** Count cache-scan (InMemoryTableScan) nodes in an EXECUTED plan,
+    * descending through AQE wrappers (AdaptiveSparkPlanExec /
+    * QueryStageExec hide their subtree from `children`). Plan-shape
+    * tests need this because `executedPlan.toString` truncates long
+    * trees, silently dropping later branches from string counts. */
+  def countCacheScans(df: Dataset[_]): Int = {
+    import execution.SparkPlan
+    import execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import execution.columnar.InMemoryTableScanExec
+    def walk(p: SparkPlan): Int = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      val self = p match {
+        case s: InMemoryTableScanExec =>
+          // descend into the cached relation's own physical plan too
+          1 + walk(s.relation.cachedPlan)
+        case _ => 0
+      }
+      self + kids.map(walk).sum
+    }
+    walk(df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan)
+  }
 }

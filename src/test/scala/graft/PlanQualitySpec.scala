@@ -683,6 +683,33 @@ class PlanQualitySpec extends SparkSpec {
       s"the corpus must be scanned exactly once (cached ranked stream):\n$plan")
   }
 
+  test("q111: eval grams semi-join the train gram index — no pairwise, kernel grams") {
+    val df = SparkEntry.queries("q111_eval_contamination")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("positional_gram_hashes48"),
+      s"eval positional grams must come from the codegen kernel:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"coverage must be a semi-join on the gram hash (train set is corpus-sized):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nothing pairwise may materialize:\n$plan")
+  }
+
+  test("q112: histogram aggregates the cached label frame once; text never re-enters") {
+    val df = SparkEntry.queries("q112_dup_cluster_stats")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // the singleton-row derivation re-reads the size histogram, not the
+    // corpus: both union branches must hit the cached bySize frame
+    // (tree-walked — the printed plan truncates before the 2nd branch)
+    assert(org.apache.spark.sql.GraftSqlBridge.countCacheScans(df) >= 2,
+      s"size histogram must be cached (else components recompute per branch):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian regression:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("global sweep: no query plans a CartesianProduct") {
     // crossJoin is only ever used against a broadcast 1-row aggregate
     // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an
@@ -709,7 +736,7 @@ class PlanQualitySpec extends SparkSpec {
       "q97_epoch_mix", "q98_bigram_lm", "q100_incremental_dedup",
       "q101_exact_substr", "q102_pipeline_manifest", "q103_dsir_weights",
       "q104_boilerplate", "q108_source_js_divergence", "q109_leakage_safe_split",
-      "q110_winsorize")
+      "q110_winsorize", "q112_dup_cluster_stats")
     // earlier plan-shape tests construct (and thus cache-register)
     // plans without ever acting on them — start from a clean slate
     graft.operators.CacheScope.releaseAll()
