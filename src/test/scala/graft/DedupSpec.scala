@@ -436,4 +436,50 @@ class DedupSpec extends SparkSpec {
     assert(got(3L)._3 === expect)
     spark.catalog.clearCache()
   }
+
+  test("evalSpanContamination: train-side membership drives coverage; eval-internal repeats don't") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ") // 12-token leaked span
+    val train = Seq(
+      (1L, "a1 a2 " + shared + " a3"),
+      (2L, "completely unrelated training prose about engines and pipelines running")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "e1 e2 e3 " + shared + " e4 e5"),             // span leaked from train
+      (11L, "clean holdout text that shares nothing with training at all honestly"),
+      (12L, "short one two"),                             // < k tokens: still reported, zero
+      (13L, "r1 r2 r3 r4 r5 x r1 r2 r3 r4 r5")            // EVAL-internal repeat only
+    ).toDF("doc_id", "text")
+    val got = Dedup.evalSpanContamination(train, eval, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size === 4, "every eval doc gets a row")
+    // 12-token span covers 12−5+1 = 8 consecutive starts → one island
+    // of 12 tokens over 17; frac = (12·2e6 + 17) div 34 / 1e6
+    assert(got(10L) === ((10L, 17L, 8L, 12L, 12L, 0.705882)))
+    assert(got(11L) === ((11L, 11L, 0L, 0L, 0L, 0.0)))
+    assert(got(12L) === ((12L, 3L, 0L, 0L, 0L, 0.0)))
+    // the repeat lives only inside the EVAL doc — membership is against
+    // the TRAIN gram set, so nothing is covered (the asymmetry contract)
+    assert(got(13L) === ((13L, 11L, 0L, 0L, 0L, 0.0)))
+    spark.catalog.clearCache()
+  }
+
+  test("dupClusterStats: histogram rows per size, singleton row balances to the corpus") {
+    val fam = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val pair = "entirely different duplicated passage about corpus statistics " * 3
+    val docs = Seq(
+      (1L, fam + "one"), (2L, fam + "two"), (4L, fam + "one more tail"), // size-3 family
+      (5L, pair), (6L, pair),                                            // exact-dup pair
+      (3L, "completely different text about nothing at all with many words here"),
+      (7L, "another unique document with its own vocabulary and no twin anywhere"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupClusterStats(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(3L) === ((3L, 1L, 3L, 2L)))
+    assert(got(2L) === ((2L, 1L, 2L, 1L)))
+    assert(got(1L) === ((1L, 2L, 2L, 0L)), "singletons: corpus minus clustered, zero redundancy")
+    assert(got.values.map(_._3).sum === 7L, "doc mass balances to the corpus")
+    spark.catalog.clearCache()
+  }
 }
