@@ -1004,6 +1004,28 @@ object SparkEntry {
       Dedup.dupClusterStats(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
 
+    // ── Heaps-law vocab growth: one cached tokenize → two combinable
+    //    shuffles; everything after is ≤parts-row algebra ──
+    "q113_heaps_fit" -> ((s, dir) =>
+      CorpusStats.heapsFit(t(s, dir, "documents"), "doc_id", "text",
+        parts = 10)),
+
+    // ── label-noise audit: q92's contingency path per VECTOR; the
+    //    k-row majority frame broadcasts back onto the cached
+    //    assignment⋈label frame ──
+    "q114_label_noise" -> ((s, dir) =>
+      Similarity.labelNoiseAudit(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", k = 8, iters = 2)),
+
+    // ── k-anonymity: one combinable shuffle onto the QI domain ──
+    "q115_k_anonymity" -> ((s, dir) =>
+      operators.Profiling.kAnonymityProfile(t(s, dir, "documents"), k = 5,
+        col("lang"), col("source"),
+        graft.expressions.HashExpressions.intDiv(col("n_chars"), lit(500L))
+          .as("chars_bin"))
+        .select(col("lang"), col("source"), col("chars_bin"),
+          col("n_rows"), col("at_risk"))),
+
     // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
     //    back onto the corpus scan for full-precision re-scoring —
     //    full vectors touched only for |queries|·shortlist rows ──
@@ -3315,6 +3337,84 @@ object SparkEntry {
          SELECT CAST(1 AS BIGINT), total - clustered, total - clustered,
            CAST(0 AS BIGINT)
          FROM tot CROSS JOIN c""",
+    // Heaps fit: integral prefix assignment off the 1-row id range,
+    // first occurrence = min(doc_id), cum window sums CAST to BIGINT
+    // (type parity), then exactly the q95 ordered-fold fit idiom on
+    // the ln(N)/ln(V) points.
+    "q113_heaps_fit" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           FROM documents
+         ), r AS (
+           SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+         ), massb AS (
+           SELECT least(9, ((doc_id - lo) * 10) // (hi - lo + 1)) AS part,
+             CAST(count(*) AS BIGINT) AS m
+           FROM tok CROSS JOIN r GROUP BY 1
+         ), ft AS (
+           SELECT token, min(doc_id) AS fid FROM tok GROUP BY 1
+         ), vocabb AS (
+           SELECT least(9, ((fid - lo) * 10) // (hi - lo + 1)) AS part,
+             CAST(count(*) AS BIGINT) AS v
+           FROM ft CROSS JOIN r GROUP BY 1
+         ), spine AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS part),
+         pts AS (
+           SELECT part,
+             CAST(sum(COALESCE(m, 0)) OVER (ORDER BY part
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_tokens_cum,
+             CAST(sum(COALESCE(v, 0)) OVER (ORDER BY part
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
+           FROM spine LEFT JOIN massb USING (part) LEFT JOIN vocabb USING (part)
+         ), pp AS (
+           SELECT part, n_tokens_cum, vocab_cum,
+             ln(CAST(n_tokens_cum AS DOUBLE)) AS x,
+             ln(CAST(vocab_cum AS DOUBLE)) AS y
+           FROM pts WHERE n_tokens_cum > 0 AND vocab_cum > 0
+         ), s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_terms,
+             list_sum(list_transform(list(x ORDER BY part), v -> v)) AS sx,
+             list_sum(list_transform(list(y ORDER BY part), v -> v)) AS sy,
+             list_sum(list_transform(list({'x': x, 'y': y} ORDER BY part), e -> e.x * e.y)) AS sxy,
+             list_sum(list_transform(list(x ORDER BY part), v -> v * v)) AS sxx,
+             list_sum(list_transform(list(y ORDER BY part), v -> v * v)) AS syy
+           FROM pp
+         )
+         SELECT pp.part, pp.n_tokens_cum, pp.vocab_cum,
+           round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) AS beta,
+           round((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n_terms AS DOUBLE), 6) AS log_k,
+           round(((CAST(n_terms AS DOUBLE) * sxy - sx * sy) * (CAST(n_terms AS DOUBLE) * sxy - sx * sy))
+             / ((CAST(n_terms AS DOUBLE) * sxx - sx * sx) * (CAST(n_terms AS DOUBLE) * syy - sy * sy)), 6) AS r2
+         FROM pp CROSS JOIN s""",
+    // Label-noise audit: q92's contingency/majority CTEs, joined back
+    // per vector; the q82 half-up micro form for majority_frac.
+    "q114_label_noise" ->
+      s"""WITH asg AS (SELECT vec_id, cluster FROM (${kmeansRefineSql(k = 8, dim = 64, iters = 2)})),
+           cont AS (
+             SELECT asg.cluster, e.label, count(*) AS n
+             FROM asg JOIN embeddings e USING (vec_id)
+             GROUP BY 1, 2
+           ), maj AS (
+             SELECT cluster, label AS majority_label, CAST(n AS BIGINT) AS n_majority,
+               CAST(sum(n) OVER (PARTITION BY cluster) AS BIGINT) AS n_vecs,
+               row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label ASC) AS rn
+             FROM cont
+           )
+           SELECT a.vec_id, a.cluster, e.label, m.majority_label,
+             m.n_majority, m.n_vecs,
+             e.label <> m.majority_label AS is_suspect,
+             CAST((m.n_majority * 2000000 + m.n_vecs) // (m.n_vecs * 2) AS DOUBLE) / 1e6 AS majority_frac
+           FROM asg a
+           JOIN embeddings e USING (vec_id)
+           JOIN (SELECT * FROM maj WHERE rn = 1) m USING (cluster)""",
+    // k-anonymity: one grouped count over the generalized QI tuple.
+    "q115_k_anonymity" ->
+      """SELECT lang, source, n_chars // 500 AS chars_bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           count(*) < 5 AS at_risk
+         FROM documents GROUP BY 1, 2, 3""",
     // Pipeline manifest: the q51 funnel, q47 components and q57 budget
     // oracles composed VERBATIM (shared defs — one copy of each gate's
     // formulas), joined per doc; bucket = the q44 md5 idiom.

@@ -644,6 +644,86 @@ object CorpusStats {
         round((cov * cov) / (varx * vary), 6)).as("r2"))
   }
 
+  /** Heaps'-law vocabulary-growth fit (V = K·N^β, Heaps 1978): split
+    * the id range into `parts` equal-width prefixes (the deterministic
+    * ingestion-order proxy — no global sort anywhere), accumulate
+    * cumulative token mass N_p and cumulative distinct vocabulary V_p
+    * at each boundary, and least-squares fit ln V on ln N over the
+    * boundary points. The growth-curve companion of [[zipfFit]]'s
+    * rank-frequency law — together they are the corpus-scaling card:
+    * β near 1 means more data is still adding lexical diversity
+    * (unsaturated vocabulary), β near 0 means the corpus has converged.
+    *
+    * Determinism: a token's first occurrence is min(doc id) — order-
+    * and partitioning-free; prefix assignment is integral
+    * ((id−lo)·parts div (hi−lo+1) — exact integer, no float boundary
+    * two engines could bracket differently); the fit replays q95's
+    * exact double-op order (part-ordered fold). Degenerate corpora
+    * (empty, one point, zero variance) emit NULL fit columns.
+    *
+    * Scale shape: ONE cached tokenize feeds both corpus-sized
+    * aggregates — token mass combines onto ≤`parts` groups, vocabulary
+    * onto the (token → min id) shuffle (map-combinable); the 1-row id
+    * range broadcasts onto each; everything downstream is
+    * ≤`parts`-row algebra. The corpus is never globally sorted and
+    * never joined to itself. Output, one row per nonempty-prefix
+    * boundary: (part, n_tokens_cum, vocab_cum, beta, log_k, r2). */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+               parts: Int = 10): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    require(parts > 0)
+    val tok = tokenized(docs, idCol, textCol).cache()
+    val idRange = docs.agg(min(col(idCol).cast("long")).as("__lo"),
+      max(col(idCol).cast("long")).as("__hi"))
+    def part(id: Column): Column = least(lit(parts - 1L),
+      intDiv((id - col("__lo")) * parts, col("__hi") - col("__lo") + 1))
+    val massB = tok.select(col("doc_id").cast("long").as("__id"))
+      .crossJoin(broadcast(idRange))
+      .groupBy(part(col("__id")).as("part")).agg(count(lit(1)).as("__m"))
+    val vocabB = tok.groupBy("token")
+      .agg(min(col("doc_id").cast("long")).as("__id"))
+      .crossJoin(broadcast(idRange))
+      .groupBy(part(col("__id")).as("part")).agg(count(lit(1)).as("__v"))
+    val spine = docs.sparkSession.range(parts).select(col("id").as("part"))
+    val cw = Window.orderBy("part")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = spine
+      .join(massB, Seq("part"), "left").join(vocabB, Seq("part"), "left")
+      .na.fill(0L, Seq("__m", "__v"))
+      .withColumn("n_tokens_cum", sum("__m").over(cw))
+      .withColumn("vocab_cum", sum("__v").over(cw))
+      .where(col("n_tokens_cum") > 0 && col("vocab_cum") > 0)
+      .select(col("part"), col("n_tokens_cum"), col("vocab_cum"),
+        log(col("n_tokens_cum").cast("double")).as("x"),
+        log(col("vocab_cum").cast("double")).as("y"))
+      .cache()
+    val arr = pts.agg(
+      array_sort(collect_list(struct(col("part"), col("x"), col("y")))).as("a"))
+    def fold(f: Column => Column): Column =
+      aggregate(col("a"), lit(0.0), (acc, e) => acc + f(e))
+    val sums = arr.select(
+      size(col("a")).cast("long").as("__n"),
+      fold(_.getField("x")).as("sx"), fold(_.getField("y")).as("sy"),
+      fold(e => e.getField("x") * e.getField("y")).as("sxy"),
+      fold(e => e.getField("x") * e.getField("x")).as("sxx"),
+      fold(e => e.getField("y") * e.getField("y")).as("syy"))
+    val nD = col("__n").cast("double")
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    val varx = nD * col("sxx") - col("sx") * col("sx")
+    val vary = nD * col("syy") - col("sy") * col("sy")
+    val fit = sums.select(
+      when(varx =!= 0.0, round(cov / varx, 6)).as("beta"),
+      when(varx =!= 0.0 && nD =!= 0.0,
+        round((col("sy") - (cov / varx) * col("sx")) / nD, 6)).as("log_k"),
+      when(varx * vary =!= 0.0,
+        round((cov * cov) / (varx * vary), 6)).as("r2"))
+    CacheScope.scoped(
+      pts.crossJoin(broadcast(fit))
+        .select(col("part"), col("n_tokens_cum"), col("vocab_cum"),
+          col("beta"), col("log_k"), col("r2")),
+      tok, pts)
+  }
+
   /** Perplexity-band curation gate (the CCNet / Wenzek et al. 2020
     * middle-band idea): keep documents whose unigram mean log-prob
     * ([[unigramLogProb]], the LM-free perplexity proxy) falls inside

@@ -112,4 +112,25 @@ object Profiling {
           least(greatest(col("v"), col("lo")), col("hi")).as("v_winsor")),
       ranked)
   }
+
+  /** k-anonymity risk profile (Sweeney 2002) over quasi-identifier
+    * columns: group by the QI tuple and flag equivalence classes with
+    * fewer than k members — the re-identification audit a privacy pass
+    * runs before release. Complements the direct-PII scrub (q79):
+    * redaction removes explicit identifiers; this measures whether the
+    * REMAINING attributes still single records out (a class of size 1
+    * IS an identifier, whatever the columns are named). Continuous
+    * quasi-identifiers must be pre-bucketed by the caller (pass e.g.
+    * `col("n_chars").divide(500).cast("long")` — generalization is a
+    * policy choice, not the operator's).
+    *
+    * Scale shape: ONE map-combinable shuffle onto the QI grouping —
+    * no joins, no windows; cardinality is the QI domain, not the
+    * corpus. Output: QI columns + (n_rows, at_risk). */
+  def kAnonymityProfile(df: DataFrame, k: Int, qiCols: Column*): DataFrame = {
+    require(k > 0 && qiCols.nonEmpty)
+    df.groupBy(qiCols: _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("at_risk", col("n_rows") < k)
+  }
 }

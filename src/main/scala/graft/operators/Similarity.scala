@@ -370,6 +370,48 @@ object Similarity {
           .cast("double") / 1e6).as("purity")), assigned)
   }
 
+  /** Label-noise audit (the confident-learning shape, Northcutt et al.
+    * 2021, majority-vote form): k-means the embeddings, take each
+    * cluster's MAJORITY label as the geometry's vote, and flag every
+    * vector whose own label disagrees — the candidate-mislabel queue a
+    * curation pass sends to review. The per-vector companion of
+    * [[clusterLabelPurity]] (that op scores clusters; this one names
+    * the suspect rows).
+    *
+    * Determinism: clusters are [[kmeansRefine]]'s; the majority
+    * tiebreaks on the smallest label; majority_frac is the exact-
+    * integer ratio in half-up micro form (the q82 tie rule).
+    *
+    * Scale shape: the same ONE map-combinable (cluster, label)
+    * contingency shuffle as the purity op, off a CACHED id-keyed
+    * assignment⋈label frame that also feeds the verdict join; the
+    * k-row majority frame BROADCASTS back — the corpus never joins
+    * anything corpus-sized twice. Output: (id, cluster, label,
+    * majority_label, n_majority, n_vecs, is_suspect, majority_frac). */
+  def labelNoiseAudit(emb: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, k: Int, iters: Int): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val labeled = kmeansRefine(emb, idCol, vecCol, k, iters)
+      .join(emb.select(col(idCol), col(labelCol).as("__label")), idCol)
+      .cache()
+    val cont = labeled.groupBy("cluster", "__label").agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy("cluster").orderBy(desc("__n"), asc("__label"))
+    val maj = cont
+      .withColumn("__tot", sum("__n").over(Window.partitionBy("cluster")))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col("cluster"), col("__label").as("majority_label"),
+        col("__n").as("n_majority"), col("__tot").as("n_vecs"))
+    CacheScope.scoped(
+      labeled.join(broadcast(maj), "cluster")
+        .select(col(idCol), col("cluster"), col("__label").as("label"),
+          col("majority_label"), col("n_majority"), col("n_vecs"),
+          (col("__label") =!= col("majority_label")).as("is_suspect"),
+          (intDiv(col("n_majority") * lit(2000000L) + col("n_vecs"),
+            col("n_vecs") * 2).cast("double") / 1e6).as("majority_frac")),
+      labeled)
+  }
+
   /** Per-label embedding profile: count, the norm of the mean vector
     * and the mean per-vector norm — the drift/collapse diagnostics an
     * embedding pipeline tracks per class. One posexplode + ONE

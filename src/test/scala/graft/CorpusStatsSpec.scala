@@ -489,4 +489,43 @@ class CorpusStatsSpec extends SparkSpec {
     assert(d.values.forall(v => v > 420000L && v < 440000L), d.toString)
     spark.catalog.clearCache()
   }
+
+  test("heapsFit: cumulative masses exact; all-unique vocab is the pure power law β = 1") {
+    // ids 0..9 land one per part; doc i carries i+1 GLOBALLY unique
+    // tokens → V_p = N_p at every boundary → ln V = ln N exactly:
+    // beta = 1, log_k = 0, r2 = 1 (no floor slack anywhere)
+    val docs = (0 to 9).map { i =>
+      (i.toLong, (0 to i).map(j => s"t${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = CorpusStats.heapsFit(docs, "doc_id", "text", parts = 10)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(got.length === 10)
+    // triangular cumulative: N_p = V_p = (p+1)(p+2)/2
+    got.foreach { case (p, n, v, beta, logk, r2) =>
+      assert(n === (p + 1) * (p + 2) / 2 && v === n, s"part $p")
+      assert(beta === 1.0 && logk === 0.0 && r2 === 1.0)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("heapsFit: saturated vocabulary bends the curve (β < 1); degenerate corpus yields NULL fit") {
+    // same 4 tokens repeated everywhere: vocab saturates at part 0
+    val sat = (0 to 9).map(i => (i.toLong, "a b c d a b c d"))
+      .toDF("doc_id", "text")
+    val s = CorpusStats.heapsFit(sat, "doc_id", "text", parts = 10)
+      .select("part", "vocab_cum", "beta", "r2")
+      .as[(Long, Long, Double, Option[Double])].collect()
+    // V is constant → y has zero variance → cov = 0 → beta = 0 exactly;
+    // r2's varx·vary denominator is 0 → NULL by the degenerate contract
+    assert(s.forall(r => r._2 === 4L && r._3 === 0.0 && r._4.isEmpty))
+    // single doc → one point → varx = 0 → no defined fit, row survives
+    val one = Seq((1L, "solo doc tokens here")).toDF("doc_id", "text")
+    val row = CorpusStats.heapsFit(one, "doc_id", "text", parts = 10)
+      .select("part", "n_tokens_cum", "vocab_cum").as[(Long, Long, Long)]
+      .collect()
+    assert(row.length === 10 && row.forall(_._3 === 4L),
+      "every prefix at/after the only doc is populated")
+    spark.catalog.clearCache()
+  }
 }

@@ -710,6 +710,30 @@ class PlanQualitySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q113: heaps fit never globally sorts the corpus; cached tokenize feeds both aggregates") {
+    val df = SparkEntry.queries("q113_heaps_fit")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"prefix assignment is integral off the 1-row id range — no corpus sort:\n$plan")
+    assert(org.apache.spark.sql.GraftSqlBridge.countCacheScans(df) >= 2,
+      s"the token stream must be cached (mass AND first-occurrence read it):\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("q114: k-row majority frame broadcasts; cached assignment-label frame feeds both sides") {
+    val df = SparkEntry.queries("q114_label_noise")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the k-row majority frame must broadcast onto the assignment:\n$plan")
+    assert(org.apache.spark.sql.GraftSqlBridge.countCacheScans(df) >= 2,
+      s"assignment⋈label must be cached (contingency AND verdict read it):\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("global sweep: no query plans a CartesianProduct") {
     // crossJoin is only ever used against a broadcast 1-row aggregate
     // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an
@@ -736,7 +760,8 @@ class PlanQualitySpec extends SparkSpec {
       "q97_epoch_mix", "q98_bigram_lm", "q100_incremental_dedup",
       "q101_exact_substr", "q102_pipeline_manifest", "q103_dsir_weights",
       "q104_boilerplate", "q108_source_js_divergence", "q109_leakage_safe_split",
-      "q110_winsorize", "q112_dup_cluster_stats")
+      "q110_winsorize", "q112_dup_cluster_stats", "q113_heaps_fit",
+      "q114_label_noise")
     // earlier plan-shape tests construct (and thus cache-register)
     // plans without ever acting on them — start from a clean slate
     graft.operators.CacheScope.releaseAll()

@@ -62,4 +62,19 @@ class ProfilingSpec extends SparkSpec {
     assert(got(100L)._6 === 7.1 && got(101L)._6 === 8.9)
     spark.catalog.clearCache()
   }
+
+  test("kAnonymityProfile: classes below k are at risk, a singleton always is") {
+    import org.apache.spark.sql.functions.col
+    val rows = (Seq.fill(6)(("en", "web")) ++ Seq.fill(3)(("en", "books")) ++
+      Seq(("fr", "web"))).zipWithIndex
+      .map { case ((l, s), i) => (i.toLong, l, s) }
+      .toDF("id", "lang", "source")
+    val got = Profiling.kAnonymityProfile(rows, k = 5, col("lang"), col("source"))
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("en", "web")) === ((6L, false)))
+    assert(got(("en", "books")) === ((3L, true)))
+    assert(got(("fr", "web")) === ((1L, true)), "a singleton class IS an identifier")
+    assert(got.values.map(_._1).sum === 10L, "class sizes partition the corpus")
+  }
 }

@@ -291,6 +291,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.exists(_._5 > 1.0 / labels.size))
   }
 
+  test("labelNoiseAudit: the planted mislabel in a clean cluster is the only suspect") {
+    import spark.implicits._
+    // two tight, well-separated blobs; one vector in blob A wears blob
+    // B's label — geometry must out-vote it
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(0.98f, 0.05f, 0f), 0),
+      (3L, Array(0.97f, 0f, 0.05f), 0), (4L, Array(0.99f, 0.02f, 0.02f), 1), // mislabel
+      (10L, Array(0f, 1f, 0f), 1), (11L, Array(0.05f, 0.98f, 0f), 1),
+      (12L, Array(0f, 0.97f, 0.05f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelNoiseAudit(vecs, "vec_id", "embedding", "label",
+        k = 2, iters = 3)
+      .select("vec_id", "label", "majority_label", "is_suspect", "majority_frac")
+      .as[(Long, Int, Int, Boolean, Double)].collect().map(r => r._1 -> r).toMap
+    spark.catalog.clearCache()
+    assert(got.size === 7, "one verdict per vector")
+    assert(got(4L)._4, "the planted mislabel is flagged")
+    assert(got(4L)._3 === 0, "geometry's vote is blob A's label")
+    assert((got - 4L).values.forall(!_._4), "clean vectors are not flagged")
+    // blob A: 3-of-4 majority → exact half-up micro of 3/4
+    assert(got(4L)._5 === 0.75)
+  }
+
   test("hardNegatives: only other-label neighbors, ranked by cosine, self excluded") {
     import spark.implicits._
     val vecs = Seq(
