@@ -1026,6 +1026,18 @@ object SparkEntry {
         .select(col("lang"), col("source"), col("chars_bin"),
           col("n_rows"), col("at_risk"))),
 
+    // ── JL sign projection: per-row codegen kernel riding the scan —
+    //    integer quant units portable, no join/shuffle anywhere ──
+    "q116_jl_project" -> ((s, dir) =>
+      Similarity.jlProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, outDim = 16)),
+
+    // ── mutual-kNN graph: LSH-bucketed candidates ranked both ways on
+    //    the ROUNDED cosine; mutuality = one swapped-key equi-join ──
+    "q117_mutual_knn" -> ((s, dir) =>
+      Similarity.mutualKnnGraph(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 10, dim = 64)),
+
     // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
     //    back onto the corpus scan for full-precision re-scoring —
     //    full vectors touched only for |queries|·shortlist rows ──
@@ -3415,6 +3427,60 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_rows,
            count(*) < 5 AS at_risk
          FROM documents GROUP BY 1, 2, 3""",
+    // JL projection: the SignedProjection integer contract replayed —
+    // md5('jl|seed|j|d') low bit signs over floor(v·2^20) quants; the
+    // list_sum CAST kills the HUGEINT (type-parity rule).
+    "q116_jl_project" ->
+      """WITH q AS (
+           SELECT vec_id,
+             list_transform(range(64), d ->
+               CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+           FROM embeddings WHERE len(embedding) > 0
+         ), proj AS (
+           SELECT vec_id, j,
+             CAST(list_sum(list_transform(range(64), d ->
+               (CASE WHEN (strpos('0123456789abcdef',
+                   substring(md5('jl|42|' || CAST(j AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 32, 1)) - 1) % 2 = 1
+                 THEN 1 ELSE -1 END)
+               * qv[CAST(d AS INT) + 1])) AS BIGINT) AS q_units
+           FROM q CROSS JOIN (SELECT unnest(range(16)) AS j)
+         )
+         SELECT vec_id, CAST(j AS BIGINT) AS proj_dim, q_units,
+           round(CAST(q_units AS DOUBLE) / (1048576.0 * sqrt(16.0)), 6) AS y
+         FROM proj""",
+    // Mutual-kNN: q23's signature/probe/candidate CTEs, both-direction
+    // ranking on the ROUNDED cosine, swapped-key self-join.
+    "q117_mutual_knn" ->
+      s"""WITH ${srpSigCtes(tables = 8, bits = 8, dim = 64, seed = 42L)},
+         probes AS (
+           SELECT s.vec_id, s.t,
+             CASE WHEN f.f = 8 THEN s.sig
+                  ELSE xor(s.sig, CAST(1 AS BIGINT) << CAST(f.f AS INT)) END AS sig
+           FROM sig s, range(9) f(f)
+         ), cand AS (
+           SELECT DISTINCT p.vec_id AS id_a, c.vec_id AS id_b
+           FROM probes p JOIN sig c ON p.t = c.t AND p.sig = c.sig
+           WHERE p.vec_id < c.vec_id
+         ), scored AS (
+           SELECT id_a, id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+           FROM cand
+           JOIN embeddings a ON id_a = a.vec_id
+           JOIN embeddings b ON id_b = b.vec_id
+         ), sym AS (
+           SELECT id_a AS src, id_b AS dst, cos FROM scored
+           UNION ALL
+           SELECT id_b AS src, id_a AS dst, cos FROM scored
+         ), ranked AS (
+           SELECT src, dst, cos,
+             row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+           FROM sym
+           QUALIFY rnk <= 10
+         )
+         SELECT x.src AS id_a, x.dst AS id_b, x.cos AS cos_sim,
+           CAST(x.rnk AS BIGINT) AS rank_ab, CAST(y.rnk AS BIGINT) AS rank_ba
+         FROM ranked x JOIN ranked y ON x.src = y.dst AND x.dst = y.src
+         WHERE x.src < x.dst""",
     // Pipeline manifest: the q51 funnel, q47 components and q57 budget
     // oracles composed VERBATIM (shared defs — one copy of each gate's
     // formulas), joined per doc; bucket = the q44 md5 idiom.

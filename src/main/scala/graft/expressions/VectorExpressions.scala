@@ -273,6 +273,95 @@ case class LshSignatures(child: Expression, dim: Int, nBits: Int,
     copy(child = newChild)
 }
 
+/** Johnson–Lindenstrauss sign (Rademacher) random projection of a
+  * vector to `outDim` integer-quantized components in ONE node:
+  * out[j] = Σ_d sign(j, d) · floor(v[d]·2^20) — the [[LshSignatures]]
+  * portability contract (md5-derived ±1 components, integer
+  * accumulation: order-independent, a SQL oracle replays it exactly),
+  * but keeping the signed SUM rather than just its sign bit
+  * (Achlioptas 2003: ±1 entries satisfy the JL lemma). The caller
+  * divides by 2^20·√outDim to recover the distance-preserving scale;
+  * the integer stays the comparison/oracle surface.
+  *
+  * Signs come from md5("jl|seed|j|d") low bit (+1 when set); the
+  * outDim×dim sign matrix is a codegen reference object (never a
+  * literal tree — the LshSignatures plan-blowup lesson). Empty/short
+  * vectors accumulate only their present dims; callers filter empty
+  * vectors upstream (the LSH empty-vector oracle caveat). */
+case class SignedProjection(child: Expression, dim: Int, outDim: Int,
+                            seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "signed_projection"
+
+  // signs(j*dim + d) ∈ {-1, +1}
+  @transient lazy val signs: Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Byte](outDim * dim)
+    var idx = 0
+    var j = 0
+    while (j < outDim) {
+      var d = 0
+      while (d < dim) {
+        val dig = md.digest(s"jl|$seed|$j|$d".getBytes("UTF-8"))
+        out(idx) = if ((dig(15) & 1) == 1) 1 else -1
+        idx += 1
+        d += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def projectOf(v: ArrayData): Array[Long] = {
+    val isF = elemIsFloat
+    val n = math.min(v.numElements(), dim)
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      q(i) = math.floor(x * 1048576.0).toLong
+      i += 1
+    }
+    val out = new Array[Long](outDim)
+    val sg = signs
+    var j = 0
+    while (j < outDim) {
+      val base = j * dim
+      var acc = 0L
+      var d = 0
+      while (d < n) {
+        acc += sg(base + d) * q(d)
+        d += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      projectOf(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("signedProj", this,
+      classOf[SignedProjection].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  $self.projectOf($v));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The `nProbe` nearest centroids (by cosine) of a vector, as
   * array<int> of centroid indices — per-row argmax over a small
   * centroid matrix held as a codegen reference object. This is the
@@ -643,4 +732,9 @@ object VectorExpressions {
   def vecL2Sq(a: Column, b: Column): Column =
     GraftSqlBridge.column(VectorL2Sq(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** array<long> of `outDim` integer-quantized JL sign projections. */
+  def signedProjection(v: Column, dim: Int, outDim: Int, seed: Long): Column =
+    GraftSqlBridge.column(SignedProjection(
+      GraftSqlBridge.expression(v), dim, outDim, seed))
 }

@@ -435,6 +435,75 @@ object Similarity {
       .select("label", "n_vecs", "centroid_norm", "avg_vec_norm")
   }
 
+  /** Johnson–Lindenstrauss dimensionality reduction (Achlioptas 2003
+    * ±1 form): project each embedding to `outDim` Rademacher
+    * components — the storage/bandwidth path when full vectors are too
+    * wide to ship (the complement of [[dimAblationRecall]], which
+    * evaluates TRUNCATION; this is the projection that preserves
+    * pairwise distance for any coordinate system).
+    *
+    * Determinism: [[graft.expressions.SignedProjection]]'s integer
+    * contract — md5-derived signs, floor(v·2^20) quantization, exact
+    * integer Σ — so `q_units` is bit-portable; `y` is the one derived
+    * double (q_units / (2^20·√outDim)), identical op order both
+    * engines, 6-dp rounded (metric rule).
+    *
+    * Scale shape: a per-row codegen kernel riding the scan — NO join,
+    * NO shuffle, no state; the sign matrix is a reference object, not
+    * a plan literal. Output: (id, proj_dim, q_units, y). */
+  def jlProject(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                outDim: Int, seed: Long = 42L): DataFrame = {
+    import graft.expressions.VectorExpressions.signedProjection
+    emb.where(size(col(vecCol)) > 0)
+      .select(col(idCol), posexplode(signedProjection(col(vecCol), dim, outDim, seed)))
+      .select(col(idCol), col("pos").cast("long").as("proj_dim"),
+        col("col").as("q_units"),
+        round(col("col").cast("double")
+          / (lit(1048576.0) * sqrt(lit(outDim.toDouble))), 6).as("y"))
+  }
+
+  /** Mutual-kNN graph (the graph-construction primitive under
+    * agglomerative / community clustering, and the standard hub-killing
+    * filter — Jarvis–Patrick 1973 shape): an edge (a, b) survives iff
+    * b is in a's top-k AND a is in b's top-k among the LSH candidate
+    * neighbors. Hub vertices fail mutuality; isolated vectors have no
+    * candidates — both prunings are the point.
+    *
+    * Candidates are [[lshNearDupPairs]]' bucketed path (equi-join on
+    * (table, signature-bucket) + 1-bit multi-probe — never O(n²));
+    * ranking uses the 6-dp-ROUNDED cosine with id tiebreak (the rank
+    * itself must be engine-portable); both directions rank the same
+    * candidate set, so mutuality is exact given the candidates.
+    *
+    * Scale shape: candidate volume is bucket-bounded (nBits ~ log n);
+    * per-node top-k prunes below the exchange (WindowGroupLimit); the
+    * mutuality check is ONE equi-join of the ≤ k·n ranked frame onto
+    * itself on the swapped (src, dst) key. Output: (id_a < id_b,
+    * cos_sim, rank_ab, rank_ba). */
+  def mutualKnnGraph(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int, dim: Int, nBits: Int = 8,
+                     numTables: Int = 8): DataFrame = {
+    val pairs = lshNearDupPairs(emb, idCol, vecCol, threshold = -1.0, dim,
+        nBits, numTables)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos"))
+      .cache()
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
+    val ranked = sym.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .cache()
+    CacheScope.scoped(
+      ranked.as("x").join(ranked.as("y"),
+          col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+        .where(col("x.src") < col("x.dst"))
+        .select(col("x.src").as("id_a"), col("x.dst").as("id_b"),
+          col("x.cos").as("cos_sim"),
+          col("x.rank").cast("long").as("rank_ab"),
+          col("y.rank").cast("long").as("rank_ba")),
+      pairs, ranked)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH candidate generation
     * + exact verification — the scale path for pairwise near-dup: the
     * only join is an equi-join on (table, signature-bucket), so pairs

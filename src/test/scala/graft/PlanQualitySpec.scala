@@ -734,6 +734,31 @@ class PlanQualitySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q116: JL projection rides the scan — codegen kernel, zero exchanges") {
+    val df = SparkEntry.queries("q116_jl_project")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("signed_projection"),
+      s"projection must be the codegen kernel, not an interpreted HOF:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"a per-row kernel must never shuffle:\n$plan")
+  }
+
+  test("q117: mutual-kNN ranks prune below the exchange; both cached frames reused") {
+    val df = SparkEntry.queries("q117_mutual_knn")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-node top-k must prune before the rank exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates come from the bucket equi-join — nothing pairwise:\n$plan")
+    assert(org.apache.spark.sql.GraftSqlBridge.countCacheScans(df) >= 3,
+      s"verified pairs AND the ranked frame must be cached (each read twice):\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("global sweep: no query plans a CartesianProduct") {
     // crossJoin is only ever used against a broadcast 1-row aggregate
     // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an
@@ -761,7 +786,7 @@ class PlanQualitySpec extends SparkSpec {
       "q101_exact_substr", "q102_pipeline_manifest", "q103_dsir_weights",
       "q104_boilerplate", "q108_source_js_divergence", "q109_leakage_safe_split",
       "q110_winsorize", "q112_dup_cluster_stats", "q113_heaps_fit",
-      "q114_label_noise")
+      "q114_label_noise", "q117_mutual_knn")
     // earlier plan-shape tests construct (and thus cache-register)
     // plans without ever acting on them — start from a clean slate
     graft.operators.CacheScope.releaseAll()

@@ -314,6 +314,48 @@ class SimilaritySpec extends SparkSpec {
     assert(got(4L)._5 === 0.75)
   }
 
+  test("jlProject: integer projections replay the md5 sign contract exactly") {
+    import spark.implicits._
+    val v = Array(0.5f, -0.25f, 1.0f, 0.125f)
+    val got = Similarity.jlProject(Seq((1L, v)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 4, outDim = 3, seed = 7L)
+      .select("proj_dim", "q_units").as[(Long, Long)].collect().toMap
+    // plain-Scala replay of SignedProjection's sign/quant contract
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val q = v.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+    val expect = (0 until 3).map { j =>
+      j.toLong -> (0 until 4).map { d =>
+        val s = if ((md.digest(s"jl|7|$j|$d".getBytes("UTF-8"))(15) & 1) == 1) 1L else -1L
+        s * q(d)
+      }.sum
+    }.toMap
+    assert(got === expect)
+  }
+
+  test("mutualKnnGraph: only reciprocal top-k pairs survive; losing a popularity contest prunes") {
+    import spark.implicits._
+    // a ↔ b are each other's top-1; c's best friend is a, but a prefers
+    // b — with k = 1 the only mutual edge is (a, b)
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.1f, 0f, 0f)),
+      (3L, Array(0.9f, 0.3f, 0.1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mutualKnnGraph(vecs, "vec_id", "embedding",
+        k = 1, dim = 4).collect()
+    spark.catalog.clearCache()
+    assert(got.length === 1, got.mkString(";"))
+    val r = got.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L, "the reciprocal pair")
+    assert(r.getLong(3) === 1L && r.getLong(4) === 1L, "rank 1 both ways")
+    // with k = 2 everyone fits in everyone's list → all 3 edges mutual
+    val all = Similarity.mutualKnnGraph(vecs, "vec_id", "embedding",
+        k = 2, dim = 4).collect()
+    spark.catalog.clearCache()
+    assert(all.length === 3)
+    assert(all.forall(r => r.getLong(0) < r.getLong(1)), "edges canonical a < b")
+  }
+
   test("hardNegatives: only other-label neighbors, ranked by cosine, self excluded") {
     import spark.implicits._
     val vecs = Seq(
