@@ -1038,6 +1038,32 @@ object SparkEntry {
       Similarity.mutualKnnGraph(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 10, dim = 64)),
 
+    // ── int8 quantization profile: two scans of the exploded frame,
+    //    dim-stats broadcast back — all error math in exact BIGINT
+    //    quant units, one terminal √ ──
+    "q118_int8_quant" -> ((s, dir) =>
+      Similarity.int8QuantProfile(t(s, dir, "embeddings"), "embedding")),
+
+    // ── classifier calibration: two codegen kernels on one scan →
+    //    10-row combinable agg; every stat an exact half-up micro
+    //    intDiv — zero doubles ──
+    "q119_calibration" -> ((s, dir) =>
+      operators.Curation.calibrationBins(t(s, dir, "documents"), "doc_id",
+        "text")),
+
+    // ── TextRank keywords: edge stream broadcast-filtered to the
+    //    top-vocab BEFORE the edge count; 5 integral PageRank rounds
+    //    over a corpus-size-independent ≤vocab² edge frame ──
+    "q120_textrank" -> ((s, dir) =>
+      CorpusStats.textRank(t(s, dir, "documents"), "doc_id", "text",
+        vocab = 100, iters = 5)),
+
+    // ── token concentration: one combinable shuffle to |lang×source|
+    //    rows, lang-partitioned window on those few rows; Gini in
+    //    exact half-up micro units (DECIMAL headroom for the ·1e6) ──
+    "q121_token_gini" -> ((s, dir) =>
+      CorpusStats.tokenConcentration(t(s, dir, "documents"), "text")),
+
     // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
     //    back onto the corpus scan for full-precision re-scoring —
     //    full vectors touched only for |queries|·shortlist rows ──
@@ -1374,6 +1400,59 @@ object SparkEntry {
            CAST(sum(CASE WHEN g.bucket < t.keep_buckets THEN g.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
          FROM g JOIN tot t USING (source)
          GROUP BY t.source, t.total_docs, t.total_tokens, t.keep_buckets"""
+
+  /** Unrolled integral-PageRank CTE chain for q120: iteration k maps
+    * r{k-1} → r{k} with rᵥ = 150000 + Σᵤ (85·rᵤ·w) // (100·Sᵤ) — the
+    * exact integer contract of [[graft.operators.CorpusStats.textRank]]
+    * (non-negative operands, order-independent sums). */
+  private def textRankSql(vocab: Int, iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS (
+           SELECT n.token, CAST(150000 + COALESCE(c.s, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS token,
+               CAST(sum((85 * r.r * e.w) // (100 * e.s_src)) AS BIGINT) AS s
+             FROM e JOIN r${k - 1} r ON e.src = r.token GROUP BY 1) c
+           ON n.token = c.token
+         )"""
+    }.mkString(", ")
+    s"""WITH t AS (
+           SELECT string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), tok AS (
+           SELECT unnest(toks) AS token FROM t
+         ), uni AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+         ), nodes AS (
+           SELECT token, cnt FROM uni ORDER BY cnt DESC, token LIMIT $vocab
+         ), bi AS (
+           SELECT tok_a, tok_b FROM (
+             SELECT toks[i] AS tok_a, toks[i + 1] AS tok_b
+             FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                   FROM t WHERE len(toks) >= 2))
+           WHERE tok_a <> tok_b
+             AND tok_a IN (SELECT token FROM nodes)
+             AND tok_b IN (SELECT token FROM nodes)
+         ), und AS (
+           SELECT least(tok_a, tok_b) AS u, greatest(tok_a, tok_b) AS v,
+             CAST(count(*) AS BIGINT) AS w
+           FROM bi GROUP BY 1, 2
+         ), sym AS (
+           SELECT u AS src, v AS dst, w FROM und
+           UNION ALL
+           SELECT v AS src, u AS dst, w FROM und
+         ), st AS (
+           SELECT src, CAST(sum(w) AS BIGINT) AS s_src FROM sym GROUP BY 1
+         ), e AS (
+           SELECT sym.src, sym.dst, sym.w, st.s_src
+           FROM sym JOIN st ON sym.src = st.src
+         ), r0 AS (
+           SELECT token, CAST(1000000 AS BIGINT) AS r FROM nodes
+         ), $iterCtes
+         SELECT CAST(row_number() OVER (ORDER BY r.r DESC, r.token) AS BIGINT) AS rank,
+           r.token, n.cnt, r.r AS score_micro
+         FROM r$iters r JOIN nodes n ON r.token = n.token"""
+  }
 
   private def componentsSql: String =
     s"""WITH RECURSIVE pairs AS (
@@ -3481,6 +3560,106 @@ object SparkEntry {
            CAST(x.rnk AS BIGINT) AS rank_ab, CAST(y.rnk AS BIGINT) AS rank_ba
          FROM ranked x JOIN ranked y ON x.src = y.dst AND x.dst = y.src
          WHERE x.src < x.dst""",
+    // int8 quant profile: same floor(v·2^20) unit domain; all divides
+    // are // with non-negative operands (code and deq), so floor ==
+    // truncate on both engines; sums CAST (type-parity rule).
+    "q118_int8_quant" ->
+      """WITH e AS (
+           SELECT CAST(d AS BIGINT) AS dim,
+             CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS vq
+           FROM embeddings, range(64) t(d) WHERE len(embedding) > 0
+         ), s AS (
+           SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             min(vq) AS min_q, max(vq) AS max_q
+           FROM e GROUP BY 1
+         ), c AS (
+           SELECT e.dim, vq, n, min_q, max_q,
+             CASE WHEN max_q = min_q THEN CAST(0 AS BIGINT)
+                  ELSE ((vq - min_q) * 255) // (max_q - min_q) END AS code
+           FROM e JOIN s ON e.dim = s.dim
+         ), r AS (
+           SELECT dim, n, min_q, max_q,
+             abs(vq - (min_q + (code * (max_q - min_q)) // 255)) AS err
+           FROM c
+         )
+         SELECT dim, n, min_q, max_q,
+           CAST(max(err) AS BIGINT) AS max_err,
+           CAST(sum(err * err) AS BIGINT) AS sse,
+           round(sqrt(CAST(sum(err * err) AS DOUBLE) / n) / 1048576.0, 6) AS rmse
+         FROM r GROUP BY 1, 2, 3, 4""",
+    // Calibration bins: q82's hashed-weight formula + q78's Gopher
+    // keep, composed; score/means are the shifted half-up intDiv micro
+    // forms (integer-ratio tie rule) — the `//` chains stay on
+    // non-negative operands; outputs CAST (HUGEINT parity rule).
+    "q119_calibration" ->
+      """WITH t AS (
+           SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), w AS (
+           SELECT doc_id, unnest(toks) AS tok FROM t
+         ), b AS (
+           SELECT doc_id,
+             (CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(md5(tok), CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 4096) % 1001 - 500 AS wt
+           FROM w
+         ), agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(wt) AS BIGINT) AS w_sum
+           FROM b GROUP BY doc_id
+         ), g AS (
+           SELECT doc_id,
+             (len(toks) >= 50 AND len(toks) <= 100000)
+             AND (CAST(len(replace(norm, ' ', '')) AS DOUBLE) / len(toks) >= 3.0
+                  AND CAST(len(replace(norm, ' ', '')) AS DOUBLE) / len(toks) <= 10.0)
+             AND len(list_intersect(toks, ['the','a','an','of','and','or','to','in','is','it'])) >= 2
+             AND CAST(len(list_filter(toks, t2 -> regexp_matches(t2, '[a-z]'))) AS DOUBLE) / len(toks) >= 0.8
+             AND (CASE WHEN len(toks) >= 2
+                  THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1)
+                  ELSE 0.0 END) <= 0.5 AS keep
+           FROM t
+         ), sc AS (
+           SELECT a.doc_id,
+             ((a.w_sum + 500*a.n) * 2000000 + 1000*a.n) // (2000*a.n) AS s_micro,
+             g.keep
+           FROM agg a JOIN g ON a.doc_id = g.doc_id
+         ), bn AS (
+           SELECT keep, s_micro, (s_micro * 10) // 1000001 AS bin FROM sc
+         )
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((2*sum(s_micro) + count(*)) // (2*count(*)) AS BIGINT) AS mean_score_micro,
+           CAST((2000000*sum(CASE WHEN keep THEN 1 ELSE 0 END) + count(*)) // (2*count(*)) AS BIGINT) AS keep_rate_micro,
+           CAST((2*sum(s_micro) + count(*)) // (2*count(*))
+             - (2000000*sum(CASE WHEN keep THEN 1 ELSE 0 END) + count(*)) // (2*count(*)) AS BIGINT) AS gap_micro
+         FROM bn GROUP BY 1""",
+    // Token Gini: rank formula over the ascending (x, source) order;
+    // sums stay UNCAST (HUGEINT) through the ·1e6 arithmetic (BIGINT
+    // would overflow before Spark's DECIMAL does), outputs CAST.
+    "q121_token_gini" ->
+      """WITH d AS (
+           SELECT lang, source,
+             sum(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))) AS x
+           FROM documents GROUP BY 1, 2
+         ), r AS (
+           SELECT lang, source, x,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY x, source) AS BIGINT) AS i
+           FROM d
+         ), a AS (
+           SELECT lang, count(*) AS n, sum(x) AS sx, sum(i * x) AS six,
+             max(x) AS mx
+           FROM r GROUP BY 1
+         )
+         SELECT lang, CAST(n AS BIGINT) AS n_sources,
+           CAST(sx AS BIGINT) AS total_tokens,
+           CAST(((2*six - (n+1)*sx) * 2000000 + n*sx) // (2*n*sx) AS BIGINT) AS gini_micro,
+           CAST((mx * 2000000 + sx) // (2*sx) AS BIGINT) AS top_share_micro
+         FROM a""",
+    // TextRank: unrolled integral-PageRank CTEs (exact integer rank
+    // units — a double PageRank would be FP-fold-order-dependent and
+    // unhashable across engines).
+    "q120_textrank" -> textRankSql(vocab = 100, iters = 5),
     // Pipeline manifest: the q51 funnel, q47 components and q57 budget
     // oracles composed VERBATIM (shared defs — one copy of each gate's
     // formulas), joined per doc; bucket = the q44 md5 idiom.

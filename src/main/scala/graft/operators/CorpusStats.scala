@@ -923,4 +923,108 @@ object CorpusStats {
         .agg(max("n_s").as("n_tokens"), sum("term2_micro").as("js2_micro")),
       sb)
   }
+
+  /** Token-mass concentration across sources, per language: the Gini
+    * coefficient + largest-source share — the one-row-per-language
+    * answer to "is this slice of the mix dominated by a single
+    * crawl?" (a concentration audit runs before any mixture-weight
+    * decision; high Gini means the α-temperature reweighting of q83
+    * has nothing to rebalance WITHIN the language).
+    *
+    * Determinism: Gini via the rank formula over the ascending
+    * (x, source) order — G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx), numerator
+    * provably ≥ 0 for ascending ranks — emitted as the shifted
+    * half-up intDiv micro form (integer-ratio tie rule). The ·1e6
+    * products run in DECIMAL(38,0) on the Spark side to mirror
+    * DuckDB's HUGEINT sum arithmetic (BIGINT·1e6 would overflow first
+    * at ~1e12-token sources).
+    *
+    * Scale shape: one combinable shuffle to |lang×source| rows, then
+    * a lang-partitioned window over those few rows — never a global
+    * sort, cost independent of corpus size after the scan. Output:
+    * (lang, n_sources, total_tokens, gini_micro, top_share_micro). */
+  def tokenConcentration(docs: DataFrame, textCol: String,
+                         groupCol: String = "lang",
+                         unitCol: String = "source"): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val perUnit = docs
+      .groupBy(col(groupCol).as("grp"), col(unitCol).as("unit"))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("x"))
+    val w = Window.partitionBy("grp").orderBy(asc("x"), asc("unit"))
+    val dec = "decimal(38,0)"
+    perUnit.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("i") * col("x")).as("six"), max("x").as("mx"))
+      .select(col("grp").as(groupCol), col("n").as("n_sources"),
+        col("sx").as("total_tokens"),
+        intDiv((lit(2L) * col("six") - (col("n") + lit(1L)) * col("sx"))
+            .cast(dec) * lit(2000000L) + (col("n") * col("sx")).cast(dec),
+          (lit(2L) * col("n") * col("sx")).cast(dec)).as("gini_micro"),
+        intDiv(col("mx").cast(dec) * lit(2000000L) + col("sx").cast(dec),
+          (lit(2L) * col("sx")).cast(dec)).as("top_share_micro"))
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    * PageRank over the adjacent-token co-occurrence graph, restricted
+    * to the top-`vocab` tokens — the unsupervised keyword list a
+    * corpus card leads with, and the classic "what is this corpus
+    * about" sanity check before mixing sources.
+    *
+    * Determinism: ranks live in exact half-micro INTEGER units — r₀ =
+    * 1e6, rᵥ ← 150000 + Σᵤ (85·rᵤ·w_uv) div (100·Sᵤ) with Sᵤ the node
+    * strength — so every iteration is an order-independent BIGINT sum
+    * (a double PageRank would be FP-fold-order-dependent and
+    * unhashable). All div operands non-negative. Headroom: 85·r·w
+    * stays under 2^63 to ~1e8-unit hub ranks × 1e6-count edges.
+    *
+    * Scale shape: vocab selection is a TakeOrderedAndProject (never a
+    * global sort); the pair stream is filtered to vocab×vocab by two
+    * BROADCAST semi-joins BEFORE the edge count, so the edge shuffle
+    * carries only in-vocab pairs; the iteration state is ≤ vocab²
+    * edges + vocab ranks — iteration cost is independent of corpus
+    * size after the one edge-building scan. Output: (rank, token,
+    * cnt, score_micro). */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+               vocab: Int = 100, iters: Int = 5): DataFrame = {
+    val toksDf = docs.select(TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val uni = toksDf.select(explode(col("__toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val nodes = uni.orderBy(desc("cnt"), asc("token")).limit(vocab).cache()
+    val vtok = nodes.select("token")
+    val bi = toksDf.where(size(col("__toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("a"),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("b"))).as("__p"))
+      .select(col("__p.a").as("tok_a"), col("__p.b").as("tok_b"))
+      .where(col("tok_a") =!= col("tok_b"))
+      .join(broadcast(vtok.withColumnRenamed("token", "tok_a")), "tok_a")
+      .join(broadcast(vtok.withColumnRenamed("token", "tok_b")), "tok_b")
+    val und = bi
+      .select(least(col("tok_a"), col("tok_b")).as("u"),
+        greatest(col("tok_a"), col("tok_b")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val sym = und.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val strength = sym.groupBy("src").agg(sum("w").as("s_src"))
+    val e = sym.join(broadcast(strength), "src").cache()
+    var ranks = nodes.select(col("token"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(broadcast(ranks), col("src") === col("token"))
+        .select(col("dst"), expr("(85 * r * w) div (100 * s_src)").as("__c"))
+        .groupBy("dst").agg(sum("__c").as("__in"))
+      ranks = nodes.select("token")
+        .join(contribs, col("token") === col("dst"), "left")
+        .select(col("token"),
+          (lit(150000L) + coalesce(col("__in"), lit(0L))).as("r"))
+    }
+    val wWin = Window.orderBy(desc("r"), asc("token"))
+    CacheScope.scoped(
+      nodes.join(ranks, "token")
+        .withColumn("rank", row_number().over(wWin).cast("long"))
+        .select(col("rank"), col("token"), col("cnt"),
+          col("r").as("score_micro")),
+      nodes, e)
+  }
 }

@@ -113,4 +113,49 @@ object Curation {
       minQuality)
       .groupBy("lang", "verdict")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens").cast("long")).as("n_tokens"))
+
+  /** Reliability diagram for the hashed-feature classifier: bin the
+    * [0,1] score against the Gopher rule verdict as the observed
+    * label — the audit that says whether the cheap model's scores can
+    * be TRUSTED as probabilities before they gate a 100-TB keep/drop
+    * decision (per-bin gap = score − observed keep rate; large |gap|
+    * means threshold on ranks, not on the raw score).
+    *
+    * Determinism: the score is the exact half-up micro-unit rational
+    * (w_sum + 500n)/(1000n) ∈ [0, 1e6] (`HashExpressions.intDiv`,
+    * non-negative operands — the integer-ratio tie rule), the bin is
+    * an integral comparison, and both per-bin means are again half-up
+    * intDiv micro forms; `gap_micro` is a difference of those exact
+    * integers. No doubles anywhere.
+    *
+    * Scale shape: two codegen kernels riding ONE scan, then a single
+    * map-combinable shuffle to ≤ `bins` rows. Output: (bin, n_docs,
+    * mean_score_micro, keep_rate_micro, gap_micro). */
+  def calibrationBins(docs: DataFrame, idCol: String, textCol: String,
+                      bins: Int = 10): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val c = TextAnalysis.hashedClassifier(col(textCol))
+    val g = TextAnalysis.gopherRules(col(textCol))
+    val scored = docs
+      .select(col(idCol), c.getField("w_sum").as("w_sum"),
+        c.getField("n_tokens").cast("long").as("n"),
+        g.getField("keep").as("keep"))
+      .select(col("keep"),
+        intDiv((col("w_sum") + lit(500L) * col("n")) * lit(2000000L)
+            + lit(1000L) * col("n"),
+          lit(2000L) * col("n")).as("s_micro"))
+      .select(col("keep"), col("s_micro"),
+        intDiv(col("s_micro") * lit(bins.toLong), lit(1000001L)).as("bin"))
+    scored.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("s_micro").as("__s_sum"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("__keeps"))
+      .select(col("bin"), col("n_docs"),
+        intDiv(lit(2L) * col("__s_sum") + col("n_docs"),
+          lit(2L) * col("n_docs")).as("mean_score_micro"),
+        intDiv(lit(2000000L) * col("__keeps") + col("n_docs"),
+          lit(2L) * col("n_docs")).as("keep_rate_micro"))
+      .withColumn("gap_micro",
+        col("mean_score_micro") - col("keep_rate_micro"))
+  }
 }

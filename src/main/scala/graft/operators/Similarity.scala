@@ -504,6 +504,50 @@ object Similarity {
       pairs, ranked)
   }
 
+  /** Per-dimension int8 scalar-quantization error profile — the
+    * decision table for "can we ship these embeddings as int8?"
+    * (embedding stores quantize to int8 for 4× bandwidth/RAM; the
+    * profile says which dimensions lose how much). Per dim: affine
+    * code = ((v−min)·255) / (max−min) over the corpus min/max,
+    * reconstruction deq = min + code·(max−min)/255, error |v − deq|.
+    *
+    * Determinism: everything runs in the floor(v·2^20) integer-unit
+    * domain — min/max/codes/deq/errors are exact BIGINT arithmetic
+    * with non-negative operands (floor-vs-truncate rule), so SSE and
+    * max-error are bit-portable; `rmse` is the one terminal derived
+    * double (√ of an exact ratio — irrational, no 6-dp tie class).
+    *
+    * Scale shape: two scans of the exploded (n·dim) frame — pass 1 is
+    * a combinable min/max/count agg to `dim` rows, which BROADCASTS
+    * back onto pass 2 (never a shuffle of the big side); per-dim SSE
+    * fits BIGINT to ~1e10 vectors (err ≤ range/255 ≤ 2^13 units,
+    * err² ≤ 2^26). Output: (dim, n, min_q, max_q, max_err, sse,
+    * rmse). */
+  def int8QuantProfile(emb: DataFrame, vecCol: String): DataFrame = {
+    val e = emb.where(size(col(vecCol)) > 0)
+      .select(posexplode(col(vecCol)))
+      .select(col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * lit(1048576.0)).as("vq"))
+    val stats = e.groupBy("dim")
+      .agg(count(lit(1)).as("n"), min("vq").as("min_q"), max("vq").as("max_q"))
+    val rng = col("max_q") - col("min_q")
+    val code = when(rng === 0, lit(0L))
+      .otherwise(expr("((vq - min_q) * 255) div (max_q - min_q)"))
+    val deq = col("min_q") + expr("(__code * (max_q - min_q)) div 255")
+    e.join(broadcast(stats), "dim")
+      .withColumn("__code", code)
+      .withColumn("__err", abs(col("vq") - deq))
+      .groupBy("dim")
+      .agg(first("n").as("n"), first("min_q").as("min_q"),
+        first("max_q").as("max_q"),
+        max("__err").as("max_err"),
+        sum(col("__err") * col("__err")).as("sse"))
+      .select(col("dim"), col("n"), col("min_q"), col("max_q"),
+        col("max_err"), col("sse"),
+        round(sqrt(col("sse").cast("double") / col("n")) / lit(1048576.0), 6)
+          .as("rmse"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH candidate generation
     * + exact verification — the scale path for pairwise near-dup: the
     * only join is an equi-join on (table, signature-bucket), so pairs

@@ -528,4 +528,46 @@ class CorpusStatsSpec extends SparkSpec {
       "every prefix at/after the only doc is populated")
     spark.catalog.clearCache()
   }
+
+  test("textRank: the hub token outranks leaves; leaves share one exact integral score") {
+    import spark.implicits._
+    // star graph: b adjacent to a, c, d — strengths: b = 3, leaves = 1.
+    // After ONE iteration: r(b) = 150000 + 3·(85·1e6)//100 = 2700000;
+    // each leaf gets (85·1e6)//(100·3) = 283333 → 433333.
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "b d"))
+      .toDF("doc_id", "text")
+    val one = CorpusStats.textRank(docs, "doc_id", "text", vocab = 10,
+        iters = 1)
+      .select("rank", "token", "score_micro").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    spark.catalog.clearCache()
+    assert(one.map(_._2).toSeq === Seq("b", "a", "c", "d"),
+      "hub first, leaf ties broken by token")
+    assert(one.head._3 === 2700000L)
+    assert(one.tail.map(_._3).distinct.toSeq === Seq(433333L))
+    // self-adjacency ("x x") contributes no edge: the pair stream
+    // drops self-loops, so a repeated-token doc adds rank mass nowhere
+    val rep = CorpusStats.textRank(
+        docs.unionAll(Seq((4L, "b b")).toDF("doc_id", "text")),
+        "doc_id", "text", vocab = 10, iters = 1)
+      .select("token", "score_micro").as[(String, Long)].collect().toMap
+    spark.catalog.clearCache()
+    assert(rep("b") === 2700000L && rep("a") === 433333L)
+  }
+
+  test("tokenConcentration: planted Gini and top-share in exact micro units") {
+    import spark.implicits._
+    // en: sources with 1 and 3 tokens → x=[1,3]: Σx=4, Σi·x=7,
+    // G = (14−12)/8 = 0.25; top share 3/4. de: single source → G = 0.
+    val docs = Seq(
+      (1L, "alpha", "en", "s1"),
+      (2L, "alpha beta gamma", "en", "s2"),
+      (3L, "uno dos", "de", "s9")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = CorpusStats.tokenConcentration(docs, "text")
+      .select("lang", "n_sources", "total_tokens", "gini_micro", "top_share_micro")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("en") === (("en", 2L, 4L, 250000L, 750000L)))
+    assert(got("de") === (("de", 1L, 2L, 0L, 1000000L)))
+  }
 }

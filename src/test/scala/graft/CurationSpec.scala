@@ -69,4 +69,21 @@ class CurationSpec extends SparkSpec {
     assert(manifest.values.forall(r => r._5 === survivors.contains(r._1)))
     spark.catalog.clearCache()
   }
+
+  test("calibrationBins: bins partition the corpus; means stay inside their bin's score range") {
+    import spark.implicits._
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bins = Curation.calibrationBins(fixture, "doc_id", "text")
+      .select("bin", "n_docs", "mean_score_micro", "keep_rate_micro", "gap_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(bins.map(_._2).sum === fixture.count(), "every doc lands in exactly one bin")
+    bins.foreach { case (b, n, mean, rate, gap) =>
+      assert(b >= 0 && b <= 9 && n > 0)
+      // bin b holds s_micro with (s·10)//1000001 == b
+      assert(mean >= b * 100000 && mean <= (b + 1) * 100001,
+        s"bin $b mean $mean outside its score range")
+      assert(rate >= 0 && rate <= 1000000)
+      assert(gap === mean - rate)
+    }
+  }
 }

@@ -759,6 +759,37 @@ class PlanQualitySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q118: dim stats come back via broadcast — the exploded frame never shuffle-joins") {
+    val df = SparkEntry.queries("q118_int8_quant")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-dim min/max must broadcast onto the second scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a shuffle join of the n·dim frame is the scale bug this guards:\n$plan")
+  }
+
+  test("q119: calibration is kernels + one agg — no join anywhere in the plan") {
+    val df = SparkEntry.queries("q119_calibration")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"),
+      s"score and label are same-row kernels; a join means a second scan:\n$plan")
+  }
+
+  test("q121: concentration plan is three bounded exchanges, window partitioned by lang") {
+    val df = SparkEntry.queries("q121_token_gini")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(plan).size <= 4,
+      s"per-(lang,source) agg + lang window + lang agg only:\n$plan")
+    assert(!plan.contains("partitionSpec=[]"),
+      s"the rank window must be lang-partitioned, never global:\n$plan")
+  }
+
   test("global sweep: no query plans a CartesianProduct") {
     // crossJoin is only ever used against a broadcast 1-row aggregate
     // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an
@@ -786,7 +817,7 @@ class PlanQualitySpec extends SparkSpec {
       "q101_exact_substr", "q102_pipeline_manifest", "q103_dsir_weights",
       "q104_boilerplate", "q108_source_js_divergence", "q109_leakage_safe_split",
       "q110_winsorize", "q112_dup_cluster_stats", "q113_heaps_fit",
-      "q114_label_noise", "q117_mutual_knn")
+      "q114_label_noise", "q117_mutual_knn", "q120_textrank")
     // earlier plan-shape tests construct (and thus cache-register)
     // plans without ever acting on them — start from a clean slate
     graft.operators.CacheScope.releaseAll()

@@ -356,6 +356,26 @@ class SimilaritySpec extends SparkSpec {
     assert(all.forall(r => r.getLong(0) < r.getLong(1)), "edges canonical a < b")
   }
 
+  test("int8QuantProfile: planted mid-point error, exact endpoints, constant dim is lossless") {
+    import spark.implicits._
+    // dim 0 spans [0, 1]: endpoints code exactly (err 0); 0.4 lands
+    // between codes 101/102 → err = 419430 − 415318 = 4112 units.
+    // dim 1 is constant → range 0 → code 0, deq = min, err 0.
+    val emb = Seq(
+      (1L, Array(0f, 0.5f)), (2L, Array(0.4f, 0.5f)), (3L, Array(1f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.int8QuantProfile(emb, "embedding")
+      .select("dim", "n", "min_q", "max_q", "max_err", "sse")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((0L, 3L, 0L, 1048576L, 4112L, 4112L * 4112L)))
+    assert(got(1) === ((1L, 3L, 524288L, 524288L, 0L, 0L)))
+    // empty vectors are excluded, not zero-padded
+    val withEmpty = emb.unionAll(
+      Seq((4L, Array.empty[Float])).toDF("vec_id", "embedding"))
+    assert(Similarity.int8QuantProfile(withEmpty, "embedding")
+      .agg(max("n")).collect().head.getLong(0) === 3L)
+  }
+
   test("hardNegatives: only other-label neighbors, ranked by cosine, self excluded") {
     import spark.implicits._
     val vecs = Seq(
