@@ -1064,6 +1064,28 @@ object SparkEntry {
     "q121_token_gini" -> ((s, dir) =>
       CorpusStats.tokenConcentration(t(s, dir, "documents"), "text")),
 
+    // ── BPE merge candidates: the pair agg runs on the vocab-bounded
+    //    (token, count) frame, never the corpus token stream; rank
+    //    window on the pre-limited top-k ──
+    "q124_bpe_merges" -> ((s, dir) =>
+      CorpusStats.bpeMergeCandidates(t(s, dir, "documents"), "doc_id",
+        "text", topK = 30)),
+
+    // ── LSH recall eval: the exact-Jaccard truth leg vs the sketch
+    //    candidate leg, joined on the pair key — the text-path twin of
+    //    q60's ANN recall ──
+    "q123_lsh_recall" -> ((s, dir) =>
+      operators.Dedup.lshJaccardRecall(t(s, dir, "documents"), "doc_id",
+        "text", shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
+        maxShingleFreq = Some(1000))),
+
+    // ── quality-aware dedup representatives: the cluster label frame
+    //    (ids only) joins the quality kernel; exact-integer quality
+    //    rank — who actually survives each cluster ──
+    "q122_quality_reps" -> ((s, dir) =>
+      operators.Dedup.qualityRepresentatives(t(s, dir, "documents"), "doc_id",
+        "text", shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
+
     // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
     //    back onto the corpus scan for full-precision re-scoring —
     //    full vectors touched only for |queries|·shortlist rows ──
@@ -1124,6 +1146,37 @@ object SparkEntry {
     * both engines. Banding: any pair agreeing on ≥ 52/64 positions
     * shares ≥1 fully-equal band (pigeonhole), so bucket identity ==
     * slice equality. */
+  /** Exact n-gram Jaccard pair oracle (q18) — shared with q123's
+    * recall eval so the truth leg can never drift from the standalone
+    * query. */
+  private def ngramJaccardPairsSql: String =
+    """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM t WHERE len(toks) >= 3
+         ), sizes AS (
+           SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+         ), capped AS (
+           SELECT sh.doc_id, sh.shingle FROM sh
+           JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000) keep
+             USING (shingle)
+         ), inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+         FROM inter
+         JOIN sizes sa ON id_a = sa.doc_id
+         JOIN sizes sb ON id_b = sb.doc_id
+         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8"""
+
   private def minhashPairsSql: String = {
     def parse12(start: Int) =
       s"CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + $start AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT)"
@@ -1663,33 +1716,7 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
          min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
-    "q18_ngram_dedup" ->
-      """WITH t AS (
-           SELECT doc_id,
-             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
-           FROM documents
-         ), sh AS (
-           SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, len(toks) - 1),
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-           FROM t WHERE len(toks) >= 3
-         ), sizes AS (
-           SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
-         ), capped AS (
-           SELECT sh.doc_id, sh.shingle FROM sh
-           JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000) keep
-             USING (shingle)
-         ), inter AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-           FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2
-         )
-         SELECT id_a, id_b,
-           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-         FROM inter
-         JOIN sizes sa ON id_a = sa.doc_id
-         JOIN sizes sb ON id_b = sb.doc_id
-         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8""",
+    "q18_ngram_dedup" -> ngramJaccardPairsSql,
     // MinHash: sig_i = min over shingles of (h1 + i·h2), h1/h2 = the two
     // 48-bit halves of md5(shingle) — exact integers in both engines.
     // Banding: any pair agreeing on ≥ 52/64 positions shares ≥1 fully-
@@ -3634,6 +3661,83 @@ object SparkEntry {
            CAST((2*sum(s_micro) + count(*)) // (2*count(*))
              - (2000000*sum(CASE WHEN keep THEN 1 ELSE 0 END) + count(*)) // (2*count(*)) AS BIGINT) AS gap_micro
          FROM bn GROUP BY 1""",
+    // BPE merges: 1-based char indexing over the distinct-vocab frame;
+    // weighting by token count reproduces the corpus-stream mass.
+    "q124_bpe_merges" ->
+      """WITH tok AS (
+           SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           FROM documents
+         ), uni AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok
+           GROUP BY 1 HAVING len(token) >= 2
+         ), pr AS (
+           SELECT token[i] AS left_unit, token[i + 1] AS right_unit, cnt
+           FROM (SELECT token, cnt, unnest(generate_series(1, len(token) - 1)) AS i
+                 FROM uni)
+         ), agg AS (
+           SELECT left_unit, right_unit, CAST(sum(cnt) AS BIGINT) AS freq
+           FROM pr GROUP BY 1, 2
+         ), top AS (
+           SELECT left_unit, right_unit, freq FROM agg
+           ORDER BY freq DESC, left_unit, right_unit LIMIT 30
+         )
+         SELECT CAST(row_number() OVER (ORDER BY freq DESC, left_unit, right_unit) AS BIGINT) AS rank,
+           left_unit, right_unit, freq
+         FROM top""",
+    // LSH recall: the q18 and q19 oracles composed verbatim (shared
+    // defs); ratios are shifted half-up intDiv micro, NULL-guarded.
+    "q123_lsh_recall" ->
+      s"""WITH truth AS (
+           SELECT id_a, id_b FROM ($ngramJaccardPairsSql)
+         ), cand AS (
+           SELECT id_a, id_b FROM ($minhashPairsSql)
+         ), h AS (
+           SELECT count(*) AS n_hit FROM truth JOIN cand USING (id_a, id_b)
+         ), tn AS (SELECT count(*) AS n_true FROM truth),
+         cn AS (SELECT count(*) AS n_cand FROM cand)
+         SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN n_true = 0 THEN NULL
+                ELSE CAST((2000000*n_hit + n_true) // (2*n_true) AS BIGINT)
+           END AS recall_micro,
+           CASE WHEN n_cand = 0 THEN NULL
+                ELSE CAST((2000000*n_hit + n_cand) // (2*n_cand) AS BIGINT)
+           END AS precision_micro
+         FROM tn, cn, h""",
+    // Quality representatives: the shared components CTE + q85's exact
+    // q_micro formula (one copy each), argmax via QUALIFY rank.
+    "q122_quality_reps" ->
+      s"""WITH comp AS (
+           SELECT doc_id, cluster_id FROM ($componentsSql)
+         ), q AS (
+           SELECT doc_id,
+             least(len(text), 500) * 800
+             + (CASE WHEN 10 * len(list_filter(string_split(norm, ' '),
+                      t2 -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t2)))
+                      >= len(string_split(norm, ' ')) THEN 300000
+                ELSE (6000000 * len(list_filter(string_split(norm, ' '),
+                        t2 -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t2)))
+                      + len(string_split(norm, ' ')))
+                     // (2 * len(string_split(norm, ' '))) END)
+             + (CASE WHEN len(replace(norm, ' ', '')) >= 3 * len(string_split(norm, ' '))
+                      AND len(replace(norm, ' ', '')) <= 8 * len(string_split(norm, ' '))
+                THEN 300000 ELSE 0 END) AS q_micro
+           FROM (SELECT doc_id, text,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+                 FROM documents)
+         ), j AS (
+           SELECT c.cluster_id, c.doc_id, q.q_micro,
+             row_number() OVER (PARTITION BY c.cluster_id
+               ORDER BY q.q_micro DESC, c.doc_id) AS rn
+           FROM comp c JOIN q ON c.doc_id = q.doc_id
+         )
+         SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_id,
+           CAST(max(CASE WHEN rn = 1 THEN q_micro END) AS BIGINT) AS rep_q_micro,
+           CAST(min(q_micro) AS BIGINT) AS min_q_micro,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+         FROM j GROUP BY 1""",
     // Token Gini: rank formula over the ascending (x, source) order;
     // sums stay UNCAST (HUGEINT) through the ·1e6 arithmetic (BIGINT
     // would overflow before Spark's DECIMAL does), outputs CAST.

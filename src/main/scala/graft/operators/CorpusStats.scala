@@ -965,6 +965,39 @@ object CorpusStats {
           (lit(2L) * col("sx")).cast(dec)).as("top_share_micro"))
   }
 
+  /** BPE first-merge candidates (Sennrich et al. 2016 §3.2, one merge
+    * step): corpus-weighted adjacent-CHARACTER pair frequencies inside
+    * tokens — freq(a,b) = Σ_tokens count(token)·occurrences(ab in
+    * token) — ranked top-k. The table a tokenizer-training run
+    * consults to pick its first merge, and the cheap "is this corpus's
+    * character bigram mass what the tokenizer expects" drift probe.
+    *
+    * Scale shape: ONE corpus scan builds the (token, count) vocab
+    * frame; the pair explosion and agg run on that VOCAB-BOUNDED frame
+    * (distinct tokens × token length), independent of corpus row
+    * count; top-k is a TakeOrderedAndProject and the rank window runs
+    * on the pre-limited ≤ k rows. All-integer output. Output: (rank,
+    * left_unit, right_unit, freq). */
+  def bpeMergeCandidates(docs: DataFrame, idCol: String, textCol: String,
+                         topK: Int = 30): DataFrame = {
+    val uni = tokenized(docs, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .where(length(col("token")) >= 2)
+    val chars = split(col("token"), "")
+    val pairs = uni
+      .select(col("cnt"), explode(arrays_zip(
+        slice(chars, lit(1), size(chars) - 1).as("a"),
+        slice(chars, lit(2), size(chars) - 1).as("b"))).as("__p"))
+      .select(col("__p.a").as("left_unit"), col("__p.b").as("right_unit"),
+        col("cnt"))
+      .groupBy("left_unit", "right_unit").agg(sum("cnt").as("freq"))
+    val top = pairs
+      .orderBy(desc("freq"), asc("left_unit"), asc("right_unit")).limit(topK)
+    val w = Window.orderBy(desc("freq"), asc("left_unit"), asc("right_unit"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "left_unit", "right_unit", "freq")
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
     * PageRank over the adjacent-token co-occurrence graph, restricted
     * to the top-`vocab` tokens — the unsupervised keyword list a

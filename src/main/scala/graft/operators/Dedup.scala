@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextAnalysis
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -871,6 +871,82 @@ object Dedup {
     val drop = clusters.where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** MinHash-LSH recall/precision against the EXACT n-gram Jaccard
+    * truth — the eval a dedup deployment runs on a slice before
+    * trusting the sketch path corpus-wide (tune numHashes/bands until
+    * sampled recall clears target, exactly [[Similarity.annRecall]]'s
+    * role for the text path). Truth = [[ngramJaccardPairs]] (exact,
+    * inverted-index); candidates = [[minHashLshPairs]] (signature
+    * agreement ≥ threshold). Both legs are deterministic portable
+    * contracts, so even this evaluation is oracle-exact.
+    *
+    * Scale shape: both legs are the existing posting-list plans (never
+    * pairwise); the comparison is ONE equi-join of two pair frames on
+    * (id_a, id_b) + three 1-row aggregates broadcast together. Ratios
+    * are shifted half-up intDiv micro forms, NULL when the denominator
+    * is empty. Output: 1 row (n_true, n_cand, n_hit, recall_micro,
+    * precision_micro). */
+  def lshJaccardRecall(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, numHashes: Int, bands: Int,
+                       minJaccard: Double,
+                       maxShingleFreq: Option[Int] = None): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val truth = ngramJaccardPairs(docs, idCol, textCol, shingleN, minJaccard,
+      maxShingleFreq).select("id_a", "id_b").cache()
+    val cand = minHashLshPairs(docs, idCol, textCol, shingleN, numHashes,
+      bands, minJaccard).select("id_a", "id_b").cache()
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val nh = truth.join(cand, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("long"))
+        .otherwise(intDiv(lit(2000000L) * num + den, lit(2L) * den))
+    CacheScope.scoped(
+      nt.crossJoin(broadcast(nh)).crossJoin(broadcast(nc))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          ratio(col("n_hit"), col("n_true")).as("recall_micro"),
+          ratio(col("n_hit"), col("n_cand")).as("precision_micro")),
+      truth, cand)
+  }
+
+  /** Quality-aware cluster representatives: per near-dup cluster, the
+    * member that SURVIVES is the highest-quality one (exact-integer
+    * [[graft.functions.TextAnalysis.qualityMicro]] units, doc-id
+    * tiebreak) — what a production dedup pass actually keeps, vs
+    * [[dedupedCorpus]]'s neutral lowest-id convention (Lee et al. 2022
+    * keep-one-per-cluster, upgraded with a quality argmax). One row
+    * per multi-member cluster: who survives, the quality spread the
+    * choice spans, and the members dropped.
+    *
+    * Determinism: quality is the exact half-up micro integer (the q85
+    * contract — no doubles), so the (q_micro DESC, doc_id ASC) rank is
+    * bit-portable.
+    *
+    * Scale shape: the cluster label frame (ids only, pair-bounded)
+    * equi-joins the per-doc quality kernel on the id; the rank window
+    * partitions by cluster_id (≤ cluster-size frames, spillable);
+    * output is ≤ |clusters| rows. Output: (cluster_id, n_members,
+    * rep_id, rep_q_micro, min_q_micro, n_dropped). */
+  def qualityRepresentatives(docs: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int, numHashes: Int, bands: Int,
+                             minJaccard: Double): DataFrame = {
+    val cl = dedupClusters(docs, idCol, textCol, shingleN, numHashes, bands,
+      minJaccard)
+    val q = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.qualityMicro(col(textCol)).as("q_micro"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc("q_micro"), asc("doc_id"))
+    cl.join(q, "doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("__rn") === 1, col("doc_id"))).as("rep_id"),
+        max(when(col("__rn") === 1, col("q_micro"))).as("rep_q_micro"),
+        min("q_micro").as("min_q_micro"),
+        (count(lit(1)) - lit(1L)).as("n_dropped"))
   }
 
   /** Duplication-cluster size histogram — the "how duplicated is this

@@ -570,4 +570,13 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got("en") === (("en", 2L, 4L, 250000L, 750000L)))
     assert(got("de") === (("de", 1L, 2L, 0L, 1000000L)))
   }
+
+  test("bpeMergeCandidates: pair mass is token-count-weighted; single-char tokens drop") {
+    import spark.implicits._
+    // "ab" ×2, "cd" ×1, "x" ×2 (no pairs) → (a,b)=2 then (c,d)=1
+    val docs = Seq((1L, "ab x ab"), (2L, "cd x")).toDF("doc_id", "text")
+    val got = CorpusStats.bpeMergeCandidates(docs, "doc_id", "text", topK = 10)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a", "b", 2L), (2L, "c", "d", 1L)))
+  }
 }

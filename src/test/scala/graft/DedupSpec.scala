@@ -482,4 +482,33 @@ class DedupSpec extends SparkSpec {
     assert(got.values.map(_._3).sum === 7L, "doc mass balances to the corpus")
     spark.catalog.clearCache()
   }
+
+  test("qualityRepresentatives: the HIGHEST-quality member survives, not the lowest id") {
+    import spark.implicits._
+    // cluster {1, 2, 3, 5}: doc 2 is longer (higher length score) than
+    // the others — the quality argmax must pick 2 over min-id 1
+    val got = Dedup.qualityRepresentatives(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    spark.catalog.clearCache()
+    val c = got(1L) // cluster rooted at min reachable id 1
+    assert(c._2 === 4L && c._6 === 3L, "4 members, 3 dropped")
+    assert(c._3 === 2L, s"rep must be the longer doc 2, got ${c._3}")
+    assert(c._4 > c._5, "rep quality strictly above the cluster minimum here")
+  }
+
+  test("lshJaccardRecall: planted family is fully recalled; micro ratios replay the counts") {
+    import spark.implicits._
+    val row = Dedup.lshJaccardRecall(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
+        maxShingleFreq = Some(1000))
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
+    spark.catalog.clearCache()
+    val (nTrue, nCand, nHit, recall, precision) = row
+    assert(nTrue > 0 && nHit <= math.min(nTrue, nCand))
+    // the LSH config covers every ≥0.8-Jaccard pair on this fixture
+    assert(nHit === nTrue && recall === Some(1000000L))
+    assert(precision === Some((2000000L * nHit + nCand) / (2L * nCand)))
+  }
 }

@@ -790,6 +790,25 @@ class PlanQualitySpec extends SparkSpec {
       s"the rank window must be lang-partitioned, never global:\n$plan")
   }
 
+  test("q122: representative rank window partitions by cluster — never global") {
+    val df = SparkEntry.queries("q122_quality_reps")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("partitionSpec=[]"),
+      s"the (q_micro, id) rank must stay per-cluster:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("q124: pair agg runs on the vocab frame; rank window sees only the pre-limited top-k") {
+    val df = SparkEntry.queries("q124_bpe_merges")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a TakeOrderedAndProject, not a global sort:\n$plan")
+  }
+
   test("global sweep: no query plans a CartesianProduct") {
     // crossJoin is only ever used against a broadcast 1-row aggregate
     // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an
@@ -817,7 +836,8 @@ class PlanQualitySpec extends SparkSpec {
       "q101_exact_substr", "q102_pipeline_manifest", "q103_dsir_weights",
       "q104_boilerplate", "q108_source_js_divergence", "q109_leakage_safe_split",
       "q110_winsorize", "q112_dup_cluster_stats", "q113_heaps_fit",
-      "q114_label_noise", "q117_mutual_knn", "q120_textrank")
+      "q114_label_noise", "q117_mutual_knn", "q120_textrank",
+      "q122_quality_reps", "q123_lsh_recall")
     // earlier plan-shape tests construct (and thus cache-register)
     // plans without ever acting on them — start from a clean slate
     graft.operators.CacheScope.releaseAll()
