@@ -1064,6 +1064,22 @@ object SparkEntry {
     "q121_token_gini" -> ((s, dir) =>
       CorpusStats.tokenConcentration(t(s, dir, "documents"), "text")),
 
+    // ── PII density rollup: the q79 kernel on one scan → |sources|
+    //    rows; any-match rate in exact half-up micro ──
+    "q127_pii_density" -> ((s, dir) =>
+      operators.Curation.piiDensityBySource(t(s, dir, "documents"), "text")),
+
+    // ── shard balance: one combinable shuffle to |shards| rows + a
+    //    1-row broadcast total; md5-bucket assignment, micro shares ──
+    "q126_shard_balance" -> ((s, dir) =>
+      Sampling.shardBalance(t(s, dir, "documents"), "doc_id", "text",
+        shards = 32)),
+
+    // ── packing efficiency: one scan, per-L explosion straight into a
+    //    combinable |seqLens|-row agg; all-integer padding math ──
+    "q125_packing_efficiency" -> ((s, dir) =>
+      operators.Chunking.packingEfficiency(t(s, dir, "documents"), "text")),
+
     // ── BPE merge candidates: the pair agg runs on the vocab-bounded
     //    (token, count) frame, never the corpus token stream; rank
     //    window on the pre-limited top-k ──
@@ -3661,6 +3677,69 @@ object SparkEntry {
            CAST((2*sum(s_micro) + count(*)) // (2*count(*))
              - (2000000*sum(CASE WHEN keep THEN 1 ELSE 0 END) + count(*)) // (2*count(*)) AS BIGINT) AS gap_micro
          FROM bn GROUP BY 1""",
+    // PII density: q79's exact regexp_extract_all patterns, rolled up
+    // per source; rate is the shifted half-up // micro form.
+    "q127_pii_density" ->
+      """WITH c AS (
+           SELECT source,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+             len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS i,
+             len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS s,
+             len(regexp_extract_all(text, '\+?\b(?:[0-9]{1,2}[ .-]?)?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b')) AS p
+           FROM documents
+         ), a AS (
+           SELECT source, count(*) AS n_docs,
+             sum(e) AS n_email, sum(i) AS n_ipv4, sum(s) AS n_ssn,
+             sum(p) AS n_phone,
+             sum(CASE WHEN e + i + s + p > 0 THEN 1 ELSE 0 END) AS na
+           FROM c GROUP BY 1
+         )
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_email AS BIGINT) AS n_email, CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+           CAST(n_ssn AS BIGINT) AS n_ssn, CAST(n_phone AS BIGINT) AS n_phone,
+           CAST((2000000 * na + n_docs) // (2 * n_docs) AS BIGINT) AS pii_doc_rate_micro
+         FROM a""",
+    // Shard balance: the q44 md5-32 bucket idiom mod 32; both micro
+    // shares are half-up // on non-negative operands, deviation their
+    // difference; sums HUGEINT through the products (q121 rule).
+    "q126_shard_balance" ->
+      """WITH d AS (
+           SELECT CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 32 AS BIGINT) AS shard,
+             len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n
+           FROM (SELECT text, md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+         ), a AS (
+           SELECT shard, count(*) AS n_docs, sum(n) AS n_tokens FROM d GROUP BY 1
+         ), t AS (SELECT sum(n_tokens) AS tot FROM a)
+         SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((n_tokens * 2000000 + tot) // (2 * tot) AS BIGINT) AS share_micro,
+           CAST((n_tokens * 2000000 + tot) // (2 * tot)
+             - (2000000 + 32) // 64 AS BIGINT) AS dev_micro
+         FROM a, t""",
+    // Packing efficiency: ⌈⌉ via (a+b−1)//b on non-negative operands;
+    // sums stay HUGEINT through the ·2e6 products (q121 rule).
+    "q125_packing_efficiency" ->
+      """WITH d AS (
+           SELECT len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n
+           FROM documents
+         ), e AS (
+           SELECT CAST(l AS BIGINT) AS seq_len, CAST(n AS BIGINT) AS n
+           FROM d CROSS JOIN (SELECT unnest([512, 1024, 2048]) AS l)
+         ), a AS (
+           SELECT seq_len, count(*) AS n_docs, sum(n) AS total_tokens,
+             sum((n + seq_len - 1) // seq_len) AS n_seqs_padded
+           FROM e GROUP BY 1
+         )
+         SELECT seq_len, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(n_seqs_padded AS BIGINT) AS n_seqs_padded,
+           CAST(n_seqs_padded * seq_len - total_tokens AS BIGINT) AS pad_tokens,
+           CAST((total_tokens * 2000000 + n_seqs_padded * seq_len)
+             // (2 * n_seqs_padded * seq_len) AS BIGINT) AS eff_padded_micro,
+           CAST((total_tokens * 2000000 + ((total_tokens + seq_len - 1) // seq_len) * seq_len)
+             // (2 * ((total_tokens + seq_len - 1) // seq_len) * seq_len) AS BIGINT) AS eff_concat_micro
+         FROM a""",
     // BPE merges: 1-based char indexing over the distinct-vocab frame;
     // weighting by token count reproduces the corpus-stream mass.
     "q124_bpe_merges" ->

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextAnalysis
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document chunking: split each document into fixed-size token windows
@@ -72,5 +72,49 @@ object Chunking {
       .select(col(idCol), col(domainCol), col("n_tokens"),
         expr(s"__start div $seqTokens").as("seq_id"),
         (col("__start") % seqTokens).as("seq_offset"))
+  }
+
+  /** Packing-efficiency report: for each candidate context length, the
+    * padding bill of one-doc-per-sequence packing (each doc split to
+    * ⌈n/L⌉ sequences, the last padded to L) vs the zero-pad
+    * cross-document concat baseline of [[sequencePack]] — the table
+    * that decides a training run's context length and whether concat
+    * packing is worth its attention-mask complexity (the efficiency
+    * gap IS the token budget recovered).
+    *
+    * Determinism: pure integer arithmetic end-to-end — ⌈⌉ via the
+    * (a + b − 1) div b idiom on non-negative operands; both efficiency
+    * ratios are shifted half-up intDiv micro forms.
+    *
+    * Scale shape: ONE corpus scan; the per-L explosion multiplies rows
+    * by |seqLens| BEFORE a combinable agg to |seqLens| rows — no join,
+    * no window, corpus-order independent. Output: (seq_len, n_docs,
+    * total_tokens, n_seqs_padded, pad_tokens, eff_padded_micro,
+    * eff_concat_micro). */
+  def packingEfficiency(docs: DataFrame, textCol: String,
+                        seqLens: Seq[Int] = Seq(512, 1024, 2048)): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    require(seqLens.nonEmpty && seqLens.forall(_ >= 1), "need positive seq lens")
+    val n = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    // ·2e6 in DECIMAL(38,0): BIGINT·2e6 overflows first at ~5e12 total
+    // tokens — mirrors the oracle's HUGEINT sum arithmetic (q121 rule)
+    def effMicro(tok: Column, cap: Column): Column =
+      intDiv(tok.cast("decimal(38,0)") * lit(2000000L) + cap.cast("decimal(38,0)"),
+        lit(2L) * cap.cast("decimal(38,0)"))
+    docs.select(n.as("__n"))
+      .select(col("__n"),
+        explode(array(seqLens.map(l => lit(l.toLong)): _*)).as("seq_len"))
+      .withColumn("__seqs", intDiv(col("__n") + col("seq_len") - 1, col("seq_len")))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("total_tokens"),
+        sum("__seqs").as("n_seqs_padded"))
+      .withColumn("pad_tokens",
+        col("n_seqs_padded") * col("seq_len") - col("total_tokens"))
+      .withColumn("eff_padded_micro",
+        effMicro(col("total_tokens"), col("n_seqs_padded") * col("seq_len")))
+      .withColumn("eff_concat_micro",
+        effMicro(col("total_tokens"),
+          intDiv(col("total_tokens") + col("seq_len") - 1, col("seq_len"))
+            * col("seq_len")))
   }
 }

@@ -114,6 +114,43 @@ object Curation {
       .groupBy("lang", "verdict")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens").cast("long")).as("n_tokens"))
 
+  /** PII density per source — the "can we ship this crawl" rollup of
+    * the per-doc [[graft.functions.PiiScrub]] counts: per source, the
+    * total matches per PII type and the fraction of documents carrying
+    * ANY match. A source whose density clears policy gets the q79
+    * redaction pass (or is dropped) BEFORE tokens are spent on it.
+    *
+    * Determinism: counts are exact integers from the shared Java∩RE2
+    * pattern contract; the rate is the shifted half-up intDiv micro
+    * form (integer-ratio tie rule).
+    *
+    * Scale shape: one codegen kernel riding the scan → one combinable
+    * shuffle to |sources| rows; no joins. Output: (source, n_docs,
+    * n_email, n_ipv4, n_ssn, n_phone, pii_doc_rate_micro). */
+  def piiDensityBySource(docs: DataFrame, textCol: String,
+                         sourceCol: String = "source"): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    import graft.functions.PiiScrub
+    val c = PiiScrub.piiCounts(col(textCol))
+    val n = count(lit(1))
+    val hasAny = (col("__e") + col("__i") + col("__s") + col("__p")) > 0
+    docs
+      .select(col(sourceCol).as("source"),
+        c.getField("n_email").cast("long").as("__e"),
+        c.getField("n_ipv4").cast("long").as("__i"),
+        c.getField("n_ssn").cast("long").as("__s"),
+        c.getField("n_phone").cast("long").as("__p"))
+      .withColumn("__any", when(hasAny, 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(n.as("n_docs"), sum("__e").as("n_email"), sum("__i").as("n_ipv4"),
+        sum("__s").as("n_ssn"), sum("__p").as("n_phone"),
+        sum("__any").as("__na"))
+      .withColumn("pii_doc_rate_micro",
+        intDiv(lit(2000000L) * col("__na") + col("n_docs"),
+          lit(2L) * col("n_docs")))
+      .drop("__na")
+  }
+
   /** Reliability diagram for the hashed-feature classifier: bin the
     * [0,1] score against the Gopher rule verdict as the observed
     * label — the audit that says whether the cheap model's scores can

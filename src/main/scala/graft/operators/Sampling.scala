@@ -485,4 +485,39 @@ object Sampling {
       .select(col(groupCol), col("sample_rank"), col(idCol), col("weight"),
         col("es_key"))
   }
+
+  /** Output-shard balance report: assign every doc to one of `shards`
+    * via the portable [[md5Bucket]] contract and report each shard's
+    * doc/token load and its deviation from the ideal 1/shards share —
+    * the audit a 100-TB write runs BEFORE committing a sharding key
+    * (a skewed shard is the straggler that holds the whole job's
+    * tail; hash-sharding is the fix and this is its proof).
+    *
+    * Determinism: shares and deviations are shifted half-up intDiv
+    * micro forms of exact integer ratios (deviation may be negative —
+    * computed as a DIFFERENCE of two non-negative half-up micros, so
+    * the `//` operands stay non-negative on both engines).
+    *
+    * Scale shape: one combinable shuffle to `shards` rows; the 1-row
+    * token total broadcasts back. Output: (shard, n_docs, n_tokens,
+    * share_micro, dev_micro). */
+  def shardBalance(docs: DataFrame, idCol: String, textCol: String,
+                   shards: Int = 32, seed: String = "graft"): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    import graft.functions.TextAnalysis
+    val perShard = docs
+      .select(md5Bucket(idCol, shards, seed).cast("long").as("shard"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__n"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
+    val tot = perShard.agg(sum("n_tokens").as("__tot"))
+    val dec = "decimal(38,0)"
+    val share = intDiv(col("n_tokens").cast(dec) * lit(2000000L) + col("__tot").cast(dec),
+      lit(2L) * col("__tot").cast(dec))
+    val ideal = intDiv(lit(2000000L).cast(dec) + lit(shards.toLong).cast(dec),
+      lit(2L) * lit(shards.toLong).cast(dec))
+    perShard.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        share.as("share_micro"), (share - ideal).as("dev_micro"))
+  }
 }

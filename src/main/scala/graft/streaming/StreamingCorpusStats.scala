@@ -59,6 +59,47 @@ object StreamingCorpusStats {
         col("mean_quality"))
   }
 
+  /** Tumbling-window classifier-calibration monitor — the LIVE twin of
+    * `Curation.calibrationBins`: per (event-time window, score bin),
+    * doc count, mean hashed-classifier score and observed Gopher keep
+    * rate, in the SAME exact half-up intDiv micro units as the batch
+    * op (bit-identical per window, asserted by the parity spec). Feed
+    * it the ingest stream and alert on |gap_micro| drift: a score the
+    * rules stop agreeing with means the cheap gate is rotting.
+    *
+    * Like [[windowedCorpusCard]], this is all ALGEBRAIC aggregates
+    * over per-row codegen kernels — one native watermarked windowed
+    * aggregation, append mode, exactly-once on window close, state =
+    * ≤ bins rows per open window, pruned by the watermark. */
+  def windowedCalibration(df: DataFrame, textCol: String, tsCol: String,
+                          windowLen: String, delay: String,
+                          bins: Int = 10): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    import graft.functions.TextAnalysis
+    val c = TextAnalysis.hashedClassifier(col(textCol))
+    val g = TextAnalysis.gopherRules(col(textCol))
+    val n = count(lit(1))
+    df.withWatermark(tsCol, delay)
+      .select(col(tsCol), c.getField("w_sum").as("__w"),
+        c.getField("n_tokens").cast("long").as("__n"),
+        g.getField("keep").as("__keep"))
+      .withColumn("__s",
+        intDiv((col("__w") + lit(500L) * col("__n")) * lit(2000000L)
+            + lit(1000L) * col("__n"),
+          lit(2000L) * col("__n")))
+      .withColumn("bin", intDiv(col("__s") * lit(bins.toLong), lit(1000001L)))
+      .groupBy(window(col(tsCol), windowLen), col("bin"))
+      .agg(n.as("n_docs"), sum("__s").as("__ssum"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("__keeps"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("bin"), col("n_docs"),
+        intDiv(lit(2L) * col("__ssum") + col("n_docs"),
+          lit(2L) * col("n_docs")).as("mean_score_micro"),
+        intDiv(lit(2000000L) * col("__keeps") + col("n_docs"),
+          lit(2L) * col("n_docs")).as("keep_rate_micro"))
+      .withColumn("gap_micro", col("mean_score_micro") - col("keep_rate_micro"))
+  }
+
   /** Tumbling-window Misra–Gries heavy hitters (Misra & Gries 1982):
     * at most `k` counters per open window; an arriving token
     * increments its counter, claims a free slot, or — when all `k`

@@ -67,4 +67,20 @@ class ChunkingSpec extends SparkSpec {
       .toMap
     assert(again === got)
   }
+
+  test("packingEfficiency: planted padding bill; concat packing never loses to padded") {
+    import spark.implicits._
+    // tokens 3 and 5 at L=4: padded ⌈3/4⌉+⌈5/4⌉ = 3 seqs, pad = 4,
+    // eff = 8/12; concat ⌈8/4⌉ = 2 seqs, eff = 1.
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val r = Chunking.packingEfficiency(docs, "text", seqLens = Seq(4))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r === ((4L, 2L, 8L, 3L, 4L, 666667L, 1000000L)))
+    // default three lengths, one row each, monotone: a longer context
+    // can only pad MORE under one-doc-per-sequence packing
+    val eff = Chunking.packingEfficiency(docs, "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).map(r2 => r2._6)
+    assert(eff.length === 3 && eff.toSeq === eff.sorted.reverse.toSeq)
+  }
 }

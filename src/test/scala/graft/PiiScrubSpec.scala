@@ -65,4 +65,18 @@ class PiiScrubSpec extends SparkSpec {
     // and the text is untouched
     got.foreach { case (in, (_, _, _, _, red)) => assert(red === in) }
   }
+
+  test("piiDensityBySource: per-source totals and any-match rate in exact micro") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob@example.com and alice@example.com today", "crawlA"),
+      (2L, "nothing sensitive here at all", "crawlA"),
+      (3L, "clean text without identifiers", "crawlB")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.Curation.piiDensityBySource(docs, "text")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("crawlA") === (("crawlA", 2L, 2L, 0L, 0L, 0L, 500000L)))
+    assert(got("crawlB") === (("crawlB", 1L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }

@@ -241,4 +241,24 @@ class SamplingSinkSpec extends SparkSpec {
     assert(kept === again)
     assert(kept.size > 30 && kept.size < 90) // 200·0.3 = 60 expected
   }
+
+  test("shardBalance: mass conserved, shares sum to ~1e6, deviation replays share − ideal") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val got = Sampling.shardBalance(docs, "doc_id", "text", shards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).sum === 40L, "every doc lands in exactly one shard")
+    assert(got.map(_._3).sum === (1L to 40L).map(_ % 7 + 1).sum)
+    val shareSum = got.map(_._4).sum
+    assert(math.abs(shareSum - 1000000L) <= got.length,
+      s"shares must sum to 1e6 within per-shard rounding, got $shareSum")
+    got.foreach { case (_, _, _, share, dev) =>
+      assert(dev === share - 250000L) // ideal = 1/4
+    }
+    // partitioning-invariant (the md5Bucket contract)
+    val again = Sampling.shardBalance(docs.repartition(13), "doc_id", "text",
+      shards = 4).as[(Long, Long, Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
 }

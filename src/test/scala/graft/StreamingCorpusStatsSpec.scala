@@ -84,6 +84,34 @@ class StreamingCorpusStatsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("windowedCalibration: closed window matches batch calibrationBins bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DocEv]
+    val out = StreamingCorpusStats.windowedCalibration(in.toDF(), "text",
+      "event_time", windowLen = "10 seconds", delay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("cal_t")
+      .outputMode("append").start()
+    // a long stopword-rich doc (Gopher keep candidate) + short rejects
+    // spread across score bins
+    val long = ("the cat and the dog walk to the park and it is a fine day " * 4) +
+      "of an or in is it the a an of and or to in is it"
+    val texts = Seq(long, "short one", "tiny", "a b c d e f g h")
+    in.addData(texts.zipWithIndex.map { case (t, i) => DocEv(t, ts(i + 1)) }: _*)
+    q.processAllAvailable()
+    in.addData(DocEv("closer", ts(25)))
+    q.processAllAvailable()
+    val stream = spark.table("cal_t")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().filter(_._1 == 0L)
+      .map(r => (r._2, r._3, r._4, r._5, r._6)).sortBy(_._1)
+    import spark.implicits._
+    val batch = graft.operators.Curation.calibrationBins(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(stream.nonEmpty && stream.toSeq === batch.toSeq)
+    q.stop()
+  }
+
   test("windowedKmvDistinct: exact below k, arrival-order independent, matches hand KMV above k") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TokEv]
