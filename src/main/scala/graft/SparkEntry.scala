@@ -1064,6 +1064,11 @@ object SparkEntry {
     "q121_token_gini" -> ((s, dir) =>
       CorpusStats.tokenConcentration(t(s, dir, "documents"), "text")),
 
+    // ── lexical diversity: one cached tokenize feeds both gram
+    //    orders; (source, gram) pre-aggs de-skew; |sources|-row join ──
+    "q128_lexical_diversity" -> ((s, dir) =>
+      CorpusStats.lexicalDiversity(t(s, dir, "documents"), "text")),
+
     // ── PII density rollup: the q79 kernel on one scan → |sources|
     //    rows; any-match rate in exact half-up micro ──
     "q127_pii_density" -> ((s, dir) =>
@@ -3677,6 +3682,33 @@ object SparkEntry {
            CAST((2*sum(s_micro) + count(*)) // (2*count(*))
              - (2000000*sum(CASE WHEN keep THEN 1 ELSE 0 END) + count(*)) // (2*count(*)) AS BIGINT) AS gap_micro
          FROM bn GROUP BY 1""",
+    // Lexical diversity: bigram string = the q18 space-join gram
+    // convention; ratios shifted half-up //, NULL when no bigrams.
+    "q128_lexical_diversity" ->
+      """WITH t AS (
+           SELECT source,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), u AS (
+           SELECT source, count(*) AS n_tokens,
+             count(DISTINCT g) AS distinct_1
+           FROM (SELECT source, unnest(toks) AS g FROM t) GROUP BY 1
+         ), b AS (
+           SELECT source, count(*) AS n_bigrams,
+             count(DISTINCT g) AS distinct_2
+           FROM (SELECT source, unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS g
+                 FROM t WHERE len(toks) >= 2) GROUP BY 1
+         )
+         SELECT u.source, CAST(u.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(u.distinct_1 AS BIGINT) AS distinct_1,
+           CAST(COALESCE(b.distinct_2, 0) AS BIGINT) AS distinct_2,
+           CAST((2000000 * u.distinct_1 + u.n_tokens) // (2 * u.n_tokens) AS BIGINT) AS ttr_micro,
+           CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN NULL
+                ELSE CAST((2000000 * b.distinct_2 + b.n_bigrams) // (2 * b.n_bigrams) AS BIGINT)
+           END AS distinct2_micro
+         FROM u LEFT JOIN b ON u.source = b.source""",
     // PII density: q79's exact regexp_extract_all patterns, rolled up
     // per source; rate is the shifted half-up // micro form.
     "q127_pii_density" ->

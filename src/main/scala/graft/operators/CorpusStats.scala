@@ -965,6 +965,50 @@ object CorpusStats {
           (lit(2L) * col("sx")).cast(dec)).as("top_share_micro"))
   }
 
+  /** Lexical diversity per source — distinct-1 / distinct-2 (Li et al.
+    * 2016): the type-token ratio and distinct-bigram ratio that flag a
+    * TEMPLATED or machine-generated source (low diversity at high
+    * volume) before it floods the mix; the source-level companion of
+    * the per-doc repetition filter (q46).
+    *
+    * Determinism: counts are exact; both ratios are shifted half-up
+    * intDiv micro forms (integer-ratio tie rule).
+    *
+    * Scale shape: ONE tokenize pass (cached) feeds both gram orders;
+    * each is a (source, gram) pre-agg — the same de-skew shape as
+    * heavyHitterTokens — then a combinable distinct-count to
+    * |sources| rows; the final join is |sources|-sized. Output:
+    * (source, n_tokens, n_bigrams, distinct_1, distinct_2, ttr_micro,
+    * distinct2_micro). */
+  def lexicalDiversity(docs: DataFrame, textCol: String,
+                       sourceCol: String = "source"): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val toks = docs.select(col(sourceCol).as("source"),
+      TextAnalysis.tokens(col(textCol)).as("__toks")).cache()
+    val uni = toks.select(col("source"), explode(col("__toks")).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("g").as("distinct_1"))
+    val bi = toks.where(size(col("__toks")) >= 2)
+      .select(col("source"), explode(arrays_zip(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("a"),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("b"))).as("__p"))
+      .select(col("source"),
+        concat_ws(" ", col("__p.a"), col("__p.b")).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"), countDistinct("g").as("distinct_2"))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("long"))
+        .otherwise(intDiv(lit(2000000L) * num + den, lit(2L) * den))
+    CacheScope.scoped(
+      uni.join(bi, Seq("source"), "left")
+        .na.fill(0L, Seq("n_bigrams", "distinct_2"))
+        .select(col("source"), col("n_tokens"), col("n_bigrams"),
+          col("distinct_1"), col("distinct_2"),
+          ratio(col("distinct_1"), col("n_tokens")).as("ttr_micro"),
+          ratio(col("distinct_2"), col("n_bigrams")).as("distinct2_micro")),
+      toks)
+  }
+
   /** BPE first-merge candidates (Sennrich et al. 2016 §3.2, one merge
     * step): corpus-weighted adjacent-CHARACTER pair frequencies inside
     * tokens — freq(a,b) = Σ_tokens count(token)·occurrences(ab in

@@ -571,6 +571,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got("de") === (("de", 1L, 2L, 0L, 1000000L)))
   }
 
+  test("lexicalDiversity: planted distinct-n ratios; bigram-free source gets NULL distinct-2") {
+    import spark.implicits._
+    // A: "a b a b" → ttr 2/4, distinct-2 2/3; B: one token → no bigrams
+    val docs = Seq((1L, "a b a b", "A"), (2L, "x", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusStats.lexicalDiversity(docs, "text")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    spark.catalog.clearCache()
+    assert(got("A") === (("A", 4L, 3L, 2L, 2L, Some(500000L), Some(666667L))))
+    assert(got("B") === (("B", 1L, 0L, 1L, 0L, Some(1000000L), None)))
+  }
+
   test("bpeMergeCandidates: pair mass is token-count-weighted; single-char tokens drop") {
     import spark.implicits._
     // "ab" ×2, "cd" ×1, "x" ×2 (no pairs) → (a,b)=2 then (c,d)=1

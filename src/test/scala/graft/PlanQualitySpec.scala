@@ -837,7 +837,7 @@ class PlanQualitySpec extends SparkSpec {
       "q104_boilerplate", "q108_source_js_divergence", "q109_leakage_safe_split",
       "q110_winsorize", "q112_dup_cluster_stats", "q113_heaps_fit",
       "q114_label_noise", "q117_mutual_knn", "q120_textrank",
-      "q122_quality_reps", "q123_lsh_recall")
+      "q122_quality_reps", "q123_lsh_recall", "q128_lexical_diversity")
     // earlier plan-shape tests construct (and thus cache-register)
     // plans without ever acting on them — start from a clean slate
     graft.operators.CacheScope.releaseAll()

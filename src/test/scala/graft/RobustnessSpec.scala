@@ -64,6 +64,32 @@ class RobustnessSpec extends SparkSpec {
     assert(fit === ((0L, None, None, None)))
   }
 
+  test("round-7 additions: empty corpus → empty result, null/empty text absorbed, never an exception") {
+    import graft.operators.{Chunking, Curation, Similarity}
+    // empty corpus: every new aggregate degrades to zero rows (the
+    // 1-row-agg ops keep their row with zero counts and NULL ratios)
+    assert(CorpusStats.textRank(empty, "doc_id", "text", 10, 2).count() === 0)
+    assert(CorpusStats.tokenConcentration(empty, "text").count() === 0)
+    assert(CorpusStats.bpeMergeCandidates(empty, "doc_id", "text").count() === 0)
+    assert(Chunking.packingEfficiency(empty, "text").count() === 0)
+    assert(Sampling.shardBalance(empty, "doc_id", "text").count() === 0)
+    assert(Curation.piiDensityBySource(empty, "text").count() === 0)
+    assert(Curation.calibrationBins(empty, "doc_id", "text").count() === 0)
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.int8QuantProfile(emptyEmb, "embedding").count() === 0)
+    assert(Similarity.jlProject(emptyEmb, "vec_id", "embedding", 4, 2).count() === 0)
+    val recall = Dedup.lshJaccardRecall(empty, "doc_id", "text", 3, 16, 4, 0.8)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].head()
+    spark.catalog.clearCache()
+    assert(recall === ((0L, 0L, 0L, None, None)), "NULL-guarded ratios, no 0/0")
+    // null text: absorbed by the same null-propagation contracts as the
+    // established ops — null rows count in per-source docs (counts of a
+    // null kernel output sum as zero contribution)
+    val w = wide
+    assert(Curation.piiDensityBySource(w, "text").count() === 1)
+    assert(Chunking.packingEfficiency(w, "text").count() === 3)
+  }
+
   test("zipfFit: uniform counts (vary = 0) yield slope 0 and NULL r2, not DIVIDE_BY_ZERO") {
     val uniform = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text") // every count = 1
     val fit = CorpusStats.zipfFit(uniform, "doc_id", "text", 10)
