@@ -1064,6 +1064,16 @@ object SparkEntry {
     "q121_token_gini" -> ((s, dir) =>
       CorpusStats.tokenConcentration(t(s, dir, "documents"), "text")),
 
+    // ── token fertility: one combinable shuffle to |langs| rows;
+    //    exact integer ratios in half-up micro ──
+    "q129_token_fertility" -> ((s, dir) =>
+      CorpusStats.tokenFertility(t(s, dir, "documents"), "text")),
+
+    // ── log-length moments: ln snapped to micro BEFORE the sums (the
+    //    q83 √-snap rule); one combinable shuffle to |sources| rows ──
+    "q130_log_length" -> ((s, dir) =>
+      CorpusStats.logLengthMoments(t(s, dir, "documents"), "text")),
+
     // ── lexical diversity: one cached tokenize feeds both gram
     //    orders; (source, gram) pre-aggs de-skew; |sources|-row join ──
     "q128_lexical_diversity" -> ((s, dir) =>
@@ -3682,6 +3692,35 @@ object SparkEntry {
            CAST((2*sum(s_micro) + count(*)) // (2*count(*))
              - (2000000*sum(CASE WHEN keep THEN 1 ELSE 0 END) + count(*)) // (2*count(*)) AS BIGINT) AS gap_micro
          FROM bn GROUP BY 1""",
+    // Token fertility: exact integer ratios, shifted half-up //.
+    "q129_token_fertility" ->
+      """WITH a AS (
+           SELECT lang, count(*) AS n_docs, sum(len(text)) AS n_chars,
+             sum(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))) AS n_tokens
+           FROM documents GROUP BY 1
+         )
+         SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((2000000 * n_chars + n_tokens) // (2 * n_tokens) AS BIGINT) AS chars_per_token_micro,
+           CAST((2000000 * n_tokens + n_docs) // (2 * n_docs) AS BIGINT) AS tokens_per_doc_micro
+         FROM a""",
+    // Log-length moments: floor(ln·1e6) snapped per doc before the
+    // sums; E[x²]−E[x]² on the half-up micros, clamped at 0.
+    "q130_log_length" ->
+      """WITH d AS (
+           SELECT source,
+             CAST(floor(ln(CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS DOUBLE)) * 1e6) AS BIGINT) AS l
+           FROM documents
+         ), a AS (
+           SELECT source, count(*) AS n_docs, sum(l) AS s, sum(l * l) AS s2
+           FROM d GROUP BY 1
+         )
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST((2*s + n_docs) // (2*n_docs) AS BIGINT) AS mean_ln_micro,
+           CAST(greatest(0, (2*s2 + n_docs) // (2*n_docs)
+             - ((2*s + n_docs) // (2*n_docs)) * ((2*s + n_docs) // (2*n_docs))) AS BIGINT) AS var_ln_micro2
+         FROM a""",
     // Lexical diversity: bigram string = the q18 space-join gram
     // convention; ratios shifted half-up //, NULL when no bigrams.
     "q128_lexical_diversity" ->

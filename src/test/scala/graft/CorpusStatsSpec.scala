@@ -571,6 +571,35 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got("de") === (("de", 1L, 2L, 0L, 1000000L)))
   }
 
+  test("tokenFertility: planted exact chars-per-token and tokens-per-doc micros") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcd efg", "en"), (2L, "xy", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = CorpusStats.tokenFertility(docs, "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    // chars 10, tokens 3, docs 2 → 10/3 → 3333333 (half-up), 3/2 → 1500000
+    assert(r === (("en", 2L, 10L, 3L, 3333333L, 1500000L)))
+  }
+
+  test("logLengthMoments: identical lengths give zero variance; mixed lengths replay the snap") {
+    import spark.implicits._
+    val same = Seq((1L, "a b c", "s"), (2L, "d e f", "s"))
+      .toDF("doc_id", "text", "source")
+    val r0 = CorpusStats.logLengthMoments(same, "text")
+      .as[(String, Long, Long, Long)].collect().head
+    val ln3 = math.floor(math.log(3.0) * 1e6).toLong
+    assert(r0 === (("s", 2L, ln3, 0L)))
+    // one 1-token doc (ln = 0) + one 2-token doc: replay the integer form
+    val mixed = Seq((1L, "a", "s"), (2L, "a b", "s"))
+      .toDF("doc_id", "text", "source")
+    val r1 = CorpusStats.logLengthMoments(mixed, "text")
+      .as[(String, Long, Long, Long)].collect().head
+    val l = math.floor(math.log(2.0) * 1e6).toLong
+    val mean = (2 * l + 2) / 4
+    val ex2 = (2 * l * l + 2) / 4
+    assert(r1 === (("s", 2L, mean, ex2 - mean * mean)))
+  }
+
   test("lexicalDiversity: planted distinct-n ratios; bigram-free source gets NULL distinct-2") {
     import spark.implicits._
     // A: "a b a b" → ttr 2/4, distinct-2 2/3; B: one token → no bigrams
