@@ -1074,6 +1074,21 @@ object SparkEntry {
     "q130_log_length" -> ((s, dir) =>
       CorpusStats.logLengthMoments(t(s, dir, "documents"), "text")),
 
+    // ── global shuffle ordinal: two-phase permutation — per-shard
+    //    rank windows + a |shards|-row offset frame; no global sort ──
+    "q131_global_shuffle" -> ((s, dir) =>
+      Sampling.globalShuffleOrdinal(t(s, dir, "documents"), "doc_id", shards = 32)),
+
+    // ── bigram conditional entropy: one bigram explode, c_a derived
+    //    from the (source,a,b) frame; exact integer ln-micro sums ──
+    "q132_bigram_entropy" -> ((s, dir) =>
+      CorpusStats.bigramCondEntropy(t(s, dir, "documents"), "text")),
+
+    // ── embedding outlier audit: 1-row integer moments broadcast
+    //    back; flags are exact integer comparisons ──
+    "q133_embedding_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutlierProfile(t(s, dir, "embeddings"), "vec_id", "embedding")),
+
     // ── lexical diversity: one cached tokenize feeds both gram
     //    orders; (source, gram) pre-aggs de-skew; |sources|-row join ──
     "q128_lexical_diversity" -> ((s, dir) =>
@@ -3721,6 +3736,65 @@ object SparkEntry {
            CAST(greatest(0, (2*s2 + n_docs) // (2*n_docs)
              - ((2*s + n_docs) // (2*n_docs)) * ((2*s + n_docs) // (2*n_docs))) AS BIGINT) AS var_ln_micro2
          FROM a""",
+    // Global shuffle: md5-hex sort key + the q44 bucket contract;
+    // ordinal = exclusive shard-count offset + within-shard rank.
+    "q131_global_shuffle" ->
+      """WITH s AS (
+           SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS hx,
+             CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(md5('shuf:' || CAST(doc_id AS VARCHAR)), CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 32 AS INT) AS shard
+           FROM documents
+         ), r AS (
+           SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) - 1 AS pos
+           FROM s
+         ), oo AS (
+           SELECT shard, CAST(COALESCE(SUM(n) OVER (ORDER BY shard
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           FROM (SELECT shard, count(*) AS n FROM s GROUP BY 1)
+         )
+         SELECT r.doc_id, r.shard, CAST(oo.off + r.pos AS BIGINT) AS ordinal
+         FROM r JOIN oo USING (shard)""",
+    // Bigram conditional entropy: q98 bigram convention; each ln of an
+    // integer count floor-snaps to micro BEFORE the weighted sum.
+    "q132_bigram_entropy" ->
+      """WITH t AS (
+           SELECT source, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), bi AS (
+           SELECT source, toks[i] AS tok_a, toks[i + 1] AS tok_b
+           FROM (SELECT source, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM t WHERE len(toks) >= 2)
+         ), cab AS (
+           SELECT source, tok_a, tok_b, count(*) AS c_ab FROM bi GROUP BY 1, 2, 3
+         ), ca AS (
+           SELECT source, tok_a, sum(c_ab) AS c_a FROM cab GROUP BY 1, 2
+         )
+         SELECT c.source, CAST(sum(c.c_ab) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST((2 * sum(c.c_ab * (CAST(floor(ln(CAST(a.c_a AS DOUBLE)) * 1e6) AS BIGINT)
+                                 - CAST(floor(ln(CAST(c.c_ab AS DOUBLE)) * 1e6) AS BIGINT)))
+                 + sum(c.c_ab)) // (2 * sum(c.c_ab)) AS BIGINT) AS cond_entropy_micro
+         FROM cab c JOIN ca a USING (source, tok_a)
+         GROUP BY 1""",
+    // Embedding outlier audit: norm floor-snaps to micro (left-to-right
+    // Σx² fold both engines); μ/σ² are exact integer moments; the flag
+    // is the integer comparison (x−μ)² > 9σ².
+    "q133_embedding_outliers" ->
+      """WITH d AS (
+           SELECT vec_id,
+             CAST(floor(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) * 1e6) AS BIGINT) AS nm
+           FROM embeddings
+         ), m AS (
+           SELECT (2*sum(nm) + count(*)) // (2*count(*)) AS mean,
+             greatest(0, (2*sum(nm*nm) + count(*)) // (2*count(*))
+               - ((2*sum(nm) + count(*)) // (2*count(*))) * ((2*sum(nm) + count(*)) // (2*count(*)))) AS var
+           FROM d
+         )
+         SELECT d.vec_id, CAST(d.nm AS BIGINT) AS norm_micro,
+           d.nm = 0 AS is_zero,
+           (d.nm - m.mean)*(d.nm - m.mean) > 9 * m.var AS is_outlier
+         FROM d, m""",
     // Lexical diversity: bigram string = the q18 space-join gram
     // convention; ratios shifted half-up //, NULL when no bigrams.
     "q128_lexical_diversity" ->

@@ -1025,6 +1025,52 @@ object CorpusStats {
           .as("var_ln_micro2"))
   }
 
+  /** Per-source bigram conditional entropy H(token | previous token) —
+    * the sequence-level predictability signal one step up from token
+    * Gini: templated or machine-generated sources have LOW conditional
+    * entropy (each token is near-determined by its predecessor) even
+    * when their unigram mix looks normal. H = Σ_{a,b} (c_ab/N) ·
+    * ln(c_a/c_ab), counts from the source's own adjacent-pair stream
+    * (the q98 bigram convention).
+    *
+    * Determinism: each ln of an INTEGER count snaps to micro
+    * (floor(ln·1e6) — the q130 snap rule) BEFORE the weighted sum, so
+    * ln(c_a/c_ab) becomes the exact integer lnµ(c_a) − lnµ(c_ab) ≥ 0
+    * (floor is monotone, c_a ≥ c_ab) and Σ c_ab·Δ is exact integer
+    * arithmetic in DECIMAL(38,0) (Σ ≤ N·lnµ(N) overflows i64 at
+    * corpus scale — the q121 HUGEINT-mirror rule). The mean is the
+    * shifted half-up intDiv micro form.
+    *
+    * Scale shape: one bigram explode → (source, a, b) combinable
+    * count; c_a derives from THAT vocab-sized frame (no second corpus
+    * scan); final agg is |sources| rows. Output: (source, n_bigrams,
+    * n_distinct_bigrams, cond_entropy_micro). */
+  def bigramCondEntropy(docs: DataFrame, textCol: String,
+                        sourceCol: String = "source"): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val dec = "decimal(38,0)"
+    val cab = docs
+      .select(col(sourceCol).as("source"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= 2)
+      .select(col("source"), explode(arrays_zip(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("a"),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("b"))).as("__p"))
+      .select(col("source"), col("__p.a").as("tok_a"), col("__p.b").as("tok_b"))
+      .groupBy("source", "tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy("source", "tok_a").agg(sum("c_ab").as("c_a"))
+    val lnMicro = (c: Column) => floor(log(c.cast("double")) * lit(1e6)).cast("long")
+    cab.join(ca, Seq("source", "tok_a"))
+      .groupBy("source")
+      .agg(sum("c_ab").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        sum(col("c_ab").cast(dec) *
+          (lnMicro(col("c_a")) - lnMicro(col("c_ab")))).as("__s"))
+      .select(col("source"), col("n_bigrams"), col("n_distinct_bigrams"),
+        intDiv(lit(2L) * col("__s") + col("n_bigrams").cast(dec),
+          lit(2L) * col("n_bigrams").cast(dec))
+          .cast("long").as("cond_entropy_micro"))
+  }
+
   /** Lexical diversity per source — distinct-1 / distinct-2 (Li et al.
     * 2016): the type-token ratio and distinct-bigram ratio that flag a
     * TEMPLATED or machine-generated source (low diversity at high

@@ -520,4 +520,39 @@ object Sampling {
       .select(col("shard"), col("n_docs"), col("n_tokens"),
         share.as("share_micro"), (share - ideal).as("dev_micro"))
   }
+
+  /** Deterministic global shuffle ordinal — the reproducible corpus
+    * permutation every training dataloader consumes (examples must be
+    * visited in a fixed pseudo-random order, identical across reruns,
+    * cluster sizes and partitionings; seed changes give independent
+    * permutations per epoch).
+    *
+    * A naive global `orderBy(rand)` is non-reproducible AND funnels the
+    * ranking through one task. This is the two-phase form: shard =
+    * [[md5Bucket]] (the portable hash contract), rank WITHIN shard by
+    * the md5 hex key (window partitioned by shard — corpus/`shards`
+    * rows per partition), and the global ordinal = shard's exclusive
+    * count-offset + within-shard rank. The only single-partition window
+    * is the offset scan over `shards` rows.
+    *
+    * Output: (id, shard INT, ordinal BIGINT) — ordinals are a dense
+    * permutation of [0, n). */
+  def globalShuffleOrdinal(df: DataFrame, idCol: String,
+                           shards: Int = 32, seed: String = "shuf"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hx = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary"))
+    val keyed = df
+      .select(col(idCol), hx.as("__h"), md5Bucket(idCol, shards, seed).as("shard"))
+    // ties on __h broken by the unique id (the repo ranking rule)
+    val ranked = keyed.withColumn("__pos",
+      row_number().over(Window.partitionBy("shard").orderBy(col("__h"), col(idCol)))
+        .cast("long") - lit(1L))
+    val offsets = keyed.groupBy("shard").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "__off")
+    ranked.join(broadcast(offsets), "shard")
+      .select(col(idCol), col("shard"), (col("__off") + col("__pos")).as("ordinal"))
+  }
 }

@@ -789,4 +789,48 @@ object Similarity {
       col("query_id") =!= col("neighbor_id"))
     topKByCosine(cand, k, carry = Seq("neighbor_label"))
   }
+
+  /** Embedding outlier audit — the sanity pass an embedding column gets
+    * BEFORE indexing or clustering: flag zero vectors (an upstream
+    * encoder failure mode: empty input → all-zero output, which breaks
+    * cosine everywhere downstream) and norm outliers (|norm − μ| >
+    * z·σ — truncated inputs, fp8/overflow corruption, wrong-model
+    * rows all show up as norm excursions first).
+    *
+    * Determinism: the norm snaps to integer micro (floor(‖v‖·1e6), the
+    * q130 snap rule; ‖v‖ is the [[graft.expressions.VectorExpressions.vecNorm]]
+    * left-to-right double fold both engines share), then μ and σ² come
+    * from exact integer moments on the snapped micros (half-up intDiv
+    * mean, E[x²]−E[x]² variance — the q130 form, Σx² in DECIMAL(38,0))
+    * and the flag is the INTEGER comparison (x−μ)² > z²·σ² — no double
+    * crosses a row boundary, so no row's verdict depends on
+    * partitioning or summation order.
+    *
+    * Scale shape: one scan computes the norms; the 3-cell moment
+    * aggregate broadcasts back as a 1-row frame (the q91/q110
+    * pattern); the flags ride a second pass over the same scan —
+    * stateless, no shuffle of the corpus. Output: (id, norm_micro,
+    * is_zero, is_outlier). */
+  def embeddingOutlierProfile(emb: DataFrame, idCol: String, vecCol: String,
+                              zThresh: Int = 3): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val dec = "decimal(38,0)"
+    val base = emb.select(col(idCol),
+      floor(vecNorm(col(vecCol)) * lit(1e6)).cast("long").as("norm_micro"))
+    val stats = base.agg(count(lit(1)).as("__n"), sum("norm_micro").as("__s"),
+        sum(col("norm_micro").cast(dec) * col("norm_micro").cast(dec)).as("__s2"))
+      .select(
+        intDiv(lit(2L) * col("__s") + col("__n"), lit(2L) * col("__n")).as("__mean"),
+        intDiv(lit(2L) * col("__s2") + col("__n").cast(dec),
+          lit(2L) * col("__n").cast(dec)).as("__ex2"))
+      .select(col("__mean"),
+        // ±1-unit half-up undershoot can push E[x²]−E[x]² below zero
+        // on a constant column — clamp (the q130 rule)
+        greatest(lit(0L), col("__ex2") - col("__mean") * col("__mean")).as("__var"))
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), col("norm_micro"),
+        (col("norm_micro") === 0L).as("is_zero"),
+        ((col("norm_micro") - col("__mean")) * (col("norm_micro") - col("__mean")) >
+          lit(zThresh.toLong * zThresh) * col("__var")).as("is_outlier"))
+  }
 }

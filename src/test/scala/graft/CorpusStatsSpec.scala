@@ -600,6 +600,20 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r1 === (("s", 2L, mean, ex2 - mean * mean)))
   }
 
+  test("bigramCondEntropy: deterministic source scores zero; planted mix replays the ln-micro form") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a", "det"), (2L, "x y x z", "mix"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusStats.bigramCondEntropy(docs, "text")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // "a a a": both bigrams are (a,a), c_a = c_ab = 2 → H = 0
+    assert(got("det") === (("det", 2L, 1L, 0L)))
+    // "x y x z": (x,y),(y,x),(x,z); x→{y,z} each ln2, y→x determined.
+    // Σ = 2·floor(ln2·1e6) over 3 bigrams, half-up micro
+    val ln2 = math.floor(math.log(2.0) * 1e6).toLong
+    assert(got("mix") === (("mix", 3L, 3L, (2 * 2 * ln2 + 3) / 6)))
+  }
+
   test("lexicalDiversity: planted distinct-n ratios; bigram-free source gets NULL distinct-2") {
     import spark.implicits._
     // A: "a b a b" → ttr 2/4, distinct-2 2/3; B: one token → no bigrams

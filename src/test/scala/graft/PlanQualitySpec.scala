@@ -809,6 +809,30 @@ class PlanQualitySpec extends SparkSpec {
       s"top-k must be a TakeOrderedAndProject, not a global sort:\n$plan")
   }
 
+  test("q131: rank window is per-shard; the offset frame comes back broadcast") {
+    val df = SparkEntry.queries("q131_global_shuffle")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("windowspecdefinition(shard"),
+      s"the ordinal rank must partition by shard, never globally:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |shards|-row offset frame must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"offset join degraded to SMJ:\n$plan")
+  }
+
+  test("q133: moment frame broadcasts back; the corpus is never shuffled") {
+    val df = SparkEntry.queries("q133_embedding_outliers")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"1-row stats must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-row flags must not shuffle the corpus:\n$plan")
+  }
+
   test("global sweep: no query plans a CartesianProduct") {
     // crossJoin is only ever used against a broadcast 1-row aggregate
     // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an

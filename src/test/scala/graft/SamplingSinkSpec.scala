@@ -261,4 +261,25 @@ class SamplingSinkSpec extends SparkSpec {
       shards = 4).as[(Long, Long, Long, Long, Long)].collect()
     assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
+
+  test("globalShuffleOrdinal: dense permutation, shard-contiguous, seed-keyed, layout-invariant") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val got = Sampling.globalShuffleOrdinal(docs, "doc_id", shards = 8)
+      .as[(Long, Int, Long)].collect()
+    assert(got.map(_._3).sorted.toSeq === (0L until 100L), "ordinals are a dense permutation")
+    // ordinals are contiguous per shard and ordered by shard
+    val byShard = got.groupBy(_._2).toSeq.sortBy(_._1)
+    byShard.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(a.map(_._3).max < b.map(_._3).min)
+      case _ =>
+    }
+    // partitioning-invariant; a different seed permutes differently
+    val again = Sampling.globalShuffleOrdinal(docs.repartition(13), "doc_id", shards = 8)
+      .as[(Long, Int, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+    val other = Sampling.globalShuffleOrdinal(docs, "doc_id", shards = 8, seed = "epoch2")
+      .as[(Long, Int, Long)].collect()
+    assert(other.sortBy(_._1).map(_._3).toSeq !== got.sortBy(_._1).map(_._3).toSeq)
+  }
 }

@@ -395,4 +395,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._5).toSeq === got.map(_._5).sortBy(-(_: Double)).toSeq)
     assert(got.map(r => r._3 -> r._4).toMap === Map(3L -> 1, 4L -> 1, 5L -> 2))
   }
+
+  test("embeddingOutlierProfile: zero vector flagged, planted norm spike is the only outlier") {
+    import spark.implicits._
+    val unit = (1L to 10L).map(i => (i, Array(1f, 0f)))
+    val vecs = (unit :+ (11L, Array(1000f, 0f)) :+ (12L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingOutlierProfile(vecs, "vec_id", "embedding")
+      .as[(Long, Long, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 1000000L)
+    assert(got(12L)._3, "zero vector must flag is_zero")
+    assert(got(11L)._4, "the norm spike must flag is_outlier")
+    assert((1L to 10L).forall(i => !got(i)._4), "unit norms are inliers")
+    assert(!got(1L)._3 && !got(11L)._3)
+  }
+
+  test("embeddingOutlierProfile: constant norms give zero variance and no outliers") {
+    import spark.implicits._
+    val vecs = (1L to 5L).map(i => (i, Array(0f, 2f))).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingOutlierProfile(vecs, "vec_id", "embedding")
+      .as[(Long, Long, Boolean, Boolean)].collect()
+    assert(got.forall(r => r._2 === 2000000L && !r._3 && !r._4))
+  }
 }
