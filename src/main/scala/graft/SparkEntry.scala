@@ -1089,6 +1089,31 @@ object SparkEntry {
     "q133_embedding_outliers" -> ((s, dir) =>
       Similarity.embeddingOutlierProfile(t(s, dir, "embeddings"), "vec_id", "embedding")),
 
+    // ── simhash hamming pairs: 4×16-bit band equi-join (exhaustive
+    //    for dist ≤ 3 by pigeonhole), hot-band broadcast anti-join ──
+    "q134_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashHammingPairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ── corpus↔embedding integrity: one id-keyed full-outer join
+    //    folded to |sources|+1 rows ──
+    "q135_embedding_coverage" -> ((s, dir) =>
+      operators.Profiling.embeddingCoverage(t(s, dir, "documents"), t(s, dir, "embeddings"))),
+
+    // ── char-class profile: translate-deletion counts (no regex in
+    //    the hot path), one combinable shuffle to |sources| rows ──
+    "q136_char_classes" -> ((s, dir) =>
+      CorpusStats.charClassProfile(t(s, dir, "documents"), "text")),
+
+    // ── hapax stats: (source, token) count frame folded to |sources|
+    //    rows; no joins, no second scan ──
+    "q137_hapax" -> ((s, dir) =>
+      CorpusStats.hapaxStats(t(s, dir, "documents"), "text")),
+
+    // ── head/tail dup anchors: group SIZES not pairs — hot
+    //    boilerplate heads cost one count row, never C(n,2) ──
+    "q138_head_tail_dups" -> ((s, dir) =>
+      Dedup.headTailDupGroups(t(s, dir, "documents"), "doc_id", "text")),
+
     // ── lexical diversity: one cached tokenize feeds both gram
     //    orders; (source, gram) pre-aggs de-skew; |sources|-row join ──
     "q128_lexical_diversity" -> ((s, dir) =>
@@ -1329,6 +1354,34 @@ object SparkEntry {
     * window-min VALUES over sliding windows of 8 grams. Yields
     * `sel(doc_id, win, fp)` — consumers take DISTINCT (doc_id, fp).
     * Factored out so the q48 overlap oracle reuses it. */
+  /** Shared 64-bit SimHash CTE chain ending in `sh(doc_id, simhash)` —
+    * the per-hex-digit vote recomputation of [[graft.operators.Dedup.simHash64]]
+    * (md5 halves recombined; bit i of digit 16−i/4 selected by `// 2^(i%4) % 2`).
+    * Consumed by q20 (fingerprints) and q134 (Hamming-band pairs). */
+  private val simhashCtes: String = {
+    val votes = (0 until 64).map { i =>
+      val p = 16 - i / 4
+      val m = 1 << (i % 4)
+      s"sum(CASE WHEN (strpos('0123456789abcdef', substring(hx, $p, 1)) - 1) // $m % 2 = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n             ")
+    val bits = (0 until 64).map { i =>
+      s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("\n           + ")
+    s"""tk AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+           FROM documents
+         ), h AS (
+           SELECT doc_id, md5(tok) AS hx FROM tk
+         ), v AS (
+           SELECT doc_id,
+             $votes
+           FROM h GROUP BY doc_id
+         ), sh AS (
+           SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v
+         )"""
+  }
+
   private val winnowFpCtes: String =
     """t AS (
            SELECT doc_id,
@@ -1777,28 +1830,7 @@ object SparkEntry {
     "q68_components_star" -> componentsSql,
     // SimHash: bit i of md5(token) (parsed nibble-wise from the first 16
     // hex chars) votes ±1; simhash = Σ 2^i over positive vote totals.
-    "q20_simhash" -> {
-      val votes = (0 until 64).map { i =>
-        val p = 16 - i / 4
-        val m = 1 << (i % 4)
-        s"sum(CASE WHEN (strpos('0123456789abcdef', substring(hx, $p, 1)) - 1) // $m % 2 = 1 THEN 1 ELSE -1 END) AS b$i"
-      }.mkString(",\n             ")
-      val bits = (0 until 64).map { i =>
-        s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-      }.mkString("\n           + ")
-      s"""WITH tk AS (
-           SELECT doc_id,
-             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
-           FROM documents
-         ), h AS (
-           SELECT doc_id, md5(tok) AS hx FROM tk
-         ), v AS (
-           SELECT doc_id,
-             $votes
-           FROM h GROUP BY doc_id
-         )
-         SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v"""
-    },
+    "q20_simhash" -> s"WITH $simhashCtes SELECT doc_id, simhash FROM sh",
     // Winnowing: 4-gram hashes = first 48 bits of md5 (parse the first
     // 12 hex chars — exact integers both engines); fingerprints = the
     // DISTINCT window-min VALUES over sliding windows of 8 grams
@@ -3795,6 +3827,100 @@ object SparkEntry {
            d.nm = 0 AS is_zero,
            (d.nm - m.mean)*(d.nm - m.mean) > 9 * m.var AS is_outlier
          FROM d, m""",
+    // SimHash Hamming pairs: shared sh CTE; band value = low 16 bits
+    // of the shifted fingerprint (mask kills arith-shift sign fill);
+    // >100-doc hot bands anti-joined out; exact popcount verify.
+    "q134_simhash_pairs" ->
+      s"""WITH $simhashCtes, bands AS (
+           SELECT doc_id, simhash, b.band,
+             ((simhash >> (16 * CAST(b.band AS INT))) & 65535) AS v
+           FROM sh, range(4) b(band)
+         ), kept AS (
+           SELECT * FROM bands t WHERE NOT EXISTS (
+             SELECT 1 FROM bands g WHERE g.band = t.band AND g.v = t.v
+             GROUP BY g.band, g.v HAVING count(*) > 100)
+         ), p AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+           FROM kept a JOIN kept b ON a.band = b.band AND a.v = b.v
+             AND a.doc_id < b.doc_id
+         )
+         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         FROM p WHERE bit_count(xor(sa, sb)) <= 3""",
+    // Corpus↔embedding integrity: full-outer on doc_id=vec_id;
+    // orphan vectors land in the '(orphan)' sentinel source.
+    "q135_embedding_coverage" ->
+      """WITH j AS (
+           SELECT d.doc_id, d.source, e.vec_id
+           FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+         )
+         SELECT coalesce(source, '(orphan)') AS source,
+           CAST(count(doc_id) AS BIGINT) AS n_docs,
+           CAST(count(vec_id) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(CASE WHEN count(doc_id) > 0 THEN
+             (2 * sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+              + count(doc_id)) // (2 * count(doc_id)) END AS BIGINT) AS coverage_micro
+         FROM j GROUP BY 1""",
+    // Char classes: translate-deletion length differences on the RAW
+    // text; ratios are shifted half-up intDiv micro (all operands >= 0).
+    "q136_char_classes" ->
+      """WITH c AS (
+           SELECT source, CAST(len(text) AS BIGINT) AS c,
+             CAST(len(text) - len(translate(text, 'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ', '')) AS BIGINT) AS l,
+             CAST(len(text) - len(translate(text, '0123456789', '')) AS BIGINT) AS d,
+             CAST(len(text) - len(translate(text, ' ', '')) AS BIGINT) AS s
+           FROM documents
+         ), g AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n_chars,
+             CAST(sum(l) AS BIGINT) AS n_letters,
+             CAST(sum(d) AS BIGINT) AS n_digits,
+             CAST(sum(s) AS BIGINT) AS n_spaces
+           FROM c GROUP BY 1
+         )
+         SELECT source, n_chars, n_letters, n_digits, n_spaces,
+           n_chars - n_letters - n_digits - n_spaces AS n_other,
+           CAST(CASE WHEN n_chars > 0 THEN (2*n_letters*1000000 + n_chars) // (2*n_chars) END AS BIGINT) AS letter_micro,
+           CAST(CASE WHEN n_chars > 0 THEN (2*n_digits*1000000 + n_chars) // (2*n_chars) END AS BIGINT) AS digit_micro,
+           CAST(CASE WHEN n_chars > 0 THEN (2*n_spaces*1000000 + n_chars) // (2*n_chars) END AS BIGINT) AS space_micro,
+           CAST(CASE WHEN n_chars > 0 THEN (2*(n_chars - n_letters - n_digits - n_spaces)*1000000 + n_chars) // (2*n_chars) END AS BIGINT) AS other_micro
+         FROM g""",
+    // Hapax stats: (source, token) count frame; both micro ratios are
+    // shifted half-up intDiv on exact integers.
+    "q137_hapax" ->
+      """WITH tk AS (
+           SELECT source,
+             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+           FROM documents
+         ), v AS (
+           SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2
+         )
+         SELECT source, CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST((2*sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)*1000000 + count(*)) // (2*count(*)) AS BIGINT) AS hapax_vocab_micro,
+           CAST((2*sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)*1000000 + sum(c)) // (2*sum(c)) AS BIGINT) AS hapax_mass_micro
+         FROM v GROUP BY 1""",
+    // Head/tail anchors: first/last 8 normalized tokens (docs shorter
+    // than 8 tokens excluded); group sizes joined back per doc.
+    "q138_head_tail_dups" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), g AS (
+           SELECT doc_id, array_to_string(toks[1:8], ' ') AS head,
+             array_to_string(toks[-8:], ' ') AS tail
+           FROM t WHERE len(toks) >= 8
+         ), hn AS (
+           SELECT head, count(*) AS head_group_n FROM g GROUP BY 1
+         ), tn AS (
+           SELECT tail, count(*) AS tail_group_n FROM g GROUP BY 1
+         )
+         SELECT g.doc_id, CAST(hn.head_group_n AS BIGINT) AS head_group_n,
+           CAST(tn.tail_group_n AS BIGINT) AS tail_group_n,
+           hn.head_group_n > 1 AS is_head_dup,
+           tn.tail_group_n > 1 AS is_tail_dup
+         FROM g JOIN hn USING (head) JOIN tn USING (tail)""",
     // Lexical diversity: bigram string = the q18 space-join gram
     // convention; ratios shifted half-up //, NULL when no bigrams.
     "q128_lexical_diversity" ->

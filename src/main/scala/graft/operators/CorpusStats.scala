@@ -1210,4 +1210,83 @@ object CorpusStats {
           col("r").as("score_micro")),
       nodes, e)
   }
+
+  /** Per-source character-class profile over the RAW text — the
+    * encoding/extraction sanity card: a source whose digit or "other"
+    * (non-letter, non-digit, non-space) mass jumps is emitting tables,
+    * markup residue, or mojibake rather than prose, and the space
+    * ratio bounds the tokenizability of the bytes. Classes are counted
+    * with `translate` deletion (length difference), not regex — one
+    * codegen string pass per class, no pattern engine in the hot path.
+    *
+    * Ratios are exact-integer class-count / char-count in half-up
+    * micro-units (the CLAUDE.md integer-ratio rule; all operands
+    * non-negative). Sources with zero characters emit NULL ratios.
+    *
+    * Scale shape: stateless per-row counting folded by ONE combinable
+    * shuffle to |sources| rows. Output: (source, n_chars, n_letters,
+    * n_digits, n_spaces, n_other, letter_micro, digit_micro,
+    * space_micro, other_micro). */
+  def charClassProfile(docs: DataFrame, textCol: String,
+                       sourceCol: String = "source"): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val letters = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    val digits = "0123456789"
+    val t = col(textCol)
+    val cnt = (alphabet: String) =>
+      length(t) - length(translate(t, alphabet, ""))
+    val micro = (c: Column, n: Column) =>
+      when(n > 0L, intDiv(lit(2L) * c * 1000000L + n, lit(2L) * n).cast("long"))
+    docs
+      .select(col(sourceCol).as("source"),
+        length(t).cast("long").as("__c"),
+        cnt(letters).cast("long").as("__l"),
+        cnt(digits).cast("long").as("__d"),
+        cnt(" ").cast("long").as("__s"))
+      .groupBy("source")
+      .agg(sum("__c").as("n_chars"), sum("__l").as("n_letters"),
+        sum("__d").as("n_digits"), sum("__s").as("n_spaces"))
+      .select(col("source"), col("n_chars"), col("n_letters"),
+        col("n_digits"), col("n_spaces"),
+        (col("n_chars") - col("n_letters") - col("n_digits") - col("n_spaces")).as("n_other"),
+        micro(col("n_letters"), col("n_chars")).as("letter_micro"),
+        micro(col("n_digits"), col("n_chars")).as("digit_micro"),
+        micro(col("n_spaces"), col("n_chars")).as("space_micro"),
+        micro(col("n_chars") - col("n_letters") - col("n_digits") - col("n_spaces"),
+          col("n_chars")).as("other_micro"))
+  }
+
+  /** Per-source hapax legomena stats — the vocabulary-richness signal
+    * orthogonal to [[lexicalDiversity]]'s distinct ratios: hapaxes
+    * (tokens occurring exactly once in the source) dominate natural
+    * prose vocabularies (~40–60% of types, per Zipf), so a COLLAPSED
+    * hapax share flags template/machine text while an INFLATED one
+    * flags OCR noise or tokenizer breakage (every garbled word is a
+    * fresh hapax). Reported against both denominators: share of the
+    * vocabulary (types) and share of the token mass.
+    *
+    * Ratios are exact-integer half-up micro (CLAUDE.md rule).
+    *
+    * Scale shape: one token explode → (source, token) combinable
+    * count (the vocab frame), folded to |sources| rows — no joins, no
+    * second scan. Output: (source, vocab_size, n_hapax, n_tokens,
+    * hapax_vocab_micro, hapax_mass_micro). */
+  def hapaxStats(docs: DataFrame, textCol: String,
+                 sourceCol: String = "source"): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val micro = (c: Column, n: Column) =>
+      when(n > 0L, intDiv(lit(2L) * c * 1000000L + n, lit(2L) * n).cast("long"))
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("__c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum("__c").as("n_tokens"))
+      .select(col("source"), col("vocab_size"), col("n_hapax"),
+        col("n_tokens"),
+        micro(col("n_hapax"), col("vocab_size")).as("hapax_vocab_micro"),
+        micro(col("n_hapax"), col("n_tokens")).as("hapax_mass_micro"))
+  }
 }

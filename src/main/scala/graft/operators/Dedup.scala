@@ -1094,4 +1094,90 @@ object Dedup {
             col("n_grams") * lit(2L)).cast("double") / 1e6).as("boiler_frac")),
       g)
   }
+
+  /** SimHash near-dup pairs by Hamming-band blocking — the pair
+    * generator that turns [[simHash64]] fingerprints into candidate
+    * near-dups WITHOUT an all-pairs product. The 64-bit fingerprint
+    * splits into 4 disjoint 16-bit bands; two docs within Hamming
+    * distance ≤ 3 differ in at most 3 bands, so BY PIGEONHOLE they
+    * agree exactly on at least one band — a 4-way equi-join on
+    * (band_idx, band_value) is therefore EXHAUSTIVE (100% recall, not
+    * approximate) for `maxDist` ≤ 3 (Manku et al., WWW'07 §3 block-
+    * permutation scheme, public algorithm). Candidates sharing a band
+    * are verified by the exact popcount of the XOR.
+    *
+    * Scale shape: pair volume is Σ over buckets of C(bucket,2) —
+    * quadratic only within a (band, value) bucket, and 2¹⁶ values per
+    * band spread the corpus thin. Degenerate hot buckets (boilerplate
+    * fingerprint regions) are capped by `maxBandFreq` via a broadcast
+    * anti-join (the [[fingerprintOverlapPairs]] guard idiom): a hot
+    * band stops generating candidates but the pair can still surface
+    * through its other, more selective bands. The only shuffles are
+    * the band equi-join and the per-doc simhash agg.
+    *
+    * Output: (id_a, id_b, hamming INT), id_a < id_b, distinct. */
+  def simhashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int = 3,
+                          maxBandFreq: Option[Int] = Some(100)): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4-band blocking is exhaustive only for Hamming distance <= 3")
+    val sh = simHash64(docs, idCol, textCol).persist()
+    val bands = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+        shiftright(col("simhash"), 16 * j).bitwiseAND(lit(65535L)).as("v"))): _*)).as("__b"))
+      .select(col(idCol), col("simhash"), col("__b.band").as("band"), col("__b.v").as("v"))
+    val kept = maxBandFreq match {
+      case Some(cap) =>
+        val hot = bands.groupBy("band", "v").agg(count(lit(1)).as("__n"))
+          .where(col("__n") > cap).select("band", "v")
+        bands.join(broadcast(hot), Seq("band", "v"), "left_anti")
+      case None => bands
+    }
+    val l = kept.select(col("band"), col("v"), col(idCol).as("id_a"), col("simhash").as("__sa"))
+    val r = kept.select(col("band"), col("v"), col(idCol).as("id_b"), col("simhash").as("__sb"))
+    val pairs = l.join(r, Seq("band", "v")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("int").as("hamming"))
+      .distinct() // a close pair collides in up to 4 bands
+      .where(col("hamming") <= maxDist)
+    CacheScope.scoped(pairs, sh)
+  }
+
+  /** Head/tail duplicate-anchor audit — groups documents by their
+    * FIRST `k` and LAST `k` normalized tokens (the cheap crawl-dup
+    * heuristic real pipelines run before any MinHash pass: mirrored or
+    * re-crawled pages share an exact head even when ads/timestamps
+    * perturb the middle, and template families share heads without
+    * being full-document dups). A doc's head group size vs its tail
+    * group size also separates "same template" (head dup, tail unique)
+    * from "same document" (both dup).
+    *
+    * Scale shape: two combinable groupBy-counts keyed on the k-token
+    * anchor string, joined back on the same keys — no pair product
+    * ever materializes (group SIZES, not pairs, are the output), so
+    * hot boilerplate heads cost one count row, not C(n,2) pairs.
+    * Docs with fewer than `k` tokens have no anchor and are excluded
+    * (the [[ngramJaccardPairs]] short-doc contract).
+    *
+    * Output: (id, head_group_n, tail_group_n, is_head_dup,
+    * is_tail_dup). */
+  def headTailDupGroups(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    require(k >= 1)
+    val base = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(col(idCol),
+        array_join(slice(col("__toks"), 1, k), " ").as("__head"),
+        array_join(slice(col("__toks"), -k, k), " ").as("__tail"))
+      .persist()
+    val headN = base.groupBy("__head").agg(count(lit(1)).as("head_group_n"))
+    val tailN = base.groupBy("__tail").agg(count(lit(1)).as("tail_group_n"))
+    CacheScope.scoped(
+      base.join(headN, "__head").join(tailN, "__tail")
+        .select(col(idCol), col("head_group_n"), col("tail_group_n"),
+          (col("head_group_n") > 1).as("is_head_dup"),
+          (col("tail_group_n") > 1).as("is_tail_dup")),
+      base)
+  }
 }

@@ -133,4 +133,39 @@ object Profiling {
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("at_risk", col("n_rows") < k)
   }
+
+  /** Corpus↔embedding referential-integrity audit — the join-coverage
+    * card a pipeline checks before ANY embedding-driven stage
+    * (SemDeDup, ANN, clustering): a doc without a vector silently
+    * drops out of embedding dedup (an unverified doc reaches
+    * training), and a vector without a doc means id drift between the
+    * text and embedding extraction runs (every downstream join is
+    * keyed on a lie). One full-outer join, grouped per source; vectors
+    * matching no doc land in the sentinel `(orphan)` source row.
+    *
+    * Coverage is the exact-integer n_matched/n_docs in half-up micro
+    * (CLAUDE.md rule); NULL for the orphan row (no doc denominator).
+    *
+    * Scale shape: ONE id-keyed shuffle join (both sides co-partition
+    * on the join key; bucketed tables make it exchange-free), folded
+    * to |sources|+1 rows. Output: (source, n_docs, n_vecs, n_matched,
+    * coverage_micro). */
+  def embeddingCoverage(docs: DataFrame, emb: DataFrame,
+                        docIdCol: String = "doc_id",
+                        vecIdCol: String = "vec_id",
+                        sourceCol: String = "source"): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val d = docs.select(col(docIdCol).as("__did"), col(sourceCol).as("__src"))
+    val e = emb.select(col(vecIdCol).as("__vid"))
+    d.join(e, d("__did") === e("__vid"), "full_outer")
+      .groupBy(coalesce(col("__src"), lit("(orphan)")).as("source"))
+      .agg(count(col("__did")).as("n_docs"),
+        count(col("__vid")).as("n_vecs"),
+        sum(when(col("__did").isNotNull && col("__vid").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"))
+      .select(col("source"), col("n_docs"), col("n_vecs"), col("n_matched"),
+        when(col("n_docs") > 0L,
+          intDiv(lit(2L) * col("n_matched") * 1000000L + col("n_docs"),
+            lit(2L) * col("n_docs")).cast("long")).as("coverage_micro"))
+  }
 }

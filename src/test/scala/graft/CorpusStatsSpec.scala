@@ -614,6 +614,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got("mix") === (("mix", 3L, 3L, (2 * 2 * ln2 + 3) / 6)))
   }
 
+  test("charClassProfile: hand-counted classes on raw text; micro ratios half-up") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab 12 c!", "s"), (2L, "XY", "s")).toDF("doc_id", "text", "source")
+    val r = CorpusStats.charClassProfile(docs, "text")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    // 10 chars: letters a,b,c,X,Y=5; digits 1,2=2; spaces=2; other '!'=1
+    assert(r === (("s", 10L, 5L, 2L, 2L, 1L,
+      Some(500000L), Some(200000L), Some(200000L), Some(100000L))))
+  }
+
+  test("hapaxStats: planted counts; both micro denominators replay exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b c", "s")).toDF("doc_id", "text", "source")
+    val r = CorpusStats.hapaxStats(docs, "text")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])].collect().head
+    // vocab {a,b,c}; hapaxes {b,c}; 4 tokens
+    // 2/3 → 666667 (half-up); 2/4 → exactly 500000.5 floored half-up = 500000
+    assert(r === (("s", 3L, 2L, 4L, Some(666667L), Some(500000L))))
+  }
+
   test("lexicalDiversity: planted distinct-n ratios; bigram-free source gets NULL distinct-2") {
     import spark.implicits._
     // A: "a b a b" → ttr 2/4, distinct-2 2/3; B: one token → no bigrams

@@ -511,4 +511,37 @@ class DedupSpec extends SparkSpec {
     assert(nHit === nTrue && recall === Some(1000000L))
     assert(precision === Some((2000000L * nHit + nCand) / (2L * nCand)))
   }
+
+  test("simhashHammingPairs: exact dup at hamming 0; unrelated doc never pairs; cap empties") {
+    val got = Dedup.simhashHammingPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    spark.catalog.clearCache()
+    val pairs = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 5L)) === 0, "identical text → identical fingerprint")
+    assert(got.forall(r => r._1 < r._2), "pairs are ordered")
+    assert(got.length === got.map(r => (r._1, r._2)).distinct.length,
+      "multi-band collisions must dedupe")
+    assert(!got.exists(r => r._1 == 4L || r._2 == 4L),
+      "unrelated content stays outside the hamming radius")
+    // a zero cap marks every occupied band hot → no candidates at all
+    val capped = Dedup.simhashHammingPairs(docs, "doc_id", "text",
+      maxBandFreq = Some(0)).count()
+    spark.catalog.clearCache()
+    assert(capped === 0L)
+  }
+
+  test("headTailDupGroups: planted head/tail families; short docs excluded") {
+    val withShort = docs.unionAll(Seq((6L, "too short here")).toDF("doc_id", "text"))
+    val got = Dedup.headTailDupGroups(withShort, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    spark.catalog.clearCache()
+    // heads: 1/2/5 share "the quick brown fox"; 3 diverges ("the slow…")
+    // tails: 1/3/5 share "runs far away today"; 2 appends "indeed"
+    assert(got(1L) === ((1L, 3L, 3L, true, true)))
+    assert(got(2L) === ((2L, 3L, 1L, true, false)), "same template, different tail")
+    assert(got(3L) === ((3L, 1L, 3L, false, true)))
+    assert(got(4L) === ((4L, 1L, 1L, false, false)))
+    assert(!got.contains(6L), "docs under k tokens have no anchor")
+  }
 }

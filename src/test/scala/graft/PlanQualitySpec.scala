@@ -833,6 +833,26 @@ class PlanQualitySpec extends SparkSpec {
       s"per-row flags must not shuffle the corpus:\n$plan")
   }
 
+  test("q134: hot-band cap is a broadcast anti-join on the band stream") {
+    // asserted on the INITIAL plan: at fixture scale no band exceeds the
+    // cap, so AQE's empty-relation propagation legitimately elides the
+    // (empty) anti-join at runtime — the shape under load is what's locked
+    val plan = executedPlan("q134_simhash_pairs")
+    assert(plan.contains("LeftAnti"), s"hot-band cap must be an anti-join:\n$plan")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"the hot-band set must broadcast:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("q136/q137: per-source profiles are ONE combinable shuffle, no joins") {
+    for (q <- Seq("q136_char_classes", "q137_hapax")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Join"), s"$q must not join:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+        s"$q: more shuffles than the (token-count,) source fold:\n$plan")
+    }
+  }
+
   test("global sweep: no query plans a CartesianProduct") {
     // crossJoin is only ever used against a broadcast 1-row aggregate
     // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an

@@ -77,4 +77,16 @@ class ProfilingSpec extends SparkSpec {
     assert(got(("fr", "web")) === ((1L, true)), "a singleton class IS an identifier")
     assert(got.values.map(_._1).sum === 10L, "class sizes partition the corpus")
   }
+
+  test("embeddingCoverage: missing vectors, orphan vectors, exact micro coverage") {
+    val docs = Seq((1L, "s1"), (2L, "s1"), (3L, "s2")).toDF("doc_id", "source")
+    val emb = Seq((1L, 0), (2L, 0), (4L, 0)).toDF("vec_id", "label")
+    val got = Profiling.embeddingCoverage(docs, emb)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s1") === (("s1", 2L, 2L, 2L, Some(1000000L))))
+    assert(got("s2") === (("s2", 1L, 0L, 0L, Some(0L))), "doc 3 has no vector")
+    assert(got("(orphan)") === (("(orphan)", 0L, 1L, 0L, None)),
+      "vector 4 matches no doc — id drift must surface, not vanish")
+  }
 }
