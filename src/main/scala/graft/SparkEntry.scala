@@ -1114,6 +1114,35 @@ object SparkEntry {
     "q138_head_tail_dups" -> ((s, dir) =>
       Dedup.headTailDupGroups(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ── session features: ONE native session_window agg, shuffle
+    //    keyed on the user — no rank window, no self-join ──
+    "q139_session_features" -> ((s, dir) =>
+      graft.operators.WindowOps.sessionFeatures(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "value")),
+
+    // ── embedding z-score: |dims|-row moment frame broadcast back;
+    //    the corpus-sized stream never shuffles ──
+    "q140_embedding_zscore" -> ((s, dir) =>
+      Similarity.standardizeEmbeddings(t(s, dir, "embeddings"), "vec_id", "embedding")),
+
+    // ── two-sample KS: exact integer CDF-gap max over the bounded
+    //    |distinct values| frame; only the final ratio rounds ──
+    "q141_ks_drift" -> ((s, dir) =>
+      graft.operators.Drift.ksDrift(t(s, dir, "documents"),
+        col("n_chars"), col("source"), "src0", "src1")),
+
+    // ── Hill tail index: TakeOrdered top-(k+1), ln-micro snaps, all
+    //    arithmetic after the limit runs on k+1 rows ──
+    "q142_hill_tail" -> ((s, dir) =>
+      CorpusStats.hillTailIndex(t(s, dir, "documents"), "text", k = 100)),
+
+    // ── key-skew profile: order stats off the count-of-counts frame —
+    //    the rank window never sees |keys| rows ──
+    "q143_key_skew" -> ((s, dir) =>
+      SkewOps.keySkewProfile(
+        t(s, dir, "documents").select(
+          explode(TextAnalysis.tokens(col("text"))).as("tok")), col("tok"))),
+
     // ── lexical diversity: one cached tokenize feeds both gram
     //    orders; (source, gram) pre-aggs de-skew; |sources|-row join ──
     "q128_lexical_diversity" -> ((s, dir) =>
@@ -3921,6 +3950,123 @@ object SparkEntry {
            hn.head_group_n > 1 AS is_head_dup,
            tn.tail_group_n > 1 AS is_tail_dup
          FROM g JOIN hn USING (head) JOIN tn USING (tail)""",
+    // Session features: the q09 islands-and-gaps lowering of the
+    // session window, with the per-session feature aggregates; error
+    // rate is the shifted half-up intDiv micro.
+    "q139_session_features" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), numbered AS (
+           SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM marked
+         )
+         SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+           CAST((2*sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)*1000000 + count(*))
+                // (2*count(*)) AS BIGINT) AS error_micro,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM numbered GROUP BY user_id, sess_id""",
+    // Embedding z-score: coordinates snap to floor-micro; min-shift
+    // half-up mean (exact shift identity), q130 E[x²] form, var =
+    // max(0, E[x²] − mean²); z floor-snaps the shared double op chain.
+    "q140_embedding_zscore" ->
+      """WITH x AS (
+           SELECT vec_id, CAST(r.d AS INT) AS pos,
+             CAST(floor(CAST(embedding[CAST(r.d AS INT) + 1] AS DOUBLE) * 1e6) AS BIGINT) AS xm
+           FROM embeddings, range(64) r(d) WHERE len(embedding) = 64
+         ), st AS (
+           SELECT pos, count(*) AS n, sum(xm) AS s, min(xm) AS mn,
+             sum(CAST(xm AS HUGEINT) * xm) AS s2
+           FROM x GROUP BY 1
+         ), m AS (
+           SELECT pos,
+             CAST((2*(s - n*mn) + n) // (2*n) + mn AS BIGINT) AS mean,
+             CAST((2*s2 + n) // (2*n) AS BIGINT) AS ex2
+           FROM st
+         ), mv AS (
+           SELECT pos, mean, greatest(0, ex2 - mean*mean) AS var FROM m
+         )
+         SELECT x.vec_id, x.pos,
+           CAST(CASE WHEN mv.var > 0 THEN
+             floor(CAST(x.xm - mv.mean AS DOUBLE) / sqrt(CAST(mv.var AS DOUBLE)) * 1e6)
+           END AS BIGINT) AS z_micro
+         FROM x JOIN mv USING (pos)""",
+    // Two-sample KS: exact integer cross-multiplied CDF gaps; max by
+    // (gap DESC, v ASC); final ratio is the shifted half-up micro.
+    "q141_ks_drift" ->
+      """WITH c AS (
+           SELECT CAST(n_chars AS BIGINT) AS v,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+           FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1
+         ), r AS (
+           SELECT v,
+             sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+             sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+             sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+           FROM c
+         ), m AS (
+           SELECT v, na, nb, abs(cuma*nb - cumb*na) AS gap
+           FROM r ORDER BY gap DESC, v LIMIT 1
+         )
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST((2*gap*1000000 + na*nb) // (2*na*nb) AS BIGINT) AS ks_micro,
+           v AS ks_at_value
+         FROM m""",
+    // Hill tail index over doc token counts: top-(k+1) by value (ties
+    // at the cutoff are value-equal — row choice is irrelevant), each
+    // ln of an integer floor-snaps to micro before the exact sum.
+    "q142_hill_tail" ->
+      """WITH t AS (
+           SELECT CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS x
+           FROM documents
+         ), top AS (
+           SELECT x FROM t ORDER BY x DESC LIMIT 101
+         ), mm AS (
+           SELECT min(x) AS xk1, count(*) AS n FROM top
+         ), s AS (
+           SELECT mm.n - 1 AS k, mm.xk1,
+             sum(CASE WHEN mm.xk1 > 0 THEN
+               CAST(floor(ln(CAST(top.x AS DOUBLE)) * 1e6) AS BIGINT)
+               - CAST(floor(ln(CAST(mm.xk1 AS DOUBLE)) * 1e6) AS BIGINT) END) AS sl
+           FROM top, mm GROUP BY 1, 2
+         )
+         SELECT CAST(k AS BIGINT) AS k, CAST(xk1 AS BIGINT) AS x_k1,
+           CAST(sl AS BIGINT) AS sum_ln_micro,
+           CAST(CASE WHEN xk1 > 0 AND sl > 0 THEN
+             (2*k*1000000000000 + sl) // (2*sl) END AS BIGINT) AS alpha_micro
+         FROM s""",
+    // Key-skew profile over the token key: exact lower order stats
+    // (cum·den ≥ keys·num ⟺ rank ≥ ⌈q·keys⌉) off the count-of-counts
+    // frame; hot-key share is the shifted half-up micro.
+    "q143_key_skew" ->
+      """WITH tk AS (
+           SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+           FROM documents
+         ), pk AS (
+           SELECT tok, count(*) AS n FROM tk GROUP BY 1
+         ), cc AS (
+           SELECT n, count(*) AS k FROM pk GROUP BY 1
+         ), r AS (
+           SELECT n,
+             sum(k) OVER (ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(k) OVER () AS keys, sum(n*k) OVER () AS rws
+           FROM cc
+         )
+         SELECT CAST(max(keys) AS BIGINT) AS n_keys,
+           CAST(max(rws) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_n,
+           CAST(min(CASE WHEN cum*2 >= keys*1 THEN n END) AS BIGINT) AS p50_n,
+           CAST(min(CASE WHEN cum*100 >= keys*99 THEN n END) AS BIGINT) AS p99_n,
+           CAST((2*max(n)*1000000 + max(rws)) // (2*max(rws)) AS BIGINT) AS top_share_micro
+         FROM r""",
     // Lexical diversity: bigram string = the q18 space-join gram
     // convention; ratios shifted half-up //, NULL when no bigrams.
     "q128_lexical_diversity" ->

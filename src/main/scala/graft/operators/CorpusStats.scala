@@ -1289,4 +1289,48 @@ object CorpusStats {
         micro(col("n_hapax"), col("vocab_size")).as("hapax_vocab_micro"),
         micro(col("n_hapax"), col("n_tokens")).as("hapax_mass_micro"))
   }
+
+  /** Hill tail-index estimator over the document token-count
+    * distribution (Hill 1975) — the heavy-tail diagnostic a capacity
+    * planner reads before sizing packing/sharding: α̂ answers "how fast
+    * does the length tail decay?" (α ≲ 2 ⇒ giant docs dominate token
+    * mass and length-capped chunking is mandatory; the
+    * [[zipfFit]] regression answers the same question for token
+    * FREQUENCIES). α̂ = k / Σ_{i≤k} ln(x_(i) / x_(k+1)) over the k
+    * largest values.
+    *
+    * Determinism: each ln of an INTEGER length floor-snaps to micro
+    * (the q130 snap rule) BEFORE the sum, so every lnµ(x_i) − lnµ(x_k1)
+    * term is an exact non-negative integer (floor is monotone) and the
+    * sum is exact; α̂ = k·1e6/(Σ/1e6) emits via the shifted half-up
+    * intDiv as alpha_micro. Boundary ties cost nothing: rows tied at
+    * the cutoff have EQUAL values, so whichever rows the limit keeps,
+    * the value multiset — and the estimator — is identical.
+    *
+    * Scale shape: per-doc token counts ride the scan; the top-(k+1)
+    * selection is a TakeOrderedAndProject (bounded k+1-row frame, no
+    * global sort); everything after runs on k+1 rows. Degenerate
+    * corpora (x_(k+1) = 0 or Σ = 0, i.e. a flat head) emit NULL alpha.
+    * Output: one row (k, x_k1, sum_ln_micro, alpha_micro). */
+  def hillTailIndex(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    require(k >= 1)
+    val lnMicro = (c: Column) => floor(log(c.cast("double")) * lit(1e6)).cast("long")
+    val top = docs
+      .select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("x"))
+      .orderBy(desc("x")).limit(k + 1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    // the (k+1)-th value = min over the k+1-row frame (window, no
+    // join); the Hill numerator sums over ALL k+1 rows — the cutoff
+    // row's own term is lnµ(x_k1)−lnµ(x_k1) = 0, and boundary-tied
+    // rows contribute 0 identically, so ties need no row selection
+    top
+      .withColumn("__xk1", min("x").over(wAll))
+      .agg((count(lit(1)) - 1L).as("__k"), max("__xk1").as("x_k1"),
+        sum(when(col("__xk1") > 0L, lnMicro(col("x")) - lnMicro(col("__xk1")))).as("sum_ln_micro"))
+      .select(col("__k").as("k"), col("x_k1"), col("sum_ln_micro"),
+        when(col("x_k1") > 0L && col("sum_ln_micro") > 0L,
+          intDiv(lit(2L) * col("__k") * lit(1000000000000L) + col("sum_ln_micro"),
+            lit(2L) * col("sum_ln_micro")).cast("long")).as("alpha_micro"))
+  }
 }

@@ -63,4 +63,56 @@ object Drift {
         round(pA, 6).as("p_first"), round(pB, 6).as("p_second"),
         round((pA - pB) * log(pA / pB), 6).as("psi_term"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `a` and `b`
+    * slices of an INTEGER-valued metric column — the nonparametric
+    * complement of [[psiDrift]]: PSI needs a binning policy and reacts
+    * to share shifts; KS is binning-free and reacts to ANY CDF
+    * displacement (median creep, tail growth), which is the earlier
+    * signal when a source's length/quality distribution drifts.
+    *
+    * Entirely EXACT integer arithmetic: D = max_v |F_a(v) − F_b(v)| =
+    * max_v |cum_a(v)·n_b − cum_b(v)·n_a| / (n_a·n_b) — the numerator
+    * and denominator are exact DECIMAL(38,0) products, the max is an
+    * integer max, and only the final ratio rounds (shifted half-up
+    * intDiv micro form). `ks_at_value` reports the v achieving the
+    * max (smallest such v on ties — deterministic).
+    *
+    * Scale shape: one combinable shuffle to the |distinct values|
+    * frame; the cumulative window runs over THAT bounded frame (the
+    * metric domain — token counts, char lengths, micro-bucketed
+    * scores — not the corpus; callers pre-bucket continuous metrics),
+    * and totals ride the same frame as a window, not a second scan.
+    * Output: one row (n_a, n_b, ks_micro, ks_at_value). */
+  def ksDrift(df: DataFrame, valueCol: Column, groupCol: Column,
+              a: String, b: String): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val counts = df
+      .select(valueCol.cast("long").as("v"), groupCol.as("__g"))
+      .where(col("__g").isin(a, b))
+      .groupBy("v")
+      .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("__cb"))
+    val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val gap = abs(col("__cuma").cast(dec) * col("__nb").cast(dec) -
+      col("__cumb").cast(dec) * col("__na").cast(dec))
+    counts
+      .withColumn("__cuma", sum("__ca").over(wCum))
+      .withColumn("__cumb", sum("__cb").over(wCum))
+      .withColumn("__na", sum("__ca").over(wAll))
+      .withColumn("__nb", sum("__cb").over(wAll))
+      .select(col("v"), col("__na"), col("__nb"), gap.as("__gap"))
+      // max by (gap DESC, v ASC): negate v inside the comparison struct
+      .agg(max(struct(col("__gap"), (-col("v")).as("__negv"))).as("__m"),
+        max("__na").as("n_a"), max("__nb").as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        intDiv(lit(2L) * col("__m.__gap") * 1000000L +
+            col("n_a").cast(dec) * col("n_b").cast(dec),
+          lit(2L) * col("n_a").cast(dec) * col("n_b").cast(dec))
+          .cast("long").as("ks_micro"),
+        (-col("__m.__negv")).as("ks_at_value"))
+  }
 }

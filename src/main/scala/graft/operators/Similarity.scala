@@ -811,6 +811,54 @@ object Similarity {
     * pattern); the flags ride a second pass over the same scan —
     * stateless, no shuffle of the corpus. Output: (id, norm_micro,
     * is_zero, is_outlier). */
+  /** Per-dimension z-score standardization of the embedding matrix —
+    * the whitening-lite transform an ANN/clustering stage applies so no
+    * single high-variance dimension dominates L2/cosine geometry
+    * (PQ codebooks and k-means centroids both assume roughly isotropic
+    * coordinates; raw encoder outputs are not).
+    *
+    * Determinism: each coordinate snaps to integer micro
+    * (floor(x·1e6) — identical double→floor in both engines), then the
+    * per-dim moments are EXACT integer arithmetic: the mean uses the
+    * min-shift half-up form (half-up(Σx/n) = half-up(Σ(x−min)/n) + min,
+    * exact for integer min — keeps the intDiv operands non-negative
+    * per the CLAUDE.md negative-division rule), E[x²] the q130 half-up
+    * micro form (Σx² in DECIMAL(38,0)), var = max(0, E[x²] − mean²).
+    * z floor-snaps the shared double expression
+    * ((x−mean)/√var)·1e6 — one identical op sequence per engine.
+    * Zero-variance dims emit NULL (a constant coordinate carries no
+    * geometry and must not fabricate ±∞).
+    *
+    * Scale shape: one posexplode scan → |dims|-row moment frame →
+    * broadcast back onto the same stream; shuffles touch |dims| rows,
+    * never the corpus. Output: (id, pos INT, z_micro BIGINT). */
+  def standardizeEmbeddings(emb: DataFrame, idCol: String,
+                            vecCol: String): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val dec = "decimal(38,0)"
+    val x = emb
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "__x")))
+      .select(col(idCol), col("pos").cast("int").as("pos"),
+        floor(col("__x").cast("double") * lit(1e6)).cast("long").as("__xm"))
+    val stats = x.groupBy("pos").agg(
+        count(lit(1)).as("__n"), sum("__xm").as("__s"),
+        min("__xm").as("__mn"),
+        sum(col("__xm").cast(dec) * col("__xm").cast(dec)).as("__s2"))
+      .select(col("pos"),
+        (intDiv(lit(2L) * (col("__s") - col("__n") * col("__mn")) + col("__n"),
+          lit(2L) * col("__n")) + col("__mn")).cast("long").as("__mean"),
+        intDiv(lit(2L) * col("__s2") + col("__n").cast(dec),
+          lit(2L) * col("__n").cast(dec)).cast("long").as("__ex2"))
+      .select(col("pos"), col("__mean"),
+        greatest(lit(0L), col("__ex2") - col("__mean") * col("__mean")).as("__var"))
+    x.join(broadcast(stats), "pos")
+      .select(col(idCol), col("pos"),
+        when(col("__var") > 0L,
+          floor((col("__xm") - col("__mean")).cast("double") /
+            sqrt(col("__var").cast("double")) * lit(1e6)).cast("long"))
+          .as("z_micro"))
+  }
+
   def embeddingOutlierProfile(emb: DataFrame, idCol: String, vecCol: String,
                               zThresh: Int = 3): DataFrame = {
     import graft.expressions.HashExpressions.intDiv

@@ -50,4 +50,50 @@ object SkewOps {
       explode(sequence(lit(0L), lit((salts - 1).toLong))))
     p.join(b, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Key-skew diagnostic — the profile that decides WHETHER the salted
+    * paths above (or a broadcast, or AQE skew hints) are needed before
+    * a groupBy/join ships to the cluster: exact order statistics (p50/
+    * p99/max) of the per-key row count, plus the hot key's share of all
+    * rows. A max_n far above p99_n, or a top share in whole percents,
+    * is the one-reducer-melts signal.
+    *
+    * The order statistics are EXACT lower order stats (value at rank
+    * ⌈q·n_keys⌉ — integers, no interpolation, no engine-specific
+    * percentile sketch), computed from the COUNT-OF-COUNTS frame: the
+    * multiset of per-key counts compresses to (count → how many keys
+    * have it), whose size is the number of DISTINCT load levels — tiny
+    * even when |keys| is corpus-scale — so the cumulative rank window
+    * runs over a bounded frame, never over |keys| rows. Top share is
+    * the shifted half-up intDiv micro.
+    *
+    * Scale shape: one combinable shuffle to |keys| (the groupBy being
+    * diagnosed — unavoidable and linear), one combinable fold to the
+    * count-of-counts frame, then window + aggregate over that bounded
+    * frame. Output: one row (n_keys, n_rows, max_n, p50_n, p99_n,
+    * top_share_micro). */
+  def keySkewProfile(df: DataFrame, keyCols: Column*): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty)
+    val perKey = df.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+    val cc = perKey.groupBy("__n").agg(count(lit(1)).as("__k"))
+    val wCum = Window.orderBy("__n").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val ranked = cc
+      .withColumn("__cum", sum("__k").over(wCum))
+      .withColumn("__keys", sum("__k").over(wAll))
+      .withColumn("__rows", sum(col("__n") * col("__k")).over(wAll))
+    // ⌈q·n⌉ as exact integers: (q_num·n + q_den − 1) div q_den
+    def atRank(num: Long, den: Long) = min(when(
+      col("__cum") * den >= col("__keys") * num, col("__n")))
+    ranked.agg(
+        max("__keys").as("n_keys"), max("__rows").as("n_rows"),
+        max("__n").as("max_n"),
+        atRank(1L, 2L).as("p50_n"), atRank(99L, 100L).as("p99_n"))
+      .select(col("n_keys"), col("n_rows"), col("max_n"),
+        col("p50_n"), col("p99_n"),
+        intDiv(lit(2L) * col("max_n") * 1000000L + col("n_rows"),
+          lit(2L) * col("n_rows")).cast("long").as("top_share_micro"))
+  }
 }

@@ -79,6 +79,47 @@ object WindowOps {
         min(col("delay_us")).as("min_delay_us"))
   }
 
+  /** Per-session behavioral feature extraction — the featurization pass
+    * that turns a raw event stream into one training example per
+    * (user, session): gap-based sessions (the q09/SURVEY §2.3 session
+    * semantics) carrying the features a ranking/propensity model
+    * consumes — intensity (n_events, span), health (error count and
+    * rate), breadth (distinct event types) and value mass.
+    *
+    * Error rate is the exact-integer half-up micro ratio (CLAUDE.md
+    * rule); the value sum goes through DECIMAL (the money rule); span
+    * is exact epoch-micros arithmetic.
+    *
+    * Scale shape: ONE `session_window` aggregation — Spark's native
+    * session merge, shuffle keyed on the user, map-side partials, no
+    * rank window, no self-join; COUNT(DISTINCT type) rewrites to the
+    * standard expand (bounded: the type domain is small). Streaming
+    * twin: the same groupBy under a watermark. Output: (user,
+    * session_start_us, n_events, span_us, n_errors, error_micro,
+    * n_types, sum_value). */
+  def sessionFeatures(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, valueCol: String,
+                      gap: String = "30 minutes",
+                      errorType: String = "error"): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    events
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col(tsCol))).as("__first_us"),
+        max(unix_micros(col(tsCol))).as("__last_us"),
+        sum(when(col(typeCol) === errorType, 1L).otherwise(0L)).as("n_errors"),
+        countDistinct(col(typeCol)).as("n_types"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col(userCol),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"),
+        (col("__last_us") - col("__first_us")).as("span_us"),
+        col("n_errors"),
+        intDiv(lit(2L) * col("n_errors") * 1000000L + col("n_events"),
+          lit(2L) * col("n_events")).cast("long").as("error_micro"),
+        col("n_types"), col("sum_value"))
+  }
+
   def windowedDedupFirst(df: DataFrame, tsCol: String, tieCol: String,
                          keys: Seq[String], windowMicros: Long,
                          valueCols: Seq[String]): DataFrame = {

@@ -220,4 +220,49 @@ object StreamingCorpusStats {
           }
       }
   }
+
+  /** Tumbling-window embedding-norm profile — the LIVE twin of the
+    * q133 batch outlier audit's moment frame
+    * ([[graft.operators.Similarity.embeddingOutlierProfile]]): per
+    * event-time window, vector count, zero-vector count, and the EXACT
+    * integer micro moments of ‖v‖ (norm floor-snaps to micro; mean is
+    * the half-up intDiv form on non-negative micros; var =
+    * max(0, E[x²] − mean²), Σx² in DECIMAL(38,0)) — bit-identical per
+    * window to the batch formulas (asserted by the parity spec). An
+    * encoder that starts emitting zero vectors or a norm-mean
+    * excursion shows up one window after it happens, not at the next
+    * batch audit.
+    *
+    * Per-row FLAGS stay batch-side: a window's own μ/σ aren't known
+    * until it closes, so a streaming gate thresholds the NEXT window
+    * against this frame (the [[StreamingDrift]] bounds-broadcast
+    * pattern). All aggregates are algebraic → one native watermarked
+    * windowed aggregation, append mode, state = one moment row per
+    * open window, pruned by the watermark. */
+  def windowedNormProfile(df: DataFrame, vecCol: String, tsCol: String,
+                          windowLen: String, delay: String): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    import graft.expressions.VectorExpressions.vecNorm
+    val dec = "decimal(38,0)"
+    val n = count(lit(1))
+    df.withWatermark(tsCol, delay)
+      .select(col(tsCol),
+        floor(vecNorm(col(vecCol)) * lit(1e6)).cast("long").as("__nm"))
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(n.as("n_vecs"),
+        sum(when(col("__nm") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum("__nm").as("__s"),
+        sum(col("__nm").cast(dec) * col("__nm").cast(dec)).as("__s2"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_vecs"), col("n_zero"),
+        intDiv(lit(2L) * col("__s") + col("n_vecs"),
+          lit(2L) * col("n_vecs")).cast("long").as("mean_micro"),
+        greatest(lit(0L),
+          intDiv(lit(2L) * col("__s2") + col("n_vecs").cast(dec),
+            lit(2L) * col("n_vecs").cast(dec)).cast("long")
+            - intDiv(lit(2L) * col("__s") + col("n_vecs"),
+              lit(2L) * col("n_vecs")).cast("long")
+              * intDiv(lit(2L) * col("__s") + col("n_vecs"),
+                lit(2L) * col("n_vecs")).cast("long")).as("var_micro2"))
+  }
 }

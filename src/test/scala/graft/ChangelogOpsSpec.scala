@@ -82,6 +82,26 @@ class ChangelogOpsSpec extends SparkSpec {
     assert(noFrom.getLong(0) === 0L && noFrom.getDouble(2) === 0.0)
   }
 
+  test("sessionFeatures: gap splits sessions; error rate, breadth, span, value are exact") {
+    import graft.operators.WindowOps
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      // user 1, session A: 3 events over 120s, one error, 2 types
+      (1L, "click", ts(0), 1.5), (1L, "error", ts(60), 2.5), (1L, "click", ts(120), 1.0),
+      // >30min gap → session B: a lone view
+      (1L, "view", ts(120 + 1801), 4.0),
+      // user 2: single-event session — span 0, rate 0
+      (2L, "view", ts(10), 7.25)
+    ).toDF("user_id", "event_type", "ts", "value")
+    val got = WindowOps.sessionFeatures(ev, "user_id", "ts", "event_type", "value")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got((1L, 0L)) === ((1L, 0L, 3L, 120000000L, 1L, 333333L, 2L, 5.0)))
+    assert(got((1L, 1921000000L)) === ((1L, 1921000000L, 1L, 0L, 0L, 0L, 1L, 4.0)))
+    assert(got((2L, 10000000L)) === ((2L, 10000000L, 1L, 0L, 0L, 0L, 1L, 7.25)))
+    assert(got.size === 3)
+  }
+
   test("materializeRetract nets out inserts and retracts, drops fully-retracted keys") {
     val changelog = Seq(
       (1L, 1, 10.0), (1L, 1, 5.0), (1L, -1, 10.0), // user 1: net 1 row, 5.0

@@ -625,6 +625,28 @@ class CorpusStatsSpec extends SparkSpec {
       Some(500000L), Some(200000L), Some(200000L), Some(100000L))))
   }
 
+  test("hillTailIndex: planted lengths replay the ln-micro sum; cutoff ties cost zero") {
+    import spark.implicits._
+    def doc(n: Int, id: Long) = (id, (1 to n).map(i => s"w$i").mkString(" "))
+    // lengths 8,4,2,1,1, k=2 → top3 {8,4,2}, x_k1=2
+    val docs = Seq(doc(8, 1), doc(4, 2), doc(2, 3), doc(1, 4), doc(1, 5))
+      .toDF("doc_id", "text")
+    val lnu = (x: Long) => math.floor(math.log(x.toDouble) * 1e6).toLong
+    val s = (lnu(8) - lnu(2)) + (lnu(4) - lnu(2))
+    val r = CorpusStats.hillTailIndex(docs, "text", k = 2)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(r === ((2L, 2L, s, Some((2L * 2L * 1000000000000L + s) / (2L * s)))))
+    // boundary tie: {5,3,3,3} → top3 {5,3,3}; tied rows contribute 0
+    val tied = Seq(doc(5, 1), doc(3, 2), doc(3, 3), doc(3, 4)).toDF("doc_id", "text")
+    val rt = CorpusStats.hillTailIndex(tied, "text", k = 2)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(rt._1 === 2L && rt._2 === 3L && rt._3 === lnu(5) - lnu(3))
+    // flat head → zero sum → NULL alpha, not a divide
+    val flat = Seq(doc(4, 1), doc(4, 2), doc(4, 3)).toDF("doc_id", "text")
+    assert(CorpusStats.hillTailIndex(flat, "text", k = 2)
+      .as[(Long, Long, Long, Option[Long])].collect().head._4.isEmpty)
+  }
+
   test("hapaxStats: planted counts; both micro denominators replay exactly") {
     import spark.implicits._
     val docs = Seq((1L, "a a b c", "s")).toDF("doc_id", "text", "source")

@@ -48,4 +48,25 @@ class DriftSpec extends SparkSpec {
       .select("psi_term").as[Double].collect()
     assert(terms.length === 2 && terms.forall(_ === 0.0))
   }
+
+  test("ksDrift: hand-computed CDF gaps; ties on the max pick the smallest value") {
+    import org.apache.spark.sql.functions.col
+    // a: {1,1,2}; b: {2,3,3} → na=nb=3; gaps×9 at v=1,2,3: 6,6,0 —
+    // max 6 first reached at v=1; KS = 6/9 → 666667 half-up micro
+    val df = (Seq((1L, "a"), (1L, "a"), (2L, "a")) ++
+      Seq((2L, "b"), (3L, "b"), (3L, "b"))).toDF("v", "g")
+    val r = Drift.ksDrift(df, col("v"), col("g"), "a", "b")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r === ((3L, 3L, 666667L, 1L)))
+  }
+
+  test("ksDrift: identical samples score zero; disjoint supports score 1e6") {
+    import org.apache.spark.sql.functions.col
+    val same = Seq((1L, "a"), (2L, "a"), (1L, "b"), (2L, "b")).toDF("v", "g")
+    assert(Drift.ksDrift(same, col("v"), col("g"), "a", "b")
+      .as[(Long, Long, Long, Long)].collect().head._3 === 0L)
+    val disjoint = Seq((1L, "a"), (2L, "a"), (10L, "b"), (11L, "b")).toDF("v", "g")
+    assert(Drift.ksDrift(disjoint, col("v"), col("g"), "a", "b")
+      .as[(Long, Long, Long, Long)].collect().head._3 === 1000000L)
+  }
 }

@@ -853,6 +853,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q140: dim-moment frame broadcasts back; the exploded stream never shuffle-joins") {
+    val df = SparkEntry.queries("q140_embedding_zscore")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"|dims|-row stats must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"stats join degraded to SMJ:\n$plan")
+  }
+
   test("global sweep: no query plans a CartesianProduct") {
     // crossJoin is only ever used against a broadcast 1-row aggregate
     // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an

@@ -410,6 +410,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!got(1L)._3 && !got(11L)._3)
   }
 
+  test("standardizeEmbeddings: planted moments replay; constant dim yields NULL") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1f, 5f)), (2L, Array(3f, 5f)), (3L, Array(5f, 5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.standardizeEmbeddings(vecs, "vec_id", "embedding")
+      .as[(Long, Int, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // dim 0: micros {1e6,3e6,5e6} → mean 3e6; ex2 = (2·35e12+3)//6 =
+    // 11666666666667; var = ex2 − 9e12 = 2666666666667
+    val z = (xm: Long) =>
+      math.floor((xm - 3000000L).toDouble / math.sqrt(2666666666667.0) * 1e6).toLong
+    assert(got((1L, 0)) === Some(z(1000000L)))
+    assert(got((2L, 0)) === Some(0L))
+    assert(got((3L, 0)) === Some(z(5000000L)))
+    assert(z(1000000L) === -z(5000000L) - 1, "floor is asymmetric around 0 by design")
+    assert((1L to 3L).forall(i => got((i, 1)).isEmpty), "constant dim → NULL, not ±inf")
+  }
+
   test("embeddingOutlierProfile: constant norms give zero variance and no outliers") {
     import spark.implicits._
     val vecs = (1L to 5L).map(i => (i, Array(0f, 2f))).toDF("vec_id", "embedding")

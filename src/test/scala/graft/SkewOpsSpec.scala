@@ -29,4 +29,21 @@ class SkewOpsSpec extends SparkSpec {
     assert(direct.except(salted).isEmpty && salted.except(direct).isEmpty)
     assert(salted.count() === 10000)
   }
+
+  test("keySkewProfile: exact order stats off the count-of-counts frame") {
+    // keys: a×6, b×2, c×1, d×1 → count-of-counts {1→2, 2→1, 6→1};
+    // p50 = value at rank ⌈0.5·4⌉=2 → 1; p99 at rank 4 → 6
+    val rows = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("rid", "key")
+    val r = SkewOps.keySkewProfile(rows, $"key")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r === ((4L, 10L, 6L, 1L, 6L, 600000L)))
+  }
+
+  test("keySkewProfile: uniform keys put every order stat at the shared count") {
+    val rows = (0 until 12).map(i => (i.toLong, s"k${i % 4}")).toDF("rid", "key")
+    val r = SkewOps.keySkewProfile(rows, $"key")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r === ((4L, 12L, 3L, 3L, 3L, 250000L)))
+  }
 }

@@ -84,6 +84,32 @@ class StreamingCorpusStatsSpec extends SparkSpec {
     q.stop()
   }
 
+  case class VecEv(embedding: Array[Float], event_time: java.sql.Timestamp)
+
+  test("windowedNormProfile: closed window replays the q133 moment formulas; zero vector counted") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[VecEv]
+    val out = StreamingCorpusStats.windowedNormProfile(in.toDF(), "embedding",
+      "event_time", windowLen = "10 seconds", delay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("norm_t")
+      .outputMode("append").start()
+    // norms: 1.0, 2.0, 0.0 → micros {1e6, 2e6, 0}
+    in.addData(
+      VecEv(Array(1f, 0f), ts(1)), VecEv(Array(0f, 2f), ts(2)),
+      VecEv(Array(0f, 0f), ts(3)))
+    q.processAllAvailable()
+    assert(spark.table("norm_t").count() === 0, "window still open")
+    in.addData(VecEv(Array(1f, 0f), ts(25)))
+    q.processAllAvailable()
+    val rows = spark.table("norm_t")
+      .as[(Long, Long, Long, Long, Long)].collect().filter(_._1 == 0L)
+    assert(rows.length === 1)
+    // mean = (2·3e6+3)//6 = 1000000; E[x²] = (2·5e12+3)//6 =
+    // 1666666666667; var = E[x²] − mean² = 666666666667
+    assert(rows.head === ((0L, 3L, 1L, 1000000L, 666666666667L)))
+    q.stop()
+  }
+
   test("windowedCalibration: closed window matches batch calibrationBins bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[DocEv]
