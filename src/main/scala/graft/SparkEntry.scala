@@ -1143,6 +1143,49 @@ object SparkEntry {
         t(s, dir, "documents").select(
           explode(TextAnalysis.tokens(col("text"))).as("tok")), col("tok"))),
 
+    // ── HLL distinct sketch: O(m) mergeable registers off the portable
+    //    md5-48 hash — deterministic, so even the estimate is
+    //    oracle-exact; nothing after the distinct is corpus-sized ──
+    "q144_hll_distinct" -> ((s, dir) =>
+      CorpusStats.hllDistinctTokens(t(s, dir, "documents"), "lang", "text")),
+
+    // ── median/MAD robust outliers: two count-of-counts shuffles, the
+    //    cumulative windows see distinct VALUES, never rows ──
+    "q145_mad_outliers" -> ((s, dir) =>
+      operators.Profiling.madOutlierProfile(t(s, dir, "documents"),
+        "source", col("n_chars"))),
+
+    // ── per-doc OOV rate vs the corpus top-V vocab: TakeOrdered top-V
+    //    broadcasts onto one cached tokenize; per-doc fold ──
+    "q146_oov_rate" -> ((s, dir) =>
+      CorpusStats.oovRate(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 500)),
+
+    // ── shard composition entropy: one (shard, source) combinable
+    //    shuffle; the sharding-vs-provenance bias alarm ──
+    "q147_shard_entropy" -> ((s, dir) =>
+      Sampling.shardCompositionEntropy(t(s, dir, "documents"),
+        "doc_id", "source")),
+
+    // ── dup-graph degree histogram: endpoint union → two combinable
+    //    counts; hub detection without materializing extra pairs ──
+    "q148_dup_degree" -> ((s, dir) =>
+      Dedup.dupGraphDegrees(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
+
+    // ── N-step sequential funnel: every reach-time is a conditional
+    //    min over ONE user-key exchange; no self-joins, no per-step
+    //    scan ──
+    "q149_funnel_steps" -> ((s, dir) =>
+      graft.operators.WindowOps.funnelSteps(t(s, dir, "events"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
+
+    // ── doc-level co-occurrence: postings self-join bounded to the
+    //    broadcast top-V vocab — ≤V² pairs per doc by parameter ──
+    "q150_cooccurrence" -> ((s, dir) =>
+      CorpusStats.tokenCooccurrence(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 40, minSupport = 25L)),
+
     // ── lexical diversity: one cached tokenize feeds both gram
     //    orders; (source, gram) pre-aggs de-skew; |sources|-row join ──
     "q128_lexical_diversity" -> ((s, dir) =>
@@ -4067,6 +4110,215 @@ object SparkEntry {
            CAST(min(CASE WHEN cum*100 >= keys*99 THEN n END) AS BIGINT) AS p99_n,
            CAST((2*max(n)*1000000 + max(rws)) // (2*max(rws)) AS BIGINT) AS top_share_micro
          FROM r""",
+    // HLL distinct tokens per lang: the q52 md5-48 hex-parse contract;
+    // register index = top 6 bits, ρ via the minimal-binary length
+    // (bin() is minimal in both engines), Z in exact 2^(50−M) integer
+    // units, α₆₄ = the spec constant 709341 micro. HUGEINT only in
+    // the α·m²·2^50 intermediate — every output column casts BIGINT.
+    "q144_hll_distinct" ->
+      """WITH t AS (
+           SELECT lang,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), h AS (
+           SELECT DISTINCT lang,
+             CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT) AS h
+           FROM (SELECT lang, md5(tok) AS hx
+                 FROM (SELECT lang, unnest(toks) AS tok FROM t))
+         ), br AS (
+           SELECT lang, h // 4398046511104 AS b,
+             CASE WHEN h % 4398046511104 = 0 THEN 43
+                  ELSE 43 - length(bin(h % 4398046511104)) END AS rho
+           FROM h
+         ), regs AS (
+           SELECT lang, b, max(rho) AS mr FROM br GROUP BY 1, 2
+         ), agg AS (
+           SELECT lang, count(*) AS present,
+             sum(CAST(power(2, 50 - mr) AS BIGINT)) AS zp
+           FROM regs GROUP BY 1
+         ), ex AS (
+           SELECT lang, count(*) AS n_exact FROM h GROUP BY 1
+         ), fin AS (
+           SELECT a.lang, ex.n_exact, 64 - a.present AS v_zero,
+             a.zp + (64 - a.present) * 1125899906842624 AS z_int
+           FROM agg a JOIN ex USING (lang)
+         ), est AS (
+           SELECT lang, n_exact, v_zero, z_int,
+             CAST((CAST(2 AS HUGEINT)*709341*4096*1125899906842624
+                   + CAST(1000000 AS HUGEINT)*z_int)
+                  // (CAST(2000000 AS HUGEINT)*z_int) AS BIGINT) AS est_raw,
+             CASE WHEN v_zero > 0 THEN
+               (2*64*CAST(floor(ln(64.0/v_zero)*1e6) AS BIGINT) + 1000000) // 2000000 END AS est_lin
+           FROM fin
+         )
+         SELECT lang, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(v_zero AS BIGINT) AS v_zero, CAST(z_int AS BIGINT) AS z_int,
+           est_raw,
+           CAST(CASE WHEN est_raw <= 160 AND v_zero > 0 THEN est_lin
+                ELSE est_raw END AS BIGINT) AS est_hll
+         FROM est""",
+    // Doc-level co-occurrence: DISTINCT (doc, token) df convention;
+    // lift product through HUGEINT (q121 mirror), outputs all BIGINT.
+    "q150_cooccurrence" ->
+      """WITH tk AS (
+           SELECT DISTINCT doc_id, token FROM (
+             SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+             FROM documents)
+         ), vocab AS (
+           SELECT token, df FROM (
+             SELECT token, count(*) AS df FROM tk GROUP BY 1
+           ) ORDER BY df DESC, token LIMIT 40
+         ), p AS (
+           SELECT tk.doc_id, tk.token FROM tk JOIN vocab ON tk.token = vocab.token
+         ), pr AS (
+           SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_ab
+           FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.token < b.token
+           GROUP BY 1, 2 HAVING count(*) >= 25
+         ), nn AS (SELECT count(*) AS n FROM documents)
+         SELECT tok_a, tok_b, CAST(va.df AS BIGINT) AS n_a,
+           CAST(vb.df AS BIGINT) AS n_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST((2 * n_ab * 1000000 + va.df) // (2 * va.df) AS BIGINT) AS conf_micro,
+           CAST((CAST(2 AS HUGEINT) * n_ab * nn.n * 1000000
+                 + CAST(va.df AS HUGEINT) * vb.df)
+                // (CAST(2 AS HUGEINT) * va.df * vb.df) AS BIGINT) AS lift_micro
+         FROM pr
+         JOIN vocab va ON pr.tok_a = va.token
+         JOIN vocab vb ON pr.tok_b = vb.token, nn""",
+    // Sequential funnel: m_k = first step-k event STRICTLY after the
+    // user's m_{k−1} (NULL propagates "never reached"); ratios //.
+    "q149_funnel_steps" ->
+      """WITH e AS (
+           SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us FROM events
+         ), s0 AS (
+           SELECT u, min(CASE WHEN t = 'view' THEN us END) AS m0 FROM e GROUP BY 1
+         ), s1 AS (
+           SELECT e.u, min(CASE WHEN t = 'click' AND us > m0 THEN us END) AS m1
+           FROM e JOIN s0 USING (u) GROUP BY 1
+         ), s2 AS (
+           SELECT e.u, min(CASE WHEN t = 'purchase' AND us > m1 THEN us END) AS m2
+           FROM e JOIN s1 USING (u) GROUP BY 1
+         ), n AS (
+           SELECT (SELECT count(m0) FROM s0) AS n0,
+             (SELECT count(m1) FROM s1) AS n1,
+             (SELECT count(m2) FROM s2) AS n2
+         ), sel AS (
+           SELECT 0 AS step, 'view' AS event_type, n0 AS n_users,
+             CAST(NULL AS BIGINT) AS prev, n0 AS fst FROM n
+           UNION ALL SELECT 1, 'click', n1, n0, n0 FROM n
+           UNION ALL SELECT 2, 'purchase', n2, n1, n0 FROM n
+         )
+         SELECT CAST(step AS BIGINT) AS step, event_type,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(CASE WHEN prev > 0 THEN
+             (2 * n_users * 1000000 + prev) // (2 * prev) END AS BIGINT) AS from_prev_micro,
+           CAST(CASE WHEN fst > 0 THEN
+             (2 * n_users * 1000000 + fst) // (2 * fst) END AS BIGINT) AS from_first_micro
+         FROM sel""",
+    // Dup-graph degrees: the q19 pair CTEs verbatim; degree-0 row
+    // derives from corpus minus touched (q112's singleton idiom).
+    "q148_dup_degree" ->
+      s"""WITH pairs AS (
+           SELECT id_a, id_b FROM ($minhashPairsSql)
+         ), ep AS (
+           SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
+         ), deg AS (
+           SELECT id, count(*) AS degree FROM ep GROUP BY 1
+         ), hist AS (
+           SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1
+         ), tot AS (SELECT count(*) AS n FROM documents),
+         tch AS (SELECT count(*) AS k FROM deg)
+         SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(n_docs AS BIGINT) AS n_docs FROM hist
+         UNION ALL
+         SELECT CAST(0 AS BIGINT), CAST(n - k AS BIGINT) FROM tot, tch""",
+    // Shard composition entropy: the q126 md5-shard idiom (first 8
+    // hex % 16); each ln of an integer count floor-snaps to micro
+    // before the weighted sum (q132 rule), divides shifted half-up.
+    "q147_shard_entropy" ->
+      """WITH b AS (
+           SELECT CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 16 AS BIGINT) AS shard,
+             source
+           FROM (SELECT source, md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+         ), cnt AS (
+           SELECT shard, source, count(*) AS c FROM b GROUP BY 1, 2
+         ), per AS (
+           SELECT shard, sum(c) AS n_docs, count(*) AS n_sources,
+             sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS term
+           FROM cnt GROUP BY 1
+         ), e AS (
+           SELECT shard, n_docs, n_sources,
+             CAST(floor(ln(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+               - (2 * term + n_docs) // (2 * n_docs) AS h,
+             CAST(floor(ln(CAST(n_sources AS DOUBLE)) * 1e6) AS BIGINT) AS ln_ns
+           FROM per
+         )
+         SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(h AS BIGINT) AS entropy_micro,
+           CAST(CASE WHEN n_sources > 1 THEN
+             (2000000 * h + ln_ns) // (2 * ln_ns) END AS BIGINT) AS evenness_micro
+         FROM e""",
+    // Per-doc OOV rate: top-500 vocab by (count DESC, token) — the
+    // q42 ranking convention; counts are BIGINT, ratio half-up //.
+    "q146_oov_rate" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS token
+           FROM documents
+         ), vocab AS (
+           SELECT token FROM (
+             SELECT token, count(*) AS c FROM tk GROUP BY 1
+           ) ORDER BY c DESC, token LIMIT 500
+         )
+         SELECT tk.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST((2 * sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) * 1000000
+                 + count(*)) // (2 * count(*)) AS BIGINT) AS oov_micro
+         FROM tk LEFT JOIN vocab ON tk.token = vocab.token
+         GROUP BY tk.doc_id""",
+    // Median/MAD robust outliers: LOWER medians as order statistics
+    // (cum·2 ≥ n on the count-of-counts frame — never interpolated),
+    // strict integer cut compare; window sums are HUGEINT → every
+    // output column casts BIGINT.
+    "q145_mad_outliers" ->
+      """WITH rws AS (
+           SELECT source AS grp, CAST(n_chars AS BIGINT) AS v FROM documents
+         ), cc AS (
+           SELECT grp, v, count(*) AS k FROM rws GROUP BY 1, 2
+         ), r AS (
+           SELECT grp, v,
+             sum(k) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(k) OVER (PARTITION BY grp) AS n
+           FROM cc
+         ), med AS (
+           SELECT grp, max(n) AS n,
+             min(CASE WHEN cum * 2 >= n THEN v END) AS median
+           FROM r GROUP BY 1
+         ), dv AS (
+           SELECT rws.grp, abs(v - median) AS d
+           FROM rws JOIN med USING (grp)
+         ), dcc AS (
+           SELECT grp, d, count(*) AS k FROM dv GROUP BY 1, 2
+         ), dr AS (
+           SELECT grp, d,
+             sum(k) OVER (PARTITION BY grp ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(k) OVER (PARTITION BY grp) AS n
+           FROM dcc
+         ), mad AS (
+           SELECT grp, min(CASE WHEN cum * 2 >= n THEN d END) AS mad
+           FROM dr GROUP BY 1
+         ), o AS (
+           SELECT rws.grp,
+             sum(CASE WHEN abs(v - median) > 3 * mad THEN 1 ELSE 0 END) AS n_outliers
+           FROM rws JOIN med USING (grp) JOIN mad USING (grp) GROUP BY 1
+         )
+         SELECT med.grp AS source, CAST(med.n AS BIGINT) AS n,
+           CAST(med.median AS BIGINT) AS median, CAST(mad.mad AS BIGINT) AS mad,
+           CAST(o.n_outliers AS BIGINT) AS n_outliers,
+           CAST((2 * o.n_outliers * 1000000 + med.n) // (2 * med.n) AS BIGINT) AS outlier_micro
+         FROM med JOIN mad USING (grp) JOIN o USING (grp)""",
     // Lexical diversity: bigram string = the q18 space-join gram
     // convention; ratios shifted half-up //, NULL when no bigrams.
     "q128_lexical_diversity" ->

@@ -1333,4 +1333,163 @@ object CorpusStats {
           intDiv(lit(2L) * col("__k") * lit(1000000000000L) + col("sum_ln_micro"),
             lit(2L) * col("sum_ln_micro")).cast("long")).as("alpha_micro"))
   }
+
+  /** Per-document OOV rate against the corpus's own top-V vocabulary —
+    * the tokenizer-coverage twin of [[vocabCoverage]]: that op sizes
+    * the vocab from the corpus side (what mass does top-V hold?), this
+    * scores each DOCUMENT against a fixed V (how much of THIS doc
+    * would an in-vocab tokenizer shatter into UNK/bytes?) — the
+    * per-example signal a curation pass thresholds to drop docs that
+    * are mostly out-of-vocabulary noise for the target tokenizer.
+    *
+    * Vocabulary = top V tokens by (count DESC, token) — the exact
+    * [[heavyHitterTokens]] ranking, ties token-lexicographic so the
+    * cut is deterministic. oov_micro is the shifted half-up ratio.
+    *
+    * Scale shape: one cached tokenize feeds the vocab aggregate AND
+    * the scoring pass; top-V is TakeOrderedAndProject (never a global
+    * sort) and V is bounded by contract, so membership is a BROADCAST
+    * left join onto the token stream; one per-doc combinable fold.
+    * Output: (id, n_tokens, n_oov, oov_micro). */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    require(vocabSize >= 1)
+    val tok = tokenized(docs, idCol, textCol).cache()
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("__c"))
+      .orderBy(desc("__c"), asc("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("__in"))
+    CacheScope.scoped(
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id").as(idCol), col("n_tokens"), col("n_oov"),
+          intDiv(lit(2L) * col("n_oov") * 1000000L + col("n_tokens"),
+            lit(2L) * col("n_tokens")).cast("long").as("oov_micro")),
+      tok)
+  }
+
+  /** Doc-level token co-occurrence with association strength — the
+    * frequent-itemset/collocation pass at DOCUMENT granularity
+    * ([[pmiBigrams]] is the ADJACENCY twin): for every pair of top-V
+    * vocabulary tokens appearing in ≥ `minSupport` common documents,
+    * the support, a→b confidence and the symmetric lift — the "these
+    * topics travel together" diagnostic that surfaces template
+    * families and topical clusters before any embedding exists.
+    *
+    * Counts are document frequencies over DISTINCT (doc, token) — the
+    * association-rule convention (a token repeated in one doc counts
+    * once). Confidence/lift in shifted half-up micro; the lift product
+    * n_ab·N·10⁶ runs in DECIMAL(38,0) (q121 HUGEINT-mirror rule).
+    *
+    * Scale shape: the pair join is the inverted-index self-join
+    * RESTRICTED to the broadcast top-V vocabulary — per-doc pair
+    * volume is ≤ V², bounded by the parameter, never by the corpus's
+    * own vocabulary; one cached distinct-postings shuffle feeds the
+    * vocab ranking AND both join sides; df/N lookups broadcast.
+    * Output: (tok_a, tok_b, n_a, n_b, n_ab, conf_micro, lift_micro). */
+  def tokenCooccurrence(docs: DataFrame, idCol: String, textCol: String,
+                        vocabSize: Int, minSupport: Long): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    require(vocabSize >= 2 && minSupport >= 1)
+    val dec = "decimal(38,0)"
+    val tok = tokenized(docs, idCol, textCol).distinct().cache()
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("token")).limit(vocabSize).cache()
+    val postings = tok.join(broadcast(vocab.select("token")), "token")
+    val a = postings.select(col("doc_id"), col("token").as("tok_a"))
+    val b = postings.select(col("doc_id"), col("token").as("tok_b"))
+    val pairs = a.join(b, "doc_id").where(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    val total = docs.agg(count(lit(1)).as("__N"))
+    val dfA = vocab.select(col("token").as("tok_a"), col("df").as("n_a"))
+    val dfB = vocab.select(col("token").as("tok_b"), col("df").as("n_b"))
+    CacheScope.scoped(
+      pairs.join(broadcast(dfA), "tok_a").join(broadcast(dfB), "tok_b")
+        .crossJoin(broadcast(total))
+        .select(col("tok_a"), col("tok_b"), col("n_a"), col("n_b"), col("n_ab"),
+          intDiv(lit(2L) * col("n_ab") * 1000000L + col("n_a"),
+            lit(2L) * col("n_a")).cast("long").as("conf_micro"),
+          intDiv(lit(2L).cast(dec) * col("n_ab").cast(dec) * col("__N").cast(dec)
+              * lit(1000000L).cast(dec) + col("n_a").cast(dec) * col("n_b").cast(dec),
+            lit(2L).cast(dec) * col("n_a").cast(dec) * col("n_b").cast(dec))
+            .cast("long").as("lift_micro")),
+      tok, vocab)
+  }
+
+  /** HyperLogLog distinct-token estimate per group (Flajolet et al.
+    * 2007) — the O(m)-state complement to [[kmvDistinctGrams]]: KMV
+    * keeps the k smallest hashes (state grows with k for precision),
+    * HLL keeps m = 64 one-byte registers whatever the precision
+    * target, and registers MERGE by element-wise max — the sketch a
+    * 100 TB cardinality dashboard actually ships between nodes.
+    *
+    * Deterministic by construction: the "random" hash is the portable
+    * md5-48 contract (same bits in any engine), so registers, the
+    * integer Z-sum and both estimates are engine-exact — even the
+    * APPROXIMATION error is reproducible, which is what makes the
+    * oracle hash-comparable. Register index = top 6 hash bits, rank
+    * ρ = leading-zero count of the remaining 42 bits + 1 (via the
+    * minimal-binary-string length, identical in both engines; rem = 0
+    * ⇒ ρ = 43). Z is summed in exact integer units 2^(50−M_j) (each
+    * term ≤ 2^50, 64 terms < 2^56 — BIGINT), empty registers
+    * contribute 2^50 each. Raw estimate = α₆₄·m²·2^50/Z with α₆₄
+    * snapped to the spec constant 709341 micro BY DEFINITION (the
+    * bias constant is a modeling choice, not a computed value); the
+    * ≤ 2.5m small-range regime reports linear counting m·ln(m/V)
+    * (V = empty registers) under the ln libm-parity contract. The
+    * exact `n_exact` contrast column is droppable at scale.
+    *
+    * Plan: one DISTINCT (grp, hash) combinable shuffle (the cached
+    * frame feeds the exact count AND the registers), one (grp,
+    * register) max-agg, then a fold to |groups| rows. Nothing after
+    * the distinct is corpus-sized. */
+  def hllDistinctTokens(docs: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val m = 64L                 // 2^6 registers
+    val remBits = 42            // 48-bit hash minus the 6 index bits
+    val alphaMicro = 709341L    // α₆₄ = .7213/(1+1.079/64), spec-snapped
+    val dec = "decimal(38,0)"
+    val distinctHashes = docs
+      .select(col(groupCol).as("grp"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= 1)
+      .select(col("grp"),
+        explode(graft.expressions.HashExpressions.md5GramHashes48(col("__toks"), 1)).as("h"))
+      .distinct().cache()
+    val regs = distinctHashes
+      .select(col("grp"), intDiv(col("h"), lit(1L << remBits)).as("b"),
+        (col("h") % lit(1L << remBits)).as("rem"))
+      .select(col("grp"), col("b"),
+        when(col("rem") === 0L, lit(remBits + 1))
+          .otherwise(lit(remBits + 1) - length(bin(col("rem")))).as("rho"))
+      .groupBy("grp", "b").agg(max("rho").as("mr"))
+      // 2^(50−mr): mr ≤ 43 so the exponent ∈ [7, 49] — double-exact,
+      // the cast is an integer identity
+      .groupBy("grp").agg(count(lit(1)).as("__present"),
+        sum(pow(lit(2.0), lit(50) - col("mr")).cast("long")).as("__zp"))
+    val exact = distinctHashes.groupBy("grp").agg(count(lit(1)).as("n_exact"))
+    val zInt = col("__zp") + (lit(m) - col("__present")) * lit(1L << 50)
+    val vZero = (lit(m) - col("__present")).cast("long")
+    // round(α·m²·2^50 / Z) in DECIMAL(38,0) (the q121 HUGEINT-mirror
+    // rule: α·m²·2^50 ≈ 2^84 overflows BIGINT)
+    val estRaw = intDiv(
+      lit(2L).cast(dec) * lit(alphaMicro).cast(dec) * lit(m * m).cast(dec) *
+        lit(1L << 50).cast(dec) + lit(1000000L).cast(dec) * zInt.cast(dec),
+      lit(2000000L).cast(dec) * zInt.cast(dec)).cast("long")
+    // linear counting m·ln(m/V): m/V is one IEEE divide, ln under the
+    // libm-parity contract, floor-snapped to micro before the half-up
+    val lnMicro = floor(log(lit(m.toDouble) / vZero.cast("double")) * lit(1e6)).cast("long")
+    val estLin = intDiv(lit(2L) * lit(m) * lnMicro + lit(1000000L), lit(2000000L)).cast("long")
+    CacheScope.scoped(
+      regs.join(exact, "grp")
+        .select(col("grp").as(groupCol), col("n_exact"),
+          vZero.as("v_zero"), zInt.cast("long").as("z_int"),
+          estRaw.as("est_raw"),
+          when(estRaw <= lit(160L) && vZero > 0L, estLin)
+            .otherwise(estRaw).as("est_hll")),
+      distinctHashes)
+  }
 }

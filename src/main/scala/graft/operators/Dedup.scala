@@ -985,6 +985,38 @@ object Dedup {
       bySize)
   }
 
+  /** Degree histogram of the near-dup PAIR graph — the structural
+    * companion to [[dupClusterStats]]: the size histogram says how big
+    * the components are, the degree histogram says how they're WIRED.
+    * A heavy high-degree tail means hub documents (boilerplate pages
+    * near-duplicating hundreds of others) — exactly the rows that
+    * blow up pair volume and that a `maxShingleFreq`-style cap or a
+    * representative-first pass must handle; a graph of low, uniform
+    * degree is honest pairwise duplication that clustering resolves
+    * cheaply. Degree-0 (untouched docs) derives from the corpus count
+    * minus the touched count — two 1-row broadcasts, no extra corpus
+    * pass (the [[dupClusterStats]] singleton idiom).
+    *
+    * Plan: the [[minHashLshPairs]] pair list (inverted-index + banded
+    * buckets — never all-pairs) unions its two endpoint columns, ONE
+    * map-combinable count to per-doc degrees, one more to the ≤
+    * max-degree histogram frame. Output: (degree, n_docs). */
+  def dupGraphDegrees(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, numHashes: Int, bands: Int,
+                      minJaccard: Double): DataFrame = {
+    val pairs = minHashLshPairs(docs, idCol, textCol, shingleN, numHashes,
+      bands, minJaccard)
+    val deg = pairs.select(col("id_a").as("__id"))
+      .unionAll(pairs.select(col("id_b").as("__id")))
+      .groupBy("__id").agg(count(lit(1)).as("degree")).cache()
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
+    val total = docs.agg(count(lit(1)).as("__n"))
+    val touched = deg.agg(count(lit(1)).as("__k"))
+    val zero = total.crossJoin(broadcast(touched))
+      .select(lit(0L).as("degree"), (col("__n") - col("__k")).as("n_docs"))
+    CacheScope.scoped(hist.unionAll(zero), deg)
+  }
+
   /** Fingerprint-overlap near-dup pairs (the MOSS shape, Schleimer '03
     * §4): docs sharing ≥ `minShared` winnowing fingerprints, with both
     * containment ratios (shared / own fingerprint count). Catches

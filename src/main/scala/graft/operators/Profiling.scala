@@ -168,4 +168,58 @@ object Profiling {
           intDiv(lit(2L) * col("n_matched") * 1000000L + col("n_docs"),
             lit(2L) * col("n_docs")).cast("long")).as("coverage_micro"))
   }
+
+  /** Per-group robust outlier profile — median/MAD instead of
+    * mean/stddev: ONE corrupt mega-row drags a z-score gate's own
+    * μ/σ toward itself (masking), while the median and the median
+    * absolute deviation have a 50% breakdown point — the robust gate
+    * an intake pipeline runs on length/metric columns BEFORE any
+    * moment-based profile ([[numericProfile]]) is trustworthy.
+    *
+    * All-integer and tie-free by construction: the input is an
+    * integral column, both medians are the LOWER median (the smallest
+    * value whose cumulative count reaches ⌈n/2⌉ — an order statistic,
+    * never an interpolated double), deviations are exact |v − med|,
+    * and a row is an outlier iff |v − med| > `cut`·MAD (strict,
+    * integer compare). outlier_micro is the shifted half-up ratio
+    * (CLAUDE.md integer-ratio rule).
+    *
+    * Scale shape: two corpus-sized map-combinable shuffles — (grp, v)
+    * counts, then (grp, |v−med|) counts — each folded through a
+    * cumulative window over the per-group DISTINCT-VALUE frame (the
+    * q143 count-of-counts pattern: the window never sees |rows|), with
+    * the catalog-sized med/MAD frames broadcast back onto the scan.
+    * Output: (group, n, median, mad, n_outliers, outlier_micro). */
+  def madOutlierProfile(df: DataFrame, groupCol: String, valueCol: Column,
+                        cut: Long = 3L): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    import org.apache.spark.sql.expressions.Window
+    require(cut >= 1)
+    def lowerMedian(rows: DataFrame, vName: String, outName: String): DataFrame = {
+      val cc = rows.groupBy("__grp", vName).agg(count(lit(1)).as("__k"))
+      val wCum = Window.partitionBy("__grp").orderBy(vName)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("__grp")
+      cc.withColumn("__cum", sum("__k").over(wCum))
+        .withColumn("__n", sum("__k").over(wAll))
+        .groupBy("__grp")
+        .agg(max("__n").as("__n"),
+          min(when(col("__cum") * 2 >= col("__n"), col(vName))).as(outName))
+    }
+    val rows = df.select(col(groupCol).as("__grp"), valueCol.cast("long").as("__v")).cache()
+    val med = lowerMedian(rows, "__v", "median")
+    val devs = rows.join(broadcast(med), "__grp")
+      .select(col("__grp"), abs(col("__v") - col("median")).as("__d"))
+    val mad = lowerMedian(devs, "__d", "mad").drop("__n")
+    CacheScope.scoped(
+      rows.join(broadcast(med), "__grp").join(broadcast(mad), "__grp")
+        .groupBy(col("__grp").as(groupCol))
+        .agg(max("__n").as("n"), max("median").as("median"), max("mad").as("mad"),
+          sum(when(abs(col("__v") - col("median")) > col("mad") * cut, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col(groupCol), col("n"), col("median"), col("mad"), col("n_outliers"),
+          intDiv(lit(2L) * col("n_outliers") * 1000000L + col("n"),
+            lit(2L) * col("n")).cast("long").as("outlier_micro")),
+      rows)
+  }
 }

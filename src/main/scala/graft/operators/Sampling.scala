@@ -521,6 +521,50 @@ object Sampling {
         share.as("share_micro"), (share - ideal).as("dev_micro"))
   }
 
+  /** Per-shard source-composition entropy — the companion audit to
+    * [[shardBalance]]: that op checks shards carry EQUAL LOAD, this
+    * checks each shard carries the SAME MIX. A sharding key correlated
+    * with provenance (crawl batch ids, time-prefixed ids) gives every
+    * shard a different source distribution, so any per-shard worker —
+    * a curriculum epoch, a distillation job, an eval slice — trains on
+    * a biased sub-corpus while the load numbers look perfectly flat.
+    * Near-zero entropy on a multi-source corpus is the alarm.
+    *
+    * Shannon entropy in exact integer micro-units under the repo's
+    * ln-snap contract (the q132 rule: each ln of an INTEGER count
+    * floor-snaps to micro BEFORE the weighted sum, the mean divide is
+    * shifted half-up): H = lnµ(n) − ⌈Σ c·lnµ(c) / n⌋. Evenness
+    * normalizes by lnµ(n_sources) — 1e6 ⇒ the shard mirrors a uniform
+    * mix over its sources. Both are engine-exact BIGINTs.
+    *
+    * Scale shape: the [[md5Bucket]] shard is a stateless per-row
+    * expression; ONE map-combinable shuffle onto (shard, source) —
+    * ≤ shards·|sources| groups — and every window-free derivation
+    * after it runs on that tiny frame. Output: (shard, n_docs,
+    * n_sources, entropy_micro, evenness_micro). */
+  def shardCompositionEntropy(docs: DataFrame, idCol: String,
+                              sourceCol: String, shards: Int = 16,
+                              seed: String = "graft"): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    require(shards >= 1)
+    val lnMicro = (c: Column) => floor(log(c.cast("double")) * lit(1e6)).cast("long")
+    val per = docs
+      .select(md5Bucket(idCol, shards, seed).cast("long").as("shard"),
+        col(sourceCol).as("__src"))
+      .groupBy("shard", "__src").agg(count(lit(1)).as("__c"))
+      .groupBy("shard").agg(
+        sum("__c").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(col("__c") * lnMicro(col("__c"))).as("__term"))
+    val h = lnMicro(col("n_docs")) -
+      intDiv(lit(2L) * col("__term") + col("n_docs"), lit(2L) * col("n_docs"))
+    per.select(col("shard"), col("n_docs"), col("n_sources"),
+      h.cast("long").as("entropy_micro"),
+      when(col("n_sources") > 1L,
+        intDiv(lit(2000000L) * h + lnMicro(col("n_sources")),
+          lit(2L) * lnMicro(col("n_sources"))).cast("long")).as("evenness_micro"))
+  }
+
   /** Deterministic global shuffle ordinal — the reproducible corpus
     * permutation every training dataloader consumes (examples must be
     * visited in a fixed pseudo-random order, identical across reruns,

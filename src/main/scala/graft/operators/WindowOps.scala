@@ -135,4 +135,61 @@ object WindowOps {
         valueCols.map(c => col(s"__first.$c").as(s"first_$c")) :+
         (col("n_rows") - 1).as("n_dups"): _*)
   }
+
+  /** N-step sequential funnel — the generalization of
+    * [[conversionWithin]]'s two-step form: a user reaches step k when
+    * an event of step k's type occurs STRICTLY AFTER the timestamp at
+    * which they reached step k−1 (the "first view, then first click
+    * after that view, then first purchase after that click" sequential
+    * semantics — a purchase BEFORE the click does not count, which a
+    * per-type min-timestamp pivot would get wrong).
+    *
+    * Exact epoch-micros comparisons end-to-end; step-over-step and
+    * overall conversion in shifted half-up micro (CLAUDE.md rule).
+    *
+    * Scale shape: every reach timestamp m_k is a conditional min over
+    * the SAME user-key window — Spark plans ONE hashpartitioning
+    * exchange and chains the Window operators on it (no self-joins, no
+    * per-step scan); the per-user frame folds to one row per step via
+    * a `stack` on the |steps|-row summary, and the only rank-free
+    * single-partition window runs on that ≤|steps|-row frame.
+    * Output: (step, event_type, n_users, from_prev_micro,
+    * from_first_micro). */
+  def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, steps: Seq[String]): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    import org.apache.spark.sql.expressions.Window
+    require(steps.nonEmpty)
+    val w = Window.partitionBy("__u")
+    var df = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      unix_micros(col(tsCol)).as("__us"))
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val reached = if (i == 0) col("__t") === st
+        else col("__t") === st && col("__us") > col(s"__m${i - 1}")
+      df = df.withColumn(s"__m$i", min(when(reached, col("__us"))).over(w))
+    }
+    val perUser = df.groupBy("__u")
+      .agg(max(col("__m0")).as("__m0"),
+        steps.indices.drop(1).map(i => max(col(s"__m$i")).as(s"__m$i")): _*)
+    val counts = perUser.select(
+      steps.indices.map(i =>
+        sum(when(col(s"__m$i").isNotNull, 1L).otherwise(0L)).as(s"__n$i")): _*)
+    val stacked = counts.select(expr(
+      s"stack(${steps.size}, " + steps.indices.map(i =>
+        s"CAST($i AS BIGINT), '${steps(i)}', __n$i").mkString(", ") +
+        ") AS (step, event_type, n_users)"),
+      col("__n0").as("__first"))
+    val wStep = Window.partitionBy().orderBy("step")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the lag window sees |steps| rows — bounded by the parameter list
+    stacked
+      .withColumn("__prev", last("n_users").over(wStep))
+      .select(col("step"), col("event_type"), col("n_users"),
+        when(col("__prev") > 0L,
+          intDiv(lit(2L) * col("n_users") * 1000000L + col("__prev"),
+            lit(2L) * col("__prev")).cast("long")).as("from_prev_micro"),
+        when(col("__first") > 0L,
+          intDiv(lit(2L) * col("n_users") * 1000000L + col("__first"),
+            lit(2L) * col("__first")).cast("long")).as("from_first_micro"))
+  }
 }

@@ -678,4 +678,57 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().sortBy(_._1)
     assert(got.toSeq === Seq((1L, "a", "b", 2L), (2L, "c", "d", 1L)))
   }
+
+  test("hllDistinctTokens: small sets land in linear counting and recover the exact count") {
+    import spark.implicits._
+    // 3 distinct tokens: est_raw ≈ α·m²·2^50/Z ≤ 160 with 61 empty
+    // registers ⇒ linear counting 64·ln(64/61) rounds to exactly 3
+    val docs = Seq((1L, "alpha beta alpha", "en"), (2L, "gamma", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = CorpusStats.hllDistinctTokens(docs, "lang", "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    spark.catalog.clearCache()
+    assert(r._1 === "en" && r._2 === 3L)
+    assert(r._3 >= 61L, "≥61 of 64 registers stay empty")
+    val lnMicro = math.floor(math.log(64.0 / r._3) * 1e6).toLong
+    assert(r._6 === (2L * 64L * lnMicro + 1000000L) / 2000000L,
+      "small-range estimate replays the linear-counting formula")
+    assert(r._6 === 3L)
+    // partitioning cannot move a register: max is commutative
+    val again = CorpusStats.hllDistinctTokens(docs.repartition(7), "lang", "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    spark.catalog.clearCache()
+    assert(again === r)
+  }
+
+  test("hllDistinctTokens: estimate tracks a large distinct set within HLL error") {
+    import spark.implicits._
+    // 2000 distinct tokens, one per doc row batch — est within ~3σ
+    // of 1.04/√64 = 13% relative error
+    val docs = (0 until 100).map(i =>
+      (i.toLong, (0 until 20).map(j => s"tok${i}x$j").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = CorpusStats.hllDistinctTokens(docs, "lang", "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    spark.catalog.clearCache()
+    assert(r._2 === 2000L)
+    assert(r._6 > 1200L && r._6 < 2800L,
+      s"HLL estimate ${r._6} should sit within ~40% of 2000")
+  }
+
+  test("oovRate: top-V cut is deterministic; per-doc ratios are exact micros") {
+    import spark.implicits._
+    // counts: a=2, c=2, b=1, d=1 → top-2 by (count DESC, token) = {a, c}
+    val docs = Seq((1L, "a a b"), (2L, "c c d")).toDF("doc_id", "text")
+    val got = CorpusStats.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    spark.catalog.clearCache()
+    assert(got(1L) === ((1L, 3L, 1L, 333333L)), "b is OOV: 1/3 half-up")
+    assert(got(2L) === ((2L, 3L, 1L, 333333L)), "d is OOV")
+    // a full-vocab cut zeroes every doc
+    val all = CorpusStats.oovRate(docs, "doc_id", "text", vocabSize = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(all.forall(r => r._3 == 0L && r._4 == 0L))
+  }
 }

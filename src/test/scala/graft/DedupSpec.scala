@@ -544,4 +544,18 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === ((4L, 1L, 1L, false, false)))
     assert(!got.contains(6L), "docs under k tokens have no anchor")
   }
+
+  test("dupGraphDegrees: a planted triangle yields uniform degree 2; loners land at 0") {
+    import spark.implicits._
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, dup), (2L, dup), (3L, dup),
+      (4L, "completely unrelated text about distributed query planning"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupGraphDegrees(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+      .as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    // 3 identical docs → C(3,2)=3 pairs, every endpoint twice wired
+    assert(got === Map(2L -> 3L, 0L -> 1L))
+  }
 }

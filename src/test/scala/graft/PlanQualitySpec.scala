@@ -862,6 +862,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"stats join degraded to SMJ:\n$plan")
   }
 
+  test("q144: one corpus-sized distinct; everything after is register-frame math") {
+    val df = SparkEntry.queries("q144_hll_distinct")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // (grp,h) distinct + (grp,b) regs + grp fold + n_exact fold + the
+    // regs⋈exact meet — all hash exchanges are combinable aggregates;
+    // no window, no sort-merge of anything corpus-sized
+    assert(!plan.contains("Window"), s"HLL must not window:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"distinct hash frame must be cached (feeds registers AND exact):\n$plan")
+  }
+
+  test("q145: med/MAD come back broadcast — the corpus never shuffle-joins") {
+    val df = SparkEntry.queries("q145_mad_outliers")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"catalog-sized med/MAD must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"stats join degraded to SMJ:\n$plan")
+  }
+
+  test("q146: top-V vocab is a bounded TakeOrdered and broadcasts onto the token stream") {
+    val df = SparkEntry.queries("q146_oov_rate")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-V must be a bounded heap, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"V-bounded vocab must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"membership degraded to SMJ:\n$plan")
+  }
+
+  test("q147: shard entropy is combinable aggregates only — no join, no window") {
+    val plan = executedPlan("q147_shard_entropy")
+    assert(!plan.contains("Join"), s"per-shard fold must not join:\n$plan")
+    assert(!plan.contains("Window"), s"per-shard fold must not window:\n$plan")
+  }
+
   test("global sweep: no query plans a CartesianProduct") {
     // crossJoin is only ever used against a broadcast 1-row aggregate
     // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an

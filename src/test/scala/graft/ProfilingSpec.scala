@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Profiling
+import org.apache.spark.sql.functions.col
 
 class ProfilingSpec extends SparkSpec {
   import spark.implicits._
@@ -88,5 +89,32 @@ class ProfilingSpec extends SparkSpec {
     assert(got("s2") === (("s2", 1L, 0L, 0L, Some(0L))), "doc 3 has no vector")
     assert(got("(orphan)") === (("(orphan)", 0L, 1L, 0L, None)),
       "vector 4 matches no doc — id drift must surface, not vanish")
+  }
+
+  test("madOutlierProfile: lower medians, strict cut, exact micro ratio") {
+    val rows = Seq(("A", 10L), ("A", 12L), ("A", 14L), ("A", 1000L),
+      ("B", 7L), ("B", 7L), ("B", 7L))
+      .toDF("source", "v")
+    val got = Profiling.madOutlierProfile(rows, "source", col("v"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    spark.catalog.clearCache()
+    // A: sorted [10,12,14,1000] → lower median 12; devs [0,2,2,988] →
+    // MAD 2; only 988 > 3·2 → 1/4 = exactly 250000 micro
+    assert(got("A") === (("A", 4L, 12L, 2L, 1L, 250000L)))
+    // B: constant column → MAD 0, zero deviation, zero outliers —
+    // the degenerate case must not divide by the MAD
+    assert(got("B") === (("B", 3L, 7L, 0L, 0L, 0L)))
+  }
+
+  test("madOutlierProfile: the outlier a mean/stddev gate would mask") {
+    // one mega-row drags the MEAN to ~917 (z of 1000 ≈ 0.3 — invisible)
+    // while the median/MAD gate flags it cleanly
+    val rows = (Seq.fill(10)(("s", 5L)) :+ (("s", 10000L))).toDF("source", "v")
+    val r = Profiling.madOutlierProfile(rows, "source", col("v"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    spark.catalog.clearCache()
+    assert(r._3 === 5L && r._4 === 0L && r._5 === 1L,
+      "median 5, MAD 0, exactly the planted row flagged")
   }
 }

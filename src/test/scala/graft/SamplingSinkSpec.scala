@@ -282,4 +282,19 @@ class SamplingSinkSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect()
     assert(other.sortBy(_._1).map(_._3).toSeq !== got.sortBy(_._1).map(_._3).toSeq)
   }
+
+  test("shardCompositionEntropy: uniform mix hits ln-2 micro, single source hits zero") {
+    // shards = 1 pins every row into one shard: sources A×2, B×2 →
+    // H = lnµ(4) − (4·lnµ(2))/4 = exactly ln 2 in micro; evenness 1.0
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("doc_id", "source")
+    val r = Sampling.shardCompositionEntropy(docs, "doc_id", "source", shards = 1)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(r === ((0L, 4L, 2L, 693147L, Some(1000000L))))
+    // one source → zero entropy and NO evenness (ln 1 = 0 must not divide)
+    val mono = Seq((1L, "A"), (2L, "A")).toDF("doc_id", "source")
+    val rm = Sampling.shardCompositionEntropy(mono, "doc_id", "source", shards = 1)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(rm === ((0L, 2L, 1L, 0L, None)))
+  }
 }
