@@ -82,6 +82,25 @@ class ChangelogOpsSpec extends SparkSpec {
     assert(noFrom.getLong(0) === 0L && noFrom.getDouble(2) === 0.0)
   }
 
+  test("funnelSteps: out-of-order steps don't count; ratios are exact micros") {
+    import graft.operators.WindowOps
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)), // full funnel
+      (2L, "purchase", ts(1)), (2L, "view", ts(2)), (2L, "click", ts(3)), // buys BEFORE clicking
+      (3L, "click", ts(1))                                                // never views
+    ).toDF("user_id", "event_type", "ts")
+    val got = WindowOps.funnelSteps(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .as[(Long, String, Long, Option[Long], Option[Long])].collect()
+      .sortBy(_._1)
+    assert(got(0) === ((0L, "view", 2L, None, Some(1000000L))))
+    assert(got(1) === ((1L, "click", 2L, Some(1000000L), Some(1000000L))),
+      "user 3's click without a view is not step 2")
+    assert(got(2) === ((2L, "purchase", 1L, Some(500000L), Some(500000L))),
+      "user 2's purchase precedes their click — sequential order is the point")
+  }
+
   test("sessionFeatures: gap splits sessions; error rate, breadth, span, value are exact") {
     import graft.operators.WindowOps
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)

@@ -716,6 +716,22 @@ class CorpusStatsSpec extends SparkSpec {
       s"HLL estimate ${r._6} should sit within ~40% of 2000")
   }
 
+  test("tokenCooccurrence: df convention, confidence direction, exact lift") {
+    import spark.implicits._
+    // docs: {a,b} ×3, {a} ×1, {b,c} ×1, N = 5
+    // df: a=4, b=4, c=1; pair (a,b): n_ab=3
+    val docs = Seq((1L, "a b"), (2L, "a b b"), (3L, "b a"), (4L, "a"), (5L, "b c"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.tokenCooccurrence(docs, "doc_id", "text",
+      vocabSize = 2, minSupport = 1L)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(got.length === 1, "only the (a,b) pair survives the top-2 vocab")
+    val r = got.head
+    // conf(a→b) = 3/4 = 750000; lift = 3·5/(4·4) = 0.9375 → 937500
+    assert(r === (("a", "b", 4L, 4L, 3L, 750000L, 937500L)))
+  }
+
   test("oovRate: top-V cut is deterministic; per-doc ratios are exact micros") {
     import spark.implicits._
     // counts: a=2, c=2, b=1, d=1 → top-2 by (count DESC, token) = {a, c}

@@ -901,6 +901,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Window"), s"per-shard fold must not window:\n$plan")
   }
 
+  test("q150: membership and df lookups broadcast; postings never sort-merge") {
+    // the top-V TakeOrdered lives inside the cached vocab sub-plan;
+    // what the parent plan must show is that every vocab-sized frame
+    // comes back BROADCAST and nothing corpus-sized sort-merges
+    val df = SparkEntry.queries("q150_cooccurrence")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"vocab membership + both df lookups must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"postings join degraded to SMJ:\n$plan")
+  }
+
   test("global sweep: no query plans a CartesianProduct") {
     // crossJoin is only ever used against a broadcast 1-row aggregate
     // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an
