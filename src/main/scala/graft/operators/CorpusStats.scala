@@ -1446,6 +1446,41 @@ object CorpusStats {
     * frame feeds the exact count AND the registers), one (grp,
     * register) max-agg, then a fold to |groups| rows. Nothing after
     * the distinct is corpus-sized. */
+  /** The ONE Scala-side HLL estimator — register array → (v_zero,
+    * z_int, est_hll) by EXACTLY the [[hllDistinctTokens]] column
+    * formulas (same α constant, same integer Z units, same linear
+    *-counting branch); the streaming window close
+    * ([[graft.streaming.StreamingCorpusStats.windowedHllDistinct]])
+    * and the spec's hand replay both call this, so batch SQL, stream
+    * state and test oracle cannot drift apart. */
+  def hllEstimate(registers: Array[Int]): (Long, Long, Long) = {
+    require(registers.length == 64)
+    val vZero = registers.count(_ == 0).toLong
+    var z = 0L
+    registers.foreach(r => z += 1L << (50 - r))
+    val estRaw = ((BigInt(2) * 709341L * 4096L * (BigInt(1) << 50) +
+      BigInt(1000000) * z) / (BigInt(2000000) * z)).toLong
+    val est =
+      if (estRaw <= 160L && vZero > 0L) {
+        val lnMicro = math.floor(math.log(64.0 / vZero) * 1e6).toLong
+        (2L * 64L * lnMicro + 1000000L) / 2000000L
+      } else estRaw
+    (vZero, z, est)
+  }
+
+  /** Register updates for one 48-bit hash: index = top 6 bits, rank =
+    * leading-zero count of the remaining 42 + 1. Max-merge —
+    * commutative AND idempotent, so arrival order, partitioning and
+    * duplicate delivery are all invisible. */
+  def hllObserve(registers: Array[Int], h: Long): Unit = {
+    val b = (h >>> 42).toInt
+    val rem = h & ((1L << 42) - 1)
+    val rho =
+      if (rem == 0L) 43
+      else 43 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+    if (rho > registers(b)) registers(b) = rho
+  }
+
   def hllDistinctTokens(docs: DataFrame, groupCol: String,
                         textCol: String): DataFrame = {
     import graft.expressions.HashExpressions.intDiv

@@ -13,6 +13,10 @@ case class WindowHeavyHitter(window_start_us: Long, rank: Int, token: String,
 case class WindowDistinct(window_start_us: Long, n_rows: Long, n_kept: Long,
                           estimate: Double)
 
+/** One emitted row per closed window. */
+case class WindowHll(window_start_us: Long, n_rows: Long, v_zero: Long,
+                     z_int: Long, est_hll: Long)
+
 /** LIVE corpus statistics — streaming counterparts of the batch
   * [[graft.operators.CorpusStats]] sketches, following the
   * [[StreamingDrift]] shape: custom keyed state per OPEN event-time
@@ -214,6 +218,61 @@ object StreamingCorpusStats {
             var (buf, nRows) = state.getOption.getOrElse((KmvBuf(k, Nil), 0L))
             rows.foreach { case (_, h, _) => buf = buf.insert(h); nRows += 1L }
             state.update((buf, nRows))
+            state.setTimeoutTimestamp(
+              math.max(wsMs + windowMillis, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Tumbling-window HLL distinct-count estimate — the streaming twin
+    * of `CorpusStats.hllDistinctTokens` (q144) and the CONSTANT-state
+    * alternative to [[windowedKmvDistinct]]: per open window exactly
+    * 64 one-byte registers whatever the precision target, max-merged
+    * on arrival. Register updates are commutative AND idempotent, so
+    * the emitted estimate is independent of arrival order,
+    * partitioning and duplicate delivery (KMV's insert is commutative
+    * but its buffer is k-bounded; HLL's state bound is unconditional).
+    *
+    * The hash is the same portable md5-48 COLUMN expression before
+    * the stateful operator (state never sees raw values), and the
+    * window close calls `CorpusStats.hllEstimate` — the ONE estimator
+    * implementation shared with the batch op and the spec's replay. */
+  def windowedHllDistinct(df: DataFrame, valueCol: String, tsCol: String,
+                          windowLen: String, windowMillis: Long,
+                          delay: String): Dataset[WindowHll] = {
+    implicit val outEnc: Encoder[WindowHll] = Encoders.product[WindowHll]
+    implicit val stateEnc: Encoder[(Array[Int], Long)] =
+      Encoders.kryo[(Array[Int], Long)]
+    implicit val rowEnc: Encoder[(java.sql.Timestamp, Long, java.sql.Timestamp)] =
+      Encoders.product[(java.sql.Timestamp, Long, java.sql.Timestamp)]
+    val h48 = conv(substring(md5(col(valueCol).cast("string").cast("binary")), 1, 12),
+      16, 10).cast("long")
+    val winRows = df
+      .withWatermark(tsCol, delay)
+      .select(window(col(tsCol), windowLen).getField("start").as("_1"),
+        h48.as("_2"),
+        col(tsCol).as("_3"))
+      .as[(java.sql.Timestamp, Long, java.sql.Timestamp)]
+    winRows.groupByKey(_._1.getTime)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Array[Int], Long), WindowHll](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wsMs: Long, rows: Iterator[(java.sql.Timestamp, Long, java.sql.Timestamp)],
+         state: GroupState[(Array[Int], Long)]) =>
+          if (state.hasTimedOut) {
+            val (regs, nRows) = state.getOption.getOrElse((new Array[Int](64), 0L))
+            state.remove()
+            val (vZero, zInt, est) = graft.operators.CorpusStats.hllEstimate(regs)
+            Iterator.single(WindowHll(wsMs * 1000L, nRows, vZero, zInt, est))
+          } else {
+            val (regs0, n0) = state.getOption.getOrElse((new Array[Int](64), 0L))
+            val regs = regs0.clone()
+            var n = n0
+            rows.foreach { case (_, h, _) =>
+              n += 1L
+              graft.operators.CorpusStats.hllObserve(regs, h)
+            }
+            state.update((regs, n))
             state.setTimeoutTimestamp(
               math.max(wsMs + windowMillis, state.getCurrentWatermarkMs() + 1))
             Iterator.empty

@@ -732,6 +732,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r === (("a", "b", 4L, 4L, 3L, 750000L, 937500L)))
   }
 
+  test("hllDistinctTokens: SQL columns agree with the shared Scala estimator") {
+    import spark.implicits._
+    // 120 distinct tokens — large enough to leave linear counting on
+    // some registers' terms, small enough to stay cheap
+    val docs = (0 until 12).map(i =>
+      (i.toLong, (0 until 10).map(j => s"w${i}y$j").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = CorpusStats.hllDistinctTokens(docs, "lang", "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    spark.catalog.clearCache()
+    def h48(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+    val regs = new Array[Int](64)
+    (0 until 12).foreach(i => (0 until 10).foreach(j =>
+      CorpusStats.hllObserve(regs, h48(s"w${i}y$j"))))
+    val (vZero, zInt, est) = CorpusStats.hllEstimate(regs)
+    assert((r._3, r._4, r._6) === ((vZero, zInt, est)),
+      "batch SQL, stream state and spec replay share one estimator")
+  }
+
   test("oovRate: top-V cut is deterministic; per-doc ratios are exact micros") {
     import spark.implicits._
     // counts: a=2, c=2, b=1, d=1 → top-2 by (count DESC, token) = {a, c}

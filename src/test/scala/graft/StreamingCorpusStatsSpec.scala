@@ -173,4 +173,43 @@ class StreamingCorpusStatsSpec extends SparkSpec {
     assert(rows(10000000L)._4 === expected)
     q.stop()
   }
+
+  test("windowedHllDistinct: dup-blind registers, per-window state, estimator replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TokEv]
+    val out = StreamingCorpusStats.windowedHllDistinct(in.toDF(), "token",
+      "event_time", windowLen = "10 seconds", windowMillis = 10000L,
+      delay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("hll_t")
+      .outputMode("append").start()
+    // window [0,10): 3 distinct among 5 rows — linear counting is
+    // exact this small (the q144 batch spec's case)
+    in.addData(TokEv("u", ts(1)), TokEv("v", ts(2)), TokEv("u", ts(3)),
+      TokEv("w", ts(4)), TokEv("v", ts(5)))
+    q.processAllAvailable()
+    // window [10,20): 300 distinct values, duplicates interleaved —
+    // registers are idempotent, dups must not move the estimate
+    val vals = (0 until 300).map(i => s"val$i")
+    in.addData((vals ++ vals.take(50)).zipWithIndex.map { case (v, i) =>
+      TokEv(v, new java.sql.Timestamp(12000L + i.toLong))
+    }: _*)
+    q.processAllAvailable()
+    in.addData(TokEv("z", ts(45)))
+    q.processAllAvailable()
+    val rows = spark.table("hll_t")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows(0L)._2 === 5L && rows(0L)._5 === 3L)
+    // replay the second window through the shared estimator on the
+    // same portable hashes — the stream adds only plumbing, not math
+    def h48(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+    val regs = new Array[Int](64)
+    vals.foreach(v => graft.operators.CorpusStats.hllObserve(regs, h48(v)))
+    val (vZero, zInt, est) = graft.operators.CorpusStats.hllEstimate(regs)
+    assert(rows(10000000L) === ((10000000L, 350L, vZero, zInt, est)))
+    assert(est > 180L && est < 450L, s"estimate $est should track 300")
+    q.stop()
+  }
 }
