@@ -70,8 +70,11 @@ object Curation {
     * Per-gate flags (not just the conjunction) are the point: pipeline
     * audits recount any stage without re-running the others.
     *
-    * Scale shape: the funnel rides the scan; dedup is the q47 cluster
-    * path (LSH index + sparse component joins); the budget table is
+    * Scale shape: the funnel rides the scan; dedup is the default
+    * alternating-star cluster path (LSH index + sparse component
+    * joins, O(log n) rounds — the 100-TB shape, labels identical to
+    * the min-label variant by the shared min-id fixpoint oracle); the
+    * budget table is
     * |sources| rows and BROADCASTS; everything meets in id-keyed joins
     * (the drop set is cluster members only — corpus-sized text never
     * joins anything). */
@@ -84,7 +87,7 @@ object Curation {
       .select(col(idCol), col("lang"),
         (col("verdict") === lit("keep")).as("keep_funnel"))
     val drop = Dedup.dedupClusters(docs, idCol, textCol, shingleN, numHashes,
-        bands, minJaccard, useStar = false)
+        bands, minJaccard)
       .where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol), lit(true).as("__dropped"))
     val budget = Sampling.tokenBudgetMix(docs, idCol, sourceCol,

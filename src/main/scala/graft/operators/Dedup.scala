@@ -153,9 +153,18 @@ object Dedup {
       .toDF(idCol, "sig", "band", "bucket")
   }
 
+  /** Test-visible invocation count of [[minHashLshPairs]] — the guard
+    * surface for "a composite pipeline builds the LSH pair list exactly
+    * ONCE" (PlanQualitySpec): a cache/checkpoint refactor that silently
+    * re-ran clustering would either bump this twice per composite or
+    * leak the MinHash stage back into the returned plan. */
+  private[graft] val lshPairsInvocations =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numHashes: Int, bands: Int,
                       minJaccard: Double): DataFrame = {
+    lshPairsInvocations.incrementAndGet()
     val sig = minHashSignatures(docs, idCol, textCol, shingleN, numHashes).cache()
     val banded = bandedBuckets(sig, idCol, numHashes, bands)
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
@@ -660,6 +669,40 @@ object Dedup {
     * The token hash is md5-derived (two 32-bit hex halves recombined),
     * not xxhash64: md5 is bit-identical in every engine, so the SQL
     * oracle recomputes the exact same fingerprints. */
+  /** Lazily local-checkpoints `df`, then materializes it with ONE
+    * narrow single-stage job that SIMULTANEOUSLY accumulates a
+    * convergence signature — (row count, wrapping Σ of `sigCol`, a
+    * 64-bit hash column) — via accumulators. This folds the iterative
+    * operators' per-round convergence probe INTO the pass that has to
+    * run anyway to snapshot the round's result: one job per components
+    * round instead of checkpoint-plus-probe, and no probe shuffle (the
+    * old form was a two-stage scalar aggregate).
+    *
+    * Correctness notes: foreachPartition is an ACTION (result stage),
+    * so the scheduler applies each task's accumulator update exactly
+    * once — retried/speculative result tasks are deduplicated. Wrapping
+    * long addition of well-mixed 64-bit hashes is deterministic and
+    * order-independent, so equal row sets always produce equal
+    * signatures; distinct sets collide with probability ~2⁻⁶⁴ per
+    * comparison (the same risk profile as the previous exact-decimal
+    * sum OF xxhash64 values — the hash was already the weak link). */
+  private def checkpointWithSignature(df: DataFrame,
+                                      sigCol: Column): (DataFrame, (Long, Long)) = {
+    val ck = df.localCheckpoint(false)
+    val sc = ck.sparkSession.sparkContext
+    val cnt = sc.longAccumulator
+    val hsum = sc.longAccumulator
+    ck.select(sigCol.cast("long").as("__sig"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var c = 0L
+        var s = 0L
+        while (it.hasNext) { s += it.next().getLong(0); c += 1L }
+        cnt.add(c)
+        hsum.add(s)
+      }
+    (ck, (cnt.value, hsum.value))
+  }
+
   /** Connected components over an undirected pair list — the step that
     * turns near-dup PAIRS into dedup CLUSTERS (keep one doc per
     * component, drop the rest). Labels propagate to the minimum
@@ -677,11 +720,16 @@ object Dedup {
     * Components in MapReduce", SoCC'14 — bounds rounds at O(log n);
     * same per-round plan shape, not needed for the dedup workload.)
     *
-    * Convergence detection is exact and cheap: Σ labels is strictly
-    * decreasing until the fixpoint, so one scalar aggregate per round
-    * decides termination — no row-level diff join. `localCheckpoint`
-    * truncates the lineage each round (an iterative plan otherwise
-    * re-analyzes a growing tree every iteration).
+    * Convergence detection is folded INTO the round's materializing
+    * pass: the job that computes and local-checkpoints the new label
+    * table also accumulates a (count, Σ xxhash64(id, comp)) signature
+    * via accumulators — one narrow single-stage job per round, no
+    * separate probe aggregate, no probe shuffle
+    * ([[checkpointWithSignature]]). Signature equality is the fixpoint
+    * test (unchanged labels ⇒ equal; changed ⇒ differ with
+    * probability 1 − 2⁻⁶⁴). `localCheckpoint` truncates the lineage
+    * each round (an iterative plan otherwise re-analyzes a growing
+    * tree every iteration).
     *
     * Output: (doc_id, cluster_id = min id in component, cluster_size),
     * one row per node that appears in `pairs`. Throws if the graph's
@@ -697,28 +745,22 @@ object Dedup {
       .persist()
     // seed with min(self, neighbors): folds the first propagation round
     // into one aggregation — a star graph (the common near-dup blob
-    // shape) converges with ZERO join rounds, just the convergence probe
+    // shape) converges with ZERO join rounds, just the materializing pass
     //
-    // per round: LAZY localCheckpoint + Σ-labels probe = ONE job (the
-    // probe materializes the checkpoint). Checkpointing (not persist)
-    // matters: the union below references the previous round's plan
-    // TWICE, so an un-truncated lineage doubles every round —
-    // exponential analysis cost by round 10
-    var labels = edges.groupBy(col("u").as("id"))
-      .agg(least(min(col("v")), col("u")).as("comp"))
-      .localCheckpoint(false)
-    // decimal accumulation: hash-derived 2^63-scale labels overflow a
-    // long sum under ANSI mode (same trap connectedComponentsStar's
-    // signature guards against)
-    def labelSum(df: DataFrame): String = df
-      .agg(coalesce(org.apache.spark.sql.functions.sum(col("comp").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")))
-      .head.getDecimal(0).toPlainString
-    var sum = labelSum(labels)
-    // the probe above materialized edges (persisted) — everything the
-    // loop needs from `pairs` is now snapshotted, and the checkpoint
-    // hides the consumed lineage from CacheScope's listener: release
-    // upstream scoped caches (e.g. minHashLshPairs' signatures) here
+    // per round: checkpoint materialization + signature = ONE narrow
+    // job (accumulator fold, see checkpointWithSignature). Checkpointing
+    // (not persist) matters: the union below references the previous
+    // round's plan TWICE, so an un-truncated lineage doubles every
+    // round — exponential analysis cost by round 10
+    def labelSig = xxhash64(col("id"), col("comp"))
+    var (labels, sig) = checkpointWithSignature(
+      edges.groupBy(col("u").as("id"))
+        .agg(least(min(col("v")), col("u")).as("comp")),
+      labelSig)
+    // the materializing pass above computed edges (persisted) —
+    // everything the loop needs from `pairs` is now snapshotted, and the
+    // checkpoint hides the consumed lineage from CacheScope's listener:
+    // release upstream scoped caches (e.g. minHashLshPairs' signatures)
     CacheScope.releaseFor(pairs)
     var converged = false
     var iter = 0
@@ -726,14 +768,14 @@ object Dedup {
       // candidate labels: own + every neighbor's current label.
       // labels derives from edges, so the join is a self-join on shared
       // lineage — qualify both sides or the analyzer rejects it
-      val next = labels
-        .unionAll(labels.as("l").join(edges.as("e"), col("l.id") === col("e.u"))
-          .select(col("e.v").as("id"), col("l.comp").as("comp")))
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(false)
-      val nextSum = labelSum(next)
-      converged = nextSum == sum
-      sum = nextSum
+      val (next, nextSig) = checkpointWithSignature(
+        labels
+          .unionAll(labels.as("l").join(edges.as("e"), col("l.id") === col("e.u"))
+            .select(col("e.v").as("id"), col("l.comp").as("comp")))
+          .groupBy("id").agg(min("comp").as("comp")),
+        labelSig)
+      converged = nextSig == sig
+      sig = nextSig
       labels = next
       iter += 1
     }
@@ -769,7 +811,9 @@ object Dedup {
     * shuffle shape as a propagation round, edge count never grows.
     * At the fixpoint the edges form stars rooted at component minima.
     * Convergence = the canonical (min, max)-oriented edge set's
-    * (count, hash-sum) signature repeating — two scalar aggregates, no
+    * (count, hash-sum) signature repeating — accumulated inside the
+    * round's own checkpoint-materializing job
+    * ([[checkpointWithSignature]]), no separate probe aggregate, no
     * row-diff join. Output matches [[connectedComponents]] exactly:
     * (doc_id, cluster_id, cluster_size). */
   def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
@@ -778,14 +822,7 @@ object Dedup {
     def canon(df: DataFrame) = df
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v")).distinct()
-    def signature(df: DataFrame): (Long, String) = {
-      // decimal accumulation: a long sum of 2^63-scale hashes overflows
-      // under ANSI mode
-      val r = df.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)"))).head
-      (r.getLong(0), r.getDecimal(1).toPlainString)
-    }
+    def edgeSig = xxhash64(col("u"), col("v"))
     // one star phase: for each center u (over the symmetrized edges,
     // restricted to the phase's neighbor side), re-point the selected
     // neighbors to min(selected ∪ {u})
@@ -802,18 +839,17 @@ object Dedup {
                      else rewired.unionAll(m.select(col("u"), col("m").as("v")))
       canon(selfEdge)
     }
-    var edges = canon(pairs.select(col(idA).as("u"), col(idB).as("v"))).localCheckpoint(false)
-    var sig = signature(edges)
-    // the signature probe materialized the checkpointed edge snapshot —
+    var (edges, sig) = checkpointWithSignature(
+      canon(pairs.select(col(idA).as("u"), col(idB).as("v"))), edgeSig)
+    // the materializing pass computed the checkpointed edge snapshot —
     // upstream scoped caches (LSH signatures etc.) are fully consumed,
     // and the checkpoint hides that lineage from CacheScope's listener
     CacheScope.releaseFor(pairs)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = canon(phase(phase(edges, large = true), large = false))
-        .localCheckpoint(false)
-      val nextSig = signature(next)
+      val (next, nextSig) = checkpointWithSignature(
+        canon(phase(phase(edges, large = true), large = false)), edgeSig)
       converged = nextSig == sig
       sig = nextSig
       edges = next
@@ -1004,8 +1040,11 @@ object Dedup {
   def dupGraphDegrees(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numHashes: Int, bands: Int,
                       minJaccard: Double): DataFrame = {
+    // the pair list is the expensive sub-plan (LSH candidate join +
+    // signature-agreement verify) and both endpoint selects reference
+    // it — cache it so the union evaluates it once, scoped with deg
     val pairs = minHashLshPairs(docs, idCol, textCol, shingleN, numHashes,
-      bands, minJaccard)
+      bands, minJaccard).cache()
     val deg = pairs.select(col("id_a").as("__id"))
       .unionAll(pairs.select(col("id_b").as("__id")))
       .groupBy("__id").agg(count(lit(1)).as("degree")).cache()
@@ -1014,7 +1053,7 @@ object Dedup {
     val touched = deg.agg(count(lit(1)).as("__k"))
     val zero = total.crossJoin(broadcast(touched))
       .select(lit(0L).as("degree"), (col("__n") - col("__k")).as("n_docs"))
-    CacheScope.scoped(hist.unionAll(zero), deg)
+    CacheScope.scoped(hist.unionAll(zero), deg, pairs)
   }
 
   /** Fingerprint-overlap near-dup pairs (the MOSS shape, Schleimer '03

@@ -171,13 +171,19 @@ object WindowOps {
     val perUser = df.groupBy("__u")
       .agg(max(col("__m0")).as("__m0"),
         steps.indices.drop(1).map(i => max(col(s"__m$i")).as(s"__m$i")): _*)
+    // coalesce: a global sum over ZERO rows is one all-NULL row — the
+    // empty-events funnel must report n_users = 0, not NULL (oracle
+    // count() semantics). Typed lit() columns (not interpolated SQL)
+    // so a step name containing a quote can't break the plan.
     val counts = perUser.select(
       steps.indices.map(i =>
-        sum(when(col(s"__m$i").isNotNull, 1L).otherwise(0L)).as(s"__n$i")): _*)
-    val stacked = counts.select(expr(
-      s"stack(${steps.size}, " + steps.indices.map(i =>
-        s"CAST($i AS BIGINT), '${steps(i)}', __n$i").mkString(", ") +
-        ") AS (step, event_type, n_users)"),
+        coalesce(sum(when(col(s"__m$i").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as(s"__n$i")): _*)
+    val stackArgs = steps.indices.flatMap(i =>
+      Seq(lit(i.toLong), lit(steps(i)), col(s"__n$i")))
+    val stacked = counts.select(
+      stack((lit(steps.size) +: stackArgs): _*)
+        .as(Seq("step", "event_type", "n_users")),
       col("__n0").as("__first"))
     val wStep = Window.partitionBy().orderBy("step")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -958,4 +958,28 @@ class PlanQualitySpec extends SparkSpec {
         s"$name left cached plans behind after its action")
     }
   }
+
+  test("composite pipelines run exactly ONE LSH clustering pass, checkpointed out of the plan") {
+    // the composites embed dedupClusters (LSH pairs → components loop).
+    // Two invariants a cache/checkpoint refactor could silently break:
+    //  1. construction builds the LSH pair list exactly once (a second
+    //     minHashLshPairs call = clustering re-run from scratch);
+    //  2. the RETURNED plan contains no MinHash expression — the loop's
+    //     localCheckpoint must fully materialize clustering, otherwise
+    //     every downstream action re-executes the LSH join cascade.
+    val composites = Seq("q102_pipeline_manifest", "q109_leakage_safe_split",
+      "q112_dup_cluster_stats", "q122_quality_reps")
+    for (name <- composites) {
+      val before = graft.operators.Dedup.lshPairsInvocations.get()
+      val df = SparkEntry.queries(name)(spark, dir)
+      val calls = graft.operators.Dedup.lshPairsInvocations.get() - before
+      assert(calls === 1L,
+        s"$name built the LSH pair list $calls times — clustering must run once")
+      val plan = org.apache.spark.sql.GraftSqlBridge.analyzedPlan(df)
+      val leaked = plan.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[graft.expressions.MinHashTokens])))
+      assert(!leaked, s"$name's returned plan re-evaluates MinHash — the " +
+        "components loop must checkpoint clustering behind it")
+    }
+  }
 }

@@ -176,4 +176,55 @@ class TopicPipelineSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(keys("u1").contains("\"u1\"") && keys("u2").contains("\"u2\""))
   }
+
+  test("kafka transport flag: produce/consume round-trip through the stub broker, options wired") {
+    import graft.sources.StubKafkaBroker
+    StubKafkaBroker.reset()
+    val conf = TopicConf(root = "", transport = TopicConf.Kafka,
+      bootstrapServers = "stub-broker:9092")
+
+    // PRODUCE: Topics.appendJson takes the real `kafka` write branch —
+    // format("kafka") resolves to the service-loaded stub; the broker
+    // (like a real one) accepts only (key, value) and assigns offsets
+    Topics.appendJson(
+      Seq(("o1", "p1", 3), ("o2", "p2", 5)).toDF("order_id", "product_id", "qty"),
+      "stub_orders", conf, keyCols = Seq("order_id"), epoch = 1)
+    assert(StubKafkaBroker.lastWriteOptions.get("kafka.bootstrap.servers")
+      === Some("stub-broker:9092"), "bootstrap servers not wired to the writer")
+    assert(StubKafkaBroker.lastWriteOptions.get("topic") === Some("stub_orders"))
+    assert(StubKafkaBroker.records("stub_orders").size === 2)
+
+    // CONSUME (batch): the real `kafka` read branch with
+    // subscribe/startingOffsets/endingOffsets options
+    val recs = Topics.readBatchRecords(spark, "stub_orders", conf)
+    assert(StubKafkaBroker.lastReadOptions.get("subscribe") === Some("stub_orders"))
+    assert(StubKafkaBroker.lastReadOptions.get("startingOffsets") === Some("earliest"))
+    assert(StubKafkaBroker.lastReadOptions.get("endingOffsets") === Some("latest"))
+    assert(StubKafkaBroker.lastReadOptions.get("kafka.bootstrap.servers")
+      === Some("stub-broker:9092"))
+    assert(recs.columns.toSeq ===
+      Seq("key", "value", "topic", "partition", "offset", "timestamp"),
+      "transport must surface the exact Kafka record shape")
+
+    // the transport-agnostic decode path works unchanged on broker records
+    val decoded = Topics.decodeJson(recs,
+      valueSchema = StructType(Seq(StructField("product_id", StringType),
+        StructField("qty", IntegerType))),
+      keySchema = Some(StructType(Seq(StructField("order_id", StringType)))))
+    val rows = decoded.select("order_id", "product_id", "qty")
+      .as[(String, String, Int)].collect().toSet
+    assert(rows === Set(("o1", "p1", 3), ("o2", "p2", 5)))
+    // broker-assigned offsets are monotone — the upsert ordering contract
+    val offs = decoded.select("__offset").as[Long].collect().sorted.toSeq
+    assert(offs === Seq(0L, 1L))
+
+    // CONSUME (stream): load() resolves the source schema through the
+    // stream branch — subscribe + startingOffsets wired, Kafka shape out
+    val stream = Topics.readStreamRecords(spark, "stub_orders", conf)
+    assert(stream.isStreaming)
+    assert(StubKafkaBroker.lastStreamOptions.get("subscribe") === Some("stub_orders"))
+    assert(StubKafkaBroker.lastStreamOptions.get("startingOffsets") === Some("earliest"))
+    assert(stream.columns.toSeq ===
+      Seq("key", "value", "topic", "partition", "offset", "timestamp"))
+  }
 }
