@@ -1186,6 +1186,26 @@ object SparkEntry {
       CorpusStats.tokenCooccurrence(t(s, dir, "documents"), "doc_id", "text",
         vocabSize = 40, minSupport = 25L)),
 
+    // ── template-family pairs: simhash band candidates verified by
+    //    prefix Levenshtein — the DP runs only on capped candidates,
+    //    prefixes fetched by id-keyed joins ──
+    "q151_template_pairs" -> ((s, dir) =>
+      Dedup.templateEditPairs(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ── Spearman signal redundancy: distributed fractional ranks via
+    //    value-histogram cumsum; the only ordered window sees distinct
+    //    VALUES, never corpus rows ──
+    "q152_signal_spearman" -> ((s, dir) =>
+      operators.Profiling.signalSpearman(t(s, dir, "documents"),
+        TextAnalysis.tokenCount(col("text")),
+        TextAnalysis.qualityMicro(col("text")))),
+
+    // ── n-gram containment pairs: the asymmetric subset-dup detector —
+    //    same inverted-index plan as q18, true-size denominators ──
+    "q153_containment_pairs" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minContainment = 0.6, maxShingleFreq = Some(1000))),
+
     // ── lexical diversity: one cached tokenize feeds both gram
     //    orders; (source, gram) pre-aggs de-skew; |sources|-row join ──
     "q128_lexical_diversity" -> ((s, dir) =>
@@ -4232,6 +4252,120 @@ object SparkEntry {
            CAST(n_docs AS BIGINT) AS n_docs FROM hist
          UNION ALL
          SELECT CAST(0 AS BIGINT), CAST(n - k AS BIGINT) FROM tot, tch""",
+    // Template-family pairs: q134's band CTEs verbatim, then prefix
+    // Levenshtein verify; ned is the shifted half-up intDiv micro of
+    // exact integers (both operands non-negative).
+    "q151_template_pairs" ->
+      s"""WITH $simhashCtes, bands AS (
+           SELECT doc_id, simhash, b.band,
+             ((simhash >> (16 * CAST(b.band AS INT))) & 65535) AS v
+           FROM sh, range(4) b(band)
+         ), kept AS (
+           SELECT * FROM bands t WHERE NOT EXISTS (
+             SELECT 1 FROM bands g WHERE g.band = t.band AND g.v = t.v
+             GROUP BY g.band, g.v HAVING count(*) > 100)
+         ), p AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+           FROM kept a JOIN kept b ON a.band = b.band AND a.v = b.v
+             AND a.doc_id < b.doc_id
+         ), cand AS (
+           SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+           FROM p WHERE bit_count(xor(sa, sb)) <= 3
+         ), pre AS (
+           SELECT doc_id, substr(text, 1, 400) AS pfx FROM documents
+         ), lv AS (
+           SELECT c.id_a, c.id_b, c.hamming,
+             CAST(levenshtein(pa.pfx, pb.pfx) AS BIGINT) AS lev_edits,
+             CAST(greatest(len(pa.pfx), len(pb.pfx)) AS BIGINT) AS den
+           FROM cand c
+           JOIN pre pa ON c.id_a = pa.doc_id
+           JOIN pre pb ON c.id_b = pb.doc_id
+         )
+         SELECT id_a, id_b, hamming, lev_edits,
+           CAST(CASE WHEN den = 0 THEN 0
+             ELSE (2 * lev_edits * 1000000 + den) // (2 * den) END AS BIGINT) AS ned_micro
+         FROM lv
+         WHERE (CASE WHEN den = 0 THEN 0
+           ELSE (2 * lev_edits * 1000000 + den) // (2 * den) END) <= 300000""",
+    // Spearman signal redundancy: doubled average ranks from the
+    // value-histogram cumsum (integers end-to-end); the five sums are
+    // exact (HUGEINT ≡ Spark DECIMAL(38,0)), ρ is the identical double
+    // op sequence on both engines, round 6 (metric-double rule).
+    "q152_signal_spearman" ->
+      """WITH base AS (
+           SELECT CAST(len(string_split(norm, ' ')) AS BIGINT) AS x,
+             least(len(text), 500) * 800
+             + (CASE WHEN 10 * len(list_filter(string_split(norm, ' '),
+                      t2 -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t2)))
+                      >= len(string_split(norm, ' ')) THEN 300000
+                ELSE (6000000 * len(list_filter(string_split(norm, ' '),
+                        t2 -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t2)))
+                      + len(string_split(norm, ' ')))
+                     // (2 * len(string_split(norm, ' '))) END)
+             + (CASE WHEN len(replace(norm, ' ', '')) >= 3 * len(string_split(norm, ' '))
+                      AND len(replace(norm, ' ', '')) <= 8 * len(string_split(norm, ' '))
+                THEN 300000 ELSE 0 END) AS y
+           FROM (SELECT text,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+                 FROM documents)
+         ), xr AS (
+           SELECT x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY x
+         ), xa AS (
+           SELECT x, 2 * (sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1 AS rx
+           FROM xr
+         ), yr AS (
+           SELECT y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY y
+         ), ya AS (
+           SELECT y, 2 * (sum(c) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1 AS ry
+           FROM yr
+         ), j AS (
+           SELECT rx, ry FROM base JOIN xa USING (x) JOIN ya USING (y)
+         ), s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+             CAST(sum(rx * ry) AS DOUBLE) AS sxy,
+             CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+             CAST(sum(ry * ry) AS DOUBLE) AS syy
+           FROM j
+         )
+         SELECT CAST(n AS BIGINT) AS n_docs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             round((n * sxy - sx * sy) /
+               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) END AS rho
+         FROM s""",
+    // Containment pairs: q18's CTEs with the asymmetric ratios; sizes
+    // from the UNCAPPED shingle sets (true denominators), unrounded
+    // exact-integer IEEE divisions (the q18 contract).
+    "q153_containment_pairs" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM t WHERE len(toks) >= 3
+         ), sizes AS (
+           SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+         ), capped AS (
+           SELECT sh.doc_id, sh.shingle FROM sh
+           JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000) keep
+             USING (shingle)
+         ), inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common AS DOUBLE) / sa.n_sh AS containment_a,
+           CAST(n_common AS DOUBLE) / sb.n_sh AS containment_b
+         FROM inter
+         JOIN sizes sa ON id_a = sa.doc_id
+         JOIN sizes sb ON id_b = sb.doc_id
+         WHERE CAST(n_common AS DOUBLE) / sa.n_sh >= 0.6
+            OR CAST(n_common AS DOUBLE) / sb.n_sh >= 0.6""",
     // Shard composition entropy: the q126 md5-shard idiom (first 8
     // hex % 16); each ln of an integer count floor-snaps to micro
     // before the weighted sum (q132 rule), divides shifted half-up.

@@ -1251,4 +1251,100 @@ object Dedup {
           (col("tail_group_n") > 1).as("is_tail_dup")),
       base)
   }
+
+  /** Template-family pairs: [[simhashHammingPairs]] candidates (token-
+    * multiset similarity, exhaustive by 4-band pigeonhole for Hamming
+    * ≤ 3) VERIFIED at the CHARACTER level by normalized Levenshtein
+    * distance over each doc's first `prefixChars` characters — the
+    * "same page template, different fill-in" detector. SimHash alone
+    * conflates two failure modes a curation pass treats differently:
+    * token-shuffled paraphrases (high token overlap, HIGH edit
+    * distance) and templated near-copies (low edit distance). The edit
+    * verify separates them; pairs with prefix edit share ≤
+    * `maxNedMicro` micro-units are template family.
+    *
+    * Determinism: `levenshtein` is the classic unit-cost edit distance
+    * in both engines; the normalized share is the shifted half-up
+    * intDiv micro form over exact integers (CLAUDE.md integer-ratio
+    * rule — both operands non-negative).
+    *
+    * Scale shape: the O(prefixChars²) DP runs ONLY on band-verified
+    * candidate pairs (never all-pairs — hot bands are already capped
+    * upstream), and only `prefixChars`-char prefixes of the pair ids
+    * are fetched — two id-keyed equi-joins; full document text never
+    * enters the pair shuffle. Output: (id_a, id_b, hamming, lev_edits,
+    * ned_micro), id_a < id_b. */
+  def templateEditPairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 3, prefixChars: Int = 400,
+                        maxNedMicro: Long = 300000L,
+                        maxBandFreq: Option[Int] = Some(100)): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    require(prefixChars >= 1 && maxNedMicro >= 0)
+    val pairs = simhashHammingPairs(docs, idCol, textCol, maxDist, maxBandFreq)
+    val pre = docs.select(col(idCol),
+      substring(col(textCol), 1, prefixChars).as("__p"))
+    pairs
+      .join(pre.select(col(idCol).as("id_a"), col("__p").as("__pa")), "id_a")
+      .join(pre.select(col(idCol).as("id_b"), col("__p").as("__pb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        levenshtein(col("__pa"), col("__pb")).cast("long").as("lev_edits"),
+        greatest(length(col("__pa")), length(col("__pb"))).cast("long").as("__den"))
+      .withColumn("ned_micro",
+        when(col("__den") === 0L, lit(0L))
+          .otherwise(intDiv(col("lev_edits") * lit(2000000L) + col("__den"),
+            col("__den") * lit(2L))))
+      .where(col("ned_micro") <= maxNedMicro)
+      .select("id_a", "id_b", "hamming", "lev_edits", "ned_micro")
+  }
+
+  /** N-gram CONTAINMENT pairs — the asymmetric companion to
+    * [[ngramJaccardPairs]]: containment_a = |A∩B|/|A| is high when doc
+    * A's gram set sits INSIDE doc B (a quoted or excerpted document, a
+    * short page subsumed by a long one) even though symmetric Jaccard
+    * is tiny (the long doc's size dominates the union). Broder's
+    * resemblance-vs-containment distinction (SEQUENCES'97): a dedup
+    * pass keyed on Jaccard alone systematically misses subset
+    * duplication; this surfaces it, reporting both directions so the
+    * caller can pick the contained side.
+    *
+    * Same posting-list plan as [[ngramJaccardPairs]] (inverted-index
+    * equi-join on 64-bit gram hashes, hot-gram broadcast anti-join cap,
+    * never O(n²)); the containment ratios are exact-integer IEEE
+    * divisions (bit-identical across engines, unrounded — the q18
+    * contract). Pairs kept when EITHER direction clears
+    * `minContainment`. Output: (id_a, id_b, n_common, containment_a,
+    * containment_b). */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, minContainment: Double,
+                            maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col(idCol),
+        explode(graft.expressions.HashExpressions.gramHashes(col("__toks"), n)).as("sh_h"))
+      .cache()
+    val posting = (maxShingleFreq match {
+      case Some(cap) =>
+        val hot = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("sh_h")
+        sh.join(broadcast(hot), Seq("sh_h"), "left_anti")
+      case None => sh
+    }).cache()
+    // sizes from the UNCAPPED postings: containment denominators are
+    // the docs' true gram counts, not the cap-filtered ones
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = posting.select(col(idCol).as("id_a"), col("sh_h"))
+    val b = posting.select(col(idCol).as("id_b"), col("sh_h"))
+    val inter = a.join(b, Seq("sh_h")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    CacheScope.scoped(inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("containment_a", col("n_common").cast("double") / col("n_a"))
+      .withColumn("containment_b", col("n_common").cast("double") / col("n_b"))
+      .where(col("containment_a") >= minContainment ||
+        col("containment_b") >= minContainment)
+      .select("id_a", "id_b", "n_common", "containment_a", "containment_b"),
+      sh, posting)
+  }
 }

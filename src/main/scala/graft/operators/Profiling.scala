@@ -222,4 +222,63 @@ object Profiling {
             lit(2L) * col("n")).cast("long").as("outlier_micro")),
       rows)
   }
+
+  /** Spearman rank correlation between two integer-valued document
+    * signals — the signal-redundancy audit a curation pipeline runs
+    * before gating on two scores (ρ ≈ 1 means the second filter adds
+    * nothing; ρ ≈ 0 means it prunes an independent dimension). Rank
+    * correlation, not Pearson, because quality-style signals are
+    * bounded, skewed, and monotone-transformed at will — Spearman is
+    * invariant to all of that.
+    *
+    * Ranks are AVERAGE (fractional) ranks, tie-correct, computed
+    * DISTRIBUTEDLY: per-value counts (one combinable shuffle), a
+    * cumulative sum over the ≤|distinct-values| frame, and an
+    * equi-join back on the value. No corpus-wide sort, no global
+    * window over data rows — the only ordered window runs on the
+    * value-histogram frame (bounded by signal cardinality: micro-unit
+    * scores ≤ ~10⁶ distinct values), the exact shape q45/q93 use for
+    * bounded rank frames. To keep everything integral, DOUBLED ranks
+    * are used (2·avgRank = 2·minRank + ties − 1, an integer; Pearson
+    * is scale-invariant so ρ is unchanged).
+    *
+    * Determinism: all five sums are exact DECIMAL(38,0) integers; the
+    * final ρ is one fixed double op sequence — (n·Sxy − Sx·Sy) /
+    * (√(n·Sxx − Sx²) · √(n·Syy − Sy²)) — on doubles converted from
+    * those exact integers, rounded at 6 dp (the metric-double rule;
+    * a constant signal yields NULL). Output: (n_docs, rho). */
+  def signalSpearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = df.select(xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .cache()
+    // doubled average rank per distinct value: 2·(count of smaller) +
+    // (count of equal) + 1 — the window runs over the VALUE HISTOGRAM,
+    // never the corpus rows
+    def rank2(c: String): DataFrame = {
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sig.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+        .select(col(c),
+          (lit(2L) * (sum("__c").over(w) - col("__c")) + col("__c") + lit(1L))
+            .cast("decimal(38,0)").as(s"__r$c"))
+    }
+    val ranked = sig.join(rank2("__x"), "__x").join(rank2("__y"), "__y")
+      .select(col("__r__x").as("rx"), col("__r__y").as("ry"))
+    val s = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("rx").cast("double").as("sx"), sum("ry").cast("double").as("sy"),
+      sum(col("rx") * col("ry")).cast("double").as("sxy"),
+      sum(col("rx") * col("rx")).cast("double").as("sxx"),
+      sum(col("ry") * col("ry")).cast("double").as("syy"))
+    CacheScope.scoped(
+      s.select(col("n").cast("long").as("n_docs"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+             col("n") * col("syy") - col("sy") * col("sy") > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+          .as("rho")),
+      sig)
+  }
 }

@@ -39,6 +39,13 @@ object GraftSqlBridge {
                                exception: Exception): Unit = f(qe)
       })
 
+  /** Block until the context's listener bus has drained — lets tests
+    * assert on (async) QueryExecutionListener deliveries without
+    * polling. (`listenerBus` is private[spark]; this bridge lives under
+    * org.apache.spark.* precisely for such access.) */
+  def awaitListenerBus(session: SparkSession): Unit =
+    session.sparkContext.listenerBus.waitUntilEmpty()
+
   /** True when the session's shared cache manager holds no cached
     * (InMemoryRelation) plans — the library-hygiene assertion surface. */
   def cacheManagerIsEmpty(session: SparkSession): Boolean =

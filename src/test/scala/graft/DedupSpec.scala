@@ -558,4 +558,92 @@ class DedupSpec extends SparkSpec {
     // 3 identical docs → C(3,2)=3 pairs, every endpoint twice wired
     assert(got === Map(2L -> 3L, 0L -> 1L))
   }
+
+  test("templateEditPairs: template near-copies pass, token-shuffled paraphrases are rejected") {
+    val t = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    // doc 2: RAW-text edits that normalize away ("Alpha", trailing "!")
+    // — identical token stream ⇒ identical simhash (guaranteed
+    // candidate at hamming 0) but a real character-level distance
+    val t2 = "Alpha " + t.stripPrefix("alpha ") + "!"
+    val docs = Seq(
+      (1L, t),
+      (2L, t2),
+      // same token MULTISET, different order: simhash also agrees (it
+      // hashes the unordered multiset) but char-level structure
+      // diverges → the edit verify must reject it
+      (3L, t.split(" ").reverse.mkString(" ")),
+      (4L, "completely different content that shares nothing with the template at all ever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.templateEditPairs(docs, "doc_id", "text",
+      maxDist = 3, prefixChars = 400, maxNedMicro = 300000L)
+      .select("id_a", "id_b", "lev_edits", "ned_micro")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    spark.catalog.clearCache()
+    assert(got.contains((1L, 2L)), "small-edit template pair must survive")
+    // 'a'→'A' substitution + '!' insertion = 2 edits
+    val den = math.max(t.length, t2.length).toLong
+    assert(got((1L, 2L))._3 === 2L)
+    assert(got((1L, 2L))._4 === (2L * 2L * 1000000L + den) / (2L * den))
+    assert(!got.contains((1L, 3L)),
+      "token-shuffled doc shares the simhash but must fail the edit verify")
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngramContainmentPairs: a quoted subset scores high containment where jaccard stays low") {
+    val short = "one two three four five six seven eight"
+    val long = short + " " + "nine ten eleven twelve thirteen fourteen fifteen sixteen " +
+      "seventeen eighteen nineteen twenty twentyone twentytwo twentythree twentyfour " +
+      "twentyfive twentysix twentyseven twentyeight twentynine thirty"
+    val docs = Seq((1L, short), (2L, long),
+      (3L, "unrelated filler text about engines and pipelines and planning today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+      n = 3, minContainment = 0.6)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    spark.catalog.clearCache()
+    // all 6 of doc 1's trigrams appear in doc 2 → containment_a = 1.0
+    val p = pairs((1L, 2L))
+    assert(p._3 === 6L)
+    assert(p._4 === 1.0, "short doc fully contained")
+    assert(p._5 < 0.3, "long side containment (≈ jaccard scale) stays low")
+    // symmetric-jaccard would NOT have surfaced this pair at 0.6
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(!jac.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("components loop: convergence probes are folded into the materializing pass (no probe actions)") {
+    import org.apache.spark.sql.GraftSqlBridge
+    val names = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = names.add(funcName)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = names.add(funcName)
+    }
+    cs.listenerManager.register(listener)
+    try {
+      // a 12-node path needs several star rounds — every round's only
+      // action must be the checkpoint-materializing foreachPartition
+      // (a separate head/collect would be a reintroduced probe job)
+      val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      Dedup.connectedComponentsStar(pairs)
+      GraftSqlBridge.awaitListenerBus(spark)
+      val fired = names.toArray(Array.empty[String]).toSeq
+      assert(fired.nonEmpty, "the loop must run at least one round")
+      // "localCheckpoint" is the (job-less) lazy-checkpoint registration
+      // event; the only job-running action allowed is the per-round
+      // materializing foreachPartition — a head/collect here would be a
+      // reintroduced scalar probe job
+      assert(fired.forall(n => n == "foreachPartition" || n == "localCheckpoint"),
+        s"non-fold probe actions fired during the components loop: $fired")
+    } finally cs.listenerManager.unregister(listener)
+  }
 }

@@ -117,4 +117,22 @@ class ProfilingSpec extends SparkSpec {
     assert(r._3 === 5L && r._4 === 0L && r._5 === 1L,
       "median 5, MAD 0, exactly the planted row flagged")
   }
+
+  test("signalSpearman: monotone 1, anti-monotone -1, ties take average ranks, constant is NULL") {
+    def rho(rows: Seq[(Long, Long)]): (Long, Option[Double]) = {
+      val r = Profiling.signalSpearman(rows.toDF("x", "y"), col("x"), col("y"))
+        .as[(Long, Option[Double])].collect().head
+      spark.catalog.clearCache()
+      r
+    }
+    assert(rho(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))) === ((4L, Some(1.0))))
+    assert(rho(Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L))) === ((4L, Some(-1.0))))
+    // ties: x = (1,2,2,3) → avg ranks (1, 2.5, 2.5, 4); y strictly
+    // increasing → ranks (1,2,3,4). Hand-computed Pearson on doubled
+    // ranks (2,5,5,8)/(2,4,6,8): 72/(√72·√80) = 0.948683…
+    assert(rho(Seq((1L, 10L), (2L, 20L), (2L, 30L), (3L, 40L)))
+      === ((4L, Some(0.948683))))
+    // constant signal: zero variance → ρ undefined, never a div-by-0
+    assert(rho(Seq((5L, 10L), (5L, 20L), (5L, 30L))) === ((3L, None)))
+  }
 }
