@@ -101,6 +101,27 @@ class ChangelogOpsSpec extends SparkSpec {
       "user 2's purchase precedes their click — sequential order is the point")
   }
 
+  test("funnelSteps: empty input reports 0 users (not NULL); quoted step names are safe") {
+    import graft.operators.WindowOps
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // empty events: the global sum's all-NULL row must coalesce to 0
+    val empty = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("user_id", "event_type", "ts")
+    val zeros = WindowOps.funnelSteps(empty, "user_id", "event_type", "ts",
+      Seq("view", "click"))
+      .as[(Long, String, Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(zeros === Seq((0L, "view", 0L, None, None), (1L, "click", 0L, None, None)))
+    // a step literal containing quotes must not break plan construction
+    // (typed Column literals, not interpolated SQL)
+    val quoted = Seq((1L, "it's', -- odd", ts(1)), (1L, "buy", ts(2)))
+      .toDF("user_id", "event_type", "ts")
+    val q = WindowOps.funnelSteps(quoted, "user_id", "event_type", "ts",
+      Seq("it's', -- odd", "buy"))
+      .as[(Long, String, Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(q(0) === ((0L, "it's', -- odd", 1L, None, Some(1000000L))))
+    assert(q(1) === ((1L, "buy", 1L, Some(1000000L), Some(1000000L))))
+  }
+
   test("sessionFeatures: gap splits sessions; error rate, breadth, span, value are exact") {
     import graft.operators.WindowOps
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)

@@ -959,6 +959,43 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q151: the Levenshtein DP joins capped candidates to prefixes — no cartesian, hot-band anti-join") {
+    val df = SparkEntry.queries("q151_template_pairs")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    // hot-band cap must stay a broadcast anti-join (q18's guard idiom)
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"hot-band cap must broadcast-anti-join:\n$plan")
+    // the levenshtein verify must sit above equi-joins, never a BNLJ
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"edit verify must ride candidate equi-joins:\n$plan")
+    assert(plan.contains("levenshtein"), s"edit verify missing:\n$plan")
+  }
+
+  test("q153: containment keeps q18's inverted-index shape — anti-join cap, no pair product") {
+    val df = SparkEntry.queries("q153_containment_pairs")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"hot-gram cap must broadcast-anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment must never cross-product:\n$plan")
+  }
+
+  test("q152: ranks come from the value-histogram — no global window over corpus rows") {
+    val df = SparkEntry.queries("q152_signal_spearman")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    // the empty-frame global window is ONLY legal on the per-value
+    // count frames (post-aggregate); the corpus rows must reach the
+    // rank join through an aggregate, never through a Window directly
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"value histogram must partial-aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cross product:\n$plan")
+  }
+
   test("composite pipelines run exactly ONE LSH clustering pass, checkpointed out of the plan") {
     // the composites embed dedupClusters (LSH pairs → components loop).
     // Two invariants a cache/checkpoint refactor could silently break:
