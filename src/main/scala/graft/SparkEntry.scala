@@ -1206,6 +1206,19 @@ object SparkEntry {
       Dedup.ngramContainmentPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minContainment = 0.6, maxShingleFreq = Some(1000))),
 
+    // ── Cramér's V provenance dependence: sparse-cell χ² identity,
+    //    floor-snapped pico terms, margins broadcast onto the cell
+    //    frame — nothing after the first shuffle is corpus-sized ──
+    "q154_source_lang_assoc" -> ((s, dir) =>
+      operators.Profiling.categoricalAssociation(t(s, dir, "documents"),
+        col("source"), col("lang"))),
+
+    // ── burst windows: per-type tumbling counts; the z-test cleared of
+    //    divisions — exact integer comparison, moments broadcast ──
+    "q155_burst_windows" -> ((s, dir) =>
+      graft.operators.WindowOps.burstWindows(t(s, dir, "events"),
+        "event_type", "ts", windowMicros = 3600L * 1000000L)),
+
     // ── lexical diversity: one cached tokenize feeds both gram
     //    orders; (source, gram) pre-aggs de-skew; |sources|-row join ──
     "q128_lexical_diversity" -> ((s, dir) =>
@@ -4366,6 +4379,50 @@ object SparkEntry {
          JOIN sizes sb ON id_b = sb.doc_id
          WHERE CAST(n_common AS DOUBLE) / sa.n_sh >= 0.6
             OR CAST(n_common AS DOUBLE) / sb.n_sh >= 0.6""",
+    // Cramér's V: sparse-cell χ² identity; per-cell pico terms floor-
+    // snapped from the SAME pinned double op sequence as the engine,
+    // exact 128-bit sums, one decimal→double division for chi2.
+    "q154_source_lang_assoc" ->
+      """WITH cells AS (
+           SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2
+         ), ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+         cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+         tm AS (
+           SELECT CAST(floor(CAST(o AS DOUBLE) * o / (CAST(ra AS DOUBLE) * cb) * 1e12) AS HUGEINT) AS t
+           FROM cells JOIN ra USING (a) JOIN cb USING (b)
+         ), s AS (SELECT sum(t) AS st FROM tm),
+         d AS (SELECT count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b,
+                 sum(o) AS n FROM cells)
+         SELECT CAST(n AS BIGINT) AS n_rows, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           greatest(CAST((st - 1000000000000) * n AS DOUBLE) / 1e12, 0.0) AS chi2,
+           CASE WHEN least(n_a, n_b) > 1 THEN
+             round(sqrt(greatest(CAST((st - 1000000000000) * n AS DOUBLE) / 1e12, 0.0) /
+               (CAST(n AS DOUBLE) * (CAST(least(n_a, n_b) AS DOUBLE) - 1.0))), 6)
+           END AS cramers_v
+         FROM d, s""",
+    // Burst windows: per-type tumbling counts; the z-test cleared of
+    // divisions — (cW−S)² > z²(W·Sq−S²) ∧ cW > S in exact 128-bit
+    // integers; mean is the shifted half-up intDiv micro.
+    "q155_burst_windows" ->
+      """WITH w AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS wdx,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2
+         ), st AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS wn,
+             CAST(sum(n_events) AS BIGINT) AS s,
+             sum(CAST(n_events AS HUGEINT) * n_events) AS sq
+           FROM w GROUP BY 1
+         )
+         SELECT w.event_type, CAST(wdx * 3600000000 AS BIGINT) AS window_start_us,
+           n_events,
+           CAST((2 * s * 1000000 + wn) // (2 * wn) AS BIGINT) AS mean_micro,
+           ((CAST(n_events AS HUGEINT) * wn - s) * (CAST(n_events AS HUGEINT) * wn - s)
+             > 9 * (CAST(wn AS HUGEINT) * sq - CAST(s AS HUGEINT) * s)
+            AND CAST(n_events AS HUGEINT) * wn > s) AS is_burst
+         FROM w JOIN st USING (event_type)""",
     // Shard composition entropy: the q126 md5-shard idiom (first 8
     // hex % 16); each ln of an integer count floor-snaps to micro
     // before the weighted sum (q132 rule), divides shifted half-up.

@@ -247,6 +247,63 @@ object Profiling {
     * (√(n·Sxx − Sx²) · √(n·Syy − Sy²)) — on doubles converted from
     * those exact integers, rounded at 6 dp (the metric-double rule;
     * a constant signal yields NULL). Output: (n_docs, rho). */
+  /** Cramér's V association between two categorical columns (source ×
+    * lang, shard × source…) — the provenance-dependence audit: V ≈ 0
+    * means the two labelings cut the corpus independently; V ≈ 1 means
+    * one determines the other (so stratifying by both is redundant,
+    * and a split keyed on one leaks the other).
+    *
+    * χ² over occupied cells only, via the identity
+    * χ² = n·(Σ o²/(rₐ·c_b) − 1) — empty cells contribute nothing, so
+    * the sparse contingency frame is enough. Each cell's term is
+    * floor-snapped to 1e12 "pico" units from one PINNED double op
+    * sequence (IEEE divides/multiplies are correctly rounded, so both
+    * engines floor the same double — the q132 ln-snap contract), and
+    * the snapped integers sum exactly; V = √(χ²/(n·(min(r,c)−1))) is
+    * the only unsnapped double, rounded at 6 dp (metric-double rule).
+    * min(r,c) = 1 (a constant column) yields NULL.
+    *
+    * Scale shape: one (a, b) combinable shuffle to the occupied-cell
+    * frame; margins are two aggregates OF that frame (≤ |a|, ≤ |b|
+    * rows) broadcast back; everything after is cell-frame-sized.
+    * Output: (n_rows, n_a, n_b, chi2, cramers_v) — chi2 emitted as the
+    * one pinned decimal→double division (chi2_pico may exceed a
+    * BIGINT at petabyte n·k, so the exact integer stays internal). */
+  def categoricalAssociation(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("__a"), bCol.as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+      .cache()
+    val ra = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val cb = cells.groupBy("__b").agg(sum("__o").as("__cb"))
+    val terms = cells
+      .join(broadcast(ra), "__a").join(broadcast(cb), "__b")
+      .select(floor(
+        col("__o").cast("double") * col("__o") /
+          (col("__ra").cast("double") * col("__cb")) * lit(1e12))
+        .cast("decimal(38,0)").as("__t"))
+    val s = terms.agg(sum("__t").as("__st"))
+    val dims = cells.agg(
+      countDistinct("__a").as("n_a"), countDistinct("__b").as("n_b"),
+      sum("__o").as("n_rows"))
+    CacheScope.scoped(
+      dims.crossJoin(broadcast(s))
+        // clamp at 0: floor snapping under-counts each term by < 1
+        // pico, so an independent table can land a hair below zero —
+        // and sqrt of that hair is NaN, not a small V
+        .select(col("n_rows"), col("n_a"), col("n_b"),
+          greatest(((col("__st") - lit(1000000000000L)) * col("n_rows"))
+            .cast("decimal(38,0)").cast("double") / lit(1e12), lit(0.0)).as("chi2"))
+        .withColumn("cramers_v",
+          when(least(col("n_a"), col("n_b")) > 1,
+            round(sqrt(col("chi2") /
+              (col("n_rows").cast("double") *
+                (least(col("n_a"), col("n_b")).cast("double") - 1.0))), 6)))
+        .select(col("n_rows").cast("long").as("n_rows"),
+          col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+          col("chi2"), col("cramers_v")),
+      cells)
+  }
+
   def signalSpearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sig = df.select(xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))

@@ -33,6 +33,55 @@ object WindowOps {
       .drop("__k")
   }
 
+  /** Tumbling-window burst detection per event type — the rate-spike
+    * alarm an ingestion pipeline runs over its own telemetry (a crawler
+    * gone hot, a retry storm, a bot flood): a window is a burst when
+    * its count exceeds the type's mean by `z` standard deviations,
+    * decided ENTIRELY in exact integer arithmetic — the z-test
+    * c > μ + z·σ is algebraically cleared of divisions to
+    *
+    *   (c·W − S)² > z²·(W·Sq − S²)   ∧   c·W > S
+    *
+    * (W = windows for the type, S = Σc, Sq = Σc², population σ), so
+    * there is no float boundary two engines could bracket differently.
+    * mean_micro is the shifted half-up intDiv report column.
+    *
+    * Scale shape: one (type, window) combinable count shuffle; the
+    * per-type moment frame (|types| rows, DECIMAL(38,0) exact — Sq
+    * sums c² so long would overflow first) BROADCASTS back onto the
+    * window frame; flags are stateless integer comparisons. Windows
+    * with zero events contribute nothing (W counts OCCUPIED windows —
+    * the gap-free variant would densify against the time axis first).
+    * Output: (event_type, window_start_us, n_events, mean_micro,
+    * is_burst). */
+  def burstWindows(events: DataFrame, typeCol: String, tsCol: String,
+                   windowMicros: Long, z: Int = 3): DataFrame = {
+    require(windowMicros > 0 && z > 0)
+    import graft.expressions.HashExpressions.intDiv
+    val win = events
+      .select(col(typeCol).as("event_type"),
+        expr(s"unix_micros($tsCol) div ${windowMicros}L").as("__w"))
+      .groupBy("event_type", "__w").agg(count(lit(1)).as("n_events"))
+      .cache()
+    val stats = win.groupBy("event_type").agg(
+      count(lit(1)).cast("decimal(38,0)").as("__wn"),
+      sum("n_events").cast("decimal(38,0)").as("__S"),
+      sum(col("n_events").cast("decimal(38,0)") * col("n_events")).as("__Sq"))
+    val c = col("n_events").cast("decimal(38,0)")
+    val lhs = (c * col("__wn") - col("__S"))
+    CacheScope.scoped(
+      win.join(broadcast(stats), "event_type")
+        .select(col("event_type"),
+          (col("__w") * windowMicros).as("window_start_us"),
+          col("n_events"),
+          intDiv(lit(2L) * col("__S").cast("long") * 1000000L + col("__wn").cast("long"),
+            lit(2L) * col("__wn").cast("long")).as("mean_micro"),
+          (lhs * lhs > lit(z).cast("decimal(38,0)") * lit(z) *
+            (col("__wn") * col("__Sq") - col("__S") * col("__S")) &&
+            c * col("__wn") > col("__S")).as("is_burst")),
+      win)
+  }
+
   /** Tumbling-window dedup: the FIRST row per (keys, window) by
     * (tsCol, tieCol), plus how many duplicates the window suppressed —
     * time-bounded duplicate suppression (retry storms, at-least-once

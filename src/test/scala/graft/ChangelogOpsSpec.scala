@@ -122,6 +122,33 @@ class ChangelogOpsSpec extends SparkSpec {
     assert(q(1) === ((1L, "buy", 1L, Some(1000000L), Some(1000000L))))
   }
 
+  test("burstWindows: the spike window flags, steady windows don't; z-test is exact") {
+    import graft.operators.WindowOps
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // type A: 20 quiet windows (1 event) + 1 spike of 10 → W=21, S=30,
+    // Sq=120: (cW−S)² = 180² = 32400 > 9·(W·Sq−S²) = 9·1620 = 14580 —
+    // only the spike clears μ + 3σ (a lone spike among FEW windows
+    // would mask itself by inflating σ: with 4 quiet windows the same
+    // spike doesn't flag, which is correct z-test behavior).
+    // Type B constant → σ = 0, nothing flags (cW > S fails).
+    val quiet = (0 until 20).map(i => ("A", ts(i)))
+    val spike = Seq.fill(10)(("A", ts(20)))
+    val steady = (0 until 3).map(i => ("B", ts(i)))
+    val ev = (quiet ++ spike ++ steady).toDF("event_type", "ts")
+    val got = WindowOps.burstWindows(ev, "event_type", "ts",
+      windowMicros = 1000000L)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    spark.catalog.clearCache()
+    // mean_micro = half-up of 30/21 ·1e6
+    assert(got(("A", 20000000L)) === (("A", 20000000L, 10L, 1428571L, true)))
+    (0 until 20).foreach(i =>
+      assert(!got(("A", i * 1000000L))._5, s"quiet window $i must not flag"))
+    (0 until 3).foreach(i =>
+      assert(got(("B", i * 1000000L)) === (("B", i * 1000000L, 1L, 1000000L, false)),
+        "zero-variance type never bursts"))
+  }
+
   test("sessionFeatures: gap splits sessions; error rate, breadth, span, value are exact") {
     import graft.operators.WindowOps
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)

@@ -996,6 +996,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cross product:\n$plan")
   }
 
+  test("q154/q155: margins and moments broadcast back onto their cell/window frames") {
+    for (name <- Seq("q154_source_lang_assoc", "q155_burst_windows")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: small stats frame must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: stats join degraded to SMJ:\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$name: cell/window counts must partial-aggregate:\n$plan")
+    }
+  }
+
   test("composite pipelines run exactly ONE LSH clustering pass, checkpointed out of the plan") {
     // the composites embed dedupClusters (LSH pairs → components loop).
     // Two invariants a cache/checkpoint refactor could silently break:

@@ -135,4 +135,23 @@ class ProfilingSpec extends SparkSpec {
     // constant signal: zero variance → ρ undefined, never a div-by-0
     assert(rho(Seq((5L, 10L), (5L, 20L), (5L, 30L))) === ((3L, None)))
   }
+
+  test("categoricalAssociation: determined ⇒ V = 1, independent ⇒ V ≈ 0, constant ⇒ NULL") {
+    def v(rows: Seq[(String, String)]): (Long, Long, Long, Double, Option[Double]) = {
+      val r = Profiling.categoricalAssociation(rows.toDF("a", "b"), col("a"), col("b"))
+        .as[(Long, Long, Long, Double, Option[Double])].collect().head
+      spark.catalog.clearCache()
+      r
+    }
+    // b determined by a (2×2, diagonal): χ² = n, V = 1
+    val det = v(Seq(("x", "1"), ("x", "1"), ("y", "2"), ("y", "2")))
+    assert(det._1 === 4L && det._2 === 2L && det._3 === 2L)
+    assert(det._5 === Some(1.0))
+    // perfectly independent 2×2 (every cell equal): χ² = 0, V = 0 —
+    // and the floor-snap clamp must not let it go NaN
+    val ind = v(Seq(("x", "1"), ("x", "2"), ("y", "1"), ("y", "2")))
+    assert(ind._4 === 0.0 && ind._5 === Some(0.0))
+    // constant b: min(r, c) = 1 → V undefined
+    assert(v(Seq(("x", "1"), ("y", "1")))._5 === None)
+  }
 }
