@@ -1219,6 +1219,12 @@ object SparkEntry {
       graft.operators.WindowOps.burstWindows(t(s, dir, "events"),
         "event_type", "ts", windowMicros = 3600L * 1000000L)),
 
+    // ── label centroid compactness: (label, dim) combinable sums →
+    //    micro-lattice centroids broadcast onto ONE corpus scan ──
+    "q156_label_compactness" -> ((s, dir) =>
+      Similarity.labelCentroidCompactness(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")),
+
     // ── lexical diversity: one cached tokenize feeds both gram
     //    orders; (source, gram) pre-aggs de-skew; |sources|-row join ──
     "q128_lexical_diversity" -> ((s, dir) =>
@@ -4423,6 +4429,39 @@ object SparkEntry {
              > 9 * (CAST(wn AS HUGEINT) * sq - CAST(s AS HUGEINT) * s)
             AND CAST(n_events AS HUGEINT) * wn > s) AS is_burst
          FROM w JOIN st USING (event_type)""",
+    // Label centroid compactness: micro-lattice component snap (floor,
+    // one pinned double op), signed half-up component means, the q21
+    // cosine parity path rounded to micro, exact shifted-mean fold.
+    "q156_label_compactness" ->
+      """WITH comp AS (
+           SELECT label, CAST(d.i AS BIGINT) - 1 AS dim,
+             CAST(floor(CAST(embedding[CAST(d.i AS INT)] AS DOUBLE) * 1e6) AS BIGINT) AS cm
+           FROM embeddings, range(1, 65) d(i)
+         ), sums AS (
+           SELECT label, dim, CAST(sum(cm) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+           FROM comp GROUP BY 1, 2
+         ), cent AS (
+           SELECT label, list(CAST(c AS DOUBLE) / 1e6 ORDER BY dim) AS cvec FROM (
+             SELECT label, dim,
+               CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+                    ELSE -((-2*s + n) // (2*n)) END AS c
+             FROM sums) GROUP BY 1
+         ), r AS (
+           SELECT e.label,
+             CASE WHEN list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x)) > 0
+                   AND list_sum(list_transform(cvec, x -> x*x)) > 0
+               THEN CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cvec) * 1e6, 0) AS BIGINT)
+             END AS cosm
+           FROM embeddings e JOIN cent USING (label)
+         )
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(cosm) AS BIGINT) AS n_scored,
+           CAST(CASE WHEN count(cosm) > 0 THEN
+             (2 * sum(cosm + 1000000) + count(cosm)) // (2 * count(cosm)) - 1000000
+           END AS BIGINT) AS mean_cos_micro,
+           CAST(min(cosm) AS BIGINT) AS min_cos_micro
+         FROM r GROUP BY 1""",
     // Shard composition entropy: the q126 md5-shard idiom (first 8
     // hex % 16); each ln of an integer count floor-snaps to micro
     // before the weighted sum (q132 rule), divides shifted half-up.

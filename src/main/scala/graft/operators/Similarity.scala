@@ -881,4 +881,61 @@ object Similarity {
         ((col("norm_micro") - col("__mean")) * (col("norm_micro") - col("__mean")) >
           lit(zThresh.toLong * zThresh) * col("__var")).as("is_outlier"))
   }
+
+  /** Per-label centroid compactness — the class-geometry audit run
+    * before labels gate a contrastive/classification training run: for
+    * each label, how tightly its vectors hug their own centroid (mean
+    * and worst cosine-to-centroid). A label with low mean compactness
+    * is noisy or multi-modal (SemDeDup/label-noise territory); a
+    * min_cos near −1 is a mislabeled outlier.
+    *
+    * Determinism: float components snap to the exact micro lattice
+    * (floor(x·1e6) — one pinned double op), so the per-(label, dim)
+    * sums and the half-up (away-from-zero for negatives) component
+    * means are exact integers; the centroid both engines score against
+    * is the IDENTICAL micro-lattice vector. Per-row cosine is the q21
+    * parity path (codegen [[graft.expressions.VectorDot]] vs the
+    * oracle's list cosine) rounded to micro; aggregates over those
+    * snapped integers are exact (mean shifted +1e6 to keep the intDiv
+    * operands non-negative — cos ≥ −1). Zero-norm vectors (and a
+    * degenerate zero centroid) score NULL, counted in n_vecs but not
+    * n_scored.
+    *
+    * Scale shape: one (label, dim) combinable shuffle for the centroid
+    * sums (|labels|·dim rows), centroids re-assembled and BROADCAST
+    * back onto one corpus scan, one |labels|-group combinable fold. No
+    * pairwise anything. Output: (label, n_vecs, n_scored,
+    * mean_cos_micro, min_cos_micro). */
+  def labelCentroidCompactness(emb: DataFrame, idCol: String, vecCol: String,
+                               labelCol: String): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val comp = emb
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .toDF("label", "dim", "__x")
+      .select(col("label"), col("dim"),
+        floor(col("__x").cast("double") * lit(1e6)).cast("long").as("__cm"))
+    val sums = comp.groupBy("label", "dim")
+      .agg(sum("__cm").as("__s"), count(lit(1)).as("__n"))
+    val cmean = when(col("__s") >= 0,
+      intDiv(lit(2L) * col("__s") + col("__n"), lit(2L) * col("__n")))
+      .otherwise(-intDiv(lit(-2L) * col("__s") + col("__n"), lit(2L) * col("__n")))
+    val cent = sums.select(col("label"), col("dim"), cmean.as("__c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("__c")))),
+        x => x.getField("__c").cast("double") / lit(1e6)).as("__cvec"))
+    val scored = emb.select(col(labelCol).as("label"), col(vecCol).as("__v"))
+      .join(broadcast(cent), "label")
+      .select(col("label"),
+        when(vecDot(col("__v"), col("__v")) > 0 &&
+             vecDot(col("__cvec"), col("__cvec")) > 0,
+          round(cosine(col("__v"), col("__cvec")) * lit(1e6), 0).cast("long"))
+          .as("__cosm"))
+    scored.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      count(col("__cosm")).as("n_scored"),
+      when(count(col("__cosm")) > 0,
+        intDiv(lit(2L) * sum(col("__cosm") + lit(1000000L)) + count(col("__cosm")),
+          lit(2L) * count(col("__cosm"))) - lit(1000000L)).as("mean_cos_micro"),
+      min("__cosm").as("min_cos_micro"))
+  }
 }

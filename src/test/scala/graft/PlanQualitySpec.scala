@@ -1010,6 +1010,17 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q156: centroids broadcast onto one corpus scan — corpus never shuffles for the score") {
+    val df = SparkEntry.queries("q156_label_compactness")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid frame must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"centroid join degraded to SMJ:\n$plan")
+    assert(plan.contains("vector_dot"), s"codegen dot kernel missing:\n$plan")
+  }
+
   test("composite pipelines run exactly ONE LSH clustering pass, checkpointed out of the plan") {
     // the composites embed dedupClusters (LSH pairs → components loop).
     // Two invariants a cache/checkpoint refactor could silently break:

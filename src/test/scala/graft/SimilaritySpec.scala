@@ -435,4 +435,22 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Boolean, Boolean)].collect()
     assert(got.forall(r => r._2 === 2000000L && !r._3 && !r._4))
   }
+
+  test("labelCentroidCompactness: mislabeled outlier drags min_cos to -1; zero vectors score NULL") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
+      (3L, Array(-1f, 0f), 0),           // mislabeled: anti-parallel to its centroid
+      (4L, Array(0f, 1f), 1), (5L, Array(0f, 1f), 1),
+      (6L, Array(0f, 0f), 1))            // zero vector: unscorable, still counted
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidCompactness(vecs, "vec_id", "embedding", "label")
+      .as[(Int, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // label 0: centroid (1/3, 0) → cos (1, 1, −1); exact micro mean of
+    // (1e6, 1e6, −1e6) is half-up(1/3)·1e6
+    assert(got(0) === ((0, 3L, 3L, Some(333333L), Some(-1000000L))))
+    // label 1: the zero vector is n_vecs−n_scored; survivors align
+    assert(got(1) === ((1, 3L, 2L, Some(1000000L), Some(1000000L))))
+  }
 }
