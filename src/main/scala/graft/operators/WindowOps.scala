@@ -82,6 +82,26 @@ object WindowOps {
       win)
   }
 
+  /** The per-type burst baseline MOMENTS frame — (event_type,
+    * n_windows, sum_n, sum_sq) over occupied tumbling windows, the
+    * [[burstWindows]] statistics exposed for the STREAMING gate
+    * ([[graft.streaming.StreamingDrift.windowedBursts]]): batch
+    * computes yesterday's moments once, the live stream flags against
+    * them. |types|-row output (collect-safe by construction). */
+  def burstMoments(events: DataFrame, typeCol: String, tsCol: String,
+                   windowMicros: Long): DataFrame = {
+    require(windowMicros > 0)
+    events
+      .select(col(typeCol).as("event_type"),
+        expr(s"unix_micros($tsCol) div ${windowMicros}L").as("__w"))
+      .groupBy("event_type", "__w").agg(count(lit(1)).as("__n"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_windows"),
+        sum("__n").as("sum_n"),
+        sum(col("__n").cast("decimal(38,0)") * col("__n"))
+          .cast("decimal(38,0)").as("sum_sq"))
+  }
+
   /** Tumbling-window dedup: the FIRST row per (keys, window) by
     * (tsCol, tieCol), plus how many duplicates the window suppressed —
     * time-bounded duplicate suppression (retry storms, at-least-once

@@ -188,4 +188,58 @@ object StreamingDrift {
           }
       }
   }
+
+  /** LIVE burst monitoring — the streaming twin of
+    * [[graft.operators.WindowOps.burstWindows]]: per event-time
+    * tumbling window and type, the count is flagged against a FIXED
+    * baseline's moments (yesterday's windows, computed batch-side by
+    * [[graft.operators.WindowOps.burstMoments]]) with the same
+    * division-free exact z-test — (c·W − S)² > z²·(W·Sq − S²) ∧ c·W > S
+    * — so the live flag and a batch replay over the same events agree
+    * bit-for-bit.
+    *
+    * No custom state: ONE windowed aggregation under the watermark
+    * (append mode emits each (window, type) exactly once on close) and
+    * a stateless broadcast join against the |types|-row baseline.
+    * A type ABSENT from the baseline fails loudly (the repo's
+    * fail-loudly contract — a silently unjudged burst is the one you
+    * needed): `assert_true` kills the query naming the type.
+    *
+    * `baseline`: event_type → (n_windows, sum_n, sum_sq). Output:
+    * (window_start_us, event_type, n_events, is_burst). */
+  def windowedBursts(df: DataFrame, typeCol: String, tsCol: String,
+                     windowLen: String, delay: String,
+                     baseline: Map[String, (Long, Long, Long)],
+                     z: Int = 3): DataFrame = {
+    require(baseline.nonEmpty && z > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = broadcast(
+      baseline.toSeq.map { case (t, (w, s, sq)) => (t, w, s, sq) }
+        .toDF("event_type", "__bw", "__bs", "__bsq"))
+    val counts = df
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen).as("__win"),
+        col(typeCol).cast("string").as("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val c = col("n_events").cast("decimal(38,0)")
+    val bw = col("__bw").cast("decimal(38,0)")
+    val bs = col("__bs").cast("decimal(38,0)")
+    val bsq = col("__bsq").cast("decimal(38,0)")
+    val lhs = c * bw - bs
+    counts.join(base, Seq("event_type"), "left")
+      .select(
+        unix_micros(col("__win").getField("start")).as("window_start_us"),
+        col("event_type"),
+        col("n_events"),
+        when(col("__bw").isNotNull,
+          lhs * lhs > lit(z.toLong * z).cast("decimal(38,0)") *
+            (bw * bsq - bs * bs) && c * bw > bs)
+          .otherwise(coalesce(
+            assert_true(col("__bw").isNotNull,
+              concat(lit("windowedBursts: type without baseline moments: "),
+                col("event_type"))).cast("boolean"),
+            lit(false)))
+          .as("is_burst"))
+  }
 }

@@ -201,4 +201,42 @@ class StreamingDriftSpec extends SparkSpec {
     assert(rows(20000000L)._2 === 1L && rows(20000000L)._3 === 0L)
     q.stop()
   }
+
+  test("windowedBursts: live flags agree with the batch z-test against the same baseline moments") {
+    implicit val sqlCtx = spark.sqlContext
+    // the batch-side baseline from ChangelogOpsSpec's planted case:
+    // type A over 21 windows — W=21, S=30, Sq=120. The z-test flags a
+    // window of 10 ((180)² = 32400 > 9·1620 = 14580) and not one of 1.
+    val baseline = Map("A" -> ((21L, 30L, 120L)))
+    val in = MemoryStream[CatEv]
+    val out = graft.streaming.StreamingDrift.windowedBursts(in.toDF(),
+      "category", "event_time", windowLen = "10 seconds",
+      delay = "0 seconds", baseline)
+    val q = out.writeStream.format("memory").queryName("burst_t")
+      .outputMode("append").start()
+    // [0,10): a single event (quiet) — watermark at 1s, nothing closes
+    in.addData(CatEv("A", ts(1)))
+    q.processAllAvailable()
+    assert(spark.table("burst_t").count() === 0, "open windows must not emit")
+    // [10,20): a 10-event spike (its batch closes [0,10)); the late
+    // lone event then closes [10,20)
+    in.addData((1 to 10).map(i => CatEv("A", ts(11))): _*)
+    q.processAllAvailable()
+    in.addData(CatEv("A", ts(45)))
+    q.processAllAvailable()
+    val rows = spark.table("burst_t")
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(0L) === ((0L, "A", 1L, false)))
+    assert(rows(10000000L) === ((10000000L, "A", 10L, true)),
+      "the spike window must flag against the batch moments")
+    // parity with the batch operator's algebra on the same numbers
+    val batchFlag = {
+      val (w, s, sq) = baseline("A")
+      val lhs = 10L * w - s
+      lhs * lhs > 9L * (w * sq - s * s) && 10L * w > s
+    }
+    assert(batchFlag === rows(10000000L)._4)
+    q.stop()
+  }
 }
