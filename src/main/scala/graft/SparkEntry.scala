@@ -1225,6 +1225,12 @@ object SparkEntry {
       Similarity.labelCentroidCompactness(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label")),
 
+    // ── cross-source dup matrix: the banded pair list joins the
+    //    id→source map twice (ids only); ≤|sources|² output rows ──
+    "q157_cross_source_dups" -> ((s, dir) =>
+      Dedup.crossSourceDupMatrix(t(s, dir, "documents"), "doc_id", "text",
+        "source", shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
+
     // ── lexical diversity: one cached tokenize feeds both gram
     //    orders; (source, gram) pre-aggs de-skew; |sources|-row join ──
     "q128_lexical_diversity" -> ((s, dir) =>
@@ -4462,6 +4468,24 @@ object SparkEntry {
            END AS BIGINT) AS mean_cos_micro,
            CAST(min(cosm) AS BIGINT) AS min_cos_micro
          FROM r GROUP BY 1""",
+    // Cross-source dup matrix: the q19 pair CTEs + two source lookups;
+    // canonical (least, greatest) cell, share in half-up micro.
+    "q157_cross_source_dups" ->
+      s"""WITH p AS (
+           SELECT id_a, id_b FROM ($minhashPairsSql)
+         ), lab AS (
+           SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+           FROM p
+           JOIN documents da ON p.id_a = da.doc_id
+           JOIN documents db ON p.id_b = db.doc_id
+         ), m AS (
+           SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM lab GROUP BY 1, 2
+         ), tot AS (SELECT CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS t FROM m)
+         SELECT source_a, source_b, n_pairs,
+           CAST((2 * n_pairs * 1000000 + t) // (2 * t) AS BIGINT) AS share_micro
+         FROM m, tot""",
     // Shard composition entropy: the q126 md5-shard idiom (first 8
     // hex % 16); each ln of an integer count floor-snaps to micro
     // before the weighted sum (q132 rule), divides shifted half-up.

@@ -1297,6 +1297,45 @@ object Dedup {
       .select("id_a", "id_b", "hamming", "lev_edits", "ned_micro")
   }
 
+  /** Cross-source near-duplication matrix — WHERE the duplication
+    * lives: every LSH-verified near-dup pair labeled with its two
+    * docs' sources, folded to (source_a ≤ source_b, n_pairs, share).
+    * A heavy diagonal cell is within-crawl boilerplate (fix the
+    * crawler / the per-source boilerplate pass); a heavy off-diagonal
+    * cell is two feeds shipping the same content (drop one, or dedup
+    * them jointly BEFORE mixing weights are chosen — mixture math over
+    * double-counted mass is wrong before training even starts).
+    *
+    * Share is the shifted half-up intDiv micro of exact pair counts.
+    *
+    * Scale shape: the banded pair list (never all-pairs) equi-joins
+    * the id→source map twice on the id — ids only, text never moves;
+    * the output folds to ≤ |sources|² rows and the 1-row total
+    * broadcasts back. Output: (source_a, source_b, n_pairs,
+    * share_micro). */
+  def crossSourceDupMatrix(docs: DataFrame, idCol: String, textCol: String,
+                           srcCol: String, shingleN: Int, numHashes: Int,
+                           bands: Int, minJaccard: Double): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val pairs = minHashLshPairs(docs, idCol, textCol, shingleN, numHashes,
+      bands, minJaccard)
+    val src = docs.select(col(idCol), col(srcCol).as("__src"))
+    val m = pairs
+      .join(src.select(col(idCol).as("id_a"), col("__src").as("__sa")), "id_a")
+      .join(src.select(col(idCol).as("id_b"), col("__src").as("__sb")), "id_b")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .cache()
+    val tot = m.agg(coalesce(sum("n_pairs"), lit(0L)).as("__tot"))
+    CacheScope.scoped(
+      m.crossJoin(broadcast(tot))
+        .select(col("source_a"), col("source_b"), col("n_pairs"),
+          intDiv(lit(2L) * col("n_pairs") * 1000000L + col("__tot"),
+            lit(2L) * col("__tot")).as("share_micro")),
+      m)
+  }
+
   /** N-gram CONTAINMENT pairs — the asymmetric companion to
     * [[ngramJaccardPairs]]: containment_a = |A∩B|/|A| is high when doc
     * A's gram set sits INSIDE doc B (a quoted or excerpted document, a

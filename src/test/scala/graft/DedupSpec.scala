@@ -616,6 +616,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("crossSourceDupMatrix: within-source and cross-source dup mass land in the right cells") {
+    val dup = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "a completely different boilerplate block repeated across the mirror feeds here"
+    val docs = Seq(
+      (1L, dup, "web"), (2L, dup, "web"),          // within-web pair
+      (3L, dup, "books"),                          // web↔books pairs (with 1 and 2)
+      (4L, other, "web"), (5L, other, "mirror"),   // web↔mirror pair
+      (6L, "nothing shared with anything else in this corpus at all", "web"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(docs, "doc_id", "text", "source",
+      shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    spark.catalog.clearCache()
+    // 4 pairs total: (1,2) web-web, (1,3)+(2,3) books-web, (4,5) mirror-web
+    assert(got === Map(
+      ("web", "web") -> ((1L, 250000L)),
+      ("books", "web") -> ((2L, 500000L)),
+      ("mirror", "web") -> ((1L, 250000L))))
+  }
+
   test("components loop: convergence probes are folded into the materializing pass (no probe actions)") {
     import org.apache.spark.sql.GraftSqlBridge
     val names = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
