@@ -4300,9 +4300,13 @@ object SparkEntry {
          ), pre AS (
            SELECT doc_id, substr(text, 1, 400) AS pfx FROM documents
          ), lv AS (
+           -- DuckDB's levenshtein counts UTF-8 BYTE edits; the engine
+           -- matches it exactly with LevenshteinBytes (Spark's builtin
+           -- counts code points and would desync on non-ASCII raw
+           -- text). Denominator is strlen = BYTE length to match.
            SELECT c.id_a, c.id_b, c.hamming,
              CAST(levenshtein(pa.pfx, pb.pfx) AS BIGINT) AS lev_edits,
-             CAST(greatest(len(pa.pfx), len(pb.pfx)) AS BIGINT) AS den
+             CAST(greatest(strlen(pa.pfx), strlen(pb.pfx)) AS BIGINT) AS den
            FROM cand c
            JOIN pre pa ON c.id_a = pa.doc_id
            JOIN pre pb ON c.id_b = pb.doc_id
@@ -4317,8 +4321,16 @@ object SparkEntry {
     // value-histogram cumsum (integers end-to-end); the five sums are
     // exact (HUGEINT ≡ Spark DECIMAL(38,0)), ρ is the identical double
     // op sequence on both engines, round 6 (metric-double rule).
+    // Base rows filter to the JOINT non-null set BEFORE the rank
+    // histograms — the engine (signalSpearman) drops either-null rows
+    // up front, so an oracle that kept a half-null row in one
+    // histogram would shift that signal's cumulative ranks and desync.
+    // (Both signals here derive from the same text, so nulls co-occur
+    // on this data — the filter pins the contract for callers with
+    // independently-null signals.)
     "q152_signal_spearman" ->
       """WITH base AS (
+           SELECT * FROM (
            SELECT CAST(len(string_split(norm, ' ')) AS BIGINT) AS x,
              least(len(text), 500) * 800
              + (CASE WHEN 10 * len(list_filter(string_split(norm, ' '),
@@ -4334,6 +4346,7 @@ object SparkEntry {
            FROM (SELECT text,
                    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
                  FROM documents)
+           ) WHERE x IS NOT NULL AND y IS NOT NULL
          ), xr AS (
            SELECT x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY x
          ), xa AS (
@@ -4442,7 +4455,7 @@ object SparkEntry {
       """WITH comp AS (
            SELECT label, CAST(d.i AS BIGINT) - 1 AS dim,
              CAST(floor(CAST(embedding[CAST(d.i AS INT)] AS DOUBLE) * 1e6) AS BIGINT) AS cm
-           FROM embeddings, range(1, 65) d(i)
+           FROM embeddings, range(1, 65) d(i) WHERE len(embedding) = 64
          ), sums AS (
            SELECT label, dim, CAST(sum(cm) AS BIGINT) AS s,
              CAST(count(*) AS BIGINT) AS n
@@ -4460,6 +4473,7 @@ object SparkEntry {
                THEN CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cvec) * 1e6, 0) AS BIGINT)
              END AS cosm
            FROM embeddings e JOIN cent USING (label)
+           WHERE len(e.embedding) = 64
          )
          SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(count(cosm) AS BIGINT) AS n_scored,

@@ -671,36 +671,47 @@ object Dedup {
     * oracle recomputes the exact same fingerprints. */
   /** Lazily local-checkpoints `df`, then materializes it with ONE
     * narrow single-stage job that SIMULTANEOUSLY accumulates a
-    * convergence signature — (row count, wrapping Σ of `sigCol`, a
-    * 64-bit hash column) — via accumulators. This folds the iterative
-    * operators' per-round convergence probe INTO the pass that has to
-    * run anyway to snapshot the round's result: one job per components
-    * round instead of checkpoint-plus-probe, and no probe shuffle (the
-    * old form was a two-stage scalar aggregate).
+    * convergence signature — (row count, wrapping Σ of `sigCol`,
+    * wrapping Σ of `exactCol`) — via accumulators. This folds the
+    * iterative operators' per-round convergence probe INTO the pass
+    * that has to run anyway to snapshot the round's result: one job per
+    * components round instead of checkpoint-plus-probe, and no probe
+    * shuffle (the old form was a two-stage scalar aggregate).
     *
     * Correctness notes: foreachPartition is an ACTION (result stage),
     * so the scheduler applies each task's accumulator update exactly
     * once — retried/speculative result tasks are deduplicated. Wrapping
-    * long addition of well-mixed 64-bit hashes is deterministic and
-    * order-independent, so equal row sets always produce equal
-    * signatures; distinct sets collide with probability ~2⁻⁶⁴ per
-    * comparison (the same risk profile as the previous exact-decimal
-    * sum OF xxhash64 values — the hash was already the weak link). */
-  private def checkpointWithSignature(df: DataFrame,
-                                      sigCol: Column): (DataFrame, (Long, Long)) = {
+    * long addition is deterministic and order-independent, so equal row
+    * sets always produce equal signatures. The two sums fail
+    * INDEPENDENTLY: the hash sum collides with probability ~2⁻⁶⁴, and
+    * the exact sum — when the caller picks a column that is MONOTONE
+    * across rounds (connectedComponents' `comp` only ever decreases
+    * per id) — is a true fixpoint probe unless the total per-round
+    * decrease reaches 2⁶⁴ (impossible for sub-2⁶³ ids over a shrinking
+    * label mass), restoring the exactness the plain hash traded away. */
+  private def checkpointWithSignature(df: DataFrame, sigCol: Column,
+      exactCol: Column): (DataFrame, (Long, Long, Long)) = {
     val ck = df.localCheckpoint(false)
     val sc = ck.sparkSession.sparkContext
     val cnt = sc.longAccumulator
     val hsum = sc.longAccumulator
-    ck.select(sigCol.cast("long").as("__sig"))
+    val esum = sc.longAccumulator
+    ck.select(sigCol.cast("long").as("__sig"), exactCol.cast("long").as("__ex"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         var c = 0L
         var s = 0L
-        while (it.hasNext) { s += it.next().getLong(0); c += 1L }
+        var e = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          s += r.getLong(0)
+          e += r.getLong(1)
+          c += 1L
+        }
         cnt.add(c)
         hsum.add(s)
+        esum.add(e)
       }
-    (ck, (cnt.value, hsum.value))
+    (ck, (cnt.value, hsum.value, esum.value))
   }
 
   /** Connected components over an undirected pair list — the step that
@@ -722,12 +733,14 @@ object Dedup {
     *
     * Convergence detection is folded INTO the round's materializing
     * pass: the job that computes and local-checkpoints the new label
-    * table also accumulates a (count, Σ xxhash64(id, comp)) signature
-    * via accumulators — one narrow single-stage job per round, no
-    * separate probe aggregate, no probe shuffle
+    * table also accumulates a (count, Σ xxhash64(id, comp), Σ comp)
+    * signature via accumulators — one narrow single-stage job per
+    * round, no separate probe aggregate, no probe shuffle
     * ([[checkpointWithSignature]]). Signature equality is the fixpoint
-    * test (unchanged labels ⇒ equal; changed ⇒ differ with
-    * probability 1 − 2⁻⁶⁴). `localCheckpoint` truncates the lineage
+    * test — EXACT, not probabilistic: comp is monotone non-increasing
+    * per id, so an unchanged Σ comp (alongside an unchanged count)
+    * certifies the fixpoint; the hash sum guards the exotic ≥2⁶⁴
+    * total-mass-decrease wrap. `localCheckpoint` truncates the lineage
     * each round (an iterative plan otherwise re-analyzes a growing
     * tree every iteration).
     *
@@ -753,10 +766,14 @@ object Dedup {
     // round's plan TWICE, so an un-truncated lineage doubles every
     // round — exponential analysis cost by round 10
     def labelSig = xxhash64(col("id"), col("comp"))
+    // comp is monotone non-increasing per id, so the wrapping Σ comp in
+    // the signature is an EXACT fixpoint probe (see
+    // checkpointWithSignature) — the hash sum alone would admit a
+    // ~2⁻⁶⁴ false convergence returning silently wrong clusters
     var (labels, sig) = checkpointWithSignature(
       edges.groupBy(col("u").as("id"))
         .agg(least(min(col("v")), col("u")).as("comp")),
-      labelSig)
+      labelSig, col("comp"))
     // the materializing pass above computed edges (persisted) —
     // everything the loop needs from `pairs` is now snapshotted, and the
     // checkpoint hides the consumed lineage from CacheScope's listener:
@@ -773,7 +790,7 @@ object Dedup {
           .unionAll(labels.as("l").join(edges.as("e"), col("l.id") === col("e.u"))
             .select(col("e.v").as("id"), col("l.comp").as("comp")))
           .groupBy("id").agg(min("comp").as("comp")),
-        labelSig)
+        labelSig, col("comp"))
       converged = nextSig == sig
       sig = nextSig
       labels = next
@@ -839,8 +856,12 @@ object Dedup {
                      else rewired.unionAll(m.select(col("u"), col("m").as("v")))
       canon(selfEdge)
     }
+    // edge sets aren't monotone under star rewiring, so no exact probe
+    // exists here; Σ(u+v) is a second INDEPENDENT 64-bit check — false
+    // convergence now needs both sums to collide at once (~2⁻¹²⁸)
     var (edges, sig) = checkpointWithSignature(
-      canon(pairs.select(col(idA).as("u"), col(idB).as("v"))), edgeSig)
+      canon(pairs.select(col(idA).as("u"), col(idB).as("v"))), edgeSig,
+      col("u") + col("v"))
     // the materializing pass computed the checkpointed edge snapshot —
     // upstream scoped caches (LSH signatures etc.) are fully consumed,
     // and the checkpoint hides that lineage from CacheScope's listener
@@ -849,7 +870,8 @@ object Dedup {
     var iter = 0
     while (!converged && iter < maxIter) {
       val (next, nextSig) = checkpointWithSignature(
-        canon(phase(phase(edges, large = true), large = false)), edgeSig)
+        canon(phase(phase(edges, large = true), large = false)), edgeSig,
+        col("u") + col("v"))
       converged = nextSig == sig
       sig = nextSig
       edges = next
@@ -1254,7 +1276,7 @@ object Dedup {
 
   /** Template-family pairs: [[simhashHammingPairs]] candidates (token-
     * multiset similarity, exhaustive by 4-band pigeonhole for Hamming
-    * ≤ 3) VERIFIED at the CHARACTER level by normalized Levenshtein
+    * ≤ 3) VERIFIED at the raw-text level by normalized Levenshtein
     * distance over each doc's first `prefixChars` characters — the
     * "same page template, different fill-in" detector. SimHash alone
     * conflates two failure modes a curation pass treats differently:
@@ -1263,10 +1285,16 @@ object Dedup {
     * verify separates them; pairs with prefix edit share ≤
     * `maxNedMicro` micro-units are template family.
     *
-    * Determinism: `levenshtein` is the classic unit-cost edit distance
-    * in both engines; the normalized share is the shifted half-up
-    * intDiv micro form over exact integers (CLAUDE.md integer-ratio
-    * rule — both operands non-negative).
+    * Determinism: the edit distance is
+    * [[graft.expressions.LevenshteinBytes]] — unit-cost edits over the
+    * prefixes' UTF-8 BYTES, with byte-length (`octet_length`)
+    * denominators. Spark's builtin `levenshtein` counts code points
+    * while DuckDB's counts bytes, so the builtin desyncs from the
+    * oracle on the first non-ASCII character of raw (un-normalized)
+    * text; byte-level is identical in both engines on any corpus and
+    * equals the code-point form on ASCII. The normalized share is the
+    * shifted half-up intDiv micro form over exact integers (CLAUDE.md
+    * integer-ratio rule — both operands non-negative).
     *
     * Scale shape: the O(prefixChars²) DP runs ONLY on band-verified
     * candidate pairs (never all-pairs — hot bands are already capped
@@ -1287,8 +1315,10 @@ object Dedup {
       .join(pre.select(col(idCol).as("id_a"), col("__p").as("__pa")), "id_a")
       .join(pre.select(col(idCol).as("id_b"), col("__p").as("__pb")), "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"),
-        levenshtein(col("__pa"), col("__pb")).cast("long").as("lev_edits"),
-        greatest(length(col("__pa")), length(col("__pb"))).cast("long").as("__den"))
+        graft.expressions.LevenshteinBytes.levBytes(col("__pa"), col("__pb"))
+          .cast("long").as("lev_edits"),
+        greatest(octet_length(col("__pa")), octet_length(col("__pb")))
+          .cast("long").as("__den"))
       .withColumn("ned_micro",
         when(col("__den") === 0L, lit(0L))
           .otherwise(intDiv(col("lev_edits") * lit(2000000L) + col("__den"),

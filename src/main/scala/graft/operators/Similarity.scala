@@ -907,9 +907,14 @@ object Similarity {
     * pairwise anything. Output: (label, n_vecs, n_scored,
     * mean_cos_micro, min_cos_micro). */
   def labelCentroidCompactness(emb: DataFrame, idCol: String, vecCol: String,
-                               labelCol: String): DataFrame = {
+                               labelCol: String, dim: Int = 64): DataFrame = {
     import graft.expressions.HashExpressions.intDiv
-    val comp = emb
+    // Fixed dimensionality is part of the contract (the q140 idiom): a
+    // stray wrong-length vector would otherwise skew per-dim centroid
+    // counts AND be scored against a centroid it didn't shape — both
+    // sides (engine and oracle) exclude it instead.
+    val emb0 = emb.where(size(col(vecCol)) === dim)
+    val comp = emb0
       .select(col(labelCol).as("label"), posexplode(col(vecCol)))
       .toDF("label", "dim", "__x")
       .select(col("label"), col("dim"),
@@ -923,7 +928,7 @@ object Similarity {
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("__c")))),
         x => x.getField("__c").cast("double") / lit(1e6)).as("__cvec"))
-    val scored = emb.select(col(labelCol).as("label"), col(vecCol).as("__v"))
+    val scored = emb0.select(col(labelCol).as("label"), col(vecCol).as("__v"))
       .join(broadcast(cent), "label")
       .select(col("label"),
         when(vecDot(col("__v"), col("__v")) > 0 &&

@@ -590,6 +590,46 @@ class DedupSpec extends SparkSpec {
     assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("templateEditPairs: multibyte raw text matches DuckDB's byte-level levenshtein") {
+    // Cross-engine contract pin (round-9 ADVICE): DuckDB's builtin
+    // levenshtein counts UTF-8 BYTE edits — measured in DuckDB 1.x:
+    //   ('café münchen','cafe munchen') = 4   (é→e, ü→u: sub+del each)
+    //   ('text é end','text 𝛼 end')     = 4   (2-byte é vs 4-byte 𝛼)
+    //   ('東京 data','京都 data')        = 6   (3-byte CJK chars)
+    //   ('a𝄞b','ab')                    = 4   (4-byte astral deletion)
+    //   ('héllo','hello')               = 2
+    // Spark's builtin counts code points (1, 1, 2, 1, 1) — the engine
+    // therefore uses LevenshteinBytes, which must reproduce DuckDB's
+    // byte values exactly:
+    import graft.expressions.LevenshteinBytes.distOf
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(distOf(u("café münchen"), u("cafe munchen")) === 4)
+    assert(distOf(u("text é end"), u("text 𝛼 end")) === 4)
+    assert(distOf(u("東京 data"), u("京都 data")) === 6)
+    assert(distOf(u("a𝄞b"), u("ab")) === 4)
+    assert(distOf(u("héllo"), u("hello")) === 2)
+    assert(distOf(u(""), u("abc")) === 3)
+    assert(distOf(u("same"), u("same")) === 0)
+
+    // End-to-end: multibyte edits INSIDE the 400-char prefix. ¡ and é
+    // normalize to spaces (identical token stream ⇒ guaranteed simhash
+    // candidate at hamming 0) but differ at the byte level: ¡ = C2 A1,
+    // é = C3 A9 → two byte substitutions.
+    val t = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val docs = Seq((1L, t + " ¡!"), (2L, t + " é!")).toDF("doc_id", "text")
+    val got = Dedup.templateEditPairs(docs, "doc_id", "text",
+      maxDist = 3, prefixChars = 400, maxNedMicro = 300000L)
+      .select("id_a", "id_b", "lev_edits", "ned_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(got.length === 1)
+    val (_, _, lev, ned) = got.head
+    assert(lev === 2L, "byte-level distance: two substituted continuation bytes")
+    // denominator is BYTE length: |t| + ' ' + 2-byte char + '!'
+    val den = (t.getBytes("UTF-8").length + 4).toLong
+    assert(ned === (2L * 2L * 1000000L + den) / (2L * den))
+  }
+
   test("ngramContainmentPairs: a quoted subset scores high containment where jaccard stays low") {
     val short = "one two three four five six seven eight"
     val long = short + " " + "nine ten eleven twelve thirteen fourteen fifteen sixteen " +

@@ -442,9 +442,12 @@ class SimilaritySpec extends SparkSpec {
       (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
       (3L, Array(-1f, 0f), 0),           // mislabeled: anti-parallel to its centroid
       (4L, Array(0f, 1f), 1), (5L, Array(0f, 1f), 1),
-      (6L, Array(0f, 0f), 1))            // zero vector: unscorable, still counted
+      (6L, Array(0f, 0f), 1),            // zero vector: unscorable, still counted
+      (7L, Array(1f, 0f, 0f), 0))        // wrong dimensionality: excluded from
+                                         // centroid AND scoring (round-9 contract)
       .toDF("vec_id", "embedding", "label")
-    val got = Similarity.labelCentroidCompactness(vecs, "vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidCompactness(vecs, "vec_id", "embedding", "label",
+      dim = 2)
       .as[(Int, Long, Long, Option[Long], Option[Long])].collect()
       .map(r => r._1 -> r).toMap
     // label 0: centroid (1/3, 0) → cos (1, 1, −1); exact micro mean of
