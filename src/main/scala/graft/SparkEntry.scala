@@ -1231,6 +1231,32 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(t(s, dir, "documents"), "doc_id", "text",
         "source", shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
 
+    // ── PERSISTED LSH index: signatures hashed ONCE and written as a
+    //    native bucketed table on (band, bucket); the pair self-join is
+    //    then exchange-free and never rescans the text (plan-guarded).
+    //    Output identical to q19 by the pigeonhole argument ──
+    "q158_lsh_indexed_pairs" -> ((s, dir) => {
+      Dedup.buildLshIndex(t(s, dir, "documents"), "doc_id", "text",
+        "lsh_idx_q158", shingleN = 3, numHashes = 64, bands = 16)
+      Dedup.lshPairsIndexed(s, "lsh_idx_q158", "doc_id", numHashes = 64,
+        minJaccard = 0.8)
+    }),
+
+    // ── point probe of the persisted LSH index: a small probe batch's
+    //    (band, bucket) set becomes a LITERAL predicate, so the index
+    //    scan prunes to the probe's own buckets (SelectedBucketsCount)
+    //    instead of reading the corpus. Output = the ≥0.8-agreement
+    //    (probe, corpus) pairs — the prune narrows WHERE the index is
+    //    read, never the result set ──
+    "q159_lsh_index_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.buildLshIndex(docs, "doc_id", "text", "lsh_idx_q159",
+        shingleN = 3, numHashes = 64, bands = 16)
+      Dedup.lshProbeIndexed(s, "lsh_idx_q159", docs.where(col("doc_id") < 25),
+        "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+        minJaccard = 0.8)
+    }),
+
     // ── lexical diversity: one cached tokenize feeds both gram
     //    orders; (source, gram) pre-aggs de-skew; |sources|-row join ──
     "q128_lexical_diversity" -> ((s, dir) =>
@@ -1398,6 +1424,51 @@ object SparkEntry {
          JOIN mh ma ON ma.doc_id = id_a
          JOIN mh mb ON mb.doc_id = id_b AND ma.i = mb.i
          GROUP BY id_a, id_b
+         HAVING CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 >= 0.8"""
+  }
+
+  /** DuckDB replay of `Dedup.lshProbeIndexed` over a freshly built
+    * index (q159): the q19 MinHash/band CTEs; candidates = (probe,
+    * corpus) docs sharing a band bucket with probe doc_id < 25 and
+    * probe ≠ corpus; emitted at signature agreement ≥ 0.8. The
+    * engine's bucket-literal scan prune and its band-folded xxhash64
+    * bucketing only change WHERE the index is read and how candidates
+    * are keyed — by the q19 pigeonhole argument the ≥ 0.8 output set
+    * is exactly the agreement pairs either way. */
+  private def lshProbeSql: String = {
+    def parse12(start: Int) =
+      s"CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + $start AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT)"
+    s"""WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM t WHERE len(toks) >= 3
+         ), hh AS (
+           SELECT doc_id, ${parse12(1)} AS h1, ${parse12(13)} AS h2
+           FROM (SELECT doc_id, md5(shingle) AS hx FROM sh)
+         ), mh AS (
+           SELECT doc_id, i.i AS i, min(h1 + i.i * h2) AS mh
+           FROM hh CROSS JOIN range(64) i(i) GROUP BY doc_id, i.i
+         ), band AS (
+           SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+           FROM mh GROUP BY doc_id, band
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_id
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id != b.doc_id
+           WHERE a.doc_id < 25
+         )
+         SELECT c.doc_id, c.corpus_id,
+           CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 AS est_jaccard
+         FROM cand c
+         JOIN mh ma ON ma.doc_id = c.doc_id
+         JOIN mh mb ON mb.doc_id = c.corpus_id AND ma.i = mb.i
+         GROUP BY 1, 2
          HAVING CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 >= 0.8"""
   }
 
@@ -1938,6 +2009,12 @@ object SparkEntry {
     // Banding: any pair agreeing on ≥ 52/64 positions shares ≥1 fully-
     // equal band (pigeonhole), so bucket identity == slice equality.
     "q19_minhash_lsh" -> minhashPairsSql,
+    // Persisted-index pairs are output-identical to q19 (the index only
+    // changes WHERE the banded signatures live, not which pairs agree).
+    "q158_lsh_indexed_pairs" -> minhashPairsSql,
+    // Index point probe: q19's CTEs, candidates restricted to the
+    // probe side (doc_id < 25), identity excluded, both orders kept.
+    "q159_lsh_index_probe" -> lshProbeSql,
     // Near-dup CLUSTERS: connected components (min reachable id) over
     // the q19 MinHash-LSH pair list, via a recursive reachability CTE —
     // replays the engine's iterated min-label propagation exactly.
@@ -3572,8 +3649,11 @@ object SparkEntry {
            least(greatest(r.v, b.lo), b.hi) AS v_winsor
          FROM r JOIN b USING (grp)""",
     // Eval-side span contamination: q101's positional md5-48 grams and
-    // island windows, but coverage = membership in the TRAIN side's
+    // island windows, coverage = membership in the TRAIN side's
     // distinct gram set over the q44 80/20 bucket split.
+    // longest_contam_span is EXACT: eval windows enumerated inside
+    // contiguous covered runs, matched by (m, gram-sequence) against
+    // the train side's windows over ITS shared-gram runs.
     "q111_eval_contamination" ->
       """WITH t AS (
            SELECT doc_id,
@@ -3590,17 +3670,19 @@ object SparkEntry {
              FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS i
                    FROM t WHERE bucket >= 80 AND len(toks) >= 10)
            )
-         ), tg AS (
-           SELECT DISTINCT
+         ), tpos AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
              CAST(list_sum(list_transform(range(12),
                j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT) AS h
            FROM (
-             SELECT md5(array_to_string(toks[i:i+9], ' ')) AS hx
-             FROM (SELECT toks, unnest(generate_series(1, len(toks) - 9)) AS i
+             SELECT doc_id, i, md5(array_to_string(toks[i:i+9], ' ')) AS hx
+             FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS i
                    FROM t WHERE bucket < 80 AND len(toks) >= 10)
            )
+         ), tg AS (
+           SELECT DISTINCT h FROM tpos
          ), cov AS (
-           SELECT doc_id, pos FROM pos WHERE h IN (SELECT h FROM tg)
+           SELECT doc_id, pos, h FROM pos WHERE h IN (SELECT h FROM tg)
          ), isl AS (
            SELECT doc_id, pos,
              CAST(sum(CASE WHEN prev IS NOT NULL AND pos - prev > 9 THEN 1 ELSE 0 END)
@@ -3615,9 +3697,50 @@ object SparkEntry {
          ), agg AS (
            SELECT doc_id,
              CAST(sum(nst) AS BIGINT) AS n_contam_positions,
-             CAST(sum(len) AS BIGINT) AS contam_tokens,
-             CAST(max(len) AS BIGINT) AS longest_contam_span
+             CAST(sum(len) AS BIGINT) AS contam_tokens
            FROM pisl GROUP BY 1
+         ), eruns AS (
+           SELECT doc_id, pos, h,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND pos - prev = 1 THEN 0 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rid
+           FROM (SELECT doc_id, pos, h,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                 FROM cov)
+         ), earr AS (
+           SELECT doc_id, rid, list(h ORDER BY pos) AS garr
+           FROM eruns GROUP BY 1, 2
+         ), ewin AS (
+           SELECT doc_id, mm.m AS m,
+             array_to_string(list_slice(garr, jj.j, jj.j + mm.m - 1), ',') AS wkey
+           FROM earr
+           CROSS JOIN LATERAL (SELECT unnest(range(1, len(garr) + 1)) AS m) mm
+           CROSS JOIN LATERAL (SELECT unnest(range(1, len(garr) - mm.m + 2)) AS j) jj
+         ), eg AS (
+           SELECT DISTINCT h FROM pos
+         ), tcov AS (
+           SELECT doc_id, pos, h FROM tpos WHERE h IN (SELECT h FROM eg)
+         ), truns AS (
+           SELECT doc_id, pos, h,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND pos - prev = 1 THEN 0 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rid
+           FROM (SELECT doc_id, pos, h,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                 FROM tcov)
+         ), tarr AS (
+           SELECT doc_id, rid, list(h ORDER BY pos) AS garr
+           FROM truns GROUP BY 1, 2
+         ), twin AS (
+           SELECT DISTINCT mm.m AS m,
+             array_to_string(list_slice(garr, jj.j, jj.j + mm.m - 1), ',') AS wkey
+           FROM tarr
+           CROSS JOIN LATERAL (SELECT unnest(range(1, len(garr) + 1)) AS m) mm
+           CROSS JOIN LATERAL (SELECT unnest(range(1, len(garr) - mm.m + 2)) AS j) jj
+         ), longest AS (
+           SELECT e.doc_id, CAST(max(e.m + 9) AS BIGINT) AS longest_contam_span
+           FROM ewin e JOIN twin w ON e.m = w.m AND e.wkey = w.wkey
+           GROUP BY e.doc_id
          ), base AS (
            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
            FROM t WHERE bucket >= 80
@@ -3625,10 +3748,12 @@ object SparkEntry {
          SELECT b.doc_id, b.n_tokens,
            COALESCE(a.n_contam_positions, 0) AS n_contam_positions,
            COALESCE(a.contam_tokens, 0) AS contam_tokens,
-           COALESCE(a.longest_contam_span, 0) AS longest_contam_span,
+           COALESCE(l.longest_contam_span, 0) AS longest_contam_span,
            CAST((COALESCE(a.contam_tokens, 0) * 2000000 + b.n_tokens)
              // (b.n_tokens * 2) AS DOUBLE) / 1e6 AS contam_frac
-         FROM base b LEFT JOIN agg a USING (doc_id)""",
+         FROM base b
+         LEFT JOIN agg a USING (doc_id)
+         LEFT JOIN longest l USING (doc_id)""",
     // Dup-cluster histogram: q47's components grouped by size; the
     // size-1 row = corpus minus clustered docs.
     "q112_dup_cluster_stats" ->
@@ -4805,9 +4930,14 @@ object SparkEntry {
          JOIN b ON d.source = b.source""",
     // Exact duplicated-substring stats: positional sliding-10-gram
     // md5-48 hashes (1-based slice → 0-based pos), df ≥ 2 covered
-    // starts, gap ≤ k−1 islands-and-gaps merge, span = (max−min)+k;
-    // dup_frac via the q82 integer half-up micro form; sum() outputs
-    // CAST to BIGINT (type parity).
+    // starts, gap ≤ k−1 islands-and-gaps merge for the interval-union
+    // columns; longest_dup_span is EXACT — brute-force window
+    // enumeration inside maximal CONTIGUOUS covered runs (every
+    // occurrence of a duplicated L-substring lies in such a run),
+    // (m, gram-sequence) occurrence count ≥ 2 ⟺ duplicated. The
+    // engine's binary search must land on the same maxima; dup_frac
+    // via the q82 integer half-up micro form; sum() outputs CAST to
+    // BIGINT (type parity).
     "q101_exact_substr" ->
       """WITH t AS (
            SELECT doc_id,
@@ -4825,7 +4955,7 @@ object SparkEntry {
          ), dfq AS (
            SELECT h, count(*) AS df FROM pos GROUP BY h
          ), cov AS (
-           SELECT doc_id, pos FROM pos JOIN dfq USING (h) WHERE df >= 2
+           SELECT doc_id, pos, h FROM pos JOIN dfq USING (h) WHERE df >= 2
          ), isl AS (
            SELECT doc_id, pos,
              CAST(sum(CASE WHEN prev IS NOT NULL AND pos - prev > 9 THEN 1 ELSE 0 END)
@@ -4840,9 +4970,30 @@ object SparkEntry {
          ), agg AS (
            SELECT doc_id,
              CAST(sum(nst) AS BIGINT) AS n_dup_positions,
-             CAST(sum(len) AS BIGINT) AS dup_tokens,
-             CAST(max(len) AS BIGINT) AS longest_dup_span
+             CAST(sum(len) AS BIGINT) AS dup_tokens
            FROM pisl GROUP BY 1
+         ), runs AS (
+           SELECT doc_id, pos, h,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND pos - prev = 1 THEN 0 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rid
+           FROM (SELECT doc_id, pos, h,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                 FROM cov)
+         ), rarr AS (
+           SELECT doc_id, rid, list(h ORDER BY pos) AS garr
+           FROM runs GROUP BY 1, 2
+         ), win AS (
+           SELECT doc_id, mm.m AS m,
+             array_to_string(list_slice(garr, jj.j, jj.j + mm.m - 1), ',') AS wkey
+           FROM rarr
+           CROSS JOIN LATERAL (SELECT unnest(range(1, len(garr) + 1)) AS m) mm
+           CROSS JOIN LATERAL (SELECT unnest(range(1, len(garr) - mm.m + 2)) AS j) jj
+         ), dupw AS (
+           SELECT m, wkey FROM win GROUP BY m, wkey HAVING count(*) >= 2
+         ), longest AS (
+           SELECT doc_id, CAST(max(m + 9) AS BIGINT) AS longest_dup_span
+           FROM win JOIN dupw USING (m, wkey) GROUP BY doc_id
          ), base AS (
            SELECT doc_id,
              CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
@@ -4851,10 +5002,12 @@ object SparkEntry {
          SELECT b.doc_id, b.n_tokens,
            coalesce(a.n_dup_positions, 0) AS n_dup_positions,
            coalesce(a.dup_tokens, 0) AS dup_tokens,
-           coalesce(a.longest_dup_span, 0) AS longest_dup_span,
+           coalesce(l.longest_dup_span, 0) AS longest_dup_span,
            CAST((2000000 * coalesce(a.dup_tokens, 0) + b.n_tokens)
              // (2 * b.n_tokens) AS DOUBLE) / 1e6 AS dup_frac
-         FROM base b LEFT JOIN agg a USING (doc_id)""")
+         FROM base b
+         LEFT JOIN agg a USING (doc_id)
+         LEFT JOIN longest l USING (doc_id)""")
 
   /** DuckDB replay of `Similarity.pqAdcSearch` (q87). The subspace-s
     * slice of a vector is elements s·subDim+1 … (s+1)·subDim

@@ -659,6 +659,77 @@ case class ChunkHashes48(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Rolling polynomial hash of EVERY `m`-element window of a bigint
+  * array: out(j) = Σ_{i<m} arr(j+i)·B^{m−1−i} (wrapping 64-bit,
+  * B = 0x100000001b3, the FNV-1a prime). One O(|arr|) pass per row —
+  * the O(1)-per-window Rabin–Karp update, NOT an O(m)-per-window
+  * slice hash — so a fully-duplicated 10⁶-token run costs 10⁶ ops,
+  * not 10¹².
+  *
+  * `m` is a COLUMN (the ExactSubstr binary-search loop tests a
+  * different window length per run per round). Out-of-range m (≤ 0 or
+  * > |arr|) yields an empty array — the caller's "no window of that
+  * length here" case, not an error.
+  *
+  * Values are engine-INTERNAL (q101's oracle re-derives the final
+  * span lengths from the gram sequences themselves, never from these
+  * hashes): equal windows always hash equal; unequal same-length
+  * windows collide at the ~2⁻⁶⁴-birthday class over the same-length
+  * window population — same documented risk family as the 48-bit gram
+  * hashes, and a collision can only OVERSTATE a span by inventing a
+  * duplicate. Inputs here are pseudo-random md5-48 grams, so the
+  * known adversarial wrap-64 polynomial constructions don't arise. */
+case class SlidingWindowHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sliding_window_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sliding_window_hashes expects (array<bigint>, int), got " +
+            s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+
+  def windowHashesOf(arr: ArrayData, m: Int): ArrayData = {
+    val n = arr.numElements()
+    if (m <= 0 || m > n) return ArrayData.toArrayData(Array.empty[Long])
+    val B = 0x100000001b3L
+    val out = new Array[Long](n - m + 1)
+    var bm1 = 1L
+    var i = 1
+    while (i < m) { bm1 *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < m) { h = h * B + arr.getLong(i); i += 1 }
+    out(0) = h
+    var j = 1
+    while (j <= n - m) {
+      h = (h - arr.getLong(j - 1) * bm1) * B + arr.getLong(j + m - 1)
+      out(j) = h
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    windowHashesOf(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("slidingWin", this, classOf[SlidingWindowHashes].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $self.windowHashesOf($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashExpressions {
   /** Column API: array<long> MinHash signature of a shingle array. */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
@@ -719,4 +790,10 @@ object HashExpressions {
   def positionalGramHashes48(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(PositionalGramHashes48(
       GraftSqlBridge.expression(tokens), n))
+
+  /** Column API: rolling 64-bit polynomial hash of every m-element
+    * window of a bigint array (m a column; O(1) per window). */
+  def slidingWindowHashes(arr: Column, m: Column): Column =
+    GraftSqlBridge.column(SlidingWindowHashes(
+      GraftSqlBridge.expression(arr), GraftSqlBridge.expression(m)))
 }

@@ -464,6 +464,25 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("evalSpanContamination longest_contam_span is exact across abutting train sources") {
+    val A = (1 to 8).map(i => s"a$i")
+    val B = (1 to 8).map(i => s"b$i")
+    val train = Seq(
+      (1L, (A ++ B.take(4)).mkString(" ")),       // A·b1..b4 — 12 tokens
+      (2L, "c1 c2 " + B.mkString(" ") + " c3")    // B embedded elsewhere
+    ).toDF("doc_id", "text")
+    val ev = Seq((10L, (A ++ B).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.evalSpanContamination(train, ev, "doc_id", "text", k = 5)
+      .select("doc_id", "contam_tokens", "longest_contam_span")
+      .as[(Long, Long, Long)].collect().head
+    spark.catalog.clearCache()
+    // every eval gram occurs in SOME train doc (interval union = all
+    // 16 tokens), but the longest single substring present in train is
+    // A·b1..b4 (12) — the abutting doc1/doc2 contributions must not
+    // merge into a 16-token "leak"
+    assert(got === ((10L, 16L, 12L)))
+  }
+
   test("dupClusterStats: histogram rows per size, singleton row balances to the corpus") {
     val fam = "the quick brown fox jumps over the lazy dog again and again " * 3
     val pair = "entirely different duplicated passage about corpus statistics " * 3
@@ -706,5 +725,66 @@ class DedupSpec extends SparkSpec {
       assert(fired.forall(n => n == "foreachPartition" || n == "localCheckpoint"),
         s"non-fold probe actions fired during the components loop: $fired")
     } finally cs.listenerManager.unregister(listener)
+  }
+
+  test("exactSubstrStats longest_dup_span: exact on abutting dups and overlapping self-repeats") {
+    val A = (1 to 14).map(i => s"a$i")
+    val B = (1 to 24).map(i => s"b$i")
+    // doc1 = A·B; doc2 shares doc1's 23-token prefix A·b1..b9; doc3
+    // shares B (24 tokens). doc1's covered starts are one contiguous
+    // run spanning the WHOLE doc, but A·B itself never occurs twice.
+    val d1 = (A ++ B).mkString(" ")
+    val d2 = (A ++ B.take(9) ++ (1 to 5).map(i => s"x$i")).mkString(" ")
+    val d3 = ((1 to 5).map(i => s"y$i") ++ B).mkString(" ")
+    val d4 = Seq.fill(20)("w").mkString(" ") // overlapping self-repeat
+    val corpus = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrStats(corpus, "doc_id", "text", k = 10)
+      .select("doc_id", "dup_tokens", "longest_dup_span")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    spark.catalog.clearCache()
+    // interval-union dup_tokens stays 38 (all of doc1 lies in SOME
+    // dup), but the longest single duplicated substring is B (24):
+    // the abutting A·prefix(B) and B dups must not merge into 38
+    assert(got(1L) === ((38L, 24L)))
+    assert(got(2L)._2 === 23L) // shared prefix A·b1..b9 with doc1
+    assert(got(3L)._2 === 24L) // B, shared with doc1
+    // w×20 with k=10: w×19 occurs at offsets 0 and 1 (overlap counts)
+    assert(got(4L) === ((20L, 19L)))
+  }
+
+  test("persisted LSH index reproduces minHashLshPairs exactly; probe prunes buckets") {
+    val fixtures = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Dedup.buildLshIndex(fixtures, "doc_id", "text", "lsh_idx_spec",
+      shingleN = 3, numHashes = 64, bands = 16)
+    try {
+      val direct = Dedup.minHashLshPairs(fixtures, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      spark.catalog.clearCache()
+      val indexed = Dedup.lshPairsIndexed(spark, "lsh_idx_spec", "doc_id",
+        numHashes = 64, minJaccard = 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(direct.nonEmpty, "fixture should contain planted near-dups")
+      assert(indexed === direct)
+
+      // point probe: pick one known near-dup pair, probe with one side
+      val (pa, pb, est) = direct.head
+      val probe = fixtures.where($"doc_id" === pa)
+      val hits = Dedup.lshProbeIndexed(spark, "lsh_idx_spec", probe,
+        "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+        minJaccard = 0.8)
+      val plan = hits.queryExecution.executedPlan.toString()
+      assert(plan.contains("SelectedBucketsCount"),
+        s"probe scan must bucket-prune the index:\n$plan")
+      val got = hits.as[(Long, Long, Double)].collect().toSet
+      assert(got.contains((pa, pb, est)),
+        s"probe of $pa should find its near-dup $pb; got $got")
+      assert(got.forall(_._1 == pa))
+      // probe batches beyond the bound are rejected, not silently collected
+      intercept[IllegalArgumentException] {
+        Dedup.lshProbeIndexed(spark, "lsh_idx_spec", fixtures, "doc_id",
+          "text", 3, 64, 16, 0.8, probeLimit = 3)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_spec")
   }
 }

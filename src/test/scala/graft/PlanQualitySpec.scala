@@ -1044,4 +1044,31 @@ class PlanQualitySpec extends SparkSpec {
         "components loop must checkpoint clustering behind it")
     }
   }
+
+  test("q158: indexed pair join is exchange-free over the bucketed index; no text rescan") {
+    // the whole point of the persisted index: the candidate self-join
+    // inherits the write-time bucket layout (no exchange under the
+    // join) and the corpus text is never re-hashed (no documents scan,
+    // no MinHash expression anywhere in the plan)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q158_lsh_indexed_pairs")(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("documents.parquet"),
+        s"indexed pairs must read the index, not the corpus text:\n$plan")
+      assert(!plan.contains("min_hash_tokens") && !plan.contains("MinHashTokens"),
+        s"signatures must come from the index, not be recomputed:\n$plan")
+      // exactly ONE shuffle: the candidate-pair distinct. The bucket
+      // self-join itself must ride the write-time layout.
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+        s"expected only the pair-distinct exchange:\n$plan")
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"bucketed self-join should be SMJ:\n$plan")
+      assert(!plan.substring(joinIdx).contains("Exchange"),
+        s"self-join must be exchange-free over the bucketed index:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_q158")
+    }
+  }
 }

@@ -46,4 +46,31 @@ class SkewOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().head
     assert(r === ((4L, 12L, 3L, 3L, 3L, 250000L)))
   }
+
+  test("sessionFeatures stays exact under a 1e5-distinct-type session (data-dependent domain)") {
+    // COUNT(DISTINCT type) is the suite's one aggregate whose state
+    // tracks a data-dependent domain: Spark expands one row per
+    // (session, distinct type) before the final aggregate. That
+    // expansion is keyed on the USER (spillable, distributed), never
+    // driver-sized — this planted worst case (one user, one session,
+    // every event a fresh type) documents that the exact path completes
+    // and stays exact at 10⁵ types. Unbounded-domain callers should
+    // swap in the KMV estimate instead (ARCHITECTURE.md, q52/q90
+    // machinery).
+    val n = 100000
+    // user must not be a FOLDABLE literal: constant-folding a grouping
+    // column under session_window + the distinct expand trips an
+    // ATTRIBUTE_NOT_FOUND internal error in Spark 4.1's binding
+    val events = spark.range(n).select(
+      concat(lit("u"), ($"id" % 1).cast("string")).as("user"),
+      timestamp_micros($"id" * 1000L).as("ts"), // 1 ms apart → one session
+      concat(lit("t"), $"id").as("type"),
+      lit(0.5).as("value"))
+    val got = graft.operators.WindowOps
+      .sessionFeatures(events, "user", "ts", "type", "value")
+      .select("user", "n_events", "n_errors", "n_types", "sum_value")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.length === 1, "1 ms gaps must merge into a single session")
+    assert(got.head === (("u0", n.toLong, 0L, n.toLong, n * 0.5)))
+  }
 }
