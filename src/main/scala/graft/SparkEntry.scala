@@ -1257,6 +1257,12 @@ object SparkEntry {
         minJaccard = 0.8)
     }),
 
+    // ── span-dedup ACTION: materialize the Lee-et-al-deduplicated
+    //    corpus — covered-island intervals → one flattened bounds
+    //    array per doc → codegen merge-walk strip on the doc scan ──
+    "q160_strip_dup_spans" -> ((s, dir) =>
+      Dedup.stripDupSpans(t(s, dir, "documents"), "doc_id", "text", k = 10)),
+
     // ── lexical diversity: one cached tokenize feeds both gram
     //    orders; (source, gram) pre-aggs de-skew; |sources|-row join ──
     "q128_lexical_diversity" -> ((s, dir) =>
@@ -2015,6 +2021,57 @@ object SparkEntry {
     // Index point probe: q19's CTEs, candidates restricted to the
     // probe side (doc_id < 25), identity excluded, both orders kept.
     "q159_lsh_index_probe" -> lshProbeSql,
+    // Span-dedup materialization: q101's covered islands as removal
+    // intervals; kept tokens via a per-doc range ANTI JOIN, re-joined
+    // in index order (normalized-token text on both sides).
+    "q160_strip_dup_spans" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), pos AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(list_sum(list_transform(range(12),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT) AS h
+           FROM (
+             SELECT doc_id, i, md5(array_to_string(toks[i:i+9], ' ')) AS hx
+             FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS i
+                   FROM t WHERE len(toks) >= 10)
+           )
+         ), dfq AS (
+           SELECT h, count(*) AS df FROM pos GROUP BY h
+         ), cov AS (
+           SELECT doc_id, pos FROM pos JOIN dfq USING (h) WHERE df >= 2
+         ), isl AS (
+           SELECT doc_id, pos,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND pos - prev > 9 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl
+           FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                 FROM cov)
+         ), iv AS (
+           SELECT doc_id, isl, min(pos) AS s, max(pos) + 9 AS e
+           FROM isl GROUP BY 1, 2
+         ), tok AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, toks[i] AS tok
+           FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)
+         ), kept AS (
+           SELECT tk.doc_id, tk.idx, tk.tok
+           FROM tok tk
+           ANTI JOIN iv ON tk.doc_id = iv.doc_id AND tk.idx BETWEEN iv.s AND iv.e
+         ), agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY idx) AS clean_text
+           FROM kept GROUP BY doc_id
+         ), base AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+         )
+         SELECT b.doc_id, b.n_tokens,
+           COALESCE(a.kept_tokens, 0) AS kept_tokens,
+           b.n_tokens - COALESCE(a.kept_tokens, 0) AS removed_tokens,
+           COALESCE(a.clean_text, '') AS clean_text
+         FROM base b LEFT JOIN agg a USING (doc_id)""",
     // Near-dup CLUSTERS: connected components (min reachable id) over
     // the q19 MinHash-LSH pair list, via a recursive reachability CTE —
     // replays the engine's iterated min-label propagation exactly.

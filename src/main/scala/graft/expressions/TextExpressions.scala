@@ -242,3 +242,69 @@ object NormalizeText {
   def normText(c: Column): Column =
     GraftSqlBridge.column(NormalizeText(GraftSqlBridge.expression(c)))
 }
+
+/** Tokens whose 0-based index lies OUTSIDE every [s, e] interval of
+  * `bounds` — a flattened array of SORTED DISJOINT pairs
+  * [s₁,e₁,s₂,e₂,…] (the shape `Dedup.stripDupSpans` aggregates from
+  * its duplicated-span islands). One O(|tokens| + |bounds|) merge walk
+  * per row in whole-stage codegen; the `filter(exists(...))` HOF
+  * formulation would run |tokens|·|intervals| interpreted lambda calls
+  * on the corpus hot path (CLAUDE.md rule). A null/absent bounds array
+  * keeps every token (the no-duplicates case after the left join). */
+case class TokensOutsideIntervals(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "tokens_outside_intervals"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(StringType, _),
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tokens_outside_intervals expects (array<string>, array<bigint>), got " +
+            s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+
+  def filterOf(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+               bounds: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    val n = toks.numElements()
+    val nb = bounds.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var j = 0
+    var i = 0L
+    while (i < n) {
+      while (j + 1 < nb && bounds.getLong(j + 1) < i) j += 2
+      val inside = j + 1 < nb && bounds.getLong(j) <= i && i <= bounds.getLong(j + 1)
+      if (!inside)
+        out.add(if (toks.isNullAt(i.toInt)) null else toks.getUTF8String(i.toInt))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(new Array[UTF8String](out.size)))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    filterOf(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("toksOutside", this,
+      classOf[TokensOutsideIntervals].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.filterOf($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TokensOutsideIntervals {
+  def tokensOutside(toks: Column, bounds: Column): Column =
+    GraftSqlBridge.column(TokensOutsideIntervals(
+      GraftSqlBridge.expression(toks), GraftSqlBridge.expression(bounds)))
+}

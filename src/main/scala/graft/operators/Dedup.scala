@@ -381,6 +381,68 @@ object Dedup {
       pos, covered)
   }
 
+  /** Materialize the SPAN-DEDUPLICATED corpus — the ACTION form of
+    * [[exactSubstrStats]] (the dedup step of Lee et al. 2022's
+    * ExactSubstr): every token lying inside a ≥ k-token substring that
+    * occurs ≥ 2× corpus-wide is REMOVED — all occurrences, the
+    * aggressive boilerplate-strip form (a duplicated span's copies are
+    * all template text) — and the survivors re-joined in order.
+    * `clean_text` is over NORMALIZED tokens (the gram alphabet): the
+    * output feeds tokenizers, not readers.
+    *
+    * Scale shape: the covered-island machinery of exactSubstrStats
+    * (ONE df aggregate on the gram hash + ONE join back — no pairs);
+    * the removal intervals collapse to ONE sorted flattened bounds
+    * array per doc (islands are disjoint in token space), and the
+    * strip itself is the O(tokens + intervals) codegen merge-walk
+    * [[graft.expressions.TokensOutsideIntervals]] riding the doc
+    * scan. The only text-carrying shuffle is the id-keyed join of the
+    * tiny interval frame onto the docs — text moves once, as any
+    * corpus rewrite must.
+    *
+    * Output (ALL docs): (id, n_tokens, kept_tokens, removed_tokens,
+    * clean_text). */
+  def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val pos = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(
+        graft.expressions.HashExpressions.positionalGramHashes48(col("__toks"), k)))
+      .select(col(idCol), col("pos").cast("long").as("__pos"), col("col").as("__h"))
+      .cache()
+    val dfreq = pos.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val covered = pos.join(dfreq, "__h").where(col("__df") >= 2)
+      .select(col(idCol), col("__pos"))
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val bounds = covered
+      .withColumn("__new",
+        when(col("__pos") - lag("__pos", 1).over(w) > lit(k - 1).cast("long"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min("__pos").as("__s"), (max("__pos") + lit(k - 1)).as("__e"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__s"), col("__e")))),
+        s => array(s.getField("__s"), s.getField("__e")))).as("__bounds"))
+    val stripped = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .join(bounds, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        graft.expressions.TokensOutsideIntervals.tokensOutside(col("__toks"),
+          coalesce(col("__bounds"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+          .as("__kept"))
+    CacheScope.scoped(
+      stripped.select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("kept_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("removed_tokens"),
+        array_join(col("__kept"), " ").as("clean_text")),
+      pos)
+  }
+
   /** EXACT longest duplicated substring per doc, without a suffix
     * array: a parallel binary search over window length on the maximal
     * CONTIGUOUS runs of covered gram starts.
@@ -434,60 +496,107 @@ object Dedup {
   }
 
   /** Every m-window rolling hash of every run, for every m in `midVals`
-    * that fits: (id, __run, m, wh). */
+    * that fits (additionally bounded by `hiCol` when set — phase-2
+    * host-possibility pruning): (id, __run, m, wh). */
   private def windowEmissions(runs: DataFrame, idCol: String,
-                              midVals: Array[Int]): DataFrame = {
+                              midVals: Array[Int],
+                              hiCol: Option[String] = None): DataFrame = {
     import graft.expressions.HashExpressions.slidingWindowHashes
     // |S| literal ints — bounded by the distinct unresolved intervals,
     // NOT by data volume (CLAUDE.md's big-array rule is about
     // data-sized literals)
+    val bound = hiCol.map(c => least(size(col("__grams")), col(c)))
+      .getOrElse(size(col("__grams")))
     runs
-      .select(col(idCol), col("__run"), col("__grams"),
+      .select(col(idCol), col("__run"), col("__grams"), bound.as("__b"),
         explode(typedLit(midVals)).as("m"))
-      .where(col("m") <= size(col("__grams")))
+      .where(col("m") <= col("__b"))
       .select(col(idCol), col("__run"), col("m"),
         explode(slidingWindowHashes(col("__grams"), col("m"))).as("wh"))
   }
 
-  /** The parallel binary search over window length shared by the
-    * ExactSubstr (self, count ≥ 2) and span-contamination (membership
-    * in a PARTNER side's windows) exact-longest computations.
+  /** All m-window rolling hashes for EVERY m in [1, min(|run|, cap)] —
+    * the phase-1 exhaustive sweep: ≤ cap·|run| rows per run. */
+  private def cappedEmissions(runs: DataFrame, idCol: String,
+                              cap: Int): DataFrame = {
+    import graft.expressions.HashExpressions.slidingWindowHashes
+    runs
+      .select(col(idCol), col("__run"), col("__grams"),
+        explode(sequence(lit(1), least(size(col("__grams")), lit(cap)))).as("m"))
+      .select(col(idCol), col("__run"), col("m"),
+        explode(slidingWindowHashes(col("__grams"), col("m"))).as("wh"))
+  }
+
+  /** The exact-longest search shared by the ExactSubstr (self,
+    * count ≥ 2) and span-contamination (membership in a PARTNER side's
+    * windows) computations.
     *
-    * `partnerRuns = None`: a query window is "duplicated" when its
-    * (m, hash) occurs ≥ 2× among ALL query-side emissions — every run
-    * emits every round's lengths, so both occurrences always emit.
-    * `partnerRuns = Some(p)`: a query window hits when its (m, hash)
-    * appears among the partner side's emissions at the same length —
-    * the train-membership form (query-internal repeats don't count).
+    * Phase 1 (ONE job): every run emits every window of every length
+    * m ≤ min(|run|, cap) — a ≤ cap× amplification of the covered-run
+    * mass, nothing corpus-sized — and each run's max duplicated m ≤
+    * cap comes straight off the (m, hash) verdicts. A run whose max
+    * hit lands BELOW the cap is fully resolved: pred(m*+1) was tested
+    * false, and by the same monotonicity it can never host a partner
+    * window longer than its own answer either.
+    *
+    * Phase 2 (rare): only runs that hit AT the cap with |run| > cap
+    * keep searching — parallel binary search on [cap, |run|], each
+    * round emitting the candidate lengths from every run whose upper
+    * bound still admits them (complete: both occurrences of a
+    * length-m dup lie in runs with answer ≥ m, hence hi ≥ m). On
+    * typical corpora no run is fully duplicated past `cap` tokens and
+    * the loop never runs.
+    *
+    * `partnerRuns = None`: duplicated ⟺ (m, hash) occurs ≥ 2× among
+    * query emissions. `partnerRuns = Some(p)`: hit ⟺ (m, hash) appears
+    * among the partner's emissions (train-membership form —
+    * query-internal repeats don't count; partner emits by size alone).
     *
     * Output: (id, __longest) in TOKEN length (m_max + k − 1), one row
     * per id with ≥ 1 run. */
   private def longestSpanSearch(queryRuns: DataFrame,
                                 partnerRuns: Option[DataFrame],
-                                idCol: String, k: Int): DataFrame = {
+                                idCol: String, k: Int,
+                                cap: Int = 128): DataFrame = {
+    val qr = queryRuns.localCheckpoint()
+    val partner = partnerRuns.map(_.localCheckpoint())
+    val qEmit = cappedEmissions(qr, idCol, cap)
+    // per-run max duplicated m ≤ cap; m = 1 always hits (a covered
+    // gram IS a duplicated/shared k-gram by construction). Self mode
+    // counts occurrences with a WINDOW over (m, wh) — one shuffle of
+    // the emission frame instead of an aggregate + a semi-join that
+    // would shuffle (and recompute) it twice.
+    val bestSmall = (partner match {
+      case None =>
+        qEmit.withColumn("__c",
+          count(lit(1)).over(Window.partitionBy("m", "wh")))
+          .where(col("__c") >= 2)
+      case Some(p) =>
+        qEmit.join(cappedEmissions(p, idCol, cap).select("m", "wh").distinct(),
+          Seq("m", "wh"), "left_semi")
+    }).groupBy(col(idCol), col("__run")).agg(max("m").as("__m0"))
+    var state = qr.join(bestSmall, Seq(idCol, "__run"))
+      .select(col(idCol), col("__run"), col("__grams"),
+        col("__m0").as("lo"),
+        when(col("__m0") === cap && size(col("__grams")) > cap,
+          size(col("__grams"))).otherwise(col("__m0")).as("hi"))
+      .localCheckpoint()
     def mids(st: DataFrame): Array[Int] =
       st.where(col("lo") < col("hi"))
         .select((((col("lo") + col("hi") + lit(1)) / 2).cast("int")).as("m"))
         .distinct().collect().map(_.getInt(0))
-    val partner = partnerRuns.map(_.localCheckpoint())
-    // lo = 1 is always true (a covered gram IS a duplicated/shared
-    // k-gram by construction of the covered set)
-    var state = queryRuns
-      .select(col(idCol), col("__run"), col("__grams"),
-        lit(1).as("lo"), size(col("__grams")).as("hi"))
-      .localCheckpoint()
     var midVals = mids(state)
     while (midVals.nonEmpty) {
-      val emit = windowEmissions(state, idCol, midVals)
-      val dupKeys = partner match {
+      val emit = windowEmissions(state, idCol, midVals, hiCol = Some("hi"))
+      val hits = (partner match {
         case None =>
-          emit.groupBy("m", "wh").agg(count(lit(1)).as("__c"))
-            .where(col("__c") >= 2).select("m", "wh")
+          emit.withColumn("__c",
+            count(lit(1)).over(Window.partitionBy("m", "wh")))
+            .where(col("__c") >= 2)
         case Some(p) =>
-          windowEmissions(p, idCol, midVals).select("m", "wh").distinct()
-      }
-      val hits = emit.join(dupKeys, Seq("m", "wh"), "left_semi")
-        .select(col(idCol), col("__run"), col("m")).distinct()
+          emit.join(windowEmissions(p, idCol, midVals).select("m", "wh").distinct(),
+            Seq("m", "wh"), "left_semi")
+      }).select(col(idCol), col("__run"), col("m")).distinct()
         .withColumn("__hit", lit(true))
       state = state
         .withColumn("m", ((col("lo") + col("hi") + lit(1)) / 2).cast("int"))

@@ -752,6 +752,38 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === ((20L, 19L)))
   }
 
+  test("exactSubstrStats phase-2: fully-duplicated doc longer than the exhaustive cap") {
+    // 150 distinct tokens duplicated verbatim → one covered run of 141
+    // grams per doc, duplicated at every length: the exhaustive sweep
+    // saturates at cap=128 and the binary-search tail must take
+    // [128, 141] to the exact 141 (span 150)
+    val toks = (1 to 150).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, toks), (2L, toks)).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrStats(docs, "doc_id", "text", k = 10)
+      .select("doc_id", "longest_dup_span").as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    assert(got === Map(1L -> 150L, 2L -> 150L))
+  }
+
+  test("stripDupSpans removes exactly the covered spans, keeps the rest in order") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, "u1 u2 " + shared + " u3"),
+      (2L, shared + " v1 v2 v3"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11") // ≥ k tokens, no dups
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripDupSpans(docs, "doc_id", "text", k = 10)
+      .select("doc_id", "n_tokens", "kept_tokens", "removed_tokens", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    spark.catalog.clearCache()
+    // ALL copies of the 12-token span go (aggressive template strip);
+    // unique prefix/suffix tokens survive in document order
+    assert(got(1L) === ((1L, 15L, 3L, 12L, "u1 u2 u3")))
+    assert(got(2L) === ((2L, 15L, 3L, 12L, "v1 v2 v3")))
+    assert(got(3L) === ((3L, 11L, 11L, 0L,
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11")))
+  }
+
   test("persisted LSH index reproduces minHashLshPairs exactly; probe prunes buckets") {
     val fixtures = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     Dedup.buildLshIndex(fixtures, "doc_id", "text", "lsh_idx_spec",

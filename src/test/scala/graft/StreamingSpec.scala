@@ -260,6 +260,37 @@ class StreamingSpec extends SparkSpec {
     assert(got === batchPairs)
   }
 
+  test("streaming near-dup gate consumes the PERSISTED LSH index unchanged") {
+    // batch and streaming share ONE index: the table written by
+    // buildLshIndex feeds flagNearDups through loadLshIndex with no
+    // re-hash and no layout shim — the 100 TB ingest shape (index
+    // built once at accept time, every arrival checked against it)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val corpus = Seq((100L, base),
+        (101L, "an entirely different corpus document about spark query planning internals"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.buildLshIndex(corpus, "doc_id", "text",
+      "lsh_idx_stream", shingleN = 3, numHashes = 64, bands = 16)
+    try {
+      val index = graft.operators.Dedup.loadLshIndex(spark, "lsh_idx_stream", "doc_id")
+      val in = MemoryStream[(Long, String)]
+      val stream = in.toDF().toDF("doc_id", "text")
+      val flagged = StreamingDedup.flagNearDups(stream, index, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+      val q = flagged.writeStream.format("memory").queryName("neardup_gate_idx")
+        .outputMode("append").start()
+      in.addData((1L, base + " indeed"),
+        (2L, "completely novel text mentioning neither document"))
+      runToCompletion(q)
+      val got = spark.table("neardup_gate_idx")
+        .select("doc_id", "corpus_id").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 100L)))
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_stream")
+  }
+
   test("dedupWithinWatermark suppresses repeats inside the delay, re-admits after expiry") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
