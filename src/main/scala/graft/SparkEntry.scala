@@ -1263,6 +1263,13 @@ object SparkEntry {
     "q160_strip_dup_spans" -> ((s, dir) =>
       Dedup.stripDupSpans(t(s, dir, "documents"), "doc_id", "text", k = 10)),
 
+    // ── head-position token bias: template-header vocabulary — one
+    //    combinable shuffle to |vocab| rows, top-N rank, 1-row totals
+    //    broadcast; exact lifts via DECIMAL cross products ──
+    "q161_head_token_bias" -> ((s, dir) =>
+      CorpusStats.headTokenBias(t(s, dir, "documents"), "text",
+        headLen = 10, topN = 200)),
+
     // ── lexical diversity: one cached tokenize feeds both gram
     //    orders; (source, gram) pre-aggs de-skew; |sources|-row join ──
     "q128_lexical_diversity" -> ((s, dir) =>
@@ -2021,6 +2028,32 @@ object SparkEntry {
     // Index point probe: q19's CTEs, candidates restricted to the
     // probe side (doc_id < 25), identity excluded, both orders kept.
     "q159_lsh_index_probe" -> lshProbeSql,
+    // Head-position token bias: 0-based positions, top-200 by
+    // (count DESC, token) — q42's convention; lift cross products in
+    // HUGEINT mirroring the engine's DECIMAL(38,0), outputs BIGINT.
+    "q161_head_token_bias" ->
+      """WITH tk AS (
+           SELECT CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+           FROM (SELECT toks, unnest(generate_series(1, len(toks))) AS i
+                 FROM (SELECT string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+                       FROM documents))
+         ), per AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count(*) FILTER (WHERE pos < 10) AS BIGINT) AS n_head
+           FROM tk GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(n_total) AS HUGEINT) AS t,
+             CAST(sum(n_head) AS HUGEINT) AS th
+           FROM per
+         ), top AS (
+           SELECT token, n_total, n_head FROM per
+           ORDER BY n_total DESC, token LIMIT 200
+         )
+         SELECT token, n_total, n_head,
+           CAST((2 * n_head * 1000000 + n_total) // (2 * n_total) AS BIGINT) AS head_micro,
+           CAST((2 * CAST(n_head AS HUGEINT) * t * 1000000 + CAST(n_total AS HUGEINT) * th)
+             // (2 * CAST(n_total AS HUGEINT) * th) AS BIGINT) AS lift_micro
+         FROM top, tot""",
     // Span-dedup materialization: q101's covered islands as removal
     // intervals; kept tokens via a per-doc range ANTI JOIN, re-joined
     // in index order (normalized-token text on both sides).

@@ -1527,4 +1527,50 @@ object CorpusStats {
             .otherwise(estRaw).as("est_hll")),
       distinctHashes)
   }
+
+  /** Head-position token bias — template/boilerplate-header detection:
+    * tokens systematically OVERREPRESENTED in the first `headLen`
+    * positions of documents (navigation chrome, license banners, form
+    * labels — the q138 head-anchor dup's token-level sibling: anchors
+    * catch verbatim headers, this catches templated VOCABULARY whose
+    * surrounding text varies). For the global top-`topN` tokens
+    * (count DESC, token ASC — the q42 ranking convention):
+    * head_micro = the token's own share of occurrences landing at
+    * position < headLen; lift_micro = that share over the corpus
+    * baseline share — both exact integer ratios in half-up micro,
+    * the lift's cross products through DECIMAL(38,0) (the q121
+    * overflow rule: n_head·total·2e6 passes 2⁶³ at ~1e12-token
+    * corpora).
+    *
+    * Scale shape: ONE corpus scan (posexplode off the tokenizer
+    * kernel) → ONE map-combinable shuffle to |vocab| rows (cached,
+    * vocab-sized — feeds the top-N rank and the 1-row totals) →
+    * TakeOrdered top-N → one broadcast of the totals row. Output:
+    * (token, n_total, n_head, head_micro, lift_micro). */
+  def headTokenBias(docs: DataFrame, textCol: String, headLen: Int = 10,
+                    topN: Int = 200): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val dec = "decimal(38,0)"
+    val per = docs
+      .select(posexplode(TextAnalysis.tokens(col(textCol))))
+      .select(col("pos"), col("col").as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("pos") < headLen, 1L).otherwise(0L)).as("n_head"))
+      .cache()
+    val totals = broadcast(per.agg(sum("n_total").as("__t"),
+      sum("n_head").as("__th")))
+    val top = per.orderBy(desc("n_total"), asc("token")).limit(topN)
+    CacheScope.scoped(
+      top.crossJoin(totals)
+        .select(col("token"), col("n_total"), col("n_head"),
+          intDiv(lit(2L) * col("n_head") * lit(1000000L) + col("n_total"),
+            lit(2L) * col("n_total")).as("head_micro"),
+          intDiv(
+            lit(2L).cast(dec) * col("n_head").cast(dec) * col("__t").cast(dec)
+              * lit(1000000L) + col("n_total").cast(dec) * col("__th").cast(dec),
+            lit(2L).cast(dec) * col("n_total").cast(dec) * col("__th").cast(dec))
+            .cast("long").as("lift_micro")),
+      per)
+  }
 }

@@ -769,4 +769,20 @@ class CorpusStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(all.forall(r => r._3 == 0L && r._4 == 0L))
   }
+
+  test("headTokenBias: exact head shares and lifts on planted header tokens") {
+    import spark.implicits._
+    // headLen=2; T=12 tokens, TH=6 head slots (baseline head share ½).
+    // h: 3 occurrences, 2 in head → share 2/3, lift (2·12)/(3·6)=4/3
+    // c: 2 occurrences, 0 in head → share 0, lift 0
+    val docs = Seq((1L, "h a b c"), (2L, "h b c a"), (3L, "x y h a"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.headTokenBias(docs, "text", headLen = 2, topN = 10)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    spark.catalog.clearCache()
+    assert(got("h") === (("h", 3L, 2L, 666667L, 1333333L)))
+    assert(got("c") === (("c", 2L, 0L, 0L, 0L)))
+    assert(got("a") === (("a", 3L, 1L, 333333L, 666667L)))
+    assert(got.size === 6) // full tiny vocab fits under topN
+  }
 }

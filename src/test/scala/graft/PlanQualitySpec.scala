@@ -1045,6 +1045,21 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q160: span strip is the codegen merge-walk riding the doc scan") {
+    val plan = executedPlan("q160_strip_dup_spans")
+    assert(plan.contains("tokens_outside_intervals"),
+      s"strip must be the codegen kernel, not an exists-per-token HOF:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("q161: top-N is TakeOrdered (no global sort materialization), no join of the token stream") {
+    val plan = executedPlan("q161_head_token_bias")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must be TakeOrdered, not a full Sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"only the broadcast totals row may join:\n$plan")
+  }
+
   test("q158: indexed pair join is exchange-free over the bucketed index; no text rescan") {
     // the whole point of the persisted index: the candidate self-join
     // inherits the write-time bucket layout (no exchange under the
