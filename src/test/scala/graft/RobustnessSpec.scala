@@ -97,4 +97,29 @@ class RobustnessSpec extends SparkSpec {
     assert(fit._1 === 4L)
     assert(fit._2 === Some(0.0) && fit._4.isEmpty)
   }
+
+  test("round-9 ops: null text, empty corpus, no-dup corpus behave, never throw") {
+    // stripDupSpans: null text → null clean_text row (size(null)=-1
+    // guards never fire); "" → the 1-empty-token contract; no-dup
+    // corpus strips nothing
+    val strip = Dedup.stripDupSpans(docs, "doc_id", "text", k = 3)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    spark.catalog.clearCache()
+    assert(strip(1L) === ((1L, Some(5L), Some(5L), Some(0L),
+      Some("normal text here with words"))))
+    assert(strip(2L)._5.isEmpty) // null text propagates
+    assert(strip(3L) === ((3L, Some(1L), Some(1L), Some(0L), Some(""))))
+    // exactSubstrStats on an empty corpus: empty result, loop never runs
+    assert(Dedup.exactSubstrStats(empty, "doc_id", "text", 5).count() === 0)
+    spark.catalog.clearCache()
+    // span contamination with an EMPTY train side: nothing covered
+    val contam = Dedup.evalSpanContamination(empty, docs, "doc_id", "text", 3)
+      .as[(Long, Option[Long], Long, Long, Long, Option[Double])].collect()
+    spark.catalog.clearCache()
+    assert(contam.length === 3 && contam.forall(r => r._3 == 0L && r._5 == 0L))
+    // headTokenBias on the empty corpus: zero rows, no 0/0 on totals
+    assert(CorpusStats.headTokenBias(empty, "text", 10, 10).count() === 0)
+    spark.catalog.clearCache()
+  }
 }
