@@ -1270,6 +1270,21 @@ object SparkEntry {
       CorpusStats.headTokenBias(t(s, dir, "documents"), "text",
         headLen = 10, topN = 200)),
 
+    // ── Z-order layout audit: Morton key rides the scan (codegen),
+    //    tile = fixed key prefix — ONE combinable agg, no sort/window;
+    //    per-tile min/max of BOTH dims = the file-skipping stats the
+    //    layout exists to tighten ──
+    "q162_zorder_tiles" -> ((s, dir) =>
+      operators.Layout.zOrderTileStats(t(s, dir, "events"), "user_id", "ts",
+        bits = 10, tileShift = 8)),
+
+    // ── b=1-bit MinHash: signatures packed to ONE bigint (64× smaller
+    //    state), pair verify = XOR+popcount; survivor set and both
+    //    estimates exact dyadic — full q19 oracle checkability ──
+    "q163_bbit_minhash" -> ((s, dir) =>
+      Dedup.bbitMinhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
+
     // ── lexical diversity: one cached tokenize feeds both gram
     //    orders; (source, gram) pre-aggs de-skew; |sources|-row join ──
     "q128_lexical_diversity" -> ((s, dir) =>
@@ -1438,6 +1453,69 @@ object SparkEntry {
          JOIN mh mb ON mb.doc_id = id_b AND ma.i = mb.i
          GROUP BY id_a, id_b
          HAVING CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 >= 0.8"""
+  }
+
+  /** DuckDB replay of `Dedup.bbitMinhashPairs` (q163): the q19
+    * MinHash/band CTEs, with the 1-bit estimate counted per POSITION
+    * (`(ma.mh & 1) = (mb.mh & 1)`) — position-wise low-bit agreement
+    * is by construction the popcount identity the engine computes on
+    * its packed longs. Both estimates are exact dyadic (k/64). */
+  private def bbitMinhashSql: String = {
+    def parse12(start: Int) =
+      s"CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + $start AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT)"
+    s"""WITH t AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM t WHERE len(toks) >= 3
+         ), hh AS (
+           SELECT doc_id, ${parse12(1)} AS h1, ${parse12(13)} AS h2
+           FROM (SELECT doc_id, md5(shingle) AS hx FROM sh)
+         ), mh AS (
+           SELECT doc_id, i.i AS i, min(h1 + i.i * h2) AS mh
+           FROM hh CROSS JOIN range(64) i(i) GROUP BY doc_id, i.i
+         ), band AS (
+           SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+           FROM mh GROUP BY doc_id, band
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         )
+         SELECT id_a, id_b,
+           CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 AS est_full,
+           greatest(0.0,
+             2 * CAST(count(*) FILTER (WHERE (ma.mh & 1) = (mb.mh & 1)) AS DOUBLE) / 64 - 1) AS est_1bit
+         FROM cand
+         JOIN mh ma ON ma.doc_id = id_a
+         JOIN mh mb ON mb.doc_id = id_b AND ma.i = mb.i
+         GROUP BY id_a, id_b
+         HAVING CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 >= 0.8"""
+  }
+
+  /** DuckDB replay of `Layout.zOrderTileStats` (q162): the Morton
+    * interleave unrolled to a shift-mask-or chain — pure BIGINT bit
+    * arithmetic, so the tile assignment is bit-identical. */
+  private def zorderTilesSql: String = {
+    val interleave = (0 until 10).map(i =>
+      s"(((ux >> $i) & 1) << ${2 * i}) | (((tx >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+    s"""WITH b AS (
+           SELECT (user_id & 1023) AS ux,
+             ((epoch_us(ts) // 3600000000) & 1023) AS tx
+           FROM events
+         ), z AS (
+           SELECT ux, tx, ($interleave) AS zv FROM b
+         )
+         SELECT zv // 256 AS tile, CAST(count(*) AS BIGINT) AS n_rows,
+           min(ux) AS ux_min, max(ux) AS ux_max,
+           min(tx) AS tx_min, max(tx) AS tx_max
+         FROM z GROUP BY 1"""
   }
 
   /** DuckDB replay of `Dedup.lshProbeIndexed` over a freshly built
@@ -2031,6 +2109,8 @@ object SparkEntry {
     // Head-position token bias: 0-based positions, top-200 by
     // (count DESC, token) — q42's convention; lift cross products in
     // HUGEINT mirroring the engine's DECIMAL(38,0), outputs BIGINT.
+    "q162_zorder_tiles" -> zorderTilesSql,
+    "q163_bbit_minhash" -> bbitMinhashSql,
     "q161_head_token_bias" ->
       """WITH tk AS (
            SELECT CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token

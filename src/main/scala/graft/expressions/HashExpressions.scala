@@ -730,6 +730,54 @@ case class SlidingWindowHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** b-bit MinHash compression, b = 1 (Li & König 2010): pack the LOWEST
+  * bit of each of the first ≤64 signature positions into one BIGINT
+  * (bit i = sig[i] & 1). A 64-hash signature collapses from 512 bytes
+  * to 8 — the per-pair verify becomes one XOR + popcount instead of a
+  * 64-element array walk, and a billion-document signature table fits
+  * where the full form would not. The estimator pays with variance,
+  * not bias: for random hashes P[bit agree] = ½ + ½·J, so
+  * Ĵ = 2·(agree/64) − 1, clamped at 0. Pure bit arithmetic on the
+  * md5-derived minima, so a SQL oracle reproduces the agreement count
+  * exactly (per-position `& 1` compare ≡ popcount of the packed XOR).
+  */
+case class PackLowBits(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pack_low_bits"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pack_low_bits expects array<bigint>, got ${other.simpleString}")
+    }
+
+  def packOf(arr: ArrayData): Long = {
+    val n = math.min(arr.numElements(), 64)
+    var packed = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) packed |= (arr.getLong(i) & 1L) << i
+      i += 1
+    }
+    packed
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    packOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("packLow", this, classOf[PackLowBits].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.packOf($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Column API: array<long> MinHash signature of a shingle array. */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
@@ -778,6 +826,11 @@ object HashExpressions {
     GraftSqlBridge.column(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column API: b=1-bit MinHash — pack each signature position's low
+    * bit into one bigint (bit i = sig[i] & 1). */
+  def packLowBits(sig: Column): Column =
+    GraftSqlBridge.column(PackLowBits(GraftSqlBridge.expression(sig)))
 
   /** Column API: md5-48 hashes of the non-overlapping k-token blocks,
     * duplicates preserved, document order. */

@@ -185,6 +185,51 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard"), sig)
   }
 
+  /** b=1-bit MinHash estimation (Li & König 2010) side-by-side with the
+    * full-signature estimate, over the SAME exact-band LSH candidate
+    * set as [[minHashLshPairs]]. Each doc's 64-hash signature is packed
+    * to ONE bigint of low bits ([[graft.expressions.PackLowBits]]) —
+    * 8 bytes instead of 512, which is the difference between a
+    * signature table that fits executor memory at 10⁹ docs and one
+    * that does not — and the per-pair verify is one XOR + popcount.
+    * Estimator: P[low bits agree] = ½ + ½·J for random hashes, so
+    * Ĵ₁ = max(0, 2·agree₁/64 − 1). Output keeps both estimates so the
+    * sketch's variance is auditable against the full form pair by
+    * pair. Survivor set = the full estimator's (est_full ≥ minJaccard,
+    * the q19 pigeonhole contract), so the result stays SQL-oracle-
+    * checkable; all four per-pair quantities are exact dyadic
+    * rationals (k/64), bit-identical across engines.
+    */
+  def bbitMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, numHashes: Int, bands: Int,
+                       minJaccard: Double): DataFrame = {
+    require(numHashes <= 64, s"1-bit packing holds ≤64 hashes, got $numHashes")
+    val sig = minHashSignatures(docs, idCol, textCol, shingleN, numHashes).cache()
+    val packed = sig.withColumn("pack",
+      graft.expressions.HashExpressions.packLowBits(col("sig")))
+    val banded = bandedBuckets(sig, idCol, numHashes, bands)
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    val cand = l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val est = cand
+      .join(packed.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+        col("pack").as("pack_a")), "id_a")
+      .join(packed.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+        col("pack").as("pack_b")), "id_b")
+      .withColumn("est_full",
+        graft.expressions.HashExpressions
+          .signatureAgreement(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes)
+      .withColumn("agree1",
+        lit(numHashes) - expr("bit_count(pack_a ^ pack_b)"))
+      .withColumn("est_1bit",
+        greatest(lit(0.0),
+          col("agree1").cast("double") * 2 / numHashes - 1))
+    CacheScope.scoped(est.where(col("est_full") >= minJaccard)
+      .select("id_a", "id_b", "est_full", "est_1bit"), sig)
+  }
+
   /** PERSISTED LSH near-dup index — the write-once 100 TB shape for
     * the MinHash text path, mirroring `Similarity.buildIvfIndex`:
     * signatures are computed ONCE (the fused `MinHashTokens` kernel is

@@ -819,4 +819,31 @@ class DedupSpec extends SparkSpec {
       }
     } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_spec")
   }
+
+  test("bbitMinhashPairs: packed low bits reproduce the per-position estimator; identical docs score 1.0") {
+    val fixtures = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // packed-XOR popcount identity vs a direct per-position recount
+    val sig = Dedup.minHashSignatures(fixtures, "doc_id", "text",
+      shingleN = 3, numHashes = 64)
+      .withColumn("pack", graft.expressions.HashExpressions.packLowBits($"sig"))
+    val rows = sig.select($"sig", $"pack").as[(Seq[Long], Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, p) =>
+      val want = s.zipWithIndex.foldLeft(0L) { case (z, (h, i)) => z | ((h & 1L) << i) }
+      assert(p === want)
+    }
+    // planted: identical docs → est_full = est_1bit = 1.0; the near-dup
+    // corpus pairs must agree with the definitionally-recomputed 1-bit
+    // estimate for every surviving pair
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq((1L, base), (2L, base),
+      (3L, "totally different words live in this document about storage"))
+      .toDF("doc_id", "text")
+    val got = Dedup.bbitMinhashPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+      .as[(Long, Long, Double, Double)].collect()
+    spark.catalog.clearCache()
+    assert(got.toSeq === Seq((1L, 2L, 1.0, 1.0)))
+  }
 }

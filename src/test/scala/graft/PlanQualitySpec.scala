@@ -1060,6 +1060,28 @@ class PlanQualitySpec extends SparkSpec {
       s"only the broadcast totals row may join:\n$plan")
   }
 
+  test("q162: layout audit is one combinable agg riding the scan — no sort, no window, one shuffle") {
+    val plan = executedPlan("q162_zorder_tiles")
+    assert(plan.contains("zorder_key"),
+      s"tile key must be the codegen Morton expression:\n$plan")
+    assert(!plan.contains("Sort") && !plan.contains("Window"),
+      s"the AUDIT must not pay the layout's sort:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"exactly one shuffle (the tile agg) expected:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial+final aggregate expected:\n$plan")
+  }
+
+  test("q163: 1-bit verify is XOR+popcount on packed longs; candidates stay band-bucketed equi-joins") {
+    val plan = executedPlan("q163_bbit_minhash")
+    assert(plan.contains("pack_low_bits"),
+      s"signatures must be packed by the codegen kernel:\n$plan")
+    assert(plan.contains("bit_count"),
+      s"1-bit agreement must be the popcount identity:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay an equi-join on (band, bucket):\n$plan")
+  }
+
   test("q158: indexed pair join is exchange-free over the bucketed index; no text rescan") {
     // the whole point of the persisted index: the candidate self-join
     // inherits the write-time bucket layout (no exchange under the
