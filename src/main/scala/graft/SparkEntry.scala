@@ -1285,6 +1285,13 @@ object SparkEntry {
       Dedup.bbitMinhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
 
+    // ── per-day entity novelty: first-seen via a keyed min-window on
+    //    the (key, day) presence frame (state = |entities|, never
+    //    |events|); shares in exact half-up micro-units ──
+    "q164_novelty_timeline" -> ((s, dir) =>
+      operators.Profiling.noveltyTimeline(t(s, dir, "events"),
+        "user_id", "ts", "event_type")),
+
     // ── lexical diversity: one cached tokenize feeds both gram
     //    orders; (source, gram) pre-aggs de-skew; |sources|-row join ──
     "q128_lexical_diversity" -> ((s, dir) =>
@@ -2111,6 +2118,36 @@ object SparkEntry {
     // HUGEINT mirroring the engine's DECIMAL(38,0), outputs BIGINT.
     "q162_zorder_tiles" -> zorderTilesSql,
     "q163_bbit_minhash" -> bbitMinhashSql,
+    // Per-day novelty: first-seen via min-window over each key's
+    // (key, day) presence rows; exact half-up micro shares (integer
+    // ratios CAN tie at the 6th decimal — the q82 rule).
+    "q164_novelty_timeline" ->
+      """WITH b AS (
+           SELECT user_id AS u, event_type AS ty,
+             (epoch_us(ts) // 86400000000) AS day
+           FROM events
+         ), ud AS (
+           SELECT u, day FROM b GROUP BY u, day
+         ), uf AS (
+           SELECT u, day, min(day) OVER (PARTITION BY u) AS first FROM ud
+         ), uc AS (
+           SELECT day, CAST(count(*) AS BIGINT) AS active_users,
+             CAST(count(*) FILTER (WHERE day = first) AS BIGINT) AS new_users
+           FROM uf GROUP BY day
+         ), pd AS (
+           SELECT u, ty, day FROM b GROUP BY u, ty, day
+         ), pf AS (
+           SELECT u, ty, day, min(day) OVER (PARTITION BY u, ty) AS first FROM pd
+         ), pc AS (
+           SELECT day, CAST(count(*) AS BIGINT) AS active_pairs,
+             CAST(count(*) FILTER (WHERE day = first) AS BIGINT) AS new_pairs
+           FROM pf GROUP BY day
+         )
+         SELECT uc.day, active_users, new_users,
+           CAST((2*new_users*1000000 + active_users) // (2*active_users) AS BIGINT) AS new_user_ppm,
+           active_pairs, new_pairs,
+           CAST((2*new_pairs*1000000 + active_pairs) // (2*active_pairs) AS BIGINT) AS new_pair_ppm
+         FROM uc JOIN pc ON uc.day = pc.day""",
     "q161_head_token_bias" ->
       """WITH tk AS (
            SELECT CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token

@@ -338,4 +338,53 @@ object Profiling {
           .as("rho")),
       sig)
   }
+
+  /** Per-day entity-novelty curve of an event stream — the intake
+    * profile of an INCREMENTAL pipeline: of the entities active each
+    * day, how many were never seen before? A healthy crawl's novelty
+    * rate decays smoothly; a spike means a new source came online, a
+    * collapse means the crawler is re-reading old ground. Two
+    * granularities side by side: the entity itself (`userCol`) and the
+    * (entity, `typeCol`) behavior pair — pair novelty keeps rising
+    * after user novelty flattens iff known users are still exploring
+    * new behaviors.
+    *
+    * Day = epoch_us div 86400·10⁶ (non-negative, floor-exact both
+    * engines). First-seen day per key is a map-combinable `min`
+    * aggregate keyed on the entity — state is |entities|, not
+    * |events|, and at 100 TB it is the same "first occurrence" shape
+    * every dedup op here uses. Novelty shares are exact half-up
+    * micro-units (`intDiv`, both operands non-negative — the q82
+    * integer-ratio rule: a new/active ratio CAN land on an exact
+    * 6th-decimal tie, so no double rounding anywhere).
+    */
+  def noveltyTimeline(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val day = intDiv(unix_micros(col(tsCol)), lit(86400000000L))
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("ty"),
+      day.as("day")).cache()
+    // per-day active/new USERS: first-seen day rides the same groupBy
+    // as the per-day presence (min over day ≡ first-seen), one
+    // |users|-keyed combinable shuffle, then a |users × active-days|
+    // frame aggregates to |days| rows
+    def curve(keyCols: Seq[String], active: String, fresh: String,
+              ppm: String): DataFrame = {
+      val perKeyDay = base.groupBy(keyCols.map(col) :+ col("day"): _*)
+        .agg(count(lit(1)).as("__n"))
+      val withFirst = perKeyDay
+        .withColumn("__first",
+          min("day").over(org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*)))
+      withFirst.groupBy("day")
+        .agg(count(lit(1)).as(active),
+          count(when(col("day") === col("__first"), 1)).as(fresh))
+        .withColumn(ppm,
+          intDiv(lit(2L) * col(fresh) * lit(1000000L) + col(active),
+            lit(2L) * col(active)))
+    }
+    val users = curve(Seq("u"), "active_users", "new_users", "new_user_ppm")
+    val pairs = curve(Seq("u", "ty"), "active_pairs", "new_pairs", "new_pair_ppm")
+    CacheScope.scoped(users.join(pairs, "day"), base)
+  }
 }

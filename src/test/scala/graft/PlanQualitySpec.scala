@@ -1082,6 +1082,14 @@ class PlanQualitySpec extends SparkSpec {
       s"pair generation must stay an equi-join on (band, bucket):\n$plan")
   }
 
+  test("q164: first-seen windows are entity-keyed — nothing collapses to one partition") {
+    val plan = executedPlan("q164_novelty_timeline")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"keyed min-window must not single-partition the presence frame:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"day join must stay an equi-join:\n$plan")
+  }
+
   test("q158: indexed pair join is exchange-free over the bucketed index; no text rescan") {
     // the whole point of the persisted index: the candidate self-join
     // inherits the write-time bucket layout (no exchange under the

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Profiling
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 
 class ProfilingSpec extends SparkSpec {
   import spark.implicits._
@@ -153,5 +153,27 @@ class ProfilingSpec extends SparkSpec {
     assert(ind._4 === 0.0 && ind._5 === Some(0.0))
     // constant b: min(r, c) = 1 → V undefined
     assert(v(Seq(("x", "1"), ("y", "1")))._5 === None)
+  }
+
+  test("noveltyTimeline: first-seen days, pair novelty outlives user novelty, exact micro shares") {
+    val us = 86400000000L // one day of epoch micros
+    // day 0: users 1,2 appear (type a). day 1: user 1 returns with a
+    // NEW type b; user 3 is brand new. day 2: all three return with
+    // types already seen — zero novelty on both curves.
+    val rows = Seq(
+      (1L, 0L, "a"), (2L, 0L, "a"),
+      (1L, us, "b"), (3L, us, "a"),
+      (1L, 2 * us, "a"), (2L, 2 * us, "a"), (3L, 2 * us, "a"))
+      .toDF("user_id", "eus", "event_type")
+      .select($"user_id", timestamp_micros($"eus").as("ts"), $"event_type")
+    val got = Profiling.noveltyTimeline(rows, "user_id", "ts", "event_type")
+      .orderBy("day")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(got === Seq(
+      // day, active_u, new_u, ppm_u, active_p, new_p, ppm_p
+      (0L, 2L, 2L, 1000000L, 2L, 2L, 1000000L),
+      (1L, 2L, 1L, 500000L, 2L, 2L, 1000000L), // user 1 old, pair (1,b) new
+      (2L, 3L, 0L, 0L, 3L, 0L, 0L)))
   }
 }
