@@ -1285,6 +1285,13 @@ object SparkEntry {
       Dedup.bbitMinhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
 
+    // ── DoReMi-style multiplicative-weights domain reweighting: one
+    //    corpus scan → |domains|-row frame, bounded driver iteration
+    //    (+,−,×,÷ only — engine-portable); exact micro mean-loss ──
+    "q165_domain_reweight" -> ((s, dir) =>
+      Sampling.domainReweightMW(t(s, dir, "documents"), "source",
+        TextAnalysis.tokenCount(col("text")))),
+
     // ── per-day entity novelty: first-seen via a keyed min-window on
     //    the (key, day) presence frame (state = |entities|, never
     //    |events|); shares in exact half-up micro-units ──
@@ -1503,6 +1510,41 @@ object SparkEntry {
          JOIN mh mb ON mb.doc_id = id_b AND ma.i = mb.i
          GROUP BY id_a, id_b
          HAVING CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 >= 0.8"""
+  }
+
+  /** DuckDB replay of `Sampling.domainReweightMW` (q165): the 10
+    * multiplicative-weight iterations unrolled as CTE pairs (update,
+    * normalize) — every arithmetic op mirrors the engine's driver loop
+    * shape exactly (+,−,×,÷ on doubles, no transcendentals), so the
+    * only cross-engine slack is k-element sum order (~1e-16, absorbed
+    * by round-6). Literals are cast to DOUBLE: DuckDB's bare `1.0` /
+    * `0.25` are DECIMAL, and a DECIMAL division would round
+    * differently than the engine's IEEE divide. */
+  private def domainReweightSql: String = {
+    val toks = "len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))"
+    val iters = (1 to 10).map { t =>
+      val p = s"w${t - 1}"
+      s"""u$t AS MATERIALIZED (
+           SELECT source, n, ls, loss,
+             w * (1 + CAST(0.25 AS DOUBLE) * ((loss - (SELECT sum(w * loss) FROM $p)) / (SELECT sum(w * loss) FROM $p))) AS w
+           FROM $p
+         ), w$t AS MATERIALIZED (
+           SELECT source, n, ls, loss, w / (SELECT sum(w) FROM u$t) AS w FROM u$t
+         )"""
+    }.mkString(", ")
+    s"""WITH per AS MATERIALIZED (
+           SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum($toks) AS BIGINT) AS ls
+           FROM documents GROUP BY source
+         ), w0 AS MATERIALIZED (
+           SELECT source, n, ls, CAST(ls AS DOUBLE) / n AS loss,
+             CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM per) AS w
+           FROM per
+         ), $iters
+         SELECT source, n AS n_docs,
+           CAST((2 * CAST(ls AS HUGEINT) * 1000000 + n) // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS loss_micro,
+           round(w, 6) AS weight
+         FROM w10"""
   }
 
   /** DuckDB replay of `Layout.zOrderTileStats` (q162): the Morton
@@ -2118,6 +2160,7 @@ object SparkEntry {
     // HUGEINT mirroring the engine's DECIMAL(38,0), outputs BIGINT.
     "q162_zorder_tiles" -> zorderTilesSql,
     "q163_bbit_minhash" -> bbitMinhashSql,
+    "q165_domain_reweight" -> domainReweightSql,
     // Per-day novelty: first-seen via min-window over each key's
     // (key, day) presence rows; exact half-up micro shares (integer
     // ratios CAN tie at the 6th decimal — the q82 rule).

@@ -196,6 +196,76 @@ object Sampling {
           .as("epochs"))
   }
 
+  /** DoReMi-style iterative domain reweighting (Xie et al. 2023's
+    * multiplicative-weights loop, with a per-domain PROXY loss instead
+    * of a trained proxy model): domains whose loss exceeds the current
+    * mixture's weighted mean get up-weighted, the mixture re-normalizes,
+    * and the loop repeats — the fixed-point concentrates sampling
+    * weight on the domains a model would currently learn the most
+    * from. Update per iteration (η snapped to a power of two so the
+    * factor is IEEE-exact):
+    *   L̄ = Σ w_s·L_s;  w_s ← w_s·(1 + η·(L_s − L̄)/L̄);  w ← w/Σw
+    * 1 + η·A ≥ 1 − η > 0 since A ≥ −1, so weights stay positive for
+    * ANY loss vector.
+    *
+    * Scale shape: ONE corpus scan folds to a |domains|-row (count,
+    * loss-sum) frame; the iteration runs driver-side on that
+    * catalog-sized vector (k ≈ tens — parameter-bounded, never
+    * data-sized) — the same bounded-collect contract as the IVF
+    * centroid build. Cross-engine determinism: L_s is one IEEE divide
+    * of exact integers; the loop is +,−,×,÷ only (no transcendentals),
+    * so both engines walk the same correctly-rounded op sequence —
+    * the only slack is k-element sum ORDER (≈1e-16, absorbed by the
+    * round-6 output like every cosine here). mean-loss is emitted as
+    * exact half-up micro-units (an integer ratio CAN tie at the 6th
+    * decimal — q82 rule), DECIMAL-widened against 100-TB token sums.
+    * Precondition: Σ w·L > 0 (any non-empty corpus with a counting
+    * loss); a zero mixture loss freezes the weights rather than
+    * dividing by zero (the SQL oracle shares the non-zero
+    * precondition — its CASE-free update would NULL out instead).
+    */
+  def domainReweightMW(df: DataFrame, domainCol: String, lossCol: Column,
+                       eta: Double = 0.25, iters: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val per = df
+      .select(col(domainCol).as("domain"), lossCol.cast("long").as("__l"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n"), sum("__l").as("ls"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val k = per.length
+    if (k == 0) return Seq.empty[(String, Long, Long, Double)]
+      .toDF("source", "n_docs", "loss_micro", "weight")
+    val loss = per.map { case (_, n, ls) => ls.toDouble / n }
+    var w = Array.fill(k)(1.0 / k)
+    var it = 0
+    while (it < iters) {
+      var lbar = 0.0
+      var i = 0
+      while (i < k) { lbar += w(i) * loss(i); i += 1 }
+      if (lbar > 0) {
+        i = 0
+        while (i < k) { w(i) = w(i) * (1 + eta * ((loss(i) - lbar) / lbar)); i += 1 }
+      }
+      var tot = 0.0
+      i = 0
+      while (i < k) { tot += w(i); i += 1 }
+      i = 0
+      while (i < k) { w(i) = w(i) / tot; i += 1 }
+      it += 1
+    }
+    per.zipWithIndex.map { case ((s, n, ls), i) =>
+      // exact half-up micros in BigInt (2·ls·10⁶ overflows Long at
+      // ~4.6e12 tokens per domain — real at 100 TB)
+      val micro = ((BigInt(2) * ls * 1000000 + n) / (BigInt(2) * n)).toLong
+      val wr = BigDecimal(w(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      (s, n, micro, wr)
+    }.toSeq.toDF("source", "n_docs", "loss_micro", "weight")
+  }
+
   /** UniMax-style epoch-capped budget allocation (Chung et al. 2023,
     * "UniMax: Fairer and More Effective Language Sampling for
     * Large-Scale Multilingual Pretraining"): distribute a token budget

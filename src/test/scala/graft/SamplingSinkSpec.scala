@@ -297,4 +297,33 @@ class SamplingSinkSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Option[Long])].collect().head
     assert(rm === ((0L, 2L, 1L, 0L, None)))
   }
+
+  test("domainReweightMW: high-loss domain gains, weights stay a distribution, degenerate cases freeze") {
+    import org.apache.spark.sql.functions.length
+    def run(rows: Seq[(String, String)], iters: Int = 10) = {
+      val out = Sampling.domainReweightMW(rows.toDF("source", "text"),
+        "source", length(col("text")), iters = iters)
+        .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+      spark.catalog.clearCache()
+      out
+    }
+    // domain B's docs are 3× longer → higher proxy loss → more weight;
+    // A and C identical → identical weights; Σw = 1 (within round-6)
+    val got = run(Seq(("A", "xx"), ("B", "xxxxxx"), ("C", "xx")))
+    val byDom = got.map(r => r._1 -> r._4).toMap
+    assert(byDom("B") > byDom("A") && byDom("A") === byDom("C"))
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-5)
+    // one MW step by hand: L = (2, 6, 2), w0 = 1/3 → L̄ = 10/3;
+    // w_B ∝ (1/3)(1 + 0.25·(6 − 10/3)/(10/3)) = (1/3)(1.2) — after
+    // normalizing against 2×(1/3)(0.9): w_B = 1.2/3 = 0.4
+    val one = run(Seq(("A", "xx"), ("B", "xxxxxx"), ("C", "xx")), iters = 1)
+    val oneByDom = one.map(r => r._1 -> r._4).toMap
+    assert(oneByDom("B") === 0.4)
+    // equal losses: A = 0 every iteration → exactly uniform forever
+    val eq = run(Seq(("A", "xx"), ("B", "xx")))
+    assert(eq.forall(_._4 === 0.5))
+    // zero loss everywhere: L̄ = 0 freezes the update (no NaN/div-0)
+    val zero = run(Seq(("A", ""), ("B", "")))
+    assert(zero.forall(_._4 === 0.5))
+  }
 }
