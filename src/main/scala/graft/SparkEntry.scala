@@ -1285,6 +1285,13 @@ object SparkEntry {
       Dedup.bbitMinhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
 
+    // ── top principal component: ONE corpus scan into the constant-
+    //    size mergeable Gram sketch; 64×64 power iteration driver-side
+    //    on 2145 collected doubles (bounded-collect contract) ──
+    "q166_top_principal" -> ((s, dir) =>
+      Similarity.topPrincipalComponent(t(s, dir, "embeddings"), "embedding",
+        dim = 64, iters = 8)),
+
     // ── DoReMi-style multiplicative-weights domain reweighting: one
     //    corpus scan → |domains|-row frame, bounded driver iteration
     //    (+,−,×,÷ only — engine-portable); exact micro mean-loss ──
@@ -1510,6 +1517,56 @@ object SparkEntry {
          JOIN mh mb ON mb.doc_id = id_b AND ma.i = mb.i
          GROUP BY id_a, id_b
          HAVING CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 >= 0.8"""
+  }
+
+  /** DuckDB replay of `Similarity.topPrincipalComponent` (q166): the
+    * covariance from the q63-style dim explosion (self-join on vec_id
+    * → 64×64 cells), then the 8 power-iteration steps unrolled as
+    * MATERIALIZED (matvec, normalize) CTE pairs mirroring the driver
+    * loop op-for-op; Rayleigh eigenvalue; sign fixed on the
+    * largest-|loading| dim (smallest index on ties). Sum order across
+    * engines differs ~1e-15; round-6 absorbs it. */
+  private def topPrincipalSql: String = {
+    val iters = (1 to 8).map { t =>
+      val p = s"v${t - 1}"
+      s"""p$t AS MATERIALIZED (
+           SELECT cov.i AS i, sum(cov.c * $p.v) AS u
+           FROM cov JOIN $p ON cov.j = $p.i GROUP BY cov.i
+         ), v$t AS MATERIALIZED (
+           SELECT i, u / (SELECT sqrt(sum(u * u)) FROM p$t) AS v FROM p$t
+         )"""
+    }.mkString(", ")
+    s"""WITH e AS MATERIALIZED (
+           SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64
+         ), x AS MATERIALIZED (
+           SELECT vec_id, i.i AS i,
+             CAST(embedding[CAST(i.i + 1 AS INT)] AS DOUBLE) AS v
+           FROM e, range(64) i(i)
+         ), nn AS MATERIALIZED (
+           SELECT CAST(count(*) AS DOUBLE) AS n FROM e
+         ), mu AS MATERIALIZED (
+           SELECT i, sum(v) / (SELECT n FROM nn) AS mu FROM x GROUP BY i
+         ), cov AS MATERIALIZED (
+           SELECT a.i AS i, b.i AS j,
+             sum(a.v * b.v) / (SELECT n FROM nn) - ma.mu * mb.mu AS c
+           FROM x a JOIN x b ON a.vec_id = b.vec_id
+           JOIN mu ma ON ma.i = a.i JOIN mu mb ON mb.i = b.i
+           GROUP BY a.i, b.i, ma.mu, mb.mu
+         ), v0 AS MATERIALIZED (
+           SELECT i, CAST(1.0 AS DOUBLE) AS v FROM mu
+         ), $iters, pf AS MATERIALIZED (
+           SELECT cov.i AS i, sum(cov.c * v8.v) AS u
+           FROM cov JOIN v8 ON cov.j = v8.i GROUP BY cov.i
+         ), lam AS MATERIALIZED (
+           SELECT sum(v8.v * pf.u) AS l FROM v8 JOIN pf ON v8.i = pf.i
+         ), sgn AS MATERIALIZED (
+           SELECT CASE WHEN v < 0 THEN CAST(-1.0 AS DOUBLE)
+                       ELSE CAST(1.0 AS DOUBLE) END AS s
+           FROM v8 ORDER BY abs(v) DESC, i ASC LIMIT 1
+         )
+         SELECT i AS dim, round(v * (SELECT s FROM sgn), 6) AS loading,
+           round((SELECT l FROM lam), 6) AS eigval
+         FROM v8"""
   }
 
   /** DuckDB replay of `Sampling.domainReweightMW` (q165): the 10
@@ -2161,6 +2218,7 @@ object SparkEntry {
     "q162_zorder_tiles" -> zorderTilesSql,
     "q163_bbit_minhash" -> bbitMinhashSql,
     "q165_domain_reweight" -> domainReweightSql,
+    "q166_top_principal" -> topPrincipalSql,
     // Per-day novelty: first-seen via min-window over each key's
     // (key, day) presence rows; exact half-up micro shares (integer
     // ratios CAN tie at the 6th decimal — the q82 rule).

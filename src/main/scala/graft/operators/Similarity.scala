@@ -943,4 +943,120 @@ object Similarity {
           lit(2L) * count(col("__cosm"))) - lit(1000000L)).as("mean_cos_micro"),
       min("__cosm").as("min_cos_micro"))
   }
+
+  /** Mergeable second-moment sketch of a fixed-dim embedding column:
+    * buffer = [n, Σx (dim), upper-triangular Σ x·xᵀ (dim·(dim+1)/2)]
+    * — 2 145 doubles for dim = 64, ONE pass, commutative merge. The
+    * covariance matrix (and so PCA) of 10⁹ vectors reduces to this one
+    * constant-size accumulator: the same map-combined shape as the HLL
+    * /KMV sketches, never a second scan, never a shuffle of vectors.
+    * Wrong-length vectors are ignored (callers pre-filter `size = dim`
+    * — the q140 contract — so the guard only protects the buffer). */
+  final class GramMatrixAgg(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Float], Array[Double], Seq[Double]] {
+    private val tri = dim * (dim + 1) / 2
+    override def zero: Array[Double] = new Array[Double](1 + dim + tri)
+    override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+      if (v == null || v.length != dim) return b
+      val x = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { x(i) = v(i).toDouble; i += 1 }
+      b(0) += 1
+      i = 0
+      var k = 1 + dim
+      while (i < dim) {
+        b(1 + i) += x(i)
+        var j = i
+        while (j < dim) { b(k) += x(i) * x(j); j += 1; k += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Double]): Seq[Double] = r.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Double]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Top principal component of the embedding distribution — the
+    * whitening / dominant-direction primitive (embedding drift audits,
+    * anisotropy checks, "is one feature dimension eating the cosine"
+    * diagnostics). DEFINED as exactly `iters` power-iteration steps
+    * from the all-ones vector on the population covariance
+    * C = Σxxᵀ/n − μμᵀ, L2-normalized each step — a fixed deterministic
+    * computation both engines replay op-for-op (+,−,×,÷,√ are all
+    * IEEE-correctly-rounded; no transcendentals), independent of
+    * whether the iteration has converged. Eigenvalue = the Rayleigh
+    * quotient vᵀCv of the final vector. Sign canonicalized: the
+    * largest-|loading| dimension (smallest index on ties) is made
+    * non-negative. Output: (dim, loading, eigval) rounded to 6 (sum
+    * order across engines differs at ~1e-15; round-6 absorbs it, the
+    * repo's cosine convention).
+    *
+    * Scale shape: ONE corpus scan into the constant-size
+    * [[GramMatrixAgg]] sketch; the 64×64 eigen-iteration is driver-side
+    * on 2 145 collected doubles (parameter-bounded, like the IVF
+    * centroid build). Precondition: a non-degenerate corpus (C ≠ 0);
+    * a zero covariance freezes the iterate rather than dividing by 0.
+    */
+  def topPrincipalComponent(emb: DataFrame, vecCol: String, dim: Int = 64,
+                            iters: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val flat = emb.where(size(col(vecCol)) === dim)
+      .agg(udaf(new GramMatrixAgg(dim)).apply(col(vecCol)))
+      .as[Seq[Double]].head()
+    val n = flat(0)
+    if (n == 0) return Seq.empty[(Long, Double, Double)]
+      .toDF("dim", "loading", "eigval")
+    val mu = Array.tabulate(dim)(i => flat(1 + i) / n)
+    val c = Array.ofDim[Double](dim, dim)
+    var k = 1 + dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = flat(k) / n - mu(i) * mu(j)
+        c(i)(j) = v; c(j)(i) = v
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { r =>
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += c(r)(j) * v(j); j += 1 }
+        s
+      }
+    var v = Array.fill(dim)(1.0)
+    var it = 0
+    while (it < iters) {
+      val u = matvec(v)
+      var nsq = 0.0
+      i = 0
+      while (i < dim) { nsq += u(i) * u(i); i += 1 }
+      val norm = math.sqrt(nsq)
+      if (norm > 0) { i = 0; while (i < dim) { u(i) = u(i) / norm; i += 1 }; v = u }
+      it += 1
+    }
+    val u = matvec(v)
+    var lam = 0.0
+    i = 0
+    while (i < dim) { lam += v(i) * u(i); i += 1 }
+    var best = 0
+    i = 1
+    while (i < dim) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
+    val sgn = if (v(best) < 0) -1.0 else 1.0
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until dim).map(d => (d.toLong, r6(sgn * v(d)), r6(lam)))
+      .toDF("dim", "loading", "eigval")
+  }
 }

@@ -1090,6 +1090,27 @@ class PlanQualitySpec extends SparkSpec {
       s"day join must stay an equi-join:\n$plan")
   }
 
+  test("q166: covariance is the one-pass Gram sketch; the eigen step is bounded-local") {
+    // the returned frame must be the 64-row DRIVER result (the eigen
+    // iteration ran on the collected 2145-double sketch), and the
+    // sketch plan itself must be scan → partial agg → 1-row merge with
+    // no 64×64 dim explosion
+    val plan = executedPlan("q166_top_principal")
+    assert(plan.contains("LocalTableScan") && !plan.contains("parquet"),
+      s"result must be the bounded driver frame:\n$plan")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val sketch = emb.where(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")) === 64)
+      .agg(org.apache.spark.sql.functions.udaf(
+        new graft.operators.Similarity.GramMatrixAgg(64))
+        .apply(org.apache.spark.sql.functions.col("embedding")))
+    val splan = sketch.queryExecution.executedPlan.toString()
+    assert(!splan.contains("Generate"),
+      s"the Gram aggregate must replace the 64×64 posexplode:\n$splan")
+    assert(!splan.contains("Exchange hashpartitioning"),
+      s"only the 1-row global-agg exchange is allowed:\n$splan")
+  }
+
   test("q158: indexed pair join is exchange-free over the bucketed index; no text rescan") {
     // the whole point of the persisted index: the candidate self-join
     // inherits the write-time bucket layout (no exchange under the

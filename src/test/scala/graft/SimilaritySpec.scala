@@ -456,4 +456,37 @@ class SimilaritySpec extends SparkSpec {
     // label 1: the zero vector is n_vecs−n_scored; survivors align
     assert(got(1) === ((1, 3L, 2L, Some(1000000L), Some(1000000L))))
   }
+
+  test("topPrincipalComponent: rank-1 planted direction, sign canonicalization, partitioning-independent") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // points ±d for d = (−4, 3, 2, 0, …): μ = 0, C = d·dᵀ (rank 1) →
+    // the iteration lands on ±d/|d| EXACTLY after one step; λ = |d|² = 29.
+    // C·1 = d·Σd = d·1 keeps d's signs, so the iterate's dominant
+    // loading is −4/√29 < 0 — exercising the canonical flip to +.
+    val d = Array(-4.0, 3.0, 2.0) ++ Array.fill(61)(0.0)
+    val rows = Seq(d.map(_.toFloat).toSeq, d.map(x => (-x).toFloat).toSeq)
+      .toDF("embedding")
+    val got = Similarity.topPrincipalComponent(rows, "embedding")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.length === 64)
+    assert(got.forall(_._3 === 29.0), s"eigval: ${got.head._3}")
+    val norm = math.sqrt(29.0)
+    val want = d.map(x => r6(-x / norm)) // flipped: dominant dim 0 → +
+    got.foreach { case (i, loading, _) =>
+      assert(math.abs(loading - want(i.toInt)) <= 1e-6,
+        s"dim $i: $loading vs ${want(i.toInt)}")
+    }
+    assert(got(0)._2 > 0, "dominant loading must be canonicalized positive")
+    // sketch mergeability: the fixture corpus gives the same component
+    // regardless of partitioning (merge order only moves ~1e-15)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.topPrincipalComponent(emb.repartition(7), "embedding")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val b = Similarity.topPrincipalComponent(emb.coalesce(1), "embedding")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    a.zip(b).foreach { case ((_, la, ea), (_, lb, eb)) =>
+      assert(math.abs(la - lb) <= 1e-6 && math.abs(ea - eb) <= 1e-6)
+    }
+  }
 }
