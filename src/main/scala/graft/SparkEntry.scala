@@ -1292,6 +1292,13 @@ object SparkEntry {
       Similarity.topPrincipalComponent(t(s, dir, "embeddings"), "embedding",
         dim = 64, iters = 8)),
 
+    // ── principal spectrum: q166's sketch + driver-side deflation —
+    //    still ONE corpus scan; variance-explained curve for
+    //    truncation/JL/PQ sizing decisions ──
+    "q167_principal_spectrum" -> ((s, dir) =>
+      Similarity.principalSpectrum(t(s, dir, "embeddings"), "embedding",
+        dim = 64, nComponents = 4, iters = 8)),
+
     // ── DoReMi-style multiplicative-weights domain reweighting: one
     //    corpus scan → |domains|-row frame, bounded driver iteration
     //    (+,−,×,÷ only — engine-portable); exact micro mean-loss ──
@@ -1567,6 +1574,73 @@ object SparkEntry {
          SELECT i AS dim, round(v * (SELECT s FROM sgn), 6) AS loading,
            round((SELECT l FROM lam), 6) AS eigval
          FROM v8"""
+  }
+
+  /** DuckDB replay of `Similarity.principalSpectrum` (q167): q166's
+    * covariance CTEs, then per component the unrolled power iteration,
+    * Rayleigh eigenvalue, and a deflation CTE (C ← C − λ·v_i·v_j,
+    * left-to-right like the driver loop; vvᵀ is sign-invariant so the
+    * canonical flip stays output-side). var_share = λ/trace — trace
+    * sum order differs ~1e-16 across engines, absorbed by round-6. */
+  private def principalSpectrumSql: String = {
+    def componentCtes(c: Int): String = {
+      val iters = (1 to 8).map { t =>
+        val p = s"v${c}_${t - 1}"
+        s"""p${c}_$t AS MATERIALIZED (
+             SELECT k.i AS i, sum(k.c * $p.v) AS u
+             FROM cov$c k JOIN $p ON k.j = $p.i GROUP BY k.i
+           ), v${c}_$t AS MATERIALIZED (
+             SELECT i, u / (SELECT sqrt(sum(u * u)) FROM p${c}_$t) AS v FROM p${c}_$t
+           )"""
+      }.mkString(", ")
+      val deflate = if (c < 3)
+        s""", cov${c + 1} AS MATERIALIZED (
+             SELECT a.i AS i, a.j AS j,
+               a.c - (SELECT l FROM lam$c) * va.v * vb.v AS c
+             FROM cov$c a
+             JOIN v${c}_8 va ON va.i = a.i JOIN v${c}_8 vb ON vb.i = a.j
+           )"""
+      else ""
+      s"""v${c}_0 AS MATERIALIZED (
+           SELECT i, CAST(1.0 AS DOUBLE) AS v FROM mu
+         ), $iters, pf$c AS MATERIALIZED (
+           SELECT k.i AS i, sum(k.c * v${c}_8.v) AS u
+           FROM cov$c k JOIN v${c}_8 ON k.j = v${c}_8.i GROUP BY k.i
+         ), lam$c AS MATERIALIZED (
+           SELECT sum(v${c}_8.v * pf$c.u) AS l
+           FROM v${c}_8 JOIN pf$c ON v${c}_8.i = pf$c.i
+         ), sgn$c AS MATERIALIZED (
+           SELECT CASE WHEN v < 0 THEN CAST(-1.0 AS DOUBLE)
+                       ELSE CAST(1.0 AS DOUBLE) END AS s
+           FROM v${c}_8 ORDER BY abs(v) DESC, i ASC LIMIT 1
+         )$deflate"""
+    }
+    val outs = (0 until 4).map(c =>
+      s"""SELECT CAST($c AS BIGINT) AS component, i AS dim,
+            round(v * (SELECT s FROM sgn$c), 6) AS loading,
+            round((SELECT l FROM lam$c), 6) AS eigval,
+            round((SELECT l FROM lam$c) / (SELECT tr FROM tr), 6) AS var_share
+          FROM v${c}_8""").mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+           SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64
+         ), x AS MATERIALIZED (
+           SELECT vec_id, i.i AS i,
+             CAST(embedding[CAST(i.i + 1 AS INT)] AS DOUBLE) AS v
+           FROM e, range(64) i(i)
+         ), nn AS MATERIALIZED (
+           SELECT CAST(count(*) AS DOUBLE) AS n FROM e
+         ), mu AS MATERIALIZED (
+           SELECT i, sum(v) / (SELECT n FROM nn) AS mu FROM x GROUP BY i
+         ), cov0 AS MATERIALIZED (
+           SELECT a.i AS i, b.i AS j,
+             sum(a.v * b.v) / (SELECT n FROM nn) - ma.mu * mb.mu AS c
+           FROM x a JOIN x b ON a.vec_id = b.vec_id
+           JOIN mu ma ON ma.i = a.i JOIN mu mb ON mb.i = b.i
+           GROUP BY a.i, b.i, ma.mu, mb.mu
+         ), tr AS MATERIALIZED (
+           SELECT sum(c) AS tr FROM cov0 WHERE i = j
+         ), ${(0 until 4).map(componentCtes).mkString(", ")}
+         $outs"""
   }
 
   /** DuckDB replay of `Sampling.domainReweightMW` (q165): the 10
@@ -2219,6 +2293,7 @@ object SparkEntry {
     "q163_bbit_minhash" -> bbitMinhashSql,
     "q165_domain_reweight" -> domainReweightSql,
     "q166_top_principal" -> topPrincipalSql,
+    "q167_principal_spectrum" -> principalSpectrumSql,
     // Per-day novelty: first-seen via min-window over each key's
     // (key, day) presence rows; exact half-up micro shares (integer
     // ratios CAN tie at the 6th decimal — the q82 rule).

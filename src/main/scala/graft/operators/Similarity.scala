@@ -1009,12 +1009,79 @@ object Similarity {
                             iters: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    covarianceFromSketch(emb, vecCol, dim) match {
+      case None => Seq.empty[(Long, Double, Double)]
+        .toDF("dim", "loading", "eigval")
+      case Some(c) =>
+        val (v, lam) = powerIterate(c, dim, iters)
+        val sgn = canonicalSign(v)
+        (0 until dim).map(d => (d.toLong, r6(sgn * v(d)), r6(lam)))
+          .toDF("dim", "loading", "eigval")
+    }
+  }
+
+  /** Top-`nComponents` principal spectrum by DEFLATION: after each
+    * component, subtract λ·vvᵀ and re-run the fixed power iteration —
+    * the same defined-op-sequence contract as
+    * [[topPrincipalComponent]] (deflation is +,−,× only; vvᵀ is
+    * sign-invariant, so canonicalization stays an output-side
+    * concern). `var_share` = λ_c / trace(C): the variance-explained
+    * curve that decides how many dimensions a truncation (q99's
+    * Matryoshka eval, JL targets, PQ codebook sizing) can drop.
+    * Scale shape identical to q166: ONE corpus scan into the
+    * [[GramMatrixAgg]] sketch, everything after is driver math on
+    * 2 145 doubles. */
+  def principalSpectrum(emb: DataFrame, vecCol: String, dim: Int = 64,
+                        nComponents: Int = 4, iters: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    covarianceFromSketch(emb, vecCol, dim) match {
+      case None => Seq.empty[(Long, Long, Double, Double, Double)]
+        .toDF("component", "dim", "loading", "eigval", "var_share")
+      case Some(c0) =>
+        var trace = 0.0
+        var i = 0
+        while (i < dim) { trace += c0(i)(i); i += 1 }
+        var c = c0
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double, Double, Double)]
+        var comp = 0
+        while (comp < nComponents) {
+          val (v, lam) = powerIterate(c, dim, iters)
+          val sgn = canonicalSign(v)
+          var d = 0
+          while (d < dim) {
+            out += ((comp.toLong, d.toLong, r6(sgn * v(d)), r6(lam),
+              if (trace > 0) r6(lam / trace) else 0.0))
+            d += 1
+          }
+          // deflate: C ← C − λ·v_i·v_j (left-to-right, oracle-mirrored)
+          val next = Array.ofDim[Double](dim, dim)
+          i = 0
+          while (i < dim) {
+            var j = 0
+            while (j < dim) { next(i)(j) = c(i)(j) - lam * v(i) * v(j); j += 1 }
+            i += 1
+          }
+          c = next
+          comp += 1
+        }
+        out.toSeq.toDF("component", "dim", "loading", "eigval", "var_share")
+    }
+  }
+
+  /** One collected [[GramMatrixAgg]] sketch → the dense population
+    * covariance (None on an empty corpus). Driver memory is dim² —
+    * parameter-bounded. */
+  private def covarianceFromSketch(emb: DataFrame, vecCol: String,
+                                   dim: Int): Option[Array[Array[Double]]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val flat = emb.where(size(col(vecCol)) === dim)
       .agg(udaf(new GramMatrixAgg(dim)).apply(col(vecCol)))
       .as[Seq[Double]].head()
     val n = flat(0)
-    if (n == 0) return Seq.empty[(Long, Double, Double)]
-      .toDF("dim", "loading", "eigval")
+    if (n == 0) return None
     val mu = Array.tabulate(dim)(i => flat(1 + i) / n)
     val c = Array.ofDim[Double](dim, dim)
     var k = 1 + dim
@@ -1028,6 +1095,14 @@ object Similarity {
       }
       i += 1
     }
+    Some(c)
+  }
+
+  /** `iters` fixed power-iteration steps from the all-ones vector;
+    * returns (final unit vector, Rayleigh quotient). A zero matvec
+    * norm freezes the iterate (degenerate-input contract). */
+  private def powerIterate(c: Array[Array[Double]], dim: Int,
+                           iters: Int): (Array[Double], Double) = {
     def matvec(v: Array[Double]): Array[Double] =
       Array.tabulate(dim) { r =>
         var s = 0.0
@@ -1040,23 +1115,26 @@ object Similarity {
     while (it < iters) {
       val u = matvec(v)
       var nsq = 0.0
-      i = 0
+      var i = 0
       while (i < dim) { nsq += u(i) * u(i); i += 1 }
       val norm = math.sqrt(nsq)
-      if (norm > 0) { i = 0; while (i < dim) { u(i) = u(i) / norm; i += 1 }; v = u }
+      if (norm > 0) { var i2 = 0; while (i2 < dim) { u(i2) = u(i2) / norm; i2 += 1 }; v = u }
       it += 1
     }
     val u = matvec(v)
     var lam = 0.0
-    i = 0
+    var i = 0
     while (i < dim) { lam += v(i) * u(i); i += 1 }
-    var best = 0
-    i = 1
-    while (i < dim) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
-    val sgn = if (v(best) < 0) -1.0 else 1.0
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    (0 until dim).map(d => (d.toLong, r6(sgn * v(d)), r6(lam)))
-      .toDF("dim", "loading", "eigval")
+    (v, lam)
   }
+
+  private def canonicalSign(v: Array[Double]): Double = {
+    var best = 0
+    var i = 1
+    while (i < v.length) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
+    if (v(best) < 0) -1.0 else 1.0
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

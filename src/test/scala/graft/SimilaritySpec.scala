@@ -489,4 +489,31 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(la - lb) <= 1e-6 && math.abs(ea - eb) <= 1e-6)
     }
   }
+
+  test("principalSpectrum: planted orthogonal directions, variance shares, component-0 ≡ q166") {
+    // ±2·e0 and ±1·e1 → C = diag(2, 0.5, 0, …): components e0 (λ=2,
+    // share 0.8) then e1 (λ=0.5, share 0.2). 8 iterations leave a
+    // (0.5/2)^8 ≈ 1.5e-5 tail on the off-direction — tolerance 1e-3.
+    def vec(i: Int, s: Double): Seq[Float] =
+      Array.tabulate(64)(d => if (d == i) s.toFloat else 0.0f).toSeq
+    val rows = Seq(vec(0, 2), vec(0, -2), vec(1, 1), vec(1, -1)).toDF("embedding")
+    val got = Similarity.principalSpectrum(rows, "embedding", nComponents = 2)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val c0 = got.filter(_._1 == 0L).sortBy(_._2)
+    val c1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(math.abs(c0.head._4 - 2.0) < 1e-3 && math.abs(c0.head._5 - 0.8) < 1e-3)
+    assert(math.abs(c1.head._4 - 0.5) < 1e-3 && math.abs(c1.head._5 - 0.2) < 1e-3)
+    assert(math.abs(c0(0)._3 - 1.0) < 1e-3 && math.abs(c1(1)._3 - 1.0) < 1e-3)
+    assert(c0.drop(1).forall(r => math.abs(r._3) < 1e-3))
+    assert(c1.count(r => math.abs(r._3) >= 1e-3) === 1)
+    // component 0 must REPLAY topPrincipalComponent bit-for-bit (same
+    // sketch, same op sequence) on the fixture corpus
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val spec0 = Similarity.principalSpectrum(emb, "embedding", nComponents = 1)
+      .select("dim", "loading", "eigval")
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val top = Similarity.topPrincipalComponent(emb, "embedding")
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(spec0 === top)
+  }
 }
