@@ -1292,6 +1292,13 @@ object SparkEntry {
       Similarity.topPrincipalComponent(t(s, dir, "embeddings"), "embedding",
         dim = 64, iters = 8)),
 
+    // ── PCA-residual outliers: spectrum from the one-pass sketch; μ +
+    //    components ride a second scan as a codegen kernel; TakeOrdered
+    //    top-N on the ROUNDED residual (boundary-stable, id tiebreak) ──
+    "q168_pca_residual" -> ((s, dir) =>
+      Similarity.pcaResidualOutliers(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, nComponents = 4, iters = 8, topN = 50)),
+
     // ── principal spectrum: q166's sketch + driver-side deflation —
     //    still ONE corpus scan; variance-explained curve for
     //    truncation/JL/PQ sizing decisions ──
@@ -1582,7 +1589,10 @@ object SparkEntry {
     * left-to-right like the driver loop; vvᵀ is sign-invariant so the
     * canonical flip stays output-side). var_share = λ/trace — trace
     * sum order differs ~1e-16 across engines, absorbed by round-6. */
-  private def principalSpectrumSql: String = {
+  /** Shared CTE prefix for the q167/q168 oracles: embeddings → dim
+    * rows → mean → covariance → trace → per-component power-iteration
+    * and deflation CTEs (cov0..cov3, v{c}_8, lam{c}, sgn{c}). */
+  private def spectrumCtePrefix: String = {
     def componentCtes(c: Int): String = {
       val iters = (1 to 8).map { t =>
         val p = s"v${c}_${t - 1}"
@@ -1615,13 +1625,7 @@ object SparkEntry {
            FROM v${c}_8 ORDER BY abs(v) DESC, i ASC LIMIT 1
          )$deflate"""
     }
-    val outs = (0 until 4).map(c =>
-      s"""SELECT CAST($c AS BIGINT) AS component, i AS dim,
-            round(v * (SELECT s FROM sgn$c), 6) AS loading,
-            round((SELECT l FROM lam$c), 6) AS eigval,
-            round((SELECT l FROM lam$c) / (SELECT tr FROM tr), 6) AS var_share
-          FROM v${c}_8""").mkString(" UNION ALL ")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
            SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64
          ), x AS MATERIALIZED (
            SELECT vec_id, i.i AS i,
@@ -1639,8 +1643,49 @@ object SparkEntry {
            GROUP BY a.i, b.i, ma.mu, mb.mu
          ), tr AS MATERIALIZED (
            SELECT sum(c) AS tr FROM cov0 WHERE i = j
-         ), ${(0 until 4).map(componentCtes).mkString(", ")}
-         $outs"""
+         ), ${(0 until 4).map(componentCtes).mkString(", ")}"""
+  }
+
+  private def principalSpectrumSql: String = {
+    val outs = (0 until 4).map(c =>
+      s"""SELECT CAST($c AS BIGINT) AS component, i AS dim,
+            round(v * (SELECT s FROM sgn$c), 6) AS loading,
+            round((SELECT l FROM lam$c), 6) AS eigval,
+            round((SELECT l FROM lam$c) / (SELECT tr FROM tr), 6) AS var_share
+          FROM v${c}_8""").mkString(" UNION ALL ")
+    s"WITH $spectrumCtePrefix $outs"
+  }
+
+  /** DuckDB replay of `Similarity.pcaResidualOutliers` (q168): the
+    * spectrum CTEs, centered dim rows, per-component projections, then
+    * residual = e² − p₀² − p₁² − p₂² − p₃² (left-to-right, the codegen
+    * kernel's subtraction order), rounded BEFORE the ordering so both
+    * engines cut the identical top-N boundary (id tiebreak). */
+  private def pcaResidualSql: String = {
+    val projCtes = (0 until 4).map(c =>
+      s"""p${c}v AS MATERIALIZED (
+           SELECT d.vec_id, sum(v${c}_8.v * d.d) AS p
+           FROM d JOIN v${c}_8 ON v${c}_8.i = d.i GROUP BY d.vec_id
+         )""").mkString(", ")
+    s"""WITH $spectrumCtePrefix, d AS MATERIALIZED (
+           SELECT x.vec_id, x.i, x.v - mu.mu AS d
+           FROM x JOIN mu ON mu.i = x.i
+         ), e2 AS MATERIALIZED (
+           SELECT vec_id, sum(d * d) AS e FROM d GROUP BY vec_id
+         ), $projCtes, res AS (
+           SELECT e2.vec_id,
+             round(e2.e - p0v.p * p0v.p - p1v.p * p1v.p
+               - p2v.p * p2v.p - p3v.p * p3v.p, 6) AS residual
+           FROM e2
+           JOIN p0v ON p0v.vec_id = e2.vec_id
+           JOIN p1v ON p1v.vec_id = e2.vec_id
+           JOIN p2v ON p2v.vec_id = e2.vec_id
+           JOIN p3v ON p3v.vec_id = e2.vec_id
+         )
+         SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY residual DESC, vec_id) AS INT) AS rank,
+           residual
+         FROM res ORDER BY residual DESC, vec_id LIMIT 50"""
   }
 
   /** DuckDB replay of `Sampling.domainReweightMW` (q165): the 10
@@ -2294,6 +2339,7 @@ object SparkEntry {
     "q165_domain_reweight" -> domainReweightSql,
     "q166_top_principal" -> topPrincipalSql,
     "q167_principal_spectrum" -> principalSpectrumSql,
+    "q168_pca_residual" -> pcaResidualSql,
     // Per-day novelty: first-seen via min-window over each key's
     // (key, day) presence rows; exact half-up micro shares (integer
     // ratios CAN tie at the 6th decimal — the q82 rule).

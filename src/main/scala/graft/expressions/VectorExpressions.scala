@@ -687,6 +687,71 @@ case class AdcDistance(left: Expression, right: Expression) extends BinaryExpres
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** PCA-residual energy: ‖x − μ‖² − Σ_c ((x − μ)·v_c)² — the variance
+  * of a vector OUTSIDE the span of the supplied principal components.
+  * The full-covariance upgrade of per-dim z-score outliering: a vector
+  * that is large along the corpus's dominant directions is normal; one
+  * with mass the top components cannot explain is anomalous.
+  *
+  * One per-row codegen kernel; μ and the component matrix ride along
+  * as a codegen reference object (never a literal tree — CLAUDE.md
+  * rule). Fold order is fixed and oracle-mirrored: d_i accumulated
+  * ascending for both the energy and each projection, projections
+  * subtracted in component order. Strict-length contract as
+  * [[NearestCentroids]]: a wrong-dim vector fails loudly.
+  */
+case class ResidualEnergy(child: Expression, mu: Array[Double],
+                          comps: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "residual_energy"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def residualOf(v: ArrayData): Double = {
+    val isF = elemIsFloat
+    val n = v.numElements()
+    if (n != mu.length)
+      throw new IllegalArgumentException(
+        s"residual_energy: vector dim $n != mean dim ${mu.length}")
+    val d = new Array[Double](n)
+    var i = 0
+    var e2 = 0.0
+    while (i < n) {
+      val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      d(i) = x - mu(i)
+      e2 += d(i) * d(i)
+      i += 1
+    }
+    var c = 0
+    var r = e2
+    while (c < comps.length) {
+      val vc = comps(c)
+      var p = 0.0
+      i = 0
+      while (i < n) { p += vc(i) * d(i); i += 1 }
+      r -= p * p
+      c += 1
+    }
+    r
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    residualOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("residEnergy", this, classOf[ResidualEnergy].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.residualOf($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API: codegen'd dot product. */
   def vecDot(a: Column, b: Column): Column =
@@ -737,4 +802,11 @@ object VectorExpressions {
   def signedProjection(v: Column, dim: Int, outDim: Int, seed: Long): Column =
     GraftSqlBridge.column(SignedProjection(
       GraftSqlBridge.expression(v), dim, outDim, seed))
+
+  /** double: ‖x−μ‖² minus the energy captured by the given principal
+    * components. */
+  def residualEnergy(v: Column, mu: Array[Double],
+                     comps: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(ResidualEnergy(
+      GraftSqlBridge.expression(v), mu, comps))
 }

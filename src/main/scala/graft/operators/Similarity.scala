@@ -1012,7 +1012,7 @@ object Similarity {
     covarianceFromSketch(emb, vecCol, dim) match {
       case None => Seq.empty[(Long, Double, Double)]
         .toDF("dim", "loading", "eigval")
-      case Some(c) =>
+      case Some((_, c)) =>
         val (v, lam) = powerIterate(c, dim, iters)
         val sgn = canonicalSign(v)
         (0 until dim).map(d => (d.toLong, r6(sgn * v(d)), r6(lam)))
@@ -1038,43 +1038,26 @@ object Similarity {
     covarianceFromSketch(emb, vecCol, dim) match {
       case None => Seq.empty[(Long, Long, Double, Double, Double)]
         .toDF("component", "dim", "loading", "eigval", "var_share")
-      case Some(c0) =>
+      case Some((_, c0)) =>
         var trace = 0.0
         var i = 0
         while (i < dim) { trace += c0(i)(i); i += 1 }
-        var c = c0
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long, Double, Double, Double)]
-        var comp = 0
-        while (comp < nComponents) {
-          val (v, lam) = powerIterate(c, dim, iters)
-          val sgn = canonicalSign(v)
-          var d = 0
-          while (d < dim) {
-            out += ((comp.toLong, d.toLong, r6(sgn * v(d)), r6(lam),
-              if (trace > 0) r6(lam / trace) else 0.0))
-            d += 1
-          }
-          // deflate: C ← C − λ·v_i·v_j (left-to-right, oracle-mirrored)
-          val next = Array.ofDim[Double](dim, dim)
-          i = 0
-          while (i < dim) {
-            var j = 0
-            while (j < dim) { next(i)(j) = c(i)(j) - lam * v(i) * v(j); j += 1 }
-            i += 1
-          }
-          c = next
-          comp += 1
-        }
-        out.toSeq.toDF("component", "dim", "loading", "eigval", "var_share")
+        val comps = spectrumComponents(c0, dim, nComponents, iters)
+        val out = for {
+          (comp, (v, lam)) <- comps.zipWithIndex.map(_.swap)
+          sgn = canonicalSign(v)
+          d <- 0 until dim
+        } yield (comp.toLong, d.toLong, r6(sgn * v(d)), r6(lam),
+          if (trace > 0) r6(lam / trace) else 0.0)
+        out.toDF("component", "dim", "loading", "eigval", "var_share")
     }
   }
 
-  /** One collected [[GramMatrixAgg]] sketch → the dense population
-    * covariance (None on an empty corpus). Driver memory is dim² —
-    * parameter-bounded. */
+  /** One collected [[GramMatrixAgg]] sketch → (mean vector, dense
+    * population covariance); None on an empty corpus. Driver memory is
+    * dim² — parameter-bounded. */
   private def covarianceFromSketch(emb: DataFrame, vecCol: String,
-                                   dim: Int): Option[Array[Array[Double]]] = {
+      dim: Int): Option[(Array[Double], Array[Array[Double]])] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val flat = emb.where(size(col(vecCol)) === dim)
@@ -1095,7 +1078,70 @@ object Similarity {
       }
       i += 1
     }
-    Some(c)
+    Some((mu, c))
+  }
+
+  /** Top-`nComponents` (vector, eigenvalue) pairs by power iteration
+    * with deflation (C ← C − λ·v_i·v_j after each, left-to-right —
+    * the op order the q167 oracle mirrors). Vectors are UNFLIPPED
+    * (vvᵀ is sign-invariant; canonicalization is output-side). */
+  private def spectrumComponents(c0: Array[Array[Double]], dim: Int,
+      nComponents: Int, iters: Int): Seq[(Array[Double], Double)] = {
+    var c = c0
+    val out = Seq.newBuilder[(Array[Double], Double)]
+    var comp = 0
+    while (comp < nComponents) {
+      val (v, lam) = powerIterate(c, dim, iters)
+      out += ((v, lam))
+      val next = Array.ofDim[Double](dim, dim)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { next(i)(j) = c(i)(j) - lam * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      c = next
+      comp += 1
+    }
+    out.result()
+  }
+
+  /** PCA-residual outlier audit: residual energy
+    * ‖x − μ‖² − Σ_c ((x−μ)·v_c)² per vector — variance the top
+    * principal components can NOT explain — ranked descending, top-N.
+    * The full-covariance upgrade of the per-dim z-score audit (q140):
+    * a vector that is extreme ALONG the corpus's dominant directions
+    * is ordinary; one with mass outside their span is structurally
+    * anomalous (corrupt embedding, wrong encoder version, adversarial
+    * row). Ordering is on the ROUNDED residual with the id tiebreak so
+    * both engines cut the same top-N boundary.
+    *
+    * Scale shape: the spectrum comes from the ONE-pass sketch
+    * (q166/q167); μ and the component matrix then ride a SECOND corpus
+    * scan as a codegen reference object — per-row cost is
+    * (nComponents+1) fused dot products, the top-N is TakeOrdered
+    * (per-partition heads, no global sort materialization). */
+  def pcaResidualOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                          dim: Int = 64, nComponents: Int = 4,
+                          iters: Int = 8, topN: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    covarianceFromSketch(emb, vecCol, dim) match {
+      case None => Seq.empty[(Long, Int, Double)]
+        .toDF(idCol, "rank", "residual")
+      case Some((mu, c0)) =>
+        val comps = spectrumComponents(c0, dim, nComponents, iters)
+          .map(_._1).toArray
+        val scored = emb.where(size(col(vecCol)) === dim)
+          .select(col(idCol),
+            round(graft.expressions.VectorExpressions
+              .residualEnergy(col(vecCol), mu, comps), 6).as("residual"))
+          .orderBy(col("residual").desc, col(idCol))
+          .limit(topN)
+        scored.withColumn("rank",
+          row_number().over(Window.orderBy(col("residual").desc, col(idCol))))
+          .select(col(idCol), col("rank"), col("residual"))
+    }
   }
 
   /** `iters` fixed power-iteration steps from the all-ones vector;

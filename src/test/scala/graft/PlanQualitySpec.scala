@@ -1111,6 +1111,16 @@ class PlanQualitySpec extends SparkSpec {
       s"only the 1-row global-agg exchange is allowed:\n$splan")
   }
 
+  test("q168: residual scoring is one codegen kernel on the scan; top-N is TakeOrdered") {
+    val plan = executedPlan("q168_pca_residual")
+    assert(plan.contains("residual_energy"),
+      s"per-row score must be the fused kernel, not HOF math:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must be TakeOrdered, not a full Sort:\n$plan")
+    assert(!plan.contains("Generate") && !plan.contains("Join"),
+      s"the scoring scan joins nothing and explodes nothing:\n$plan")
+  }
+
   test("q158: indexed pair join is exchange-free over the bucketed index; no text rescan") {
     // the whole point of the persisted index: the candidate self-join
     // inherits the write-time bucket layout (no exchange under the

@@ -516,4 +516,22 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
     assert(spec0 === top)
   }
+
+  test("pcaResidualOutliers: off-span vector ranks first; in-span corpus scores ~0") {
+    def vec(i: Int, s: Double): Seq[Float] =
+      Array.tabulate(64)(d => if (d == i) s.toFloat else 0.0f).toSeq
+    // 8 in-span vectors ±5·e0 (variance all on component 0) and one
+    // anomaly with its mass on e5 — invisible to the top component
+    val rows = ((1L to 4L).flatMap(id =>
+      Seq((id * 2 - 1, vec(0, 5)), (id * 2, vec(0, -5)))) :+ (9L, vec(5, 3)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pcaResidualOutliers(rows, "vec_id", "embedding",
+      nComponents = 1, topN = 9)
+      .as[(Long, Int, Double)].collect().sortBy(_._2)
+    assert(got.head._1 === 9L && got.head._2 === 1,
+      s"anomaly must rank first: ${got.toSeq}")
+    assert(got.head._3 > 7.0, s"anomaly residual ≈ 9·(1−1/9)²: ${got.head._3}")
+    assert(got.tail.forall(_._3 < 1.0),
+      s"in-span residuals are the e5-mean crumb only: ${got.toSeq}")
+  }
 }
