@@ -1292,6 +1292,13 @@ object SparkEntry {
       Similarity.topPrincipalComponent(t(s, dir, "embeddings"), "embedding",
         dim = 64, iters = 8)),
 
+    // ── per-label PCA drift: ONE |labels|-keyed shuffle of constant-
+    //    size Gram sketches (global = their merge); eigen math driver-
+    //    side; |cos| alignment is sign-invariant ──
+    "q169_label_pca_drift" -> ((s, dir) =>
+      Similarity.labelPrincipalAlignment(t(s, dir, "embeddings"), "label",
+        "embedding", dim = 64, iters = 8)),
+
     // ── PCA-residual outliers: spectrum from the one-pass sketch; μ +
     //    components ride a second scan as a codegen kernel; TakeOrdered
     //    top-N on the ROUNDED residual (boundary-stable, id tiebreak) ──
@@ -1686,6 +1693,86 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY residual DESC, vec_id) AS INT) AS rank,
            residual
          FROM res ORDER BY residual DESC, vec_id LIMIT 50"""
+  }
+
+  /** DuckDB replay of `Similarity.labelPrincipalAlignment` (q169):
+    * per-label covariance keyed by label so ALL labels power-iterate
+    * through one shared CTE chain (8 labeled matvec/normalize pairs),
+    * plus the q166-style global chain; alignment = |Σ v_l·v_g| —
+    * sign-invariant, so no canonicalization enters. */
+  private def labelAlignSql: String = {
+    val labelIters = (1 to 8).map { t =>
+      val p = s"vl${t - 1}"
+      s"""pl$t AS MATERIALIZED (
+           SELECT k.label, k.i AS i, sum(k.c * $p.v) AS u
+           FROM cl k JOIN $p ON $p.label = k.label AND $p.i = k.j
+           GROUP BY k.label, k.i
+         ), vl$t AS MATERIALIZED (
+           SELECT pl$t.label, pl$t.i, pl$t.u / nrm.s AS v
+           FROM pl$t JOIN (SELECT label, sqrt(sum(u * u)) AS s
+                           FROM pl$t GROUP BY label) nrm
+             ON nrm.label = pl$t.label
+         )"""
+    }.mkString(", ")
+    val globalIters = (1 to 8).map { t =>
+      val p = s"gv${t - 1}"
+      s"""gp$t AS MATERIALIZED (
+           SELECT k.i AS i, sum(k.c * $p.v) AS u
+           FROM gc k JOIN $p ON $p.i = k.j GROUP BY k.i
+         ), gv$t AS MATERIALIZED (
+           SELECT i, u / (SELECT sqrt(sum(u * u)) FROM gp$t) AS v FROM gp$t
+         )"""
+    }.mkString(", ")
+    s"""WITH e AS MATERIALIZED (
+           SELECT vec_id, label, embedding FROM embeddings
+           WHERE len(embedding) = 64
+         ), x AS MATERIALIZED (
+           SELECT vec_id, label, i.i AS i,
+             CAST(embedding[CAST(i.i + 1 AS INT)] AS DOUBLE) AS v
+           FROM e, range(64) i(i)
+         ), nl AS MATERIALIZED (
+           SELECT label, CAST(count(*) AS DOUBLE) AS n FROM e GROUP BY label
+         ), ml AS MATERIALIZED (
+           SELECT x.label, x.i, sum(x.v) / nl.n AS mu
+           FROM x JOIN nl ON nl.label = x.label GROUP BY x.label, x.i, nl.n
+         ), cl AS MATERIALIZED (
+           SELECT a.label, a.i AS i, b.i AS j,
+             sum(a.v * b.v) / nl.n - ma.mu * mb.mu AS c
+           FROM x a JOIN x b ON a.vec_id = b.vec_id
+           JOIN nl ON nl.label = a.label
+           JOIN ml ma ON ma.label = a.label AND ma.i = a.i
+           JOIN ml mb ON mb.label = a.label AND mb.i = b.i
+           GROUP BY a.label, a.i, b.i, nl.n, ma.mu, mb.mu
+         ), vl0 AS MATERIALIZED (
+           SELECT label, i, CAST(1.0 AS DOUBLE) AS v FROM ml
+         ), $labelIters, pfl AS MATERIALIZED (
+           SELECT k.label, k.i AS i, sum(k.c * vl8.v) AS u
+           FROM cl k JOIN vl8 ON vl8.label = k.label AND vl8.i = k.j
+           GROUP BY k.label, k.i
+         ), laml AS MATERIALIZED (
+           SELECT vl8.label, sum(vl8.v * pfl.u) AS l
+           FROM vl8 JOIN pfl ON pfl.label = vl8.label AND pfl.i = vl8.i
+           GROUP BY vl8.label
+         ), gn AS MATERIALIZED (
+           SELECT CAST(count(*) AS DOUBLE) AS n FROM e
+         ), gm AS MATERIALIZED (
+           SELECT i, sum(v) / (SELECT n FROM gn) AS mu FROM x GROUP BY i
+         ), gc AS MATERIALIZED (
+           SELECT a.i AS i, b.i AS j,
+             sum(a.v * b.v) / (SELECT n FROM gn) - ma.mu * mb.mu AS c
+           FROM x a JOIN x b ON a.vec_id = b.vec_id
+           JOIN gm ma ON ma.i = a.i JOIN gm mb ON mb.i = b.i
+           GROUP BY a.i, b.i, ma.mu, mb.mu
+         ), gv0 AS MATERIALIZED (
+           SELECT i, CAST(1.0 AS DOUBLE) AS v FROM gm
+         ), $globalIters, al AS MATERIALIZED (
+           SELECT vl8.label, sum(vl8.v * gv8.v) AS a
+           FROM vl8 JOIN gv8 ON gv8.i = vl8.i GROUP BY vl8.label
+         )
+         SELECT nl.label AS label, CAST(nl.n AS BIGINT) AS n_vecs,
+           round(laml.l, 6) AS eigval, round(abs(al.a), 6) AS align
+         FROM nl JOIN laml ON laml.label = nl.label
+         JOIN al ON al.label = nl.label"""
   }
 
   /** DuckDB replay of `Sampling.domainReweightMW` (q165): the 10
@@ -2340,6 +2427,7 @@ object SparkEntry {
     "q166_top_principal" -> topPrincipalSql,
     "q167_principal_spectrum" -> principalSpectrumSql,
     "q168_pca_residual" -> pcaResidualSql,
+    "q169_label_pca_drift" -> labelAlignSql,
     // Per-day novelty: first-seen via min-window over each key's
     // (key, day) presence rows; exact half-up micro shares (integer
     // ratios CAN tie at the 6th decimal — the q82 rule).

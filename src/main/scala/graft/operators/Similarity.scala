@@ -1063,6 +1063,14 @@ object Similarity {
     val flat = emb.where(size(col(vecCol)) === dim)
       .agg(udaf(new GramMatrixAgg(dim)).apply(col(vecCol)))
       .as[Seq[Double]].head()
+    sketchCov(flat, dim).map { case (_, mu, c) => (mu, c) }
+  }
+
+  /** A collected [[GramMatrixAgg]] buffer → (n, mean, population
+    * covariance); None when the sketch saw no rows. The ONE place the
+    * g/n − μᵢμⱼ formula lives (oracle-mirrored op order). */
+  private def sketchCov(flat: Seq[Double], dim: Int)
+      : Option[(Double, Array[Double], Array[Array[Double]])] = {
     val n = flat(0)
     if (n == 0) return None
     val mu = Array.tabulate(dim)(i => flat(1 + i) / n)
@@ -1078,7 +1086,49 @@ object Similarity {
       }
       i += 1
     }
-    Some((mu, c))
+    Some((n, mu, c))
+  }
+
+  /** Per-label embedding-subspace drift: each label's top principal
+    * component (fixed `iters` power steps, the q166 contract) and its
+    * ALIGNMENT |v_label · v_global| with the corpus-wide component —
+    * the "did one subpopulation come from a different encoder /
+    * distribution" audit. |cos| is sign-invariant, so no
+    * canonicalization enters the comparison. The global component is
+    * derived from the element-wise SUM of the per-label sketches —
+    * [[GramMatrixAgg]]'s mergeability doing the work: one grouped scan
+    * yields every label's sketch AND the corpus sketch.
+    *
+    * Scale shape: ONE |labels|-keyed combinable shuffle of constant-
+    * size buffers; all eigen math is driver-side on |labels|·2 145
+    * doubles (bounded-collect contract). Precondition: each label has
+    * non-zero covariance (a frozen degenerate iterate would desync
+    * from the oracle's NaN — same documented class as q165/q166).
+    * Output: (label, n_vecs, eigval, align), round-6. */
+  def labelPrincipalAlignment(emb: DataFrame, labelCol: String,
+                              vecCol: String, dim: Int = 64,
+                              iters: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.where(size(col(vecCol)) === dim)
+      .groupBy(col(labelCol).cast("int").as("label"))
+      .agg(udaf(new GramMatrixAgg(dim)).apply(col(vecCol)).as("sk"))
+      .as[(Int, Seq[Double])].collect()
+      .sortBy(_._1)
+    if (rows.isEmpty) return Seq.empty[(Int, Long, Double, Double)]
+      .toDF("label", "n_vecs", "eigval", "align")
+    val gflat = rows.map(_._2).reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    val Some((_, _, gc)) = sketchCov(gflat, dim): @unchecked
+    val (gv, _) = powerIterate(gc, dim, iters)
+    rows.flatMap { case (label, flat) =>
+      sketchCov(flat, dim).map { case (n, _, c) =>
+        val (v, lam) = powerIterate(c, dim, iters)
+        var a = 0.0
+        var i = 0
+        while (i < dim) { a += v(i) * gv(i); i += 1 }
+        (label, n.toLong, r6(lam), r6(math.abs(a)))
+      }
+    }.toSeq.toDF("label", "n_vecs", "eigval", "align")
   }
 
   /** Top-`nComponents` (vector, eigenvalue) pairs by power iteration

@@ -534,4 +534,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.tail.forall(_._3 < 1.0),
       s"in-span residuals are the e5-mean crumb only: ${got.toSeq}")
   }
+
+  test("labelPrincipalAlignment: aligned label scores 1, orthogonal label ~0, per-label eigvals exact") {
+    def vec(i: Int, s: Double): Seq[Float] =
+      Array.tabulate(64)(d => if (d == i) s.toFloat else 0.0f).toSeq
+    // label 0 varies along e0 (±5), label 1 along e1 (±3): the global
+    // component is ~e0 (12.5 vs 4.5 global variance), so label 0
+    // aligns fully and label 1 is orthogonal up to the power-iteration
+    // tail ((4.5/12.5)^8 ≈ 3e-4)
+    val rows = ((1 to 4).flatMap(_ => Seq((0, vec(0, 5)), (0, vec(0, -5)))) ++
+      (1 to 4).flatMap(_ => Seq((1, vec(1, 3)), (1, vec(1, -3)))))
+      .toDF("label", "embedding")
+    val got = Similarity.labelPrincipalAlignment(rows, "label", "embedding")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((0, 8L, 25.0), (1, 8L, 9.0)))
+    assert(got(0)._4 === 1.0, s"aligned label: ${got(0)}")
+    assert(got(1)._4 < 0.01, s"orthogonal label: ${got(1)}")
+  }
 }
