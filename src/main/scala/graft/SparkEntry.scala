@@ -1292,6 +1292,13 @@ object SparkEntry {
       Similarity.topPrincipalComponent(t(s, dir, "embeddings"), "embedding",
         dim = 64, iters = 8)),
 
+    // ── continuation edges: tail(a) = head(b) equi-join on the gram,
+    //    both sides fanout-capped (broadcast anti-join) — split-page /
+    //    chunked-upload stitching, never a pair product ──
+    "q170_continuation_chains" -> ((s, dir) =>
+      Dedup.continuationChains(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, maxFanout = 16)),
+
     // ── per-label PCA drift: ONE |labels|-keyed shuffle of constant-
     //    size Gram sketches (global = their merge); eigen math driver-
     //    side; |cos| alignment is sign-invariant ──
@@ -2428,6 +2435,25 @@ object SparkEntry {
     "q167_principal_spectrum" -> principalSpectrumSql,
     "q168_pca_residual" -> pcaResidualSql,
     "q169_label_pca_drift" -> labelAlignSql,
+    // Continuation edges: q138's head/tail gram idiom, fanout-capped on
+    // both sides before the equi-join.
+    "q170_continuation_chains" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), g AS (
+           SELECT doc_id, array_to_string(toks[1:3], ' ') AS head,
+             array_to_string(toks[-3:], ' ') AS tail
+           FROM t WHERE len(toks) >= 3
+         ), bh AS (
+           SELECT doc_id, head FROM g
+           WHERE head NOT IN (SELECT head FROM g GROUP BY head HAVING count(*) > 16)
+         ), bt AS (
+           SELECT doc_id, tail FROM g
+           WHERE tail NOT IN (SELECT tail FROM g GROUP BY tail HAVING count(*) > 16)
+         )
+         SELECT bt.doc_id AS id_a, bh.doc_id AS id_b, bt.tail AS bridge
+         FROM bt JOIN bh ON bh.head = bt.tail AND bt.doc_id <> bh.doc_id""",
     // Per-day novelty: first-seen via min-window over each key's
     // (key, day) presence rows; exact half-up micro shares (integer
     // ratios CAN tie at the 6th decimal — the q82 rule).

@@ -1671,6 +1671,40 @@ object Dedup {
     *
     * Output: (id, head_group_n, tail_group_n, is_head_dup,
     * is_tail_dup). */
+  /** Document CONTINUATION edges — the directional sibling of
+    * [[headTailDupGroups]]: doc B continues doc A when A's last k
+    * tokens equal B's first k (split crawl pages, chunked uploads,
+    * serialized shards). Output (id_a, id_b, bridge) — the shared
+    * k-gram rides along for audit. Both sides are frequency-capped
+    * BEFORE the join (a boilerplate head/tail shared by f docs would
+    * emit f² pairs; caps follow the q18 hot-shingle rule: the drop set
+    * is tiny by construction, broadcast anti-joined). One equi-join on
+    * the gram — never a pair product. */
+  def continuationChains(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, maxFanout: Int = 16): DataFrame = {
+    require(k >= 1 && maxFanout >= 1)
+    val base = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(col(idCol),
+        array_join(slice(col("__toks"), 1, k), " ").as("__head"),
+        array_join(slice(col("__toks"), -k, k), " ").as("__tail"))
+      .cache()
+    val hotHeads = base.groupBy("__head").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxFanout).select("__head")
+    val hotTails = base.groupBy("__tail").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxFanout).select("__tail")
+    val heads = base.select(col(idCol).as("id_b"), col("__head"))
+      .join(broadcast(hotHeads), Seq("__head"), "left_anti")
+    val tails = base.select(col(idCol).as("id_a"), col("__tail"))
+      .join(broadcast(hotTails), Seq("__tail"), "left_anti")
+    CacheScope.scoped(
+      tails.join(heads, col("__tail") === col("__head"))
+        .where(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"), col("__tail").as("bridge")),
+      base)
+  }
+
   def headTailDupGroups(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8): DataFrame = {
     require(k >= 1)

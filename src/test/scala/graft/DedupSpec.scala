@@ -820,6 +820,22 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_spec")
   }
 
+  test("continuationChains: planted chain edges, self-loop excluded, boilerplate fanout capped") {
+    val a = "alpha beta start mid one x y z"
+    val b = "x y z continue two p q r"
+    val c = "p q r ending three last words here"
+    // doc 40: own head == own tail → must NOT self-edge
+    val selfy = "s s s"
+    val boiler = (100L until 120L).map(i => (i, s"same same same unique$i tail$i end$i"))
+    val docs = (Seq((1L, a), (2L, b), (3L, c), (40L, selfy)) ++ boiler)
+      .toDF("doc_id", "text")
+    val got = Dedup.continuationChains(docs, "doc_id", "text", k = 3, maxFanout = 16)
+      .as[(Long, Long, String)].collect().toSet
+    spark.catalog.clearCache()
+    // 20 docs share head "same same same" > 16 → capped out entirely
+    assert(got === Set((1L, 2L, "x y z"), (2L, 3L, "p q r")))
+  }
+
   test("bbitMinhashPairs: packed low bits reproduce the per-position estimator; identical docs score 1.0") {
     val fixtures = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // packed-XOR popcount identity vs a direct per-position recount

@@ -1121,6 +1121,14 @@ class PlanQualitySpec extends SparkSpec {
       s"the scoring scan joins nothing and explodes nothing:\n$plan")
   }
 
+  test("q170: continuation join is gram-keyed with broadcast anti-join caps — no pair product") {
+    val plan = executedPlan("q170_continuation_chains")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"edges must come from the gram equi-join:\n$plan")
+    assert("BroadcastHashJoin.*LeftAnti".r.findAllIn(plan).size >= 2,
+      s"both fanout caps must be broadcast anti-joins:\n$plan")
+  }
+
   test("q158: indexed pair join is exchange-free over the bucketed index; no text rescan") {
     // the whole point of the persisted index: the candidate self-join
     // inherits the write-time bucket layout (no exchange under the
