@@ -1292,6 +1292,12 @@ object SparkEntry {
       Similarity.topPrincipalComponent(t(s, dir, "embeddings"), "embedding",
         dim = 64, iters = 8)),
 
+    // ── Kneser–Ney bigram fluency: q98's plan (cached bigram stream →
+    //    (a,b) agg + join-back); continuation stats off the TYPE-sized
+    //    frame; only the 1-row type total broadcasts ──
+    "q171_kn_bigram_lm" -> ((s, dir) =>
+      CorpusStats.knBigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+
     // ── continuation edges: tail(a) = head(b) equi-join on the gram,
     //    both sides fanout-capped (broadcast anti-join) — split-page /
     //    chunked-upload stitching, never a pair product ──
@@ -2435,6 +2441,38 @@ object SparkEntry {
     "q167_principal_spectrum" -> principalSpectrumSql,
     "q168_pca_residual" -> pcaResidualSql,
     "q169_label_pca_drift" -> labelAlignSql,
+    // Interpolated Kneser–Ney: q98's bigram CTEs; continuation stats
+    // from the (a,b) TYPE frame; formula left-to-right, D = 3/4,
+    // DOUBLE-cast literals; ln under the libm-parity contract.
+    "q171_kn_bigram_lm" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), bi AS (
+           SELECT doc_id, toks[i] AS tok_a, toks[i + 1] AS tok_b
+           FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM t WHERE len(toks) >= 2)
+         ), big AS (
+           SELECT tok_a, tok_b, count(*) AS c_ab FROM bi GROUP BY 1, 2
+         ), ctx AS (
+           SELECT tok_a, CAST(sum(c_ab) AS BIGINT) AS c_a, count(*) AS n1_a
+           FROM big GROUP BY tok_a
+         ), lb AS (
+           SELECT tok_b, count(*) AS n1_b FROM big GROUP BY tok_b
+         ), nt AS (
+           SELECT CAST(count(*) AS DOUBLE) AS nt FROM big
+         )
+         SELECT b.doc_id, count(*) AS n_bigrams,
+           round(sum(ln(
+             (greatest(CAST(g.c_ab AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
+              + CAST(0.75 AS DOUBLE) * CAST(x.n1_a AS DOUBLE) * CAST(l.n1_b AS DOUBLE)
+                / (SELECT nt FROM nt))
+             / CAST(x.c_a AS DOUBLE))) / count(*), 6) AS mean_kn_logprob
+         FROM bi b
+         JOIN big g USING (tok_a, tok_b)
+         JOIN ctx x ON b.tok_a = x.tok_a
+         JOIN lb l ON b.tok_b = l.tok_b
+         GROUP BY b.doc_id""",
     // Continuation edges: q138's head/tail gram idiom, fanout-capped on
     // both sides before the equi-join.
     "q170_continuation_chains" ->

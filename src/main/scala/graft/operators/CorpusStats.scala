@@ -784,6 +784,51 @@ object CorpusStats {
     * (round(Σ/n, 6); libm parity).
     *
     * Output (docs with ≥ 2 tokens): (id, n_bigrams, mean_logprob). */
+  /** Interpolated Kneser–Ney bigram fluency score (Kneser & Ney 1995;
+    * the standard upgrade of q98's add-one smoothing): per doc, mean
+    * ln P_KN(b|a) with
+    *   P_KN(b|a) = (max(c(ab)−D, 0) + D·N1+(a·)·P_cont(b)) / c(a·)
+    *   P_cont(b) = N1+(·b) / N1+(··),  D = 3/4 (dyadic-exact)
+    * — continuation probability ranks a word by how many CONTEXTS it
+    * follows, not raw frequency, so boilerplate tokens glued to one
+    * template stop inflating fluency. All inputs are exact integer
+    * counts off ONE bigram aggregate; the formula is evaluated in the
+    * documented left-to-right order on both engines; ln under the
+    * libm-parity contract (q98), round-6 output.
+    *
+    * Scale shape: the cached bigram stream feeds the (a,b) count agg
+    * AND the per-doc join-back (q98's plan); N1+(a·)/c(a·) and
+    * N1+(·b) derive from the TYPE-sized (a,b) frame, never a second
+    * corpus pass; only the 1-row type total broadcasts. */
+  def knBigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                      discount: Double = 0.75): DataFrame = {
+    val bi = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("a"),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("b"))).as("__p"))
+      .select(col(idCol), col("__p.a").as("tok_a"), col("__p.b").as("tok_b"))
+      .cache()
+    val big = bi.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab")).cache()
+    val ctxA = big.groupBy("tok_a")
+      .agg(sum("c_ab").as("c_a"), count(lit(1)).as("n1_a"))
+    val leftB = big.groupBy("tok_b").agg(count(lit(1)).as("n1_b"))
+    val types = big.agg(count(lit(1)).as("__nt"))
+    val p = (greatest(col("c_ab").cast("double") - lit(discount), lit(0.0)) +
+      lit(discount) * col("n1_a").cast("double") * col("n1_b").cast("double") /
+        col("__nt").cast("double")) / col("c_a").cast("double")
+    CacheScope.scoped(
+      bi.join(big, Seq("tok_a", "tok_b"))
+        .join(ctxA, "tok_a")
+        .join(leftB, "tok_b")
+        .crossJoin(broadcast(types))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(log(p)) / count(lit(1)), 6).as("mean_kn_logprob")),
+      bi, big)
+  }
+
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bi = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))

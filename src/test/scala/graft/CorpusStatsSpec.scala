@@ -785,4 +785,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got("a") === (("a", 3L, 1L, 333333L, 666667L)))
     assert(got.size === 6) // full tiny vocab fits under topN
   }
+
+  test("knBigramLogProb: hand-computed KN probabilities on a 2-doc corpus") {
+    // corpus bigrams: doc1 "a b a c" → (a,b),(b,a),(a,c); doc2 "a b".
+    // big: (a,b)=2, (b,a)=1, (a,c)=1; ctx a: c=3, n1=2; ctx b: c=1,
+    // n1=1; left-contexts: each of b, a, c has n1_b=1; types nt=3.
+    //   P(b|a) = (1.25 + 0.75·2·1/3)/3 = 1.75/3
+    //   P(a|b) = (0.25 + 0.75·1·1/3)/1 = 0.5
+    //   P(c|a) = (0.25 + 0.75·2·1/3)/3 = 0.25
+    val docs = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    val got = CorpusStats.knBigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    spark.catalog.clearCache()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pba = (math.max(2.0 - 0.75, 0.0) + 0.75 * 2 * 1 / 3.0) / 3.0
+    val pab = (math.max(1.0 - 0.75, 0.0) + 0.75 * 1 * 1 / 3.0) / 1.0
+    val pca = (math.max(1.0 - 0.75, 0.0) + 0.75 * 2 * 1 / 3.0) / 3.0
+    assert(got === Seq(
+      (1L, 3L, r6((math.log(pba) + math.log(pab) + math.log(pca)) / 3)),
+      (2L, 1L, r6(math.log(pba)))))
+    // the repeated high-count bigram must outscore the hapax pair —
+    // the fluency ordering the score exists for
+    assert(got(1)._3 > got(0)._3)
+  }
 }
