@@ -1292,6 +1292,12 @@ object SparkEntry {
       Similarity.topPrincipalComponent(t(s, dir, "embeddings"), "embedding",
         dim = 64, iters = 8)),
 
+    // ── lead–lag cross-correlation: calendar-sized hour grid (zeros
+    //    count), exact DECIMAL Pearson statistics, |lags|-row result ──
+    "q172_lead_lag" -> ((s, dir) =>
+      operators.Profiling.leadLagCorrelation(t(s, dir, "events"),
+        "event_type", "ts", typeA = "view", typeB = "purchase", maxLag = 3)),
+
     // ── Kneser–Ney bigram fluency: q98's plan (cached bigram stream →
     //    (a,b) agg + join-back); continuation stats off the TYPE-sized
     //    frame; only the 1-row type total broadcasts ──
@@ -2441,6 +2447,45 @@ object SparkEntry {
     "q167_principal_spectrum" -> principalSpectrumSql,
     "q168_pca_residual" -> pcaResidualSql,
     "q169_label_pca_drift" -> labelAlignSql,
+    // Lead–lag: zero-filled hour grid; exact integer Pearson
+    // statistics (HUGEINT mirror of the engine's DECIMAL), doubles
+    // only in the final formula.
+    "q172_lead_lag" ->
+      """WITH h AS (
+           SELECT (epoch_us(ts) // 3600000000) AS hr, event_type AS ty FROM events
+         ), bounds AS (
+           SELECT min(hr) AS lo, max(hr) AS hi FROM h
+         ), grid AS (
+           SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                         (SELECT hi FROM bounds))) AS hr
+         ), xa AS (
+           SELECT hr, count(*) AS c FROM h WHERE ty = 'view' GROUP BY hr
+         ), xb AS (
+           SELECT hr, count(*) AS c FROM h WHERE ty = 'purchase' GROUP BY hr
+         ), series AS (
+           SELECT g.hr, COALESCE(xa.c, 0) AS x, COALESCE(xb.c, 0) AS y
+           FROM grid g LEFT JOIN xa USING (hr) LEFT JOIN xb USING (hr)
+         ), lags AS (
+           SELECT unnest(generate_series(-3, 3)) AS lag
+         ), s AS (
+           SELECT l.lag, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(CAST(a.x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(b.y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(a.x AS HUGEINT) * b.y) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(a.x AS HUGEINT) * a.x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(b.y AS HUGEINT) * b.y) AS DOUBLE) AS syy,
+             CAST(count(*) AS DOUBLE) AS n
+           FROM lags l
+           JOIN series a ON true
+           JOIN series b ON b.hr = a.hr + l.lag
+           GROUP BY l.lag
+         )
+         SELECT CAST(lag AS BIGINT) AS lag, n_buckets,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN round((n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+           END AS corr
+         FROM s""",
     // Interpolated Kneser–Ney: q98's bigram CTEs; continuation stats
     // from the (a,b) TYPE frame; formula left-to-right, D = 3/4,
     // DOUBLE-cast literals; ln under the libm-parity contract.

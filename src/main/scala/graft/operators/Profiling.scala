@@ -358,6 +358,69 @@ object Profiling {
     * integer-ratio rule: a new/active ratio CAN land on an exact
     * 6th-decimal tie, so no double rounding anywhere).
     */
+  /** Lead–lag cross-correlation between two event types' hourly
+    * activity: Pearson corr(x_t, y_{t+ℓ}) for ℓ ∈ [−maxLag, maxLag] —
+    * does activity of type A LEAD type B (peak at ℓ > 0), lag it, or
+    * co-move (peak at 0)? The funnel/causality screen a metrics
+    * pipeline runs before pairing signals.
+    *
+    * Empty hours COUNT as zeros (a correlation over only-active hours
+    * is biased toward bursts), so the series is materialized on the
+    * full [min, max] hour grid — a `sequence` explode of a 1-row
+    * broadcast bounds aggregate, never a driver loop. All Pearson
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT
+    * integers accumulated in DECIMAL(38,0) (hourly counts at 100 TB
+    * put Σxy past BIGINT — the q121 overflow rule); the only doubles
+    * are the final formula, evaluated in the same op order both
+    * engines (each statistic is < 2⁵³ after the cast at any plausible
+    * hourly rate, so the doubles are exact), round-6, NULL on a
+    * zero-variance side.
+    *
+    * Scale shape: one scan → two |hours|-sized count frames; the
+    * lag×grid pair frame is |lags|·|hours| rows — calendar-sized, not
+    * data-sized; one combinable shuffle to |lags| rows. */
+  def leadLagCorrelation(events: DataFrame, typeCol: String, tsCol: String,
+                         typeA: String, typeB: String,
+                         maxLag: Int = 3): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val dec = "decimal(38,0)"
+    val hr = intDiv(unix_micros(col(tsCol)), lit(3600000000L))
+    val h = events.select(hr.as("hr"), col(typeCol).as("ty")).cache()
+    val bounds = h.agg(min("hr").as("lo"), max("hr").as("hi"))
+    val grid = broadcast(bounds)
+      .select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+    def counts(t: String, out: String) = h.where(col("ty") === t)
+      .groupBy("hr").agg(count(lit(1)).as(out))
+    val series = grid
+      .join(counts(typeA, "__x"), Seq("hr"), "left")
+      .join(counts(typeB, "__y"), Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("__x"), lit(0L)).as("x"),
+        coalesce(col("__y"), lit(0L)).as("y"))
+      .cache()
+    val lagFrame = series.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").as("lag"))
+    val pairs = broadcast(lagFrame).crossJoin(series.select(col("hr"), col("x")))
+      .join(series.select(col("hr").as("hr_y"), col("y")),
+        col("hr_y") === col("hr") + col("lag"))
+    val s = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n_buckets"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val n = col("n_buckets").cast("double")
+    val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"),
+      col("sy").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"))
+    CacheScope.scoped(
+      s.select(col("lag"), col("n_buckets"),
+        when(n * sxx - sx * sx > 0 && n * syy - sy * sy > 0,
+          round((n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6))
+          .as("corr")),
+      h, series)
+  }
+
   def noveltyTimeline(events: DataFrame, userCol: String, tsCol: String,
                       typeCol: String): DataFrame = {
     import graft.expressions.HashExpressions.intDiv

@@ -155,6 +155,34 @@ class ProfilingSpec extends SparkSpec {
     assert(v(Seq(("x", "1"), ("y", "1")))._5 === None)
   }
 
+  test("leadLagCorrelation: planted +1h shift peaks at lag 1; zero variance yields NULL") {
+    val hourUs = 3600000000L
+    // A's hourly counts are the NON-linear pattern 1,3,2,5 over hours
+    // 0–3 (a ramp would be linear at every lag — Pearson is
+    // shift-invariant); B is the same pattern one hour later; 'flat'
+    // is constant (zero variance)
+    val pat = Seq(1, 3, 2, 5)
+    val evs = pat.zipWithIndex.flatMap { case (c, h) =>
+      (1 to c).map(_ => ("view", h.toLong * hourUs)) ++
+        (1 to c).map(_ => ("purchase", (h + 1).toLong * hourUs))
+    } ++ (0 to 4).flatMap(h => Seq(("flat", h.toLong * hourUs), ("flat", h.toLong * hourUs)))
+    val df = evs.toDF("event_type", "eus")
+      .select($"event_type", timestamp_micros($"eus").as("ts"))
+    val got = Profiling.leadLagCorrelation(df, "event_type", "ts",
+      "view", "purchase", maxLag = 2)
+      .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    spark.catalog.clearCache()
+    assert(got(1L)._3 === Some(1.0), s"shifted ramp must peak at +1: $got")
+    assert(got(-1L)._3.get < 1.0 && got(0L)._3.get < 1.0 && got(2L)._3.get < 1.0)
+    // n_buckets shrinks by |lag| off the 5-hour grid
+    assert(got(0L)._2 === 5L && got(1L)._2 === 4L && got(2L)._2 === 3L)
+    val flat = Profiling.leadLagCorrelation(df, "event_type", "ts",
+      "flat", "purchase", maxLag = 1)
+      .as[(Long, Long, Option[Double])].collect()
+    spark.catalog.clearCache()
+    assert(flat.forall(_._3.isEmpty), s"constant side must yield NULL: ${flat.toSeq}")
+  }
+
   test("noveltyTimeline: first-seen days, pair novelty outlives user novelty, exact micro shares") {
     val us = 86400000000L // one day of epoch micros
     // day 0: users 1,2 appear (type a). day 1: user 1 returns with a
