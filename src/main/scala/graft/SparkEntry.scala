@@ -1292,6 +1292,16 @@ object SparkEntry {
       Similarity.topPrincipalComponent(t(s, dir, "embeddings"), "embedding",
         dim = 64, iters = 8)),
 
+    // ── snapshot diff card: id-keyed FULL OUTER join of fingerprint
+    //    projections (text never joins) → |sources| rows; snapshots
+    //    simulated from the portable md5 bucket (old <90, new ≥10) ──
+    "q173_corpus_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val b = Sampling.md5Bucket("doc_id", 100)
+      operators.Curation.corpusDiffCard(
+        d.where(b < 90), d.where(b >= 10), "doc_id", "text", "source")
+    }),
+
     // ── lead–lag cross-correlation: calendar-sized hour grid (zeros
     //    count), exact DECIMAL Pearson statistics, |lags|-row result ──
     "q172_lead_lag" -> ((s, dir) =>
@@ -2447,6 +2457,37 @@ object SparkEntry {
     "q167_principal_spectrum" -> principalSpectrumSql,
     "q168_pca_residual" -> pcaResidualSql,
     "q169_label_pca_drift" -> labelAlignSql,
+    // Snapshot diff: q44's portable bucket carves old/new views; md5
+    // fingerprint equality (the q17 contract) classifies rows.
+    "q173_corpus_diff" ->
+      """WITH b AS (
+           SELECT doc_id, source, text,
+             CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS INT) AS bkt
+           FROM (SELECT doc_id, source, text,
+                   md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+         ), o AS (
+           SELECT doc_id, source, md5(text) AS h,
+             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS t
+           FROM b WHERE bkt < 90
+         ), n AS (
+           SELECT doc_id, source, md5(text) AS h,
+             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS t
+           FROM b WHERE bkt >= 10
+         ), j AS (
+           SELECT COALESCE(n.source, o.source) AS source,
+             o.h AS ho, n.h AS hn, o.t AS t_o, n.t AS t_n
+           FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         )
+         SELECT source,
+           CAST(count(*) FILTER (WHERE ho IS NULL) AS BIGINT) AS n_added,
+           CAST(count(*) FILTER (WHERE hn IS NULL) AS BIGINT) AS n_removed,
+           CAST(count(*) FILTER (WHERE ho IS NOT NULL AND hn IS NOT NULL AND ho <> hn) AS BIGINT) AS n_changed,
+           CAST(count(*) FILTER (WHERE ho = hn) AS BIGINT) AS n_stable,
+           CAST(COALESCE(sum(t_n) FILTER (WHERE ho IS NULL), 0) AS BIGINT) AS tok_added,
+           CAST(COALESCE(sum(t_o) FILTER (WHERE hn IS NULL), 0) AS BIGINT) AS tok_removed,
+           CAST(COALESCE(sum(COALESCE(t_n, 0)), 0) - COALESCE(sum(COALESCE(t_o, 0)), 0) AS BIGINT) AS tok_net
+         FROM j GROUP BY source""",
     // Lead–lag: zero-filled hour grid; exact integer Pearson
     // statistics (HUGEINT mirror of the engine's DECIMAL), doubles
     // only in the final formula.

@@ -198,4 +198,43 @@ object Curation {
       .withColumn("gap_micro",
         col("mean_score_micro") - col("keep_rate_micro"))
   }
+
+  /** Snapshot-diff data card: what changed between two corpus versions,
+    * per source — the release note every dataset version bump needs
+    * (and the guard against a silently shrinking or text-churning
+    * source). Rows are matched by id; content equality is the md5
+    * fingerprint (the q17 contract), so a re-crawled page with
+    * identical bytes is `stable`, not `changed`. Output per source:
+    * added/removed/changed/stable row counts, token mass entering
+    * (added) and leaving (removed), and the net token delta including
+    * in-place edits.
+    *
+    * Scale shape: one id-keyed FULL OUTER join of (id, source,
+    * fingerprint, token count) projections — fingerprints and counts
+    * computed on the scan, text itself never joins — then one
+    * |sources|-row combinable aggregate. */
+  def corpusDiffCard(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+                     textCol: String, srcCol: String): DataFrame = {
+    def prep(df: DataFrame, side: String) = df.select(
+      col(idCol).as("__id"),
+      col(srcCol).as(s"__src_$side"),
+      md5(col(textCol).cast("binary")).as(s"__h_$side"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as(s"__t_$side"))
+    val j = prep(oldDocs, "o")
+      .join(prep(newDocs, "n"), Seq("__id"), "full_outer")
+    val added = col("__h_o").isNull
+    val removed = col("__h_n").isNull
+    val changed = col("__h_o").isNotNull && col("__h_n").isNotNull &&
+      col("__h_o") =!= col("__h_n")
+    j.groupBy(coalesce(col("__src_n"), col("__src_o")).as("source"))
+      .agg(
+        sum(when(added, 1L).otherwise(0L)).as("n_added"),
+        sum(when(removed, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(changed, 1L).otherwise(0L)).as("n_changed"),
+        sum(when(!added && !removed && !changed, 1L).otherwise(0L)).as("n_stable"),
+        sum(when(added, col("__t_n")).otherwise(0L)).as("tok_added"),
+        sum(when(removed, col("__t_o")).otherwise(0L)).as("tok_removed"),
+        (sum(coalesce(col("__t_n"), lit(0L))) -
+          sum(coalesce(col("__t_o"), lit(0L)))).as("tok_net"))
+  }
 }

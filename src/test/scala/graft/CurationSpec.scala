@@ -86,4 +86,20 @@ class CurationSpec extends SparkSpec {
       assert(gap === mean - rate)
     }
   }
+
+  test("corpusDiffCard: added/removed/changed/stable classification with token deltas") {
+    import graft.operators.Curation
+    val old = Seq((1L, "a b", "s"), (2L, "x", "s"), (3L, "gone", "s"),
+      (10L, "other src row", "t")).toDF("doc_id", "text", "source")
+    val neu = Seq((1L, "a b", "s"), (2L, "x y z", "s"), (4L, "fresh doc", "s"),
+      (10L, "other src row", "t")).toDF("doc_id", "text", "source")
+    val got = Curation.corpusDiffCard(old, neu, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // source s: doc 1 stable, doc 2 changed (1→3 tokens), doc 3
+    // removed (1 token), doc 4 added (2 tokens); net = 7 − 4 = 3
+    assert(got("s") === (("s", 1L, 1L, 1L, 1L, 2L, 1L, 3L)))
+    // source t: untouched snapshot → all-stable, zero deltas
+    assert(got("t") === (("t", 0L, 0L, 0L, 1L, 0L, 0L, 0L)))
+  }
 }
