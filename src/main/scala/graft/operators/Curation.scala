@@ -215,17 +215,21 @@ object Curation {
     * |sources|-row combinable aggregate. */
   def corpusDiffCard(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
                      textCol: String, srcCol: String): DataFrame = {
+    // presence is a literal flag, NOT hash-null (a null-text row in one
+    // snapshot must read as changed/stable by id presence, never
+    // masquerade as added/removed); content compare is null-safe <=>
     def prep(df: DataFrame, side: String) = df.select(
       col(idCol).as("__id"),
+      lit(true).as(s"__p_$side"),
       col(srcCol).as(s"__src_$side"),
       md5(col(textCol).cast("binary")).as(s"__h_$side"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as(s"__t_$side"))
     val j = prep(oldDocs, "o")
       .join(prep(newDocs, "n"), Seq("__id"), "full_outer")
-    val added = col("__h_o").isNull
-    val removed = col("__h_n").isNull
-    val changed = col("__h_o").isNotNull && col("__h_n").isNotNull &&
-      col("__h_o") =!= col("__h_n")
+    val added = col("__p_o").isNull
+    val removed = col("__p_n").isNull
+    val changed = col("__p_o").isNotNull && col("__p_n").isNotNull &&
+      !(col("__h_o") <=> col("__h_n"))
     j.groupBy(coalesce(col("__src_n"), col("__src_o")).as("source"))
       .agg(
         sum(when(added, 1L).otherwise(0L)).as("n_added"),

@@ -231,7 +231,7 @@ object Sampling {
     val per = df
       .select(col(domainCol).as("domain"), lossCol.cast("long").as("__l"))
       .groupBy("domain")
-      .agg(count(lit(1)).as("n"), sum("__l").as("ls"))
+      .agg(count(lit(1)).as("n"), coalesce(sum("__l"), lit(0L)).as("ls"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)

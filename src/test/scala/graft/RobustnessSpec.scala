@@ -122,4 +122,63 @@ class RobustnessSpec extends SparkSpec {
     assert(CorpusStats.headTokenBias(empty, "text", 10, 10).count() === 0)
     spark.catalog.clearCache()
   }
+
+  test("round-9 batch-2 ops: empty corpus → empty result, null text absorbed, never throw") {
+    import graft.operators.{Curation, Layout, Profiling, Similarity}
+    val emptyEvents = Seq.empty[(Long, Long, String)]
+      .toDF("user_id", "eus", "event_type")
+      .select($"user_id", timestamp_micros($"eus").as("ts"), $"event_type")
+    // z-order tiles: empty in, empty out; a null ts groups under a
+    // null tile (pinned: fixtures carry no null ts — callers filter)
+    assert(Layout.zOrderTileStats(emptyEvents, "user_id", "ts").count() === 0)
+    val nullTs = Seq((1L, Some(1000000L)), (2L, None)).toDF("user_id", "eus")
+      .select($"user_id", timestamp_micros($"eus").as("ts"))
+    val tiles = Layout.zOrderTileStats(nullTs, "user_id", "ts")
+      .as[(Option[Long], Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(tiles.exists(_._1.isEmpty) && tiles.length === 2)
+    // novelty / lead-lag on an empty stream: empty, no sequence(null)
+    // explosion, no 0/0
+    assert(Profiling.noveltyTimeline(emptyEvents, "user_id", "ts", "event_type")
+      .count() === 0)
+    spark.catalog.clearCache()
+    assert(Profiling.leadLagCorrelation(emptyEvents, "event_type", "ts",
+      "a", "b").count() === 0)
+    spark.catalog.clearCache()
+    // dedup family: null text drops via size guards; empty corpus → empty
+    assert(Dedup.bbitMinhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .count() === 0)
+    spark.catalog.clearCache()
+    assert(Dedup.continuationChains(docs, "doc_id", "text").count() === 0)
+    spark.catalog.clearCache()
+    assert(CorpusStats.knBigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(_._1).toSet === Set(1L))
+    spark.catalog.clearCache()
+    // reweighting: empty → empty; all-null loss → zero L, frozen weights
+    assert(Sampling.domainReweightMW(empty, "source",
+      TextAnalysis.tokenCount(col("text"))).count() === 0)
+    val nullLoss = Seq(("a", null.asInstanceOf[String]),
+      ("b", null.asInstanceOf[String])).toDF("source", "text")
+    val frozen = Sampling.domainReweightMW(nullLoss, "source",
+      TextAnalysis.tokenCount(col("text")))
+      .as[(String, Long, Long, Double)].collect()
+    assert(frozen.forall(_._4 === 0.5))
+    // eigen family: empty corpus → empty frames, no head() explosion
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.topPrincipalComponent(emptyEmb, "embedding").count() === 0)
+    assert(Similarity.principalSpectrum(emptyEmb, "embedding").count() === 0)
+    assert(Similarity.pcaResidualOutliers(emptyEmb, "vec_id", "embedding")
+      .count() === 0)
+    assert(Similarity.labelPrincipalAlignment(emptyEmb, "label", "embedding")
+      .count() === 0)
+    // diff card: null text must classify by ID PRESENCE (changed /
+    // stable), never masquerade as added/removed
+    val o = Seq((1L, null.asInstanceOf[String], "s"), (2L, "x", "s"))
+      .toDF("doc_id", "text", "source")
+    val n = Seq((1L, "now real", "s"), (2L, "x", "s"))
+      .toDF("doc_id", "text", "source")
+    val card = Curation.corpusDiffCard(o, n, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(card === (("s", 0L, 0L, 1L, 1L, 0L, 0L, 2L)))
+  }
 }
