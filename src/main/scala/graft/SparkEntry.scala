@@ -1292,6 +1292,12 @@ object SparkEntry {
       Similarity.topPrincipalComponent(t(s, dir, "embeddings"), "embedding",
         dim = 64, iters = 8)),
 
+    // ── vocabulary richness: one (source, token) combinable shuffle;
+    //    Good–Turing unseen mass + bias-corrected Chao1 from the
+    //    type-sized frame, all-integer half-up forms ──
+    "q174_vocab_richness" -> ((s, dir) =>
+      CorpusStats.vocabRichness(t(s, dir, "documents"), "source", "text")),
+
     // ── snapshot diff card: id-keyed FULL OUTER join of fingerprint
     //    projections (text never joins) → |sources| rows; snapshots
     //    simulated from the portable md5 bucket (old <90, new ≥10) ──
@@ -2457,6 +2463,27 @@ object SparkEntry {
     "q167_principal_spectrum" -> principalSpectrumSql,
     "q168_pca_residual" -> pcaResidualSql,
     "q169_label_pca_drift" -> labelAlignSql,
+    // Vocabulary richness: exact type-frequency folds; unseen mass and
+    // Chao1 in all-integer half-up forms.
+    "q174_vocab_richness" ->
+      """WITH t AS (
+           SELECT source, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), tok AS (
+           SELECT source, unnest(toks) AS token FROM t
+         ), c AS (
+           SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+         ), s AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS n2
+           FROM c GROUP BY source
+         )
+         SELECT source, n_tokens, vocab, n1, n2,
+           CAST((2*n1*1000000 + n_tokens) // (2*n_tokens) AS BIGINT) AS unseen_ppm,
+           CAST(vocab + (2*n1*(n1-1) + 2*(n2+1)) // (4*(n2+1)) AS BIGINT) AS chao1
+         FROM s""",
     // Snapshot diff: q44's portable bucket carves old/new views; md5
     // fingerprint equality (the q17 contract) classifies rows.
     "q173_corpus_diff" ->

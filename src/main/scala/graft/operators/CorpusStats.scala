@@ -784,6 +784,38 @@ object CorpusStats {
     * (round(Σ/n, 6); libm parity).
     *
     * Output (docs with ≥ 2 tokens): (id, n_bigrams, mean_logprob). */
+  /** Vocabulary richness card per source: Good–Turing unseen mass
+    * (P₀ = n₁/N — the probability the NEXT token is a never-seen type;
+    * the "how much novel vocabulary is left to crawl" signal) and the
+    * bias-corrected Chao1 richness estimate
+    * (V + n₁(n₁−1)/(2(n₂+1)) — defined even when no doubletons exist)
+    * from exact type-frequency counts. Everything integer: unseen mass
+    * in half-up micro-units, Chao1 half-up to a whole type count —
+    * both operands non-negative (q82 rule).
+    *
+    * Scale shape: one tokenize → ONE (source, token) combinable count
+    * shuffle; all statistics then fold from the TYPE-sized frame —
+    * never a second corpus pass. */
+  def vocabRichness(docs: DataFrame, srcCol: String,
+                    textCol: String): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val counts = docs
+      .select(col(srcCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    counts.groupBy("source").agg(
+      sum("c").as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("n1"), col("n2"),
+        intDiv(lit(2L) * col("n1") * lit(1000000L) + col("n_tokens"),
+          lit(2L) * col("n_tokens")).as("unseen_ppm"),
+        (col("vocab") + intDiv(
+          lit(2L) * col("n1") * (col("n1") - 1) + lit(2L) * (col("n2") + 1),
+          lit(4L) * (col("n2") + 1))).as("chao1"))
+  }
+
   /** Interpolated Kneser–Ney bigram fluency score (Kneser & Ney 1995;
     * the standard upgrade of q98's add-one smoothing): per doc, mean
     * ln P_KN(b|a) with

@@ -264,6 +264,25 @@ object Dedup {
     Bucketing.writeBucketedMulti(banded, table, Seq("bucket"), buckets)
   }
 
+  /** Incremental index maintenance — the accept-time half of the
+    * ingest loop: an ACCEPTED batch (it already passed
+    * [[incrementalNearDup]]'s gate against this same index) is hashed
+    * once, banded, and APPENDED into the bucketed index table. Spark
+    * verifies the bucket spec matches the build-time layout, so every
+    * existing consumer keeps its guarantees untouched: the pair join
+    * stays exchange-free, probes keep pruning, the streaming gate
+    * keeps reading the same shape. `buckets` must equal the
+    * [[buildLshIndex]] value (Spark rejects a mismatched append). */
+  def appendToLshIndex(docs: DataFrame, idCol: String, textCol: String,
+                       table: String, shingleN: Int, numHashes: Int,
+                       bands: Int, buckets: Int = 32): Unit = {
+    val sig = minHashSignatures(docs, idCol, textCol, shingleN, numHashes)
+    val banded = bandedBuckets(sig, idCol, numHashes, bands)
+    banded.write.mode("append").format("parquet")
+      .bucketBy(buckets, "bucket").sortBy("bucket")
+      .saveAsTable(table)
+  }
+
   /** The persisted index in `StreamingDedup.flagNearDups`' static-side
     * shape: (band, bucket, corpus_id, corpus_sig). */
   def loadLshIndex(spark: org.apache.spark.sql.SparkSession, table: String,

@@ -809,4 +809,17 @@ class CorpusStatsSpec extends SparkSpec {
     // the fluency ordering the score exists for
     assert(got(1)._3 > got(0)._3)
   }
+
+  test("vocabRichness: hand-computed Good-Turing mass and bias-corrected Chao1") {
+    // source s: tokens a a a b b c d → N=7, V=4, n1=2 (c,d), n2=1 (b).
+    // unseen = 2/7 → 285714 micro; chao1 = 4 + 2·1/(2·2) = 4.5 → 5.
+    // source z: all-distinct "p q r" → n1=3, n2=0, chao1 = 3 + 3·2/2 = 6.
+    val docs = Seq(("s", "a a a b b c d"), ("z", "p q r"))
+      .toDF("source", "text")
+    val got = CorpusStats.vocabRichness(docs, "source", "text")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s") === (("s", 7L, 4L, 2L, 1L, 285714L, 5L)))
+    assert(got("z") === (("z", 3L, 3L, 3L, 0L, 1000000L, 6L)))
+  }
 }

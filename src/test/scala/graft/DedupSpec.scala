@@ -820,6 +820,35 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_spec")
   }
 
+  test("appendToLshIndex: incremental append ≡ full rebuild; consumers keep their shapes") {
+    val fixtures = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Dedup.buildLshIndex(fixtures.where($"doc_id" >= 25), "doc_id", "text",
+      "lsh_idx_incr", shingleN = 3, numHashes = 64, bands = 16)
+    try {
+      Dedup.appendToLshIndex(fixtures.where($"doc_id" < 25), "doc_id", "text",
+        "lsh_idx_incr", shingleN = 3, numHashes = 64, bands = 16)
+      val direct = Dedup.minHashLshPairs(fixtures, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      spark.catalog.clearCache()
+      val indexed = Dedup.lshPairsIndexed(spark, "lsh_idx_incr", "doc_id",
+        numHashes = 64, minJaccard = 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(direct.nonEmpty && indexed === direct,
+        "appended index must reproduce the full-rebuild pair set")
+      // probing an APPENDED doc still bucket-prunes and still hits
+      val probeId = direct.map(p => math.min(p._1, p._2)).filter(_ < 25)
+      if (probeId.nonEmpty) {
+        val hits = Dedup.lshProbeIndexed(spark, "lsh_idx_incr",
+          fixtures.where($"doc_id" === probeId.head), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+        assert(hits.queryExecution.executedPlan.toString()
+          .contains("SelectedBucketsCount"))
+        assert(hits.count() > 0)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_incr")
+  }
+
   test("continuationChains: planted chain edges, self-loop excluded, boilerplate fanout capped") {
     val a = "alpha beta start mid one x y z"
     val b = "x y z continue two p q r"
