@@ -1292,6 +1292,22 @@ object SparkEntry {
       Similarity.topPrincipalComponent(t(s, dir, "embeddings"), "embedding",
         dim = 64, iters = 8)),
 
+    // ── PageRank over the near-dup graph: 8 synchronous id-keyed
+    //    join+sum iterations, lineage checkpoint-truncated per round;
+    //    damping makes cross-engine slack decay ──
+    "q175_dup_pagerank" -> ((s, dir) =>
+      operators.Graph.pageRank(
+        Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8))),
+
+    // ── triangle census: a<b<c oriented two-hop join (hub expansion
+    //    bounded by higher-id neighbors) + edge semi-join; all-integer
+    //    transitivity ──
+    "q176_dup_triangles" -> ((s, dir) =>
+      operators.Graph.triangleStats(
+        Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8))),
+
     // ── vocabulary richness: one (source, token) combinable shuffle;
     //    Good–Turing unseen mass + bias-corrected Chao1 from the
     //    type-sized frame, all-integer half-up forms ──
@@ -1729,6 +1745,67 @@ object SparkEntry {
            residual
          FROM res ORDER BY residual DESC, vec_id LIMIT 50"""
   }
+
+  /** DuckDB replay of `Graph.pageRank` over the q19 pair graph
+    * (q175): the minhash pair CTEs, symmetric-distinct edges, then 8
+    * unrolled MATERIALIZED PR steps mirroring the engine's
+    * base + d·Σ pr/deg op order. */
+  private def dupPageRankSql: String = {
+    val iters = (1 to 8).map { t =>
+      val p = s"pr${t - 1}"
+      s"""pr$t AS MATERIALIZED (
+           SELECT ed.dst AS id,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) * sum(p.pr / deg.deg) AS pr
+           FROM ed JOIN deg ON deg.src = ed.src JOIN $p p ON p.id = ed.src
+           GROUP BY ed.dst
+         )"""
+    }.mkString(", ")
+    s"""WITH pairs AS MATERIALIZED (
+           SELECT id_a, id_b FROM ($minhashPairsSql)
+         ), ed AS MATERIALIZED (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM pairs
+         ), deg AS MATERIALIZED (
+           SELECT src, count(*) AS deg FROM ed GROUP BY src
+         ), nn AS MATERIALIZED (
+           SELECT CAST(count(*) AS DOUBLE) AS n FROM deg
+         ), pr0 AS MATERIALIZED (
+           SELECT src AS id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
+           FROM deg
+         ), $iters
+         SELECT id AS doc_id, round(pr, 6) AS pagerank FROM pr8"""
+  }
+
+  /** DuckDB replay of `Graph.triangleStats` over the q19 pair graph
+    * (q176): canonical a<b<c two-hop + closing-edge join; all-integer
+    * census, half-up micro transitivity. */
+  private def dupTrianglesSql: String =
+    s"""WITH pairs AS MATERIALIZED (
+           SELECT id_a, id_b FROM ($minhashPairsSql)
+         ), canon AS MATERIALIZED (
+           SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+           FROM pairs WHERE id_a <> id_b GROUP BY 1, 2
+         ), tri AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           FROM canon e1
+           JOIN canon e2 ON e1.v = e2.u
+           JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v
+         ), deg AS (
+           SELECT id, count(*) AS deg
+           FROM (SELECT u AS id FROM canon UNION ALL SELECT v AS id FROM canon)
+           GROUP BY id
+         ), s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_triads
+           FROM deg
+         )
+         SELECT n_nodes, n_triangles, n_triads,
+           CAST(CASE WHEN n_triads > 0
+             THEN (6 * n_triangles * 1000000 + n_triads) // (2 * n_triads)
+           END AS BIGINT) AS transitivity_micro
+         FROM tri, s"""
 
   /** DuckDB replay of `Similarity.labelPrincipalAlignment` (q169):
     * per-label covariance keyed by label so ALL labels power-iterate
@@ -2463,6 +2540,8 @@ object SparkEntry {
     "q167_principal_spectrum" -> principalSpectrumSql,
     "q168_pca_residual" -> pcaResidualSql,
     "q169_label_pca_drift" -> labelAlignSql,
+    "q175_dup_pagerank" -> dupPageRankSql,
+    "q176_dup_triangles" -> dupTrianglesSql,
     // Vocabulary richness: exact type-frequency folds; unseen mass and
     // Chao1 in all-integer half-up forms.
     "q174_vocab_richness" ->

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed analytics over the sparse document graphs the dedup
+  * family produces (near-dup pairs, continuation edges): which docs
+  * sit at the CENTER of duplication mass, and how clique-like the
+  * duplication neighborhoods are. Complements connected components
+  * (q47/q68 — "which cluster") with "how important inside the
+  * cluster" (PageRank) and "how dense" (transitivity).
+  *
+  * Both operators consume an (id_a, id_b) pair list and never touch
+  * text: at 100 TB the edge list is orders of magnitude smaller than
+  * the corpus, and every step below is an id-keyed equi-join or a
+  * combinable aggregate over it.
+  */
+object Graph {
+
+  /** PageRank over the UNDIRECTED pair graph, restricted to nodes
+    * with ≥ 1 edge (a dup-pair node always has one; no dangling-mass
+    * term needed). DEFINED as exactly `iters` synchronous iterations
+    * from the uniform vector — the q166 fixed-op-sequence contract:
+    *   pr ← (1−d)/n + d·Σ_{j∼i} pr_j/deg_j
+    * evaluated in that order on both engines (d is the same double
+    * literal; the damping makes the map a contraction, so the ~1e-16
+    * cross-engine sum-order slack DECAYS instead of compounding;
+    * round-6 output). Per-round lineage is localCheckpoint-truncated —
+    * the connectedComponents rule: an 8-deep join lineage otherwise
+    * replans and re-executes per action.
+    *
+    * Scale shape: per iteration ONE id-keyed join of (edges ⋈ ranks)
+    * and one combinable sum — the textbook distributed PR step; state
+    * is |nodes| rows, never collected. */
+  def pageRank(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               damping: Double = 0.85, iters: Int = 8): DataFrame = {
+    val ed = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .cache()
+    val deg = ed.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val n1 = deg.count() // also materializes ed+deg
+    if (n1 == 0) {
+      ed.unpersist(); deg.unpersist()
+      return pairs.sparkSession.range(0)
+        .select(col("id").as("doc_id"), lit(0.0).as("pagerank"))
+    }
+    val base = (1.0 - damping) / n1
+    var pr = deg.select(col("src").as("id"), (lit(1.0) / n1).as("pr"))
+    var it = 0
+    while (it < iters) {
+      pr = ed
+        .join(deg, "src")
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg((lit(base) + lit(damping) * sum(col("pr") / col("deg"))).as("pr"))
+        .localCheckpoint(false)
+      it += 1
+    }
+    val out = pr.select(col("id").as("doc_id"), round(col("pr"), 6).as("pagerank"))
+    CacheScope.scoped(out, ed, deg)
+  }
+
+  /** Triangle census of the undirected pair graph — ALL-INTEGER, so
+    * the result is exact on any engine: triangle count via the
+    * canonical a<b<c two-hop join (each triangle counted once),
+    * per-node degrees, open-triad count Σ deg·(deg−1)/2, and global
+    * transitivity 3·triangles/triads in half-up micro-units. High
+    * transitivity = duplication arrives in closed cliques (mirror
+    * farms); low = chain-like (incremental edits).
+    *
+    * Scale shape: the two-hop join is driven by the a<b<c orientation
+    * (each edge expands only toward HIGHER ids — the standard
+    * skew-bounding trick: a hub's expansion is capped by its
+    * higher-id neighbors, not its full degree), then one edge-keyed
+    * semi-join closes the wedge. Output is ONE row. */
+  def triangleStats(pairs: DataFrame, idA: String = "id_a",
+                    idB: String = "id_b"): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    val spark = pairs.sparkSession
+    val canon = pairs.select(
+      least(col(idA), col(idB)).as("u"), greatest(col(idA), col(idB)).as("v"))
+      .where(col("u") =!= col("v")).distinct().cache()
+    val wedges = canon.as("e1")
+      .join(canon.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val tri = wedges
+      .join(canon.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = canon.select(col("u").as("id"))
+      .union(canon.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val triads = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(intDiv(col("deg") * (col("deg") - 1), lit(2L))).as("n_triads"))
+    CacheScope.scoped(
+      tri.crossJoin(broadcast(triads))
+        .select(col("n_nodes"), col("n_triangles"),
+          coalesce(col("n_triads"), lit(0L)).as("n_triads"),
+          when(col("n_triads") > 0,
+            intDiv(lit(6L) * col("n_triangles") * lit(1000000L) + col("n_triads"),
+              lit(2L) * col("n_triads"))).as("transitivity_micro")),
+      canon)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: star centers outrank leaves; clique is uniform; mass conserved") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val pr = Graph.pageRank(star).as[(Long, Double)].collect().toMap
+    spark.catalog.clearCache()
+    assert(pr.size === 4)
+    assert(pr(0L) > pr(1L), s"hub must outrank leaves: $pr")
+    assert(pr(1L) === pr(2L) && pr(2L) === pr(3L))
+    // undirected + no dangling nodes → total mass stays 1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-4, pr.toString)
+    // 4-clique: symmetry pins every rank at exactly 1/4
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b))
+      .toDF("id_a", "id_b")
+    val prK = Graph.pageRank(k4).as[(Long, Double)].collect()
+    spark.catalog.clearCache()
+    assert(prK.length === 4 && prK.forall(_._2 === 0.25), prK.toSeq.toString)
+  }
+
+  test("triangleStats: clique transitivity 1, path 0, duplicate/reversed pairs collapse") {
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b))
+      .toDF("id_a", "id_b")
+    val s1 = Graph.triangleStats(k4).as[(Long, Long, Long, Option[Long])]
+      .collect().head
+    spark.catalog.clearCache()
+    // C(4,3)=4 triangles; triads Σ 3·2/2 = 12; 3·4/12 = 1
+    assert(s1 === ((4L, 4L, 12L, Some(1000000L))))
+    // path a-b-c (with a reversed duplicate edge): one open triad, no
+    // triangle
+    val path = Seq((1L, 2L), (2L, 3L), (2L, 1L)).toDF("id_a", "id_b")
+    val s2 = Graph.triangleStats(path).as[(Long, Long, Long, Option[Long])]
+      .collect().head
+    spark.catalog.clearCache()
+    assert(s2 === ((3L, 0L, 1L, Some(0L))))
+  }
+}
