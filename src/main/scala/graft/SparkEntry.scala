@@ -1308,6 +1308,13 @@ object SparkEntry {
         Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8))),
 
+    // ── bounded 2-core peel: per round a degree agg + two edge
+    //    semi-joins; mirror-farm cores survive, edit chains peel ──
+    "q177_dup_kcore" -> ((s, dir) =>
+      operators.Graph.kCore(
+        Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8))),
+
     // ── vocabulary richness: one (source, token) combinable shuffle;
     //    Good–Turing unseen mass + bias-corrected Chao1 from the
     //    type-sized frame, all-integer half-up forms ──
@@ -1806,6 +1813,33 @@ object SparkEntry {
              THEN (6 * n_triangles * 1000000 + n_triads) // (2 * n_triads)
            END AS BIGINT) AS transitivity_micro
          FROM tri, s"""
+
+  /** DuckDB replay of `Graph.kCore` over the q19 pair graph (q177):
+    * 8 unrolled peel rounds (degree CTE → keep CTE → edge filter). */
+  private def dupKcoreSql: String = {
+    val rounds = (1 to 8).map { r =>
+      val p = s"e${r - 1}"
+      s"""d$r AS MATERIALIZED (
+           SELECT id, count(*) AS deg
+           FROM (SELECT u AS id FROM $p UNION ALL SELECT v AS id FROM $p)
+           GROUP BY id
+         ), k$r AS MATERIALIZED (
+           SELECT id FROM d$r WHERE deg >= 2
+         ), e$r AS MATERIALIZED (
+           SELECT u, v FROM $p
+           WHERE u IN (SELECT id FROM k$r) AND v IN (SELECT id FROM k$r)
+         )"""
+    }.mkString(", ")
+    s"""WITH pairs AS MATERIALIZED (
+           SELECT id_a, id_b FROM ($minhashPairsSql)
+         ), e0 AS MATERIALIZED (
+           SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+           FROM pairs WHERE id_a <> id_b GROUP BY 1, 2
+         ), $rounds
+         SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+         FROM (SELECT u AS id FROM e8 UNION ALL SELECT v AS id FROM e8)
+         GROUP BY id"""
+  }
 
   /** DuckDB replay of `Similarity.labelPrincipalAlignment` (q169):
     * per-label covariance keyed by label so ALL labels power-iterate
@@ -2542,6 +2576,7 @@ object SparkEntry {
     "q169_label_pca_drift" -> labelAlignSql,
     "q175_dup_pagerank" -> dupPageRankSql,
     "q176_dup_triangles" -> dupTrianglesSql,
+    "q177_dup_kcore" -> dupKcoreSql,
     // Vocabulary richness: exact type-frequency folds; unseen mass and
     // Chao1 in all-integer half-up forms.
     "q174_vocab_richness" ->

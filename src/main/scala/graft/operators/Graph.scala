@@ -61,6 +61,43 @@ object Graph {
     CacheScope.scoped(out, ed, deg)
   }
 
+  /** Bounded k-core peel of the undirected pair graph: `rounds`
+    * synchronous iterations of (compute degrees, drop nodes with
+    * deg < k, drop their edges) — the dense-core extractor that
+    * separates mirror-farm duplication (survives a 2-core easily)
+    * from chain-like incremental edits (peels away). DEFINED as the
+    * fixed-round peel (the q166 contract): most graphs reach the
+    * fixpoint in a handful of rounds; a pathological long peel chain
+    * is truncated identically on both engines. All-integer.
+    * Output: surviving nodes with their degree in the final subgraph.
+    *
+    * Scale shape: per round one combinable degree aggregate + two
+    * id-keyed semi-joins on the EDGE list; per-round localCheckpoint
+    * (the CC lineage rule). */
+  def kCore(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+            k: Int = 2, rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var edges = pairs.select(
+      least(col(idA), col(idB)).as("u"), greatest(col(idA), col(idB)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(false)
+    var r = 0
+    while (r < rounds) {
+      val deg = edges.select(col("u").as("id"))
+        .union(edges.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("id")
+      edges = edges
+        .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(false)
+      r += 1
+    }
+    edges.select(col("u").as("id")).union(edges.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+      .select(col("id").as("doc_id"), col("core_deg"))
+  }
+
   /** Triangle census of the undirected pair graph — ALL-INTEGER, so
     * the result is exact on any engine: triangle count via the
     * canonical a<b<c two-hop join (each triangle counted once),

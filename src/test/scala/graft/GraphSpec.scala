@@ -38,4 +38,23 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(s2 === ((3L, 0L, 1L, Some(0L))))
   }
+
+  test("kCore: triangle with a pendant chain peels to the triangle; empty graph peels to nothing") {
+    // triangle 1-2-3 plus chain 3-4-5: the chain needs TWO peel rounds
+    // (5 drops, then 4), the triangle survives with degree 2
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val core = Graph.kCore(g, k = 2).as[(Long, Long)].collect().toSet
+    assert(core === Set((1L, 2L), (2L, 2L), (3L, 2L)))
+    // a pure chain 2-core peels to empty (from both ends inward)
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(Graph.kCore(chain, k = 2).count() === 0)
+    // empty input: empty result on every operator, no exceptions
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Graph.kCore(none).count() === 0)
+    assert(Graph.pageRank(none).count() === 0)
+    val t = Graph.triangleStats(none)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(t._1 === 0L && t._2 === 0L && t._4.isEmpty)
+  }
 }
