@@ -1308,6 +1308,18 @@ object SparkEntry {
         Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8))),
 
+    // ── per-doc graph manifest: ONE cached pair list feeds component
+    //    label, degree, 2-core and PageRank — the graph family's q102;
+    //    the labeling frame is passed in, never recomputed ──
+    "q178_graph_manifest" -> ((s, dir) => {
+      val pairs = Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id",
+        "text", shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+        .cache()
+      val out = operators.Graph.manifest(pairs,
+        Dedup.connectedComponentsStar(pairs))
+      operators.CacheScope.scoped(out, pairs)
+    }),
+
     // ── bounded 2-core peel: per round a degree agg + two edge
     //    semi-joins; mirror-farm cores survive, edit chains peel ──
     "q177_dup_kcore" -> ((s, dir) =>
@@ -1757,7 +1769,10 @@ object SparkEntry {
     * (q175): the minhash pair CTEs, symmetric-distinct edges, then 8
     * unrolled MATERIALIZED PR steps mirroring the engine's
     * base + d·Σ pr/deg op order. */
-  private def dupPageRankSql: String = {
+  /** PR CTE chain (references a `pairs` CTE): ed, deg, nn, pr0..pr8 —
+    * ONE copy of the edge/degree/iteration SQL shared by q175 and the
+    * q178 manifest. */
+  private def pageRankCtes: String = {
     val iters = (1 to 8).map { t =>
       val p = s"pr${t - 1}"
       s"""pr$t AS MATERIALIZED (
@@ -1768,12 +1783,10 @@ object SparkEntry {
            GROUP BY ed.dst
          )"""
     }.mkString(", ")
-    s"""WITH pairs AS MATERIALIZED (
-           SELECT id_a, id_b FROM ($minhashPairsSql)
-         ), ed AS MATERIALIZED (
-           SELECT id_a AS src, id_b AS dst FROM pairs
+    s"""ed AS MATERIALIZED (
+           SELECT id_a AS src, id_b AS dst FROM gpairs
            UNION
-           SELECT id_b AS src, id_a AS dst FROM pairs
+           SELECT id_b AS src, id_a AS dst FROM gpairs
          ), deg AS MATERIALIZED (
            SELECT src, count(*) AS deg FROM ed GROUP BY src
          ), nn AS MATERIALIZED (
@@ -1781,9 +1794,14 @@ object SparkEntry {
          ), pr0 AS MATERIALIZED (
            SELECT src AS id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
            FROM deg
-         ), $iters
-         SELECT id AS doc_id, round(pr, 6) AS pagerank FROM pr8"""
+         ), $iters"""
   }
+
+  private def dupPageRankSql: String =
+    s"""WITH gpairs AS MATERIALIZED (
+           SELECT id_a, id_b FROM ($minhashPairsSql)
+         ), $pageRankCtes
+         SELECT id AS doc_id, round(pr, 6) AS pagerank FROM pr8"""
 
   /** DuckDB replay of `Graph.triangleStats` over the q19 pair graph
     * (q176): canonical a<b<c two-hop + closing-edge join; all-integer
@@ -1816,7 +1834,9 @@ object SparkEntry {
 
   /** DuckDB replay of `Graph.kCore` over the q19 pair graph (q177):
     * 8 unrolled peel rounds (degree CTE → keep CTE → edge filter). */
-  private def dupKcoreSql: String = {
+  /** k-core CTE chain (references a `pairs` CTE): e0..e8 — shared by
+    * q177 and the q178 manifest. */
+  private def kcoreCtes: String = {
     val rounds = (1 to 8).map { r =>
       val p = s"e${r - 1}"
       s"""d$r AS MATERIALIZED (
@@ -1830,16 +1850,42 @@ object SparkEntry {
            WHERE u IN (SELECT id FROM k$r) AND v IN (SELECT id FROM k$r)
          )"""
     }.mkString(", ")
-    s"""WITH pairs AS MATERIALIZED (
-           SELECT id_a, id_b FROM ($minhashPairsSql)
-         ), e0 AS MATERIALIZED (
+    s"""e0 AS MATERIALIZED (
            SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
-           FROM pairs WHERE id_a <> id_b GROUP BY 1, 2
-         ), $rounds
+           FROM gpairs WHERE id_a <> id_b GROUP BY 1, 2
+         ), $rounds"""
+  }
+
+  private def dupKcoreSql: String =
+    s"""WITH gpairs AS MATERIALIZED (
+           SELECT id_a, id_b FROM ($minhashPairsSql)
+         ), $kcoreCtes
          SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
          FROM (SELECT u AS id FROM e8 UNION ALL SELECT v AS id FROM e8)
          GROUP BY id"""
-  }
+
+  /** DuckDB replay of `Graph.manifest` (q178): ONE `pairs` CTE feeds
+    * the shared PR and k-core chains plus the degree frame; the
+    * component labeling is componentsSql VERBATIM (the q102 rule: one
+    * copy of each sub-oracle's formulas). */
+  private def graphManifestSql: String =
+    s"""WITH gpairs AS MATERIALIZED (
+           SELECT id_a, id_b FROM ($minhashPairsSql)
+         ), $pageRankCtes, $kcoreCtes, core AS MATERIALIZED (
+           SELECT id, CAST(count(*) AS BIGINT) AS core_deg
+           FROM (SELECT u AS id FROM e8 UNION ALL SELECT v AS id FROM e8)
+           GROUP BY id
+         ), comp AS MATERIALIZED (
+           SELECT doc_id, cluster_id, cluster_size FROM ($componentsSql)
+         )
+         SELECT deg.src AS doc_id, comp.cluster_id, comp.cluster_size,
+           CAST(deg.deg AS BIGINT) AS degree,
+           COALESCE(core.core_deg, 0) AS core_deg,
+           round(pr8.pr, 6) AS pagerank
+         FROM deg
+         JOIN comp ON comp.doc_id = deg.src
+         JOIN pr8 ON pr8.id = deg.src
+         LEFT JOIN core ON core.id = deg.src"""
 
   /** DuckDB replay of `Similarity.labelPrincipalAlignment` (q169):
     * per-label covariance keyed by label so ALL labels power-iterate
@@ -2577,6 +2623,7 @@ object SparkEntry {
     "q175_dup_pagerank" -> dupPageRankSql,
     "q176_dup_triangles" -> dupTrianglesSql,
     "q177_dup_kcore" -> dupKcoreSql,
+    "q178_graph_manifest" -> graphManifestSql,
     // Vocabulary richness: exact type-frequency folds; unseen mass and
     // Chao1 in all-integer half-up forms.
     "q174_vocab_richness" ->

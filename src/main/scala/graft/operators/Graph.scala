@@ -98,6 +98,32 @@ object Graph {
       .select(col("id").as("doc_id"), col("core_deg"))
   }
 
+  /** Per-doc graph manifest — the composite "who is this doc in the
+    * duplication graph" card (the q102-manifest idea applied to the
+    * graph family): component label + size, degree, bounded-2-core
+    * degree (0 = peeled: chain-like), PageRank — every column derived
+    * from ONE pair list the caller builds (and should cache) once.
+    * `components` is the caller's labeling frame (doc_id, cluster_id,
+    * cluster_size) — passed in, not recomputed, so the manifest can
+    * never disagree with the labeling the dedup pass actually used. */
+  def manifest(pairs: DataFrame, components: DataFrame): DataFrame = {
+    val ed = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    val deg = ed.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("degree"))
+    val pr = pageRank(pairs)
+    val core = kCore(pairs)
+      .select(col("doc_id"), col("core_deg"))
+    deg
+      .join(components, "doc_id")
+      .join(pr, "doc_id")
+      .join(core, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("degree"), coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+        col("pagerank"))
+  }
+
   /** Triangle census of the undirected pair graph — ALL-INTEGER, so
     * the result is exact on any engine: triangle count via the
     * canonical a<b<c two-hop join (each triangle counted once),

@@ -57,4 +57,26 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Option[Long])].collect().head
     assert(t._1 === 0L && t._2 === 0L && t._4.isEmpty)
   }
+
+  test("manifest: columns replay the standalone operators; peeled nodes read core_deg 0") {
+    import graft.operators.Dedup
+    // triangle {1,2,3} + pendant 4, plus a separate pair {10,11}
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b").cache()
+    val m = Graph.manifest(g, Dedup.connectedComponentsStar(g))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val pr = Graph.pageRank(g).as[(Long, Double)].collect().toMap
+    val core = Graph.kCore(g).as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    assert(m.keySet === Set(1L, 2L, 3L, 4L, 10L, 11L))
+    m.values.foreach { case (id, clu, cluN, deg, coreDeg, rank) =>
+      assert(rank === pr(id), s"manifest pagerank must replay q175 for $id")
+      assert(coreDeg === core.getOrElse(id, 0L))
+    }
+    assert(m(3L)._4 === 3L && m(4L)._4 === 1L) // degrees
+    assert(m(4L)._5 === 0L && m(10L)._5 === 0L) // peeled / pair: no 2-core
+    assert(m(1L)._2 === 1L && m(1L)._3 === 4L) // component min-label + size
+    assert(m(10L)._2 === 10L && m(10L)._3 === 2L)
+  }
 }
