@@ -2663,17 +2663,22 @@ object SparkEntry {
              CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS t
            FROM b WHERE bkt >= 10
          ), j AS (
+           -- presence = the row's OWN id (the engine's literal flag):
+           -- a null-text row must classify changed/stable by presence,
+           -- never masquerade as added/removed; stable compares
+           -- null-safe (IS NOT DISTINCT FROM), mirroring the <=>
            SELECT COALESCE(n.source, o.source) AS source,
+             o.doc_id AS oid, n.doc_id AS nid,
              o.h AS ho, n.h AS hn, o.t AS t_o, n.t AS t_n
            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
          )
          SELECT source,
-           CAST(count(*) FILTER (WHERE ho IS NULL) AS BIGINT) AS n_added,
-           CAST(count(*) FILTER (WHERE hn IS NULL) AS BIGINT) AS n_removed,
-           CAST(count(*) FILTER (WHERE ho IS NOT NULL AND hn IS NOT NULL AND ho <> hn) AS BIGINT) AS n_changed,
-           CAST(count(*) FILTER (WHERE ho = hn) AS BIGINT) AS n_stable,
-           CAST(COALESCE(sum(t_n) FILTER (WHERE ho IS NULL), 0) AS BIGINT) AS tok_added,
-           CAST(COALESCE(sum(t_o) FILTER (WHERE hn IS NULL), 0) AS BIGINT) AS tok_removed,
+           CAST(count(*) FILTER (WHERE oid IS NULL) AS BIGINT) AS n_added,
+           CAST(count(*) FILTER (WHERE nid IS NULL) AS BIGINT) AS n_removed,
+           CAST(count(*) FILTER (WHERE oid IS NOT NULL AND nid IS NOT NULL AND ho IS DISTINCT FROM hn) AS BIGINT) AS n_changed,
+           CAST(count(*) FILTER (WHERE oid IS NOT NULL AND nid IS NOT NULL AND ho IS NOT DISTINCT FROM hn) AS BIGINT) AS n_stable,
+           CAST(COALESCE(sum(t_n) FILTER (WHERE oid IS NULL), 0) AS BIGINT) AS tok_added,
+           CAST(COALESCE(sum(t_o) FILTER (WHERE nid IS NULL), 0) AS BIGINT) AS tok_removed,
            CAST(COALESCE(sum(COALESCE(t_n, 0)), 0) - COALESCE(sum(COALESCE(t_o, 0)), 0) AS BIGINT) AS tok_net
          FROM j GROUP BY source""",
     // Lead–lag: zero-filled hour grid; exact integer Pearson

@@ -161,16 +161,25 @@ object Dedup {
   private[graft] val lshPairsInvocations =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Exact-band LSH candidate pairs (id_a < id_b, distinct) from a
+    * signature frame — the ONE copy of the band-bucket self-join that
+    * [[minHashLshPairs]] and [[bbitMinhashPairs]] share (a cap or skew
+    * fix applied here reaches every banded-candidate consumer). */
+  private def lshCandidatePairs(sig: DataFrame, idCol: String,
+                                numHashes: Int, bands: Int): DataFrame = {
+    val banded = bandedBuckets(sig, idCol, numHashes, bands)
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numHashes: Int, bands: Int,
                       minJaccard: Double): DataFrame = {
     lshPairsInvocations.incrementAndGet()
     val sig = minHashSignatures(docs, idCol, textCol, shingleN, numHashes).cache()
-    val banded = bandedBuckets(sig, idCol, numHashes, bands)
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    val cand = l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cand = lshCandidatePairs(sig, idCol, numHashes, bands)
     // per-pair verify runs once per candidate — at scale this is the hot
     // loop, so it's the codegen SignatureAgreement kernel, not an
     // interpreted zip_with/filter HOF (CLAUDE.md rule)
@@ -207,11 +216,7 @@ object Dedup {
     val sig = minHashSignatures(docs, idCol, textCol, shingleN, numHashes).cache()
     val packed = sig.withColumn("pack",
       graft.expressions.HashExpressions.packLowBits(col("sig")))
-    val banded = bandedBuckets(sig, idCol, numHashes, bands)
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    val cand = l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cand = lshCandidatePairs(sig, idCol, numHashes, bands)
     val est = cand
       .join(packed.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
         col("pack").as("pack_a")), "id_a")

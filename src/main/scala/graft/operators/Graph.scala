@@ -34,17 +34,34 @@ object Graph {
     * is |nodes| rows, never collected. */
   def pageRank(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                damping: Double = 0.85, iters: Int = 8): DataFrame = {
-    val ed = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .cache()
+    val ed = symmetricEdges(canonEdges(pairs, idA, idB)).cache()
     val deg = ed.groupBy("src").agg(count(lit(1)).as("deg")).cache()
-    val n1 = deg.count() // also materializes ed+deg
-    if (n1 == 0) {
-      ed.unpersist(); deg.unpersist()
-      return pairs.sparkSession.range(0)
+    val out = pageRankFromEdges(ed, deg, damping, iters)
+    CacheScope.scoped(out, ed, deg)
+  }
+
+  /** Canonical distinct undirected edge list (u < v, self-loops
+    * dropped) — built ONCE per caller; every operator here derives
+    * from it (the review rule: one edge distinct-shuffle per query,
+    * not one per sub-operator). */
+  private[operators] def canonEdges(pairs: DataFrame, idA: String = "id_a",
+                                    idB: String = "id_b"): DataFrame =
+    pairs.select(least(col(idA), col(idB)).as("u"),
+        greatest(col(idA), col(idB)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+
+  /** Both-direction view of a canonical edge list — no second
+    * distinct needed (canon is already distinct with u ≠ v). */
+  private def symmetricEdges(canon: DataFrame): DataFrame =
+    canon.select(col("u").as("src"), col("v").as("dst"))
+      .union(canon.select(col("v").as("src"), col("u").as("dst")))
+
+  private def pageRankFromEdges(ed: DataFrame, deg: DataFrame,
+                                damping: Double, iters: Int): DataFrame = {
+    val n1 = deg.count() // also materializes ed+deg when cached above
+    if (n1 == 0)
+      return ed.sparkSession.range(0)
         .select(col("id").as("doc_id"), lit(0.0).as("pagerank"))
-    }
     val base = (1.0 - damping) / n1
     var pr = deg.select(col("src").as("id"), (lit(1.0) / n1).as("pr"))
     var it = 0
@@ -57,8 +74,7 @@ object Graph {
         .localCheckpoint(false)
       it += 1
     }
-    val out = pr.select(col("id").as("doc_id"), round(col("pr"), 6).as("pagerank"))
-    CacheScope.scoped(out, ed, deg)
+    pr.select(col("id").as("doc_id"), round(col("pr"), 6).as("pagerank"))
   }
 
   /** Bounded k-core peel of the undirected pair graph: `rounds`
@@ -75,12 +91,13 @@ object Graph {
     * id-keyed semi-joins on the EDGE list; per-round localCheckpoint
     * (the CC lineage rule). */
   def kCore(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-            k: Int = 2, rounds: Int = 8): DataFrame = {
+            k: Int = 2, rounds: Int = 8): DataFrame =
+    kCoreFromCanon(canonEdges(pairs, idA, idB), k, rounds)
+
+  private def kCoreFromCanon(canon: DataFrame, k: Int,
+                             rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    var edges = pairs.select(
-      least(col(idA), col(idB)).as("u"), greatest(col(idA), col(idB)).as("v"))
-      .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint(false)
+    var edges = canon.localCheckpoint(false)
     var r = 0
     while (r < rounds) {
       val deg = edges.select(col("u").as("id"))
@@ -107,21 +124,24 @@ object Graph {
     * cluster_size) — passed in, not recomputed, so the manifest can
     * never disagree with the labeling the dedup pass actually used. */
   def manifest(pairs: DataFrame, components: DataFrame): DataFrame = {
-    val ed = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-    val deg = ed.groupBy(col("src").as("doc_id"))
-      .agg(count(lit(1)).as("degree"))
-    val pr = pageRank(pairs)
-    val core = kCore(pairs)
+    // ONE canonical edge build (one distinct-shuffle); degree, PR and
+    // k-core all derive from it — the review rule this composite exists
+    // to demonstrate
+    val canon = canonEdges(pairs).cache()
+    val ed = symmetricEdges(canon).cache()
+    val prDeg = ed.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val deg = prDeg.select(col("src").as("doc_id"), col("deg").as("degree"))
+    val pr = pageRankFromEdges(ed, prDeg, damping = 0.85, iters = 8)
+    val core = kCoreFromCanon(canon, k = 2, rounds = 8)
       .select(col("doc_id"), col("core_deg"))
-    deg
+    val out = deg
       .join(components, "doc_id")
       .join(pr, "doc_id")
       .join(core, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("degree"), coalesce(col("core_deg"), lit(0L)).as("core_deg"),
         col("pagerank"))
+    CacheScope.scoped(out, canon, ed, prDeg)
   }
 
   /** Triangle census of the undirected pair graph — ALL-INTEGER, so
@@ -140,10 +160,7 @@ object Graph {
   def triangleStats(pairs: DataFrame, idA: String = "id_a",
                     idB: String = "id_b"): DataFrame = {
     import graft.expressions.HashExpressions.intDiv
-    val spark = pairs.sparkSession
-    val canon = pairs.select(
-      least(col(idA), col(idB)).as("u"), greatest(col(idA), col(idB)).as("v"))
-      .where(col("u") =!= col("v")).distinct().cache()
+    val canon = canonEdges(pairs, idA, idB).cache()
     val wedges = canon.as("e1")
       .join(canon.as("e2"), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
@@ -159,7 +176,8 @@ object Graph {
     CacheScope.scoped(
       tri.crossJoin(broadcast(triads))
         .select(col("n_nodes"), col("n_triangles"),
-          coalesce(col("n_triads"), lit(0L)).as("n_triads"),
+          // NULL on the empty graph — mirrors the oracle's empty sum
+          col("n_triads"),
           when(col("n_triads") > 0,
             intDiv(lit(6L) * col("n_triangles") * lit(1000000L) + col("n_triads"),
               lit(2L) * col("n_triads"))).as("transitivity_micro")),

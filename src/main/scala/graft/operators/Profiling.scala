@@ -402,12 +402,16 @@ object Profiling {
     val pairs = broadcast(lagFrame).crossJoin(series.select(col("hr"), col("x")))
       .join(series.select(col("hr").as("hr_y"), col("y")),
         col("hr_y") === col("hr") + col("lag"))
+    // cast EACH FACTOR to decimal before multiplying: a Long×Long
+    // product overflows (ANSI throw / silent wrap) at exactly the
+    // hourly rates the decimal sums exist to protect
+    val (xd, yd) = (col("x").cast(dec), col("y").cast(dec))
     val s = pairs.groupBy("lag").agg(
       count(lit(1)).as("n_buckets"),
-      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
-      sum((col("x") * col("y")).cast(dec)).as("sxy"),
-      sum((col("x") * col("x")).cast(dec)).as("sxx"),
-      sum((col("y") * col("y")).cast(dec)).as("syy"))
+      sum(xd).as("sx"), sum(yd).as("sy"),
+      sum(xd * yd).as("sxy"),
+      sum(xd * xd).as("sxx"),
+      sum(yd * yd).as("syy"))
     val n = col("n_buckets").cast("double")
     val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"),
       col("sy").cast("double"), col("sxy").cast("double"),

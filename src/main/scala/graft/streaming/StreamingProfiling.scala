@@ -10,22 +10,31 @@ case class NoveltyPresence(entity: Long, day: Long, is_new: Boolean)
 /** LIVE intake profiling — the streaming twin of
   * [[graft.operators.Profiling.noveltyTimeline]]'s first-seen core.
   *
-  * Keyed by entity, state = (first-seen day, max emitted day): exactly
-  * ONE `NoveltyPresence` row per (entity, day), flagged `is_new` on
-  * the entity's very first day. A per-day `groupBy(day).agg(count,
-  * count_if(is_new))` over the output reproduces the batch
-  * active/new curve (asserted by the parity spec) — the split keeps
-  * this operator's state at TWO longs per entity while the
-  * day-aggregation stays a plain (re-startable, watermarkable)
-  * aggregate downstream.
+  * Keyed by entity, state = (first flagged day, max emitted day, a
+  * 63-day bitmask of recently emitted days): exactly ONE
+  * `NoveltyPresence` row per (entity, day), `is_new` on the FIRST day
+  * observed for the entity (arrival order — exactly-once per entity).
+  * A per-day `groupBy(day).agg(count, count_if(is_new))` over the
+  * output reproduces the batch active/new curve (parity spec) — the
+  * split keeps this operator's state at THREE longs per entity while
+  * the day-aggregation stays a plain aggregate downstream.
+  *
+  * Out-of-order contract (review fix): a day EARLIER than the
+  * entity's max emitted day still emits its presence row as long as
+  * it lies within the 63-day recent window — the bitmask remembers
+  * which of those days already emitted, so in-window late data is
+  * neither lost nor double-emitted. Days further back than 63 days
+  * are dropped (bounded state is the point; set the watermark delay
+  * ≤ 63 days so anything older is behind the watermark anyway).
+  * `is_new` keeps exact batch parity when each entity's FIRST event
+  * arrives before its others (any later event may be arbitrarily
+  * disordered); a first-day row arriving late is emitted with
+  * is_new = false — the flag is exactly-once, never retracted.
   *
   * State grows with |entities| — inherent to any exact "seen before?"
   * question (same cost class as the streaming dedup gate); a KMV/HLL
   * sketch answers the aggregate-rate version with constant state but
-  * cannot flag individual rows. Exactness contract: per-entity
-  * nondecreasing DAY order (the watermark's job at day granularity);
-  * a day older than the entity's max emitted day arrives only behind
-  * the watermark and is dropped, never double-emitted.
+  * cannot flag individual rows.
   */
 object StreamingProfiling {
 
@@ -36,7 +45,7 @@ object StreamingProfiling {
     val outEnc: Encoder[NoveltyPresence] = Encoders.product[NoveltyPresence]
     // kryo for the STATE only, passed EXPLICITLY — an implicit tuple
     // kryo encoder would shadow the product encoder `.as` needs
-    val stateEnc: Encoder[(Long, Long)] = Encoders.kryo[(Long, Long)]
+    val stateEnc: Encoder[(Long, Long, Long)] = Encoders.kryo[(Long, Long, Long)]
     val rows = df
       .withWatermark(tsCol, delay)
       .select(col(entityCol).cast("long").as("_1"),
@@ -44,23 +53,33 @@ object StreamingProfiling {
           .intDiv(unix_micros(col(tsCol)), lit(86400000000L)).as("_2"))
       .as[(Long, Long)]
     rows.groupByKey(_._1)(Encoders.scalaLong)
-      .flatMapGroupsWithState[(Long, Long), NoveltyPresence](
+      .flatMapGroupsWithState[(Long, Long, Long), NoveltyPresence](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (entity: Long, it: Iterator[(Long, Long)],
-         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)]) =>
           val days = it.map(_._2).toArray.distinct.sorted
-          var (first, maxEmitted) =
-            state.getOption.getOrElse((Long.MaxValue, Long.MinValue))
+          // recentMask bit i (0 ≤ i < 64) ⟺ day (maxEmitted − i) emitted
+          var (first, maxEmitted, recentMask) =
+            state.getOption.getOrElse((Long.MaxValue, Long.MinValue, 0L))
           val out = Array.newBuilder[NoveltyPresence]
           days.foreach { d =>
-            if (d > maxEmitted) {
-              val isNew = first == Long.MaxValue
-              if (isNew) first = d
-              out += NoveltyPresence(entity, d, isNew)
+            if (first == Long.MaxValue) {
+              first = d; maxEmitted = d; recentMask = 1L
+              out += NoveltyPresence(entity, d, is_new = true)
+            } else if (d > maxEmitted) {
+              val shift = d - maxEmitted
+              recentMask = (if (shift >= 64) 0L else recentMask << shift) | 1L
               maxEmitted = d
+              out += NoveltyPresence(entity, d, is_new = false)
+            } else {
+              val back = maxEmitted - d
+              if (back < 64 && (recentMask & (1L << back)) == 0L) {
+                recentMask |= 1L << back
+                out += NoveltyPresence(entity, d, is_new = false)
+              } // emitted already, or beyond the 63-day window: drop
             }
           }
-          state.update((first, maxEmitted))
+          state.update((first, maxEmitted, recentMask))
           out.result().iterator
       }(stateEnc, outEnc)
   }

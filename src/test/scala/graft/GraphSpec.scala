@@ -25,18 +25,18 @@ class GraphSpec extends SparkSpec {
   test("triangleStats: clique transitivity 1, path 0, duplicate/reversed pairs collapse") {
     val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b))
       .toDF("id_a", "id_b")
-    val s1 = Graph.triangleStats(k4).as[(Long, Long, Long, Option[Long])]
-      .collect().head
+    val s1 = Graph.triangleStats(k4)
+      .as[(Long, Long, Option[Long], Option[Long])].collect().head
     spark.catalog.clearCache()
     // C(4,3)=4 triangles; triads Σ 3·2/2 = 12; 3·4/12 = 1
-    assert(s1 === ((4L, 4L, 12L, Some(1000000L))))
+    assert(s1 === ((4L, 4L, Some(12L), Some(1000000L))))
     // path a-b-c (with a reversed duplicate edge): one open triad, no
     // triangle
     val path = Seq((1L, 2L), (2L, 3L), (2L, 1L)).toDF("id_a", "id_b")
-    val s2 = Graph.triangleStats(path).as[(Long, Long, Long, Option[Long])]
-      .collect().head
+    val s2 = Graph.triangleStats(path)
+      .as[(Long, Long, Option[Long], Option[Long])].collect().head
     spark.catalog.clearCache()
-    assert(s2 === ((3L, 0L, 1L, Some(0L))))
+    assert(s2 === ((3L, 0L, Some(1L), Some(0L))))
   }
 
   test("kCore: triangle with a pendant chain peels to the triangle; empty graph peels to nothing") {
@@ -54,8 +54,9 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(none).count() === 0)
     assert(Graph.pageRank(none).count() === 0)
     val t = Graph.triangleStats(none)
-      .as[(Long, Long, Long, Option[Long])].collect().head
-    assert(t._1 === 0L && t._2 === 0L && t._4.isEmpty)
+      .as[(Long, Long, Option[Long], Option[Long])].collect().head
+    // n_triads NULL on the empty graph — the oracle's empty-sum value
+    assert(t._1 === 0L && t._2 === 0L && t._3.isEmpty && t._4.isEmpty)
   }
 
   test("manifest: columns replay the standalone operators; peeled nodes read core_deg 0") {

@@ -54,11 +54,23 @@ class StreamingProfilingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     spark.catalog.clearCache()
     assert(curve === batch)
-    // a re-delivered old day (behind the entity's max) is dropped, not
-    // double-emitted
+    // a re-delivered old day (already emitted, inside the 63-day
+    // window) is dropped, not double-emitted
     in.addData(UserEv(1L, dayTs(0, 7), "a"))
     q.processAllAvailable()
     assert(spark.table("nov_t").count() === 7)
+    // an out-of-order day NEVER seen before, inside the window, still
+    // emits its presence row (is_new=false — the flag is arrival-order
+    // exactly-once): user 2 was active on days 0 and 2, day 1 arrives
+    // late
+    in.addData(UserEv(2L, dayTs(1, 11), "a"))
+    q.processAllAvailable()
+    val late = spark.table("nov_t").as[(Long, Long, Boolean)].collect().toSet
+    assert(late.contains((2L, 1L, false)) && late.size === 8)
+    // beyond the 63-day recent window: dropped (bounded state)
+    in.addData(UserEv(2L, dayTs(-70, 1), "a"))
+    q.processAllAvailable()
+    assert(spark.table("nov_t").count() === 8)
     q.stop()
   }
 }
