@@ -25,9 +25,10 @@ object Graph {
     * evaluated in that order on both engines (d is the same double
     * literal; the damping makes the map a contraction, so the ~1e-16
     * cross-engine sum-order slack DECAYS instead of compounding;
-    * round-6 output). Per-round lineage is localCheckpoint-truncated —
-    * the connectedComponents rule: an 8-deep join lineage otherwise
-    * replans and re-executes per action.
+    * round-6 output). Unlike the UNBOUNDED connected-components loop, the
+    * fixed 8-round lineage needs no per-round checkpoint: one action
+    * runs one 8-deep pipelined job (per-round RDD materialization cost
+    * ~2× the whole query at bench scale), and the depth can't grow.
     *
     * Scale shape: per iteration ONE id-keyed join of (edges ⋈ ranks)
     * and one combinable sum — the textbook distributed PR step; state
@@ -36,8 +37,9 @@ object Graph {
                damping: Double = 0.85, iters: Int = 8): DataFrame = {
     val ed = symmetricEdges(canonEdges(pairs, idA, idB)).cache()
     val deg = ed.groupBy("src").agg(count(lit(1)).as("deg")).cache()
-    val out = pageRankFromEdges(ed, deg, damping, iters)
-    CacheScope.scoped(out, ed, deg)
+    val contrib = ed.join(deg, "src").cache()
+    val out = pageRankFromEdges(contrib, deg, damping, iters)
+    CacheScope.scoped(out, ed, deg, contrib)
   }
 
   /** Canonical distinct undirected edge list (u < v, self-loops
@@ -56,22 +58,26 @@ object Graph {
     canon.select(col("u").as("src"), col("v").as("dst"))
       .union(canon.select(col("v").as("src"), col("u").as("dst")))
 
-  private def pageRankFromEdges(ed: DataFrame, deg: DataFrame,
+  /** `contrib` = (src, dst, deg_src) — edges pre-joined with source
+    * degrees ONCE (and cached by the caller): each iteration is then a
+    * single join + combinable sum instead of two joins, halving the
+    * sequential stage count of the fixed 8-round chain. The summed
+    * term stays `pr / deg` — NOT a precomputed 1/deg weight, which
+    * would change the IEEE op order the oracle mirrors. */
+  private def pageRankFromEdges(contrib: DataFrame, deg: DataFrame,
                                 damping: Double, iters: Int): DataFrame = {
-    val n1 = deg.count() // also materializes ed+deg when cached above
+    val n1 = deg.count()
     if (n1 == 0)
-      return ed.sparkSession.range(0)
+      return deg.sparkSession.range(0)
         .select(col("id").as("doc_id"), lit(0.0).as("pagerank"))
     val base = (1.0 - damping) / n1
     var pr = deg.select(col("src").as("id"), (lit(1.0) / n1).as("pr"))
     var it = 0
     while (it < iters) {
-      pr = ed
-        .join(deg, "src")
+      pr = contrib
         .join(pr.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg((lit(base) + lit(damping) * sum(col("pr") / col("deg"))).as("pr"))
-        .localCheckpoint(false)
       it += 1
     }
     pr.select(col("id").as("doc_id"), round(col("pr"), 6).as("pagerank"))
@@ -89,7 +95,9 @@ object Graph {
     *
     * Scale shape: per round one combinable degree aggregate + two
     * id-keyed semi-joins on the EDGE list; per-round localCheckpoint
-    * (the CC lineage rule). */
+    * is MANDATORY here (unlike [[pageRank]]'s linear chain): each
+    * round references its edge frame three times (degree union + the
+    * filter), so an uncheckpointed lineage is a 3^rounds plan tree. */
   def kCore(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
             k: Int = 2, rounds: Int = 8): DataFrame =
     kCoreFromCanon(canonEdges(pairs, idA, idB), k, rounds)
@@ -130,8 +138,9 @@ object Graph {
     val canon = canonEdges(pairs).cache()
     val ed = symmetricEdges(canon).cache()
     val prDeg = ed.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val contrib = ed.join(prDeg, "src").cache()
     val deg = prDeg.select(col("src").as("doc_id"), col("deg").as("degree"))
-    val pr = pageRankFromEdges(ed, prDeg, damping = 0.85, iters = 8)
+    val pr = pageRankFromEdges(contrib, prDeg, damping = 0.85, iters = 8)
     val core = kCoreFromCanon(canon, k = 2, rounds = 8)
       .select(col("doc_id"), col("core_deg"))
     val out = deg
@@ -141,7 +150,7 @@ object Graph {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("degree"), coalesce(col("core_deg"), lit(0L)).as("core_deg"),
         col("pagerank"))
-    CacheScope.scoped(out, canon, ed, prDeg)
+    CacheScope.scoped(out, canon, ed, prDeg, contrib)
   }
 
   /** Triangle census of the undirected pair graph — ALL-INTEGER, so
