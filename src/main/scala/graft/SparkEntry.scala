@@ -1333,6 +1333,12 @@ object SparkEntry {
     "q174_vocab_richness" -> ((s, dir) =>
       CorpusStats.vocabRichness(t(s, dir, "documents"), "source", "text")),
 
+    // ── language metadata-trust matrix: one combinable scan to
+    //    catalog-sized cells; shares via a cell-frame window ──
+    "q179_lang_agreement" -> ((s, dir) =>
+      operators.Curation.langAgreementMatrix(t(s, dir, "documents"),
+        "source", "lang", "text")),
+
     // ── snapshot diff card: id-keyed FULL OUTER join of fingerprint
     //    projections (text never joins) → |sources| rows; snapshots
     //    simulated from the portable md5 bucket (old <90, new ≥10) ──
@@ -2645,6 +2651,36 @@ object SparkEntry {
            CAST((2*n1*1000000 + n_tokens) // (2*n_tokens) AS BIGINT) AS unseen_ppm,
            CAST(vocab + (2*n1*(n1-1) + 2*(n2+1)) // (4*(n2+1)) AS BIGINT) AS chao1
          FROM s""",
+    // Language agreement: q16's scoring CTEs verbatim, grouped to
+    // (source, declared, predicted) cells; shares in half-up micro.
+    "q179_lang_agreement" ->
+      """WITH toks AS (
+           SELECT source, lang,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+           FROM documents
+         ), sc AS (
+           SELECT source, lang,
+             len(list_filter(tk, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))) AS s_en,
+             len(list_filter(tk, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))) AS s_de,
+             len(list_filter(tk, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))) AS s_es,
+             len(list_filter(tk, t -> t IN ('le', 'la', 'et', 'les', 'des', 'est', 'une'))) AS s_fr
+           FROM toks
+         ), pred AS (
+           SELECT source, lang,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+           FROM sc
+         ), cells AS (
+           SELECT source, lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+           FROM pred GROUP BY 1, 2, 3
+         )
+         SELECT source, lang, pred_lang, n,
+           CAST((2 * n * 1000000 + sum(n) OVER (PARTITION BY source, lang))
+             // (2 * sum(n) OVER (PARTITION BY source, lang)) AS BIGINT) AS share_ppm
+         FROM cells""",
     // Snapshot diff: q44's portable bucket carves old/new views; md5
     // fingerprint equality (the q17 contract) classifies rows.
     "q173_corpus_diff" ->

@@ -199,6 +199,35 @@ object Curation {
         col("mean_score_micro") - col("keep_rate_micro"))
   }
 
+  /** Declared-vs-predicted language confusion matrix per source — the
+    * metadata-trust audit: a source whose declared `lang` disagrees
+    * with the content's n-gram language ID is mislabeled at ingest
+    * (wrong-language training mass for every lang-filtered run).
+    * Prediction is the ONE q16 `TextAnalysis.langId` expression —
+    * never an inlined copy that could drift from the audited op.
+    * Output per (source, declared, predicted) cell: count and the
+    * share of that source's declared-lang docs landing in the cell
+    * (exact half-up micro — the q82 integer-ratio rule).
+    *
+    * Scale shape: ONE corpus scan into a combinable (source, lang,
+    * pred) aggregate; the share window runs over the CELL frame
+    * (catalog-sized: |sources|·|langs|²), never corpus rows. */
+  def langAgreementMatrix(docs: DataFrame, srcCol: String, langCol: String,
+                          textCol: String): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    import org.apache.spark.sql.expressions.Window
+    val cells = docs
+      .groupBy(col(srcCol).as("source"), col(langCol).as("lang"),
+        TextAnalysis.langId(col(textCol)).as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = sum("n").over(Window.partitionBy("source", "lang"))
+    cells
+      .withColumn("__tot", tot)
+      .select(col("source"), col("lang"), col("pred_lang"), col("n"),
+        intDiv(lit(2L) * col("n") * lit(1000000L) + col("__tot"),
+          lit(2L) * col("__tot")).as("share_ppm"))
+  }
+
   /** Snapshot-diff data card: what changed between two corpus versions,
     * per source — the release note every dataset version bump needs
     * (and the guard against a silently shrinking or text-churning

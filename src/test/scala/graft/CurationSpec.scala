@@ -102,4 +102,22 @@ class CurationSpec extends SparkSpec {
     // source t: untouched snapshot → all-stable, zero deltas
     assert(got("t") === (("t", 0L, 0L, 0L, 1L, 0L, 0L, 0L)))
   }
+
+  test("langAgreementMatrix: mislabeled cells split the declared-lang share exactly") {
+    import graft.operators.Curation
+    // source s declares 'en' for three docs: two really English, one
+    // Spanish → cells (en,en) 2/3 and (en,es) 1/3; source t's single
+    // doc has no stopwords → 'und'
+    val docs = Seq(
+      ("s", "en", "the cat is in the hat"),
+      ("s", "en", "it is a good day to code"),
+      ("s", "en", "el perro es un animal que ladra"),
+      ("t", "en", "zzz qqq xxx")).toDF("source", "lang", "text")
+    val got = Curation.langAgreementMatrix(docs, "source", "lang", "text")
+      .as[(String, String, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("s", "en", "en", 2L, 666667L),
+      ("s", "en", "es", 1L, 333333L),
+      ("t", "en", "und", 1L, 1000000L)))
+  }
 }
