@@ -1333,6 +1333,14 @@ object SparkEntry {
     "q174_vocab_richness" -> ((s, dir) =>
       CorpusStats.vocabRichness(t(s, dir, "documents"), "source", "text")),
 
+    // ── HITS over the directed continuation graph: 4 fixed alternating
+    //    phases, raw sums checkpointed before the self-referencing L2
+    //    normalize; side-less nodes score 0 ──
+    "q180_continuation_hits" -> ((s, dir) =>
+      operators.Graph.hits(
+        Dedup.continuationChains(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, maxFanout = 16))),
+
     // ── language metadata-trust matrix: one combinable scan to
     //    catalog-sized cells; shares via a cell-frame window ──
     "q179_lang_agreement" -> ((s, dir) =>
@@ -1860,6 +1868,59 @@ object SparkEntry {
            SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
            FROM gpairs WHERE id_a <> id_b GROUP BY 1, 2
          ), $rounds"""
+  }
+
+  /** q170's head/tail/fanout-cap CTE chain (through bh/bt) — shared
+    * by the edge list itself and the q180 HITS oracle. */
+  private def continuationCtes: String =
+    """t AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), g AS (
+           SELECT doc_id, array_to_string(toks[1:3], ' ') AS head,
+             array_to_string(toks[-3:], ' ') AS tail
+           FROM t WHERE len(toks) >= 3
+         ), bh AS (
+           SELECT doc_id, head FROM g
+           WHERE head NOT IN (SELECT head FROM g GROUP BY head HAVING count(*) > 16)
+         ), bt AS (
+           SELECT doc_id, tail FROM g
+           WHERE tail NOT IN (SELECT tail FROM g GROUP BY tail HAVING count(*) > 16)
+         )"""
+
+  /** DuckDB replay of `Graph.hits` over the continuation edges
+    * (q180): 4 unrolled MATERIALIZED (authority, hub) phase pairs,
+    * each L2-normalized by a scalar subquery, mirroring the engine's
+    * op order; side-less nodes coalesce to 0. */
+  private def continuationHitsSql: String = {
+    val rounds = (1 to 4).map { t =>
+      val hPrev = s"h${t - 1}"
+      s"""ar$t AS MATERIALIZED (
+           SELECT ced.dst AS id, sum($hPrev.s) AS s
+           FROM ced JOIN $hPrev ON $hPrev.id = ced.src GROUP BY ced.dst
+         ), a$t AS MATERIALIZED (
+           SELECT id, s / (SELECT sqrt(sum(s * s)) FROM ar$t) AS s FROM ar$t
+         ), hr$t AS MATERIALIZED (
+           SELECT ced.src AS id, sum(a$t.s) AS s
+           FROM ced JOIN a$t ON a$t.id = ced.dst GROUP BY ced.src
+         ), h$t AS MATERIALIZED (
+           SELECT id, s / (SELECT sqrt(sum(s * s)) FROM hr$t) AS s FROM hr$t
+         )"""
+    }.mkString(", ")
+    s"""WITH $continuationCtes, ced AS MATERIALIZED (
+           SELECT DISTINCT bt.doc_id AS src, bh.doc_id AS dst
+           FROM bt JOIN bh ON bh.head = bt.tail AND bt.doc_id <> bh.doc_id
+         ), nodes AS MATERIALIZED (
+           SELECT src AS id FROM ced UNION SELECT dst AS id FROM ced
+         ), h0 AS MATERIALIZED (
+           SELECT id, CAST(1.0 AS DOUBLE) AS s FROM nodes
+         ), $rounds
+         SELECT nodes.id AS doc_id,
+           round(COALESCE(h4.s, CAST(0.0 AS DOUBLE)), 6) AS hub,
+           round(COALESCE(a4.s, CAST(0.0 AS DOUBLE)), 6) AS authority
+         FROM nodes
+         LEFT JOIN h4 ON h4.id = nodes.id
+         LEFT JOIN a4 ON a4.id = nodes.id"""
   }
 
   private def dupKcoreSql: String =
@@ -2791,22 +2852,10 @@ object SparkEntry {
     // Continuation edges: q138's head/tail gram idiom, fanout-capped on
     // both sides before the equi-join.
     "q170_continuation_chains" ->
-      """WITH t AS (
-           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
-           FROM documents
-         ), g AS (
-           SELECT doc_id, array_to_string(toks[1:3], ' ') AS head,
-             array_to_string(toks[-3:], ' ') AS tail
-           FROM t WHERE len(toks) >= 3
-         ), bh AS (
-           SELECT doc_id, head FROM g
-           WHERE head NOT IN (SELECT head FROM g GROUP BY head HAVING count(*) > 16)
-         ), bt AS (
-           SELECT doc_id, tail FROM g
-           WHERE tail NOT IN (SELECT tail FROM g GROUP BY tail HAVING count(*) > 16)
-         )
+      s"""WITH $continuationCtes
          SELECT bt.doc_id AS id_a, bh.doc_id AS id_b, bt.tail AS bridge
          FROM bt JOIN bh ON bh.head = bt.tail AND bt.doc_id <> bh.doc_id""",
+    "q180_continuation_hits" -> continuationHitsSql,
     // Per-day novelty: first-seen via min-window over each key's
     // (key, day) presence rows; exact half-up micro shares (integer
     // ratios CAN tie at the 6th decimal — the q82 rule).

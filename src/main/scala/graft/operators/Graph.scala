@@ -123,6 +123,65 @@ object Graph {
       .select(col("id").as("doc_id"), col("core_deg"))
   }
 
+  /** HITS hubs/authorities over a DIRECTED edge list (Kleinberg 1999)
+    * — the directed complement of [[pageRank]], built for the
+    * continuation graph (q170): an AUTHORITY is a doc many chains
+    * continue INTO (a canonical tail being re-served); a HUB is a doc
+    * that continues into many authorities (a stitched-together
+    * aggregation page). Defined as `iters` fixed rounds of the
+    * standard alternation — a(v) = Σ_{u→v} h(u), L2-normalize, then
+    * h(u) = Σ_{u→v} a(v), L2-normalize — from all-ones (the q166
+    * fixed-op contract; √ and ÷ are IEEE-exact, round-6 output).
+    * Nodes missing a side (no in- or out-edges) score 0 there.
+    *
+    * Scale shape: per round two id-keyed equi-joins + combinable sums
+    * over the edge list; each phase checkpoints its raw sums
+    * before the self-referencing normalization (see inline note). */
+  def hits(edges: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
+           iters: Int = 4): DataFrame = {
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    val nodes = ed.select(col("src").as("id"))
+      .union(ed.select(col("dst").as("id"))).distinct().cache()
+    if (nodes.count() == 0) {
+      ed.unpersist(); nodes.unpersist()
+      return edges.sparkSession.range(0)
+        .select(col("id").as("doc_id"), lit(0.0).as("hub"), lit(0.0).as("authority"))
+    }
+    var h = nodes.select(col("id"), lit(1.0).as("s"))
+    var a = nodes.select(col("id"), lit(1.0).as("s"))
+    var it = 0
+    while (it < iters) {
+      // checkpoint BEFORE normalizing: the norm references its input
+      // twice (sum + rescale), so an uncheckpointed chain is a
+      // 4^iters plan tree (the kCore lesson)
+      val aRaw = ed.join(h.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum("s").as("s"))
+        .localCheckpoint(false)
+      a = normalizeL2(aRaw)
+      val hRaw = ed.join(a.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum("s").as("s"))
+        .localCheckpoint(false)
+      h = normalizeL2(hRaw)
+      it += 1
+    }
+    val out = nodes
+      .join(h.withColumnRenamed("s", "__h"), Seq("id"), "left")
+      .join(a.withColumnRenamed("s", "__a"), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        round(coalesce(col("__h"), lit(0.0)), 6).as("hub"),
+        round(coalesce(col("__a"), lit(0.0)), 6).as("authority"))
+    CacheScope.scoped(out, ed, nodes)
+  }
+
+  /** v / √(Σ v²) over the frame's `s` column — the 1-row norm
+    * broadcasts back (the q86 bounds pattern). */
+  private def normalizeL2(v: DataFrame): DataFrame = {
+    val nrm = v.agg(sqrt(sum(col("s") * col("s"))).as("__nrm"))
+    v.crossJoin(broadcast(nrm))
+      .select(col("id"), (col("s") / col("__nrm")).as("s"))
+  }
+
   /** Per-doc graph manifest — the composite "who is this doc in the
     * duplication graph" card (the q102-manifest idea applied to the
     * graph family): component label + size, degree, bounded-2-core

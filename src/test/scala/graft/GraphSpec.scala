@@ -59,6 +59,25 @@ class GraphSpec extends SparkSpec {
     assert(t._1 === 0L && t._2 === 0L && t._3.isEmpty && t._4.isEmpty)
   }
 
+  test("hits: fan-in node is the authority, its feeders the hubs, side-less scores 0") {
+    // 1→3, 2→3 (3 = authority; 1,2 = symmetric hubs), 3→4
+    val g = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val m = Graph.hits(g).as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    spark.catalog.clearCache()
+    assert(m.keySet === Set(1L, 2L, 3L, 4L))
+    assert(m(3L)._3 > m(4L)._3 && m(4L)._3 >= 0,
+      s"fan-in node must dominate authority: $m")
+    assert(m(1L)._2 === m(2L)._2 && m(1L)._2 > 0, s"symmetric hubs: $m")
+    assert(m(1L)._3 === 0.0 && m(2L)._3 === 0.0, "no in-edges → authority 0")
+    assert(m(4L)._2 === 0.0, "no out-edges → hub 0")
+    // hub vector is L2-normalized (within round-6)
+    val hnorm = m.values.map(r => r._2 * r._2).sum
+    assert(math.abs(hnorm - 1.0) < 1e-4, s"hub norm: $hnorm")
+    // empty graph: empty result
+    assert(Graph.hits(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0)
+  }
+
   test("manifest: columns replay the standalone operators; peeled nodes read core_deg 0") {
     import graft.operators.Dedup
     // triangle {1,2,3} + pendant 4, plus a separate pair {10,11}
