@@ -38,6 +38,29 @@ case class NoveltyPresence(entity: Long, day: Long, is_new: Boolean)
   */
 object StreamingProfiling {
 
+  /** Tumbling-window declared-vs-predicted language confusion cells —
+    * the LIVE twin of `Curation.langAgreementMatrix`'s cell counts:
+    * per (event-time window, source, declared, predicted), the doc
+    * count, with prediction from THE one q16 `langId` expression. A
+    * mislabeled-feed alarm is `pred_lang != lang` cells growing in a
+    * live window. Like `StreamingCorpusStats.windowedCorpusCard` this
+    * is one NATIVE watermarked windowed aggregation (append mode,
+    * exactly-once on close, state = open-window cells pruned by the
+    * watermark) — no custom state. The batch op's share_ppm is
+    * deliberately absent: it needs the per-(source, lang) total,
+    * a second windowed aggregate that append mode can't chain;
+    * consumers derive shares from the emitted cells. */
+  def windowedLangAgreement(df: DataFrame, srcCol: String, langCol: String,
+                            textCol: String, tsCol: String,
+                            windowLen: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen), col(srcCol).as("source"),
+        col(langCol).as("lang"),
+        graft.functions.TextAnalysis.langId(col(textCol)).as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("source"), col("lang"), col("pred_lang"), col("n"))
+
   def noveltyPresence(df: DataFrame, entityCol: String, tsCol: String,
                       delay: String): Dataset[NoveltyPresence] = {
     val spark = df.sparkSession

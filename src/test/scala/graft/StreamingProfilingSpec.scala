@@ -73,4 +73,37 @@ class StreamingProfilingSpec extends SparkSpec {
     assert(spark.table("nov_t").count() === 8)
     q.stop()
   }
+
+  case class DocEv(source: String, lang: String, text: String,
+                   ts: java.sql.Timestamp)
+
+  test("windowedLangAgreement: closed-window cells match the batch matrix counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DocEv]
+    val out = StreamingProfiling.windowedLangAgreement(in.toDF(),
+      "source", "lang", "text", "ts", windowLen = "10 seconds",
+      delay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("lang_t")
+      .outputMode("append").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val docs = Seq(
+      ("s", "en", "the cat is in the hat"),
+      ("s", "en", "el perro es un animal que ladra"),
+      ("s", "en", "it is a good day to code"))
+    in.addData(docs.zipWithIndex.map { case ((src, l, txt), i) =>
+      DocEv(src, l, txt, ts(1 + i)) }: _*)
+    q.processAllAvailable()
+    in.addData(DocEv("s", "en", "later window row", ts(25)))
+    q.processAllAvailable()
+    val cells = spark.table("lang_t")
+      .as[(Long, String, String, String, Long)].collect()
+      .filter(_._1 == 0L).map(r => (r._2, r._3, r._4) -> r._5).toMap
+    val batch = graft.operators.Curation
+      .langAgreementMatrix(docs.toDF("source", "lang", "text"),
+        "source", "lang", "text")
+      .as[(String, String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(cells === batch, s"window cells $cells vs batch $batch")
+    q.stop()
+  }
 }
