@@ -1333,6 +1333,13 @@ object SparkEntry {
     "q174_vocab_richness" -> ((s, dir) =>
       CorpusStats.vocabRichness(t(s, dir, "documents"), "source", "text")),
 
+    // ── near-dup evidence: matching trigram positions per candidate
+    //    pair collapse onto diagonals; islands trick per (pair, diag)
+    //    → longest certified common run, one row per pair ──
+    "q181_dup_evidence" -> ((s, dir) =>
+      Dedup.dupEvidenceSpans(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
+
     // ── HITS over the directed continuation graph: 4 fixed alternating
     //    phases, raw sums checkpointed before the self-referencing L2
     //    normalize; side-less nodes score 0 ──
@@ -1868,6 +1875,44 @@ object SparkEntry {
            SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
            FROM gpairs WHERE id_a <> id_b GROUP BY 1, 2
          ), $rounds"""
+  }
+
+  /** DuckDB replay of `Dedup.dupEvidenceSpans` (q181): the q19 pair
+    * CTEs + the q101-style positional trigram hashes; diagonal islands
+    * via the row_number trick; (longest, start_a, start_b) tiebreak. */
+  private def dupEvidenceSql: String = {
+    def parse12(start: Int) =
+      s"CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + $start AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT)"
+    s"""WITH pr AS MATERIALIZED (
+           SELECT id_a, id_b FROM ($minhashPairsSql)
+         ), t AS (
+           SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), pos AS MATERIALIZED (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ${parse12(1)} AS h
+           FROM (SELECT doc_id, i, md5(array_to_string(toks[i:i+2], ' ')) AS hx
+                 FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                       FROM t WHERE len(toks) >= 3))
+         ), m AS MATERIALIZED (
+           SELECT pr.id_a, pr.id_b, a.pos AS pos_a, b.pos AS pos_b
+           FROM pr
+           JOIN pos a ON a.doc_id = pr.id_a
+           JOIN pos b ON b.doc_id = pr.id_b AND b.h = a.h
+         ), runs AS (
+           SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+             CAST(count(*) + 2 AS BIGINT) AS span_tokens
+           FROM (SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+                   pos_a - row_number() OVER (
+                     PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp
+                 FROM m)
+           GROUP BY id_a, id_b, diag, grp
+         )
+         SELECT id_a, id_b, start_a, start_b, span_tokens FROM (
+           SELECT runs.*, row_number() OVER (
+             PARTITION BY id_a, id_b
+             ORDER BY span_tokens DESC, start_a, start_b) AS rk
+           FROM runs
+         ) WHERE rk = 1"""
   }
 
   /** q170's head/tail/fanout-cap CTE chain (through bh/bt) — shared
@@ -2856,6 +2901,7 @@ object SparkEntry {
          SELECT bt.doc_id AS id_a, bh.doc_id AS id_b, bt.tail AS bridge
          FROM bt JOIN bh ON bh.head = bt.tail AND bt.doc_id <> bh.doc_id""",
     "q180_continuation_hits" -> continuationHitsSql,
+    "q181_dup_evidence" -> dupEvidenceSql,
     // Per-day novelty: first-seen via min-window over each key's
     // (key, day) presence rows; exact half-up micro shares (integer
     // ratios CAN tie at the 6th decimal — the q82 rule).

@@ -235,6 +235,59 @@ object Dedup {
       .select("id_a", "id_b", "est_full", "est_1bit"), sig)
   }
 
+  /** Near-dup EVIDENCE spans — the "why was this pair flagged"
+    * explainer a human review queue needs: for every LSH candidate
+    * pair, the LONGEST common token run, located in both documents.
+    * Matching trigram POSITIONS (the q101 positional-hash stream)
+    * joined per pair collapse onto diagonals (pos_a − pos_b); a run of
+    * consecutive matches on one diagonal of length L certifies a
+    * common substring of L+2 tokens — exact, no alignment heuristics.
+    * Ties break (longest, then smallest start_a, then start_b).
+    *
+    * Scale shape: the match join is keyed on (pair id, gram hash) —
+    * per-pair volume is |shared trigram positions|, quadratic only in
+    * a trigram's WITHIN-PAIR multiplicity (trigrams are rare; the
+    * classic reason evidence alignment uses n-grams, not tokens). Run
+    * grouping is the islands row_number trick per (pair, diagonal) —
+    * keyed windows, no global sort. Output: one row per pair. */
+  def dupEvidenceSpans(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, numHashes: Int, bands: Int,
+                       minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minHashLshPairs(docs, idCol, textCol, shingleN, numHashes,
+      bands, minJaccard).select("id_a", "id_b").cache()
+    val pos = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= shingleN)
+      .select(col("id"), posexplode(graft.expressions.HashExpressions
+        .positionalGramHashes48(col("__toks"), shingleN)))
+      .toDF("id", "pos", "h")
+      .cache()
+    val matches = pairs
+      .join(pos.select(col("id").as("id_a"), col("pos").as("pos_a"), col("h")), "id_a")
+      .join(pos.select(col("id").as("id_b"), col("pos").as("pos_b"), col("h")),
+        Seq("id_b", "h"))
+    val wDiag = Window
+      .partitionBy(col("id_a"), col("id_b"), col("pos_a") - col("pos_b"))
+      .orderBy("pos_a")
+    val runs = matches
+      .withColumn("__grp", col("pos_a") - row_number().over(wDiag))
+      .groupBy(col("id_a"), col("id_b"),
+        (col("pos_a") - col("pos_b")).as("__diag"), col("__grp"))
+      .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+        (count(lit(1)) + lit(shingleN - 1)).as("span_tokens"))
+    val wBest = Window.partitionBy("id_a", "id_b")
+      .orderBy(col("span_tokens").desc, col("start_a"), col("start_b"))
+    CacheScope.scoped(
+      runs.withColumn("__rk", row_number().over(wBest))
+        .where(col("__rk") === 1)
+        .select(col("id_a"), col("id_b"),
+          col("start_a").cast("long").as("start_a"),
+          col("start_b").cast("long").as("start_b"),
+          col("span_tokens")),
+      pairs, pos)
+  }
+
   /** PERSISTED LSH near-dup index — the write-once 100 TB shape for
     * the MinHash text path, mirroring `Similarity.buildIvfIndex`:
     * signatures are computed ONCE (the fused `MinHashTokens` kernel is

@@ -820,6 +820,24 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_spec")
   }
 
+  test("dupEvidenceSpans: one-token edit splits the match into runs; longest certified span wins") {
+    // 200 shared tokens, doc 2 edited at index 100: trigram positions
+    // 98-100 break, leaving runs [0..97] (span 100) and [101..197]
+    // (span 99) — the evidence is the longer run at (0, 0). (A 60-token
+    // variant sat exactly ON the est=0.75 band boundary and was
+    // filtered — the edit owns 3/58 shingles; at 198 shingles the
+    // estimate stays safely above 0.8.)
+    val toks = (0 until 200).map(i => s"w$i")
+    val a = toks.mkString(" ")
+    val b = toks.updated(100, "edit").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.dupEvidenceSpans(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(got === Seq((1L, 2L, 0L, 0L, 100L)))
+  }
+
   test("appendToLshIndex: incremental append ≡ full rebuild; consumers keep their shapes") {
     val fixtures = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     Dedup.buildLshIndex(fixtures.where($"doc_id" >= 25), "doc_id", "text",
