@@ -1333,6 +1333,13 @@ object SparkEntry {
     "q174_vocab_richness" -> ((s, dir) =>
       CorpusStats.vocabRichness(t(s, dir, "documents"), "source", "text")),
 
+    // ── dup-mass concentration: q47 clusters + one token join →
+    //    |clusters| sums, TakeOrdered top-K, window over K rows only ──
+    "q182_dup_mass_curve" -> ((s, dir) =>
+      Dedup.dupMassCurve(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
+        topK = 20)),
+
     // ── near-dup evidence: matching trigram positions per candidate
     //    pair collapse onto diagonals; islands trick per (pair, diag)
     //    → longest certified common run, one row per pair ──
@@ -1914,6 +1921,35 @@ object SparkEntry {
            FROM runs
          ) WHERE rk = 1"""
   }
+
+  /** DuckDB replay of `Dedup.dupMassCurve` (q182): componentsSql's
+    * labeling + per-cluster redundant-token sums (kept member =
+    * min_by id, the q64 contract), top-K, K-row cumulative window;
+    * HUGEINT mirrors for the windowed sum and the share. */
+  private def dupMassCurveSql: String =
+    s"""WITH comp AS MATERIALIZED (
+           SELECT doc_id, cluster_id FROM ($componentsSql)
+         ), tk AS (
+           SELECT doc_id,
+             CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS t
+           FROM documents
+         ), pc AS MATERIALIZED (
+           SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_docs,
+             CAST(sum(t) - min_by(t, doc_id) AS BIGINT) AS dup_tokens
+           FROM comp JOIN tk USING (doc_id) GROUP BY cluster_id
+           HAVING sum(t) - min_by(t, doc_id) > 0
+         ), tot AS (
+           SELECT CAST(sum(dup_tokens) AS HUGEINT) AS tot FROM pc
+         ), top AS (
+           SELECT * FROM pc ORDER BY dup_tokens DESC, cluster_id LIMIT 20
+         )
+         SELECT CAST(row_number() OVER (ORDER BY dup_tokens DESC, cluster_id) AS INT) AS rank,
+           cluster_id, cluster_docs, dup_tokens,
+           CAST(sum(dup_tokens) OVER (ORDER BY dup_tokens DESC, cluster_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_dup_tokens,
+           CAST((2 * CAST(sum(dup_tokens) OVER (ORDER BY dup_tokens DESC, cluster_id
+             ROWS UNBOUNDED PRECEDING) AS HUGEINT) * 1000000 + tot) // (2 * tot) AS BIGINT) AS cum_share_ppm
+         FROM top, tot"""
 
   /** q170's head/tail/fanout-cap CTE chain (through bh/bt) — shared
     * by the edge list itself and the q180 HITS oracle. */
@@ -2902,6 +2938,7 @@ object SparkEntry {
          FROM bt JOIN bh ON bh.head = bt.tail AND bt.doc_id <> bh.doc_id""",
     "q180_continuation_hits" -> continuationHitsSql,
     "q181_dup_evidence" -> dupEvidenceSql,
+    "q182_dup_mass_curve" -> dupMassCurveSql,
     // Per-day novelty: first-seen via min-window over each key's
     // (key, day) presence rows; exact half-up micro shares (integer
     // ratios CAN tie at the 6th decimal — the q82 rule).

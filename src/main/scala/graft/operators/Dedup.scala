@@ -1537,6 +1537,55 @@ object Dedup {
       bySize)
   }
 
+  /** Dup-mass concentration curve — "how much of the dedup savings do
+    * the biggest clusters hold": top-K near-dup clusters ranked by
+    * REDUNDANT token mass (tokens of non-representative members — the
+    * exact tokens a materialized dedup removes), with the cumulative
+    * share of all redundant tokens. A curve that saturates in a few
+    * clusters says one template/mirror farm owns the waste (fix the
+    * source); a flat curve says the duplication is diffuse (only the
+    * full pass helps). Shares in exact half-up micro-units over a
+    * 1-row broadcast total.
+    *
+    * Scale shape: the q47 clustering, one id-keyed token join onto the
+    * member list, a |clusters|-keyed combinable sum, TakeOrdered top-K
+    * (no global sort materialization), then a window over the K-row
+    * frame only. */
+  def dupMassCurve(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, numHashes: Int, bands: Int,
+                   minJaccard: Double, topK: Int = 20): DataFrame = {
+    import graft.expressions.HashExpressions.intDiv
+    import org.apache.spark.sql.expressions.Window
+    val cl = dedupClusters(docs, idCol, textCol, shingleN, numHashes, bands,
+      minJaccard).select(col(idCol), col("cluster_id"))
+    val toks = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__t"))
+    val perCluster = cl
+      .join(toks, Seq(idCol))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_docs"),
+        // redundant = member tokens minus the kept representative's
+        // (the min-id member — the q64 materialization contract)
+        (sum("__t") - min_by(col("__t"), col(idCol))).as("dup_tokens"))
+      .where(col("dup_tokens") > 0)
+      .cache()
+    val total = perCluster.agg(sum("dup_tokens").as("__tot"))
+    val top = perCluster
+      .orderBy(col("dup_tokens").desc, col("cluster_id")).limit(topK)
+    val w = Window.orderBy(col("dup_tokens").desc, col("cluster_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    CacheScope.scoped(
+      top.crossJoin(broadcast(total))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("dup_tokens").desc, col("cluster_id"))))
+        .withColumn("cum_dup_tokens", sum("dup_tokens").over(w))
+        .select(col("rank"), col("cluster_id"), col("cluster_docs"),
+          col("dup_tokens"), col("cum_dup_tokens"),
+          intDiv(lit(2L) * col("cum_dup_tokens") * lit(1000000L) + col("__tot"),
+            lit(2L) * col("__tot")).as("cum_share_ppm")),
+      perCluster)
+  }
+
   /** Degree histogram of the near-dup PAIR graph — the structural
     * companion to [[dupClusterStats]]: the size histogram says how big
     * the components are, the degree histogram says how they're WIRED.

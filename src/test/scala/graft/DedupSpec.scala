@@ -820,6 +820,34 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_spec")
   }
 
+  test("dupMassCurve: redundant mass excludes the kept min-id member; cumulative shares exact") {
+    // cluster {1,2,5}: tokens 14 + 15 + 14; kept = doc 1 (min id) →
+    // dup_tokens = 29. No other cluster (doc 3 is a near-dup of 1 at
+    // low jaccard only; doc 4 unrelated) at 0.8 on these fixtures —
+    // re-derive the expected cluster set from dedupClusters itself so
+    // the test pins the CURVE math, not the clustering
+    val clusters = Dedup.dedupClusters(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    val tokens = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").length.toLong }.toMap
+    val expected = clusters.groupBy(_._2).map { case (cid, members) =>
+      val ids = members.keys.toSeq
+      cid -> (ids.size.toLong, ids.map(tokens).sum - tokens(ids.min))
+    }.filter(_._2._2 > 0)
+    val got = Dedup.dupMassCurve(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    spark.catalog.clearCache()
+    assert(got.map(_._2).toSet === expected.keySet)
+    got.foreach { case (_, cid, nDocs, dup, _, _) =>
+      assert((nDocs, dup) === expected(cid))
+    }
+    // last row's cumulative share covers everything → exactly 10⁶
+    assert(got.last._6 === 1000000L)
+    // cumulative column is the running sum in rank order
+    assert(got.map(_._4).scanLeft(0L)(_ + _).drop(1).toSeq === got.map(_._5).toSeq)
+  }
+
   test("dupEvidenceSpans: one-token edit splits the match into runs; longest certified span wins") {
     // 200 shared tokens, doc 2 edited at index 100: trigram positions
     // 98-100 break, leaving runs [0..97] (span 100) and [101..197]
