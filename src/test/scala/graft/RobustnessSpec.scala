@@ -180,5 +180,12 @@ class RobustnessSpec extends SparkSpec {
     val card = Curation.corpusDiffCard(o, n, "doc_id", "text", "source")
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().head
     assert(card === (("s", 0L, 0L, 1L, 1L, 0L, 0L, 2L)))
+    // evidence / mass-curve on a pairless corpus: empty, never a throw
+    assert(Dedup.dupEvidenceSpans(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .count() === 0)
+    spark.catalog.clearCache()
+    assert(Dedup.dupMassCurve(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .count() === 0)
+    spark.catalog.clearCache()
   }
 }
