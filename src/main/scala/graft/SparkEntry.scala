@@ -1927,7 +1927,7 @@ object SparkEntry {
     * min_by id, the q64 contract), top-K, K-row cumulative window;
     * HUGEINT mirrors for the windowed sum and the share. */
   private def dupMassCurveSql: String =
-    s"""WITH comp AS MATERIALIZED (
+    s"""WITH gcomp AS MATERIALIZED (
            SELECT doc_id, cluster_id FROM ($componentsSql)
          ), tk AS (
            SELECT doc_id,
@@ -1936,7 +1936,7 @@ object SparkEntry {
          ), pc AS MATERIALIZED (
            SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_docs,
              CAST(sum(t) - min_by(t, doc_id) AS BIGINT) AS dup_tokens
-           FROM comp JOIN tk USING (doc_id) GROUP BY cluster_id
+           FROM gcomp JOIN tk USING (doc_id) GROUP BY cluster_id
            HAVING sum(t) - min_by(t, doc_id) > 0
          ), tot AS (
            SELECT CAST(sum(dup_tokens) AS HUGEINT) AS tot FROM pc
@@ -2023,15 +2023,15 @@ object SparkEntry {
            SELECT id, CAST(count(*) AS BIGINT) AS core_deg
            FROM (SELECT u AS id FROM e8 UNION ALL SELECT v AS id FROM e8)
            GROUP BY id
-         ), comp AS MATERIALIZED (
+         ), gcomp AS MATERIALIZED (
            SELECT doc_id, cluster_id, cluster_size FROM ($componentsSql)
          )
-         SELECT deg.src AS doc_id, comp.cluster_id, comp.cluster_size,
+         SELECT deg.src AS doc_id, gcomp.cluster_id, gcomp.cluster_size,
            CAST(deg.deg AS BIGINT) AS degree,
            COALESCE(core.core_deg, 0) AS core_deg,
            round(pr8.pr, 6) AS pagerank
          FROM deg
-         JOIN comp ON comp.doc_id = deg.src
+         JOIN gcomp ON gcomp.doc_id = deg.src
          JOIN pr8 ON pr8.id = deg.src
          LEFT JOIN core ON core.id = deg.src"""
 
@@ -2790,8 +2790,8 @@ object SparkEntry {
            FROM c GROUP BY source
          )
          SELECT source, n_tokens, vocab, n1, n2,
-           CAST((2*n1*1000000 + n_tokens) // (2*n_tokens) AS BIGINT) AS unseen_ppm,
-           CAST(vocab + (2*n1*(n1-1) + 2*(n2+1)) // (4*(n2+1)) AS BIGINT) AS chao1
+           CAST((2*CAST(n1 AS HUGEINT)*1000000 + n_tokens) // (2*CAST(n_tokens AS HUGEINT)) AS BIGINT) AS unseen_ppm,
+           CAST(vocab + (2*CAST(n1 AS HUGEINT)*(n1-1) + 2*(CAST(n2 AS HUGEINT)+1)) // (4*(CAST(n2 AS HUGEINT)+1)) AS BIGINT) AS chao1
          FROM s""",
     // Language agreement: q16's scoring CTEs verbatim, grouped to
     // (source, declared, predicted) cells; shares in half-up micro.

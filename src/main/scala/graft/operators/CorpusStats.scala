@@ -809,11 +809,17 @@ object CorpusStats {
       sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
       sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
       .select(col("source"), col("n_tokens"), col("vocab"), col("n1"), col("n2"),
-        intDiv(lit(2L) * col("n1") * lit(1000000L) + col("n_tokens"),
-          lit(2L) * col("n_tokens")).as("unseen_ppm"),
+        // decimal(38,0) widening (oracle mirrors with HUGEINT): 2·n1·10⁶
+        // overflows Long at n1 ≈ 4.6e12 and the chao1 numerator 2·n1·(n1−1)
+        // already at n1 ≈ 2.1e9 hapax types — reachable for a web-scale
+        // source. IntegralDivide on decimals still emits BIGINT.
+        intDiv(col("n1").cast("decimal(38,0)") * lit(2000000L)
+            + col("n_tokens").cast("decimal(38,0)"),
+          col("n_tokens").cast("decimal(38,0)") * lit(2L)).as("unseen_ppm"),
         (col("vocab") + intDiv(
-          lit(2L) * col("n1") * (col("n1") - 1) + lit(2L) * (col("n2") + 1),
-          lit(4L) * (col("n2") + 1))).as("chao1"))
+          col("n1").cast("decimal(38,0)") * (col("n1") - 1) * lit(2L)
+            + (col("n2").cast("decimal(38,0)") + 1) * lit(2L),
+          (col("n2").cast("decimal(38,0)") + 1) * lit(4L))).as("chao1"))
   }
 
   /** Interpolated Kneser–Ney bigram fluency score (Kneser & Ney 1995;

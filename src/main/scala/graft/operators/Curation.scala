@@ -265,8 +265,11 @@ object Curation {
         sum(when(removed, 1L).otherwise(0L)).as("n_removed"),
         sum(when(changed, 1L).otherwise(0L)).as("n_changed"),
         sum(when(!added && !removed && !changed, 1L).otherwise(0L)).as("n_stable"),
-        sum(when(added, col("__t_n")).otherwise(0L)).as("tok_added"),
-        sum(when(removed, col("__t_o")).otherwise(0L)).as("tok_removed"),
+        // coalesce INSIDE the when: a side whose every row is added (or
+        // removed) with null text would otherwise sum to NULL while the
+        // oracle's COALESCE'd filtered sum reads 0
+        sum(when(added, coalesce(col("__t_n"), lit(0L))).otherwise(0L)).as("tok_added"),
+        sum(when(removed, coalesce(col("__t_o"), lit(0L))).otherwise(0L)).as("tok_removed"),
         (sum(coalesce(col("__t_n"), lit(0L))) -
           sum(coalesce(col("__t_o"), lit(0L)))).as("tok_net"))
   }

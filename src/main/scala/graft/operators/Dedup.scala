@@ -1581,8 +1581,13 @@ object Dedup {
         .withColumn("cum_dup_tokens", sum("dup_tokens").over(w))
         .select(col("rank"), col("cluster_id"), col("cluster_docs"),
           col("dup_tokens"), col("cum_dup_tokens"),
-          intDiv(lit(2L) * col("cum_dup_tokens") * lit(1000000L) + col("__tot"),
-            lit(2L) * col("__tot")).as("cum_share_ppm")),
+          // decimal(38,0) widening mirrors the oracle's HUGEINT: the
+          // 2·cum·10⁶ numerator overflows Long past ~4.6e12 cumulative
+          // redundant tokens — reachable at the 100-TB design scale.
+          // IntegralDivide on decimals still emits BIGINT.
+          intDiv(col("cum_dup_tokens").cast("decimal(38,0)") * lit(2000000L)
+              + col("__tot").cast("decimal(38,0)"),
+            col("__tot").cast("decimal(38,0)") * lit(2L)).as("cum_share_ppm")),
       perCluster)
   }
 

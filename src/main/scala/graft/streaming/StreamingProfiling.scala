@@ -11,7 +11,7 @@ case class NoveltyPresence(entity: Long, day: Long, is_new: Boolean)
   * [[graft.operators.Profiling.noveltyTimeline]]'s first-seen core.
   *
   * Keyed by entity, state = (first flagged day, max emitted day, a
-  * 63-day bitmask of recently emitted days): exactly ONE
+  * 64-day bitmask of recently emitted days): exactly ONE
   * `NoveltyPresence` row per (entity, day), `is_new` on the FIRST day
   * observed for the entity (arrival order — exactly-once per entity).
   * A per-day `groupBy(day).agg(count, count_if(is_new))` over the
@@ -21,9 +21,11 @@ case class NoveltyPresence(entity: Long, day: Long, is_new: Boolean)
   *
   * Out-of-order contract (review fix): a day EARLIER than the
   * entity's max emitted day still emits its presence row as long as
-  * it lies within the 63-day recent window — the bitmask remembers
-  * which of those days already emitted, so in-window late data is
-  * neither lost nor double-emitted. Days further back than 63 days
+  * it lies within the recent window — the bitmask covers days
+  * maxEmitted−0 .. maxEmitted−63, a 64-day window INCLUDING the
+  * current max day — and remembers which of those days already
+  * emitted, so in-window late data is neither lost nor
+  * double-emitted. Days more than 63 days behind the max emitted day
   * are dropped (bounded state is the point; set the watermark delay
   * ≤ 63 days so anything older is behind the watermark anyway).
   * `is_new` keeps exact batch parity when each entity's FIRST event
@@ -99,7 +101,7 @@ object StreamingProfiling {
               if (back < 64 && (recentMask & (1L << back)) == 0L) {
                 recentMask |= 1L << back
                 out += NoveltyPresence(entity, d, is_new = false)
-              } // emitted already, or beyond the 63-day window: drop
+              } // emitted already, or >63 days behind maxEmitted: drop
             }
           }
           state.update((first, maxEmitted, recentMask))
