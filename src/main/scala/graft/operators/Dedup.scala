@@ -1553,11 +1553,27 @@ object Dedup {
     * frame only. */
   def dupMassCurve(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, numHashes: Int, bands: Int,
-                   minJaccard: Double, topK: Int = 20): DataFrame = {
+                   minJaccard: Double, topK: Int = 20): DataFrame =
+    dupMassCurveFromClusters(docs, idCol, textCol,
+      dedupClusters(docs, idCol, textCol, shingleN, numHashes, bands,
+        minJaccard), topK)
+
+  /** [[dupMassCurve]] fed from an EXISTING pair list (e.g. the
+    * persisted LSH index via [[lshPairsIndexed]]) — the production
+    * amortization: the signature pass is paid once at index-build,
+    * not per analysis query. Same output by the q158 pair-set
+    * equivalence. */
+  def dupMassCurveFromPairs(docs: DataFrame, idCol: String, textCol: String,
+                            pairs: DataFrame, topK: Int = 20): DataFrame =
+    dupMassCurveFromClusters(docs, idCol, textCol,
+      connectedComponentsStar(pairs), topK)
+
+  private def dupMassCurveFromClusters(docs: DataFrame, idCol: String,
+                                       textCol: String, clusters: DataFrame,
+                                       topK: Int): DataFrame = {
     import graft.expressions.HashExpressions.intDiv
     import org.apache.spark.sql.expressions.Window
-    val cl = dedupClusters(docs, idCol, textCol, shingleN, numHashes, bands,
-      minJaccard).select(col(idCol), col("cluster_id"))
+    val cl = clusters.select(col(idCol), col("cluster_id"))
     val toks = docs.select(col(idCol),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("__t"))
     val perCluster = cl

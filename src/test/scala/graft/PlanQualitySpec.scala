@@ -1155,4 +1155,25 @@ class PlanQualitySpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lsh_idx_q158")
     }
   }
+
+  test("q175-family: shared pair source reads the persisted index — no signature recompute") {
+    // the graph/cluster analyses (q175/q176/q177/q178/q182) all feed
+    // from ONE shared persisted LSH index: their pair sub-plan must
+    // read the bucketed index table, never re-scan the corpus text or
+    // re-run the MinHash kernel (the production write-once
+    // amortization — VERDICT r9 item 4)
+    val pairs = SparkEntry.sharedDupPairs(spark, dir)
+    val plan = pairs.queryExecution.executedPlan.toString()
+    assert(!plan.contains("documents.parquet"),
+      s"graph-family pairs must read the index, not the corpus text:\n$plan")
+    assert(!plan.contains("min_hash_tokens") && !plan.contains("MinHashTokens"),
+      s"signatures must come from the index, not be recomputed:\n$plan")
+    assert(plan.contains("lsh_idx_shared_"),
+      s"pairs must scan the shared index table:\n$plan")
+    // memoized: a second call reuses the SAME table (no rebuild)
+    val plan2 = SparkEntry.sharedDupPairs(spark, dir)
+      .queryExecution.executedPlan.toString()
+    val tbl = "lsh_idx_shared_[0-9a-f]+".r.findFirstIn(plan).get
+    assert(plan2.contains(tbl), s"second call must reuse $tbl:\n$plan2")
+  }
 }
