@@ -12,9 +12,17 @@ re-run instead. Rounds 7 and 8 both shipped driver artifacts whose >2x
 rows were contention spikes (clean re-measures made every one vanish),
 so the rule now runs as code against the artifact itself.
 
-Exit codes: 0 = clean (no true flags), 1 = real >2x flags on an
-uncontended run, 2 = contended (artifact unusable as perf evidence),
-3 = input error (missing/failed queries or no baseline overlap).
+Round 10: full-suite artifacts are SELF-adjudicating — Bench re-runs
+each >2x row 4 more times in the same JVM after the main passes and
+embeds the floors under "adjudicated"; this gate clears flags whose
+floor is within 2x (suite-context noise) and confirms the rest, so no
+manual subset re-measure is needed for adjudicated artifacts.
+
+Exit codes: 0 = clean (no true flags, incl. all flags adjudicated
+clean), 1 = real >2x flags (adjudication-confirmed, or isolated with
+no embedded floor), 2 = contended or unadjudicated spike-consistent
+flags (re-run needed), 3 = input error (missing/failed queries or no
+baseline overlap).
 """
 import json
 import re
@@ -97,8 +105,20 @@ def main():
     for n, infl in over2x:
         (spiky if neighborhood_median(n) >= 1.4 else isolated).append((n, infl))
 
+    # Self-adjudication (round 10): Bench re-runs each >2x row 4 more
+    # times in the same JVM right after the main passes and embeds the
+    # floor under "adjudicated". A floor within 2x of baseline clears
+    # the flag without any second run; a floor still >2x CONFIRMS it.
+    adjud = bench.get("adjudicated", {}) or {}
+
+    def adjudicated_infl(name):
+        f = adjud.get(name)
+        b = paired[name][1]
+        return (f / b) if f and f > 0 and b > 0 else None
+
     print(f"FLAG: uncontended median ({median:.2f}x) but "
           f"{len(over2x)} queries over 2x:")
+    cleared, confirmed = [], []
     for n, infl in over2x:
         v, b = paired[n]
         reps = samples.get(n)
@@ -109,21 +129,42 @@ def main():
             if max(ok) / min(ok) > 3.0:
                 spread += " (wide spread: min itself may be contended)"
         kind = "SPIKE-CONSISTENT" if (n, infl) in spiky else "ISOLATED"
+        ai = adjudicated_infl(n)
+        verdict = ""
+        if ai is not None:
+            if ai <= 2.0:
+                cleared.append(n)
+                verdict = (f"  ADJUDICATED-CLEAN: in-run REPS=4 floor "
+                           f"{adjud[n]:.2f}s = {ai:.2f}x")
+            else:
+                confirmed.append(n)
+                verdict = (f"  ADJUDICATED-REAL: in-run REPS=4 floor "
+                           f"{adjud[n]:.2f}s = {ai:.2f}x still >2x")
         print(f"  {n}: {v:.2f}s vs baseline {b:.2f}s = {infl:.2f}x "
-              f"[{kind}, neighborhood {neighborhood_median(n):.2f}x]{spread}")
-    if spiky:
-        print(f"{len(spiky)} flags are spike-consistent (their run-order "
-              f"neighbors are also inflated) — re-measure before treating "
-              f"as real:")
+              f"[{kind}, neighborhood {neighborhood_median(n):.2f}x]"
+              f"{spread}{verdict}")
+    if cleared:
+        print(f"{len(cleared)} flags cleared by the embedded adjudication "
+              f"(suite-context noise): {', '.join(cleared)}")
+    unadjudicated_spiky = [n for n, _ in spiky if n not in adjud]
+    if unadjudicated_spiky:
+        print(f"{len(unadjudicated_spiky)} flags are spike-consistent with no "
+              f"embedded adjudication — re-measure before treating as real:")
         print("  SPARK_GRAFT_BENCH_ONLY="
-              + ",".join(n for n, _ in spiky)
+              + ",".join(unadjudicated_spiky)
               + " SPARK_GRAFT_BENCH_REPS=4 sbt 'runMain graft.Bench'")
-    if isolated:
-        print(f"{len(isolated)} flags are isolated (neighbors clean) — REAL "
-              f"perf suspects; bisect or re-baseline: "
-              + ", ".join(n for n, _ in isolated))
+    real = confirmed + [n for n, _ in isolated
+                        if n not in adjud and n not in confirmed]
+    if real:
+        print(f"{len(real)} REAL perf suspects (adjudication-confirmed or "
+              f"isolated with no embedded floor); bisect or re-baseline: "
+              + ", ".join(real))
         return 1
-    return 2
+    if unadjudicated_spiky:
+        return 2
+    print("CLEAN: every >2x flag adjudicated as suite-context noise "
+          "by the embedded in-run re-measure.")
+    return 0
 
 
 if __name__ == "__main__":

@@ -99,9 +99,38 @@ object Bench {
       // in dev/bench_gate.py so artifact and gate agree on the verdict)
       else (inflations(inflations.size / 2 - 1) + inflations(inflations.size / 2)) / 2.0
     val contended = medianInfl >= 1.5
+    // ---- self-adjudication ---------------------------------------------
+    // Three rounds running, every >2x flag in a full-suite artifact has
+    // resolved via a MANUAL same-host subset re-measure (q90/q145/q91/
+    // q92/q94/q111/q05 — all suite-context JIT/GC noise). Do that
+    // re-measure HERE, in the same JVM, right after the main passes
+    // while the host state that produced the flag still holds: re-run
+    // each >2x row 4 more times back-to-back and embed the floor, so
+    // the artifact is SELF-adjudicating and the driver never needs a
+    // second run to classify a flag (dev/bench_gate.py consumes it).
+    // Subset runs skip this (they ARE the manual re-measure); a
+    // contended run skips it too (nothing measured under contention is
+    // evidence). Cost bound: ≤ 8 flags × 4 reps.
+    val adjudicated: Seq[(String, Double)] =
+      if (only.nonEmpty || contended) Seq.empty
+      else results.collect {
+        case (n, v) if v > 0 && baseline.get(n).exists(b => b > 0 && v / b > 2.0) => n
+      }.take(8).map { n =>
+        val fn = SparkEntry.queries(n)
+        val floors = (1 to 4).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+          val e = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          if (ok) e else Double.MaxValue
+        }
+        n -> floors.min
+      }
+    val adjJson = adjudicated
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""samples":$sampleJson,"reps":$reps,"median_inflation":$medianInfl,""" +
-      s""""contended":$contended,"sf":"$sfDir"}"""
+      s""""contended":$contended,"adjudicated":$adjJson,"sf":"$sfDir"}"""
     println(json)
     // also write the FULL per-query JSON to a file: the driver's stdout
     // tail capture truncates a third of the suite (BENCH_r06 lost
