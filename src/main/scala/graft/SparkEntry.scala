@@ -30,14 +30,18 @@ object SparkEntry {
   /** Exact order-independent sum of a double column via decimal. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
 
-  /** Shared persisted-LSH pair source for the graph family (q175/q176/
-    * q177/q178/q182): the q19 pair list read from the write-once
-    * bucketed index (q158's layout) instead of re-hashing the corpus
-    * per query — the production amortization where one index build
-    * feeds every downstream graph/cluster analysis. Built at most once
-    * per (session, dir); the pair SET is identical to
-    * `minHashLshPairs` by the pigeonhole equivalence (q158's oracle is
-    * the q19 SQL), so every consumer's oracle is unchanged. */
+  /** Shared persisted-LSH pair source for every pair-CONSUMING
+    * analysis (graph family q175/q176/q177/q178/q182; cluster
+    * analyses q64/q109/q112/q122/q157/q181; q123's candidate leg):
+    * the q19 pair list read from the write-once bucketed index
+    * (q158's layout) instead of re-hashing the corpus per query — the
+    * production amortization where one index build feeds every
+    * downstream analysis. q19/q47/q68/q158 keep their from-scratch
+    * paths: they ARE the sketch/label/build operators under test.
+    * Built at most once per (session, dir); the pair SET is identical
+    * to `minHashLshPairs` by the pigeonhole equivalence (q158's
+    * oracle is the q19 SQL), so every consumer's oracle is
+    * unchanged. */
   private val lshIdxMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private[graft] def sharedDupPairs(s: SparkSession, dir: String): DataFrame = {
@@ -655,7 +659,8 @@ object SparkEntry {
     //    via ONE anti-join on the id — doc rows never enter clustering ──
     "q64_dedup_materialize" -> ((s, dir) =>
       Dedup.dedupedCorpus(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+          shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
+          pairsIn = Some(sharedDupPairs(s, dir)))
         .select("doc_id", "lang", "source", "n_chars")),
 
     // ── document chunking: fixed-size token windows with overlap —
@@ -999,7 +1004,7 @@ object SparkEntry {
     "q109_leakage_safe_split" -> ((s, dir) =>
       Sampling.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
-        holdoutKeep = 10)),
+        holdoutKeep = 10, pairsIn = Some(sharedDupPairs(s, dir)))),
 
     // ── per-source winsorization: q45's interpolated percentile
     //    bounds, catalog-sized bounds broadcast back onto the ranked
@@ -1022,7 +1027,8 @@ object SparkEntry {
     //    ≤max-size groups; singleton row from two 1-row broadcasts ──
     "q112_dup_cluster_stats" -> ((s, dir) =>
       Dedup.dupClusterStats(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
+        pairsIn = Some(sharedDupPairs(s, dir)))),
 
     // ── Heaps-law vocab growth: one cached tokenize → two combinable
     //    shuffles; everything after is ≤parts-row algebra ──
@@ -1249,7 +1255,8 @@ object SparkEntry {
     //    id→source map twice (ids only); ≤|sources|² output rows ──
     "q157_cross_source_dups" -> ((s, dir) =>
       Dedup.crossSourceDupMatrix(t(s, dir, "documents"), "doc_id", "text",
-        "source", shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
+        "source", shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
+        pairsIn = Some(sharedDupPairs(s, dir)))),
 
     // ── PERSISTED LSH index: signatures hashed ONCE and written as a
     //    native bucketed table on (band, bucket); the pair self-join is
@@ -1357,7 +1364,8 @@ object SparkEntry {
     //    → longest certified common run, one row per pair ──
     "q181_dup_evidence" -> ((s, dir) =>
       Dedup.dupEvidenceSpans(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
+        pairsIn = Some(sharedDupPairs(s, dir)))),
 
     // ── HITS over the directed continuation graph: 4 fixed alternating
     //    phases, raw sums checkpointed before the self-referencing L2
@@ -1471,14 +1479,16 @@ object SparkEntry {
     "q123_lsh_recall" -> ((s, dir) =>
       operators.Dedup.lshJaccardRecall(t(s, dir, "documents"), "doc_id",
         "text", shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
-        maxShingleFreq = Some(1000))),
+        maxShingleFreq = Some(1000),
+        candPairsIn = Some(sharedDupPairs(s, dir)))),
 
     // ── quality-aware dedup representatives: the cluster label frame
     //    (ids only) joins the quality kernel; exact-integer quality
     //    rank — who actually survives each cluster ──
     "q122_quality_reps" -> ((s, dir) =>
       operators.Dedup.qualityRepresentatives(t(s, dir, "documents"), "doc_id",
-        "text", shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)),
+        "text", shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
+        pairsIn = Some(sharedDupPairs(s, dir)))),
 
     // ── PQ + exact re-rank (IVFADC+R): the ADC shortlist broadcasts
     //    back onto the corpus scan for full-precision re-scoring —

@@ -252,10 +252,11 @@ object Dedup {
     * keyed windows, no global sort. Output: one row per pair. */
   def dupEvidenceSpans(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int, bands: Int,
-                       minJaccard: Double): DataFrame = {
+                       minJaccard: Double,
+                       pairsIn: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = minHashLshPairs(docs, idCol, textCol, shingleN, numHashes,
-      bands, minJaccard).select("id_a", "id_b").cache()
+    val pairs = pairsIn.getOrElse(minHashLshPairs(docs, idCol, textCol,
+      shingleN, numHashes, bands, minJaccard)).select("id_a", "id_b").cache()
     val pos = docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= shingleN)
@@ -1403,8 +1404,13 @@ object Dedup {
     * `useStar = false` keeps the min-label path selectable. */
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, numHashes: Int, bands: Int,
-                    minJaccard: Double, useStar: Boolean = true): DataFrame = {
-    val pairs = minHashLshPairs(docs, idCol, textCol, shingleN, numHashes, bands, minJaccard)
+                    minJaccard: Double, useStar: Boolean = true,
+                    pairsIn: Option[DataFrame] = None): DataFrame = {
+    // pairsIn: feed from a persisted LSH index (lshPairsIndexed) — the
+    // write-once amortization; identical output by the q158 pair-set
+    // equivalence
+    val pairs = pairsIn.getOrElse(
+      minHashLshPairs(docs, idCol, textCol, shingleN, numHashes, bands, minJaccard))
     if (useStar) connectedComponentsStar(pairs) else connectedComponents(pairs)
   }
 
@@ -1417,9 +1423,10 @@ object Dedup {
     * never shuffled into the clustering, only their ids meet it. */
   def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, numHashes: Int, bands: Int,
-                    minJaccard: Double): DataFrame = {
+                    minJaccard: Double,
+                    pairsIn: Option[DataFrame] = None): DataFrame = {
     val clusters = dedupClusters(docs, idCol, textCol, shingleN, numHashes,
-      bands, minJaccard)
+      bands, minJaccard, pairsIn = pairsIn)
     val drop = clusters.where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
@@ -1443,12 +1450,15 @@ object Dedup {
   def lshJaccardRecall(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int, bands: Int,
                        minJaccard: Double,
-                       maxShingleFreq: Option[Int] = None): DataFrame = {
+                       maxShingleFreq: Option[Int] = None,
+                       candPairsIn: Option[DataFrame] = None): DataFrame = {
     import graft.expressions.HashExpressions.intDiv
     val truth = ngramJaccardPairs(docs, idCol, textCol, shingleN, minJaccard,
       maxShingleFreq).select("id_a", "id_b").cache()
-    val cand = minHashLshPairs(docs, idCol, textCol, shingleN, numHashes,
-      bands, minJaccard).select("id_a", "id_b").cache()
+    // candPairsIn amortizes only the CANDIDATE leg (the sketch pass);
+    // the exact-Jaccard truth leg is the eval's point and always runs
+    val cand = candPairsIn.getOrElse(minHashLshPairs(docs, idCol, textCol,
+      shingleN, numHashes, bands, minJaccard)).select("id_a", "id_b").cache()
     val nt = truth.agg(count(lit(1)).as("n_true"))
     val nc = cand.agg(count(lit(1)).as("n_cand"))
     val nh = truth.join(cand, Seq("id_a", "id_b"))
@@ -1484,9 +1494,10 @@ object Dedup {
     * rep_id, rep_q_micro, min_q_micro, n_dropped). */
   def qualityRepresentatives(docs: DataFrame, idCol: String, textCol: String,
                              shingleN: Int, numHashes: Int, bands: Int,
-                             minJaccard: Double): DataFrame = {
+                             minJaccard: Double,
+                             pairsIn: Option[DataFrame] = None): DataFrame = {
     val cl = dedupClusters(docs, idCol, textCol, shingleN, numHashes, bands,
-      minJaccard)
+      minJaccard, pairsIn = pairsIn)
     val q = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.qualityMicro(col(textCol)).as("q_micro"))
     val w = Window.partitionBy("cluster_id")
@@ -1516,9 +1527,10 @@ object Dedup {
     * Output: (cluster_size, n_clusters, n_docs, n_redundant). */
   def dupClusterStats(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numHashes: Int, bands: Int,
-                      minJaccard: Double): DataFrame = {
+                      minJaccard: Double,
+                      pairsIn: Option[DataFrame] = None): DataFrame = {
     val cl = dedupClusters(docs, idCol, textCol, shingleN, numHashes, bands,
-      minJaccard)
+      minJaccard, pairsIn = pairsIn)
     val bySize = cl.groupBy("cluster_size")
       .agg(countDistinct("cluster_id").as("n_clusters"),
         count(lit(1)).as("n_docs"))
@@ -1943,10 +1955,11 @@ object Dedup {
     * share_micro). */
   def crossSourceDupMatrix(docs: DataFrame, idCol: String, textCol: String,
                            srcCol: String, shingleN: Int, numHashes: Int,
-                           bands: Int, minJaccard: Double): DataFrame = {
+                           bands: Int, minJaccard: Double,
+                           pairsIn: Option[DataFrame] = None): DataFrame = {
     import graft.expressions.HashExpressions.intDiv
-    val pairs = minHashLshPairs(docs, idCol, textCol, shingleN, numHashes,
-      bands, minJaccard)
+    val pairs = pairsIn.getOrElse(minHashLshPairs(docs, idCol, textCol,
+      shingleN, numHashes, bands, minJaccard))
     val src = docs.select(col(idCol), col(srcCol).as("__src"))
     val m = pairs
       .join(src.select(col(idCol).as("id_a"), col("__src").as("__sa")), "id_a")

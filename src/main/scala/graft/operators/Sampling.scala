@@ -527,10 +527,11 @@ object Sampling {
   def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int, bands: Int,
                        minJaccard: Double, holdoutKeep: Int, outOf: Int = 100,
-                       seed: String = "graft"): DataFrame = {
+                       seed: String = "graft",
+                       pairsIn: Option[DataFrame] = None): DataFrame = {
     require(holdoutKeep >= 0 && holdoutKeep <= outOf && outOf > 0)
     val clusters = Dedup.dedupClusters(docs, idCol, textCol, shingleN,
-        numHashes, bands, minJaccard)
+        numHashes, bands, minJaccard, pairsIn = pairsIn)
       .select(col("doc_id").as(idCol), col("cluster_id"))
     docs.select(col(idCol))
       .join(clusters, Seq(idCol), "left")

@@ -52,6 +52,44 @@ object Datagen {
     customersProjection(
       spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load())
 
+  /** documents-shaped synthetic corpus for scale smokes: `n`
+    * deterministic rows with a near-dup FAMILY structure — 4-doc
+    * families whose non-leader members mutate exactly one token, so
+    * within-family trigram Jaccard is ≈ 0.9 (3 of ~58 trigrams
+    * touched), well over the suite's 0.8 LSH threshold, while
+    * cross-family similarity is noise. Dedup/LSH/cluster/graph plans
+    * therefore see the same candidate-pair and component shape as a
+    * real boilerplate-heavy corpus, at any chosen scale.
+    *
+    * Pure projection of a counter (no randomness): the 10× corpus
+    * contains the 1× corpus's rows as a prefix, which is what lets a
+    * scale test attribute wall-time growth to data volume alone. */
+  def documentsBatch(spark: SparkSession, n: Long,
+                     docTokens: Int = 60): DataFrame = {
+    val v = col("id")
+    val fam = (v - pmod(v, lit(4L))).as("__fam")
+    val mutPos = pmod(xxhash64(lit("mp"), v), lit(docTokens))
+    val toks = transform(sequence(lit(0), lit(docTokens - 1)), i => {
+      val familyWord = concat(lit("w"),
+        pmod(xxhash64(lit("tok"), col("__fam"), i), lit(4000)))
+      val ownWord = concat(lit("x"),
+        pmod(xxhash64(lit("own"), v, i), lit(4000)))
+      when(v =!= col("__fam") && i.cast("long") === mutPos, ownWord)
+        .otherwise(familyWord)
+    })
+    spark.range(n)
+      .withColumn("__fam", fam)
+      .select(
+        v.as("doc_id"),
+        concat_ws(" ", toks).as("text"),
+        element_at(array(lit("en"), lit("de"), lit("fr"), lit("es")),
+          (pmod(xxhash64(lit("lg"), col("__fam")), lit(4)) + 1).cast("int"))
+          .as("lang"),
+        concat(lit("s"), pmod(xxhash64(lit("src"), col("__fam")), lit(8)))
+          .as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   def ordersStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
     ordersProjection(
       spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load())

@@ -1029,14 +1029,21 @@ class PlanQualitySpec extends SparkSpec {
     //  2. the RETURNED plan contains no MinHash expression — the loop's
     //     localCheckpoint must fully materialize clustering, otherwise
     //     every downstream action re-executes the LSH join cascade.
-    val composites = Seq("q102_pipeline_manifest", "q109_leakage_safe_split",
-      "q112_dup_cluster_stats", "q122_quality_reps")
-    for (name <- composites) {
+    // round 10: the analysis composites feed from the shared persisted
+    // LSH index (SparkEntry.sharedDupPairs), so they must build the
+    // from-scratch pair list ZERO times; q102 keeps the from-scratch
+    // path (it is the one-pass pipeline-manifest contract) and must
+    // build it exactly once
+    val composites = Seq("q102_pipeline_manifest" -> 1L,
+      "q109_leakage_safe_split" -> 0L, "q112_dup_cluster_stats" -> 0L,
+      "q122_quality_reps" -> 0L)
+    for ((name, expected) <- composites) {
       val before = graft.operators.Dedup.lshPairsInvocations.get()
       val df = SparkEntry.queries(name)(spark, dir)
       val calls = graft.operators.Dedup.lshPairsInvocations.get() - before
-      assert(calls === 1L,
-        s"$name built the LSH pair list $calls times — clustering must run once")
+      assert(calls === expected,
+        s"$name built the LSH pair list $calls times — expected $expected " +
+          "(indexed composites read sharedDupPairs, never re-sketch)")
       val plan = org.apache.spark.sql.GraftSqlBridge.analyzedPlan(df)
       val leaked = plan.exists(_.expressions.exists(_.exists(
         _.isInstanceOf[graft.expressions.MinHashTokens])))

@@ -1,0 +1,149 @@
+package graft
+
+import graft.operators.{Dedup, Graph, Sampling}
+import graft.sources.Datagen
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Load-proof for the 100-TB design claims (VERDICT r9 item 5): the
+  * plan-shape guards in PlanQualitySpec pin WHAT the hot paths do;
+  * this spec measures HOW their wall-time actually grows when the
+  * corpus grows 10×, end-to-end on a synthetic near-dup corpus from
+  * the engine's own Datagen.
+  *
+  * Opt-in (slow): set SPARK_GRAFT_SCALE_SMOKE=1 — e.g.
+  *   SPARK_GRAFT_SCALE_SMOKE=1 sbt "testOnly graft.ScaleSmokeSpec"
+  * Otherwise every test cancels, keeping `sbt test` fast.
+  *
+  * What is asserted:
+  *  - wall-time growth at 10× data stays under ratio 30 per operator
+  *    (exponent < log(30)/log(10) ≈ 1.48 — catches anything quadratic,
+  *    which would read ~100×, while tolerating shuffle log factors and
+  *    per-stage scheduling overhead that DEFLATES the small run);
+  *  - the driver's retained heap does not grow with corpus size
+  *    (bounded-collect contract: everything driver-side is
+  *    parameter-bounded, so 10× data must not show up on the heap).
+  *
+  * The measured exponents on an idle host are recorded in
+  * ARCHITECTURE.md §"Scale smoke"; they are evidence, not the gate —
+  * the gate is the ratio bound, loose enough to be host-stable. */
+class ScaleSmokeSpec extends SparkSpec {
+
+  private val enabled = sys.env.get("SPARK_GRAFT_SCALE_SMOKE").contains("1")
+  private val n1 = 3000L
+  private val n2 = 30000L
+
+  /** The hot paths the verdict named: q19 pairs, q47 clustering,
+    * q158 index build+pairs, q109 leakage split, q111 contamination,
+    * q112 cluster stats, q178 graph manifest. Each consumes the docs
+    * frame end-to-end and materializes its result with count(). */
+  private def ops: Seq[(String, DataFrame => Unit)] = Seq(
+    "q19_pairs" -> { docs =>
+      Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.8).count(); ()
+    },
+    "q47_clusters" -> { docs =>
+      Dedup.dedupClusters(docs, "doc_id", "text", 3, 64, 16, 0.8).count(); ()
+    },
+    "q158_index_build_pairs" -> { docs =>
+      Dedup.buildLshIndex(docs, "doc_id", "text", "lsh_idx_smoke", 3, 64, 16)
+      try Dedup.lshPairsIndexed(spark, "lsh_idx_smoke", "doc_id", 64, 0.8).count()
+      finally spark.sql("DROP TABLE IF EXISTS lsh_idx_smoke")
+      ()
+    },
+    "q109_leakage_split" -> { docs =>
+      Sampling.leakageSafeSplit(docs, "doc_id", "text", 3, 64, 16, 0.8,
+        holdoutKeep = 10).count(); ()
+    },
+    "q111_contamination" -> { docs =>
+      val b = Sampling.md5Bucket("doc_id", 100)
+      Dedup.evalSpanContamination(docs.where(b < 80), docs.where(b >= 80),
+        "doc_id", "text", k = 10).count(); ()
+    },
+    "q112_cluster_stats" -> { docs =>
+      Dedup.dupClusterStats(docs, "doc_id", "text", 3, 64, 16, 0.8).count(); ()
+    },
+    "q178_graph_manifest" -> { docs =>
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        .cache()
+      try Graph.manifest(pairs, Dedup.connectedComponentsStar(pairs)).count()
+      finally pairs.unpersist()
+      ()
+    })
+
+  private def corpus(n: Long): DataFrame =
+    // materialized once per scale so generation cost is not billed to
+    // the operators (real corpora are parquet, not a projection)
+    Datagen.documentsBatch(spark, n).localCheckpoint()
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Retained-heap measurement that accounts for Spark's ASYNC block
+    * cleanup: in local mode the executor block store shares the
+    * driver heap, and the iterative operators' per-round
+    * `localCheckpoint` blocks are only freed when the ContextCleaner
+    * notices their RDDs are unreachable — minutes after the query, if
+    * the JVM is busy. Everything is done when this is called, so
+    * first drop every still-registered block deterministically, then
+    * poll gc until the reading stabilizes (min of 20 samples). What
+    * remains is genuinely retained driver state. */
+  private def usedHeapMb(): Long = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val rt = Runtime.getRuntime
+    var best = Long.MaxValue
+    var i = 0
+    while (i < 20) {
+      System.gc(); Thread.sleep(300)
+      best = math.min(best, (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
+      i += 1
+    }
+    best
+  }
+
+  test("dedup/graph hot paths grow near-linearly from 1x to 10x; driver heap stays flat") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_SMOKE=1 to run the scale smoke")
+    // JIT/codegen warmup on a tiny corpus so the 1x run isn't billed
+    // compilation cost that the 10x run inherits for free
+    val warm = corpus(500)
+    ops.foreach { case (_, f) => f(warm); spark.catalog.clearCache() }
+    warm.unpersist()
+
+    val small = corpus(n1)
+    val t1 = ops.map { case (name, f) =>
+      val t = time(f(small)); spark.catalog.clearCache(); name -> t
+    }
+    small.unpersist()
+    val heapAfterSmall = usedHeapMb()
+
+    val big = corpus(n2)
+    val t2 = ops.map { case (name, f) =>
+      val t = time(f(big)); spark.catalog.clearCache(); name -> t
+    }
+    big.unpersist()
+    val heapAfterBig = usedHeapMb()
+
+    val report = t1.zip(t2).map { case ((name, a), (_, b)) =>
+      val ratio = b / a
+      val exponent = math.log(ratio) / math.log(n2.toDouble / n1)
+      f"$name%-24s ${a}%8.2fs -> ${b}%8.2fs  ratio ${ratio}%6.2fx  exp ${exponent}%5.2f"
+    }.mkString("\n")
+    info(s"scale smoke ${n1} -> ${n2} rows:\n$report")
+    info(s"driver heap after 1x: ${heapAfterSmall} MB; after 10x: ${heapAfterBig} MB")
+
+    t1.zip(t2).foreach { case ((name, a), (_, b)) =>
+      assert(b / a < 30.0,
+        f"$name grew ${b / a}%.1fx on 10x data (exp ${math.log(b / a) / math.log(10)}%.2f) — superlinear; plan regressed:\n$report")
+    }
+    // bounded-collect contract: a 10x corpus must not appear on the
+    // driver heap (centroids/probe buckets/domain vectors are all
+    // parameter-bounded). 512 MB of slack absorbs JVM noise; a
+    // corpus-sized collect at n2 (30k docs x ~400 B text + plan
+    // overhead) would blow well past it if anything data-sized leaked.
+    assert(heapAfterBig - heapAfterSmall < 512,
+      s"driver heap grew ${heapAfterBig - heapAfterSmall} MB from 1x to 10x — something corpus-sized is retained driver-side")
+  }
+}
