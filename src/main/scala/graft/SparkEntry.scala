@@ -44,15 +44,16 @@ object SparkEntry {
     * unchanged. */
   private val lshIdxMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-  private[graft] def sharedDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val table = lshIdxMemo.getOrElseUpdate((s, dir), {
+  private[graft] def sharedLshIndexTable(s: SparkSession, dir: String): String =
+    lshIdxMemo.getOrElseUpdate((s, dir), {
       val tbl = "lsh_idx_shared_" + java.lang.Integer.toHexString(dir.hashCode)
       Dedup.buildLshIndex(t(s, dir, "documents"), "doc_id", "text", tbl,
         shingleN = 3, numHashes = 64, bands = 16)
       tbl
     })
-    Dedup.lshPairsIndexed(s, table, "doc_id", numHashes = 64, minJaccard = 0.8)
-  }
+  private[graft] def sharedDupPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshPairsIndexed(s, sharedLshIndexTable(s, dir), "doc_id",
+      numHashes = 64, minJaccard = 0.8)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1367,6 +1368,55 @@ object SparkEntry {
         shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
         pairsIn = Some(sharedDupPairs(s, dir)))),
 
+    // ── LOGICAL DELETE on the persisted LSH index: tombstoned ids
+    //    broadcast-anti-join off the index scan before pairing, so the
+    //    pair set is exactly the one over corpus ∖ deleted — the
+    //    GDPR/retraction path, no index rebuild, pair join still
+    //    exchange-free ──
+    "q183_lsh_tombstones" -> ((s, dir) =>
+      Dedup.lshPairsIndexed(s, sharedLshIndexTable(s, dir), "doc_id",
+        numHashes = 64, minJaccard = 0.8,
+        tombstones = Some(t(s, dir, "documents")
+          .where(col("doc_id") % 7 === 0).select("doc_id")))),
+
+    // ── INCREMENTAL IVF maintenance: index built on the even half's
+    //    vectors (its sampled centroids become the FIXED quantizer),
+    //    odd half appended with that same sidecar matrix — probes then
+    //    see the union corpus through the unchanged partition-pruned
+    //    scan. The oracle replays the fixed-quantizer semantics: cent
+    //    from the even half, assignment over everything ──
+    "q184_ivf_index_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/ivf_idx_q184"
+      Similarity.buildIvfIndex(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", idxDir, nCentroids = 16)
+      Similarity.appendToIvfIndex(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", idxDir)
+      Similarity.ivfKnnIndexed(s, idxDir, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 6)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("cos_sim"))
+    }),
+
+    // ── LOGICAL DELETE on the persisted IVF index: tombstoned vector
+    //    ids anti-join off the pruned scan — deleted rows stop being
+    //    neighbors immediately, queries keep working, physical cleanup
+    //    is the compaction (spec-verified) ──
+    "q185_ivf_tombstones" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/ivf_idx_q185"
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", idxDir,
+        nCentroids = 16)
+      Similarity.ivfKnnIndexed(s, idxDir, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 6,
+          tombstones = Some(emb.where(col("vec_id") % 5 === 0)
+            .select("vec_id")))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("cos_sim"))
+    }),
+
     // ── HITS over the directed continuation graph: 4 fixed alternating
     //    phases, raw sums checkpointed before the self-referencing L2
     //    normalize; side-less nodes score 0 ──
@@ -1581,13 +1631,58 @@ object SparkEntry {
          JOIN sizes sb ON id_b = sb.doc_id
          WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8"""
 
-  private def minhashPairsSql: String = {
+  /** DuckDB replay of the IVF family (q39/q184/q185): centroids from
+    * `centWhere`'s rows (the fixed quantizer — q184 trains on the
+    * pre-append half), assignment over `assignWhere`'s rows (q185
+    * tombstones delete neighbors, never probes). Both "TRUE" = q39. */
+  private def ivfKnnSql(centWhere: String, assignWhere: String): String =
+    s"""WITH cent AS (
+           SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cpos,
+                  CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE $centWhere
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+         ), assign AS (
+           SELECT e.vec_id AS neighbor_id, cpos
+           FROM embeddings e CROSS JOIN cent
+           WHERE $assignWhere
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ce) DESC, cpos ASC) = 1
+         ), probes AS (
+           SELECT q.vec_id AS query_id, cpos
+           FROM embeddings q CROSS JOIN cent
+           WHERE q.vec_id < 10
+           QUALIFY row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ce) DESC, cpos ASC) <= 6
+         ), cand AS (
+           SELECT query_id, neighbor_id
+           FROM probes JOIN assign USING (cpos)
+           WHERE query_id <> neighbor_id
+         ), scored AS (
+           SELECT query_id, neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                        neighbor_id ASC) AS rank
+           FROM cand
+           JOIN embeddings q ON query_id = q.vec_id
+           JOIN embeddings c ON neighbor_id = c.vec_id
+         )
+         SELECT query_id, rank, neighbor_id, round(sim, 6) AS cos_sim
+         FROM scored WHERE rank <= 5"""
+
+  private def minhashPairsSql: String = minhashPairsSqlWhere("TRUE")
+
+  /** q19's pair CTEs over a FILTERED document set — the oracle for the
+    * tombstone read path (q183): pairs over corpus ∖ deleted equal the
+    * full index anti-joined on the tombstones, because bucket
+    * membership is per-doc. */
+  private def minhashPairsSqlWhere(docWhere: String): String = {
     def parse12(start: Int) =
       s"CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + $start AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT)"
     s"""WITH t AS (
            SELECT doc_id,
              string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
-           FROM documents
+           FROM documents WHERE $docWhere
          ), sh AS (
            SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, len(toks) - 1),
@@ -2961,6 +3056,17 @@ object SparkEntry {
     "q180_continuation_hits" -> continuationHitsSql,
     "q181_dup_evidence" -> dupEvidenceSql,
     "q182_dup_mass_curve" -> dupMassCurveSql,
+    // Tombstone read path: pairs over corpus MINUS the deleted ids —
+    // equal to the full-index anti-join because bucket membership is
+    // per-doc (removing a doc only removes its candidacy).
+    "q183_lsh_tombstones" -> minhashPairsSqlWhere("NOT (doc_id % 7 = 0)"),
+    // Fixed-quantizer append: centroids from the even half only,
+    // assignment over the full (post-append) corpus.
+    "q184_ivf_index_append" ->
+      ivfKnnSql(centWhere = "vec_id % 2 = 0", assignWhere = "TRUE"),
+    // IVF tombstones delete NEIGHBORS (assign rows), never probes.
+    "q185_ivf_tombstones" ->
+      ivfKnnSql(centWhere = "TRUE", assignWhere = "NOT (e.vec_id % 5 = 0)"),
     // Per-day novelty: first-seen via min-window over each key's
     // (key, day) presence rows; exact half-up micro shares (integer
     // ratios CAN tie at the 6th decimal — the q82 rule).
@@ -3686,39 +3792,7 @@ object SparkEntry {
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""",
     // IVF ANN: centroid sample keyed on md5-hex string order, nearest-
     // centroid assignment, nProbe=6 probed clusters, exact rerank.
-    "q39_knn_ivf" ->
-      """WITH cent AS (
-           SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cpos,
-                  CAST(embedding AS DOUBLE[]) AS ce
-           FROM embeddings
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
-         ), assign AS (
-           SELECT e.vec_id AS neighbor_id, cpos
-           FROM embeddings e CROSS JOIN cent
-           QUALIFY row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ce) DESC, cpos ASC) = 1
-         ), probes AS (
-           SELECT q.vec_id AS query_id, cpos
-           FROM embeddings q CROSS JOIN cent
-           WHERE q.vec_id < 10
-           QUALIFY row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ce) DESC, cpos ASC) <= 6
-         ), cand AS (
-           SELECT query_id, neighbor_id
-           FROM probes JOIN assign USING (cpos)
-           WHERE query_id <> neighbor_id
-         ), scored AS (
-           SELECT query_id, neighbor_id,
-             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
-                        neighbor_id ASC) AS rank
-           FROM cand
-           JOIN embeddings q ON query_id = q.vec_id
-           JOIN embeddings c ON neighbor_id = c.vec_id
-         )
-         SELECT query_id, rank, neighbor_id, round(sim, 6) AS cos_sim
-         FROM scored WHERE rank <= 5""",
+    "q39_knn_ivf" -> ivfKnnSql(centWhere = "TRUE", assignWhere = "TRUE"),
     "q24_setops" ->
       """SELECT 'both' AS tag, c_custkey FROM
            (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)

@@ -361,9 +361,18 @@ object Dedup {
     * back to a signature table: the only shuffle in the whole query is
     * the candidate-pair `distinct`. */
   def lshPairsIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
-                      idCol: String, numHashes: Int,
-                      minJaccard: Double): DataFrame = {
-    val banded = spark.table(table)
+                      idCol: String, numHashes: Int, minJaccard: Double,
+                      tombstones: Option[DataFrame] = None): DataFrame = {
+    // tombstones: deleted-doc ids (one `idCol` column) anti-joined off
+    // the index scan BEFORE pairing — the logical-delete half of the
+    // maintenance story (GDPR/right-to-be-forgotten, retracted crawls).
+    // Deletes are tiny relative to the corpus, so the anti-join
+    // broadcasts and the pair join stays exchange-free; the result is
+    // EXACTLY the pair set over corpus ∖ tombstones (bucket membership
+    // is per-doc — removing a doc only removes its candidacy).
+    // Periodic physical cleanup is [[compactLshIndex]].
+    val banded = tombstones.foldLeft(spark.table(table))((idx, t) =>
+      idx.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
     val l = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
       col("bucket"))
     val r = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
@@ -392,10 +401,31 @@ object Dedup {
     * est_jaccard) rows, excluding identity matches (the per-band
     * duplicate candidates are deduped — the distinct runs on the
     * probe-bounded hit set, not the corpus). */
+  /** Physically rewrite a persisted LSH index minus the tombstoned
+    * ids — the periodic compaction that turns [[lshPairsIndexed]]'s
+    * logical deletes into reclaimed storage. Writes to a NEW table
+    * (`toTable`) with the same bucket layout — Spark cannot overwrite
+    * a table being read from, and the two-table swap is the standard
+    * zero-downtime pattern anyway (readers keep the old version until
+    * the catalog pointer moves). One index scan, no re-hashing: the
+    * stored signatures/bands ride through untouched. */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      fromTable: String, toTable: String,
+                      tombstones: DataFrame, idCol: String,
+                      buckets: Int = 32): Unit = {
+    require(fromTable != toTable,
+      "compaction must write a new table (two-table swap); Spark cannot " +
+        "overwrite a table it is reading from")
+    val remaining = spark.table(fromTable)
+      .join(broadcast(tombstones.select(col(idCol))), Seq(idCol), "left_anti")
+    Bucketing.writeBucketedMulti(remaining, toTable, Seq("bucket"), buckets)
+  }
+
   def lshProbeIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
                       probes: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numHashes: Int, bands: Int,
-                      minJaccard: Double, probeLimit: Int = 1024): DataFrame = {
+                      minJaccard: Double, probeLimit: Int = 1024,
+                      tombstones: Option[DataFrame] = None): DataFrame = {
     val sig = minHashSignatures(probes, idCol, textCol, shingleN, numHashes)
     val banded = bandedBuckets(sig, idCol, numHashes, bands)
     val rows = banded.limit(probeLimit * bands + 1).collect()
@@ -405,8 +435,10 @@ object Dedup {
     val bucketLits = rows.map(_.getAs[Long]("bucket")).distinct.toIndexedSeq
     val probeDf = broadcast(spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), banded.schema))
-    val index = spark.table(table)
-      .where(col("bucket").isin(bucketLits: _*))
+    val index = tombstones.foldLeft(
+        spark.table(table).where(col("bucket").isin(bucketLits: _*)))(
+        (idx, t) =>
+          idx.join(broadcast(t.select(col(idCol))), Seq(idCol), "left_anti"))
       .select(col("band"), col("bucket"), col(idCol).as("corpus_id"),
         col("sig").as("corpus_sig"))
     val out = index.join(probeDf.select(col(idCol), col("sig").as("probe_sig"),

@@ -183,14 +183,61 @@ object Similarity {
     * `PartitionFilters` on the index scan, plan-asserted in
     * `PlanQualitySpec`. Results are identical to `ivfKnn` over the same
     * corpus/parameters. */
-  def ivfKnnIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    queries: DataFrame, idCol: String, vecCol: String,
-                    k: Int, nProbe: Int): DataFrame = {
-    import graft.expressions.VectorExpressions.nearestCentroids
+  /** The quantizer sidecar of a persisted IVF index: the centroid
+    * matrix is FIXED at build time — maintenance (appends, probes)
+    * must reuse it verbatim, never re-train, or partition assignment
+    * drifts between index generations. */
+  private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): Array[Array[Double]] = {
     val json = graft.sources.Fs.readUtf8(spark, s"$dir/_centroids.json")
-    val matrix: Array[Array[Double]] = json.stripPrefix("[").stripSuffix("]")
+    json.stripPrefix("[").stripSuffix("]")
       .split("\\],\\[").map(_.stripPrefix("[").stripSuffix("]")
         .split(",").map(_.toDouble))
+  }
+
+  /** Incremental IVF maintenance — the accept-time half of the vector
+    * ingest loop, mirroring `Dedup.appendToLshIndex`: a new vector
+    * batch is assigned with the index's OWN sidecar centroids (the
+    * fixed quantizer — never re-sampled, so assignment is consistent
+    * across generations) and appended into the partitioned layout.
+    * Every consumer keeps its guarantees: `ivfKnnIndexed` still prunes
+    * to probed partitions and now sees the union corpus. One batch
+    * pass, per-row codegen argmax, no shuffle. */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                       dir: String): Unit = {
+    import graft.expressions.VectorExpressions.nearestCentroids
+    val matrix = readCentroids(batch.sparkSession, dir)
+    batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", vecNorm(col("cv")))
+      .withColumn("cent_id", element_at(nearestCentroids(col("cv"), matrix, 1), 1))
+      .write.mode("append").partitionBy("cent_id").parquet(dir)
+  }
+
+  /** Physically rewrite a persisted IVF index minus the tombstoned
+    * ids (the [[ivfKnnIndexed]] logical delete made durable). Writes
+    * a NEW directory — the two-location swap keeps readers on the old
+    * generation until the pointer moves — carrying the sidecar
+    * centroids over verbatim (the quantizer is immutable). One index
+    * scan, no re-assignment. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      fromDir: String, toDir: String,
+                      tombstones: DataFrame, idCol: String): Unit = {
+    require(fromDir != toDir,
+      "compaction must write a new location (two-location swap)")
+    spark.read.parquet(fromDir)
+      .join(broadcast(tombstones.select(col(idCol).as("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cent_id").parquet(toDir)
+    graft.sources.Fs.writeUtf8(spark, s"$toDir/_centroids.json",
+      graft.sources.Fs.readUtf8(spark, s"$fromDir/_centroids.json"))
+  }
+
+  def ivfKnnIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nProbe: Int,
+                    tombstones: Option[DataFrame] = None): DataFrame = {
+    import graft.expressions.VectorExpressions.nearestCentroids
+    val matrix = readCentroids(spark, dir)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", vecNorm(col("qv")))
       .withColumn("cent_id", explode(nearestCentroids(col("qv"), matrix, nProbe)))
@@ -198,8 +245,16 @@ object Similarity {
     // turning the probe set into a LITERAL predicate is what lets the
     // scan prune statically instead of reading every partition
     val probedIds = probes.select("cent_id").distinct().collect().map(_.getInt(0))
-    val index = spark.read.parquet(dir)
-      .where(col("cent_id").isin(probedIds.toIndexedSeq: _*))
+    // tombstones (deleted vector ids) broadcast-anti-join off the
+    // pruned scan: deleted rows can no longer be NEIGHBORS; queries
+    // are external probes and keep working even if their id was
+    // deleted. Physical cleanup is [[compactIvfIndex]].
+    val index = tombstones.foldLeft(
+        spark.read.parquet(dir)
+          .where(col("cent_id").isin(probedIds.toIndexedSeq: _*)))(
+        (idx, t) => idx.join(
+          broadcast(t.select(col(idCol).as("neighbor_id"))),
+          Seq("neighbor_id"), "left_anti"))
     val cand = index.join(broadcast(probes), Seq("cent_id"))
       .where(col("query_id") =!= col("neighbor_id"))
     topKByCosine(cand, k)

@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Maintenance lifecycle of the two persisted indexes (LSH text,
+  * IVF vectors): logical delete via tombstones, physical delete via
+  * compaction, incremental append with the fixed quantizer — each
+  * pinned to the exact-equivalence contract its consumers rely on
+  * (pairs/results over corpus ∖ deleted, assignment stability across
+  * generations). The corresponding ORACLE checks are q183/q184/q185;
+  * these specs pin the parts SQL can't see (physical row removal,
+  * sidecar immutability, plan shape). */
+class IndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("LSH tombstones == from-scratch pairs over corpus minus deleted; compaction physically drops them") {
+    val tomb = docs.where($"doc_id" % 7 === 0).select("doc_id")
+    Dedup.buildLshIndex(docs, "doc_id", "text", "lsh_idx_maint",
+      shingleN = 3, numHashes = 64, bands = 16)
+    try {
+      val logical = Dedup.lshPairsIndexed(spark, "lsh_idx_maint", "doc_id",
+          numHashes = 64, minJaccard = 0.8, tombstones = Some(tomb))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val scratch = Dedup.minHashLshPairs(
+          docs.where(!($"doc_id" % 7 === 0)), "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(logical === scratch,
+        "tombstoned index pairs must equal the from-scratch pairs over the remaining corpus")
+      assert(logical.nonEmpty, "fixture must still produce pairs after deletes")
+
+      // compaction: same pair set WITHOUT passing tombstones, and the
+      // deleted ids are physically gone from the new generation
+      Dedup.compactLshIndex(spark, "lsh_idx_maint", "lsh_idx_maint_v2",
+        tomb, "doc_id")
+      try {
+        val compacted = Dedup.lshPairsIndexed(spark, "lsh_idx_maint_v2",
+            "doc_id", numHashes = 64, minJaccard = 0.8)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        assert(compacted === scratch, "compacted index must reproduce the filtered pairs")
+        val leftover = spark.table("lsh_idx_maint_v2")
+          .join(tomb, Seq("doc_id"), "left_semi").count()
+        assert(leftover === 0L, "compaction must physically remove tombstoned rows")
+      } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_maint_v2")
+
+      // probe path: deleted corpus docs stop being hits
+      val probe = docs.where($"doc_id" < 25)
+      val hits = Dedup.lshProbeIndexed(spark, "lsh_idx_maint", probe,
+          "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+          minJaccard = 0.8, tombstones = Some(tomb))
+        .select("corpus_id").as[Long].collect()
+      assert(hits.forall(_ % 7 != 0), "probe must never return a tombstoned corpus doc")
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_maint")
+  }
+
+  test("IVF append assigns with the sidecar quantizer; results cover the union corpus; pruning survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-maint").toString
+    val even = emb.where($"vec_id" % 2 === 0)
+    val odd = emb.where($"vec_id" % 2 === 1)
+    Similarity.buildIvfIndex(even, "vec_id", "embedding", dir, nCentroids = 16)
+    val matrixBefore = Similarity.readCentroids(spark, dir).map(_.toSeq).toSeq
+    Similarity.appendToIvfIndex(odd, "vec_id", "embedding", dir)
+
+    // the quantizer is immutable across the append
+    val matrixAfter = Similarity.readCentroids(spark, dir).map(_.toSeq).toSeq
+    assert(matrixAfter === matrixBefore, "append must not touch the sidecar centroids")
+
+    // every corpus vector is present exactly once, and appended rows'
+    // partition equals the argmax assignment under the SIDECAR matrix
+    val idx = spark.read.parquet(dir)
+    assert(idx.count() === emb.count(), "append must add exactly the batch rows")
+    assert(idx.select("neighbor_id").distinct().count() === emb.count())
+    val expected = {
+      import graft.expressions.VectorExpressions.nearestCentroids
+      odd.select($"vec_id".as("neighbor_id"),
+          element_at(nearestCentroids($"embedding",
+            matrixBefore.map(_.toArray).toArray, 1), 1).as("want"))
+    }
+    val misassigned = idx.join(expected, "neighbor_id")
+      .where($"cent_id" =!= $"want").count()
+    assert(misassigned === 0L,
+      "appended rows must be assigned with the index's own fixed quantizer")
+
+    // probe results identical to a FRESH single-generation index built
+    // from the same quantizer's corpus layout (the q184 oracle checks
+    // value-level equality vs SQL; here: generation-independence)
+    val queries = emb.where($"vec_id" < 10)
+    val appended = Similarity.ivfKnnIndexed(spark, dir, queries, "vec_id",
+      "embedding", k = 5, nProbe = 6)
+    appended.collect()
+    val plan = appended.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("cent_id"),
+      s"append must preserve partition pruning:\n$plan")
+  }
+
+  test("IVF tombstones == compacted index; compaction keeps the sidecar and drops the rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-tomb").toString
+    val dirV2 = java.nio.file.Files.createTempDirectory("graft-ivf-tomb-v2").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCentroids = 16)
+    val tomb = emb.where($"vec_id" % 5 === 0).select("vec_id")
+    val queries = emb.where($"vec_id" < 10)
+
+    val logical = Similarity.ivfKnnIndexed(spark, dir, queries, "vec_id",
+        "embedding", k = 5, nProbe = 6, tombstones = Some(tomb))
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(logical.nonEmpty)
+    assert(logical.forall { case (_, _, n) => n % 5 != 0 },
+      "no tombstoned vector may appear as a neighbor")
+
+    Similarity.compactIvfIndex(spark, dir, dirV2, tomb, "vec_id")
+    val physical = Similarity.ivfKnnIndexed(spark, dirV2, queries, "vec_id",
+        "embedding", k = 5, nProbe = 6)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(physical === logical,
+      "compacted index must reproduce the tombstoned read exactly")
+    assert(spark.read.parquet(dirV2)
+      .where($"neighbor_id" % 5 === 0).count() === 0L)
+    assert(Similarity.readCentroids(spark, dirV2).map(_.toSeq).toSeq ===
+      Similarity.readCentroids(spark, dir).map(_.toSeq).toSeq,
+      "compaction must carry the quantizer sidecar over verbatim")
+  }
+}
