@@ -1417,6 +1417,42 @@ object SparkEntry {
           round(col("sim"), 6).as("cos_sim"))
     }),
 
+    // ── dedup-POLICY threshold sweep: the tuning card run before
+    //    committing a corpus-wide pass — pair count and docs touched
+    //    at each candidate threshold, all from ONE read of the shared
+    //    index at the loosest threshold (every sweep point > 0.75 =
+    //    1 − bands/numHashes, so the banded candidate set is EXACT at
+    //    each by the pigeonhole argument; estimates are dyadic k/64,
+    //    so the ≥ comparisons are float-exact) ──
+    "q186_dedup_threshold_sweep" -> ((s, dir) => {
+      val pairs = Dedup.lshPairsIndexed(s, sharedLshIndexTable(s, dir),
+        "doc_id", numHashes = 64, minJaccard = 0.78125).cache()
+      val th = array(Seq(0.78125, 0.84375, 0.90625, 0.96875).map(lit): _*)
+      val swept = pairs.select(col("id_a"), col("id_b"), col("est_jaccard"),
+          explode(th).as("threshold"))
+        .where(col("est_jaccard") >= col("threshold"))
+      val np = swept.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+      val nd = swept.select(col("threshold"),
+          explode(array(col("id_a"), col("id_b"))).as("id"))
+        .groupBy("threshold").agg(countDistinct("id").as("n_docs"))
+      operators.CacheScope.scoped(np.join(nd, Seq("threshold")), pairs)
+    }),
+
+    // ── LSH index occupancy card: per-(band,bucket) occupancy
+    //    histogram + implied candidate-pair volume (n·C(occ,2)) — the
+    //    capacity-planning read that catches a hot bucket (low-entropy
+    //    boilerplate hashing together) BEFORE it blows up the pair
+    //    join. One combinable agg over the index, histogram-sized
+    //    output ──
+    "q187_lsh_bucket_stats" -> ((s, dir) =>
+      s.table(sharedLshIndexTable(s, dir))
+        .groupBy("band", "bucket").agg(count(lit(1)).as("occupancy"))
+        .groupBy("occupancy").agg(count(lit(1)).as("n_buckets"))
+        .select(col("occupancy"), col("n_buckets"),
+          (col("n_buckets") * graft.expressions.HashExpressions.intDiv(
+            col("occupancy") * (col("occupancy") - 1), lit(2L)))
+            .as("cand_pairs"))),
+
     // ── HITS over the directed continuation graph: 4 fixed alternating
     //    phases, raw sums checkpointed before the self-referencing L2
     //    normalize; side-less nodes score 0 ──
@@ -1672,14 +1708,16 @@ object SparkEntry {
 
   private def minhashPairsSql: String = minhashPairsSqlWhere("TRUE")
 
-  /** q19's pair CTEs over a FILTERED document set — the oracle for the
-    * tombstone read path (q183): pairs over corpus ∖ deleted equal the
-    * full index anti-joined on the tombstones, because bucket
-    * membership is per-doc. */
-  private def minhashPairsSqlWhere(docWhere: String): String = {
+  /** q19's shingle→MinHash→band CTE chain (t/sh/hh/mh/band) over a
+    * FILTERED document set — the one copy shared by the pair oracles
+    * and the q187 bucket-occupancy card. The oracle's bucket is the
+    * band's mh-value string (not the engine's hash of it): identical
+    * for joining/grouping purposes absent hash collisions — the same
+    * assumption the q19 equivalence already rests on. */
+  private def minhashBandCtes(docWhere: String): String = {
     def parse12(start: Int) =
       s"CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + $start AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT)"
-    s"""WITH t AS (
+    s"""t AS (
            SELECT doc_id,
              string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
            FROM documents WHERE $docWhere
@@ -1698,7 +1736,17 @@ object SparkEntry {
            SELECT doc_id, i // 4 AS band,
              string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
            FROM mh GROUP BY doc_id, band
-         ), cand AS (
+         )"""
+  }
+
+  /** q19's pair query over a FILTERED document set at a parameterized
+    * agreement threshold — the oracle for the tombstone read path
+    * (q183, filtered docs) and the threshold sweep (q186, minJ >
+    * 1 − bands/numHashes = 0.75 keeps the banded candidates EXACT by
+    * the pigeonhole argument). */
+  private def minhashPairsSqlWhere(docWhere: String,
+                                   minJ: Double = 0.8): String =
+    s"""WITH ${minhashBandCtes(docWhere)}, cand AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM band a JOIN band b
              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -1709,8 +1757,7 @@ object SparkEntry {
          JOIN mh ma ON ma.doc_id = id_a
          JOIN mh mb ON mb.doc_id = id_b AND ma.i = mb.i
          GROUP BY id_a, id_b
-         HAVING CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 >= 0.8"""
-  }
+         HAVING CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS DOUBLE) / 64 >= CAST($minJ AS DOUBLE)"""
 
   /** DuckDB replay of `Dedup.bbitMinhashPairs` (q163): the q19
     * MinHash/band CTEs, with the 1-bit estimate counted per POSITION
@@ -3067,6 +3114,40 @@ object SparkEntry {
     // IVF tombstones delete NEIGHBORS (assign rows), never probes.
     "q185_ivf_tombstones" ->
       ivfKnnSql(centWhere = "TRUE", assignWhere = "NOT (e.vec_id % 5 = 0)"),
+    // Threshold sweep: one pair list at the loosest (still-exact)
+    // threshold, cross-joined with the sweep points; thresholds with
+    // zero qualifying pairs are absent on BOTH sides by construction.
+    "q186_dedup_threshold_sweep" ->
+      s"""WITH p AS MATERIALIZED (
+           SELECT id_a, id_b, est_jaccard
+           FROM (${minhashPairsSqlWhere("TRUE", 0.78125)})
+         ), th(th) AS (
+           VALUES (CAST(0.78125 AS DOUBLE)), (CAST(0.84375 AS DOUBLE)),
+                  (CAST(0.90625 AS DOUBLE)), (CAST(0.96875 AS DOUBLE))
+         ), sw AS (
+           SELECT th AS threshold, id_a, id_b FROM th CROSS JOIN p
+           WHERE est_jaccard >= th
+         ), np AS (
+           SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM sw GROUP BY 1
+         ), nd AS (
+           SELECT threshold, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+           FROM (SELECT threshold, id_a AS id FROM sw
+                 UNION ALL SELECT threshold, id_b FROM sw)
+           GROUP BY 1
+         )
+         SELECT threshold, n_pairs, n_docs FROM np JOIN nd USING (threshold)""",
+    // Bucket occupancy: the oracle's bucket key is the band's mh
+    // string (engine: hash of it) — identical grouping absent
+    // collisions, the standing q19 assumption.
+    "q187_lsh_bucket_stats" ->
+      s"""WITH ${minhashBandCtes("TRUE")}, occ AS (
+           SELECT band, bucket, CAST(count(*) AS BIGINT) AS occupancy
+           FROM band GROUP BY 1, 2
+         )
+         SELECT occupancy, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(*) * ((occupancy * (occupancy - 1)) // 2) AS BIGINT) AS cand_pairs
+         FROM occ GROUP BY occupancy""",
     // Per-day novelty: first-seen via min-window over each key's
     // (key, day) presence rows; exact half-up micro shares (integer
     // ratios CAN tie at the 6th decimal — the q82 rule).

@@ -40,13 +40,24 @@ object StreamingDedup {
   /** Flag streaming docs against the index. Emits
     * (id, corpus_id, est_jaccard) for every (streamed doc, corpus doc)
     * pair whose signatures agree on ≥ `minJaccard`·numHashes positions;
-    * append-mode safe (no state, no watermark needed). */
+    * append-mode safe (no state, no watermark needed).
+    *
+    * `tombstones` (deleted corpus ids, one `idCol` column) mirrors the
+    * batch read path (`Dedup.lshPairsIndexed`): retracted corpus docs
+    * stop matching IMMEDIATELY — the anti-join sits on the static side
+    * of the stream-static join, re-evaluated every micro-batch, so a
+    * growing tombstone table takes effect without restarting the
+    * query. Physical cleanup stays `Dedup.compactLshIndex`. */
   def flagNearDups(stream: DataFrame, index: DataFrame, idCol: String,
                    textCol: String, shingleN: Int, numHashes: Int,
-                   bands: Int, minJaccard: Double): DataFrame = {
+                   bands: Int, minJaccard: Double,
+                   tombstones: Option[DataFrame] = None): DataFrame = {
     val sig = Dedup.minHashSignatures(stream, idCol, textCol, shingleN, numHashes)
     val banded = Dedup.bandedBuckets(sig, idCol, numHashes, bands)
-    banded.join(index, Seq("band", "bucket"))
+    val idx = tombstones.foldLeft(index)((i, t) =>
+      i.join(org.apache.spark.sql.functions.broadcast(
+        t.select(col(idCol).as("corpus_id"))), Seq("corpus_id"), "left_anti"))
+    banded.join(idx, Seq("band", "bucket"))
       .where(col(idCol) =!= col("corpus_id"))
       .withColumn("est_jaccard",
         graft.expressions.HashExpressions

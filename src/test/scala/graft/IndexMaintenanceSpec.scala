@@ -56,6 +56,12 @@ class IndexMaintenanceSpec extends SparkSpec {
           minJaccard = 0.8, tombstones = Some(tomb))
         .select("corpus_id").as[Long].collect()
       assert(hits.forall(_ % 7 != 0), "probe must never return a tombstoned corpus doc")
+
+      // everything-deleted edge: empty result, never an error — the
+      // shape a retention purge hits
+      val all = docs.select("doc_id")
+      assert(Dedup.lshPairsIndexed(spark, "lsh_idx_maint", "doc_id",
+        numHashes = 64, minJaccard = 0.8, tombstones = Some(all)).count() === 0L)
     } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_maint")
   }
 

@@ -291,6 +291,33 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_stream")
   }
 
+  test("streaming near-dup gate honors tombstones: a retracted corpus doc stops matching") {
+    // the live half of the delete story: batch reads anti-join the
+    // tombstones (q183); the gate must apply the SAME filter on the
+    // static side so a GDPR-deleted doc stops producing matches
+    // without an index rebuild or query restart
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val corpus = Seq((100L, base),
+        (101L, "an entirely different corpus document about spark query planning internals"))
+      .toDF("doc_id", "text")
+    val index = StreamingDedup.bucketIndex(corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16)
+    val tomb = Seq(100L).toDF("doc_id")
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val flagged = StreamingDedup.flagNearDups(stream, index, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8,
+      tombstones = Some(tomb))
+    val q = flagged.writeStream.format("memory").queryName("neardup_gate_tomb")
+      .outputMode("append").start()
+    in.addData((1L, base + " indeed")) // near-dup of the DELETED doc
+    runToCompletion(q)
+    assert(spark.table("neardup_gate_tomb").count() === 0L,
+      "a tombstoned corpus doc must not produce matches")
+  }
+
   test("dedupWithinWatermark suppresses repeats inside the delay, re-admits after expiry") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
