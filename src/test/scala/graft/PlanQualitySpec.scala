@@ -1163,6 +1163,48 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q183: tombstone anti-join broadcasts and keeps the pair self-join exchange-free") {
+    // the delete path must stay O(index-scan): tombstones broadcast
+    // (never a shuffled anti-join — deletes are tiny vs the corpus)
+    // and the broadcast join preserves the bucketed layout under the
+    // SMJ, so logical deletes cost nothing at 100 TB
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executedPlan("q183_lsh_tombstones")
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"tombstones must broadcast-anti-join:\n$plan")
+      assert(!plan.contains("min_hash_tokens") && !plan.contains("MinHashTokens"),
+        s"tombstone read must not re-sketch:\n$plan")
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0 && !plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"pair self-join must stay exchange-free over the bucketed index:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("q187: occupancy card is two combinable aggs over the index — no join, no text") {
+    val plan = executedPlan("q187_lsh_bucket_stats")
+    assert(!plan.contains("documents.parquet") && !plan.contains("MinHashTokens"),
+      s"occupancy reads the index, never the corpus:\n$plan")
+    assert(!plan.contains("Join"), s"histogram needs no join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"two keyed aggs at most:\n$plan")
+  }
+
+  test("q186: sweep reads the pair list once (cached) — no per-threshold index rescan") {
+    val before = graft.operators.Dedup.lshPairsInvocations.get()
+    val df = SparkEntry.queries("q186_dedup_threshold_sweep")(spark, dir)
+    assert(graft.operators.Dedup.lshPairsInvocations.get() === before,
+      "sweep must read the persisted index, never re-sketch")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("MinHashTokens"),
+      s"sweep must not recompute signatures:\n$plan")
+    // the pair list is cached and the two aggregate branches read the
+    // InMemoryRelation — four thresholds must not mean four index scans
+    assert(plan.contains("InMemoryTableScan"),
+      s"pair list must be cached across the sweep branches:\n$plan")
+  }
+
   test("q175-family: shared pair source reads the persisted index — no signature recompute") {
     // the graph/cluster analyses (q175/q176/q177/q178/q182) all feed
     // from ONE shared persisted LSH index: their pair sub-plan must

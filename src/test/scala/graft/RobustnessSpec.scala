@@ -188,4 +188,29 @@ class RobustnessSpec extends SparkSpec {
       .count() === 0)
     spark.catalog.clearCache()
   }
+
+  test("round-10 index ops: empty corpus / empty batch / pairless index behave, never throw") {
+    // an EMPTY corpus still builds a valid (zero-row) index; every
+    // read path over it degrades to empty, never an exception — the
+    // shape a brand-new ingest pipeline hits on day zero
+    Dedup.buildLshIndex(empty, "doc_id", "text", "lsh_idx_rob",
+      shingleN = 3, numHashes = 64, bands = 16)
+    try {
+      assert(Dedup.lshPairsIndexed(spark, "lsh_idx_rob", "doc_id",
+        numHashes = 64, minJaccard = 0.8).count() === 0)
+      assert(Dedup.lshProbeIndexed(spark, "lsh_idx_rob", docs, "doc_id",
+        "text", shingleN = 3, numHashes = 64, bands = 16,
+        minJaccard = 0.8).count() === 0)
+      // appending a real batch to the empty index brings it alive
+      Dedup.appendToLshIndex(docs, "doc_id", "text", "lsh_idx_rob",
+        shingleN = 3, numHashes = 64, bands = 16)
+      assert(spark.table("lsh_idx_rob").count() > 0)
+      // compacting with an empty tombstone set is an identity rewrite
+      Dedup.compactLshIndex(spark, "lsh_idx_rob", "lsh_idx_rob_v2",
+        empty.select("doc_id"), "doc_id")
+      try assert(spark.table("lsh_idx_rob_v2").count() ===
+        spark.table("lsh_idx_rob").count())
+      finally spark.sql("DROP TABLE IF EXISTS lsh_idx_rob_v2")
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_rob")
+  }
 }
