@@ -318,6 +318,73 @@ class StreamingSpec extends SparkSpec {
       "a tombstoned corpus doc must not produce matches")
   }
 
+  test("streaming vector gate: arrivals flagged against the persisted IVF index; independent parity; tombstones") {
+    // SemDeDup at accept time — the embedding twin of the text gate.
+    // Parity is checked against a DRIVER-SIDE reimplementation of the
+    // probe semantics (centroid ranking + cosine, same op order), not
+    // the engine's own code path.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    import graft.streaming.StreamingSimilarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCentroids = 16)
+    val arrivals = emb.where($"vec_id".isin(3L, 17L))
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id + 100000L, v) } // exact copies, new ids
+    val threshold = 0.95
+    val nProbe = 4
+    val in = MemoryStream[(Long, Seq[Float])]
+    val stream = in.toDF().toDF("vec_id", "embedding")
+    val flagged = StreamingSimilarity.flagNearVectors(stream, dir, "vec_id",
+      "embedding", threshold = threshold, nProbe = nProbe)
+    val q = flagged.writeStream.format("memory").queryName("vec_gate")
+      .outputMode("append").start()
+    in.addData(arrivals.toSeq: _*)
+    runToCompletion(q)
+    val got = spark.table("vec_gate").select("vec_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // every exact copy must flag its source with cos = 1
+    assert(arrivals.forall { case (id, _) => got.contains((id, id - 100000L)) },
+      s"exact copies must be flagged: $got")
+
+    // independent expectation: driver-side centroid ranking + cosine
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+    def norm(a: Seq[Float]): Double = math.sqrt(dot(a, a))
+    val matrix = Similarity.readCentroids(spark, dir)
+    def centRank(v: Seq[Float]): Seq[Int] = matrix.indices
+      .map(i => i -> dot(v, matrix(i).map(_.toFloat)) /
+        (norm(v) * norm(matrix(i).map(_.toFloat))))
+      .sortBy { case (i, c) => (-c, i) }.map(_._1)
+    val corpus = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val assigned = corpus.map { case (id, v) => id -> (centRank(v).head, v) }.toMap
+    val expected = (for {
+      (aid, av) <- arrivals
+      probes = centRank(av).take(nProbe).toSet
+      (nid, (c, nv)) <- assigned if probes.contains(c) && nid != aid
+      if dot(av, nv) / (norm(av) * norm(nv)) >= threshold
+    } yield (aid, nid)).toSet
+    assert(got === expected,
+      s"stream gate must match the independent probe semantics: got $got expected $expected")
+
+    // tombstoning the sources silences their copies
+    val in2 = MemoryStream[(Long, Seq[Float])]
+    val flagged2 = StreamingSimilarity.flagNearVectors(
+      in2.toDF().toDF("vec_id", "embedding"), dir, "vec_id", "embedding",
+      threshold = threshold, nProbe = nProbe,
+      tombstones = Some(Seq(3L, 17L).toDF("vec_id")))
+    val q2 = flagged2.writeStream.format("memory").queryName("vec_gate_tomb")
+      .outputMode("append").start()
+    in2.addData(arrivals.toSeq: _*)
+    runToCompletion(q2)
+    val got2 = spark.table("vec_gate_tomb").select("neighbor_id")
+      .as[Long].collect().toSet
+    assert(!got2.contains(3L) && !got2.contains(17L),
+      "tombstoned vectors must not match")
+  }
+
   test("dedupWithinWatermark suppresses repeats inside the delay, re-admits after expiry") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
