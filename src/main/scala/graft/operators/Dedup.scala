@@ -1437,13 +1437,19 @@ object Dedup {
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, numHashes: Int, bands: Int,
                     minJaccard: Double, useStar: Boolean = true,
-                    pairsIn: Option[DataFrame] = None): DataFrame = {
-    // pairsIn: feed from a persisted LSH index (lshPairsIndexed) — the
-    // write-once amortization; identical output by the q158 pair-set
-    // equivalence
-    val pairs = pairsIn.getOrElse(
-      minHashLshPairs(docs, idCol, textCol, shingleN, numHashes, bands, minJaccard))
-    if (useStar) connectedComponentsStar(pairs) else connectedComponents(pairs)
+                    pairsIn: Option[DataFrame] = None,
+                    clustersIn: Option[DataFrame] = None): DataFrame = {
+    // clustersIn: feed from a MATERIALIZED cluster-label table (the
+    // production shape one step past pairsIn: index → pairs → cluster
+    // map, each written once). pairsIn: feed from a persisted LSH
+    // index (lshPairsIndexed). Identical output either way — labels
+    // are a deterministic function of the pair set (min-reachable-id),
+    // and the pair set matches by the q158 equivalence.
+    clustersIn.getOrElse {
+      val pairs = pairsIn.getOrElse(
+        minHashLshPairs(docs, idCol, textCol, shingleN, numHashes, bands, minJaccard))
+      if (useStar) connectedComponentsStar(pairs) else connectedComponents(pairs)
+    }
   }
 
   /** The MATERIALIZED dedup pass: every near-dup cluster collapsed to
@@ -1456,9 +1462,10 @@ object Dedup {
   def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, numHashes: Int, bands: Int,
                     minJaccard: Double,
-                    pairsIn: Option[DataFrame] = None): DataFrame = {
+                    pairsIn: Option[DataFrame] = None,
+                    clustersIn: Option[DataFrame] = None): DataFrame = {
     val clusters = dedupClusters(docs, idCol, textCol, shingleN, numHashes,
-      bands, minJaccard, pairsIn = pairsIn)
+      bands, minJaccard, pairsIn = pairsIn, clustersIn = clustersIn)
     val drop = clusters.where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
@@ -1527,9 +1534,10 @@ object Dedup {
   def qualityRepresentatives(docs: DataFrame, idCol: String, textCol: String,
                              shingleN: Int, numHashes: Int, bands: Int,
                              minJaccard: Double,
-                             pairsIn: Option[DataFrame] = None): DataFrame = {
+                             pairsIn: Option[DataFrame] = None,
+                             clustersIn: Option[DataFrame] = None): DataFrame = {
     val cl = dedupClusters(docs, idCol, textCol, shingleN, numHashes, bands,
-      minJaccard, pairsIn = pairsIn)
+      minJaccard, pairsIn = pairsIn, clustersIn = clustersIn)
     val q = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.qualityMicro(col(textCol)).as("q_micro"))
     val w = Window.partitionBy("cluster_id")
@@ -1560,9 +1568,10 @@ object Dedup {
   def dupClusterStats(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numHashes: Int, bands: Int,
                       minJaccard: Double,
-                      pairsIn: Option[DataFrame] = None): DataFrame = {
+                      pairsIn: Option[DataFrame] = None,
+                      clustersIn: Option[DataFrame] = None): DataFrame = {
     val cl = dedupClusters(docs, idCol, textCol, shingleN, numHashes, bands,
-      minJaccard, pairsIn = pairsIn)
+      minJaccard, pairsIn = pairsIn, clustersIn = clustersIn)
     val bySize = cl.groupBy("cluster_size")
       .agg(countDistinct("cluster_id").as("n_clusters"),
         count(lit(1)).as("n_docs"))
@@ -1612,9 +1621,9 @@ object Dedup {
     dupMassCurveFromClusters(docs, idCol, textCol,
       connectedComponentsStar(pairs), topK)
 
-  private def dupMassCurveFromClusters(docs: DataFrame, idCol: String,
-                                       textCol: String, clusters: DataFrame,
-                                       topK: Int): DataFrame = {
+  def dupMassCurveFromClusters(docs: DataFrame, idCol: String,
+                               textCol: String, clusters: DataFrame,
+                               topK: Int): DataFrame = {
     import graft.expressions.HashExpressions.intDiv
     import org.apache.spark.sql.expressions.Window
     val cl = clusters.select(col(idCol), col("cluster_id"))

@@ -528,10 +528,11 @@ object Sampling {
                        shingleN: Int, numHashes: Int, bands: Int,
                        minJaccard: Double, holdoutKeep: Int, outOf: Int = 100,
                        seed: String = "graft",
-                       pairsIn: Option[DataFrame] = None): DataFrame = {
+                       pairsIn: Option[DataFrame] = None,
+                       clustersIn: Option[DataFrame] = None): DataFrame = {
     require(holdoutKeep >= 0 && holdoutKeep <= outOf && outOf > 0)
     val clusters = Dedup.dedupClusters(docs, idCol, textCol, shingleN,
-        numHashes, bands, minJaccard, pairsIn = pairsIn)
+        numHashes, bands, minJaccard, pairsIn = pairsIn, clustersIn = clustersIn)
       .select(col("doc_id").as(idCol), col("cluster_id"))
     docs.select(col(idCol))
       .join(clusters, Seq(idCol), "left")

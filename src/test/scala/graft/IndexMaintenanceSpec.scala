@@ -65,6 +65,20 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_maint")
   }
 
+  test("shared cluster table: stored labels identical to re-running CC-star on the shared pairs") {
+    // the materialized cluster map (index → pairs → labels) must be
+    // value-identical to recomputation — a staleness or layout bug
+    // here silently corrupts every downstream analysis
+    val dir = "/root/testdata/sf0.001"
+    val stored = SparkEntry.sharedDupClusters(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    val fresh = Dedup.connectedComponentsStar(
+        SparkEntry.sharedDupPairs(spark, dir))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored === fresh)
+    assert(stored.nonEmpty)
+  }
+
   test("IVF append assigns with the sidecar quantizer; results cover the union corpus; pruning survives") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-maint").toString
     val even = emb.where($"vec_id" % 2 === 0)
