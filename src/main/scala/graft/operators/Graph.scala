@@ -199,9 +199,28 @@ object Graph {
     val prDeg = ed.groupBy("src").agg(count(lit(1)).as("deg")).cache()
     val contrib = ed.join(prDeg, "src").cache()
     val deg = prDeg.select(col("src").as("doc_id"), col("deg").as("degree"))
-    val pr = pageRankFromEdges(contrib, prDeg, damping = 0.85, iters = 8)
-    val core = kCoreFromCanon(canon, k = 2, rounds = 8)
-      .select(col("doc_id"), col("core_deg"))
+    // PR and k-core are INDEPENDENT 8-round stage chains over the
+    // shared cached frames; their per-round jobs are tiny, so the
+    // dominant cost is sequential stage-scheduling latency. Fill the
+    // shared caches first (no stampede), then run the two chains on
+    // concurrent driver threads — Spark schedules jobs from multiple
+    // threads safely, each leg's per-round localCheckpoint keeps its
+    // lineage private, and neither result changes (identical frames,
+    // identical op order within each leg).
+    canon.count(); contrib.count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (pr, core) =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val prF = scala.concurrent.Future(
+          pageRankFromEdges(contrib, prDeg, damping = 0.85, iters = 8))
+        val coreF = scala.concurrent.Future(
+          kCoreFromCanon(canon, k = 2, rounds = 8)
+            .select(col("doc_id"), col("core_deg")))
+        (scala.concurrent.Await.result(prF, scala.concurrent.duration.Duration.Inf),
+          scala.concurrent.Await.result(coreF, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
     val out = deg
       .join(components, "doc_id")
       .join(pr, "doc_id")
