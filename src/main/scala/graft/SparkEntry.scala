@@ -1462,6 +1462,25 @@ object SparkEntry {
       operators.CacheScope.scoped(np.join(nd, Seq("threshold")), pairs)
     }),
 
+    // ── NEAR-DUP decontamination list: the fuzzy member of the
+    //    contamination family (exact-gram q41/q62/q76, span q111) —
+    //    train docs that near-duplicate an eval doc, with the pair
+    //    evidence. One read of the shared pairs + two id-keyed bucket
+    //    lookups (text never joins); the output is the actionable
+    //    drop/review list before a training run ──
+    "q188_neardup_decontam" -> ((s, dir) => {
+      val docsB = t(s, dir, "documents").select(col("doc_id"),
+        (Sampling.md5Bucket("doc_id", 100) < 80).as("__train"))
+      sharedDupPairs(s, dir)
+        .join(docsB.select(col("doc_id").as("id_a"), col("__train").as("__ta")), "id_a")
+        .join(docsB.select(col("doc_id").as("id_b"), col("__train").as("__tb")), "id_b")
+        .where(col("__ta") =!= col("__tb"))
+        .select(
+          when(col("__ta"), col("id_a")).otherwise(col("id_b")).as("train_id"),
+          when(col("__ta"), col("id_b")).otherwise(col("id_a")).as("eval_id"),
+          col("est_jaccard"))
+    }),
+
     // ── LSH index occupancy card: per-(band,bucket) occupancy
     //    histogram + implied candidate-pair volume (n·C(occ,2)) — the
     //    capacity-planning read that catches a hot bucket (low-entropy
@@ -3161,6 +3180,24 @@ object SparkEntry {
            GROUP BY 1
          )
          SELECT threshold, n_pairs, n_docs FROM np JOIN nd USING (threshold)""",
+    // Near-dup decontamination: the q19 pairs crossing the 80/20
+    // md5-bucket split (q44's bucket formula), oriented train→eval.
+    "q188_neardup_decontam" ->
+      s"""WITH p AS (
+           SELECT id_a, id_b, est_jaccard FROM ($minhashPairsSql)
+         ), b AS (
+           SELECT doc_id,
+             CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS INT) < 80 AS is_train
+           FROM (SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+         )
+         SELECT CASE WHEN ba.is_train THEN id_a ELSE id_b END AS train_id,
+                CASE WHEN ba.is_train THEN id_b ELSE id_a END AS eval_id,
+                est_jaccard
+         FROM p
+         JOIN b ba ON ba.doc_id = id_a
+         JOIN b bb ON bb.doc_id = id_b
+         WHERE ba.is_train <> bb.is_train""",
     // Bucket occupancy: the oracle's bucket key is the band's mh
     // string (engine: hash of it) — identical grouping absent
     // collisions, the standing q19 assumption.
