@@ -1205,6 +1205,28 @@ class PlanQualitySpec extends SparkSpec {
       s"pair list must be cached across the sweep branches:\n$plan")
   }
 
+  test("q188: decontam list joins pairs to ID-ONLY bucket projections — text never scanned") {
+    val plan = executedPlan("q188_neardup_decontam")
+    assert(!plan.contains("MinHashTokens"),
+      s"pairs must come from the index:\n$plan")
+    // the two bucket lookups project doc_id only: every documents scan
+    // in the plan must read just the id column
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+      .filter(_.contains("doc_id"))
+    assert(reads.nonEmpty && reads.forall(!_.contains("text")),
+      s"bucket lookups must not read text:\n$reads")
+  }
+
+  test("q185: IVF tombstone anti-join broadcasts over the partition-pruned scan") {
+    val df = SparkEntry.queries("q185_ivf_tombstones")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstones must broadcast-anti-join:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("cent_id"),
+      s"the pruned index scan must survive the tombstone filter:\n$plan")
+  }
+
   test("q175-family: shared pair source reads the persisted index — no signature recompute") {
     // the graph/cluster analyses (q175/q176/q177/q178/q182) all feed
     // from ONE shared persisted LSH index: their pair sub-plan must

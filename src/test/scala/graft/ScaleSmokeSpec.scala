@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   * the gate is the ratio bound, loose enough to be host-stable. */
 class ScaleSmokeSpec extends SparkSpec {
 
-  private val enabled = sys.env.get("SPARK_GRAFT_SCALE_SMOKE").contains("1")
+  // tier 1 (=1): 3k vs 30k over all seven ops; tier 2 (=2): also the
+  // 30k vs 300k spot check on the four scan-dominated paths — 100×
+  // the bench fixture's corpus
+  private val tier = sys.env.get("SPARK_GRAFT_SCALE_SMOKE")
+    .flatMap(_.toIntOption).getOrElse(0)
+  private val enabled = tier >= 1
   private val n1 = 3000L
   private val n2 = 30000L
 
@@ -145,5 +150,43 @@ class ScaleSmokeSpec extends SparkSpec {
     // overhead) would blow well past it if anything data-sized leaked.
     assert(heapAfterBig - heapAfterSmall < 512,
       s"driver heap grew ${heapAfterBig - heapAfterSmall} MB from 1x to 10x — something corpus-sized is retained driver-side")
+  }
+
+  test("100x spot check: sketch/cluster/index paths stay sublinear at 300k docs") {
+    assume(tier >= 2, "set SPARK_GRAFT_SCALE_SMOKE=2 for the 100x tier")
+    // the four scan-dominated paths at 30k vs 300k — 100x the bench
+    // fixture's 3k-doc corpus. The graph/binary-search composites are
+    // excluded (tier 1 covers them; their cost is round latency, not
+    // scan volume, and 300k-doc runs of 25-stage composites make the
+    // spot check an hour-long soak, not a smoke).
+    val spot = ops.filter { case (n, _) =>
+      Set("q19_pairs", "q47_clusters", "q158_index_build_pairs",
+        "q112_cluster_stats").contains(n)
+    }
+    val warm = corpus(500)
+    spot.foreach { case (_, f) => f(warm); spark.catalog.clearCache() }
+    warm.unpersist()
+    val mid = corpus(30000L)
+    val t1 = spot.map { case (name, f) =>
+      val t = time(f(mid)); spark.catalog.clearCache(); name -> t
+    }
+    mid.unpersist()
+    val heapMid = usedHeapMb()
+    val huge = corpus(300000L)
+    val t2 = spot.map { case (name, f) =>
+      val t = time(f(huge)); spark.catalog.clearCache(); name -> t
+    }
+    huge.unpersist()
+    val heapHuge = usedHeapMb()
+    val report = t1.zip(t2).map { case ((name, a), (_, b)) =>
+      f"$name%-24s ${a}%8.2fs -> ${b}%8.2fs  ratio ${b / a}%6.2fx  exp ${math.log(b / a) / math.log(10)}%5.2f"
+    }.mkString("\n")
+    info(s"100x spot (30k -> 300k rows):\n$report")
+    info(s"driver heap after 30k: ${heapMid} MB; after 300k: ${heapHuge} MB")
+    t1.zip(t2).foreach { case ((name, a), (_, b)) =>
+      assert(b / a < 30.0, s"$name superlinear at 300k:\n$report")
+    }
+    assert(heapHuge - heapMid < 512,
+      s"driver heap grew ${heapHuge - heapMid} MB from 30k to 300k")
   }
 }
