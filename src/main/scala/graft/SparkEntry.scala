@@ -1492,9 +1492,15 @@ object SparkEntry {
         .groupBy("band", "bucket").agg(count(lit(1)).as("occupancy"))
         .groupBy("occupancy").agg(count(lit(1)).as("n_buckets"))
         .select(col("occupancy"), col("n_buckets"),
-          (col("n_buckets") * graft.expressions.HashExpressions.intDiv(
-            col("occupancy") * (col("occupancy") - 1), lit(2L)))
-            .as("cand_pairs"))),
+          // decimal(38,0) widening end-to-end (oracle: HUGEINT):
+          // occ·(occ−1) wraps Long at a ~3e9-doc bucket — exactly the
+          // degenerate hot bucket this card exists to surface, so the
+          // count must not overflow silently on the way to the report
+          (col("n_buckets").cast("decimal(38,0)") *
+            graft.expressions.HashExpressions.intDiv(
+              col("occupancy").cast("decimal(38,0)") * (col("occupancy") - 1),
+              lit(2L)))
+            .cast("long").as("cand_pairs"))),
 
     // ── HITS over the directed continuation graph: 4 fixed alternating
     //    phases, raw sums checkpointed before the self-referencing L2
@@ -3207,7 +3213,7 @@ object SparkEntry {
            FROM band GROUP BY 1, 2
          )
          SELECT occupancy, CAST(count(*) AS BIGINT) AS n_buckets,
-           CAST(count(*) * ((occupancy * (occupancy - 1)) // 2) AS BIGINT) AS cand_pairs
+           CAST(count(*) * ((CAST(occupancy AS HUGEINT) * (occupancy - 1)) // 2) AS BIGINT) AS cand_pairs
          FROM occ GROUP BY occupancy""",
     // Per-day novelty: first-seen via min-window over each key's
     // (key, day) presence rows; exact half-up micro shares (integer
