@@ -1481,6 +1481,34 @@ object SparkEntry {
           col("est_jaccard"))
     }),
 
+    // ── index FRESHNESS card: a persisted index generation (built
+    //    from a past snapshot — the <90 md5 bucket, q173's convention)
+    //    audited against the CURRENT corpus (≥10 bucket): how many
+    //    current docs the index covers, how many are missing (arrived
+    //    since the build → need an append), how many index entries
+    //    point at docs no longer in the corpus (retracted → need
+    //    tombstones/compaction). The go/no-go an ops team reads before
+    //    trusting index-fed analyses. Ids only — text never joins;
+    //    docs under 3 tokens never enter an index by construction ──
+    "q189_index_staleness" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val b = Sampling.md5Bucket("doc_id", 100)
+      Dedup.buildLshIndex(docs.where(b < 90), "doc_id", "text",
+        "lsh_idx_q189", shingleN = 3, numHashes = 64, bands = 16)
+      val indexed = s.table("lsh_idx_q189").select("doc_id").distinct()
+      val current = docs.where(b >= 10)
+        .where(size(graft.functions.TextAnalysis.tokens(col("text"))) >= 3)
+        .select("doc_id")
+      indexed.withColumn("__i", lit(1))
+        .join(current.withColumn("__c", lit(1)), Seq("doc_id"), "full_outer")
+        .agg(
+          count(lit(1)).as("n_union"),
+          sum(when(col("__i").isNotNull && col("__c").isNotNull, 1L)
+            .otherwise(0L)).as("n_covered"),
+          sum(when(col("__i").isNull, 1L).otherwise(0L)).as("n_missing"),
+          sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_gone"))
+    }),
+
     // ── LSH index occupancy card: per-(band,bucket) occupancy
     //    histogram + implied candidate-pair volume (n·C(occ,2)) — the
     //    capacity-planning read that catches a hot bucket (low-entropy
@@ -3186,6 +3214,26 @@ object SparkEntry {
            GROUP BY 1
          )
          SELECT threshold, n_pairs, n_docs FROM np JOIN nd USING (threshold)""",
+    // Index freshness: index ids = past snapshot (<90 bucket) docs
+    // with ≥3 tokens (nothing shorter ever enters an index); current
+    // corpus = ≥10 bucket with the same token floor.
+    "q189_index_staleness" ->
+      """WITH ids AS (
+           SELECT doc_id,
+             CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS INT) AS bucket,
+             len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS ntok
+           FROM (SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx, text FROM documents)
+         ), i AS (
+           SELECT doc_id, 1 AS fi FROM ids WHERE bucket < 90 AND ntok >= 3
+         ), c AS (
+           SELECT doc_id, 1 AS fc FROM ids WHERE bucket >= 10 AND ntok >= 3
+         )
+         SELECT CAST(count(*) AS BIGINT) AS n_union,
+           CAST(count(*) FILTER (WHERE fi IS NOT NULL AND fc IS NOT NULL) AS BIGINT) AS n_covered,
+           CAST(count(*) FILTER (WHERE fi IS NULL) AS BIGINT) AS n_missing,
+           CAST(count(*) FILTER (WHERE fc IS NULL) AS BIGINT) AS n_gone
+         FROM i FULL JOIN c USING (doc_id)""",
     // Near-dup decontamination: the q19 pairs crossing the 80/20
     // md5-bucket split (q44's bucket formula), oriented train→eval.
     "q188_neardup_decontam" ->
