@@ -44,10 +44,14 @@ object StreamingDedup {
     *
     * `tombstones` (deleted corpus ids, one `idCol` column) mirrors the
     * batch read path (`Dedup.lshPairsIndexed`): retracted corpus docs
-    * stop matching IMMEDIATELY — the anti-join sits on the static side
-    * of the stream-static join, re-evaluated every micro-batch, so a
-    * growing tombstone table takes effect without restarting the
-    * query. Physical cleanup stays `Dedup.compactLshIndex`. */
+    * stop matching. Growing-set contract (probe-verified, pinned in
+    * StreamingSpec): the static side's PLAN re-executes per
+    * micro-batch, but a path-based parquet frame caches its file
+    * listing at creation — appends are INVISIBLE to a running query.
+    * Pass a CATALOG table (`spark.table`) and call
+    * `spark.catalog.refreshTable` after each tombstone append; the
+    * next micro-batch then honors the new deletes without a restart.
+    * Physical cleanup stays `Dedup.compactLshIndex`. */
   def flagNearDups(stream: DataFrame, index: DataFrame, idCol: String,
                    textCol: String, shingleN: Int, numHashes: Int,
                    bands: Int, minJaccard: Double,

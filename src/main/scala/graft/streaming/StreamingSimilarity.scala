@@ -31,8 +31,12 @@ object StreamingSimilarity {
   /** Emits (id, neighbor_id, cos_sim) for every (arriving vector,
     * indexed vector) pair with cosine ≥ `threshold` among the probed
     * clusters. `tombstones` (deleted vector ids, one `idCol` column)
-    * anti-join the static side per micro-batch — retracted vectors
-    * stop matching without an index rebuild or query restart. */
+    * anti-join the static side — retracted vectors stop matching
+    * without an index rebuild. Growing-set caveat (same as
+    * [[StreamingDedup.flagNearDups]]): a path-based parquet frame's
+    * file listing is cached at creation, so mid-stream appends need a
+    * catalog table + `spark.catalog.refreshTable` to be honored by
+    * the next micro-batch. */
   def flagNearVectors(stream: DataFrame, indexDir: String, idCol: String,
                       vecCol: String, threshold: Double, nProbe: Int,
                       tombstones: Option[DataFrame] = None): DataFrame = {

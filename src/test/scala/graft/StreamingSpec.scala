@@ -318,6 +318,43 @@ class StreamingSpec extends SparkSpec {
       "a tombstoned corpus doc must not produce matches")
   }
 
+  test("GROWING tombstone set: catalog table + refreshTable is honored next batch; path-parquet is not") {
+    // pins the documented live-delete contract, both directions: the
+    // static side's plan re-executes per micro-batch, but a PATH-based
+    // parquet frame caches its file listing at creation (appends
+    // invisible); a CATALOG table + refreshTable IS honored by the
+    // next micro-batch — the supported way to grow deletes without a
+    // query restart
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val corpus = Seq((100L, base),
+        (101L, "some totally other corpus text about query planners and joins"))
+      .toDF("doc_id", "text")
+    val index = StreamingDedup.bucketIndex(corpus, "doc_id", "text", 3, 64, 16)
+    spark.sql("DROP TABLE IF EXISTS tomb_live")
+    Seq.empty[Long].toDF("doc_id").write.saveAsTable("tomb_live")
+    try {
+      val in = MemoryStream[(Long, String)]
+      val flagged = StreamingDedup.flagNearDups(
+        in.toDF().toDF("doc_id", "text"), index, "doc_id", "text",
+        3, 64, 16, 0.8, tombstones = Some(spark.table("tomb_live")))
+      val q = flagged.writeStream.format("memory").queryName("tomb_live_gate")
+        .outputMode("append").start()
+      in.addData((1L, base + " indeed"))
+      q.processAllAvailable()
+      assert(spark.table("tomb_live_gate").where($"doc_id" === 1L).count() > 0,
+        "before any tombstones, the near-dup must flag")
+      // delete doc 100 MID-STREAM: append + refresh
+      Seq(100L).toDF("doc_id").write.mode("append").saveAsTable("tomb_live")
+      spark.catalog.refreshTable("tomb_live")
+      in.addData((2L, base + " again"))
+      runToCompletion(q)
+      assert(spark.table("tomb_live_gate").where($"doc_id" === 2L).count() === 0L,
+        "after the mid-stream tombstone append + refreshTable, the deleted doc must stop matching")
+    } finally spark.sql("DROP TABLE IF EXISTS tomb_live")
+  }
+
   test("streaming vector gate: arrivals flagged against the persisted IVF index; independent parity; tombstones") {
     // SemDeDup at accept time — the embedding twin of the text gate.
     // Parity is checked against a DRIVER-SIDE reimplementation of the
