@@ -2092,12 +2092,12 @@ object SparkEntry {
            GROUP BY id
          ), s AS (
            SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-             CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_triads
+             CAST(sum(CAST(deg AS HUGEINT) * (deg - 1) // 2) AS BIGINT) AS n_triads
            FROM deg
          )
          SELECT n_nodes, n_triangles, n_triads,
            CAST(CASE WHEN n_triads > 0
-             THEN (6 * n_triangles * 1000000 + n_triads) // (2 * n_triads)
+             THEN (6 * CAST(n_triangles AS HUGEINT) * 1000000 + n_triads) // (2 * CAST(n_triads AS HUGEINT))
            END AS BIGINT) AS transitivity_micro
          FROM tri, s"""
 
@@ -3312,7 +3312,7 @@ object SparkEntry {
            ORDER BY n_total DESC, token LIMIT 200
          )
          SELECT token, n_total, n_head,
-           CAST((2 * n_head * 1000000 + n_total) // (2 * n_total) AS BIGINT) AS head_micro,
+           CAST((2 * CAST(n_head AS HUGEINT) * 1000000 + n_total) // (2 * CAST(n_total AS HUGEINT)) AS BIGINT) AS head_micro,
            CAST((2 * CAST(n_head AS HUGEINT) * t * 1000000 + CAST(n_total AS HUGEINT) * th)
              // (2 * CAST(n_total AS HUGEINT) * th) AS BIGINT) AS lift_micro
          FROM top, tot""",
@@ -5442,10 +5442,10 @@ object SparkEntry {
          )
          SELECT source, n_chars, n_letters, n_digits, n_spaces,
            n_chars - n_letters - n_digits - n_spaces AS n_other,
-           CAST(CASE WHEN n_chars > 0 THEN (2*n_letters*1000000 + n_chars) // (2*n_chars) END AS BIGINT) AS letter_micro,
-           CAST(CASE WHEN n_chars > 0 THEN (2*n_digits*1000000 + n_chars) // (2*n_chars) END AS BIGINT) AS digit_micro,
-           CAST(CASE WHEN n_chars > 0 THEN (2*n_spaces*1000000 + n_chars) // (2*n_chars) END AS BIGINT) AS space_micro,
-           CAST(CASE WHEN n_chars > 0 THEN (2*(n_chars - n_letters - n_digits - n_spaces)*1000000 + n_chars) // (2*n_chars) END AS BIGINT) AS other_micro
+           CAST(CASE WHEN n_chars > 0 THEN (2*CAST(n_letters AS HUGEINT)*1000000 + n_chars) // (2*CAST(n_chars AS HUGEINT)) END AS BIGINT) AS letter_micro,
+           CAST(CASE WHEN n_chars > 0 THEN (2*CAST(n_digits AS HUGEINT)*1000000 + n_chars) // (2*CAST(n_chars AS HUGEINT)) END AS BIGINT) AS digit_micro,
+           CAST(CASE WHEN n_chars > 0 THEN (2*CAST(n_spaces AS HUGEINT)*1000000 + n_chars) // (2*CAST(n_chars AS HUGEINT)) END AS BIGINT) AS space_micro,
+           CAST(CASE WHEN n_chars > 0 THEN (2*CAST(n_chars - n_letters - n_digits - n_spaces AS HUGEINT)*1000000 + n_chars) // (2*CAST(n_chars AS HUGEINT)) END AS BIGINT) AS other_micro
          FROM g""",
     // Hapax stats: (source, token) count frame; both micro ratios are
     // shifted half-up intDiv on exact integers.
@@ -5598,7 +5598,7 @@ object SparkEntry {
            CAST(max(n) AS BIGINT) AS max_n,
            CAST(min(CASE WHEN cum*2 >= keys*1 THEN n END) AS BIGINT) AS p50_n,
            CAST(min(CASE WHEN cum*100 >= keys*99 THEN n END) AS BIGINT) AS p99_n,
-           CAST((2*max(n)*1000000 + max(rws)) // (2*max(rws)) AS BIGINT) AS top_share_micro
+           CAST((2*CAST(max(n) AS HUGEINT)*1000000 + max(rws)) // (2*CAST(max(rws) AS HUGEINT)) AS BIGINT) AS top_share_micro
          FROM r""",
     // HLL distinct tokens per lang: the q52 md5-48 hex-parse contract;
     // register index = top 6 bits, ρ via the minimal-binary length
@@ -5943,7 +5943,7 @@ object SparkEntry {
            FROM lab GROUP BY 1, 2
          ), tot AS (SELECT CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS t FROM m)
          SELECT source_a, source_b, n_pairs,
-           CAST((2 * n_pairs * 1000000 + t) // (2 * t) AS BIGINT) AS share_micro
+           CAST((2 * CAST(n_pairs AS HUGEINT) * 1000000 + t) // (2 * CAST(t AS HUGEINT)) AS BIGINT) AS share_micro
          FROM m, tot""",
     // Shard composition entropy: the q126 md5-shard idiom (first 8
     // hex % 16); each ln of an integer count floor-snaps to micro
@@ -6160,10 +6160,10 @@ object SparkEntry {
            CAST(n_cand AS BIGINT) AS n_cand,
            CAST(n_hit AS BIGINT) AS n_hit,
            CASE WHEN n_true = 0 THEN NULL
-                ELSE CAST((2000000*n_hit + n_true) // (2*n_true) AS BIGINT)
+                ELSE CAST((2000000*CAST(n_hit AS HUGEINT) + n_true) // (2*CAST(n_true AS HUGEINT)) AS BIGINT)
            END AS recall_micro,
            CASE WHEN n_cand = 0 THEN NULL
-                ELSE CAST((2000000*n_hit + n_cand) // (2*n_cand) AS BIGINT)
+                ELSE CAST((2000000*CAST(n_hit AS HUGEINT) + n_cand) // (2*CAST(n_cand AS HUGEINT)) AS BIGINT)
            END AS precision_micro
          FROM tn, cn, h""",
     // Quality representatives: the shared components CTE + q85's exact

@@ -1067,10 +1067,15 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_docs"), sum("__c").as("n_chars"),
         sum("__t").as("n_tokens"))
       .select(col("lang"), col("n_docs"), col("n_chars"), col("n_tokens"),
-        intDiv(lit(2000000L) * col("n_chars") + col("n_tokens"),
-          lit(2L) * col("n_tokens")).as("chars_per_token_micro"),
-        intDiv(lit(2000000L) * col("n_tokens") + col("n_docs"),
-          lit(2L) * col("n_docs")).as("tokens_per_doc_micro"))
+        // decimal(38,0) widening (oracle: HUGEINT): per-language char/
+        // token masses pass 4.6e12 well before 100 TB, where the
+        // 2e6-scaled numerator wraps Long
+        intDiv(col("n_chars").cast("decimal(38,0)") * lit(2000000L)
+            + col("n_tokens").cast("decimal(38,0)"),
+          col("n_tokens").cast("decimal(38,0)") * lit(2L)).as("chars_per_token_micro"),
+        intDiv(col("n_tokens").cast("decimal(38,0)") * lit(2000000L)
+            + col("n_docs").cast("decimal(38,0)"),
+          col("n_docs").cast("decimal(38,0)") * lit(2L)).as("tokens_per_doc_micro"))
   }
 
   /** Log-length moments per source (the lognormal doc-length model:
@@ -1318,8 +1323,12 @@ object CorpusStats {
     val t = col(textCol)
     val cnt = (alphabet: String) =>
       length(t) - length(translate(t, alphabet, ""))
+    // decimal(38,0) widening (oracle: HUGEINT): per-source char-class
+    // masses wrap the 2e6-scaled Long numerator at web scale
     val micro = (c: Column, n: Column) =>
-      when(n > 0L, intDiv(lit(2L) * c * 1000000L + n, lit(2L) * n).cast("long"))
+      when(n > 0L, intDiv(c.cast("decimal(38,0)") * lit(2000000L)
+          + n.cast("decimal(38,0)"),
+        n.cast("decimal(38,0)") * lit(2L)).cast("long"))
     docs
       .select(col(sourceCol).as("source"),
         length(t).cast("long").as("__c"),
@@ -1647,8 +1656,11 @@ object CorpusStats {
     CacheScope.scoped(
       top.crossJoin(totals)
         .select(col("token"), col("n_total"), col("n_head"),
-          intDiv(lit(2L) * col("n_head") * lit(1000000L) + col("n_total"),
-            lit(2L) * col("n_total")).as("head_micro"),
+          // widened: a degenerate corpus can put ~all token mass on
+          // one type, overflowing the 2e6-scaled Long numerator
+          intDiv(col("n_head").cast("decimal(38,0)") * lit(2000000L)
+              + col("n_total").cast("decimal(38,0)"),
+            col("n_total").cast("decimal(38,0)") * lit(2L)).as("head_micro"),
           intDiv(
             lit(2L).cast(dec) * col("n_head").cast(dec) * col("__t").cast(dec)
               * lit(1000000L) + col("n_total").cast(dec) * col("__th").cast(dec),

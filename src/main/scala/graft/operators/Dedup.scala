@@ -1502,9 +1502,13 @@ object Dedup {
     val nc = cand.agg(count(lit(1)).as("n_cand"))
     val nh = truth.join(cand, Seq("id_a", "id_b"))
       .agg(count(lit(1)).as("n_hit"))
+    // decimal(38,0) widening (oracle: HUGEINT): pair counts can pass
+    // 4.6e12 on a duplication-heavy web corpus
     def ratio(num: Column, den: Column): Column =
       when(den === 0, lit(null).cast("long"))
-        .otherwise(intDiv(lit(2000000L) * num + den, lit(2L) * den))
+        .otherwise(intDiv(num.cast("decimal(38,0)") * lit(2000000L)
+            + den.cast("decimal(38,0)"),
+          den.cast("decimal(38,0)") * lit(2L)))
     CacheScope.scoped(
       nt.crossJoin(broadcast(nh)).crossJoin(broadcast(nc))
         .select(col("n_true"), col("n_cand"), col("n_hit"),
@@ -2013,8 +2017,10 @@ object Dedup {
     CacheScope.scoped(
       m.crossJoin(broadcast(tot))
         .select(col("source_a"), col("source_b"), col("n_pairs"),
-          intDiv(lit(2L) * col("n_pairs") * 1000000L + col("__tot"),
-            lit(2L) * col("__tot")).as("share_micro")),
+          // widened (oracle: HUGEINT): corpus-wide pair counts
+          intDiv(col("n_pairs").cast("decimal(38,0)") * lit(2000000L)
+              + col("__tot").cast("decimal(38,0)"),
+            col("__tot").cast("decimal(38,0)") * lit(2L)).as("share_micro")),
       m)
   }
 

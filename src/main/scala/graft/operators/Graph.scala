@@ -258,16 +258,22 @@ object Graph {
     val deg = canon.select(col("u").as("id"))
       .union(canon.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+    // decimal widening end-to-end (oracle: HUGEINT): deg*(deg-1)
+    // wraps Long at a ~3e9-degree hub and the triad SUM wraps far
+    // earlier on a clique-heavy graph; n_triads stays BIGINT out
     val triads = deg.agg(count(lit(1)).as("n_nodes"),
-      sum(intDiv(col("deg") * (col("deg") - 1), lit(2L))).as("n_triads"))
+      sum(intDiv(col("deg").cast("decimal(38,0)") * (col("deg") - 1),
+        lit(2L)).cast("decimal(38,0)")).cast("long").as("n_triads"))
     CacheScope.scoped(
       tri.crossJoin(broadcast(triads))
         .select(col("n_nodes"), col("n_triangles"),
           // NULL on the empty graph — mirrors the oracle's empty sum
           col("n_triads"),
           when(col("n_triads") > 0,
-            intDiv(lit(6L) * col("n_triangles") * lit(1000000L) + col("n_triads"),
-              lit(2L) * col("n_triads"))).as("transitivity_micro")),
+            intDiv(col("n_triangles").cast("decimal(38,0)") * lit(6000000L)
+                + col("n_triads").cast("decimal(38,0)"),
+              col("n_triads").cast("decimal(38,0)") * lit(2L)))
+            .as("transitivity_micro")),
       canon)
   }
 }

@@ -93,7 +93,10 @@ object SkewOps {
         atRank(1L, 2L).as("p50_n"), atRank(99L, 100L).as("p99_n"))
       .select(col("n_keys"), col("n_rows"), col("max_n"),
         col("p50_n"), col("p99_n"),
-        intDiv(lit(2L) * col("max_n") * 1000000L + col("n_rows"),
+        // widened: the skew card's POINT is extreme keys — row masses
+        // at 100 TB wrap the 2e6-scaled Long numerator
+        intDiv(col("max_n").cast("decimal(38,0)") * lit(2000000L)
+            + col("n_rows").cast("decimal(38,0)"),
           lit(2L) * col("n_rows")).cast("long").as("top_share_micro"))
   }
 }
