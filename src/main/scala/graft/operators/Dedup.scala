@@ -331,7 +331,16 @@ object Dedup {
     * existing consumer keeps its guarantees untouched: the pair join
     * stays exchange-free, probes keep pruning, the streaming gate
     * keeps reading the same shape. `buckets` must equal the
-    * [[buildLshIndex]] value (Spark rejects a mismatched append). */
+    * [[buildLshIndex]] value (Spark rejects a mismatched append).
+    *
+    * Id contract: the batch is assumed to carry NEW ids (it came
+    * through the ingest gate); appending a re-ingested EXISTING id
+    * duplicates its banded rows — duplicate candidates until cleanup.
+    * SAME-ID replace lifecycle (order matters — tombstones filter by
+    * id, so they'd hide the new rows too): tombstone the old id
+    * ([[lshPairsIndexed]]/[[lshProbeIndexed]] honor it immediately),
+    * [[compactLshIndex]] to a new generation, DROP the tombstone
+    * entry, then append the new version. */
   def appendToLshIndex(docs: DataFrame, idCol: String, textCol: String,
                        table: String, shingleN: Int, numHashes: Int,
                        bands: Int, buckets: Int = 32): Unit = {

@@ -202,7 +202,16 @@ object Similarity {
     * across generations) and appended into the partitioned layout.
     * Every consumer keeps its guarantees: `ivfKnnIndexed` still prunes
     * to probed partitions and now sees the union corpus. One batch
-    * pass, per-row codegen argmax, no shuffle. */
+    * pass, per-row codegen argmax, no shuffle.
+    *
+    * Id contract (same as `Dedup.appendToLshIndex`): the batch is
+    * assumed to carry NEW ids — appending a re-ingested existing id
+    * duplicates its index rows (duplicate neighbor hits until
+    * cleanup). SAME-ID replace lifecycle (order matters — tombstones
+    * filter by id, so they'd hide the new rows too): tombstone the
+    * old id (reads honor it immediately), [[compactIvfIndex]] to a
+    * new generation, DROP the tombstone entry, then append the new
+    * version. */
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
                        dir: String): Unit = {
     import graft.expressions.VectorExpressions.nearestCentroids

@@ -65,6 +65,48 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_maint")
   }
 
+  test("same-id REPLACE lifecycle: tombstone -> compact -> drop tombstone -> append new version") {
+    // order matters (pinned in the scaladoc): tombstones filter by id,
+    // so appending the new version while the id is still tombstoned
+    // would hide it; compaction + dropping the entry first makes the
+    // re-append visible with exactly one generation of rows
+    val d = docs
+    Dedup.buildLshIndex(d, "doc_id", "text", "lsh_idx_repl",
+      shingleN = 3, numHashes = 64, bands = 16)
+    try {
+      val target = 7L
+      val tomb = Seq(target).toDF("doc_id")
+      // step 1: logical delete — reads stop seeing the old version
+      assert(Dedup.lshPairsIndexed(spark, "lsh_idx_repl", "doc_id",
+          numHashes = 64, minJaccard = 0.8, tombstones = Some(tomb))
+        .where($"id_a" === target || $"id_b" === target).count() === 0L)
+      // step 2: compact to a new generation; step 3: tombstone entry
+      // dropped (we simply stop passing it); step 4: append the new
+      // version of the doc under the SAME id
+      Dedup.compactLshIndex(spark, "lsh_idx_repl", "lsh_idx_repl_v2",
+        tomb, "doc_id")
+      try {
+        val newVersion = d.where($"doc_id" === 8L)
+          .select(lit(target).as("doc_id"), $"text", $"lang", $"source",
+            $"n_chars")
+        Dedup.appendToLshIndex(newVersion, "doc_id", "text",
+          "lsh_idx_repl_v2", shingleN = 3, numHashes = 64, bands = 16)
+        // exactly one generation of rows for the id, and the replaced
+        // doc now pairs EXACTLY like the doc whose text it copied
+        val perBand = spark.table("lsh_idx_repl_v2")
+          .where($"doc_id" === target).groupBy("band").count()
+          .select("count").distinct().as[Long].collect()
+        assert(perBand.toSeq === Seq(1L),
+          "one row per band for the replaced id — no duplicate generation")
+        val pairs = Dedup.lshPairsIndexed(spark, "lsh_idx_repl_v2",
+            "doc_id", numHashes = 64, minJaccard = 0.8)
+          .where($"id_a" === target || $"id_b" === target)
+        assert(pairs.where($"id_a" === 8L || $"id_b" === 8L).count() === 1L,
+          "the replaced doc must near-dup its text's source doc")
+      } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_repl_v2")
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_repl")
+  }
+
   test("shared cluster table: stored labels identical to re-running CC-star on the shared pairs") {
     // the materialized cluster map (index → pairs → labels) must be
     // value-identical to recomputation — a staleness or layout bug
