@@ -136,6 +136,16 @@ def main():
                 cleared.append(n)
                 verdict = (f"  ADJUDICATED-CLEAN: in-run REPS=4 floor "
                            f"{adjud[n]:.2f}s = {ai:.2f}x")
+            elif (n, infl) in spiky:
+                # the 4 adjudication reps run back-to-back in the same
+                # JVM right after the flagged pass — a host spike
+                # spanning both would "confirm" a noise flag. When the
+                # flag is ALSO spike-consistent (inflated neighbors),
+                # the floor is not independent evidence: re-measure.
+                verdict = (f"  ADJUDICATED->2x BUT SPIKE-CONSISTENT: "
+                           f"floor {adjud[n]:.2f}s = {ai:.2f}x was "
+                           f"measured inside the suspected spike — "
+                           f"re-measure on an idle host")
             else:
                 confirmed.append(n)
                 verdict = (f"  ADJUDICATED-REAL: in-run REPS=4 floor "
@@ -146,10 +156,13 @@ def main():
     if cleared:
         print(f"{len(cleared)} flags cleared by the embedded adjudication "
               f"(suite-context noise): {', '.join(cleared)}")
-    unadjudicated_spiky = [n for n, _ in spiky if n not in adjud]
+    # spike-consistent flags not cleared by adjudication need an
+    # independent re-measure — whether the embedded floor was missing
+    # or itself read >2x (it ran inside the suspected spike)
+    unadjudicated_spiky = [n for n, _ in spiky if n not in cleared]
     if unadjudicated_spiky:
-        print(f"{len(unadjudicated_spiky)} flags are spike-consistent with no "
-              f"embedded adjudication — re-measure before treating as real:")
+        print(f"{len(unadjudicated_spiky)} flags are spike-consistent and "
+              f"not cleared — re-measure before treating as real:")
         print("  SPARK_GRAFT_BENCH_ONLY="
               + ",".join(unadjudicated_spiky)
               + " SPARK_GRAFT_BENCH_REPS=4 sbt 'runMain graft.Bench'")

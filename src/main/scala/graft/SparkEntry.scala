@@ -42,11 +42,21 @@ object SparkEntry {
     * to `minHashLshPairs` by the pigeonhole equivalence (q158's
     * oracle is the q19 SQL), so every consumer's oracle is
     * unchanged. */
+  /** Collision-proof table-name tag for a dataset dir: md5 hex (16
+    * nibbles = 64 bits), not 32-bit String.hashCode — two dirs with
+    * colliding hashCodes in one session would be memoized separately
+    * yet read/write the SAME catalog table, silently cross-wiring
+    * corpora. */
+  private def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+
   private val lshIdxMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private[graft] def sharedLshIndexTable(s: SparkSession, dir: String): String =
     lshIdxMemo.getOrElseUpdate((s, dir), {
-      val tbl = "lsh_idx_shared_" + java.lang.Integer.toHexString(dir.hashCode)
+      val tbl = "lsh_idx_shared_" + dirTag(dir)
       Dedup.buildLshIndex(t(s, dir, "documents"), "doc_id", "text", tbl,
         shingleN = 3, numHashes = 64, bands = 16)
       tbl
@@ -70,8 +80,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private[graft] def sharedClusterTable(s: SparkSession, dir: String): String =
     clusterTblMemo.getOrElseUpdate((s, dir), {
-      val tbl = "dup_clusters_shared_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      val tbl = "dup_clusters_shared_" + dirTag(dir)
       operators.Bucketing.writeBucketedMulti(
         Dedup.connectedComponentsStar(sharedDupPairs(s, dir)),
         tbl, Seq("doc_id"), 32)
@@ -1517,7 +1526,15 @@ object SparkEntry {
     //    output ──
     "q187_lsh_bucket_stats" -> ((s, dir) =>
       s.table(sharedLshIndexTable(s, dir))
-        .groupBy("band", "bucket").agg(count(lit(1)).as("occupancy"))
+        // group on (band, RAW signature slice), not the xxhash64 bucket:
+        // unlike q19/q158 (where a bucket collision only adds candidates
+        // later rejected by est_jaccard) this histogram has no downstream
+        // filter, so a collision would directly change the emitted
+        // occupancy. The stored sig makes the exact key free — 4 hashes
+        // per band (64/16), slice is 1-based, bands 0-indexed
+        .groupBy(col("band"),
+          slice(col("sig"), col("band") * lit(4) + lit(1), lit(4)).as("__key"))
+        .agg(count(lit(1)).as("occupancy"))
         .groupBy("occupancy").agg(count(lit(1)).as("n_buckets"))
         .select(col("occupancy"), col("n_buckets"),
           // decimal(38,0) widening end-to-end (oracle: HUGEINT):

@@ -97,6 +97,7 @@ object SkewOps {
         // at 100 TB wrap the 2e6-scaled Long numerator
         intDiv(col("max_n").cast("decimal(38,0)") * lit(2000000L)
             + col("n_rows").cast("decimal(38,0)"),
-          lit(2L) * col("n_rows")).cast("long").as("top_share_micro"))
+          lit(2L) * col("n_rows").cast("decimal(38,0)"))
+          .cast("long").as("top_share_micro"))
   }
 }

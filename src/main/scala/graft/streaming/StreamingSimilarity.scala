@@ -40,16 +40,33 @@ object StreamingSimilarity {
   def flagNearVectors(stream: DataFrame, indexDir: String, idCol: String,
                       vecCol: String, threshold: Double, nProbe: Int,
                       tombstones: Option[DataFrame] = None): DataFrame = {
-    import graft.expressions.VectorExpressions.{nearestCentroids, vecDot, vecNorm}
     val spark = stream.sparkSession
-    val matrix = Similarity.readCentroids(spark, indexDir)
+    flagNearVectors(stream, spark.read.parquet(indexDir),
+      Similarity.readCentroids(spark, indexDir), idCol, vecCol,
+      threshold, nProbe, tombstones)
+  }
+
+  /** Static-side-as-DataFrame form — the GROWING-index shape: register
+    * an external catalog table over the index dir (partitioned on
+    * `cent_id`), pass `spark.table(...)` here, and after each
+    * [[graft.operators.Similarity.appendToIvfIndex]] generation call
+    * `recoverPartitions` + `refreshTable`; the next micro-batch then
+    * sees the appended vectors without a query restart (the path-based
+    * overload's cached file listing cannot). The quantizer matrix is
+    * passed explicitly because it is immutable across generations —
+    * read it once from the sidecar. */
+  def flagNearVectors(stream: DataFrame, index: DataFrame,
+                      matrix: Array[Array[Double]], idCol: String,
+                      vecCol: String, threshold: Double, nProbe: Int,
+                      tombstones: Option[DataFrame]): DataFrame = {
+    import graft.expressions.VectorExpressions.{nearestCentroids, vecDot, vecNorm}
     val probed = stream.select(col(idCol), col(vecCol).as("qv"))
       .withColumn("qn", vecNorm(col("qv")))
       .withColumn("cent_id", explode(nearestCentroids(col("qv"), matrix, nProbe)))
-    val index = tombstones.foldLeft(spark.read.parquet(indexDir))((i, t) =>
+    val idx = tombstones.foldLeft(index)((i, t) =>
       i.join(broadcast(t.select(col(idCol).as("neighbor_id"))),
         Seq("neighbor_id"), "left_anti"))
-    probed.join(index, Seq("cent_id"))
+    probed.join(idx, Seq("cent_id"))
       .where(col(idCol) =!= col("neighbor_id"))
       .withColumn("cos_sim",
         vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))

@@ -69,23 +69,42 @@ class IndexMaintenanceSpec extends SparkSpec {
     // order matters (pinned in the scaladoc): tombstones filter by id,
     // so appending the new version while the id is still tombstoned
     // would hide it; compaction + dropping the entry first makes the
-    // re-append visible with exactly one generation of rows
+    // re-append visible with exactly one generation of rows.
+    // Parity contract: after EVERY step the index's pair set equals a
+    // from-scratch minHashLshPairs build over the corpus the step
+    // logically produced — the runbook sequence is exact, not merely
+    // plausible, at each intermediate state.
     val d = docs
+    def scratch(c: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.minHashLshPairs(c, "doc_id", "text", shingleN = 3,
+          numHashes = 64, bands = 16, minJaccard = 0.8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def indexed(tbl: String,
+                tomb: Option[org.apache.spark.sql.DataFrame]): Set[(Long, Long)] =
+      Dedup.lshPairsIndexed(spark, tbl, "doc_id", numHashes = 64,
+          minJaccard = 0.8, tombstones = tomb)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     Dedup.buildLshIndex(d, "doc_id", "text", "lsh_idx_repl",
       shingleN = 3, numHashes = 64, bands = 16)
     try {
       val target = 7L
       val tomb = Seq(target).toDF("doc_id")
-      // step 1: logical delete — reads stop seeing the old version
-      assert(Dedup.lshPairsIndexed(spark, "lsh_idx_repl", "doc_id",
-          numHashes = 64, minJaccard = 0.8, tombstones = Some(tomb))
-        .where($"id_a" === target || $"id_b" === target).count() === 0L)
+      val minusScratch = scratch(d.where($"doc_id" =!= target))
+      // step 1: logical delete — reads stop seeing the old version and
+      // the pair set already equals a from-scratch build minus the doc
+      val logical = indexed("lsh_idx_repl", Some(tomb))
+      assert(!logical.exists(p => p._1 == target || p._2 == target))
+      assert(logical === minusScratch,
+        "step 1 (tombstone): pairs must equal from-scratch over corpus minus the id")
       // step 2: compact to a new generation; step 3: tombstone entry
       // dropped (we simply stop passing it); step 4: append the new
       // version of the doc under the SAME id
       Dedup.compactLshIndex(spark, "lsh_idx_repl", "lsh_idx_repl_v2",
         tomb, "doc_id")
       try {
+        assert(indexed("lsh_idx_repl_v2", None) === minusScratch,
+          "steps 2+3 (compact, drop tombstone): pairs must still equal " +
+            "from-scratch over corpus minus the id")
         val newVersion = d.where($"doc_id" === 8L)
           .select(lit(target).as("doc_id"), $"text", $"lang", $"source",
             $"n_chars")
@@ -98,13 +117,74 @@ class IndexMaintenanceSpec extends SparkSpec {
           .select("count").distinct().as[Long].collect()
         assert(perBand.toSeq === Seq(1L),
           "one row per band for the replaced id — no duplicate generation")
-        val pairs = Dedup.lshPairsIndexed(spark, "lsh_idx_repl_v2",
-            "doc_id", numHashes = 64, minJaccard = 0.8)
-          .where($"id_a" === target || $"id_b" === target)
-        assert(pairs.where($"id_a" === 8L || $"id_b" === 8L).count() === 1L,
+        val replaced = indexed("lsh_idx_repl_v2", None)
+        assert(replaced.exists(p => (p._1 == target && p._2 == 8L) ||
+            (p._1 == 8L && p._2 == target)),
           "the replaced doc must near-dup its text's source doc")
+        val replacedScratch = scratch(
+          d.where($"doc_id" =!= target).select("doc_id", "text")
+            .unionByName(newVersion.select("doc_id", "text")))
+        assert(replaced === replacedScratch,
+          "step 4 (append new version): pairs must equal from-scratch " +
+            "over the replaced corpus")
       } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_repl_v2")
     } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_repl")
+  }
+
+  test("IVF same-id REPLACE lifecycle: per-step parity with a from-scratch build") {
+    // the quantizer sample is a DETERMINISTIC bottom-nCentroids by
+    // md5(id): as long as the replaced id is outside the sample, a
+    // from-scratch buildIvfIndex over the modified corpus derives the
+    // IDENTICAL centroid matrix — so full value-level parity with a
+    // fresh build is assertable after every lifecycle step (the
+    // strongest form; for an in-sample id only same-sidecar parity
+    // would hold, which the LSH-side test's pigeonhole argument does
+    // not need but IVF does)
+    def mk() = java.nio.file.Files.createTempDirectory("graft-ivf-repl").toString
+    val dirLive = mk()
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dirLive, nCentroids = 16)
+    val sampleIds = emb
+      .orderBy(md5($"vec_id".cast("string")), $"vec_id")
+      .limit(16).select("vec_id").as[Long].collect().toSet
+    val allIds = emb.select("vec_id").as[Long].collect().toSet
+    val target = allIds.toSeq.sorted
+      .find(id => id >= 30 && !sampleIds.contains(id) && allIds.contains(id + 1))
+      .get
+    val tomb = Seq(target).toDF("vec_id")
+    val queries = emb.where($"vec_id" < 10)
+    def knn(dir: String,
+            tomb: Option[org.apache.spark.sql.DataFrame]): Set[(Long, Int, Long)] =
+      Similarity.ivfKnnIndexed(spark, dir, queries, "vec_id", "embedding",
+          k = 5, nProbe = 6, tombstones = tomb)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+    def scratchKnn(corpus: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] = {
+      val dir = mk()
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding", dir, nCentroids = 16)
+      knn(dir, None)
+    }
+    val minus = emb.where($"vec_id" =!= target)
+    val minusScratch = scratchKnn(minus)
+    // step 1: tombstoned read == from-scratch build minus the vector
+    assert(knn(dirLive, Some(tomb)) === minusScratch,
+      "step 1 (tombstone): results must equal a fresh build minus the id")
+    // step 2: compact; step 3: drop the tombstone entry
+    val dirV2 = mk()
+    Similarity.compactIvfIndex(spark, dirLive, dirV2, tomb, "vec_id")
+    assert(knn(dirV2, None) === minusScratch,
+      "steps 2+3 (compact, drop tombstone): results must equal the fresh minus build")
+    // step 4: append the new version (same id, a different vector's
+    // value — the id stays outside the deterministic sample, so the
+    // fresh build's quantizer still matches)
+    val newVersion = emb.where($"vec_id" === target + 1)
+      .select(lit(target).as("vec_id"), $"embedding")
+    Similarity.appendToIvfIndex(newVersion, "vec_id", "embedding", dirV2)
+    val replacedScratch = scratchKnn(
+      minus.select("vec_id", "embedding")
+        .unionByName(newVersion.select("vec_id", "embedding")))
+    assert(knn(dirV2, None) === replacedScratch,
+      "step 4 (append new version): results must equal a fresh build " +
+        "over the replaced corpus")
   }
 
   test("shared cluster table: stored labels identical to re-running CC-star on the shared pairs") {

@@ -73,6 +73,24 @@ class ScaleSmokeSpec extends SparkSpec {
       try Graph.manifest(pairs, Dedup.connectedComponentsStar(pairs)).count()
       finally pairs.unpersist()
       ()
+    },
+    // the PRODUCTION q178 shape (round 10): pairs read from the
+    // persisted bucketed index, then the PR/k-core chains — the
+    // suite's most stage-latency-bound plan, so its growth is the one
+    // the 100× tier most needs to see (VERDICT r10 item 5). Timed
+    // end-to-end including the index build: at scale the build is the
+    // scan-dominated part and the chains are round-latency-dominated,
+    // so a superlinear regression in EITHER shows in the ratio.
+    "q178_manifest_indexed" -> { docs =>
+      Dedup.buildLshIndex(docs, "doc_id", "text", "lsh_idx_smoke178",
+        3, 64, 16)
+      try {
+        val pairs = Dedup.lshPairsIndexed(spark, "lsh_idx_smoke178",
+          "doc_id", 64, 0.8).cache()
+        try Graph.manifest(pairs, Dedup.connectedComponentsStar(pairs)).count()
+        finally pairs.unpersist()
+      } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_smoke178")
+      ()
     })
 
   private def corpus(n: Long): DataFrame =
@@ -154,14 +172,17 @@ class ScaleSmokeSpec extends SparkSpec {
 
   test("100x spot check: sketch/cluster/index paths stay sublinear at 300k docs") {
     assume(tier >= 2, "set SPARK_GRAFT_SCALE_SMOKE=2 for the 100x tier")
-    // the four scan-dominated paths at 30k vs 300k — 100x the bench
-    // fixture's 3k-doc corpus. The graph/binary-search composites are
-    // excluded (tier 1 covers them; their cost is round latency, not
-    // scan volume, and 300k-doc runs of 25-stage composites make the
-    // spot check an hour-long soak, not a smoke).
+    // the four scan-dominated paths plus the indexed graph manifest at
+    // 30k vs 300k — 100x the bench fixture's 3k-doc corpus. The
+    // manifest rides along in its PRODUCTION indexed form because it
+    // is the suite's most stage-latency-bound plan (VERDICT r10 item
+    // 5); the from-scratch graph/binary-search composites stay
+    // tier-1-only (their cost is round latency, not scan volume, and
+    // 300k-doc runs of 25-stage composites make the spot check an
+    // hour-long soak, not a smoke).
     val spot = ops.filter { case (n, _) =>
       Set("q19_pairs", "q47_clusters", "q158_index_build_pairs",
-        "q112_cluster_stats").contains(n)
+        "q112_cluster_stats", "q178_manifest_indexed").contains(n)
     }
     val warm = corpus(500)
     spot.foreach { case (_, f) => f(warm); spark.catalog.clearCache() }

@@ -355,6 +355,141 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS tomb_live")
   }
 
+  test("GROWING LSH index: an appendToLshIndex generation lands under the running gate; parity vs batch replay") {
+    // the append half of the live-maintenance contract (tombstones are
+    // pinned above): a generation appended between micro-batches via
+    // the catalog table + refreshTable changes the gate's verdicts —
+    // a doc that PASSED the gate before the append is flagged after,
+    // and the flag set equals replaying each micro-batch against the
+    // index state it saw
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val other = "tokenizer vocabularies keep growing with corpus size following heaps law closely"
+    val corpus1 = Seq((100L, base)).toDF("doc_id", "text")
+    Dedup.buildLshIndex(corpus1, "doc_id", "text", "lsh_idx_grow",
+      shingleN = 3, numHashes = 64, bands = 16)
+    try {
+      val index = Dedup.loadLshIndex(spark, "lsh_idx_grow", "doc_id")
+      val in = MemoryStream[(Long, String)]
+      val flagged = StreamingDedup.flagNearDups(
+        in.toDF().toDF("doc_id", "text"), index, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+      val q = flagged.writeStream.format("memory").queryName("grow_gate")
+        .outputMode("append").start()
+      // batch 1: doc 1 near-dups the indexed doc; doc 2 near-dups a
+      // text NOT yet indexed — it passes the gate
+      in.addData((1L, base + " indeed"), (2L, other + " indeed"))
+      q.processAllAvailable()
+      assert(spark.table("grow_gate").select("doc_id", "corpus_id")
+        .as[(Long, Long)].collect().toSet === Set((1L, 100L)))
+      // the new corpus generation (doc 200 = other's text) lands via
+      // appendToLshIndex + refreshTable, with the gate still running
+      Dedup.appendToLshIndex(Seq((200L, other)).toDF("doc_id", "text"),
+        "doc_id", "text", "lsh_idx_grow", shingleN = 3, numHashes = 64,
+        bands = 16)
+      spark.catalog.refreshTable("lsh_idx_grow")
+      // batch 2: a near-dup of the APPENDED doc is now flagged
+      in.addData((3L, other + " indeed"))
+      runToCompletion(q)
+      val got = spark.table("grow_gate").select("doc_id", "corpus_id")
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(got.contains((3L, 200L)),
+        "post-append arrival must flag against the appended generation")
+      assert(!got.exists(_._1 == 2L),
+        "pre-append arrival must keep its verdict (its source was not yet indexed)")
+      // batch replay parity: each micro-batch against the index state
+      // it saw (arrival ids < 100 ≤ corpus ids keeps the orientation)
+      def replay(corpus: org.apache.spark.sql.DataFrame,
+                 arrivals: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        Dedup.minHashLshPairs(corpus.unionByName(arrivals), "doc_id", "text",
+            shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+          .filter { case (a, b) => a < 100L && b >= 100L }
+      val corpus2 = corpus1.unionByName(Seq((200L, other)).toDF("doc_id", "text"))
+      val expected =
+        replay(corpus1, Seq((1L, base + " indeed"), (2L, other + " indeed"))
+          .toDF("doc_id", "text")) ++
+        replay(corpus2, Seq((3L, other + " indeed")).toDF("doc_id", "text"))
+      assert(got === expected,
+        s"gate flags must equal the per-state batch replay: got $got expected $expected")
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_grow")
+  }
+
+  test("GROWING IVF index: an appendToIvfIndex generation lands under the running gate via an external catalog table") {
+    // vector twin of the LSH append case: the path-based overload's
+    // file listing is cached at creation (appends invisible — the
+    // documented caveat), so the growing deployment registers an
+    // EXTERNAL catalog table over the index dir and calls
+    // recoverPartitions + refreshTable after each append; the next
+    // micro-batch then sees the new generation. Parity: final flags
+    // equal replaying each micro-batch against the generation it saw
+    // (gen-1 emulated exactly by tombstoning the appended ids — the
+    // sidecar quantizer is immutable, so assignment is identical).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    import graft.streaming.StreamingSimilarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val gen1 = emb.where($"vec_id" % 2 === 0)
+    val gen2 = emb.where($"vec_id" % 2 === 1 && $"vec_id" < 40)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-grow").toString
+    Similarity.buildIvfIndex(gen1, "vec_id", "embedding", dir, nCentroids = 16)
+    spark.sql("DROP TABLE IF EXISTS ivf_idx_grow")
+    spark.catalog.createTable("ivf_idx_grow", dir, "parquet")
+    spark.catalog.recoverPartitions("ivf_idx_grow")
+    try {
+      val matrix = Similarity.readCentroids(spark, dir)
+      val threshold = 0.95
+      val nProbe = 4
+      // exact copies under new ids: vec 4 (gen 1) and vec 7 (gen 2)
+      def copyOf(id: Long): (Long, Seq[Float]) = {
+        val v = emb.where($"vec_id" === id).select($"embedding")
+          .as[Seq[Float]].head()
+        (id + 100000L, v)
+      }
+      val (a1, a2, a3) = (copyOf(4L), copyOf(7L), copyOf(7L))
+      val in = MemoryStream[(Long, Seq[Float])]
+      val flagged = StreamingSimilarity.flagNearVectors(
+        in.toDF().toDF("vec_id", "embedding"), spark.table("ivf_idx_grow"),
+        matrix, "vec_id", "embedding", threshold, nProbe, None)
+      val q = flagged.writeStream.format("memory").queryName("ivf_grow_gate")
+        .outputMode("append").start()
+      in.addData(a1, a2)
+      q.processAllAvailable()
+      val got1 = spark.table("ivf_grow_gate").select("vec_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got1.contains((a1._1, 4L)), "gen-1 copy must flag its source")
+      assert(!got1.exists(_._2 == 7L),
+        "a copy of a NOT-yet-indexed vector must pass the gate")
+      // gen 2 lands under the running gate
+      Similarity.appendToIvfIndex(gen2, "vec_id", "embedding", dir)
+      spark.catalog.recoverPartitions("ivf_idx_grow")
+      spark.catalog.refreshTable("ivf_idx_grow")
+      in.addData(a3.copy(_1 = a3._1 + 1))
+      runToCompletion(q)
+      val got = spark.table("ivf_grow_gate").select("vec_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got.contains((a3._1 + 1, 7L)),
+        "post-append arrival must flag against the appended generation")
+      assert(!got.contains((a2._1, 7L)),
+        "pre-append arrival must keep its verdict")
+      // batch replay parity: gen-1 state = full index minus the
+      // appended ids (exact — immutable quantizer), gen-2 state = full
+      def replayBatch(batch: Seq[(Long, Seq[Float])],
+                      tomb: Option[org.apache.spark.sql.DataFrame]): Set[(Long, Long)] =
+        StreamingSimilarity.flagNearVectors(
+            batch.toDF("vec_id", "embedding"), spark.read.parquet(dir),
+            matrix, "vec_id", "embedding", threshold, nProbe, tomb)
+          .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val expected =
+        replayBatch(Seq(a1, a2), Some(gen2.select("vec_id"))) ++
+        replayBatch(Seq(a3.copy(_1 = a3._1 + 1)), None)
+      assert(got === expected,
+        s"gate flags must equal the per-generation batch replay: got $got expected $expected")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_idx_grow")
+  }
+
   test("streaming vector gate: arrivals flagged against the persisted IVF index; independent parity; tombstones") {
     // SemDeDup at accept time — the embedding twin of the text gate.
     // Parity is checked against a DRIVER-SIDE reimplementation of the
