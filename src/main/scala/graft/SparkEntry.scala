@@ -1518,6 +1518,59 @@ object SparkEntry {
           sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_gone"))
     }),
 
+    // ── SAME-ID REPLACE lifecycle on the persisted LSH index, run
+    //    end-to-end as one query (the ops runbook at Dedup.scala §
+    //    appendToLshIndex: tombstone old id → compact to a new
+    //    generation → drop the tombstone → append the new version):
+    //    doc 7's text is replaced by doc 8's. The emitted pair set
+    //    must equal a from-scratch pair build over the REPLACED
+    //    corpus — which is exactly what the oracle computes via a
+    //    rewritten documents CTE, making the composed lifecycle
+    //    hash-gated, not just spec'd ──
+    "q190_lsh_replace_lifecycle" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val target = 7L
+      Dedup.buildLshIndex(d, "doc_id", "text", "lsh_idx_q190",
+        shingleN = 3, numHashes = 64, bands = 16)
+      Dedup.compactLshIndex(s, "lsh_idx_q190", "lsh_idx_q190_v2",
+        d.where(col("doc_id") === target).select("doc_id"), "doc_id")
+      Dedup.appendToLshIndex(
+        d.where(col("doc_id") === 8L)
+          .select(lit(target).as("doc_id"), col("text")),
+        "doc_id", "text", "lsh_idx_q190_v2",
+        shingleN = 3, numHashes = 64, bands = 16)
+      Dedup.lshPairsIndexed(s, "lsh_idx_q190_v2", "doc_id",
+        numHashes = 64, minJaccard = 0.8)
+    }),
+
+    // ── SAME-ID REPLACE lifecycle on the persisted IVF index
+    //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
+    //    replaced by vec 43's through tombstone → compact → append
+    //    with the generation-1 sidecar quantizer. Target 42 is outside
+    //    the deterministic bottom-16 md5 centroid sample at every SF,
+    //    so the immutable quantizer equals the one a fresh build over
+    //    the replaced corpus would sample — the oracle replays exactly
+    //    that via a rewritten embeddings CTE ──
+    "q191_ivf_replace_lifecycle" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val target = 42L
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      val v1 = wh + "/ivf_idx_q191_v1"
+      val v2 = wh + "/ivf_idx_q191_v2"
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", v1,
+        nCentroids = 16)
+      Similarity.compactIvfIndex(s, v1, v2,
+        emb.where(col("vec_id") === target).select("vec_id"), "vec_id")
+      Similarity.appendToIvfIndex(
+        emb.where(col("vec_id") === target + 1)
+          .select(lit(target).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", v2)
+      Similarity.ivfKnnIndexed(s, v2, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 6)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("cos_sim"))
+    }),
+
     // ── LSH index occupancy card: per-(band,bucket) occupancy
     //    histogram + implied candidate-pair volume (n·C(occ,2)) — the
     //    capacity-planning read that catches a hot bucket (low-entropy
@@ -1765,21 +1818,23 @@ object SparkEntry {
     * `centWhere`'s rows (the fixed quantizer — q184 trains on the
     * pre-append half), assignment over `assignWhere`'s rows (q185
     * tombstones delete neighbors, never probes). Both "TRUE" = q39. */
-  private def ivfKnnSql(centWhere: String, assignWhere: String): String =
-    s"""WITH cent AS (
+  private def ivfKnnSql(centWhere: String, assignWhere: String,
+                        src: String = "embeddings",
+                        extraCtes: String = ""): String =
+    s"""WITH ${if (extraCtes.nonEmpty) extraCtes + ", " else ""}cent AS (
            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cpos,
                   CAST(embedding AS DOUBLE[]) AS ce
-           FROM embeddings WHERE $centWhere
+           FROM $src WHERE $centWhere
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
          ), assign AS (
            SELECT e.vec_id AS neighbor_id, cpos
-           FROM embeddings e CROSS JOIN cent
+           FROM $src e CROSS JOIN cent
            WHERE $assignWhere
            QUALIFY row_number() OVER (PARTITION BY e.vec_id
              ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ce) DESC, cpos ASC) = 1
          ), probes AS (
            SELECT q.vec_id AS query_id, cpos
-           FROM embeddings q CROSS JOIN cent
+           FROM $src q CROSS JOIN cent
            WHERE q.vec_id < 10
            QUALIFY row_number() OVER (PARTITION BY q.vec_id
              ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ce) DESC, cpos ASC) <= 6
@@ -1794,8 +1849,8 @@ object SparkEntry {
                ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
                         neighbor_id ASC) AS rank
            FROM cand
-           JOIN embeddings q ON query_id = q.vec_id
-           JOIN embeddings c ON neighbor_id = c.vec_id
+           JOIN $src q ON query_id = q.vec_id
+           JOIN $src c ON neighbor_id = c.vec_id
          )
          SELECT query_id, rank, neighbor_id, round(sim, 6) AS cos_sim
          FROM scored WHERE rank <= 5"""
@@ -1808,13 +1863,14 @@ object SparkEntry {
     * band's mh-value string (not the engine's hash of it): identical
     * for joining/grouping purposes absent hash collisions — the same
     * assumption the q19 equivalence already rests on. */
-  private def minhashBandCtes(docWhere: String): String = {
+  private def minhashBandCtes(docWhere: String,
+                              docsFrom: String = "documents"): String = {
     def parse12(start: Int) =
       s"CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + $start AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT)"
     s"""t AS (
            SELECT doc_id,
              string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
-           FROM documents WHERE $docWhere
+           FROM $docsFrom WHERE $docWhere
          ), sh AS (
            SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, len(toks) - 1),
@@ -1839,8 +1895,10 @@ object SparkEntry {
     * 1 − bands/numHashes = 0.75 keeps the banded candidates EXACT by
     * the pigeonhole argument). */
   private def minhashPairsSqlWhere(docWhere: String,
-                                   minJ: Double = 0.8): String =
-    s"""WITH ${minhashBandCtes(docWhere)}, cand AS (
+                                   minJ: Double = 0.8,
+                                   docsFrom: String = "documents",
+                                   extraCtes: String = ""): String =
+    s"""WITH ${if (extraCtes.nonEmpty) extraCtes + ", " else ""}${minhashBandCtes(docWhere, docsFrom)}, cand AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM band a JOIN band b
              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -3251,6 +3309,29 @@ object SparkEntry {
            CAST(count(*) FILTER (WHERE fi IS NULL) AS BIGINT) AS n_missing,
            CAST(count(*) FILTER (WHERE fc IS NULL) AS BIGINT) AS n_gone
          FROM i FULL JOIN c USING (doc_id)""",
+    // Same-id replace lifecycle (LSH): from-scratch q19 pairs over the
+    // REPLACED corpus (doc 7's text := doc 8's) — the engine's
+    // tombstone→compact→append sequence must land exactly here.
+    "q190_lsh_replace_lifecycle" ->
+      minhashPairsSqlWhere("TRUE", docsFrom = "documents2",
+        extraCtes = """documents2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id = 7
+               THEN (SELECT text FROM documents WHERE doc_id = 8)
+               ELSE text END AS text
+           FROM documents)"""),
+    // Same-id replace lifecycle (IVF): the q39 replay over the
+    // REPLACED corpus (vec 42 := vec 43's embedding); target 42 is
+    // outside the bottom-16 md5 centroid sample at every SF, so the
+    // replayed quantizer equals the engine's immutable sidecar.
+    "q191_ivf_replace_lifecycle" ->
+      ivfKnnSql("TRUE", "TRUE", src = "embeddings2",
+        extraCtes = """embeddings2 AS (
+           SELECT vec_id,
+             CASE WHEN vec_id = 42
+               THEN (SELECT embedding FROM embeddings WHERE vec_id = 43)
+               ELSE embedding END AS embedding
+           FROM embeddings)"""),
     // Near-dup decontamination: the q19 pairs crossing the 80/20
     // md5-bucket split (q44's bucket formula), oriented train→eval.
     "q188_neardup_decontam" ->

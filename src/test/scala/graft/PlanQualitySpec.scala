@@ -1227,6 +1227,34 @@ class PlanQualitySpec extends SparkSpec {
       s"the pruned index scan must survive the tombstone filter:\n$plan")
   }
 
+  test("q190/q191: replace-lifecycle reads inherit the maintained index's plan guarantees") {
+    // the lifecycle's value is that a maintained (compacted+appended)
+    // generation is indistinguishable from a fresh build to every
+    // consumer — including the PLAN: q190's pair join must stay
+    // exchange-free over the v2 bucketed table with no text rescan,
+    // and q191's kNN must keep pruning the v2 partitioned scan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q190_lsh_replace_lifecycle")(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("documents.parquet") &&
+          !plan.contains("MinHashTokens") && !plan.contains("min_hash_tokens"),
+        s"lifecycle pair read must come from the index alone:\n$plan")
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0 && !plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"pair self-join must stay exchange-free over the compacted+appended table:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_q190")
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_q190_v2")
+    }
+    val knn = SparkEntry.queries("q191_ivf_replace_lifecycle")(spark, dir)
+    knn.collect()
+    val kplan = knn.queryExecution.executedPlan.toString()
+    assert(kplan.contains("PartitionFilters") && kplan.contains("cent_id"),
+      s"kNN over the maintained IVF generation must keep partition pruning:\n$kplan")
+  }
+
   test("q175-family: shared pair source reads the persisted index — no signature recompute") {
     // the graph/cluster analyses (q175/q176/q177/q178/q182) all feed
     // from ONE shared persisted LSH index: their pair sub-plan must
