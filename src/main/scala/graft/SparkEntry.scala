@@ -1543,6 +1543,24 @@ object SparkEntry {
         numHashes = 64, minJaccard = 0.8)
     }),
 
+    // ── CAPACITY GROWTH on the persisted LSH index: re-bucket the
+    //    32-bucket layout to 64 physical buckets WITHOUT re-hashing
+    //    (values untouched, only the physical distribution changes) —
+    //    the re-layout an ops team runs when the corpus has outgrown
+    //    the build-time bucket count and per-bucket row masses start
+    //    spilling the exchange-free pair join's per-task sorts. The
+    //    pair set over the widened layout must equal q19's from-scratch
+    //    oracle exactly ──
+    "q192_lsh_rebucket" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.buildLshIndex(d, "doc_id", "text", "lsh_idx_q192",
+        shingleN = 3, numHashes = 64, bands = 16)
+      Dedup.rebucketLshIndex(s, "lsh_idx_q192", "lsh_idx_q192_w",
+        buckets = 64)
+      Dedup.lshPairsIndexed(s, "lsh_idx_q192_w", "doc_id",
+        numHashes = 64, minJaccard = 0.8)
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append
@@ -3320,6 +3338,9 @@ object SparkEntry {
                THEN (SELECT text FROM documents WHERE doc_id = 8)
                ELSE text END AS text
            FROM documents)"""),
+    // Capacity growth: re-bucketing changes only the physical layout,
+    // so the oracle is q19's pair query verbatim.
+    "q192_lsh_rebucket" -> minhashPairsSql,
     // Same-id replace lifecycle (IVF): the q39 replay over the
     // REPLACED corpus (vec 42 := vec 43's embedding); target 42 is
     // outside the bottom-16 md5 centroid sample at every SF, so the

@@ -430,6 +430,29 @@ object Dedup {
     Bucketing.writeBucketedMulti(remaining, toTable, Seq("bucket"), buckets)
   }
 
+  /** Re-bucket a persisted LSH index into a different physical bucket
+    * count — the capacity-growth path: Spark fixes the bucket count at
+    * write time, so an index whose corpus has grown 10× since the
+    * build ends up with per-bucket row masses sized for the OLD corpus
+    * (the exchange-free pair join sorts each physical bucket in one
+    * task — oversized buckets spill). One index scan, NO re-hashing:
+    * the (sig, band, bucket) VALUES are untouched, only their physical
+    * distribution changes, so every consumer's RESULT is bit-identical
+    * and the pair join / probe pruning keep their plan shape over the
+    * new layout. Two-table swap like [[compactLshIndex]] (same
+    * zero-downtime contract). The IVF twin has no such operation by
+    * design: its physical unit is the quantizer's partition, so
+    * capacity growth there is a re-quantized REBUILD, not a re-layout. */
+  def rebucketLshIndex(spark: org.apache.spark.sql.SparkSession,
+                       fromTable: String, toTable: String,
+                       buckets: Int): Unit = {
+    require(fromTable != toTable,
+      "re-bucketing must write a new table (two-table swap); Spark cannot " +
+        "overwrite a table it is reading from")
+    Bucketing.writeBucketedMulti(spark.table(fromTable), toTable,
+      Seq("bucket"), buckets)
+  }
+
   def lshProbeIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
                       probes: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numHashes: Int, bands: Int,

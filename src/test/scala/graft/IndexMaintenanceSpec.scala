@@ -187,6 +187,43 @@ class IndexMaintenanceSpec extends SparkSpec {
         "over the replaced corpus")
   }
 
+  test("re-bucketing: wider physical layout, bit-identical pairs and probes, bucket spec applied") {
+    // capacity growth must be a pure re-LAYOUT: every consumer's
+    // result unchanged, the new physical bucket count actually applied
+    // (a silent fall-through to an unbucketed write would keep results
+    // right but reintroduce the pair join's exchange at 100 TB)
+    Dedup.buildLshIndex(docs, "doc_id", "text", "lsh_idx_rb",
+      shingleN = 3, numHashes = 64, bands = 16)
+    try {
+      Dedup.rebucketLshIndex(spark, "lsh_idx_rb", "lsh_idx_rb_w", buckets = 64)
+      try {
+        val before = Dedup.lshPairsIndexed(spark, "lsh_idx_rb", "doc_id",
+            numHashes = 64, minJaccard = 0.8)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        val after = Dedup.lshPairsIndexed(spark, "lsh_idx_rb_w", "doc_id",
+            numHashes = 64, minJaccard = 0.8)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        assert(after === before && after.nonEmpty,
+          "re-bucketing must not change the pair set")
+        val probe = docs.where($"doc_id" < 25)
+        val hitsBefore = Dedup.lshProbeIndexed(spark, "lsh_idx_rb", probe,
+            "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+            minJaccard = 0.8)
+          .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+        val hitsAfter = Dedup.lshProbeIndexed(spark, "lsh_idx_rb_w", probe,
+            "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+            minJaccard = 0.8)
+          .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+        assert(hitsAfter === hitsBefore,
+          "probe results must survive the re-layout")
+        val ddl = spark.sql("SHOW CREATE TABLE lsh_idx_rb_w")
+          .head().getString(0)
+        assert(ddl.contains("64 BUCKETS"),
+          s"widened bucket spec must be applied:\n$ddl")
+      } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_rb_w")
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_rb")
+  }
+
   test("shared cluster table: stored labels identical to re-running CC-star on the shared pairs") {
     // the materialized cluster map (index → pairs → labels) must be
     // value-identical to recomputation — a staleness or layout bug

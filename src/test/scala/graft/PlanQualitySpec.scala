@@ -1255,6 +1255,26 @@ class PlanQualitySpec extends SparkSpec {
       s"kNN over the maintained IVF generation must keep partition pruning:\n$kplan")
   }
 
+  test("q192: pair join stays exchange-free over the re-bucketed (widened) layout") {
+    // the re-layout's entire purpose is keeping the exchange-free join
+    // as per-bucket masses grow — losing the bucket spec on the write
+    // would silently reintroduce the corpus-sized shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q192_lsh_rebucket")(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString()
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0 && !plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"pair self-join must be exchange-free over the widened layout:\n$plan")
+      assert(!plan.contains("documents.parquet") && !plan.contains("MinHashTokens"),
+        s"re-bucketing must not re-scan or re-sketch the corpus in the read path:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_q192")
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_q192_w")
+    }
+  }
+
   test("q175-family: shared pair source reads the persisted index — no signature recompute") {
     // the graph/cluster analyses (q175/q176/q177/q178/q182) all feed
     // from ONE shared persisted LSH index: their pair sub-plan must
