@@ -1561,6 +1561,44 @@ object SparkEntry {
         numHashes = 64, minJaccard = 0.8)
     }),
 
+    // ── THRESHOLD MIGRATION on the persisted LSH index: dedup policy
+    //    loosens from 0.8 to 0.7, below the 16-band exactness bound
+    //    (1 − 16/64 = 0.75) — re-band the SHARED index's stored
+    //    signatures into 32 bands of 2 (exact down to 0.5) without
+    //    re-hashing one byte of corpus text, then read pairs at the
+    //    new threshold. Oracle: the q19 chain at 2 rows/band, minJ
+    //    0.7 — pigeonhole-exact on both sides ──
+    "q193_lsh_reband" -> ((s, dir) => {
+      Dedup.rebandLshIndex(s, sharedLshIndexTable(s, dir),
+        "lsh_idx_q193_b32", "doc_id", numHashes = 64, newBands = 32)
+      Dedup.lshPairsIndexed(s, "lsh_idx_q193_b32", "doc_id",
+        numHashes = 64, minJaccard = 0.7)
+    }),
+
+    // ── CAPACITY-GROWTH REBUILD on the persisted IVF index (the
+    //    re-layout q192 does for LSH is impossible here: the physical
+    //    unit IS the quantizer's partition) — index built at 8
+    //    centroids on the even half, odd half appended under that
+    //    stale 8-wide quantizer, then RE-TRAINED to 16 centroids from
+    //    the index's own rows (one index scan, source corpus never
+    //    re-read). The retrained generation must equal a from-scratch
+    //    16-centroid build over the union: the oracle is q39's verbatim ──
+    "q194_ivf_retrain" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      val v1 = wh + "/ivf_idx_q194_v1"
+      val v2 = wh + "/ivf_idx_q194_v2"
+      Similarity.buildIvfIndex(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", v1, nCentroids = 8)
+      Similarity.appendToIvfIndex(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", v1)
+      Similarity.retrainIvfIndex(s, v1, v2, nCentroids = 16)
+      Similarity.ivfKnnIndexed(s, v2, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 6)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("cos_sim"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append
@@ -1882,7 +1920,8 @@ object SparkEntry {
     * for joining/grouping purposes absent hash collisions — the same
     * assumption the q19 equivalence already rests on. */
   private def minhashBandCtes(docWhere: String,
-                              docsFrom: String = "documents"): String = {
+                              docsFrom: String = "documents",
+                              rowsPerBand: Int = 4): String = {
     def parse12(start: Int) =
       s"CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + $start AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT)"
     s"""t AS (
@@ -1901,7 +1940,7 @@ object SparkEntry {
            SELECT doc_id, i.i AS i, min(h1 + i.i * h2) AS mh
            FROM hh CROSS JOIN range(64) i(i) GROUP BY doc_id, i.i
          ), band AS (
-           SELECT doc_id, i // 4 AS band,
+           SELECT doc_id, i // $rowsPerBand AS band,
              string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
            FROM mh GROUP BY doc_id, band
          )"""
@@ -1915,8 +1954,9 @@ object SparkEntry {
   private def minhashPairsSqlWhere(docWhere: String,
                                    minJ: Double = 0.8,
                                    docsFrom: String = "documents",
-                                   extraCtes: String = ""): String =
-    s"""WITH ${if (extraCtes.nonEmpty) extraCtes + ", " else ""}${minhashBandCtes(docWhere, docsFrom)}, cand AS (
+                                   extraCtes: String = "",
+                                   rowsPerBand: Int = 4): String =
+    s"""WITH ${if (extraCtes.nonEmpty) extraCtes + ", " else ""}${minhashBandCtes(docWhere, docsFrom, rowsPerBand)}, cand AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM band a JOIN band b
              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -3341,6 +3381,14 @@ object SparkEntry {
     // Capacity growth: re-bucketing changes only the physical layout,
     // so the oracle is q19's pair query verbatim.
     "q192_lsh_rebucket" -> minhashPairsSql,
+    // Threshold migration: 32 bands of 2 keep the banded candidates
+    // exact down to minJ > 0.5 by pigeonhole; the oracle is the q19
+    // chain re-banded the same way, at the loosened 0.7 threshold.
+    "q193_lsh_reband" -> minhashPairsSqlWhere("TRUE", minJ = 0.7,
+      rowsPerBand = 2),
+    // Re-quantized rebuild ≡ from-scratch 16-centroid build over the
+    // union corpus, so the oracle is q39's query verbatim.
+    "q194_ivf_retrain" -> ivfKnnSql(centWhere = "TRUE", assignWhere = "TRUE"),
     // Same-id replace lifecycle (IVF): the q39 replay over the
     // REPLACED corpus (vec 42 := vec 43's embedding); target 42 is
     // outside the bottom-16 md5 centroid sample at every SF, so the

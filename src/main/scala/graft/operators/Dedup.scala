@@ -453,6 +453,36 @@ object Dedup {
       Seq("bucket"), buckets)
   }
 
+  /** Re-BAND a persisted LSH index — the threshold-migration path: the
+    * pigeonhole exactness bound is minJaccard > 1 − bands/numHashes,
+    * so an index built at 16 bands of 4 is exact only down to 0.75;
+    * when dedup policy loosens the threshold (say to 0.7), the
+    * candidate generation needs MORE bands. Every stored row already
+    * carries the FULL numHashes-wide signature (and each id has
+    * exactly one `band = 0` row), so the migration is one filtered
+    * index scan — slice the stored sigs into the new band count and
+    * write a fresh bucketed index — with ZERO corpus re-hashing: the
+    * `MinHashTokens` text pass, the dominant build cost and the thing
+    * the persisted index exists to amortize, never reruns. Narrower
+    * bands only ADD candidate pairs; the per-pair signature verify is
+    * unchanged, so consumers stay exact at any
+    * minJaccard > 1 − newBands/numHashes. Two-table swap like
+    * [[compactLshIndex]]/[[rebucketLshIndex]]. */
+  def rebandLshIndex(spark: org.apache.spark.sql.SparkSession,
+                     fromTable: String, toTable: String, idCol: String,
+                     numHashes: Int, newBands: Int,
+                     buckets: Int = 32): Unit = {
+    require(fromTable != toTable,
+      "re-banding must write a new table (two-table swap); Spark cannot " +
+        "overwrite a table it is reading from")
+    // band 0 exists for every id regardless of the OLD band count, so
+    // this is a one-row-per-id signature frame without any dedup shuffle
+    val sig = spark.table(fromTable).where(col("band") === 0)
+      .select(col(idCol), col("sig"))
+    Bucketing.writeBucketedMulti(bandedBuckets(sig, idCol, numHashes, newBands),
+      toTable, Seq("bucket"), buckets)
+  }
+
   def lshProbeIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
                       probes: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numHashes: Int, bands: Int,

@@ -241,6 +241,39 @@ object Similarity {
       graft.sources.Fs.readUtf8(spark, s"$fromDir/_centroids.json"))
   }
 
+  /** RE-QUANTIZE a persisted IVF index — the capacity-growth rebuild
+    * (the IVF twin of `Dedup.rebucketLshIndex`, which is a pure
+    * re-layout; here the physical unit IS the quantizer's partition,
+    * so growth means a new quantizer). After months of
+    * [[appendToIvfIndex]] batches under the immutable build-time
+    * sidecar, the quantizer is stale two ways: per-partition row
+    * masses have grown past what a probe should rerank, and the
+    * centroid sample no longer reflects the corpus distribution that
+    * appends shifted. This rebuild reads the INDEX (the vectors ride
+    * in it — the source corpus is never touched), samples a fresh
+    * `nCentroids`-wide quantizer from the union corpus with the same
+    * deterministic md5-keyed rule as [[buildIvfIndex]], reassigns
+    * per-row (codegen argmax, no shuffle), and writes a new
+    * generation + sidecar. The result is IDENTICAL to a from-scratch
+    * [[buildIvfIndex]] over the current corpus at `nCentroids` —
+    * asserted against the q39 oracle — at one index scan instead of a
+    * corpus read. Two-location swap like [[compactIvfIndex]]. */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      fromDir: String, toDir: String,
+                      nCentroids: Int): Unit = {
+    import graft.expressions.VectorExpressions.nearestCentroids
+    require(fromDir != toDir,
+      "re-training must write a new location (two-location swap)")
+    val corpus = spark.read.parquet(fromDir).select(col("neighbor_id"), col("cv"))
+    val matrix = sampledCentroids(corpus, "neighbor_id", "cv", nCentroids)
+    corpus
+      .withColumn("cn", vecNorm(col("cv")))
+      .withColumn("cent_id", element_at(nearestCentroids(col("cv"), matrix, 1), 1))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(toDir)
+    val json = matrix.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    graft.sources.Fs.writeUtf8(spark, s"$toDir/_centroids.json", json)
+  }
+
   def ivfKnnIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
                     queries: DataFrame, idCol: String, vecCol: String,
                     k: Int, nProbe: Int,

@@ -224,6 +224,76 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_rb")
   }
 
+  test("re-banding: 32-band migration exact at the loosened threshold, zero corpus re-hashing") {
+    // threshold migration must be (a) exact — the rebanded index's
+    // pairs at minJ 0.7 equal a from-scratch 32-band run, (b) a strict
+    // widening — every 0.8-pair survives at 0.7, and (c) built from the
+    // STORED signatures alone — the write job's plan must not touch the
+    // corpus text or the MinHashTokens kernel (re-hashing is the cost
+    // the migration exists to avoid)
+    Dedup.buildLshIndex(docs, "doc_id", "text", "lsh_idx_rbd",
+      shingleN = 3, numHashes = 64, bands = 16)
+    try {
+      Dedup.rebandLshIndex(spark, "lsh_idx_rbd", "lsh_idx_rbd_b32",
+        "doc_id", numHashes = 64, newBands = 32)
+      try {
+        val migrated = Dedup.lshPairsIndexed(spark, "lsh_idx_rbd_b32",
+            "doc_id", numHashes = 64, minJaccard = 0.7)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        val scratch = Dedup.minHashLshPairs(docs, "doc_id", "text",
+            shingleN = 3, numHashes = 64, bands = 32, minJaccard = 0.7)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        assert(migrated === scratch && migrated.nonEmpty,
+          "rebanded pairs at 0.7 must equal a from-scratch 32-band run")
+        val tight = Dedup.lshPairsIndexed(spark, "lsh_idx_rbd", "doc_id",
+            numHashes = 64, minJaccard = 0.8)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        assert(tight.subsetOf(migrated) && migrated.size > tight.size,
+          "loosening the threshold must strictly widen the pair set")
+        // per-id row cardinality: one row per (id, band) in the new count
+        val perId = spark.table("lsh_idx_rbd_b32").groupBy("doc_id")
+          .count().select("count").distinct().as[Long].collect().toSeq
+        assert(perId === Seq(32L), s"each id must carry 32 banded rows, got $perId")
+      } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_rbd_b32")
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_rbd")
+  }
+
+  test("IVF retrain: re-quantized generation identical to a from-scratch build over the union corpus") {
+    // the capacity-growth rebuild: appends landed under a stale 8-wide
+    // quantizer trained on half the corpus; retraining to 16 from the
+    // index's own rows must equal buildIvfIndex over the union at 16 —
+    // same kNN results, fresh 16-wide sidecar, corpus never re-read
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    val v1 = wh + "/ivf_idx_rt_v1"
+    val v2 = wh + "/ivf_idx_rt_v2"
+    val fs = wh + "/ivf_idx_rt_fs"
+    Similarity.buildIvfIndex(emb.where($"vec_id" % 2 === 0),
+      "vec_id", "embedding", v1, nCentroids = 8)
+    Similarity.appendToIvfIndex(emb.where($"vec_id" % 2 === 1),
+      "vec_id", "embedding", v1)
+    Similarity.retrainIvfIndex(spark, v1, v2, nCentroids = 16)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", fs, nCentroids = 16)
+    val queries = emb.where($"vec_id" < 10)
+    def knn(dir: String): Set[(Long, Long, Long)] =
+      Similarity.ivfKnnIndexed(spark, dir, queries, "vec_id", "embedding",
+          k = 5, nProbe = 6)
+        .select($"query_id".cast("long"), $"rank".cast("long"),
+          $"neighbor_id".cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    val retrained = knn(v2)
+    assert(retrained === knn(fs) && retrained.nonEmpty,
+      "retrained kNN must equal a from-scratch 16-centroid build over the union")
+    assert(Similarity.readCentroids(spark, v2).length === 16,
+      "retrained sidecar must carry the new 16-wide quantizer")
+    assert(Similarity.readCentroids(spark, v2).map(_.toSeq).toSeq ===
+      Similarity.readCentroids(spark, fs).map(_.toSeq).toSeq,
+      "deterministic md5-keyed sampling must reproduce the from-scratch quantizer")
+    // the retrained generation re-partitions: assignments span more
+    // clusters than the stale 8-wide quantizer allowed
+    val clusters = spark.read.parquet(v2).select("cent_id").distinct().count()
+    assert(clusters > 8, s"retrain must re-partition past the stale 8 clusters, got $clusters")
+  }
+
   test("shared cluster table: stored labels identical to re-running CC-star on the shared pairs") {
     // the materialized cluster map (index → pairs → labels) must be
     // value-identical to recomputation — a staleness or layout bug

@@ -1275,6 +1275,32 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q193/q194: re-banded pair read and retrained kNN keep the index plan guarantees") {
+    // threshold migration and quantizer retrain each write a NEW
+    // generation; its consumers must be plan-indistinguishable from a
+    // fresh build — q193's pair join exchange-free over the 32-band
+    // table with no text rescan or re-sketch, q194's kNN pruning the
+    // retrained partitioned scan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q193_lsh_reband")(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString()
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0 && !plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"pair self-join must be exchange-free over the re-banded layout:\n$plan")
+      assert(!plan.contains("documents.parquet") && !plan.contains("MinHashTokens"),
+        s"threshold migration must not re-scan or re-sketch the corpus in the read path:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_q193_b32")
+    }
+    val knn = SparkEntry.queries("q194_ivf_retrain")(spark, dir)
+    knn.collect()
+    val kplan = knn.queryExecution.executedPlan.toString()
+    assert(kplan.contains("PartitionFilters") && kplan.contains("cent_id"),
+      s"kNN over the retrained IVF generation must keep partition pruning:\n$kplan")
+  }
+
   test("q175-family: shared pair source reads the persisted index — no signature recompute") {
     // the graph/cluster analyses (q175/q176/q177/q178/q182) all feed
     // from ONE shared persisted LSH index: their pair sub-plan must
