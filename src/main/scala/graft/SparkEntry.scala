@@ -1599,6 +1599,52 @@ object SparkEntry {
           round(col("sim"), 6).as("cos_sim"))
     }),
 
+    // ── IVF PARTITION-OCCUPANCY capacity card (the q187 twin, and
+    //    q194's decision input): per-cluster row masses of an index
+    //    whose appends landed under a stale half-corpus 8-wide
+    //    quantizer — overgrown partitions and append concentration are
+    //    what trigger the re-quantized rebuild. One index scan, one
+    //    map-combinable shuffle over ≤ nCentroids groups; the vectors
+    //    never leave the scan (ids + partition column only) ──
+    "q195_ivf_occupancy" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val v1 = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        "/ivf_idx_q195"
+      Similarity.buildIvfIndex(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", v1, nCentroids = 8)
+      Similarity.appendToIvfIndex(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", v1)
+      s.read.parquet(v1)
+        .groupBy("cent_id")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("neighbor_id") % 2 === 1, 1L).otherwise(0L))
+            .as("n_appended"))
+    }),
+
+    // ── IVF INDEX FRESHNESS card (the q189 twin): covered / missing /
+    //    gone counts of an index generation vs the current vector
+    //    corpus — the append/retrain go-no-go. Ids-only full-outer
+    //    join; embeddings never leave their scans ──
+    "q196_ivf_freshness" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val b = Sampling.md5Bucket("vec_id", 100)
+      val v1 = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        "/ivf_idx_q196"
+      Similarity.buildIvfIndex(emb.where(b < 90), "vec_id", "embedding",
+        v1, nCentroids = 16)
+      val indexed = s.read.parquet(v1)
+        .select(col("neighbor_id").as("vec_id")).distinct()
+      val current = emb.where(b >= 10).select("vec_id")
+      indexed.withColumn("__i", lit(1))
+        .join(current.withColumn("__c", lit(1)), Seq("vec_id"), "full_outer")
+        .agg(
+          count(lit(1)).as("n_union"),
+          sum(when(col("__i").isNotNull && col("__c").isNotNull, 1L)
+            .otherwise(0L)).as("n_covered"),
+          sum(when(col("__i").isNull, 1L).otherwise(0L)).as("n_missing"),
+          sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_gone"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append
@@ -3389,6 +3435,44 @@ object SparkEntry {
     // Re-quantized rebuild ≡ from-scratch 16-centroid build over the
     // union corpus, so the oracle is q39's query verbatim.
     "q194_ivf_retrain" -> ivfKnnSql(centWhere = "TRUE", assignWhere = "TRUE"),
+    // Occupancy card: replay the stale-quantizer assignment (8
+    // centroids from the even half, union corpus) and group on it; the
+    // engine's cent_id is the 0-based index into the md5-ordered
+    // centroid matrix, i.e. cpos - 1.
+    "q195_ivf_occupancy" ->
+      """WITH cent AS (
+           SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cpos,
+                  CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id % 2 = 0
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+         ), assign AS (
+           SELECT e.vec_id AS neighbor_id, cpos
+           FROM embeddings e CROSS JOIN cent
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ce) DESC, cpos ASC) = 1
+         )
+         SELECT CAST(cpos - 1 AS INT) AS cent_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(*) FILTER (WHERE neighbor_id % 2 = 1) AS BIGINT) AS n_appended
+         FROM assign GROUP BY cpos""",
+    // Freshness card: q189's full-outer coverage counts over vector
+    // ids (no token filter — IVF indexes every vector).
+    "q196_ivf_freshness" ->
+      """WITH ids AS (
+           SELECT vec_id,
+             CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS INT) AS bucket
+           FROM (SELECT vec_id, md5('graft:' || CAST(vec_id AS VARCHAR)) AS hx FROM embeddings)
+         ), i AS (
+           SELECT vec_id, 1 AS fi FROM ids WHERE bucket < 90
+         ), c AS (
+           SELECT vec_id, 1 AS fc FROM ids WHERE bucket >= 10
+         )
+         SELECT CAST(count(*) AS BIGINT) AS n_union,
+           CAST(count(*) FILTER (WHERE fi IS NOT NULL AND fc IS NOT NULL) AS BIGINT) AS n_covered,
+           CAST(count(*) FILTER (WHERE fi IS NULL) AS BIGINT) AS n_missing,
+           CAST(count(*) FILTER (WHERE fc IS NULL) AS BIGINT) AS n_gone
+         FROM i FULL JOIN c USING (vec_id)""",
     // Same-id replace lifecycle (IVF): the q39 replay over the
     // REPLACED corpus (vec 42 := vec 43's embedding); target 42 is
     // outside the bottom-16 md5 centroid sample at every SF, so the

@@ -1301,6 +1301,27 @@ class PlanQualitySpec extends SparkSpec {
       s"kNN over the retrained IVF generation must keep partition pruning:\n$kplan")
   }
 
+  test("q195/q196: IVF cards read ids off the index — vectors never leave their scans") {
+    // the occupancy card is one combinable agg over (partition col,
+    // id); the freshness card is an ids-only full-outer join — neither
+    // may drag the vector column through a shuffle
+    val occ = SparkEntry.queries("q195_ivf_occupancy")(spark, dir)
+    val oplan = occ.queryExecution.executedPlan.toString()
+    assert(!oplan.contains("Join"), s"occupancy needs no join:\n$oplan")
+    assert("Exchange hashpartitioning".r.findAllIn(oplan).size <= 1,
+      s"one keyed agg at most:\n$oplan")
+    val oreads = "ReadSchema: struct<[^>]*>".r.findAllIn(oplan).toList
+    assert(oreads.nonEmpty && oreads.forall(!_.contains("cv")),
+      s"occupancy must not read the vectors:\n$oreads")
+    val fresh = SparkEntry.queries("q196_ivf_freshness")(spark, dir)
+    val fplan = fresh.queryExecution.executedPlan.toString()
+    assert(fplan.contains("FullOuter"), s"coverage is a full-outer id join:\n$fplan")
+    val freads = "ReadSchema: struct<[^>]*>".r.findAllIn(fplan).toList
+    assert(freads.nonEmpty &&
+        freads.forall(r => !r.contains("cv") && !r.contains("embedding")),
+      s"freshness must join ids only:\n$freads")
+  }
+
   test("q175-family: shared pair source reads the persisted index — no signature recompute") {
     // the graph/cluster analyses (q175/q176/q177/q178/q182) all feed
     // from ONE shared persisted LSH index: their pair sub-plan must
