@@ -294,6 +294,59 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(clusters > 8, s"retrain must re-partition past the stale 8 clusters, got $clusters")
   }
 
+  test("maintenance edge contracts: invalid band counts and in-place swaps fail loudly; degenerate sizes work") {
+    // a re-layout that silently produced a wrong band slicing or
+    // overwrote the table it reads would corrupt the index — these
+    // must throw before any write happens
+    Dedup.buildLshIndex(docs, "doc_id", "text", "lsh_idx_edge",
+      shingleN = 3, numHashes = 64, bands = 16)
+    try {
+      intercept[IllegalArgumentException] {
+        Dedup.rebandLshIndex(spark, "lsh_idx_edge", "lsh_idx_edge_x",
+          "doc_id", numHashes = 64, newBands = 24) // 24 does not divide 64
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.rebandLshIndex(spark, "lsh_idx_edge", "lsh_idx_edge",
+          "doc_id", numHashes = 64, newBands = 32) // in-place swap
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.rebucketLshIndex(spark, "lsh_idx_edge", "lsh_idx_edge",
+          buckets = 64) // in-place swap
+      }
+      // re-banding to the SAME band count is a pure rewrite: identical
+      // rows, identical pairs (the no-op migration must be safe to run)
+      Dedup.rebandLshIndex(spark, "lsh_idx_edge", "lsh_idx_edge_same",
+        "doc_id", numHashes = 64, newBands = 16)
+      try {
+        def pairs(tbl: String) =
+          Dedup.lshPairsIndexed(spark, tbl, "doc_id", numHashes = 64,
+              minJaccard = 0.8)
+            .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        assert(pairs("lsh_idx_edge_same") === pairs("lsh_idx_edge"),
+          "same-band re-layout must be a no-op for every consumer")
+      } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_edge_same")
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_edge")
+
+    // IVF: retraining PAST the corpus size degrades to one centroid
+    // per vector (LIMIT semantics), never an error — the shape a
+    // shrunken corpus hits after heavy compaction
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    val tiny = wh + "/ivf_idx_edge_v1"
+    val grown = wh + "/ivf_idx_edge_v2"
+    val twelve = emb.orderBy("vec_id").limit(12)
+    Similarity.buildIvfIndex(twelve, "vec_id", "embedding", tiny,
+      nCentroids = 4)
+    intercept[IllegalArgumentException] {
+      Similarity.retrainIvfIndex(spark, tiny, tiny, nCentroids = 8)
+    }
+    Similarity.retrainIvfIndex(spark, tiny, grown, nCentroids = 16)
+    assert(Similarity.readCentroids(spark, grown).length === 12,
+      "quantizer degrades to corpus size when nCentroids exceeds it")
+    val hits = Similarity.ivfKnnIndexed(spark, grown,
+      twelve.where($"vec_id" < 3), "vec_id", "embedding", k = 3, nProbe = 4)
+    assert(hits.count() > 0, "degenerate-size index must still answer queries")
+  }
+
   test("shared cluster table: stored labels identical to re-running CC-star on the shared pairs") {
     // the materialized cluster map (index → pairs → labels) must be
     // value-identical to recomputation — a staleness or layout bug
