@@ -1645,6 +1645,32 @@ object SparkEntry {
           sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_gone"))
     }),
 
+    // ── REAL image codec round-trip (JDK ImageIO — no stub): ASCII
+    //    docs' first 64 codepoints render as an 8×8 grayscale PNG
+    //    (real zlib encode), which is DECODED, nearest-neighbor
+    //    resized to 4×4 on the decoded pixel grid, RE-ENCODED, decoded
+    //    again, and reduced to exact-integer gray stats. Gray PNG is
+    //    lossless, so the oracle computes the same integers straight
+    //    from the codepoints — any corruption in either codec
+    //    direction or the resize math flips the hash ──
+    "q197_image_codec_roundtrip" -> ((s, dir) => {
+      val media = operators.Multimodal.synthesizeGrayPng(
+        t(s, dir, "documents"), "doc_id", "text", w = 8, h = 8)
+      operators.Multimodal.decodeImageFeatures(
+        operators.Multimodal.resizeImage(media, newW = 4, newH = 4))
+    }),
+
+    // ── REAL audio codec round-trip (javax.sound — no stub): first 32
+    //    codepoints become signed 16-bit PCM samples in a REAL WAV
+    //    container (AudioSystem RIFF writer), parsed back by
+    //    AudioSystem and reduced to exact-integer PCM stats (sum,
+    //    abs-sum, peak, strict-sign zero crossings) ──
+    "q198_wav_codec_roundtrip" -> ((s, dir) => {
+      val media = operators.Multimodal.synthesizeWav(
+        t(s, dir, "documents"), "doc_id", "text", nSamples = 32)
+      operators.Multimodal.decodeWavFeatures(media)
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append
@@ -3473,6 +3499,42 @@ object SparkEntry {
            CAST(count(*) FILTER (WHERE fi IS NULL) AS BIGINT) AS n_missing,
            CAST(count(*) FILTER (WHERE fc IS NULL) AS BIGINT) AS n_gone
          FROM i FULL JOIN c USING (vec_id)""",
+    // Real-codec image round-trip: gray PNG is lossless and the resize
+    // is integer NN on the decoded grid, so the 4x4 output pixels are
+    // the codepoints at source index (y*2)*8 + (x*2) — i.e. flat index
+    // (i//4)*16 + (i%4)*2. ASCII enforced structurally on both sides.
+    "q197_image_codec_roundtrip" ->
+      """WITH m AS (
+           SELECT doc_id AS id,
+             list_transform(range(16), i ->
+               ord(substr(text, CAST((i // 4) * 16 + (i % 4) * 2 + 1 AS INT), 1))) AS px
+           FROM documents
+           WHERE strlen(text) = len(text) AND len(text) >= 64
+         )
+         SELECT id, 4 AS width, 4 AS height, 16 AS n_px,
+           CAST(list_sum(px) AS BIGINT) AS px_sum,
+           CAST(list_min(px) AS INT) AS px_min,
+           CAST(list_max(px) AS INT) AS px_max
+         FROM m""",
+    // Real-codec WAV round-trip: PCM is verbatim in the container, so
+    // sample i is exactly (codepoint_i - 64) * 256; a zero crossing is
+    // a strict sign flip between consecutive samples.
+    "q198_wav_codec_roundtrip" ->
+      """WITH m AS (
+           SELECT doc_id AS id,
+             list_transform(range(32), i ->
+               (ord(substr(text, CAST(i + 1 AS INT), 1)) - 64) * 256) AS s
+           FROM documents
+           WHERE strlen(text) = len(text) AND len(text) >= 32
+         )
+         SELECT id, 8000 AS sample_rate, 32 AS n_samples,
+           CAST(list_sum(s) AS BIGINT) AS pcm_sum,
+           CAST(list_sum(list_transform(s, v -> abs(v))) AS BIGINT) AS pcm_abs_sum,
+           CAST(list_max(list_transform(s, v -> abs(v))) AS INT) AS peak_abs,
+           CAST(list_sum(list_transform(range(31), i ->
+             CASE WHEN s[CAST(i + 1 AS INT)] * s[CAST(i + 2 AS INT)] < 0 THEN 1 ELSE 0 END)) AS BIGINT)
+             AS zero_crossings
+         FROM m""",
     // Same-id replace lifecycle (IVF): the q39 replay over the
     // REPLACED corpus (vec 42 := vec 43's embedding); target 42 is
     // outside the bottom-16 md5 centroid sample at every SF, so the

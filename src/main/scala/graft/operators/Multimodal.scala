@@ -23,21 +23,280 @@ final case class MediaHistogram(id: Long, n_bytes: Int, counts: Array[Long])
 
 /** Multimodal (image/audio/video-as-bytes) plumbing.
   *
-  * The decode kernel is a STUB (this environment has no media codecs):
-  * `decodeStub` derives a deterministic 16-bin byte histogram instead of
-  * running a real decoder. Everything AROUND the kernel is the real
-  * production shape:
+  * Two kernel tiers share the same `mapPartitions` batch shape:
+  *
+  *  - REAL codecs for the formats the JDK itself ships: PNG/JPEG/BMP/
+  *    GIF through `javax.imageio.ImageIO` and WAV/PCM through
+  *    `javax.sound.sampled.AudioSystem` — no external library, works
+  *    headless. `decodeImageFeatures`/`resizeImage`/`decodeWavFeatures`
+  *    run these end-to-end, and q197/q198 hash-gate the full
+  *    encode→decode→transform→re-encode→decode round-trip against a
+  *    DuckDB oracle (the codecs are lossless for gray PNG and PCM WAV,
+  *    so the oracle can compute the same integers straight from the
+  *    pixel/sample source).
+  *  - STUB kernels (`decodeStub`, `resizeStub`) for byte-level
+  *    histogram/sampling paths that treat the payload as raw bytes —
+  *    still useful as the format-agnostic fallback, and the
+  *    oracle-checkable face of q30/q31/q75. Video decode and learned
+  *    feature extractors remain out of reach in this environment (no
+  *    ffmpeg/model runtimes) — those kernels stay documented stubs.
+  *
+  * Production shape shared by both tiers:
   *
   *  - media rows travel as `binary` + metadata struct columns;
   *  - feature extraction runs via `mapPartitions` — the kernel is
-  *    handed an ITERATOR of rows per partition, so a real decoder can
-  *    amortize model/codec initialization once per partition (the same
-  *    batch shape a vectorized/Arrow UDF would get);
+  *    handed an ITERATOR of rows per partition, so decoder/model
+  *    initialization amortizes once per partition (the same batch
+  *    shape a vectorized/Arrow UDF would get);
   *  - partition sizing is the caller's control surface: media blobs are
   *    large, so repartition by byte budget, not row count, before
   *    decoding at scale.
   */
 object Multimodal {
+
+  // ───────────────────────── REAL codec tier ─────────────────────────
+
+  /** Per-partition codec init (the "decoder handle" slot): ImageIO's
+    * disk cache is useless for in-memory blobs and costs a temp-file
+    * per decode — turn it off once per JVM. Idempotent and thread-safe. */
+  private def initImageIo(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL image decode — `javax.imageio` readers (PNG/JPEG/BMP/GIF ship
+    * in every Java SE runtime). Returns (width, height, gray pixels):
+    * 1-band rasters read their samples directly (lossless for gray
+    * PNG); multi-band images fold to integer ITU-R 601 luma
+    * ((299r+587g+114b)/1000) — pure integer math, no AWT graphics or
+    * colorspace objects, so the result is deterministic across JVMs.
+    * Undecodable bytes → None (callers drop or count them). */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val px =
+        if (img.getRaster.getNumBands == 1)
+          img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+        else {
+          val out = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              out(y * w + x) =
+                (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                  (rgb & 0xFF) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+      (w, h, px)
+    } catch { case _: java.io.IOException => None }
+
+  /** REAL 8-bit grayscale PNG encode (`ImageIO.write`, the JDK's zlib
+    * PNG writer). Gray PNG is lossless: decodeImage(encodeGrayPng(px))
+    * returns `px` bit-for-bit — the invariant q197 hash-gates. */
+  private[graft] def encodeGrayPng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSamples(0, 0, w, h, 0, px)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL WAV encode — 16-bit signed little-endian mono PCM through
+    * `javax.sound.sampled.AudioSystem` (the JDK's RIFF/WAVE writer). */
+  private[graft] def encodeWav(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL WAV decode — `AudioSystem.getAudioInputStream` parses the
+    * RIFF/WAVE container; 16-bit PCM frames are reassembled per the
+    * file's declared endianness. Returns (sampleRate, samples).
+    * Non-WAV / non-16-bit payloads → None. */
+  private[graft] def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      else {
+        val raw = ais.readAllBytes()
+        val out = new Array[Short](raw.length / 2)
+        val be = fmt.isBigEndian
+        var i = 0
+        while (i < out.length) {
+          out(i) =
+            if (be) (((raw(2 * i) & 0xFF) << 8) | (raw(2 * i + 1) & 0xFF)).toShort
+            else (((raw(2 * i + 1) & 0xFF) << 8) | (raw(2 * i) & 0xFF)).toShort
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, out))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Fixture adapter for the REAL image path: render each ASCII doc's
+    * first `w`·`h` character codepoints as a REAL `w`×`h` grayscale PNG
+    * (codepoints ≤ 127 fit the 8-bit gray band). ASCII is enforced
+    * structurally (byte length == char length) so a SQL oracle reading
+    * codepoints sees exactly the bytes the engine rendered — the same
+    * contract q75 pins. */
+  def synthesizeGrayPng(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int, h: Int): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = w * h
+    docs
+      .where(octet_length(col(textCol)) === length(col(textCol)) &&
+        length(col(textCol)) >= n)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        initImageIo()
+        rows.map { case (id, text) =>
+          val px = new Array[Int](n)
+          var i = 0
+          while (i < n) { px(i) = text.charAt(i).toInt; i += 1 }
+          MediaRow(id, "image", encodeGrayPng(px, w, h), w, h, "png")
+        }
+      }
+  }
+
+  /** Fixture adapter for the REAL audio path: first `nSamples` ASCII
+    * codepoints become 16-bit PCM samples ((c − 64) · 256, spanning
+    * both signs) in a REAL WAV container at 8 kHz mono. */
+  def synthesizeWav(docs: DataFrame, idCol: String, textCol: String,
+                    nSamples: Int): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .where(octet_length(col(textCol)) === length(col(textCol)) &&
+        length(col(textCol)) >= nSamples)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val s = new Array[Short](nSamples)
+          var i = 0
+          while (i < nSamples) {
+            s(i) = ((text.charAt(i).toInt - 64) * 256).toShort
+            i += 1
+          }
+          MediaRow(id, "audio", encodeWav(s, 8000f), nSamples, 1, "wav")
+        }
+      }
+  }
+
+  /** REAL image feature pass: ImageIO decode per row (PNG/JPEG/BMP/
+    * GIF), integer gray stats out — (id, width, height, n_px, px_sum,
+    * px_min, px_max), all exact integers so the pipeline is
+    * hash-gateable. Undecodable payloads are DROPPED (count the
+    * difference against `metadata` if loss matters). */
+  def decodeImageFeatures(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      initImageIo()
+      rows.flatMap { r =>
+        decodeImage(r.content).map { case (w, h, px) =>
+          var sum = 0L
+          var mn = 255
+          var mx = 0
+          var i = 0
+          while (i < px.length) {
+            sum += px(i)
+            if (px(i) < mn) mn = px(i)
+            if (px(i) > mx) mx = px(i)
+            i += 1
+          }
+          (r.id, w, h, px.length, sum, mn, mx)
+        }
+      }
+    }.toDF("id", "width", "height", "n_px", "px_sum", "px_min", "px_max")
+  }
+
+  /** REAL resize: ImageIO decode → integer nearest-neighbor sample on
+    * the DECODED pixel grid (same `⌊y·h/newH⌋/⌊x·w/newW⌋` mapping as
+    * `resizeStub`, but over pixels, not raw bytes) → lossless gray-PNG
+    * re-encode. Deliberately NN and not an AWT interpolator: AWT
+    * filtering kernels are unspecified across JVMs; integer NN is
+    * bit-reproducible, which is what makes the q197 round-trip
+    * hash-gateable end to end. */
+  def resizeImage(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
+    require(newW >= 1 && newH >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      initImageIo()
+      rows.flatMap { r =>
+        decodeImage(r.content).map { case (w, h, px) =>
+          val out = new Array[Int](newW * newH)
+          var y = 0
+          while (y < newH) {
+            val sy = y * h / newH
+            var x = 0
+            while (x < newW) {
+              out(y * newW + x) = px(sy * w + x * w / newW)
+              x += 1
+            }
+            y += 1
+          }
+          r.copy(content = encodeGrayPng(out, newW, newH),
+            width = newW, height = newH)
+        }
+      }
+    }
+  }
+
+  /** REAL audio feature pass: WAV parse per row, exact-integer PCM
+    * stats — (id, sample_rate, n_samples, pcm_sum, pcm_abs_sum,
+    * peak_abs, zero_crossings); a crossing is a strict sign flip
+    * (s_i · s_{i+1} < 0). Non-WAV payloads are dropped. */
+  def decodeWavFeatures(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWav(r.content).map { case (sr, s) =>
+          var sum = 0L
+          var absSum = 0L
+          var peak = 0
+          var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toInt
+            sum += v
+            absSum += math.abs(v)
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && s(i - 1).toInt * v < 0) zc += 1
+            i += 1
+          }
+          (r.id, sr, s.length, sum, absSum, peak, zc)
+        }
+      }
+    }.toDF("id", "sample_rate", "n_samples", "pcm_sum", "pcm_abs_sum",
+      "peak_abs", "zero_crossings")
+  }
+
+  // ───────────────────────── stub tier ─────────────────────────
 
   /** Wrap a documents-like table into media rows (fixture adapter:
     * text bytes stand in for image bytes; deterministic metadata). */
