@@ -1671,6 +1671,22 @@ object SparkEntry {
       operators.Multimodal.decodeWavFeatures(media)
     }),
 
+    // ── MEDIA INTEGRITY card: the decodable/corrupt census a
+    //    multimodal ingest runs before paying for feature extraction —
+    //    every doc-id ≡ 0 (mod 7) payload is truncated to 10 bytes
+    //    (an invalid PNG), pushed through the REAL ImageIO decode, and
+    //    counted by outcome. Exercises the drop-don't-throw contract
+    //    at gate level: the corrupt count must be exactly the planted
+    //    set, never a crash and never silent loss of good rows ──
+    "q199_media_integrity_card" -> ((s, dir) => {
+      import s.implicits._
+      val media = operators.Multimodal.synthesizeGrayPng(
+        t(s, dir, "documents"), "doc_id", "text", w = 8, h = 8)
+      val corrupted = media.map(r =>
+        if (r.id % 7 == 0) r.copy(content = r.content.take(10)) else r)
+      operators.Multimodal.integrityCard(corrupted)
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append
@@ -3534,6 +3550,17 @@ object SparkEntry {
            CAST(list_sum(list_transform(range(31), i ->
              CASE WHEN s[CAST(i + 1 AS INT)] * s[CAST(i + 2 AS INT)] < 0 THEN 1 ELSE 0 END)) AS BIGINT)
              AS zero_crossings
+         FROM m""",
+    // Integrity card: the planted corruption is structural (truncated
+    // container), so the oracle counts it without decoding anything.
+    "q199_media_integrity_card" ->
+      """WITH m AS (
+           SELECT doc_id FROM documents
+           WHERE strlen(text) = len(text) AND len(text) >= 64
+         )
+         SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT) AS n_ok,
+           CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_corrupt
          FROM m""",
     // Same-id replace lifecycle (IVF): the q39 replay over the
     // REPLACED corpus (vec 42 := vec 43's embedding); target 42 is

@@ -296,6 +296,23 @@ object Multimodal {
       "peak_abs", "zero_crossings")
   }
 
+  /** Decodable/corrupt census over a media column — the data-quality
+    * gate an ingest runs BEFORE paying for feature extraction. ONE
+    * pass (each blob is decode-attempted exactly once), map-combinable
+    * counts out; a corrupt payload increments a counter, never throws.
+    * Emits one row: (n_total, n_ok, n_corrupt). */
+  def integrityCard(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      initImageIo()
+      rows.map(r => if (decodeImage(r.content).isDefined) (1L, 1L) else (1L, 0L))
+    }.toDF("t", "o")
+      .agg(sum(col("t")).as("n_total"), sum(col("o")).as("n_ok"))
+      .select(col("n_total"), col("n_ok"),
+        (col("n_total") - col("n_ok")).as("n_corrupt"))
+  }
+
   // ───────────────────────── stub tier ─────────────────────────
 
   /** Wrap a documents-like table into media rows (fixture adapter:

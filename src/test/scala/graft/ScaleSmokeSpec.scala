@@ -91,6 +91,17 @@ class ScaleSmokeSpec extends SparkSpec {
         finally pairs.unpersist()
       } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_smoke178")
       ()
+    },
+    // the REAL codec path (round 11): per-row PNG encode → decode →
+    // NN resize → re-encode → decode. Pure per-partition CPU with no
+    // shuffle at all — the expected exponent is ~1 (linear in rows),
+    // and the ratio bound catches any accidental materialization
+    "q197_codec_roundtrip" -> { docs =>
+      val media = graft.operators.Multimodal.synthesizeGrayPng(
+        docs, "doc_id", "text", w = 8, h = 8)
+      graft.operators.Multimodal.decodeImageFeatures(
+        graft.operators.Multimodal.resizeImage(media, 4, 4)).count()
+      ()
     })
 
   private def corpus(n: Long): DataFrame =
