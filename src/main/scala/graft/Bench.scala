@@ -167,17 +167,23 @@ object Bench {
     // 15 KB JSON above can never be tail-parsed (BENCH_r10's "parsed"
     // was null). This line always fits, so the driver artifact is
     // parseable on its own; per-query detail lives in the files above.
+    // Locale.ROOT formatting: the f-interpolator uses the JVM default
+    // locale, and a comma decimal separator (de_DE, fr_FR hosts) would
+    // make this machine-parsed line invalid JSON — the exact failure
+    // the line exists to prevent
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val worst = results.collect {
       case (n, v) if v > 0 && baseline.get(n).exists(_ > 0) =>
         (n, v, v / baseline(n))
     }.sortBy(-_._3).take(8)
       .map { case (n, v, i) =>
-        "\"" + n + "\":[" + f"$v%.3f" + "," + f"$i%.2f" + "]"
+        "\"" + n + "\":[" + num(v, 3) + "," + num(i, 2) + "]"
       }.mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""n_queries":${results.size},"n_failed":$nFailed,"reps":$reps,""" +
-      f""""median_inflation":$medianInfl%.4f,"contended":$contended,""" +
+      s""""median_inflation":${num(medianInfl, 4)},"contended":$contended,""" +
       s""""adjudicated":$adjJson,"worst_vs_baseline":$worst,""" +
       s""""full":"bench_latest.json","sf":"$sfDir"}""")
     spark.stop()

@@ -475,6 +475,18 @@ object Dedup {
     require(fromTable != toTable,
       "re-banding must write a new table (two-table swap); Spark cannot " +
         "overwrite a table it is reading from")
+    // fail loudly on a numHashes that disagrees with the STORED
+    // signature width: slicing past it would silently produce empty
+    // band slices (every doc colliding into one bucket, pairs then
+    // verify-filtered to nothing), and a narrower value would silently
+    // band only a prefix — both corrupt the index with no error.
+    // One-row bounded driver read.
+    spark.table(fromTable).select(size(col("sig"))).limit(1)
+      .collect().headOption.foreach { r =>
+        require(r.getInt(0) == numHashes,
+          s"index $fromTable stores ${r.getInt(0)}-hash signatures; " +
+            s"caller claims numHashes=$numHashes")
+      }
     // band 0 exists for every id regardless of the OLD band count, so
     // this is a one-row-per-id signature frame without any dedup shuffle
     val sig = spark.table(fromTable).where(col("band") === 0)

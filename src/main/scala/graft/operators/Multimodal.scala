@@ -62,20 +62,33 @@ object Multimodal {
   private def initImageIo(): Unit = javax.imageio.ImageIO.setUseCache(false)
 
   /** REAL image decode — `javax.imageio` readers (PNG/JPEG/BMP/GIF ship
-    * in every Java SE runtime). Returns (width, height, gray pixels):
-    * 1-band rasters read their samples directly (lossless for gray
-    * PNG); multi-band images fold to integer ITU-R 601 luma
-    * ((299r+587g+114b)/1000) — pure integer math, no AWT graphics or
-    * colorspace objects, so the result is deterministic across JVMs.
-    * Undecodable bytes → None (callers drop or count them). */
+    * in every Java SE runtime). Returns (width, height, 8-bit gray
+    * pixels): 1-band rasters read their samples directly, right-shifted
+    * to 8 bits when the source is deeper (16-bit gray PNG → high byte —
+    * deterministic, and it keeps the downstream 8-bit re-encode path
+    * honest instead of silently truncating to the LOW byte); multi-band
+    * images fold to integer ITU-R 601 luma ((299r+587g+114b)/1000) —
+    * pure integer math, no AWT graphics or colorspace objects, so the
+    * result is deterministic across JVMs. Undecodable bytes → None
+    * (callers drop or count them); the catch is NonFatal, not just
+    * IOException, because the JDK readers are known to throw
+    * RuntimeExceptions (AIOOBE, IllegalArgument, NegativeArraySize) on
+    * structurally inconsistent payloads — a corrupt blob must count as
+    * corrupt, never kill the task. */
   private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
       val w = img.getWidth
       val h = img.getHeight
       val px =
-        if (img.getRaster.getNumBands == 1)
-          img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
-        else {
+        if (img.getRaster.getNumBands == 1) {
+          val raw = img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+          val bits = img.getRaster.getSampleModel.getSampleSize(0)
+          if (bits > 8) {
+            var i = 0
+            while (i < raw.length) { raw(i) = raw(i) >> (bits - 8); i += 1 }
+          }
+          raw
+        } else {
           val out = new Array[Int](w * h)
           var y = 0
           while (y < h) {
@@ -92,7 +105,7 @@ object Multimodal {
           out
         }
       (w, h, px)
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL 8-bit grayscale PNG encode (`ImageIO.write`, the JDK's zlib
     * PNG writer). Gray PNG is lossless: decodeImage(encodeGrayPng(px))
@@ -128,7 +141,9 @@ object Multimodal {
   /** REAL WAV decode — `AudioSystem.getAudioInputStream` parses the
     * RIFF/WAVE container; 16-bit PCM frames are reassembled per the
     * file's declared endianness. Returns (sampleRate, samples).
-    * Non-WAV / non-16-bit payloads → None. */
+    * Non-WAV / non-16-bit payloads → None; NonFatal catch for the same
+    * reason as [[decodeImage]] (a malformed chunk table must count as
+    * corrupt, not kill the task). */
   private[graft] def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Short])] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -148,10 +163,7 @@ object Multimodal {
         }
         Some((fmt.getSampleRate.toInt, out))
       }
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Fixture adapter for the REAL image path: render each ASCII doc's
     * first `w`·`h` character codepoints as a REAL `w`×`h` grayscale PNG
@@ -218,8 +230,10 @@ object Multimodal {
       rows.flatMap { r =>
         decodeImage(r.content).map { case (w, h, px) =>
           var sum = 0L
-          var mn = 255
-          var mx = 0
+          // seed from the first pixel, not a range assumption — a
+          // min/max the image doesn't contain must never be reported
+          var mn = if (px.isEmpty) 0 else px(0)
+          var mx = mn
           var i = 0
           while (i < px.length) {
             sum += px(i)
@@ -298,15 +312,21 @@ object Multimodal {
 
   /** Decodable/corrupt census over a media column — the data-quality
     * gate an ingest runs BEFORE paying for feature extraction. ONE
-    * pass (each blob is decode-attempted exactly once), map-combinable
-    * counts out; a corrupt payload increments a counter, never throws.
-    * Emits one row: (n_total, n_ok, n_corrupt). */
+    * pass (each blob is decode-attempted exactly once, dispatched on
+    * the row's `kind`: audio rows parse as WAV, everything else as an
+    * image), map-combinable counts out; a corrupt payload increments a
+    * counter, never throws. Emits one row: (n_total, n_ok, n_corrupt). */
   def integrityCard(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       initImageIo()
-      rows.map(r => if (decodeImage(r.content).isDefined) (1L, 1L) else (1L, 0L))
+      rows.map { r =>
+        val ok =
+          if (r.kind == "audio") decodeWav(r.content).isDefined
+          else decodeImage(r.content).isDefined
+        if (ok) (1L, 1L) else (1L, 0L)
+      }
     }.toDF("t", "o")
       .agg(sum(col("t")).as("n_total"), sum(col("o")).as("n_ok"))
       .select(col("n_total"), col("n_ok"),

@@ -310,6 +310,10 @@ class IndexMaintenanceSpec extends SparkSpec {
           "doc_id", numHashes = 64, newBands = 32) // in-place swap
       }
       intercept[IllegalArgumentException] {
+        Dedup.rebandLshIndex(spark, "lsh_idx_edge", "lsh_idx_edge_x",
+          "doc_id", numHashes = 128, newBands = 32) // width ≠ stored sigs
+      }
+      intercept[IllegalArgumentException] {
         Dedup.rebucketLshIndex(spark, "lsh_idx_edge", "lsh_idx_edge",
           buckets = 64) // in-place swap
       }

@@ -73,6 +73,37 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(row.getLong(6) === 5L)
   }
 
+  test("16-bit gray PNG decodes to the high byte — never low-byte truncation") {
+    // a deep gray image must fold to 8 bits deterministically: value
+    // 1000 (0x03E8) must read 3 (high shift), not 232 (low byte), and
+    // px_min must be a value the image actually contains
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    img.getRaster.setSamples(0, 0, 2, 1, 0, Array(1000, 65535))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (_, _, px) = Multimodal.decodeImage(bos.toByteArray).get
+    assert(px.toSeq === Seq(1000 >> 8, 65535 >> 8)) // 3, 255
+    val media = Seq(
+      MediaRow(1L, "image", bos.toByteArray, 2, 1, "png")).toDS()
+    val row = Multimodal.decodeImageFeatures(media).collect().head
+    assert(row.getInt(5) === 3 && row.getInt(6) === 255,
+      "px_min/px_max must be values present in the folded image")
+  }
+
+  test("integrityCard dispatches on kind: a WAV census counts audio as decodable") {
+    val s = Array[Short](1, -2, 3)
+    val rows = Seq(
+      MediaRow(1L, "audio", Multimodal.encodeWav(s, 8000f), 3, 1, "wav"),
+      MediaRow(2L, "audio", "truncated".getBytes("UTF-8"), 3, 1, "wav"),
+      MediaRow(3L, "image",
+        Multimodal.encodeGrayPng(Array(1, 2, 3, 4), 2, 2), 2, 2, "png")).toDS()
+    val card = Multimodal.integrityCard(rows).collect().head
+    assert(card.getLong(0) === 3L && card.getLong(1) === 2L &&
+      card.getLong(2) === 1L,
+      s"audio must parse as WAV, not be misclassified as a corrupt image: $card")
+  }
+
   test("undecodable payloads drop out of both feature passes, never throw") {
     val junk = Seq(
       MediaRow(9L, "image", "definitely not media bytes".getBytes("UTF-8"),
