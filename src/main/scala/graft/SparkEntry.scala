@@ -1698,6 +1698,19 @@ object SparkEntry {
     "q191_ivf_replace_lifecycle" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val target = 42L
+      // Engine/oracle equivalence REQUIRES the replaced id to sit outside
+      // the bottom-16 md5 centroid sample (else the oracle's from-scratch
+      // quantizer trains on the replaced vector while the engine's
+      // generation-1 sidecar trained on the original). Data-dependent —
+      // assert it at build time so a future SF dataset fails loudly here,
+      // not as an opaque hash-gate mismatch. Bounded collect: 16 ids.
+      val sampleIds = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(16).select("vec_id").collect().map(_.getLong(0)).toSet
+      require(!sampleIds.contains(target),
+        s"q191 precondition violated: vec_id $target is inside the bottom-16 " +
+          "md5 centroid sample for this dataset; pick a different target id " +
+          "or the oracle quantizer will diverge from the engine sidecar")
       val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
       val v1 = wh + "/ivf_idx_q191_v1"
       val v2 = wh + "/ivf_idx_q191_v2"

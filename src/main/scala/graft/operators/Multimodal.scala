@@ -86,6 +86,13 @@ object Multimodal {
           if (bits > 8) {
             var i = 0
             while (i < raw.length) { raw(i) = raw(i) >> (bits - 8); i += 1 }
+          } else if (bits < 8) {
+            // sub-8-bit gray (1/2/4-bit PNG): stretch to the 8-bit range so a
+            // white pixel reads 255, not (1<<bits)-1 — downstream gray stats
+            // and the re-encode path assume full-range 8-bit samples
+            val maxv = (1 << bits) - 1
+            var i = 0
+            while (i < raw.length) { raw(i) = raw(i) * 255 / maxv; i += 1 }
           }
           raw
         } else {
@@ -149,7 +156,8 @@ object Multimodal {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val fmt = ais.getFormat
-      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
       else {
         val raw = ais.readAllBytes()
         val out = new Array[Short](raw.length / 2)
@@ -328,7 +336,10 @@ object Multimodal {
         if (ok) (1L, 1L) else (1L, 0L)
       }
     }.toDF("t", "o")
-      .agg(sum(col("t")).as("n_total"), sum(col("o")).as("n_ok"))
+      // coalesce: sum over zero rows is NULL — an empty ingest must census
+      // as (0,0,0) so a downstream n_corrupt==0 gate still fires
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_total"),
+        coalesce(sum(col("o")), lit(0L)).as("n_ok"))
       .select(col("n_total"), col("n_ok"),
         (col("n_total") - col("n_ok")).as("n_corrupt"))
   }

@@ -104,6 +104,49 @@ class MultimodalCodecSpec extends SparkSpec {
       s"audio must parse as WAV, not be misclassified as a corrupt image: $card")
   }
 
+  test("integrityCard on an EMPTY ingest degrades to (0,0,0), not NULLs") {
+    // sum over zero rows is NULL — a downstream n_corrupt==0 gate on an
+    // empty batch must still see integer zeros
+    val card = Multimodal.integrityCard(
+      spark.emptyDataset[MediaRow]).collect().head
+    assert(!card.isNullAt(0) && !card.isNullAt(1) && !card.isNullAt(2))
+    assert(card.getLong(0) === 0L && card.getLong(1) === 0L &&
+      card.getLong(2) === 0L)
+  }
+
+  test("sub-8-bit gray (1-bit PNG) stretches to the full 8-bit range") {
+    // a white pixel in a 1-bit image must read 255, not 1 — downstream
+    // gray stats assume full-range samples
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    img.getRaster.setSamples(0, 0, 2, 1, 0, Array(0, 1))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (_, _, px) = Multimodal.decodeImage(bos.toByteArray).get
+    assert(px.toSeq === Seq(0, 255),
+      s"1-bit white must stretch to 255, got ${px.toSeq}")
+  }
+
+  test("16-bit non-PCM_SIGNED WAV payloads are dropped, not sign-misread") {
+    // hand-craft a RIFF/WAVE header claiming fmt tag 3 (IEEE float) at
+    // 16 bits — whether the JDK parser rejects the container or parses
+    // it as a non-signed encoding, decodeWav must return None rather
+    // than reinterpret the payload as signed samples
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    def le16(v: Int): Unit = { d.write(v & 0xFF); d.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = {
+      d.write(v & 0xFF); d.write((v >> 8) & 0xFF)
+      d.write((v >> 16) & 0xFF); d.write((v >> 24) & 0xFF)
+    }
+    d.writeBytes("RIFF"); le32(36 + 4); d.writeBytes("WAVE")
+    d.writeBytes("fmt "); le32(16)
+    le16(3) /* IEEE float */ ; le16(1); le32(8000); le32(16000)
+    le16(2); le16(16)
+    d.writeBytes("data"); le32(4); le32(0x12345678)
+    assert(Multimodal.decodeWav(bos.toByteArray).isEmpty)
+  }
+
   test("undecodable payloads drop out of both feature passes, never throw") {
     val junk = Seq(
       MediaRow(9L, "image", "definitely not media bytes".getBytes("UTF-8"),
