@@ -1687,6 +1687,43 @@ object SparkEntry {
       operators.Multimodal.integrityCard(corrupted)
     }),
 
+    // ── EVENT-TIME temporal join, DRIVER-GATED (VERDICT r11 item 4):
+    //    the stateful streaming as-of join (StreamOps.scala §
+    //    temporalJoinEventTime — the survey's "only genuinely hard
+    //    operator") replayed over the events fixture as a REAL
+    //    StructuredStreaming query: time-sliced file source → one slice
+    //    per micro-batch (cross-batch state genuinely exercised) →
+    //    memory sink. Facts = purchases, versioned dim = views per
+    //    user; the oracle is the batch AS-OF SQL over the same rows —
+    //    the "dynamic table = table" contract, now hash-gated ──
+    "q200_temporal_join_eventtime" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      // one dim version per (user, ts): max event_id — a deterministic
+      // tie-break the oracle mirrors (arrival order must never decide)
+      val dims = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("event_id"))
+        .select(col("user_id").cast("string").as("key"),
+          col("event_id").as("id"), col("ts_us").as("tsMillis"),
+          col("event_id").cast("string").as("payload"), lit(true).as("isDim"))
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").cast("string").as("key"),
+          col("event_id").as("id"), col("ts_us").as("tsMillis"),
+          lit("").as("payload"), lit(false).as("isDim"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayTemporalJoinEventTime(
+          facts.unionByName(dims).as[graft.streaming.TemporalRow],
+          wh + "/tj_replay_q200", slices = 6, queryName = "q200_tj_sink")
+        .select(col("factId").as("purchase_id"),
+          col("key").cast("long").as("user_id"),
+          col("factTsMillis").as("ts_us"),
+          col("dimId").as("matched_view_id"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append
@@ -3575,6 +3612,27 @@ object SparkEntry {
            CAST(count(*) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT) AS n_ok,
            CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_corrupt
          FROM m""",
+    // Event-time temporal join: the batch AS-OF semantics the streaming
+    // replay must equal — for each purchase, the latest view version
+    // at-or-before its event time per user (ties within a (user, ts)
+    // version collapsed to max event_id on BOTH sides).
+    "q200_temporal_join_eventtime" ->
+      """WITH v AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_id
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2
+         ), p AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id AS purchase_id
+           FROM events WHERE event_type = 'purchase'
+         ), m AS (
+           SELECT p.purchase_id, p.user_id, p.ts_us, v.view_id,
+             row_number() OVER (PARTITION BY p.purchase_id
+               ORDER BY v.ts_us DESC, v.view_id DESC) AS rn
+           FROM p LEFT JOIN v
+             ON v.user_id = p.user_id AND v.ts_us <= p.ts_us
+         )
+         SELECT purchase_id, user_id, CAST(ts_us AS BIGINT) AS ts_us,
+           view_id AS matched_view_id
+         FROM m WHERE rn = 1""",
     // Same-id replace lifecycle (IVF): the q39 replay over the
     // REPLACED corpus (vec 42 := vec 43's embedding); target 42 is
     // outside the bottom-16 md5 centroid sample at every SF, so the

@@ -206,10 +206,22 @@ object StreamOps {
                             maxVersions: Int = 64,
                             watermarkDelay: String = "0 seconds"): Dataset[TemporalMatch] = {
     import facts.sparkSession.implicits._
+    temporalJoinEventTimeTagged(
+      facts.map(_.copy(isDim = false)).unionByName(dims.map(_.copy(isDim = true))),
+      maxVersions, watermarkDelay)
+  }
+
+  /** [[temporalJoinEventTime]] over a PRE-TAGGED union (rows carry their
+    * own `isDim` flag) — the form a single replay/topic source feeds
+    * without splitting into two streaming branches of one source. */
+  def temporalJoinEventTimeTagged(tagged0: Dataset[TemporalRow],
+                                  maxVersions: Int = 64,
+                                  watermarkDelay: String = "0 seconds"): Dataset[TemporalMatch] = {
+    import tagged0.sparkSession.implicits._
     // the watermarked event-time column must remain visible to the fMGWS
     // input (a projection dropping it loses the event-time attribute and
     // getCurrentWatermarkMs refuses to run) — hence the widened row type
-    val tagged = facts.map(_.copy(isDim = false)).unionByName(dims.map(_.copy(isDim = true)))
+    val tagged = tagged0
       .withColumn("eventTime", timestamp_millis(col("tsMillis")))
       .withWatermark("eventTime", watermarkDelay)
       .as[TemporalRowTs]

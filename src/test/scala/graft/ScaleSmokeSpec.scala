@@ -92,6 +92,21 @@ class ScaleSmokeSpec extends SparkSpec {
       } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_smoke178")
       ()
     },
+    // the exact-substr family (round 12, VERDICT r11 item 2): the
+    // covered-runs interval union + binary search over run lengths is
+    // the heaviest NON-indexed loop in the suite (Dedup.scala
+    // longestSpanSearch — df-agg + join back, islands windows, ~log(L)
+    // bounded-collect rounds with per-round localCheckpoint). Expected
+    // shape: scan-linear per round with a round count that grows only
+    // with the LONGEST duplicated run (log), so the 10×/100× exponent
+    // should stay near 1 — measured here because nothing indexed
+    // amortizes it
+    "q101_exact_substr" -> { docs =>
+      Dedup.exactSubstrStats(docs, "doc_id", "text", k = 10).count(); ()
+    },
+    "q160_strip_spans" -> { docs =>
+      Dedup.stripDupSpans(docs, "doc_id", "text", k = 10).count(); ()
+    },
     // the REAL codec path (round 11): per-row PNG encode → decode →
     // NN resize → re-encode → decode. Pure per-partition CPU with no
     // shuffle at all — the expected exponent is ~1 (linear in rows),
@@ -191,9 +206,15 @@ class ScaleSmokeSpec extends SparkSpec {
     // tier-1-only (their cost is round latency, not scan volume, and
     // 300k-doc runs of 25-stage composites make the spot check an
     // hour-long soak, not a smoke).
+    // round 12 adds the exact-substr family (q101/q111/q160): the
+    // covered-runs binary search is scan-dominated per round with a
+    // log-bounded round count, so unlike the other composites its
+    // 300k-doc run is a smoke, not a soak — and its scaling exponent
+    // was the last unmeasured non-indexed hot path (VERDICT r11 item 2)
     val spot = ops.filter { case (n, _) =>
       Set("q19_pairs", "q47_clusters", "q158_index_build_pairs",
-        "q112_cluster_stats", "q178_manifest_indexed").contains(n)
+        "q112_cluster_stats", "q178_manifest_indexed",
+        "q101_exact_substr", "q111_contamination", "q160_strip_spans").contains(n)
     }
     val warm = corpus(500)
     spot.foreach { case (_, f) => f(warm); spark.catalog.clearCache() }
