@@ -35,6 +35,10 @@ class ScaleSmokeSpec extends SparkSpec {
   private val tier = sys.env.get("SPARK_GRAFT_SCALE_SMOKE")
     .flatMap(_.toIntOption).getOrElse(0)
   private val enabled = tier >= 1
+  // optional comma-separated op subset (iterating on one operator's
+  // growth without the full-suite soak)
+  private val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+    .map(_.split(",").map(_.trim).toSet)
   private val n1 = 3000L
   private val n2 = 30000L
 
@@ -42,7 +46,10 @@ class ScaleSmokeSpec extends SparkSpec {
     * q158 index build+pairs, q109 leakage split, q111 contamination,
     * q112 cluster stats, q178 graph manifest. Each consumes the docs
     * frame end-to-end and materializes its result with count(). */
-  private def ops: Seq[(String, DataFrame => Unit)] = Seq(
+  private def ops: Seq[(String, DataFrame => Unit)] = allOps
+    .filter { case (n, _) => opFilter.forall(_.contains(n)) }
+
+  private def allOps: Seq[(String, DataFrame => Unit)] = Seq(
     "q19_pairs" -> { docs =>
       Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.8).count(); ()
     },
@@ -104,8 +111,13 @@ class ScaleSmokeSpec extends SparkSpec {
     "q101_exact_substr" -> { docs =>
       Dedup.exactSubstrStats(docs, "doc_id", "text", k = 10).count(); ()
     },
+    // NOT .count(): the stripped frame's bounds join has a unique-key
+    // right side, so count() lets Catalyst eliminate the join and the
+    // strip expression entirely — consume the output column to measure
+    // the real work
     "q160_strip_spans" -> { docs =>
-      Dedup.stripDupSpans(docs, "doc_id", "text", k = 10).count(); ()
+      Dedup.stripDupSpans(docs, "doc_id", "text", k = 10)
+        .agg(sum(length(col("clean_text")))).collect(); ()
     },
     // the REAL codec path (round 11): per-row PNG encode → decode →
     // NN resize → re-encode → decode. Pure per-partition CPU with no
@@ -198,6 +210,11 @@ class ScaleSmokeSpec extends SparkSpec {
 
   test("100x spot check: sketch/cluster/index paths stay sublinear at 300k docs") {
     assume(tier >= 2, "set SPARK_GRAFT_SCALE_SMOKE=2 for the 100x tier")
+    // sizing: the exact-substr family at 300k docs needs
+    // SPARK_DRIVER_MEM=16g (cached positional-gram frame ~120M rows +
+    // per-round broadcasts exceed the default 8g shared local JVM —
+    // local-mode heap arithmetic, not a plan property; see
+    // ARCHITECTURE.md §Scale smoke)
     // the four scan-dominated paths plus the indexed graph manifest at
     // 30k vs 300k — 100x the bench fixture's 3k-doc corpus. The
     // manifest rides along in its PRODUCTION indexed form because it
