@@ -37,6 +37,15 @@ object Bench {
     spark.catalog.clearCache()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // the first queries of pass 1 run on a cold JVM and their JIT debt
+    // leaks into pass 2's scheduling (r11 verdict: q01/q02/q05/q07/q08
+    // sat at 1.3-1.5x purely from suite position) — one UNTIMED warmup
+    // pass over the head of the suite before any timed sample
+    // (methodology note in BASELINE.md §Round 12)
+    ordered.take(12).foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      spark.catalog.clearCache()
+    }
     val samples = (1 to reps).flatMap { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
