@@ -177,6 +177,42 @@ class TopicPipelineSpec extends SparkSpec {
     assert(keys("u1").contains("\"u1\"") && keys("u2").contains("\"u2\""))
   }
 
+  test("transport parity: kafka and file transports expose IDENTICAL record schemas (one-switch promise)") {
+    // the liveness check behind ARCHITECTURE.md §Environment-limited:
+    // flipping TopicConf.transport must change ONLY the wire, never the
+    // downstream record shape — so the batch AND stream read schemas of
+    // the two transports are asserted field-for-field equal (names,
+    // types, order). No broker needed: the kafka branch instantiates
+    // its plan against the service-loaded stub.
+    import graft.sources.StubKafkaBroker
+    StubKafkaBroker.reset()
+    val fileConf = TopicConf(
+      java.nio.file.Files.createTempDirectory("graft-transport-parity").toString)
+    val kafkaConf = TopicConf(root = "", transport = TopicConf.Kafka,
+      bootstrapServers = "stub-broker:9092")
+    val rows = Seq(("a1", "x", 1)).toDF("id", "payload", "n")
+    Topics.appendJson(rows, "parity_topic", fileConf, keyCols = Seq("id"), epoch = 1)
+    Topics.appendJson(rows, "parity_topic", kafkaConf, keyCols = Seq("id"), epoch = 1)
+
+    val fileBatch = Topics.readBatchRecords(spark, "parity_topic", fileConf)
+    val kafkaBatch = Topics.readBatchRecords(spark, "parity_topic", kafkaConf)
+    assert(kafkaBatch.schema === fileBatch.schema,
+      s"batch record schemas diverge:\n kafka: ${kafkaBatch.schema.treeString}\n file: ${fileBatch.schema.treeString}")
+
+    val fileStream = Topics.readStreamRecords(spark, "parity_topic", fileConf)
+    val kafkaStream = Topics.readStreamRecords(spark, "parity_topic", kafkaConf)
+    assert(fileStream.isStreaming && kafkaStream.isStreaming)
+    assert(kafkaStream.schema === fileStream.schema,
+      s"stream record schemas diverge:\n kafka: ${kafkaStream.schema.treeString}\n file: ${fileStream.schema.treeString}")
+
+    // and the decoded table shape (what queries actually see) agrees too
+    val vs = StructType(Seq(StructField("payload", StringType),
+      StructField("n", IntegerType)))
+    val ks = Some(StructType(Seq(StructField("id", StringType))))
+    assert(Topics.decodeJson(kafkaBatch, vs, ks).schema ===
+      Topics.decodeJson(fileBatch, vs, ks).schema)
+  }
+
   test("kafka transport flag: produce/consume round-trip through the stub broker, options wired") {
     import graft.sources.StubKafkaBroker
     StubKafkaBroker.reset()
