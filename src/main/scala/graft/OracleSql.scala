@@ -1679,6 +1679,40 @@ object OracleSql {
     // replay must equal — for each purchase, the latest view version
     // at-or-before its event time per user (ties within a (user, ts)
     // version collapsed to max event_id on BOTH sides).
+    // Streaming near-dup gate: the q19 pairs crossing the 80/20
+    // md5-bucket split, oriented corpus→stream (q188's orientation
+    // machinery with the stream side as "eval").
+    "q201_stream_neardup_gate" ->
+      s"""WITH p AS (
+           SELECT id_a, id_b, est_jaccard FROM ($minhashPairsSql)
+         ), b AS (
+           SELECT doc_id,
+             CAST(CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 100 AS INT) < 80 AS is_corpus
+           FROM (SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+         )
+         SELECT CASE WHEN ba.is_corpus THEN id_b ELSE id_a END AS doc_id,
+                CASE WHEN ba.is_corpus THEN id_a ELSE id_b END AS corpus_id,
+                est_jaccard
+         FROM p
+         JOIN b ba ON ba.doc_id = id_a
+         JOIN b bb ON bb.doc_id = id_b
+         WHERE ba.is_corpus <> bb.is_corpus""",
+    // Statement-runner streaming upsert: the final materialized state
+    // must equal batch latest-per-key — q05's SQL with the runner's
+    // target column names.
+    "q202_stream_upsert_runner" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+         value AS last_value, epoch_us(ts) AS ts_us
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1""",
+    // Streaming tumble replay: append-mode windowed aggregation over a
+    // watermarked stream must equal the batch tumble — q07's SQL.
+    "q203_stream_tumble_replay" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
     "q200_temporal_join_eventtime" ->
       """WITH v AS (
            SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_id

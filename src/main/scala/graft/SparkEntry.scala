@@ -1724,6 +1724,108 @@ object SparkEntry {
           col("dimId").as("matched_view_id"))
     }),
 
+    // ── STREAMING NEAR-DUP GATE, DRIVER-GATED (round 12): the live
+    //    ingest admission check (StreamingDedup.flagNearDups) replayed
+    //    as a real file-source stream — 20% md5-bucket arrivals in 5
+    //    micro-batches against the LSH bucket index of the 80% corpus.
+    //    The oracle is the batch q19 pair join restricted to pairs
+    //    CROSSING the split, oriented stream→corpus; per-band
+    //    re-emissions collapse batch-side (identical rows) ──
+    "q201_stream_neardup_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val b = operators.Sampling.md5Bucket("doc_id", 100)
+      val index = graft.streaming.StreamingDedup.bucketIndex(
+        docs.where(b < 80), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16)
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(docs.where(b >= 80),
+          "doc_id", wh + "/replay_q201", slices = 5,
+          queryName = "q201_gate_sink") { stream =>
+        graft.streaming.StreamingDedup.flagNearDups(stream, index,
+          "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+          minJaccard = 0.8)
+      }.distinct()
+    }),
+
+    // ── STREAMING UPSERT through the STATEMENT RUNNER, DRIVER-GATED
+    //    (round 12): the reference's S1 shape end-to-end — JSON topic
+    //    feed, registered source, CREATE TABLE with PRIMARY KEY,
+    //    long-running INSERT — with events replayed in 4 event-time
+    //    epochs. Each epoch carries at most one row per key (its
+    //    max-(ts, event_id) row), so arrival order is deterministic and
+    //    the final materialized state equals the batch latest-per-key
+    //    oracle (q05's SQL) ──
+    "q202_stream_upsert_runner" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      // micros ride as BIGINT: to_json's timestamp format is
+      // millisecond-truncating, which would silently shift the latest-by
+      // ordering off the oracle's
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q202").toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      r.registerTopicSource("events_feed_q202", StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("ts_us", LongType))))
+      r.runScript("""
+        CREATE TABLE user_latest_q202 (
+          user_id BIGINT, last_event_id BIGINT, last_event_type STRING,
+          last_value DOUBLE, ts_us BIGINT,
+          PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO user_latest_q202
+        SELECT user_id, event_id, event_type, value, ts_us FROM events_feed_q202""")
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_id"), col("event_type"), col("value"),
+            col("ts_us")), struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.event_id"), col("__l.event_type"),
+            col("__l.value"), col("__l.ts_us"))
+        Topics.appendJson(slice, "events_feed_q202", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("user_latest_q202").select(col("user_id"), col("last_event_id"),
+        col("last_event_type"), col("last_value"), col("ts_us"))
+    }),
+
+    // ── STREAMING TUMBLE AGGREGATION replay, DRIVER-GATED (round 12):
+    //    q07's windowed aggregate as a real watermarked stream — 5
+    //    event-time-ordered micro-batches, zero-delay watermark, append
+    //    mode (each window emits exactly once when the watermark closes
+    //    it); a far-future sentinel closes the tail windows and is
+    //    filtered back out. Oracle = q07's batch tumble SQL ──
+    "q203_stream_tumble_replay" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("__ord"))
+      val hi = ev.agg(max("__ord")).collect().head.getLong(0)
+      val sentinelTs = hi + 3L * 3600000000L
+      val sentinel = Seq(1).toDF("__x").select(
+        timestamp_micros(lit(sentinelTs)).as("ts"),
+        lit(graft.streaming.StreamReplay.SentinelKey).as("event_type"),
+        lit(0.0).as("value"), lit(sentinelTs).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(ev, "__ord",
+          wh + "/replay_q203", slices = 5, queryName = "q203_tumble_sink",
+          sentinel = Some(sentinel)) { stream =>
+        stream.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("event_type"), col("n_events"), col("sum_value"))
+      }.where(col("event_type") =!= graft.streaming.StreamReplay.SentinelKey)
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append
