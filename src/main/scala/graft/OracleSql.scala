@@ -1713,6 +1713,32 @@ object OracleSql {
          count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // Stream-stream interval join replay: inner matches are
+    // emission-complete once both sides drain — q11's batch SQL.
+    "q204_stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""",
+    // Streaming session replay: watermark-closed merged sessions must
+    // equal the batch gap sessionization — q09's SQL.
+    "q205_stream_session_replay" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), numbered AS (
+           SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM marked
+         )
+         SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM numbered GROUP BY user_id, sess_id""",
     "q200_temporal_join_eventtime" ->
       """WITH v AS (
            SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_id

@@ -1826,6 +1826,64 @@ object SparkEntry {
       }.where(col("event_type") =!= graft.streaming.StreamReplay.SentinelKey)
     }),
 
+    // ── STREAM-STREAM INTERVAL JOIN replay, DRIVER-GATED (round 12):
+    //    q11's purchase↔preceding-click join with BOTH sides live —
+    //    two independent file-source streams (4 slices each, lockstep
+    //    triggers), zero-delay watermarks on both, native Spark
+    //    stream-stream time-range join. Inner matches emit on arrival
+    //    (no window close needed) so no sentinel; oracle = q11's batch
+    //    SQL ──
+    "q204_stream_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"), unix_micros(col("ts")).as("__ord"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"), unix_micros(col("ts")).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend2(p, c, "__ord",
+          wh + "/replay_q204_l", wh + "/replay_q204_r", slices = 4,
+          queryName = "q204_ij_sink") { (lp, rc) =>
+        graft.streaming.StreamOps.intervalJoin(
+            lp.drop("__ord"), rc.drop("__ord"), "user_id",
+            "p_ts", "c_ts", "1 HOUR", "0 SECONDS")
+          .select(col("purchase_id"), col("click_id"),
+            col("l.user_id").as("user_id"))
+      }
+    }),
+
+    // ── STREAMING SESSION WINDOWS replay, DRIVER-GATED (round 12):
+    //    q09's 30-minute-gap sessionization as a watermarked stream —
+    //    Spark's streaming session_window MERGES partial sessions
+    //    across micro-batches (the stateful semantics the batch form
+    //    never exercises); a far-future sentinel user closes the tail
+    //    sessions and is filtered back out. Oracle = q09's batch
+    //    session SQL ──
+    "q205_stream_session_replay" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("ts"), col("user_id"),
+        col("value"), unix_micros(col("ts")).as("__ord"))
+      val hi = ev.agg(max("__ord")).collect().head.getLong(0)
+      val sentinelTs = hi + 2L * 3600000000L
+      val sentinel = Seq(1).toDF("__x").select(
+        timestamp_micros(lit(sentinelTs)).as("ts"),
+        lit(-1L).as("user_id"), lit(0.0).as("value"),
+        lit(sentinelTs).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(ev, "__ord",
+          wh + "/replay_q205", slices = 5, queryName = "q205_sess_sink",
+          sentinel = Some(sentinel)) { stream =>
+        stream.withWatermark("ts", "0 seconds")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            unix_micros(col("session_window.end")).as("session_end_us"),
+            col("n_events"), col("sum_value"))
+      }.where(col("user_id") =!= -1L)
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

@@ -70,6 +70,41 @@ object StreamReplay {
     spark.table(queryName)
   }
 
+  /** Two-source replay for stream-stream operators (interval joins):
+    * each side is staged independently under its own dir (same slicing
+    * discipline, its own time range), both stream back one file per
+    * micro-batch — the sources advance in lockstep, so the union
+    * watermark rises monotonically and neither side's ordered rows are
+    * ever late. */
+  def replayAppend2(left: DataFrame, right: DataFrame, orderCol: String,
+                    stageDirL: String, stageDirR: String, slices: Int,
+                    queryName: String)
+                   (transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val spark = left.sparkSession
+    def stage(df: DataFrame, dir: String): Unit = {
+      val bounds = df.agg(min(col(orderCol)), max(col(orderCol))).collect().head
+      require(!bounds.isNullAt(0), s"replayAppend2: empty side (orderCol=$orderCol)")
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val width = math.max(1L, (hi - lo) / slices + 1)
+      (0 until slices).foreach { i =>
+        val (a, b) = (lo + i * width, lo + (i + 1) * width)
+        df.where(col(orderCol) >= a && col(orderCol) < b)
+          .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(dir)
+        Thread.sleep(15)
+      }
+    }
+    stage(left, stageDirL)
+    stage(right, stageDirR)
+    def stream(df: DataFrame, dir: String): DataFrame = spark.readStream
+      .schema(df.schema).option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = transform(stream(left, stageDirL), stream(right, stageDirR))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Replay `tagged` (facts + dims carrying `isDim`) through
     * [[StreamOps.temporalJoinEventTimeTagged]]; returns the appended
     * matches for every REAL fact (the sentinel is a dim — it advances
