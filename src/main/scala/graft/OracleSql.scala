@@ -1739,6 +1739,52 @@ object OracleSql {
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM numbered GROUP BY user_id, sess_id""",
+    // Streaming retract-net replay: the final update-mode state must
+    // equal the batch changelog fold — q13's SQL.
+    "q206_stream_retract_net" ->
+      """SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE -1 END) AS BIGINT) AS net_count,
+         CAST(sum((CASE WHEN event_type = 'click' THEN 1 ELSE -1 END) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS net_value
+         FROM events WHERE event_type IN ('click', 'error')
+         GROUP BY user_id
+         HAVING sum(CASE WHEN event_type = 'click' THEN 1 ELSE -1 END) <> 0""",
+    // Processing-time temporal join on an event-time-ordered replay ==
+    // the event-time answer — q200's AS-OF SQL.
+    "q207_stream_proctime_temporal" ->
+      """WITH v AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_id
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2
+         ), p AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id AS purchase_id
+           FROM events WHERE event_type = 'purchase'
+         ), m AS (
+           SELECT p.purchase_id, p.user_id, p.ts_us, v.view_id,
+             row_number() OVER (PARTITION BY p.purchase_id
+               ORDER BY v.ts_us DESC, v.view_id DESC) AS rn
+           FROM p LEFT JOIN v
+             ON v.user_id = p.user_id AND v.ts_us <= p.ts_us
+         )
+         SELECT purchase_id, user_id, CAST(ts_us AS BIGINT) AS ts_us,
+           view_id AS matched_view_id
+         FROM m WHERE rn = 1""",
+    // Streaming hop replay: watermark-closed sliding windows must equal
+    // the batch hop — q08's SQL.
+    "q208_stream_hop_replay" ->
+      """SELECT (epoch_us(ts) // 1800000000 - k) * 1800000000 AS window_start_us,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events CROSS JOIN (VALUES (0), (1)) AS probes(k)
+         GROUP BY 1""",
+    // Streaming cumulate replay: window-end-watermarked growing windows
+    // must equal the batch expansion — q35's SQL.
+    "q209_stream_cumulate_replay" ->
+      """SELECT (epoch_us(ts) // 7200000000) * 7200000000 AS window_start_us,
+         (epoch_us(ts) // 7200000000) * 7200000000 + k * CAST(1800000000 AS BIGINT) AS window_end_us,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events CROSS JOIN (VALUES (1), (2), (3), (4)) AS steps(k)
+         WHERE epoch_us(ts) < (epoch_us(ts) // 7200000000) * 7200000000 + k * CAST(1800000000 AS BIGINT)
+         GROUP BY 1, 2""",
     "q200_temporal_join_eventtime" ->
       """WITH v AS (
            SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_id

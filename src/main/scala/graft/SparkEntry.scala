@@ -1884,6 +1884,133 @@ object SparkEntry {
       }.where(col("user_id") =!= -1L)
     }),
 
+    // ── STREAMING RETRACT-NET materialization replay, DRIVER-GATED
+    //    (round 12): q13's changelog fold as an UPDATE-MODE streaming
+    //    aggregation — clicks retract +1, errors −1, decimal-weighted
+    //    values; the memory sink appends every per-key revision, so the
+    //    final state is recovered by a monotone update counter (n of
+    //    rows folded so far per key — strictly increasing across
+    //    revisions). Sums are order-free → deterministic under any
+    //    slicing; oracle = q13's batch SQL ──
+    "q206_stream_retract_net" -> ((s, dir) => {
+      val changelog = t(s, dir, "events")
+        .where(col("event_type").isin("click", "error"))
+        .withColumn("op", when(col("event_type") === "click", 1).otherwise(-1))
+        .select(col("user_id"), col("op"), col("value"),
+          unix_micros(col("ts")).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      val updates = graft.streaming.StreamReplay.replayAppend(changelog,
+          "__ord", wh + "/replay_q206", slices = 5,
+          queryName = "q206_retract_sink", outputMode = "update") { stream =>
+        stream.groupBy(col("user_id"))
+          .agg(sum(col("op")).cast("long").as("net_count"),
+            sum(col("op") * col("value").cast("decimal(18,4)")).cast("double")
+              .as("net_value"),
+            count(lit(1)).as("__n_upd"))
+      }
+      val w = Window.partitionBy("user_id").orderBy(desc("__n_upd"))
+      updates.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .where(col("net_count") =!= 0)
+        .select(col("user_id"), col("net_count"), col("net_value"))
+    }),
+
+    // ── PROCESSING-TIME temporal join replay, DRIVER-GATED (round 12):
+    //    the join-on-arrival form (StreamOps.temporalJoin) — no fact
+    //    buffering, no watermark; on the replay's EVENT-TIME-ORDERED
+    //    slices every dim version a fact can need has already arrived,
+    //    so join-on-arrival coincides with the event-time-correct
+    //    answer and q200's batch AS-OF oracle gates it too. No
+    //    sentinel: facts emit in their arrival batch ──
+    "q207_stream_proctime_temporal" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val dims = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("event_id"))
+        .select(col("user_id").cast("string").as("key"),
+          col("event_id").as("id"), col("ts_us").as("tsMillis"),
+          col("event_id").cast("string").as("payload"), lit(true).as("isDim"))
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").cast("string").as("key"),
+          col("event_id").as("id"), col("ts_us").as("tsMillis"),
+          lit("").as("payload"), lit(false).as("isDim"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(
+          facts.unionByName(dims), "tsMillis", wh + "/replay_q207",
+          slices = 6, queryName = "q207_tj_sink") { stream =>
+        graft.streaming.StreamOps.temporalJoinTagged(
+          stream.as[graft.streaming.TemporalRow], maxVersions = Int.MaxValue).toDF()
+      }.select(col("factId").as("purchase_id"),
+        col("key").cast("long").as("user_id"),
+        col("factTsMillis").as("ts_us"),
+        col("dimId").as("matched_view_id"))
+    }),
+
+    // ── STREAMING HOP-WINDOW aggregation replay, DRIVER-GATED
+    //    (round 12): q08's 1h/30min sliding windows on a watermarked
+    //    stream, append mode (every window an event belongs to ends
+    //    after the event, so zero-delay ordered slices never drop a
+    //    row); far-future sentinel closes the tail, its windows
+    //    filtered by start bound. Oracle = q08's batch SQL ──
+    "q208_stream_hop_replay" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("ts"), col("value"),
+        unix_micros(col("ts")).as("__ord"))
+      val hi = ev.agg(max("__ord")).collect().head.getLong(0)
+      val sentinelTs = hi + 3L * 3600000000L
+      val sentinel = Seq(1).toDF("__x").select(
+        timestamp_micros(lit(sentinelTs)).as("ts"), lit(0.0).as("value"),
+        lit(sentinelTs).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(ev, "__ord",
+          wh + "/replay_q208", slices = 5, queryName = "q208_hop_sink",
+          sentinel = Some(sentinel)) { stream =>
+        stream.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("n_events"), col("sum_value"))
+      }.where(col("window_start_us") <= hi)
+    }),
+
+    // ── STREAMING CUMULATE replay, DRIVER-GATED (round 12): q35's
+    //    growing windows (2h max, 30min step) on a stream — the
+    //    exploded window rows carry their own end-timestamp event-time
+    //    attribute, watermarked with the MAX window size as delay (an
+    //    in-bucket event's earliest window end may trail the bucket's
+    //    latest seen end by up to maxSize, the price of the explode
+    //    encoding); sentinel 5h out closes everything. Oracle = q35's
+    //    batch SQL ──
+    "q209_stream_cumulate_replay" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("ts"), col("value"),
+        unix_micros(col("ts")).as("__ord"))
+      val hi = ev.agg(max("__ord")).collect().head.getLong(0)
+      val sentinelTs = hi + 5L * 3600000000L
+      val sentinel = Seq(1).toDF("__x").select(
+        timestamp_micros(lit(sentinelTs)).as("ts"), lit(0.0).as("value"),
+        lit(sentinelTs).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(ev, "__ord",
+          wh + "/replay_q209", slices = 5, queryName = "q209_cum_sink",
+          sentinel = Some(sentinel)) { stream =>
+        graft.operators.WindowOps.cumulate(stream, "ts",
+            maxSizeMicros = 7200000000L, stepMicros = 1800000000L)
+          .withColumn("__we", timestamp_micros(col("window_end_us")))
+          .withWatermark("__we", "2 hours")
+          .groupBy(col("window_start_us"), col("__we"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          .select(col("window_start_us"),
+            unix_micros(col("__we")).as("window_end_us"),
+            col("n_events"), col("sum_value"))
+      }.where(col("window_start_us") <= hi)
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

@@ -161,7 +161,19 @@ object StreamOps {
   def temporalJoin(facts: Dataset[TemporalRow], dims: Dataset[TemporalRow],
                    maxVersions: Int = 64): Dataset[TemporalMatch] = {
     import facts.sparkSession.implicits._
-    val tagged = facts.map(_.copy(isDim = false)).unionByName(dims.map(_.copy(isDim = true)))
+    temporalJoinTagged(
+      facts.map(_.copy(isDim = false)).unionByName(dims.map(_.copy(isDim = true))),
+      maxVersions)
+  }
+
+  /** [[temporalJoin]] over a PRE-TAGGED union (rows carry `isDim`) —
+    * the single-source replay form. On an EVENT-TIME-ORDERED stream the
+    * join-on-arrival semantics coincide with the event-time-correct
+    * ones (every dim version a fact can need has already arrived), which
+    * is what lets q207 share q200's batch AS-OF oracle. */
+  def temporalJoinTagged(tagged: Dataset[TemporalRow],
+                         maxVersions: Int = 64): Dataset[TemporalMatch] = {
+    import tagged.sparkSession.implicits._
     tagged.groupByKey(_.key)
       .flatMapGroupsWithState[List[TemporalRow], TemporalMatch](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

@@ -46,7 +46,8 @@ object StreamReplay {
     * (append mode), and return the drained memory-sink table. */
   def replayAppend(df: DataFrame, orderCol: String, stageDir: String,
                    slices: Int, queryName: String,
-                   sentinel: Option[DataFrame] = None)
+                   sentinel: Option[DataFrame] = None,
+                   outputMode: String = "append")
                   (transform: DataFrame => DataFrame): DataFrame = {
     val spark = df.sparkSession
     val bounds = df.agg(min(col(orderCol)), max(col(orderCol))).collect().head
@@ -63,9 +64,12 @@ object StreamReplay {
     sentinel.foreach(_.coalesce(1).write.mode("append").parquet(stageDir))
     val stream = spark.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", 1).parquet(stageDir)
+    // update mode: the memory sink APPENDS each batch's updated rows —
+    // callers recover the final per-key state with a monotone
+    // update-counter column (see q206)
     val q = transform(stream)
       .writeStream.format("memory").queryName(queryName)
-      .outputMode("append").start()
+      .outputMode(outputMode).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
