@@ -1785,6 +1785,20 @@ object OracleSql {
          FROM events CROSS JOIN (VALUES (1), (2), (3), (4)) AS steps(k)
          WHERE epoch_us(ts) < (epoch_us(ts) // 7200000000) * 7200000000 + k * CAST(1800000000 AS BIGINT)
          GROUP BY 1, 2""",
+    // Runner tombstone path: the last event per user wins; a last
+    // 'error' event is a DELETE — the key must be absent from the
+    // materialized state.
+    "q210_stream_tombstone_runner" ->
+      """SELECT user_id, event_id AS last_event_id, value AS last_value,
+         epoch_us(ts) AS ts_us
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1 AND event_type <> 'error'""",
+    // Streaming first-per-key dedup replay: dropDuplicates state across
+    // micro-batches must equal the batch rank-1 — q06's SQL.
+    "q211_stream_dedup_first" ->
+      """SELECT user_id, event_type, event_id AS first_event_id, epoch_us(ts) AS first_ts_us
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
+               FROM events) WHERE rn = 1""",
     "q200_temporal_join_eventtime" ->
       """WITH v AS (
            SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_id

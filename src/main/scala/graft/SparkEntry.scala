@@ -2011,6 +2011,83 @@ object SparkEntry {
       }.where(col("window_start_us") <= hi)
     }),
 
+    // ── SOURCE-SIDE TOMBSTONE path through the STATEMENT RUNNER,
+    //    DRIVER-GATED (round 12): the compacted-topic DELETE contract
+    //    end-to-end — an INSERT whose select tags 'error' events
+    //    `__op = '-D'` writes null-value tombstones to the PK table's
+    //    topic (Topics.appendJson keyed encode), and the materialized
+    //    view folds latest-by-offset FIRST, tombstone-filter AFTER, so
+    //    a user whose LAST event is an error disappears (and a later
+    //    non-error event resurrects the key). Epochs are event-time
+    //    slices reduced to one row per key (q202's determinism trick),
+    //    so arrival order = (ts, event_id) order and the final state
+    //    equals the batch last-event-wins oracle ──
+    "q210_stream_tombstone_runner" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q210").toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      r.registerTopicSource("events_feed_q210", StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("ts_us", LongType))))
+      r.runScript("""
+        CREATE TABLE user_live_q210 (
+          user_id BIGINT, last_event_id BIGINT, last_value DOUBLE, ts_us BIGINT,
+          __op STRING,
+          PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO user_live_q210
+        SELECT user_id, event_id, value, ts_us,
+          CASE WHEN event_type = 'error' THEN '-D' ELSE '+U' END
+        FROM events_feed_q210""")
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_id"), col("event_type"), col("value"),
+            col("ts_us")), struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.event_id"), col("__l.event_type"),
+            col("__l.value"), col("__l.ts_us"))
+        Topics.appendJson(slice, "events_feed_q210", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("user_live_q210").select(col("user_id"), col("last_event_id"),
+        col("last_value"), col("ts_us"))
+    }),
+
+    // ── STREAMING FIRST-PER-KEY DEDUP replay, DRIVER-GATED (round 12):
+    //    q06's first-event-per-(user, type) as streaming dropDuplicates
+    //    state across 5 micro-batches. Each staged slice is pre-reduced
+    //    to its min-(ts, event_id) row per key (sliceMap — streaming
+    //    dedup picks an ARBITRARY first among same-batch repeats, so
+    //    within-batch ties must not exist); across slices the earliest
+    //    time-slice containing a key holds its global minimum, so the
+    //    state's first-arrival choice equals the batch rank-1 oracle ──
+    "q211_stream_dedup_first" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(ev, "__ord",
+          wh + "/replay_q211", slices = 5, queryName = "q211_dedup_sink",
+          sliceMap = sl => sl.groupBy(col("user_id"), col("event_type"))
+            .agg(min_by(struct(col("event_id"), col("__ord")),
+              struct(col("__ord"), col("event_id"))).as("__f"))
+            .select(col("user_id"), col("event_type"),
+              col("__f.event_id"), col("__f.__ord"))) { stream =>
+        graft.streaming.StreamOps.firstPerKey(stream, Seq("user_id", "event_type"))
+      }.select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"), col("__ord").as("first_ts_us"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

@@ -43,11 +43,20 @@ object StreamReplay {
   /** Generic replay: stage `df` ordered by LONG column `orderCol` into
     * `slices` files under `stageDir` (+ `sentinel` committed last),
     * stream it back one file per micro-batch through `transform`
-    * (append mode), and return the drained memory-sink table. */
+    * (append mode), and return the drained memory-sink table.
+    *
+    * `sliceMap` rewrites each staged slice BEFORE it is committed —
+    * the determinism hook for operators whose within-batch semantics
+    * are arrival-order-dependent (streaming `dropDuplicates` picks an
+    * arbitrary first among same-batch key repeats): reducing each
+    * slice to one row per key makes the replay's choice a function of
+    * the data, not the shuffle, without weakening the CROSS-batch
+    * state the replay exists to exercise. */
   def replayAppend(df: DataFrame, orderCol: String, stageDir: String,
                    slices: Int, queryName: String,
                    sentinel: Option[DataFrame] = None,
-                   outputMode: String = "append")
+                   outputMode: String = "append",
+                   sliceMap: DataFrame => DataFrame = identity)
                   (transform: DataFrame => DataFrame): DataFrame = {
     val spark = df.sparkSession
     val bounds = df.agg(min(col(orderCol)), max(col(orderCol))).collect().head
@@ -56,7 +65,7 @@ object StreamReplay {
     val width = math.max(1L, (hi - lo) / slices + 1)
     (0 until slices).foreach { i =>
       val (a, b) = (lo + i * width, lo + (i + 1) * width)
-      df.where(col(orderCol) >= a && col(orderCol) < b)
+      sliceMap(df.where(col(orderCol) >= a && col(orderCol) < b))
         .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
         .parquet(stageDir)
       Thread.sleep(15) // distinct mod-times: file-source order = slice order
