@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Batch→stream replay harness: runs a streaming operator over fixture
   * data as a REAL StructuredStreaming query (file source →
@@ -76,11 +77,39 @@ object StreamReplay {
     // update mode: the memory sink APPENDS each batch's updated rows —
     // callers recover the final per-key state with a monotone
     // update-counter column (see q206)
-    val q = transform(stream)
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode(outputMode).start()
+    val q = startNarrowState(spark) {
+      transform(stream)
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode(outputMode)
+    }
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
+  }
+
+  /** Replay state width: fixture replays commit per-trigger state-store
+    * deltas in EVERY shuffle partition of every stateful operator —
+    * at fixture scale (10³–10⁵ rows, 4–6 triggers) the session's 32
+    * partitions are pure commit latency, not parallelism. A replay's
+    * stateful shuffles therefore run at `graft.replay.statePartitions`
+    * (default 4). This is a HARNESS setting: the partition count is
+    * captured in the (fresh, temp) checkpoint per replay, so it never
+    * constrains a production stream, where the session default / AQE
+    * sizing applies. */
+  private[graft] def statePartitions: Int =
+    sys.props.getOrElse("graft.replay.statePartitions", "4").toInt
+
+  /** Start a streaming query with the shuffle-partition conf narrowed
+    * to [[statePartitions]]. `start()` clones the session conf into the
+    * stream's own session, so restoring the previous value immediately
+    * after is safe for the running query and invisible to everything
+    * batch. */
+  private def startNarrowState(spark: org.apache.spark.sql.SparkSession)
+                              (build: => org.apache.spark.sql.streaming.DataStreamWriter[
+                                 org.apache.spark.sql.Row]): StreamingQuery = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try build.start() finally spark.conf.set(key, prev)
   }
 
   /** Two-source replay for stream-stream operators (interval joins):
@@ -111,9 +140,11 @@ object StreamReplay {
     stage(right, stageDirR)
     def stream(df: DataFrame, dir: String): DataFrame = spark.readStream
       .schema(df.schema).option("maxFilesPerTrigger", 1).parquet(dir)
-    val q = transform(stream(left, stageDirL), stream(right, stageDirR))
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append").start()
+    val q = startNarrowState(spark) {
+      transform(stream(left, stageDirL), stream(right, stageDirR))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append")
+    }
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
