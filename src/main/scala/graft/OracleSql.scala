@@ -1799,6 +1799,164 @@ object OracleSql {
       """SELECT user_id, event_type, event_id AS first_event_id, epoch_us(ts) AS first_ts_us
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
                FROM events) WHERE rn = 1""",
+    // Streaming windowed HLL replay: q144's exact estimator SQL with
+    // the group key swapped to the hour window over events.user_id.
+    "q212_stream_hll_window" ->
+      """WITH h AS (
+           SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS w,
+             CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT) AS h
+           FROM (SELECT ts, md5(CAST(user_id AS VARCHAR)) AS hx FROM events)
+         ), nr AS (
+           SELECT epoch_us(date_trunc('hour', ts)) AS w, count(*) AS n_rows
+           FROM events GROUP BY 1
+         ), br AS (
+           SELECT w, h // 4398046511104 AS b,
+             CASE WHEN h % 4398046511104 = 0 THEN 43
+                  ELSE 43 - length(bin(h % 4398046511104)) END AS rho
+           FROM h
+         ), regs AS (
+           SELECT w, b, max(rho) AS mr FROM br GROUP BY 1, 2
+         ), agg AS (
+           SELECT w, count(*) AS present,
+             sum(CAST(power(2, 50 - mr) AS BIGINT)) AS zp
+           FROM regs GROUP BY 1
+         ), fin AS (
+           SELECT a.w, 64 - a.present AS v_zero,
+             a.zp + (64 - a.present) * 1125899906842624 AS z_int
+           FROM agg a
+         ), est AS (
+           SELECT w, v_zero, z_int,
+             CAST((CAST(2 AS HUGEINT)*709341*4096*1125899906842624
+                   + CAST(1000000 AS HUGEINT)*z_int)
+                  // (CAST(2000000 AS HUGEINT)*z_int) AS BIGINT) AS est_raw,
+             CASE WHEN v_zero > 0 THEN
+               (2*64*CAST(floor(ln(64.0/v_zero)*1e6) AS BIGINT) + 1000000) // 2000000 END AS est_lin
+           FROM fin
+         )
+         SELECT e.w AS window_start_us, CAST(nr.n_rows AS BIGINT) AS n_rows,
+           CAST(v_zero AS BIGINT) AS v_zero, CAST(z_int AS BIGINT) AS z_int,
+           CAST(CASE WHEN est_raw <= 160 AND v_zero > 0 THEN est_lin
+                ELSE est_raw END AS BIGINT) AS est_hll
+         FROM est e JOIN nr ON e.w = nr.w""",
+    // Streaming windowed KMV replay: q52's estimator SQL keyed by the
+    // hour window.
+    "q213_stream_kmv_window" ->
+      """WITH h AS (
+           SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS w,
+             CAST(list_sum(list_transform(range(12), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(11 - CAST(j AS INT))))) AS BIGINT) AS h
+           FROM (SELECT ts, md5(CAST(user_id AS VARCHAR)) AS hx FROM events)
+         ), nr AS (
+           SELECT epoch_us(date_trunc('hour', ts)) AS w, count(*) AS n_rows
+           FROM events GROUP BY 1
+         ), r AS (
+           SELECT w, h,
+             row_number() OVER (PARTITION BY w ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY w) AS nd
+           FROM h
+         )
+         SELECT r.w AS window_start_us, CAST(max(nr.n_rows) AS BIGINT) AS n_rows,
+           CAST(least(max(nd), 64) AS BIGINT) AS n_kept,
+           round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+                 ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+                 END, 6) AS estimate
+         FROM r JOIN nr ON r.w = nr.w GROUP BY r.w""",
+    // Streaming windowed PSI replay: per-hour Laplace-smoothed category
+    // mix vs the global mix, psi term mirrored op-for-op ((pA − pB) ·
+    // ln(pA/pB), round 6); share intentionally ungated (integer-ratio
+    // round-6 tie hazard).
+    "q214_stream_psi_window" ->
+      """WITH e AS (
+           SELECT epoch_us(date_trunc('hour', ts)) AS w, event_type AS category
+           FROM events
+         ), wins AS (SELECT DISTINCT w FROM e
+         ), cats AS (
+           SELECT category, count(*) AS n_c FROM e GROUP BY 1
+         ), tot AS (SELECT count(*) AS n_tot FROM e
+         ), base AS (
+           SELECT category,
+             CAST(n_c AS DOUBLE) / CAST(n_tot AS DOUBLE) AS p_b,
+             (SELECT count(*) FROM cats) AS k
+           FROM cats, tot
+         ), wc AS (
+           SELECT w, category, count(*) AS n FROM e GROUP BY 1, 2
+         ), wt AS (
+           SELECT w, count(*) AS tot_w FROM e GROUP BY 1
+         ), j AS (
+           SELECT wins.w, base.category,
+             COALESCE(wc.n, 0) AS n, wt.tot_w, base.p_b, base.k
+           FROM wins CROSS JOIN base
+           LEFT JOIN wc ON wc.w = wins.w AND wc.category = base.category
+           JOIN wt ON wt.w = wins.w
+         )
+         SELECT w AS window_start_us, category, CAST(n AS BIGINT) AS n,
+           round((CAST(n + 1 AS DOUBLE) / CAST(tot_w + k AS DOUBLE) - p_b)
+                 * ln((CAST(n + 1 AS DOUBLE) / CAST(tot_w + k AS DOUBLE)) / p_b), 6) AS psi_term
+         FROM j""",
+    // Streaming windowed JS replay: per-window md5-bucket unigram mix
+    // vs the global mix, 2·JS as Σ floor(1e6·term2) — the q108 micro
+    // convention. Reference buckets cover every window bucket (same
+    // corpus), so the support is exactly the reference's.
+    "q215_stream_js_window" ->
+      """WITH d AS (
+           SELECT doc_id % 48 AS hr,
+             unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+           FROM documents
+         ), b AS (
+           SELECT hr,
+             CAST(list_sum(list_transform(range(8), j -> CAST(strpos('0123456789abcdef', substring(hx, CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 1024 AS bucket
+           FROM (SELECT hr, md5(tok) AS hx FROM d)
+         ), ref AS (
+           SELECT bucket, count(*) AS c_b FROM b GROUP BY 1
+         ), rtot AS (SELECT count(*) AS n_tot FROM b
+         ), hrs AS (SELECT DISTINCT hr FROM b
+         ), wb AS (
+           SELECT hr, bucket, count(*) AS cnt FROM b GROUP BY 1, 2
+         ), wt AS (
+           SELECT hr, count(*) AS tot FROM b GROUP BY 1
+         ), grid AS (
+           SELECT hrs.hr, ref.bucket,
+             CAST(ref.c_b AS DOUBLE) / CAST(rtot.n_tot AS DOUBLE) AS q
+           FROM hrs CROSS JOIN ref, rtot
+         ), j AS (
+           SELECT g.hr, g.q, COALESCE(wb.cnt, 0) AS cnt, wt.tot
+           FROM grid g LEFT JOIN wb ON wb.hr = g.hr AND wb.bucket = g.bucket
+           JOIN wt ON wt.hr = g.hr
+         ), terms AS (
+           SELECT hr, tot,
+             CAST(floor(CAST(1000000 AS DOUBLE) * (
+               CASE WHEN cnt > 0 THEN
+                 (CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                 * ln((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                      / ((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) + q) / CAST(2 AS DOUBLE)))
+               ELSE CAST(0 AS DOUBLE) END
+               + q * ln(q / ((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) + q) / CAST(2 AS DOUBLE)))
+             )) AS BIGINT) AS t_micro
+           FROM j
+         )
+         SELECT 1704067200000000 + hr * 3600000000 AS window_start_us,
+           CAST(max(tot) AS BIGINT) AS n_tokens,
+           CAST(sum(t_micro) AS BIGINT) AS js2_micro
+         FROM terms GROUP BY 1""",
+    // Streaming burst-gate replay: q155's exact z-test (z=3) against
+    // the same-events moments baseline, mean column dropped (the
+    // streaming gate doesn't emit it).
+    "q216_stream_burst_window" ->
+      """WITH w AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS wdx,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2
+         ), st AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS wn,
+             CAST(sum(n_events) AS BIGINT) AS s,
+             sum(CAST(n_events AS HUGEINT) * n_events) AS sq
+           FROM w GROUP BY 1
+         )
+         SELECT CAST(wdx * 3600000000 AS BIGINT) AS window_start_us,
+           w.event_type, n_events,
+           ((CAST(n_events AS HUGEINT) * wn - s) * (CAST(n_events AS HUGEINT) * wn - s)
+             > 9 * (CAST(wn AS HUGEINT) * sq - CAST(s AS HUGEINT) * s)
+            AND CAST(n_events AS HUGEINT) * wn > s) AS is_burst
+         FROM w JOIN st USING (event_type)""",
     "q200_temporal_join_eventtime" ->
       """WITH v AS (
            SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_id

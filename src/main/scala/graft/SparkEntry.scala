@@ -2088,6 +2088,167 @@ object SparkEntry {
         col("event_id").as("first_event_id"), col("__ord").as("first_ts_us"))
     }),
 
+    // ── STREAMING WINDOWED HLL replay, DRIVER-GATED (round 12): the
+    //    live distinct-users-per-hour monitor
+    //    (StreamingCorpusStats.windowedHllDistinct) — 64 one-byte
+    //    max-merge registers per open window, commutative AND
+    //    idempotent, so the closed-window estimate is independent of
+    //    slicing/partitioning/duplicate delivery. The oracle is q144's
+    //    exact HLL SQL with the group key swapped to the hour window;
+    //    the far-future sentinel fires the EventTimeTimeout closes ──
+    "q212_stream_hll_window" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("ts"), col("user_id"),
+        unix_micros(col("ts")).as("__ord"))
+      val hi = ev.agg(max("__ord")).collect().head.getLong(0)
+      val sentinelTs = hi + 3L * 3600000000L
+      val sentinel = Seq(1).toDF("__x").select(
+        timestamp_micros(lit(sentinelTs)).as("ts"), lit(-1L).as("user_id"),
+        lit(sentinelTs).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(ev, "__ord",
+          wh + "/replay_q212", slices = 5, queryName = "q212_hll_sink",
+          sentinel = Some(sentinel)) { stream =>
+        graft.streaming.StreamingCorpusStats.windowedHllDistinct(stream,
+          "user_id", "ts", "1 hour", 3600000L, "0 seconds").toDF()
+      }.where(col("window_start_us") <= hi)
+    }),
+
+    // ── STREAMING WINDOWED KMV replay, DRIVER-GATED (round 12): the
+    //    k-minimum-values sibling (windowedKmvDistinct, k=64) — the
+    //    KmvBuf insert is commutative and distinct-in-buffer, so the
+    //    closed-window (n_kept, estimate) is arrival-order-free; the
+    //    estimate is the shared KmvDistinct.finish formula, rounded 6
+    //    exactly as the batch q52 emits it. Oracle = q52's SQL keyed
+    //    by the hour window ──
+    "q213_stream_kmv_window" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("ts"), col("user_id"),
+        unix_micros(col("ts")).as("__ord"))
+      val hi = ev.agg(max("__ord")).collect().head.getLong(0)
+      val sentinelTs = hi + 3L * 3600000000L
+      val sentinel = Seq(1).toDF("__x").select(
+        timestamp_micros(lit(sentinelTs)).as("ts"), lit(-1L).as("user_id"),
+        lit(sentinelTs).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(ev, "__ord",
+          wh + "/replay_q213", slices = 5, queryName = "q213_kmv_sink",
+          sentinel = Some(sentinel)) { stream =>
+        graft.streaming.StreamingCorpusStats.windowedKmvDistinct(stream,
+          "user_id", "ts", "1 hour", 3600000L, "0 seconds", k = 64).toDF()
+      }.where(col("window_start_us") <= hi)
+        .withColumn("estimate", round(col("estimate"), 6))
+    }),
+
+    // ── STREAMING WINDOWED PSI replay, DRIVER-GATED (round 12): the
+    //    live category-drift monitor (StreamingDrift.windowedPsi) —
+    //    per-hour event_type mix scored against the table's own global
+    //    mix as the fixed baseline (count/total doubles, mirrored
+    //    op-for-op in the oracle). The gate projects (window, category,
+    //    n, psi_term): psi_term's transcendental product can't land on
+    //    a 6-decimal tie, while the Laplace `share` is EXACTLY the
+    //    integer-ratio tie case CLAUDE.md forbids rounding (q82) at
+    //    2.9k emitted values — share stays pinned by the batch-parity
+    //    spec instead. Sentinel category is a real one: its window
+    //    never closes (watermark stops at it) and is filtered out ──
+    "q214_stream_psi_window" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("__ord"))
+      val hi = ev.agg(max("__ord")).collect().head.getLong(0)
+      // |event types|-sized collect (bounded-collect contract): the
+      // fixed baseline the stream is scored against
+      val catRows = ev.groupBy("event_type").count().collect()
+      val tot = catRows.map(_.getLong(1)).sum
+      val baseline = catRows.map(r =>
+        r.getString(0) -> r.getLong(1).toDouble / tot.toDouble).toMap
+      val sentinelTs = hi + 3L * 3600000000L
+      val sentinel = Seq(1).toDF("__x").select(
+        timestamp_micros(lit(sentinelTs)).as("ts"),
+        lit(catRows.head.getString(0)).as("event_type"),
+        lit(sentinelTs).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(ev, "__ord",
+          wh + "/replay_q214", slices = 5, queryName = "q214_psi_sink",
+          sentinel = Some(sentinel)) { stream =>
+        graft.streaming.StreamingDrift.windowedPsi(stream, "event_type",
+          "ts", "1 hour", 3600000L, "0 seconds", baseline).toDF()
+      }.where(col("window_start_us") <= hi)
+        .select(col("window_start_us"), col("category"), col("n"),
+          col("psi_term"))
+    }),
+
+    // ── STREAMING WINDOWED JS replay, DRIVER-GATED (round 12): the
+    //    live lexical-drift monitor (StreamingDrift.windowedTokenJs) —
+    //    per-window hashed-unigram mix vs the corpus's own global mix
+    //    (count/total doubles mirrored in the oracle), 2·JS in exact
+    //    integer micro-units. Documents get synthetic event times
+    //    (doc_id % 48 hours) while the replay stages by doc_id, so
+    //    EVERY window accumulates across all 5 micro-batches; a 48 h
+    //    watermark delay keeps the id-ordered arrivals from ever being
+    //    late, and the sentinel 100 h out still closes every window ──
+    "q215_stream_js_window" -> ((s, dir) => {
+      import s.implicits._
+      val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+      val docs = t(s, dir, "documents").select(col("text"),
+        timestamp_micros(lit(baseUs) + (col("doc_id") % 48) * 3600000000L).as("ts"),
+        col("doc_id").as("__ord"))
+      // reference mix: ≤1024-bucket collect (bounded-collect contract)
+      val bucketCol = (conv(substring(md5(col("__tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 1024).cast("int")
+      val refRows = docs
+        .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("__tok"))
+        .select(bucketCol.as("b")).groupBy("b").count().collect()
+      val nTot = refRows.map(_.getLong(1)).sum
+      val reference = refRows.map(r =>
+        r.getInt(0) -> r.getLong(1).toDouble / nTot.toDouble).toMap
+      val hi = baseUs + 47L * 3600000000L
+      val sentinelTs = baseUs + 100L * 3600000000L
+      val sentinel = Seq(1).toDF("__x").select(lit("x").as("text"),
+        timestamp_micros(lit(sentinelTs)).as("ts"),
+        lit(Long.MaxValue).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(docs, "__ord",
+          wh + "/replay_q215", slices = 5, queryName = "q215_js_sink",
+          sentinel = Some(sentinel)) { stream =>
+        graft.streaming.StreamingDrift.windowedTokenJs(stream, "text", "ts",
+          "1 hour", 3600000L, "48 hours", reference).toDF()
+      }.where(col("window_start_us") <= hi)
+    }),
+
+    // ── STREAMING BURST GATE replay, DRIVER-GATED (round 12): the
+    //    live spike monitor (StreamingDrift.windowedBursts) — per
+    //    (hour window, type) count z-tested against burstMoments of the
+    //    same events (the fixed "yesterday" baseline), division-free
+    //    exact decimal/HUGEINT algebra on both sides, so is_burst is a
+    //    bit-portable BOOLEAN. Native watermarked agg + broadcast
+    //    baseline join in append mode; sentinel closes the tail ──
+    "q216_stream_burst_window" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("__ord"))
+      val hi = ev.agg(max("__ord")).collect().head.getLong(0)
+      // |event types|-row collect (bounded-collect contract)
+      val moments = graft.operators.WindowOps.burstMoments(
+        t(s, dir, "events"), "event_type", "ts", 3600000000L).collect()
+      val baseline = moments.map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDecimal(3).longValueExact()))
+      }.toMap
+      val sentinelTs = hi + 3L * 3600000000L
+      val sentinel = Seq(1).toDF("__x").select(
+        timestamp_micros(lit(sentinelTs)).as("ts"),
+        lit(moments.head.getString(0)).as("event_type"),
+        lit(sentinelTs).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(ev, "__ord",
+          wh + "/replay_q216", slices = 5, queryName = "q216_burst_sink",
+          sentinel = Some(sentinel)) { stream =>
+        graft.streaming.StreamingDrift.windowedBursts(stream, "event_type",
+          "ts", "1 hour", "0 seconds", baseline)
+      }.where(col("window_start_us") <= hi)
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append
