@@ -1957,6 +1957,150 @@ object OracleSql {
              > 9 * (CAST(wn AS HUGEINT) * sq - CAST(s AS HUGEINT) * s)
             AND CAST(n_events AS HUGEINT) * wn > s) AS is_burst
          FROM w JOIN st USING (event_type)""",
+    // Streaming corpus card replay: q81's card keyed by the synthetic
+    // hour window, dup count absent (append mode can't chain the
+    // distinct under the windowed aggregate).
+    "q217_stream_corpus_card" ->
+      """WITH nrm AS (
+           SELECT doc_id % 48 AS hr, text,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents
+         ), q AS (
+           SELECT hr,
+             len(string_split(norm, ' ')) AS n_toks,
+             least(len(text), 500) * 800
+             + (CASE WHEN 10 * len(list_filter(string_split(norm, ' '),
+                      t2 -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t2)))
+                      >= len(string_split(norm, ' ')) THEN 300000
+                ELSE (6000000 * len(list_filter(string_split(norm, ' '),
+                        t2 -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t2)))
+                      + len(string_split(norm, ' ')))
+                     // (2 * len(string_split(norm, ' '))) END)
+             + (CASE WHEN len(replace(norm, ' ', '')) >= 3 * len(string_split(norm, ' '))
+                      AND len(replace(norm, ' ', '')) <= 8 * len(string_split(norm, ' '))
+                THEN 300000 ELSE 0 END) AS q_micro
+           FROM nrm
+         )
+         SELECT 1704067200000000 + hr * 3600000000 AS window_start_us,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           min(n_toks) AS min_toks,
+           max(n_toks) AS max_toks,
+           CAST((2 * CAST(sum(q_micro) AS BIGINT) + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS mean_quality
+         FROM q GROUP BY 1""",
+    // Streaming calibration replay: q119's bins keyed by the synthetic
+    // hour window.
+    "q218_stream_calibration" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 48 AS hr,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ), w AS (
+           SELECT doc_id, unnest(toks) AS tok FROM t
+         ), b AS (
+           SELECT doc_id,
+             (CAST(list_sum(list_transform(range(8),
+               j -> CAST(strpos('0123456789abcdef', substring(md5(tok), CAST(j + 1 AS INT), 1)) - 1 AS BIGINT) << (4*(7 - CAST(j AS INT))))) AS BIGINT) % 4096) % 1001 - 500 AS wt
+           FROM w
+         ), agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(wt) AS BIGINT) AS w_sum
+           FROM b GROUP BY doc_id
+         ), g AS (
+           SELECT doc_id,
+             (len(toks) >= 50 AND len(toks) <= 100000)
+             AND (CAST(len(replace(norm, ' ', '')) AS DOUBLE) / len(toks) >= 3.0
+                  AND CAST(len(replace(norm, ' ', '')) AS DOUBLE) / len(toks) <= 10.0)
+             AND len(list_intersect(toks, ['the','a','an','of','and','or','to','in','is','it'])) >= 2
+             AND CAST(len(list_filter(toks, t2 -> regexp_matches(t2, '[a-z]'))) AS DOUBLE) / len(toks) >= 0.8
+             AND (CASE WHEN len(toks) >= 2
+                  THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1)
+                  ELSE 0.0 END) <= 0.5 AS keep
+           FROM t
+         ), sc AS (
+           SELECT a.doc_id,
+             ((a.w_sum + 500*a.n) * 2000000 + 1000*a.n) // (2000*a.n) AS s_micro,
+             g.keep
+           FROM agg a JOIN g ON a.doc_id = g.doc_id
+         ), bn AS (
+           SELECT t.hr, keep, s_micro, (s_micro * 10) // 1000001 AS bin
+           FROM sc JOIN t ON sc.doc_id = t.doc_id
+         )
+         SELECT 1704067200000000 + hr * 3600000000 AS window_start_us,
+           CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((2*sum(s_micro) + count(*)) // (2*count(*)) AS BIGINT) AS mean_score_micro,
+           CAST((2000000*sum(CASE WHEN keep THEN 1 ELSE 0 END) + count(*)) // (2*count(*)) AS BIGINT) AS keep_rate_micro,
+           CAST((2*sum(s_micro) + count(*)) // (2*count(*))
+             - (2000000*sum(CASE WHEN keep THEN 1 ELSE 0 END) + count(*)) // (2*count(*)) AS BIGINT) AS gap_micro
+         FROM bn GROUP BY 1, 2""",
+    // Streaming lang-agreement replay: q179's confusion cells keyed by
+    // the synthetic hour window, share_ppm absent.
+    "q219_stream_lang_agreement" ->
+      """WITH toks AS (
+           SELECT doc_id % 48 AS hr, source, lang,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+           FROM documents
+         ), sc AS (
+           SELECT hr, source, lang,
+             len(list_filter(tk, t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in', 'it'))) AS s_en,
+             len(list_filter(tk, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'ein'))) AS s_de,
+             len(list_filter(tk, t -> t IN ('el', 'la', 'de', 'y', 'es', 'que', 'un'))) AS s_es,
+             len(list_filter(tk, t -> t IN ('le', 'la', 'et', 'les', 'des', 'est', 'une'))) AS s_fr
+           FROM toks
+         ), pred AS (
+           SELECT hr, source, lang,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+           FROM sc
+         )
+         SELECT 1704067200000000 + hr * 3600000000 AS window_start_us,
+           source, lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         FROM pred GROUP BY 1, 2, 3, 4""",
+    // Streaming novelty presence: on the ordered replay the first
+    // arrival day per entity is its min day.
+    "q220_stream_novelty_presence" ->
+      """WITH dd AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+         )
+         SELECT user_id AS entity, CAST(d AS BIGINT) AS day,
+           (d = min(d) OVER (PARTITION BY user_id)) AS is_new
+         FROM dd""",
+    // Streaming vector near-dup gate: the q39 IVF chain (content-
+    // sampled centroids, nearest-centroid assignment, nProbe=6 probes)
+    // as a probed pair join with the q23 threshold convention.
+    "q221_stream_nearvec_gate" ->
+      """WITH cent AS (
+           SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cpos,
+                  CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+         ), assign AS (
+           SELECT e.vec_id AS neighbor_id, cpos
+           FROM embeddings e CROSS JOIN cent
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ce) DESC, cpos ASC) = 1
+         ), probes AS (
+           SELECT q.vec_id, cpos
+           FROM embeddings q CROSS JOIN cent
+           WHERE q.vec_id % 5 = 0
+           QUALIFY row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ce) DESC, cpos ASC) <= 6
+         ), cand AS (
+           SELECT p.vec_id, a.neighbor_id
+           FROM probes p JOIN assign a USING (cpos)
+           WHERE p.vec_id <> a.neighbor_id
+         )
+         SELECT c.vec_id, c.neighbor_id,
+           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])), 6) AS cos_sim
+         FROM cand c
+         JOIN embeddings q ON c.vec_id = q.vec_id
+         JOIN embeddings n ON c.neighbor_id = n.vec_id
+         WHERE list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) >= 0.3""",
     "q200_temporal_join_eventtime" ->
       """WITH v AS (
            SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_id

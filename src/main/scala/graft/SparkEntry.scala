@@ -2249,6 +2249,125 @@ object SparkEntry {
       }.where(col("window_start_us") <= hi)
     }),
 
+    // ── STREAMING CORPUS CARD replay, DRIVER-GATED (round 12): the
+    //    live per-window data card (windowedCorpusCard — q81's twin
+    //    minus the dup count, which append mode can't chain): all
+    //    algebraic aggregates over codegen token/quality kernels, one
+    //    native watermarked windowed aggregation. Same doc_id-staged /
+    //    synthetic-hour / 48 h-delay replay as q215 ──
+    "q217_stream_corpus_card" -> ((s, dir) => {
+      import s.implicits._
+      val baseUs = 1704067200000000L
+      val docs = t(s, dir, "documents").select(col("text"),
+        timestamp_micros(lit(baseUs) + (col("doc_id") % 48) * 3600000000L).as("ts"),
+        col("doc_id").as("__ord"))
+      val hi = baseUs + 47L * 3600000000L
+      val sentinel = Seq(1).toDF("__x").select(lit("x").as("text"),
+        timestamp_micros(lit(baseUs + 100L * 3600000000L)).as("ts"),
+        lit(Long.MaxValue).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(docs, "__ord",
+          wh + "/replay_q217", slices = 5, queryName = "q217_card_sink",
+          sentinel = Some(sentinel)) { stream =>
+        graft.streaming.StreamingCorpusStats.windowedCorpusCard(stream,
+          "text", "ts", "1 hour", "48 hours")
+      }.where(col("window_start_us") <= hi)
+    }),
+
+    // ── STREAMING CALIBRATION replay, DRIVER-GATED (round 12): the
+    //    live classifier-vs-rules drift monitor (windowedCalibration —
+    //    q119's twin): per (window, score bin) the hashed-classifier
+    //    mean and the Gopher keep rate in exact half-up micro units.
+    //    All algebraic aggregates over codegen kernels; same staging
+    //    as q217 ──
+    "q218_stream_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val baseUs = 1704067200000000L
+      val docs = t(s, dir, "documents").select(col("text"),
+        timestamp_micros(lit(baseUs) + (col("doc_id") % 48) * 3600000000L).as("ts"),
+        col("doc_id").as("__ord"))
+      val hi = baseUs + 47L * 3600000000L
+      val sentinel = Seq(1).toDF("__x").select(lit("x").as("text"),
+        timestamp_micros(lit(baseUs + 100L * 3600000000L)).as("ts"),
+        lit(Long.MaxValue).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(docs, "__ord",
+          wh + "/replay_q218", slices = 5, queryName = "q218_cal_sink",
+          sentinel = Some(sentinel)) { stream =>
+        graft.streaming.StreamingCorpusStats.windowedCalibration(stream,
+          "text", "ts", "1 hour", "48 hours", bins = 10)
+      }.where(col("window_start_us") <= hi)
+    }),
+
+    // ── STREAMING LANG-AGREEMENT replay, DRIVER-GATED (round 12): the
+    //    live declared-vs-predicted confusion cells
+    //    (StreamingProfiling.windowedLangAgreement — q179's twin minus
+    //    share_ppm, which append mode can't chain): prediction from
+    //    the one q16 langId expression, one native watermarked
+    //    windowed aggregation. Same staging as q217 ──
+    "q219_stream_lang_agreement" -> ((s, dir) => {
+      import s.implicits._
+      val baseUs = 1704067200000000L
+      val docs = t(s, dir, "documents").select(col("source"), col("lang"),
+        col("text"),
+        timestamp_micros(lit(baseUs) + (col("doc_id") % 48) * 3600000000L).as("ts"),
+        col("doc_id").as("__ord"))
+      val hi = baseUs + 47L * 3600000000L
+      val sentinel = Seq(1).toDF("__x").select(lit("s").as("source"),
+        lit("en").as("lang"), lit("x").as("text"),
+        timestamp_micros(lit(baseUs + 100L * 3600000000L)).as("ts"),
+        lit(Long.MaxValue).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(docs, "__ord",
+          wh + "/replay_q219", slices = 5, queryName = "q219_lang_sink",
+          sentinel = Some(sentinel)) { stream =>
+        graft.streaming.StreamingProfiling.windowedLangAgreement(stream,
+          "source", "lang", "text", "ts", "1 hour", "48 hours")
+      }.where(col("window_start_us") <= hi)
+    }),
+
+    // ── STREAMING NOVELTY-PRESENCE replay, DRIVER-GATED (round 12):
+    //    the live first-seen tracker (StreamingProfiling
+    //    .noveltyPresence) — one row per (entity, day), is_new on the
+    //    entity's first ARRIVAL day, which on the event-time-ordered
+    //    replay is its min day, so the batch first-seen SQL gates it.
+    //    No sentinel: NoTimeout state emits on arrival ──
+    "q220_stream_novelty_presence" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(ev, "__ord",
+          wh + "/replay_q220", slices = 5,
+          queryName = "q220_novelty_sink") { stream =>
+        graft.streaming.StreamingProfiling.noveltyPresence(stream,
+          "user_id", "ts", "0 seconds").toDF()
+      }
+    }),
+
+    // ── STREAMING VECTOR NEAR-DUP GATE, DRIVER-GATED (round 12): the
+    //    embedding twin of q201 (StreamingSimilarity.flagNearVectors) —
+    //    every 5th vector re-ingested as a live stream against the
+    //    persisted IVF index of the full corpus: per arrival, nProbe=6
+    //    centroid assignment (codegen argmax, no state) + ONE
+    //    stream-static cent_id equi-join + exact cosine ≥ 0.3. Oracle
+    //    = the q39 IVF CTE chain turned into a probed pair join ──
+    "q221_stream_nearvec_gate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      val idxDir = wh + "/ivf_q221"
+      operators.Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        idxDir, nCentroids = 16)
+      graft.streaming.StreamReplay.replayAppend(
+          emb.where(col("vec_id") % 5 === 0)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", wh + "/replay_q221", slices = 5,
+          queryName = "q221_nearvec_sink") { stream =>
+        graft.streaming.StreamingSimilarity.flagNearVectors(stream, idxDir,
+          "vec_id", "embedding", threshold = 0.3, nProbe = 6)
+      }.select(col("vec_id"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append
