@@ -1342,4 +1342,24 @@ class PlanQualitySpec extends SparkSpec {
     val tbl = "lsh_idx_shared_[0-9a-f]+".r.findFirstIn(plan).get
     assert(plan2.contains(tbl), s"second call must reuse $tbl:\n$plan2")
   }
+
+  test("q221 gate: probed IVF join keeps the index as build side — arrivals never shuffle") {
+    import org.apache.spark.sql.functions.col
+    // the per-micro-batch join plan of StreamingSimilarity.flagNearVectors
+    // (batch stand-in: stream-static joins re-plan this shape per trigger)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("plan-ivf-q221").toString
+    graft.operators.Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx, 8)
+    val arrivals = emb.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val df = graft.streaming.StreamingSimilarity.flagNearVectors(
+      arrivals, idx, "vec_id", "embedding", threshold = 0.3, nProbe = 4)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"index side must be the broadcast build side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"gate join degraded to SMJ (arrivals would shuffle every trigger):\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"no shuffle belongs in the per-trigger gate plan:\n$plan")
+  }
 }
