@@ -129,6 +129,35 @@ class ScaleSmokeSpec extends SparkSpec {
       graft.operators.Multimodal.decodeImageFeatures(
         graft.operators.Multimodal.resizeImage(media, 4, 4)).count()
       ()
+    },
+    // the streaming path (round 12): a stateful watermarked tumble
+    // aggregation replayed through StreamReplay over 10× the rows —
+    // staging is scan-linear, but the STATE is bounded by open
+    // windows (720 here), not rows, so the exponent should sit near
+    // the scan's. A superlinear reading would mean per-row state or a
+    // state-store commit path that scales with data — the regression
+    // the streaming gates can't see at fixture size.
+    "stream_tumble_replay" -> { docs =>
+      val baseUs = 1704067200000000L
+      val tsUs = lit(baseUs) + pmod(col("doc_id"), lit(720L)) * 3600000000L
+      val ev = docs.select(timestamp_micros(tsUs).as("ts"),
+        length(col("text")).cast("double").as("value"), tsUs.as("__ord"))
+      val sentinelTs = baseUs + 723L * 3600000000L
+      val spark0 = docs.sparkSession
+      import spark0.implicits._
+      val sentinel = Seq(1).toDF("__x").select(
+        timestamp_micros(lit(sentinelTs)).as("ts"), lit(0.0).as("value"),
+        lit(sentinelTs).as("__ord"))
+      val dir = java.nio.file.Files.createTempDirectory("smoke-replay").toString
+      graft.streaming.StreamReplay.replayAppend(ev, "__ord",
+          s"$dir/stage", slices = 5,
+          queryName = s"smoke_tumble_${System.nanoTime()}",
+          sentinel = Some(sentinel)) { s =>
+        s.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      }.count()
+      ()
     })
 
   private def corpus(n: Long): DataFrame =
