@@ -2101,6 +2101,14 @@ object OracleSql {
          JOIN embeddings q ON c.vec_id = q.vec_id
          JOIN embeddings n ON c.neighbor_id = n.vec_id
          WHERE list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) >= 0.3""",
+    // Stream-stream LEFT OUTER interval join: q11's shape with the
+    // unmatched purchases NULL-padded.
+    "q222_stream_interval_outer" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""",
     "q200_temporal_join_eventtime" ->
       """WITH v AS (
            SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_id

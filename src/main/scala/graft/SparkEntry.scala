@@ -2368,6 +2368,44 @@ object SparkEntry {
         round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
+    // ── STREAM-STREAM LEFT OUTER interval join replay, DRIVER-GATED
+    //    (round 12): q204's shape with OUTER semantics — a purchase
+    //    with no preceding click emits NULL-padded only when the
+    //    watermark proves no click can still arrive (state eviction,
+    //    the Flink interval-outer contract). Both sides take their own
+    //    far-future sentinel: the global watermark is the min across
+    //    inputs, and the NULL tail flushes only once BOTH pass every
+    //    real row. Oracle = q11's SQL as a LEFT JOIN ──
+    "q222_stream_interval_outer" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"), unix_micros(col("ts")).as("__ord"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"), unix_micros(col("ts")).as("__ord"))
+      val hi = ev.agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+      val sTs = hi + 4L * 3600000000L
+      val sentL = Seq(1).toDF("__x").select(lit(-1L).as("purchase_id"),
+        lit(-1L).as("user_id"), timestamp_micros(lit(sTs)).as("p_ts"),
+        lit(sTs).as("__ord"))
+      val sentR = Seq(1).toDF("__x").select(lit(-1L).as("click_id"),
+        lit(-1L).as("user_id"), timestamp_micros(lit(sTs)).as("c_ts"),
+        lit(sTs).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend2(p, c, "__ord",
+          wh + "/replay_q222_l", wh + "/replay_q222_r", slices = 4,
+          queryName = "q222_oij_sink",
+          sentinelL = Some(sentL), sentinelR = Some(sentR)) { (lp, rc) =>
+        graft.streaming.StreamOps.intervalJoin(
+            lp.drop("__ord"), rc.drop("__ord"), "user_id",
+            "p_ts", "c_ts", "1 HOUR", "0 SECONDS", joinType = "left_outer")
+          .select(col("purchase_id"), col("click_id"),
+            col("l.user_id").as("user_id"))
+      }.where(col("user_id") =!= -1L)
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

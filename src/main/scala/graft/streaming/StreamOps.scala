@@ -105,16 +105,23 @@ object StreamOps {
 
   /** Stream-stream interval join (SURVEY.md §2.3: order ↔ preceding
     * clicks): native Spark time-range join; both sides watermarked so
-    * join state is pruned to the interval width. */
+    * join state is pruned to the interval width.
+    *
+    * `joinType` supports the outer forms (`left_outer` etc.): an
+    * unmatched outer row emits NULL-padded only when the watermark
+    * proves no match can still arrive — the Flink interval-outer-join
+    * contract, state-evicted, never buffered indefinitely. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTs: String, rightTs: String,
-                   lowerBound: String, upperBound: String): DataFrame = {
+                   lowerBound: String, upperBound: String,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, "0 seconds").alias("l")
     val r = right.withWatermark(rightTs, "0 seconds").alias("r")
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lowerBound") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperBound"))
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperBound"),
+      joinType)
   }
 
   /** Streaming Top-N per key (Flink `ROW_NUMBER() <= n` over a

@@ -120,7 +120,9 @@ object StreamReplay {
     * ever late. */
   def replayAppend2(left: DataFrame, right: DataFrame, orderCol: String,
                     stageDirL: String, stageDirR: String, slices: Int,
-                    queryName: String)
+                    queryName: String,
+                    sentinelL: Option[DataFrame] = None,
+                    sentinelR: Option[DataFrame] = None)
                    (transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = left.sparkSession
     def stage(df: DataFrame, dir: String): Unit = {
@@ -138,6 +140,11 @@ object StreamReplay {
     }
     stage(left, stageDirL)
     stage(right, stageDirR)
+    // outer joins need BOTH watermarks past every real row before the
+    // NULL-padded tail can flush (the global watermark is the min
+    // across inputs), so each side takes its own far-future sentinel
+    sentinelL.foreach(_.coalesce(1).write.mode("append").parquet(stageDirL))
+    sentinelR.foreach(_.coalesce(1).write.mode("append").parquet(stageDirR))
     def stream(df: DataFrame, dir: String): DataFrame = spark.readStream
       .schema(df.schema).option("maxFilesPerTrigger", 1).parquet(dir)
     val q = startNarrowState(spark) {
