@@ -257,10 +257,14 @@ class ScaleSmokeSpec extends SparkSpec {
     // log-bounded round count, so unlike the other composites its
     // 300k-doc run is a smoke, not a soak — and its scaling exponent
     // was the last unmeasured non-indexed hot path (VERDICT r11 item 2)
+    // the streaming replay rides along (round 12): its cost is bounded
+    // by windows × triggers, so the 100× reading should stay flat —
+    // the cheapest superlinear-state tripwire in the tier
     val spot = ops.filter { case (n, _) =>
       Set("q19_pairs", "q47_clusters", "q158_index_build_pairs",
         "q112_cluster_stats", "q178_manifest_indexed",
-        "q101_exact_substr", "q111_contamination", "q160_strip_spans").contains(n)
+        "q101_exact_substr", "q111_contamination", "q160_strip_spans",
+        "stream_tumble_replay").contains(n)
     }
     val warm = corpus(500)
     spot.foreach { case (_, f) => f(warm); spark.catalog.clearCache() }
