@@ -94,6 +94,47 @@ class StreamingStatementRunnerSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("'-D' rows through an upsert INSERT tombstone the key; a later upsert resurrects it") {
+    // the q210 driver gate's contract at unit grain: an INSERT whose
+    // select emits __op writes null-value tombstones to the PK topic
+    // (declared __op column, positional map), and the materialized
+    // view folds latest-by-offset FIRST, tombstone-filter AFTER — so
+    // delete→upsert order decides, not filter order
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[SOrd]
+    orders.toDF().createOrReplaceTempView("orders_tomb_s")
+
+    val r = new StreamingStatementRunner(spark)
+    r.run("""CREATE TABLE cust_live (customer_id STRING, last_product STRING,
+             __op STRING, PRIMARY KEY (customer_id) NOT ENFORCED)""")
+    // product "DEL" encodes the delete marker in the feed
+    r.run("""INSERT INTO cust_live
+             SELECT customer_id, product_id,
+               CASE WHEN product_id = 'DEL' THEN '-D' ELSE '+U' END
+             FROM orders_tomb_s""")
+
+    orders.addData(SOrd(1, "p1", "c1"), SOrd(2, "p2", "c2"))
+    r.processAllAvailable()
+    assert(spark.table("cust_live").as[(String, String)].collect().toMap
+      === Map("c1" -> "p1", "c2" -> "p2"))
+    assert(!spark.table("cust_live").columns.contains("__op"),
+      "the op tag is topic metadata, never a visible column")
+
+    // tombstone c1: the key must disappear, c2 untouched
+    orders.addData(SOrd(3, "DEL", "c1"))
+    r.processAllAvailable()
+    assert(spark.table("cust_live").as[(String, String)].collect().toMap
+      === Map("c2" -> "p2"))
+
+    // a LATER upsert resurrects c1 with the new value (latest-by-offset
+    // first: the old p1 must not reappear)
+    orders.addData(SOrd(4, "p9", "c1"))
+    r.processAllAvailable()
+    assert(spark.table("cust_live").as[(String, String)].collect().toMap
+      === Map("c1" -> "p9", "c2" -> "p2"))
+    r.stopAll()
+  }
+
   test("streaming TUMBLE TVF aggregation maintains per-window counts") {
     implicit val sqlCtx = spark.sqlContext
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
