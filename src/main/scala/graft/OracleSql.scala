@@ -2109,6 +2109,25 @@ object OracleSql {
          LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id
           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""",
+    // Streaming grid quantiles: exact integer-rank quantiles over the
+    // micro lattice per hour window — ⌈p·n⌉ as (num·n + den−1) // den.
+    "q223_stream_quantile_window" ->
+      """WITH v AS (
+           SELECT epoch_us(date_trunc('hour', ts)) AS w,
+             CAST(CAST(value AS DECIMAL(18,4)) * 1000000 AS BIGINT) AS m
+           FROM events
+         ), h AS (
+           SELECT w, m, count(*) AS c FROM v GROUP BY 1, 2
+         ), cum AS (
+           SELECT w, m, sum(c) OVER (PARTITION BY w ORDER BY m) AS cm,
+             sum(c) OVER (PARTITION BY w) AS n
+           FROM h
+         )
+         SELECT w AS window_start_us, CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(min(CASE WHEN cm >= (n + 1) // 2 THEN m END) AS BIGINT) AS p50_micro,
+           CAST(min(CASE WHEN cm >= (9*n + 9) // 10 THEN m END) AS BIGINT) AS p90_micro,
+           CAST(min(CASE WHEN cm >= (99*n + 99) // 100 THEN m END) AS BIGINT) AS p99_micro
+         FROM cum GROUP BY 1""",
     "q200_temporal_join_eventtime" ->
       """WITH v AS (
            SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS view_id

@@ -2406,6 +2406,31 @@ object SparkEntry {
       }.where(col("user_id") =!= -1L)
     }),
 
+    // ── STREAMING GRID QUANTILES replay, DRIVER-GATED (round 12): the
+    //    live p50/p90/p99 value monitor (windowedGridQuantiles) — the
+    //    window's values snap to the exact micro lattice (DECIMAL cast,
+    //    2-dp source round-trips exactly), state is a value-grid-
+    //    bounded histogram, and each quantile is the smallest micro
+    //    whose cumulative count reaches the exact integer rank
+    //    ⌈p·n⌉ — integer in, integer out, no sketch error bar ──
+    "q223_stream_quantile_window" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("ts"), col("value"),
+        unix_micros(col("ts")).as("__ord"))
+      val hi = ev.agg(max("__ord")).collect().head.getLong(0)
+      val sentinelTs = hi + 3L * 3600000000L
+      val sentinel = Seq(1).toDF("__x").select(
+        timestamp_micros(lit(sentinelTs)).as("ts"), lit(0.0).as("value"),
+        lit(sentinelTs).as("__ord"))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      graft.streaming.StreamReplay.replayAppend(ev, "__ord",
+          wh + "/replay_q223", slices = 5, queryName = "q223_quant_sink",
+          sentinel = Some(sentinel)) { stream =>
+        graft.streaming.StreamingCorpusStats.windowedGridQuantiles(stream,
+          "value", "ts", "1 hour", 3600000L, "0 seconds").toDF()
+      }.where(col("window_start_us") <= hi)
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

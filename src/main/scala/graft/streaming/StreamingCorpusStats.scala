@@ -17,6 +17,11 @@ case class WindowDistinct(window_start_us: Long, n_rows: Long, n_kept: Long,
 case class WindowHll(window_start_us: Long, n_rows: Long, v_zero: Long,
                      z_int: Long, est_hll: Long)
 
+/** One emitted row per closed window: exact grid-quantiles of the
+  * window's values in integer micro-units. */
+case class WindowQuantiles(window_start_us: Long, n_rows: Long,
+                           p50_micro: Long, p90_micro: Long, p99_micro: Long)
+
 /** LIVE corpus statistics — streaming counterparts of the batch
   * [[graft.operators.CorpusStats]] sketches, following the
   * [[StreamingDrift]] shape: custom keyed state per OPEN event-time
@@ -273,6 +278,65 @@ object StreamingCorpusStats {
               graft.operators.CorpusStats.hllObserve(regs, h)
             }
             state.update((regs, n))
+            state.setTimeoutTimestamp(
+              math.max(wsMs + windowMillis, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Tumbling-window EXACT grid quantiles — the live value/latency
+    * quantile monitor (p50/p90/p99 per closed window), the
+    * deterministic alternative to a mergeable float sketch: the value
+    * is snapped to the exact integer micro lattice as a COLUMN (a
+    * DECIMAL(18,4) cast, so a 2-dp source column round-trips exactly),
+    * per-window state is a micro→count histogram bounded by the
+    * column's VALUE GRID (monitoring-sized for bounded metrics — a
+    * 2-dp metric in [0,100) is ≤10k entries — never row-sized), and
+    * the close computes each quantile by exact integer rank:
+    * rank_p = ⌈p·n⌉ as (num·n + den − 1) div den, answer = smallest
+    * micro with cumulative count ≥ rank_p. Integer in, integer out —
+    * bit-portable across engines, no sketch error bar, emitted
+    * exactly once per window (EventTimeTimeout, same shape as the
+    * KMV/HLL monitors). */
+  def windowedGridQuantiles(df: DataFrame, valueCol: String, tsCol: String,
+                            windowLen: String, windowMillis: Long,
+                            delay: String): Dataset[WindowQuantiles] = {
+    implicit val outEnc: Encoder[WindowQuantiles] = Encoders.product[WindowQuantiles]
+    implicit val stateEnc: Encoder[Map[Long, Long]] =
+      Encoders.kryo[Map[Long, Long]]
+    implicit val rowEnc: Encoder[(java.sql.Timestamp, Long, java.sql.Timestamp)] =
+      Encoders.product[(java.sql.Timestamp, Long, java.sql.Timestamp)]
+    val micro = (col(valueCol).cast("decimal(18,4)") * lit(1000000L))
+      .cast("long")
+    val winRows = df
+      .withWatermark(tsCol, delay)
+      .select(window(col(tsCol), windowLen).getField("start").as("_1"),
+        micro.as("_2"), col(tsCol).as("_3"))
+      .as[(java.sql.Timestamp, Long, java.sql.Timestamp)]
+    winRows.groupByKey(_._1.getTime)(Encoders.scalaLong)
+      .flatMapGroupsWithState[Map[Long, Long], WindowQuantiles](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wsMs: Long, rows: Iterator[(java.sql.Timestamp, Long, java.sql.Timestamp)],
+         state: GroupState[Map[Long, Long]]) =>
+          if (state.hasTimedOut) {
+            val hist = state.getOption.getOrElse(Map.empty[Long, Long])
+            state.remove()
+            val n = hist.values.sum
+            val sorted = hist.toSeq.sortBy(_._1)
+            def q(num: Long, den: Long): Long = {
+              val rank = (num * n + den - 1) / den // ⌈num·n/den⌉, exact
+              var cum = 0L
+              sorted.find { case (_, c) => cum += c; cum >= rank }
+                .map(_._1).getOrElse(sorted.last._1)
+            }
+            Iterator.single(WindowQuantiles(wsMs * 1000L, n,
+              q(1, 2), q(9, 10), q(99, 100)))
+          } else {
+            val hist = rows.foldLeft(state.getOption.getOrElse(Map.empty[Long, Long])) {
+              case (m, (_, v, _)) => m.updated(v, m.getOrElse(v, 0L) + 1L)
+            }
+            state.update(hist)
             state.setTimeoutTimestamp(
               math.max(wsMs + windowMillis, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
