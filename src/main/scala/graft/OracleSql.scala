@@ -1706,6 +1706,15 @@ object OracleSql {
          value AS last_value, epoch_us(ts) AS ts_us
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) WHERE rn = 1""",
+    // Checkpointed-restart replay: the runner is killed after epoch 2
+    // and a new one resumes from the checkpoints — the final upsert
+    // state must STILL equal the uninterrupted latest-per-key oracle
+    // (same SQL as q202; the restart must be invisible in the output).
+    "q224_stream_restart_runner" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+         value AS last_value, epoch_us(ts) AS ts_us
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

@@ -47,8 +47,26 @@ final class StreamingStatementRunner(spark: SparkSession,
   val conf: TopicConf = topicConf.getOrElse(
     TopicConf(java.nio.file.Files.createTempDirectory("graft-topics").toString))
 
+  /** Checkpoint root for the long-running INSERT queries — lives under
+    * the topic root (dot-prefixed: invisible to file listings), so a
+    * RESTARTED runner on the same `TopicConf` resumes every INSERT
+    * from its committed offsets instead of replaying the whole source.
+    * Restart contract: re-run the SAME script in the SAME statement
+    * order — each INSERT's checkpoint dir and epoch namespace key on
+    * its position among the script's INSERTs (`insertSeq`), which a
+    * faithful re-run reproduces (exactly how the reference re-applies
+    * its Terraform statement set against durable Flink jobs). */
+  private def checkpointRoot: String = s"${conf.root}/.checkpoints"
+
   private val queries = scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
-  private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Statement index among this runner's INSERTs, in run order —
+    * restart-stable (same script ⇒ same index), unlike a timestamp or
+    * a global counter surviving only one process. Partitions the
+    * 23-bit epoch space: epoch = insertSeq·2^16 + batchId, so two
+    * INSERTs into one topic can never collide epochs, and a replayed
+    * micro-batch (same batchId) lands on the SAME epoch — which
+    * `Topics.appendJson` then overwrites, not duplicates. */
+  private val insertSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   /** decoded (pre-cast, pre-watermark) topic sources by table name */
   private val sources = scala.collection.mutable.Map.empty[String, DataFrame]
   /** qualified table name → physical topic name. Externally-registered
@@ -151,14 +169,17 @@ final class StreamingStatementRunner(spark: SparkSession,
         buckets = ct.buckets, changelogMode = ct.changelogMode, options = ct.options))
       val b = bind(ct.name)
       Topics.ensureTopic(spark, conf, b.topic)
-      // materialize an empty view NOW (scoped shadow + bare binding) so
-      // later statements in the same script can be analyzed before the
-      // INSERT's first micro-batch replaces the view (the reference's
-      // depends_on DAG only orders creation, not data arrival)
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      empty.createOrReplaceTempView(b.scoped)
-      empty.createOrReplaceTempView(ct.name)
+      // materialize the view NOW from the topic read-back (scoped
+      // shadow + bare binding) so later statements in the same script
+      // can be analyzed before the INSERT's first micro-batch refreshes
+      // it (the reference's depends_on DAG only orders creation, not
+      // data arrival). On a FRESH topic this is the empty frame of the
+      // declared schema; on a RESTART the topic already holds prior
+      // epochs and the view hydrates to the pre-crash state — without
+      // this, a restarted runner with no new input would serve an
+      // empty table until the next micro-batch.
+      val meta = catalog.getOrCreate(ct.name)
+      refreshTargetView(b, meta, sunkSchema(meta, schema))
       None
 
     case InsertInto(target, targetCols, select) =>
@@ -224,6 +245,16 @@ final class StreamingStatementRunner(spark: SparkSession,
       .distinct.filterNot(cteNames.contains)
   }
 
+  /** The record schema [[sinkBatch]] writes for a table: the declared
+    * columns, plus the `__op` tag a retract-mode sink carries. Used to
+    * hydrate the visible view from the topic BEFORE any micro-batch of
+    * this process has run (CREATE TABLE on a restart). */
+  private def sunkSchema(meta: TableMeta, declared: StructType): StructType =
+    if (meta.changelogMode == ChangelogMode.Retract && !declared.fieldNames.contains("__op"))
+      StructType(declared.fields :+ org.apache.spark.sql.types.StructField(
+        "__op", org.apache.spark.sql.types.StringType))
+    else declared
+
   /** Positional mapping to the declared target columns (reference:
     * `id` → `customer_id` via INSERT order, lab-aggregations :431). */
   private def renameTo(meta: TableMeta, targetCols: Seq[String], df: DataFrame): DataFrame =
@@ -246,11 +277,13 @@ final class StreamingStatementRunner(spark: SparkSession,
     * append/retract targets keep `append` (every record is a fact). */
   private def startDirect(target: TargetBinding, meta: TableMeta, targetCols: Seq[String],
                           select: String): StreamingQuery = {
+    val stmtId = nextInsertId(target)
     val renamed = renameTo(meta, targetCols, spark.sql(select))
     val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
     renamed.writeStream.outputMode(if (isUpsert) "update" else "append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        sinkBatch(target, meta, batch)
+      .option("checkpointLocation", checkpointDir(target, stmtId))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sinkBatch(target, meta, batch, stmtId, batchId)
         ()
       }.start()
   }
@@ -261,9 +294,11 @@ final class StreamingStatementRunner(spark: SparkSession,
     * materialized dimension views join at their CURRENT state. */
   private def startSnapshotJoin(target: TargetBinding, meta: TableMeta, targetCols: Seq[String],
                                 select: String, driverRef: String): StreamingQuery = {
+    val stmtId = nextInsertId(target)
     val stream = spark.table(driverRef)
     stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .option("checkpointLocation", checkpointDir(target, stmtId))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         synchronized {
           // `batch` is bound to the stream's CLONED session whose view
           // catalog is a snapshot — re-home it (distributed, no collect)
@@ -273,7 +308,7 @@ final class StreamingStatementRunner(spark: SparkSession,
             .createOrReplaceTempView(driverRef)
           try {
             val result = renameTo(meta, targetCols, spark.sql(select))
-            sinkBatch(target, meta, result)
+            sinkBatch(target, meta, result, stmtId, batchId)
           } finally {
             // restore the streaming binding (via refresh if it's a topic
             // source, so a concurrent ALTER isn't clobbered)
@@ -285,11 +320,35 @@ final class StreamingStatementRunner(spark: SparkSession,
       }.start()
   }
 
-  /** Sink ONE micro-batch: encode to Kafka-shaped records, append to the
+  /** Allocate an INSERT's restart-stable statement id. */
+  private def nextInsertId(target: TargetBinding): Long = {
+    val id = insertSeq.getAndIncrement()
+    require(id < (1L << 7),
+      s"INSERT INTO ${target.qualified}: more than 2^7 INSERT statements " +
+        "in one runner — epoch namespace (insertSeq·2^16 + batchId) exhausted")
+    id
+  }
+
+  /** Per-INSERT checkpoint dir: keyed on the restart-stable statement
+    * id + the SCOPED target name, so a re-run script resumes each
+    * statement from its own committed offsets. */
+  private def checkpointDir(target: TargetBinding, stmtId: Long): String =
+    s"$checkpointRoot/ins$stmtId-${target.scoped}"
+
+  /** Sink ONE micro-batch: encode to Kafka-shaped records, write to the
     * target topic (distributed write — `Topics.appendJson` never
-    * collects), re-materialize the visible view from the read-back. */
-  private def sinkBatch(target: TargetBinding, meta: TableMeta, batch: DataFrame): Unit = synchronized {
-    val epoch = seqCounter.incrementAndGet()
+    * collects), re-materialize the visible view from the read-back.
+    *
+    * Exactly-once: the epoch is a PURE FUNCTION of (statement id,
+    * batchId) — a crash-replayed micro-batch recomputes from the same
+    * checkpointed offsets and lands on the same epoch, which the
+    * files-transport append OVERWRITES (idempotent), never duplicates. */
+  private def sinkBatch(target: TargetBinding, meta: TableMeta, batch: DataFrame,
+                        stmtId: Long, batchId: Long): Unit = synchronized {
+    require(batchId < (1L << 16),
+      s"INSERT INTO ${target.qualified}: batchId $batchId exceeds the " +
+        "2^16 per-statement epoch budget")
+    val epoch = (stmtId << 16) | batchId
     val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
     val retract = meta.changelogMode == ChangelogMode.Retract
     val tagged =

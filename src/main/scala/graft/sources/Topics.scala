@@ -141,10 +141,16 @@ object Topics {
       spark_partition_id().as("partition"),
       offset.as("offset"),
       ts.as("timestamp"))
-    appendRecords(records, topic, conf)
+    conf.transport match {
+      case TopicConf.Kafka => appendRecords(records, topic, conf)
+      case _ => writeEpochIdempotent(records, topic, conf, epoch)
+    }
   }
 
-  /** Append pre-encoded records (the Kafka wire frame) to a topic. */
+  /** Append pre-encoded records (the Kafka wire frame) to a topic.
+    * NOT epoch-idempotent — raw appends have no replay key; use
+    * [[appendJson]] (whose epoch IS the idempotence key) from any
+    * retried/checkpointed writer. */
   def appendRecords(records: DataFrame, topic: String, conf: TopicConf): Unit =
     conf.transport match {
       case TopicConf.Kafka =>
@@ -156,6 +162,58 @@ object Topics {
         ensureTopic(records.sparkSession, conf, topic)
         records.write.mode("append").parquet(dirOf(conf, topic))
     }
+
+  /** Files-transport epoch write, IDEMPOTENT per (topic, epoch): a
+    * replayed micro-batch (checkpointed `foreachBatch` re-delivering
+    * the same batchId after a crash) OVERWRITES its epoch's records
+    * instead of double-appending them — the sink-side half of
+    * exactly-once for the long-running INSERT path.
+    *
+    * Mechanics: the distributed write lands in a HIDDEN staging dir
+    * (dot-prefixed — invisible to both batch and streaming file
+    * listings), then the driver deletes any previous `e<epoch>-*`
+    * files and renames the staged parts to deterministic
+    * `e<epoch>-p<i>` names. The renames are a per-file metadata op
+    * bounded by the batch's task count — never row-scaled. A crash
+    * mid-sequence leaves either stale staging (cleaned on retry) or a
+    * partial epoch whose retry deletes-then-rewrites it; readers only
+    * ever see records that a completed or in-flight epoch wrote, the
+    * same transient-visibility contract as a non-transactional Kafka
+    * producer.
+    *
+    * Replay caveat (documented, inherent to file watching): a
+    * downstream STREAMING reader keys its seen-files log on path, so
+    * an epoch overwritten after the reader consumed it is not re-read.
+    * Replayed batches recompute the same rows from the same
+    * checkpointed offsets, so the overwrite is byte-stable where it
+    * matters (keys, values, epoch ordering). */
+  private def writeEpochIdempotent(records: DataFrame, topic: String,
+                                   conf: TopicConf, epoch: Long): Unit = {
+    val spark = records.sparkSession
+    val dir = dirOf(conf, topic)
+    ensureTopic(spark, conf, topic)
+    val staging = s"${conf.root}/.staging/$topic-e$epoch"
+    records.write.mode("overwrite").parquet(staging)
+    val (fs, dirPath) = Fs.on(spark, dir)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    // drop the previous attempt's files for THIS epoch only
+    val prefix = s"e$epoch-"
+    fs.listStatus(dirPath)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+      .foreach(s => fs.delete(s.getPath, false))
+    staged.zipWithIndex.foreach { case (s, i) =>
+      val name = s.getPath.getName
+      val suffix = name.dropWhile(_ != '.') // keep .snappy.parquet etc.
+      if (!fs.rename(s.getPath,
+          new org.apache.hadoop.fs.Path(dir, s"${prefix}p$i$suffix")))
+        throw new java.io.IOException(
+          s"appendJson($topic): cannot commit epoch $epoch file $name")
+    }
+    Fs.deleteRecursive(spark, staging)
+    spark.catalog.refreshByPath(dir)
+  }
 
   /** Decode JSON-valued records into typed table columns plus the
     * system columns: decoded key fields (when `keySchema` is given —

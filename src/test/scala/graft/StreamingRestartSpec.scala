@@ -1,0 +1,135 @@
+package graft
+
+import graft.exec.StreamingStatementRunner
+import graft.sources.{TopicConf, Topics}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fault tolerance of the long-running INSERT path (VERDICT r12 item 1):
+  * the reference's `confluent_flink_statement` INSERTs are durable,
+  * restart-surviving jobs — the platform checkpoints them and their
+  * sinks are effectively-once. The engine mirrors that with (a) a
+  * per-statement `checkpointLocation` under the topic root, so a new
+  * runner on the same `TopicConf` RESUMES each INSERT from committed
+  * offsets, and (b) epoch-idempotent topic appends keyed on
+  * (statement id, batchId), so a crash-replayed micro-batch overwrites
+  * its own records instead of double-appending them. */
+class StreamingRestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshConf() = TopicConf(
+    java.nio.file.Files.createTempDirectory("graft-restart").toString)
+
+  private val evSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("v", DoubleType)))
+
+  private def feed(conf: TopicConf, topic: String, epoch: Long,
+                   rows: (Long, Double)*): Unit =
+    Topics.appendJson(rows.toSeq.toDF("user_id", "v"), topic, conf, Nil, epoch)
+
+  private def script(suffix: String) = s"""
+    CREATE TABLE user_latest_$suffix (
+      user_id BIGINT, v DOUBLE,
+      PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+    INSERT INTO user_latest_$suffix SELECT user_id, v FROM ev_feed_$suffix"""
+
+  private def state(table: String): Map[Long, Double] =
+    spark.table(table).select("user_id", "v").as[(Long, Double)].collect().toMap
+
+  test("appendJson is idempotent per (topic, epoch): a replayed write overwrites, never duplicates") {
+    val conf = freshConf()
+    feed(conf, "idem", 1, 1L -> 1.0, 2L -> 2.0)
+    feed(conf, "idem", 1, 1L -> 1.0, 2L -> 2.0) // the crash-retry replay
+    assert(Topics.readBatchRecords(spark, "idem", conf).count() === 2)
+    // a retry that recomputed a DIFFERENT row set replaces the epoch
+    feed(conf, "idem", 1, 1L -> 9.0, 2L -> 2.0, 3L -> 3.0)
+    val recs = Topics.decodeJson(
+      Topics.readBatchRecords(spark, "idem", conf), evSchema)
+    assert(recs.select("user_id", "v").as[(Long, Double)].collect().toSet
+      === Set((1L, 9.0), (2L, 2.0), (3L, 3.0)))
+    // other epochs untouched
+    feed(conf, "idem", 2, 4L -> 4.0)
+    feed(conf, "idem", 1, 1L -> 1.0)
+    val after = Topics.decodeJson(
+      Topics.readBatchRecords(spark, "idem", conf), evSchema)
+    assert(after.select("user_id", "v").as[(Long, Double)].collect().toSet
+      === Set((1L, 1.0), (4L, 4.0)))
+  }
+
+  test("runner restart: checkpoint resumes mid-stream, views hydrate, final state equals an uninterrupted run") {
+    val conf = freshConf()
+    def newRunner(): StreamingStatementRunner = {
+      val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+      r.registerTopicSource("ev_feed_rst", evSchema)
+      r.runScript(script("rst"))
+      r
+    }
+    // ---- phase 1: two epochs, then the process "dies" ----
+    val r1 = newRunner()
+    feed(conf, "ev_feed_rst", 1, 1L -> 1.0, 2L -> 2.0)
+    r1.processAllAvailable()
+    feed(conf, "ev_feed_rst", 2, 1L -> 1.5, 3L -> 3.0)
+    r1.processAllAvailable()
+    assert(state("user_latest_rst") === Map(1L -> 1.5, 2L -> 2.0, 3L -> 3.0))
+    r1.stopAll()
+    // runner-created targets sink to a SCOPED topic (qualified name,
+    // sanitized) — read it back directly to count sunk records
+    val targetTopic = "default_env_default_cluster_user_latest_rst"
+    val sunkBefore = Topics.readBatchRecords(spark, targetTopic, conf).count()
+
+    // ---- phase 2: a NEW runner on the same topics + checkpoints ----
+    spark.catalog.dropTempView("user_latest_rst") // simulate a fresh session's empty view catalog
+    val r2 = newRunner()
+    // hydration: the pre-crash state is visible BEFORE any new input
+    assert(state("user_latest_rst") === Map(1L -> 1.5, 2L -> 2.0, 3L -> 3.0))
+    feed(conf, "ev_feed_rst", 3, 2L -> 2.5)
+    r2.processAllAvailable()
+    assert(state("user_latest_rst") === Map(1L -> 1.5, 2L -> 2.5, 3L -> 3.0))
+    // exactly-once sink: every input row sunk exactly once across both
+    // processes — the checkpoint kept the restarted source from
+    // re-reading epochs 1-2
+    val sunk = Topics.readBatchRecords(spark, targetTopic, conf)
+    assert(sunk.count() === 5, "restarted runner re-sunk already-committed input")
+    assert(sunkBefore === 4)
+    r2.stopAll()
+  }
+
+  test("a replayed micro-batch (commit lost in the crash) overwrites its epoch — no duplicates") {
+    val conf = freshConf()
+    def newRunner(): StreamingStatementRunner = {
+      val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+      r.registerTopicSource("ev_feed_rpl", evSchema)
+      r.runScript(script("rpl"))
+      r
+    }
+    val r1 = newRunner()
+    feed(conf, "ev_feed_rpl", 1, 1L -> 1.0, 2L -> 2.0)
+    r1.processAllAvailable()
+    feed(conf, "ev_feed_rpl", 2, 1L -> 1.5, 3L -> 3.0)
+    r1.processAllAvailable()
+    r1.stopAll()
+    val topic = "default_env_default_cluster_user_latest_rpl"
+    assert(Topics.readBatchRecords(spark, topic, conf).count() === 4)
+
+    // the crash window: the sink ran but the batch COMMIT never landed —
+    // drop the newest commit file, forcing Spark to replay that batch
+    val commits = java.nio.file.Files.walk(java.nio.file.Paths.get(conf.root, ".checkpoints"))
+      .filter(p => p.getParent != null && p.getParent.getFileName.toString == "commits"
+        && !p.getFileName.toString.startsWith("."))
+      .sorted(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+    assert(commits.nonEmpty, "no commit files found — checkpointing is not wired")
+    // delete through Hadoop FS: a java.nio delete leaves the local
+    // ChecksumFileSystem's .crc sidecar behind, and the replayed
+    // commit write then fails on the stale checksum
+    val (fs, p) = graft.sources.Fs.on(spark, commits.last.toString)
+    fs.delete(p, false)
+
+    val r2 = newRunner()
+    r2.processAllAvailable() // replays the uncommitted batch
+    assert(Topics.readBatchRecords(spark, topic, conf).count() === 4,
+      "replayed batch double-appended instead of overwriting its epoch")
+    assert(state("user_latest_rpl") === Map(1L -> 1.5, 2L -> 2.0, 3L -> 3.0))
+    r2.stopAll()
+  }
+}
