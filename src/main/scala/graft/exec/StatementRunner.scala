@@ -152,10 +152,11 @@ final class StatementRunner(spark: SparkSession, val catalog: InMemoryCatalog = 
       None
 
     case AlterModifyWatermark(table, column, expr) =>
-      // `WATERMARK FOR ts AS ts` = zero-delay; `AS ts - INTERVAL 'n' ...`
-      // would carry a delay — the reference only uses the zero form
-      // (`terraform/lab-joins/main.tf:531,564`).
-      val delay = if (expr.trim.equalsIgnoreCase(column)) "0 seconds" else expr
+      // `WATERMARK FOR ts AS ts` = zero-delay (the only form the
+      // reference uses, `terraform/lab-joins/main.tf:531,564`);
+      // `AS ts - INTERVAL 'n' UNIT` parses to a bounded delay;
+      // anything else is rejected at parse time.
+      val delay = StatementPreprocessor.parseWatermarkDelay(column, expr)
       catalog.update(table)(_.copy(watermarkCol = Some(column), watermarkDelay = delay))
       None
 

@@ -205,7 +205,7 @@ final class StreamingStatementRunner(spark: SparkSession,
       None
 
     case AlterModifyWatermark(table, column, expr) =>
-      val delay = if (expr.trim.equalsIgnoreCase(column)) "0 seconds" else expr
+      val delay = StatementPreprocessor.parseWatermarkDelay(column, expr)
       catalog.update(table)(_.copy(watermarkCol = Some(column), watermarkDelay = delay))
       refreshSourceView(table)
       None

@@ -114,9 +114,15 @@ object StreamOps {
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTs: String, rightTs: String,
                    lowerBound: String, upperBound: String,
-                   joinType: String = "inner"): DataFrame = {
-    val l = left.withWatermark(leftTs, "0 seconds").alias("l")
-    val r = right.withWatermark(rightTs, "0 seconds").alias("r")
+                   joinType: String = "inner",
+                   watermarkDelay: String = "0 seconds"): DataFrame = {
+    // watermarkDelay: out-of-orderness tolerance on BOTH sides. The
+    // ordered replay harness keeps the zero default exact; production
+    // callers with disordered arrival pass a real delay, or late rows
+    // are dropped — and in the outer forms a left row whose match WAS
+    // in the data would emit NULL-padded (ADVICE r12).
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lowerBound") &&

@@ -211,6 +211,54 @@ class StreamingStatementRunnerSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("bounded-delay watermark (VERDICT r12 item 4): parsed to a real delay, enforced on the stream") {
+    import graft.ddl.StatementPreprocessor.parseWatermarkDelay
+    import graft.sources.{TopicConf, Topics}
+    import org.apache.spark.sql.types._
+    // parse surface: bare column = zero; Flink's bounded form = delay;
+    // anything else rejected at parse time, not at plan time
+    assert(parseWatermarkDelay("ts", "ts") === "0 seconds")
+    assert(parseWatermarkDelay("$rowtime", "`$rowtime` - INTERVAL '5' SECOND") === "5 seconds")
+    assert(parseWatermarkDelay("ts", "ts - INTERVAL '2' MINUTES") === "2 minutes")
+    assert(parseWatermarkDelay("ts", "ts - INTERVAL '1' HOUR") === "1 hours")
+    intercept[IllegalArgumentException](parseWatermarkDelay("ts", "now()"))
+    intercept[IllegalArgumentException](parseWatermarkDelay("ts", "other_col - INTERVAL '5' SECOND"))
+
+    val conf = TopicConf(
+      java.nio.file.Files.createTempDirectory("graft-wm-delay").toString)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(secs: Int) = new java.sql.Timestamp(t0.getTime + secs * 1000L)
+    Topics.appendJson(Seq(("a", ts(0)), ("b", ts(10)), ("c", ts(30)))
+      .toDF("k", "ts"), "wm_feed", conf, Nil, 1, eventTimeCol = Some("ts"))
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("wm_feed", StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType))))
+    r.run("ALTER TABLE wm_feed MODIFY WATERMARK FOR `$rowtime` AS `$rowtime` - INTERVAL '5' SECOND")
+    assert(r.catalog.getOrCreate("wm_feed").watermarkDelay === "5 seconds")
+    intercept[IllegalArgumentException](
+      r.run("ALTER TABLE wm_feed MODIFY WATERMARK FOR `$rowtime` AS now()"))
+
+    // behavioral: after batch 1 (max event 30s) the watermark is 25s —
+    // late rows are dropped only when their WINDOW is already closed
+    // (end ≤ watermark). A 2s straggler's [0,10) window is closed →
+    // dropped; a 22s straggler's [20,30) window is open ONLY because
+    // of the 5s delay (zero delay ⇒ watermark 30 ⇒ closed) → kept.
+    val agg = spark.table("wm_feed")
+      .groupBy(window(col("$rowtime"), "10 seconds")).count()
+      .select(col("window.start").as("w"), col("count"))
+    val q = agg.writeStream.format("memory").queryName("wm_delay_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    Topics.appendJson(
+      Seq(("late-keep", ts(22)), ("late-drop", ts(2)), ("adv", ts(100)))
+        .toDF("k", "ts"), "wm_feed", conf, Nil, 2, eventTimeCol = Some("ts"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wm_delay_sink")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(got === Map(ts(0) -> 1L, ts(10) -> 1L, ts(20) -> 1L, ts(30) -> 1L))
+  }
+
   test("tableRefs: CTE aliases are not table references; dotted names resolve to the last part") {
     val r = new graft.exec.StreamingStatementRunner(spark)
     // a CTE alias counted as a ref would misroute a pure single-stream
