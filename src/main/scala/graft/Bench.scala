@@ -46,17 +46,29 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       spark.catalog.clearCache()
     }
+    def sampleOne(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, (Boolean, Double)) = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // operators cache intermediates (tf, postings, signatures) —
+      // release them OUTSIDE the timed region so every sample is a
+      // cold run (and repeated invocations don't pin executor
+      // storage) without billing the eviction to the query
+      spark.catalog.clearCache()
+      name -> (ok, elapsed)
+    }
+    // the q2xx streaming replays embed fixed harness latency (staged
+    // slice commits + processAllAvailable) that makes 2-rep ratios
+    // noisy (VERDICT r12 item 6: q204's reps differed 2.2x in one run)
+    // — they always get ≥3 samples; min-of-3 is a stable floor there
+    val streamReps = math.max(0, 3 - reps)
     val samples = (1 to reps).flatMap { _ =>
-      ordered.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // operators cache intermediates (tf, postings, signatures) —
-        // release them OUTSIDE the timed region so every sample is a
-        // cold run (and repeated invocations don't pin executor
-        // storage) without billing the eviction to the query
-        spark.catalog.clearCache()
-        name -> (ok, elapsed)
+      ordered.map { case (name, fn) => sampleOne(name, fn) }
+    } ++ (1 to streamReps).flatMap { _ =>
+      ordered.collect { case (name, fn) if name.matches("q2\\d{2}.*") =>
+        sampleOne(name, fn)
       }
     }
     val results = ordered.map { case (name, _) =>

@@ -99,17 +99,18 @@ object StreamBench {
       INNER JOIN shoe_customers_keyed sc ON so.customer_id = sc.customer_id
       INNER JOIN shoe_products_keyed sp ON so.product_id = sp.product_id""")
     r.processAllAvailable() // dims materialize — startup, not throughput
-    // the order stream arrives in 5 epochs; each append + drain cycle is
-    // one measured micro-batch round through decode → snapshot join →
-    // retract sink
+    // the order stream arrives in 5 epochs; the TIMED region is only
+    // the processAllAvailable drain per epoch (decode → snapshot join →
+    // retract sink) — the appendJson staging is harness cost (the same
+    // staging-is-harness contract StreamReplay documents; ADVICE r12:
+    // timing it understated absolute runner throughput)
     val epochs = 5
-    val tOrders = time {
-      (0 until epochs).foreach { i =>
-        Topics.appendJson(
-          orders.where(pmod(col("order_id"), lit(epochs)) === i),
-          "shoe_orders", conf, Nil, 2 + i)
-        r.processAllAvailable()
-      }
+    var tOrders = 0.0
+    (0 until epochs).foreach { i =>
+      Topics.appendJson(
+        orders.where(pmod(col("order_id"), lit(epochs)) === i),
+        "shoe_orders", conf, Nil, 2 + i)
+      tOrders += time { r.processAllAvailable() }
     }
     r.stopAll()
 

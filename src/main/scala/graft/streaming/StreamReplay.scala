@@ -41,6 +41,24 @@ object StreamReplay {
   /** Reserved sentinel key — NUL-prefixed so no real key collides. */
   private[graft] val SentinelKey = "\u0000wm"
 
+  /** Stamp slice `i`'s freshly-written files with an EXPLICIT mod-time
+    * (base + i seconds) instead of sleeping between writes: the file
+    * source orders by mod-time, and on a filesystem with coarse mtime
+    * granularity (1 s on some mounts/object stores) sleep-spaced
+    * commits can tie or reorder — ordered rows then arrive late under
+    * the 0-delay watermark and are silently dropped (ADVICE r12).
+    * One-second spacing survives any granularity; returns the updated
+    * seen-set so the next slice stamps only ITS files. */
+  private def stampSlice(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         seen: Set[String], base: Long, i: Int): Set[String] = {
+    val (fs, p) = graft.sources.Fs.on(spark, dir)
+    val fresh = fs.listStatus(p).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".") &&
+      !seen.contains(s.getPath.getName))
+    fresh.foreach(s => fs.setTimes(s.getPath, base + i * 1000L, -1))
+    seen ++ fresh.map(_.getPath.getName)
+  }
+
   /** Generic replay: stage `df` ordered by LONG column `orderCol` into
     * `slices` files under `stageDir` (+ `sentinel` committed last),
     * stream it back one file per micro-batch through `transform`
@@ -64,14 +82,19 @@ object StreamReplay {
     require(!bounds.isNullAt(0), s"replayAppend: empty input (orderCol=$orderCol)")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (hi - lo) / slices + 1)
+    val base = System.currentTimeMillis() - (slices + 2) * 1000L
+    var seen = Set.empty[String]
     (0 until slices).foreach { i =>
       val (a, b) = (lo + i * width, lo + (i + 1) * width)
       sliceMap(df.where(col(orderCol) >= a && col(orderCol) < b))
         .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
         .parquet(stageDir)
-      Thread.sleep(15) // distinct mod-times: file-source order = slice order
+      seen = stampSlice(spark, stageDir, seen, base, i)
     }
-    sentinel.foreach(_.coalesce(1).write.mode("append").parquet(stageDir))
+    sentinel.foreach { s =>
+      s.coalesce(1).write.mode("append").parquet(stageDir)
+      seen = stampSlice(spark, stageDir, seen, base, slices)
+    }
     val stream = spark.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", 1).parquet(stageDir)
     // update mode: the memory sink APPENDS each batch's updated rows —
@@ -125,26 +148,35 @@ object StreamReplay {
                     sentinelR: Option[DataFrame] = None)
                    (transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = left.sparkSession
-    def stage(df: DataFrame, dir: String): Unit = {
+    val base = System.currentTimeMillis() - (slices + 2) * 1000L
+    def stage(df: DataFrame, dir: String): Set[String] = {
       val bounds = df.agg(min(col(orderCol)), max(col(orderCol))).collect().head
       require(!bounds.isNullAt(0), s"replayAppend2: empty side (orderCol=$orderCol)")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val width = math.max(1L, (hi - lo) / slices + 1)
+      var seen = Set.empty[String]
       (0 until slices).foreach { i =>
         val (a, b) = (lo + i * width, lo + (i + 1) * width)
         df.where(col(orderCol) >= a && col(orderCol) < b)
           .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
           .parquet(dir)
-        Thread.sleep(15)
+        seen = stampSlice(spark, dir, seen, base, i)
       }
+      seen
     }
-    stage(left, stageDirL)
-    stage(right, stageDirR)
+    val seenL = stage(left, stageDirL)
+    val seenR = stage(right, stageDirR)
     // outer joins need BOTH watermarks past every real row before the
     // NULL-padded tail can flush (the global watermark is the min
     // across inputs), so each side takes its own far-future sentinel
-    sentinelL.foreach(_.coalesce(1).write.mode("append").parquet(stageDirL))
-    sentinelR.foreach(_.coalesce(1).write.mode("append").parquet(stageDirR))
+    sentinelL.foreach { s =>
+      s.coalesce(1).write.mode("append").parquet(stageDirL)
+      stampSlice(spark, stageDirL, seenL, base, slices)
+    }
+    sentinelR.foreach { s =>
+      s.coalesce(1).write.mode("append").parquet(stageDirR)
+      stampSlice(spark, stageDirR, seenR, base, slices)
+    }
     def stream(df: DataFrame, dir: String): DataFrame = spark.readStream
       .schema(df.schema).option("maxFilesPerTrigger", 1).parquet(dir)
     val q = startNarrowState(spark) {
