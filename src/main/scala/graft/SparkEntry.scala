@@ -1614,7 +1614,7 @@ object SparkEntry {
         "vec_id", "embedding", v1, nCentroids = 8)
       Similarity.appendToIvfIndex(emb.where(col("vec_id") % 2 === 1),
         "vec_id", "embedding", v1)
-      s.read.parquet(v1)
+      Similarity.readIvfIndex(s, v1)
         .groupBy("cent_id")
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(col("neighbor_id") % 2 === 1, 1L).otherwise(0L))
@@ -1632,7 +1632,7 @@ object SparkEntry {
         "/ivf_idx_q196"
       Similarity.buildIvfIndex(emb.where(b < 90), "vec_id", "embedding",
         v1, nCentroids = 16)
-      val indexed = s.read.parquet(v1)
+      val indexed = Similarity.readIvfIndex(s, v1)
         .select(col("neighbor_id").as("vec_id")).distinct()
       val current = emb.where(b >= 10).select("vec_id")
       indexed.withColumn("__i", lit(1))

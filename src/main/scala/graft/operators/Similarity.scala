@@ -165,17 +165,80 @@ object Similarity {
     * rides along as a tiny sidecar. Queries then touch only their
     * probed clusters' files via static partition pruning
     * (`ivfKnnIndexed`) — the corpus is never rescanned or reshuffled
-    * per query batch. */
+    * per query batch.
+    *
+    * CRASH CONSISTENCY (VERDICT r12 item 3): an index root holds
+    * GENERATIONS — `gen-0`, `gen-1`, … subdirectories; readers resolve
+    * the highest-numbered one. Every full write (build / compact /
+    * retrain) lands in a hidden `.gen-tmp-*` dir (invisible to
+    * listings) and is committed by ONE atomic rename to `gen-<n>` —
+    * a writer killed at ANY point leaves either invisible staging or a
+    * fully-formed new generation, and the previous generation keeps
+    * serving throughout. This also makes the IN-PLACE forms of
+    * [[compactIvfIndex]]/[[retrainIvfIndex]] safe (fromDir == toDir),
+    * the manifest-pointer swap the lifecycle ops previously required
+    * two roots to approximate. Committed writes GC all but the two
+    * newest generations (the grace generation covers readers pinned to
+    * the previous one mid-query). A legacy non-generational root
+    * (parquet directly under `dir`) keeps reading until its first
+    * generational write. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     dir: String, nCentroids: Int): Unit = {
     import graft.expressions.VectorExpressions.nearestCentroids
+    val spark = corpus.sparkSession
     val matrix = sampledCentroids(corpus, idCol, vecCol, nCentroids)
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cn", vecNorm(col("cv")))
-      .withColumn("cent_id", element_at(nearestCentroids(col("cv"), matrix, 1), 1))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(dir)
     val json = matrix.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    graft.sources.Fs.writeUtf8(corpus.sparkSession, s"$dir/_centroids.json", json)
+    writeIvfGeneration(spark, dir) { tmp =>
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .withColumn("cn", vecNorm(col("cv")))
+        .withColumn("cent_id", element_at(nearestCentroids(col("cv"), matrix, 1), 1))
+        .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+      graft.sources.Fs.writeUtf8(spark, s"$tmp/_centroids.json", json)
+    }
+  }
+
+  /** Resolve an index root to its CURRENT generation directory: the
+    * highest `gen-<n>`, or the root itself for a legacy flat layout. */
+  private[graft] def resolveIvfGen(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): String = {
+    val (fs, p) = graft.sources.Fs.on(spark, dir)
+    if (!fs.exists(p)) return dir
+    val gens = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.matches("gen-\\d+"))
+    if (gens.isEmpty) dir
+    else s"$dir/gen-${gens.map(_.stripPrefix("gen-").toLong).max}"
+  }
+
+  /** The current generation's rows (neighbor_id, cv, cn, cent_id) —
+    * the read surface for occupancy/freshness cards and any consumer
+    * that scans the index directly. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame =
+    spark.read.parquet(resolveIvfGen(spark, dir))
+
+  /** Write one full index generation atomically: populate a hidden
+    * temp dir, commit with a single rename. A stale temp from a
+    * crashed earlier attempt is cleared first; after the commit all
+    * but the two newest generations are GC'd. */
+  private def writeIvfGeneration(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String)(write: String => Unit): Unit = {
+    val (fs, p) = graft.sources.Fs.on(spark, dir)
+    fs.mkdirs(p)
+    val nums = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.matches("gen-\\d+"))
+      .map(_.stripPrefix("gen-").toLong)
+    val next = if (nums.isEmpty) 0L else nums.max + 1L
+    val tmp = s"$dir/.gen-tmp-$next"
+    graft.sources.Fs.deleteRecursive(spark, tmp)
+    write(tmp)
+    if (!graft.sources.Fs.rename(spark, tmp, s"$dir/gen-$next"))
+      throw new java.io.IOException(
+        s"IVF index $dir: cannot commit generation $next (rename failed)")
+    // GC: keep the new generation + one grace generation for readers
+    // already pinned to the previous path
+    nums.sorted.dropRight(1).foreach(n =>
+      graft.sources.Fs.deleteRecursive(spark, s"$dir/gen-$n"))
+    spark.catalog.refreshByPath(dir)
   }
 
   /** Query a persisted IVF index: the distinct probed cluster ids
@@ -189,7 +252,8 @@ object Similarity {
     * drifts between index generations. */
   private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
                                    dir: String): Array[Array[Double]] = {
-    val json = graft.sources.Fs.readUtf8(spark, s"$dir/_centroids.json")
+    val json = graft.sources.Fs.readUtf8(spark,
+      s"${resolveIvfGen(spark, dir)}/_centroids.json")
     json.stripPrefix("[").stripSuffix("]")
       .split("\\],\\[").map(_.stripPrefix("[").stripSuffix("]")
         .split(",").map(_.toDouble))
@@ -215,30 +279,39 @@ object Similarity {
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
                        dir: String): Unit = {
     import graft.expressions.VectorExpressions.nearestCentroids
-    val matrix = readCentroids(batch.sparkSession, dir)
+    val spark = batch.sparkSession
+    val matrix = readCentroids(spark, dir)
+    // appends land INSIDE the current generation (additive — a torn
+    // append leaves a partial batch, retried idempotently at the
+    // ingest-ledger level; a full rewrite is what needs the atomic
+    // generation commit)
     batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", vecNorm(col("cv")))
       .withColumn("cent_id", element_at(nearestCentroids(col("cv"), matrix, 1), 1))
-      .write.mode("append").partitionBy("cent_id").parquet(dir)
+      .write.mode("append").partitionBy("cent_id").parquet(resolveIvfGen(spark, dir))
   }
 
   /** Physically rewrite a persisted IVF index minus the tombstoned
-    * ids (the [[ivfKnnIndexed]] logical delete made durable). Writes
-    * a NEW directory — the two-location swap keeps readers on the old
-    * generation until the pointer moves — carrying the sidecar
-    * centroids over verbatim (the quantizer is immutable). One index
-    * scan, no re-assignment. */
+    * ids (the [[ivfKnnIndexed]] logical delete made durable), carrying
+    * the sidecar centroids over verbatim (the quantizer is immutable).
+    * Writes a NEW atomically-committed generation (see
+    * [[buildIvfIndex]]'s crash-consistency contract): readers keep the
+    * old generation until the single commit rename, so the in-place
+    * form (fromDir == toDir) is safe and is the recommended shape —
+    * a separate toDir still works for a cross-location migration.
+    * One index scan, no re-assignment. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       fromDir: String, toDir: String,
                       tombstones: DataFrame, idCol: String): Unit = {
-    require(fromDir != toDir,
-      "compaction must write a new location (two-location swap)")
-    spark.read.parquet(fromDir)
-      .join(broadcast(tombstones.select(col(idCol).as("neighbor_id"))),
-        Seq("neighbor_id"), "left_anti")
-      .write.mode("overwrite").partitionBy("cent_id").parquet(toDir)
-    graft.sources.Fs.writeUtf8(spark, s"$toDir/_centroids.json",
-      graft.sources.Fs.readUtf8(spark, s"$fromDir/_centroids.json"))
+    val fromGen = resolveIvfGen(spark, fromDir)
+    val sidecar = graft.sources.Fs.readUtf8(spark, s"$fromGen/_centroids.json")
+    writeIvfGeneration(spark, toDir) { tmp =>
+      spark.read.parquet(fromGen)
+        .join(broadcast(tombstones.select(col(idCol).as("neighbor_id"))),
+          Seq("neighbor_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+      graft.sources.Fs.writeUtf8(spark, s"$tmp/_centroids.json", sidecar)
+    }
   }
 
   /** RE-QUANTIZE a persisted IVF index — the capacity-growth rebuild
@@ -257,21 +330,24 @@ object Similarity {
     * generation + sidecar. The result is IDENTICAL to a from-scratch
     * [[buildIvfIndex]] over the current corpus at `nCentroids` —
     * asserted against the q39 oracle — at one index scan instead of a
-    * corpus read. Two-location swap like [[compactIvfIndex]]. */
+    * corpus read. Atomic generation commit like [[compactIvfIndex]]
+    * (in-place fromDir == toDir safe; old generation serves until the
+    * commit rename). */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       fromDir: String, toDir: String,
                       nCentroids: Int): Unit = {
     import graft.expressions.VectorExpressions.nearestCentroids
-    require(fromDir != toDir,
-      "re-training must write a new location (two-location swap)")
-    val corpus = spark.read.parquet(fromDir).select(col("neighbor_id"), col("cv"))
+    val fromGen = resolveIvfGen(spark, fromDir)
+    val corpus = spark.read.parquet(fromGen).select(col("neighbor_id"), col("cv"))
     val matrix = sampledCentroids(corpus, "neighbor_id", "cv", nCentroids)
-    corpus
-      .withColumn("cn", vecNorm(col("cv")))
-      .withColumn("cent_id", element_at(nearestCentroids(col("cv"), matrix, 1), 1))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(toDir)
     val json = matrix.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    graft.sources.Fs.writeUtf8(spark, s"$toDir/_centroids.json", json)
+    writeIvfGeneration(spark, toDir) { tmp =>
+      corpus
+        .withColumn("cn", vecNorm(col("cv")))
+        .withColumn("cent_id", element_at(nearestCentroids(col("cv"), matrix, 1), 1))
+        .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+      graft.sources.Fs.writeUtf8(spark, s"$tmp/_centroids.json", json)
+    }
   }
 
   def ivfKnnIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -292,7 +368,7 @@ object Similarity {
     // are external probes and keep working even if their id was
     // deleted. Physical cleanup is [[compactIvfIndex]].
     val index = tombstones.foldLeft(
-        spark.read.parquet(dir)
+        spark.read.parquet(resolveIvfGen(spark, dir))
           .where(col("cent_id").isin(probedIds.toIndexedSeq: _*)))(
         (idx, t) => idx.join(
           broadcast(t.select(col(idCol).as("neighbor_id"))),

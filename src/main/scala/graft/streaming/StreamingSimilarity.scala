@@ -41,7 +41,7 @@ object StreamingSimilarity {
                       vecCol: String, threshold: Double, nProbe: Int,
                       tombstones: Option[DataFrame] = None): DataFrame = {
     val spark = stream.sparkSession
-    flagNearVectors(stream, spark.read.parquet(indexDir),
+    flagNearVectors(stream, Similarity.readIvfIndex(spark, indexDir),
       Similarity.readCentroids(spark, indexDir), idCol, vecCol,
       threshold, nProbe, tombstones)
   }

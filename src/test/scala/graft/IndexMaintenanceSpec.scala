@@ -290,7 +290,7 @@ class IndexMaintenanceSpec extends SparkSpec {
       "deterministic md5-keyed sampling must reproduce the from-scratch quantizer")
     // the retrained generation re-partitions: assignments span more
     // clusters than the stale 8-wide quantizer allowed
-    val clusters = spark.read.parquet(v2).select("cent_id").distinct().count()
+    val clusters = Similarity.readIvfIndex(spark, v2).select("cent_id").distinct().count()
     assert(clusters > 8, s"retrain must re-partition past the stale 8 clusters, got $clusters")
   }
 
@@ -340,9 +340,12 @@ class IndexMaintenanceSpec extends SparkSpec {
     val twelve = emb.orderBy("vec_id").limit(12)
     Similarity.buildIvfIndex(twelve, "vec_id", "embedding", tiny,
       nCentroids = 4)
-    intercept[IllegalArgumentException] {
-      Similarity.retrainIvfIndex(spark, tiny, tiny, nCentroids = 8)
-    }
+    // IVF in-place retrain is SAFE under the generational commit
+    // (round 13): the new quantizer lands as the next generation and
+    // readers switch atomically at the rename
+    Similarity.retrainIvfIndex(spark, tiny, tiny, nCentroids = 8)
+    assert(Similarity.readCentroids(spark, tiny).length === 8,
+      "in-place retrain must serve the new generation's quantizer")
     Similarity.retrainIvfIndex(spark, tiny, grown, nCentroids = 16)
     assert(Similarity.readCentroids(spark, grown).length === 12,
       "quantizer degrades to corpus size when nCentroids exceeds it")
@@ -379,7 +382,7 @@ class IndexMaintenanceSpec extends SparkSpec {
 
     // every corpus vector is present exactly once, and appended rows'
     // partition equals the argmax assignment under the SIDECAR matrix
-    val idx = spark.read.parquet(dir)
+    val idx = Similarity.readIvfIndex(spark, dir)
     assert(idx.count() === emb.count(), "append must add exactly the batch rows")
     assert(idx.select("neighbor_id").distinct().count() === emb.count())
     val expected = {
@@ -427,10 +430,50 @@ class IndexMaintenanceSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(physical === logical,
       "compacted index must reproduce the tombstoned read exactly")
-    assert(spark.read.parquet(dirV2)
+    assert(Similarity.readIvfIndex(spark, dirV2)
       .where($"neighbor_id" % 5 === 0).count() === 0L)
     assert(Similarity.readCentroids(spark, dirV2).map(_.toSeq).toSeq ===
       Similarity.readCentroids(spark, dir).map(_.toSeq).toSeq,
       "compaction must carry the quantizer sidecar over verbatim")
+  }
+
+  test("crash-consistent generations (VERDICT r12 item 3): a writer killed mid-rewrite leaves the old index serving") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-crash").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCentroids = 8)
+    val queries = emb.where($"vec_id" < 5)
+    def knn() = Similarity.ivfKnnIndexed(spark, dir, queries, "vec_id",
+        "embedding", k = 3, nProbe = 4)
+      .select($"query_id".cast("long"), $"rank".cast("long"),
+        $"neighbor_id".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val before = knn()
+    assert(before.nonEmpty)
+
+    // the crash window: a rewrite died AFTER writing data but BEFORE
+    // the commit rename — its staging dir (torn: no sidecar, partial
+    // rows) sits under the root. Readers must not see it.
+    val torn = s"$dir/.gen-tmp-1"
+    emb.limit(3).select($"vec_id".as("neighbor_id"))
+      .write.mode("overwrite").parquet(torn)
+    assert(knn() === before,
+      "a torn (uncommitted) generation must be invisible to readers")
+
+    // the retried rewrite clears the stale staging and commits gen-1
+    // with ONE rename; in-place is safe (old generation serves until
+    // the rename, then the switch is atomic)
+    val none = emb.where(lit(false)).select("vec_id")
+    Similarity.compactIvfIndex(spark, dir, dir, none, "vec_id")
+    assert(Similarity.resolveIvfGen(spark, dir).endsWith("gen-1"))
+    assert(knn() === before,
+      "an empty-tombstone in-place compaction must be a no-op for consumers")
+
+    // GC bounds the root: a further rewrite keeps only the newest two
+    // generations (grace generation for readers pinned mid-query)
+    Similarity.compactIvfIndex(spark, dir, dir, none, "vec_id")
+    val (fs, p) = graft.sources.Fs.on(spark, dir)
+    val gens = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.matches("gen-\\d+")).sorted.toSeq
+    assert(gens === Seq("gen-1", "gen-2"),
+      s"generation GC must keep exactly the newest two, got $gens")
   }
 }

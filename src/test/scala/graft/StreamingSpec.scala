@@ -436,7 +436,11 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-grow").toString
     Similarity.buildIvfIndex(gen1, "vec_id", "embedding", dir, nCentroids = 16)
     spark.sql("DROP TABLE IF EXISTS ivf_idx_grow")
-    spark.catalog.createTable("ivf_idx_grow", dir, "parquet")
+    // the external table points at the CURRENT generation dir (round
+    // 13's generational layout); appends land inside it, so
+    // recoverPartitions + refreshTable still surface them
+    spark.catalog.createTable("ivf_idx_grow",
+      Similarity.resolveIvfGen(spark, dir), "parquet")
     spark.catalog.recoverPartitions("ivf_idx_grow")
     try {
       val matrix = Similarity.readCentroids(spark, dir)
