@@ -158,6 +158,48 @@ class ScaleSmokeSpec extends SparkSpec {
           .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       }.count()
       ()
+    },
+    // the checkpointed-restart path (round 13, VERDICT r12 item 5):
+    // the S1 upsert pipeline through the statement runner with the
+    // process "killed" after half the epochs and a NEW runner resumed
+    // on the same topics + checkpoints. Measures RECOVERY cost at
+    // scale: checkpoint resume + view hydration must be
+    // metadata-bounded and the epoch-idempotent sink writes every row
+    // exactly once regardless of the restart, so the exponent should
+    // track the scan — a superlinear reading would mean recovery
+    // re-reads or re-writes something row-scaled.
+    "stream_restart_runner" -> { docs =>
+      import org.apache.spark.sql.types._
+      val spark0 = docs.sparkSession
+      val conf = graft.sources.TopicConf(
+        java.nio.file.Files.createTempDirectory("smoke-restart").toString)
+      val feed = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+      def newRunner(): graft.exec.StreamingStatementRunner = {
+        val r = new graft.exec.StreamingStatementRunner(spark0, topicConf = Some(conf))
+        r.registerTopicSource("smoke_feed", StructType(Seq(
+          StructField("doc_id", LongType), StructField("n_chars", LongType))))
+        r.runScript("""
+          CREATE TABLE smoke_latest (doc_id BIGINT, n_chars BIGINT,
+            PRIMARY KEY (doc_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO smoke_latest SELECT doc_id, n_chars FROM smoke_feed""")
+        r
+      }
+      val epochs = 4
+      def feedEpoch(r: graft.exec.StreamingStatementRunner, i: Int): Unit = {
+        graft.sources.Topics.appendJson(
+          feed.where(pmod(col("doc_id"), lit(epochs)) === i),
+          "smoke_feed", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      val r1 = newRunner()
+      (0 until epochs / 2).foreach(feedEpoch(r1, _))
+      r1.stopAll()
+      val r2 = newRunner()
+      (epochs / 2 until epochs).foreach(feedEpoch(r2, _))
+      r2.stopAll()
+      spark0.table("smoke_latest").count()
+      ()
     })
 
   private def corpus(n: Long): DataFrame =
@@ -260,11 +302,13 @@ class ScaleSmokeSpec extends SparkSpec {
     // the streaming replay rides along (round 12): its cost is bounded
     // by windows × triggers, so the 100× reading should stay flat —
     // the cheapest superlinear-state tripwire in the tier
+    // round 13 adds the restart runner: recovery cost (checkpoint
+    // resume + view hydration) must stay metadata-bounded at 100×
     val spot = ops.filter { case (n, _) =>
       Set("q19_pairs", "q47_clusters", "q158_index_build_pairs",
         "q112_cluster_stats", "q178_manifest_indexed",
         "q101_exact_substr", "q111_contamination", "q160_strip_spans",
-        "stream_tumble_replay").contains(n)
+        "stream_tumble_replay", "stream_restart_runner").contains(n)
     }
     val warm = corpus(500)
     spot.foreach { case (_, f) => f(warm); spark.catalog.clearCache() }
