@@ -351,6 +351,37 @@ object Dedup {
       .saveAsTable(table)
   }
 
+  /** Atomic consumer pointer over table-based index generations — the
+    * manifest half of the two-table swap (VERDICT r12 item 3, LSH
+    * side): [[compactLshIndex]]/[[rebucketLshIndex]]/[[rebandLshIndex]]
+    * each write a NEW generation table; this publishes a generation
+    * under a STABLE logical name as a catalog view in ONE catalog
+    * operation. Consumers reading the pointer (`lshPairsIndexed(spark,
+    * pointer, ...)` — `spark.table` resolves views) are never exposed
+    * to a torn generation: a writer killed mid-rewrite leaves the
+    * pointer on the old generation, the swap is atomic, and the old
+    * table is GC'd explicitly AFTER the swap
+    * ([[dropLshGeneration]]). The view is a bare `SELECT *`, so the
+    * bucketed scan's exchange-free pair join and bucket pruning
+    * survive the indirection (plan-asserted in IndexMaintenanceSpec).
+    * The IVF twin needs no pointer: its directory layout carries
+    * `gen-<n>` subdirs resolved at read (`Similarity.resolveIvfGen`). */
+  def publishLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      pointer: String, genTable: String): Unit = {
+    require(spark.catalog.tableExists(genTable),
+      s"cannot publish missing index generation `$genTable`")
+    spark.sql(s"CREATE OR REPLACE VIEW `$pointer` AS SELECT * FROM `$genTable`")
+    ()
+  }
+
+  /** GC a superseded index generation — call only AFTER
+    * [[publishLshIndex]] moved the pointer off it. */
+  def dropLshGeneration(spark: org.apache.spark.sql.SparkSession,
+                        genTable: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$genTable`")
+    ()
+  }
+
   /** The persisted index in `StreamingDedup.flagNearDups`' static-side
     * shape: (band, bucket, corpus_id, corpus_sig). */
   def loadLshIndex(spark: org.apache.spark.sql.SparkSession, table: String,

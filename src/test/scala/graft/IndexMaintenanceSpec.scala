@@ -437,6 +437,65 @@ class IndexMaintenanceSpec extends SparkSpec {
       "compaction must carry the quantizer sidecar over verbatim")
   }
 
+  test("LSH pointer swap: consumers on the stable name never see a torn generation; plan survives the view") {
+    Dedup.buildLshIndex(docs, "doc_id", "text", "lsh_gen_a",
+      shingleN = 3, numHashes = 64, bands = 16)
+    try {
+      Dedup.publishLshIndex(spark, "lsh_ptr", "lsh_gen_a")
+      def pairs() = Dedup.lshPairsIndexed(spark, "lsh_ptr", "doc_id",
+          numHashes = 64, minJaccard = 0.8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val before = pairs()
+      assert(before.nonEmpty)
+
+      // publishing a missing generation fails loudly, pointer untouched
+      intercept[IllegalArgumentException](
+        Dedup.publishLshIndex(spark, "lsh_ptr", "lsh_gen_missing"))
+      assert(pairs() === before)
+
+      // the crash window: a rewrite died mid-write, leaving a TORN
+      // generation table (wrong rows, partial layout) that was never
+      // published — readers on the pointer still serve gen-a
+      Seq((1L, Seq(1L), 0, 0L)).toDF("doc_id", "sig", "band", "bucket")
+        .write.saveAsTable("lsh_gen_b_torn")
+      try assert(pairs() === before,
+        "an unpublished torn generation must be invisible to pointer readers")
+      finally Dedup.dropLshGeneration(spark, "lsh_gen_b_torn")
+
+      // the retried rewrite completes gen-b; the swap is one catalog
+      // op; the old generation is GC'd only after
+      val tomb = docs.where($"doc_id" % 7 === 0).select("doc_id")
+      Dedup.compactLshIndex(spark, "lsh_gen_a", "lsh_gen_b", tomb, "doc_id")
+      Dedup.publishLshIndex(spark, "lsh_ptr", "lsh_gen_b")
+      val after = pairs()
+      assert(after === Dedup.lshPairsIndexed(spark, "lsh_gen_b", "doc_id",
+          numHashes = 64, minJaccard = 0.8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet)
+      assert(after !== before, "fixture: compaction must change the pair set")
+      Dedup.dropLshGeneration(spark, "lsh_gen_a")
+      assert(pairs() === after,
+        "dropping the superseded generation must not affect the pointer")
+
+      // the exchange-free pair join survives the view indirection:
+      // only the pair-distinct shuffles, the bucket self-join rides
+      // the write-time layout
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = Dedup.lshPairsIndexed(spark, "lsh_ptr", "doc_id",
+          numHashes = 64, minJaccard = 0.8).queryExecution.executedPlan.toString()
+        assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+          s"expected only the pair-distinct exchange through the pointer view:\n$plan")
+        val joinIdx = plan.indexOf("SortMergeJoin")
+        assert(joinIdx >= 0 && !plan.substring(joinIdx).contains("Exchange"),
+          s"self-join must stay exchange-free through the pointer view:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS lsh_ptr")
+      Seq("lsh_gen_a", "lsh_gen_b", "lsh_gen_b_torn")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("crash-consistent generations (VERDICT r12 item 3): a writer killed mid-rewrite leaves the old index serving") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-crash").toString
     Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCentroids = 8)
