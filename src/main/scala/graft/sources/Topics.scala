@@ -194,14 +194,15 @@ object Topics {
     ensureTopic(spark, conf, topic)
     val staging = s"${conf.root}/.staging/$topic-e$epoch"
     records.write.mode("overwrite").parquet(staging)
-    val (fs, dirPath) = Fs.on(spark, dir)
+    val (fs, _) = Fs.on(spark, dir)
     val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)
-    // drop the previous attempt's files for THIS epoch only
+    // drop the previous attempt's files for THIS epoch only — globbed,
+    // so the commit never lists the whole (epoch-count-sized) topic dir
     val prefix = s"e$epoch-"
-    fs.listStatus(dirPath)
-      .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+    fs.globStatus(new org.apache.hadoop.fs.Path(dir, s"$prefix*"))
+      .filter(_.isFile)
       .foreach(s => fs.delete(s.getPath, false))
     staged.zipWithIndex.foreach { case (s, i) =>
       val name = s.getPath.getName
