@@ -30,6 +30,70 @@ object SparkEntry {
   /** Exact order-independent sum of a double column via decimal. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** Shared S1-upsert replay scaffolding for q202/q224: events ride a
+    * JSON topic feed in 4 event-time epochs (each epoch pre-folded to
+    * its max-(ts, event_id) row per key, so arrival order is
+    * deterministic and the final state equals the batch latest-per-key
+    * oracle — q05's SQL) through CREATE TABLE with PRIMARY KEY + a
+    * long-running INSERT. Micros ride as BIGINT: to_json's timestamp
+    * format is millisecond-truncating, which would silently shift the
+    * latest-by ordering off the oracle's. `restartAfter = Some(n)`
+    * kills the runner after n epochs and resumes a NEW one on the same
+    * topics + checkpoints (q224's restart gate); the restart must be
+    * invisible in the output. */
+  private def streamUpsertRunner(s: SparkSession, dir: String, suffix: String,
+                                 restartAfter: Option[Int]): DataFrame = {
+    import graft.sources.{TopicConf, Topics}
+    import org.apache.spark.sql.types._
+    val feed = s"events_feed_$suffix"
+    val target = s"user_latest_$suffix"
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+    val conf = TopicConf(
+      java.nio.file.Files.createTempDirectory(s"graft-$suffix").toString)
+    def newRunner(): exec.StreamingStatementRunner = {
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      r.registerTopicSource(feed, StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("ts_us", LongType))))
+      r.runScript(s"""
+        CREATE TABLE $target (
+          user_id BIGINT, last_event_id BIGINT, last_event_type STRING,
+          last_value DOUBLE, ts_us BIGINT,
+          PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO $target
+        SELECT user_id, event_id, event_type, value, ts_us FROM $feed""")
+      r
+    }
+    val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val epochs = 4
+    val width = math.max(1L, (hi - lo) / epochs + 1)
+    def feedEpoch(r: exec.StreamingStatementRunner, i: Int): Unit = {
+      val slice = ev
+        .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+        .groupBy("user_id")
+        .agg(max_by(struct(col("event_id"), col("event_type"), col("value"),
+          col("ts_us")), struct(col("ts_us"), col("event_id"))).as("__l"))
+        .select(col("user_id"), col("__l.event_id"), col("__l.event_type"),
+          col("__l.value"), col("__l.ts_us"))
+      Topics.appendJson(slice, feed, conf, Nil, i + 1)
+      r.processAllAvailable()
+    }
+    val split = restartAfter.getOrElse(epochs)
+    val r1 = newRunner()
+    (0 until math.min(split, epochs)).foreach(feedEpoch(r1, _))
+    r1.stopAll()
+    if (split < epochs) {
+      val r2 = newRunner() // the "crash": remaining epochs post-restart
+      (split until epochs).foreach(feedEpoch(r2, _))
+      r2.stopAll()
+    }
+    s.table(target).select(col("user_id"), col("last_event_id"),
+      col("last_event_type"), col("last_value"), col("ts_us"))
+  }
+
   /** Shared persisted-LSH pair source for every pair-CONSUMING
     * analysis (graph family q175/q176/q177/q178/q182; cluster
     * analyses q64/q109/q112/q122/q157/q181; q123's candidate leg):
@@ -1755,47 +1819,8 @@ object SparkEntry {
     //    max-(ts, event_id) row), so arrival order is deterministic and
     //    the final materialized state equals the batch latest-per-key
     //    oracle (q05's SQL) ──
-    "q202_stream_upsert_runner" -> ((s, dir) => {
-      import graft.sources.{TopicConf, Topics}
-      import org.apache.spark.sql.types._
-      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
-        col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
-      // micros ride as BIGINT: to_json's timestamp format is
-      // millisecond-truncating, which would silently shift the latest-by
-      // ordering off the oracle's
-      val conf = TopicConf(
-        java.nio.file.Files.createTempDirectory("graft-q202").toString)
-      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
-      r.registerTopicSource("events_feed_q202", StructType(Seq(
-        StructField("user_id", LongType), StructField("event_id", LongType),
-        StructField("event_type", StringType), StructField("value", DoubleType),
-        StructField("ts_us", LongType))))
-      r.runScript("""
-        CREATE TABLE user_latest_q202 (
-          user_id BIGINT, last_event_id BIGINT, last_event_type STRING,
-          last_value DOUBLE, ts_us BIGINT,
-          PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
-        INSERT INTO user_latest_q202
-        SELECT user_id, event_id, event_type, value, ts_us FROM events_feed_q202""")
-      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      val epochs = 4
-      val width = math.max(1L, (hi - lo) / epochs + 1)
-      (0 until epochs).foreach { i =>
-        val slice = ev
-          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
-          .groupBy("user_id")
-          .agg(max_by(struct(col("event_id"), col("event_type"), col("value"),
-            col("ts_us")), struct(col("ts_us"), col("event_id"))).as("__l"))
-          .select(col("user_id"), col("__l.event_id"), col("__l.event_type"),
-            col("__l.value"), col("__l.ts_us"))
-        Topics.appendJson(slice, "events_feed_q202", conf, Nil, i + 1)
-        r.processAllAvailable()
-      }
-      r.stopAll()
-      s.table("user_latest_q202").select(col("user_id"), col("last_event_id"),
-        col("last_event_type"), col("last_value"), col("ts_us"))
-    }),
+    "q202_stream_upsert_runner" -> ((s, dir) =>
+      streamUpsertRunner(s, dir, "q202", restartAfter = None)),
 
     // ── STREAMING TUMBLE AGGREGATION replay, DRIVER-GATED (round 12):
     //    q07's windowed aggregate as a real watermarked stream — 5
@@ -2440,52 +2465,8 @@ object SparkEntry {
     //    epoch-idempotent sink keeps any replayed batch from
     //    double-appending, so the final materialized state equals the
     //    uninterrupted batch oracle (q202's SQL) ──
-    "q224_stream_restart_runner" -> ((s, dir) => {
-      import graft.sources.{TopicConf, Topics}
-      import org.apache.spark.sql.types._
-      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
-        col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
-      val conf = TopicConf(
-        java.nio.file.Files.createTempDirectory("graft-q224").toString)
-      def newRunner(): exec.StreamingStatementRunner = {
-        val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
-        r.registerTopicSource("events_feed_q224", StructType(Seq(
-          StructField("user_id", LongType), StructField("event_id", LongType),
-          StructField("event_type", StringType), StructField("value", DoubleType),
-          StructField("ts_us", LongType))))
-        r.runScript("""
-          CREATE TABLE user_latest_q224 (
-            user_id BIGINT, last_event_id BIGINT, last_event_type STRING,
-            last_value DOUBLE, ts_us BIGINT,
-            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
-          INSERT INTO user_latest_q224
-          SELECT user_id, event_id, event_type, value, ts_us FROM events_feed_q224""")
-        r
-      }
-      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      val epochs = 4
-      val width = math.max(1L, (hi - lo) / epochs + 1)
-      def feed(r: exec.StreamingStatementRunner, i: Int): Unit = {
-        val slice = ev
-          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
-          .groupBy("user_id")
-          .agg(max_by(struct(col("event_id"), col("event_type"), col("value"),
-            col("ts_us")), struct(col("ts_us"), col("event_id"))).as("__l"))
-          .select(col("user_id"), col("__l.event_id"), col("__l.event_type"),
-            col("__l.value"), col("__l.ts_us"))
-        Topics.appendJson(slice, "events_feed_q224", conf, Nil, i + 1)
-        r.processAllAvailable()
-      }
-      val r1 = newRunner()
-      (0 until 2).foreach(feed(r1, _))
-      r1.stopAll() // the "crash": epochs 3-4 arrive after the restart
-      val r2 = newRunner()
-      (2 until epochs).foreach(feed(r2, _))
-      r2.stopAll()
-      s.table("user_latest_q224").select(col("user_id"), col("last_event_id"),
-        col("last_event_type"), col("last_value"), col("ts_us"))
-    }),
+    "q224_stream_restart_runner" -> ((s, dir) =>
+      streamUpsertRunner(s, dir, "q224", restartAfter = Some(2))),
 
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is

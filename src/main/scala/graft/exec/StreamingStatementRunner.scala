@@ -62,10 +62,17 @@ final class StreamingStatementRunner(spark: SparkSession,
   /** Statement index among this runner's INSERTs, in run order —
     * restart-stable (same script ⇒ same index), unlike a timestamp or
     * a global counter surviving only one process. Partitions the
-    * 23-bit epoch space: epoch = insertSeq·2^16 + batchId, so two
-    * INSERTs into one topic can never collide epochs, and a replayed
-    * micro-batch (same batchId) lands on the SAME epoch — which
-    * `Topics.appendJson` then overwrites, not duplicates. */
+    * 23-bit epoch space BATCH-MAJOR: epoch = batchId·2^4 + insertSeq,
+    * so (a) two INSERTs into one topic can never collide epochs, (b) a
+    * replayed micro-batch (same batchId) lands on the SAME epoch —
+    * which `Topics.appendJson` then overwrites, not duplicates — and
+    * (c) upsert latest-by-offset order across writers follows batch
+    * PROGRESSION (≈ arrival time), not statement position: were the
+    * statement id the high bits, the later statement's rows would win
+    * a key forever regardless of when they arrived. Budget: ≤16
+    * INSERTs per runner, ≤2^19 micro-batches per statement (a hard,
+    * LOUD bound of the files-transport offset packing — the Kafka
+    * transport has broker-assigned offsets and no such bound). */
   private val insertSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   /** decoded (pre-cast, pre-watermark) topic sources by table name */
   private val sources = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -323,9 +330,9 @@ final class StreamingStatementRunner(spark: SparkSession,
   /** Allocate an INSERT's restart-stable statement id. */
   private def nextInsertId(target: TargetBinding): Long = {
     val id = insertSeq.getAndIncrement()
-    require(id < (1L << 7),
-      s"INSERT INTO ${target.qualified}: more than 2^7 INSERT statements " +
-        "in one runner — epoch namespace (insertSeq·2^16 + batchId) exhausted")
+    require(id < (1L << 4),
+      s"INSERT INTO ${target.qualified}: more than 16 INSERT statements " +
+        "in one runner — epoch namespace (batchId·2^4 + insertSeq) exhausted")
     id
   }
 
@@ -339,16 +346,21 @@ final class StreamingStatementRunner(spark: SparkSession,
     * target topic (distributed write — `Topics.appendJson` never
     * collects), re-materialize the visible view from the read-back.
     *
-    * Exactly-once: the epoch is a PURE FUNCTION of (statement id,
-    * batchId) — a crash-replayed micro-batch recomputes from the same
-    * checkpointed offsets and lands on the same epoch, which the
-    * files-transport append OVERWRITES (idempotent), never duplicates. */
+    * Effectively-once on the FILES transport: the epoch is a PURE
+    * FUNCTION of (statement id, batchId) — a crash-replayed
+    * micro-batch recomputes from the same checkpointed offsets and
+    * lands on the same epoch, which the files-transport append
+    * OVERWRITES (idempotent), never duplicates. The Kafka transport
+    * remains at-least-once under replay (broker appends have no
+    * epoch key; exactly-once there needs transactions — env-limited,
+    * see ARCHITECTURE.md). */
   private def sinkBatch(target: TargetBinding, meta: TableMeta, batch: DataFrame,
                         stmtId: Long, batchId: Long): Unit = synchronized {
-    require(batchId < (1L << 16),
+    require(batchId < (1L << 19),
       s"INSERT INTO ${target.qualified}: batchId $batchId exceeds the " +
-        "2^16 per-statement epoch budget")
-    val epoch = (stmtId << 16) | batchId
+        "2^19 per-statement epoch budget of the files-transport offset " +
+        "packing; move the pipeline to the kafka transport")
+    val epoch = (batchId << 4) | stmtId
     val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
     val retract = meta.changelogMode == ChangelogMode.Retract
     val tagged =

@@ -251,9 +251,17 @@ object Similarity {
     * must reuse it verbatim, never re-train, or partition assignment
     * drifts between index generations. */
   private[graft] def readCentroids(spark: org.apache.spark.sql.SparkSession,
-                                   dir: String): Array[Array[Double]] = {
-    val json = graft.sources.Fs.readUtf8(spark,
-      s"${resolveIvfGen(spark, dir)}/_centroids.json")
+                                   dir: String): Array[Array[Double]] =
+    readCentroidsAt(spark, resolveIvfGen(spark, dir))
+
+  /** Sidecar read pinned to an ALREADY-RESOLVED generation dir: every
+    * consumer that also reads the data files must resolve the
+    * generation ONCE and use the same path for both — resolving twice
+    * opens a window where a concurrent commit mixes one generation's
+    * quantizer with another's partition layout (torn read). */
+  private[graft] def readCentroidsAt(spark: org.apache.spark.sql.SparkSession,
+                                     genDir: String): Array[Array[Double]] = {
+    val json = graft.sources.Fs.readUtf8(spark, s"$genDir/_centroids.json")
     json.stripPrefix("[").stripSuffix("]")
       .split("\\],\\[").map(_.stripPrefix("[").stripSuffix("]")
         .split(",").map(_.toDouble))
@@ -280,7 +288,11 @@ object Similarity {
                        dir: String): Unit = {
     import graft.expressions.VectorExpressions.nearestCentroids
     val spark = batch.sparkSession
-    val matrix = readCentroids(spark, dir)
+    // resolve the generation ONCE: sidecar and data write must come
+    // from/land in the SAME generation, or a commit racing this append
+    // would assign under one quantizer and write into another's layout
+    val gen = resolveIvfGen(spark, dir)
+    val matrix = readCentroidsAt(spark, gen)
     // appends land INSIDE the current generation (additive — a torn
     // append leaves a partial batch, retried idempotently at the
     // ingest-ledger level; a full rewrite is what needs the atomic
@@ -288,7 +300,7 @@ object Similarity {
     batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", vecNorm(col("cv")))
       .withColumn("cent_id", element_at(nearestCentroids(col("cv"), matrix, 1), 1))
-      .write.mode("append").partitionBy("cent_id").parquet(resolveIvfGen(spark, dir))
+      .write.mode("append").partitionBy("cent_id").parquet(gen)
   }
 
   /** Physically rewrite a persisted IVF index minus the tombstoned
@@ -355,7 +367,10 @@ object Similarity {
                     k: Int, nProbe: Int,
                     tombstones: Option[DataFrame] = None): DataFrame = {
     import graft.expressions.VectorExpressions.nearestCentroids
-    val matrix = readCentroids(spark, dir)
+    // ONE generation resolve for both the quantizer and the data scan
+    // (a commit racing the query must not mix generations)
+    val gen = resolveIvfGen(spark, dir)
+    val matrix = readCentroidsAt(spark, gen)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", vecNorm(col("qv")))
       .withColumn("cent_id", explode(nearestCentroids(col("qv"), matrix, nProbe)))
@@ -368,7 +383,7 @@ object Similarity {
     // are external probes and keep working even if their id was
     // deleted. Physical cleanup is [[compactIvfIndex]].
     val index = tombstones.foldLeft(
-        spark.read.parquet(resolveIvfGen(spark, dir))
+        spark.read.parquet(gen)
           .where(col("cent_id").isin(probedIds.toIndexedSeq: _*)))(
         (idx, t) => idx.join(
           broadcast(t.select(col(idCol).as("neighbor_id"))),

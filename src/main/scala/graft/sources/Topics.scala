@@ -176,10 +176,19 @@ object Topics {
     * `e<epoch>-p<i>` names. The renames are a per-file metadata op
     * bounded by the batch's task count — never row-scaled. A crash
     * mid-sequence leaves either stale staging (cleaned on retry) or a
-    * partial epoch whose retry deletes-then-rewrites it; readers only
-    * ever see records that a completed or in-flight epoch wrote, the
-    * same transient-visibility contract as a non-transactional Kafka
-    * producer.
+    * partial epoch whose retry deletes-then-rewrites it.
+    *
+    * Transient-visibility contract (delete-then-rename, deliberate):
+    * a BATCH reader racing a crash-retry can momentarily see the
+    * retried epoch with zero/partial files — a weaker instant than
+    * Kafka (which never un-publishes a committed record) that heals at
+    * the commit. The trade is intentional: stable epoch file NAMES
+    * mean a STREAMING reader that already consumed the first attempt
+    * is not re-fed the retry (path-keyed seen-files log). The inverse
+    * design (attempt-unique names, add-then-delete) would never show a
+    * missing epoch to batch readers but would duplicate the epoch into
+    * every downstream STREAM on each retry — a permanent error instead
+    * of a transient one.
     *
     * Replay caveat (documented, inherent to file watching): a
     * downstream STREAMING reader keys its seen-files log on path, so

@@ -55,7 +55,18 @@ object StreamReplay {
     val fresh = fs.listStatus(p).filter(s => s.isFile &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".") &&
       !seen.contains(s.getPath.getName))
-    fresh.foreach(s => fs.setTimes(s.getPath, base + i * 1000L, -1))
+    fresh.foreach { s =>
+      fs.setTimes(s.getPath, base + i * 1000L, -1)
+      // fail FAST if the filesystem ignored setTimes (Hadoop's default
+      // is a silent no-op on stores that don't implement it): a
+      // mis-stamped slice would surface only as ordered rows silently
+      // dropped as late — an opaque hash mismatch far from the cause
+      val got = fs.getFileStatus(s.getPath).getModificationTime
+      require(got == base + i * 1000L,
+        s"replay staging: filesystem did not honor setTimes on ${s.getPath} " +
+          s"(wanted ${base + i * 1000L}, read back $got) — slice order " +
+          "cannot be guaranteed on this store")
+    }
     seen ++ fresh.map(_.getPath.getName)
   }
 

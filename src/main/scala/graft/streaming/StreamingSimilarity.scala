@@ -41,8 +41,11 @@ object StreamingSimilarity {
                       vecCol: String, threshold: Double, nProbe: Int,
                       tombstones: Option[DataFrame] = None): DataFrame = {
     val spark = stream.sparkSession
-    flagNearVectors(stream, Similarity.readIvfIndex(spark, indexDir),
-      Similarity.readCentroids(spark, indexDir), idCol, vecCol,
+    // ONE generation resolve for both the data frame and the quantizer
+    // (a commit racing the gate start must not mix generations)
+    val gen = Similarity.resolveIvfGen(spark, indexDir)
+    flagNearVectors(stream, spark.read.parquet(gen),
+      Similarity.readCentroidsAt(spark, gen), idCol, vecCol,
       threshold, nProbe, tombstones)
   }
 
