@@ -94,6 +94,58 @@ class StreamingRestartSpec extends SparkSpec {
     r2.stopAll()
   }
 
+  test("restart parity for the snapshot-join INSERT path (S6 shape): dims hydrate, no re-emission") {
+    val conf = freshConf()
+    val custSchema = StructType(Seq(
+      StructField("id", StringType), StructField("name", StringType)))
+    val ordSchema = StructType(Seq(
+      StructField("order_id", IntegerType), StructField("customer_id", StringType)))
+    def newRunner(): StreamingStatementRunner = {
+      val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+      r.registerTopicSource("cust_src_rj", custSchema)
+      r.registerTopicSource("ord_src_rj", ordSchema)
+      r.runScript("""
+        CREATE TABLE cust_keyed_rj (customer_id STRING, name STRING,
+          PRIMARY KEY (customer_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO cust_keyed_rj SELECT id, name FROM cust_src_rj;
+        CREATE TABLE ord_enriched_rj (order_id INT, name STRING)
+          WITH ('changelog.mode' = 'retract');
+        INSERT INTO ord_enriched_rj(order_id, name)
+        SELECT o.order_id, c.name FROM ord_src_rj o
+        INNER JOIN cust_keyed_rj c ON o.customer_id = c.customer_id""")
+      r
+    }
+    def feedCust(epoch: Long, rows: (String, String)*): Unit =
+      Topics.appendJson(rows.toSeq.toDF("id", "name"), "cust_src_rj", conf, Nil, epoch)
+    def feedOrd(epoch: Long, rows: (Int, String)*): Unit =
+      Topics.appendJson(rows.toSeq.toDF("order_id", "customer_id"), "ord_src_rj", conf, Nil, epoch)
+
+    // ---- phase 1: dims + two orders, then the process "dies" ----
+    val r1 = newRunner()
+    feedCust(1, "c1" -> "Ann", "c2" -> "Bob")
+    r1.processAllAvailable()
+    feedOrd(1, 1 -> "c1", 2 -> "c2")
+    r1.processAllAvailable()
+    r1.stopAll()
+
+    // ---- phase 2: restart; a dim UPDATE and a new order arrive ----
+    val r2 = newRunner()
+    // hydration: the enriched retract table serves pre-crash rows
+    assert(spark.table("ord_enriched_rj").count() === 2)
+    feedCust(2, "c1" -> "Anna") // upsert: c1 renamed
+    r2.processAllAvailable()
+    feedOrd(2, 3 -> "c1")
+    r2.processAllAvailable()
+    r2.stopAll()
+
+    // order 3 joined the dim at its CURRENT (post-update) state; the
+    // pre-crash orders were NOT re-emitted by the restarted source
+    val got = spark.table("ord_enriched_rj").select("order_id", "name")
+      .as[(Int, String)].collect().toList.sorted
+    assert(got === List(1 -> "Ann", 2 -> "Bob", 3 -> "Anna"),
+      s"snapshot-join restart parity broken: $got")
+  }
+
   test("a replayed micro-batch (commit lost in the crash) overwrites its epoch — no duplicates") {
     val conf = freshConf()
     def newRunner(): StreamingStatementRunner = {
