@@ -213,4 +213,37 @@ class RobustnessSpec extends SparkSpec {
       finally spark.sql("DROP TABLE IF EXISTS lsh_idx_rob_v2")
     } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_rob")
   }
+
+  test("empty-epoch appendJson: zero rows commit cleanly and stay idempotent") {
+    import graft.sources.{TopicConf, Topics}
+    import spark.implicits._
+    val conf = TopicConf(
+      java.nio.file.Files.createTempDirectory("graft-rob-empty").toString)
+    val none = Seq.empty[(String, Int)].toDF("k", "n")
+    // an empty micro-batch is routine under checkpointed restart (a
+    // no-data trigger replayed after a crash) — it must commit an
+    // empty epoch without error, and the retry must stay a no-op
+    Topics.appendJson(none, "rob_empty", conf, Nil, epoch = 1)
+    Topics.appendJson(none, "rob_empty", conf, Nil, epoch = 1)
+    assert(Topics.readBatchRecords(spark, "rob_empty", conf).count() === 0)
+    // a replayed non-empty epoch REPLACES a previously-empty attempt
+    Topics.appendJson(Seq(("a", 1)).toDF("k", "n"), "rob_empty", conf, Nil, epoch = 1)
+    assert(Topics.readBatchRecords(spark, "rob_empty", conf).count() === 1)
+    // and an empty replay of a non-empty epoch retracts it (the batch
+    // recomputed to nothing — the overwrite contract is total)
+    Topics.appendJson(none, "rob_empty", conf, Nil, epoch = 1)
+    assert(Topics.readBatchRecords(spark, "rob_empty", conf).count() === 0)
+  }
+
+  test("resolveIvfGen degrades to the legacy flat layout and to a missing dir without masking errors") {
+    import graft.operators.Similarity
+    val missing = "/tmp/graft-rob-missing-ivf-dir"
+    graft.sources.Fs.deleteRecursive(spark, missing)
+    // missing dir: resolve returns the root (the subsequent read then
+    // fails loudly on the read itself, not inside the resolver)
+    assert(Similarity.resolveIvfGen(spark, missing) === missing)
+    // legacy flat layout (no gen-* subdirs): the root IS the generation
+    val flat = java.nio.file.Files.createTempDirectory("graft-rob-flat").toString
+    assert(Similarity.resolveIvfGen(spark, flat) === flat)
+  }
 }
