@@ -288,6 +288,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     val renamed = renameTo(meta, targetCols, spark.sql(select))
     val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
     renamed.writeStream.outputMode(if (isUpsert) "update" else "append")
+      .queryName(s"ins$stmtId-${target.scoped}")
       .option("checkpointLocation", checkpointDir(target, stmtId))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sinkBatch(target, meta, batch, stmtId, batchId)
@@ -304,6 +305,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     val stmtId = nextInsertId(target)
     val stream = spark.table(driverRef)
     stream.writeStream.outputMode("append")
+      .queryName(s"ins$stmtId-${target.scoped}")
       .option("checkpointLocation", checkpointDir(target, stmtId))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         synchronized {
@@ -411,4 +413,27 @@ final class StreamingStatementRunner(spark: SparkSession,
 
   def processAllAvailable(): Unit = queries.foreach(_.processAllAvailable())
   def stopAll(): Unit = queries.foreach(_.stop())
+
+  /** One progress row per long-running INSERT — the observability
+    * surface a production operator of never-terminating statements
+    * watches (the managed-platform analog is the statement status
+    * panel): last completed batch, rows ingested by it, current
+    * processing rate, and the event-time watermark (the lag signal
+    * for the stateful operators). Reads each query's LAST progress
+    * snapshot — a driver-side constant-size read, no job run. */
+  def progressSummary: Seq[StatementProgress] = queries.toSeq.flatMap { q =>
+    Option(q.lastProgress).map { p =>
+      StatementProgress(
+        name = Option(p.name).getOrElse(q.id.toString),
+        batchId = p.batchId,
+        inputRows = p.numInputRows,
+        rowsPerSecond = p.processedRowsPerSecond,
+        watermark = Option(p.eventTime.get("watermark")).getOrElse(""))
+    }
+  }
 }
+
+/** Snapshot of one long-running INSERT's last completed micro-batch. */
+final case class StatementProgress(name: String, batchId: Long,
+                                   inputRows: Long, rowsPerSecond: Double,
+                                   watermark: String)

@@ -259,6 +259,33 @@ class StreamingStatementRunnerSpec extends SparkSpec {
     assert(got === Map(ts(0) -> 1L, ts(10) -> 1L, ts(20) -> 1L, ts(30) -> 1L))
   }
 
+  test("progressSummary: one identifiable row per long-running INSERT after a drain") {
+    implicit val sqlCtx = spark.sqlContext
+    val customers = MemoryStream[SCust]
+    customers.toDF().createOrReplaceTempView("prog_cust_src")
+    val r = new StreamingStatementRunner(spark)
+    r.runScript("""
+      CREATE TABLE prog_cust_keyed (customer_id STRING, first_name STRING,
+        last_name STRING, email STRING,
+        PRIMARY KEY (customer_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO prog_cust_keyed
+      SELECT id, first_name, last_name, email FROM prog_cust_src""")
+    customers.addData(SCust("c1", "Ann", "A", "a@x"), SCust("c2", "Bob", "B", "b@x"))
+    r.processAllAvailable()
+    val rows = r.progressSummary
+    assert(rows.size === 1, s"expected one progress row, got $rows")
+    val p = rows.head
+    assert(p.name.startsWith("ins0-") && p.name.contains("prog_cust_keyed"),
+      s"progress row must identify its statement: $p")
+    assert(p.batchId >= 0 && p.rowsPerSecond >= 0.0)
+    // the LAST batch's input rows — a later drain refreshes the snapshot
+    customers.addData(SCust("c3", "Cid", "C", "c@x"))
+    r.processAllAvailable()
+    assert(r.progressSummary.head.batchId > p.batchId,
+      "progress must track the latest completed batch")
+    r.stopAll()
+  }
+
   test("tableRefs: CTE aliases are not table references; dotted names resolve to the last part") {
     val r = new graft.exec.StreamingStatementRunner(spark)
     // a CTE alias counted as a ref would misroute a pure single-stream
