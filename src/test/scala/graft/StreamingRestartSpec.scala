@@ -146,6 +146,50 @@ class StreamingRestartSpec extends SparkSpec {
       s"snapshot-join restart parity broken: $got")
   }
 
+  test("chained statement DAG across a restart: B streams A's topic, each changelog record flows exactly once") {
+    // the reference's statement DAG is topic-chained: statement B's
+    // source IS statement A's sink topic. Durability must hold for
+    // the CHAIN: after a kill + same-script restart, B must neither
+    // re-read A's already-consumed epochs (checkpointed seen-files)
+    // nor miss replayed ones (A's epoch overwrite keeps file names
+    // stable, so a replay is invisible to B's path-keyed log).
+    val conf = freshConf()
+    val aTopic = "default_env_default_cluster_chain_a" // runner-scoped topic of chain_a
+    def newRunner(): StreamingStatementRunner = {
+      val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+      r.registerTopicSource("chain_src", StructType(Seq(
+        StructField("k", StringType), StructField("v", IntegerType))))
+      r.run("""CREATE TABLE chain_a (k STRING, v INT,
+               PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+      r.run("INSERT INTO chain_a SELECT k, v FROM chain_src")
+      // B consumes A's CHANGELOG: the compacted-topic record stream
+      // (key = PK json, value = rest) registered as a source
+      r.registerTopicSource(aTopic,
+        valueSchema = StructType(Seq(StructField("v", IntegerType))),
+        keySchema = Some(StructType(Seq(StructField("k", StringType)))))
+      r.run("CREATE TABLE chain_b (k STRING, doubled INT)")
+      r.run(s"INSERT INTO chain_b SELECT k, v * 2 FROM $aTopic")
+      r
+    }
+    def feed(epoch: Long, rows: (String, Int)*): Unit =
+      Topics.appendJson(rows.toSeq.toDF("k", "v"), "chain_src", conf, Nil, epoch)
+
+    val r1 = newRunner()
+    feed(1, "a" -> 1, "b" -> 2)
+    r1.processAllAvailable()
+    assert(spark.table("chain_b").count() === 2)
+    r1.stopAll()
+
+    val r2 = newRunner()
+    feed(2, "a" -> 3) // upsert revision of a flows as a NEW changelog record
+    r2.processAllAvailable()
+    r2.stopAll()
+    val got = spark.table("chain_b").select("k", "doubled")
+      .as[(String, Int)].collect().toList.sorted
+    assert(got === List("a" -> 2, "a" -> 6, "b" -> 4),
+      s"chained restart must deliver each changelog record exactly once: $got")
+  }
+
   test("a replayed micro-batch (commit lost in the crash) overwrites its epoch — no duplicates") {
     val conf = freshConf()
     def newRunner(): StreamingStatementRunner = {
