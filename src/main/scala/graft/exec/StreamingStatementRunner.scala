@@ -39,6 +39,15 @@ import org.apache.spark.sql.types.StructType
   * the select is re-resolved FRESH so dimension tables join at their
   * CURRENT upsert state (the Flink regular join against a versioned
   * table's latest state). Pure-streaming selects run natively.
+  *
+  * Table-to-table continuous INSERT (Flink's everyday statement shape
+  * beyond the reference's corpus): a select with NO streaming source
+  * in FROM promotes its first runner-created topic-backed ref to a
+  * changelog stream of that table's topic ([[changelogStream]] — every
+  * upsert revision flows as its own record) and drives the statement
+  * with it; remaining refs snapshot-join as above. The promoted
+  * table's own view keeps serving materialized STATE to every other
+  * consumer.
   */
 final class StreamingStatementRunner(spark: SparkSession,
                                      val catalog: InMemoryCatalog = new InMemoryCatalog,
@@ -195,13 +204,35 @@ final class StreamingStatementRunner(spark: SparkSession,
       val refs = tableRefs(select)
       val streamRefs = refs.filter(r =>
         spark.catalog.tableExists(r) && spark.table(r).isStreaming)
-      require(streamRefs.nonEmpty,
-        s"INSERT INTO $target: select is not streaming; use StatementRunner for batch")
       val q =
-        if (streamRefs.size == 1 && refs.size > 1)
-          startSnapshotJoin(binding, meta, targetCols, select, streamRefs.head)
-        else
-          startDirect(binding, meta, targetCols, select)
+        if (streamRefs.nonEmpty) {
+          if (streamRefs.size == 1 && refs.size > 1)
+            startSnapshotJoin(binding, meta, targetCols, select, streamRefs.head)
+          else
+            startDirect(binding, meta, targetCols, select)
+        } else {
+          // TABLE-TO-TABLE continuous INSERT (Flink's everyday shape,
+          // beyond the reference's corpus): no external streaming
+          // source in FROM — promote the FIRST runner-created
+          // topic-backed ref to a CHANGELOG STREAM of its topic and
+          // drive the statement with it; any remaining refs join at
+          // their current materialized state per micro-batch (the
+          // same regular-join approximation as the S6 path).
+          val promotable = refs.filter(r => synchronized {
+            topicOf.contains(catalog.qualify(r))
+          })
+          require(promotable.nonEmpty,
+            s"INSERT INTO $target: select references no streaming source " +
+              "and no topic-backed table; use StatementRunner for batch")
+          val driver = promotable.head
+          val promoted = changelogStream(driver)
+          withViewShadow(driver, promoted) {
+            if (refs.size > 1)
+              startSnapshotJoin(binding, meta, targetCols, select, driver)
+            else
+              startDirect(binding, meta, targetCols, select)
+          }
+        }
       queries += q
       Some(q)
 
@@ -319,14 +350,63 @@ final class StreamingStatementRunner(spark: SparkSession,
             val result = renameTo(meta, targetCols, spark.sql(select))
             sinkBatch(target, meta, result, stmtId, batchId)
           } finally {
-            // restore the streaming binding (via refresh if it's a topic
-            // source, so a concurrent ALTER isn't clobbered)
-            if (sources.contains(driverRef)) refreshSourceView(driverRef)
-            else stream.createOrReplaceTempView(driverRef)
+            // restore the driver's steady-state binding: topic sources
+            // via refresh (a concurrent ALTER isn't clobbered),
+            // PROMOTED runner tables back to their batch view (other
+            // consumers must keep reading table state, not the stream)
+            restoreRefView(driverRef, stream)
           }
         }
         ()
       }.start()
+  }
+
+  /** A runner-created table's topic read back as a CHANGELOG STREAM —
+    * the source of a promoted table-to-table INSERT. Records decode
+    * per the table's declared schema: upsert tables as the
+    * compacted-topic form (key json = PK, value json = rest;
+    * TOMBSTONES DROPPED — an append consumer has no retraction
+    * channel), append/retract tables as whole-row values (retract's
+    * `__op` tag rides along). Semantics caveat (Flink's upsert-kafka
+    * raw-record contract): every upsert REVISION flows as its own
+    * record — a non-aggregating select sees the changelog exactly
+    * once; an aggregate over a promoted upsert stream counts records,
+    * not latest state. */
+  private def changelogStream(bare: String): DataFrame = {
+    val meta = catalog.getOrCreate(bare)
+    val b = bind(bare)
+    val declared = meta.schema.getOrElse(throw new IllegalArgumentException(
+      s"table $bare: no declared schema to decode its changelog"))
+    val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
+    val records = Topics.readStreamRecords(spark, b.topic, conf)
+    val decoded =
+      if (isUpsert) {
+        val keySchema = StructType(declared.fields.filter(f => meta.primaryKey.contains(f.name)))
+        val valueSchema = StructType(declared.fields.filterNot(f => meta.primaryKey.contains(f.name)))
+        Topics.decodeJson(records.where(col("value").isNotNull), valueSchema, Some(keySchema))
+      } else Topics.decodeJson(records, sunkSchema(meta, declared))
+    decoded.drop("__offset")
+  }
+
+  /** Temporarily shadow `name`'s view with `df` while `body` BUILDS
+    * its plan (the built DataFrame captures the relation, so the
+    * shadow need not outlive plan construction), then restore the
+    * table's materialized batch view for every other consumer. */
+  private def withViewShadow[T](name: String, df: DataFrame)(body: => T): T = synchronized {
+    df.createOrReplaceTempView(name)
+    try body finally restoreRefView(name, df)
+  }
+
+  /** Re-point a ref's bare view to its steady-state binding: topic
+    * SOURCES via refreshSourceView (ALTER casts/watermarks re-apply),
+    * runner-created TABLES via their materialized topic read-back,
+    * anything else back to the given frame. */
+  private def restoreRefView(ref: String, fallback: DataFrame): Unit = {
+    if (sources.contains(ref)) refreshSourceView(ref)
+    else if (topicOf.contains(catalog.qualify(ref))) {
+      val m = catalog.getOrCreate(ref)
+      m.schema.foreach(sc => refreshTargetView(bind(ref), m, sunkSchema(m, sc)))
+    } else fallback.createOrReplaceTempView(ref)
   }
 
   /** Allocate an INSERT's restart-stable statement id. */

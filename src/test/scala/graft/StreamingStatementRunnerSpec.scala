@@ -286,6 +286,71 @@ class StreamingStatementRunnerSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("table-to-table continuous INSERT: a runner table promotes to its changelog stream") {
+    import graft.sources.{TopicConf, Topics}
+    import org.apache.spark.sql.types._
+    val conf = TopicConf(
+      java.nio.file.Files.createTempDirectory("graft-promote").toString)
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("promo_src", StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType))))
+    r.runScript("""
+      CREATE TABLE promo_a (k STRING, v INT,
+        PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO promo_a SELECT k, v FROM promo_src;
+      CREATE TABLE promo_b (k STRING, doubled INT);
+      INSERT INTO promo_b SELECT k, v * 2 FROM promo_a""")
+    Topics.appendJson(Seq(("a", 1), ("b", 2)).toDF("k", "v"),
+      "promo_src", conf, Nil, 1)
+    r.processAllAvailable()
+    // an upsert REVISION flows as its own changelog record downstream
+    Topics.appendJson(Seq(("a", 3)).toDF("k", "v"), "promo_src", conf, Nil, 2)
+    r.processAllAvailable()
+    val b = spark.table("promo_b").select("k", "doubled")
+      .as[(String, Int)].collect().toList.sorted
+    assert(b === List("a" -> 2, "a" -> 6, "b" -> 4),
+      s"promoted changelog must deliver every revision exactly once: $b")
+    // the promoted table's own view still serves STATE, not the stream
+    assert(!spark.table("promo_a").isStreaming)
+    assert(spark.table("promo_a").select("k", "v").as[(String, Int)]
+      .collect().toMap === Map("a" -> 3, "b" -> 2))
+    r.stopAll()
+  }
+
+  test("table-to-table INSERT with a join: first ref promotes, the rest snapshot at current state") {
+    import graft.sources.{TopicConf, Topics}
+    import org.apache.spark.sql.types._
+    val conf = TopicConf(
+      java.nio.file.Files.createTempDirectory("graft-promote-join").toString)
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("pj_orders_src", StructType(Seq(
+      StructField("order_id", IntegerType), StructField("cust", StringType))))
+    r.registerTopicSource("pj_cust_src", StructType(Seq(
+      StructField("id", StringType), StructField("name", StringType))))
+    r.runScript("""
+      CREATE TABLE pj_orders (order_id INT, cust STRING,
+        PRIMARY KEY (order_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO pj_orders SELECT order_id, cust FROM pj_orders_src;
+      CREATE TABLE pj_cust (id STRING, name STRING,
+        PRIMARY KEY (id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO pj_cust SELECT id, name FROM pj_cust_src;
+      CREATE TABLE pj_enriched (order_id INT, name STRING);
+      INSERT INTO pj_enriched
+      SELECT o.order_id, c.name FROM pj_orders o
+      INNER JOIN pj_cust c ON o.cust = c.id""")
+    Topics.appendJson(Seq(("c1", "Ann")).toDF("id", "name"),
+      "pj_cust_src", conf, Nil, 1)
+    r.processAllAvailable()
+    Topics.appendJson(Seq((1, "c1")).toDF("order_id", "cust"),
+      "pj_orders_src", conf, Nil, 1)
+    r.processAllAvailable()
+    val got = spark.table("pj_enriched").select("order_id", "name")
+      .as[(Int, String)].collect().toSet
+    assert(got === Set(1 -> "Ann"),
+      s"promoted-driver join must enrich against the dim's current state: $got")
+    r.stopAll()
+  }
+
   test("tableRefs: CTE aliases are not table references; dotted names resolve to the last part") {
     val r = new graft.exec.StreamingStatementRunner(spark)
     // a CTE alias counted as a ref would misroute a pure single-stream
