@@ -1715,6 +1715,24 @@ object OracleSql {
          value AS last_value, epoch_us(ts) AS ts_us
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) WHERE rn = 1""",
+    // Chained table-to-table INSERT: statement B consumes statement A's
+    // changelog (the runner promotes A's table to a stream of its
+    // topic), so B's append table holds ONE record per (epoch, user) —
+    // the per-quartile-epoch folded max-(ts, event_id) row, whose
+    // integer epoch boundaries the oracle re-derives. ep is only a
+    // partition key (never output), so its // arithmetic carries no
+    // HUGEINT risk; both division operands are non-negative.
+    "q225_stream_chained_insert" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+         e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+                 (epoch_us(ts) - b.lo) // GREATEST(1, (b.hi - b.lo) // 4 + 1) AS ep
+               FROM events, b),
+         f AS (SELECT *, row_number() OVER (
+                 PARTITION BY ep, user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+               FROM e)
+         SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+                value AS last_value, ts_us
+         FROM f WHERE rn = 1""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

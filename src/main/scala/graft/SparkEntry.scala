@@ -42,11 +42,13 @@ object SparkEntry {
     * topics + checkpoints (q224's restart gate); the restart must be
     * invisible in the output. */
   private def streamUpsertRunner(s: SparkSession, dir: String, suffix: String,
-                                 restartAfter: Option[Int]): DataFrame = {
+                                 restartAfter: Option[Int],
+                                 chained: Boolean = false): DataFrame = {
     import graft.sources.{TopicConf, Topics}
     import org.apache.spark.sql.types._
     val feed = s"events_feed_$suffix"
     val target = s"user_latest_$suffix"
+    val chain = s"user_changelog_$suffix"
     val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
       col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
     val conf = TopicConf(
@@ -57,13 +59,24 @@ object SparkEntry {
         StructField("user_id", LongType), StructField("event_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType),
         StructField("ts_us", LongType))))
+      // `chained`: a SECOND statement consumes the FIRST one's table —
+      // no streaming source in its FROM, so the runner PROMOTES
+      // user_latest to its changelog stream (every per-epoch upsert
+      // revision flows as one record into the append table)
+      val chainDdl = if (!chained) "" else s""";
+        CREATE TABLE $chain (
+          user_id BIGINT, last_event_id BIGINT, last_event_type STRING,
+          last_value DOUBLE, ts_us BIGINT);
+        INSERT INTO $chain
+        SELECT user_id, last_event_id, last_event_type, last_value, ts_us
+        FROM $target"""
       r.runScript(s"""
         CREATE TABLE $target (
           user_id BIGINT, last_event_id BIGINT, last_event_type STRING,
           last_value DOUBLE, ts_us BIGINT,
           PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
         INSERT INTO $target
-        SELECT user_id, event_id, event_type, value, ts_us FROM $feed""")
+        SELECT user_id, event_id, event_type, value, ts_us FROM $feed$chainDdl""")
       r
     }
     val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
@@ -90,8 +103,12 @@ object SparkEntry {
       (split until epochs).foreach(feedEpoch(r2, _))
       r2.stopAll()
     }
-    s.table(target).select(col("user_id"), col("last_event_id"),
-      col("last_event_type"), col("last_value"), col("ts_us"))
+    if (chained)
+      s.table(chain).select(col("user_id"), col("last_event_id"),
+        col("last_event_type"), col("last_value"), col("ts_us"))
+    else
+      s.table(target).select(col("user_id"), col("last_event_id"),
+        col("last_event_type"), col("last_value"), col("ts_us"))
   }
 
   /** Shared persisted-LSH pair source for every pair-CONSUMING
@@ -2467,6 +2484,17 @@ object SparkEntry {
     //    uninterrupted batch oracle (q202's SQL) ──
     "q224_stream_restart_runner" -> ((s, dir) =>
       streamUpsertRunner(s, dir, "q224", restartAfter = Some(2))),
+
+    // ── TABLE-TO-TABLE CONTINUOUS INSERT, DRIVER-GATED (round 13):
+    //    statement B's FROM references only statement A's table, so the
+    //    runner PROMOTES A to its changelog stream — B receives every
+    //    per-epoch upsert revision exactly once. With the feed split
+    //    into 4 event-time quartile epochs (each pre-folded to its
+    //    max-(ts, event_id) row per key), B's content IS the per-
+    //    (epoch, user) folded row set, which the oracle reproduces by
+    //    re-deriving the integer epoch boundaries ──
+    "q225_stream_chained_insert" -> ((s, dir) =>
+      streamUpsertRunner(s, dir, "q225", restartAfter = None, chained = true)),
 
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
