@@ -103,11 +103,8 @@ object SparkEntry {
       (split until epochs).foreach(feedEpoch(r2, _))
       r2.stopAll()
     }
-    if (chained)
-      s.table(chain).select(col("user_id"), col("last_event_id"),
-        col("last_event_type"), col("last_value"), col("ts_us"))
-    else
-      s.table(target).select(col("user_id"), col("last_event_id"),
+    s.table(if (chained) chain else target)
+      .select(col("user_id"), col("last_event_id"),
         col("last_event_type"), col("last_value"), col("ts_us"))
   }
 

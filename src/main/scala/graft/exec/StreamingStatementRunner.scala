@@ -83,6 +83,11 @@ final class StreamingStatementRunner(spark: SparkSession,
     * LOUD bound of the files-transport offset packing — the Kafka
     * transport has broker-assigned offsets and no such bound). */
   private val insertSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Qualified tables consumed by a PROMOTED (table-to-table) INSERT;
+    * a later INSERT targeting one of them means the DAG is declared
+    * out of topological order and the drain needs multiple passes. */
+  private val promotedDrivers = scala.collection.mutable.Set.empty[String]
+  @volatile private var outOfOrderChain = false
   /** decoded (pre-cast, pre-watermark) topic sources by table name */
   private val sources = scala.collection.mutable.Map.empty[String, DataFrame]
   /** qualified table name → physical topic name. Externally-registered
@@ -201,6 +206,9 @@ final class StreamingStatementRunner(spark: SparkSession,
     case InsertInto(target, targetCols, select) =>
       val meta = catalog.getOrCreate(target)
       val binding = bind(target)
+      // an earlier statement promoted-consumes this target → the DAG
+      // is declared out of topological order; widen the drain
+      if (promotedDrivers.contains(binding.qualified)) outOfOrderChain = true
       val refs = tableRefs(select)
       val streamRefs = refs.filter(r =>
         spark.catalog.tableExists(r) && spark.table(r).isStreaming)
@@ -225,6 +233,27 @@ final class StreamingStatementRunner(spark: SparkSession,
             s"INSERT INTO $target: select references no streaming source " +
               "and no topic-backed table; use StatementRunner for batch")
           val driver = promotable.head
+          promotedDrivers += catalog.qualify(driver)
+          // an AGGREGATE over a promoted UPSERT driver would count
+          // changelog REVISIONS, not latest state (no retraction
+          // channel — Flink's ChangelogNormalize has one, this path
+          // does not): reject LOUDLY instead of returning numbers that
+          // are silently wrong after the first key revision. Append
+          // drivers are true insert streams — aggregates are exact.
+          val driverMeta = catalog.getOrCreate(driver)
+          if (driverMeta.changelogMode == ChangelogMode.Upsert &&
+              driverMeta.primaryKey.nonEmpty) {
+            val parsed = spark.sessionState.sqlParser.parsePlan(select)
+            val aggregates = parsed.collectFirst {
+              case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ()
+              case _: org.apache.spark.sql.catalyst.plans.logical.Distinct => ()
+            }.isDefined
+            require(!aggregates,
+              s"INSERT INTO $target: aggregating over promoted upsert table " +
+                s"$driver would count changelog revisions, not latest state " +
+                "(no retraction channel). Aggregate the upstream feed, or " +
+                "read the table's materialized state through the batch runner.")
+          }
           val promoted = changelogStream(driver)
           withViewShadow(driver, promoted) {
             if (refs.size > 1)
@@ -319,7 +348,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     val renamed = renameTo(meta, targetCols, spark.sql(select))
     val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
     renamed.writeStream.outputMode(if (isUpsert) "update" else "append")
-      .queryName(s"ins$stmtId-${target.scoped}")
+      .queryName(queryDisplayName(target, stmtId))
       .option("checkpointLocation", checkpointDir(target, stmtId))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sinkBatch(target, meta, batch, stmtId, batchId)
@@ -336,7 +365,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     val stmtId = nextInsertId(target)
     val stream = spark.table(driverRef)
     stream.writeStream.outputMode("append")
-      .queryName(s"ins$stmtId-${target.scoped}")
+      .queryName(queryDisplayName(target, stmtId))
       .option("checkpointLocation", checkpointDir(target, stmtId))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         synchronized {
@@ -424,6 +453,22 @@ final class StreamingStatementRunner(spark: SparkSession,
   private def checkpointDir(target: TargetBinding, stmtId: Long): String =
     s"$checkpointRoot/ins$stmtId-${target.scoped}"
 
+  /** Active-query display name: statement id + target for
+    * [[progressSummary]] identifiability, SUFFIXED with a short hash
+    * of the topic root — Spark rejects duplicate ACTIVE query names
+    * per session, and two runners on one session (different
+    * TopicConfs, same script) must not collide. Same-conf restarts
+    * reuse the name (the predecessor is stopped); two LIVE runners on
+    * one conf root would share checkpoints — there the loud
+    * duplicate-name error is the correct outcome. */
+  private def queryDisplayName(target: TargetBinding, stmtId: Long): String = {
+    val tag = Integer.toHexString(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(conf.root.getBytes("UTF-8")).take(4)
+        .foldLeft(0)((a, b) => (a << 8) | (b & 0xff)))
+    s"ins$stmtId-${target.scoped}-$tag"
+  }
+
   /** Sink ONE micro-batch: encode to Kafka-shaped records, write to the
     * target topic (distributed write — `Topics.appendJson` never
     * collects), re-materialize the visible view from the read-back.
@@ -491,7 +536,20 @@ final class StreamingStatementRunner(spark: SparkSession,
     if (inCurrentScope(target)) visible.createOrReplaceTempView(target.bare)
   }
 
-  def processAllAvailable(): Unit = queries.foreach(_.processAllAvailable())
+  /** Drain every statement to quiescence. One pass drains each query
+    * in STATEMENT order, which propagates a topologically-ordered
+    * chain fully but under-drains a chained DAG declared OUT of order
+    * (a downstream promoted INSERT listed before its upstream would
+    * drain first and miss the records the upstream is about to sink).
+    * [[run]] detects that shape statically — an INSERT targeting a
+    * table some EARLIER statement promoted-consumes — and only then
+    * does the drain take `queries.size` passes (chain depth is bounded
+    * by the statement count). Ordinary scripts keep the single-pass
+    * cost. */
+  def processAllAvailable(): Unit = {
+    val passes = if (outOfOrderChain) math.max(1, queries.size) else 1
+    (0 until passes).foreach(_ => queries.foreach(_.processAllAvailable()))
+  }
   def stopAll(): Unit = queries.foreach(_.stop())
 
   /** One progress row per long-running INSERT — the observability

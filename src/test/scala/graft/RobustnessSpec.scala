@@ -229,8 +229,13 @@ class RobustnessSpec extends SparkSpec {
     // a replayed non-empty epoch REPLACES a previously-empty attempt
     Topics.appendJson(Seq(("a", 1)).toDF("k", "n"), "rob_empty", conf, Nil, epoch = 1)
     assert(Topics.readBatchRecords(spark, "rob_empty", conf).count() === 1)
-    // and an empty replay of a non-empty epoch retracts it (the batch
-    // recomputed to nothing — the overwrite contract is total)
+    // and an empty replay of a non-empty epoch retracts it — the
+    // overwrite contract is total at THIS layer. (The runner's chained
+    // consumers additionally rely on replays being byte-stable, which
+    // holds there by construction: a checkpointed batch recomputes
+    // from the same offsets over deterministic selects, so an
+    // attempt/replay divergence like this one is reachable only
+    // through this direct API, never through the checkpointed path.)
     Topics.appendJson(none, "rob_empty", conf, Nil, epoch = 1)
     assert(Topics.readBatchRecords(spark, "rob_empty", conf).count() === 0)
   }

@@ -351,6 +351,39 @@ class StreamingStatementRunnerSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("promotion guards: aggregates over a promoted upsert driver reject loudly; chains drain out of declaration order") {
+    import graft.sources.{TopicConf, Topics}
+    import org.apache.spark.sql.types._
+    val conf = TopicConf(
+      java.nio.file.Files.createTempDirectory("graft-promote-guard").toString)
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("pg_src", StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType))))
+    // chain declared OUT of topological order: the downstream INSERT
+    // (from pg_a) runs BEFORE the upstream one (into pg_a) — a single
+    // drain pass would leave pg_b one level behind
+    r.runScript("""
+      CREATE TABLE pg_a (k STRING, v INT,
+        PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      CREATE TABLE pg_b (k STRING, doubled INT);
+      INSERT INTO pg_b SELECT k, v * 2 FROM pg_a;
+      INSERT INTO pg_a SELECT k, v FROM pg_src""")
+    Topics.appendJson(Seq(("a", 1), ("b", 2)).toDF("k", "v"), "pg_src", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(spark.table("pg_b").count() === 2,
+      "a single processAllAvailable must propagate the whole DAG " +
+        "regardless of statement declaration order")
+    // counting changelog revisions of an upsert table would be silently
+    // wrong after the first key revision — the runner must reject it
+    // at statement time, not return numbers
+    r.run("""CREATE TABLE pg_cnt (k STRING, n BIGINT,
+             PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    val err = intercept[IllegalArgumentException](
+      r.run("INSERT INTO pg_cnt SELECT k, count(*) AS n FROM pg_a GROUP BY k"))
+    assert(err.getMessage.contains("changelog revisions"))
+    r.stopAll()
+  }
+
   test("tableRefs: CTE aliases are not table references; dotted names resolve to the last part") {
     val r = new graft.exec.StreamingStatementRunner(spark)
     // a CTE alias counted as a ref would misroute a pure single-stream
