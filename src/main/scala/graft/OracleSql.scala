@@ -1733,6 +1733,12 @@ object OracleSql {
          SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
                 value AS last_value, ts_us
          FROM f WHERE rn = 1""",
+    // Promoted-append aggregate: a continuous GROUP BY over an append
+    // table's promoted changelog revises per-key counts in update mode
+    // and must land on the plain batch aggregate.
+    "q226_stream_promoted_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+         FROM events WHERE user_id % 4 = 0 GROUP BY user_id""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

@@ -2493,6 +2493,58 @@ object SparkEntry {
     "q225_stream_chained_insert" -> ((s, dir) =>
       streamUpsertRunner(s, dir, "q225", restartAfter = None, chained = true)),
 
+    // ── AGGREGATE over a promoted APPEND driver, DRIVER-GATED: the
+    //    promotion path REJECTS aggregates over upsert drivers (they'd
+    //    count revisions) but an append table IS a true insert stream —
+    //    a continuous GROUP BY over its promoted changelog revises
+    //    per-key counts in update mode, landing on the batch aggregate.
+    //    Raw events flow unfolded through 4 epochs so the count
+    //    genuinely accumulates cross-batch state ──
+    "q226_stream_promoted_agg" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      // a quarter of the users: the gate exercises cross-batch agg
+      // state, not JSON-encode throughput — the full-corpus encode
+      // quadrupled the gate's cost for zero extra coverage
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q226").toString)
+      // narrow the agg's state width for the fixture replay, exactly
+      // as StreamReplay.startNarrowState does: at this size the
+      // session's 32 partitions are per-trigger state-commit latency,
+      // not parallelism. start() clones the conf, so restoring after
+      // runScript is safe for the running queries.
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_raw_q226", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts_us", LongType))))
+        r.runScript("""
+          CREATE TABLE events_log_q226 (user_id BIGINT, event_id BIGINT, ts_us BIGINT);
+          INSERT INTO events_log_q226 SELECT user_id, event_id, ts_us FROM events_raw_q226;
+          CREATE TABLE user_counts_q226 (user_id BIGINT, n_events BIGINT,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_counts_q226
+          SELECT user_id, count(*) AS n_events FROM events_log_q226 GROUP BY user_id""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        Topics.appendJson(
+          ev.where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width),
+          "events_raw_q226", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("user_counts_q226").select(col("user_id"), col("n_events"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append
