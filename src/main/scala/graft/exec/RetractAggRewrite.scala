@@ -1,0 +1,113 @@
+package graft.exec
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Rewrites an ANALYZED streaming `Aggregate` over a SIGNED changelog
+  * (rows carry `__sign` ∈ {+1, −1}) into its retraction-folding form —
+  * the aggregate-function half of Flink's retract-mode aggregation
+  * (the `ChangelogNormalize` half lives in
+  * `graft.streaming.ChangelogNormalize`). Each sum-decomposable
+  * aggregate becomes a signed sum, so a `-1` row exactly cancels the
+  * `+1` it retracts and the running state equals the aggregate over
+  * the driver table's LATEST rows:
+  *
+  *  - `count(*)`        → `sum(__sign)`              (LongType, as count)
+  *  - `count(e, ...)`   → `sum(if(e... not null, __sign, 0))`
+  *  - `sum(e)`          → `sum(if(__sign > 0, e, -e))` (type-exact: the
+  *                        negation preserves e's type, so DECIMAL sums
+  *                        keep their precision/scale and retractions
+  *                        cancel EXACTLY; doubles cancel exactly too —
+  *                        same value added then subtracted)
+  *  - `avg(e)`          → signed sum ÷ signed non-null count, divided
+  *                        in double and cast back to avg's result type
+  *
+  * Everything else (min/max/first/collect/percentile/distinct...) is
+  * rejected LOUDLY: those need the full value multiset to retract from,
+  * which is a different state contract — aggregate the upstream
+  * append feed instead.
+  *
+  * A hidden `__net = sum(__sign)` aggregate is appended: when a group's
+  * net count reaches 0 every member was retracted and the group must be
+  * DELETED downstream (Flink emits -D; the runner turns `__net = 0`
+  * into an upsert tombstone). Output attribute ids, names, and types
+  * are preserved, so the rewritten plan is a drop-in for the original.
+  */
+object RetractAggRewrite {
+
+  /** Column name the signed changelog stream carries. */
+  val SignCol = "__sign"
+  /** Hidden net-count column the rewrite appends (0 ⇒ group deleted). */
+  val NetCol = "__net"
+
+  def apply(plan: LogicalPlan, driver: String): LogicalPlan = plan match {
+    case agg: Aggregate =>
+      val sign = agg.child.output.find(_.name == SignCol).getOrElse(
+        throw new IllegalArgumentException(
+          s"retract-aware aggregate over $driver: the select hides the table's " +
+            "changelog sign (a FROM-subquery projection?) — aggregate directly " +
+            "over the table (WHERE filters are fine)"))
+      val signL = Cast(sign, LongType)
+
+      def signed(child: Expression): Expression =
+        If(GreaterThan(sign, Literal(0)), child, UnaryMinus(child))
+
+      def rewriteAgg(ae: AggregateExpression): Expression = {
+        require(!ae.isDistinct,
+          s"retract-aware aggregate over $driver: DISTINCT aggregates are not " +
+            "retractable (a retraction cannot know whether another copy of the " +
+            "value remains) — aggregate the upstream append feed instead")
+        ae.aggregateFunction match {
+          case c: Count =>
+            val nonLit = c.children.filterNot(_.foldable)
+            val term: Expression =
+              if (nonLit.isEmpty) signL
+              else If(nonLit.map(IsNotNull(_): Expression).reduce(And(_, _)),
+                signL, Literal(0L))
+            ae.copy(aggregateFunction = Sum(term))
+          case s: Sum =>
+            ae.copy(aggregateFunction = Sum(signed(s.child)))
+          case a: Average =>
+            val num = ae.copy(aggregateFunction = Sum(signed(a.child)))
+            val den = AggregateExpression(
+              Sum(If(IsNotNull(a.child), signL, Literal(0L))),
+              ae.mode, isDistinct = false, ae.filter, NamedExpression.newExprId)
+            val denD = Cast(den, DoubleType)
+            // a fully-retracted (or all-null) group has denominator 0:
+            // its avg is NULL (the row is deleted downstream anyway) —
+            // never an ANSI divide-by-zero abort of the whole stream
+            Cast(If(EqualTo(denD, Literal(0.0d)),
+              Literal(null, DoubleType),
+              Divide(Cast(num, DoubleType), denD)), a.dataType)
+          case other =>
+            throw new IllegalArgumentException(
+              s"retract-aware aggregate over $driver: ${other.prettyName} is not " +
+                "sum-decomposable (retracting needs the full value multiset) — " +
+                "supported: count, sum, avg; aggregate the upstream append feed " +
+                "for anything else")
+        }
+      }
+
+      // one-pass recursion, never descending into a replacement — a
+      // transformDown would re-match the signed Sum an avg rewrite
+      // just produced and double-negate it
+      def rw(e: Expression): Expression = e match {
+        case ae: AggregateExpression => rewriteAgg(ae)
+        case other => other.mapChildren(rw)
+      }
+
+      val rewritten = agg.aggregateExpressions.map(ne =>
+        rw(ne).asInstanceOf[NamedExpression])
+      val net = Alias(
+        AggregateExpression(Sum(signL), Complete, isDistinct = false), NetCol)()
+      agg.copy(aggregateExpressions = rewritten :+ net)
+
+    case other =>
+      throw new IllegalArgumentException(
+        s"retract-aware aggregate over $driver: only a top-level GROUP BY " +
+          s"select is supported (got ${other.nodeName} above the aggregate) — " +
+          "move HAVING/ORDER BY/subquery logic to a consumer of the target table")
+  }
+}

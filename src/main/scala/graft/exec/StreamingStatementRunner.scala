@@ -87,6 +87,10 @@ final class StreamingStatementRunner(spark: SparkSession,
     * a later INSERT targeting one of them means the DAG is declared
     * out of topological order and the drain needs multiple passes. */
   private val promotedDrivers = scala.collection.mutable.Set.empty[String]
+  /** Qualified upsert tables that already have an INSERT writer — a
+    * second writer would interleave epochs nondeterministically (see
+    * the guard in [[run]]). */
+  private val upsertWriters = scala.collection.mutable.Set.empty[String]
   @volatile private var outOfOrderChain = false
   /** decoded (pre-cast, pre-watermark) topic sources by table name */
   private val sources = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -209,14 +213,39 @@ final class StreamingStatementRunner(spark: SparkSession,
       // an earlier statement promoted-consumes this target → the DAG
       // is declared out of topological order; widen the drain
       if (promotedDrivers.contains(binding.qualified)) outOfOrderChain = true
+      // ONE writer per upsert target: the epoch packing orders a
+      // topic's records per STATEMENT (batchId·2^4 + insertSeq), so a
+      // second writer's latest-by-offset would follow each statement's
+      // own batch progression, not arrival time — an older revision
+      // from the statement with the larger batchId would beat a newer
+      // one from the other, silently and forever. Reject at statement
+      // time (the slot is CLAIMED only once every later guard passes —
+      // a rejected statement must not burn it); append targets
+      // interleave harmlessly (records are facts).
+      val isUpsertTarget =
+        meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
+      if (isUpsertTarget)
+        require(synchronized { !upsertWriters.contains(binding.qualified) },
+          s"INSERT INTO $target: a second INSERT statement into upsert table " +
+            s"${binding.qualified} — two writers' epochs interleave by batch " +
+            "progression, not arrival, making latest-per-key nondeterministic. " +
+            "UNION the feeds into one INSERT, or target separate tables.")
       val refs = tableRefs(select)
       val streamRefs = refs.filter(r =>
         spark.catalog.tableExists(r) && spark.table(r).isStreaming)
+      val (aggContexts, topIsAgg) = aggregateContexts(select)
+      val hasAgg = aggContexts > 0
+      def rejectSnapshotAgg(): Unit = require(!hasAgg,
+        s"INSERT INTO $target: aggregating on the stream-to-snapshot join path " +
+          "would re-run the aggregate per micro-batch in isolation — each batch " +
+          "would sink PARTIAL (batch-local) aggregates, not a continuous one. " +
+          "Aggregate the stream alone into a keyed table, then join downstream.")
       val q =
         if (streamRefs.nonEmpty) {
-          if (streamRefs.size == 1 && refs.size > 1)
+          if (streamRefs.size == 1 && refs.size > 1) {
+            rejectSnapshotAgg()
             startSnapshotJoin(binding, meta, targetCols, select, streamRefs.head)
-          else
+          } else
             startDirect(binding, meta, targetCols, select)
         } else {
           // TABLE-TO-TABLE continuous INSERT (Flink's everyday shape,
@@ -234,34 +263,42 @@ final class StreamingStatementRunner(spark: SparkSession,
               "and no topic-backed table; use StatementRunner for batch")
           val driver = promotable.head
           promotedDrivers += catalog.qualify(driver)
-          // an AGGREGATE over a promoted UPSERT driver would count
-          // changelog REVISIONS, not latest state (no retraction
-          // channel — Flink's ChangelogNormalize has one, this path
-          // does not): reject LOUDLY instead of returning numbers that
-          // are silently wrong after the first key revision. Append
-          // drivers are true insert streams — aggregates are exact.
           val driverMeta = catalog.getOrCreate(driver)
-          if (driverMeta.changelogMode == ChangelogMode.Upsert &&
-              driverMeta.primaryKey.nonEmpty) {
-            val parsed = spark.sessionState.sqlParser.parsePlan(select)
-            val aggregates = parsed.collectFirst {
-              case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ()
-              case _: org.apache.spark.sql.catalyst.plans.logical.Distinct => ()
-            }.isDefined
-            require(!aggregates,
-              s"INSERT INTO $target: aggregating over promoted upsert table " +
-                s"$driver would count changelog revisions, not latest state " +
-                "(no retraction channel). Aggregate the upstream feed, or " +
-                "read the table's materialized state through the batch runner.")
-          }
-          val promoted = changelogStream(driver)
-          withViewShadow(driver, promoted) {
-            if (refs.size > 1)
-              startSnapshotJoin(binding, meta, targetCols, select, driver)
-            else
-              startDirect(binding, meta, targetCols, select)
+          val driverIsUpsert = driverMeta.changelogMode == ChangelogMode.Upsert &&
+            driverMeta.primaryKey.nonEmpty
+          val driverIsRetract = driverMeta.changelogMode == ChangelogMode.Retract
+          if (hasAgg && (driverIsUpsert || driverIsRetract)) {
+            // an aggregate over a CHANGELOG driver must fold revisions,
+            // not count them: route to the retraction-aware path —
+            // ChangelogNormalize (upsert) / the __op tag (retract)
+            // provides the sign, RetractAggRewrite folds it. Only the
+            // plain top-level GROUP BY shape is foldable; a subquery-
+            // hidden or nested aggregate would still see raw revisions,
+            // so anything else stays a loud rejection.
+            require(refs.size == 1, {
+              s"INSERT INTO $target: aggregate + join over promoted changelog " +
+                s"table $driver is unsupported — the snapshot-join path would " +
+                "re-aggregate per micro-batch. Aggregate the table alone into " +
+                "a keyed target, then join downstream."
+            })
+            require(topIsAgg && aggContexts == 1,
+              s"INSERT INTO $target: an aggregate hidden in a subquery (or " +
+                s"nested under other operators) over changelog table $driver " +
+                "would count revisions, not latest state — only a top-level " +
+                "GROUP BY select is retraction-foldable.")
+            startRetractAgg(binding, meta, targetCols, select, driver, driverMeta)
+          } else {
+            if (refs.size > 1) rejectSnapshotAgg()
+            val promoted = changelogStream(driver, warnTombstones = true)
+            withViewShadow(driver, promoted) {
+              if (refs.size > 1)
+                startSnapshotJoin(binding, meta, targetCols, select, driver)
+              else
+                startDirect(binding, meta, targetCols, select)
+            }
           }
         }
+      if (isUpsertTarget) synchronized { upsertWriters += binding.qualified }
       queries += q
       Some(q)
 
@@ -310,6 +347,44 @@ final class StreamingStatementRunner(spark: SparkSession,
           r.multipartIdentifier.last
       })
       .distinct.filterNot(cteNames.contains)
+  }
+
+  /** Count a select's AGGREGATE CONTEXTS on the PARSED plan, plus
+    * whether the TOP node is one. A context = a `GROUP BY` Aggregate
+    * node, a `SELECT DISTINCT` Distinct node, or any OTHER node whose
+    * expressions call an aggregate function (a global `SELECT count(*)`
+    * parses as a Project until ResolveFunctions runs; an aggregate in
+    * a scalar/IN subquery is an expression's plan, which
+    * `collectWithSubqueries` walks — ADVICE r13 item 4). Detection
+    * must stay PRE-analysis: the analyzed plan inlines the topic-backed
+    * views, whose latest-by-key materialization is itself an Aggregate
+    * and would false-positive every select over an upsert table. */
+  private[graft] def aggregateContexts(select: String): (Int, Boolean) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Distinct => LDistinct}
+    val parsed = spark.sessionState.sqlParser.parsePlan(select)
+    def isAggFunc(f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction): Boolean =
+      f.nameParts.size == 1 && spark.sessionState.functionRegistry
+        .lookupFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(
+          f.nameParts.head.toLowerCase(java.util.Locale.ROOT)))
+        .exists(_.getGroup == "agg_funcs")
+    var contexts = 0
+    var topIsAgg = false
+    parsed.collectWithSubqueries {
+      case a: LAggregate =>
+        contexts += 1; if (a eq parsed) topIsAgg = true
+      case d: LDistinct =>
+        contexts += 1; if (d eq parsed) topIsAgg = false // DISTINCT is never foldable here
+      case other =>
+        val callsAgg = other.expressions.exists(_.exists {
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction => isAggFunc(f)
+          case _ => false
+        })
+        if (callsAgg) {
+          contexts += 1
+          if (other eq parsed) topIsAgg = true // global aggregate: analyzer lifts to Aggregate
+        }
+    }
+    (contexts, topIsAgg)
   }
 
   /** The record schema [[sinkBatch]] writes for a table: the declared
@@ -399,9 +474,18 @@ final class StreamingStatementRunner(spark: SparkSession,
     * `__op` tag rides along). Semantics caveat (Flink's upsert-kafka
     * raw-record contract): every upsert REVISION flows as its own
     * record — a non-aggregating select sees the changelog exactly
-    * once; an aggregate over a promoted upsert stream counts records,
-    * not latest state. */
-  private def changelogStream(bare: String): DataFrame = {
+    * once. Aggregates never ride this stream raw: the runner routes
+    * them to [[startRetractAgg]] (changelog drivers) or native
+    * streaming aggregation (append drivers).
+    *
+    * `warnTombstones`: tombstone drops on this path are NOT silent —
+    * a startup probe warns if the topic already holds tombstones, and
+    * an `observe` metric (`graft_tombstones_dropped_<topic>`) counts
+    * drops at runtime, surfaced per statement in [[progressSummary]]
+    * (`tombstonesDropped`). A DELETE on the driver never reaches the
+    * downstream table — it retains the key's last value — so the
+    * operator watching progress sees the skew the moment it starts. */
+  private def changelogStream(bare: String, warnTombstones: Boolean = false): DataFrame = {
     val meta = catalog.getOrCreate(bare)
     val b = bind(bare)
     val declared = meta.schema.getOrElse(throw new IllegalArgumentException(
@@ -410,11 +494,101 @@ final class StreamingStatementRunner(spark: SparkSession,
     val records = Topics.readStreamRecords(spark, b.topic, conf)
     val decoded =
       if (isUpsert) {
+        if (warnTombstones &&
+            Topics.readBatchRecords(spark, b.topic, conf)
+              .where(col("value").isNull).take(1).nonEmpty)
+          System.err.println(
+            s"[graft] WARN: promoting upsert table $bare whose topic already " +
+              "holds TOMBSTONES — deletes do not flow to an append consumer; " +
+              "downstream tables keep each deleted key's last value")
+        val observed =
+          if (warnTombstones)
+            records.observe(s"graft_tombstones_dropped_${b.topic}",
+              sum(when(col("value").isNull, 1L).otherwise(0L)).as("dropped"))
+          else records
         val keySchema = StructType(declared.fields.filter(f => meta.primaryKey.contains(f.name)))
         val valueSchema = StructType(declared.fields.filterNot(f => meta.primaryKey.contains(f.name)))
-        Topics.decodeJson(records.where(col("value").isNotNull), valueSchema, Some(keySchema))
+        Topics.decodeJson(observed.where(col("value").isNotNull), valueSchema, Some(keySchema))
       } else Topics.decodeJson(records, sunkSchema(meta, declared))
     decoded.drop("__offset")
+  }
+
+  /** A changelog driver's topic as a SIGNED revision stream (`__sign`
+    * ∈ {+1, −1}) — the input [[startRetractAgg]] folds. Upsert drivers
+    * go through [[graft.streaming.ChangelogNormalize]] (per-key state
+    * expands each revision into retract-prior + add-new; tombstones
+    * retract alone); retract drivers already carry the sign as their
+    * `__op` tag. */
+  private def signedChangelogStream(bare: String, meta: TableMeta): DataFrame = {
+    val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
+    if (isUpsert) {
+      val b = bind(bare)
+      val declared = meta.schema.getOrElse(throw new IllegalArgumentException(
+        s"table $bare: no declared schema to decode its changelog"))
+      val keySchema = StructType(declared.fields.filter(f => meta.primaryKey.contains(f.name)))
+      val valueSchema = StructType(declared.fields.filterNot(f => meta.primaryKey.contains(f.name)))
+      graft.streaming.ChangelogNormalize
+        .normalizeUpsert(Topics.readStreamRecords(spark, b.topic, conf))
+        .toDF()
+        .select(
+          from_json(col("k"), keySchema).as("__k"),
+          from_json(col("v"), valueSchema).as("__v"),
+          col("sign").as(RetractAggRewrite.SignCol),
+          timestamp_micros(col("tsUs")).as("$rowtime"))
+        .select(col("__k.*"), col("__v.*"),
+          col(RetractAggRewrite.SignCol), col("$rowtime"))
+    } else
+      changelogStream(bare).withColumn(RetractAggRewrite.SignCol,
+        when(col("__op").isin("-U", "-D"), lit(-1)).otherwise(lit(1)))
+  }
+
+  /** Retraction-aware continuous aggregate over a promoted CHANGELOG
+    * driver — the Flink semantic the reference's aggregation lab
+    * exercises first (`GROUP BY` over `shoe_customers_keyed`,
+    * `terraform/lab-aggregations/main.tf:396,431`): the driver's
+    * revisions are normalized into signed rows, the select's aggregate
+    * functions are rewritten to fold the sign ([[RetractAggRewrite]]),
+    * and the running update-mode state equals the aggregate over the
+    * driver's LATEST rows at every trigger. A group whose net member
+    * count reaches 0 is DELETED downstream (upsert tombstone — Flink's
+    * -D). All state (normalize + aggregate) is checkpoint-recovered.
+    *
+    * The target must be an upsert (PRIMARY KEY) table: the output is
+    * an update stream, exactly Flink's update-mode sink requirement. */
+  private def startRetractAgg(target: TargetBinding, meta: TableMeta,
+                              targetCols: Seq[String], select: String,
+                              driver: String, driverMeta: TableMeta): StreamingQuery = {
+    require(meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty,
+      s"INSERT INTO ${target.qualified}: a retraction-folding aggregate is an " +
+        "UPDATE stream (groups revise and can be deleted) — the target needs " +
+        "PRIMARY KEY (upsert) semantics, as Flink requires of update-mode sinks")
+    val stmtId = nextInsertId(target)
+    val signed = signedChangelogStream(driver, driverMeta)
+    val analyzed = withViewShadow(driver, signed) {
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(spark.sql(select))
+    }
+    val df = org.apache.spark.sql.GraftSqlBridge.ofRows(
+      spark, RetractAggRewrite(analyzed, driver))
+    val userCols = df.columns.length - 1 // last column is the hidden __net
+    val names =
+      if (targetCols.nonEmpty) targetCols
+      else meta.schema.map(_.fieldNames.take(userCols).toSeq)
+        .getOrElse(df.columns.take(userCols).toSeq)
+    val renamed = df.toDF((names :+ RetractAggRewrite.NetCol): _*)
+    renamed.writeStream.outputMode("update")
+      .queryName(queryDisplayName(target, stmtId))
+      .option("checkpointLocation", checkpointDir(target, stmtId))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // net member count 0 ⇒ every row of the group was retracted —
+        // delete the group downstream (the upsert sink turns "-D" into
+        // a key tombstone), don't leave a stale zero-row
+        val withOp = batch
+          .withColumn("__op", when(col(RetractAggRewrite.NetCol) <= 0, lit("-D"))
+            .otherwise(lit("+I")))
+          .drop(RetractAggRewrite.NetCol)
+        sinkBatch(target, meta, withOp, stmtId, batchId)
+        ()
+      }.start()
   }
 
   /** Temporarily shadow `name`'s view with `df` while `body` BUILDS
@@ -561,17 +735,45 @@ final class StreamingStatementRunner(spark: SparkSession,
     * snapshot — a driver-side constant-size read, no job run. */
   def progressSummary: Seq[StatementProgress] = queries.toSeq.flatMap { q =>
     Option(q.lastProgress).map { p =>
+      // tombstones skipped by a promoted upsert driver THIS trigger
+      // (ADVICE r13: never silent) — the observe metric registered in
+      // changelogStream, keyed graft_tombstones_dropped_<topic>
+      val dropped = {
+        val om = p.observedMetrics
+        om.keySet().toArray.collect {
+          case n: String if n.startsWith("graft_tombstones_dropped_") =>
+            om.get(n).getLong(0)
+        }.sum
+      }
       StatementProgress(
         name = Option(p.name).getOrElse(q.id.toString),
         batchId = p.batchId,
         inputRows = p.numInputRows,
         rowsPerSecond = p.processedRowsPerSecond,
-        watermark = Option(p.eventTime.get("watermark")).getOrElse(""))
+        watermark = Option(p.eventTime.get("watermark")).getOrElse(""),
+        tombstonesDropped = dropped)
     }
   }
+
+  /** Tombstones skipped by promoted-driver consumers across the RECENT
+    * progress window (Spark retains ~100 batches) — the
+    * "downstream is retaining deleted keys" alarm at a glance; the
+    * per-batch figure rides [[progressSummary]]. */
+  def tombstonesDroppedRecent: Long = queries.toSeq.flatMap(_.recentProgress).map { p =>
+    val om = p.observedMetrics
+    om.keySet().toArray.collect {
+      case n: String if n.startsWith("graft_tombstones_dropped_") =>
+        om.get(n).getLong(0)
+    }.sum
+  }.sum
 }
 
-/** Snapshot of one long-running INSERT's last completed micro-batch. */
+/** Snapshot of one long-running INSERT's last completed micro-batch.
+  * `tombstonesDropped`: upsert-driver DELETEs skipped by a promoted
+  * append consumer in that batch (they cannot flow without a
+  * retraction channel) — non-zero means the downstream table is
+  * retaining deleted keys. */
 final case class StatementProgress(name: String, batchId: Long,
                                    inputRows: Long, rowsPerSecond: Double,
-                                   watermark: String)
+                                   watermark: String,
+                                   tombstonesDropped: Long = 0L)

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Raw upsert-topic record (pre-decode): key/value JSON strings plus
+  * the offset (in-batch ordering) and record time (micros). A
+  * tombstone arrives with `v = null`. */
+final case class UpsertRec(k: String, v: String, offset: Long, tsUs: Long)
+
+/** One signed changelog row: `sign = +1` adds the JSON-encoded value to
+  * downstream state, `-1` retracts it — the (+U/-U/+I/-D) alphabet of
+  * a retract stream collapsed to the arithmetic that fold-able
+  * aggregates need. */
+final case class SignedRec(k: String, v: String, sign: Int, tsUs: Long)
+
+/** Upsert-changelog normalization — the Spark form of Flink's
+  * `ChangelogNormalize` operator (the reference's managed engine
+  * inserts it whenever a query aggregates over an upsert/compacted
+  * topic such as `shoe_customers_keyed`,
+  * `terraform/lab-aggregations/main.tf:396,431`): per primary key, each
+  * incoming revision is expanded into a RETRACTION of the key's prior
+  * version followed by an ADDITION of the new one; a tombstone emits
+  * the retraction alone. Downstream, any sum-decomposable aggregate
+  * folds the signed rows into exactly the aggregate over the table's
+  * LATEST state (the per-key contributions telescope).
+  *
+  * Scale shape: one shuffle on the key (the same exchange the
+  * downstream keyed aggregate needs anyway); state = ONE value per
+  * live key (the compacted-topic working set), sharded by that
+  * exchange, checkpoint-recovered across restarts. The per-group sort
+  * is over ONE key's rows within ONE micro-batch — bounded by the
+  * key's per-trigger revision count, never the corpus.
+  */
+object ChangelogNormalize {
+
+  /** Normalize raw upsert-topic records (the `Topics.recordSchema`
+    * shape, TOMBSTONES INCLUDED) into signed revision rows. Within a
+    * micro-batch a key's revisions apply in OFFSET order — the topic's
+    * total order per key — so cross-revision retractions pair up
+    * deterministically regardless of shuffle arrival order. */
+  def normalizeUpsert(records: DataFrame): Dataset[SignedRec] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records
+      .select(col("key").cast("string").as("k"), col("value").cast("string").as("v"),
+        col("offset"), unix_micros(col("timestamp")).as("tsUs"))
+      .as[UpsertRec]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[String, SignedRec](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[UpsertRec], state) =>
+          var cur = state.getOption
+          val out = List.newBuilder[SignedRec]
+          rows.toSeq.sortBy(_.offset).foreach { r =>
+            cur.foreach(old => out += SignedRec(k, old, -1, r.tsUs))
+            if (r.v != null) {
+              out += SignedRec(k, r.v, +1, r.tsUs)
+              cur = Some(r.v)
+              state.update(r.v)
+            } else {
+              cur = None
+              state.remove()
+            }
+          }
+          out.result().iterator
+      }
+  }
+}

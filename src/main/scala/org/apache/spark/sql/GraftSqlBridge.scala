@@ -27,6 +27,14 @@ object GraftSqlBridge {
   def analyzedPlan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** DataFrame over a LogicalPlan (`Dataset.ofRows` is sql-private) —
+    * the execution seam for engine-rewritten plans (the retraction-
+    * aware aggregate rewrite transforms an ANALYZED Aggregate and needs
+    * it back as a runnable, still-streaming DataFrame). */
+  def ofRows(session: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a query-execution listener (action-completion hook) on a
     * session (`listenerManager` is classic-only). */
   def onActionComplete(session: SparkSession,

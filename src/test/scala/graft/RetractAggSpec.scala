@@ -1,0 +1,206 @@
+package graft
+
+import graft.exec.StreamingStatementRunner
+import graft.sources.{TopicConf, Topics}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+
+final case class RaRow(k: String, grp: String, amt: Double)
+
+/** Retraction-aware continuous aggregates over promoted changelog
+  * drivers (VERDICT r13 item 1 — the Flink semantic the reference's
+  * aggregation lab exercises: `GROUP BY` over the upsert table
+  * `shoe_customers_keyed`, `terraform/lab-aggregations/main.tf:396,431`):
+  * ChangelogNormalize expands each upsert revision into retract-prior +
+  * add-new; RetractAggRewrite folds the sign into count/sum/avg; a
+  * group whose members are all retracted is DELETED downstream. Plus
+  * the round-14 guard set: hidden/subquery aggregates, non-foldable
+  * functions, DISTINCT, snapshot-join aggregates, and multi-writer
+  * upsert targets all reject loudly. */
+class RetractAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newConf(tag: String): TopicConf =
+    TopicConf(java.nio.file.Files.createTempDirectory(s"graft-$tag").toString)
+
+  private val srcSchema = StructType(Seq(
+    StructField("k", StringType), StructField("grp", StringType),
+    StructField("amt", DoubleType)))
+
+  /** S1-style upsert pipeline + the continuous aggregate under test:
+    * feed → acct (PK k) → grp_stats (PK grp). `grp = 'DEL'` rows in
+    * the feed become tombstones on acct. */
+  private def upsertAggRunner(conf: TopicConf, src: String): StreamingStatementRunner = {
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource(src, srcSchema)
+    r.runScript(s"""
+      CREATE TABLE acct (k STRING, grp STRING, amt DOUBLE, __op STRING,
+        PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO acct
+      SELECT k, grp, amt, CASE WHEN grp = 'DEL' THEN '-D' ELSE '+U' END FROM $src;
+      CREATE TABLE grp_stats (grp STRING, n BIGINT, total DOUBLE, avg_amt DOUBLE,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO grp_stats
+      SELECT grp, count(*) AS n,
+             CAST(sum(CAST(amt AS DECIMAL(18,4))) AS DOUBLE) AS total,
+             avg(amt) AS avg_amt
+      FROM acct GROUP BY grp""")
+    r
+  }
+
+  private def stats(): Map[String, (Long, Double, Double)] =
+    spark.table("grp_stats").as[(String, Long, Double, Double)]
+      .collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+
+  test("upsert driver: count/sum/avg fold revisions and tombstones; emptied groups are deleted") {
+    val conf = newConf("ra-upsert")
+    val r = upsertAggRunner(conf, "ra_src")
+
+    // epoch 1: k1,k2 → g1; k3 → g2
+    Topics.appendJson(Seq(RaRow("k1", "g1", 10.0), RaRow("k2", "g1", 20.0),
+      RaRow("k3", "g2", 5.0)).toDF(), "ra_src", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(stats() === Map("g1" -> ((2L, 30.0, 15.0)), "g2" -> ((1L, 5.0, 5.0))))
+
+    // epoch 2: k2 REVISES g1→g2 — retract from g1, add to g2 (a
+    // revision-counting aggregate would report g1 n=2, g2 n=2)
+    Topics.appendJson(Seq(RaRow("k2", "g2", 7.0)).toDF(), "ra_src", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(stats() === Map("g1" -> ((1L, 10.0, 10.0)), "g2" -> ((2L, 12.0, 6.0))))
+
+    // epoch 3: tombstone k3 — its stored g2 membership retracts
+    Topics.appendJson(Seq(RaRow("k3", "DEL", 0.0)).toDF(), "ra_src", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(stats() === Map("g1" -> ((1L, 10.0, 10.0)), "g2" -> ((1L, 7.0, 7.0))))
+
+    // epoch 4: tombstone k1 — g1 EMPTIES and must be DELETED from the
+    // target (Flink's -D), not left as a stale zero-row
+    Topics.appendJson(Seq(RaRow("k1", "DEL", 0.0)).toDF(), "ra_src", conf, Nil, 4)
+    r.processAllAvailable()
+    assert(stats() === Map("g2" -> ((1L, 7.0, 7.0))),
+      "a fully-retracted group must tombstone its key downstream")
+
+    // epoch 5: g1 resurrects with a fresh row
+    Topics.appendJson(Seq(RaRow("k4", "g1", 3.0)).toDF(), "ra_src", conf, Nil, 5)
+    r.processAllAvailable()
+    assert(stats() === Map("g1" -> ((1L, 3.0, 3.0)), "g2" -> ((1L, 7.0, 7.0))))
+    r.stopAll()
+  }
+
+  test("retract driver: the __op tag is the sign channel; -U rows retract downstream state") {
+    val conf = newConf("ra-retract")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rr_src", StructType(Seq(
+      StructField("grp", StringType), StructField("amt", DoubleType),
+      StructField("__op", StringType))))
+    r.runScript("""
+      CREATE TABLE rlog (grp STRING, amt DOUBLE, __op STRING)
+        WITH ('changelog.mode' = 'retract');
+      INSERT INTO rlog SELECT grp, amt, __op FROM rr_src;
+      CREATE TABLE rstats (grp STRING, n BIGINT, total DOUBLE,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rstats
+      SELECT grp, count(*) AS n,
+             CAST(sum(CAST(amt AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM rlog GROUP BY grp""")
+
+    Topics.appendJson(Seq(("g1", 10.0, "+I"), ("g1", 20.0, "+I"))
+      .toDF("grp", "amt", "__op"), "rr_src", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(spark.table("rstats").as[(String, Long, Double)].collect().toSet
+      === Set(("g1", 2L, 30.0)))
+
+    // a -U/+U pair moves one row from g1 to g2 across a batch boundary
+    Topics.appendJson(Seq(("g1", 20.0, "-U"), ("g2", 20.0, "+U"))
+      .toDF("grp", "amt", "__op"), "rr_src", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(spark.table("rstats").as[(String, Long, Double)].collect().toSet
+      === Set(("g1", 1L, 10.0), ("g2", 1L, 20.0)))
+    r.stopAll()
+  }
+
+  test("guards: non-foldable/distinct/hidden aggregates, joins, update-into-append all reject loudly") {
+    val conf = newConf("ra-guards")
+    val r = upsertAggRunner(conf, "rg_src")
+    Topics.appendJson(Seq(RaRow("k1", "g1", 1.0)).toDF(), "rg_src", conf, Nil, 1)
+    r.processAllAvailable()
+
+    r.run("""CREATE TABLE g_bad (grp STRING, x DOUBLE,
+             PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    // min/max need the full value multiset to retract from
+    val e1 = intercept[IllegalArgumentException](
+      r.run("INSERT INTO g_bad SELECT grp, max(amt) FROM acct GROUP BY grp"))
+    assert(e1.getMessage.contains("not sum-decomposable"))
+    // DISTINCT cannot know whether another copy of the value remains
+    val e2 = intercept[IllegalArgumentException](
+      r.run("INSERT INTO g_bad SELECT grp, count(DISTINCT k) FROM acct GROUP BY grp"))
+    assert(e2.getMessage.contains("DISTINCT"))
+    // an aggregate hidden in a scalar subquery (an expression, not a
+    // plan child — ADVICE r13 item 4) still sees raw revisions
+    r.run("CREATE TABLE g_flat (k STRING, grp STRING)")
+    val e3 = intercept[IllegalArgumentException](
+      r.run("""INSERT INTO g_flat
+               SELECT k, grp FROM acct WHERE amt > (SELECT avg(amt) FROM acct)"""))
+    assert(e3.getMessage.contains("hidden in a subquery"))
+    // aggregate + join over the promoted driver would snapshot-join
+    val e4 = intercept[IllegalArgumentException](
+      r.run("""INSERT INTO g_bad
+               SELECT a.grp, count(*) FROM acct a
+               JOIN grp_stats s ON a.grp = s.grp GROUP BY a.grp"""))
+    assert(e4.getMessage.contains("aggregate + join"))
+    // the folded aggregate is an UPDATE stream: an append (no-PK)
+    // target must reject, as Flink's update-mode sink contract does
+    val e5 = intercept[IllegalArgumentException](
+      r.run("INSERT INTO g_flat SELECT grp, CAST(count(*) AS STRING) FROM acct GROUP BY grp"))
+    assert(e5.getMessage.contains("PRIMARY KEY"))
+    r.stopAll()
+  }
+
+  test("guards: snapshot-join aggregates and second upsert writers reject loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val conf = newConf("ra-guards2")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    val orders = MemoryStream[SOrd]
+    orders.toDF().createOrReplaceTempView("ra_orders_s")
+    Seq(("p1", "shoes")).toDF("pid", "cat").createOrReplaceTempView("ra_dim")
+    r.run("""CREATE TABLE cat_counts (cat STRING, n BIGINT,
+             PRIMARY KEY (cat) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    // external stream + batch dim + GROUP BY: the per-micro-batch
+    // snapshot join would sink batch-local partial aggregates
+    val e1 = intercept[IllegalArgumentException](
+      r.run("""INSERT INTO cat_counts
+               SELECT d.cat, count(*) FROM ra_orders_s o
+               JOIN ra_dim d ON o.product_id = d.pid GROUP BY d.cat"""))
+    assert(e1.getMessage.contains("stream-to-snapshot"))
+    // one writer per upsert target: epoch packing is per-statement
+    r.run("INSERT INTO cat_counts SELECT product_id, count(*) FROM ra_orders_s GROUP BY product_id")
+    val e2 = intercept[IllegalArgumentException](
+      r.run("INSERT INTO cat_counts SELECT customer_id, count(*) FROM ra_orders_s GROUP BY customer_id"))
+    assert(e2.getMessage.contains("second INSERT"))
+    r.stopAll()
+  }
+
+  test("tombstones skipped by a non-aggregating promoted consumer are observable, never silent") {
+    val conf = newConf("ra-tomb")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rt_src", srcSchema)
+    // acct is upsert; the chained flat consumer has no retraction
+    // channel, so DELETEs cannot flow — the runner must surface them
+    r.runScript("""
+      CREATE TABLE acct_t (k STRING, grp STRING, amt DOUBLE, __op STRING,
+        PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO acct_t
+      SELECT k, grp, amt, CASE WHEN grp = 'DEL' THEN '-D' ELSE '+U' END FROM rt_src;
+      CREATE TABLE flat_t (k STRING, grp STRING);
+      INSERT INTO flat_t SELECT k, grp FROM acct_t""")
+    Topics.appendJson(Seq(RaRow("k1", "g1", 1.0), RaRow("k2", "g1", 2.0)).toDF(),
+      "rt_src", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(r.tombstonesDroppedRecent === 0L)
+    Topics.appendJson(Seq(RaRow("k1", "DEL", 0.0)).toDF(), "rt_src", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(r.tombstonesDroppedRecent === 1L,
+      "the dropped tombstone must surface in the progress metrics")
+    r.stopAll()
+  }
+}

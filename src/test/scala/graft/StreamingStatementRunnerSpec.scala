@@ -351,7 +351,7 @@ class StreamingStatementRunnerSpec extends SparkSpec {
     r.stopAll()
   }
 
-  test("promotion guards: aggregates over a promoted upsert driver reject loudly; chains drain out of declaration order") {
+  test("promotion: chains drain out of declaration order; upsert-driver aggregates fold retractions") {
     import graft.sources.{TopicConf, Topics}
     import org.apache.spark.sql.types._
     val conf = TopicConf(
@@ -373,14 +373,27 @@ class StreamingStatementRunnerSpec extends SparkSpec {
     assert(spark.table("pg_b").count() === 2,
       "a single processAllAvailable must propagate the whole DAG " +
         "regardless of statement declaration order")
-    // counting changelog revisions of an upsert table would be silently
-    // wrong after the first key revision — the runner must reject it
-    // at statement time, not return numbers
-    r.run("""CREATE TABLE pg_cnt (k STRING, n BIGINT,
-             PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
-    val err = intercept[IllegalArgumentException](
-      r.run("INSERT INTO pg_cnt SELECT k, count(*) AS n FROM pg_a GROUP BY k"))
-    assert(err.getMessage.contains("changelog revisions"))
+    // round 14 (VERDICT r13 item 1): an aggregate over the promoted
+    // upsert driver is now RETRACTION-AWARE — it folds revisions into
+    // latest-state aggregates instead of counting them. Group by a
+    // VALUE-derived key so a key revision genuinely moves a row
+    // between groups.
+    r.run("""CREATE TABLE pg_cnt (par STRING, n BIGINT,
+             PRIMARY KEY (par) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    r.run("""INSERT INTO pg_cnt
+             SELECT CASE WHEN v % 2 = 0 THEN 'even' ELSE 'odd' END, count(*) AS n
+             FROM pg_a GROUP BY 1""")
+    r.processAllAvailable()
+    assert(spark.table("pg_cnt").as[(String, Long)].collect().toMap
+      === Map("odd" -> 1L, "even" -> 1L))
+    // revise key "a" from v=1 (odd) to v=4 (even): the revision must
+    // RETRACT from odd (group emptied → deleted) and add to even — a
+    // revision-counting aggregate would report odd=1, even=2
+    Topics.appendJson(Seq(("a", 4)).toDF("k", "v"), "pg_src", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(spark.table("pg_cnt").as[(String, Long)].collect().toMap
+      === Map("even" -> 2L),
+      "upsert revision must retract its prior group (odd emptied ⇒ deleted)")
     r.stopAll()
   }
 
