@@ -1739,6 +1739,31 @@ object OracleSql {
     "q226_stream_promoted_agg" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
          FROM events WHERE user_id % 4 = 0 GROUP BY user_id""",
+    // Retraction-aware aggregate over an UPSERT changelog driver: each
+    // per-epoch revision retracts the user's prior contribution and
+    // adds the new one, so the final continuous-aggregate state equals
+    // the batch aggregate over latest-per-key — NOT over revisions.
+    "q227_stream_retract_agg_upsert" ->
+      """WITH latest AS (
+           SELECT user_id, event_type, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events) WHERE rn = 1)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM latest GROUP BY event_type""",
+    // Retract-mode topic consumed by a chained aggregate: explicit
+    // -U/+U revision pairs flow through and fold, so the final state
+    // equals the batch aggregate over each user's last revision.
+    "q228_stream_retract_consume" ->
+      """WITH latest AS (
+           SELECT user_id, event_type, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 4 = 0) WHERE rn = 1)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM latest GROUP BY event_type""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

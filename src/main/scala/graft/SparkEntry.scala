@@ -2545,6 +2545,157 @@ object SparkEntry {
       s.table("user_counts_q226").select(col("user_id"), col("n_events"))
     }),
 
+    // ── RETRACTION-AWARE AGGREGATE over an UPSERT changelog driver,
+    //    DRIVER-GATED (round 14, VERDICT r13 item 1 — the Flink
+    //    semantic the reference's aggregation lab runs first:
+    //    GROUP BY over shoe_customers_keyed,
+    //    terraform/lab-aggregations/main.tf:396,431): the S1 pipeline
+    //    revises user_latest per epoch; the chained aggregate folds
+    //    each revision as retract-prior + add-new (ChangelogNormalize
+    //    → RetractAggRewrite), so a user whose latest event_type
+    //    changes MOVES between groups. Final state = the aggregate
+    //    over batch latest-per-key — a revision-counting aggregate
+    //    would disagree on every re-keyed user ──
+    "q227_stream_retract_agg_upsert" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q227").toString)
+      // narrow stateful-shuffle width for the fixture replay (q226's
+      // rationale: 32 partitions are per-trigger state-commit latency
+      // at this size; start() clones the conf so restoring is safe)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_feed_q227", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType),
+          StructField("ts_us", LongType))))
+        r.runScript("""
+          CREATE TABLE user_latest_q227 (
+            user_id BIGINT, last_event_id BIGINT, last_event_type STRING,
+            last_value DOUBLE, ts_us BIGINT,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_latest_q227
+          SELECT user_id, event_id, event_type, value, ts_us FROM events_feed_q227;
+          CREATE TABLE type_stats_q227 (event_type STRING, n_users BIGINT,
+            sum_value DOUBLE,
+            PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO type_stats_q227
+          SELECT last_event_type, count(*) AS n_users,
+                 CAST(sum(CAST(last_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          FROM user_latest_q227 GROUP BY last_event_type""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        // per-epoch fold to max-(ts, event_id) per user (q202's
+        // discipline): ≤1 revision per user per epoch, deterministic
+        // arrival, and the revision chain telescopes to overall latest
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_id"), col("event_type"), col("value"),
+            col("ts_us")), struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.event_id"), col("__l.event_type"),
+            col("__l.value"), col("__l.ts_us"))
+        Topics.appendJson(slice, "events_feed_q227", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("type_stats_q227").select(col("event_type"), col("n_users"),
+        col("sum_value"))
+    }),
+
+    // ── RETRACT-MODE topic consumed by a chained aggregate, DRIVER-
+    //    GATED (round 14, VERDICT r13 item 3 — S5's
+    //    changelog.mode=retract, lab-aggregations/main.tf:530): the
+    //    per-user revision chain rides the topic as EXPLICIT -U/+U
+    //    pairs; the chained statement folds the __op tag as the sign
+    //    channel (no normalize state needed). Final aggregate state =
+    //    the batch aggregate over each user's last revision ──
+    "q228_stream_retract_consume" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      // quarter of the users: the gate exercises the -U/+U fold, not
+      // JSON-encode throughput (q226's rationale)
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q228").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("rev_feed_q228", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType),
+          StructField("ts_us", LongType), StructField("__op", StringType))))
+        r.runScript("""
+          CREATE TABLE rev_log_q228 (user_id BIGINT, event_id BIGINT,
+            event_type STRING, value DOUBLE, ts_us BIGINT, __op STRING)
+            WITH ('changelog.mode' = 'retract');
+          INSERT INTO rev_log_q228
+          SELECT user_id, event_id, event_type, value, ts_us, __op FROM rev_feed_q228;
+          CREATE TABLE type_stats_q228 (event_type STRING, n_rows BIGINT,
+            sum_value DOUBLE,
+            PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO type_stats_q228
+          SELECT event_type, count(*) AS n_rows,
+                 CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          FROM rev_log_q228 GROUP BY event_type""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      // per-(epoch, user) fold, then the EXPLICIT retract chain: the
+      // first revision of a user is +I; each later one emits -U with
+      // the PRIOR epoch-fold's full row, then +U with its own
+      // integral div (not `/`, which is double division and can round a
+      // boundary timestamp into the adjacent epoch); operands non-negative
+      val folded = ev
+        .withColumn("ep", expr(s"(ts_us - ${lo}L) div ${width}L"))
+        .groupBy(col("ep"), col("user_id"))
+        .agg(max_by(struct(col("event_id"), col("event_type"), col("value"),
+          col("ts_us")), struct(col("ts_us"), col("event_id"))).as("__l"))
+        .select(col("ep"), col("user_id"), col("__l.event_id"),
+          col("__l.event_type"), col("__l.value"), col("__l.ts_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ep"))
+      val chained = folded
+        .withColumn("p_event_id", lag(col("event_id"), 1).over(w))
+        .withColumn("p_event_type", lag(col("event_type"), 1).over(w))
+        .withColumn("p_value", lag(col("value"), 1).over(w))
+        .withColumn("p_ts_us", lag(col("ts_us"), 1).over(w))
+        .localCheckpoint() // 4 epoch filters below re-scan this frame
+      def records(i: Int) = {
+        val cur = chained.where(col("ep") === i)
+        val adds = cur.select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts_us"),
+          when(col("p_event_id").isNull, lit("+I")).otherwise(lit("+U")).as("__op"))
+        val retracts = cur.where(col("p_event_id").isNotNull)
+          .select(col("user_id"), col("p_event_id").as("event_id"),
+            col("p_event_type").as("event_type"), col("p_value").as("value"),
+            col("p_ts_us").as("ts_us"), lit("-U").as("__op"))
+        adds.unionByName(retracts)
+      }
+      (0 until epochs).foreach { i =>
+        Topics.appendJson(records(i), "rev_feed_q228", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("type_stats_q228").select(col("event_type"), col("n_rows"),
+        col("sum_value"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

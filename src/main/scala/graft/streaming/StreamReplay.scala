@@ -212,7 +212,12 @@ object StreamReplay {
     val empty = tagged.isEmpty
     if (empty) return spark.emptyDataset[TemporalMatch].toDF()
     val hi = tagged.agg(max(col("tsMillis"))).collect().head.getLong(0)
-    val sentinel = Seq(TemporalRow(SentinelKey, -1L, hi + 1, "", isDim = true)).toDS()
+    // hi + 2, not hi + 1: a fact AT ts = hi sets its wake-up timeout to
+    // hi + 1, and Spark fires event-time timeouts only when the
+    // watermark STRICTLY exceeds them — a sentinel at hi + 1 leaves the
+    // max-timestamp fact pending forever (silently one row short
+    // whenever the corpus' latest event is a fact, as at sf0.001)
+    val sentinel = Seq(TemporalRow(SentinelKey, -1L, hi + 2, "", isDim = true)).toDS()
     replayAppend(tagged.toDF(), "tsMillis", stageDir, slices, queryName,
       Some(sentinel.toDF())) { s =>
       StreamOps.temporalJoinEventTimeTagged(
