@@ -2493,11 +2493,12 @@ object SparkEntry {
     "q225_stream_chained_insert" -> ((s, dir) =>
       streamUpsertRunner(s, dir, "q225", restartAfter = None, chained = true)),
 
-    // ── AGGREGATE over a promoted APPEND driver, DRIVER-GATED: the
-    //    promotion path REJECTS aggregates over upsert drivers (they'd
-    //    count revisions) but an append table IS a true insert stream —
-    //    a continuous GROUP BY over its promoted changelog revises
-    //    per-key counts in update mode, landing on the batch aggregate.
+    // ── AGGREGATE over a promoted APPEND driver, DRIVER-GATED: an
+    //    append table is a true insert stream, so the continuous
+    //    GROUP BY runs as NATIVE streaming aggregation (no retraction
+    //    machinery — contrast q227/q228, whose changelog drivers fold
+    //    signed revisions), revising per-key counts in update mode and
+    //    landing on the batch aggregate.
     //    Raw events flow unfolded through 4 epochs so the count
     //    genuinely accumulates cross-batch state ──
     "q226_stream_promoted_agg" -> ((s, dir) => {
