@@ -26,16 +26,18 @@ import scala.jdk.CollectionConverters._
   */
 object AvroCodec {
 
-  /** subject → schema JSON: the engine-catalog stand-in for Schema
-    * Registry (schemas are *inferred* by looking up the subject).
+  /** subject → schema JSON: the in-memory [[SchemaRegistryClient]] —
+    * the engine-catalog stand-in for a live Schema Registry (a REST
+    * implementation of the same trait is the env-limited seam, one
+    * class away — see `SchemaRegistry.scala`).
     *
-    * Also assigns GLOBAL schema ids with Schema Registry's semantics:
-    * an id names a schema (not a subject) cluster-wide, so registering
-    * the same schema text under two subjects yields ONE id, and the
-    * 4-byte id in a framed record is resolvable without knowing which
-    * topic it came from. Ids are what the Confluent wire format
+    * Assigns GLOBAL schema ids with Schema Registry's semantics: an id
+    * names a schema (not a subject) cluster-wide, so registering the
+    * same schema text under two subjects yields ONE id, and the 4-byte
+    * id in a framed record is resolvable without knowing which topic
+    * it came from. Ids are what the Confluent wire format
     * (`wireFrame`/`unframe`) embeds after the 0x00 magic byte. */
-  final class SchemaSubjects {
+  final class SchemaSubjects extends SchemaRegistryClient {
     private val subjects = scala.collection.concurrent.TrieMap.empty[String, String]
     private val idBySchema = scala.collection.concurrent.TrieMap.empty[String, Int]
     private val schemaById = scala.collection.concurrent.TrieMap.empty[Int, String]
@@ -205,7 +207,7 @@ object AvroCodec {
     * registered schema and wrap in the wire frame. Fails loudly on an
     * unregistered subject — a producer without a registered schema has
     * no id to frame with, same as a real SR-backed producer. */
-  def encodeFramedRecord(reg: SchemaSubjects, subject: String,
+  def encodeFramedRecord(reg: SchemaRegistryClient, subject: String,
                          values: Map[String, Any]): Array[Byte] = {
     val schemaJson = reg.lookup(subject).getOrElse(
       throw new IllegalArgumentException(s"no schema registered for subject $subject"))
