@@ -3,6 +3,7 @@ package graft
 import graft.exec.StreamingStatementRunner
 import graft.sources.{TopicConf, Topics}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, sum, when}
 import org.apache.spark.sql.types._
 
 final case class RaRow(k: String, grp: String, amt: Double)
@@ -177,6 +178,51 @@ class RetractAggSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       r.run("INSERT INTO cat_counts SELECT customer_id, count(*) FROM ra_orders_s GROUP BY customer_id"))
     assert(e2.getMessage.contains("second INSERT"))
+    r.stopAll()
+  }
+
+  test("retract-mode driver through a chained JOIN: -U/+U pairs flow, tags intact, dims enriched") {
+    // VERDICT r13 item 3's join shape: a statement whose FROM consumes
+    // a retract-mode table joined to an upsert dim — every -U/+U
+    // revision record must flow through the snapshot join exactly once
+    // with its __op tag intact and the dim's CURRENT state attached
+    val conf = newConf("ra-rjoin")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rj_src", StructType(Seq(
+      StructField("grp", StringType), StructField("amt", DoubleType),
+      StructField("__op", StringType))))
+    r.registerTopicSource("rj_dim_src", StructType(Seq(
+      StructField("g", StringType), StructField("label", StringType))))
+    r.runScript("""
+      CREATE TABLE rj_log (grp STRING, amt DOUBLE, __op STRING)
+        WITH ('changelog.mode' = 'retract');
+      INSERT INTO rj_log SELECT grp, amt, __op FROM rj_src;
+      CREATE TABLE rj_dim (g STRING, label STRING,
+        PRIMARY KEY (g) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rj_dim SELECT g, label FROM rj_dim_src;
+      CREATE TABLE rj_out (grp STRING, amt DOUBLE, label STRING, __op STRING)
+        WITH ('changelog.mode' = 'retract');
+      INSERT INTO rj_out
+      SELECT l.grp, l.amt, d.label, l.__op
+      FROM rj_log l JOIN rj_dim d ON l.grp = d.g""")
+    Topics.appendJson(Seq(("g1", "alpha")).toDF("g", "label"), "rj_dim_src", conf, Nil, 1)
+    r.processAllAvailable()
+    Topics.appendJson(Seq(("g1", 10.0, "+I")).toDF("grp", "amt", "__op"),
+      "rj_src", conf, Nil, 1)
+    r.processAllAvailable()
+    Topics.appendJson(Seq(("g1", 10.0, "-U"), ("g1", 25.0, "+U"))
+      .toDF("grp", "amt", "__op"), "rj_src", conf, Nil, 2)
+    r.processAllAvailable()
+    val got = spark.table("rj_out").as[(String, Double, String, String)].collect().toSet
+    assert(got === Set(("g1", 10.0, "alpha", "+I"), ("g1", 10.0, "alpha", "-U"),
+      ("g1", 25.0, "alpha", "+U")),
+      s"every revision record must cross the join once, tag intact: $got")
+    // the downstream retract table folds to the same net as the driver
+    val net = spark.table("rj_out")
+      .groupBy("grp")
+      .agg(sum(when(col("__op").isin("-U", "-D"), -col("amt")).otherwise(col("amt"))).as("net"))
+      .as[(String, Double)].collect().toMap
+    assert(net === Map("g1" -> 25.0))
     r.stopAll()
   }
 
