@@ -1764,6 +1764,15 @@ object OracleSql {
          SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM latest GROUP BY event_type""",
+    // Merge-on-write aggregate over a snapshot join: per-epoch signed
+    // deltas cross the stream-dim join and merge onto the target's
+    // prior state — final state equals the batch join + aggregate.
+    "q229_stream_merge_join_agg" ->
+      """SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         WHERE e.user_id % 4 = 0
+         GROUP BY 1""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

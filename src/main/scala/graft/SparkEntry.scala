@@ -2697,6 +2697,58 @@ object SparkEntry {
         col("sum_value"))
     }),
 
+    // ── MERGE-ON-WRITE AGGREGATE over a SNAPSHOT JOIN, DRIVER-GATED
+    //    (round 14): `stream JOIN dim GROUP BY` — the shape that used
+    //    to reject ("batch-local partial aggregates") — now folds
+    //    continuously: each epoch's signed deltas cross the snapshot
+    //    join and merge onto the target topic's prior state (offset-
+    //    filtered to earlier epochs, replay-idempotent). Final state
+    //    must equal the batch join + aggregate ──
+    "q229_stream_merge_join_agg" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      // quarter of the users (q226's rationale: the gate exercises the
+      // merge fold, not JSON-encode throughput)
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"))
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        .createOrReplaceTempView("cust_dim_q229")
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q229").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_raw_q229", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts_us", LongType), StructField("value", DoubleType))))
+        r.runScript("""
+          CREATE TABLE seg_stats_q229 (segment STRING, n_events BIGINT,
+            sum_value DOUBLE,
+            PRIMARY KEY (segment) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO seg_stats_q229
+          SELECT c.c_mktsegment, count(*) AS n_events,
+                 CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          FROM events_raw_q229 e JOIN cust_dim_q229 c ON e.user_id = c.c_custkey
+          GROUP BY c.c_mktsegment""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        Topics.appendJson(
+          ev.where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width),
+          "events_raw_q229", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("seg_stats_q229").select(col("segment"), col("n_events"),
+        col("sum_value"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

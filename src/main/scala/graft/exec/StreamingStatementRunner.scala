@@ -235,16 +235,26 @@ final class StreamingStatementRunner(spark: SparkSession,
         spark.catalog.tableExists(r) && spark.table(r).isStreaming)
       val (aggContexts, topIsAgg) = aggregateContexts(select)
       val hasAgg = aggContexts > 0
-      def rejectSnapshotAgg(): Unit = require(!hasAgg,
-        s"INSERT INTO $target: aggregating on the stream-to-snapshot join path " +
-          "would re-run the aggregate per micro-batch in isolation — each batch " +
-          "would sink PARTIAL (batch-local) aggregates, not a continuous one. " +
-          "Aggregate the stream alone into a keyed table, then join downstream.")
+      def requireFoldableShape(driver: String): Unit =
+        require(topIsAgg && aggContexts == 1,
+          s"INSERT INTO $target: an aggregate hidden in a subquery (or " +
+            s"nested under other operators) over $driver would see raw " +
+            "per-batch rows — only a top-level GROUP BY select folds " +
+            "continuously on this path.")
       val q =
         if (streamRefs.nonEmpty) {
           if (streamRefs.size == 1 && refs.size > 1) {
-            rejectSnapshotAgg()
-            startSnapshotJoin(binding, meta, targetCols, select, streamRefs.head)
+            if (hasAgg) {
+              // stream + dims + GROUP BY (round 14): per-batch signed
+              // deltas through the snapshot join, merged onto the
+              // target's prior state — a continuous aggregate, never
+              // batch-local partials
+              requireFoldableShape(streamRefs.head)
+              val orig = spark.table(streamRefs.head)
+              startMergeAgg(binding, meta, targetCols, select, streamRefs.head,
+                orig.withColumn(RetractAggRewrite.SignCol, lit(1)), restoreTo = orig)
+            } else
+              startSnapshotJoin(binding, meta, targetCols, select, streamRefs.head)
           } else
             startDirect(binding, meta, targetCols, select)
         } else {
@@ -267,7 +277,14 @@ final class StreamingStatementRunner(spark: SparkSession,
           val driverIsUpsert = driverMeta.changelogMode == ChangelogMode.Upsert &&
             driverMeta.primaryKey.nonEmpty
           val driverIsRetract = driverMeta.changelogMode == ChangelogMode.Retract
-          if (hasAgg && (driverIsUpsert || driverIsRetract)) {
+          if (hasAgg && refs.size > 1) {
+            // aggregate + join over a promoted driver (round 14): the
+            // driver's signed revisions snapshot-join per batch into
+            // per-group DELTAS, merged onto the target's prior state
+            requireFoldableShape(driver)
+            startMergeAgg(binding, meta, targetCols, select, driver,
+              signedChangelogStream(driver, driverMeta))
+          } else if (hasAgg && (driverIsUpsert || driverIsRetract)) {
             // an aggregate over a CHANGELOG driver must fold revisions,
             // not count them: route to the retraction-aware path —
             // ChangelogNormalize (upsert) / the __op tag (retract)
@@ -275,20 +292,9 @@ final class StreamingStatementRunner(spark: SparkSession,
             // plain top-level GROUP BY shape is foldable; a subquery-
             // hidden or nested aggregate would still see raw revisions,
             // so anything else stays a loud rejection.
-            require(refs.size == 1, {
-              s"INSERT INTO $target: aggregate + join over promoted changelog " +
-                s"table $driver is unsupported — the snapshot-join path would " +
-                "re-aggregate per micro-batch. Aggregate the table alone into " +
-                "a keyed target, then join downstream."
-            })
-            require(topIsAgg && aggContexts == 1,
-              s"INSERT INTO $target: an aggregate hidden in a subquery (or " +
-                s"nested under other operators) over changelog table $driver " +
-                "would count revisions, not latest state — only a top-level " +
-                "GROUP BY select is retraction-foldable.")
+            requireFoldableShape(s"changelog table $driver")
             startRetractAgg(binding, meta, targetCols, select, driver, driverMeta)
           } else {
-            if (refs.size > 1) rejectSnapshotAgg()
             val promoted = changelogStream(driver, warnTombstones = true)
             withViewShadow(driver, promoted) {
               if (refs.size > 1)
@@ -537,9 +543,11 @@ final class StreamingStatementRunner(spark: SparkSession,
           timestamp_micros(col("tsUs")).as("$rowtime"))
         .select(col("__k.*"), col("__v.*"),
           col(RetractAggRewrite.SignCol), col("$rowtime"))
-    } else
+    } else if (meta.changelogMode == ChangelogMode.Retract)
       changelogStream(bare).withColumn(RetractAggRewrite.SignCol,
         when(col("__op").isin("-U", "-D"), lit(-1)).otherwise(lit(1)))
+    else // append driver: a true insert stream — every record adds
+      changelogStream(bare).withColumn(RetractAggRewrite.SignCol, lit(1))
   }
 
   /** Retraction-aware continuous aggregate over a promoted CHANGELOG
@@ -589,6 +597,146 @@ final class StreamingStatementRunner(spark: SparkSession,
         sinkBatch(target, meta, withOp, stmtId, batchId)
         ()
       }.start()
+  }
+
+  /** Continuous aggregate over a SNAPSHOT-JOINED changelog driver —
+    * the `SELECT k, agg(...) FROM driver JOIN dims GROUP BY k` shape
+    * (Flink's regular-join + aggregation over changelog inputs), which
+    * native streaming aggregation cannot host because the dims must
+    * join at their CURRENT state per micro-batch. Executed
+    * merge-on-write:
+    *
+    *  1. per micro-batch, the driver's SIGNED revisions shadow its view
+    *     and the select re-resolves FRESH (the snapshot-join
+    *     discipline); [[MergeAggRewrite]] turns the aggregate into
+    *     per-group DELTAS — mergeable raws (`__r*`) + `__net`;
+    *  2. the target topic's PRIOR state is read back filtered to
+    *     offsets STRICTLY BEFORE this batch's epoch and full-outer
+    *     merged with the deltas on the group keys (raws add; `__net`
+    *     tracks group liveness; a net-0 group tombstones);
+    *  3. the merged rows sink under this batch's epoch.
+    *
+    * Exactly-once under replay: the prior state is a pure function of
+    * (topic, epoch) — a crash-replayed batchId re-reads the SAME prior
+    * state (its own first attempt's records are excluded by the offset
+    * filter), recomputes the same deltas from the same checkpointed
+    * offsets, and OVERWRITES its epoch. Single-writer-per-upsert-target
+    * (enforced above) keeps the topic's epoch space exclusively this
+    * statement's, so the filter is exact.
+    *
+    * Scale shape: the per-batch merge is one key-partitioned join of
+    * O(live groups) state against a micro-batch-sized delta — the same
+    * read `refreshTargetView` serves lazily; `Topics.compact` bounds
+    * it at O(live groups). The raws ride the value JSON and are
+    * invisible to the declared-schema view.
+    *
+    * Join semantics caveat (the documented regular-join approximation,
+    * E9): revisions aggregate with the dims' state AT ARRIVAL — a
+    * later dim update does not retro-update previously folded rows. */
+  private def startMergeAgg(target: TargetBinding, meta: TableMeta,
+                            targetCols: Seq[String], select: String,
+                            driverRef: String, signedStream: DataFrame,
+                            restoreTo: DataFrame = null): StreamingQuery = {
+    require(meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty,
+      s"INSERT INTO ${target.qualified}: a continuous joined aggregate is an " +
+        "UPDATE stream (groups revise and can be deleted) — the target needs " +
+        "PRIMARY KEY (upsert) semantics, as Flink requires of update-mode sinks")
+    val stmtId = nextInsertId(target)
+    signedStream.writeStream.outputMode("append")
+      .queryName(queryDisplayName(target, stmtId))
+      .option("checkpointLocation", checkpointDir(target, stmtId))
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        synchronized {
+          val batch = org.apache.spark.sql.GraftSqlBridge.toSession(spark, batch0)
+          batch.createOrReplaceTempView(driverRef)
+          try {
+            val analyzed = org.apache.spark.sql.GraftSqlBridge
+              .analyzedPlan(spark.sql(select))
+            val form = MergeAggRewrite(analyzed, driverRef)
+            mergeSink(target, meta, targetCols, form, stmtId, batchId)
+          } finally restoreRefView(driverRef,
+            Option(restoreTo).getOrElse(signedStream))
+        }
+        ()
+      }.start()
+  }
+
+  /** One micro-batch of the merge-on-write aggregate: compute deltas,
+    * merge with prior state, sink under this batch's epoch. */
+  private def mergeSink(target: TargetBinding, meta: TableMeta,
+                        targetCols: Seq[String], form: MergeAggRewrite.MergeForm,
+                        stmtId: Long, batchId: Long): Unit = {
+    import org.apache.spark.sql.GraftSqlBridge
+    require(batchId < (1L << 19),
+      s"INSERT INTO ${target.qualified}: batchId $batchId exceeds the " +
+        "2^19 per-statement epoch budget of the files-transport offset packing")
+    val epoch = (batchId << 4) | stmtId
+    val names =
+      if (targetCols.nonEmpty) targetCols
+      else meta.schema.map(_.fieldNames.take(form.visibleCount).toSeq)
+        .getOrElse(throw new IllegalArgumentException(
+          s"INSERT INTO ${target.qualified}: no declared schema to name the " +
+            "aggregate's output columns"))
+    val keyNames = form.keyPositions.map(names)
+    require(meta.primaryKey.toSet == keyNames.toSet,
+      s"INSERT INTO ${target.qualified}: the merge aggregate upserts per GROUP " +
+        s"BY key — PRIMARY KEY (${meta.primaryKey.mkString(", ")}) must equal " +
+        s"the group-key columns (${keyNames.mkString(", ")})")
+    val netCol = RetractAggRewrite.NetCol
+    val delta = GraftSqlBridge.ofRows(spark, form.delta)
+      .toDF((keyNames ++ form.rawNames :+ netCol): _*)
+    val prior = readMergeState(target, meta, keyNames, form, epoch)
+    val cond = keyNames.map(k => col(s"p.`$k`") <=> col(s"d.`$k`")).reduce(_ && _)
+    def addCol(n: String, dt: org.apache.spark.sql.types.DataType) =
+      (coalesce(col(s"p.`$n`"), lit(0).cast(dt)) +
+        coalesce(col(s"d.`$n`"), lit(0).cast(dt))).cast(dt).as(n)
+    val merged = prior.as("p").join(delta.as("d"), cond, "full_outer")
+      .select((keyNames.map(k => coalesce(col(s"d.`$k`"), col(s"p.`$k`")).as(k)) ++
+        form.rawNames.zip(form.rawTypes).map { case (n, t) => addCol(n, t) } :+
+        addCol(netCol, org.apache.spark.sql.types.LongType)): _*)
+    // visible outputs in declared positional order: group keys pass
+    // through; agg positions re-apply the original outer expression
+    // over the MERGED raws (exact: the raw, not the emitted value, is
+    // what merged)
+    val visible = (0 until form.visibleCount).map { i =>
+      if (form.keyPositions.contains(i)) col(s"`${names(i)}`")
+      else GraftSqlBridge.column(form.emit(i)).as(names(i))
+    }
+    // the raws + __net ride the VALUE (invisible to the declared-schema
+    // view) so the next batch's prior read can merge; a net-0 group's
+    // "-D" becomes a key tombstone in the encode
+    val sunkOut = merged
+      .withColumn("__op", when(col(netCol) <= 0, lit("-D")).otherwise(lit("+I")))
+      .select((visible ++ form.rawNames.map(n => col(s"`$n`")) ++
+        Seq(col(netCol), col("__op"))): _*)
+    Topics.appendJson(sunkOut, target.topic, conf,
+      keyCols = meta.primaryKey, epoch = epoch)
+    meta.schema.foreach(sc => refreshTargetView(target, meta, sunkSchema(meta, sc)))
+  }
+
+  /** The merge aggregate's PRIOR state: the target topic's latest
+    * record per key among offsets STRICTLY BEFORE `epoch` (pure
+    * function of (topic, epoch) — replay-stable), decoded to group
+    * keys + mergeable raws + `__net`. */
+  private def readMergeState(target: TargetBinding, meta: TableMeta,
+                             keyNames: Seq[String], form: MergeAggRewrite.MergeForm,
+                             epoch: Long): DataFrame = {
+    val declared = meta.schema.getOrElse(throw new IllegalArgumentException(
+      s"table ${target.qualified}: no declared schema for the merge state"))
+    val keySchema = StructType(declared.fields.filter(f => keyNames.contains(f.name)))
+    val valueSchema = StructType(
+      form.rawNames.zip(form.rawTypes).map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t)
+      } :+ org.apache.spark.sql.types.StructField(
+        RetractAggRewrite.NetCol, org.apache.spark.sql.types.LongType))
+    val records = Topics.readBatchRecords(spark, target.topic, conf)
+      .where(col("offset") < lit(epoch * (1L << 40)))
+    val latest = ChangelogOps.latestByKey(records, Seq("key"), Seq("offset"))
+      .where(col("value").isNotNull)
+    Topics.decodeJson(latest, valueSchema, Some(keySchema))
+      .select((keyNames.map(k => col(s"`$k`")) ++
+        form.rawNames.map(n => col(s"`$n`")) :+
+        col(RetractAggRewrite.NetCol)): _*)
   }
 
   /** Temporarily shadow `name`'s view with `df` while `body` BUILDS

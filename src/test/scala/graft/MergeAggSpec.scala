@@ -1,0 +1,171 @@
+package graft
+
+import graft.exec.StreamingStatementRunner
+import graft.sources.{TopicConf, Topics}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Merge-on-write continuous aggregates over SNAPSHOT-JOINED changelog
+  * drivers (round 14 — the aggregate + join shape Flink runs over its
+  * changelog inputs, previously a loud rejection): per micro-batch the
+  * driver's signed revisions snapshot-join the dims into per-group
+  * deltas, which merge onto the target topic's prior state (offset-
+  * filtered to epochs before this batch, so a replayed batch is
+  * idempotent). Covers the external-stream path (the ADVICE r13
+  * "batch-local partial aggregates" scenario), the promoted-upsert
+  * path with revisions and tombstones, emit-expression exactness
+  * (CAST over a merged DECIMAL raw), avg decomposition, and the
+  * PK-must-equal-group-key guard. */
+class MergeAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newConf(tag: String): TopicConf =
+    TopicConf(java.nio.file.Files.createTempDirectory(s"graft-$tag").toString)
+
+  test("external stream + dim + GROUP BY accumulates across micro-batches (never batch-local)") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[SOrd]
+    orders.toDF().createOrReplaceTempView("ma_orders_s")
+    Seq(("p1", "shoes"), ("p2", "hats")).toDF("pid", "cat")
+      .createOrReplaceTempView("ma_dim")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(newConf("ma-ext")))
+    r.run("""CREATE TABLE ma_cat_counts (cat STRING, n BIGINT,
+             PRIMARY KEY (cat) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    r.run("""INSERT INTO ma_cat_counts
+             SELECT d.cat, count(*) AS n
+             FROM ma_orders_s o JOIN ma_dim d ON o.product_id = d.pid
+             GROUP BY d.cat""")
+    orders.addData(SOrd(1, "p1", "c1"), SOrd(2, "p2", "c2"))
+    r.processAllAvailable()
+    assert(spark.table("ma_cat_counts").as[(String, Long)].collect().toMap
+      === Map("shoes" -> 1L, "hats" -> 1L))
+    // the ADVICE r13 failure mode: a second batch must ADD to shoes'
+    // count, not replace it with the batch-local count
+    orders.addData(SOrd(3, "p1", "c3"), SOrd(4, "p1", "c4"))
+    r.processAllAvailable()
+    assert(spark.table("ma_cat_counts").as[(String, Long)].collect().toMap
+      === Map("shoes" -> 3L, "hats" -> 1L),
+      "cross-batch counts must accumulate through the merge")
+    // the user's view of the driver must NOT have been rebound to the
+    // signed frame between batches
+    assert(!spark.table("ma_orders_s").columns.contains("__sign"))
+    r.stopAll()
+  }
+
+  test("promoted upsert driver + dim + agg: revisions move groups, tombstones retract, emptied groups delete") {
+    val conf = newConf("ma-upsert")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("ma_src", StructType(Seq(
+      StructField("k", StringType), StructField("pid", StringType),
+      StructField("amt", DoubleType))))
+    Seq(("p1", "shoes"), ("p2", "hats")).toDF("pid2", "cat")
+      .createOrReplaceTempView("ma_dim2")
+    r.runScript("""
+      CREATE TABLE ma_acct (k STRING, pid STRING, amt DOUBLE, __op STRING,
+        PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO ma_acct
+      SELECT k, pid, amt, CASE WHEN pid = 'DEL' THEN '-D' ELSE '+U' END FROM ma_src;
+      CREATE TABLE ma_stats (cat STRING, n BIGINT, total DOUBLE,
+        PRIMARY KEY (cat) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO ma_stats
+      SELECT d.cat, count(*) AS n,
+             CAST(sum(CAST(a.amt AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM ma_acct a JOIN ma_dim2 d ON a.pid = d.pid2
+      GROUP BY d.cat""")
+    def stats() = spark.table("ma_stats").as[(String, Long, Double)].collect()
+      .map { case (k, n, t) => k -> ((n, t)) }.toMap
+
+    Topics.appendJson(Seq(("k1", "p1", 10.0), ("k2", "p1", 20.0), ("k3", "p2", 5.0))
+      .toDF("k", "pid", "amt"), "ma_src", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(stats() === Map("shoes" -> ((2L, 30.0)), "hats" -> ((1L, 5.0))))
+
+    // k2 revises p1→p2: retract from shoes, add to hats — and the
+    // DECIMAL raw must merge exactly through the CAST-to-double emit
+    Topics.appendJson(Seq(("k2", "p2", 7.5)).toDF("k", "pid", "amt"),
+      "ma_src", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(stats() === Map("shoes" -> ((1L, 10.0)), "hats" -> ((2L, 12.5))))
+
+    // tombstone k1: shoes EMPTIES and must be deleted from the target
+    Topics.appendJson(Seq(("k1", "DEL", 0.0)).toDF("k", "pid", "amt"),
+      "ma_src", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(stats() === Map("hats" -> ((2L, 12.5))),
+      "a fully-retracted group must tombstone downstream")
+
+    // shoes resurrects
+    Topics.appendJson(Seq(("k4", "p1", 3.25)).toDF("k", "pid", "amt"),
+      "ma_src", conf, Nil, 4)
+    r.processAllAvailable()
+    assert(stats() === Map("shoes" -> ((1L, 3.25)), "hats" -> ((2L, 12.5))))
+    r.stopAll()
+  }
+
+  test("avg decomposes into mergeable num/den raws across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[SOrd]
+    orders.toDF().createOrReplaceTempView("ma_avg_s")
+    Seq(("p1", "shoes")).toDF("pid", "cat").createOrReplaceTempView("ma_dim3")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(newConf("ma-avg")))
+    r.run("""CREATE TABLE ma_avg_out (cat STRING, avg_id DOUBLE,
+             PRIMARY KEY (cat) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    r.run("""INSERT INTO ma_avg_out
+             SELECT d.cat, avg(o.order_id) AS avg_id
+             FROM ma_avg_s o JOIN ma_dim3 d ON o.product_id = d.pid
+             GROUP BY d.cat""")
+    orders.addData(SOrd(2, "p1", "c1"), SOrd(4, "p1", "c2"))
+    r.processAllAvailable()
+    assert(spark.table("ma_avg_out").as[(String, Double)].collect().toMap
+      === Map("shoes" -> 3.0))
+    // a later batch shifts the average over ALL rows, not the batch's
+    orders.addData(SOrd(12, "p1", "c3"))
+    r.processAllAvailable()
+    assert(spark.table("ma_avg_out").as[(String, Double)].collect().toMap
+      === Map("shoes" -> 6.0))
+    r.stopAll()
+  }
+
+  test("guards: PK must equal the group-key columns; min rejects; hidden aggregates reject") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[SOrd]
+    orders.toDF().createOrReplaceTempView("ma_guard_s")
+    Seq(("p1", "shoes")).toDF("pid", "cat").createOrReplaceTempView("ma_dim4")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(newConf("ma-guard")))
+    r.run("""CREATE TABLE ma_bad (cat STRING, n BIGINT,
+             PRIMARY KEY (n) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    val q = r.run("""INSERT INTO ma_bad
+             SELECT d.cat, count(*) AS n
+             FROM ma_guard_s o JOIN ma_dim4 d ON o.product_id = d.pid
+             GROUP BY d.cat""")
+    // the PK-vs-group-key mismatch surfaces on the first micro-batch
+    orders.addData(SOrd(1, "p1", "c1"))
+    val err = intercept[Exception](r.processAllAvailable())
+    assert(err.getMessage != null)
+    q.foreach(_.stop())
+    r.run("""CREATE TABLE ma_bad2 (cat STRING, m BIGINT,
+             PRIMARY KEY (cat) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    // non-foldable function: rejected at the first batch's rewrite
+    val q2 = r.run("""INSERT INTO ma_bad2
+             SELECT d.cat, max(o.order_id)
+             FROM ma_guard_s o JOIN ma_dim4 d ON o.product_id = d.pid
+             GROUP BY d.cat""")
+    orders.addData(SOrd(2, "p1", "c2"))
+    val err2 = intercept[Exception](r.processAllAvailable())
+    assert(err2.getMessage != null)
+    q2.foreach(_.stop())
+    // hidden (subquery) aggregate over the join path rejects at
+    // STATEMENT time
+    r.run("""CREATE TABLE ma_bad3 (cat STRING, m BIGINT,
+             PRIMARY KEY (cat) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    val err3 = intercept[IllegalArgumentException](
+      r.run("""INSERT INTO ma_bad3
+               SELECT o.product_id, count(*) FROM ma_guard_s o
+               JOIN ma_dim4 d ON o.product_id = d.pid
+               WHERE o.order_id > (SELECT min(order_id) FROM ma_guard_s)
+               GROUP BY o.product_id"""))
+    assert(err3.getMessage.contains("hidden in a subquery"))
+    r.stopAll()
+  }
+}

@@ -143,12 +143,6 @@ class RetractAggSpec extends SparkSpec {
       r.run("""INSERT INTO g_flat
                SELECT k, grp FROM acct WHERE amt > (SELECT avg(amt) FROM acct)"""))
     assert(e3.getMessage.contains("hidden in a subquery"))
-    // aggregate + join over the promoted driver would snapshot-join
-    val e4 = intercept[IllegalArgumentException](
-      r.run("""INSERT INTO g_bad
-               SELECT a.grp, count(*) FROM acct a
-               JOIN grp_stats s ON a.grp = s.grp GROUP BY a.grp"""))
-    assert(e4.getMessage.contains("aggregate + join"))
     // the folded aggregate is an UPDATE stream: an append (no-PK)
     // target must reject, as Flink's update-mode sink contract does
     val e5 = intercept[IllegalArgumentException](
@@ -157,7 +151,7 @@ class RetractAggSpec extends SparkSpec {
     r.stopAll()
   }
 
-  test("guards: snapshot-join aggregates and second upsert writers reject loudly") {
+  test("guards: second upsert writers reject loudly; rejected statements release no slot") {
     implicit val sqlCtx = spark.sqlContext
     val conf = newConf("ra-guards2")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
@@ -166,15 +160,17 @@ class RetractAggSpec extends SparkSpec {
     Seq(("p1", "shoes")).toDF("pid", "cat").createOrReplaceTempView("ra_dim")
     r.run("""CREATE TABLE cat_counts (cat STRING, n BIGINT,
              PRIMARY KEY (cat) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
-    // external stream + batch dim + GROUP BY: the per-micro-batch
-    // snapshot join would sink batch-local partial aggregates
-    val e1 = intercept[IllegalArgumentException](
+    // a REJECTED statement (hidden subquery aggregate on the join
+    // path) must not claim the writer slot...
+    intercept[IllegalArgumentException](
       r.run("""INSERT INTO cat_counts
                SELECT d.cat, count(*) FROM ra_orders_s o
-               JOIN ra_dim d ON o.product_id = d.pid GROUP BY d.cat"""))
-    assert(e1.getMessage.contains("stream-to-snapshot"))
-    // one writer per upsert target: epoch packing is per-statement
+               JOIN ra_dim d ON o.product_id = d.pid
+               WHERE o.order_id > (SELECT min(order_id) FROM ra_orders_s)
+               GROUP BY d.cat"""))
+    // ...so the corrected statement still runs as the FIRST writer
     r.run("INSERT INTO cat_counts SELECT product_id, count(*) FROM ra_orders_s GROUP BY product_id")
+    // one writer per upsert target: epoch packing is per-statement
     val e2 = intercept[IllegalArgumentException](
       r.run("INSERT INTO cat_counts SELECT customer_id, count(*) FROM ra_orders_s GROUP BY customer_id"))
     assert(e2.getMessage.contains("second INSERT"))

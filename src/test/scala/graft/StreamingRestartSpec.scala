@@ -190,6 +190,58 @@ class StreamingRestartSpec extends SparkSpec {
       s"chained restart must deliver each changelog record exactly once: $got")
   }
 
+  test("merge-on-write aggregate: a replayed batch re-merges the SAME prior state — never double-counts") {
+    // the merge path reads its prior state offset-filtered to epochs
+    // BEFORE the current batch, so a crash-replayed batch recomputes
+    // the identical merged rows and overwrites its epoch; without the
+    // filter the replay would merge its delta on top of state that
+    // already includes it
+    val conf = freshConf()
+    def newRunner(): StreamingStatementRunner = {
+      val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+      r.registerTopicSource("ev_feed_ma", evSchema)
+      Seq((1L, "g1"), (2L, "g1"), (3L, "g2")).toDF("uid", "grp")
+        .createOrReplaceTempView("ma_rst_dim")
+      r.runScript("""
+        CREATE TABLE grp_counts_ma (grp STRING, n BIGINT, total DOUBLE,
+          PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO grp_counts_ma
+        SELECT d.grp, count(*) AS n,
+               CAST(sum(CAST(e.v AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM ev_feed_ma e JOIN ma_rst_dim d ON e.user_id = d.uid
+        GROUP BY d.grp""")
+      r
+    }
+    val r1 = newRunner()
+    feed(conf, "ev_feed_ma", 1, 1L -> 1.0, 3L -> 3.0)
+    r1.processAllAvailable()
+    feed(conf, "ev_feed_ma", 2, 2L -> 2.0, 1L -> 4.0)
+    r1.processAllAvailable()
+    def stats() = spark.table("grp_counts_ma")
+      .as[(String, Long, Double)].collect().toSet
+    val expected = Set(("g1", 3L, 7.0), ("g2", 1L, 3.0))
+    assert(stats() === expected)
+    r1.stopAll()
+    // crash window: drop the newest commit so the batch replays
+    val commits = java.nio.file.Files.walk(java.nio.file.Paths.get(conf.root, ".checkpoints"))
+      .filter(p => p.getParent != null && p.getParent.getFileName.toString == "commits"
+        && !p.getFileName.toString.startsWith("."))
+      .sorted(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+    assert(commits.nonEmpty)
+    val (fs, p) = graft.sources.Fs.on(spark, commits.last.toString)
+    fs.delete(p, false)
+    val r2 = newRunner()
+    r2.processAllAvailable() // replays the uncommitted merge batch
+    assert(stats() === expected,
+      "replayed merge batch must re-merge the same prior state, not double-count")
+    // and new input keeps folding on top
+    feed(conf, "ev_feed_ma", 3, 3L -> 0.5)
+    r2.processAllAvailable()
+    assert(stats() === Set(("g1", 3L, 7.0), ("g2", 2L, 3.5)))
+    r2.stopAll()
+  }
+
   test("a replayed micro-batch (commit lost in the crash) overwrites its epoch — no duplicates") {
     val conf = freshConf()
     def newRunner(): StreamingStatementRunner = {
