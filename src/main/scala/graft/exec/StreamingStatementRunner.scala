@@ -685,33 +685,47 @@ final class StreamingStatementRunner(spark: SparkSession,
     val netCol = RetractAggRewrite.NetCol
     val delta = GraftSqlBridge.ofRows(spark, form.delta)
       .toDF((keyNames ++ form.rawNames :+ netCol): _*)
-    val prior = readMergeState(target, meta, keyNames, form, epoch)
-    val cond = keyNames.map(k => col(s"p.`$k`") <=> col(s"d.`$k`")).reduce(_ && _)
-    def addCol(n: String, dt: org.apache.spark.sql.types.DataType) =
-      (coalesce(col(s"p.`$n`"), lit(0).cast(dt)) +
-        coalesce(col(s"d.`$n`"), lit(0).cast(dt))).cast(dt).as(n)
-    val merged = prior.as("p").join(delta.as("d"), cond, "full_outer")
-      .select((keyNames.map(k => coalesce(col(s"d.`$k`"), col(s"p.`$k`")).as(k)) ++
-        form.rawNames.zip(form.rawTypes).map { case (n, t) => addCol(n, t) } :+
-        addCol(netCol, org.apache.spark.sql.types.LongType)): _*)
-    // visible outputs in declared positional order: group keys pass
-    // through; agg positions re-apply the original outer expression
-    // over the MERGED raws (exact: the raw, not the emitted value, is
-    // what merged)
-    val visible = (0 until form.visibleCount).map { i =>
-      if (form.keyPositions.contains(i)) col(s"`${names(i)}`")
-      else GraftSqlBridge.column(form.emit(i)).as(names(i))
-    }
-    // the raws + __net ride the VALUE (invisible to the declared-schema
-    // view) so the next batch's prior read can merge; a net-0 group's
-    // "-D" becomes a key tombstone in the encode
-    val sunkOut = merged
-      .withColumn("__op", when(col(netCol) <= 0, lit("-D")).otherwise(lit("+I")))
-      .select((visible ++ form.rawNames.map(n => col(s"`$n`")) ++
-        Seq(col(netCol), col("__op"))): _*)
-    Topics.appendJson(sunkOut, target.topic, conf,
-      keyCols = meta.primaryKey, epoch = epoch)
-    meta.schema.foreach(sc => refreshTargetView(target, meta, sunkSchema(meta, sc)))
+      .persist() // read twice: the empty-check and the merge
+    try {
+      // an all-filtered batch contributes nothing — skip the state
+      // rewrite entirely (at scale the merge is O(live groups); paying
+      // it for an empty delta would turn quiet triggers into full
+      // state churn). Replay-consistent: a replayed empty batch skips
+      // identically, leaving no epoch — the same absence either way.
+      if (delta.isEmpty) return
+      val prior = readMergeState(target, meta, keyNames, form, epoch)
+      val cond = keyNames.map(k => col(s"p.`$k`") <=> col(s"d.`$k`")).reduce(_ && _)
+      def addCol(n: String, dt: org.apache.spark.sql.types.DataType) =
+        (coalesce(col(s"p.`$n`"), lit(0).cast(dt)) +
+          coalesce(col(s"d.`$n`"), lit(0).cast(dt))).cast(dt).as(n)
+      // DELTA-driven left join, not full-outer: only groups this batch
+      // touched are rewritten (their merged row lands under the new
+      // epoch and wins latest-per-key); untouched groups' existing
+      // records stay the latest — per-batch write cost is O(delta
+      // groups), never O(live groups)
+      val merged = delta.as("d").join(prior.as("p"), cond, "left_outer")
+        .select((keyNames.map(k => col(s"d.`$k`").as(k)) ++
+          form.rawNames.zip(form.rawTypes).map { case (n, t) => addCol(n, t) } :+
+          addCol(netCol, org.apache.spark.sql.types.LongType)): _*)
+      // visible outputs in declared positional order: group keys pass
+      // through; agg positions re-apply the original outer expression
+      // over the MERGED raws (exact: the raw, not the emitted value,
+      // is what merged)
+      val visible = (0 until form.visibleCount).map { i =>
+        if (form.keyPositions.contains(i)) col(s"`${names(i)}`")
+        else GraftSqlBridge.column(form.emit(i)).as(names(i))
+      }
+      // the raws + __net ride the VALUE (invisible to the declared-
+      // schema view) so the next batch's prior read can merge; a
+      // net-0 group's "-D" becomes a key tombstone in the encode
+      val sunkOut = merged
+        .withColumn("__op", when(col(netCol) <= 0, lit("-D")).otherwise(lit("+I")))
+        .select((visible ++ form.rawNames.map(n => col(s"`$n`")) ++
+          Seq(col(netCol), col("__op"))): _*)
+      Topics.appendJson(sunkOut, target.topic, conf,
+        keyCols = meta.primaryKey, epoch = epoch)
+      meta.schema.foreach(sc => refreshTargetView(target, meta, sunkSchema(meta, sc)))
+    } finally delta.unpersist()
   }
 
   /** The merge aggregate's PRIOR state: the target topic's latest
