@@ -1773,6 +1773,19 @@ object OracleSql {
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          WHERE e.user_id % 4 = 0
          GROUP BY 1""",
+    // Merge aggregate over a promoted UPSERT driver + dim join: each
+    // revision retracts its prior contribution from the joined group —
+    // final state equals batch latest-per-key ⋈ dim ⋈ aggregate.
+    "q230_stream_merge_upsert_join_agg" ->
+      """WITH latest AS (
+           SELECT user_id, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 4 = 0) WHERE rn = 1)
+         SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(CAST(l.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_last
+         FROM latest l JOIN customer c ON l.user_id = c.c_custkey
+         GROUP BY 1""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

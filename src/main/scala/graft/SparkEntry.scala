@@ -2749,6 +2749,68 @@ object SparkEntry {
         col("sum_value"))
     }),
 
+    // ── MERGE AGGREGATE over a PROMOTED UPSERT DRIVER + dim join,
+    //    DRIVER-GATED (round 14): the hardest changelog shape — each
+    //    per-epoch revision of user_latest RETRACTS its prior
+    //    contribution from the joined group and adds the new one, so a
+    //    user whose latest value changes revises their segment's sum
+    //    in place. Final state must equal batch latest-per-key ⋈ dim ⋈
+    //    aggregate ──
+    "q230_stream_merge_upsert_join_agg" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        .createOrReplaceTempView("cust_dim_q230")
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q230").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_feed_q230", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("value", DoubleType), StructField("ts_us", LongType))))
+        r.runScript("""
+          CREATE TABLE user_latest_q230 (
+            user_id BIGINT, last_event_id BIGINT, last_value DOUBLE, ts_us BIGINT,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_latest_q230
+          SELECT user_id, event_id, value, ts_us FROM events_feed_q230;
+          CREATE TABLE seg_latest_q230 (segment STRING, n_users BIGINT,
+            sum_last DOUBLE,
+            PRIMARY KEY (segment) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO seg_latest_q230
+          SELECT c.c_mktsegment, count(*) AS n_users,
+                 CAST(sum(CAST(u.last_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_last
+          FROM user_latest_q230 u JOIN cust_dim_q230 c ON u.user_id = c.c_custkey
+          GROUP BY c.c_mktsegment""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        // per-epoch fold (q202's discipline): ≤1 revision per user per
+        // epoch, so revisions chain deterministically to overall latest
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_id"), col("value"), col("ts_us")),
+            struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.event_id"), col("__l.value"),
+            col("__l.ts_us"))
+        Topics.appendJson(slice, "events_feed_q230", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("seg_latest_q230").select(col("segment"), col("n_users"),
+        col("sum_last"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append
