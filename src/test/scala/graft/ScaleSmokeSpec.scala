@@ -200,6 +200,47 @@ class ScaleSmokeSpec extends SparkSpec {
       r2.stopAll()
       spark0.table("smoke_latest").count()
       ()
+    },
+    // the merge-on-write joined aggregate (round 14): stream JOIN dim
+    // GROUP BY through the statement runner. Per epoch the delta is
+    // scan-linear but the MERGE is O(delta groups ⋈ prior groups) with
+    // the group space fixed at 8 — so the exponent should track the
+    // scan. A superlinear reading would mean the merge rewrites
+    // row-scaled state (the O(live groups)-per-batch regression the
+    // delta-driven left join exists to prevent).
+    "stream_merge_agg" -> { docs =>
+      import org.apache.spark.sql.types._
+      val spark0 = docs.sparkSession
+      import spark0.implicits._
+      val conf = graft.sources.TopicConf(
+        java.nio.file.Files.createTempDirectory("smoke-merge").toString)
+      val feed = docs.select(col("doc_id"),
+        pmod(col("doc_id"), lit(64L)).as("grp_id"),
+        length(col("text")).cast("double").as("n_chars"))
+      (0L until 64L).map(i => (i, s"g${i % 8}")).toDF("gid", "gname")
+        .createOrReplaceTempView("smoke_ma_dim")
+      val r = new graft.exec.StreamingStatementRunner(spark0, topicConf = Some(conf))
+      r.registerTopicSource("smoke_ma_feed", StructType(Seq(
+        StructField("doc_id", LongType), StructField("grp_id", LongType),
+        StructField("n_chars", DoubleType))))
+      r.runScript("""
+        CREATE TABLE smoke_ma_stats (gname STRING, n_docs BIGINT, total DOUBLE,
+          PRIMARY KEY (gname) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO smoke_ma_stats
+        SELECT d.gname, count(*) AS n_docs,
+               CAST(sum(CAST(f.n_chars AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM smoke_ma_feed f JOIN smoke_ma_dim d ON f.grp_id = d.gid
+        GROUP BY d.gname""")
+      val epochs = 4
+      (0 until epochs).foreach { i =>
+        graft.sources.Topics.appendJson(
+          feed.where(pmod(col("doc_id"), lit(epochs)) === i),
+          "smoke_ma_feed", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      spark0.table("smoke_ma_stats").count()
+      ()
     })
 
   private def corpus(n: Long): DataFrame =
