@@ -177,6 +177,47 @@ class RetractAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("TUMBLE TVF over a promoted upsert driver: a revision moves between windows retraction-aware") {
+    // the windowing-TVF rewrite's FROM-subquery is a star projection,
+    // so the driver's changelog sign rides through it and the windowed
+    // GROUP BY folds on the retract path for free: revising a key's
+    // event time RETRACTS it from its old hour and adds it to the new
+    val conf = newConf("ra-tvf")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("tv_src", StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType))))
+    r.runScript("""
+      CREATE TABLE tv_latest (k STRING, ts TIMESTAMP,
+        PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO tv_latest SELECT k, ts FROM tv_src;
+      CREATE TABLE tv_hourly (window_start TIMESTAMP, n BIGINT,
+        PRIMARY KEY (window_start) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO tv_hourly
+      SELECT window_start, count(*) AS n
+      FROM TABLE(TUMBLE(TABLE tv_latest, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+      GROUP BY window_start""")
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    def windows(): Map[Long, Long] = spark.table("tv_hourly")
+      .select(org.apache.spark.sql.functions.unix_micros(col("window_start")), col("n"))
+      .as[(Long, Long)].collect().toMap
+    def hourUs(h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00").getTime * 1000L
+    Topics.appendJson(Seq(("a", ts(10)), ("b", ts(10)), ("c", ts(11)))
+      .toDF("k", "ts"), "tv_src", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(windows() === Map(hourUs(10) -> 2L, hourUs(11) -> 1L))
+    // revise a: 10:30 → 12:30 — hour 10 drops to 1; hour 12 appears
+    Topics.appendJson(Seq(("a", ts(12))).toDF("k", "ts"), "tv_src", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(windows() === Map(hourUs(10) -> 1L, hourUs(11) -> 1L, hourUs(12) -> 1L),
+      "a latest-ts revision must retract from its old window")
+    // revise b into hour 11 — hour 10 EMPTIES and must be deleted
+    Topics.appendJson(Seq(("b", ts(11))).toDF("k", "ts"), "tv_src", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(windows() === Map(hourUs(11) -> 2L, hourUs(12) -> 1L))
+    r.stopAll()
+  }
+
   test("retract-mode driver through a chained JOIN: -U/+U pairs flow, tags intact, dims enriched") {
     // VERDICT r13 item 3's join shape: a statement whose FROM consumes
     // a retract-mode table joined to an upsert dim — every -U/+U
