@@ -127,6 +127,31 @@ class MergeAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("NULL group keys merge as one group (null-safe join, JSON null-key encode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[SOrd]
+    orders.toDF().createOrReplaceTempView("ma_null_s")
+    // dim maps p1→shoes and pN→NULL category
+    Seq(("p1", Some("shoes")), ("pN", None)).toDF("pid", "cat")
+      .createOrReplaceTempView("ma_dim_null")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(newConf("ma-null")))
+    r.run("""CREATE TABLE ma_null_out (cat STRING, n BIGINT,
+             PRIMARY KEY (cat) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    r.run("""INSERT INTO ma_null_out
+             SELECT d.cat, count(*) AS n
+             FROM ma_null_s o JOIN ma_dim_null d ON o.product_id = d.pid
+             GROUP BY d.cat""")
+    orders.addData(SOrd(1, "pN", "c1"), SOrd(2, "p1", "c2"))
+    r.processAllAvailable()
+    orders.addData(SOrd(3, "pN", "c3"))
+    r.processAllAvailable()
+    val got = spark.table("ma_null_out")
+      .as[(Option[String], Long)].collect().toMap
+    assert(got === Map(Option("shoes") -> 1L, None -> 2L),
+      s"the NULL group must accumulate across batches as ONE group: $got")
+    r.stopAll()
+  }
+
   test("guards: PK must equal the group-key columns; min rejects; hidden aggregates reject") {
     implicit val sqlCtx = spark.sqlContext
     val orders = MemoryStream[SOrd]
