@@ -1786,6 +1786,19 @@ object OracleSql {
                 CAST(sum(CAST(l.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_last
          FROM latest l JOIN customer c ON l.user_id = c.c_custkey
          GROUP BY 1""",
+    // Retractable min/max + exact DISTINCT over an upsert changelog
+    // driver: per-(group, value) multiset folding — final state equals
+    // the batch aggregate over latest-per-key.
+    "q231_stream_retract_minmax_distinct" ->
+      """WITH latest AS (
+           SELECT user_id, event_type, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 4 = 0) WHERE rn = 1)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                min(value) AS min_value, max(value) AS max_value,
+                CAST(count(DISTINCT user_id % 16) AS BIGINT) AS n_buckets
+         FROM latest GROUP BY event_type""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

@@ -2811,6 +2811,66 @@ object SparkEntry {
         col("sum_last"))
     }),
 
+    // ── RETRACTABLE MIN/MAX + EXACT DISTINCT over an upsert changelog
+    //    driver, DRIVER-GATED (round 14): the per-(group, value)
+    //    multiset helpers — each revision retracts its old value from
+    //    the multiset; retracting the current extreme forces a
+    //    recompute from the remaining values, and a duplicated
+    //    distinct value survives until its last holder leaves. Final
+    //    state must equal the batch latest-per-key aggregate ──
+    "q231_stream_retract_minmax_distinct" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q231").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_feed_q231", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType),
+          StructField("ts_us", LongType))))
+        r.runScript("""
+          CREATE TABLE user_latest_q231 (
+            user_id BIGINT, last_event_id BIGINT, last_event_type STRING,
+            last_value DOUBLE, ts_us BIGINT,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_latest_q231
+          SELECT user_id, event_id, event_type, value, ts_us FROM events_feed_q231;
+          CREATE TABLE type_extremes_q231 (event_type STRING, n_users BIGINT,
+            min_value DOUBLE, max_value DOUBLE, n_buckets BIGINT,
+            PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO type_extremes_q231
+          SELECT last_event_type, count(*) AS n_users,
+                 min(last_value) AS min_value, max(last_value) AS max_value,
+                 count(DISTINCT user_id % 16) AS n_buckets
+          FROM user_latest_q231 GROUP BY last_event_type""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_id"), col("event_type"), col("value"),
+            col("ts_us")), struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.event_id"), col("__l.event_type"),
+            col("__l.value"), col("__l.ts_us"))
+        Topics.appendJson(slice, "events_feed_q231", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("type_extremes_q231").select(col("event_type"), col("n_users"),
+        col("min_value"), col("max_value"), col("n_buckets"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

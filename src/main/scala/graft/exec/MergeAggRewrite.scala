@@ -4,33 +4,46 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, TimestampType}
 
-/** Decomposition of an ANALYZED `Aggregate` over a SIGNED, JOINED
-  * changelog batch into the merge-on-write form the snapshot-join
-  * aggregate path executes (`StreamingStatementRunner.startMergeAgg`):
+/** Decomposition of an ANALYZED `Aggregate` over a SIGNED changelog
+  * batch into the merge-on-write form the statement runner executes
+  * (`StreamingStatementRunner.startMergeAgg`):
   *
   *  - `delta`: the per-micro-batch plan — group keys plus one MERGEABLE
-  *    RAW per aggregate component (`__r0..`, each a signed sum that
-  *    composes under `+` across batches) plus the group-liveness delta
-  *    `__net = sum(__sign)`.
+  *    RAW per aggregate component (`__r0..`) plus the group-liveness
+  *    delta `__net = sum(__sign)`. Each raw carries its merge operator:
+  *    `sum` raws compose under `+` across batches; `min`/`max` raws
+  *    (insert-only drivers) compose under least/greatest.
+  *  - `valueSets`: one per DISTINCT value expression needed by an
+  *    order-statistic (`min`/`max` under retraction) or DISTINCT
+  *    aggregate — a per-(group, value) NET-COUNT multiset, maintained
+  *    in a helper topic by the runner (Flink's retractable min/max and
+  *    exact distinct aggregates keep the same state). Each has its own
+  *    per-(group, value) delta plan; the runner recomputes the stats
+  *    (`min`/`max`/`cnt`/`sum` over LIVE values) for the groups a
+  *    batch touched.
   *  - `emit(i)`: for each agg-derived output position, the original
   *    output expression with every aggregate call substituted by an
-  *    [[UnresolvedAttribute]] reference to its merged raw column — so
-  *    `CAST(sum(x) AS DOUBLE)` merges the exact decimal raw and applies
-  *    the cast at emit, never merging a rounded double.
+  *    [[UnresolvedAttribute]] reference to its merged raw / recomputed
+  *    stat column — so `CAST(sum(x) AS DOUBLE)` merges the exact
+  *    decimal raw and applies the cast at emit.
   *
-  * Raw forms (same signed algebra as [[RetractAggRewrite]]):
-  * `count(...)` → one long raw; `sum(e)` → one raw of e's sum type
-  * (signed by type-exact negation); `avg(e)` → TWO raws (signed sum +
-  * signed non-null count) divided at emit. min/max/first/collect and
-  * DISTINCT are rejected — they do not compose under `+`.
-  *
-  * An agg-derived output may reference only aggregates and literals:
-  * a group-key attribute inside it would be unresolvable against the
-  * merged frame (reject loudly; move the arithmetic to a consumer).
+  * Supported: count/sum/avg (signed-sum raws), min/max (raws when the
+  * driver cannot retract, value-set stats when it can), and
+  * single-expression DISTINCT count/sum/avg (value-set stats, exact).
+  * Everything else (first/collect/percentile/multi-column DISTINCT...)
+  * rejects loudly.
   */
 object MergeAggRewrite {
+
+  /** A per-(group, value) net-count multiset a statement maintains:
+    * `delta` aggregates the batch to (keys, value, sum(sign));
+    * `stats` names which recomputed columns the emit references
+    * (`<name>_min`, `<name>_max`, `<name>_cnt`, `<name>_sum`). */
+  final case class ValueSet(name: String, childType: DataType,
+                            delta: LogicalPlan,
+                            stats: Set[String])
 
   final case class MergeForm(
       delta: LogicalPlan,
@@ -44,9 +57,16 @@ object MergeAggRewrite {
       /** hidden mergeable raw column names, in delta-output order */
       rawNames: Seq[String],
       /** raw column types (stable across batches — same select) */
-      rawTypes: Seq[DataType])
+      rawTypes: Seq[DataType],
+      /** per-raw merge operator: "sum" | "min" | "max" */
+      rawOps: Seq[String],
+      /** value multisets (order-statistics under retraction, DISTINCT) */
+      valueSets: Seq[ValueSet])
 
-  def apply(plan: LogicalPlan, driver: String): MergeForm = plan match {
+  /** `mayRetract`: whether the driver's changelog can carry negative
+    * signs (upsert/retract drivers). Insert-only drivers get the cheap
+    * min/max raw merge; retractable ones need the value multiset. */
+  def apply(plan: LogicalPlan, driver: String, mayRetract: Boolean): MergeForm = plan match {
     case agg: Aggregate =>
       val sign = agg.child.output.find(_.name == RetractAggRewrite.SignCol).getOrElse(
         throw new IllegalArgumentException(
@@ -57,35 +77,78 @@ object MergeAggRewrite {
       def signed(child: Expression): Expression =
         If(GreaterThan(sign, Literal(0)), child, UnaryMinus(child))
 
-      val raws = scala.collection.mutable.ArrayBuffer.empty[(String, NamedExpression, DataType)]
-      def newRaw(deltaAgg: AggregateFunction): UnresolvedAttribute = {
+      val raws = scala.collection.mutable.ArrayBuffer.empty[(String, NamedExpression, DataType, String)]
+      def newRaw(deltaAgg: AggregateFunction, op: String): UnresolvedAttribute = {
         val name = s"__r${raws.size}"
         val ae = AggregateExpression(deltaAgg, Complete, isDistinct = false)
-        raws += ((name, Alias(ae, name)(), ae.dataType))
+        raws += ((name, Alias(ae, name)(), ae.dataType, op))
         UnresolvedAttribute.quoted(name)
+      }
+
+      // value sets, deduped by the value expression: min/max/distinct
+      // of the same expression share one multiset
+      val valueSets = scala.collection.mutable.ArrayBuffer.empty[(Expression, String, scala.collection.mutable.Set[String])]
+      def valueSetFor(child: Expression, stat: String): UnresolvedAttribute = {
+        require(child.dataType != TimestampType,
+          s"merge aggregate over $driver: a TIMESTAMP value inside a " +
+            "retractable min/max/DISTINCT aggregate would lose sub-millisecond " +
+            "precision in the multiset encode — aggregate unix_micros(col) instead")
+        val entry = valueSets.find(_._1.semanticEquals(child)).getOrElse {
+          val e = (child, s"__vs${valueSets.size}", scala.collection.mutable.Set.empty[String])
+          valueSets += e
+          e
+        }
+        entry._3 += stat
+        UnresolvedAttribute.quoted(s"${entry._2}_$stat")
+      }
+
+      def distinctChild(ae: AggregateExpression, fn: String): Expression = {
+        val nonLit = ae.aggregateFunction.children.filterNot(_.foldable)
+        require(nonLit.size == 1,
+          s"merge aggregate over $driver: $fn(DISTINCT ...) is supported for " +
+            "exactly one expression (a multi-column distinct multiset is not " +
+            "maintained) — combine the columns into one expression")
+        nonLit.head
       }
 
       def substitute(e: Expression): Expression = e match {
         case ae: AggregateExpression =>
-          require(!ae.isDistinct,
-            s"merge aggregate over $driver: DISTINCT aggregates are not " +
-              "retractable — aggregate the upstream append feed instead")
           require(ae.filter.isEmpty,
             s"merge aggregate over $driver: FILTER clauses are unsupported " +
               "on this path — move the predicate to WHERE")
           ae.aggregateFunction match {
+            // ── order statistics: DISTINCT is irrelevant to min/max ──
+            case m: Min =>
+              if (!mayRetract) newRaw(Min(m.child), "min")
+              else valueSetFor(m.child, "min")
+            case m: Max =>
+              if (!mayRetract) newRaw(Max(m.child), "max")
+              else valueSetFor(m.child, "max")
+            // ── DISTINCT aggregates: exact, from the multiset ──
+            case c: Count if ae.isDistinct =>
+              valueSetFor(distinctChild(ae, "count"), "cnt")
+            case s: Sum if ae.isDistinct =>
+              Cast(valueSetFor(distinctChild(ae, "sum"), "sum"), ae.dataType)
+            case a: Average if ae.isDistinct =>
+              val child = distinctChild(ae, "avg")
+              val sumA = valueSetFor(child, "sum")
+              val cntA = Cast(valueSetFor(child, "cnt"), DoubleType)
+              Cast(If(EqualTo(cntA, Literal(0.0d)),
+                Literal(null, DoubleType),
+                Divide(Cast(sumA, DoubleType), cntA)), a.dataType)
+            // ── sum-decomposable: signed raws ──
             case c: Count =>
               val nonLit = c.children.filterNot(_.foldable)
               val term: Expression =
                 if (nonLit.isEmpty) signL
                 else If(nonLit.map(IsNotNull(_): Expression).reduce(And(_, _)),
                   signL, Literal(0L))
-              newRaw(Sum(term))
+              newRaw(Sum(term), "sum")
             case s: Sum =>
-              newRaw(Sum(signed(s.child)))
+              newRaw(Sum(signed(s.child)), "sum")
             case a: Average =>
-              val num = newRaw(Sum(signed(a.child)))
-              val den = newRaw(Sum(If(IsNotNull(a.child), signL, Literal(0L))))
+              val num = newRaw(Sum(signed(a.child)), "sum")
+              val den = newRaw(Sum(If(IsNotNull(a.child), signL, Literal(0L))), "sum")
               val denD = Cast(den, DoubleType)
               Cast(If(EqualTo(denD, Literal(0.0d)),
                 Literal(null, DoubleType),
@@ -93,8 +156,9 @@ object MergeAggRewrite {
             case other =>
               throw new IllegalArgumentException(
                 s"merge aggregate over $driver: ${other.prettyName} is not " +
-                  "sum-decomposable (retracting needs the full value multiset) " +
-                  "— supported: count, sum, avg")
+                  "mergeable (neither sum-decomposable nor an order " +
+                  "statistic/DISTINCT over one expression) — supported: " +
+                  "count, sum, avg, min, max, count/sum/avg(DISTINCT expr)")
           }
         case other => other.mapChildren(substitute)
       }
@@ -126,13 +190,22 @@ object MergeAggRewrite {
           emit(i) = template
         }
       }
-      val net = Alias(
+      val netAgg = () => Alias(
         AggregateExpression(Sum(signL), Complete, isDistinct = false),
         RetractAggRewrite.NetCol)()
       val delta = agg.copy(aggregateExpressions =
-        (keyOuts ++ raws.map(_._2) :+ net).toSeq)
+        (keyOuts ++ raws.map(_._2) :+ netAgg()).toSeq)
+      val vsForms = valueSets.map { case (child, name, stats) =>
+        // per-(group, value) signed counts: the multiset's batch delta
+        val vdelta = Aggregate(
+          agg.groupingExpressions :+ child,
+          (keyOuts :+ Alias(child, "__v")() :+ netAgg()).toSeq,
+          agg.child, None)
+        ValueSet(name, child.dataType, vdelta, stats.toSet)
+      }.toSeq
       MergeForm(delta, agg.aggregateExpressions.size, keyPositions.toSeq,
-        emit.toMap, raws.map(_._1).toSeq, raws.map(_._3).toSeq)
+        emit.toMap, raws.map(_._1).toSeq, raws.map(_._3).toSeq,
+        raws.map(_._4).toSeq, vsForms)
 
     case other =>
       throw new IllegalArgumentException(

@@ -233,7 +233,8 @@ final class StreamingStatementRunner(spark: SparkSession,
       val refs = tableRefs(select)
       val streamRefs = refs.filter(r =>
         spark.catalog.tableExists(r) && spark.table(r).isStreaming)
-      val (aggContexts, topIsAgg) = aggregateContexts(select)
+      val AggShape(aggContexts, topIsAgg, needsMultiset, hasDistinctAgg) =
+        aggregateContexts(select)
       val hasAgg = aggContexts > 0
       def requireFoldableShape(driver: String): Unit =
         require(topIsAgg && aggContexts == 1,
@@ -241,21 +242,30 @@ final class StreamingStatementRunner(spark: SparkSession,
             s"nested under other operators) over $driver would see raw " +
             "per-batch rows — only a top-level GROUP BY select folds " +
             "continuously on this path.")
+      def mergeExternal(driverRef: String): StreamingQuery = {
+        requireFoldableShape(driverRef)
+        val orig = spark.table(driverRef)
+        startMergeAgg(binding, meta, targetCols, select, driverRef,
+          orig.withColumn(RetractAggRewrite.SignCol, lit(1)), restoreTo = orig,
+          mayRetract = false)
+      }
       val q =
         if (streamRefs.nonEmpty) {
           if (streamRefs.size == 1 && refs.size > 1) {
-            if (hasAgg) {
+            if (hasAgg)
               // stream + dims + GROUP BY (round 14): per-batch signed
               // deltas through the snapshot join, merged onto the
               // target's prior state — a continuous aggregate, never
               // batch-local partials
-              requireFoldableShape(streamRefs.head)
-              val orig = spark.table(streamRefs.head)
-              startMergeAgg(binding, meta, targetCols, select, streamRefs.head,
-                orig.withColumn(RetractAggRewrite.SignCol, lit(1)), restoreTo = orig)
-            } else
+              mergeExternal(streamRefs.head)
+            else
               startSnapshotJoin(binding, meta, targetCols, select, streamRefs.head)
-          } else
+          } else if (streamRefs.size == 1 && hasDistinctAgg)
+            // exact DISTINCT aggregation over a stream — Spark has no
+            // native streaming distinct; the value-multiset merge path
+            // computes it exactly (round 14)
+            mergeExternal(streamRefs.head)
+          else
             startDirect(binding, meta, targetCols, select)
         } else {
           // TABLE-TO-TABLE continuous INSERT (Flink's everyday shape,
@@ -277,14 +287,19 @@ final class StreamingStatementRunner(spark: SparkSession,
           val driverIsUpsert = driverMeta.changelogMode == ChangelogMode.Upsert &&
             driverMeta.primaryKey.nonEmpty
           val driverIsRetract = driverMeta.changelogMode == ChangelogMode.Retract
-          if (hasAgg && refs.size > 1) {
-            // aggregate + join over a promoted driver (round 14): the
+          val driverRetracts = driverIsUpsert || driverIsRetract
+          if (hasAgg && (refs.size > 1 ||
+              (driverRetracts && needsMultiset) || hasDistinctAgg)) {
+            // merge-on-write path (round 14): aggregate + join (the
             // driver's signed revisions snapshot-join per batch into
-            // per-group DELTAS, merged onto the target's prior state
+            // per-group DELTAS, merged onto the target's prior state),
+            // retractable min/max, and exact DISTINCT aggregates (the
+            // per-(group, value) multiset helpers)
             requireFoldableShape(driver)
             startMergeAgg(binding, meta, targetCols, select, driver,
-              signedChangelogStream(driver, driverMeta))
-          } else if (hasAgg && (driverIsUpsert || driverIsRetract)) {
+              signedChangelogStream(driver, driverMeta),
+              mayRetract = driverRetracts)
+          } else if (hasAgg && driverRetracts) {
             // an aggregate over a CHANGELOG driver must fold revisions,
             // not count them: route to the retraction-aware path —
             // ChangelogNormalize (upsert) / the __op tag (retract)
@@ -365,7 +380,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     * must stay PRE-analysis: the analyzed plan inlines the topic-backed
     * views, whose latest-by-key materialization is itself an Aggregate
     * and would false-positive every select over an upsert table. */
-  private[graft] def aggregateContexts(select: String): (Int, Boolean) = {
+  private[graft] def aggregateContexts(select: String): AggShape = {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Distinct => LDistinct}
     val parsed = spark.sessionState.sqlParser.parsePlan(select)
     def isAggFunc(f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction): Boolean =
@@ -373,24 +388,39 @@ final class StreamingStatementRunner(spark: SparkSession,
         .lookupFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(
           f.nameParts.head.toLowerCase(java.util.Locale.ROOT)))
         .exists(_.getGroup == "agg_funcs")
+    // order statistics and DISTINCT aggregates fold only through the
+    // value-multiset merge path (native streaming state can't retract
+    // them; Spark has no streaming distinct aggregation at all)
+    def needsMultiset(f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction): Boolean =
+      f.isDistinct || (f.nameParts.size == 1 &&
+        Set("min", "max").contains(f.nameParts.head.toLowerCase(java.util.Locale.ROOT)))
     var contexts = 0
     var topIsAgg = false
+    var multiset = false
+    var distinctAgg = false
+    def scanExprs(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+      var calls = false
+      p.expressions.foreach(_.foreach {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction if isAggFunc(f) =>
+          calls = true
+          if (needsMultiset(f)) multiset = true
+          if (f.isDistinct) distinctAgg = true
+        case _ =>
+      })
+      calls
+    }
     parsed.collectWithSubqueries {
       case a: LAggregate =>
-        contexts += 1; if (a eq parsed) topIsAgg = true
+        contexts += 1; scanExprs(a); if (a eq parsed) topIsAgg = true
       case d: LDistinct =>
         contexts += 1; if (d eq parsed) topIsAgg = false // DISTINCT is never foldable here
       case other =>
-        val callsAgg = other.expressions.exists(_.exists {
-          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction => isAggFunc(f)
-          case _ => false
-        })
-        if (callsAgg) {
+        if (scanExprs(other)) {
           contexts += 1
           if (other eq parsed) topIsAgg = true // global aggregate: analyzer lifts to Aggregate
         }
     }
-    (contexts, topIsAgg)
+    AggShape(contexts, topIsAgg, multiset, distinctAgg)
   }
 
   /** The record schema [[sinkBatch]] writes for a table: the declared
@@ -636,7 +666,8 @@ final class StreamingStatementRunner(spark: SparkSession,
   private def startMergeAgg(target: TargetBinding, meta: TableMeta,
                             targetCols: Seq[String], select: String,
                             driverRef: String, signedStream: DataFrame,
-                            restoreTo: DataFrame = null): StreamingQuery = {
+                            restoreTo: DataFrame = null,
+                            mayRetract: Boolean = false): StreamingQuery = {
     require(meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty,
       s"INSERT INTO ${target.qualified}: a continuous joined aggregate is an " +
         "UPDATE stream (groups revise and can be deleted) — the target needs " +
@@ -652,7 +683,7 @@ final class StreamingStatementRunner(spark: SparkSession,
           try {
             val analyzed = org.apache.spark.sql.GraftSqlBridge
               .analyzedPlan(spark.sql(select))
-            val form = MergeAggRewrite(analyzed, driverRef)
+            val form = MergeAggRewrite(analyzed, driverRef, mayRetract)
             mergeSink(target, meta, targetCols, form, stmtId, batchId)
           } finally restoreRefView(driverRef,
             Option(restoreTo).getOrElse(signedStream))
@@ -685,7 +716,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     val netCol = RetractAggRewrite.NetCol
     val delta = GraftSqlBridge.ofRows(spark, form.delta)
       .toDF((keyNames ++ form.rawNames :+ netCol): _*)
-      .persist() // read twice: the empty-check and the merge
+      .persist() // read several times: empty-check, merge, touched keys
     try {
       // an all-filtered batch contributes nothing — skip the state
       // rewrite entirely (at scale the merge is O(live groups); paying
@@ -694,30 +725,52 @@ final class StreamingStatementRunner(spark: SparkSession,
       // identically, leaving no epoch — the same absence either way.
       if (delta.isEmpty) return
       val prior = readMergeState(target, meta, keyNames, form, epoch)
-      val cond = keyNames.map(k => col(s"p.`$k`") <=> col(s"d.`$k`")).reduce(_ && _)
+      def keyCond(l: String, r: String) =
+        keyNames.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
       def addCol(n: String, dt: org.apache.spark.sql.types.DataType) =
         (coalesce(col(s"p.`$n`"), lit(0).cast(dt)) +
           coalesce(col(s"d.`$n`"), lit(0).cast(dt))).cast(dt).as(n)
+      // merge operator per raw: signed sums compose under +; min/max
+      // raws (insert-only drivers) under least/greatest (null-skipping)
+      def mergeRaw(n: String, dt: org.apache.spark.sql.types.DataType, op: String) =
+        op match {
+          case "min" => least(col(s"p.`$n`"), col(s"d.`$n`")).cast(dt).as(n)
+          case "max" => greatest(col(s"p.`$n`"), col(s"d.`$n`")).cast(dt).as(n)
+          case _ => addCol(n, dt)
+        }
       // DELTA-driven left join, not full-outer: only groups this batch
       // touched are rewritten (their merged row lands under the new
       // epoch and wins latest-per-key); untouched groups' existing
       // records stay the latest — per-batch write cost is O(delta
       // groups), never O(live groups)
-      val merged = delta.as("d").join(prior.as("p"), cond, "left_outer")
+      val mergedRaws = delta.as("d").join(prior.as("p"), keyCond("p", "d"), "left_outer")
         .select((keyNames.map(k => col(s"d.`$k`").as(k)) ++
-          form.rawNames.zip(form.rawTypes).map { case (n, t) => addCol(n, t) } :+
+          form.rawNames.lazyZip(form.rawTypes).lazyZip(form.rawOps).map(mergeRaw) :+
           addCol(netCol, org.apache.spark.sql.types.LongType)): _*)
+      // value multisets (retractable min/max, exact DISTINCT): merge
+      // each per-(group, value) delta with the helper topic's prior
+      // state, write the TOUCHED pairs under this epoch, and recompute
+      // the stats over LIVE values for the touched groups only
+      val merged = form.valueSets.foldLeft(mergedRaws) { (acc, vs) =>
+        val stats = mergeValueSet(target, meta, keyNames, vs, epoch, delta)
+        acc.as("m").join(stats.as("s"), keyCond("m", "s"), "left_outer")
+          .select((acc.columns.map(c => col(s"m.`$c`")) ++
+            stats.columns.filterNot(keyNames.contains)
+              .map(c => col(s"s.`$c`"))).toIndexedSeq: _*)
+      }
       // visible outputs in declared positional order: group keys pass
       // through; agg positions re-apply the original outer expression
-      // over the MERGED raws (exact: the raw, not the emitted value,
-      // is what merged)
+      // over the MERGED raws / recomputed stats (exact: the raw, not
+      // the emitted value, is what merged)
       val visible = (0 until form.visibleCount).map { i =>
         if (form.keyPositions.contains(i)) col(s"`${names(i)}`")
         else GraftSqlBridge.column(form.emit(i)).as(names(i))
       }
       // the raws + __net ride the VALUE (invisible to the declared-
       // schema view) so the next batch's prior read can merge; a
-      // net-0 group's "-D" becomes a key tombstone in the encode
+      // net-0 group's "-D" becomes a key tombstone in the encode.
+      // Recomputed value-set stats do NOT ride along — they live in
+      // their helper topics and are recomputed per batch.
       val sunkOut = merged
         .withColumn("__op", when(col(netCol) <= 0, lit("-D")).otherwise(lit("+I")))
         .select((visible ++ form.rawNames.map(n => col(s"`$n`")) ++
@@ -726,6 +779,84 @@ final class StreamingStatementRunner(spark: SparkSession,
         keyCols = meta.primaryKey, epoch = epoch)
       meta.schema.foreach(sc => refreshTargetView(target, meta, sunkSchema(meta, sc)))
     } finally delta.unpersist()
+  }
+
+  /** One value multiset's micro-batch step (retractable min/max, exact
+    * DISTINCT — Flink's retractable aggregate functions keep the same
+    * per-(group, value) state): merge the batch's per-(group, value)
+    * signed counts with the helper topic's prior state, WRITE the
+    * delta-touched pairs under this epoch (net ≤ 0 tombstones the
+    * pair), and return the recomputed stats over LIVE values for the
+    * TOUCHED groups. Replay-idempotent by the same offset filter as
+    * the main merge. The recompute reads prior pairs only for groups
+    * the batch touched (key-partitioned join), so per-batch cost is
+    * O(live values of touched groups), never the whole multiset. */
+  private def mergeValueSet(target: TargetBinding, meta: TableMeta,
+                            keyNames: Seq[String], vs: MergeAggRewrite.ValueSet,
+                            epoch: Long, delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val vsTopic = s"${target.topic}__${vs.name}"
+    Topics.ensureTopic(spark, conf, vsTopic)
+    val vsDelta = GraftSqlBridge.ofRows(spark, vs.delta)
+      .toDF((keyNames ++ Seq("__v", "__vsd")): _*)
+    val prior = readValueSetState(vsTopic, meta, keyNames, vs, epoch)
+    val touched = delta.select(keyNames.map(k => col(s"`$k`")): _*).distinct()
+    def cond(l: String, r: String, cols: Seq[String]) =
+      cols.map(c => col(s"$l.`$c`") <=> col(s"$r.`$c`")).reduce(_ && _)
+    val priorTouched = prior.as("vp")
+      .join(touched.as("t"), cond("vp", "t", keyNames), "left_semi")
+    // full outer on (keys, value): prior pairs the delta did not touch
+    // still feed the recompute (the group's min may live there)
+    val m = priorTouched.as("p")
+      .join(vsDelta.as("d"), cond("p", "d", keyNames :+ "__v"), "full_outer")
+      .select((keyNames.map(k => coalesce(col(s"d.`$k`"), col(s"p.`$k`")).as(k)) ++ Seq(
+        coalesce(col("d.`__v`"), col("p.`__v`")).as("__v"),
+        (coalesce(col("p.`__vsn`"), lit(0L)) +
+          coalesce(col("d.`__vsd`"), lit(0L))).as("__vsn"),
+        col("d.`__vsd`").isNotNull.as("__fromDelta"))): _*)
+      .persist() // feeds both the pair write and the stats recompute
+    try {
+      val toWrite = m.where(col("__fromDelta"))
+        .withColumn("__op", when(col("__vsn") <= 0, lit("-D")).otherwise(lit("+I")))
+        .select((keyNames.map(k => col(s"`$k`")) ++
+          Seq(col("__v"), col("__vsn"), col("__op"))): _*)
+      Topics.appendJson(toWrite, vsTopic, conf,
+        keyCols = keyNames :+ "__v", epoch = epoch)
+      val live = m.where(col("__vsn") > 0)
+      val aggs = Seq(
+        "min" -> min(col("__v")).as(s"${vs.name}_min"),
+        "max" -> max(col("__v")).as(s"${vs.name}_max"),
+        "cnt" -> count(col("__v")).as(s"${vs.name}_cnt"),
+        "sum" -> sum(col("__v")).as(s"${vs.name}_sum"))
+        .collect { case (s, c) if vs.stats.contains(s) => c }
+      // eager: materialize the stats while the merge frame is cached
+      // (the caller's sink action runs after this frame is unpersisted)
+      val stats = live.groupBy(keyNames.map(k => col(s"`$k`")): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint() // cuts the lineage to the uncached m
+      stats
+    } finally m.unpersist()
+  }
+
+  /** A value multiset's PRIOR state: latest record per (group, value)
+    * key among offsets strictly before `epoch`, net counts decoded. */
+  private def readValueSetState(vsTopic: String, meta: TableMeta,
+                                keyNames: Seq[String], vs: MergeAggRewrite.ValueSet,
+                                epoch: Long): DataFrame = {
+    val declared = meta.schema.getOrElse(throw new IllegalArgumentException(
+      s"no declared schema for the value-set state of $vsTopic"))
+    val keySchema = StructType(
+      declared.fields.filter(f => keyNames.contains(f.name)) :+
+        org.apache.spark.sql.types.StructField("__v", vs.childType))
+    val valueSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("__vsn", org.apache.spark.sql.types.LongType)))
+    val records = Topics.readBatchRecords(spark, vsTopic, conf)
+      .where(col("offset") < lit(epoch * (1L << 40)))
+    val latest = ChangelogOps.latestByKey(records, Seq("key"), Seq("offset"))
+      .where(col("value").isNotNull)
+    Topics.decodeJson(latest, valueSchema, Some(keySchema))
+      .select((keyNames.map(k => col(s"`$k`")) ++
+        Seq(col("__v"), col("__vsn"))): _*)
   }
 
   /** The merge aggregate's PRIOR state: the target topic's latest
@@ -929,6 +1060,17 @@ final class StreamingStatementRunner(spark: SparkSession,
     }.sum
   }.sum
 }
+
+/** Shape of a select's aggregation surface, detected PRE-analysis:
+  * `contexts` = number of distinct aggregate contexts (GROUP BY /
+  * SELECT DISTINCT nodes + nodes whose expressions call aggregate
+  * functions, subquery plans included); `topIsAggregate` = the plan
+  * root is one; `needsMultiset` = an order statistic (min/max) or
+  * DISTINCT aggregate appears (foldable only via the value-multiset
+  * merge path when revisions can retract); `hasDistinctAgg` = a
+  * DISTINCT aggregate appears (no native streaming form at all). */
+final case class AggShape(contexts: Int, topIsAggregate: Boolean,
+                          needsMultiset: Boolean, hasDistinctAgg: Boolean)
 
 /** Snapshot of one long-running INSERT's last completed micro-batch.
   * `tombstonesDropped`: upsert-driver DELETEs skipped by a promoted

@@ -128,14 +128,11 @@ class RetractAggSpec extends SparkSpec {
 
     r.run("""CREATE TABLE g_bad (grp STRING, x DOUBLE,
              PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
-    // min/max need the full value multiset to retract from
+    // first() has no retraction algebra at all (min/max and DISTINCT
+    // now fold via the value-multiset merge path — ValueSetAggSpec)
     val e1 = intercept[IllegalArgumentException](
-      r.run("INSERT INTO g_bad SELECT grp, max(amt) FROM acct GROUP BY grp"))
+      r.run("INSERT INTO g_bad SELECT grp, first(amt) FROM acct GROUP BY grp"))
     assert(e1.getMessage.contains("not sum-decomposable"))
-    // DISTINCT cannot know whether another copy of the value remains
-    val e2 = intercept[IllegalArgumentException](
-      r.run("INSERT INTO g_bad SELECT grp, count(DISTINCT k) FROM acct GROUP BY grp"))
-    assert(e2.getMessage.contains("DISTINCT"))
     // an aggregate hidden in a scalar subquery (an expression, not a
     // plan child — ADVICE r13 item 4) still sees raw revisions
     r.run("CREATE TABLE g_flat (k STRING, grp STRING)")

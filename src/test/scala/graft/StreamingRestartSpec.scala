@@ -242,6 +242,55 @@ class StreamingRestartSpec extends SparkSpec {
     r2.stopAll()
   }
 
+  test("value-set aggregate: a lost-commit replay re-merges BOTH the target and the helper multiset consistently") {
+    // the multiset path writes TWO topics per batch (target + helper);
+    // both reads are offset-filtered to epochs before the batch, so a
+    // replay recomputes identical rows for both and overwrites both
+    // epochs — min/max state cannot fork from the visible aggregate
+    val conf = freshConf()
+    def newRunner(): StreamingStatementRunner = {
+      val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+      r.registerTopicSource("ev_feed_vs", evSchema)
+      // count(DISTINCT v) forces the value-multiset path (min over an
+      // external append feed would run natively)
+      r.runScript("""
+        CREATE TABLE vs_rst (user_id BIGINT, n BIGINT, n_vals BIGINT,
+          PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO vs_rst
+        SELECT user_id, count(*) AS n, count(DISTINCT v) AS n_vals
+        FROM ev_feed_vs GROUP BY user_id""")
+      r
+    }
+    val r1 = newRunner()
+    feed(conf, "ev_feed_vs", 1, 1L -> 5.0, 1L -> 3.0, 2L -> 7.0)
+    r1.processAllAvailable()
+    feed(conf, "ev_feed_vs", 2, 1L -> 4.0, 2L -> 1.0)
+    r1.processAllAvailable()
+    def state() = spark.table("vs_rst")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = Set((1L, 3L, 3L), (2L, 2L, 2L))
+    assert(state() === expected)
+    r1.stopAll()
+    val commits = java.nio.file.Files.walk(java.nio.file.Paths.get(conf.root, ".checkpoints"))
+      .filter(p => p.getParent != null && p.getParent.getFileName.toString == "commits"
+        && !p.getFileName.toString.startsWith("."))
+      .sorted(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+    assert(commits.nonEmpty)
+    val (fs, p) = graft.sources.Fs.on(spark, commits.last.toString)
+    fs.delete(p, false)
+    val r2 = newRunner()
+    r2.processAllAvailable() // replays the uncommitted multiset batch
+    assert(state() === expected,
+      "replayed value-set batch must re-merge both topics, not double-count")
+    // the multiset keeps exact-distinct semantics after the replay: a
+    // DUPLICATE value must not re-count, a fresh one must
+    feed(conf, "ev_feed_vs", 3, 1L -> 3.0, 1L -> 0.5)
+    r2.processAllAvailable()
+    assert(state() === Set((1L, 5L, 4L), (2L, 2L, 2L)))
+    r2.stopAll()
+  }
+
   test("a replayed micro-batch (commit lost in the crash) overwrites its epoch — no duplicates") {
     val conf = freshConf()
     def newRunner(): StreamingStatementRunner = {
