@@ -171,9 +171,10 @@ class MergeAggSpec extends SparkSpec {
     q.foreach(_.stop())
     r.run("""CREATE TABLE ma_bad2 (cat STRING, m BIGINT,
              PRIMARY KEY (cat) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
-    // non-foldable function: rejected at the first batch's rewrite
+    // non-mergeable function (no retraction algebra, no multiset form):
+    // rejected at the first batch's rewrite
     val q2 = r.run("""INSERT INTO ma_bad2
-             SELECT d.cat, max(o.order_id)
+             SELECT d.cat, first(o.order_id)
              FROM ma_guard_s o JOIN ma_dim4 d ON o.product_id = d.pid
              GROUP BY d.cat""")
     orders.addData(SOrd(2, "p1", "c2"))
