@@ -1799,6 +1799,19 @@ object OracleSql {
                 min(value) AS min_value, max(value) AS max_value,
                 CAST(count(DISTINCT user_id % 16) AS BIGINT) AS n_buckets
          FROM latest GROUP BY event_type""",
+    // HAVING over a retract-folded continuous aggregate: groups enter
+    // and leave the predicate as revisions fold; final state equals
+    // the batch latest-per-key aggregate under the same HAVING.
+    "q232_stream_retract_agg_having" ->
+      """WITH latest AS (
+           SELECT user_id, event_type, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events) WHERE rn = 1)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM latest GROUP BY event_type
+         HAVING count(*) % 2 = 0""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

@@ -2871,6 +2871,65 @@ object SparkEntry {
         col("min_value"), col("max_value"), col("n_buckets"))
     }),
 
+    // ── HAVING over a retract-folded continuous aggregate, DRIVER-
+    //    GATED (round 14): the predicate re-evaluates as revisions
+    //    fold, and a group whose predicate stops holding is DELETED
+    //    downstream. `count(*) % 2 = 0` flips as per-type counts grow
+    //    across the 4 epochs, so groups genuinely enter AND leave the
+    //    table mid-stream; the final state equals the batch
+    //    latest-per-key aggregate under the same HAVING ──
+    "q232_stream_retract_agg_having" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q232").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_feed_q232", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType),
+          StructField("ts_us", LongType))))
+        r.runScript("""
+          CREATE TABLE user_latest_q232 (
+            user_id BIGINT, last_event_id BIGINT, last_event_type STRING,
+            last_value DOUBLE, ts_us BIGINT,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_latest_q232
+          SELECT user_id, event_id, event_type, value, ts_us FROM events_feed_q232;
+          CREATE TABLE even_types_q232 (event_type STRING, n_users BIGINT,
+            sum_value DOUBLE,
+            PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO even_types_q232
+          SELECT last_event_type, count(*) AS n_users,
+                 CAST(sum(CAST(last_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          FROM user_latest_q232 GROUP BY last_event_type
+          HAVING count(*) % 2 = 0""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_id"), col("event_type"), col("value"),
+            col("ts_us")), struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.event_id"), col("__l.event_type"),
+            col("__l.value"), col("__l.ts_us"))
+        Topics.appendJson(slice, "events_feed_q232", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("even_types_q232").select(col("event_type"), col("n_users"),
+        col("sum_value"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

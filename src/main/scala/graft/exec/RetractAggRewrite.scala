@@ -41,6 +41,44 @@ object RetractAggRewrite {
   val SignCol = "__sign"
   /** Hidden net-count column the rewrite appends (0 ⇒ group deleted). */
   val NetCol = "__net"
+  /** Hidden HAVING verdict column (false ⇒ group deleted downstream). */
+  val KeepCol = "__keep"
+
+  /** Normalize the analyzed shapes a `GROUP BY [...] HAVING [...]`
+    * select can take into (aggregate, having-condition, visible output
+    * positions):
+    *  - `Aggregate` — no HAVING;
+    *  - `Filter(cond, Aggregate)` — HAVING over selected outputs;
+    *  - `Project(refs, Filter(cond, Aggregate))` — HAVING introduced
+    *    aggregates not in the select list; the analyzer extended the
+    *    Aggregate with them and projected back to the declared outputs
+    *    (the Project must be pure attribute references).
+    * A group whose condition stops holding must be DELETED downstream
+    * (Flink retracts it), so the condition is carried OUT of the plan
+    * and applied at the sink, never as an in-plan filter. */
+  def unwrapHaving(plan: LogicalPlan, driver: String)
+      : (Aggregate, Option[Expression], Seq[Int]) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    def all(a: Aggregate) = a.aggregateExpressions.indices
+    plan match {
+      case a: Aggregate => (a, None, all(a))
+      case Filter(cond, a: Aggregate) => (a, Some(cond), all(a))
+      case Project(projList, Filter(cond, a: Aggregate))
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        val byId = a.aggregateExpressions.map(_.exprId).zipWithIndex.toMap
+        val idx = projList.map(p => byId.getOrElse(p.exprId,
+          throw new IllegalArgumentException(
+            s"aggregate over $driver: HAVING projection references a " +
+              "non-aggregate column — restructure the select")))
+        (a, Some(cond), idx)
+      case other =>
+        throw new IllegalArgumentException(
+          s"retract-aware aggregate over $driver: only a top-level GROUP BY " +
+            s"[HAVING] select is supported (got ${other.nodeName} above the " +
+            "aggregate) — move ORDER BY/subquery logic to a consumer of the " +
+            "target table")
+    }
+  }
 
   def apply(plan: LogicalPlan, driver: String): LogicalPlan = plan match {
     case agg: Aggregate =>

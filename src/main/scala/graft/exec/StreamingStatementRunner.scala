@@ -414,6 +414,12 @@ final class StreamingStatementRunner(spark: SparkSession,
         contexts += 1; scanExprs(a); if (a eq parsed) topIsAgg = true
       case d: LDistinct =>
         contexts += 1; if (d eq parsed) topIsAgg = false // DISTINCT is never foldable here
+      case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
+        // HAVING belongs to its child Aggregate's context (its
+        // condition may name aggregates — they are not a second
+        // context); a top-level GROUP BY ... HAVING is foldable
+        scanExprs(h) // classify min/max/distinct inside the condition
+        if (h eq parsed) topIsAgg = true
       case other =>
         if (scanExprs(other)) {
           contexts += 1
@@ -605,25 +611,41 @@ final class StreamingStatementRunner(spark: SparkSession,
     val analyzed = withViewShadow(driver, signed) {
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(spark.sql(select))
     }
-    val df = org.apache.spark.sql.GraftSqlBridge.ofRows(
-      spark, RetractAggRewrite(analyzed, driver))
-    val userCols = df.columns.length - 1 // last column is the hidden __net
+    // HAVING: the condition is carried OUT of the plan and applied at
+    // the sink — a group whose condition STOPS holding must be deleted
+    // downstream (Flink retracts it); an in-plan filter would merely
+    // stop emitting and leave the stale passing row behind
+    val (agg, havingCond, visibleIdx) =
+      RetractAggRewrite.unwrapHaving(analyzed, driver)
+    val df0 = org.apache.spark.sql.GraftSqlBridge.ofRows(
+      spark, RetractAggRewrite(agg, driver))
+    // evaluate HAVING while the rewritten outputs still carry their
+    // original exprIds (the rewrite preserves them), THEN rename
+    val dfK = df0.withColumn(RetractAggRewrite.KeepCol,
+      havingCond.map(org.apache.spark.sql.GraftSqlBridge.column).getOrElse(lit(true)))
+    val nOut = agg.aggregateExpressions.size
+    val uniq = dfK.toDF(((0 until nOut).map(i => s"__c$i") ++
+      Seq(RetractAggRewrite.NetCol, RetractAggRewrite.KeepCol)): _*)
     val names =
       if (targetCols.nonEmpty) targetCols
-      else meta.schema.map(_.fieldNames.take(userCols).toSeq)
-        .getOrElse(df.columns.take(userCols).toSeq)
-    val renamed = df.toDF((names :+ RetractAggRewrite.NetCol): _*)
+      else meta.schema.map(_.fieldNames.take(visibleIdx.size).toSeq)
+        .getOrElse(visibleIdx.map(i => s"__c$i"))
+    val renamed = uniq.select(
+      (visibleIdx.zipWithIndex.map { case (src, j) => col(s"__c$src").as(names(j)) } ++
+        Seq(col(RetractAggRewrite.NetCol), col(RetractAggRewrite.KeepCol))): _*)
     renamed.writeStream.outputMode("update")
       .queryName(queryDisplayName(target, stmtId))
       .option("checkpointLocation", checkpointDir(target, stmtId))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // net member count 0 ⇒ every row of the group was retracted —
-        // delete the group downstream (the upsert sink turns "-D" into
-        // a key tombstone), don't leave a stale zero-row
+        // net member count 0 ⇒ every row of the group was retracted;
+        // HAVING false ⇒ the group left the predicate — either way the
+        // group is deleted downstream (the upsert sink turns "-D" into
+        // a key tombstone), never left as a stale row
         val withOp = batch
-          .withColumn("__op", when(col(RetractAggRewrite.NetCol) <= 0, lit("-D"))
+          .withColumn("__op", when(col(RetractAggRewrite.NetCol) <= 0 ||
+              !coalesce(col(RetractAggRewrite.KeepCol), lit(false)), lit("-D"))
             .otherwise(lit("+I")))
-          .drop(RetractAggRewrite.NetCol)
+          .drop(RetractAggRewrite.NetCol, RetractAggRewrite.KeepCol)
         sinkBatch(target, meta, withOp, stmtId, batchId)
         ()
       }.start()
@@ -683,8 +705,16 @@ final class StreamingStatementRunner(spark: SparkSession,
           try {
             val analyzed = org.apache.spark.sql.GraftSqlBridge
               .analyzedPlan(spark.sql(select))
-            val form = MergeAggRewrite(analyzed, driverRef, mayRetract)
-            mergeSink(target, meta, targetCols, form, stmtId, batchId)
+            val (agg, havingCond, visibleIdx) =
+              RetractAggRewrite.unwrapHaving(analyzed, driverRef)
+            val form = MergeAggRewrite(agg, driverRef, mayRetract)
+            // HAVING in the merge path: the emit row is rebuilt from
+            // merged raws, so the condition's attribute refs are
+            // re-bound BY POSITION to the emitted column names
+            val idxByExprId = agg.aggregateExpressions.map(_.exprId)
+              .zipWithIndex.toMap
+            mergeSink(target, meta, targetCols, form, stmtId, batchId,
+              havingCond, visibleIdx, idxByExprId)
           } finally restoreRefView(driverRef,
             Option(restoreTo).getOrElse(signedStream))
         }
@@ -693,22 +723,36 @@ final class StreamingStatementRunner(spark: SparkSession,
   }
 
   /** One micro-batch of the merge-on-write aggregate: compute deltas,
-    * merge with prior state, sink under this batch's epoch. */
+    * merge with prior state, sink under this batch's epoch.
+    * `visibleIdx` selects the DECLARED outputs among the aggregate's
+    * full output list (a HAVING condition may have extended it with
+    * hidden aggregates); `havingCond` deletes groups that stop
+    * satisfying the predicate. */
   private def mergeSink(target: TargetBinding, meta: TableMeta,
                         targetCols: Seq[String], form: MergeAggRewrite.MergeForm,
-                        stmtId: Long, batchId: Long): Unit = {
+                        stmtId: Long, batchId: Long,
+                        havingCond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+                        visibleIdx: Seq[Int],
+                        idxByExprId: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Int]): Unit = {
     import org.apache.spark.sql.GraftSqlBridge
     require(batchId < (1L << 19),
       s"INSERT INTO ${target.qualified}: batchId $batchId exceeds the " +
         "2^19 per-statement epoch budget of the files-transport offset packing")
     val epoch = (batchId << 4) | stmtId
-    val names =
+    val declaredNames =
       if (targetCols.nonEmpty) targetCols
-      else meta.schema.map(_.fieldNames.take(form.visibleCount).toSeq)
+      else meta.schema.map(_.fieldNames.take(visibleIdx.size).toSeq)
         .getOrElse(throw new IllegalArgumentException(
           s"INSERT INTO ${target.qualified}: no declared schema to name the " +
             "aggregate's output columns"))
-    val keyNames = form.keyPositions.map(names)
+    // every FULL output position gets a name: declared for visible
+    // positions, internal for HAVING-hidden aggregates
+    val posToName: Int => String = {
+      val m = visibleIdx.zip(declaredNames).toMap
+      (i: Int) => m.getOrElse(i, s"__h$i")
+    }
+    val names = (0 until form.visibleCount).map(posToName)
+    val keyNames = form.keyPositions.map(posToName)
     require(meta.primaryKey.toSet == keyNames.toSet,
       s"INSERT INTO ${target.qualified}: the merge aggregate upserts per GROUP " +
         s"BY key — PRIMARY KEY (${meta.primaryKey.mkString(", ")}) must equal " +
@@ -758,23 +802,40 @@ final class StreamingStatementRunner(spark: SparkSession,
             stats.columns.filterNot(keyNames.contains)
               .map(c => col(s"s.`$c`"))).toIndexedSeq: _*)
       }
-      // visible outputs in declared positional order: group keys pass
-      // through; agg positions re-apply the original outer expression
-      // over the MERGED raws / recomputed stats (exact: the raw, not
-      // the emitted value, is what merged)
+      // ALL outputs (declared + HAVING-hidden) in positional order:
+      // group keys pass through; agg positions re-apply the original
+      // outer expression over the MERGED raws / recomputed stats
+      // (exact: the raw, not the emitted value, is what merged)
       val visible = (0 until form.visibleCount).map { i =>
         if (form.keyPositions.contains(i)) col(s"`${names(i)}`")
         else GraftSqlBridge.column(form.emit(i)).as(names(i))
       }
+      // HAVING verdict over the emitted columns: the condition's attr
+      // refs are re-bound by position to the emitted names
+      val keep = havingCond.map { c =>
+        GraftSqlBridge.column(c.transform {
+          case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              .quoted(posToName(idxByExprId(ar.exprId)))
+        })
+      }.getOrElse(lit(true))
       // the raws + __net ride the VALUE (invisible to the declared-
       // schema view) so the next batch's prior read can merge; a
-      // net-0 group's "-D" becomes a key tombstone in the encode.
-      // Recomputed value-set stats do NOT ride along — they live in
-      // their helper topics and are recomputed per batch.
+      // net-0 or HAVING-failing group's "-D" becomes a key tombstone
+      // in the encode. Recomputed value-set stats and HAVING-hidden
+      // outputs do NOT ride along — they are recomputed per batch.
+      // a HAVING-failing group keeps its STATE record (its data still
+      // exists; only visibility changes — the upsert view filters on
+      // the __keep marker in the value); a net-0 group's state is
+      // genuinely empty and tombstones
+      val declaredCols = visibleIdx.map(i => col(s"`${posToName(i)}`"))
       val sunkOut = merged
+        .select((visible ++ form.rawNames.map(n => col(s"`$n`")) :+
+          col(netCol)): _*)
+        .withColumn(RetractAggRewrite.KeepCol, keep)
         .withColumn("__op", when(col(netCol) <= 0, lit("-D")).otherwise(lit("+I")))
-        .select((visible ++ form.rawNames.map(n => col(s"`$n`")) ++
-          Seq(col(netCol), col("__op"))): _*)
+        .select((declaredCols ++ form.rawNames.map(n => col(s"`$n`")) ++
+          Seq(col(netCol), col(RetractAggRewrite.KeepCol), col("__op"))): _*)
       Topics.appendJson(sunkOut, target.topic, conf,
         keyCols = meta.primaryKey, epoch = epoch)
       meta.schema.foreach(sc => refreshTargetView(target, meta, sunkSchema(meta, sc)))
@@ -981,8 +1042,17 @@ final class StreamingStatementRunner(spark: SparkSession,
     val visible =
       if (isUpsert) {
         val keySchema = StructType(written.fields.filter(f => meta.primaryKey.contains(f.name)))
+        // decode an OPTIONAL __keep visibility marker alongside the
+        // declared fields: a merge-aggregate writer stores a
+        // HAVING-failing group's STATE with __keep=false (the data
+        // still exists; only visibility changed). Records from every
+        // other writer lack the field — from_json yields null and the
+        // coalesce keeps them visible.
         val valueSchema = StructType(
-          written.fields.filterNot(f => meta.primaryKey.contains(f.name) || f.name == "__op"))
+          written.fields.filterNot(f => meta.primaryKey.contains(f.name) ||
+            f.name == "__op" || f.name == RetractAggRewrite.KeepCol) :+
+            org.apache.spark.sql.types.StructField(
+              RetractAggRewrite.KeepCol, org.apache.spark.sql.types.BooleanType))
         // latest record per KEY BYTES by offset FIRST, tombstone filter
         // AFTER — the same fold `Topics.compact` applies, so the view is
         // identical before and after compaction. Filtering tombstones
@@ -990,7 +1060,10 @@ final class StreamingStatementRunner(spark: SparkSession,
         val latestRec = ChangelogOps.latestByKey(records, Seq("key"), Seq("offset"))
           .where(col("value").isNotNull)
         val decoded = Topics.decodeJson(latestRec, valueSchema, Some(keySchema))
-        decoded.select(written.fieldNames.filterNot(_ == "__op").map(col).toIndexedSeq: _*)
+          .where(coalesce(col(RetractAggRewrite.KeepCol), lit(true)))
+        decoded.select(written.fieldNames
+          .filterNot(n => n == "__op" || n == RetractAggRewrite.KeepCol)
+          .map(col).toIndexedSeq: _*)
       } else {
         val decoded = Topics.decodeJson(records, written)
         decoded.select(written.fieldNames.map(col).toIndexedSeq: _*)

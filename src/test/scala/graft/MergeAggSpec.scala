@@ -127,6 +127,36 @@ class MergeAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("HAVING over a merge aggregate (hidden aggregate form): visibility flips both ways, state survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[SOrd]
+    orders.toDF().createOrReplaceTempView("ma_hav_s")
+    Seq(("p1", "shoes"), ("p2", "hats")).toDF("pid", "cat")
+      .createOrReplaceTempView("ma_hav_dim")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(newConf("ma-hav")))
+    r.run("""CREATE TABLE ma_hav_out (cat STRING, n BIGINT,
+             PRIMARY KEY (cat) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    // sum(order_id) is NOT selected — the analyzer extends the
+    // Aggregate with it and projects back (the Project-wrapped shape)
+    r.run("""INSERT INTO ma_hav_out
+             SELECT d.cat, count(*) AS n
+             FROM ma_hav_s o JOIN ma_hav_dim d ON o.product_id = d.pid
+             GROUP BY d.cat HAVING sum(o.order_id) >= 10""")
+    def state() = spark.table("ma_hav_out").as[(String, Long)].collect().toMap
+
+    orders.addData(SOrd(4, "p1", "c1"), SOrd(12, "p2", "c2"))
+    r.processAllAvailable()
+    assert(state() === Map("hats" -> 1L), "shoes (sum=4) must not pass HAVING")
+
+    // shoes crosses the threshold — and its EARLIER row must still be
+    // counted (the failing group's state survived invisibly)
+    orders.addData(SOrd(7, "p1", "c3"))
+    r.processAllAvailable()
+    assert(state() === Map("shoes" -> 2L, "hats" -> 1L),
+      "a group entering the predicate must surface with its FULL state")
+    r.stopAll()
+  }
+
   test("NULL group keys merge as one group (null-safe join, JSON null-key encode)") {
     implicit val sqlCtx = spark.sqlContext
     val orders = MemoryStream[SOrd]

@@ -215,6 +215,40 @@ class RetractAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("HAVING over a retract-folded aggregate: groups leave the table when the predicate stops holding") {
+    val conf = newConf("ra-having")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rh_src", srcSchema)
+    r.runScript("""
+      CREATE TABLE rh_acct (k STRING, grp STRING, amt DOUBLE, __op STRING,
+        PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rh_acct
+      SELECT k, grp, amt, CASE WHEN grp = 'DEL' THEN '-D' ELSE '+U' END FROM rh_src;
+      CREATE TABLE rh_big (grp STRING, n BIGINT,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rh_big
+      SELECT grp, count(*) AS n FROM rh_acct GROUP BY grp HAVING count(*) >= 2""")
+    def state() = spark.table("rh_big").as[(String, Long)].collect().toMap
+
+    Topics.appendJson(Seq(RaRow("k1", "g1", 1.0), RaRow("k2", "g1", 2.0),
+      RaRow("k3", "g2", 3.0)).toDF(), "rh_src", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> 2L), "g2 (n=1) must not pass HAVING")
+
+    // g2 gains a member → enters the predicate
+    Topics.appendJson(Seq(RaRow("k4", "g2", 4.0)).toDF(), "rh_src", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> 2L, "g2" -> 2L))
+
+    // k1 revises away from g1 → g1 drops to n=1 and must be DELETED
+    // from the target, not left as a stale passing row
+    Topics.appendJson(Seq(RaRow("k1", "g2", 1.0)).toDF(), "rh_src", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(state() === Map("g2" -> 3L),
+      "a group whose HAVING predicate stops holding must be retracted")
+    r.stopAll()
+  }
+
   test("retract-mode driver through a chained JOIN: -U/+U pairs flow, tags intact, dims enriched") {
     // VERDICT r13 item 3's join shape: a statement whose FROM consumes
     // a retract-mode table joined to an upsert dim — every -U/+U
