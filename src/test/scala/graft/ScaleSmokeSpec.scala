@@ -349,7 +349,8 @@ class ScaleSmokeSpec extends SparkSpec {
       Set("q19_pairs", "q47_clusters", "q158_index_build_pairs",
         "q112_cluster_stats", "q178_manifest_indexed",
         "q101_exact_substr", "q111_contamination", "q160_strip_spans",
-        "stream_tumble_replay", "stream_restart_runner").contains(n)
+        "stream_tumble_replay", "stream_restart_runner",
+        "stream_merge_agg").contains(n)
     }
     val warm = corpus(500)
     spot.foreach { case (_, f) => f(warm); spark.catalog.clearCache() }
