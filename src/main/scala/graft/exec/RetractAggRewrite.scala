@@ -146,6 +146,6 @@ object RetractAggRewrite {
       throw new IllegalArgumentException(
         s"retract-aware aggregate over $driver: only a top-level GROUP BY " +
           s"select is supported (got ${other.nodeName} above the aggregate) — " +
-          "move HAVING/ORDER BY/subquery logic to a consumer of the target table")
+          "move ORDER BY/subquery logic to a consumer of the target table")
   }
 }
