@@ -694,6 +694,32 @@ final class StreamingStatementRunner(spark: SparkSession,
       s"INSERT INTO ${target.qualified}: a continuous joined aggregate is an " +
         "UPDATE stream (groups revise and can be deleted) — the target needs " +
         "PRIMARY KEY (upsert) semantics, as Flink requires of update-mode sinks")
+    // statement-time validation (Flink rejects at submission, so do
+    // we): analyze + rewrite ONCE against the signed stream so shape
+    // errors — unsupported aggregate functions, hidden group-key refs,
+    // PRIMARY KEY ≠ group keys — reject here, not inside the first
+    // micro-batch of a long-running query
+    synchronized {
+      signedStream.createOrReplaceTempView(driverRef)
+      try {
+        val analyzed = org.apache.spark.sql.GraftSqlBridge.analyzedPlan(spark.sql(select))
+        val (agg, _, visibleIdx) = RetractAggRewrite.unwrapHaving(analyzed, driverRef)
+        val form = MergeAggRewrite(agg, driverRef, mayRetract)
+        val declaredNames =
+          if (targetCols.nonEmpty) targetCols
+          else meta.schema.map(_.fieldNames.take(visibleIdx.size).toSeq)
+            .getOrElse(throw new IllegalArgumentException(
+              s"INSERT INTO ${target.qualified}: no declared schema to name the " +
+                "aggregate's output columns"))
+        val visToName = visibleIdx.zip(declaredNames).toMap
+        val keyNames = form.keyPositions.flatMap(visToName.get)
+        require(meta.primaryKey.toSet == keyNames.toSet &&
+            form.keyPositions.forall(visToName.contains),
+          s"INSERT INTO ${target.qualified}: the merge aggregate upserts per " +
+            s"GROUP BY key — PRIMARY KEY (${meta.primaryKey.mkString(", ")}) must " +
+            s"equal the group-key columns (${keyNames.mkString(", ")})")
+      } finally restoreRefView(driverRef, Option(restoreTo).getOrElse(signedStream))
+    }
     val stmtId = nextInsertId(target)
     signedStream.writeStream.outputMode("append")
       .queryName(queryDisplayName(target, stmtId))

@@ -190,27 +190,24 @@ class MergeAggSpec extends SparkSpec {
     val r = new StreamingStatementRunner(spark, topicConf = Some(newConf("ma-guard")))
     r.run("""CREATE TABLE ma_bad (cat STRING, n BIGINT,
              PRIMARY KEY (n) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
-    val q = r.run("""INSERT INTO ma_bad
+    // the PK-vs-group-key mismatch rejects at STATEMENT time (round 14:
+    // the merge shape is validated once before the query starts)
+    val err = intercept[IllegalArgumentException](
+      r.run("""INSERT INTO ma_bad
              SELECT d.cat, count(*) AS n
              FROM ma_guard_s o JOIN ma_dim4 d ON o.product_id = d.pid
-             GROUP BY d.cat""")
-    // the PK-vs-group-key mismatch surfaces on the first micro-batch
-    orders.addData(SOrd(1, "p1", "c1"))
-    val err = intercept[Exception](r.processAllAvailable())
-    assert(err.getMessage != null)
-    q.foreach(_.stop())
+             GROUP BY d.cat"""))
+    assert(err.getMessage.contains("PRIMARY KEY"))
     r.run("""CREATE TABLE ma_bad2 (cat STRING, m BIGINT,
              PRIMARY KEY (cat) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
-    // non-mergeable function (no retraction algebra, no multiset form):
-    // rejected at the first batch's rewrite
-    val q2 = r.run("""INSERT INTO ma_bad2
+    // non-mergeable function (no retraction algebra, no multiset
+    // form): rejected at statement time too
+    val err2 = intercept[IllegalArgumentException](
+      r.run("""INSERT INTO ma_bad2
              SELECT d.cat, first(o.order_id)
              FROM ma_guard_s o JOIN ma_dim4 d ON o.product_id = d.pid
-             GROUP BY d.cat""")
-    orders.addData(SOrd(2, "p1", "c2"))
-    val err2 = intercept[Exception](r.processAllAvailable())
-    assert(err2.getMessage != null)
-    q2.foreach(_.stop())
+             GROUP BY d.cat"""))
+    assert(err2.getMessage.contains("not mergeable"))
     // hidden (subquery) aggregate over the join path rejects at
     // STATEMENT time
     r.run("""CREATE TABLE ma_bad3 (cat STRING, m BIGINT,
