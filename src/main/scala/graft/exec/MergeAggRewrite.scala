@@ -1,6 +1,6 @@
 package graft.exec
 
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
@@ -29,11 +29,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, TimestampType
   *    stat column — so `CAST(sum(x) AS DOUBLE)` merges the exact
   *    decimal raw and applies the cast at emit.
   *
-  * Supported: count/sum/avg (signed-sum raws), min/max (raws when the
-  * driver cannot retract, value-set stats when it can), and
-  * single-expression DISTINCT count/sum/avg (value-set stats, exact).
-  * Everything else (first/collect/percentile/multi-column DISTINCT...)
-  * rejects loudly.
+  * Supported: count/sum/avg (signed-sum raws; avg divides in DECIMAL
+  * for decimal children — exact native-`Average` parity), min/max
+  * (raws when the driver cannot retract, value-set stats when it can),
+  * max_by/min_by (argmax as min/max over a `struct(order, value)` —
+  * data-keyed, so it retracts on every driver mode), first/last
+  * (argmin/argmax over `struct(add-offset, value)` — exact under
+  * retraction via ChangelogNormalize add-provenance; retract-mode
+  * topics reject, they carry no provenance), DISTINCT count over any
+  * number of expressions (struct-keyed multiset), and
+  * single-expression DISTINCT sum/avg. The genuinely unbounded-state
+  * shapes (exact percentile, collect_list) reject loudly.
   */
 object MergeAggRewrite {
 
@@ -88,11 +94,21 @@ object MergeAggRewrite {
       // value sets, deduped by the value expression: min/max/distinct
       // of the same expression share one multiset
       val valueSets = scala.collection.mutable.ArrayBuffer.empty[(Expression, String, scala.collection.mutable.Set[String])]
+      def hasTimestamp(dt: DataType): Boolean = dt match {
+        case TimestampType => true
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.exists(f => hasTimestamp(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hasTimestamp(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          hasTimestamp(m.keyType) || hasTimestamp(m.valueType)
+        case _ => false
+      }
       def valueSetFor(child: Expression, stat: String): UnresolvedAttribute = {
-        require(child.dataType != TimestampType,
+        require(!hasTimestamp(child.dataType),
           s"merge aggregate over $driver: a TIMESTAMP value inside a " +
-            "retractable min/max/DISTINCT aggregate would lose sub-millisecond " +
-            "precision in the multiset encode — aggregate unix_micros(col) instead")
+            "retractable min/max/DISTINCT/ordered aggregate would lose " +
+            "sub-millisecond precision in the multiset encode — aggregate " +
+            "unix_micros(col) instead")
         val entry = valueSets.find(_._1.semanticEquals(child)).getOrElse {
           val e = (child, s"__vs${valueSets.size}", scala.collection.mutable.Set.empty[String])
           valueSets += e
@@ -102,12 +118,47 @@ object MergeAggRewrite {
         UnresolvedAttribute.quoted(s"${entry._2}_$stat")
       }
 
+      /** An order statistic's state: the cheap mergeable raw for
+        * insert-only drivers, the per-(group, value) multiset when
+        * revisions can retract. */
+      def orderStat(child: Expression, isMax: Boolean): UnresolvedAttribute =
+        if (!mayRetract) newRaw(if (isMax) Max(child) else Min(child),
+          if (isMax) "max" else "min")
+        else valueSetFor(child, if (isMax) "max" else "min")
+
+      /** `struct(o, v)` — the ARGMAX/ARGMIN encoding: min/max over the
+        * struct orders by `o` first (offset/order-expression ties are
+        * avoided by construction), and the emit extracts `.v`. One
+        * mechanism serves max_by/min_by (user-supplied order) and
+        * first/last (arrival order). */
+      def orderedStruct(ord: Expression, value: Expression): Expression =
+        CreateNamedStruct(Seq(Literal("o"), ord, Literal("v"), value))
+      def argOrder(ord: Expression, value: Expression, isMax: Boolean,
+                   skipNullValue: Boolean): Expression = {
+        val st = orderedStruct(ord, value)
+        val guarded =
+          if (skipNullValue) If(IsNotNull(value), st, Literal(null, st.dataType))
+          else st
+        UnresolvedExtractValue(orderStat(guarded, isMax), Literal("v"))
+      }
+
+      /** Arrival-order column: present when the driver's transport
+        * defines add-provenance (upsert-normalized / append topics) —
+        * what first/last fold over. */
+      lazy val ordAttr: Expression =
+        agg.child.output.find(_.name == RetractAggRewrite.OrdCol).getOrElse(
+          throw new IllegalArgumentException(
+            s"merge aggregate over $driver: first/last fold by ARRIVAL order, " +
+              "which this driver does not carry (retract-mode topics name only " +
+              "a value, never the add it cancels; external streams have no " +
+              "offset) — use max_by/min_by over an explicit order column"))
+
       def distinctChild(ae: AggregateExpression, fn: String): Expression = {
         val nonLit = ae.aggregateFunction.children.filterNot(_.foldable)
         require(nonLit.size == 1,
           s"merge aggregate over $driver: $fn(DISTINCT ...) is supported for " +
-            "exactly one expression (a multi-column distinct multiset is not " +
-            "maintained) — combine the columns into one expression")
+            "exactly one expression — combine the columns into one expression " +
+            "(multi-column DISTINCT is supported for count only)")
         nonLit.head
       }
 
@@ -118,24 +169,51 @@ object MergeAggRewrite {
               "on this path — move the predicate to WHERE")
           ae.aggregateFunction match {
             // ── order statistics: DISTINCT is irrelevant to min/max ──
-            case m: Min =>
-              if (!mayRetract) newRaw(Min(m.child), "min")
-              else valueSetFor(m.child, "min")
-            case m: Max =>
-              if (!mayRetract) newRaw(Max(m.child), "max")
-              else valueSetFor(m.child, "max")
+            case m: Min => orderStat(m.child, isMax = false)
+            case m: Max => orderStat(m.child, isMax = true)
+            // ── argmax/argmin by an EXPLICIT order expression: data-
+            //    keyed, so value-keyed retraction cancels it on EVERY
+            //    driver mode (a -U carries the same data columns) ──
+            case mb: MaxBy =>
+              argOrder(mb.orderingExpr, mb.valueExpr, isMax = true,
+                skipNullValue = true)
+            case mb: MinBy =>
+              argOrder(mb.orderingExpr, mb.valueExpr, isMax = false,
+                skipNullValue = true)
+            // ── first/last by ARRIVAL order (Flink's FIRST_VALUE /
+            //    LAST_VALUE): argmin/argmax over (add-offset, value) —
+            //    exact under retraction because a retraction names the
+            //    add's offset (ChangelogNormalize provenance) ──
+            case f: First =>
+              argOrder(ordAttr, f.child, isMax = false,
+                skipNullValue = f.ignoreNulls)
+            case l: Last =>
+              argOrder(ordAttr, l.child, isMax = true,
+                skipNullValue = l.ignoreNulls)
             // ── DISTINCT aggregates: exact, from the multiset ──
             case c: Count if ae.isDistinct =>
-              valueSetFor(distinctChild(ae, "count"), "cnt")
+              val nonLit = c.children.filterNot(_.foldable)
+              val child =
+                if (nonLit.size == 1) nonLit.head
+                else {
+                  // multi-column DISTINCT: struct-keyed multiset; a row
+                  // with ANY null component does not count (Count's own
+                  // null semantics), so it collapses to a null entry
+                  // the cnt stat skips
+                  val st = CreateNamedStruct(nonLit.zipWithIndex.flatMap {
+                    case (e, i) => Seq(Literal(s"c$i"), e)
+                  })
+                  If(nonLit.map(IsNotNull(_): Expression).reduce(And(_, _)),
+                    st, Literal(null, st.dataType))
+                }
+              valueSetFor(child, "cnt")
             case s: Sum if ae.isDistinct =>
               Cast(valueSetFor(distinctChild(ae, "sum"), "sum"), ae.dataType)
             case a: Average if ae.isDistinct =>
               val child = distinctChild(ae, "avg")
               val sumA = valueSetFor(child, "sum")
-              val cntA = Cast(valueSetFor(child, "cnt"), DoubleType)
-              Cast(If(EqualTo(cntA, Literal(0.0d)),
-                Literal(null, DoubleType),
-                Divide(Cast(sumA, DoubleType), cntA)), a.dataType)
+              val cntA = valueSetFor(child, "cnt")
+              RetractAggRewrite.aggDivide(sumA, cntA, a.dataType, child.dataType)
             // ── sum-decomposable: signed raws ──
             case c: Count =>
               val nonLit = c.children.filterNot(_.foldable)
@@ -149,16 +227,14 @@ object MergeAggRewrite {
             case a: Average =>
               val num = newRaw(Sum(signed(a.child)), "sum")
               val den = newRaw(Sum(If(IsNotNull(a.child), signL, Literal(0L))), "sum")
-              val denD = Cast(den, DoubleType)
-              Cast(If(EqualTo(denD, Literal(0.0d)),
-                Literal(null, DoubleType),
-                Divide(Cast(num, DoubleType), denD)), a.dataType)
+              RetractAggRewrite.aggDivide(num, den, a.dataType, a.child.dataType)
             case other =>
               throw new IllegalArgumentException(
                 s"merge aggregate over $driver: ${other.prettyName} is not " +
                   "mergeable (neither sum-decomposable nor an order " +
-                  "statistic/DISTINCT over one expression) — supported: " +
-                  "count, sum, avg, min, max, count/sum/avg(DISTINCT expr)")
+                  "statistic/argmax/DISTINCT shape) — supported: count, sum, " +
+                  "avg, min, max, max_by, min_by, first, last, " +
+                  "count(DISTINCT expr...), sum/avg(DISTINCT expr)")
           }
         case other => other.mapChildren(substitute)
       }

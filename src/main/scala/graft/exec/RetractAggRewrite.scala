@@ -22,12 +22,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *                        cancel EXACTLY; doubles cancel exactly too —
   *                        same value added then subtracted)
   *  - `avg(e)`          → signed sum ÷ signed non-null count, divided
-  *                        in double and cast back to avg's result type
+  *                        in DOUBLE for non-decimal children and in
+  *                        DECIMAL for decimal children ([[aggDivide]] —
+  *                        matches native `Average` exactly, ADVICE r14)
   *
   * Everything else (min/max/first/collect/percentile/distinct...) is
   * rejected LOUDLY: those need the full value multiset to retract from,
-  * which is a different state contract — aggregate the upstream
-  * append feed instead.
+  * which is a different state contract — the runner routes such
+  * shapes to the value-multiset merge path (`MergeAggRewrite`).
   *
   * A hidden `__net = sum(__sign)` aggregate is appended: when a group's
   * net count reaches 0 every member was retracted and the group must be
@@ -39,10 +41,41 @@ object RetractAggRewrite {
 
   /** Column name the signed changelog stream carries. */
   val SignCol = "__sign"
+  /** Arrival-order column a signed changelog stream carries when the
+    * driver's transport defines one (upsert-normalized and append
+    * topic drivers: the topic offset of the ADD record) — the order
+    * key first/last aggregates fold over. Retract-mode drivers have no
+    * add-provenance (a -U names only a value), so they do not carry it. */
+  val OrdCol = "__ord"
   /** Hidden net-count column the rewrite appends (0 ⇒ group deleted). */
   val NetCol = "__net"
   /** Hidden HAVING verdict column (false ⇒ group deleted downstream). */
   val KeepCol = "__keep"
+
+  /** The emit-side division of a decomposed average, matching Spark's
+    * native `Average` result exactly (ADVICE r14): DECIMAL children
+    * divide in DECIMAL — `Divide` owns decimal result-type promotion,
+    * so `num / cast(den AS DECIMAL(20,0))` then a cast to avg's
+    * declared result type reproduces `Average.evaluateExpression`
+    * (a double-division-then-cast-back drifts in the low digits and
+    * fails the type/value-exact hash gate). Non-decimal children keep
+    * the double division with an explicit 0-denominator NULL guard (a
+    * fully-retracted group must yield NULL — never NaN, never an ANSI
+    * divide abort of the whole stream); LEGACY decimal division
+    * already yields NULL on a 0 denominator. */
+  private[exec] def aggDivide(num: Expression, den: Expression,
+                              resultType: org.apache.spark.sql.types.DataType,
+                              childType: org.apache.spark.sql.types.DataType): Expression =
+    childType match {
+      case _: org.apache.spark.sql.types.DecimalType =>
+        Cast(Divide(num, Cast(den, org.apache.spark.sql.types.DecimalType(20, 0)),
+          EvalMode.LEGACY), resultType)
+      case _ =>
+        val denD = Cast(den, DoubleType)
+        Cast(If(EqualTo(denD, Literal(0.0d)),
+          Literal(null, DoubleType),
+          Divide(Cast(num, DoubleType), denD)), resultType)
+    }
 
   /** Normalize the analyzed shapes a `GROUP BY [...] HAVING [...]`
     * select can take into (aggregate, having-condition, visible output
@@ -112,13 +145,7 @@ object RetractAggRewrite {
             val den = AggregateExpression(
               Sum(If(IsNotNull(a.child), signL, Literal(0L))),
               ae.mode, isDistinct = false, ae.filter, NamedExpression.newExprId)
-            val denD = Cast(den, DoubleType)
-            // a fully-retracted (or all-null) group has denominator 0:
-            // its avg is NULL (the row is deleted downstream anyway) —
-            // never an ANSI divide-by-zero abort of the whole stream
-            Cast(If(EqualTo(denD, Literal(0.0d)),
-              Literal(null, DoubleType),
-              Divide(Cast(num, DoubleType), denD)), a.dataType)
+            aggDivide(num, den, a.dataType, a.child.dataType)
           case other =>
             throw new IllegalArgumentException(
               s"retract-aware aggregate over $driver: ${other.prettyName} is not " +

@@ -218,54 +218,76 @@ final class StreamingStatementRunner(spark: SparkSession,
       // second writer's latest-by-offset would follow each statement's
       // own batch progression, not arrival time — an older revision
       // from the statement with the larger batchId would beat a newer
-      // one from the other, silently and forever. Reject at statement
-      // time (the slot is CLAIMED only once every later guard passes —
-      // a rejected statement must not burn it); append targets
+      // one from the other, silently and forever. The slot is claimed
+      // ATOMICALLY here and RELEASED if any later guard or the query
+      // start throws (ADVICE r14: the old check-then-act pair raced
+      // across two synchronized blocks, and a failed start leaked the
+      // claim forever). It is deliberately NOT released on stopAll: a
+      // re-declared statement would draw a fresh stmtId whose epochs
+      // restart at batchId 0 and sort BELOW the predecessor's high
+      // batches — latest-per-key would resurrect old values. Restart
+      // the RUNNER on the same script instead (same stmtIds, same
+      // checkpoints — the supported restart contract). Append targets
       // interleave harmlessly (records are facts).
       val isUpsertTarget =
         meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
-      if (isUpsertTarget)
-        require(synchronized { !upsertWriters.contains(binding.qualified) },
+      if (isUpsertTarget) synchronized {
+        require(!upsertWriters.contains(binding.qualified),
           s"INSERT INTO $target: a second INSERT statement into upsert table " +
             s"${binding.qualified} — two writers' epochs interleave by batch " +
             "progression, not arrival, making latest-per-key nondeterministic. " +
             "UNION the feeds into one INSERT, or target separate tables.")
-      val refs = tableRefs(select)
-      val streamRefs = refs.filter(r =>
-        spark.catalog.tableExists(r) && spark.table(r).isStreaming)
-      val AggShape(aggContexts, topIsAgg, needsMultiset, hasDistinctAgg) =
-        aggregateContexts(select)
-      val hasAgg = aggContexts > 0
-      def requireFoldableShape(driver: String): Unit =
-        require(topIsAgg && aggContexts == 1,
-          s"INSERT INTO $target: an aggregate hidden in a subquery (or " +
-            s"nested under other operators) over $driver would see raw " +
-            "per-batch rows — only a top-level GROUP BY select folds " +
-            "continuously on this path.")
-      def mergeExternal(driverRef: String): StreamingQuery = {
-        requireFoldableShape(driverRef)
-        val orig = spark.table(driverRef)
-        startMergeAgg(binding, meta, targetCols, select, driverRef,
-          orig.withColumn(RetractAggRewrite.SignCol, lit(1)), restoreTo = orig,
-          mayRetract = false)
+        upsertWriters += binding.qualified
       }
-      val q =
+      val q = try {
+        val refs = tableRefs(select)
+        val streamRefs = refs.filter(r =>
+          spark.catalog.tableExists(r) && spark.table(r).isStreaming)
+        // base shape (driverless): is there ANY aggregate anywhere?
+        // Routing then refines per driver — contexts confined to
+        // subqueries/CTEs that never touch the driver are dim-side
+        // work the per-batch re-resolution evaluates correctly and
+        // need no folding (ADVICE r14).
+        val baseShape = aggregateContexts(select)
+        def shapeFor(driver: String): AggShape =
+          if (baseShape.contexts == 0) baseShape
+          else aggregateContexts(select, Some(driver))
+        def requireFoldableShape(driver: String, shape: AggShape): Unit =
+          require(shape.topIsAggregate && shape.contexts == 1,
+            s"INSERT INTO $target: an aggregate hidden in a subquery, CTE, or " +
+              s"nested under other operators over $driver would see raw " +
+              "per-batch rows — only a top-level GROUP BY select folds " +
+              "continuously on this path.")
+        def mergeExternal(driverRef: String, shape: AggShape): StreamingQuery = {
+          requireFoldableShape(driverRef, shape)
+          val orig = spark.table(driverRef)
+          startMergeAgg(binding, meta, targetCols, select, driverRef,
+            orig.withColumn(RetractAggRewrite.SignCol, lit(1)), restoreTo = orig,
+            mayRetract = false)
+        }
         if (streamRefs.nonEmpty) {
           if (streamRefs.size == 1 && refs.size > 1) {
-            if (hasAgg)
+            val shape = shapeFor(streamRefs.head)
+            if (shape.contexts > 0)
               // stream + dims + GROUP BY (round 14): per-batch signed
               // deltas through the snapshot join, merged onto the
               // target's prior state — a continuous aggregate, never
               // batch-local partials
-              mergeExternal(streamRefs.head)
+              mergeExternal(streamRefs.head, shape)
             else
+              // any aggregate lives in a dim-only subquery/CTE — the
+              // snapshot join re-resolves the select per batch, so the
+              // dim-side aggregate evaluates at current dim state
               startSnapshotJoin(binding, meta, targetCols, select, streamRefs.head)
-          } else if (streamRefs.size == 1 && hasDistinctAgg)
-            // exact DISTINCT aggregation over a stream — Spark has no
-            // native streaming distinct; the value-multiset merge path
-            // computes it exactly (round 14)
-            mergeExternal(streamRefs.head)
-          else
+          } else if (streamRefs.size == 1 && baseShape.hasDistinctAgg) {
+            val shape = shapeFor(streamRefs.head)
+            if (shape.hasDistinctAgg)
+              // exact DISTINCT aggregation over a stream — Spark has no
+              // native streaming distinct; the value-multiset merge path
+              // computes it exactly (round 14)
+              mergeExternal(streamRefs.head, shape)
+            else startDirect(binding, meta, targetCols, select)
+          } else
             startDirect(binding, meta, targetCols, select)
         } else {
           // TABLE-TO-TABLE continuous INSERT (Flink's everyday shape,
@@ -288,14 +310,20 @@ final class StreamingStatementRunner(spark: SparkSession,
             driverMeta.primaryKey.nonEmpty
           val driverIsRetract = driverMeta.changelogMode == ChangelogMode.Retract
           val driverRetracts = driverIsUpsert || driverIsRetract
+          val shape = shapeFor(driver)
+          val hasAgg = shape.contexts > 0
           if (hasAgg && (refs.size > 1 ||
-              (driverRetracts && needsMultiset) || hasDistinctAgg)) {
+              (driverRetracts && shape.needsMultiset) || shape.hasDistinctAgg ||
+              shape.hasArrivalAgg)) {
             // merge-on-write path (round 14): aggregate + join (the
             // driver's signed revisions snapshot-join per batch into
             // per-group DELTAS, merged onto the target's prior state),
-            // retractable min/max, and exact DISTINCT aggregates (the
-            // per-(group, value) multiset helpers)
-            requireFoldableShape(driver)
+            // retractable min/max, argmax (max_by/min_by), first/last
+            // by arrival order (round 15 — deterministic offset order
+            // even on insert-only drivers, so they route here too),
+            // and exact DISTINCT aggregates (the per-(group, value)
+            // multiset helpers)
+            requireFoldableShape(driver, shape)
             startMergeAgg(binding, meta, targetCols, select, driver,
               signedChangelogStream(driver, driverMeta),
               mayRetract = driverRetracts)
@@ -307,7 +335,7 @@ final class StreamingStatementRunner(spark: SparkSession,
             // plain top-level GROUP BY shape is foldable; a subquery-
             // hidden or nested aggregate would still see raw revisions,
             // so anything else stays a loud rejection.
-            requireFoldableShape(s"changelog table $driver")
+            requireFoldableShape(s"changelog table $driver", shape)
             startRetractAgg(binding, meta, targetCols, select, driver, driverMeta)
           } else {
             val promoted = changelogStream(driver, warnTombstones = true)
@@ -319,7 +347,11 @@ final class StreamingStatementRunner(spark: SparkSession,
             }
           }
         }
-      if (isUpsertTarget) synchronized { upsertWriters += binding.qualified }
+      } catch {
+        case t: Throwable =>
+          if (isUpsertTarget) synchronized { upsertWriters -= binding.qualified }
+          throw t
+      }
       queries += q
       Some(q)
 
@@ -370,63 +402,140 @@ final class StreamingStatementRunner(spark: SparkSession,
       .distinct.filterNot(cteNames.contains)
   }
 
-  /** Count a select's AGGREGATE CONTEXTS on the PARSED plan, plus
-    * whether the TOP node is one. A context = a `GROUP BY` Aggregate
-    * node, a `SELECT DISTINCT` Distinct node, or any OTHER node whose
-    * expressions call an aggregate function (a global `SELECT count(*)`
-    * parses as a Project until ResolveFunctions runs; an aggregate in
-    * a scalar/IN subquery is an expression's plan, which
-    * `collectWithSubqueries` walks — ADVICE r13 item 4). Detection
-    * must stay PRE-analysis: the analyzed plan inlines the topic-backed
-    * views, whose latest-by-key materialization is itself an Aggregate
-    * and would false-positive every select over an upsert table. */
-  private[graft] def aggregateContexts(select: String): AggShape = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Distinct => LDistinct}
+  /** Classify a select's AGGREGATE CONTEXTS on the PARSED plan. A
+    * context = a `GROUP BY` Aggregate node, a `SELECT DISTINCT`
+    * Distinct node, or any OTHER node whose expressions call an
+    * aggregate function (a global `SELECT count(*)` parses as a
+    * Project until ResolveFunctions runs). Detection must stay
+    * PRE-analysis: the analyzed plan inlines the topic-backed views,
+    * whose latest-by-key materialization is itself an Aggregate and
+    * would false-positive every select over an upsert table.
+    *
+    * `driver`: when given, contexts confined to a SUBQUERY or CTE
+    * whose plan never references the driver are EXCLUDED — a
+    * scalar/IN aggregate over batch dims is re-evaluated per
+    * micro-batch by the snapshot-join re-resolution and needs no
+    * folding (ADVICE r14). CTE definition plans are traversed
+    * explicitly (they are NOT plan children — `collectWithSubqueries`
+    * never reaches them), so an aggregate hidden in a WITH clause over
+    * the driver is detected — and rejected loudly by the
+    * foldable-shape guard — instead of silently aggregating raw
+    * revisions (round-15 hole closure). */
+  private[graft] def aggregateContexts(select: String,
+                                       driver: Option[String] = None): AggShape = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedHaving, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Distinct => LDistinct, LogicalPlan, UnresolvedWith}
     val parsed = spark.sessionState.sqlParser.parsePlan(select)
-    def isAggFunc(f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction): Boolean =
-      f.nameParts.size == 1 && spark.sessionState.functionRegistry
-        .lookupFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(
-          f.nameParts.head.toLowerCase(java.util.Locale.ROOT)))
-        .exists(_.getGroup == "agg_funcs")
-    // order statistics and DISTINCT aggregates fold only through the
-    // value-multiset merge path (native streaming state can't retract
-    // them; Spark has no streaming distinct aggregation at all)
-    def needsMultiset(f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction): Boolean =
-      f.isDistinct || (f.nameParts.size == 1 &&
-        Set("min", "max").contains(f.nameParts.head.toLowerCase(java.util.Locale.ROOT)))
+    val reg = spark.sessionState.functionRegistry
+    def isAggFunc(f: UnresolvedFunction): Boolean =
+      f.nameParts.size == 1 && {
+        val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(
+          f.nameParts.head.toLowerCase(java.util.Locale.ROOT))
+        reg.lookupFunction(ident).exists { info =>
+          info.getGroup == "agg_funcs" ||
+            // a session-registered UDAF carries a null/blank group —
+            // probe the BUILDER with the call's own arguments: over a
+            // changelog driver a UDAF misread as scalar would silently
+            // aggregate revisions (ADVICE r14). Groupless AND
+            // unbuildable counts as an aggregate: a loud wrong-path
+            // rejection beats a silent wrong result.
+            ((info.getGroup == null || info.getGroup.isEmpty) &&
+              scala.util.Try(reg.lookupFunctionBuilder(ident)
+                .map(_(f.arguments)).exists {
+                  case _: AggregateExpression => true
+                  case e => e.isInstanceOf[AggregateFunction]
+                }).getOrElse(true))
+        }
+      }
+    def fname(f: UnresolvedFunction): String =
+      if (f.nameParts.size == 1) f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+      else ""
+    // order statistics, argmax, arrival-ordered, and DISTINCT
+    // aggregates fold only through the value-multiset merge path
+    // (native streaming state can't retract them; Spark has no
+    // streaming distinct aggregation at all)
+    val multisetNames = Set("min", "max", "min_by", "max_by",
+      "first", "last", "first_value", "last_value")
+    // first/last fold by ARRIVAL order — even over insert-only
+    // drivers they need the offset-ordered merge path (native
+    // streaming first/last is shuffle-order nondeterministic)
+    val arrivalNames = Set("first", "last", "first_value", "last_value")
+    def needsMultisetF(f: UnresolvedFunction): Boolean =
+      f.isDistinct || multisetNames.contains(fname(f))
+    // does plan `p` (subqueries + CTEs included) reference the driver?
+    def refsDriver(p: LogicalPlan): Boolean = driver match {
+      case None => true
+      case Some(d) =>
+        def refs(q: LogicalPlan): Boolean = {
+          var found = false
+          q.foreach { node =>
+            node match {
+              case r: UnresolvedRelation if r.multipartIdentifier.last == d =>
+                found = true
+              case w: UnresolvedWith =>
+                if (w.cteRelations.exists { case (_, cte, _) => refs(cte) }) found = true
+              case _ =>
+            }
+            node.expressions.foreach(_.foreach {
+              case sq: SubqueryExpression => if (refs(sq.plan)) found = true
+              case _ =>
+            })
+          }
+          found
+        }
+        refs(p)
+    }
     var contexts = 0
     var topIsAgg = false
     var multiset = false
     var distinctAgg = false
-    def scanExprs(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    var arrival = false
+    def scanExprs(p: LogicalPlan): Boolean = {
       var calls = false
       p.expressions.foreach(_.foreach {
-        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction if isAggFunc(f) =>
+        case f: UnresolvedFunction if isAggFunc(f) =>
           calls = true
-          if (needsMultiset(f)) multiset = true
+          if (needsMultisetF(f)) multiset = true
           if (f.isDistinct) distinctAgg = true
+          if (arrivalNames.contains(fname(f))) arrival = true
         case _ =>
       })
       calls
     }
-    parsed.collectWithSubqueries {
-      case a: LAggregate =>
-        contexts += 1; scanExprs(a); if (a eq parsed) topIsAgg = true
-      case d: LDistinct =>
-        contexts += 1; if (d eq parsed) topIsAgg = false // DISTINCT is never foldable here
-      case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
-        // HAVING belongs to its child Aggregate's context (its
-        // condition may name aggregates — they are not a second
-        // context); a top-level GROUP BY ... HAVING is foldable
-        scanExprs(h) // classify min/max/distinct inside the condition
-        if (h eq parsed) topIsAgg = true
-      case other =>
-        if (scanExprs(other)) {
-          contexts += 1
-          if (other eq parsed) topIsAgg = true // global aggregate: analyzer lifts to Aggregate
-        }
+    // walk one UNIT: a plan without descending into subquery/CTE
+    // plans — those are their own units, walked only when they
+    // reference the driver (or no driver scoping was requested)
+    def walkUnit(root: LogicalPlan): Unit = root.foreach { node =>
+      node match {
+        case w: UnresolvedWith =>
+          w.cteRelations.foreach { case (_, cte, _) =>
+            if (refsDriver(cte)) walkUnit(cte)
+          }
+        case a: LAggregate =>
+          contexts += 1; scanExprs(a); if (a eq parsed) topIsAgg = true
+        case _: LDistinct =>
+          contexts += 1 // DISTINCT is never foldable here
+        case h: UnresolvedHaving =>
+          // HAVING belongs to its child Aggregate's context (its
+          // condition may name aggregates — they are not a second
+          // context); a top-level GROUP BY ... HAVING is foldable
+          scanExprs(h) // classify min/max/distinct inside the condition
+          if (h eq parsed) topIsAgg = true
+        case other =>
+          if (scanExprs(other)) {
+            contexts += 1
+            if (other eq parsed) topIsAgg = true // global agg: analyzer lifts to Aggregate
+          }
+      }
+      node.expressions.foreach(_.foreach {
+        case sq: SubqueryExpression => if (refsDriver(sq.plan)) walkUnit(sq.plan)
+        case _ =>
+      })
     }
-    AggShape(contexts, topIsAgg, multiset, distinctAgg)
+    walkUnit(parsed)
+    AggShape(contexts, topIsAgg, multiset, distinctAgg, arrival)
   }
 
   /** The record schema [[sinkBatch]] writes for a table: the declared
@@ -461,8 +570,10 @@ final class StreamingStatementRunner(spark: SparkSession,
     * append/retract targets keep `append` (every record is a fact). */
   private def startDirect(target: TargetBinding, meta: TableMeta, targetCols: Seq[String],
                           select: String): StreamingQuery = {
-    val stmtId = nextInsertId(target)
+    // analyze BEFORE claiming a statement id: a rejected select must
+    // not burn one of the 16 epoch slots (ADVICE r14 discipline)
     val renamed = renameTo(meta, targetCols, spark.sql(select))
+    val stmtId = nextInsertId(target)
     val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
     renamed.writeStream.outputMode(if (isUpsert) "update" else "append")
       .queryName(queryDisplayName(target, stmtId))
@@ -527,17 +638,22 @@ final class StreamingStatementRunner(spark: SparkSession,
     * (`tombstonesDropped`). A DELETE on the driver never reaches the
     * downstream table — it retains the key's last value — so the
     * operator watching progress sees the skew the moment it starts. */
-  private def changelogStream(bare: String, warnTombstones: Boolean = false): DataFrame = {
+  private def changelogStream(bare: String, warnTombstones: Boolean = false,
+                              keepOrd: Boolean = false): DataFrame = {
     val meta = catalog.getOrCreate(bare)
     val b = bind(bare)
     val declared = meta.schema.getOrElse(throw new IllegalArgumentException(
       s"table $bare: no declared schema to decode its changelog"))
     val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
-    val records = Topics.readStreamRecords(spark, b.topic, conf)
     val decoded =
       if (isUpsert) {
+        // a merge-aggregate writer's __keep=false record IS a delete
+        // to a changelog consumer (the group left the visible table) —
+        // normalize it to a tombstone BEFORE the drop/observe
+        val records = withKeepAsTombstone(
+          Topics.readStreamRecords(spark, b.topic, conf))
         if (warnTombstones &&
-            Topics.readBatchRecords(spark, b.topic, conf)
+            withKeepAsTombstone(Topics.readBatchRecords(spark, b.topic, conf))
               .where(col("value").isNull).take(1).nonEmpty)
           System.err.println(
             s"[graft] WARN: promoting upsert table $bare whose topic already " +
@@ -551,9 +667,24 @@ final class StreamingStatementRunner(spark: SparkSession,
         val keySchema = StructType(declared.fields.filter(f => meta.primaryKey.contains(f.name)))
         val valueSchema = StructType(declared.fields.filterNot(f => meta.primaryKey.contains(f.name)))
         Topics.decodeJson(observed.where(col("value").isNotNull), valueSchema, Some(keySchema))
-      } else Topics.decodeJson(records, sunkSchema(meta, declared))
-    decoded.drop("__offset")
+      } else Topics.decodeJson(
+        Topics.readStreamRecords(spark, b.topic, conf), sunkSchema(meta, declared))
+    if (keepOrd) decoded.withColumnRenamed("__offset", RetractAggRewrite.OrdCol)
+    else decoded.drop("__offset")
   }
+
+  /** Merge-aggregate targets store a HAVING-failing group's STATE with
+    * `__keep = false` riding the value (visible-row delete, state
+    * retained — see [[mergeSink]]): to any CHANGELOG CONSUMER such a
+    * record IS a tombstone — the group left the visible table, and a
+    * downstream aggregate must retract it exactly as the batch view's
+    * `__keep` filter hides it. Records from every other writer lack
+    * the field and pass through unchanged. */
+  private def withKeepAsTombstone(records: DataFrame): DataFrame =
+    records.withColumn("value",
+      when(get_json_object(col("value").cast("string"),
+          s"$$.${RetractAggRewrite.KeepCol}") === "false",
+        lit(null).cast("binary")).otherwise(col("value")))
 
   /** A changelog driver's topic as a SIGNED revision stream (`__sign`
     * ∈ {+1, −1}) — the input [[startRetractAgg]] folds. Upsert drivers
@@ -569,21 +700,32 @@ final class StreamingStatementRunner(spark: SparkSession,
         s"table $bare: no declared schema to decode its changelog"))
       val keySchema = StructType(declared.fields.filter(f => meta.primaryKey.contains(f.name)))
       val valueSchema = StructType(declared.fields.filterNot(f => meta.primaryKey.contains(f.name)))
+      // __keep=false state records (merge-aggregate HAVING deletes)
+      // normalize to tombstones: the downstream aggregate retracts the
+      // group exactly as the batch view hides it (round 15 — the
+      // multi-level continuous-aggregate contract)
       graft.streaming.ChangelogNormalize
-        .normalizeUpsert(Topics.readStreamRecords(spark, b.topic, conf))
+        .normalizeUpsert(withKeepAsTombstone(
+          Topics.readStreamRecords(spark, b.topic, conf)))
         .toDF()
         .select(
           from_json(col("k"), keySchema).as("__k"),
           from_json(col("v"), valueSchema).as("__v"),
           col("sign").as(RetractAggRewrite.SignCol),
-          timestamp_micros(col("tsUs")).as("$rowtime"))
+          timestamp_micros(col("tsUs")).as("$rowtime"),
+          col("ord").as(RetractAggRewrite.OrdCol))
         .select(col("__k.*"), col("__v.*"),
-          col(RetractAggRewrite.SignCol), col("$rowtime"))
+          col(RetractAggRewrite.SignCol), col("$rowtime"),
+          col(RetractAggRewrite.OrdCol))
     } else if (meta.changelogMode == ChangelogMode.Retract)
+      // no __ord on retract drivers: a -U names only a VALUE, never
+      // the add it cancels — arrival-ordered aggregates reject there
       changelogStream(bare).withColumn(RetractAggRewrite.SignCol,
         when(col("__op").isin("-U", "-D"), lit(-1)).otherwise(lit(1)))
-    else // append driver: a true insert stream — every record adds
-      changelogStream(bare).withColumn(RetractAggRewrite.SignCol, lit(1))
+    else // append driver: a true insert stream — every record adds,
+         // and its topic offset is its arrival order
+      changelogStream(bare, keepOrd = true)
+        .withColumn(RetractAggRewrite.SignCol, lit(1))
   }
 
   /** Retraction-aware continuous aggregate over a promoted CHANGELOG
@@ -606,7 +748,10 @@ final class StreamingStatementRunner(spark: SparkSession,
       s"INSERT INTO ${target.qualified}: a retraction-folding aggregate is an " +
         "UPDATE stream (groups revise and can be deleted) — the target needs " +
         "PRIMARY KEY (upsert) semantics, as Flink requires of update-mode sinks")
-    val stmtId = nextInsertId(target)
+    // analyze + rewrite BEFORE claiming a statement id: a rejected
+    // shape must not burn one of the 16 epoch slots — the same
+    // statement-time validation ordering startMergeAgg upholds
+    // (ADVICE r14)
     val signed = signedChangelogStream(driver, driverMeta)
     val analyzed = withViewShadow(driver, signed) {
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(spark.sql(select))
@@ -633,6 +778,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     val renamed = uniq.select(
       (visibleIdx.zipWithIndex.map { case (src, j) => col(s"__c$src").as(names(j)) } ++
         Seq(col(RetractAggRewrite.NetCol), col(RetractAggRewrite.KeepCol))): _*)
+    val stmtId = nextInsertId(target)
     renamed.writeStream.outputMode("update")
       .queryName(queryDisplayName(target, stmtId))
       .option("checkpointLocation", checkpointDir(target, stmtId))
@@ -1163,13 +1309,18 @@ final class StreamingStatementRunner(spark: SparkSession,
 /** Shape of a select's aggregation surface, detected PRE-analysis:
   * `contexts` = number of distinct aggregate contexts (GROUP BY /
   * SELECT DISTINCT nodes + nodes whose expressions call aggregate
-  * functions, subquery plans included); `topIsAggregate` = the plan
-  * root is one; `needsMultiset` = an order statistic (min/max) or
-  * DISTINCT aggregate appears (foldable only via the value-multiset
-  * merge path when revisions can retract); `hasDistinctAgg` = a
-  * DISTINCT aggregate appears (no native streaming form at all). */
+  * functions; subquery and CTE plans included — scoped to contexts
+  * involving the driver when one was given); `topIsAggregate` = the
+  * plan root is one; `needsMultiset` = an order statistic
+  * (min/max/max_by/min_by/first/last) or DISTINCT aggregate appears
+  * (foldable only via the value-multiset merge path when revisions
+  * can retract); `hasDistinctAgg` = a DISTINCT aggregate appears (no
+  * native streaming form at all); `hasArrivalAgg` = first/last
+  * appears (folds by arrival order — needs the offset-ordered merge
+  * path on every driver mode). */
 final case class AggShape(contexts: Int, topIsAggregate: Boolean,
-                          needsMultiset: Boolean, hasDistinctAgg: Boolean)
+                          needsMultiset: Boolean, hasDistinctAgg: Boolean,
+                          hasArrivalAgg: Boolean)
 
 /** Snapshot of one long-running INSERT's last completed micro-batch.
   * `tombstonesDropped`: upsert-driver DELETEs skipped by a promoted

@@ -12,8 +12,12 @@ final case class UpsertRec(k: String, v: String, offset: Long, tsUs: Long)
 /** One signed changelog row: `sign = +1` adds the JSON-encoded value to
   * downstream state, `-1` retracts it — the (+U/-U/+I/-D) alphabet of
   * a retract stream collapsed to the arithmetic that fold-able
-  * aggregates need. */
-final case class SignedRec(k: String, v: String, sign: Int, tsUs: Long)
+  * aggregates need. `ord` is the ARRIVAL ORDER of the row being
+  * added/retracted — the topic offset of the record that ADDED the
+  * value (a retraction carries its add's offset, so an (ord, value)
+  * pair cancels exactly) — the order key Flink's FIRST_VALUE /
+  * LAST_VALUE aggregate over. */
+final case class SignedRec(k: String, v: String, sign: Int, tsUs: Long, ord: Long)
 
 /** Upsert-changelog normalization — the Spark form of Flink's
   * `ChangelogNormalize` operator (the reference's managed engine
@@ -48,17 +52,22 @@ object ChangelogNormalize {
         col("offset"), unix_micros(col("timestamp")).as("tsUs"))
       .as[UpsertRec]
       .groupByKey(_.k)
-      .flatMapGroupsWithState[String, SignedRec](
+      .flatMapGroupsWithState[(String, Long), SignedRec](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (k: String, rows: Iterator[UpsertRec], state) =>
+          // state = (current value, offset of the record that added it):
+          // the retraction emitted for a revision names the PRIOR add's
+          // offset, so downstream (ord, value) multisets cancel exactly
           var cur = state.getOption
           val out = List.newBuilder[SignedRec]
           rows.toSeq.sortBy(_.offset).foreach { r =>
-            cur.foreach(old => out += SignedRec(k, old, -1, r.tsUs))
+            cur.foreach { case (old, oldOrd) =>
+              out += SignedRec(k, old, -1, r.tsUs, oldOrd)
+            }
             if (r.v != null) {
-              out += SignedRec(k, r.v, +1, r.tsUs)
-              cur = Some(r.v)
-              state.update(r.v)
+              out += SignedRec(k, r.v, +1, r.tsUs, r.offset)
+              cur = Some((r.v, r.offset))
+              state.update((r.v, r.offset))
             } else {
               cur = None
               state.remove()

@@ -200,14 +200,25 @@ class MergeAggSpec extends SparkSpec {
     assert(err.getMessage.contains("PRIMARY KEY"))
     r.run("""CREATE TABLE ma_bad2 (cat STRING, m BIGINT,
              PRIMARY KEY (cat) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
-    // non-mergeable function (no retraction algebra, no multiset
-    // form): rejected at statement time too
+    // first/last fold by ARRIVAL order, which an external stream does
+    // not carry (no topic offset) — rejected at statement time with
+    // the max_by/min_by guidance (round 15)
     val err2 = intercept[IllegalArgumentException](
       r.run("""INSERT INTO ma_bad2
              SELECT d.cat, first(o.order_id)
              FROM ma_guard_s o JOIN ma_dim4 d ON o.product_id = d.pid
              GROUP BY d.cat"""))
-    assert(err2.getMessage.contains("not mergeable"))
+    assert(err2.getMessage.contains("ARRIVAL order"))
+    // genuinely unbounded-state shape (exact percentile): still a loud
+    // not-mergeable rejection
+    r.run("""CREATE TABLE ma_bad4 (cat STRING, m DOUBLE,
+             PRIMARY KEY (cat) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    val err4 = intercept[IllegalArgumentException](
+      r.run("""INSERT INTO ma_bad4
+             SELECT d.cat, percentile(o.order_id, 0.5)
+             FROM ma_guard_s o JOIN ma_dim4 d ON o.product_id = d.pid
+             GROUP BY d.cat"""))
+    assert(err4.getMessage.contains("not mergeable"))
     // hidden (subquery) aggregate over the join path rejects at
     // STATEMENT time
     r.run("""CREATE TABLE ma_bad3 (cat STRING, m BIGINT,
