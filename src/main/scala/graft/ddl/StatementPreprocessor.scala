@@ -56,8 +56,12 @@ object StatementPreprocessor {
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\(""".r
   private val BucketsRe = """(?is)DISTRIBUTED\s+INTO\s+(\d+)\s+BUCKETS?""".r
   private val WithRe = """(?is)WITH\s*\((.*?)\)""".r
+  // the select may open with a WITH clause (Flink allows
+  // `INSERT INTO t WITH cte AS (...) SELECT ...`) — without the
+  // alternative such statements fell through to Passthrough and died
+  // as a literal Spark INSERT against a temp view (round 15)
   private val InsertRe =
-    """(?is)\s*INSERT\s+INTO\s+`?(\w+)`?\s*(\(([^)]*)\))?\s*(SELECT\b.*?);?\s*""".r
+    """(?is)\s*INSERT\s+INTO\s+`?(\w+)`?\s*(\(([^)]*)\))?\s*((?:SELECT|WITH)\b.*?);?\s*""".r
   // column char class includes `$`: the system column `$rowtime` is a
   // legal ALTER target (watermarks default to it, SURVEY.md §1.4)
   private val AlterColRe =

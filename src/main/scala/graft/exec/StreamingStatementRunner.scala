@@ -500,6 +500,24 @@ final class StreamingStatementRunner(spark: SparkSession,
           if (needsMultisetF(f)) multiset = true
           if (f.isDistinct) distinctAgg = true
           if (arrivalNames.contains(fname(f))) arrival = true
+        // the parser builds FIRST/LAST (and a few others) as direct
+        // AggregateExpressions, never UnresolvedFunction — match the
+        // function class too or first/last misroutes to the
+        // sum-decomposable path
+        case ae: AggregateExpression =>
+          calls = true
+          ae.aggregateFunction match {
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.First |
+                 _: org.apache.spark.sql.catalyst.expressions.aggregate.Last =>
+              multiset = true; arrival = true
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.Min |
+                 _: org.apache.spark.sql.catalyst.expressions.aggregate.Max |
+                 _: org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy |
+                 _: org.apache.spark.sql.catalyst.expressions.aggregate.MinBy =>
+              multiset = true
+            case _ =>
+          }
+          if (ae.isDistinct) distinctAgg = true
         case _ =>
       })
       calls

@@ -407,4 +407,119 @@ class StreamingStatementRunnerSpec extends SparkSpec {
     assert(r.tableRefs(
       "SELECT * FROM a JOIN db.b ON a.k = b.k").sorted === Seq("a", "b"))
   }
+
+  test("dim-only subquery aggregates ride the snapshot join; driver-involving ones still reject (ADVICE r14)") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[SOrd]
+    orders.toDF().createOrReplaceTempView("adv_orders_s")
+    Seq(("p1", 5L), ("p2", 9L)).toDF("pid", "threshold")
+      .createOrReplaceTempView("adv_dim")
+    val r = new StreamingStatementRunner(spark)
+    r.run("CREATE TABLE adv_out (order_id INT, product_id STRING)")
+    // the select's ONLY aggregate lives in a dim-side scalar subquery —
+    // previously misrouted to the merge path and rejected; the snapshot
+    // join re-resolves it per batch at current dim state
+    r.run("""INSERT INTO adv_out
+             SELECT o.order_id, o.product_id
+             FROM adv_orders_s o JOIN adv_dim d ON o.product_id = d.pid
+             WHERE d.threshold > (SELECT min(threshold) FROM adv_dim)""")
+    orders.addData(SOrd(1, "p1", "c1"), SOrd(2, "p2", "c2"), SOrd(3, "p2", "c3"))
+    r.processAllAvailable()
+    assert(spark.table("adv_out").select("order_id").as[Int].collect().sorted
+      === Array(2, 3), "only the above-min-threshold dim rows pass")
+    // a subquery aggregate REFERENCING THE STREAM still rejects loudly
+    r.run("CREATE TABLE adv_out2 (order_id INT, product_id STRING)")
+    val err = intercept[IllegalArgumentException](
+      r.run("""INSERT INTO adv_out2
+               SELECT o.order_id, o.product_id
+               FROM adv_orders_s o JOIN adv_dim d ON o.product_id = d.pid
+               WHERE o.order_id > (SELECT avg(order_id) FROM adv_orders_s)"""))
+    assert(err.getMessage.contains("hidden in a subquery"))
+    r.stopAll()
+  }
+
+  test("a CTE-hidden aggregate over a changelog driver rejects loudly (round 15: CTE plans are traversed)") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[SOrd]
+    orders.toDF().createOrReplaceTempView("cte_orders_s")
+    val r = new StreamingStatementRunner(spark)
+    r.runScript("""
+      CREATE TABLE cte_keyed (order_id INT, product_id STRING,
+        PRIMARY KEY (order_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO cte_keyed SELECT order_id, product_id FROM cte_orders_s;
+      CREATE TABLE cte_out (product_id STRING, n BIGINT,
+        PRIMARY KEY (product_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    // before round 15 the CTE's Aggregate was invisible to shape
+    // detection (cteRelations are not plan children) and this select
+    // would silently count raw REVISIONS on the direct path
+    val err = intercept[IllegalArgumentException](
+      r.run("""INSERT INTO cte_out
+               WITH agg AS (SELECT product_id, count(*) AS n
+                            FROM cte_keyed GROUP BY product_id)
+               SELECT product_id, n FROM agg"""))
+    assert(err.getMessage.contains("CTE"))
+    r.stopAll()
+  }
+
+  test("a session-registered global UDAF over a changelog driver is detected and rejected, never folded as revisions") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.{Encoders, functions => F}
+    val agg = new org.apache.spark.sql.expressions.Aggregator[Long, Long, Long] {
+      def zero: Long = 0L
+      def reduce(b: Long, a: Long): Long = b + a
+      def merge(x: Long, y: Long): Long = x + y
+      def finish(r: Long): Long = r
+      def bufferEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    }
+    spark.udf.register("adv_sumagg", F.udaf(agg))
+    val orders = MemoryStream[SOrd]
+    orders.toDF().createOrReplaceTempView("udaf_orders_s")
+    val r = new StreamingStatementRunner(spark)
+    r.runScript("""
+      CREATE TABLE udaf_keyed (order_id INT, product_id STRING,
+        PRIMARY KEY (order_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO udaf_keyed SELECT order_id, product_id FROM udaf_orders_s;
+      CREATE TABLE udaf_out (n BIGINT,
+        PRIMARY KEY (n) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    // the UDAF's ExpressionInfo has no group — the registry-builder
+    // probe must classify it as an aggregate so it reaches the
+    // retraction path's loud rejection instead of silently summing
+    // every revision on the direct path (ADVICE r14)
+    val err = intercept[IllegalArgumentException](
+      r.run("INSERT INTO udaf_out SELECT adv_sumagg(order_id) FROM udaf_keyed"))
+    assert(err.getMessage.contains("not sum-decomposable"))
+    r.stopAll()
+  }
+
+  test("a rejected INSERT releases the upsert-writer claim; a started one still blocks a second writer") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[SOrd]
+    orders.toDF().createOrReplaceTempView("claim_orders_s")
+    val r = new StreamingStatementRunner(spark)
+    r.runScript("""
+      CREATE TABLE claim_keyed (order_id INT, product_id STRING,
+        PRIMARY KEY (order_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO claim_keyed SELECT order_id, product_id FROM claim_orders_s;
+      CREATE TABLE claim_out (product_id STRING, n BIGINT,
+        PRIMARY KEY (product_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    // percentile over a changelog driver rejects (unbounded state) —
+    // the writer claim taken at statement entry must be RELEASED
+    intercept[IllegalArgumentException](
+      r.run("""INSERT INTO claim_out
+               SELECT product_id, percentile(order_id, 0.5)
+               FROM claim_keyed GROUP BY product_id"""))
+    // ... so the corrected statement can claim the same target
+    val q = r.run("""INSERT INTO claim_out
+                     SELECT product_id, count(*) AS n
+                     FROM claim_keyed GROUP BY product_id""")
+    assert(q.isDefined, "corrected statement must start after a rejected one")
+    // a SECOND live writer is still refused
+    val err = intercept[IllegalArgumentException](
+      r.run("""INSERT INTO claim_out
+               SELECT product_id, count(*) AS n
+               FROM claim_keyed GROUP BY product_id"""))
+    assert(err.getMessage.contains("second INSERT"))
+    r.stopAll()
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import graft.exec.StreamingStatementRunner
 import graft.sources.{TopicConf, Topics}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.avg
 import org.apache.spark.sql.types._
 
 final case class VsRow(k: String, grp: String, amt: Double)
@@ -124,6 +125,162 @@ class ValueSetAggSpec extends SparkSpec {
     assert(spark.table("vs_cust_counts").as[(String, Long)].collect().toMap
       === Map("p1" -> 3L, "p2" -> 1L),
       "cross-batch duplicate values must not re-count")
+    r.stopAll()
+  }
+
+  test("first/last fold by ARRIVAL order: retracting the current last falls back to the prior add") {
+    val conf = newConf("vs-firstlast")
+    val r = runner(conf, "vs_src_fl", """
+      CREATE TABLE vs_fl (grp STRING, first_amt DOUBLE, last_amt DOUBLE,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_fl
+      SELECT grp, first(amt) AS first_amt, last(amt) AS last_amt
+      FROM vs_acct GROUP BY grp""")
+    def state() = spark.table("vs_fl")
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // one row per epoch: arrival order IS epoch order (within-epoch
+    // cross-key offsets depend on partition layout)
+    Topics.appendJson(Seq(VsRow("k1", "g1", 10.0)).toDF(), "vs_src_fl", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((10.0, 10.0))))
+    Topics.appendJson(Seq(VsRow("k2", "g1", 20.0)).toDF(), "vs_src_fl", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((10.0, 20.0))))
+    // k1 revises: its ORIGINAL add (epoch 1) is retracted by provenance
+    // and the new add becomes the latest — first moves to k2's row
+    Topics.appendJson(Seq(VsRow("k1", "g1", 30.0)).toDF(), "vs_src_fl", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((20.0, 30.0))),
+      "revising the first-arrived key must move first to the next-oldest LIVE add")
+    // tombstone k1: the current LAST is retracted — falls back to k2
+    Topics.appendJson(Seq(VsRow("k1", "DEL", 0.0)).toDF(), "vs_src_fl", conf, Nil, 4)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((20.0, 20.0))),
+      "retracting the current last must fall back to the prior live add")
+    r.stopAll()
+  }
+
+  test("max_by/min_by retract value-keyed on every driver mode; first/last over a retract-mode topic rejects") {
+    val conf = newConf("vs-argmax")
+    val r = runner(conf, "vs_src_am", """
+      CREATE TABLE vs_am (grp STRING, top_k STRING, bot_k STRING,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_am
+      SELECT grp, max_by(k, amt) AS top_k, min_by(k, amt) AS bot_k
+      FROM vs_acct GROUP BY grp""")
+    def state() = spark.table("vs_am")
+      .as[(String, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    Topics.appendJson(Seq(VsRow("k1", "g1", 10.0), VsRow("k2", "g1", 30.0),
+      VsRow("k3", "g1", 20.0)).toDF(), "vs_src_am", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> (("k2", "k1"))))
+    // the argmax HOLDER revises downward: the (30, k2) pair retracts
+    // and k3 becomes the argmax
+    Topics.appendJson(Seq(VsRow("k2", "g1", 5.0)).toDF(), "vs_src_am", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> (("k3", "k2"))),
+      "revising the argmax holder must recompute from the remaining pairs")
+    r.stopAll()
+    // first/last over a RETRACT-mode topic: a -U names only a value,
+    // never the add it cancels — loud rejection with guidance
+    val conf2 = newConf("vs-fl-retract")
+    val r2 = new StreamingStatementRunner(spark, topicConf = Some(conf2))
+    r2.registerTopicSource("vs_src_flr", StructType(srcSchema.fields :+
+      StructField("__op", StringType)))
+    r2.runScript("""
+      CREATE TABLE vs_rlog (k STRING, grp STRING, amt DOUBLE, __op STRING)
+        WITH ('changelog.mode' = 'retract');
+      INSERT INTO vs_rlog SELECT k, grp, amt, __op FROM vs_src_flr;
+      CREATE TABLE vs_fl_bad (grp STRING, last_amt DOUBLE,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    val err = intercept[IllegalArgumentException](r2.run("""
+      INSERT INTO vs_fl_bad
+      SELECT grp, last(amt) FROM vs_rlog GROUP BY grp"""))
+    assert(err.getMessage.contains("ARRIVAL order"))
+    r2.stopAll()
+  }
+
+  test("multi-column count(DISTINCT a, b): struct-keyed multiset, null components don't count") {
+    val conf = newConf("vs-mcd")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("vs_src_mc", StructType(Seq(
+      StructField("k", StringType), StructField("grp", StringType),
+      StructField("a", LongType), StructField("b", StringType))))
+    r.runScript("""
+      CREATE TABLE vs_mc_acct (k STRING, grp STRING, a BIGINT, b STRING,
+        PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_mc_acct SELECT k, grp, a, b FROM vs_src_mc;
+      CREATE TABLE vs_mc (grp STRING, n_pairs BIGINT,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_mc
+      SELECT grp, count(DISTINCT a, b) AS n_pairs
+      FROM vs_mc_acct GROUP BY grp""")
+    def state() = spark.table("vs_mc").as[(String, Long)].collect().toMap
+    // k1 and k2 hold the SAME (a, b) pair; k3 has a null component
+    Topics.appendJson(Seq(("k1", "g1", 1L, "x"), ("k2", "g1", 1L, "x"),
+      ("k3", "g1", 2L, null)).toDF("k", "grp", "a", "b"),
+      "vs_src_mc", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> 1L),
+      "duplicate pairs count once; a null component does not count")
+    // k2 revises to a new pair: (1,x) survives via k1 — now 2 pairs
+    Topics.appendJson(Seq(("k2", "g1", 1L, "y")).toDF("k", "grp", "a", "b"),
+      "vs_src_mc", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> 2L))
+    // k1 joins k2's pair: (1,x) loses its last holder — back to 1
+    Topics.appendJson(Seq(("k1", "g1", 1L, "y")).toDF("k", "grp", "a", "b"),
+      "vs_src_mc", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> 1L),
+      "a pair must leave the count only when its LAST holder leaves")
+    r.stopAll()
+  }
+
+  test("avg over DECIMAL folds bit-exactly with native batch Average on both changelog paths") {
+    val conf = newConf("vs-decavg")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("vs_src_dec", StructType(Seq(
+      StructField("k", StringType), StructField("grp", StringType),
+      StructField("amt", DecimalType(12, 2)))))
+    r.runScript("""
+      CREATE TABLE vs_dec_acct (k STRING, grp STRING, amt DECIMAL(12,2),
+        PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_dec_acct SELECT k, grp, amt FROM vs_src_dec;
+      CREATE TABLE vs_dec_avg (grp STRING, avg_amt DECIMAL(16,6),
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_dec_avg
+      SELECT grp, avg(amt) AS avg_amt FROM vs_dec_acct GROUP BY grp;
+      CREATE TABLE vs_dec_avg2 (grp STRING, avg_amt DECIMAL(16,6), max_amt DECIMAL(12,2),
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_dec_avg2
+      SELECT grp, avg(amt) AS avg_amt, max(amt) AS max_amt
+      FROM vs_dec_acct GROUP BY grp""")
+    def dec(s: String) = new java.math.BigDecimal(s)
+    def feed(epoch: Int, rows: (String, String, String)*): Unit = {
+      Topics.appendJson(rows.toSeq.map { case (k, g, a) => (k, g, dec(a)) }
+        .toDF("k", "grp", "amt")
+        .select($"k", $"grp", $"amt".cast("decimal(12,2)")), "vs_src_dec", conf, Nil, epoch)
+      r.processAllAvailable()
+    }
+    // values chosen so the division does NOT terminate at scale 6
+    // (10/3-style): any double-division shortcut drifts in low digits
+    feed(1, ("k1", "g1", "10.01"), ("k2", "g1", "10.02"))
+    feed(2, ("k3", "g1", "10.04"), ("k1", "g1", "10.07")) // k1 revises
+    val expected = spark.table("vs_dec_acct")
+      .groupBy($"grp").agg(avg($"amt").as("avg_amt"))
+    // the retract path (avg alone) and the merge path (avg + retractable
+    // max forces the value-multiset route) must BOTH equal native avg,
+    // value- and type-exactly
+    val got1 = spark.table("vs_dec_avg")
+    assert(got1.schema("avg_amt").dataType === expected.schema("avg_amt").dataType)
+    assert(got1.orderBy("grp").collect().toSeq ===
+      expected.orderBy("grp").collect().toSeq)
+    val got2 = spark.table("vs_dec_avg2").select($"grp", $"avg_amt")
+    assert(got2.orderBy("grp").collect().toSeq ===
+      expected.orderBy("grp").collect().toSeq)
     r.stopAll()
   }
 
