@@ -29,7 +29,11 @@ object Bench {
     // 6–18× their uncontended cost that way). With interleaving the
     // spike must recur at the same suite offset in every pass to
     // survive the min.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // default 3 (round 15, VERDICT r14 item 7): min-of-2 kept
+    // manufacturing 1.2-1.5x phantom bands that burned an adjudication
+    // cycle each round; the third pass costs ~2 min on the batch half
+    // (stream replays already floor at >=3 samples) and cuts that toil
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // optional comma-separated subset (iterating on one operator's perf)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)

@@ -1812,6 +1812,39 @@ object OracleSql {
                 CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM latest GROUP BY event_type
          HAVING count(*) % 2 = 0""",
+    // Multi-level continuous aggregate: level 1 merge-aggregates (max +
+    // HAVING) into an upsert table; level 2 retract-folds over its
+    // changelog. Final state = the batch two-level aggregate over
+    // latest-per-key, HAVING applied at level 1.
+    "q233_stream_multilevel_agg" ->
+      """WITH latest AS (
+           SELECT user_id, event_type, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 4 = 0) WHERE rn = 1),
+         l1 AS (
+           SELECT event_type, count(*) AS n_users, max(value) AS max_value
+           FROM latest GROUP BY event_type
+           HAVING count(*) % 2 = 0)
+         SELECT CAST(n_users % 3 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(CAST(max_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_max
+         FROM l1 GROUP BY 1""",
+    // Argmax/argmin + multi-column DISTINCT over an upsert changelog
+    // driver: (order, value) multisets retract the moved holder;
+    // user_id order keys make the argmax deterministic. Final state =
+    // the batch latest-per-key aggregate.
+    "q234_stream_argmax_distinct" ->
+      """WITH latest AS (
+           SELECT user_id, event_type, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 4 = 0) WHERE rn = 1)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                arg_max(value, user_id) AS top_value,
+                arg_min(value, user_id) AS bot_value,
+                CAST(count(DISTINCT (user_id % 8, user_id % 3)) AS BIGINT) AS n_pairs
+         FROM latest GROUP BY event_type""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

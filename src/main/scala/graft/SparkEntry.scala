@@ -2930,6 +2930,137 @@ object SparkEntry {
         col("sum_value"))
     }),
 
+    // ── MULTI-LEVEL CONTINUOUS AGGREGATE, DRIVER-GATED (round 15,
+    //    VERDICT r14 item 2 — the lab-aggregations chain one level
+    //    deeper): statement A MERGE-aggregates (retractable max + a
+    //    HAVING whose verdict flips across epochs) into an upsert
+    //    table whose topic records carry hidden raws/__net/__keep;
+    //    statement B retract-folds over A's CHANGELOG — extra value
+    //    fields must stay invisible and a __keep=false state record
+    //    must retract the group downstream exactly as the batch view
+    //    hides it. Final state = the batch two-level aggregate ──
+    "q233_stream_multilevel_agg" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q233").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_feed_q233", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType),
+          StructField("ts_us", LongType))))
+        r.runScript("""
+          CREATE TABLE user_latest_q233 (
+            user_id BIGINT, last_event_id BIGINT, last_event_type STRING,
+            last_value DOUBLE, ts_us BIGINT,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_latest_q233
+          SELECT user_id, event_id, event_type, value, ts_us FROM events_feed_q233;
+          CREATE TABLE type_stats_q233 (event_type STRING, n_users BIGINT,
+            max_value DOUBLE,
+            PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO type_stats_q233
+          SELECT last_event_type, count(*) AS n_users, max(last_value) AS max_value
+          FROM user_latest_q233 GROUP BY last_event_type
+          HAVING count(*) % 2 = 0;
+          CREATE TABLE parity_stats_q233 (bucket BIGINT, n_types BIGINT,
+            sum_max DOUBLE,
+            PRIMARY KEY (bucket) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO parity_stats_q233
+          SELECT CAST(n_users % 3 AS BIGINT) AS bucket, count(*) AS n_types,
+                 CAST(sum(CAST(max_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_max
+          FROM type_stats_q233 GROUP BY CAST(n_users % 3 AS BIGINT)""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_id"), col("event_type"), col("value"),
+            col("ts_us")), struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.event_id"), col("__l.event_type"),
+            col("__l.value"), col("__l.ts_us"))
+        Topics.appendJson(slice, "events_feed_q233", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("parity_stats_q233").select(col("bucket"), col("n_types"),
+        col("sum_max"))
+    }),
+
+    // ── ARGMAX/ARGMIN + MULTI-COLUMN DISTINCT over an upsert changelog
+    //    driver, DRIVER-GATED (round 15, VERDICT r14 item 3 — the last
+    //    "Flink runs this, we refuse" shapes): max_by/min_by fold as
+    //    (order, value) multisets, so a revision that moves the argmax
+    //    HOLDER out of a group recomputes from the remaining pairs;
+    //    count(DISTINCT a, b) keeps a struct-keyed multiset. user_id
+    //    as the order key makes the argmax deterministic (unique per
+    //    group by construction). Final state = the batch
+    //    latest-per-key aggregate ──
+    "q234_stream_argmax_distinct" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q234").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_feed_q234", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType),
+          StructField("ts_us", LongType))))
+        r.runScript("""
+          CREATE TABLE user_latest_q234 (
+            user_id BIGINT, last_event_id BIGINT, last_event_type STRING,
+            last_value DOUBLE, ts_us BIGINT,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_latest_q234
+          SELECT user_id, event_id, event_type, value, ts_us FROM events_feed_q234;
+          CREATE TABLE type_tops_q234 (event_type STRING, n_users BIGINT,
+            top_value DOUBLE, bot_value DOUBLE, n_pairs BIGINT,
+            PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO type_tops_q234
+          SELECT last_event_type, count(*) AS n_users,
+                 max_by(last_value, user_id) AS top_value,
+                 min_by(last_value, user_id) AS bot_value,
+                 count(DISTINCT user_id % 8, user_id % 3) AS n_pairs
+          FROM user_latest_q234 GROUP BY last_event_type""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_id"), col("event_type"), col("value"),
+            col("ts_us")), struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.event_id"), col("__l.event_type"),
+            col("__l.value"), col("__l.ts_us"))
+        Topics.appendJson(slice, "events_feed_q234", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("type_tops_q234").select(col("event_type"), col("n_users"),
+        col("top_value"), col("bot_value"), col("n_pairs"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

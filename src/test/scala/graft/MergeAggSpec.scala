@@ -182,6 +182,67 @@ class MergeAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("multi-level continuous aggregate: a merge-agg target (raws + HAVING visibility in its values) drives a downstream aggregate") {
+    val conf = newConf("ma-multilevel")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("ml_src", StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType),
+      StructField("op", StringType))))
+    // A merge-aggregates (max forces the value-multiset route, HAVING
+    // flips group visibility) into ml_t1; B retract-folds over ml_t1's
+    // CHANGELOG — its records carry hidden raws/__net/__keep, which the
+    // downstream normalize must treat as: extra fields invisible,
+    // __keep=false = tombstone (the lab-aggregations chain one level
+    // deeper than q230)
+    r.runScript("""
+      CREATE TABLE ml_latest (k BIGINT, v DOUBLE, __op STRING,
+        PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO ml_latest
+      SELECT k, v, CASE WHEN op = 'DEL' THEN '-D' ELSE '+U' END FROM ml_src;
+      CREATE TABLE ml_t1 (bucket BIGINT, n BIGINT, mx DOUBLE,
+        PRIMARY KEY (bucket) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO ml_t1
+      SELECT k % 2 AS bucket, count(*) AS n, max(v) AS mx
+      FROM ml_latest GROUP BY k % 2
+      HAVING count(*) % 2 = 1;
+      CREATE TABLE ml_t2 (par BIGINT, nb BIGINT, smx DOUBLE,
+        PRIMARY KEY (par) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO ml_t2
+      SELECT n % 2 AS par, count(*) AS nb, sum(mx) AS smx
+      FROM ml_t1 GROUP BY n % 2""")
+    def t2() = spark.table("ml_t2")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    def feed(epoch: Int, rows: (Long, Double, String)*): Unit = {
+      Topics.appendJson(rows.toSeq.toDF("k", "v", "op"), "ml_src", conf, Nil, epoch)
+      r.processAllAvailable()
+    }
+    // e1: b0={k2}, n=1 odd → visible (mx=20); b1={k1,k3}, n=2 → hidden
+    feed(1, (1L, 10.0, "+"), (2L, 20.0, "+"), (3L, 30.0, "+"))
+    assert(t2() === Map(1L -> ((1L, 20.0))))
+    // e2: k4 joins b0 → n=2 → b0 LEAVES the predicate (__keep=false):
+    // downstream must see a tombstone and DELETE its group entirely
+    feed(2, (4L, 40.0, "+"))
+    assert(t2() === Map.empty[Long, (Long, Double)],
+      "a HAVING-hidden level-1 group must retract from the level-2 aggregate")
+    // e3: k1 revises within b1 (mx 30→50, still hidden); k2 DELETES →
+    // b0 back to n=1 (k4), visible with mx=40
+    feed(3, (1L, 50.0, "+"), (2L, 0.0, "DEL"))
+    assert(t2() === Map(1L -> ((1L, 40.0))))
+    // e4: k3 deletes → b1 n=1, visible (mx=50): two visible buckets
+    feed(4, (3L, 0.0, "DEL"))
+    assert(t2() === Map(1L -> ((2L, 90.0))))
+    // final cross-check against the batch two-level computation
+    val expected = spark.sql("""
+      WITH l1 AS (
+        SELECT k % 2 AS bucket, count(*) AS n, max(v) AS mx
+        FROM ml_latest GROUP BY k % 2 HAVING count(*) % 2 = 1)
+      SELECT n % 2 AS par, count(*) AS nb, sum(mx) AS smx
+      FROM l1 GROUP BY n % 2""")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(t2() === expected)
+    r.stopAll()
+  }
+
   test("guards: PK must equal the group-key columns; min rejects; hidden aggregates reject") {
     implicit val sqlCtx = spark.sqlContext
     val orders = MemoryStream[SOrd]
