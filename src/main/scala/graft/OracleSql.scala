@@ -1845,6 +1845,44 @@ object OracleSql {
                 arg_min(value, user_id) AS bot_value,
                 CAST(count(DISTINCT (user_id % 8, user_id % 3)) AS BIGINT) AS n_pairs
          FROM latest GROUP BY event_type""",
+    // Variance family + bool_and/bool_or + retractable listagg over an
+    // upsert changelog driver: variance mirrors the engine's
+    // exact-decimal-moment closed form OP FOR OP (greatest clamp, the
+    // same cast/divide order, round 6 — the iterative-float rule);
+    // bool/listagg are exact. All over batch latest-per-key.
+    "q235_stream_variance_bool_listagg" ->
+      """WITH latest AS (
+           SELECT user_id, event_type, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 4 = 0) WHERE rn = 1),
+         m AS (
+           SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n_users,
+                  count(value) AS cnt,
+                  sum(CAST(value AS DECIMAL(18,4))) AS s1,
+                  sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS s2,
+                  bool_and(value < 300.0) AS all_small,
+                  bool_or(value > 300.0) AS any_big
+           FROM latest GROUP BY event_type),
+         b AS (
+           SELECT DISTINCT event_type, CAST(user_id % 5 AS VARCHAR) AS bkt
+           FROM latest),
+         bs AS (
+           SELECT event_type, string_agg(bkt, ',' ORDER BY bkt) AS buckets
+           FROM b GROUP BY event_type)
+         SELECT m.event_type, m.n_users,
+                CASE WHEN cnt <= 1 THEN NULL ELSE
+                  round(greatest(CAST(s2 AS DOUBLE) -
+                      (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(cnt AS DOUBLE),
+                      CAST(0 AS DOUBLE)) /
+                    (CAST(cnt AS DOUBLE) - CAST(1 AS DOUBLE)), 6) END AS var_s,
+                CASE WHEN cnt <= 0 THEN NULL ELSE
+                  round(sqrt(greatest(CAST(s2 AS DOUBLE) -
+                      (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(cnt AS DOUBLE),
+                      CAST(0 AS DOUBLE)) / CAST(cnt AS DOUBLE)), 6) END AS std_p,
+                all_small, any_big, bs.buckets
+         FROM m JOIN bs ON m.event_type = bs.event_type""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

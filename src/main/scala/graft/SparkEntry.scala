@@ -3061,6 +3061,73 @@ object SparkEntry {
         col("top_value"), col("bot_value"), col("n_pairs"))
     }),
 
+    // ── VARIANCE FAMILY + BOOL_AND/BOOL_OR + RETRACTABLE LISTAGG over
+    //    an upsert changelog driver, DRIVER-GATED (round 15): variance
+    //    folds by EXACT DECIMAL MOMENTS (n, Σ±x, Σ±x²) with the pinned
+    //    double closed form mirrored verbatim in the oracle (the
+    //    CLAUDE.md iterative-float rule); bool_and/bool_or fold as
+    //    boolean order statistics through the value multiset; listagg
+    //    recomputes the sorted distinct set per touched group. One
+    //    statement exercises raws + two multisets together ──
+    "q235_stream_variance_bool_listagg" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q235").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_feed_q235", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType),
+          StructField("ts_us", LongType))))
+        r.runScript("""
+          CREATE TABLE user_latest_q235 (
+            user_id BIGINT, last_event_id BIGINT, last_event_type STRING,
+            last_value DOUBLE, ts_us BIGINT,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_latest_q235
+          SELECT user_id, event_id, event_type, value, ts_us FROM events_feed_q235;
+          CREATE TABLE type_spread_q235 (event_type STRING, n_users BIGINT,
+            var_s DOUBLE, std_p DOUBLE, all_small BOOLEAN, any_big BOOLEAN,
+            buckets STRING,
+            PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO type_spread_q235
+          SELECT last_event_type, count(*) AS n_users,
+                 round(var_samp(CAST(last_value AS DECIMAL(18,4))), 6) AS var_s,
+                 round(stddev_pop(CAST(last_value AS DECIMAL(18,4))), 6) AS std_p,
+                 bool_and(last_value < 300.0) AS all_small,
+                 bool_or(last_value > 300.0) AS any_big,
+                 listagg(DISTINCT CAST(user_id % 5 AS STRING), ',')
+                   WITHIN GROUP (ORDER BY CAST(user_id % 5 AS STRING)) AS buckets
+          FROM user_latest_q235 GROUP BY last_event_type""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_id"), col("event_type"), col("value"),
+            col("ts_us")), struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.event_id"), col("__l.event_type"),
+            col("__l.value"), col("__l.ts_us"))
+        Topics.appendJson(slice, "events_feed_q235", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("type_spread_q235").select(col("event_type"), col("n_users"),
+        col("var_s"), col("std_p"), col("all_small"), col("any_big"),
+        col("buckets"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

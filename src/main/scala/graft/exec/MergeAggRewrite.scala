@@ -228,6 +228,42 @@ object MergeAggRewrite {
               val num = newRaw(Sum(signed(a.child)), "sum")
               val den = newRaw(Sum(If(IsNotNull(a.child), signL, Literal(0L))), "sum")
               RetractAggRewrite.aggDivide(num, den, a.dataType, a.child.dataType)
+            // ── the variance family: exact-moment raws (n, Σ±x, Σ±x²)
+            //    merge under +; the closed form runs at emit ──
+            case cm @ (_: VarianceSamp | _: VariancePop |
+                       _: StddevSamp | _: StddevPop) =>
+              val base = RetractAggRewrite.momentBase(
+                cm.asInstanceOf[CentralMomentAgg].child)
+              val s1 = newRaw(Sum(signed(base)), "sum")
+              val s2 = newRaw(Sum(signed(Multiply(base, base))), "sum")
+              val n = newRaw(Sum(If(IsNotNull(base), signL, Literal(0L))), "sum")
+              RetractAggRewrite.momentForm(n, s1, s2,
+                sample = cm.isInstanceOf[VarianceSamp] || cm.isInstanceOf[StddevSamp],
+                sqrtOut = cm.isInstanceOf[StddevSamp] || cm.isInstanceOf[StddevPop])
+            // ── bool_and/bool_or ARE order statistics over booleans
+            //    (false < true): min folds ALL, max folds ANY ──
+            case b: BoolAnd => orderStat(b.child, isMax = false)
+            case b: BoolOr => orderStat(b.child, isMax = true)
+            // ── retractable LISTAGG: the multiset's live values ARE
+            //    the distinct string set — recomputed sorted per
+            //    touched group, joined at emit ──
+            case la: ListAgg =>
+              require(ae.isDistinct,
+                s"merge aggregate over $driver: retractable LISTAGG is " +
+                  "supported as listagg(DISTINCT x[, sep]) WITHIN GROUP " +
+                  "(ORDER BY x) — the multiset holds DISTINCT values; a " +
+                  "non-distinct listagg would need per-copy expansion")
+              require(la.orderExpressions.size == 1 &&
+                  la.orderExpressions.head.direction == Ascending &&
+                  la.orderExpressions.head.child.semanticEquals(la.child),
+                s"merge aggregate over $driver: listagg folds deterministically " +
+                  "only WITHIN GROUP (ORDER BY <the aggregated expression> ASC)")
+              require(la.child.dataType == org.apache.spark.sql.types.StringType,
+                s"merge aggregate over $driver: listagg multisets hold STRING " +
+                  "values — cast the expression to STRING")
+              require(la.delimiter.foldable,
+                s"merge aggregate over $driver: listagg delimiter must be a literal")
+              ArrayJoin(valueSetFor(la.child, "lst"), la.delimiter, None)
             case other =>
               throw new IllegalArgumentException(
                 s"merge aggregate over $driver: ${other.prettyName} is not " +

@@ -77,6 +77,42 @@ object RetractAggRewrite {
           Divide(Cast(num, DoubleType), denD)), resultType)
     }
 
+  /** The variance family's EXACT-MOMENT closed form over signed sums
+    * (round 15): n = signed non-null count, s1 = Σ±x, s2 = Σ±x² —
+    * all three retract exactly (decimal children keep their moments
+    * in DECIMAL; [[MergeAggRewrite]] and [[RetractAggRewrite]] both
+    * unwrap the analyzer's to-double cast to get there), then ONE
+    * pinned double op order the oracle mirrors verbatim (CLAUDE.md
+    * iterative-float rule): m2 = greatest(s2 − s1·s1/n, 0) — the
+    * clamp kills the ±ulp-negative an all-equal group produces —
+    * var = m2/(n | n−1), stddev = sqrt(var). Semantics note: this is
+    * the exact-moment form, equal to Spark's native Welford-style
+    * `CentralMomentAgg` up to fp noise (gates round to 6 dp). */
+  private[exec] def momentForm(n0: Expression, s1: Expression, s2: Expression,
+                               sample: Boolean, sqrtOut: Boolean): Expression = {
+    val nD = Cast(n0, DoubleType)
+    val m2 = Greatest(Seq(
+      Subtract(Cast(s2, DoubleType),
+        Divide(Multiply(Cast(s1, DoubleType), Cast(s1, DoubleType)), nD)),
+      Literal(0.0d)))
+    val den = if (sample) Subtract(nD, Literal(1.0d)) else nD
+    val minN = if (sample) 1L else 0L
+    val v = Divide(m2, den)
+    If(LessThanOrEqual(Cast(n0, LongType), Literal(minN)),
+      Literal(null, DoubleType),
+      if (sqrtOut) Sqrt(v) else v)
+  }
+
+  /** The analyzer casts a variance/stddev child to DOUBLE
+    * (`CentralMomentAgg` is double-typed): unwrap a decimal-to-double
+    * cast so the signed MOMENTS accumulate in exact DECIMAL and only
+    * the closed form runs in double. */
+  private[exec] def momentBase(child: Expression): Expression = child match {
+    case c: Cast if c.dataType == DoubleType &&
+      c.child.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => c.child
+    case other => other
+  }
+
   /** Normalize the analyzed shapes a `GROUP BY [...] HAVING [...]`
     * select can take into (aggregate, having-condition, visible output
     * positions):
@@ -146,6 +182,20 @@ object RetractAggRewrite {
               Sum(If(IsNotNull(a.child), signL, Literal(0L))),
               ae.mode, isDistinct = false, ae.filter, NamedExpression.newExprId)
             aggDivide(num, den, a.dataType, a.child.dataType)
+          // the variance family is sum-decomposable through exact
+          // moments (round 15): n, Σ±x, Σ±x² retract exactly; the
+          // closed form runs once at emit
+          case cm @ (_: VarianceSamp | _: VariancePop |
+                     _: StddevSamp | _: StddevPop) =>
+            val base = momentBase(cm.asInstanceOf[CentralMomentAgg].child)
+            def aexp(f: AggregateFunction): Expression = AggregateExpression(
+              f, ae.mode, isDistinct = false, ae.filter, NamedExpression.newExprId)
+            val s1 = aexp(Sum(signed(base)))
+            val s2 = aexp(Sum(signed(Multiply(base, base))))
+            val n = aexp(Sum(If(IsNotNull(base), signL, Literal(0L))))
+            momentForm(n, s1, s2,
+              sample = cm.isInstanceOf[VarianceSamp] || cm.isInstanceOf[StddevSamp],
+              sqrtOut = cm.isInstanceOf[StddevSamp] || cm.isInstanceOf[StddevPop])
           case other =>
             throw new IllegalArgumentException(
               s"retract-aware aggregate over $driver: ${other.prettyName} is not " +

@@ -314,7 +314,7 @@ final class StreamingStatementRunner(spark: SparkSession,
           val hasAgg = shape.contexts > 0
           if (hasAgg && (refs.size > 1 ||
               (driverRetracts && shape.needsMultiset) || shape.hasDistinctAgg ||
-              shape.hasArrivalAgg)) {
+              shape.hasArrivalAgg || shape.hasCollectAgg)) {
             // merge-on-write path (round 14): aggregate + join (the
             // driver's signed revisions snapshot-join per batch into
             // per-group DELTAS, merged onto the target's prior state),
@@ -457,11 +457,15 @@ final class StreamingStatementRunner(spark: SparkSession,
     // (native streaming state can't retract them; Spark has no
     // streaming distinct aggregation at all)
     val multisetNames = Set("min", "max", "min_by", "max_by",
-      "first", "last", "first_value", "last_value")
+      "first", "last", "first_value", "last_value",
+      "bool_and", "bool_or", "every", "some", "any", "listagg", "string_agg")
     // first/last fold by ARRIVAL order — even over insert-only
     // drivers they need the offset-ordered merge path (native
     // streaming first/last is shuffle-order nondeterministic)
     val arrivalNames = Set("first", "last", "first_value", "last_value")
+    // listagg has NO native streaming form (Collect-based) — it needs
+    // the multiset merge path on every driver mode
+    val collectNames = Set("listagg", "string_agg")
     def needsMultisetF(f: UnresolvedFunction): Boolean =
       f.isDistinct || multisetNames.contains(fname(f))
     // does plan `p` (subqueries + CTEs included) reference the driver?
@@ -492,6 +496,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     var multiset = false
     var distinctAgg = false
     var arrival = false
+    var collectAgg = false
     def scanExprs(p: LogicalPlan): Boolean = {
       var calls = false
       p.expressions.foreach(_.foreach {
@@ -500,6 +505,7 @@ final class StreamingStatementRunner(spark: SparkSession,
           if (needsMultisetF(f)) multiset = true
           if (f.isDistinct) distinctAgg = true
           if (arrivalNames.contains(fname(f))) arrival = true
+          if (collectNames.contains(fname(f))) collectAgg = true
         // the parser builds FIRST/LAST (and a few others) as direct
         // AggregateExpressions, never UnresolvedFunction — match the
         // function class too or first/last misroutes to the
@@ -513,8 +519,12 @@ final class StreamingStatementRunner(spark: SparkSession,
             case _: org.apache.spark.sql.catalyst.expressions.aggregate.Min |
                  _: org.apache.spark.sql.catalyst.expressions.aggregate.Max |
                  _: org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy |
-                 _: org.apache.spark.sql.catalyst.expressions.aggregate.MinBy =>
+                 _: org.apache.spark.sql.catalyst.expressions.aggregate.MinBy |
+                 _: org.apache.spark.sql.catalyst.expressions.aggregate.BoolAnd |
+                 _: org.apache.spark.sql.catalyst.expressions.aggregate.BoolOr =>
               multiset = true
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg =>
+              multiset = true; collectAgg = true
             case _ =>
           }
           if (ae.isDistinct) distinctAgg = true
@@ -553,7 +563,7 @@ final class StreamingStatementRunner(spark: SparkSession,
       })
     }
     walkUnit(parsed)
-    AggShape(contexts, topIsAgg, multiset, distinctAgg, arrival)
+    AggShape(contexts, topIsAgg, multiset, distinctAgg, arrival, collectAgg)
   }
 
   /** The record schema [[sinkBatch]] writes for a table: the declared
@@ -1078,7 +1088,10 @@ final class StreamingStatementRunner(spark: SparkSession,
         "min" -> min(col("__v")).as(s"${vs.name}_min"),
         "max" -> max(col("__v")).as(s"${vs.name}_max"),
         "cnt" -> count(col("__v")).as(s"${vs.name}_cnt"),
-        "sum" -> sum(col("__v")).as(s"${vs.name}_sum"))
+        "sum" -> sum(col("__v")).as(s"${vs.name}_sum"),
+        // retractable LISTAGG: the sorted live distinct values — the
+        // emit joins them with the statement's delimiter
+        "lst" -> sort_array(collect_list(col("__v"))).as(s"${vs.name}_lst"))
         .collect { case (s, c) if vs.stats.contains(s) => c }
       // eager: materialize the stats while the merge frame is cached
       // (the caller's sink action runs after this frame is unpersisted)
@@ -1338,7 +1351,7 @@ final class StreamingStatementRunner(spark: SparkSession,
   * path on every driver mode). */
 final case class AggShape(contexts: Int, topIsAggregate: Boolean,
                           needsMultiset: Boolean, hasDistinctAgg: Boolean,
-                          hasArrivalAgg: Boolean)
+                          hasArrivalAgg: Boolean, hasCollectAgg: Boolean)
 
 /** Snapshot of one long-running INSERT's last completed micro-batch.
   * `tombstonesDropped`: upsert-driver DELETEs skipped by a promoted

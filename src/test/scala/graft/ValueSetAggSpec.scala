@@ -284,6 +284,87 @@ class ValueSetAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("variance family folds by exact moments under revision and tombstone") {
+    val conf = newConf("vs-var")
+    val r = runner(conf, "vs_src_var", """
+      CREATE TABLE vs_var (grp STRING, v_samp DOUBLE, v_pop DOUBLE,
+        s_samp DOUBLE, s_pop DOUBLE,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_var
+      SELECT grp, var_samp(amt) AS v_samp, var_pop(amt) AS v_pop,
+             stddev_samp(amt) AS s_samp, stddev_pop(amt) AS s_pop
+      FROM vs_acct GROUP BY grp""")
+    def check(): Unit = {
+      val got = spark.table("vs_var")
+        .as[(String, Option[Double], Option[Double], Option[Double], Option[Double])]
+        .collect().map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+      val exp = spark.sql("""
+        SELECT grp, var_samp(amt), var_pop(amt), stddev_samp(amt), stddev_pop(amt)
+        FROM vs_acct GROUP BY grp""")
+        .as[(String, Option[Double], Option[Double], Option[Double], Option[Double])]
+        .collect().map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+      assert(got.keySet === exp.keySet)
+      got.foreach { case (g, (a, b, c, d)) =>
+        val (ea, eb, ec, ed) = exp(g)
+        def close(x: Option[Double], y: Option[Double]) =
+          (x, y) match {
+            case (Some(xv), Some(yv)) => math.abs(xv - yv) < 1e-9
+            case (None, None) => true
+            case _ => false
+          }
+        assert(close(a, ea) && close(b, eb) && close(c, ec) && close(d, ed),
+          s"group $g: got ($a,$b,$c,$d) expected ($ea,$eb,$ec,$ed)")
+      }
+    }
+    Topics.appendJson(Seq(VsRow("k1", "g1", 10.0), VsRow("k2", "g1", 20.0),
+      VsRow("k3", "g1", 40.0), VsRow("k4", "g2", 5.0)).toDF(),
+      "vs_src_var", conf, Nil, 1)
+    r.processAllAvailable()
+    check()
+    // revision moves k3 between groups: its moments retract from g1
+    // and add to g2; g2 gains a second member (var_samp leaves NULL)
+    Topics.appendJson(Seq(VsRow("k3", "g2", 7.0)).toDF(), "vs_src_var", conf, Nil, 2)
+    r.processAllAvailable()
+    check()
+    // tombstone k2: g1 shrinks to one member — var_samp must go NULL,
+    // var_pop to 0 (the all-equal clamp path)
+    Topics.appendJson(Seq(VsRow("k2", "DEL", 0.0)).toDF(), "vs_src_var", conf, Nil, 3)
+    r.processAllAvailable()
+    check()
+    r.stopAll()
+  }
+
+  test("bool_and/bool_or fold as boolean order statistics; retractable listagg(DISTINCT) recomputes sorted") {
+    val conf = newConf("vs-bool")
+    val r = runner(conf, "vs_src_bl", """
+      CREATE TABLE vs_bl (grp STRING, all_big BOOLEAN, any_big BOOLEAN, cats STRING,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_bl
+      SELECT grp, bool_and(amt > 10) AS all_big, bool_or(amt > 10) AS any_big,
+             listagg(DISTINCT CAST(CAST(amt AS BIGINT) AS STRING), ',')
+               WITHIN GROUP (ORDER BY CAST(CAST(amt AS BIGINT) AS STRING)) AS cats
+      FROM vs_acct GROUP BY grp""")
+    def state() = spark.table("vs_bl")
+      .as[(String, Boolean, Boolean, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    Topics.appendJson(Seq(VsRow("k1", "g1", 5.0), VsRow("k2", "g1", 20.0),
+      VsRow("k3", "g1", 20.0)).toDF(), "vs_src_bl", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((false, true, "20,5"))))
+    // k1 revises above the bar: the lone false retracts → all_big flips
+    // true; the duplicate distinct value "20" still appears once
+    Topics.appendJson(Seq(VsRow("k1", "g1", 30.0)).toDF(), "vs_src_bl", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((true, true, "20,30"))),
+      "retracting the only false must flip bool_and; listagg resorts")
+    // tombstone both 20-holders: any_big survives via k1's 30
+    Topics.appendJson(Seq(VsRow("k2", "DEL", 0.0), VsRow("k3", "DEL", 0.0)).toDF(),
+      "vs_src_bl", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((true, true, "30"))))
+    r.stopAll()
+  }
+
   test("avg(DISTINCT) and guards: timestamp multiset values reject with guidance") {
     implicit val sqlCtx = spark.sqlContext
     val orders = MemoryStream[SOrd]
