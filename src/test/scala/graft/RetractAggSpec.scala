@@ -128,10 +128,11 @@ class RetractAggSpec extends SparkSpec {
 
     r.run("""CREATE TABLE g_bad (grp STRING, x DOUBLE,
              PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
-    // first() has no retraction algebra at all (min/max and DISTINCT
-    // now fold via the value-multiset merge path — ValueSetAggSpec)
+    // exact percentile has no retraction algebra and unbounded state
+    // (min/max/DISTINCT/first/last/argmax/bool/listagg all fold via
+    // the value-multiset merge path now — ValueSetAggSpec)
     val e1 = intercept[IllegalArgumentException](
-      r.run("INSERT INTO g_bad SELECT grp, first(amt) FROM acct GROUP BY grp"))
+      r.run("INSERT INTO g_bad SELECT grp, percentile(amt, 0.5) FROM acct GROUP BY grp"))
     assert(e1.getMessage.contains("not sum-decomposable"))
     // an aggregate hidden in a scalar subquery (an expression, not a
     // plan child — ADVICE r13 item 4) still sees raw revisions

@@ -365,6 +365,33 @@ class ValueSetAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("HAVING over a HIDDEN multiset stat (max not in the select list) flips visibility both ways") {
+    val conf = newConf("vs-hav")
+    val r = runner(conf, "vs_src_hv", """
+      CREATE TABLE vs_hav (grp STRING, n BIGINT,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_hav
+      SELECT grp, count(*) AS n FROM vs_acct GROUP BY grp
+      HAVING max(amt) < 25""")
+    def state() = spark.table("vs_hav").as[(String, Long)].collect().toMap
+    Topics.appendJson(Seq(VsRow("k1", "g1", 10.0), VsRow("k2", "g1", 20.0)).toDF(),
+      "vs_src_hv", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> 2L))
+    // k2 revises above the bar: the hidden max recomputes to 30 and
+    // the group leaves the predicate
+    Topics.appendJson(Seq(VsRow("k2", "g1", 30.0)).toDF(), "vs_src_hv", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map.empty[String, Long],
+      "a hidden multiset stat crossing the HAVING bar must hide the group")
+    // k2 retreats below it: the group resurfaces with FULL state
+    Topics.appendJson(Seq(VsRow("k2", "g1", 15.0)).toDF(), "vs_src_hv", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> 2L),
+      "the group must resurface with its full count, not restart at 0")
+    r.stopAll()
+  }
+
   test("avg(DISTINCT) and guards: timestamp multiset values reject with guidance") {
     implicit val sqlCtx = spark.sqlContext
     val orders = MemoryStream[SOrd]
