@@ -1862,6 +1862,10 @@ object OracleSql {
                   count(value) AS cnt,
                   sum(CAST(value AS DECIMAL(18,4))) AS s1,
                   sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS s2,
+                  sum(CAST(user_id AS DECIMAL(18,0))) AS su,
+                  sum(CAST(user_id AS DECIMAL(18,0)) * CAST(user_id AS DECIMAL(18,0))) AS suu,
+                  sum(CAST(value AS DECIMAL(18,4)) * CAST(user_id AS DECIMAL(18,0))) AS sxu,
+                  CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
                   bool_and(value < 300.0) AS all_small,
                   bool_or(value > 300.0) AS any_big
            FROM latest GROUP BY event_type),
@@ -1870,19 +1874,29 @@ object OracleSql {
            FROM latest),
          bs AS (
            SELECT event_type, string_agg(bkt, ',' ORDER BY bkt) AS buckets
-           FROM b GROUP BY event_type)
-         SELECT m.event_type, m.n_users,
+           FROM b GROUP BY event_type),
+         f AS (
+           SELECT event_type, n_users, cnt, n_big, all_small, any_big,
+                  greatest(CAST(s2 AS DOUBLE) -
+                      (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(cnt AS DOUBLE),
+                      CAST(0 AS DOUBLE)) AS m2x,
+                  greatest(CAST(suu AS DOUBLE) -
+                      (CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) / CAST(cnt AS DOUBLE),
+                      CAST(0 AS DOUBLE)) AS m2u,
+                  CAST(sxu AS DOUBLE) -
+                    (CAST(s1 AS DOUBLE) * CAST(su AS DOUBLE)) / CAST(cnt AS DOUBLE) AS c2
+           FROM m)
+         SELECT f.event_type, f.n_users,
                 CASE WHEN cnt <= 1 THEN NULL ELSE
-                  round(greatest(CAST(s2 AS DOUBLE) -
-                      (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(cnt AS DOUBLE),
-                      CAST(0 AS DOUBLE)) /
-                    (CAST(cnt AS DOUBLE) - CAST(1 AS DOUBLE)), 6) END AS var_s,
+                  round(m2x / (CAST(cnt AS DOUBLE) - CAST(1 AS DOUBLE)), 6) END AS var_s,
                 CASE WHEN cnt <= 0 THEN NULL ELSE
-                  round(sqrt(greatest(CAST(s2 AS DOUBLE) -
-                      (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(cnt AS DOUBLE),
-                      CAST(0 AS DOUBLE)) / CAST(cnt AS DOUBLE)), 6) END AS std_p,
-                all_small, any_big, bs.buckets
-         FROM m JOIN bs ON m.event_type = bs.event_type""",
+                  round(sqrt(m2x / CAST(cnt AS DOUBLE)), 6) END AS std_p,
+                CASE WHEN cnt <= 1 THEN NULL ELSE
+                  round(c2 / (CAST(cnt AS DOUBLE) - CAST(1 AS DOUBLE)), 6) END AS cov_vu,
+                CASE WHEN cnt <= 0 OR sqrt(m2x * m2u) <= CAST(0 AS DOUBLE) THEN NULL ELSE
+                  round(c2 / sqrt(m2x * m2u), 6) END AS corr_vu,
+                n_big, all_small, any_big, bs.buckets
+         FROM f JOIN bs ON f.event_type = bs.event_type""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

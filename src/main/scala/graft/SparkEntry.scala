@@ -3094,13 +3094,19 @@ object SparkEntry {
           INSERT INTO user_latest_q235
           SELECT user_id, event_id, event_type, value, ts_us FROM events_feed_q235;
           CREATE TABLE type_spread_q235 (event_type STRING, n_users BIGINT,
-            var_s DOUBLE, std_p DOUBLE, all_small BOOLEAN, any_big BOOLEAN,
+            var_s DOUBLE, std_p DOUBLE, cov_vu DOUBLE, corr_vu DOUBLE,
+            n_big BIGINT, all_small BOOLEAN, any_big BOOLEAN,
             buckets STRING,
             PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
           INSERT INTO type_spread_q235
           SELECT last_event_type, count(*) AS n_users,
                  round(var_samp(CAST(last_value AS DECIMAL(18,4))), 6) AS var_s,
                  round(stddev_pop(CAST(last_value AS DECIMAL(18,4))), 6) AS std_p,
+                 round(covar_samp(CAST(last_value AS DECIMAL(18,4)),
+                                  CAST(user_id AS DECIMAL(18,0))), 6) AS cov_vu,
+                 round(corr(CAST(last_value AS DECIMAL(18,4)),
+                            CAST(user_id AS DECIMAL(18,0))), 6) AS corr_vu,
+                 count_if(last_value > 100.0) AS n_big,
                  bool_and(last_value < 300.0) AS all_small,
                  bool_or(last_value > 300.0) AS any_big,
                  listagg(DISTINCT CAST(user_id % 5 AS STRING), ',')
@@ -3124,8 +3130,8 @@ object SparkEntry {
       }
       r.stopAll()
       s.table("type_spread_q235").select(col("event_type"), col("n_users"),
-        col("var_s"), col("std_p"), col("all_small"), col("any_big"),
-        col("buckets"))
+        col("var_s"), col("std_p"), col("cov_vu"), col("corr_vu"),
+        col("n_big"), col("all_small"), col("any_big"), col("buckets"))
     }),
 
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index

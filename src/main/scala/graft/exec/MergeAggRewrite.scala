@@ -240,6 +240,30 @@ object MergeAggRewrite {
               RetractAggRewrite.momentForm(n, s1, s2,
                 sample = cm.isInstanceOf[VarianceSamp] || cm.isInstanceOf[StddevSamp],
                 sqrtOut = cm.isInstanceOf[StddevSamp] || cm.isInstanceOf[StddevPop])
+            // ── covariance/correlation: signed CO-moment raws over
+            //    PAIRED (both-non-null) rows ──
+            case cv @ (_: CovSample | _: CovPopulation | _: Corr) =>
+              val (lx, rx) = cv match {
+                case c: Covariance => (RetractAggRewrite.momentBase(c.left),
+                  RetractAggRewrite.momentBase(c.right))
+                case c: PearsonCorrelation => (RetractAggRewrite.momentBase(c.left),
+                  RetractAggRewrite.momentBase(c.right))
+              }
+              val both = And(IsNotNull(lx), IsNotNull(rx))
+              def pairedSum(e: Expression): UnresolvedAttribute =
+                newRaw(Sum(If(both, signed(e), Literal(null, e.dataType))), "sum")
+              val n = newRaw(Sum(If(both, signL, Literal(0L))), "sum")
+              val sx = pairedSum(lx)
+              val sy = pairedSum(rx)
+              val sxy = pairedSum(Multiply(lx, rx))
+              cv match {
+                case _: CovSample =>
+                  RetractAggRewrite.coMomentForm(n, sx, sy, sxy, sample = true)
+                case _: CovPopulation =>
+                  RetractAggRewrite.coMomentForm(n, sx, sy, sxy, sample = false)
+                case _ => RetractAggRewrite.corrForm(n, sx, sy, sxy,
+                  pairedSum(Multiply(lx, lx)), pairedSum(Multiply(rx, rx)))
+              }
             // ── bool_and/bool_or ARE order statistics over booleans
             //    (false < true): min folds ALL, max folds ANY ──
             case b: BoolAnd => orderStat(b.child, isMax = false)
@@ -264,6 +288,17 @@ object MergeAggRewrite {
               require(la.delimiter.foldable,
                 s"merge aggregate over $driver: listagg delimiter must be a literal")
               ArrayJoin(valueSetFor(la.child, "lst"), la.delimiter, None)
+            // RuntimeReplaceableAggregate (count_if, any/every/some,
+            // regr_count, ...): unwrap and re-dispatch — the
+            // replacement either decomposes or rejects by its own name
+            case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceableAggregate =>
+              r.replacement match {
+                case af: AggregateFunction =>
+                  substitute(ae.copy(aggregateFunction = af))
+                case _ => throw new IllegalArgumentException(
+                  s"merge aggregate over $driver: ${r.prettyName} has no " +
+                    "retraction decomposition")
+              }
             case other =>
               throw new IllegalArgumentException(
                 s"merge aggregate over $driver: ${other.prettyName} is not " +

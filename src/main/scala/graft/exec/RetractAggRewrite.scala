@@ -103,6 +103,41 @@ object RetractAggRewrite {
       if (sqrtOut) Sqrt(v) else v)
   }
 
+  /** covar/corr closed forms over signed co-moments (round 15): n =
+    * count of rows where BOTH sides are non-null, sx = Σ±x, sy = Σ±y,
+    * sxy = Σ±xy (corr adds sxx/syy) — the same pinned-double-op
+    * discipline as [[momentForm]]: c2 = sxy − sx·sy/n;
+    * covar_pop = c2/n, covar_samp = c2/(n−1). */
+  private[exec] def coMomentForm(n0: Expression, sx: Expression, sy: Expression,
+                                 sxy: Expression, sample: Boolean): Expression = {
+    val nD = Cast(n0, DoubleType)
+    val c2 = Subtract(Cast(sxy, DoubleType),
+      Divide(Multiply(Cast(sx, DoubleType), Cast(sy, DoubleType)), nD))
+    val den = if (sample) Subtract(nD, Literal(1.0d)) else nD
+    val minN = if (sample) 1L else 0L
+    If(LessThanOrEqual(Cast(n0, LongType), Literal(minN)),
+      Literal(null, DoubleType), Divide(c2, den))
+  }
+
+  /** corr = c2 / sqrt(m2x · m2y), NULL when either variance is 0
+    * (DuckDB's convention; Spark's native Corr emits NaN there — the
+    * one documented divergence, chosen because NaN does not survive
+    * the JSON topic encode and NULL is what the oracle engine says). */
+  private[exec] def corrForm(n0: Expression, sx: Expression, sy: Expression,
+                             sxy: Expression, sxx: Expression, syy: Expression): Expression = {
+    val nD = Cast(n0, DoubleType)
+    def m2(s2: Expression, s1: Expression) = Greatest(Seq(
+      Subtract(Cast(s2, DoubleType),
+        Divide(Multiply(Cast(s1, DoubleType), Cast(s1, DoubleType)), nD)),
+      Literal(0.0d)))
+    val c2 = Subtract(Cast(sxy, DoubleType),
+      Divide(Multiply(Cast(sx, DoubleType), Cast(sy, DoubleType)), nD))
+    val denom = Sqrt(Multiply(m2(sxx, sx), m2(syy, sy)))
+    If(Or(LessThanOrEqual(Cast(n0, LongType), Literal(0L)),
+        LessThanOrEqual(denom, Literal(0.0d))),
+      Literal(null, DoubleType), Divide(c2, denom))
+  }
+
   /** The analyzer casts a variance/stddev child to DOUBLE
     * (`CentralMomentAgg` is double-typed): unwrap a decimal-to-double
     * cast so the signed MOMENTS accumulate in exact DECIMAL and only
@@ -196,6 +231,40 @@ object RetractAggRewrite {
             momentForm(n, s1, s2,
               sample = cm.isInstanceOf[VarianceSamp] || cm.isInstanceOf[StddevSamp],
               sqrtOut = cm.isInstanceOf[StddevSamp] || cm.isInstanceOf[StddevPop])
+          // covariance/correlation: signed CO-moments over PAIRED
+          // (both-non-null) rows — same exact-moment discipline
+          case cv @ (_: CovSample | _: CovPopulation | _: Corr) =>
+            val (lx, rx) = cv match {
+              case c: Covariance => (momentBase(c.left), momentBase(c.right))
+              case c: PearsonCorrelation => (momentBase(c.left), momentBase(c.right))
+            }
+            val both = And(IsNotNull(lx), IsNotNull(rx))
+            def aexp(f: AggregateFunction): Expression = AggregateExpression(
+              f, ae.mode, isDistinct = false, ae.filter, NamedExpression.newExprId)
+            def pairedSum(e: Expression): Expression =
+              aexp(Sum(If(both, signed(e), Literal(null, e.dataType))))
+            val n = aexp(Sum(If(both, signL, Literal(0L))))
+            val sx = pairedSum(lx)
+            val sy = pairedSum(rx)
+            val sxy = pairedSum(Multiply(lx, rx))
+            cv match {
+              case _: CovSample => coMomentForm(n, sx, sy, sxy, sample = true)
+              case _: CovPopulation => coMomentForm(n, sx, sy, sxy, sample = false)
+              case _ => corrForm(n, sx, sy, sxy,
+                pairedSum(Multiply(lx, lx)), pairedSum(Multiply(rx, rx)))
+            }
+          // RuntimeReplaceableAggregate (count_if, any/every/some,
+          // regr_count, ...): unwrap to the replacement and re-dispatch
+          // — it either decomposes (Count/Sum/Min/Max...) or rejects
+          // with its own name in the message
+          case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceableAggregate =>
+            r.replacement match {
+              case af: AggregateFunction =>
+                rewriteAgg(ae.copy(aggregateFunction = af))
+              case _ => throw new IllegalArgumentException(
+                s"retract-aware aggregate over $driver: ${r.prettyName} has no " +
+                  "retraction decomposition")
+            }
           case other =>
             throw new IllegalArgumentException(
               s"retract-aware aggregate over $driver: ${other.prettyName} is not " +

@@ -334,6 +334,87 @@ class ValueSetAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("covar/corr fold by signed co-moments; count_if unwraps via its replacement") {
+    val conf = newConf("vs-cov")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("vs_src_cov", StructType(Seq(
+      StructField("k", StringType), StructField("grp", StringType),
+      StructField("x", DoubleType), StructField("y", DoubleType))))
+    r.runScript("""
+      CREATE TABLE vs_cov_acct (k STRING, grp STRING, x DOUBLE, y DOUBLE, __op STRING,
+        PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_cov_acct
+      SELECT k, grp, x, y, CASE WHEN grp = 'DEL' THEN '-D' ELSE '+U' END
+      FROM vs_src_cov;
+      CREATE TABLE vs_cov (grp STRING, cp DOUBLE, cs DOUBLE, cr DOUBLE, nbig BIGINT,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_cov
+      SELECT grp, covar_pop(x, y) AS cp, covar_samp(x, y) AS cs,
+             corr(x, y) AS cr, count_if(x > y) AS nbig
+      FROM vs_cov_acct GROUP BY grp;
+      CREATE TABLE vs_cov2 (grp STRING, cr DOUBLE, mx DOUBLE,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_cov2
+      SELECT grp, corr(x, y) AS cr, max(x) AS mx
+      FROM vs_cov_acct GROUP BY grp""")
+    def check(): Unit = {
+      val got = spark.table("vs_cov")
+        .as[(String, Option[Double], Option[Double], Option[Double], Long)]
+        .collect().map(t => t._1 -> t).toMap
+      val exp = spark.sql("""
+        SELECT grp, covar_pop(x, y), covar_samp(x, y), corr(x, y),
+               count_if(x > y)
+        FROM vs_cov_acct GROUP BY grp""")
+        .as[(String, Option[Double], Option[Double], Option[Double], Long)]
+        .collect().map(t => t._1 -> t).toMap
+      assert(got.keySet === exp.keySet)
+      // documented divergence: the folded forms yield NULL where
+      // Spark's native covar_samp/corr yield NaN (single point, zero
+      // variance) — NaN does not survive the JSON topic encode and
+      // NULL is DuckDB's convention; normalize NaN→None for compare
+      def close(a: Option[Double], b: Option[Double]) =
+        (a.filterNot(_.isNaN), b.filterNot(_.isNaN)) match {
+          case (Some(x), Some(y)) => math.abs(x - y) < 1e-9
+          case (None, None) => true
+          case _ => false
+        }
+      got.foreach { case (g, (_, cp, cs, cr, n)) =>
+        val (_, ep, es, er, en) = exp(g)
+        assert(close(cp, ep) && close(cs, es) && close(cr, er) && n == en,
+          s"group $g: got ($cp,$cs,$cr,$n) expected ($ep,$es,$er,$en)")
+      }
+      // the MERGE path's co-moment raws (corr rides with a retractable
+      // max, which forces the multiset merge route)
+      val got2 = spark.table("vs_cov2")
+        .as[(String, Option[Double], Option[Double])]
+        .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+      val exp2 = spark.sql(
+        "SELECT grp, corr(x, y), max(x) FROM vs_cov_acct GROUP BY grp")
+        .as[(String, Option[Double], Option[Double])]
+        .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(got2.keySet === exp2.keySet)
+      got2.foreach { case (g, (cr, mx)) =>
+        val (er, em) = exp2(g)
+        assert(close(cr, er) && mx === em,
+          s"merge path group $g: got ($cr,$mx) expected ($er,$em)")
+      }
+    }
+    def feed(epoch: Int, rows: (String, String, Double, Double)*): Unit = {
+      Topics.appendJson(rows.toSeq.toDF("k", "grp", "x", "y"),
+        "vs_src_cov", conf, Nil, epoch)
+      r.processAllAvailable()
+    }
+    feed(1, ("k1", "g1", 1.0, 2.0), ("k2", "g1", 2.0, 3.0), ("k3", "g1", 4.0, 1.0))
+    check()
+    // revision moves k3 (the co-moment outlier) to g2
+    feed(2, ("k3", "g2", 4.0, 1.0), ("k4", "g2", 6.0, 5.0))
+    check()
+    // tombstone k2: g1 shrinks to a single pair — covar_samp/corr NULL
+    feed(3, ("k2", "DEL", 0.0, 0.0))
+    check()
+    r.stopAll()
+  }
+
   test("bool_and/bool_or fold as boolean order statistics; retractable listagg(DISTINCT) recomputes sorted") {
     val conf = newConf("vs-bool")
     val r = runner(conf, "vs_src_bl", """
