@@ -243,6 +243,35 @@ class MergeAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("a dim-only IN-subquery aggregate rides the merge-path delta (ADVICE r14, merge side)") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[SOrd]
+    orders.toDF().createOrReplaceTempView("ma_sub_s")
+    Seq(("p1", "shoes", 1L), ("p2", "hats", 2L), ("p3", "hats", 9L))
+      .toDF("pid", "cat", "tier").createOrReplaceTempView("ma_sub_dim")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(newConf("ma-sub")))
+    r.run("""CREATE TABLE ma_sub_out (cat STRING, n BIGINT,
+             PRIMARY KEY (cat) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    // the WHERE subquery's min() never touches the stream: it must NOT
+    // count as a second fold context — it sits under the Aggregate in
+    // the per-batch delta plan and evaluates at current dim state
+    r.run("""INSERT INTO ma_sub_out
+             SELECT d.cat, count(*) AS n
+             FROM ma_sub_s o JOIN ma_sub_dim d ON o.product_id = d.pid
+             WHERE d.tier > (SELECT min(tier) FROM ma_sub_dim)
+             GROUP BY d.cat""")
+    orders.addData(SOrd(1, "p1", "c1"), SOrd(2, "p2", "c2"), SOrd(3, "p3", "c3"))
+    r.processAllAvailable()
+    assert(spark.table("ma_sub_out").as[(String, Long)].collect().toMap
+      === Map("hats" -> 2L), "tier-1 rows are filtered by the dim subquery")
+    // cross-batch accumulation still merges onto prior state
+    orders.addData(SOrd(4, "p2", "c4"))
+    r.processAllAvailable()
+    assert(spark.table("ma_sub_out").as[(String, Long)].collect().toMap
+      === Map("hats" -> 3L))
+    r.stopAll()
+  }
+
   test("guards: PK must equal the group-key columns; min rejects; hidden aggregates reject") {
     implicit val sqlCtx = spark.sqlContext
     val orders = MemoryStream[SOrd]

@@ -473,6 +473,46 @@ class ValueSetAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("TUMBLE TVF composes with the multiset path: a revision moves the window max retraction-aware") {
+    val conf = newConf("vs-tvf")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("vs_tvf_src", StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType),
+      StructField("amt", DoubleType))))
+    // the TVF rewrite's star subquery carries the driver's sign AND
+    // the windowed group keys into the MERGE path (max ⇒ multiset):
+    // revising the max-holder's event time retracts its (window, amt)
+    // pair and the old window's max recomputes from what remains
+    r.runScript("""
+      CREATE TABLE vs_tvf_latest (k STRING, ts TIMESTAMP, amt DOUBLE,
+        PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_tvf_latest SELECT k, ts, amt FROM vs_tvf_src;
+      CREATE TABLE vs_tvf_hourly (window_start TIMESTAMP, n BIGINT, mx DOUBLE,
+        PRIMARY KEY (window_start) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_tvf_hourly
+      SELECT window_start, count(*) AS n, max(amt) AS mx
+      FROM TABLE(TUMBLE(TABLE vs_tvf_latest, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+      GROUP BY window_start""")
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    def hourUs(h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00").getTime * 1000L
+    def windows(): Map[Long, (Long, Double)] = spark.table("vs_tvf_hourly")
+      .select(org.apache.spark.sql.functions.unix_micros($"window_start"), $"n", $"mx")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    Topics.appendJson(Seq(("a", ts(10), 30.0), ("b", ts(10), 10.0),
+      ("c", ts(11), 20.0)).toDF("k", "ts", "amt"), "vs_tvf_src", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(windows() === Map(hourUs(10) -> ((2L, 30.0)), hourUs(11) -> ((1L, 20.0))))
+    // a (the hour-10 max) moves to hour 11: hour 10's max recomputes
+    // to b's 10.0; hour 11's max rises to 30.0
+    Topics.appendJson(Seq(("a", ts(11), 30.0)).toDF("k", "ts", "amt"),
+      "vs_tvf_src", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(windows() === Map(hourUs(10) -> ((1L, 10.0)), hourUs(11) -> ((2L, 30.0))),
+      "moving the max-holder between windows must recompute BOTH windows' max")
+    r.stopAll()
+  }
+
   test("avg(DISTINCT) and guards: timestamp multiset values reject with guidance") {
     implicit val sqlCtx = spark.sqlContext
     val orders = MemoryStream[SOrd]
