@@ -272,6 +272,54 @@ class MergeAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("three-level continuous aggregate chain: merge-agg -> retract-agg -> retract-agg stays batch-consistent") {
+    val conf = newConf("ma-threelevel")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("l3_src", StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType))))
+    r.runScript("""
+      CREATE TABLE l3_latest (k BIGINT, v DOUBLE,
+        PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO l3_latest SELECT k, v FROM l3_src;
+      CREATE TABLE l3_a (bucket BIGINT, n BIGINT, mx DOUBLE,
+        PRIMARY KEY (bucket) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO l3_a
+      SELECT k % 4 AS bucket, count(*) AS n, max(v) AS mx
+      FROM l3_latest GROUP BY k % 4;
+      CREATE TABLE l3_b (par BIGINT, nb BIGINT,
+        PRIMARY KEY (par) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO l3_b
+      SELECT n % 2 AS par, count(*) AS nb FROM l3_a GROUP BY n % 2;
+      CREATE TABLE l3_c (tag STRING, total BIGINT, n_pars BIGINT,
+        PRIMARY KEY (tag) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO l3_c
+      SELECT 'all' AS tag, CAST(sum(nb) AS BIGINT) AS total, count(*) AS n_pars
+      FROM l3_b GROUP BY 'all'""")
+    def check(): Unit = {
+      val got = spark.table("l3_c").select($"total", $"n_pars")
+        .as[(Long, Long)].collect().toSet
+      val exp = spark.sql("""
+        WITH a AS (SELECT k % 4 AS bucket, count(*) AS n, max(v) AS mx
+                   FROM l3_latest GROUP BY k % 4),
+             b AS (SELECT n % 2 AS par, count(*) AS nb FROM a GROUP BY n % 2)
+        SELECT CAST(sum(nb) AS BIGINT) AS total, count(*) AS n_pars FROM b GROUP BY 'all'""")
+        .as[(Long, Long)].collect().toSet
+      assert(got === exp, s"level-3 state $got != batch three-level $exp")
+    }
+    def feed(epoch: Int, rows: (Long, Double)*): Unit = {
+      Topics.appendJson(rows.toSeq.toDF("k", "v"), "l3_src", conf, Nil, epoch)
+      r.processAllAvailable()
+    }
+    feed(1, (1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 50.0))
+    check()
+    // revisions ripple three levels: k5 moves bucket, counts flip parity
+    feed(2, (5L, 15.0), (6L, 60.0), (7L, 70.0))
+    check()
+    feed(3, (1L, 99.0), (8L, 5.0))
+    check()
+    r.stopAll()
+  }
+
   test("guards: PK must equal the group-key columns; min rejects; hidden aggregates reject") {
     implicit val sqlCtx = spark.sqlContext
     val orders = MemoryStream[SOrd]
