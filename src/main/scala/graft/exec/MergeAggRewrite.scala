@@ -149,9 +149,9 @@ object MergeAggRewrite {
         agg.child.output.find(_.name == RetractAggRewrite.OrdCol).getOrElse(
           throw new IllegalArgumentException(
             s"merge aggregate over $driver: first/last fold by ARRIVAL order, " +
-              "which this driver does not carry (retract-mode topics name only " +
-              "a value, never the add it cancels; external streams have no " +
-              "offset) — use max_by/min_by over an explicit order column"))
+              "which this driver does not carry (topic drivers get it from " +
+              "offset/FIFO provenance; an EXTERNAL stream has no offset) — " +
+              "use max_by/min_by over an explicit order column"))
 
       def distinctChild(ae: AggregateExpression, fn: String): Expression = {
         val nonLit = ae.aggregateFunction.children.filterNot(_.foldable)

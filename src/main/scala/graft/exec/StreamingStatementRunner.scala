@@ -325,7 +325,8 @@ final class StreamingStatementRunner(spark: SparkSession,
             // multiset helpers)
             requireFoldableShape(driver, shape)
             startMergeAgg(binding, meta, targetCols, select, driver,
-              signedChangelogStream(driver, driverMeta),
+              signedChangelogStream(driver, driverMeta,
+                needProvenance = shape.hasArrivalAgg),
               mayRetract = driverRetracts)
           } else if (hasAgg && driverRetracts) {
             // an aggregate over a CHANGELOG driver must fold revisions,
@@ -720,7 +721,8 @@ final class StreamingStatementRunner(spark: SparkSession,
     * expands each revision into retract-prior + add-new; tombstones
     * retract alone); retract drivers already carry the sign as their
     * `__op` tag. */
-  private def signedChangelogStream(bare: String, meta: TableMeta): DataFrame = {
+  private def signedChangelogStream(bare: String, meta: TableMeta,
+                                    needProvenance: Boolean = false): DataFrame = {
     val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
     if (isUpsert) {
       val b = bind(bare)
@@ -745,13 +747,40 @@ final class StreamingStatementRunner(spark: SparkSession,
         .select(col("__k.*"), col("__v.*"),
           col(RetractAggRewrite.SignCol), col("$rowtime"),
           col(RetractAggRewrite.OrdCol))
-    } else if (meta.changelogMode == ChangelogMode.Retract)
-      // no __ord on retract drivers: a -U names only a VALUE, never
-      // the add it cancels — arrival-ordered aggregates reject there
-      changelogStream(bare).withColumn(RetractAggRewrite.SignCol,
-        when(col("__op").isin("-U", "-D"), lit(-1)).otherwise(lit(1)))
-    else // append driver: a true insert stream — every record adds,
-         // and its topic offset is its arrival order
+    } else if (meta.changelogMode == ChangelogMode.Retract) {
+      if (!needProvenance)
+        // sum-decomposable consumers need only the sign — no state
+        changelogStream(bare).withColumn(RetractAggRewrite.SignCol,
+          when(col("__op").isin("-U", "-D"), lit(-1)).otherwise(lit(1)))
+      else {
+        // arrival-ordered aggregates (first/last) need ADD-PROVENANCE,
+        // which a -U does not carry — recover it with the FIFO
+        // content-keyed normalizer (Flink's retractable
+        // FIRST_VALUE/LAST_VALUE keep the same per-value order lists)
+        val decoded = changelogStream(bare, keepOrd = true)
+        val dataCols = decoded.columns.filterNot(c =>
+          c == "__op" || c == RetractAggRewrite.OrdCol || c == "key" || c == "$rowtime")
+        val contentSchema = StructType(
+          decoded.schema.fields.filter(f => dataCols.contains(f.name)))
+        val spark0 = spark
+        import spark0.implicits._
+        val rows = decoded.select(
+          to_json(struct(dataCols.map(c => col(s"`$c`")): _*)).as("content"),
+          col("__op").as("op"),
+          col(RetractAggRewrite.OrdCol).as("offset"),
+          unix_micros(col("`$rowtime`")).as("tsUs"))
+          .as[graft.streaming.ChangelogNormalize.RetractRow]
+        graft.streaming.ChangelogNormalize.normalizeRetract(rows).toDF()
+          .select(
+            from_json(col("v"), contentSchema).as("__v"),
+            col("sign").as(RetractAggRewrite.SignCol),
+            timestamp_micros(col("tsUs")).as("$rowtime"),
+            col("ord").as(RetractAggRewrite.OrdCol))
+          .select(col("__v.*"), col(RetractAggRewrite.SignCol),
+            col("$rowtime"), col(RetractAggRewrite.OrdCol))
+      }
+    } else // append driver: a true insert stream — every record adds,
+           // and its topic offset is its arrival order
       changelogStream(bare, keepOrd = true)
         .withColumn(RetractAggRewrite.SignCol, lit(1))
   }

@@ -44,6 +44,56 @@ object ChangelogNormalize {
     * micro-batch a key's revisions apply in OFFSET order — the topic's
     * total order per key — so cross-revision retractions pair up
     * deterministically regardless of shuffle arrival order. */
+  /** One decoded retract-topic row headed into provenance matching:
+    * `content` = the row's data columns as canonical JSON (the -U
+    * alphabet names rows BY VALUE), `op` its changelog tag, `offset`
+    * the record offset, `tsUs` the record time in micros. */
+  final case class RetractRow(content: String, op: String, offset: Long, tsUs: Long)
+
+  /** Attach ADD-PROVENANCE to a retract-mode changelog (round 15): a
+    * -U/-D names only a row VALUE, so arrival-ordered aggregates
+    * (first/last) cannot know WHICH copy it cancels. Flink's
+    * retractable FIRST_VALUE/LAST_VALUE resolve this with a per-value
+    * ORDER LIST (`FirstValueWithRetractAggFunction`'s MapView state),
+    * retracting the EARLIEST pending copy — the FIFO convention this
+    * operator reproduces: state = per live row-content the queue of
+    * add offsets not yet retracted; an add pushes its offset and
+    * emits +1 with it; a retraction pops the queue head and emits −1
+    * with THAT offset, so downstream (ord, value) multiset pairs
+    * cancel exactly. A retraction with no pending add (a malformed
+    * feed) emits ord = −1 — its pair nets ≤ 0 and never surfaces in a
+    * stat, so it cannot corrupt first/last, only under-count like the
+    * malformed feed itself would.
+    *
+    * Scale shape: one shuffle on the row content; state = pending-add
+    * queues of LIVE copies only (a fully-retracted content removes its
+    * state) — exactly the multiset the semantics require, the same
+    * bound Flink's MapView carries. Checkpoint-recovered. */
+  def normalizeRetract(rows: Dataset[RetractRow]): Dataset[SignedRec] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .groupByKey(_.content)
+      .flatMapGroupsWithState[Vector[Long], SignedRec](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (content: String, rs: Iterator[RetractRow], state) =>
+          var pending = state.getOption.getOrElse(Vector.empty[Long])
+          val out = List.newBuilder[SignedRec]
+          rs.toSeq.sortBy(_.offset).foreach { r =>
+            if (r.op == "-U" || r.op == "-D") {
+              val ord = pending.headOption.getOrElse(-1L)
+              if (pending.nonEmpty) pending = pending.tail
+              out += SignedRec(content, content, -1, r.tsUs, ord)
+            } else {
+              pending = pending :+ r.offset
+              out += SignedRec(content, content, +1, r.tsUs, r.offset)
+            }
+          }
+          if (pending.isEmpty) state.remove() else state.update(pending)
+          out.result().iterator
+      }
+  }
+
   def normalizeUpsert(records: DataFrame): Dataset[SignedRec] = {
     val spark = records.sparkSession
     import spark.implicits._

@@ -161,7 +161,7 @@ class ValueSetAggSpec extends SparkSpec {
     r.stopAll()
   }
 
-  test("max_by/min_by retract value-keyed on every driver mode; first/last over a retract-mode topic rejects") {
+  test("max_by/min_by retract value-keyed on every driver mode") {
     val conf = newConf("vs-argmax")
     val r = runner(conf, "vs_src_am", """
       CREATE TABLE vs_am (grp STRING, top_k STRING, bot_k STRING,
@@ -183,8 +183,9 @@ class ValueSetAggSpec extends SparkSpec {
     assert(state() === Map("g1" -> (("k3", "k2"))),
       "revising the argmax holder must recompute from the remaining pairs")
     r.stopAll()
-    // first/last over a RETRACT-mode topic: a -U names only a value,
-    // never the add it cancels — loud rejection with guidance
+  }
+
+  test("first/last over a RETRACT-mode topic: FIFO provenance cancels the EARLIEST duplicate copy (Flink's convention)") {
     val conf2 = newConf("vs-fl-retract")
     val r2 = new StreamingStatementRunner(spark, topicConf = Some(conf2))
     r2.registerTopicSource("vs_src_flr", StructType(srcSchema.fields :+
@@ -193,12 +194,32 @@ class ValueSetAggSpec extends SparkSpec {
       CREATE TABLE vs_rlog (k STRING, grp STRING, amt DOUBLE, __op STRING)
         WITH ('changelog.mode' = 'retract');
       INSERT INTO vs_rlog SELECT k, grp, amt, __op FROM vs_src_flr;
-      CREATE TABLE vs_fl_bad (grp STRING, last_amt DOUBLE,
-        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
-    val err = intercept[IllegalArgumentException](r2.run("""
-      INSERT INTO vs_fl_bad
-      SELECT grp, last(amt) FROM vs_rlog GROUP BY grp"""))
-    assert(err.getMessage.contains("ARRIVAL order"))
+      CREATE TABLE vs_flr (grp STRING, f DOUBLE, l DOUBLE,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_flr
+      SELECT grp, first(amt) AS f, last(amt) AS l FROM vs_rlog GROUP BY grp""")
+    def state() = spark.table("vs_flr")
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    def feed(epoch: Int, k: String, amt: Double, op: String): Unit = {
+      Topics.appendJson(Seq((k, "g1", amt, op)).toDF("k", "grp", "amt", "__op"),
+        "vs_src_flr", conf2, Nil, epoch)
+      r2.processAllAvailable()
+    }
+    feed(1, "x", 10.0, "+I")
+    feed(2, "y", 20.0, "+I")
+    feed(3, "x", 10.0, "+I") // a SECOND identical copy of x's row
+    r2.processAllAvailable()
+    assert(state() === Map("g1" -> ((10.0, 10.0))),
+      "last = the newest add, which is the duplicate copy of 10")
+    // a -U of x's row must cancel the EARLIEST pending copy (epoch 1):
+    // first falls to y's 20; last stays the epoch-3 copy of 10 — a
+    // LIFO cancel would leave (10, 20) instead
+    feed(4, "x", 10.0, "-U")
+    assert(state() === Map("g1" -> ((20.0, 10.0))),
+      "FIFO: the retraction cancels the EARLIEST duplicate copy")
+    feed(5, "y", 20.0, "-U")
+    assert(state() === Map("g1" -> ((10.0, 10.0))))
     r2.stopAll()
   }
 
