@@ -272,11 +272,6 @@ object MergeAggRewrite {
             //    the distinct string set — recomputed sorted per
             //    touched group, joined at emit ──
             case la: ListAgg =>
-              require(ae.isDistinct,
-                s"merge aggregate over $driver: retractable LISTAGG is " +
-                  "supported as listagg(DISTINCT x[, sep]) WITHIN GROUP " +
-                  "(ORDER BY x) — the multiset holds DISTINCT values; a " +
-                  "non-distinct listagg would need per-copy expansion")
               require(la.orderExpressions.size == 1 &&
                   la.orderExpressions.head.direction == Ascending &&
                   la.orderExpressions.head.child.semanticEquals(la.child),
@@ -287,7 +282,10 @@ object MergeAggRewrite {
                   "values — cast the expression to STRING")
               require(la.delimiter.foldable,
                 s"merge aggregate over $driver: listagg delimiter must be a literal")
-              ArrayJoin(valueSetFor(la.child, "lst"), la.delimiter, None)
+              // DISTINCT joins the live value set; non-distinct expands
+              // each value by its live copy count ("lsa")
+              ArrayJoin(valueSetFor(la.child,
+                if (ae.isDistinct) "lst" else "lsa"), la.delimiter, None)
             // RuntimeReplaceableAggregate (count_if, any/every/some,
             // regr_count, ...): unwrap and re-dispatch — the
             // replacement either decomposes or rejects by its own name

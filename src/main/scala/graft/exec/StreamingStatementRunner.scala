@@ -1120,7 +1120,13 @@ final class StreamingStatementRunner(spark: SparkSession,
         "sum" -> sum(col("__v")).as(s"${vs.name}_sum"),
         // retractable LISTAGG: the sorted live distinct values — the
         // emit joins them with the statement's delimiter
-        "lst" -> sort_array(collect_list(col("__v"))).as(s"${vs.name}_lst"))
+        "lst" -> sort_array(collect_list(col("__v"))).as(s"${vs.name}_lst"),
+        // non-distinct LISTAGG: each live value repeated by its net
+        // copy count (the multiset already knows it)
+        "lsa" -> flatten(transform(
+          sort_array(collect_list(struct(col("__v").as("v"), col("__vsn").as("n")))),
+          p => array_repeat(p.getField("v"), p.getField("n").cast("int"))))
+          .as(s"${vs.name}_lsa"))
         .collect { case (s, c) if vs.stats.contains(s) => c }
       // eager: materialize the stats while the merge frame is cached
       // (the caller's sink action runs after this frame is unpersisted)

@@ -439,31 +439,35 @@ class ValueSetAggSpec extends SparkSpec {
   test("bool_and/bool_or fold as boolean order statistics; retractable listagg(DISTINCT) recomputes sorted") {
     val conf = newConf("vs-bool")
     val r = runner(conf, "vs_src_bl", """
-      CREATE TABLE vs_bl (grp STRING, all_big BOOLEAN, any_big BOOLEAN, cats STRING,
+      CREATE TABLE vs_bl (grp STRING, all_big BOOLEAN, any_big BOOLEAN,
+        cats STRING, all_cats STRING,
         PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
       INSERT INTO vs_bl
       SELECT grp, bool_and(amt > 10) AS all_big, bool_or(amt > 10) AS any_big,
              listagg(DISTINCT CAST(CAST(amt AS BIGINT) AS STRING), ',')
-               WITHIN GROUP (ORDER BY CAST(CAST(amt AS BIGINT) AS STRING)) AS cats
+               WITHIN GROUP (ORDER BY CAST(CAST(amt AS BIGINT) AS STRING)) AS cats,
+             listagg(CAST(CAST(amt AS BIGINT) AS STRING), ',')
+               WITHIN GROUP (ORDER BY CAST(CAST(amt AS BIGINT) AS STRING)) AS all_cats
       FROM vs_acct GROUP BY grp""")
     def state() = spark.table("vs_bl")
-      .as[(String, Boolean, Boolean, String)].collect()
-      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      .as[(String, Boolean, Boolean, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
     Topics.appendJson(Seq(VsRow("k1", "g1", 5.0), VsRow("k2", "g1", 20.0),
       VsRow("k3", "g1", 20.0)).toDF(), "vs_src_bl", conf, Nil, 1)
     r.processAllAvailable()
-    assert(state() === Map("g1" -> ((false, true, "20,5"))))
+    assert(state() === Map("g1" -> ((false, true, "20,5", "20,20,5"))),
+      "non-distinct listagg repeats each value by its live copy count")
     // k1 revises above the bar: the lone false retracts → all_big flips
     // true; the duplicate distinct value "20" still appears once
     Topics.appendJson(Seq(VsRow("k1", "g1", 30.0)).toDF(), "vs_src_bl", conf, Nil, 2)
     r.processAllAvailable()
-    assert(state() === Map("g1" -> ((true, true, "20,30"))),
+    assert(state() === Map("g1" -> ((true, true, "20,30", "20,20,30"))),
       "retracting the only false must flip bool_and; listagg resorts")
     // tombstone both 20-holders: any_big survives via k1's 30
     Topics.appendJson(Seq(VsRow("k2", "DEL", 0.0), VsRow("k3", "DEL", 0.0)).toDF(),
       "vs_src_bl", conf, Nil, 3)
     r.processAllAvailable()
-    assert(state() === Map("g1" -> ((true, true, "30"))))
+    assert(state() === Map("g1" -> ((true, true, "30", "30"))))
     r.stopAll()
   }
 
