@@ -327,6 +327,53 @@ class ScaleSmokeSpec extends SparkSpec {
       r.stopAll()
       spark0.table("smoke_vs_stats").count()
       ()
+    },
+    // the FIFO provenance normalizer + arrival-ordered multiset at
+    // scale (round 15): first/last over a RETRACT-mode topic — the
+    // content-keyed pending-add queues AND the (ord, value) pair
+    // multiset both scale with live rows. Epoch i adds quarter i and
+    // RETRACTS half of quarter i−1 (content-identical -U rows), so
+    // state grows while FIFO pops run at corpus-scaled volume.
+    // Expected exponent ~1; superlinear would mean the normalizer
+    // rescans state per row or the multiset recompute reads beyond
+    // touched groups.
+    "stream_fifo_firstlast" -> { docs =>
+      import org.apache.spark.sql.types._
+      val spark0 = docs.sparkSession
+      val conf = graft.sources.TopicConf(
+        java.nio.file.Files.createTempDirectory("smoke-fl").toString)
+      val r = new graft.exec.StreamingStatementRunner(spark0, topicConf = Some(conf))
+      r.registerTopicSource("smoke_fl_feed", StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_chars", LongType),
+        StructField("__op", StringType))))
+      r.runScript("""
+        CREATE TABLE smoke_fl_log (doc_id BIGINT, n_chars BIGINT, __op STRING)
+          WITH ('changelog.mode' = 'retract');
+        INSERT INTO smoke_fl_log SELECT doc_id, n_chars, __op FROM smoke_fl_feed;
+        CREATE TABLE smoke_fl_stats (bucket BIGINT, n BIGINT, f BIGINT, l BIGINT,
+          PRIMARY KEY (bucket) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO smoke_fl_stats
+        SELECT CAST(doc_id % 16 AS BIGINT) AS bucket, count(*) AS n,
+               first(doc_id) AS f, last(doc_id) AS l
+        FROM smoke_fl_log GROUP BY CAST(doc_id % 16 AS BIGINT)""")
+      val epochs = 4
+      val feed = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+      (0 until epochs).foreach { i =>
+        val adds = feed.where(pmod(col("doc_id"), lit(epochs)) === i)
+          .withColumn("__op", lit("+I"))
+        val batch =
+          if (i == 0) adds
+          else adds.unionByName(
+            feed.where(pmod(col("doc_id"), lit(epochs)) === (i - 1) &&
+              pmod(col("doc_id"), lit(2L * epochs)) < epochs)
+              .withColumn("__op", lit("-U")))
+        graft.sources.Topics.appendJson(batch, "smoke_fl_feed", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      spark0.table("smoke_fl_stats").count()
+      ()
     })
 
   private def corpus(n: Long): DataFrame =
@@ -441,7 +488,8 @@ class ScaleSmokeSpec extends SparkSpec {
         // normalize's per-live-key state and the per-(group, value)
         // multiset — are precisely the states that grow with key/value
         // cardinality at 100 TB, so they ride both tiers
-        "stream_changelog_normalize", "stream_multiset_agg").contains(n)
+        "stream_changelog_normalize", "stream_multiset_agg",
+        "stream_fifo_firstlast").contains(n)
     }
     val warm = corpus(500)
     spot.foreach { case (_, f) => f(warm); spark.catalog.clearCache() }
