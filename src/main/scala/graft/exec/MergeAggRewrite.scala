@@ -33,10 +33,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, TimestampType
   * for decimal children — exact native-`Average` parity), min/max
   * (raws when the driver cannot retract, value-set stats when it can),
   * max_by/min_by (argmax as min/max over a `struct(order, value)` —
-  * data-keyed, so it retracts on every driver mode), first/last
-  * (argmin/argmax over `struct(add-offset, value)` — exact under
-  * retraction via ChangelogNormalize add-provenance; retract-mode
-  * topics reject, they carry no provenance), DISTINCT count over any
+  * data-keyed, so it retracts on every driver mode; rows whose
+  * ORDERING is null are skipped, matching native `MaxMinBy`),
+  * first/last (argmin/argmax over `struct(add-offset, value)` — exact
+  * under retraction via ChangelogNormalize add-provenance; retract-mode
+  * topics RECOVER add-provenance through the content-keyed FIFO
+  * normalizer, `ChangelogNormalize.normalizeRetract` — the per-value
+  * order-list convention of Flink's retractable FIRST_VALUE/
+  * LAST_VALUE), DISTINCT count over any
   * number of expressions (struct-keyed multiset), and
   * single-expression DISTINCT sum/avg. The genuinely unbounded-state
   * shapes (exact percentile, collect_list) reject loudly.
@@ -134,11 +138,19 @@ object MergeAggRewrite {
       def orderedStruct(ord: Expression, value: Expression): Expression =
         CreateNamedStruct(Seq(Literal("o"), ord, Literal("v"), value))
       def argOrder(ord: Expression, value: Expression, isMax: Boolean,
-                   skipNullValue: Boolean): Expression = {
+                   skipNullValue: Boolean, skipNullOrd: Boolean = false): Expression = {
         val st = orderedStruct(ord, value)
+        // a null ORDERING must null the whole struct for max_by/min_by
+        // (struct comparison sorts null fields FIRST, so an unguarded
+        // struct(null, v) would win min_by) — both native MaxMinBy and
+        // DuckDB's arg_min/arg_max skip null-ordering rows (ADVICE r15).
+        // first/last never pass it: the add-offset ord is never null.
+        val conds: Seq[Expression] =
+          (if (skipNullOrd) Seq(IsNotNull(ord)) else Nil) ++
+            (if (skipNullValue) Seq(IsNotNull(value)) else Nil)
         val guarded =
-          if (skipNullValue) If(IsNotNull(value), st, Literal(null, st.dataType))
-          else st
+          if (conds.isEmpty) st
+          else If(conds.reduce(And(_, _)), st, Literal(null, st.dataType))
         UnresolvedExtractValue(orderStat(guarded, isMax), Literal("v"))
       }
 
@@ -176,10 +188,10 @@ object MergeAggRewrite {
             //    driver mode (a -U carries the same data columns) ──
             case mb: MaxBy =>
               argOrder(mb.orderingExpr, mb.valueExpr, isMax = true,
-                skipNullValue = true)
+                skipNullValue = true, skipNullOrd = true)
             case mb: MinBy =>
               argOrder(mb.orderingExpr, mb.valueExpr, isMax = false,
-                skipNullValue = true)
+                skipNullValue = true, skipNullOrd = true)
             // ── first/last by ARRIVAL order (Flink's FIRST_VALUE /
             //    LAST_VALUE): argmin/argmax over (add-offset, value) —
             //    exact under retraction because a retraction names the

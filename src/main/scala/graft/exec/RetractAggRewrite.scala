@@ -41,11 +41,14 @@ object RetractAggRewrite {
 
   /** Column name the signed changelog stream carries. */
   val SignCol = "__sign"
-  /** Arrival-order column a signed changelog stream carries when the
-    * driver's transport defines one (upsert-normalized and append
-    * topic drivers: the topic offset of the ADD record) — the order
-    * key first/last aggregates fold over. Retract-mode drivers have no
-    * add-provenance (a -U names only a value), so they do not carry it. */
+  /** Arrival-order column a signed changelog stream carries: the topic
+    * offset of the ADD record — the order key first/last aggregates
+    * fold over. Upsert-normalized and append topic drivers carry it
+    * natively; retract-mode drivers RECOVER it (a -U names only a
+    * value) through the content-keyed FIFO normalizer
+    * (`ChangelogNormalize.normalizeRetract`, wired by
+    * `StreamingStatementRunner.signedChangelogStream` when the shape
+    * needs provenance). */
   val OrdCol = "__ord"
   /** Hidden net-count column the rewrite appends (0 ⇒ group deleted). */
   val NetCol = "__net"

@@ -279,12 +279,17 @@ final class StreamingStatementRunner(spark: SparkSession,
               // snapshot join re-resolves the select per batch, so the
               // dim-side aggregate evaluates at current dim state
               startSnapshotJoin(binding, meta, targetCols, select, streamRefs.head)
-          } else if (streamRefs.size == 1 && baseShape.hasDistinctAgg) {
+          } else if (streamRefs.size == 1 && (baseShape.hasDistinctAgg ||
+              baseShape.hasArrivalAgg || baseShape.hasCollectAgg)) {
             val shape = shapeFor(streamRefs.head)
-            if (shape.hasDistinctAgg)
-              // exact DISTINCT aggregation over a stream — Spark has no
-              // native streaming distinct; the value-multiset merge path
-              // computes it exactly (round 14)
+            if (shape.hasDistinctAgg || shape.hasArrivalAgg || shape.hasCollectAgg)
+              // exact DISTINCT (Spark has no native streaming distinct),
+              // first/last (native streaming First/Last is shuffle-order
+              // nondeterministic — they need arrival order, which an
+              // EXTERNAL stream does not carry: mergeExternal's ordAttr
+              // lookup rejects with the clear no-arrival-order message,
+              // ADVICE r15), and listagg (Collect-based, multiset-only)
+              // all route to the merge path, never to startDirect
               mergeExternal(streamRefs.head, shape)
             else startDirect(binding, meta, targetCols, select)
           } else
@@ -469,28 +474,68 @@ final class StreamingStatementRunner(spark: SparkSession,
     val collectNames = Set("listagg", "string_agg")
     def needsMultisetF(f: UnresolvedFunction): Boolean =
       f.isDistinct || multisetNames.contains(fname(f))
-    // does plan `p` (subqueries + CTEs included) reference the driver?
+    // relation names `p` references, subquery expressions and nested
+    // CTE definition plans included
+    def plainRefs(p: LogicalPlan): Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      def go(q: LogicalPlan): Unit = q.foreach { node =>
+        node match {
+          case r: UnresolvedRelation => out += r.multipartIdentifier.last
+          case w: UnresolvedWith =>
+            w.cteRelations.foreach { case (_, cte, _) => go(cte) }
+          case _ =>
+        }
+        node.expressions.foreach(_.foreach {
+          case sq: SubqueryExpression => go(sq.plan)
+          case _ =>
+        })
+      }
+      go(p)
+      out.toSet
+    }
+    // CTE definitions anywhere in the statement (cteRelations are not
+    // plan children — recurse explicitly), for TRANSITIVE driver
+    // reachability: in `WITH a AS (... FROM drv), b AS (... FROM a)`
+    // CTE b reaches the driver THROUGH a, so an aggregate inside b
+    // must scope as driver-referencing (ADVICE r15 — a direct-name
+    // check routed such a shape to the raw-revision path)
+    val cteDefs = scala.collection.mutable.ArrayBuffer.empty[(String, LogicalPlan)]
+    def collectCtes(p: LogicalPlan): Unit = p.foreach { node =>
+      node match {
+        case w: UnresolvedWith =>
+          w.cteRelations.foreach { case (n, cte, _) =>
+            cteDefs += ((n, cte)); collectCtes(cte)
+          }
+        case _ =>
+      }
+      node.expressions.foreach(_.foreach {
+        case sq: SubqueryExpression => collectCtes(sq.plan)
+        case _ =>
+      })
+    }
+    collectCtes(parsed)
+    // driver-equivalent names: the driver plus every CTE that reaches
+    // it through ANY chain of CTE references (fixpoint over cteDefs)
+    val driverish: Set[String] = driver match {
+      case None => Set.empty
+      case Some(d) =>
+        var names = Set(d)
+        var grew = true
+        while (grew) {
+          grew = false
+          cteDefs.foreach { case (n, p) =>
+            if (!names.contains(n) && plainRefs(p).exists(names.contains)) {
+              names += n; grew = true
+            }
+          }
+        }
+        names
+    }
+    // does plan `p` (subqueries + CTEs included) reference the driver,
+    // directly or through a CTE-name chain?
     def refsDriver(p: LogicalPlan): Boolean = driver match {
       case None => true
-      case Some(d) =>
-        def refs(q: LogicalPlan): Boolean = {
-          var found = false
-          q.foreach { node =>
-            node match {
-              case r: UnresolvedRelation if r.multipartIdentifier.last == d =>
-                found = true
-              case w: UnresolvedWith =>
-                if (w.cteRelations.exists { case (_, cte, _) => refs(cte) }) found = true
-              case _ =>
-            }
-            node.expressions.foreach(_.foreach {
-              case sq: SubqueryExpression => if (refs(sq.plan)) found = true
-              case _ =>
-            })
-          }
-          found
-        }
-        refs(p)
+      case Some(_) => plainRefs(p).exists(driverish.contains)
     }
     var contexts = 0
     var topIsAgg = false

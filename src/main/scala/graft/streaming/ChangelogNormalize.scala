@@ -94,6 +94,14 @@ object ChangelogNormalize {
       }
   }
 
+  /** CHECKPOINT-FORMAT NOTE (restart contract): round 15 widened this
+    * operator's per-key state from `String` (current value) to
+    * `(String, Long)` (value, offset of its add) to carry the
+    * provenance first/last fold over. A runner restarted on a
+    * checkpoint written BEFORE that change fails state deserialization
+    * here — start such a pipeline on a fresh checkpoint/topic root
+    * (new TopicConf). Checkpoints written at or after round 15 restart
+    * cleanly (StreamingRestartSpec). */
   def normalizeUpsert(records: DataFrame): Dataset[SignedRec] = {
     val spark = records.sparkSession
     import spark.implicits._

@@ -458,6 +458,37 @@ class StreamingStatementRunnerSpec extends SparkSpec {
                             FROM cte_keyed GROUP BY product_id)
                SELECT product_id, n FROM agg"""))
     assert(err.getMessage.contains("CTE"))
+    // TRANSITIVE chain (ADVICE r15): the aggregate lives in CTE b,
+    // which references the driver only THROUGH CTE a — a direct-name
+    // check scoped b out and silently aggregated raw revisions
+    r.run("""CREATE TABLE cte_out2 (product_id STRING, n BIGINT,
+             PRIMARY KEY (product_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    val err2 = intercept[IllegalArgumentException](
+      r.run("""INSERT INTO cte_out2
+               WITH a AS (SELECT * FROM cte_keyed),
+                    b AS (SELECT product_id, count(*) AS n FROM a GROUP BY product_id)
+               SELECT product_id, n FROM b"""))
+    assert(err2.getMessage.contains("CTE"),
+      "an aggregate reaching the driver through a CTE chain must reject, not fold raw revisions")
+    r.stopAll()
+  }
+
+  test("first/last over a single EXTERNAL stream rejects loudly: no arrival order to fold (ADVICE r15)") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[SOrd]
+    orders.toDF().createOrReplaceTempView("fl_orders_s")
+    val r = new StreamingStatementRunner(spark)
+    r.run("""CREATE TABLE fl_out (customer_id STRING, first_pid STRING,
+             PRIMARY KEY (customer_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    // previously this fell through to startDirect and ran native
+    // streaming First — shuffle-order nondeterministic; now it routes
+    // to the merge path, whose ordAttr lookup rejects with the clear
+    // no-arrival-order message
+    val err = intercept[IllegalArgumentException](
+      r.run("""INSERT INTO fl_out
+               SELECT customer_id, first(product_id) FROM fl_orders_s
+               GROUP BY customer_id"""))
+    assert(err.getMessage.contains("ARRIVAL order"))
     r.stopAll()
   }
 

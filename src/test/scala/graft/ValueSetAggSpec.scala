@@ -185,6 +185,34 @@ class ValueSetAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("max_by/min_by SKIP rows whose ORDERING is null (native MaxMinBy / DuckDB arg_min parity, ADVICE r15)") {
+    val conf = newConf("vs-argnull")
+    // nullif(amt, 10.0) makes k1's ordering NULL: an unguarded
+    // struct(null, v) sorts null-first and would win min_by
+    val r = runner(conf, "vs_src_an", """
+      CREATE TABLE vs_an (grp STRING, top_k STRING, bot_k STRING,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_an
+      SELECT grp, max_by(k, nullif(amt, 10.0)) AS top_k,
+             min_by(k, nullif(amt, 10.0)) AS bot_k
+      FROM vs_acct GROUP BY grp""")
+    def state() = spark.table("vs_an")
+      .as[(String, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    Topics.appendJson(Seq(VsRow("k1", "g1", 10.0), VsRow("k2", "g1", 30.0),
+      VsRow("k3", "g1", 20.0)).toDF(), "vs_src_an", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> (("k2", "k3"))),
+      "the null-ordering row (k1) must be skipped by BOTH argmax and argmin")
+    // k3 revises ONTO the null ordering: it leaves the candidate set
+    // and k2 becomes both extremes
+    Topics.appendJson(Seq(VsRow("k3", "g1", 10.0)).toDF(), "vs_src_an", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> (("k2", "k2"))),
+      "revising onto a null ordering must retract the row from the candidates")
+    r.stopAll()
+  }
+
   test("first/last over a RETRACT-mode topic: FIFO provenance cancels the EARLIEST duplicate copy (Flink's convention)") {
     val conf2 = newConf("vs-fl-retract")
     val r2 = new StreamingStatementRunner(spark, topicConf = Some(conf2))
