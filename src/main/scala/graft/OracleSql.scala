@@ -1897,6 +1897,68 @@ object OracleSql {
                   round(c2 / sqrt(m2x * m2u), 6) END AS corr_vu,
                 n_big, all_small, any_big, bs.buckets
          FROM f JOIN bs ON f.event_type = bs.event_type""",
+    // Flink regular join into a retract target: dim revisions retract
+    // and re-emit previously-joined rows, so the folded net state is
+    // the batch join of ALL facts against FINAL dim state — the
+    // per-epoch dim slices collapse to the global latest per user.
+    "q236_stream_regular_join" ->
+      """WITH latest AS (
+           SELECT user_id, event_type
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 4 = 0) WHERE rn = 1)
+         SELECT e.event_id, e.user_id, l.event_type AS last_event_type, e.value
+         FROM events e JOIN latest l ON e.user_id = l.user_id
+         WHERE e.user_id % 4 = 0""",
+    // Retractable collect over the latest-per-user changelog: the live
+    // multiset as value-sorted joined strings (set = distinct values,
+    // list = every live copy).
+    "q237_stream_collect_agg" ->
+      """WITH latest AS (
+           SELECT user_id, event_type
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 4 = 0) WHERE rn = 1)
+         SELECT CAST(user_id % 41 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_users,
+                string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+                string_agg(CAST(user_id % 7 AS VARCHAR), ','
+                  ORDER BY CAST(user_id % 7 AS VARCHAR)) AS septets
+         FROM latest GROUP BY CAST(user_id % 41 AS BIGINT)""",
+    // Three-level continuous aggregate chain: merge-agg → retract-fold
+    // → retract-fold must equal the batch three-level aggregate over
+    // final latest-per-user state (integer-only above level 2).
+    "q238_stream_three_level_agg" ->
+      """WITH latest AS (
+           SELECT user_id, event_type
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 4 = 0) WHERE rn = 1),
+         lvl1 AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+           FROM latest GROUP BY event_type),
+         lvl2 AS (
+           SELECT CAST(n_users % 3 AS BIGINT) AS bucket,
+                  CAST(count(*) AS BIGINT) AS n_types,
+                  CAST(sum(n_users) AS BIGINT) AS sum_users
+           FROM lvl1 GROUP BY CAST(n_users % 3 AS BIGINT))
+         SELECT CAST(n_types % 2 AS BIGINT) AS par,
+                CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(sum(sum_users) AS BIGINT) AS total
+         FROM lvl2 GROUP BY CAST(n_types % 2 AS BIGINT)""",
+    // TUMBLE TVF through the multiset merge path: hourly windows over
+    // the latest-per-user state, max retraction-aware as a
+    // (window, value) multiset — equals the batch hourly aggregate.
+    "q239_stream_tumble_multiset" ->
+      """WITH latest AS (
+           SELECT user_id, ts, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 4 = 0) WHERE rn = 1)
+         SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+                CAST(count(*) AS BIGINT) AS n_users,
+                max(value) AS max_value
+         FROM latest GROUP BY 1""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

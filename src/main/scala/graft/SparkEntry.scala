@@ -3134,6 +3134,254 @@ object SparkEntry {
         col("n_big"), col("all_small"), col("any_big"), col("buckets"))
     }),
 
+    // ── FLINK REGULAR JOIN into a RETRACT target, DRIVER-GATED
+    //    (round 16, VERDICT r15 item 1 — the reference's S6:
+    //    shoe_orders_enriched is changelog.mode='retract',
+    //    lab-aggregations/main.tf:530, BECAUSE the regular join :563
+    //    retracts + re-emits previously-joined rows when a dimension
+    //    revises): facts stream in per epoch; the per-user dim revises
+    //    across epochs; past enrichments must NOT freeze — the folded
+    //    net state equals the batch join of ALL facts against FINAL
+    //    dim state (for every fact, not just post-revision ones) ──
+    "q236_stream_regular_join" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q236").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("dim_feed_q236", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType))))
+        r.registerTopicSource("orders_feed_q236", StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("value", DoubleType))))
+        r.runScript("""
+          CREATE TABLE user_dim_q236 (user_id BIGINT, last_event_type STRING,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_dim_q236 SELECT user_id, event_type FROM dim_feed_q236;
+          CREATE TABLE enriched_q236 (event_id BIGINT, user_id BIGINT,
+            last_event_type STRING, value DOUBLE, __op STRING)
+            WITH ('changelog.mode' = 'retract');
+          INSERT INTO enriched_q236 (event_id, user_id, last_event_type, value)
+          SELECT o.event_id, o.user_id, c.last_event_type, o.value
+          FROM orders_feed_q236 o JOIN user_dim_q236 c ON o.user_id = c.user_id""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+        // dim slice FIRST (per-user latest within the epoch — revising
+        // users force re-emission of their already-joined facts), then
+        // the epoch's facts join the revised state
+        val dim = slice.groupBy("user_id")
+          .agg(max_by(col("event_type"), struct(col("ts_us"), col("event_id")))
+            .as("event_type"))
+        Topics.appendJson(dim, "dim_feed_q236", conf, Nil, 2 * i + 1)
+        r.processAllAvailable()
+        Topics.appendJson(slice.select("event_id", "user_id", "value"),
+          "orders_feed_q236", conf, Nil, 2 * i + 2)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      // fold the retract changelog: the net multiset is the final state
+      s.table("enriched_q236")
+        .groupBy("event_id", "user_id", "last_event_type", "value")
+        .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+        .where(col("__n") === 1L)
+        .select(col("event_id"), col("user_id"), col("last_event_type"), col("value"))
+    }),
+
+    // ── RETRACTABLE COLLECT over an upsert changelog driver, DRIVER-
+    //    GATED (round 16, VERDICT r15 item 3 — the rejection list
+    //    shrinks to exact percentile only): collect_set emits the
+    //    multiset's live DISTINCT values, collect_list every live
+    //    copy, both value-sorted (Flink's retractable COLLECT keeps
+    //    the same per-(group, value) count state). Arrays ride to the
+    //    oracle as joined strings — the driver hash has no LIST-type
+    //    parity contract (the q57 HUGEINT lesson: never gate on a
+    //    novel output type class); ValueSetAggSpec asserts the true
+    //    array emission ──
+    "q237_stream_collect_agg" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q237").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_feed_q237", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+        r.runScript("""
+          CREATE TABLE user_latest_q237 (
+            user_id BIGINT, last_event_type STRING, last_value DOUBLE,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_latest_q237
+          SELECT user_id, event_type, value FROM events_feed_q237;
+          CREATE TABLE bucket_collect_q237 (bucket BIGINT, n_users BIGINT,
+            types STRING, septets STRING,
+            PRIMARY KEY (bucket) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO bucket_collect_q237
+          SELECT CAST(user_id % 41 AS BIGINT) AS bucket, count(*) AS n_users,
+                 array_join(collect_set(last_event_type), ',') AS types,
+                 array_join(collect_list(CAST(user_id % 7 AS STRING)), ',') AS septets
+          FROM user_latest_q237 GROUP BY CAST(user_id % 41 AS BIGINT)""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_type"), col("value")),
+            struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.event_type"), col("__l.value"))
+        Topics.appendJson(slice, "events_feed_q237", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("bucket_collect_q237").select(col("bucket"), col("n_users"),
+        col("types"), col("septets"))
+    }),
+
+    // ── THREE-LEVEL CONTINUOUS AGGREGATE CHAIN, DRIVER-GATED (round
+    //    16, VERDICT r15 item 5 — q233 one level deeper, promoting the
+    //    round-15 composition spec): merge-agg (retractable max) →
+    //    retract-fold → retract-fold. Every revision at the bottom can
+    //    ripple THREE changelog hops; integer-only aggregates above
+    //    level 2 (a re-derived double must never re-enter DECIMAL —
+    //    the CLAUDE.md money rule) ──
+    "q238_stream_three_level_agg" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q238").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_feed_q238", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+        r.runScript("""
+          CREATE TABLE user_latest_q238 (
+            user_id BIGINT, last_event_type STRING, last_value DOUBLE,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_latest_q238
+          SELECT user_id, event_type, value FROM events_feed_q238;
+          CREATE TABLE type_stats_q238 (event_type STRING, n_users BIGINT,
+            max_value DOUBLE,
+            PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO type_stats_q238
+          SELECT last_event_type, count(*) AS n_users, max(last_value) AS max_value
+          FROM user_latest_q238 GROUP BY last_event_type;
+          CREATE TABLE parity_q238 (bucket BIGINT, n_types BIGINT, sum_users BIGINT,
+            PRIMARY KEY (bucket) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO parity_q238
+          SELECT CAST(n_users % 3 AS BIGINT) AS bucket, count(*) AS n_types,
+                 CAST(sum(n_users) AS BIGINT) AS sum_users
+          FROM type_stats_q238 GROUP BY CAST(n_users % 3 AS BIGINT);
+          CREATE TABLE grand_q238 (par BIGINT, n_buckets BIGINT, total BIGINT,
+            PRIMARY KEY (par) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO grand_q238
+          SELECT CAST(n_types % 2 AS BIGINT) AS par, count(*) AS n_buckets,
+                 CAST(sum(sum_users) AS BIGINT) AS total
+          FROM parity_q238 GROUP BY CAST(n_types % 2 AS BIGINT)""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_type"), col("value")),
+            struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.event_type"), col("__l.value"))
+        Topics.appendJson(slice, "events_feed_q238", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("grand_q238").select(col("par"), col("n_buckets"), col("total"))
+    }),
+
+    // ── TUMBLE TVF THROUGH THE MULTISET MERGE PATH, DRIVER-GATED
+    //    (round 16, VERDICT r15 item 5 — promoting the round-15
+    //    composition spec): the TVF rewrite's star subquery carries
+    //    the upsert driver's sign AND the windowed group keys into the
+    //    merge path, where max folds as a (window, value) multiset —
+    //    revising a user's latest event time MOVES its value between
+    //    windows and both windows' max recompute retraction-aware ──
+    "q239_stream_tumble_multiset" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q239").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_feed_q239", StructType(Seq(
+          StructField("user_id", LongType), StructField("ts", TimestampType),
+          StructField("value", DoubleType))))
+        r.runScript("""
+          CREATE TABLE user_latest_q239 (
+            user_id BIGINT, ts TIMESTAMP, last_value DOUBLE,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_latest_q239
+          SELECT user_id, ts, value FROM events_feed_q239;
+          CREATE TABLE hourly_q239 (window_start TIMESTAMP, n_users BIGINT,
+            max_value DOUBLE,
+            PRIMARY KEY (window_start) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO hourly_q239
+          SELECT window_start, count(*) AS n_users, max(last_value) AS max_value
+          FROM TABLE(TUMBLE(TABLE user_latest_q239, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+          GROUP BY window_start""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("ts"), col("value")),
+            struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.ts"), col("__l.value"))
+        Topics.appendJson(slice, "events_feed_q239", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("hourly_q239").select(unix_micros(col("window_start"))
+        .as("window_start_us"), col("n_users"), col("max_value"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

@@ -41,9 +41,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, TimestampType
   * normalizer, `ChangelogNormalize.normalizeRetract` — the per-value
   * order-list convention of Flink's retractable FIRST_VALUE/
   * LAST_VALUE), DISTINCT count over any
-  * number of expressions (struct-keyed multiset), and
-  * single-expression DISTINCT sum/avg. The genuinely unbounded-state
-  * shapes (exact percentile, collect_list) reject loudly.
+  * number of expressions (struct-keyed multiset), single-expression
+  * DISTINCT sum/avg, and collect_set/collect_list/array_agg (the live
+  * multiset emitted as a value-sorted array — Flink's retractable
+  * COLLECT state). The one genuinely unbounded-state shape left,
+  * exact percentile, rejects loudly.
   */
 object MergeAggRewrite {
 
@@ -298,6 +300,17 @@ object MergeAggRewrite {
               // each value by its live copy count ("lsa")
               ArrayJoin(valueSetFor(la.child,
                 if (ae.isDistinct) "lst" else "lsa"), la.delimiter, None)
+            // ── retractable COLLECT (Flink's MULTISET-typed COLLECT;
+            //    array_agg): the per-(group, value) multiset IS the
+            //    aggregate's state — collect_set emits the live
+            //    DISTINCT values, collect_list every live copy, both
+            //    VALUE-SORTED (the deterministic canonical form of an
+            //    orderless multiset; Flink's COLLECT is orderless too,
+            //    and a sorted array is the only changelog-replayable
+            //    encoding of it) ──
+            case c: CollectSet => valueSetFor(c.child, "lst")
+            case c: CollectList =>
+              valueSetFor(c.child, if (ae.isDistinct) "lst" else "lsa")
             // RuntimeReplaceableAggregate (count_if, any/every/some,
             // regr_count, ...): unwrap and re-dispatch — the
             // replacement either decomposes or rejects by its own name
@@ -313,9 +326,10 @@ object MergeAggRewrite {
               throw new IllegalArgumentException(
                 s"merge aggregate over $driver: ${other.prettyName} is not " +
                   "mergeable (neither sum-decomposable nor an order " +
-                  "statistic/argmax/DISTINCT shape) — supported: count, sum, " +
-                  "avg, min, max, max_by, min_by, first, last, " +
-                  "count(DISTINCT expr...), sum/avg(DISTINCT expr)")
+                  "statistic/argmax/DISTINCT/collect shape) — supported: count, " +
+                  "sum, avg, min, max, max_by, min_by, first, last, " +
+                  "count(DISTINCT expr...), sum/avg(DISTINCT expr), " +
+                  "listagg, collect_set, collect_list/array_agg")
           }
         case other => other.mapChildren(substitute)
       }

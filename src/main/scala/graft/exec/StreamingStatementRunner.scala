@@ -265,6 +265,24 @@ final class StreamingStatementRunner(spark: SparkSession,
             orig.withColumn(RetractAggRewrite.SignCol, lit(1)), restoreTo = orig,
             mayRetract = false)
         }
+        // dim refs that are UPSERT topic tables: their revisions can
+        // retract previously-joined rows — with a RETRACT-mode target
+        // that is the user declaring Flink regular-join semantics.
+        // RETRACT-mode refs are excluded ON EITHER SIDE: a retract
+        // table's __op tag rides its records as DATA through chained
+        // joins (the r13 contract, RetractAggSpec "chained JOIN" —
+        // every revision record crosses the join once, tag intact), so
+        // its sign channel cannot double as regular-join content
+        def changelogDims(driver: String): Boolean = {
+          def metaOf(r: String): Option[TableMeta] =
+            if (synchronized { topicOf.contains(catalog.qualify(r)) })
+              Some(catalog.getOrCreate(r))
+            else None
+          val anyRetract = refs.exists(r =>
+            metaOf(r).exists(_.changelogMode == ChangelogMode.Retract))
+          !anyRetract && refs.exists(r => r != driver && metaOf(r).exists(m =>
+            m.changelogMode == ChangelogMode.Upsert && m.primaryKey.nonEmpty))
+        }
         if (streamRefs.nonEmpty) {
           if (streamRefs.size == 1 && refs.size > 1) {
             val shape = shapeFor(streamRefs.head)
@@ -274,6 +292,11 @@ final class StreamingStatementRunner(spark: SparkSession,
               // target's prior state — a continuous aggregate, never
               // batch-local partials
               mergeExternal(streamRefs.head, shape)
+            else if (meta.changelogMode == ChangelogMode.Retract &&
+                changelogDims(streamRefs.head))
+              // retract target + changelog dims = Flink's REGULAR join:
+              // dim revisions retract + re-emit past enrichments
+              startRegularJoin(binding, meta, targetCols, select, refs)
             else
               // any aggregate lives in a dim-only subquery/CTE — the
               // snapshot join re-resolves the select per batch, so the
@@ -343,6 +366,12 @@ final class StreamingStatementRunner(spark: SparkSession,
             // so anything else stays a loud rejection.
             requireFoldableShape(s"changelog table $driver", shape)
             startRetractAgg(binding, meta, targetCols, select, driver, driverMeta)
+          } else if (refs.size > 1 && meta.changelogMode == ChangelogMode.Retract &&
+              changelogDims(driver)) {
+            // table-to-table joined INSERT into a retract target whose
+            // dims are changelog tables: the regular join (dim
+            // revisions retract + re-emit past enrichments)
+            startRegularJoin(binding, meta, targetCols, select, refs)
           } else {
             val promoted = changelogStream(driver, warnTombstones = true)
             withViewShadow(driver, promoted) {
@@ -464,14 +493,18 @@ final class StreamingStatementRunner(spark: SparkSession,
     // streaming distinct aggregation at all)
     val multisetNames = Set("min", "max", "min_by", "max_by",
       "first", "last", "first_value", "last_value",
-      "bool_and", "bool_or", "every", "some", "any", "listagg", "string_agg")
+      "bool_and", "bool_or", "every", "some", "any", "listagg", "string_agg",
+      "collect_set", "collect_list", "array_agg")
     // first/last fold by ARRIVAL order — even over insert-only
     // drivers they need the offset-ordered merge path (native
     // streaming first/last is shuffle-order nondeterministic)
     val arrivalNames = Set("first", "last", "first_value", "last_value")
-    // listagg has NO native streaming form (Collect-based) — it needs
-    // the multiset merge path on every driver mode
-    val collectNames = Set("listagg", "string_agg")
+    // listagg/collect_set/collect_list have NO native streaming form
+    // (Collect-based) — they need the multiset merge path on every
+    // driver mode (round 16: collect_* emit the multiset's live values
+    // as a value-sorted array — Flink's retractable COLLECT state)
+    val collectNames = Set("listagg", "string_agg",
+      "collect_set", "collect_list", "array_agg")
     def needsMultisetF(f: UnresolvedFunction): Boolean =
       f.isDistinct || multisetNames.contains(fname(f))
     // relation names `p` references, subquery expressions and nested
@@ -658,10 +691,14 @@ final class StreamingStatementRunner(spark: SparkSession,
       }.start()
   }
 
-  /** Stream-to-snapshot INSERT (the Flink regular join, SURVEY.md §3.2):
-    * the single streaming ref drives; per micro-batch its name is
-    * shadowed by the batch data and the select re-resolves FRESH, so
-    * materialized dimension views join at their CURRENT state. */
+  /** Stream-to-snapshot INSERT (Flink's PROCESSING-TIME TEMPORAL join
+    * against a versioned table's latest state, SURVEY.md §3.2): the
+    * single streaming ref drives; per micro-batch its name is shadowed
+    * by the batch data and the select re-resolves FRESH, so
+    * materialized dimension views join at their CURRENT state. Past
+    * enrichments FREEZE — a later dim revision does not revisit them.
+    * A RETRACT-mode target instead routes to [[startRegularJoin]],
+    * Flink's regular join, which retracts and re-emits them. */
   private def startSnapshotJoin(target: TargetBinding, meta: TableMeta, targetCols: Seq[String],
                                 select: String, driverRef: String): StreamingQuery = {
     val stmtId = nextInsertId(target)
@@ -686,6 +723,251 @@ final class StreamingStatementRunner(spark: SparkSession,
             // PROMOTED runner tables back to their batch view (other
             // consumers must keep reading table state, not the stream)
             restoreRefView(driverRef, stream)
+          }
+        }
+        ()
+      }.start()
+  }
+
+  /** Flink REGULAR-JOIN INSERT — a non-aggregating join whose target
+    * is RETRACT-mode and whose dimensions are changelog tables (the
+    * reference's S6: `shoe_orders_enriched` is declared
+    * `changelog.mode = 'retract'` at `lab-aggregations/main.tf:530`
+    * PRECISELY because Flink's regular join, `:563`, RETRACTS and
+    * RE-EMITS previously-joined rows when a dimension row revises —
+    * unlike the snapshot/temporal form, which freezes past
+    * enrichments at their arrival-time dim state).
+    *
+    * Execution: every topic-backed ref becomes a signed delta SIDE
+    * (upsert dims through [[graft.streaming.ChangelogNormalize]] —
+    * each revision is retract-prior + add-new; append facts sign +1);
+    * the sides' encoded deltas UNION into one driving stream, and per
+    * micro-batch the exact telescoped delta rule applies:
+    *
+    *   Δ(S₀⋈…⋈Sₖ) = Σᵢ PRE₀ ⋈ … ⋈ PREᵢ₋₁ ⋈ Δᵢ ⋈ POSTᵢ₊₁ ⋈ … ⋈ POSTₖ
+    *
+    * Each term re-analyzes the ORIGINAL select with the side views
+    * shadowed (arbitrary projections/filters/join conditions apply
+    * verbatim); the delta side's sign rides a hidden column injected
+    * into the top-level projection, so every output row is signed by
+    * its provenance. Term outputs NET per content; net>0 sinks that
+    * many `+I` records, net<0 that many `-D` — the retract changelog
+    * downstream consumers (retract-fold aggregates, FIFO first/last)
+    * already understand.
+    *
+    * State ([[graft.streaming.JoinState]]): insert-only sides keep an
+    * append-only per-batch parquet log (O(Δ) writes); changelog sides
+    * keep a folded `(payload, cnt)` snapshot generation written only
+    * on batches that touch them. Both live under the statement's
+    * checkpoint dir and replay idempotently (overwrite-by-batch-id),
+    * so the restart contract matches every other INSERT path. The
+    * fact log is unbounded BY THE SEMANTICS (Flink's regular join
+    * keeps both sides' state too and bounds it with state TTL) — the
+    * topic-retention contract is the operational bound, and a
+    * dim-delta batch's `Δdim ⋈ factLog` term is a broadcast-able hash
+    * join over a columnar scan, never a shuffle of the log. */
+  private def startRegularJoin(target: TargetBinding, meta: TableMeta,
+                               targetCols: Seq[String], select: String,
+                               refs: Seq[String]): StreamingQuery = {
+    import graft.streaming.JoinState
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    require(meta.changelogMode == ChangelogMode.Retract,
+      s"INSERT INTO ${target.qualified}: the regular join emits a retract " +
+        "changelog — the target must declare changelog.mode = 'retract'")
+    val SG = "__jsign"
+
+    /** A participating side: signed delta stream + state representation.
+      * `restore` is the steady binding for refs [[restoreRefView]]
+      * cannot re-derive (external MemoryStream views). */
+    case class Side(ref: String, viewSchema: StructType, signed: DataFrame,
+                    appendOnly: Boolean, restore: DataFrame)
+    val sides: Seq[Side] = refs.flatMap { r =>
+      if (synchronized { sources.contains(r) }) {
+        // registered topic source: an insert-only record stream (the
+        // view applies ALTER casts/watermark; key/$rowtime ride along)
+        val v = spark.table(r)
+        Some(Side(r, v.schema, v.withColumn(RetractAggRewrite.SignCol, lit(1)),
+          appendOnly = true, restore = v))
+      } else if (synchronized { topicOf.contains(catalog.qualify(r)) }) {
+        val m = catalog.getOrCreate(r)
+        val declared = m.schema.getOrElse(throw new IllegalArgumentException(
+          s"INSERT INTO ${target.qualified}: regular-join side $r has no declared schema"))
+        val isUpsert = m.changelogMode == ChangelogMode.Upsert && m.primaryKey.nonEmpty
+        val viewSchema = StructType(sunkSchema(m, declared).fields
+          .filter(f => declared.fieldNames.contains(f.name)))
+        val signed = signedChangelogStream(r, m).select(
+          (viewSchema.fieldNames.map(c => col(s"`$c`")) :+
+            col(RetractAggRewrite.SignCol)).toIndexedSeq: _*)
+        synchronized { promotedDrivers += catalog.qualify(r) }
+        Some(Side(r, viewSchema, signed,
+          appendOnly = !isUpsert && m.changelogMode != ChangelogMode.Retract,
+          restore = signed))
+      } else if (spark.catalog.tableExists(r) && spark.table(r).isStreaming) {
+        val v = spark.table(r) // external stream view (e.g. MemoryStream)
+        Some(Side(r, v.schema, v.withColumn(RetractAggRewrite.SignCol, lit(1)),
+          appendOnly = true, restore = v))
+      } else None // static batch view: joins at its constant state, no delta
+    }
+    require(sides.nonEmpty, s"INSERT INTO ${target.qualified}: regular join " +
+      "needs at least one topic-backed or streaming side")
+
+    // ── payload codec: canonical JSON of the side's VIEW columns, so
+    //    content equality is exact string equality; timestamps ride as
+    //    epoch-micros (JSON doubles/strings round-trip losslessly) ──
+    def encSchema(s: StructType): StructType = StructType(s.fields.map { f =>
+      f.dataType match { case TimestampType => f.copy(dataType = LongType); case _ => f }
+    })
+    def encodeSide(side: Side, idx: Int): DataFrame = {
+      val cols = side.viewSchema.fields.map { f =>
+        f.dataType match {
+          case TimestampType => unix_micros(col(s"`${f.name}`")).as(f.name)
+          case _ => col(s"`${f.name}`")
+        }
+      }
+      side.signed.select(lit(idx).as("__side"),
+        to_json(struct(cols.toIndexedSeq: _*)).as("__payload"),
+        col(RetractAggRewrite.SignCol).cast("int").as("__sign"))
+    }
+    def decodeCols(side: Side): Seq[org.apache.spark.sql.Column] =
+      side.viewSchema.fields.toIndexedSeq.map { f =>
+        f.dataType match {
+          case TimestampType => timestamp_micros(col(s"__v.`${f.name}`")).as(f.name)
+          case _ => col(s"__v.`${f.name}`").as(f.name)
+        }
+      }
+    def decode(payloads: DataFrame, side: Side): DataFrame =
+      payloads.select(from_json(col("__payload"), encSchema(side.viewSchema)).as("__v"))
+        .select(decodeCols(side): _*)
+    def decodeDelta(rows: DataFrame, side: Side): DataFrame =
+      rows.select(from_json(col("__payload"), encSchema(side.viewSchema)).as("__v"),
+          col("__sign"))
+        .select(decodeCols(side) :+ col("__sign").as(SG): _*)
+
+    // ── hidden-sign injection: the analyzed select's top projection
+    //    gains the delta side's sign attribute, so each output row is
+    //    signed by provenance without touching the user's SQL ──
+    def injectSign(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      GraftSqlBridge.analyzedPlan(df) match {
+        case p: Project =>
+          val sg = p.child.output.find(_.name == SG).getOrElse(
+            throw new IllegalArgumentException(
+              s"INSERT INTO ${target.qualified}: the regular join needs every " +
+                "changelog side's rows joined DIRECTLY — a derived table " +
+                "re-projecting a side's columns hides its revision channel"))
+          GraftSqlBridge.ofRows(spark,
+            Project(p.projectList :+ Alias(sg, SG)(), p.child))
+        case _ => throw new IllegalArgumentException(
+          s"INSERT INTO ${target.qualified}: a retract-target regular join " +
+            "must be a plain top-level SELECT over the join (no DISTINCT/" +
+            "set-op/aggregate head)")
+      }
+    }
+
+    // ── statement-time validation (Flink rejects at submission): each
+    //    side's term must type-check and keep the sign channel visible ──
+    def emptyOf(s: StructType): DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    val outArity = synchronized {
+      try {
+        sides.foreach(s => emptyOf(s.viewSchema).createOrReplaceTempView(s.ref))
+        val n = spark.sql(select).columns.length
+        sides.indices.foreach { i =>
+          sides.zipWithIndex.foreach { case (sj, j) =>
+            val base = emptyOf(sj.viewSchema)
+            (if (j == i) base.withColumn(SG, lit(1)) else base)
+              .createOrReplaceTempView(sj.ref)
+          }
+          injectSign(spark.sql(select))
+        }
+        n
+      } finally sides.foreach(s => restoreRefView(s.ref, s.restore))
+    }
+    val outNames: Seq[String] =
+      if (targetCols.nonEmpty) targetCols
+      else meta.schema.map(_.fieldNames.take(outArity).toSeq)
+        .getOrElse(throw new IllegalArgumentException(
+          s"INSERT INTO ${target.qualified}: no declared schema to name the " +
+            "join's output columns"))
+    require(outNames.size == outArity,
+      s"INSERT INTO ${target.qualified}: select emits $outArity columns; " +
+        s"target names ${outNames.size}")
+    require(!outNames.contains("__op"),
+      s"INSERT INTO ${target.qualified}: the regular join derives the " +
+        "__op tag from its signed delta algebra — name the data columns " +
+        "with an INSERT column list that excludes __op")
+
+    val stmtId = nextInsertId(target)
+    val stateRoot = s"${checkpointDir(target, stmtId)}/graft-join-state"
+    val union = sides.zipWithIndex.map { case (s, i) => encodeSide(s, i) }
+      .reduce(_ unionByName _)
+    union.writeStream.outputMode("append")
+      .queryName(queryDisplayName(target, stmtId))
+      .option("checkpointLocation", checkpointDir(target, stmtId))
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        synchronized {
+          val batch = GraftSqlBridge.toSession(spark, batch0).persist()
+          try {
+            val touched = batch.groupBy("__side").count().collect()
+              .map(r => r.getInt(0)).toSet
+            if (touched.nonEmpty) {
+              val deltaRows: Map[Int, DataFrame] = touched.map(i =>
+                i -> batch.where(col("__side") === i)).toMap
+              // per-side PRE/POST frames + pending state writes
+              val pre = new Array[DataFrame](sides.size)
+              val post = new Array[DataFrame](sides.size)
+              val writes = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+              sides.zipWithIndex.foreach { case (s, i) =>
+                val dir = s"$stateRoot/s$i"
+                if (s.appendOnly) {
+                  val logPre = JoinState.readLog(spark, dir, batchId)
+                  pre(i) = decode(logPre, s)
+                  post(i) = deltaRows.get(i) match {
+                    case Some(d) =>
+                      writes += (() => JoinState.writeLog(d.select("__payload"), dir, batchId))
+                      pre(i).unionByName(decode(d, s))
+                    case None => pre(i)
+                  }
+                } else {
+                  val (preExpl, preFolded, readGen) = JoinState.readSnapshot(spark, dir, batchId)
+                  pre(i) = decode(preExpl, s)
+                  post(i) = deltaRows.get(i) match {
+                    case Some(d) =>
+                      val folded = JoinState.foldSnapshot(preFolded, d)
+                      writes += (() => JoinState.writeSnapshot(folded, dir, batchId, readGen))
+                      decode(JoinState.explodeCnt(folded), s)
+                    case None => pre(i)
+                  }
+                }
+              }
+              // telescoped terms, each analyzed under its shadow set
+              val terms = sides.indices.filter(touched.contains).map { i =>
+                sides.zipWithIndex.foreach { case (sj, j) =>
+                  val frame =
+                    if (j < i) pre(j)
+                    else if (j == i) decodeDelta(deltaRows(i), sj)
+                    else post(j)
+                  frame.createOrReplaceTempView(sj.ref)
+                }
+                injectSign(spark.sql(select)).toDF((outNames :+ SG).toIndexedSeq: _*)
+              }
+              sides.foreach(s => restoreRefView(s.ref, s.restore))
+              val netted = terms.reduce(_ unionByName _)
+                .groupBy(outNames.map(c => col(s"`$c`")).toIndexedSeq: _*)
+                .agg(sum(col(SG)).as("__net")).where(col("__net") =!= 0L)
+              val recs = netted
+                .withColumn("__op", when(col("__net") > 0, lit("+I")).otherwise(lit("-D")))
+                .withColumn("__copy",
+                  explode(sequence(lit(1L), abs(col("__net")))))
+                .select((outNames.map(c => col(s"`$c`")) :+ col("__op")).toIndexedSeq: _*)
+              sinkBatch(target, meta, recs, stmtId, batchId)
+              writes.foreach(_())
+            }
+          } finally {
+            sides.foreach(s => restoreRefView(s.ref, s.restore))
+            batch.unpersist()
           }
         }
         ()

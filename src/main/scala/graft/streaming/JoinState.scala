@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Per-statement operator state for the REGULAR (two-sided changelog)
+  * join — the state Flink's streaming regular join keeps for both
+  * inputs so a dimension revision can retract and re-emit previously
+  * joined rows (the reason the reference declares its enriched output
+  * table `changelog.mode = 'retract'`,
+  * `terraform/lab-aggregations/main.tf:530`).
+  *
+  * Rows are stored as their canonical JSON payload string (the same
+  * `to_json(struct(...))` encoding the join's union stream carries, so
+  * content equality is exact string equality). Two representations,
+  * chosen per side by its changelog mode:
+  *
+  *  - '''append log''' (insert-only sides — the fact stream): one
+  *    parquet directory per micro-batch, `b<batchId>`. Writes are
+  *    O(batch); a crash-replayed batch OVERWRITES its own directory
+  *    (idempotent). Reads list every committed batch `< batchId`, so a
+  *    half-written directory from a crashed attempt is never visible.
+  *  - '''folded snapshot''' (changelog sides — upsert dims): the net
+  *    multiset `(payload, cnt)` written as generation `g<batchId>`
+  *    whenever the side changes. The pre-state of batch N is the
+  *    newest generation `< N`; after writing generation N, older
+  *    generations below the one just read are pruned (at most two
+  *    live generations — read-gen and write-gen — so a replay of N
+  *    still finds its pre-state).
+  *
+  * Scale shape: state lives in executor-written parquet, never on the
+  * driver. Per batch the fact log costs O(Δ) to extend; a dim-delta
+  * batch joins against the full fact log — the same work Flink's
+  * regular join does via keyed-state lookup, here a broadcast-able
+  * hash join (Δdim is small) over a columnar scan. The log is
+  * unbounded by construction (every regular join's left state is);
+  * the topic-retention/state-TTL contract bounds it operationally —
+  * see ARCHITECTURE.md §regular-join. */
+object JoinState {
+
+  val payloadSchema: StructType =
+    StructType(Seq(StructField("__payload", StringType)))
+  val snapshotSchema: StructType =
+    StructType(Seq(StructField("__payload", StringType),
+      StructField("__cnt", LongType)))
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listIds(spark: SparkSession, dir: String, prefix: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.drop(prefix.length).toLong).toOption)
+  }
+
+  private def empty(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Append-log pre-state of `batchId`: every batch directory committed
+    * strictly before it (a crashed attempt's own directory is excluded,
+    * then overwritten by the replay). */
+  def readLog(spark: SparkSession, dir: String, batchId: Long): DataFrame = {
+    val ids = listIds(spark, dir, "b").filter(_ < batchId)
+    if (ids.isEmpty) empty(spark, payloadSchema)
+    else spark.read.schema(payloadSchema).parquet(ids.map(i => s"$dir/b$i"): _*)
+  }
+
+  /** Extend the append log with this batch's rows — overwrite-by-path,
+    * so a replayed batch lands idempotently. */
+  def writeLog(payloads: DataFrame, dir: String, batchId: Long): Unit =
+    payloads.write.mode("overwrite").parquet(s"$dir/b$batchId")
+
+  /** Snapshot pre-state of `batchId`: the newest generation strictly
+    * before it, as the exploded row multiset (cnt copies per payload —
+    * upsert dims always have cnt = 1; the explode keeps retract-mode
+    * sides exact). Returns (payloads-exploded, folded (payload,cnt),
+    * generation id) — the folded form feeds [[writeSnapshot]]. */
+  def readSnapshot(spark: SparkSession, dir: String,
+                   batchId: Long): (DataFrame, DataFrame, Option[Long]) = {
+    val gens = listIds(spark, dir, "g").filter(_ < batchId)
+    if (gens.isEmpty) (empty(spark, payloadSchema), empty(spark, snapshotSchema), None)
+    else {
+      val g = gens.max
+      val folded = spark.read.schema(snapshotSchema).parquet(s"$dir/g$g")
+      (explodeCnt(folded), folded, Some(g))
+    }
+  }
+
+  def explodeCnt(folded: DataFrame): DataFrame =
+    folded.select(col("__payload"),
+        explode(sequence(lit(1L), col("__cnt"))).as("__i"))
+      .select("__payload")
+
+  /** Fold this batch's signed delta onto the prior snapshot: net
+    * multiset counts per payload, zero-count rows dropped. A transient
+    * negative (retract racing its add inside one fold) nets exactly
+    * because counts, not record order, carry the state. */
+  def foldSnapshot(prior: DataFrame, signedDelta: DataFrame): DataFrame =
+    prior.select(col("__payload"), col("__cnt"))
+      .unionByName(signedDelta.select(col("__payload"),
+        col("__sign").cast(LongType).as("__cnt")))
+      .groupBy("__payload").agg(sum("__cnt").as("__cnt"))
+      .where(col("__cnt") =!= 0L)
+
+  /** Publish generation `batchId` and prune generations older than the
+    * one this batch read (keeping read-gen + write-gen bounds live
+    * state at two generations while keeping a replay of this batch
+    * able to re-read its pre-state). */
+  def writeSnapshot(folded: DataFrame, dir: String, batchId: Long,
+                    readGen: Option[Long]): Unit = {
+    folded.write.mode("overwrite").parquet(s"$dir/g$batchId")
+    val spark = folded.sparkSession
+    val f = fs(spark, dir)
+    listIds(spark, dir, "g")
+      .filter(g => g != batchId && readGen.forall(g < _))
+      .foreach(g => f.delete(new Path(s"$dir/g$g"), true))
+  }
+}

@@ -18,8 +18,10 @@ final case class Ord(order_id: Int, product_id: String, customer_id: String)
   *  2. products → upsert materialization
   *  3. orders ⋈ customers_keyed ⋈ products_keyed → enriched output,
   *     joined per micro-batch against the CURRENT materialized upsert
-  *     state (foreachBatch snapshot join = Flink regular join against a
-  *     versioned table's latest state).
+  *     state (foreachBatch snapshot join = Flink's processing-time
+  *     temporal join against a versioned table's latest state; the
+  *     statement runner's retract-target path upgrades this to the
+  *     true regular join — see RegularJoinSpec).
   *
   * Differential: the streaming pipeline's final state must equal the
   * one-shot batch query over the final inputs — the dynamic-table
@@ -86,8 +88,12 @@ class LabPipelineStreamingSpec extends SparkSpec {
 
     // differential vs the batch form over FINAL inputs for orders 2,3
     // (order 1 was intentionally enriched with the then-current version;
-    // the batch query sees only final state — the temporal difference is
-    // the documented Flink regular-join semantics)
+    // the batch query sees only final state). This spec pins the
+    // SNAPSHOT (processing-time temporal) composition at the StreamOps
+    // level; Flink's actual regular-join semantics — order 1 re-emitted
+    // as "Anna" when c1 revises — is what the statement runner's
+    // retract-target path now implements (round 16, startRegularJoin;
+    // RegularJoinSpec + the q236 driver gate prove it)
     val finalCust = Seq(Cust("c1", "Anna", "a2@x", 3), Cust("c2", "Bob", "b@x", 2)).toDF()
     val finalProd = Seq(Prod("p1", "nike", 120, 1), Prod("p2", "puma", 80, 2)).toDF()
     val batchOracle = Seq(Ord(2, "p2", "c1"), Ord(3, "p1", "c2")).toDF()

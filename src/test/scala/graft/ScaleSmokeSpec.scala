@@ -374,6 +374,52 @@ class ScaleSmokeSpec extends SparkSpec {
       r.stopAll()
       spark0.table("smoke_fl_stats").count()
       ()
+    },
+    // the round-16 REGULAR JOIN (startRegularJoin): per epoch the fact
+    // log grows by n/4 and an eighth of the dim keys revise, so every
+    // epoch pays Δfact ⋈ dim (new enrichments) + Δdim ⋈ factLog
+    // (retract + re-emit of the revised keys' past facts). Both terms
+    // are scan-linear in the fact log with the dim broadcast — expected
+    // exponent ≈ 1; anything re-reading state per ROW would read ~2
+    "stream_regular_join" -> { docs =>
+      import org.apache.spark.sql.types._
+      val spark0 = docs.sparkSession
+      val conf = graft.sources.TopicConf(
+        java.nio.file.Files.createTempDirectory("smoke-rj").toString)
+      val r = new graft.exec.StreamingStatementRunner(spark0, topicConf = Some(conf))
+      r.registerTopicSource("smoke_rj_dim_feed", StructType(Seq(
+        StructField("bucket", LongType), StructField("label", StringType))))
+      r.registerTopicSource("smoke_rj_fact_feed", StructType(Seq(
+        StructField("doc_id", LongType), StructField("bucket", LongType),
+        StructField("n_chars", LongType))))
+      r.runScript("""
+        CREATE TABLE smoke_rj_dim (bucket BIGINT, label STRING,
+          PRIMARY KEY (bucket) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO smoke_rj_dim SELECT bucket, label FROM smoke_rj_dim_feed;
+        CREATE TABLE smoke_rj_enr (doc_id BIGINT, label STRING, n_chars BIGINT,
+          __op STRING) WITH ('changelog.mode' = 'retract');
+        INSERT INTO smoke_rj_enr (doc_id, label, n_chars)
+        SELECT f.doc_id, d.label, f.n_chars
+        FROM smoke_rj_fact_feed f JOIN smoke_rj_dim d ON f.bucket = d.bucket""")
+      val epochs = 4
+      val feed = docs.select(col("doc_id"),
+        pmod(col("doc_id"), lit(256L)).as("bucket"),
+        length(col("text")).cast("long").as("n_chars"))
+      (0 until epochs).foreach { i =>
+        val allDims = spark0.range(256).select(col("id").as("bucket"),
+          concat(lit(s"v$i-"), col("id")).as("label"))
+        val dims = if (i == 0) allDims
+          else allDims.where(pmod(col("bucket"), lit(8)) === (i % 8))
+        graft.sources.Topics.appendJson(dims, "smoke_rj_dim_feed", conf, Nil, 2 * i + 1)
+        r.processAllAvailable()
+        graft.sources.Topics.appendJson(
+          feed.where(pmod(col("doc_id"), lit(epochs)) === i),
+          "smoke_rj_fact_feed", conf, Nil, 2 * i + 2)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      spark0.table("smoke_rj_enr").count()
+      ()
     })
 
   private def corpus(n: Long): DataFrame =
@@ -489,7 +535,10 @@ class ScaleSmokeSpec extends SparkSpec {
         // multiset — are precisely the states that grow with key/value
         // cardinality at 100 TB, so they ride both tiers
         "stream_changelog_normalize", "stream_multiset_agg",
-        "stream_fifo_firstlast").contains(n)
+        // round 16 (VERDICT r15 item 1): the regular join's fact log is
+        // the state that grows with corpus size — the Δdim ⋈ factLog
+        // re-emission term must stay scan-linear at 100×
+        "stream_fifo_firstlast", "stream_regular_join").contains(n)
     }
     val warm = corpus(500)
     spot.foreach { case (_, f) => f(warm); spark.catalog.clearCache() }

@@ -94,7 +94,7 @@ class StreamingRestartSpec extends SparkSpec {
     r2.stopAll()
   }
 
-  test("restart parity for the snapshot-join INSERT path (S6 shape): dims hydrate, no re-emission") {
+  test("restart parity for the regular-join INSERT path (S6 shape): join state hydrates, a post-restart dim revision re-emits pre-crash facts exactly once") {
     val conf = freshConf()
     val custSchema = StructType(Seq(
       StructField("id", StringType), StructField("name", StringType)))
@@ -108,7 +108,7 @@ class StreamingRestartSpec extends SparkSpec {
         CREATE TABLE cust_keyed_rj (customer_id STRING, name STRING,
           PRIMARY KEY (customer_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
         INSERT INTO cust_keyed_rj SELECT id, name FROM cust_src_rj;
-        CREATE TABLE ord_enriched_rj (order_id INT, name STRING)
+        CREATE TABLE ord_enriched_rj (order_id INT, name STRING, __op STRING)
           WITH ('changelog.mode' = 'retract');
         INSERT INTO ord_enriched_rj(order_id, name)
         SELECT o.order_id, c.name FROM ord_src_rj o
@@ -119,6 +119,11 @@ class StreamingRestartSpec extends SparkSpec {
       Topics.appendJson(rows.toSeq.toDF("id", "name"), "cust_src_rj", conf, Nil, epoch)
     def feedOrd(epoch: Long, rows: (Int, String)*): Unit =
       Topics.appendJson(rows.toSeq.toDF("order_id", "customer_id"), "ord_src_rj", conf, Nil, epoch)
+    def net(): List[(Int, String)] = spark.table("ord_enriched_rj")
+      .groupBy("order_id", "name")
+      .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("n"))
+      .where(col("n") === 1L).select("order_id", "name")
+      .as[(Int, String)].collect().toList.sorted
 
     // ---- phase 1: dims + two orders, then the process "dies" ----
     val r1 = newRunner()
@@ -131,19 +136,27 @@ class StreamingRestartSpec extends SparkSpec {
     // ---- phase 2: restart; a dim UPDATE and a new order arrive ----
     val r2 = newRunner()
     // hydration: the enriched retract table serves pre-crash rows
-    assert(spark.table("ord_enriched_rj").count() === 2)
-    feedCust(2, "c1" -> "Anna") // upsert: c1 renamed
+    assert(net() === List(1 -> "Ann", 2 -> "Bob"))
+    // the revision must re-emit order 1 (its fact lives in the
+    // PRE-CRASH join state — this is the JoinState restart recovery:
+    // the restarted statement's fact log and dim snapshot resume from
+    // the checkpoint dir, not from scratch)
+    feedCust(2, "c1" -> "Anna")
     r2.processAllAvailable()
+    assert(net() === List(1 -> "Anna", 2 -> "Bob"),
+      "a post-restart dim revision must re-enrich facts joined before the crash")
     feedOrd(2, 3 -> "c1")
     r2.processAllAvailable()
     r2.stopAll()
 
-    // order 3 joined the dim at its CURRENT (post-update) state; the
-    // pre-crash orders were NOT re-emitted by the restarted source
-    val got = spark.table("ord_enriched_rj").select("order_id", "name")
-      .as[(Int, String)].collect().toList.sorted
-    assert(got === List(1 -> "Ann", 2 -> "Bob", 3 -> "Anna"),
-      s"snapshot-join restart parity broken: $got")
+    // order 3 joined the revised dim; order 1 was re-emitted EXACTLY
+    // once (the explicit -D/+I pair rides the changelog); order 2
+    // untouched by the revision
+    assert(net() === List(1 -> "Anna", 2 -> "Bob", 3 -> "Anna"),
+      s"regular-join restart parity broken: ${net()}")
+    val ops = spark.table("ord_enriched_rj").where(col("order_id") === 1)
+      .select("name", "__op").as[(String, String)].collect().toSet
+    assert(ops === Set(("Ann", "+I"), ("Ann", "-D"), ("Anna", "+I")))
   }
 
   test("chained statement DAG across a restart: B streams A's topic, each changelog record flows exactly once") {

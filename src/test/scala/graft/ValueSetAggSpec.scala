@@ -213,6 +213,40 @@ class ValueSetAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("retractable collect_set/collect_list over an upsert driver: the live multiset as a value-sorted array") {
+    val conf = newConf("vs-collect")
+    val r = runner(conf, "vs_src_col", """
+      CREATE TABLE vs_col (grp STRING, n BIGINT, vals ARRAY<STRING>,
+        copies ARRAY<DOUBLE>,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_col
+      SELECT grp, count(*) AS n, collect_set(k) AS vals,
+             collect_list(amt) AS copies
+      FROM vs_acct GROUP BY grp""")
+    def state() = spark.table("vs_col")
+      .as[(String, Long, Seq[String], Seq[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+
+    // k1 and k3 share amt=10.0: collect_list must keep BOTH copies,
+    // collect_set collapses nothing (keys are distinct)
+    Topics.appendJson(Seq(VsRow("k1", "g1", 10.0), VsRow("k2", "g1", 20.0),
+      VsRow("k3", "g1", 10.0)).toDF(), "vs_src_col", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((3L, Seq("k1", "k2", "k3"), Seq(10.0, 10.0, 20.0)))))
+
+    // k1 revises 10.0 → 30.0: ONE copy of 10.0 retracts, the other stays
+    Topics.appendJson(Seq(VsRow("k1", "g1", 30.0)).toDF(), "vs_src_col", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((3L, Seq("k1", "k2", "k3"), Seq(10.0, 20.0, 30.0)))),
+      "a revision must retract exactly one live copy of its old value")
+
+    // tombstone k3: its key leaves the set, its 10.0 copy leaves the list
+    Topics.appendJson(Seq(VsRow("k3", "DEL", 0.0)).toDF(), "vs_src_col", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((2L, Seq("k1", "k2"), Seq(20.0, 30.0)))))
+    r.stopAll()
+  }
+
   test("first/last over a RETRACT-mode topic: FIFO provenance cancels the EARLIEST duplicate copy (Flink's convention)") {
     val conf2 = newConf("vs-fl-retract")
     val r2 = new StreamingStatementRunner(spark, topicConf = Some(conf2))
