@@ -283,6 +283,47 @@ final class StreamingStatementRunner(spark: SparkSession,
           !anyRetract && refs.exists(r => r != driver && metaOf(r).exists(m =>
             m.changelogMode == ChangelogMode.Upsert && m.primaryKey.nonEmpty))
         }
+        // the regular join's telescoped delta rule is exact ONLY for
+        // MULTISET-LINEAR selects (a signed input row maps to signed
+        // output rows independently of the rest of the input):
+        // projections, filters, INNER joins, generators. OUTER/SEMI/
+        // ANTI joins (null-padding appears and disappears with the
+        // other side), windows, DISTINCT, sorts/limits and set
+        // differences are not linear — those shapes keep the
+        // documented snapshot path
+        def multisetLinearShape(select: String): Boolean = {
+          import org.apache.spark.sql.catalyst.plans.logical.{
+            Aggregate => LAgg, Deduplicate, Distinct => LDist, Except,
+            GlobalLimit, Intersect, Join, LocalLimit, Offset, Sort, Window}
+          try {
+            // the PARSED plan, never the analyzed one: analysis expands
+            // the side VIEWS inline, and an upsert view's latest-by-key
+            // materialization is itself an Aggregate — only the user's
+            // own syntax decides linearity
+            val plan = spark.sessionState.sqlParser.parsePlan(select)
+            var ok = true
+            plan.foreach { node =>
+              node match {
+                case j: Join =>
+                  if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+                    ok = false
+                case _: LAgg | _: Window | _: LDist | _: Deduplicate |
+                     _: Sort | _: GlobalLimit | _: LocalLimit | _: Offset |
+                     _: Intersect | _: Except => ok = false
+                case _ =>
+              }
+              node.expressions.foreach(_.foreach {
+                case _: org.apache.spark.sql.catalyst.expressions.WindowExpression |
+                     _: org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression =>
+                  ok = false
+                case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+                  ok = false // scalar/EXISTS subqueries: not linear in the sides
+                case _ =>
+              })
+            }
+            ok
+          } catch { case scala.util.control.NonFatal(_) => false }
+        }
         if (streamRefs.nonEmpty) {
           if (streamRefs.size == 1 && refs.size > 1) {
             val shape = shapeFor(streamRefs.head)
@@ -293,7 +334,7 @@ final class StreamingStatementRunner(spark: SparkSession,
               // batch-local partials
               mergeExternal(streamRefs.head, shape)
             else if (meta.changelogMode == ChangelogMode.Retract &&
-                changelogDims(streamRefs.head))
+                changelogDims(streamRefs.head) && multisetLinearShape(select))
               // retract target + changelog dims = Flink's REGULAR join:
               // dim revisions retract + re-emit past enrichments
               startRegularJoin(binding, meta, targetCols, select, refs)
@@ -367,7 +408,7 @@ final class StreamingStatementRunner(spark: SparkSession,
             requireFoldableShape(s"changelog table $driver", shape)
             startRetractAgg(binding, meta, targetCols, select, driver, driverMeta)
           } else if (refs.size > 1 && meta.changelogMode == ChangelogMode.Retract &&
-              changelogDims(driver)) {
+              changelogDims(driver) && multisetLinearShape(select)) {
             // table-to-table joined INSERT into a retract target whose
             // dims are changelog tables: the regular join (dim
             // revisions retract + re-emit past enrichments)

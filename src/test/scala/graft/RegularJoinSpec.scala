@@ -153,6 +153,41 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("non-linear shapes keep the snapshot path: a LEFT JOIN into a retract target does NOT re-emit on dim revision") {
+    // the telescoped delta rule is exact only for multiset-linear
+    // selects — null-padding rows of an outer join appear/disappear
+    // with the OTHER side's state, so the routing must keep such
+    // statements on the documented snapshot path rather than emit
+    // wrong deltas
+    val conf = newConf("rjl")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjl_cust_feed", custSchema)
+    r.registerTopicSource("rjl_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjl_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjl_cust SELECT cid, name FROM rjl_cust_feed;
+      CREATE TABLE rjl_enr (order_id BIGINT, cust_name STRING, __op STRING)
+        WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjl_enr (order_id, cust_name)
+      SELECT o.order_id, c.name
+      FROM rjl_ord_feed o LEFT JOIN rjl_cust c ON o.cid = c.cid""")
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjl_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    // order 2's cid has no dim row: the left join null-pads it
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0), RjOrd(2, "c9", "p1", 20.0))
+      .toDF(), "rjl_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    // snapshot semantics: the revision does NOT touch order 1
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjl_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    val got = spark.table("rjl_enr").select("order_id", "cust_name", "__op")
+      .as[(Long, Option[String], String)].collect().toSet
+    assert(got === Set((1L, Some("Ann"), "+I"), (2L, None, "+I")),
+      s"a LEFT JOIN must keep frozen snapshot enrichment (got $got)")
+    r.stopAll()
+  }
+
   test("upsert-target joined INSERT keeps the snapshot path; aggregate over a retract target still rejects cleanly") {
     val conf = newConf("rjg")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
