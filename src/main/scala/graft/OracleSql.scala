@@ -1959,6 +1959,18 @@ object OracleSql {
                 CAST(count(*) AS BIGINT) AS n_users,
                 max(value) AS max_value
          FROM latest GROUP BY 1""",
+    // Left-outer regular join: pads retract when a match appears; the
+    // folded net state is the batch LEFT JOIN of all facts against
+    // final dim state (dims exist only for user_id % 8 = 0).
+    "q240_stream_left_outer_join" ->
+      """WITH latest AS (
+           SELECT user_id, event_type
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 8 = 0) WHERE rn = 1)
+         SELECT e.event_id, e.user_id, l.event_type AS last_event_type, e.value
+         FROM events e LEFT JOIN latest l ON e.user_id = l.user_id
+         WHERE e.user_id % 4 = 0""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

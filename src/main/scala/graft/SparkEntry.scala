@@ -3382,6 +3382,70 @@ object SparkEntry {
         .as("window_start_us"), col("n_users"), col("max_value"))
     }),
 
+    // ── LEFT OUTER REGULAR JOIN into a RETRACT target, DRIVER-GATED
+    //    (round 16): only a quarter of the fact users ever get a dim
+    //    row, and facts arrive BEFORE their epoch's dim slice — so
+    //    null-padded rows are emitted, then RETRACTED when the match
+    //    lands (Flink's outer-join state view), and matched rows
+    //    re-enrich on every later revision. Folded net state = the
+    //    batch LEFT JOIN of ALL facts against FINAL dim state ──
+    "q240_stream_left_outer_join" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q240").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("dim_feed_q240", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType))))
+        r.registerTopicSource("orders_feed_q240", StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("value", DoubleType))))
+        r.runScript("""
+          CREATE TABLE user_dim_q240 (user_id BIGINT, last_event_type STRING,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_dim_q240 SELECT user_id, event_type FROM dim_feed_q240;
+          CREATE TABLE enriched_q240 (event_id BIGINT, user_id BIGINT,
+            last_event_type STRING, value DOUBLE, __op STRING)
+            WITH ('changelog.mode' = 'retract');
+          INSERT INTO enriched_q240 (event_id, user_id, last_event_type, value)
+          SELECT o.event_id, o.user_id, c.last_event_type, o.value
+          FROM orders_feed_q240 o LEFT JOIN user_dim_q240 c ON o.user_id = c.user_id""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+        // facts FIRST: new facts of dim-covered users pad until their
+        // epoch's dim slice lands — the pad-retract transition is
+        // exercised every epoch, not just at the start
+        Topics.appendJson(slice.select("event_id", "user_id", "value"),
+          "orders_feed_q240", conf, Nil, 2 * i + 1)
+        r.processAllAvailable()
+        val dim = slice.where(pmod(col("user_id"), lit(8)) === 0)
+          .groupBy("user_id")
+          .agg(max_by(col("event_type"), struct(col("ts_us"), col("event_id")))
+            .as("event_type"))
+        Topics.appendJson(dim, "dim_feed_q240", conf, Nil, 2 * i + 2)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("enriched_q240")
+        .groupBy("event_id", "user_id", "last_event_type", "value")
+        .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+        .where(col("__n") === 1L)
+        .select(col("event_id"), col("user_id"), col("last_event_type"), col("value"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

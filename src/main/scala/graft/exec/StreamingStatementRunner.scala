@@ -286,15 +286,21 @@ final class StreamingStatementRunner(spark: SparkSession,
         // the regular join's telescoped delta rule is exact ONLY for
         // MULTISET-LINEAR selects (a signed input row maps to signed
         // output rows independently of the rest of the input):
-        // projections, filters, INNER joins, generators. OUTER/SEMI/
-        // ANTI joins (null-padding appears and disappears with the
-        // other side), windows, DISTINCT, sorts/limits and set
-        // differences are not linear — those shapes keep the
-        // documented snapshot path
-        def multisetLinearShape(select: String): Boolean = {
+        // projections, filters, INNER joins, generators. Windows,
+        // DISTINCT, sorts/limits, set differences and subqueries are
+        // not linear — those shapes keep the documented snapshot path.
+        // ONE LEFT OUTER join is the sanctioned non-linear exception:
+        // its null-padding part has an exact pad-delta decomposition
+        // (out = inner + pad; startRegularJoin's outerPad terms), so a
+        // single `l LEFT JOIN r` with one ref per side regular-joins
+        // too — chained/other outer shapes stay snapshot.
+        // Returns None = not applicable; Some(None) = inner-only;
+        // Some(Some((leftRef, rightRef))) = single left-outer.
+        def regularJoinShape(select: String): Option[Option[(String, String)]] = {
           import org.apache.spark.sql.catalyst.plans.logical.{
             Aggregate => LAgg, Deduplicate, Distinct => LDist, Except,
             GlobalLimit, Intersect, Join, LocalLimit, Offset, Sort, Window}
+          import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
           try {
             // the PARSED plan, never the analyzed one: analysis expands
             // the side VIEWS inline, and an upsert view's latest-by-key
@@ -302,11 +308,14 @@ final class StreamingStatementRunner(spark: SparkSession,
             // own syntax decides linearity
             val plan = spark.sessionState.sqlParser.parsePlan(select)
             var ok = true
+            val outers = scala.collection.mutable.ArrayBuffer.empty[Join]
+            var joins = 0
             plan.foreach { node =>
               node match {
                 case j: Join =>
-                  if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
-                    ok = false
+                  joins += 1
+                  if (j.joinType == LeftOuter) outers += j
+                  else if (j.joinType != Inner) ok = false
                 case _: LAgg | _: Window | _: LDist | _: Deduplicate |
                      _: Sort | _: GlobalLimit | _: LocalLimit | _: Offset |
                      _: Intersect | _: Except => ok = false
@@ -321,8 +330,22 @@ final class StreamingStatementRunner(spark: SparkSession,
                 case _ =>
               })
             }
-            ok
-          } catch { case scala.util.control.NonFatal(_) => false }
+            def soleRef(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[String] = {
+              val rs = p.collect {
+                case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+                  r.multipartIdentifier.last
+              }
+              if (rs.size == 1) Some(rs.head) else None
+            }
+            if (!ok) None
+            else if (outers.isEmpty) Some(None)
+            else if (outers.size == 1 && joins == 1)
+              (soleRef(outers.head.left), soleRef(outers.head.right)) match {
+                case (Some(l), Some(r)) => Some(Some((l, r)))
+                case _ => None
+              }
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
         if (streamRefs.nonEmpty) {
           if (streamRefs.size == 1 && refs.size > 1) {
@@ -334,10 +357,11 @@ final class StreamingStatementRunner(spark: SparkSession,
               // batch-local partials
               mergeExternal(streamRefs.head, shape)
             else if (meta.changelogMode == ChangelogMode.Retract &&
-                changelogDims(streamRefs.head) && multisetLinearShape(select))
+                changelogDims(streamRefs.head) && regularJoinShape(select).isDefined)
               // retract target + changelog dims = Flink's REGULAR join:
               // dim revisions retract + re-emit past enrichments
-              startRegularJoin(binding, meta, targetCols, select, refs)
+              startRegularJoin(binding, meta, targetCols, select, refs,
+                outerPad = regularJoinShape(select).flatten)
             else
               // any aggregate lives in a dim-only subquery/CTE — the
               // snapshot join re-resolves the select per batch, so the
@@ -408,11 +432,12 @@ final class StreamingStatementRunner(spark: SparkSession,
             requireFoldableShape(s"changelog table $driver", shape)
             startRetractAgg(binding, meta, targetCols, select, driver, driverMeta)
           } else if (refs.size > 1 && meta.changelogMode == ChangelogMode.Retract &&
-              changelogDims(driver) && multisetLinearShape(select)) {
+              changelogDims(driver) && regularJoinShape(select).isDefined) {
             // table-to-table joined INSERT into a retract target whose
             // dims are changelog tables: the regular join (dim
             // revisions retract + re-emit past enrichments)
-            startRegularJoin(binding, meta, targetCols, select, refs)
+            startRegularJoin(binding, meta, targetCols, select, refs,
+              outerPad = regularJoinShape(select).flatten)
           } else {
             val promoted = changelogStream(driver, warnTombstones = true)
             withViewShadow(driver, promoted) {
@@ -806,10 +831,25 @@ final class StreamingStatementRunner(spark: SparkSession,
     * keeps both sides' state too and bounds it with state TTL) — the
     * topic-retention contract is the operational bound, and a
     * dim-delta batch's `Δdim ⋈ factLog` term is a broadcast-able hash
-    * join over a columnar scan, never a shuffle of the log. */
+    * join over a columnar scan, never a shuffle of the log.
+    *
+    * `outerPad`: the single-LEFT-OUTER shape (`l LEFT JOIN r`, one ref
+    * per side). The telescoped terms run with the join flipped to
+    * INNER; the null-padding part — Flink's outer-join state view
+    * semantics, where a pad row (f, NULL…) retracts the moment a match
+    * appears and REAPPEARS when the last match is deleted — is the
+    * exact pad delta: out = inner + pad, Δpad = pad(F′,D′) − pad(F,D),
+    * each pad evaluated as the select over the LeftAnti-flipped join
+    * with every right-side attribute nulled ([[padFrame]]). A
+    * fact-only batch needs one signed pad over the delta (pad is
+    * linear in the left side for fixed right state); a dim-touching
+    * batch pays two anti-joins over the fact state — the same cost
+    * class as its re-emission term, and unchanged pads net away in
+    * the content fold. */
   private def startRegularJoin(target: TargetBinding, meta: TableMeta,
                                targetCols: Seq[String], select: String,
-                               refs: Seq[String]): StreamingQuery = {
+                               refs: Seq[String],
+                               outerPad: Option[(String, String)] = None): StreamingQuery = {
     import graft.streaming.JoinState
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.types.{LongType, TimestampType}
@@ -887,11 +927,21 @@ final class StreamingStatementRunner(spark: SparkSession,
 
     // ── hidden-sign injection: the analyzed select's top projection
     //    gains the delta side's sign attribute, so each output row is
-    //    signed by provenance without touching the user's SQL ──
+    //    signed by provenance without touching the user's SQL. For the
+    //    single-LEFT-OUTER shape the join is flipped to INNER first —
+    //    the outer's null-padding part is handled by the exact pad
+    //    delta (padFrame below), never by the telescoped terms ──
     def injectSign(df: DataFrame): DataFrame = {
       import org.apache.spark.sql.catalyst.expressions.Alias
-      import org.apache.spark.sql.catalyst.plans.logical.Project
-      GraftSqlBridge.analyzedPlan(df) match {
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
+      val analyzed0 = GraftSqlBridge.analyzedPlan(df)
+      val analyzed =
+        if (outerPad.isEmpty) analyzed0
+        else analyzed0.transformUp {
+          case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter =>
+            j.copy(joinType = org.apache.spark.sql.catalyst.plans.Inner)
+        }
+      analyzed match {
         case p: Project =>
           val sg = p.child.output.find(_.name == SG).getOrElse(
             throw new IllegalArgumentException(
@@ -907,14 +957,78 @@ final class StreamingStatementRunner(spark: SparkSession,
       }
     }
 
+    // ── the LEFT OUTER join's PAD rows for given side states: facts
+    //    with NO match (the LeftOuter flipped to LeftAnti), projected
+    //    through the ORIGINAL select with every right-side attribute
+    //    nulled — exactly the null-padded rows the outer join emits.
+    //    Signed by `sign` (a literal for state evaluations) or by the
+    //    fact delta's own __jsign when `sign` is None. The pad DELTA
+    //    is exact: out = inner + pad, so Δpad = pad(F', D') − pad(F, D)
+    //    (and pad(ΔF, D) when only the fact side moved — pad is linear
+    //    in F for fixed D) ──
+    def padFrame(df: DataFrame, sign: Option[Int]): DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+      import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter}
+      val analyzed = GraftSqlBridge.analyzedPlan(df)
+      val rightAttrs = analyzed.collectFirst {
+        case j: Join if j.joinType == LeftOuter => j.right.outputSet
+      }.getOrElse(throw new IllegalStateException(
+        s"INSERT INTO ${target.qualified}: left-outer pad requested but the " +
+          "analyzed plan has no LEFT OUTER join"))
+      def nullify(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        e.transform {
+          case a: AttributeReference if rightAttrs.contains(a) =>
+            Literal(null, a.dataType)
+        }
+      // stop recursion AT the join: the right subtree still evaluates
+      // (the anti join needs it to decide matches) — only ANCESTOR
+      // nodes see the right side's attributes replaced by nulls
+      def rebuild(p: LogicalPlan): LogicalPlan = p match {
+        case j: Join if j.joinType == LeftOuter => j.copy(joinType = LeftAnti)
+        case pr: Project =>
+          Project(pr.projectList.map { ne =>
+            nullify(ne) match {
+              case n: NamedExpression => n
+              case other => Alias(other, ne.name)()
+            }
+          }, rebuild(pr.child))
+        case other =>
+          other.withNewChildren(other.children.map(rebuild))
+            .transformExpressions {
+              case a: AttributeReference if rightAttrs.contains(a) =>
+                Literal(null, a.dataType)
+            }
+      }
+      val padded = rebuild(analyzed) match {
+        case p: Project =>
+          val sg = sign match {
+            case Some(s) => Alias(Literal(s), SG)()
+            case None => Alias(p.child.output.find(_.name == SG).getOrElse(
+              throw new IllegalStateException("pad over a delta frame: no __jsign")), SG)()
+          }
+          Project(p.projectList :+ sg, p.child)
+        case other => throw new IllegalArgumentException(
+          s"INSERT INTO ${target.qualified}: left-outer pad needs a top-level " +
+            s"projection, got ${other.nodeName}")
+      }
+      GraftSqlBridge.ofRows(spark, padded)
+    }
+
     // ── statement-time validation (Flink rejects at submission): each
     //    side's term must type-check and keep the sign channel visible ──
     def emptyOf(s: StructType): DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    outerPad.foreach { case (l, r) =>
+      require(sides.size == 2 && sides.exists(_.ref == l) && sides.exists(_.ref == r),
+        s"INSERT INTO ${target.qualified}: the left-outer regular join " +
+          "needs BOTH join inputs to be topic-backed/streaming sides")
+    }
     val outArity = synchronized {
       try {
         sides.foreach(s => emptyOf(s.viewSchema).createOrReplaceTempView(s.ref))
         val n = spark.sql(select).columns.length
+        outerPad.foreach(_ => padFrame(spark.sql(select), sign = Some(1)))
         sides.indices.foreach { i =>
           sides.zipWithIndex.foreach { case (sj, j) =>
             val base = emptyOf(sj.viewSchema)
@@ -984,7 +1098,7 @@ final class StreamingStatementRunner(spark: SparkSession,
                 }
               }
               // telescoped terms, each analyzed under its shadow set
-              val terms = sides.indices.filter(touched.contains).map { i =>
+              val innerTerms = sides.indices.filter(touched.contains).map { i =>
                 sides.zipWithIndex.foreach { case (sj, j) =>
                   val frame =
                     if (j < i) pre(j)
@@ -994,6 +1108,28 @@ final class StreamingStatementRunner(spark: SparkSession,
                 }
                 injectSign(spark.sql(select)).toDF((outNames :+ SG).toIndexedSeq: _*)
               }
+              // LEFT OUTER pad delta: out = inner + pad, so the pad
+              // part contributes pad(F', D') − pad(F, D); when only
+              // the left (fact) side moved, pad is linear in it —
+              // one signed evaluation over the delta suffices
+              val padTerms = outerPad.toSeq.flatMap { case (lRef, rRef) =>
+                val lIdx = sides.indexWhere(_.ref == lRef)
+                val rIdx = sides.indexWhere(_.ref == rRef)
+                def evalPad(lFrame: DataFrame, rFrame: DataFrame,
+                            sign: Option[Int]): DataFrame = {
+                  lFrame.createOrReplaceTempView(lRef)
+                  rFrame.createOrReplaceTempView(rRef)
+                  padFrame(spark.sql(select), sign)
+                    .toDF((outNames :+ SG).toIndexedSeq: _*)
+                }
+                if (touched.contains(rIdx))
+                  Seq(evalPad(pre(lIdx), pre(rIdx), Some(-1)),
+                    evalPad(post(lIdx), post(rIdx), Some(1)))
+                else
+                  Seq(evalPad(decodeDelta(deltaRows(lIdx), sides(lIdx)),
+                    post(rIdx), None))
+              }
+              val terms = innerTerms ++ padTerms
               sides.foreach(s => restoreRefView(s.ref, s.restore))
               val netted = terms.reduce(_ unionByName _)
                 .groupBy(outNames.map(c => col(s"`$c`")).toIndexedSeq: _*)

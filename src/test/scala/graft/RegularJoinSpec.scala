@@ -153,28 +153,77 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
-  test("non-linear shapes keep the snapshot path: a LEFT JOIN into a retract target does NOT re-emit on dim revision") {
-    // the telescoped delta rule is exact only for multiset-linear
-    // selects — null-padding rows of an outer join appear/disappear
-    // with the OTHER side's state, so the routing must keep such
-    // statements on the documented snapshot path rather than emit
-    // wrong deltas
+  test("LEFT OUTER regular join: pad rows retract when a match appears, reappear when the last match is deleted") {
+    val conf = newConf("rjo")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjo_cust_feed", custOpSchema)
+    r.registerTopicSource("rjo_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjo_cust (cid STRING, name STRING, __op STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjo_cust SELECT cid, name, __op FROM rjo_cust_feed;
+      CREATE TABLE rjo_enr (order_id BIGINT, cust_name STRING,
+        amount DOUBLE, __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjo_enr (order_id, cust_name, amount)
+      SELECT o.order_id, c.name, o.amount
+      FROM rjo_ord_feed o LEFT JOIN rjo_cust c ON o.cid = c.cid""")
+    def state() = net("rjo_enr", "order_id", "cust_name", "amount")
+
+    // facts BEFORE any dim: both orders null-pad
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0), RjOrd(2, "c9", "p1", 20.0))
+      .toDF(), "rjo_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq(null, 10.0), 2L -> Seq(null, 20.0)),
+      "unmatched facts must emit null-padded rows")
+
+    // c1 arrives: order 1's pad retracts and the match emits; order 2 stays padded
+    Topics.appendJson(Seq(RjCustOp("c1", "Ann", "+I")).toDF(), "rjo_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Ann", 10.0), 2L -> Seq(null, 20.0)),
+      "a match appearing must retract the pad row")
+    val ops1 = spark.table("rjo_enr").where(col("order_id") === 1)
+      .select("cust_name", "__op").as[(Option[String], String)].collect().toSet
+    assert(ops1 === Set((None, "+I"), (None, "-D"), (Some("Ann"), "+I")),
+      s"the pad retraction must be explicit in the changelog: $ops1")
+
+    // revision: matched row re-enriches, pads untouched
+    Topics.appendJson(Seq(RjCustOp("c1", "Anna", "+U")).toDF(), "rjo_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Anna", 10.0), 2L -> Seq(null, 20.0)))
+
+    // DELETE c1: the match retracts and order 1's PAD REAPPEARS
+    Topics.appendJson(Seq(RjCustOp("c1", "Anna", "-D")).toDF(), "rjo_cust_feed", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq(null, 10.0), 2L -> Seq(null, 20.0)),
+      "deleting the last match must re-emit the null-padded row")
+    r.stopAll()
+  }
+
+  test("non-applicable outer shapes keep the snapshot path: chained LEFT JOINs do NOT re-emit on dim revision") {
+    // the pad-delta decomposition covers exactly ONE left-outer join
+    // with one ref per side; a chained outer shape keeps the
+    // documented snapshot path rather than emit wrong deltas
     val conf = newConf("rjl")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
     r.registerTopicSource("rjl_cust_feed", custSchema)
+    r.registerTopicSource("rjl_prod_feed", prodSchema)
     r.registerTopicSource("rjl_ord_feed", ordSchema)
     r.runScript("""
       CREATE TABLE rjl_cust (cid STRING, name STRING,
         PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
       INSERT INTO rjl_cust SELECT cid, name FROM rjl_cust_feed;
-      CREATE TABLE rjl_enr (order_id BIGINT, cust_name STRING, __op STRING)
-        WITH ('changelog.mode' = 'retract');
-      INSERT INTO rjl_enr (order_id, cust_name)
-      SELECT o.order_id, c.name
-      FROM rjl_ord_feed o LEFT JOIN rjl_cust c ON o.cid = c.cid""")
+      CREATE TABLE rjl_prod (pid STRING, brand STRING, price DOUBLE,
+        PRIMARY KEY (pid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjl_prod SELECT pid, brand, price FROM rjl_prod_feed;
+      CREATE TABLE rjl_enr (order_id BIGINT, cust_name STRING, brand STRING,
+        __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjl_enr (order_id, cust_name, brand)
+      SELECT o.order_id, c.name, p.brand
+      FROM rjl_ord_feed o
+      LEFT JOIN rjl_cust c ON o.cid = c.cid
+      LEFT JOIN rjl_prod p ON o.pid = p.pid""")
     Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjl_cust_feed", conf, Nil, 1)
     r.processAllAvailable()
-    // order 2's cid has no dim row: the left join null-pads it
     Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0), RjOrd(2, "c9", "p1", 20.0))
       .toDF(), "rjl_ord_feed", conf, Nil, 1)
     r.processAllAvailable()
@@ -184,7 +233,7 @@ class RegularJoinSpec extends SparkSpec {
     val got = spark.table("rjl_enr").select("order_id", "cust_name", "__op")
       .as[(Long, Option[String], String)].collect().toSet
     assert(got === Set((1L, Some("Ann"), "+I"), (2L, None, "+I")),
-      s"a LEFT JOIN must keep frozen snapshot enrichment (got $got)")
+      s"chained LEFT JOINs must keep frozen snapshot enrichment (got $got)")
     r.stopAll()
   }
 
