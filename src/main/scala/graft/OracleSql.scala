@@ -1971,6 +1971,20 @@ object OracleSql {
          SELECT e.event_id, e.user_id, l.event_type AS last_event_type, e.value
          FROM events e LEFT JOIN latest l ON e.user_id = l.user_id
          WHERE e.user_id % 4 = 0""",
+    // Full-outer regular join: both sides pad (facts of never-dimmed
+    // users left; dims of factless user_id % 8 = 1 users right); the
+    // folded net state equals the batch FULL JOIN over final inputs.
+    "q241_stream_full_outer_join" ->
+      """WITH latest AS (
+           SELECT user_id, event_type
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 8 IN (0, 1)) WHERE rn = 1),
+         ev AS (
+           SELECT event_id, user_id, value FROM events WHERE user_id % 4 = 0)
+         SELECT e.event_id, e.user_id AS fact_user, l.user_id AS dim_user,
+                l.event_type AS last_event_type, e.value
+         FROM ev e FULL JOIN latest l ON e.user_id = l.user_id""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

@@ -3446,6 +3446,76 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("last_event_type"), col("value"))
     }),
 
+    // ── FULL OUTER REGULAR JOIN, DRIVER-GATED (round 16): BOTH sides
+    //    pad — facts of never-dimmed users null-pad on the left, dim
+    //    rows of factless users (user_id % 8 = 1 never passes the
+    //    fact filter) null-pad on the right, and each pad retracts
+    //    the moment the other side produces a match. Folded net state
+    //    = the batch FULL JOIN over final inputs ──
+    "q241_stream_full_outer_join" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val evAll = t(s, dir, "events")
+      val facts = evAll.where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+      val dimsSrc = evAll.where(pmod(col("user_id"), lit(8)).isin(0L, 1L))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q241").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("dim_feed_q241", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType))))
+        r.registerTopicSource("orders_feed_q241", StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("value", DoubleType))))
+        r.runScript("""
+          CREATE TABLE user_dim_q241 (user_id BIGINT, last_event_type STRING,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_dim_q241 SELECT user_id, event_type FROM dim_feed_q241;
+          CREATE TABLE enriched_q241 (event_id BIGINT, fact_user BIGINT,
+            dim_user BIGINT, last_event_type STRING, value DOUBLE, __op STRING)
+            WITH ('changelog.mode' = 'retract');
+          INSERT INTO enriched_q241 (event_id, fact_user, dim_user, last_event_type, value)
+          SELECT o.event_id, o.user_id, c.user_id, c.last_event_type, o.value
+          FROM orders_feed_q241 o FULL JOIN user_dim_q241 c ON o.user_id = c.user_id""")
+      } finally s.conf.set(spKey, spPrev)
+      // epoch bounds over ALL events: the dim side spans users the
+      // fact filter excludes, and a dim row outside the facts' ts
+      // range must still reach its slice
+      val bounds = evAll.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        Topics.appendJson(facts
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .select("event_id", "user_id", "value"),
+          "orders_feed_q241", conf, Nil, 2 * i + 1)
+        r.processAllAvailable()
+        val dim = dimsSrc
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(col("event_type"), struct(col("ts_us"), col("event_id")))
+            .as("event_type"))
+        Topics.appendJson(dim, "dim_feed_q241", conf, Nil, 2 * i + 2)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("enriched_q241")
+        .groupBy("event_id", "fact_user", "dim_user", "last_event_type", "value")
+        .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+        .where(col("__n") === 1L)
+        .select(col("event_id"), col("fact_user"), col("dim_user"),
+          col("last_event_type"), col("value"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

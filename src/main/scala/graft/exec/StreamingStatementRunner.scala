@@ -114,6 +114,21 @@ final class StreamingStatementRunner(spark: SparkSession,
   private final case class TargetBinding(bare: String, qualified: String,
                                          scoped: String, topic: String)
 
+  /** The single sanctioned OUTER regular-join shape: `left <kind> right`
+    * with one ref per side. `padSides`: each preserved side, as
+    * (preserved ref, other ref, preservedIsLeft). */
+  private final case class OuterShape(
+      kind: org.apache.spark.sql.catalyst.plans.JoinType,
+      left: String, right: String) {
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter, RightOuter}
+    def padSides: Seq[(String, String, Boolean)] = kind match {
+      case LeftOuter => Seq((left, right, true))
+      case RightOuter => Seq((right, left, false))
+      case FullOuter => Seq((left, right, true), (right, left, false))
+      case other => throw new IllegalStateException(s"not an outer join: $other")
+    }
+  }
+
   private def bind(bare: String): TargetBinding = synchronized {
     val q = catalog.qualify(bare)
     TargetBinding(bare, q, q.replace(".", "__").replaceAll("[^\\w]", "_"),
@@ -289,18 +304,19 @@ final class StreamingStatementRunner(spark: SparkSession,
         // projections, filters, INNER joins, generators. Windows,
         // DISTINCT, sorts/limits, set differences and subqueries are
         // not linear — those shapes keep the documented snapshot path.
-        // ONE LEFT OUTER join is the sanctioned non-linear exception:
-        // its null-padding part has an exact pad-delta decomposition
-        // (out = inner + pad; startRegularJoin's outerPad terms), so a
-        // single `l LEFT JOIN r` with one ref per side regular-joins
-        // too — chained/other outer shapes stay snapshot.
+        // ONE OUTER join (LEFT/RIGHT/FULL) is the sanctioned
+        // non-linear exception: each preserved side's null-padding has
+        // an exact pad-delta decomposition (out = inner + pads;
+        // startRegularJoin's outerPad terms), so a single outer join
+        // with one ref per side regular-joins too — chained/other
+        // outer shapes stay snapshot.
         // Returns None = not applicable; Some(None) = inner-only;
-        // Some(Some((leftRef, rightRef))) = single left-outer.
-        def regularJoinShape(select: String): Option[Option[(String, String)]] = {
+        // Some(Some(shape)) = single outer join.
+        def regularJoinShape(select: String): Option[Option[OuterShape]] = {
           import org.apache.spark.sql.catalyst.plans.logical.{
             Aggregate => LAgg, Deduplicate, Distinct => LDist, Except,
             GlobalLimit, Intersect, Join, LocalLimit, Offset, Sort, Window}
-          import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+          import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
           try {
             // the PARSED plan, never the analyzed one: analysis expands
             // the side VIEWS inline, and an upsert view's latest-by-key
@@ -314,7 +330,8 @@ final class StreamingStatementRunner(spark: SparkSession,
               node match {
                 case j: Join =>
                   joins += 1
-                  if (j.joinType == LeftOuter) outers += j
+                  if (j.joinType == LeftOuter || j.joinType == RightOuter ||
+                      j.joinType == FullOuter) outers += j
                   else if (j.joinType != Inner) ok = false
                 case _: LAgg | _: Window | _: LDist | _: Deduplicate |
                      _: Sort | _: GlobalLimit | _: LocalLimit | _: Offset |
@@ -341,7 +358,8 @@ final class StreamingStatementRunner(spark: SparkSession,
             else if (outers.isEmpty) Some(None)
             else if (outers.size == 1 && joins == 1)
               (soleRef(outers.head.left), soleRef(outers.head.right)) match {
-                case (Some(l), Some(r)) => Some(Some((l, r)))
+                case (Some(l), Some(r)) =>
+                  Some(Some(OuterShape(outers.head.joinType, l, r)))
                 case _ => None
               }
             else None
@@ -833,23 +851,25 @@ final class StreamingStatementRunner(spark: SparkSession,
     * dim-delta batch's `Δdim ⋈ factLog` term is a broadcast-able hash
     * join over a columnar scan, never a shuffle of the log.
     *
-    * `outerPad`: the single-LEFT-OUTER shape (`l LEFT JOIN r`, one ref
-    * per side). The telescoped terms run with the join flipped to
-    * INNER; the null-padding part — Flink's outer-join state view
-    * semantics, where a pad row (f, NULL…) retracts the moment a match
-    * appears and REAPPEARS when the last match is deleted — is the
-    * exact pad delta: out = inner + pad, Δpad = pad(F′,D′) − pad(F,D),
-    * each pad evaluated as the select over the LeftAnti-flipped join
-    * with every right-side attribute nulled ([[padFrame]]). A
-    * fact-only batch needs one signed pad over the delta (pad is
-    * linear in the left side for fixed right state); a dim-touching
-    * batch pays two anti-joins over the fact state — the same cost
-    * class as its re-emission term, and unchanged pads net away in
-    * the content fold. */
+    * `outerPad`: the single-OUTER-join shape (`l LEFT|RIGHT|FULL JOIN
+    * r`, one ref per side). The telescoped terms run with the join
+    * flipped to INNER; each preserved side's null-padding — Flink's
+    * outer-join state view semantics, where a pad row (f, NULL…)
+    * retracts the moment a match appears and REAPPEARS when the last
+    * match is deleted — is the exact pad delta: out = inner + pads,
+    * Δpad = pad(P′,O′) − pad(P,O) per preserved side, each pad
+    * evaluated as the select over the LeftAnti-flipped join (children
+    * swapped for a right-preserved pad) with every non-preserved
+    * attribute nulled ([[padFrame]]). FULL OUTER pays both pad sides.
+    * A preserved-side-only batch needs one signed pad over the delta
+    * (pad is linear in the preserved side for fixed other-side state);
+    * a batch touching the other side pays two anti-joins over the
+    * preserved state — the same cost class as its re-emission term,
+    * and unchanged pads net away in the content fold. */
   private def startRegularJoin(target: TargetBinding, meta: TableMeta,
                                targetCols: Seq[String], select: String,
                                refs: Seq[String],
-                               outerPad: Option[(String, String)] = None): StreamingQuery = {
+                               outerPad: Option[OuterShape] = None): StreamingQuery = {
     import graft.streaming.JoinState
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.types.{LongType, TimestampType}
@@ -938,7 +958,7 @@ final class StreamingStatementRunner(spark: SparkSession,
       val analyzed =
         if (outerPad.isEmpty) analyzed0
         else analyzed0.transformUp {
-          case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter =>
+          case j: Join if j.joinType == outerPad.get.kind =>
             j.copy(joinType = org.apache.spark.sql.catalyst.plans.Inner)
         }
       analyzed match {
@@ -966,26 +986,34 @@ final class StreamingStatementRunner(spark: SparkSession,
     //    is exact: out = inner + pad, so Δpad = pad(F', D') − pad(F, D)
     //    (and pad(ΔF, D) when only the fact side moved — pad is linear
     //    in F for fixed D) ──
-    def padFrame(df: DataFrame, sign: Option[Int]): DataFrame = {
+    def padFrame(df: DataFrame, preservedIsLeft: Boolean,
+                 sign: Option[Int]): DataFrame = {
       import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
       import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
-      import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter}
+      import org.apache.spark.sql.catalyst.plans.LeftAnti
+      val outerKind = outerPad.get.kind
       val analyzed = GraftSqlBridge.analyzedPlan(df)
+      // the attributes of the NON-preserved side: nulled above the join
       val rightAttrs = analyzed.collectFirst {
-        case j: Join if j.joinType == LeftOuter => j.right.outputSet
+        case j: Join if j.joinType == outerKind =>
+          if (preservedIsLeft) j.right.outputSet else j.left.outputSet
       }.getOrElse(throw new IllegalStateException(
-        s"INSERT INTO ${target.qualified}: left-outer pad requested but the " +
-          "analyzed plan has no LEFT OUTER join"))
+        s"INSERT INTO ${target.qualified}: outer pad requested but the " +
+          s"analyzed plan has no $outerKind join"))
       def nullify(e: org.apache.spark.sql.catalyst.expressions.Expression) =
         e.transform {
           case a: AttributeReference if rightAttrs.contains(a) =>
             Literal(null, a.dataType)
         }
-      // stop recursion AT the join: the right subtree still evaluates
+      // stop recursion AT the join: the other subtree still evaluates
       // (the anti join needs it to decide matches) — only ANCESTOR
-      // nodes see the right side's attributes replaced by nulls
+      // nodes see the non-preserved side's attributes replaced by
+      // nulls. A right-preserved pad swaps the anti join's children
+      // (Spark has LeftAnti only).
       def rebuild(p: LogicalPlan): LogicalPlan = p match {
-        case j: Join if j.joinType == LeftOuter => j.copy(joinType = LeftAnti)
+        case j: Join if j.joinType == outerKind =>
+          if (preservedIsLeft) j.copy(joinType = LeftAnti)
+          else Join(j.right, j.left, LeftAnti, j.condition, j.hint)
         case pr: Project =>
           Project(pr.projectList.map { ne =>
             nullify(ne) match {
@@ -1019,16 +1047,19 @@ final class StreamingStatementRunner(spark: SparkSession,
     //    side's term must type-check and keep the sign channel visible ──
     def emptyOf(s: StructType): DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-    outerPad.foreach { case (l, r) =>
-      require(sides.size == 2 && sides.exists(_.ref == l) && sides.exists(_.ref == r),
-        s"INSERT INTO ${target.qualified}: the left-outer regular join " +
-          "needs BOTH join inputs to be topic-backed/streaming sides")
+    outerPad.foreach { o =>
+      require(sides.size == 2 && sides.exists(_.ref == o.left) &&
+          sides.exists(_.ref == o.right),
+        s"INSERT INTO ${target.qualified}: the outer regular join needs " +
+          "BOTH join inputs to be topic-backed/streaming sides")
     }
     val outArity = synchronized {
       try {
         sides.foreach(s => emptyOf(s.viewSchema).createOrReplaceTempView(s.ref))
         val n = spark.sql(select).columns.length
-        outerPad.foreach(_ => padFrame(spark.sql(select), sign = Some(1)))
+        outerPad.toSeq.flatMap(_.padSides).foreach { case (_, _, isLeft) =>
+          padFrame(spark.sql(select), isLeft, sign = Some(1))
+        }
         sides.indices.foreach { i =>
           sides.zipWithIndex.foreach { case (sj, j) =>
             val base = emptyOf(sj.viewSchema)
@@ -1108,26 +1139,28 @@ final class StreamingStatementRunner(spark: SparkSession,
                 }
                 injectSign(spark.sql(select)).toDF((outNames :+ SG).toIndexedSeq: _*)
               }
-              // LEFT OUTER pad delta: out = inner + pad, so the pad
-              // part contributes pad(F', D') − pad(F, D); when only
-              // the left (fact) side moved, pad is linear in it —
-              // one signed evaluation over the delta suffices
-              val padTerms = outerPad.toSeq.flatMap { case (lRef, rRef) =>
-                val lIdx = sides.indexWhere(_.ref == lRef)
-                val rIdx = sides.indexWhere(_.ref == rRef)
-                def evalPad(lFrame: DataFrame, rFrame: DataFrame,
-                            sign: Option[Int]): DataFrame = {
-                  lFrame.createOrReplaceTempView(lRef)
-                  rFrame.createOrReplaceTempView(rRef)
-                  padFrame(spark.sql(select), sign)
-                    .toDF((outNames :+ SG).toIndexedSeq: _*)
-                }
-                if (touched.contains(rIdx))
-                  Seq(evalPad(pre(lIdx), pre(rIdx), Some(-1)),
-                    evalPad(post(lIdx), post(rIdx), Some(1)))
-                else
-                  Seq(evalPad(decodeDelta(deltaRows(lIdx), sides(lIdx)),
-                    post(rIdx), None))
+              // OUTER pad delta, once per preserved side: out =
+              // inner + pads, so each pad side contributes
+              // pad(P', O') − pad(P, O); when only the preserved side
+              // moved, pad is linear in it — one signed evaluation
+              // over the delta suffices
+              val padTerms = outerPad.toSeq.flatMap(_.padSides).flatMap {
+                case (pRef, oRef, isLeft) =>
+                  val pIdx = sides.indexWhere(_.ref == pRef)
+                  val oIdx = sides.indexWhere(_.ref == oRef)
+                  def evalPad(pFrame: DataFrame, oFrame: DataFrame,
+                              sign: Option[Int]): DataFrame = {
+                    pFrame.createOrReplaceTempView(pRef)
+                    oFrame.createOrReplaceTempView(oRef)
+                    padFrame(spark.sql(select), isLeft, sign)
+                      .toDF((outNames :+ SG).toIndexedSeq: _*)
+                  }
+                  if (touched.contains(oIdx))
+                    Seq(evalPad(pre(pIdx), pre(oIdx), Some(-1)),
+                      evalPad(post(pIdx), post(oIdx), Some(1)))
+                  else
+                    Seq(evalPad(decodeDelta(deltaRows(pIdx), sides(pIdx)),
+                      post(oIdx), None))
               }
               val terms = innerTerms ++ padTerms
               sides.foreach(s => restoreRefView(s.ref, s.restore))

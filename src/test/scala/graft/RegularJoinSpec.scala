@@ -199,6 +199,84 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("FULL OUTER regular join: both preserved sides pad, and each pad retracts/reappears with the other side's state") {
+    val conf = newConf("rjf")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjf_cust_feed", custOpSchema)
+    r.registerTopicSource("rjf_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjf_cust (cid STRING, name STRING, __op STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjf_cust SELECT cid, name, __op FROM rjf_cust_feed;
+      CREATE TABLE rjf_enr (order_id BIGINT, cust_name STRING, __op STRING)
+        WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjf_enr (order_id, cust_name)
+      SELECT o.order_id, c.name
+      FROM rjf_ord_feed o FULL JOIN rjf_cust c ON o.cid = c.cid""")
+    def state(): Set[(Option[Long], Option[String])] = {
+      val keyed = spark.table("rjf_enr")
+        .groupBy("order_id", "cust_name")
+        .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+      assert(keyed.where(col("__n") < 0 || col("__n") > 1).count() === 0)
+      keyed.where(col("__n") === 1L)
+        .select("order_id", "cust_name")
+        .as[(Option[Long], Option[String])].collect().toSet
+    }
+
+    // a dim row with NO fact: the RIGHT side pads (null, Ann)
+    Topics.appendJson(Seq(RjCustOp("c1", "Ann", "+I")).toDF(), "rjf_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Set((None, Some("Ann"))),
+      "an unmatched dim row must emit a right-side pad")
+
+    // its fact arrives: the right pad retracts, the match emits; a
+    // matchless fact pads on the LEFT side
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0), RjOrd(2, "c9", "p1", 20.0))
+      .toDF(), "rjf_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Set((Some(1L), Some("Ann")), (Some(2L), None)),
+      "the fact arriving must retract the right pad; the matchless fact pads left")
+
+    // DELETE c1: the match retracts, order 1 pads LEFT again
+    Topics.appendJson(Seq(RjCustOp("c1", "Ann", "-D")).toDF(), "rjf_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Set((Some(1L), None), (Some(2L), None)),
+      "deleting the dim must flip its match back to a left pad")
+    r.stopAll()
+  }
+
+  test("RIGHT OUTER regular join mirrors: the preserved (right) side pads against fact state") {
+    val conf = newConf("rjr")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjr_cust_feed", custSchema)
+    r.registerTopicSource("rjr_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjr_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjr_cust SELECT cid, name FROM rjr_cust_feed;
+      CREATE TABLE rjr_enr (order_id BIGINT, cust_name STRING, __op STRING)
+        WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjr_enr (order_id, cust_name)
+      SELECT o.order_id, c.name
+      FROM rjr_ord_feed o RIGHT JOIN rjr_cust c ON o.cid = c.cid""")
+    def state(): Set[(Option[Long], String)] = spark.table("rjr_enr")
+      .groupBy("order_id", "cust_name")
+      .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+      .where(col("__n") === 1L).select("order_id", "cust_name")
+      .as[(Option[Long], String)].collect().toSet
+
+    Topics.appendJson(Seq(RjCust("c1", "Ann"), RjCust("c2", "Bob")).toDF(),
+      "rjr_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Set((None, "Ann"), (None, "Bob")),
+      "dims with no facts pad (facts side dropped, dims preserved)")
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0)).toDF(), "rjr_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Set((Some(1L), "Ann"), (None, "Bob")),
+      "the arriving fact must retract Ann's pad and leave Bob's")
+    r.stopAll()
+  }
+
   test("non-applicable outer shapes keep the snapshot path: chained LEFT JOINs do NOT re-emit on dim revision") {
     // the pad-delta decomposition covers exactly ONE left-outer join
     // with one ref per side; a chained outer shape keeps the
