@@ -1085,6 +1085,11 @@ final class StreamingStatementRunner(spark: SparkSession,
         "__op tag from its signed delta algebra — name the data columns " +
         "with an INSERT column list that excludes __op")
 
+    // state TTL (the target's 'join.state.ttl' WITH option — Flink's
+    // table.exec.state.ttl): bounds the append log, the join's
+    // unbounded side; expired facts stop participating in re-emission
+    val ttlMs: Option[Long] =
+      meta.options.get("join.state.ttl").map(JoinState.parseTtlMs)
     val stmtId = nextInsertId(target)
     val stateRoot = s"${checkpointDir(target, stmtId)}/graft-join-state"
     val union = sides.zipWithIndex.map { case (s, i) => encodeSide(s, i) }
@@ -1108,6 +1113,7 @@ final class StreamingStatementRunner(spark: SparkSession,
               sides.zipWithIndex.foreach { case (s, i) =>
                 val dir = s"$stateRoot/s$i"
                 if (s.appendOnly) {
+                  ttlMs.foreach(t => JoinState.pruneLog(spark, dir, t))
                   val logPre = JoinState.readLog(spark, dir, batchId)
                   pre(i) = decode(logPre, s)
                   post(i) = deltaRows.get(i) match {

@@ -120,4 +120,39 @@ object JoinState {
       .filter(g => g != batchId && readGen.forall(g < _))
       .foreach(g => f.delete(new Path(s"$dir/g$g"), true))
   }
+
+  /** State TTL for the append log (the regular join's unbounded side —
+    * `'join.state.ttl'` on the target table): delete batch directories
+    * whose files were last written more than `ttlMs` ago. Expired fact
+    * rows simply stop participating — a later dim revision no longer
+    * retracts their enriched rows, exactly Flink's
+    * `table.exec.state.ttl` trade (bounded state for exactness on
+    * expired keys; processing-time based, so a crash-replay after
+    * expiry sees the pruned state — the same caveat Flink documents). */
+  def pruneLog(spark: SparkSession, dir: String, ttlMs: Long): Unit = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (f.exists(p)) {
+      val cutoff = System.currentTimeMillis() - ttlMs
+      f.listStatus(p).toSeq
+        .filter(st => st.getPath.getName.startsWith("b") &&
+          st.getModificationTime < cutoff)
+        .foreach(st => f.delete(st.getPath, true))
+    }
+  }
+
+  /** `"<n> <unit>"` with unit ∈ ms|s|min|h|d (e.g. `"7 d"`, `"30 min"`). */
+  def parseTtlMs(spec: String): Long = {
+    val m = "^\\s*(\\d+)\\s*(ms|s|min|h|d)\\s*$".r
+    spec.toLowerCase match {
+      case m(n, u) =>
+        val mult = u match {
+          case "ms" => 1L; case "s" => 1000L; case "min" => 60000L
+          case "h" => 3600000L; case "d" => 86400000L
+        }
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(
+        s"join.state.ttl: cannot parse '$spec' — use '<n> <ms|s|min|h|d>'")
+    }
+  }
 }

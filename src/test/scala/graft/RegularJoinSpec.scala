@@ -315,6 +315,39 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("join.state.ttl bounds the fact log: expired facts stop re-emitting; fresh facts still enrich") {
+    val conf = newConf("rjttl")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjt_cust_feed", custSchema)
+    r.registerTopicSource("rjt_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjt_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjt_cust SELECT cid, name FROM rjt_cust_feed;
+      CREATE TABLE rjt_enr (order_id BIGINT, cust_name STRING, __op STRING)
+        WITH ('changelog.mode' = 'retract', 'join.state.ttl' = '1 s');
+      INSERT INTO rjt_enr (order_id, cust_name)
+      SELECT o.order_id, c.name FROM rjt_ord_feed o JOIN rjt_cust c ON o.cid = c.cid""")
+    def state() = net("rjt_enr", "order_id", "cust_name")
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjt_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0)).toDF(), "rjt_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Ann")))
+    // let order 1's log batch expire, then revise the dim: the expired
+    // fact no longer participates — Flink's table.exec.state.ttl trade
+    Thread.sleep(2500)
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjt_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Ann")),
+      "an expired fact must NOT re-emit on dim revision")
+    // fresh facts enrich at current dim state as usual
+    Topics.appendJson(Seq(RjOrd(2, "c1", "p1", 20.0)).toDF(), "rjt_ord_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Ann"), 2L -> Seq("Anna")))
+    r.stopAll()
+  }
+
   test("upsert-target joined INSERT keeps the snapshot path; aggregate over a retract target still rejects cleanly") {
     val conf = newConf("rjg")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
