@@ -1985,6 +1985,21 @@ object OracleSql {
          SELECT e.event_id, e.user_id AS fact_user, l.user_id AS dim_user,
                 l.event_type AS last_event_type, e.value
          FROM ev e FULL JOIN latest l ON e.user_id = l.user_id""",
+    // Regular join → continuous aggregate chain: re-emissions move
+    // aggregate contributions between groups, so the final stats equal
+    // the batch join-then-aggregate over final dim state.
+    "q242_stream_join_agg_chain" ->
+      """WITH latest AS (
+           SELECT user_id, event_type
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 4 = 0) WHERE rn = 1)
+         SELECT l.event_type AS last_event_type,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events e JOIN latest l ON e.user_id = l.user_id
+         WHERE e.user_id % 4 = 0
+         GROUP BY l.event_type""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

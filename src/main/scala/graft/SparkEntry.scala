@@ -3516,6 +3516,69 @@ object SparkEntry {
           col("last_event_type"), col("value"))
     }),
 
+    // ── REGULAR JOIN → CONTINUOUS AGGREGATE chain, DRIVER-GATED
+    //    (round 16): the join's -D/+I records drive a downstream
+    //    retract-folded GROUP BY — every dim revision MOVES the
+    //    re-enriched rows' contributions between groups, and a group
+    //    whose rows all retract is deleted. The full lab-aggregations
+    //    pipeline shape with the true regular join in the middle ──
+    "q242_stream_join_agg_chain" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q242").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("dim_feed_q242", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType))))
+        r.registerTopicSource("orders_feed_q242", StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("value", DoubleType))))
+        r.runScript("""
+          CREATE TABLE user_dim_q242 (user_id BIGINT, last_event_type STRING,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_dim_q242 SELECT user_id, event_type FROM dim_feed_q242;
+          CREATE TABLE enriched_q242 (event_id BIGINT, user_id BIGINT,
+            last_event_type STRING, value DOUBLE)
+            WITH ('changelog.mode' = 'retract');
+          INSERT INTO enriched_q242
+          SELECT o.event_id, o.user_id, c.last_event_type, o.value
+          FROM orders_feed_q242 o JOIN user_dim_q242 c ON o.user_id = c.user_id;
+          CREATE TABLE type_stats_q242 (last_event_type STRING, n_rows BIGINT,
+            sum_value DOUBLE,
+            PRIMARY KEY (last_event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO type_stats_q242
+          SELECT last_event_type, count(*) AS n_rows,
+                 CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          FROM enriched_q242 GROUP BY last_event_type""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+        val dim = slice.groupBy("user_id")
+          .agg(max_by(col("event_type"), struct(col("ts_us"), col("event_id")))
+            .as("event_type"))
+        Topics.appendJson(dim, "dim_feed_q242", conf, Nil, 2 * i + 1)
+        r.processAllAvailable()
+        Topics.appendJson(slice.select("event_id", "user_id", "value"),
+          "orders_feed_q242", conf, Nil, 2 * i + 2)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("type_stats_q242").select(col("last_event_type"), col("n_rows"),
+        col("sum_value"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

@@ -315,6 +315,51 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("composition: a continuous aggregate DOWNSTREAM of the regular join folds re-emissions exactly") {
+    // the regular join's -D/+I records must be a well-formed retract
+    // changelog to its consumers: a dim revision that moves enriched
+    // rows between groups must move their aggregate contributions,
+    // and a group whose rows all retract must be DELETED downstream
+    val conf = newConf("rjc")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjc_cust_feed", custSchema)
+    r.registerTopicSource("rjc_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjc_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjc_cust SELECT cid, name FROM rjc_cust_feed;
+      CREATE TABLE rjc_enr (order_id BIGINT, cust_name STRING, amount DOUBLE)
+        WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjc_enr
+      SELECT o.order_id, c.name, o.amount
+      FROM rjc_ord_feed o JOIN rjc_cust c ON o.cid = c.cid;
+      CREATE TABLE rjc_stats (cust_name STRING, n BIGINT, total DOUBLE,
+        PRIMARY KEY (cust_name) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjc_stats
+      SELECT cust_name, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM rjc_enr GROUP BY cust_name""")
+    def stats() = spark.table("rjc_stats")
+      .as[(String, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+
+    Topics.appendJson(Seq(RjCust("c1", "Ann"), RjCust("c2", "Bob")).toDF(),
+      "rjc_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0), RjOrd(2, "c2", "p1", 20.0),
+      RjOrd(3, "c1", "p1", 5.0)).toDF(), "rjc_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(stats() === Map("Ann" -> ((2L, 15.0)), "Bob" -> ((1L, 20.0))))
+
+    // c1 renames: BOTH its enriched rows retract from "Ann" and re-add
+    // under "Anna" — the Ann group empties and must be deleted
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjc_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(stats() === Map("Anna" -> ((2L, 15.0)), "Bob" -> ((1L, 20.0))),
+      "re-emissions must move the rows' aggregate contributions and delete the emptied group")
+    r.stopAll()
+  }
+
   test("join.state.ttl bounds the fact log: expired facts stop re-emitting; fresh facts still enrich") {
     val conf = newConf("rjttl")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
