@@ -2000,6 +2000,13 @@ object OracleSql {
          FROM events e JOIN latest l ON e.user_id = l.user_id
          WHERE e.user_id % 4 = 0
          GROUP BY l.event_type""",
+    // Streaming decontamination vs a revisable blocklist: block →
+    // retract already-kept rows, unblock → re-admit; the folded net
+    // state equals NOT EXISTS against the FINAL blocklist (% 16 = 4:
+    // blocked in epoch 3 and never unblocked; % 16 = 0 was unblocked).
+    "q243_stream_blocklist_decontam" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE user_id % 4 = 0 AND user_id % 16 <> 4""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

@@ -3579,6 +3579,77 @@ object SparkEntry {
         col("sum_value"))
     }),
 
+    // ── STREAMING DECONTAMINATION against a REVISABLE blocklist,
+    //    DRIVER-GATED (round 16): `WHERE NOT EXISTS (blocklist)` into
+    //    a retract target — blocking a user RETRACTS its already-kept
+    //    rows, unblocking RE-ADMITS them (the brute pre/post diff over
+    //    fact state), fresh rows evaluate at current blocklist state.
+    //    The LLM-pipeline shape: a takedown/GDPR list that changes
+    //    while the corpus streams. Final net state = the batch NOT
+    //    EXISTS against the FINAL blocklist ──
+    "q243_stream_blocklist_decontam" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q243").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("block_feed_q243", StructType(Seq(
+          StructField("user_id", LongType), StructField("__op", StringType))))
+        r.registerTopicSource("orders_feed_q243", StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("value", DoubleType))))
+        r.runScript("""
+          CREATE TABLE blocklist_q243 (user_id BIGINT, __op STRING,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO blocklist_q243 SELECT user_id, __op FROM block_feed_q243;
+          CREATE TABLE kept_q243 (event_id BIGINT, user_id BIGINT, value DOUBLE,
+            __op STRING) WITH ('changelog.mode' = 'retract');
+          INSERT INTO kept_q243 (event_id, user_id, value)
+          SELECT o.event_id, o.user_id, o.value FROM orders_feed_q243 o
+          WHERE NOT EXISTS (SELECT 1 FROM blocklist_q243 b
+                            WHERE b.user_id = o.user_id)""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      val users = ev.select("user_id").distinct()
+      def blockOps(i: Int): DataFrame = i match {
+        // epoch 2 blocks user_id % 16 = 0 (their epoch-1 rows RETRACT);
+        // epoch 3 blocks % 16 = 4; epoch 4 UNBLOCKS % 16 = 0 (their
+        // rows RE-ADMIT) — final blocklist = % 16 = 4 only
+        case 1 => users.where(pmod(col("user_id"), lit(16)) === 0)
+          .withColumn("__op", lit("+I"))
+        case 2 => users.where(pmod(col("user_id"), lit(16)) === 4)
+          .withColumn("__op", lit("+I"))
+        case 3 => users.where(pmod(col("user_id"), lit(16)) === 0)
+          .withColumn("__op", lit("-D"))
+        case _ => users.where(lit(false)).withColumn("__op", lit("+I"))
+      }
+      (0 until epochs).foreach { i =>
+        Topics.appendJson(ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .select("event_id", "user_id", "value"),
+          "orders_feed_q243", conf, Nil, 2 * i + 1)
+        r.processAllAvailable()
+        Topics.appendJson(blockOps(i), "block_feed_q243", conf, Nil, 2 * i + 2)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("kept_q243")
+        .groupBy("event_id", "user_id", "value")
+        .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+        .where(col("__n") === 1L)
+        .select(col("event_id"), col("user_id"), col("value"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

@@ -288,34 +288,50 @@ final class StreamingStatementRunner(spark: SparkSession,
         // joins (the r13 contract, RetractAggSpec "chained JOIN" —
         // every revision record crosses the join once, tag intact), so
         // its sign channel cannot double as regular-join content
-        def changelogDims(driver: String): Boolean = {
+        def changelogDims(driver: String, all: Seq[String]): Boolean = {
           def metaOf(r: String): Option[TableMeta] =
             if (synchronized { topicOf.contains(catalog.qualify(r)) })
               Some(catalog.getOrCreate(r))
             else None
-          val anyRetract = refs.exists(r =>
+          val anyRetract = all.exists(r =>
             metaOf(r).exists(_.changelogMode == ChangelogMode.Retract))
-          !anyRetract && refs.exists(r => r != driver && metaOf(r).exists(m =>
+          !anyRetract && all.exists(r => r != driver && metaOf(r).exists(m =>
             m.changelogMode == ChangelogMode.Upsert && m.primaryKey.nonEmpty))
         }
+        // the regular-join routing decision for a retract target:
+        // applicable shape + at least one upsert dim among the outer
+        // refs PLUS the subquery-referenced refs (an EXISTS blocklist
+        // is a dim even though it never appears in FROM)
+        def regularJoinPlan(driver: String): Option[(Seq[String], Option[OuterShape], Set[String])] =
+          if (meta.changelogMode != ChangelogMode.Retract) None
+          else regularJoinShape(select).flatMap { case (outer, subRefs) =>
+            val all = (refs ++ subRefs.toSeq.sorted).distinct
+            if (all.size > 1 && changelogDims(driver, all))
+              Some((all, outer, subRefs))
+            else None
+          }
         // the regular join's telescoped delta rule is exact ONLY for
         // MULTISET-LINEAR selects (a signed input row maps to signed
         // output rows independently of the rest of the input):
         // projections, filters, INNER joins, generators. Windows,
         // DISTINCT, sorts/limits, set differences and subqueries are
         // not linear — those shapes keep the documented snapshot path.
-        // ONE OUTER join (LEFT/RIGHT/FULL) is the sanctioned
-        // non-linear exception: each preserved side's null-padding has
-        // an exact pad-delta decomposition (out = inner + pads;
-        // startRegularJoin's outerPad terms), so a single outer join
-        // with one ref per side regular-joins too — chained/other
-        // outer shapes stay snapshot.
-        // Returns None = not applicable; Some(None) = inner-only;
-        // Some(Some(shape)) = single outer join.
-        def regularJoinShape(select: String): Option[Option[OuterShape]] = {
+        // TWO sanctioned non-linear exceptions: ONE OUTER join
+        // (LEFT/RIGHT/FULL — each preserved side's null-padding has an
+        // exact pad-delta decomposition, startRegularJoin's outerPad
+        // terms), and SUBQUERY predicates (EXISTS / NOT EXISTS / IN /
+        // scalar) whose plans reference only NON-outer refs — the
+        // select stays linear in the OUTER sides for fixed subquery-dim
+        // state, so a subquery-dim change runs an exact brute
+        // pre/post diff (startRegularJoin's subqueryDims terms).
+        // Chained/other outer shapes and CTEs stay snapshot.
+        // Returns None = not applicable; otherwise
+        // Some((outer-join shape if any, subquery-referenced refs)).
+        def regularJoinShape(select: String): Option[(Option[OuterShape], Set[String])] = {
           import org.apache.spark.sql.catalyst.plans.logical.{
             Aggregate => LAgg, Deduplicate, Distinct => LDist, Except,
-            GlobalLimit, Intersect, Join, LocalLimit, Offset, Sort, Window}
+            GlobalLimit, Intersect, Join, LocalLimit, Offset, Sort,
+            UnresolvedWith, Window}
           import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
           try {
             // the PARSED plan, never the analyzed one: analysis expands
@@ -325,9 +341,14 @@ final class StreamingStatementRunner(spark: SparkSession,
             val plan = spark.sessionState.sqlParser.parsePlan(select)
             var ok = true
             val outers = scala.collection.mutable.ArrayBuffer.empty[Join]
+            val subPlans = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+            val outerRefs = scala.collection.mutable.Set.empty[String]
             var joins = 0
             plan.foreach { node =>
               node match {
+                case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+                  outerRefs += r.multipartIdentifier.last
                 case j: Join =>
                   joins += 1
                   if (j.joinType == LeftOuter || j.joinType == RightOuter ||
@@ -336,17 +357,45 @@ final class StreamingStatementRunner(spark: SparkSession,
                 case _: LAgg | _: Window | _: LDist | _: Deduplicate |
                      _: Sort | _: GlobalLimit | _: LocalLimit | _: Offset |
                      _: Intersect | _: Except => ok = false
+                // CTE definition plans are NOT plan children — this
+                // walk cannot see what they hide (an aggregate over a
+                // dim would silently break linearity), so WITH stays
+                // on the snapshot path
+                case _: UnresolvedWith => ok = false
                 case _ =>
               }
               node.expressions.foreach(_.foreach {
                 case _: org.apache.spark.sql.catalyst.expressions.WindowExpression |
                      _: org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression =>
                   ok = false
-                case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-                  ok = false // scalar/EXISTS subqueries: not linear in the sides
+                case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+                  // a subquery's PLAN may compute anything (aggregates
+                  // included) — its refs become brute-diff dims below
+                  subPlans += sq.plan
                 case _ =>
               })
             }
+            // subquery-referenced refs, nested subqueries included; a
+            // CTE inside one hides refs from this walk → not applicable
+            val subRefs = scala.collection.mutable.Set.empty[String]
+            def collectSub(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+              p.foreach { n =>
+                n match {
+                  case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+                    subRefs += r.multipartIdentifier.last
+                  case _: UnresolvedWith => ok = false
+                  case _ =>
+                }
+                n.expressions.foreach(_.foreach {
+                  case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+                    collectSub(sq.plan)
+                  case _ =>
+                })
+              }
+            subPlans.foreach(collectSub)
+            // the select must stay linear in every OUTER side: a
+            // subquery reading an outer ref couples them non-linearly
+            if (subRefs.exists(outerRefs.contains)) ok = false
             def soleRef(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[String] = {
               val rs = p.collect {
                 case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
@@ -355,11 +404,11 @@ final class StreamingStatementRunner(spark: SparkSession,
               if (rs.size == 1) Some(rs.head) else None
             }
             if (!ok) None
-            else if (outers.isEmpty) Some(None)
+            else if (outers.isEmpty) Some((None, subRefs.toSet))
             else if (outers.size == 1 && joins == 1)
               (soleRef(outers.head.left), soleRef(outers.head.right)) match {
                 case (Some(l), Some(r)) =>
-                  Some(Some(OuterShape(outers.head.joinType, l, r)))
+                  Some((Some(OuterShape(outers.head.joinType, l, r)), subRefs.toSet))
                 case _ => None
               }
             else None
@@ -374,13 +423,13 @@ final class StreamingStatementRunner(spark: SparkSession,
               // target's prior state — a continuous aggregate, never
               // batch-local partials
               mergeExternal(streamRefs.head, shape)
-            else if (meta.changelogMode == ChangelogMode.Retract &&
-                changelogDims(streamRefs.head) && regularJoinShape(select).isDefined)
+            else if (regularJoinPlan(streamRefs.head).isDefined) {
               // retract target + changelog dims = Flink's REGULAR join:
               // dim revisions retract + re-emit past enrichments
-              startRegularJoin(binding, meta, targetCols, select, refs,
-                outerPad = regularJoinShape(select).flatten)
-            else
+              val (all, outer, subDims) = regularJoinPlan(streamRefs.head).get
+              startRegularJoin(binding, meta, targetCols, select, all,
+                outerPad = outer, subqueryDims = subDims)
+            } else
               // any aggregate lives in a dim-only subquery/CTE — the
               // snapshot join re-resolves the select per batch, so the
               // dim-side aggregate evaluates at current dim state
@@ -398,6 +447,15 @@ final class StreamingStatementRunner(spark: SparkSession,
               // all route to the merge path, never to startDirect
               mergeExternal(streamRefs.head, shape)
             else startDirect(binding, meta, targetCols, select)
+          } else if (streamRefs.size == 1 && refs.size == 1 &&
+              shapeFor(streamRefs.head).contexts == 0 &&
+              regularJoinPlan(streamRefs.head).isDefined) {
+            // single stream whose only dims live in SUBQUERY predicates
+            // (EXISTS/NOT EXISTS/IN blocklists) — still the regular
+            // join: a blocklist revision retracts/re-admits past rows
+            val (all, outer, subDims) = regularJoinPlan(streamRefs.head).get
+            startRegularJoin(binding, meta, targetCols, select, all,
+              outerPad = outer, subqueryDims = subDims)
           } else
             startDirect(binding, meta, targetCols, select)
         } else {
@@ -449,13 +507,14 @@ final class StreamingStatementRunner(spark: SparkSession,
             // so anything else stays a loud rejection.
             requireFoldableShape(s"changelog table $driver", shape)
             startRetractAgg(binding, meta, targetCols, select, driver, driverMeta)
-          } else if (refs.size > 1 && meta.changelogMode == ChangelogMode.Retract &&
-              changelogDims(driver) && regularJoinShape(select).isDefined) {
+          } else if (regularJoinPlan(driver).isDefined) {
             // table-to-table joined INSERT into a retract target whose
-            // dims are changelog tables: the regular join (dim
-            // revisions retract + re-emit past enrichments)
-            startRegularJoin(binding, meta, targetCols, select, refs,
-              outerPad = regularJoinShape(select).flatten)
+            // dims are changelog tables (joined in FROM or referenced
+            // by a subquery predicate): the regular join — dim
+            // revisions retract + re-emit past enrichments
+            val (all, outer, subDims) = regularJoinPlan(driver).get
+            startRegularJoin(binding, meta, targetCols, select, all,
+              outerPad = outer, subqueryDims = subDims)
           } else {
             val promoted = changelogStream(driver, warnTombstones = true)
             withViewShadow(driver, promoted) {
@@ -869,7 +928,8 @@ final class StreamingStatementRunner(spark: SparkSession,
   private def startRegularJoin(target: TargetBinding, meta: TableMeta,
                                targetCols: Seq[String], select: String,
                                refs: Seq[String],
-                               outerPad: Option[OuterShape] = None): StreamingQuery = {
+                               outerPad: Option[OuterShape] = None,
+                               subqueryDims: Set[String] = Set.empty): StreamingQuery = {
     import graft.streaming.JoinState
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.types.{LongType, TimestampType}
@@ -977,6 +1037,25 @@ final class StreamingStatementRunner(spark: SparkSession,
       }
     }
 
+    // ── literal-signed evaluation of the ORIGINAL select (outer join
+    //    and subquery predicates kept verbatim) — the brute pre/post
+    //    diff a SUBQUERY-DIM change runs: out is linear in nothing
+    //    once a subquery's state moved, but eval(post)·(+1) +
+    //    eval(pre)·(−1) is the exact multiset delta, and unchanged
+    //    rows net away in the content fold ──
+    def evalSigned(df: DataFrame, sign: Int): DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      GraftSqlBridge.analyzedPlan(df) match {
+        case p: Project =>
+          GraftSqlBridge.ofRows(spark,
+            Project(p.projectList :+ Alias(Literal(sign), SG)(), p.child))
+        case other => throw new IllegalArgumentException(
+          s"INSERT INTO ${target.qualified}: a retract-target regular join " +
+            s"must be a plain top-level SELECT, got ${other.nodeName}")
+      }
+    }
+
     // ── the LEFT OUTER join's PAD rows for given side states: facts
     //    with NO match (the LeftOuter flipped to LeftAnti), projected
     //    through the ORIGINAL select with every right-side attribute
@@ -1060,14 +1139,19 @@ final class StreamingStatementRunner(spark: SparkSession,
         outerPad.toSeq.flatMap(_.padSides).foreach { case (_, _, isLeft) =>
           padFrame(spark.sql(select), isLeft, sign = Some(1))
         }
-        sides.indices.foreach { i =>
-          sides.zipWithIndex.foreach { case (sj, j) =>
-            val base = emptyOf(sj.viewSchema)
-            (if (j == i) base.withColumn(SG, lit(1)) else base)
-              .createOrReplaceTempView(sj.ref)
+        if (subqueryDims.nonEmpty) evalSigned(spark.sql(select), 1)
+        // per-side sign-channel validation: OUTER sides only — a
+        // subquery dim's columns never surface in the outer plan (its
+        // deltas run the brute pre/post diff, validated above)
+        sides.indices.filterNot(i => subqueryDims.contains(sides(i).ref))
+          .foreach { i =>
+            sides.zipWithIndex.foreach { case (sj, j) =>
+              val base = emptyOf(sj.viewSchema)
+              (if (j == i) base.withColumn(SG, lit(1)) else base)
+                .createOrReplaceTempView(sj.ref)
+            }
+            injectSign(spark.sql(select))
           }
-          injectSign(spark.sql(select))
-        }
         n
       } finally sides.foreach(s => restoreRefView(s.ref, s.restore))
     }
@@ -1135,7 +1219,7 @@ final class StreamingStatementRunner(spark: SparkSession,
                 }
               }
               // telescoped terms, each analyzed under its shadow set
-              val innerTerms = sides.indices.filter(touched.contains).map { i =>
+              def innerTerms = sides.indices.filter(touched.contains).map { i =>
                 sides.zipWithIndex.foreach { case (sj, j) =>
                   val frame =
                     if (j < i) pre(j)
@@ -1150,7 +1234,7 @@ final class StreamingStatementRunner(spark: SparkSession,
               // pad(P', O') − pad(P, O); when only the preserved side
               // moved, pad is linear in it — one signed evaluation
               // over the delta suffices
-              val padTerms = outerPad.toSeq.flatMap(_.padSides).flatMap {
+              def padTerms = outerPad.toSeq.flatMap(_.padSides).flatMap {
                 case (pRef, oRef, isLeft) =>
                   val pIdx = sides.indexWhere(_.ref == pRef)
                   val oIdx = sides.indexWhere(_.ref == oRef)
@@ -1168,7 +1252,28 @@ final class StreamingStatementRunner(spark: SparkSession,
                     Seq(evalPad(decodeDelta(deltaRows(pIdx), sides(pIdx)),
                       post(oIdx), None))
               }
-              val terms = innerTerms ++ padTerms
+              // a SUBQUERY-DIM change invalidates every row's
+              // predicate verdict at once — brute pre/post diff
+              // replaces the telescoped/pad terms entirely (it IS the
+              // exact delta, outer-join semantics included)
+              val subTouched = sides.indices.exists(i =>
+                touched.contains(i) && subqueryDims.contains(sides(i).ref))
+              def evalAll(usePost: Boolean, sign: Int): DataFrame = {
+                sides.zipWithIndex.foreach { case (sj, j) =>
+                  (if (usePost) post(j) else pre(j)).createOrReplaceTempView(sj.ref)
+                }
+                evalSigned(spark.sql(select), sign)
+                  .toDF((outNames :+ SG).toIndexedSeq: _*)
+              }
+              // NOTE innerTerms/padTerms are defs: when a subquery
+              // dim moved they must not even be BUILT — a touched
+              // subquery side's delta term has no __jsign in the outer
+              // plan (its columns never surface there) and would
+              // reject during analysis
+              val terms =
+                if (subTouched) Seq(evalAll(usePost = false, -1),
+                  evalAll(usePost = true, 1))
+                else innerTerms ++ padTerms
               sides.foreach(s => restoreRefView(s.ref, s.restore))
               val netted = terms.reduce(_ unionByName _)
                 .groupBy(outNames.map(c => col(s"`$c`")).toIndexedSeq: _*)

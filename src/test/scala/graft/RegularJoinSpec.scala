@@ -360,6 +360,57 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("subquery-dim regular join: a NOT EXISTS blocklist revision retracts and re-admits past rows") {
+    val conf = newConf("rjb")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjb_block_feed", StructType(Seq(
+      StructField("uid", StringType), StructField("__op", StringType))))
+    r.registerTopicSource("rjb_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjb_block (uid STRING, __op STRING,
+        PRIMARY KEY (uid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjb_block SELECT uid, __op FROM rjb_block_feed;
+      CREATE TABLE rjb_kept (order_id BIGINT, amount DOUBLE, __op STRING)
+        WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjb_kept (order_id, amount)
+      SELECT o.order_id, o.amount FROM rjb_ord_feed o
+      WHERE NOT EXISTS (SELECT 1 FROM rjb_block b WHERE b.uid = o.cid)""")
+    def state() = net("rjb_kept", "order_id", "amount")
+
+    // empty blocklist: both orders kept
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0), RjOrd(2, "c2", "p1", 20.0))
+      .toDF(), "rjb_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq(10.0), 2L -> Seq(20.0)))
+
+    // blocking c1 retracts its ALREADY-EMITTED row — the brute
+    // pre/post diff over the fact state
+    Topics.appendJson(Seq(("c1", "+I")).toDF("uid", "__op"), "rjb_block_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(2L -> Seq(20.0)),
+      "blocking a key must retract its previously-kept rows")
+
+    // unblocking (tombstone) RE-ADMITS it
+    Topics.appendJson(Seq(("c1", "-D")).toDF("uid", "__op"), "rjb_block_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq(10.0), 2L -> Seq(20.0)),
+      "unblocking must re-admit the retracted rows")
+    // the changelog shows the full round trip for order 1
+    val ops = spark.table("rjb_kept").where(col("order_id") === 1)
+      .select("__op").as[String].collect().toList
+    assert(ops.count(_ == "+I") == 2 && ops.count(_ == "-D") == 1, s"ops: $ops")
+
+    // fresh facts evaluate against current blocklist state
+    Topics.appendJson(Seq(("c2", "+I")).toDF("uid", "__op"), "rjb_block_feed", conf, Nil, 3)
+    r.processAllAvailable()
+    Topics.appendJson(Seq(RjOrd(3, "c2", "p1", 30.0), RjOrd(4, "c3", "p1", 40.0))
+      .toDF(), "rjb_ord_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq(10.0), 4L -> Seq(40.0)),
+      "order 2 retracted by c2's block; order 3 never admitted; order 4 kept")
+    r.stopAll()
+  }
+
   test("join.state.ttl bounds the fact log: expired facts stop re-emitting; fresh facts still enrich") {
     val conf = newConf("rjttl")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
