@@ -411,6 +411,92 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("BOTH inputs updating: two upsert tables regular-join, revisions on either side re-emit") {
+    // Flink's regular join with two updating inputs — each side's
+    // revision retracts its prior contribution and re-joins at the
+    // other side's current state (both sides keep folded snapshots)
+    val conf = newConf("rj2u")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rj2_cust_feed", custSchema)
+    r.registerTopicSource("rj2_prod_feed", prodSchema)
+    r.runScript("""
+      CREATE TABLE rj2_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rj2_cust SELECT cid, name FROM rj2_cust_feed;
+      CREATE TABLE rj2_pref (pid STRING, fav_cid STRING, price DOUBLE,
+        PRIMARY KEY (pid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rj2_pref SELECT pid, brand, price FROM rj2_prod_feed;
+      CREATE TABLE rj2_enr (pid STRING, cust_name STRING, price DOUBLE,
+        __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rj2_enr (pid, cust_name, price)
+      SELECT p.pid, c.name, p.price
+      FROM rj2_pref p JOIN rj2_cust c ON p.fav_cid = c.cid""")
+    def state() = spark.table("rj2_enr")
+      .groupBy("pid", "cust_name", "price")
+      .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+      .where(col("__n") === 1L).select("pid", "cust_name", "price")
+      .as[(String, String, Double)].collect().toSet
+
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rj2_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    Topics.appendJson(Seq(RjProd("p1", "c1", 100.0)).toDF(), "rj2_prod_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Set(("p1", "Ann", 100.0)))
+    // LEFT side (the "fact" table) revises: its old joined row retracts
+    Topics.appendJson(Seq(RjProd("p1", "c1", 120.0)).toDF(), "rj2_prod_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Set(("p1", "Ann", 120.0)),
+      "an upsert fact revision must retract its prior joined row")
+    // RIGHT side revises: re-emission at the fact's CURRENT version
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rj2_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Set(("p1", "Anna", 120.0)))
+    // both revise in ONE epoch: exactly one net row at the new states
+    Topics.appendJson(Seq(RjProd("p1", "c1", 150.0)).toDF(), "rj2_prod_feed", conf, Nil, 3)
+    Topics.appendJson(Seq(RjCust("c1", "Annette")).toDF(), "rj2_cust_feed", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(state() === Set(("p1", "Annette", 150.0)),
+      "simultaneous two-sided revisions must net to one row at the new states")
+    r.stopAll()
+  }
+
+  test("IN and scalar subqueries over revisable dims: allowlist membership and a moving aggregate threshold") {
+    val conf = newConf("rjin")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rji_allow_feed", StructType(Seq(
+      StructField("uid", StringType))))
+    r.registerTopicSource("rji_ord_feed", ordSchema)
+    // the scalar subquery AGGREGATES over the dim — allowed on the
+    // subquery-dim path (its plan may compute anything; the brute
+    // diff re-evaluates it at pre/post dim state)
+    r.runScript("""
+      CREATE TABLE rji_allow (uid STRING,
+        PRIMARY KEY (uid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rji_allow SELECT uid FROM rji_allow_feed;
+      CREATE TABLE rji_kept (order_id BIGINT, amount DOUBLE, __op STRING)
+        WITH ('changelog.mode' = 'retract');
+      INSERT INTO rji_kept (order_id, amount)
+      SELECT o.order_id, o.amount FROM rji_ord_feed o
+      WHERE o.cid IN (SELECT uid FROM rji_allow)
+        AND o.amount > (SELECT count(*) * 10.0 FROM rji_allow)""")
+    def state() = net("rji_kept", "order_id", "amount")
+
+    Topics.appendJson(Seq(("c1")).toDF("uid"), "rji_allow_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    // threshold = 1 member * 10 = 10: order 1 (15) passes, order 2 not allowed
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 15.0), RjOrd(2, "c2", "p1", 50.0))
+      .toDF(), "rji_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq(15.0)))
+    // adding c2 admits order 2 AND moves the threshold to 20 — order 1
+    // (15) now fails it and must RETRACT
+    Topics.appendJson(Seq(("c2")).toDF("uid"), "rji_allow_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(2L -> Seq(50.0)),
+      "one dim batch can simultaneously admit by membership and retract by the moved threshold")
+    r.stopAll()
+  }
+
   test("join.state.ttl bounds the fact log: expired facts stop re-emitting; fresh facts still enrich") {
     val conf = newConf("rjttl")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
