@@ -2007,6 +2007,22 @@ object OracleSql {
     "q243_stream_blocklist_decontam" ->
       """SELECT event_id, user_id, value FROM events
          WHERE user_id % 4 = 0 AND user_id % 16 <> 4""",
+    // Exact percentile over the latest-per-user changelog: integer
+    // values + dyadic percentages make every interpolation step
+    // exactly representable, so Spark's weighted Percentile and
+    // DuckDB's quantile_cont agree bit-for-bit.
+    "q244_stream_exact_percentile" ->
+      """WITH latest AS (
+           SELECT user_id, event_type
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 4 = 0) WHERE rn = 1)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                quantile_cont(CAST(user_id % 97 AS DOUBLE), 0.25) AS p25,
+                quantile_cont(CAST(user_id % 97 AS DOUBLE), 0.5) AS p50,
+                quantile_cont(CAST(user_id % 97 AS DOUBLE), 0.75) AS p75,
+                median(CAST(user_id % 97 AS DOUBLE)) AS med
+         FROM latest GROUP BY event_type""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

@@ -3650,6 +3650,67 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("value"))
     }),
 
+    // ── EXACT PERCENTILE over an upsert changelog driver, DRIVER-GATED
+    //    (round 16 — the last multiset-foldable shape; the practical
+    //    rejection list is now empty): percentile/median recompute
+    //    from the per-(group, value) net counts via Spark's weighted
+    //    Percentile. Values are INTEGER-valued doubles and the
+    //    percentages dyadic (0.25/0.5/0.75), so every interpolation
+    //    step is exactly representable — bit-identical to DuckDB's
+    //    quantile_cont regardless of either engine's evaluation order
+    //    (the CLAUDE.md float-tie rule applied by construction) ──
+    "q244_stream_exact_percentile" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q244").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_feed_q244", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+        r.runScript("""
+          CREATE TABLE user_latest_q244 (
+            user_id BIGINT, last_event_type STRING, last_value DOUBLE,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_latest_q244
+          SELECT user_id, event_type, value FROM events_feed_q244;
+          CREATE TABLE type_pcts_q244 (event_type STRING, n_users BIGINT,
+            p25 DOUBLE, p50 DOUBLE, p75 DOUBLE, med DOUBLE,
+            PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO type_pcts_q244
+          SELECT last_event_type, count(*) AS n_users,
+                 percentile(CAST(user_id % 97 AS DOUBLE), 0.25) AS p25,
+                 percentile(CAST(user_id % 97 AS DOUBLE), 0.5) AS p50,
+                 percentile(CAST(user_id % 97 AS DOUBLE), 0.75) AS p75,
+                 median(CAST(user_id % 97 AS DOUBLE)) AS med
+          FROM user_latest_q244 GROUP BY last_event_type""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_type"), col("value")),
+            struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.event_type"), col("__l.value"))
+        Topics.appendJson(slice, "events_feed_q244", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("type_pcts_q244").select(col("event_type"), col("n_users"),
+        col("p25"), col("p50"), col("p75"), col("med"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

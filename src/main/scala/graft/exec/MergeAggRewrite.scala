@@ -44,8 +44,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, TimestampType
   * number of expressions (struct-keyed multiset), single-expression
   * DISTINCT sum/avg, and collect_set/collect_list/array_agg (the live
   * multiset emitted as a value-sorted array — Flink's retractable
-  * COLLECT state). The one genuinely unbounded-state shape left,
-  * exact percentile, rejects loudly.
+  * COLLECT state), and EXACT percentile/median/percentile_cont (the
+  * multiset's net counts feed Spark's weighted Percentile, recomputed
+  * over live values). Nothing on the practical aggregate surface
+  * rejects anymore; the residual rejections are degenerate forms
+  * (array-of-percentages percentile, frequency-column percentile,
+  * multi-column DISTINCT under sum/avg, percentile_disc).
   */
 object MergeAggRewrite {
 
@@ -204,6 +208,37 @@ object MergeAggRewrite {
             case l: Last =>
               argOrder(ordAttr, l.child, isMax = true,
                 skipNullValue = l.ignoreNulls)
+            // ── EXACT percentile (round 16 — the last multiset-foldable
+            //    shape): the per-(group, value) net counts ARE the
+            //    frequency column of Spark's exact weighted Percentile,
+            //    recomputed over live values per touched group. The
+            //    percentage must be a foldable SCALAR (the array form
+            //    emits an array the stat column cannot carry) and the
+            //    input frequency the default 1 ──
+            case pc: Percentile =>
+              require(!pc.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+                s"merge aggregate over $driver: percentile with an ARRAY of " +
+                  "percentages is not foldable — call percentile once per value")
+              require(pc.frequencyExpression.foldable &&
+                  pc.frequencyExpression.eval() == 1L,
+                s"merge aggregate over $driver: percentile with a frequency " +
+                  "column is not foldable — pre-expand the rows")
+              require(pc.percentageExpression.foldable,
+                s"merge aggregate over $driver: percentile needs a literal percentage")
+              val pv = pc.percentageExpression.eval() match {
+                case d: org.apache.spark.sql.types.Decimal => d.toDouble
+                case d: Double => d
+                case f: Float => f.toDouble
+                case n: Number => n.doubleValue()
+                case other => throw new IllegalArgumentException(
+                  s"merge aggregate over $driver: unsupported percentile " +
+                    s"percentage $other")
+              }
+              require(pv >= 0.0 && pv <= 1.0,
+                s"merge aggregate over $driver: percentile percentage $pv outside [0, 1]")
+              // stat key encodes the percentage in micros — stable,
+              // name-safe, shared across same-p calls on one expression
+              valueSetFor(pc.child, s"pct${math.round(pv * 1e6)}")
             // ── DISTINCT aggregates: exact, from the multiset ──
             case c: Count if ae.isDistinct =>
               val nonLit = c.children.filterNot(_.foldable)
@@ -329,7 +364,8 @@ object MergeAggRewrite {
                   "statistic/argmax/DISTINCT/collect shape) — supported: count, " +
                   "sum, avg, min, max, max_by, min_by, first, last, " +
                   "count(DISTINCT expr...), sum/avg(DISTINCT expr), " +
-                  "listagg, collect_set, collect_list/array_agg")
+                  "listagg, collect_set, collect_list/array_agg, " +
+                  "percentile/median/percentile_cont")
           }
         case other => other.mapChildren(substitute)
       }

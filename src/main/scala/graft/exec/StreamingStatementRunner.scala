@@ -637,7 +637,8 @@ final class StreamingStatementRunner(spark: SparkSession,
     val multisetNames = Set("min", "max", "min_by", "max_by",
       "first", "last", "first_value", "last_value",
       "bool_and", "bool_or", "every", "some", "any", "listagg", "string_agg",
-      "collect_set", "collect_list", "array_agg")
+      "collect_set", "collect_list", "array_agg",
+      "percentile", "median", "percentile_cont")
     // first/last fold by ARRIVAL order — even over insert-only
     // drivers they need the offset-ordered merge path (native
     // streaming first/last is shuffle-order nondeterministic)
@@ -1775,7 +1776,15 @@ final class StreamingStatementRunner(spark: SparkSession,
           sort_array(collect_list(struct(col("__v").as("v"), col("__vsn").as("n")))),
           p => array_repeat(p.getField("v"), p.getField("n").cast("int"))))
           .as(s"${vs.name}_lsa"))
-        .collect { case (s, c) if vs.stats.contains(s) => c }
+        .collect { case (s, c) if vs.stats.contains(s) => c } ++
+        // EXACT percentile stats (round 16): the live pairs' net count
+        // IS the frequency column of Spark's exact weighted Percentile
+        // — recomputed per touched group like every other stat. Key
+        // "pct<micros-of-p>" decodes back to the percentage here.
+        vs.stats.toSeq.filter(_.startsWith("pct")).sorted.map { st =>
+          percentile(col("__v"), lit(st.drop(3).toLong / 1e6), col("__vsn"))
+            .as(s"${vs.name}_$st")
+        }
       // eager: materialize the stats while the merge frame is cached
       // (the caller's sink action runs after this frame is unpersisted)
       val stats = live.groupBy(keyNames.map(k => col(s"`$k`")): _*)

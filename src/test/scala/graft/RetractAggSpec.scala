@@ -128,11 +128,13 @@ class RetractAggSpec extends SparkSpec {
 
     r.run("""CREATE TABLE g_bad (grp STRING, x DOUBLE,
              PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
-    // exact percentile has no retraction algebra and unbounded state
-    // (min/max/DISTINCT/first/last/argmax/bool/listagg all fold via
-    // the value-multiset merge path now — ValueSetAggSpec)
+    // CONTINUOUS percentile folds via the multiset merge path since
+    // round 16 (q244); the DISCRETE form has no multiset route and
+    // stays a loud rejection on this path
     val e1 = intercept[IllegalArgumentException](
-      r.run("INSERT INTO g_bad SELECT grp, percentile(amt, 0.5) FROM acct GROUP BY grp"))
+      r.run("""INSERT INTO g_bad
+               SELECT grp, percentile_disc(0.5) WITHIN GROUP (ORDER BY amt)
+               FROM acct GROUP BY grp"""))
     assert(e1.getMessage.contains("not sum-decomposable"))
     // an aggregate hidden in a scalar subquery (an expression, not a
     // plan child — ADVICE r13 item 4) still sees raw revisions

@@ -247,6 +247,40 @@ class ValueSetAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("EXACT percentile/median over an upsert driver: recomputed from the live multiset under revision and tombstone") {
+    val conf = newConf("vs-pct")
+    val r = runner(conf, "vs_src_pct", """
+      CREATE TABLE vs_pct (grp STRING, n BIGINT, p50 DOUBLE, p25 DOUBLE,
+        med DOUBLE,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_pct
+      SELECT grp, count(*) AS n, percentile(amt, 0.5) AS p50,
+             percentile(amt, 0.25) AS p25, median(amt) AS med
+      FROM vs_acct GROUP BY grp""")
+    def state() = spark.table("vs_pct")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+
+    Topics.appendJson(Seq(VsRow("k1", "g1", 10.0), VsRow("k2", "g1", 20.0),
+      VsRow("k3", "g1", 30.0)).toDF(), "vs_src_pct", conf, Nil, 1)
+    r.processAllAvailable()
+    // p25 interpolates: position 0.25·(3−1) = 0.5 → 10 + (20−10)·0.5
+    assert(state() === Map("g1" -> ((3L, 20.0, 15.0, 20.0))))
+
+    // the median HOLDER revises away: the percentile recomputes from
+    // what remains — impossible for any mergeable-raw encoding
+    Topics.appendJson(Seq(VsRow("k2", "g1", 100.0)).toDF(), "vs_src_pct", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((3L, 30.0, 20.0, 30.0))),
+      "revising the median holder must recompute the percentile from live values")
+
+    // tombstone k3: two values left — p50 interpolates between them
+    Topics.appendJson(Seq(VsRow("k3", "DEL", 0.0)).toDF(), "vs_src_pct", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((2L, 55.0, 32.5, 55.0))))
+    r.stopAll()
+  }
+
   test("first/last over a RETRACT-mode topic: FIFO provenance cancels the EARLIEST duplicate copy (Flink's convention)") {
     val conf2 = newConf("vs-fl-retract")
     val r2 = new StreamingStatementRunner(spark, topicConf = Some(conf2))
