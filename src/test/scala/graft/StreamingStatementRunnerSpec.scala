@@ -534,11 +534,13 @@ class StreamingStatementRunnerSpec extends SparkSpec {
       INSERT INTO claim_keyed SELECT order_id, product_id FROM claim_orders_s;
       CREATE TABLE claim_out (product_id STRING, n BIGINT,
         PRIMARY KEY (product_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
-    // percentile over a changelog driver rejects (unbounded state) —
-    // the writer claim taken at statement entry must be RELEASED
+    // percentile_disc over a changelog driver rejects (continuous
+    // percentile folds via the multiset since round 16) — the writer
+    // claim taken at statement entry must be RELEASED
     intercept[IllegalArgumentException](
       r.run("""INSERT INTO claim_out
-               SELECT product_id, percentile(order_id, 0.5)
+               SELECT product_id,
+                      percentile_disc(0.5) WITHIN GROUP (ORDER BY order_id)
                FROM claim_keyed GROUP BY product_id"""))
     // ... so the corrected statement can claim the same target
     val q = r.run("""INSERT INTO claim_out
