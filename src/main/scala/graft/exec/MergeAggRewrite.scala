@@ -237,7 +237,16 @@ object MergeAggRewrite {
               require(pv >= 0.0 && pv <= 1.0,
                 s"merge aggregate over $driver: percentile percentage $pv outside [0, 1]")
               // stat key encodes the percentage in micros — stable,
-              // name-safe, shared across same-p calls on one expression
+              // name-safe, shared across same-p calls on one expression.
+              // The percentage must be EXACTLY micro-aligned: a
+              // non-aligned p (e.g. 1.0/3) would silently compute the
+              // quantized percentile, and two ps within ~1e-6 would
+              // collide on one stat column (ADVICE r16) — reject loudly
+              require(pv * 1e6 == math.rint(pv * 1e6),
+                s"merge aggregate over $driver: percentile percentage $pv is " +
+                  "not representable at micro precision (the stat key " +
+                  "quantizes to 1e-6) — use a micro-aligned percentage " +
+                  "such as 0.333333")
               valueSetFor(pc.child, s"pct${math.round(pv * 1e6)}")
             // ── DISTINCT aggregates: exact, from the multiset ──
             case c: Count if ae.isDistinct =>

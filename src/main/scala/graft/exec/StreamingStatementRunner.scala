@@ -344,11 +344,19 @@ final class StreamingStatementRunner(spark: SparkSession,
             val subPlans = scala.collection.mutable.ArrayBuffer
               .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
             val outerRefs = scala.collection.mutable.Set.empty[String]
+            // SELF-JOIN guard (ADVICE r16): a table referenced twice in
+            // FROM binds BOTH occurrences to the one per-batch shadow
+            // view, so the telescoped term would compute delta-join-
+            // delta only, silently dropping the pre⋈Δ and Δ⋈post cross
+            // terms — such shapes keep the documented snapshot path
+            val refCounts = scala.collection.mutable.Map.empty[String, Int]
             var joins = 0
             plan.foreach { node =>
               node match {
                 case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-                  outerRefs += r.multipartIdentifier.last
+                  val n = r.multipartIdentifier.last
+                  outerRefs += n
+                  refCounts(n) = refCounts.getOrElse(n, 0) + 1
                 case j: Join =>
                   joins += 1
                   if (j.joinType == LeftOuter || j.joinType == RightOuter ||
@@ -393,6 +401,7 @@ final class StreamingStatementRunner(spark: SparkSession,
                 })
               }
             subPlans.foreach(collectSub)
+            if (refCounts.values.exists(_ > 1)) ok = false
             // the select must stay linear in every OUTER side: a
             // subquery reading an outer ref couples them non-linearly
             if (subRefs.exists(outerRefs.contains)) ok = false
@@ -1151,7 +1160,18 @@ final class StreamingStatementRunner(spark: SparkSession,
               (if (j == i) base.withColumn(SG, lit(1)) else base)
                 .createOrReplaceTempView(sj.ref)
             }
-            injectSign(spark.sql(select))
+            // arity must hold with the delta side's hidden sign column
+            // riding its view too: a `SELECT *` expands the sign into
+            // the user columns and would only fail mid-stream with a
+            // confusing toDF count error (ADVICE r16) — reject at
+            // submission instead
+            val signedArity = injectSign(spark.sql(select)).columns.length
+            require(signedArity == n + 1,
+              s"INSERT INTO ${target.qualified}: the select's column list " +
+                s"changes arity ($n vs ${signedArity - 1}) when a side view " +
+                "carries the hidden sign column — star expansion (SELECT *) " +
+                "over the joined sides is not supported on the regular-join " +
+                "path; name the output columns explicitly")
           }
         n
       } finally sides.foreach(s => restoreRefView(s.ref, s.restore))

@@ -91,8 +91,16 @@ object JoinState {
     }
   }
 
+  /** Multiset → rows: cnt copies per payload. Non-positive counts
+    * contribute NOTHING — a persisted negative (a retract still
+    * awaiting its add across batches) is a pending cancellation, not
+    * content; without the filter `sequence(1, cnt)` with cnt < 1
+    * would produce a DESCENDING sequence and fabricate |cnt|+2
+    * phantom rows (ADVICE r16). [[foldSnapshot]] deliberately KEEPS
+    * negatives in the stored state so the late add still nets to 0. */
   def explodeCnt(folded: DataFrame): DataFrame =
-    folded.select(col("__payload"),
+    folded.where(col("__cnt") > 0L)
+      .select(col("__payload"),
         explode(sequence(lit(1L), col("__cnt"))).as("__i"))
       .select("__payload")
 

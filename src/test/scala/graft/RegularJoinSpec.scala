@@ -530,6 +530,61 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("self-join shapes keep the snapshot path: a table referenced twice in FROM never regular-joins (ADVICE r16)") {
+    // the per-batch shadow view binds BOTH occurrences of a duplicated
+    // ref to one frame, so the telescoped term would silently drop the
+    // pre⋈Δ / Δ⋈post cross terms — the routing must refuse the shape
+    val conf = newConf("rjsj")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjs_cust_feed", custSchema)
+    r.registerTopicSource("rjs_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjs_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjs_cust SELECT cid, name FROM rjs_cust_feed;
+      CREATE TABLE rjs_enr (order_id BIGINT, cust_name STRING, amount2 DOUBLE,
+        __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjs_enr (order_id, cust_name, amount2)
+      SELECT o.order_id, c.name, o.amount + o2.amount
+      FROM rjs_ord_feed o
+      JOIN rjs_ord_feed o2 ON o.order_id = o2.order_id
+      JOIN rjs_cust c ON o.cid = c.cid""")
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjs_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0)).toDF(), "rjs_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    // SNAPSHOT semantics must hold: the dim revision does NOT re-emit
+    // (had the shape regular-joined, "Anna" would appear with a -D for
+    // "Ann"; worse, the broken telescoping would corrupt net state)
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjs_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    val got = spark.table("rjs_enr").select("order_id", "cust_name", "amount2", "__op")
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(got === Set((1L, "Ann", 20.0, "+I")),
+      s"a self-joined FROM must keep frozen snapshot semantics (got $got)")
+    r.stopAll()
+  }
+
+  test("SELECT * over the joined sides rejects at submission (the hidden sign column would break arity mid-stream)") {
+    val conf = newConf("rjst")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjst_cust_feed", custSchema)
+    r.registerTopicSource("rjst_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjst_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjst_cust SELECT cid, name FROM rjst_cust_feed;
+      CREATE TABLE rjst_enr (order_id BIGINT, cid STRING, pid STRING,
+        amount DOUBLE, cid2 STRING, name STRING, __op STRING)
+        WITH ('changelog.mode' = 'retract')""")
+    val err = intercept[IllegalArgumentException](
+      r.run("""INSERT INTO rjst_enr (order_id, cid, pid, amount, cid2, name)
+        SELECT * FROM rjst_ord_feed o JOIN rjst_cust c ON o.cid = c.cid"""))
+    assert(err.getMessage.contains("star expansion"),
+      s"wrong rejection: ${err.getMessage}")
+    r.stopAll()
+  }
+
   test("upsert-target joined INSERT keeps the snapshot path; aggregate over a retract target still rejects cleanly") {
     val conf = newConf("rjg")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))

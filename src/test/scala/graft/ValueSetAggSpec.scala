@@ -650,4 +650,28 @@ class ValueSetAggSpec extends SparkSpec {
       === Map("p1" -> 3.0)) // distinct {2, 4} → avg 3
     r.stopAll()
   }
+
+  test("percentile with a non-micro-aligned percentage rejects loudly (the stat key quantizes to 1e-6)") {
+    // ADVICE r16: 1.0/3 would silently compute the quantized
+    // percentile, and two ps within ~1e-6 would collide on one shared
+    // stat column — reject at statement time instead
+    val conf = newConf("vs-pctq")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("vs_src_pctq", srcSchema)
+    r.runScript("""
+      CREATE TABLE vs_pq_acct (k STRING, grp STRING, amt DOUBLE, __op STRING,
+        PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_pq_acct SELECT k, grp, amt, '+U' FROM vs_src_pctq;
+      CREATE TABLE vs_pq_out (grp STRING, p DOUBLE,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    // note SQL `1.0/3` itself folds to DECIMAL(7,6) = 0.333333 exactly
+    // (micro-aligned, correctly accepted); the DOUBLE division is the
+    // non-representable case the guard must catch
+    val err = intercept[IllegalArgumentException](
+      r.run("""INSERT INTO vs_pq_out
+               SELECT grp, percentile(amt, CAST(1 AS DOUBLE)/3) AS p
+               FROM vs_pq_acct GROUP BY grp"""))
+    assert(err.getMessage.contains("micro"), s"wrong rejection: ${err.getMessage}")
+    r.stopAll()
+  }
 }
