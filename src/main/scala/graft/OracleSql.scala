@@ -2023,6 +2023,35 @@ object OracleSql {
                 quantile_cont(CAST(user_id % 97 AS DOUBLE), 0.75) AS p75,
                 median(CAST(user_id % 97 AS DOUBLE)) AS med
          FROM latest GROUP BY event_type""",
+    // Chained LEFT OUTER regular join: the folded net state equals the
+    // batch fact LEFT JOIN dim1 LEFT JOIN dim2 over FINAL dim states.
+    // dim1 = per-user latest type among user%8=0 (others pad level 1);
+    // dim2 = per-type label 'L'+last-epoch-seen, keyed on DIM1'S OUTPUT
+    // and excluding 'click' (click-latest users pad level 2). The
+    // epoch index mirrors the gate's integer slicing exactly.
+    "q245_stream_chained_left_join" ->
+      """WITH ev45 AS (
+           SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+           FROM events WHERE user_id % 4 = 0),
+         bounds45 AS (
+           SELECT min(ts_us) AS lo, (max(ts_us) - min(ts_us)) // 4 + 1 AS w
+           FROM ev45),
+         eve45 AS (
+           SELECT e.*, CAST((e.ts_us - b.lo) // b.w AS BIGINT) AS ep
+           FROM ev45 e CROSS JOIN bounds45 b),
+         latest45 AS (
+           SELECT user_id, event_type
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_us DESC, event_id DESC) AS rn
+                 FROM eve45 WHERE user_id % 8 = 0) WHERE rn = 1),
+         bands45 AS (
+           SELECT event_type, 'L' || CAST(max(ep) AS VARCHAR) AS label
+           FROM eve45 WHERE event_type <> 'click' GROUP BY event_type)
+         SELECT e.event_id, e.user_id, l.event_type AS last_event_type,
+                b.label AS band_label, e.value
+         FROM eve45 e
+         LEFT JOIN latest45 l ON e.user_id = l.user_id
+         LEFT JOIN bands45 b ON l.event_type = b.event_type""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

@@ -114,19 +114,42 @@ final class StreamingStatementRunner(spark: SparkSession,
   private final case class TargetBinding(bare: String, qualified: String,
                                          scoped: String, topic: String)
 
-  /** The single sanctioned OUTER regular-join shape: `left <kind> right`
-    * with one ref per side. `padSides`: each preserved side, as
-    * (preserved ref, other ref, preservedIsLeft). */
-  private final case class OuterShape(
-      kind: org.apache.spark.sql.catalyst.plans.JoinType,
-      left: String, right: String) {
-    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter, RightOuter}
-    def padSides: Seq[(String, String, Boolean)] = kind match {
-      case LeftOuter => Seq((left, right, true))
-      case RightOuter => Seq((right, left, false))
-      case FullOuter => Seq((left, right, true), (right, left, false))
-      case other => throw new IllegalStateException(s"not an outer join: $other")
-    }
+  /** How ONE side's telescoping BRACKET — its term in the exact delta
+    * rule Δ = Σᵢ [S(pre₍<i₎, postᵢ, post₍>i₎) − S(pre₍<i₎, preᵢ,
+    * post₍>i₎)] — is evaluated (round 17, generalizing the single-
+    * outer pad algebra to LEFT-join CHAINS): */
+  private sealed trait SidePlan
+  /** The select is MULTISET-LINEAR in this side (preserved by every
+    * outer join above it, referenced once, never in a subquery): the
+    * bracket collapses to ONE evaluation of the VERBATIM select over
+    * the side's signed delta — outer joins intact, so the delta's own
+    * pad rows ride along with the sign. */
+  private case object LinearSide extends SidePlan
+  /** Referenced only by subquery predicates: a state change
+    * invalidates every row's verdict at once — the bracket is the
+    * brute pre/post pair (exact for any subquery plan). */
+  private case object SubquerySide extends SidePlan
+  /** The NULL-PRODUCING side of outer spine join `spineIdx` (a LEFT
+    * JOIN's dim, or either side of a single FULL OUTER): the bracket
+    * decomposes as out = inner + pads AT THAT NODE, everything above
+    * and below verbatim — an inner-flip delta term plus the pad
+    * bracket (two anti-join evaluations over the preserved state,
+    * varying only this side pre→post). `ownPadPreservedIsLeft`
+    * (FULL OUTER only): this side is ALSO preserved by the node's
+    * other pad, which is linear in it — one pad over the delta. */
+  private final case class OuterNullSide(
+      spineIdx: Int, bracketPadPreservedIsLeft: Boolean,
+      ownPadPreservedIsLeft: Option[Boolean]) extends SidePlan
+  /** The sanctioned regular-join select shape: a LEFT-DEEP join spine
+    * (`spineKinds` top-down; empty = no FROM join) of INNER/LEFT
+    * joins at any length — or a SINGLE join of any outer kind — each
+    * right child and the base a plain relation, plus subquery dims.
+    * `plans` maps every participating ref to its bracket strategy. */
+  private final case class RegularShape(
+      spineKinds: Seq[org.apache.spark.sql.catalyst.plans.JoinType],
+      plans: Map[String, SidePlan]) {
+    def subRefs: Set[String] =
+      plans.collect { case (r, SubquerySide) => r }.toSet
   }
 
   private def bind(bare: String): TargetBinding = synchronized {
@@ -302,12 +325,12 @@ final class StreamingStatementRunner(spark: SparkSession,
         // applicable shape + at least one upsert dim among the outer
         // refs PLUS the subquery-referenced refs (an EXISTS blocklist
         // is a dim even though it never appears in FROM)
-        def regularJoinPlan(driver: String): Option[(Seq[String], Option[OuterShape], Set[String])] =
+        def regularJoinPlan(driver: String): Option[(Seq[String], RegularShape)] =
           if (meta.changelogMode != ChangelogMode.Retract) None
-          else regularJoinShape(select).flatMap { case (outer, subRefs) =>
-            val all = (refs ++ subRefs.toSeq.sorted).distinct
+          else regularJoinShape(select).flatMap { shape =>
+            val all = (refs ++ shape.subRefs.toSeq.sorted).distinct
             if (all.size > 1 && changelogDims(driver, all))
-              Some((all, outer, subRefs))
+              Some((all, shape))
             else None
           }
         // the regular join's telescoped delta rule is exact ONLY for
@@ -316,22 +339,24 @@ final class StreamingStatementRunner(spark: SparkSession,
         // projections, filters, INNER joins, generators. Windows,
         // DISTINCT, sorts/limits, set differences and subqueries are
         // not linear — those shapes keep the documented snapshot path.
-        // TWO sanctioned non-linear exceptions: ONE OUTER join
-        // (LEFT/RIGHT/FULL — each preserved side's null-padding has an
-        // exact pad-delta decomposition, startRegularJoin's outerPad
-        // terms), and SUBQUERY predicates (EXISTS / NOT EXISTS / IN /
-        // scalar) whose plans reference only NON-outer refs — the
-        // select stays linear in the OUTER sides for fixed subquery-dim
-        // state, so a subquery-dim change runs an exact brute
-        // pre/post diff (startRegularJoin's subqueryDims terms).
-        // Chained/other outer shapes and CTEs stay snapshot.
-        // Returns None = not applicable; otherwise
-        // Some((outer-join shape if any, subquery-referenced refs)).
-        def regularJoinShape(select: String): Option[(Option[OuterShape], Set[String])] = {
+        // Sanctioned NON-linear exceptions, each with an exact bracket
+        // decomposition (round 17 — the per-side bracket engine,
+        // [[SidePlan]]): LEFT-DEEP CHAINS of INNER/LEFT OUTER joins at
+        // any length (each LEFT dim's bracket = inner-flip of exactly
+        // its spine node + a two-eval pad bracket, everything above
+        // and below verbatim — the decomposition composes per level,
+        // pad-of-pad rows included); a SINGLE RIGHT/FULL OUTER join;
+        // and SUBQUERY predicates (EXISTS / NOT EXISTS / IN / scalar)
+        // whose plans reference only NON-outer refs (brute pre/post
+        // bracket). Non-left-deep shapes, RIGHT/FULL OUTER inside a
+        // chain, self-joins, and CTEs stay snapshot.
+        // Returns None = not applicable; otherwise the spine + the
+        // per-ref bracket strategies.
+        def regularJoinShape(select: String): Option[RegularShape] = {
           import org.apache.spark.sql.catalyst.plans.logical.{
             Aggregate => LAgg, Deduplicate, Distinct => LDist, Except,
-            GlobalLimit, Intersect, Join, LocalLimit, Offset, Sort,
-            UnresolvedWith, Window}
+            GlobalLimit, Intersect, Join, LocalLimit, LogicalPlan, Offset,
+            Sort, SubqueryAlias, UnresolvedWith, Window}
           import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
           try {
             // the PARSED plan, never the analyzed one: analysis expands
@@ -340,9 +365,7 @@ final class StreamingStatementRunner(spark: SparkSession,
             // own syntax decides linearity
             val plan = spark.sessionState.sqlParser.parsePlan(select)
             var ok = true
-            val outers = scala.collection.mutable.ArrayBuffer.empty[Join]
-            val subPlans = scala.collection.mutable.ArrayBuffer
-              .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+            val subPlans = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
             val outerRefs = scala.collection.mutable.Set.empty[String]
             // SELF-JOIN guard (ADVICE r16): a table referenced twice in
             // FROM binds BOTH occurrences to the one per-batch shadow
@@ -350,7 +373,6 @@ final class StreamingStatementRunner(spark: SparkSession,
             // delta only, silently dropping the pre⋈Δ and Δ⋈post cross
             // terms — such shapes keep the documented snapshot path
             val refCounts = scala.collection.mutable.Map.empty[String, Int]
-            var joins = 0
             plan.foreach { node =>
               node match {
                 case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
@@ -358,10 +380,8 @@ final class StreamingStatementRunner(spark: SparkSession,
                   outerRefs += n
                   refCounts(n) = refCounts.getOrElse(n, 0) + 1
                 case j: Join =>
-                  joins += 1
-                  if (j.joinType == LeftOuter || j.joinType == RightOuter ||
-                      j.joinType == FullOuter) outers += j
-                  else if (j.joinType != Inner) ok = false
+                  if (j.joinType != Inner && j.joinType != LeftOuter &&
+                      j.joinType != RightOuter && j.joinType != FullOuter) ok = false
                 case _: LAgg | _: Window | _: LDist | _: Deduplicate |
                      _: Sort | _: GlobalLimit | _: LocalLimit | _: Offset |
                      _: Intersect | _: Except => ok = false
@@ -386,7 +406,7 @@ final class StreamingStatementRunner(spark: SparkSession,
             // subquery-referenced refs, nested subqueries included; a
             // CTE inside one hides refs from this walk → not applicable
             val subRefs = scala.collection.mutable.Set.empty[String]
-            def collectSub(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+            def collectSub(p: LogicalPlan): Unit =
               p.foreach { n =>
                 n match {
                   case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
@@ -405,22 +425,94 @@ final class StreamingStatementRunner(spark: SparkSession,
             // the select must stay linear in every OUTER side: a
             // subquery reading an outer ref couples them non-linearly
             if (subRefs.exists(outerRefs.contains)) ok = false
-            def soleRef(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[String] = {
-              val rs = p.collect {
-                case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-                  r.multipartIdentifier.last
-              }
-              if (rs.size == 1) Some(rs.head) else None
+            if (!ok) return None
+            // ── join-spine extraction: descend from the root through
+            //    unary operators to the top Join, then left-unfold —
+            //    the spine must be LEFT-DEEP with each right child (and
+            //    the base) a PLAIN relation ──
+            def unalias(p: LogicalPlan): LogicalPlan = p match {
+              case SubqueryAlias(_, c) => unalias(c)
+              case other => other
             }
-            if (!ok) None
-            else if (outers.isEmpty) Some((None, subRefs.toSet))
-            else if (outers.size == 1 && joins == 1)
-              (soleRef(outers.head.left), soleRef(outers.head.right)) match {
-                case (Some(l), Some(r)) =>
-                  Some((Some(OuterShape(outers.head.joinType, l, r)), subRefs.toSet))
-                case _ => None
-              }
-            else None
+            @scala.annotation.tailrec
+            def descendToJoin(p: LogicalPlan): Option[Join] = p match {
+              case j: Join => Some(j)
+              case u if u.children.size == 1 => descendToJoin(u.children.head)
+              case _ => None
+            }
+            def leafRef(p: LogicalPlan): Option[String] = unalias(p) match {
+              case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+                Some(r.multipartIdentifier.last)
+              case _ => None
+            }
+            descendToJoin(plan) match {
+              case None =>
+                // no FROM join: a single-relation select whose only
+                // dims live in subquery predicates (the blocklist
+                // shape) — the relation is linear by construction
+                Some(RegularShape(Nil,
+                  (outerRefs.map(_ -> (LinearSide: SidePlan)) ++
+                    subRefs.map(_ -> (SubquerySide: SidePlan))).toMap))
+              case Some(top) =>
+                val spine = scala.collection.mutable.ArrayBuffer(top)
+                var more = true
+                while (more) spine.last.left match {
+                  case j: Join => spine += j
+                  case _ => more = false
+                }
+                val rightRefs = spine.map(j => leafRef(j.right))
+                val baseRef = leafRef(spine.last.left)
+                val kinds = spine.map(_.joinType).toSeq
+                val multi = spine.size > 1
+                // RIGHT/FULL OUTER sanction only the two-side shape:
+                // inside a chain they null-dominate the whole left
+                // SUBTREE (several refs), whose brackets would need a
+                // recursive decomposition this engine does not prove
+                val kindsOk = kinds.forall {
+                  case Inner | LeftOuter => true
+                  case RightOuter | FullOuter => !multi
+                  case _ => false
+                }
+                if (!kindsOk || baseRef.isEmpty || rightRefs.exists(_.isEmpty)) None
+                else {
+                  val plans = scala.collection.mutable.Map.empty[String, SidePlan]
+                  plans(baseRef.get) = kinds.head match {
+                    // single RIGHT OUTER: the base is the null side —
+                    // its pad bracket varies the LEFT state against the
+                    // right-preserving pad
+                    case RightOuter => OuterNullSide(0,
+                      bracketPadPreservedIsLeft = false, None)
+                    // single FULL OUTER: null side of the right-
+                    // preserving pad AND preserved by the left pad
+                    // (linear there — one pad over its delta)
+                    case FullOuter => OuterNullSide(0,
+                      bracketPadPreservedIsLeft = false,
+                      ownPadPreservedIsLeft = Some(true))
+                    case _ => LinearSide // Inner / LeftOuter chains preserve the base
+                  }
+                  rightRefs.zipWithIndex.foreach { case (r, idx) =>
+                    plans(r.get) = kinds(idx) match {
+                      case LeftOuter => OuterNullSide(idx,
+                        bracketPadPreservedIsLeft = true, None)
+                      case FullOuter => OuterNullSide(idx,
+                        bracketPadPreservedIsLeft = true,
+                        ownPadPreservedIsLeft = Some(false))
+                      // Inner right child, or a single RIGHT OUTER's
+                      // preserved side: linear (the verbatim eval's
+                      // pads are linear in the preserved side)
+                      case _ => LinearSide
+                    }
+                  }
+                  // every FROM ref must be accounted for by the spine
+                  // walk (a ref hidden in a non-leaf subtree means the
+                  // shape is not the left-deep form this engine proves)
+                  if (!outerRefs.forall(plans.contains)) None
+                  else {
+                    subRefs.foreach(r => plans(r) = SubquerySide)
+                    Some(RegularShape(kinds, plans.toMap))
+                  }
+                }
+            }
           } catch { case scala.util.control.NonFatal(_) => None }
         }
         if (streamRefs.nonEmpty) {
@@ -435,9 +527,8 @@ final class StreamingStatementRunner(spark: SparkSession,
             else if (regularJoinPlan(streamRefs.head).isDefined) {
               // retract target + changelog dims = Flink's REGULAR join:
               // dim revisions retract + re-emit past enrichments
-              val (all, outer, subDims) = regularJoinPlan(streamRefs.head).get
-              startRegularJoin(binding, meta, targetCols, select, all,
-                outerPad = outer, subqueryDims = subDims)
+              val (all, shape) = regularJoinPlan(streamRefs.head).get
+              startRegularJoin(binding, meta, targetCols, select, all, shape)
             } else
               // any aggregate lives in a dim-only subquery/CTE — the
               // snapshot join re-resolves the select per batch, so the
@@ -462,9 +553,8 @@ final class StreamingStatementRunner(spark: SparkSession,
             // single stream whose only dims live in SUBQUERY predicates
             // (EXISTS/NOT EXISTS/IN blocklists) — still the regular
             // join: a blocklist revision retracts/re-admits past rows
-            val (all, outer, subDims) = regularJoinPlan(streamRefs.head).get
-            startRegularJoin(binding, meta, targetCols, select, all,
-              outerPad = outer, subqueryDims = subDims)
+            val (all, shape) = regularJoinPlan(streamRefs.head).get
+            startRegularJoin(binding, meta, targetCols, select, all, shape)
           } else
             startDirect(binding, meta, targetCols, select)
         } else {
@@ -521,9 +611,8 @@ final class StreamingStatementRunner(spark: SparkSession,
             // dims are changelog tables (joined in FROM or referenced
             // by a subquery predicate): the regular join — dim
             // revisions retract + re-emit past enrichments
-            val (all, outer, subDims) = regularJoinPlan(driver).get
-            startRegularJoin(binding, meta, targetCols, select, all,
-              outerPad = outer, subqueryDims = subDims)
+            val (all, shape) = regularJoinPlan(driver).get
+            startRegularJoin(binding, meta, targetCols, select, all, shape)
           } else {
             val promoted = changelogStream(driver, warnTombstones = true)
             withViewShadow(driver, promoted) {
@@ -920,26 +1009,37 @@ final class StreamingStatementRunner(spark: SparkSession,
     * dim-delta batch's `Δdim ⋈ factLog` term is a broadcast-able hash
     * join over a columnar scan, never a shuffle of the log.
     *
-    * `outerPad`: the single-OUTER-join shape (`l LEFT|RIGHT|FULL JOIN
-    * r`, one ref per side). The telescoped terms run with the join
-    * flipped to INNER; each preserved side's null-padding — Flink's
-    * outer-join state view semantics, where a pad row (f, NULL…)
-    * retracts the moment a match appears and REAPPEARS when the last
-    * match is deleted — is the exact pad delta: out = inner + pads,
-    * Δpad = pad(P′,O′) − pad(P,O) per preserved side, each pad
-    * evaluated as the select over the LeftAnti-flipped join (children
-    * swapped for a right-preserved pad) with every non-preserved
-    * attribute nulled ([[padFrame]]). FULL OUTER pays both pad sides.
-    * A preserved-side-only batch needs one signed pad over the delta
-    * (pad is linear in the preserved side for fixed other-side state);
-    * a batch touching the other side pays two anti-joins over the
-    * preserved state — the same cost class as its re-emission term,
-    * and unchanged pads net away in the content fold. */
+    * Term generation is the per-side BRACKET engine (round 17): for
+    * touched side i the exact bracket S(pre₍<i₎, postᵢ, post₍>i₎) −
+    * S(pre₍<i₎, preᵢ, post₍>i₎) collapses per the side's [[SidePlan]]:
+    *
+    *  - [[LinearSide]] (base of a LEFT chain, any INNER side, the
+    *    preserved side of a RIGHT OUTER): ONE evaluation of the
+    *    VERBATIM select over the signed delta — outer joins intact,
+    *    so the delta's own pad rows (null-padded unmatched facts)
+    *    ride along already signed.
+    *  - [[OuterNullSide]] (a LEFT JOIN's dim at spine node l, or
+    *    either side of a single FULL OUTER): out = inner + pad AT
+    *    THAT NODE, everything above and below verbatim. The bracket =
+    *    an inner-flip delta term (only node l flipped — upper LEFT
+    *    joins still pad, which is exactly the chain's pad-of-pad
+    *    composition) + the node's other-side-preserving pad evaluated
+    *    twice (side i at post(+1) / pre(−1): two anti-joins over the
+    *    preserved state — Flink's outer-join state view, where a pad
+    *    row retracts the moment a match appears and REAPPEARS when
+    *    the last match is deleted). FULL OUTER adds the side's OWN
+    *    preserved pad over its delta (linear there).
+    *  - [[SubquerySide]]: brute pre/post pair — a subquery-dim change
+    *    invalidates every row's predicate verdict at once; exact for
+    *    any subquery plan, and unchanged rows net away in the fold.
+    *
+    * Because the brackets telescope (side i's terms see j<i at pre,
+    * j>i at post), the batch's summed terms equal S(post…) − S(pre…)
+    * EXACTLY for any mix of touched sides. */
   private def startRegularJoin(target: TargetBinding, meta: TableMeta,
                                targetCols: Seq[String], select: String,
                                refs: Seq[String],
-                               outerPad: Option[OuterShape] = None,
-                               subqueryDims: Set[String] = Set.empty): StreamingQuery = {
+                               shape: RegularShape): StreamingQuery = {
     import graft.streaming.JoinState
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.types.{LongType, TimestampType}
@@ -1015,23 +1115,43 @@ final class StreamingStatementRunner(spark: SparkSession,
           col("__sign"))
         .select(decodeCols(side) :+ col("__sign").as(SG): _*)
 
+    // ── the ANALYZED join spine: descend through unary operators to
+    //    the top Join, then left-unfold — mirrors the parsed-plan walk
+    //    that built `shape`, and must MATCH it (a side view containing
+    //    its own join would desynchronize spine ordinals; temp views
+    //    sit under SubqueryAlias so the unfold never enters them, but
+    //    the guard keeps the failure loud, not silently wrong) ──
+    def spineJoins(analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : IndexedSeq[org.apache.spark.sql.catalyst.plans.logical.Join] = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+      @scala.annotation.tailrec
+      def descend(p: LogicalPlan): Option[Join] = p match {
+        case j: Join => Some(j)
+        case u if u.children.size == 1 => descend(u.children.head)
+        case _ => None
+      }
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Join]
+      var cur = descend(analyzed)
+      while (cur.isDefined) {
+        buf += cur.get
+        cur = cur.get.left match { case j: Join => Some(j); case _ => None }
+      }
+      require(buf.size == shape.spineKinds.size &&
+          buf.toSeq.map(_.joinType) == shape.spineKinds,
+        s"INSERT INTO ${target.qualified}: the analyzed join spine " +
+          s"(${buf.map(_.joinType).mkString(",")}) does not match the parsed " +
+          s"shape (${shape.spineKinds.mkString(",")}) — every regular-join " +
+          "side must be a plain relation, not a view wrapping its own join")
+      buf.toIndexedSeq
+    }
+
     // ── hidden-sign injection: the analyzed select's top projection
     //    gains the delta side's sign attribute, so each output row is
-    //    signed by provenance without touching the user's SQL. For the
-    //    single-LEFT-OUTER shape the join is flipped to INNER first —
-    //    the outer's null-padding part is handled by the exact pad
-    //    delta (padFrame below), never by the telescoped terms ──
-    def injectSign(df: DataFrame): DataFrame = {
+    //    signed by provenance without touching the user's SQL ──
+    def injectSignInto(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame = {
       import org.apache.spark.sql.catalyst.expressions.Alias
-      import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
-      val analyzed0 = GraftSqlBridge.analyzedPlan(df)
-      val analyzed =
-        if (outerPad.isEmpty) analyzed0
-        else analyzed0.transformUp {
-          case j: Join if j.joinType == outerPad.get.kind =>
-            j.copy(joinType = org.apache.spark.sql.catalyst.plans.Inner)
-        }
-      analyzed match {
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      plan match {
         case p: Project =>
           val sg = p.child.output.find(_.name == SG).getOrElse(
             throw new IllegalArgumentException(
@@ -1045,6 +1165,23 @@ final class StreamingStatementRunner(spark: SparkSession,
             "must be a plain top-level SELECT over the join (no DISTINCT/" +
             "set-op/aggregate head)")
       }
+    }
+    /** LinearSide term: the VERBATIM select (outer joins intact — the
+      * delta's pad rows ride along) with the sign appended. */
+    def injectSign(df: DataFrame): DataFrame =
+      injectSignInto(GraftSqlBridge.analyzedPlan(df))
+    /** OuterNullSide inner term: ONLY spine node `spineIdx` flipped to
+      * INNER (upper/lower joins verbatim — an upper LEFT join still
+      * pads the flipped result, which is exactly the chain's
+      * pad-of-pad composition), sign appended. */
+    def innerFlipTerm(df: DataFrame, spineIdx: Int): DataFrame = {
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val analyzed = GraftSqlBridge.analyzedPlan(df)
+      val tgt = spineJoins(analyzed)(spineIdx)
+      injectSignInto(analyzed.transformUp {
+        case j: Join if j eq tgt =>
+          j.copy(joinType = org.apache.spark.sql.catalyst.plans.Inner)
+      })
     }
 
     // ── literal-signed evaluation of the ORIGINAL select (outer join
@@ -1066,41 +1203,39 @@ final class StreamingStatementRunner(spark: SparkSession,
       }
     }
 
-    // ── the LEFT OUTER join's PAD rows for given side states: facts
-    //    with NO match (the LeftOuter flipped to LeftAnti), projected
-    //    through the ORIGINAL select with every right-side attribute
-    //    nulled — exactly the null-padded rows the outer join emits.
-    //    Signed by `sign` (a literal for state evaluations) or by the
-    //    fact delta's own __jsign when `sign` is None. The pad DELTA
-    //    is exact: out = inner + pad, so Δpad = pad(F', D') − pad(F, D)
-    //    (and pad(ΔF, D) when only the fact side moved — pad is linear
-    //    in F for fixed D) ──
-    def padFrame(df: DataFrame, preservedIsLeft: Boolean,
-                 sign: Option[Int]): DataFrame = {
+    // ── the PAD rows of spine node `spineIdx` for given side states:
+    //    preserved-side rows with NO match (the outer join turned
+    //    LeftAnti; children swapped for a right-preserved pad — Spark
+    //    has LeftAnti only), projected through the ORIGINAL select
+    //    with every non-preserved attribute nulled — exactly the
+    //    null-padded rows that node emits. Upper spine joins stay
+    //    VERBATIM: an upper join's condition referencing the nulled
+    //    attributes evaluates with null semantics, which is precisely
+    //    how the real outer join treats a pad row (an upper LEFT join
+    //    pads it again — the chain's pad-of-pad row). Signed by `sign`
+    //    (a literal for state evaluations) or by the preserved delta's
+    //    own __jsign when `sign` is None. ──
+    def padFrameAt(df: DataFrame, spineIdx: Int, preservedIsLeft: Boolean,
+                   sign: Option[Int]): DataFrame = {
       import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
       import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
       import org.apache.spark.sql.catalyst.plans.LeftAnti
-      val outerKind = outerPad.get.kind
       val analyzed = GraftSqlBridge.analyzedPlan(df)
+      val tgt = spineJoins(analyzed)(spineIdx)
       // the attributes of the NON-preserved side: nulled above the join
-      val rightAttrs = analyzed.collectFirst {
-        case j: Join if j.joinType == outerKind =>
-          if (preservedIsLeft) j.right.outputSet else j.left.outputSet
-      }.getOrElse(throw new IllegalStateException(
-        s"INSERT INTO ${target.qualified}: outer pad requested but the " +
-          s"analyzed plan has no $outerKind join"))
+      val nullAttrs =
+        if (preservedIsLeft) tgt.right.outputSet else tgt.left.outputSet
       def nullify(e: org.apache.spark.sql.catalyst.expressions.Expression) =
         e.transform {
-          case a: AttributeReference if rightAttrs.contains(a) =>
+          case a: AttributeReference if nullAttrs.contains(a) =>
             Literal(null, a.dataType)
         }
-      // stop recursion AT the join: the other subtree still evaluates
-      // (the anti join needs it to decide matches) — only ANCESTOR
-      // nodes see the non-preserved side's attributes replaced by
-      // nulls. A right-preserved pad swaps the anti join's children
-      // (Spark has LeftAnti only).
+      // stop recursion AT the target join: its subtrees still evaluate
+      // (the anti join needs the other side to decide matches) — only
+      // ANCESTOR nodes see the non-preserved side's attributes
+      // replaced by nulls
       def rebuild(p: LogicalPlan): LogicalPlan = p match {
-        case j: Join if j.joinType == outerKind =>
+        case j: Join if j eq tgt =>
           if (preservedIsLeft) j.copy(joinType = LeftAnti)
           else Join(j.right, j.left, LeftAnti, j.condition, j.hint)
         case pr: Project =>
@@ -1113,7 +1248,7 @@ final class StreamingStatementRunner(spark: SparkSession,
         case other =>
           other.withNewChildren(other.children.map(rebuild))
             .transformExpressions {
-              case a: AttributeReference if rightAttrs.contains(a) =>
+              case a: AttributeReference if nullAttrs.contains(a) =>
                 Literal(null, a.dataType)
             }
       }
@@ -1126,53 +1261,65 @@ final class StreamingStatementRunner(spark: SparkSession,
           }
           Project(p.projectList :+ sg, p.child)
         case other => throw new IllegalArgumentException(
-          s"INSERT INTO ${target.qualified}: left-outer pad needs a top-level " +
+          s"INSERT INTO ${target.qualified}: an outer pad needs a top-level " +
             s"projection, got ${other.nodeName}")
       }
       GraftSqlBridge.ofRows(spark, padded)
     }
+    /** The side's bracket strategy; a topic side absent from the shape
+      * map is linear by construction (defensive default). */
+    def planOf(ref: String): SidePlan =
+      shape.plans.getOrElse(ref, LinearSide)
 
-    // ── statement-time validation (Flink rejects at submission): each
-    //    side's term must type-check and keep the sign channel visible ──
+    // ── statement-time validation (Flink rejects at submission):
+    //    every term each side's bracket can emit must type-check and
+    //    keep the sign channel visible, BEFORE the query starts ──
     def emptyOf(s: StructType): DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-    outerPad.foreach { o =>
-      require(sides.size == 2 && sides.exists(_.ref == o.left) &&
-          sides.exists(_.ref == o.right),
-        s"INSERT INTO ${target.qualified}: the outer regular join needs " +
-          "BOTH join inputs to be topic-backed/streaming sides")
-    }
     val outArity = synchronized {
       try {
         sides.foreach(s => emptyOf(s.viewSchema).createOrReplaceTempView(s.ref))
         val n = spark.sql(select).columns.length
-        outerPad.toSeq.flatMap(_.padSides).foreach { case (_, _, isLeft) =>
-          padFrame(spark.sql(select), isLeft, sign = Some(1))
+        // arity must hold with the delta side's hidden sign column
+        // riding its view too: a `SELECT *` expands the sign into the
+        // user columns and would only fail mid-stream with a confusing
+        // toDF count error (ADVICE r16) — reject at submission instead
+        def checkArity(df: DataFrame): Unit = {
+          val signedArity = df.columns.length
+          require(signedArity == n + 1,
+            s"INSERT INTO ${target.qualified}: the select's column list " +
+              s"changes arity ($n vs ${signedArity - 1}) when a side view " +
+              "carries the hidden sign column — star expansion (SELECT *) " +
+              "over the joined sides is not supported on the regular-join " +
+              "path; name the output columns explicitly")
         }
-        if (subqueryDims.nonEmpty) evalSigned(spark.sql(select), 1)
-        // per-side sign-channel validation: OUTER sides only — a
-        // subquery dim's columns never surface in the outer plan (its
-        // deltas run the brute pre/post diff, validated above)
-        sides.indices.filterNot(i => subqueryDims.contains(sides(i).ref))
-          .foreach { i =>
+        sides.indices.foreach { i =>
+          def setViews(selfSigned: Boolean): Unit =
             sides.zipWithIndex.foreach { case (sj, j) =>
               val base = emptyOf(sj.viewSchema)
-              (if (j == i) base.withColumn(SG, lit(1)) else base)
+              (if (j == i && selfSigned) base.withColumn(SG, lit(1)) else base)
                 .createOrReplaceTempView(sj.ref)
             }
-            // arity must hold with the delta side's hidden sign column
-            // riding its view too: a `SELECT *` expands the sign into
-            // the user columns and would only fail mid-stream with a
-            // confusing toDF count error (ADVICE r16) — reject at
-            // submission instead
-            val signedArity = injectSign(spark.sql(select)).columns.length
-            require(signedArity == n + 1,
-              s"INSERT INTO ${target.qualified}: the select's column list " +
-                s"changes arity ($n vs ${signedArity - 1}) when a side view " +
-                "carries the hidden sign column — star expansion (SELECT *) " +
-                "over the joined sides is not supported on the regular-join " +
-                "path; name the output columns explicitly")
+          planOf(sides(i).ref) match {
+            case LinearSide =>
+              setViews(selfSigned = true)
+              checkArity(injectSign(spark.sql(select)))
+            case SubquerySide =>
+              // a subquery dim's columns never surface in the outer
+              // plan — only the literal-signed pair needs to check
+              setViews(selfSigned = false)
+              evalSigned(spark.sql(select), 1)
+            case o: OuterNullSide =>
+              setViews(selfSigned = true)
+              checkArity(innerFlipTerm(spark.sql(select), o.spineIdx))
+              o.ownPadPreservedIsLeft.foreach { pil =>
+                checkArity(padFrameAt(spark.sql(select), o.spineIdx, pil, None))
+              }
+              setViews(selfSigned = false)
+              padFrameAt(spark.sql(select), o.spineIdx,
+                o.bracketPadPreservedIsLeft, Some(1))
           }
+        }
         n
       } finally sides.foreach(s => restoreRefView(s.ref, s.restore))
     }
@@ -1239,62 +1386,61 @@ final class StreamingStatementRunner(spark: SparkSession,
                   }
                 }
               }
-              // telescoped terms, each analyzed under its shadow set
-              def innerTerms = sides.indices.filter(touched.contains).map { i =>
+              // per-side BRACKET terms under the telescoping view
+              // discipline: side i's terms see sides j<i at PRE, j>i
+              // at POST, and side i itself at its delta (linear /
+              // inner-flip / own-pad terms) or at pre(−1)/post(+1)
+              // (pad brackets, subquery brackets) — the summed
+              // brackets equal S(post…) − S(pre…) exactly
+              def shadowAround(i: Int, selfFrame: DataFrame): Unit =
                 sides.zipWithIndex.foreach { case (sj, j) =>
                   val frame =
-                    if (j < i) pre(j)
-                    else if (j == i) decodeDelta(deltaRows(i), sj)
+                    if (j == i) selfFrame
+                    else if (j < i) pre(j)
                     else post(j)
                   frame.createOrReplaceTempView(sj.ref)
                 }
-                injectSign(spark.sql(select)).toDF((outNames :+ SG).toIndexedSeq: _*)
-              }
-              // OUTER pad delta, once per preserved side: out =
-              // inner + pads, so each pad side contributes
-              // pad(P', O') − pad(P, O); when only the preserved side
-              // moved, pad is linear in it — one signed evaluation
-              // over the delta suffices
-              def padTerms = outerPad.toSeq.flatMap(_.padSides).flatMap {
-                case (pRef, oRef, isLeft) =>
-                  val pIdx = sides.indexWhere(_.ref == pRef)
-                  val oIdx = sides.indexWhere(_.ref == oRef)
-                  def evalPad(pFrame: DataFrame, oFrame: DataFrame,
-                              sign: Option[Int]): DataFrame = {
-                    pFrame.createOrReplaceTempView(pRef)
-                    oFrame.createOrReplaceTempView(oRef)
-                    padFrame(spark.sql(select), isLeft, sign)
-                      .toDF((outNames :+ SG).toIndexedSeq: _*)
-                  }
-                  if (touched.contains(oIdx))
-                    Seq(evalPad(pre(pIdx), pre(oIdx), Some(-1)),
-                      evalPad(post(pIdx), post(oIdx), Some(1)))
-                  else
-                    Seq(evalPad(decodeDelta(deltaRows(pIdx), sides(pIdx)),
-                      post(oIdx), None))
-              }
-              // a SUBQUERY-DIM change invalidates every row's
-              // predicate verdict at once — brute pre/post diff
-              // replaces the telescoped/pad terms entirely (it IS the
-              // exact delta, outer-join semantics included)
-              val subTouched = sides.indices.exists(i =>
-                touched.contains(i) && subqueryDims.contains(sides(i).ref))
-              def evalAll(usePost: Boolean, sign: Int): DataFrame = {
-                sides.zipWithIndex.foreach { case (sj, j) =>
-                  (if (usePost) post(j) else pre(j)).createOrReplaceTempView(sj.ref)
+              val terms = sides.indices.filter(touched.contains).flatMap { i =>
+                val s = sides(i)
+                def delta = decodeDelta(deltaRows(i), s)
+                val built: Seq[DataFrame] = planOf(s.ref) match {
+                  case LinearSide =>
+                    // one verbatim evaluation over the signed delta —
+                    // outer joins intact, the delta's pad rows ride
+                    // along already signed
+                    shadowAround(i, delta)
+                    Seq(injectSign(spark.sql(select)))
+                  case SubquerySide =>
+                    // brute pre/post bracket: a subquery-dim change
+                    // invalidates every row's verdict at once; exact,
+                    // and unchanged rows net away in the content fold
+                    shadowAround(i, pre(i))
+                    val neg = evalSigned(spark.sql(select), -1)
+                    shadowAround(i, post(i))
+                    val pos = evalSigned(spark.sql(select), 1)
+                    Seq(neg, pos)
+                  case o: OuterNullSide =>
+                    // out = inner + pads at the side's spine node:
+                    // inner-flip over the delta, the other-side-
+                    // preserving pad at post(+1)/pre(−1), and (FULL
+                    // OUTER) the side's own preserved pad over Δ
+                    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+                    shadowAround(i, delta)
+                    buf += innerFlipTerm(spark.sql(select), o.spineIdx)
+                    o.ownPadPreservedIsLeft.foreach { pil =>
+                      shadowAround(i, delta)
+                      buf += padFrameAt(spark.sql(select), o.spineIdx, pil, None)
+                    }
+                    shadowAround(i, pre(i))
+                    buf += padFrameAt(spark.sql(select), o.spineIdx,
+                      o.bracketPadPreservedIsLeft, Some(-1))
+                    shadowAround(i, post(i))
+                    buf += padFrameAt(spark.sql(select), o.spineIdx,
+                      o.bracketPadPreservedIsLeft, Some(1))
+                    buf.toSeq
                 }
-                evalSigned(spark.sql(select), sign)
-                  .toDF((outNames :+ SG).toIndexedSeq: _*)
+                built.map(_.toDF((outNames :+ SG).toIndexedSeq: _*))
               }
-              // NOTE innerTerms/padTerms are defs: when a subquery
-              // dim moved they must not even be BUILT — a touched
-              // subquery side's delta term has no __jsign in the outer
-              // plan (its columns never surface there) and would
-              // reject during analysis
-              val terms =
-                if (subTouched) Seq(evalAll(usePost = false, -1),
-                  evalAll(usePost = true, 1))
-                else innerTerms ++ padTerms
               sides.foreach(s => restoreRefView(s.ref, s.restore))
               val netted = terms.reduce(_ unionByName _)
                 .groupBy(outNames.map(c => col(s"`$c`")).toIndexedSeq: _*)

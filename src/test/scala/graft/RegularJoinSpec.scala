@@ -277,19 +277,20 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
-  test("non-applicable outer shapes keep the snapshot path: chained LEFT JOINs do NOT re-emit on dim revision") {
-    // the pad-delta decomposition covers exactly ONE left-outer join
-    // with one ref per side; a chained outer shape keeps the
-    // documented snapshot path rather than emit wrong deltas
+  test("chained LEFT JOINs regular-join (round 17): pad-of-pad rows, per-level pad flips, independent dim revisions") {
+    // the production enrichment shape — fact LEFT JOIN dim1 LEFT JOIN
+    // dim2, missing dims never drop facts — now runs the TRUE regular
+    // join: the per-side bracket engine composes the pad-delta
+    // decomposition over the left-deep chain (VERDICT r16 item 1)
     val conf = newConf("rjl")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
-    r.registerTopicSource("rjl_cust_feed", custSchema)
+    r.registerTopicSource("rjl_cust_feed", custOpSchema)
     r.registerTopicSource("rjl_prod_feed", prodSchema)
     r.registerTopicSource("rjl_ord_feed", ordSchema)
     r.runScript("""
-      CREATE TABLE rjl_cust (cid STRING, name STRING,
+      CREATE TABLE rjl_cust (cid STRING, name STRING, __op STRING,
         PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
-      INSERT INTO rjl_cust SELECT cid, name FROM rjl_cust_feed;
+      INSERT INTO rjl_cust SELECT cid, name, __op FROM rjl_cust_feed;
       CREATE TABLE rjl_prod (pid STRING, brand STRING, price DOUBLE,
         PRIMARY KEY (pid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
       INSERT INTO rjl_prod SELECT pid, brand, price FROM rjl_prod_feed;
@@ -300,19 +301,133 @@ class RegularJoinSpec extends SparkSpec {
       FROM rjl_ord_feed o
       LEFT JOIN rjl_cust c ON o.cid = c.cid
       LEFT JOIN rjl_prod p ON o.pid = p.pid""")
-    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjl_cust_feed", conf, Nil, 1)
-    r.processAllAvailable()
-    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0), RjOrd(2, "c9", "p1", 20.0))
+    def state(): Map[Long, Seq[Any]] = net("rjl_enr", "order_id", "cust_name", "brand")
+
+    // facts BEFORE any dim: the PAD-OF-PAD row (both dims nulled)
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0), RjOrd(2, "c9", "p2", 20.0))
       .toDF(), "rjl_ord_feed", conf, Nil, 1)
     r.processAllAvailable()
-    // snapshot semantics: the revision does NOT touch order 1
-    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjl_cust_feed", conf, Nil, 2)
+    assert(state() === Map(1L -> Seq(null, null), 2L -> Seq(null, null)),
+      "facts with neither dim must emit the fully null-padded row")
+
+    // dim1 arrives for c1: order 1 upgrades to (Ann, null) — the
+    // level-1 pad retracts while the level-2 pad STAYS
+    Topics.appendJson(Seq(RjCustOp("c1", "Ann", "+I")).toDF(), "rjl_cust_feed", conf, Nil, 1)
     r.processAllAvailable()
-    val got = spark.table("rjl_enr").select("order_id", "cust_name", "__op")
-      .as[(Long, Option[String], String)].collect().toSet
-    assert(got === Set((1L, Some("Ann"), "+I"), (2L, None, "+I")),
-      s"chained LEFT JOINs must keep frozen snapshot enrichment (got $got)")
+    assert(state() === Map(1L -> Seq("Ann", null), 2L -> Seq(null, null)),
+      "a level-1 match must retract only the level-1 pad")
+
+    // dim2 arrives for p1 and p2: both facts gain brands independently
+    Topics.appendJson(Seq(RjProd("p1", "nike", 100.0), RjProd("p2", "puma", 50.0))
+      .toDF(), "rjl_prod_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Ann", "nike"), 2L -> Seq(null, "puma")),
+      "a level-2 match must slot in regardless of level-1 state")
+
+    // dim1 REVISES: previously-enriched order 1 re-emits at the new
+    // name, keeping its brand; the changelog shows the retraction
+    Topics.appendJson(Seq(RjCustOp("c1", "Anna", "+U")).toDF(), "rjl_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Anna", "nike"), 2L -> Seq(null, "puma")),
+      "a dim1 revision must re-enrich its past facts through the chain")
+
+    // dim2 revises too — both levels revise independently
+    Topics.appendJson(Seq(RjProd("p2", "adidas", 55.0)).toDF(), "rjl_prod_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Anna", "nike"), 2L -> Seq(null, "adidas")))
+
+    // DELETE dim1's c1: order 1 falls BACK to the level-1 pad while
+    // KEEPING its level-2 enrichment — the pad-of-pad algebra's
+    // hardest row (pad1 ⋈ dim2)
+    Topics.appendJson(Seq(RjCustOp("c1", "Anna", "-D")).toDF(), "rjl_cust_feed", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq(null, "nike"), 2L -> Seq(null, "adidas")),
+      "deleting the level-1 match must restore the pad WITHOUT dropping the level-2 match")
+
+    // late fact joins current state of both dims
+    Topics.appendJson(Seq(RjOrd(3, "c9", "p2", 30.0)).toDF(), "rjl_ord_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq(null, "nike"), 2L -> Seq(null, "adidas"),
+      3L -> Seq(null, "adidas")))
     r.stopAll()
+  }
+
+  test("mixed INNER + LEFT chain regular-joins; unsanctioned chains (RIGHT OUTER mid-chain) keep the snapshot path") {
+    val conf = newConf("rjm")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjm_cust_feed", custSchema)
+    r.registerTopicSource("rjm_prod_feed", prodSchema)
+    r.registerTopicSource("rjm_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjm_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjm_cust SELECT cid, name FROM rjm_cust_feed;
+      CREATE TABLE rjm_prod (pid STRING, brand STRING, price DOUBLE,
+        PRIMARY KEY (pid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjm_prod SELECT pid, brand, price FROM rjm_prod_feed;
+      CREATE TABLE rjm_enr (order_id BIGINT, cust_name STRING, brand STRING,
+        __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjm_enr (order_id, cust_name, brand)
+      SELECT o.order_id, c.name, p.brand
+      FROM rjm_ord_feed o
+      JOIN rjm_cust c ON o.cid = c.cid
+      LEFT JOIN rjm_prod p ON o.pid = p.pid""")
+    def state(): Map[Long, Seq[Any]] = net("rjm_enr", "order_id", "cust_name", "brand")
+
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjm_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    // INNER gate holds: only c1 facts emit; p1 still missing → LEFT pad
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0), RjOrd(2, "c9", "p1", 20.0))
+      .toDF(), "rjm_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Ann", null)),
+      "the INNER level must gate facts; the LEFT level must pad")
+    // the LEFT dim arrives: the pad upgrades
+    Topics.appendJson(Seq(RjProd("p1", "nike", 100.0)).toDF(), "rjm_prod_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Ann", "nike")))
+    // the INNER dim revises: re-emission through the LEFT level
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjm_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Anna", "nike")))
+    r.stopAll()
+
+    // ── a RIGHT OUTER inside a chain null-dominates the whole left
+    //    subtree — not provable by the per-node decomposition; the
+    //    guard must keep it on the documented snapshot path ──
+    val conf2 = newConf("rjm2")
+    val r2 = new StreamingStatementRunner(spark, topicConf = Some(conf2))
+    r2.registerTopicSource("rjm2_cust_feed", custSchema)
+    r2.registerTopicSource("rjm2_prod_feed", prodSchema)
+    r2.registerTopicSource("rjm2_ord_feed", ordSchema)
+    r2.runScript("""
+      CREATE TABLE rjm2_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjm2_cust SELECT cid, name FROM rjm2_cust_feed;
+      CREATE TABLE rjm2_prod (pid STRING, brand STRING, price DOUBLE,
+        PRIMARY KEY (pid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjm2_prod SELECT pid, brand, price FROM rjm2_prod_feed;
+      CREATE TABLE rjm2_enr (order_id BIGINT, cust_name STRING, brand STRING,
+        __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjm2_enr (order_id, cust_name, brand)
+      SELECT o.order_id, c.name, p.brand
+      FROM rjm2_ord_feed o
+      JOIN rjm2_cust c ON o.cid = c.cid
+      RIGHT JOIN rjm2_prod p ON o.pid = p.pid""")
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjm2_cust_feed", conf2, Nil, 1)
+    Topics.appendJson(Seq(RjProd("p1", "nike", 100.0)).toDF(), "rjm2_prod_feed", conf2, Nil, 1)
+    r2.processAllAvailable()
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0)).toDF(), "rjm2_ord_feed", conf2, Nil, 1)
+    r2.processAllAvailable()
+    // snapshot semantics: the revision does NOT re-emit order 1
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjm2_cust_feed", conf2, Nil, 2)
+    r2.processAllAvailable()
+    val got = spark.table("rjm2_enr").select("order_id", "cust_name", "__op")
+      .as[(Option[Long], Option[String], String)].collect().toSet
+    assert(got.contains((Some(1L), Some("Ann"), "+I")) &&
+        !got.exists(_._2.contains("Anna")),
+      s"a RIGHT OUTER mid-chain must keep frozen snapshot semantics (got $got)")
+    r2.stopAll()
   }
 
   test("composition: a continuous aggregate DOWNSTREAM of the regular join folds re-emissions exactly") {
