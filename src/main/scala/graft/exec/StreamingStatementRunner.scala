@@ -1342,6 +1342,13 @@ final class StreamingStatementRunner(spark: SparkSession,
     // unbounded side; expired facts stop participating in re-emission
     val ttlMs: Option[Long] =
       meta.options.get("join.state.ttl").map(JoinState.parseTtlMs)
+    // fact-log compaction threshold ('join.state.compact.threshold'):
+    // fold committed per-batch dirs into a log generation once their
+    // count passes it — at production uptime the un-compacted listing
+    // would dominate every micro-batch (VERDICT r16 watch item 1)
+    val compactThreshold: Int =
+      meta.options.get("join.state.compact.threshold").map(_.trim.toInt)
+        .getOrElse(64)
     val stmtId = nextInsertId(target)
     val stateRoot = s"${checkpointDir(target, stmtId)}/graft-join-state"
     val union = sides.zipWithIndex.map { case (s, i) => encodeSide(s, i) }
@@ -1370,7 +1377,11 @@ final class StreamingStatementRunner(spark: SparkSession,
                   pre(i) = decode(logPre, s)
                   post(i) = deltaRows.get(i) match {
                     case Some(d) =>
-                      writes += (() => JoinState.writeLog(d.select("__payload"), dir, batchId))
+                      writes += { () =>
+                        JoinState.writeLog(d.select("__payload"), dir, batchId)
+                        // amortized: folds only every `threshold` batches
+                        JoinState.maybeCompact(spark, dir, batchId, compactThreshold)
+                      }
                       pre(i).unionByName(decode(d, s))
                     case None => pre(i)
                   }

@@ -61,19 +61,73 @@ object JoinState {
   private def empty(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  /** Append-log pre-state of `batchId`: every batch directory committed
-    * strictly before it (a crashed attempt's own directory is excluded,
-    * then overwritten by the replay). */
+  /** Append-log pre-state of `batchId`: the newest LOG GENERATION
+    * strictly before it (`lg<M>` = every payload of batches ≤ M,
+    * folded by [[maybeCompact]]) plus every per-batch directory in
+    * (M, batchId). A crashed attempt's own directory is excluded,
+    * then overwritten by the replay. `b` directories AT OR BELOW the
+    * generation are ignored even if present — the crash window
+    * between a compaction's atomic rename and its input deletes must
+    * never double-count. */
   def readLog(spark: SparkSession, dir: String, batchId: Long): DataFrame = {
-    val ids = listIds(spark, dir, "b").filter(_ < batchId)
-    if (ids.isEmpty) empty(spark, payloadSchema)
-    else spark.read.schema(payloadSchema).parquet(ids.map(i => s"$dir/b$i"): _*)
+    val gens = listIds(spark, dir, "lg").filter(_ < batchId)
+    val g = if (gens.isEmpty) -1L else gens.max
+    val ids = listIds(spark, dir, "b").filter(id => id > g && id < batchId)
+    val paths = (if (g >= 0) Seq(s"$dir/lg$g") else Nil) ++
+      ids.sorted.map(i => s"$dir/b$i")
+    if (paths.isEmpty) empty(spark, payloadSchema)
+    else spark.read.schema(payloadSchema).parquet(paths: _*)
   }
 
   /** Extend the append log with this batch's rows — overwrite-by-path,
     * so a replayed batch lands idempotently. */
   def writeLog(payloads: DataFrame, dir: String, batchId: Long): Unit =
     payloads.write.mode("overwrite").parquet(s"$dir/b$batchId")
+
+  /** Fold committed per-batch directories into a log GENERATION when
+    * the live directory count passes `threshold` (round 17, VERDICT
+    * r16 watch item 1): at production uptime tens of thousands of
+    * tiny `b<id>` dirs would dominate each micro-batch's listing +
+    * parquet-footer overhead and strain the namenode/inode budget —
+    * folding bounds the read set at one generation + at most
+    * `threshold` fresh batches, amortizing an O(|state|) rewrite over
+    * `threshold` batches.
+    *
+    * Replay safety: only directories STRICTLY BELOW the current
+    * `batchId` fold (ids ≤ M < batchId), so a replayed batch still
+    * reads its exact pre-state (`lg<M>` ∪ b∈(M, batchId)). The
+    * generation publishes by the gen-atomic pattern ([[writeSnapshot]]
+    * and the IVF index use the same): write to a `tmp-` dir, RENAME
+    * into place (atomic on local FS/HDFS), then delete the folded
+    * inputs — a crash mid-write leaves an invisible tmp; a crash
+    * before the deletes leaves inputs [[readLog]] already excludes.
+    * Stale sub-generation `b` dirs from such a crash are swept
+    * opportunistically on the next call. */
+  def maybeCompact(spark: SparkSession, dir: String, batchId: Long,
+                   threshold: Int): Unit = {
+    val f = fs(spark, dir)
+    val gens = listIds(spark, dir, "lg").filter(_ < batchId)
+    val g = if (gens.isEmpty) -1L else gens.max
+    // sweep crash leftovers: b dirs already covered by the generation
+    listIds(spark, dir, "b").filter(_ <= g)
+      .foreach(i => f.delete(new Path(s"$dir/b$i"), true))
+    val liveIds = listIds(spark, dir, "b").filter(id => id > g && id < batchId)
+    if (liveIds.size > threshold) {
+      val m = liveIds.max
+      val paths = (if (g >= 0) Seq(s"$dir/lg$g") else Nil) ++
+        liveIds.sorted.map(i => s"$dir/b$i")
+      val folded = spark.read.schema(payloadSchema).parquet(paths: _*)
+      val tmp = new Path(s"$dir/tmp-lg$m")
+      f.delete(tmp, true)
+      folded.write.mode("overwrite").parquet(tmp.toString)
+      val dest = new Path(s"$dir/lg$m")
+      f.delete(dest, true) // a replayed compaction overwrites its own gen
+      require(f.rename(tmp, dest),
+        s"regular-join log compaction: rename $tmp -> $dest failed")
+      liveIds.foreach(i => f.delete(new Path(s"$dir/b$i"), true))
+      if (g >= 0) f.delete(new Path(s"$dir/lg$g"), true)
+    }
+  }
 
   /** Snapshot pre-state of `batchId`: the newest generation strictly
     * before it, as the exploded row multiset (cnt copies per payload —
@@ -131,20 +185,29 @@ object JoinState {
 
   /** State TTL for the append log (the regular join's unbounded side —
     * `'join.state.ttl'` on the target table): delete batch directories
-    * whose files were last written more than `ttlMs` ago. Expired fact
-    * rows simply stop participating — a later dim revision no longer
-    * retracts their enriched rows, exactly Flink's
-    * `table.exec.state.ttl` trade (bounded state for exactness on
-    * expired keys; processing-time based, so a crash-replay after
-    * expiry sees the pruned state — the same caveat Flink documents). */
+    * AND log generations whose files were last written more than
+    * `ttlMs` ago. Expired fact rows simply stop participating — a
+    * later dim revision no longer retracts their enriched rows,
+    * exactly Flink's `table.exec.state.ttl` trade (bounded state for
+    * exactness on expired keys; processing-time based, so a
+    * crash-replay after expiry sees the pruned state — the same
+    * caveat Flink documents). A generation's mtime is its FOLD time
+    * (later than its newest content), so folded rows live up to
+    * TTL + one compaction interval — the conservative side of the
+    * already-coarse per-directory expiry; the whole generation then
+    * drops at once. Stale `tmp-` dirs from a crashed compaction are
+    * swept by the same cutoff. */
   def pruneLog(spark: SparkSession, dir: String, ttlMs: Long): Unit = {
     val f = fs(spark, dir)
     val p = new Path(dir)
     if (f.exists(p)) {
       val cutoff = System.currentTimeMillis() - ttlMs
       f.listStatus(p).toSeq
-        .filter(st => st.getPath.getName.startsWith("b") &&
-          st.getModificationTime < cutoff)
+        .filter { st =>
+          val n = st.getPath.getName
+          (n.startsWith("b") || n.startsWith("lg") || n.startsWith("tmp-")) &&
+            st.getModificationTime < cutoff
+        }
         .foreach(st => f.delete(st.getPath, true))
     }
   }

@@ -27,4 +27,72 @@ class JoinStateSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(out === Map.empty, "the pending retraction must cancel the add")
   }
+
+  private def newDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/log"
+
+  private def payloads(dir: String, batchId: Long): List[String] =
+    JoinState.readLog(spark, dir, batchId).as[String].collect().toList.sorted
+
+  private def entries(dir: String): List[String] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Nil else d.listFiles().map(_.getName).toList.sorted
+  }
+
+  test("log compaction bounds the directory count and preserves the exact multiset (round 17)") {
+    val dir = newDir("js-compact")
+    val threshold = 8
+    (0L until 50L).foreach { b =>
+      JoinState.writeLog(Seq(s"p$b", s"p$b-dup").toDF("__payload"), dir, b)
+      JoinState.maybeCompact(spark, dir, b + 1, threshold)
+    }
+    val names = entries(dir)
+    assert(names.count(_.startsWith("lg")) === 1,
+      s"exactly one live generation expected, got $names")
+    assert(names.count(n => n.startsWith("b") && !n.startsWith("lg")) <= threshold + 1,
+      s"live per-batch dirs must stay bounded by the threshold, got $names")
+    // the full multiset survives folding (duplicates preserved)
+    val all = payloads(dir, 50L)
+    assert(all.size === 100 && all.count(_ == "p7") === 1 &&
+      all.count(_ == "p7-dup") === 1 && all.count(_ == "p49") === 1)
+  }
+
+  test("a replayed batch after compaction still reads its exact pre-state") {
+    val dir = newDir("js-replay")
+    (0L until 10L).foreach { b =>
+      JoinState.writeLog(Seq(s"p$b").toDF("__payload"), dir, b)
+    }
+    // batch 10 runs: reads pre-state, writes, compacts (folds ids < 10)
+    val pre10 = payloads(dir, 10L)
+    JoinState.writeLog(Seq("p10").toDF("__payload"), dir, 10L)
+    JoinState.maybeCompact(spark, dir, 10L, threshold = 4)
+    // crash + replay of batch 10: the pre-state must be byte-identical
+    // (its own b10 write is excluded by id; the folded generation
+    // covers exactly ids < 10)
+    assert(payloads(dir, 10L) === pre10,
+      "a replayed batch must see its exact pre-state after compaction")
+    JoinState.writeLog(Seq("p10").toDF("__payload"), dir, 10L) // idempotent overwrite
+    JoinState.maybeCompact(spark, dir, 10L, threshold = 4)     // idempotent re-fold
+    assert(payloads(dir, 11L).count(_ == "p10") === 1)
+    assert(payloads(dir, 11L).size === 11)
+  }
+
+  test("crash window: a published generation with undeleted folded inputs never double-counts") {
+    val dir = newDir("js-crash")
+    (0L until 4L).foreach { b =>
+      JoinState.writeLog(Seq(s"p$b").toDF("__payload"), dir, b)
+    }
+    // simulate the crash between rename and input deletion: the
+    // generation lg3 (covering b0..b3) exists ALONGSIDE b0..b3
+    Seq("p0", "p1", "p2", "p3").toDF("__payload")
+      .write.parquet(s"$dir/lg3")
+    val all = payloads(dir, 5L)
+    assert(all === List("p0", "p1", "p2", "p3"),
+      s"b dirs at or below the generation must be ignored, got $all")
+    // the next compaction sweep removes the stale inputs
+    JoinState.maybeCompact(spark, dir, 5L, threshold = 1000)
+    assert(entries(dir).count(n => n.startsWith("b") && !n.startsWith("lg")) === 0,
+      s"stale sub-generation b dirs must be swept: ${entries(dir)}")
+    assert(payloads(dir, 5L) === List("p0", "p1", "p2", "p3"))
+  }
 }

@@ -645,6 +645,54 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("fact-log compaction rides the stream: many epochs fold into a generation, semantics unchanged (round 17)") {
+    val conf = newConf("rjk")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjk_cust_feed", custSchema)
+    r.registerTopicSource("rjk_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjk_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjk_cust SELECT cid, name FROM rjk_cust_feed;
+      CREATE TABLE rjk_enr (order_id BIGINT, cust_name STRING, __op STRING)
+        WITH ('changelog.mode' = 'retract',
+              'join.state.compact.threshold' = '2');
+      INSERT INTO rjk_enr (order_id, cust_name)
+      SELECT o.order_id, c.name FROM rjk_ord_feed o JOIN rjk_cust c ON o.cid = c.cid""")
+    def state() = net("rjk_enr", "order_id", "cust_name")
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjk_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    (1 to 7).foreach { i =>
+      Topics.appendJson(Seq(RjOrd(i.toLong, "c1", "p1", i * 10.0)).toDF(),
+        "rjk_ord_feed", conf, Nil, i)
+      r.processAllAvailable()
+    }
+    // a dim revision AFTER compaction: every logged fact — including
+    // those now living only in the folded generation — must re-emit
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjk_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === (1 to 7).map(i => i.toLong -> Seq("Anna")).toMap,
+      "facts folded into a log generation must still re-emit on dim revision")
+    // the fact side's state dir is generation + a bounded tail, not
+    // one dir per epoch
+    val stateDirs = {
+      val root = java.nio.file.Paths.get(conf.root, ".checkpoints")
+      val out = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (p.getFileName.toString == "graft-join-state") out += p
+      }
+      out.toList
+    }
+    assert(stateDirs.nonEmpty)
+    val factLog = new java.io.File(stateDirs.head.toFile, "s0")
+    val names = factLog.listFiles().map(_.getName).toList.sorted
+    assert(names.exists(_.startsWith("lg")),
+      s"a generation must exist after 7 epochs at threshold 2: $names")
+    assert(names.count(n => n.startsWith("b") && !n.startsWith("lg")) <= 3,
+      s"per-batch dirs must stay bounded by the threshold: $names")
+    r.stopAll()
+  }
+
   test("self-join shapes keep the snapshot path: a table referenced twice in FROM never regular-joins (ADVICE r16)") {
     // the per-batch shadow view binds BOTH occurrences of a duplicated
     // ref to one frame, so the telescoped term would silently drop the
