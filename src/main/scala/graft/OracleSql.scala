@@ -2023,6 +2023,33 @@ object OracleSql {
                 quantile_cont(CAST(user_id % 97 AS DOUBLE), 0.75) AS p75,
                 median(CAST(user_id % 97 AS DOUBLE)) AS med
          FROM latest GROUP BY event_type""",
+    // Exact percentile_disc over the latest-per-user changelog: the
+    // oracle states the discrete pick RULE explicitly — value at
+    // 1-based sorted position max(1, ceil(m·N/1e6)) computed in
+    // integer arithmetic — mirroring the engine bit-for-bit instead
+    // of trusting DuckDB's quantile_disc pick convention.
+    "q246_stream_percentile_disc" ->
+      """WITH latest AS (
+           SELECT user_id, event_type
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 4 = 0) WHERE rn = 1),
+         ranked AS (
+           SELECT event_type, CAST(user_id % 97 AS DOUBLE) AS v,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY CAST(user_id % 97 AS DOUBLE)) AS rn,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY CAST(user_id % 97 AS DOUBLE) DESC) AS rnd,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM latest)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_users,
+                max(CASE WHEN rn = greatest((500000 * n + 999999) // 1000000, 1)
+                    THEN v END) AS d50,
+                max(CASE WHEN rn = greatest((250000 * n + 999999) // 1000000, 1)
+                    THEN v END) AS d25,
+                max(CASE WHEN rnd = greatest((500000 * n + 999999) // 1000000, 1)
+                    THEN v END) AS d50r
+         FROM ranked GROUP BY event_type""",
     // Chained LEFT OUTER regular join: the folded net state equals the
     // batch fact LEFT JOIN dim1 LEFT JOIN dim2 over FINAL dim states.
     // dim1 = per-user latest type among user%8=0 (others pad level 1);

@@ -3711,6 +3711,65 @@ object SparkEntry {
         col("p25"), col("p50"), col("p75"), col("med"))
     }),
 
+    // ── EXACT PERCENTILE_DISC over an upsert changelog driver,
+    //    DRIVER-GATED (round 17 — closing the one degenerate rejection
+    //    a user actually types, VERDICT r16 item 3): the discrete
+    //    cume_dist ≥ p pick over the live per-(group, value) multiset,
+    //    ASC and DESC, targeted by EXACT integer micro-arithmetic
+    //    (⌈m·N/10⁶⌉ via intDiv — no float boundary drift). The oracle
+    //    states the SAME pick rule explicitly (row_number = target)
+    //    rather than trusting DuckDB's quantile_disc convention ──
+    "q246_stream_percentile_disc" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q246").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_feed_q246", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+        r.runScript("""
+          CREATE TABLE user_latest_q246 (
+            user_id BIGINT, last_event_type STRING, last_value DOUBLE,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_latest_q246
+          SELECT user_id, event_type, value FROM events_feed_q246;
+          CREATE TABLE type_disc_q246 (event_type STRING, n_users BIGINT,
+            d50 DOUBLE, d25 DOUBLE, d50r DOUBLE,
+            PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO type_disc_q246
+          SELECT last_event_type, count(*) AS n_users,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(user_id % 97 AS DOUBLE)) AS d50,
+                 percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(user_id % 97 AS DOUBLE)) AS d25,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(user_id % 97 AS DOUBLE) DESC) AS d50r
+          FROM user_latest_q246 GROUP BY last_event_type""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_type"), col("value")),
+            struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.event_type"), col("__l.value"))
+        Topics.appendJson(slice, "events_feed_q246", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("type_disc_q246").select(col("event_type"), col("n_users"),
+        col("d50"), col("d25"), col("d50r"))
+    }),
+
     // ── CHAINED multi-dim LEFT OUTER regular join, DRIVER-GATED
     //    (round 17, VERDICT r16 item 1 — the production enrichment
     //    shape of `lab-aggregations/main.tf:563` written the way users

@@ -44,12 +44,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, TimestampType
   * number of expressions (struct-keyed multiset), single-expression
   * DISTINCT sum/avg, and collect_set/collect_list/array_agg (the live
   * multiset emitted as a value-sorted array — Flink's retractable
-  * COLLECT state), and EXACT percentile/median/percentile_cont (the
+  * COLLECT state), EXACT percentile/median/percentile_cont (the
   * multiset's net counts feed Spark's weighted Percentile, recomputed
-  * over live values). Nothing on the practical aggregate surface
-  * rejects anymore; the residual rejections are degenerate forms
-  * (array-of-percentages percentile, frequency-column percentile,
-  * multi-column DISTINCT under sum/avg, percentile_disc).
+  * over live values), and EXACT percentile_disc (round 17 — the
+  * discrete cume_dist ≥ p pick over the same multiset, integral
+  * micro-arithmetic target). Nothing on the practical aggregate
+  * surface rejects anymore; the residual rejections are degenerate
+  * forms (array-of-percentages percentile, frequency-column
+  * percentile, multi-column DISTINCT under sum/avg).
   */
 object MergeAggRewrite {
 
@@ -248,6 +250,36 @@ object MergeAggRewrite {
                   "quantizes to 1e-6) — use a micro-aligned percentage " +
                   "such as 0.333333")
               valueSetFor(pc.child, s"pct${math.round(pv * 1e6)}")
+            // ── EXACT percentile_disc (round 17 — the last degenerate
+            //    form a user actually types): the DISCRETE pick over
+            //    the same live multiset — the first value in sort
+            //    order whose cumulative net count reaches
+            //    ⌈p·N⌉ (SQL's cume_dist ≥ p rule), computed in EXACT
+            //    integer micro-arithmetic (target = (m·N + 10⁶−1) div
+            //    10⁶ with m the micro-aligned percentage — no float
+            //    boundary drift, the CLAUDE.md intDiv discipline).
+            //    `reverse` (ORDER BY … DESC) flips the scan. ──
+            case pd: org.apache.spark.sql.catalyst.expressions.aggregate.PercentileDisc =>
+              require(pd.percentageExpression.foldable,
+                s"merge aggregate over $driver: percentile_disc needs a literal percentage")
+              val pv = pd.percentageExpression.eval() match {
+                case d: org.apache.spark.sql.types.Decimal => d.toDouble
+                case d: Double => d
+                case f: Float => f.toDouble
+                case n: Number => n.doubleValue()
+                case other => throw new IllegalArgumentException(
+                  s"merge aggregate over $driver: unsupported percentile_disc " +
+                    s"percentage $other")
+              }
+              require(pv >= 0.0 && pv <= 1.0,
+                s"merge aggregate over $driver: percentile_disc percentage $pv outside [0, 1]")
+              require(pv * 1e6 == math.rint(pv * 1e6),
+                s"merge aggregate over $driver: percentile_disc percentage $pv " +
+                  "is not representable at micro precision (the stat key " +
+                  "quantizes to 1e-6) — use a micro-aligned percentage")
+              Cast(valueSetFor(pd.child,
+                s"ds${if (pd.reverse) "r" else "c"}${math.round(pv * 1e6)}"),
+                ae.dataType)
             // ── DISTINCT aggregates: exact, from the multiset ──
             case c: Count if ae.isDistinct =>
               val nonLit = c.children.filterNot(_.foldable)

@@ -736,7 +736,7 @@ final class StreamingStatementRunner(spark: SparkSession,
       "first", "last", "first_value", "last_value",
       "bool_and", "bool_or", "every", "some", "any", "listagg", "string_agg",
       "collect_set", "collect_list", "array_agg",
-      "percentile", "median", "percentile_cont")
+      "percentile", "median", "percentile_cont", "percentile_disc")
     // first/last fold by ARRIVAL order — even over insert-only
     // drivers they need the offset-ordered merge path (native
     // streaming first/last is shuffle-order nondeterministic)
@@ -1939,6 +1939,12 @@ final class StreamingStatementRunner(spark: SparkSession,
       Topics.appendJson(toWrite, vsTopic, conf,
         keyCols = keyNames :+ "__v", epoch = epoch)
       val live = m.where(col("__vsn") > 0)
+      // discrete percentiles ("dsc<micros>" asc / "dsr<micros>" desc):
+      // recomputed from the value-sorted (value, net-count) pairs in a
+      // post-projection (the pick needs the group's TOTAL, which the
+      // same .agg cannot nest)
+      val discStats = vs.stats.toSeq
+        .filter(st => st.startsWith("dsc") || st.startsWith("dsr")).sorted
       val aggs = Seq(
         "min" -> min(col("__v")).as(s"${vs.name}_min"),
         "max" -> max(col("__v")).as(s"${vs.name}_max"),
@@ -1961,11 +1967,41 @@ final class StreamingStatementRunner(spark: SparkSession,
         vs.stats.toSeq.filter(_.startsWith("pct")).sorted.map { st =>
           percentile(col("__v"), lit(st.drop(3).toLong / 1e6), col("__vsn"))
             .as(s"${vs.name}_$st")
-        }
+        } ++
+        (if (discStats.isEmpty) Nil
+         else Seq(sort_array(collect_list(
+           struct(col("__v").as("v"), col("__vsn").as("n")))).as("__dscpairs")))
+      val grouped = live.groupBy(keyNames.map(k => col(s"`$k`")): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      // SQL percentile_disc: the first value in sort order whose
+      // cumulative net count reaches ⌈p·N⌉ (cume_dist ≥ p). The target
+      // is EXACT integer micro-arithmetic — (m·N + 10⁶−1) div 10⁶,
+      // never a float multiply that could drift across an integer
+      // boundary at a tie (CLAUDE.md intDiv discipline); p = 0 clamps
+      // to the first value. "dsr" (ORDER BY … DESC) scans reversed.
+      val withDisc = discStats.foldLeft(grouped) { (df, st) =>
+        val arr = if (st.startsWith("dsr")) reverse(col("__dscpairs"))
+                  else col("__dscpairs")
+        val total = aggregate(arr, lit(0L), (a, x) => a + x.getField("n"))
+        val target = greatest(graft.expressions.HashExpressions.intDiv(
+          lit(st.drop(3).toLong) * total + lit(999999L), lit(1000000L)), lit(1L))
+        val nullV = lit(null).cast(vs.childType)
+        val picked = aggregate(arr,
+          struct(lit(0L).as("c"), nullV.as("r")),
+          (acc, x) => {
+            val c2 = acc.getField("c") + x.getField("n")
+            when(acc.getField("r").isNotNull, acc)
+              .otherwise(when(c2 >= target,
+                struct(c2.as("c"), x.getField("v").as("r")))
+                .otherwise(struct(c2.as("c"), nullV.as("r"))))
+          },
+          acc => acc.getField("r"))
+        df.withColumn(s"${vs.name}_$st", picked)
+      }
       // eager: materialize the stats while the merge frame is cached
       // (the caller's sink action runs after this frame is unpersisted)
-      val stats = live.groupBy(keyNames.map(k => col(s"`$k`")): _*)
-        .agg(aggs.head, aggs.tail: _*)
+      val stats = (if (discStats.isEmpty) withDisc
+                   else withDisc.drop("__dscpairs"))
         .localCheckpoint() // cuts the lineage to the uncached m
       stats
     } finally m.unpersist()

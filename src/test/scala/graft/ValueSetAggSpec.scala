@@ -651,6 +651,57 @@ class ValueSetAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("EXACT percentile_disc over an upsert driver: the discrete pick recomputes under revision, tombstone, and DESC order") {
+    val conf = newConf("vs-disc")
+    val r = runner(conf, "vs_src_disc", """
+      CREATE TABLE vs_disc (grp STRING, n BIGINT, d50 DOUBLE, d25 DOUBLE,
+        d50r DOUBLE,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_disc
+      SELECT grp, count(*) AS n,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY amt) AS d50,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY amt) AS d25,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY amt DESC) AS d50r
+      FROM vs_acct GROUP BY grp""")
+    def state() = spark.table("vs_disc")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // in-engine oracle: Spark's own batch percentile_disc over the
+    // CURRENT live rows (dyadic percentages — no float-boundary risk)
+    def oracle(rows: (String, Double)*): (Long, Double, Double, Double) = {
+      val df = rows.toSeq.toDF("grp", "amt")
+      df.createOrReplaceTempView("vs_disc_oracle")
+      val o = spark.sql("""
+        SELECT count(*), percentile_disc(0.5) WITHIN GROUP (ORDER BY amt),
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY amt),
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY amt DESC)
+        FROM vs_disc_oracle GROUP BY grp""").collect().head
+      (o.getLong(0), o.getDouble(1), o.getDouble(2), o.getDouble(3))
+    }
+
+    Topics.appendJson(Seq(VsRow("k1", "g1", 10.0), VsRow("k2", "g1", 20.0),
+      VsRow("k3", "g1", 30.0)).toDF(), "vs_src_disc", conf, Nil, 1)
+    r.processAllAvailable()
+    // N=3: d50 = 2nd value (20), d25 = 1st (10), DESC d50 = 2nd of
+    // {30,20,10} = 20
+    assert(state() === Map("g1" -> ((3L, 20.0, 10.0, 20.0))))
+    assert(state()("g1") === oracle(("g1", 10.0), ("g1", 20.0), ("g1", 30.0)))
+
+    // the d50 HOLDER revises away: the pick recomputes from the rest
+    Topics.appendJson(Seq(VsRow("k2", "g1", 100.0)).toDF(), "vs_src_disc", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((3L, 30.0, 10.0, 30.0))))
+    assert(state()("g1") === oracle(("g1", 10.0), ("g1", 100.0), ("g1", 30.0)))
+
+    // tombstone k3: two values left — the discrete pick NEVER
+    // interpolates (unlike percentile_cont)
+    Topics.appendJson(Seq(VsRow("k3", "DEL", 0.0)).toDF(), "vs_src_disc", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((2L, 10.0, 10.0, 100.0))))
+    assert(state()("g1") === oracle(("g1", 10.0), ("g1", 100.0)))
+    r.stopAll()
+  }
+
   test("percentile with a non-micro-aligned percentage rejects loudly (the stat key quantizes to 1e-6)") {
     // ADVICE r16: 1.0/3 would silently compute the quantized
     // percentile, and two ps within ~1e-6 would collide on one shared
