@@ -363,7 +363,33 @@ final class StreamingStatementRunner(spark: SparkSession,
             // the side VIEWS inline, and an upsert view's latest-by-key
             // materialization is itself an Aggregate — only the user's
             // own syntax decides linearity
-            val plan = spark.sessionState.sqlParser.parsePlan(select)
+            val rawPlan = spark.sessionState.sqlParser.parsePlan(select)
+            // CTE ROUTING (round 17, VERDICT r16 item 5): inline a
+            // root-level WITH's definitions at their reference sites
+            // (subquery references included) so the walk below sees
+            // the real relations — a WITH wrapping the S6 join select
+            // then regular-joins identically. Single-use is enforced
+            // downstream by the refCounts guard (a twice-referenced
+            // CTE inlines its tables twice); recursive WITH and
+            // NESTED WITH (a CTE body containing its own WITH) keep
+            // the snapshot path via the walk's UnresolvedWith case.
+            val plan = rawPlan match {
+              case w: UnresolvedWith if !w.allowRecursion =>
+                var defs = Map.empty[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+                def substP(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+                  p.transformUpWithSubqueries {
+                    case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+                        if r.multipartIdentifier.size == 1 &&
+                          defs.contains(r.multipartIdentifier.head
+                            .toLowerCase(java.util.Locale.ROOT)) =>
+                      defs(r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT))
+                  }
+                w.cteRelations.foreach { case (name, body, _) =>
+                  defs += name.toLowerCase(java.util.Locale.ROOT) -> substP(body)
+                }
+                substP(w.child)
+              case p => p
+            }
             var ok = true
             val subPlans = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
             val outerRefs = scala.collection.mutable.Set.empty[String]
@@ -1145,6 +1171,54 @@ final class StreamingStatementRunner(spark: SparkSession,
       buf.toIndexedSeq
     }
 
+    // ── CTE inlining on the ANALYZED plan (round 17): the analyzer
+    //    keeps WITH as WithCTE + CTERelationRef (inlining is an
+    //    optimizer rule), which would hide the join spine and the top
+    //    projection — substitute each definition at its reference
+    //    sites (subquery plans included; single-use guaranteed by the
+    //    parsed-side guard), re-keying the definition's output to the
+    //    reference's attribute ids so ancestor references stay bound ──
+    def inlineAnalyzedCtes(plan0: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = plan0 match {
+      case w: org.apache.spark.sql.catalyst.plans.logical.WithCTE =>
+        import org.apache.spark.sql.catalyst.expressions.Alias
+        import org.apache.spark.sql.catalyst.plans.logical.{CTERelationRef, LogicalPlan, Project}
+        val defs = w.cteDefs.map(d => d.id -> d).toMap
+        def subst(p: LogicalPlan): LogicalPlan = p.transformUpWithSubqueries {
+          case ref: CTERelationRef =>
+            val d = defs.getOrElse(ref.cteId, throw new IllegalStateException(
+              s"INSERT INTO ${target.qualified}: dangling CTE reference ${ref.cteId}"))
+            val child = subst(d.child)
+            Project(ref.output.zip(child.output).map { case (refA, chA) =>
+              Alias(chA, refA.name)(exprId = refA.exprId)
+            }, child)
+        }
+        subst(w.plan)
+      case other => other
+    }
+    // ── sign threading: a CTE body's (or inlining-inserted) PROJECTION
+    //    between the join and the root drops the hidden sign column —
+    //    re-expose it through every intermediate Project whose child
+    //    carries it, so the root injection finds it. The ROOT
+    //    projection is left alone (injectSignInto appends there). ──
+    def exposeSign(plan0: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      plan0 match {
+        case root: Project =>
+          root.copy(child = root.child.transformUp {
+            case p: Project if p.child.output.exists(_.name == SG) &&
+                !p.output.exists(_.name == SG) =>
+              Project(p.projectList :+ p.child.output.find(_.name == SG).get, p.child)
+          })
+        case other => other
+      }
+    }
+    /** The analyzed, CTE-inlined, sign-threaded plan every term
+      * evaluation starts from. */
+    def prep(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      exposeSign(inlineAnalyzedCtes(GraftSqlBridge.analyzedPlan(df)))
+
     // ── hidden-sign injection: the analyzed select's top projection
     //    gains the delta side's sign attribute, so each output row is
     //    signed by provenance without touching the user's SQL ──
@@ -1169,14 +1243,14 @@ final class StreamingStatementRunner(spark: SparkSession,
     /** LinearSide term: the VERBATIM select (outer joins intact — the
       * delta's pad rows ride along) with the sign appended. */
     def injectSign(df: DataFrame): DataFrame =
-      injectSignInto(GraftSqlBridge.analyzedPlan(df))
+      injectSignInto(prep(df))
     /** OuterNullSide inner term: ONLY spine node `spineIdx` flipped to
       * INNER (upper/lower joins verbatim — an upper LEFT join still
       * pads the flipped result, which is exactly the chain's
       * pad-of-pad composition), sign appended. */
     def innerFlipTerm(df: DataFrame, spineIdx: Int): DataFrame = {
       import org.apache.spark.sql.catalyst.plans.logical.Join
-      val analyzed = GraftSqlBridge.analyzedPlan(df)
+      val analyzed = prep(df)
       val tgt = spineJoins(analyzed)(spineIdx)
       injectSignInto(analyzed.transformUp {
         case j: Join if j eq tgt =>
@@ -1193,7 +1267,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     def evalSigned(df: DataFrame, sign: Int): DataFrame = {
       import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
       import org.apache.spark.sql.catalyst.plans.logical.Project
-      GraftSqlBridge.analyzedPlan(df) match {
+      prep(df) match {
         case p: Project =>
           GraftSqlBridge.ofRows(spark,
             Project(p.projectList :+ Alias(Literal(sign), SG)(), p.child))
@@ -1220,7 +1294,7 @@ final class StreamingStatementRunner(spark: SparkSession,
       import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
       import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
       import org.apache.spark.sql.catalyst.plans.LeftAnti
-      val analyzed = GraftSqlBridge.analyzedPlan(df)
+      val analyzed = prep(df)
       val tgt = spineJoins(analyzed)(spineIdx)
       // the attributes of the NON-preserved side: nulled above the join
       val nullAttrs =

@@ -645,6 +645,103 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("CTE routing (round 17): a WITH wrapping the join select regular-joins identically; twice-referenced CTEs keep snapshot") {
+    val conf = newConf("rjw")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjw_cust_feed", custSchema)
+    r.registerTopicSource("rjw_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjw_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjw_cust SELECT cid, name FROM rjw_cust_feed;
+      CREATE TABLE rjw_enr (order_id BIGINT, cust_name STRING,
+        amount DOUBLE, __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjw_enr (order_id, cust_name, amount)
+      WITH enr AS (
+        SELECT o.order_id, c.name, o.amount
+        FROM rjw_ord_feed o LEFT JOIN rjw_cust c ON o.cid = c.cid)
+      SELECT order_id, name, amount FROM enr""")
+    def state() = net("rjw_enr", "order_id", "cust_name", "amount")
+
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0), RjOrd(2, "c9", "p1", 20.0))
+      .toDF(), "rjw_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq(null, 10.0), 2L -> Seq(null, 20.0)),
+      "the CTE-wrapped LEFT join must pad unmatched facts")
+    // the dim arriving must retract order 1's pad THROUGH the CTE body
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjw_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Ann", 10.0), 2L -> Seq(null, 20.0)),
+      "a WITH wrapping the select must regular-join identically")
+    // and a revision must re-emit
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjw_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Anna", 10.0), 2L -> Seq(null, 20.0)))
+    r.stopAll()
+
+    // ── a CTE referenced twice inlines its tables twice → the
+    //    self-join guard keeps the shape on the snapshot path ──
+    val conf2 = newConf("rjw2")
+    val r2 = new StreamingStatementRunner(spark, topicConf = Some(conf2))
+    r2.registerTopicSource("rjw2_cust_feed", custSchema)
+    r2.registerTopicSource("rjw2_ord_feed", ordSchema)
+    r2.runScript("""
+      CREATE TABLE rjw2_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjw2_cust SELECT cid, name FROM rjw2_cust_feed;
+      CREATE TABLE rjw2_enr (order_id BIGINT, cust_name STRING, amount2 DOUBLE,
+        __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjw2_enr (order_id, cust_name, amount2)
+      WITH e AS (SELECT o.order_id, o.cid, o.amount
+                 FROM rjw2_ord_feed o)
+      SELECT a.order_id, c.name, a.amount + b.amount
+      FROM e a JOIN e b ON a.order_id = b.order_id
+      JOIN rjw2_cust c ON a.cid = c.cid""")
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjw2_cust_feed", conf2, Nil, 1)
+    r2.processAllAvailable()
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0)).toDF(), "rjw2_ord_feed", conf2, Nil, 1)
+    r2.processAllAvailable()
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjw2_cust_feed", conf2, Nil, 2)
+    r2.processAllAvailable()
+    val got = spark.table("rjw2_enr").select("order_id", "cust_name", "amount2", "__op")
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(got === Set((1L, "Ann", 20.0, "+I")),
+      s"a twice-referenced CTE must keep frozen snapshot semantics (got $got)")
+    r2.stopAll()
+  }
+
+  test("CTE inside the subquery-dim shape: a WITH-aliased blocklist still retracts and re-admits (round 17)") {
+    val conf = newConf("rjwb")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjwb_block_feed", StructType(Seq(
+      StructField("uid", StringType), StructField("__op", StringType))))
+    r.registerTopicSource("rjwb_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjwb_block (uid STRING, __op STRING,
+        PRIMARY KEY (uid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjwb_block SELECT uid, __op FROM rjwb_block_feed;
+      CREATE TABLE rjwb_kept (order_id BIGINT, amount DOUBLE, __op STRING)
+        WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjwb_kept (order_id, amount)
+      WITH active AS (SELECT uid FROM rjwb_block)
+      SELECT o.order_id, o.amount FROM rjwb_ord_feed o
+      WHERE NOT EXISTS (SELECT 1 FROM active a WHERE a.uid = o.cid)""")
+    def state() = net("rjwb_kept", "order_id", "amount")
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0), RjOrd(2, "c2", "p1", 20.0))
+      .toDF(), "rjwb_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq(10.0), 2L -> Seq(20.0)))
+    Topics.appendJson(Seq(("c1", "+I")).toDF("uid", "__op"), "rjwb_block_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(2L -> Seq(20.0)),
+      "blocking through the CTE alias must retract previously-kept rows")
+    Topics.appendJson(Seq(("c1", "-D")).toDF("uid", "__op"), "rjwb_block_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq(10.0), 2L -> Seq(20.0)),
+      "unblocking through the CTE alias must re-admit")
+    r.stopAll()
+  }
+
   test("fact-log compaction rides the stream: many epochs fold into a generation, semantics unchanged (round 17)") {
     val conf = newConf("rjk")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))

@@ -128,14 +128,14 @@ class RetractAggSpec extends SparkSpec {
 
     r.run("""CREATE TABLE g_bad (grp STRING, x DOUBLE,
              PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
-    // CONTINUOUS percentile folds via the multiset merge path since
-    // round 16 (q244); the DISCRETE form has no multiset route and
-    // stays a loud rejection on this path
+    // CONTINUOUS percentile and percentile_disc both fold via the
+    // multiset merge path (rounds 16-17, q244/q246); the
+    // ARRAY-of-percentages form is the residual degenerate rejection
     val e1 = intercept[IllegalArgumentException](
       r.run("""INSERT INTO g_bad
-               SELECT grp, percentile_disc(0.5) WITHIN GROUP (ORDER BY amt)
+               SELECT grp, percentile(amt, array(0.25, 0.5))
                FROM acct GROUP BY grp"""))
-    assert(e1.getMessage.contains("not sum-decomposable"))
+    assert(e1.getMessage.contains("ARRAY of percentages"))
     // an aggregate hidden in a scalar subquery (an expression, not a
     // plan child — ADVICE r13 item 4) still sees raw revisions
     r.run("CREATE TABLE g_flat (k STRING, grp STRING)")

@@ -534,13 +534,14 @@ class StreamingStatementRunnerSpec extends SparkSpec {
       INSERT INTO claim_keyed SELECT order_id, product_id FROM claim_orders_s;
       CREATE TABLE claim_out (product_id STRING, n BIGINT,
         PRIMARY KEY (product_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
-    // percentile_disc over a changelog driver rejects (continuous
-    // percentile folds via the multiset since round 16) — the writer
-    // claim taken at statement entry must be RELEASED
+    // an ARRAY-of-percentages percentile rejects (percentile_disc and
+    // scalar percentile both fold via the multiset since rounds 16-17;
+    // the array form is the residual degenerate rejection) — the
+    // writer claim taken at statement entry must be RELEASED
     intercept[IllegalArgumentException](
       r.run("""INSERT INTO claim_out
                SELECT product_id,
-                      percentile_disc(0.5) WITHIN GROUP (ORDER BY order_id)
+                      percentile(order_id, array(0.25, 0.5))
                FROM claim_keyed GROUP BY product_id"""))
     // ... so the corrected statement can claim the same target
     val q = r.run("""INSERT INTO claim_out
