@@ -242,7 +242,7 @@ final class StreamingStatementRunner(spark: SparkSession,
       // this, a restarted runner with no new input would serve an
       // empty table until the next micro-batch.
       val meta = catalog.getOrCreate(ct.name)
-      refreshTargetView(b, meta, sunkSchema(meta, schema))
+      refreshTargetView(spark, b, meta, sunkSchema(meta, schema))
       None
 
     case InsertInto(target, targetCols, select) =>
@@ -971,28 +971,25 @@ final class StreamingStatementRunner(spark: SparkSession,
                                 select: String, driverRef: String): StreamingQuery = {
     val stmtId = nextInsertId(target)
     val stream = spark.table(driverRef)
+    val dimRefs = tableRefs(select).filterNot(_ == driverRef)
+    // per-statement execution session (round 17): shadows and analysis
+    // live in this statement's OWN clone, so independent statements'
+    // micro-batches no longer serialize on the runner lock; dim
+    // freshness is PULLED from topic state before each analysis
+    val sess = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
     stream.writeStream.outputMode("append")
       .queryName(queryDisplayName(target, stmtId))
       .option("checkpointLocation", checkpointDir(target, stmtId))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        synchronized {
-          // `batch` is bound to the stream's CLONED session whose view
-          // catalog is a snapshot — re-home it (distributed, no collect)
-          // so the shadow registers in the MAIN session the select
-          // resolves against
-          org.apache.spark.sql.GraftSqlBridge.toSession(spark, batch)
-            .createOrReplaceTempView(driverRef)
-          try {
-            val result = renameTo(meta, targetCols, spark.sql(select))
-            sinkBatch(target, meta, result, stmtId, batchId)
-          } finally {
-            // restore the driver's steady-state binding: topic sources
-            // via refresh (a concurrent ALTER isn't clobbered),
-            // PROMOTED runner tables back to their batch view (other
-            // consumers must keep reading table state, not the stream)
-            restoreRefView(driverRef, stream)
-          }
-        }
+        refreshTableRefViews(sess, dimRefs)
+        // `batch` is bound to the stream's internal session — re-home
+        // it (distributed, no collect) onto the statement session the
+        // select resolves against; the shadow persists harmlessly
+        // between batches (nothing else reads this session)
+        org.apache.spark.sql.GraftSqlBridge.toSession(sess, batch)
+          .createOrReplaceTempView(driverRef)
+        val result = renameTo(meta, targetCols, sess.sql(select))
+        sinkBatch(target, meta, result, stmtId, batchId)
         ()
       }.start()
   }
@@ -1073,6 +1070,12 @@ final class StreamingStatementRunner(spark: SparkSession,
       s"INSERT INTO ${target.qualified}: the regular join emits a retract " +
         "changelog — the target must declare changelog.mode = 'retract'")
     val SG = "__jsign"
+    // the session every term evaluation resolves against: the MAIN
+    // session during statement-time validation, this statement's OWN
+    // clone once the query runs (round 17 statement concurrency —
+    // shadowing in a per-statement session removes the runner-wide
+    // lock; set once, before .start())
+    var evalSession: SparkSession = spark
 
     /** A participating side: signed delta stream + state representation.
       * `restore` is the steady binding for refs [[restoreRefView]]
@@ -1232,7 +1235,7 @@ final class StreamingStatementRunner(spark: SparkSession,
               s"INSERT INTO ${target.qualified}: the regular join needs every " +
                 "changelog side's rows joined DIRECTLY — a derived table " +
                 "re-projecting a side's columns hides its revision channel"))
-          GraftSqlBridge.ofRows(spark,
+          GraftSqlBridge.ofRows(evalSession,
             Project(p.projectList :+ Alias(sg, SG)(), p.child))
         case _ => throw new IllegalArgumentException(
           s"INSERT INTO ${target.qualified}: a retract-target regular join " +
@@ -1269,7 +1272,7 @@ final class StreamingStatementRunner(spark: SparkSession,
       import org.apache.spark.sql.catalyst.plans.logical.Project
       prep(df) match {
         case p: Project =>
-          GraftSqlBridge.ofRows(spark,
+          GraftSqlBridge.ofRows(evalSession,
             Project(p.projectList :+ Alias(Literal(sign), SG)(), p.child))
         case other => throw new IllegalArgumentException(
           s"INSERT INTO ${target.qualified}: a retract-target regular join " +
@@ -1338,7 +1341,7 @@ final class StreamingStatementRunner(spark: SparkSession,
           s"INSERT INTO ${target.qualified}: an outer pad needs a top-level " +
             s"projection, got ${other.nodeName}")
       }
-      GraftSqlBridge.ofRows(spark, padded)
+      GraftSqlBridge.ofRows(evalSession, padded)
     }
     /** The side's bracket strategy; a topic side absent from the shape
       * map is linear by construction (defensive default). */
@@ -1427,12 +1430,16 @@ final class StreamingStatementRunner(spark: SparkSession,
     val stateRoot = s"${checkpointDir(target, stmtId)}/graft-join-state"
     val union = sides.zipWithIndex.map { case (s, i) => encodeSide(s, i) }
       .reduce(_ unionByName _)
+    // per-statement execution session (round 17): state reads, view
+    // shadows, and term analysis all live in this statement's clone
+    val stmtSession = GraftSqlBridge.cloneSession(spark)
     union.writeStream.outputMode("append")
       .queryName(queryDisplayName(target, stmtId))
       .option("checkpointLocation", checkpointDir(target, stmtId))
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        synchronized {
-          val batch = GraftSqlBridge.toSession(spark, batch0).persist()
+        {
+          evalSession = stmtSession
+          val batch = GraftSqlBridge.toSession(stmtSession, batch0).persist()
           try {
             val touched = batch.groupBy("__side").count().collect()
               .map(r => r.getInt(0)).toSet
@@ -1446,21 +1453,21 @@ final class StreamingStatementRunner(spark: SparkSession,
               sides.zipWithIndex.foreach { case (s, i) =>
                 val dir = s"$stateRoot/s$i"
                 if (s.appendOnly) {
-                  ttlMs.foreach(t => JoinState.pruneLog(spark, dir, t))
-                  val logPre = JoinState.readLog(spark, dir, batchId)
+                  ttlMs.foreach(t => JoinState.pruneLog(stmtSession, dir, t))
+                  val logPre = JoinState.readLog(stmtSession, dir, batchId)
                   pre(i) = decode(logPre, s)
                   post(i) = deltaRows.get(i) match {
                     case Some(d) =>
                       writes += { () =>
                         JoinState.writeLog(d.select("__payload"), dir, batchId)
                         // amortized: folds only every `threshold` batches
-                        JoinState.maybeCompact(spark, dir, batchId, compactThreshold)
+                        JoinState.maybeCompact(stmtSession, dir, batchId, compactThreshold)
                       }
                       pre(i).unionByName(decode(d, s))
                     case None => pre(i)
                   }
                 } else {
-                  val (preExpl, preFolded, readGen) = JoinState.readSnapshot(spark, dir, batchId)
+                  val (preExpl, preFolded, readGen) = JoinState.readSnapshot(stmtSession, dir, batchId)
                   pre(i) = decode(preExpl, s)
                   post(i) = deltaRows.get(i) match {
                     case Some(d) =>
@@ -1494,15 +1501,15 @@ final class StreamingStatementRunner(spark: SparkSession,
                     // outer joins intact, the delta's pad rows ride
                     // along already signed
                     shadowAround(i, delta)
-                    Seq(injectSign(spark.sql(select)))
+                    Seq(injectSign(stmtSession.sql(select)))
                   case SubquerySide =>
                     // brute pre/post bracket: a subquery-dim change
                     // invalidates every row's verdict at once; exact,
                     // and unchanged rows net away in the content fold
                     shadowAround(i, pre(i))
-                    val neg = evalSigned(spark.sql(select), -1)
+                    val neg = evalSigned(stmtSession.sql(select), -1)
                     shadowAround(i, post(i))
-                    val pos = evalSigned(spark.sql(select), 1)
+                    val pos = evalSigned(stmtSession.sql(select), 1)
                     Seq(neg, pos)
                   case o: OuterNullSide =>
                     // out = inner + pads at the side's spine node:
@@ -1511,22 +1518,21 @@ final class StreamingStatementRunner(spark: SparkSession,
                     // OUTER) the side's own preserved pad over Δ
                     val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
                     shadowAround(i, delta)
-                    buf += innerFlipTerm(spark.sql(select), o.spineIdx)
+                    buf += innerFlipTerm(stmtSession.sql(select), o.spineIdx)
                     o.ownPadPreservedIsLeft.foreach { pil =>
                       shadowAround(i, delta)
-                      buf += padFrameAt(spark.sql(select), o.spineIdx, pil, None)
+                      buf += padFrameAt(stmtSession.sql(select), o.spineIdx, pil, None)
                     }
                     shadowAround(i, pre(i))
-                    buf += padFrameAt(spark.sql(select), o.spineIdx,
+                    buf += padFrameAt(stmtSession.sql(select), o.spineIdx,
                       o.bracketPadPreservedIsLeft, Some(-1))
                     shadowAround(i, post(i))
-                    buf += padFrameAt(spark.sql(select), o.spineIdx,
+                    buf += padFrameAt(stmtSession.sql(select), o.spineIdx,
                       o.bracketPadPreservedIsLeft, Some(1))
                     buf.toSeq
                 }
                 built.map(_.toDF((outNames :+ SG).toIndexedSeq: _*))
               }
-              sides.foreach(s => restoreRefView(s.ref, s.restore))
               val netted = terms.reduce(_ unionByName _)
                 .groupBy(outNames.map(c => col(s"`$c`")).toIndexedSeq: _*)
                 .agg(sum(col(SG)).as("__net")).where(col("__net") =!= 0L)
@@ -1538,10 +1544,7 @@ final class StreamingStatementRunner(spark: SparkSession,
               sinkBatch(target, meta, recs, stmtId, batchId)
               writes.foreach(_())
             }
-          } finally {
-            sides.foreach(s => restoreRefView(s.ref, s.restore))
-            batch.unpersist()
-          }
+          } finally batch.unpersist()
         }
         ()
       }.start()
@@ -1824,29 +1827,30 @@ final class StreamingStatementRunner(spark: SparkSession,
       } finally restoreRefView(driverRef, Option(restoreTo).getOrElse(signedStream))
     }
     val stmtId = nextInsertId(target)
+    val dimRefs = tableRefs(select).filterNot(_ == driverRef)
+    // per-statement execution session (round 17): shadow + re-analysis
+    // in this statement's own clone — no runner-wide serialization;
+    // dim freshness pulled before each analysis
+    val sess = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
     signedStream.writeStream.outputMode("append")
       .queryName(queryDisplayName(target, stmtId))
       .option("checkpointLocation", checkpointDir(target, stmtId))
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        synchronized {
-          val batch = org.apache.spark.sql.GraftSqlBridge.toSession(spark, batch0)
-          batch.createOrReplaceTempView(driverRef)
-          try {
-            val analyzed = org.apache.spark.sql.GraftSqlBridge
-              .analyzedPlan(spark.sql(select))
-            val (agg, havingCond, visibleIdx) =
-              RetractAggRewrite.unwrapHaving(analyzed, driverRef)
-            val form = MergeAggRewrite(agg, driverRef, mayRetract)
-            // HAVING in the merge path: the emit row is rebuilt from
-            // merged raws, so the condition's attribute refs are
-            // re-bound BY POSITION to the emitted column names
-            val idxByExprId = agg.aggregateExpressions.map(_.exprId)
-              .zipWithIndex.toMap
-            mergeSink(target, meta, targetCols, form, stmtId, batchId,
-              havingCond, visibleIdx, idxByExprId)
-          } finally restoreRefView(driverRef,
-            Option(restoreTo).getOrElse(signedStream))
-        }
+        refreshTableRefViews(sess, dimRefs)
+        val batch = org.apache.spark.sql.GraftSqlBridge.toSession(sess, batch0)
+        batch.createOrReplaceTempView(driverRef)
+        val analyzed = org.apache.spark.sql.GraftSqlBridge
+          .analyzedPlan(sess.sql(select))
+        val (agg, havingCond, visibleIdx) =
+          RetractAggRewrite.unwrapHaving(analyzed, driverRef)
+        val form = MergeAggRewrite(agg, driverRef, mayRetract)
+        // HAVING in the merge path: the emit row is rebuilt from
+        // merged raws, so the condition's attribute refs are
+        // re-bound BY POSITION to the emitted column names
+        val idxByExprId = agg.aggregateExpressions.map(_.exprId)
+          .zipWithIndex.toMap
+        mergeSink(sess, target, meta, targetCols, form, stmtId, batchId,
+          havingCond, visibleIdx, idxByExprId)
         ()
       }.start()
   }
@@ -1857,7 +1861,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     * full output list (a HAVING condition may have extended it with
     * hidden aggregates); `havingCond` deletes groups that stop
     * satisfying the predicate. */
-  private def mergeSink(target: TargetBinding, meta: TableMeta,
+  private def mergeSink(sess: SparkSession, target: TargetBinding, meta: TableMeta,
                         targetCols: Seq[String], form: MergeAggRewrite.MergeForm,
                         stmtId: Long, batchId: Long,
                         havingCond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
@@ -1887,7 +1891,7 @@ final class StreamingStatementRunner(spark: SparkSession,
         s"BY key — PRIMARY KEY (${meta.primaryKey.mkString(", ")}) must equal " +
         s"the group-key columns (${keyNames.mkString(", ")})")
     val netCol = RetractAggRewrite.NetCol
-    val delta = GraftSqlBridge.ofRows(spark, form.delta)
+    val delta = GraftSqlBridge.ofRows(sess, form.delta)
       .toDF((keyNames ++ form.rawNames :+ netCol): _*)
       .persist() // read several times: empty-check, merge, touched keys
     try {
@@ -1897,7 +1901,7 @@ final class StreamingStatementRunner(spark: SparkSession,
       // state churn). Replay-consistent: a replayed empty batch skips
       // identically, leaving no epoch — the same absence either way.
       if (delta.isEmpty) return
-      val prior = readMergeState(target, meta, keyNames, form, epoch)
+      val prior = readMergeState(sess, target, meta, keyNames, form, epoch)
       def keyCond(l: String, r: String) =
         keyNames.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
       def addCol(n: String, dt: org.apache.spark.sql.types.DataType) =
@@ -1925,7 +1929,7 @@ final class StreamingStatementRunner(spark: SparkSession,
       // state, write the TOUCHED pairs under this epoch, and recompute
       // the stats over LIVE values for the touched groups only
       val merged = form.valueSets.foldLeft(mergedRaws) { (acc, vs) =>
-        val stats = mergeValueSet(target, meta, keyNames, vs, epoch, delta)
+        val stats = mergeValueSet(sess, target, meta, keyNames, vs, epoch, delta)
         acc.as("m").join(stats.as("s"), keyCond("m", "s"), "left_outer")
           .select((acc.columns.map(c => col(s"m.`$c`")) ++
             stats.columns.filterNot(keyNames.contains)
@@ -1967,7 +1971,10 @@ final class StreamingStatementRunner(spark: SparkSession,
           Seq(col(netCol), col(RetractAggRewrite.KeepCol), col("__op"))): _*)
       Topics.appendJson(sunkOut, target.topic, conf,
         keyCols = meta.primaryKey, epoch = epoch)
-      meta.schema.foreach(sc => refreshTargetView(target, meta, sunkSchema(meta, sc)))
+      synchronized {
+        meta.schema.foreach(sc =>
+          refreshTargetView(spark, target, meta, sunkSchema(meta, sc)))
+      }
     } finally delta.unpersist()
   }
 
@@ -1981,15 +1988,15 @@ final class StreamingStatementRunner(spark: SparkSession,
     * the main merge. The recompute reads prior pairs only for groups
     * the batch touched (key-partitioned join), so per-batch cost is
     * O(live values of touched groups), never the whole multiset. */
-  private def mergeValueSet(target: TargetBinding, meta: TableMeta,
+  private def mergeValueSet(sess: SparkSession, target: TargetBinding, meta: TableMeta,
                             keyNames: Seq[String], vs: MergeAggRewrite.ValueSet,
                             epoch: Long, delta: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     val vsTopic = s"${target.topic}__${vs.name}"
-    Topics.ensureTopic(spark, conf, vsTopic)
-    val vsDelta = GraftSqlBridge.ofRows(spark, vs.delta)
+    Topics.ensureTopic(sess, conf, vsTopic)
+    val vsDelta = GraftSqlBridge.ofRows(sess, vs.delta)
       .toDF((keyNames ++ Seq("__v", "__vsd")): _*)
-    val prior = readValueSetState(vsTopic, meta, keyNames, vs, epoch)
+    val prior = readValueSetState(sess, vsTopic, meta, keyNames, vs, epoch)
     val touched = delta.select(keyNames.map(k => col(s"`$k`")): _*).distinct()
     def cond(l: String, r: String, cols: Seq[String]) =
       cols.map(c => col(s"$l.`$c`") <=> col(s"$r.`$c`")).reduce(_ && _)
@@ -2083,7 +2090,7 @@ final class StreamingStatementRunner(spark: SparkSession,
 
   /** A value multiset's PRIOR state: latest record per (group, value)
     * key among offsets strictly before `epoch`, net counts decoded. */
-  private def readValueSetState(vsTopic: String, meta: TableMeta,
+  private def readValueSetState(sess: SparkSession, vsTopic: String, meta: TableMeta,
                                 keyNames: Seq[String], vs: MergeAggRewrite.ValueSet,
                                 epoch: Long): DataFrame = {
     val declared = meta.schema.getOrElse(throw new IllegalArgumentException(
@@ -2093,7 +2100,7 @@ final class StreamingStatementRunner(spark: SparkSession,
         org.apache.spark.sql.types.StructField("__v", vs.childType))
     val valueSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("__vsn", org.apache.spark.sql.types.LongType)))
-    val records = Topics.readBatchRecords(spark, vsTopic, conf)
+    val records = Topics.readBatchRecords(sess, vsTopic, conf)
       .where(col("offset") < lit(epoch * (1L << 40)))
     val latest = ChangelogOps.latestByKey(records, Seq("key"), Seq("offset"))
       .where(col("value").isNotNull)
@@ -2106,7 +2113,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     * record per key among offsets STRICTLY BEFORE `epoch` (pure
     * function of (topic, epoch) — replay-stable), decoded to group
     * keys + mergeable raws + `__net`. */
-  private def readMergeState(target: TargetBinding, meta: TableMeta,
+  private def readMergeState(sess: SparkSession, target: TargetBinding, meta: TableMeta,
                              keyNames: Seq[String], form: MergeAggRewrite.MergeForm,
                              epoch: Long): DataFrame = {
     val declared = meta.schema.getOrElse(throw new IllegalArgumentException(
@@ -2117,7 +2124,7 @@ final class StreamingStatementRunner(spark: SparkSession,
         org.apache.spark.sql.types.StructField(n, t)
       } :+ org.apache.spark.sql.types.StructField(
         RetractAggRewrite.NetCol, org.apache.spark.sql.types.LongType))
-    val records = Topics.readBatchRecords(spark, target.topic, conf)
+    val records = Topics.readBatchRecords(sess, target.topic, conf)
       .where(col("offset") < lit(epoch * (1L << 40)))
     val latest = ChangelogOps.latestByKey(records, Seq("key"), Seq("offset"))
       .where(col("value").isNotNull)
@@ -2136,6 +2143,27 @@ final class StreamingStatementRunner(spark: SparkSession,
     try body finally restoreRefView(name, df)
   }
 
+  /** PULL-model dim freshness (round 17 statement concurrency): before
+    * each analysis, a statement re-registers the CURRENT state view of
+    * every runner-TABLE ref in its OWN session — its clone captured the
+    * views at statement start, and a parquet view's file listing snaps
+    * at registration, so without the pull a dim would freeze at
+    * submission-time state. External views (static frames,
+    * MemoryStreams) keep their clone-time binding: they are plans over
+    * live objects, not listings. Catalog reads take the runner lock
+    * briefly; the re-registration itself is session-local. */
+  private def refreshTableRefViews(sess: SparkSession, refs: Seq[String]): Unit =
+    refs.foreach { r =>
+      val bound = synchronized {
+        if (topicOf.contains(catalog.qualify(r)))
+          Some((bind(r), catalog.getOrCreate(r)))
+        else None
+      }
+      bound.foreach { case (b, m) =>
+        m.schema.foreach(sc => refreshTargetView(sess, b, m, sunkSchema(m, sc)))
+      }
+    }
+
   /** Re-point a ref's bare view to its steady-state binding: topic
     * SOURCES via refreshSourceView (ALTER casts/watermarks re-apply),
     * runner-created TABLES via their materialized topic read-back,
@@ -2144,7 +2172,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     if (sources.contains(ref)) refreshSourceView(ref)
     else if (topicOf.contains(catalog.qualify(ref))) {
       val m = catalog.getOrCreate(ref)
-      m.schema.foreach(sc => refreshTargetView(bind(ref), m, sunkSchema(m, sc)))
+      m.schema.foreach(sc => refreshTargetView(spark, bind(ref), m, sunkSchema(m, sc)))
     } else fallback.createOrReplaceTempView(ref)
   }
 
@@ -2192,7 +2220,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     * epoch key; exactly-once there needs transactions — env-limited,
     * see ARCHITECTURE.md). */
   private def sinkBatch(target: TargetBinding, meta: TableMeta, batch: DataFrame,
-                        stmtId: Long, batchId: Long): Unit = synchronized {
+                        stmtId: Long, batchId: Long): Unit = {
     require(batchId < (1L << 19),
       s"INSERT INTO ${target.qualified}: batchId $batchId exceeds the " +
         "2^19 per-statement epoch budget of the files-transport offset " +
@@ -2203,9 +2231,13 @@ final class StreamingStatementRunner(spark: SparkSession,
     val tagged =
       if (retract && !batch.columns.contains("__op")) batch.withColumn("__op", lit("+I"))
       else batch
+    // the write itself runs UNLOCKED (round 17 statement concurrency):
+    // concurrent statements sink to disjoint epoch namespaces (stmtId
+    // rides the epoch's low bits; upsert targets are single-writer),
+    // so only the shared MAIN-session view refresh needs the lock
     Topics.appendJson(tagged, target.topic, conf,
       keyCols = if (isUpsert) meta.primaryKey else Nil, epoch = epoch)
-    refreshTargetView(target, meta, tagged.schema)
+    synchronized { refreshTargetView(spark, target, meta, tagged.schema) }
   }
 
   /** Rebuild the target's visible view from its topic. Upsert targets
@@ -2217,9 +2249,9 @@ final class StreamingStatementRunner(spark: SparkSession,
     * the O(log length) materialization runs when a consumer queries it,
     * which is the compacted-topic contract cost. `Topics.compact` bounds
     * it at O(live keys), exactly as Kafka log compaction does. */
-  private def refreshTargetView(target: TargetBinding, meta: TableMeta,
-                                written: StructType): Unit = {
-    val records = Topics.readBatchRecords(spark, target.topic, conf)
+  private def refreshTargetView(sess: SparkSession, target: TargetBinding,
+                                meta: TableMeta, written: StructType): Unit = {
+    val records = Topics.readBatchRecords(sess, target.topic, conf)
     val isUpsert = meta.changelogMode == ChangelogMode.Upsert && meta.primaryKey.nonEmpty
     val visible =
       if (isUpsert) {

@@ -22,6 +22,16 @@ object GraftSqlBridge {
     cs.internalCreateDataFrame(cdf.queryExecution.toRdd, cdf.schema)
   }
 
+  /** Clone a session: shared SparkContext/SharedState, but its OWN
+    * SessionState — conf, temp-view catalog, and registered functions
+    * are copied at clone time and evolve independently. The seam for
+    * per-statement execution sessions (`cloneSession` is sql-private):
+    * each long-running INSERT shadows views in its own clone, so
+    * independent statements' micro-batches never serialize on a shared
+    * catalog. */
+  def cloneSession(session: SparkSession): SparkSession =
+    session.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** Analyzed logical plan of a Dataset (queryExecution is classic-only
     * in the unified-API split). */
   def analyzedPlan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
