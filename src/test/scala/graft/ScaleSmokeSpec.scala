@@ -420,6 +420,67 @@ class ScaleSmokeSpec extends SparkSpec {
       r.stopAll()
       spark0.table("smoke_rj_enr").count()
       ()
+    },
+    // the round-17 CHAINED LEFT OUTER regular join (the per-side
+    // bracket engine): fact LEFT JOIN dim1 LEFT JOIN dim2, both dims
+    // revising an eighth of their keys per epoch. A dim revision pays
+    // its inner-flip delta term (broadcastable Δdim against the fact
+    // log) plus two anti-join pad evaluations over preserved state —
+    // all scan-linear in the fact log; expected exponent ≈ 1. Half the
+    // facts pad at level 1 (dim1 covers even buckets only), so the pad
+    // algebra is exercised at every scale, not just the happy path
+    "stream_chained_join" -> { docs =>
+      import org.apache.spark.sql.types._
+      val spark0 = docs.sparkSession
+      val conf = graft.sources.TopicConf(
+        java.nio.file.Files.createTempDirectory("smoke-cj").toString)
+      val r = new graft.exec.StreamingStatementRunner(spark0, topicConf = Some(conf))
+      r.registerTopicSource("smoke_cj_dim1_feed", StructType(Seq(
+        StructField("bucket", LongType), StructField("label", StringType))))
+      r.registerTopicSource("smoke_cj_dim2_feed", StructType(Seq(
+        StructField("grp", LongType), StructField("tag", StringType))))
+      r.registerTopicSource("smoke_cj_fact_feed", StructType(Seq(
+        StructField("doc_id", LongType), StructField("bucket", LongType),
+        StructField("grp", LongType), StructField("n_chars", LongType))))
+      r.runScript("""
+        CREATE TABLE smoke_cj_dim1 (bucket BIGINT, label STRING,
+          PRIMARY KEY (bucket) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO smoke_cj_dim1 SELECT bucket, label FROM smoke_cj_dim1_feed;
+        CREATE TABLE smoke_cj_dim2 (grp BIGINT, tag STRING,
+          PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO smoke_cj_dim2 SELECT grp, tag FROM smoke_cj_dim2_feed;
+        CREATE TABLE smoke_cj_enr (doc_id BIGINT, label STRING, tag STRING,
+          n_chars BIGINT, __op STRING) WITH ('changelog.mode' = 'retract');
+        INSERT INTO smoke_cj_enr (doc_id, label, tag, n_chars)
+        SELECT f.doc_id, d1.label, d2.tag, f.n_chars
+        FROM smoke_cj_fact_feed f
+        LEFT JOIN smoke_cj_dim1 d1 ON f.bucket = d1.bucket
+        LEFT JOIN smoke_cj_dim2 d2 ON f.grp = d2.grp""")
+      val epochs = 4
+      val feed = docs.select(col("doc_id"),
+        pmod(col("doc_id"), lit(256L)).as("bucket"),
+        pmod(col("doc_id"), lit(64L)).as("grp"),
+        length(col("text")).cast("long").as("n_chars"))
+      (0 until epochs).foreach { i =>
+        val d1 = spark0.range(0, 256, 2).select(col("id").as("bucket"),
+          concat(lit(s"v$i-"), col("id")).as("label"))
+        val dims1 = if (i == 0) d1
+          else d1.where(pmod(col("bucket"), lit(8)) === ((2 * (i % 4)) % 8))
+        graft.sources.Topics.appendJson(dims1, "smoke_cj_dim1_feed", conf, Nil, 2 * i + 1)
+        val d2 = spark0.range(64).select(col("id").as("grp"),
+          concat(lit(s"t$i-"), col("id")).as("tag"))
+        val dims2 = if (i == 0) d2
+          else d2.where(pmod(col("grp"), lit(8)) === (i % 8))
+        graft.sources.Topics.appendJson(dims2, "smoke_cj_dim2_feed", conf, Nil, 2 * i + 1)
+        r.processAllAvailable()
+        graft.sources.Topics.appendJson(
+          feed.where(pmod(col("doc_id"), lit(epochs)) === i),
+          "smoke_cj_fact_feed", conf, Nil, 2 * i + 2)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      spark0.table("smoke_cj_enr").count()
+      ()
     })
 
   private def corpus(n: Long): DataFrame =
@@ -524,7 +585,13 @@ class ScaleSmokeSpec extends SparkSpec {
     // the cheapest superlinear-state tripwire in the tier
     // round 13 adds the restart runner: recovery cost (checkpoint
     // resume + view hydration) must stay metadata-bounded at 100×
+    // SPARK_GRAFT_SCALE_SMOKE_ONLY=<comma-names> narrows the spot set
+    // (round 17): measuring ONE new operator's exponent no longer pays
+    // for the whole battery
+    val only = sys.env.get("SPARK_GRAFT_SCALE_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spot = ops.filter { case (n, _) =>
+      only.map(_.contains(n)).getOrElse(
       Set("q19_pairs", "q47_clusters", "q158_index_build_pairs",
         "q112_cluster_stats", "q178_manifest_indexed",
         "q101_exact_substr", "q111_contamination", "q160_strip_spans",
@@ -538,7 +605,10 @@ class ScaleSmokeSpec extends SparkSpec {
         // round 16 (VERDICT r15 item 1): the regular join's fact log is
         // the state that grows with corpus size — the Δdim ⋈ factLog
         // re-emission term must stay scan-linear at 100×
-        "stream_fifo_firstlast", "stream_regular_join").contains(n)
+        "stream_fifo_firstlast", "stream_regular_join",
+        // round 17: the chained LEFT OUTER bracket engine's per-level
+        // pads must stay scan-linear at 100× too
+        "stream_chained_join").contains(n))
     }
     val warm = corpus(500)
     spot.foreach { case (_, f) => f(warm); spark.catalog.clearCache() }
