@@ -454,23 +454,32 @@ final class StreamingStatementRunner(spark: SparkSession,
             if (!ok) return None
             // ── join-spine extraction: descend from the root through
             //    unary operators to the top Join, then left-unfold —
-            //    the spine must be LEFT-DEEP with each right child (and
-            //    the base) a PLAIN relation ──
-            def unalias(p: LogicalPlan): LogicalPlan = p match {
-              case SubqueryAlias(_, c) => unalias(c)
-              case other => other
-            }
+            //    the spine must be LEFT-DEEP with each operand a
+            //    join-free single-relation subtree ──
             @scala.annotation.tailrec
             def descendToJoin(p: LogicalPlan): Option[Join] = p match {
               case j: Join => Some(j)
               case u if u.children.size == 1 => descendToJoin(u.children.head)
               case _ => None
             }
-            def leafRef(p: LogicalPlan): Option[String] = unalias(p) match {
-              case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-                Some(r.multipartIdentifier.last)
-              case _ => None
-            }
+            // a join operand may be a PLAIN relation or any JOIN-free
+            // subtree over exactly ONE relation (derived tables,
+            // filtered selects, inlined CTE bodies): Project/Filter/
+            // alias wrappers are multiset-linear in their relation,
+            // the analyzed-side sign threading re-exposes the hidden
+            // channel through their projections, and forbidden
+            // operators (aggregates, DISTINCT, sorts…) anywhere in
+            // the subtree were already rejected by the global walk
+            // (round 17 — closes the FROM-subquery operand fallback)
+            def leafRef(p: LogicalPlan): Option[String] =
+              if (p.collectFirst { case j: Join => j }.isDefined) None
+              else p.collect {
+                case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+                  r.multipartIdentifier.last
+              } match {
+                case Seq(one) => Some(one)
+                case _ => None
+              }
             descendToJoin(plan) match {
               case None =>
                 // no FROM join: a single-relation select whose only

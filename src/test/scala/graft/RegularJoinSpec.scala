@@ -710,6 +710,69 @@ class RegularJoinSpec extends SparkSpec {
     r2.stopAll()
   }
 
+  test("derived-table operands regular-join (round 17): filtered fact subquery, re-projecting dim subquery, CTE operand") {
+    val conf = newConf("rjd")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjd_cust_feed", custSchema)
+    r.registerTopicSource("rjd_ord_feed", ordSchema)
+    // the fact operand is a FILTERED derived table; the dim operand
+    // RE-PROJECTS (upper(name)) — both are join-free single-relation
+    // subtrees, linear in their relation, with the sign channel
+    // threaded through the derived projections
+    r.runScript("""
+      CREATE TABLE rjd_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjd_cust SELECT cid, name FROM rjd_cust_feed;
+      CREATE TABLE rjd_enr (order_id BIGINT, cust_name STRING,
+        amount DOUBLE, __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjd_enr (order_id, cust_name, amount)
+      SELECT o.order_id, c.un, o.amount
+      FROM (SELECT order_id, cid, amount FROM rjd_ord_feed WHERE amount > 5.0) o
+      JOIN (SELECT cid, upper(name) AS un FROM rjd_cust) c ON o.cid = c.cid""")
+    def state() = net("rjd_enr", "order_id", "cust_name", "amount")
+
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjd_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    // order 2 fails the derived filter: never emitted, never re-emitted
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0), RjOrd(2, "c1", "p1", 3.0))
+      .toDF(), "rjd_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("ANN", 10.0)),
+      "the filtered fact operand must gate; the derived dim must re-project")
+    // the dim revision re-emits THROUGH both derived operands
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjd_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("ANNA", 10.0)),
+      "a dim revision must re-enrich through the derived operands")
+    r.stopAll()
+
+    // ── CTE as a join operand: `FROM f JOIN dim` with f a WITH body ──
+    val conf2 = newConf("rjd2")
+    val r2 = new StreamingStatementRunner(spark, topicConf = Some(conf2))
+    r2.registerTopicSource("rjd2_cust_feed", custSchema)
+    r2.registerTopicSource("rjd2_ord_feed", ordSchema)
+    r2.runScript("""
+      CREATE TABLE rjd2_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjd2_cust SELECT cid, name FROM rjd2_cust_feed;
+      CREATE TABLE rjd2_enr (order_id BIGINT, cust_name STRING, __op STRING)
+        WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjd2_enr (order_id, cust_name)
+      WITH f AS (SELECT order_id, cid FROM rjd2_ord_feed WHERE order_id < 100)
+      SELECT f.order_id, c.name FROM f LEFT JOIN rjd2_cust c ON f.cid = c.cid""")
+    def state2() = net("rjd2_enr", "order_id", "cust_name")
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0), RjOrd(200, "c1", "p1", 20.0))
+      .toDF(), "rjd2_ord_feed", conf2, Nil, 1)
+    r2.processAllAvailable()
+    assert(state2() === Map(1L -> Seq(null)),
+      "the CTE operand must filter AND pad (dim not yet arrived)")
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjd2_cust_feed", conf2, Nil, 1)
+    r2.processAllAvailable()
+    assert(state2() === Map(1L -> Seq("Ann")),
+      "the dim arriving must retract the pad through the CTE operand")
+    r2.stopAll()
+  }
+
   test("CTE inside the subquery-dim shape: a WITH-aliased blocklist still retracts and re-admits (round 17)") {
     val conf = newConf("rjwb")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
