@@ -77,6 +77,27 @@ class JoinStateSpec extends SparkSpec {
     assert(payloads(dir, 11L).size === 11)
   }
 
+  test("TTL drops whole expired generations; fresh per-batch dirs survive") {
+    val dir = newDir("js-ttl")
+    (0L until 4L).foreach { b =>
+      JoinState.writeLog(Seq(s"p$b").toDF("__payload"), dir, b)
+    }
+    JoinState.maybeCompact(spark, dir, 4L, threshold = 2) // folds b0..b3 into lg3
+    JoinState.writeLog(Seq("p4").toDF("__payload"), dir, 4L)
+    assert(payloads(dir, 5L).size === 5)
+    // age the generation past the TTL cutoff; the fresh b4 stays young
+    val gen = new java.io.File(dir).listFiles().find(_.getName.startsWith("lg")).get
+    def ageTree(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 3600L * 1000)
+      Option(f.listFiles()).foreach(_.foreach(ageTree))
+    }
+    ageTree(gen)
+    JoinState.pruneLog(spark, dir, ttlMs = 60L * 1000)
+    assert(!gen.exists(), "the expired generation must be dropped whole")
+    assert(payloads(dir, 6L) === List("p4"),
+      "fresh per-batch dirs must survive the generation's expiry")
+  }
+
   test("crash window: a published generation with undeleted folded inputs never double-counts") {
     val dir = newDir("js-crash")
     (0L until 4L).foreach { b =>
