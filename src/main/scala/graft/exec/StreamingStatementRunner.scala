@@ -1463,14 +1463,14 @@ final class StreamingStatementRunner(spark: SparkSession,
                 val dir = s"$stateRoot/s$i"
                 if (s.appendOnly) {
                   ttlMs.foreach(t => JoinState.pruneLog(stmtSession, dir, t))
-                  val logPre = JoinState.readLog(stmtSession, dir, batchId)
+                  val logPre = JoinState.readLog(stmtSession, dir, batchId, ttlMs)
                   pre(i) = decode(logPre, s)
                   post(i) = deltaRows.get(i) match {
                     case Some(d) =>
                       writes += { () =>
                         JoinState.writeLog(d.select("__payload"), dir, batchId)
                         // amortized: folds only every `threshold` batches
-                        JoinState.maybeCompact(stmtSession, dir, batchId, compactThreshold)
+                        JoinState.maybeCompact(stmtSession, dir, batchId, compactThreshold, ttlMs)
                       }
                       pre(i).unionByName(decode(d, s))
                     case None => pre(i)
@@ -2070,23 +2070,35 @@ final class StreamingStatementRunner(spark: SparkSession,
       // boundary at a tie (CLAUDE.md intDiv discipline); p = 0 clamps
       // to the first value. "dsr" (ORDER BY … DESC) scans reversed.
       val withDisc = discStats.foldLeft(grouped) { (df, st) =>
-        val arr = if (st.startsWith("dsr")) reverse(col("__dscpairs"))
-                  else col("__dscpairs")
+        // null-valued pairs are NOT pickable and must not count toward
+        // N (SQL percentile_disc ignores nulls, like Percentile does
+        // on the pct path — ADVICE r17): filter them out of the array
+        // BEFORE computing the total and scanning
+        val base = if (st.startsWith("dsr")) reverse(col("__dscpairs"))
+                   else col("__dscpairs")
+        val arr = filter(base, x => x.getField("v").isNotNull)
         val total = aggregate(arr, lit(0L), (a, x) => a + x.getField("n"))
-        val target = greatest(graft.expressions.HashExpressions.intDiv(
-          lit(st.drop(3).toLong) * total + lit(999999L), lit(1000000L)), lit(1L))
+        // project arr + target to columns FIRST: a derived expression
+        // referenced inside a HOF lambda is re-evaluated per element —
+        // `target` embeds the whole-array total, so inlining it makes
+        // the pick O(n²) per touched group (ADVICE r17 / CLAUDE.md)
+        val arrCol = s"__dscarr_$st"
+        val tgtCol = s"__dsctgt_$st"
+        val staged = df.withColumn(arrCol, arr)
+          .withColumn(tgtCol, greatest(graft.expressions.HashExpressions.intDiv(
+            lit(st.drop(3).toLong) * total + lit(999999L), lit(1000000L)), lit(1L)))
         val nullV = lit(null).cast(vs.childType)
-        val picked = aggregate(arr,
+        val picked = aggregate(col(s"`$arrCol`"),
           struct(lit(0L).as("c"), nullV.as("r")),
           (acc, x) => {
             val c2 = acc.getField("c") + x.getField("n")
             when(acc.getField("r").isNotNull, acc)
-              .otherwise(when(c2 >= target,
+              .otherwise(when(c2 >= col(s"`$tgtCol`"),
                 struct(c2.as("c"), x.getField("v").as("r")))
                 .otherwise(struct(c2.as("c"), nullV.as("r"))))
           },
           acc => acc.getField("r"))
-        df.withColumn(s"${vs.name}_$st", picked)
+        staged.withColumn(s"${vs.name}_$st", picked).drop(arrCol, tgtCol)
       }
       // eager: materialize the stats while the merge frame is cached
       // (the caller's sink action runs after this frame is unpersisted)

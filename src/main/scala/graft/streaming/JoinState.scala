@@ -42,6 +42,15 @@ object JoinState {
 
   val payloadSchema: StructType =
     StructType(Seq(StructField("__payload", StringType)))
+  /** On-disk append-log schema: payload + `__wt`, the row's WRITE time
+    * (epoch millis, stamped by [[writeLog]]). `__wt` is what makes TTL
+    * row-accurate under compaction: a fold rewrites old rows into a
+    * fresh directory, so directory mtime alone would refresh their
+    * effective age forever under sustained traffic (ADVICE r17 high) —
+    * the persisted write time never refreshes. */
+  val logSchema: StructType =
+    StructType(Seq(StructField("__payload", StringType),
+      StructField("__wt", LongType)))
   val snapshotSchema: StructType =
     StructType(Seq(StructField("__payload", StringType),
       StructField("__cnt", LongType)))
@@ -69,20 +78,40 @@ object JoinState {
     * generation are ignored even if present — the crash window
     * between a compaction's atomic rename and its input deletes must
     * never double-count. */
-  def readLog(spark: SparkSession, dir: String, batchId: Long): DataFrame = {
+  def readLog(spark: SparkSession, dir: String, batchId: Long,
+              ttlMs: Option[Long] = None): DataFrame = {
     val gens = listIds(spark, dir, "lg").filter(_ < batchId)
     val g = if (gens.isEmpty) -1L else gens.max
     val ids = listIds(spark, dir, "b").filter(id => id > g && id < batchId)
     val paths = (if (g >= 0) Seq(s"$dir/lg$g") else Nil) ++
       ids.sorted.map(i => s"$dir/b$i")
     if (paths.isEmpty) empty(spark, payloadSchema)
-    else spark.read.schema(payloadSchema).parquet(paths: _*)
+    else notExpired(spark.read.schema(logSchema).parquet(paths: _*), ttlMs)
+      .select("__payload")
   }
 
+  /** Row-level TTL filter over `__wt`: rows written before the cutoff
+    * stop participating — exact even when a later fold rewrote them
+    * into a fresh directory. A null `__wt` (a pre-`__wt` directory) is
+    * kept: unknown age expires only via [[pruneLog]]'s per-directory
+    * mtime backstop. Cutoff is a literal fixed at CALL time, so every
+    * evaluation of the returned frame within the batch agrees. */
+  private def notExpired(log: DataFrame, ttlMs: Option[Long]): DataFrame =
+    ttlMs match {
+      case Some(t) =>
+        val cutoff = System.currentTimeMillis() - t
+        log.where(col("__wt").isNull || col("__wt") >= lit(cutoff))
+      case None => log
+    }
+
   /** Extend the append log with this batch's rows — overwrite-by-path,
-    * so a replayed batch lands idempotently. */
+    * so a replayed batch lands idempotently. Each row is stamped with
+    * its write time (`__wt`); a replay re-stamps, which only EXTENDS a
+    * row's life — the conservative side of processing-time TTL. */
   def writeLog(payloads: DataFrame, dir: String, batchId: Long): Unit =
-    payloads.write.mode("overwrite").parquet(s"$dir/b$batchId")
+    payloads.select(col("__payload"))
+      .withColumn("__wt", lit(System.currentTimeMillis()))
+      .write.mode("overwrite").parquet(s"$dir/b$batchId")
 
   /** Fold committed per-batch directories into a log GENERATION when
     * the live directory count passes `threshold` (round 17, VERDICT
@@ -104,19 +133,29 @@ object JoinState {
     * Stale sub-generation `b` dirs from such a crash are swept
     * opportunistically on the next call. */
   def maybeCompact(spark: SparkSession, dir: String, batchId: Long,
-                   threshold: Int): Unit = {
+                   threshold: Int, ttlMs: Option[Long] = None): Unit = {
     val f = fs(spark, dir)
     val gens = listIds(spark, dir, "lg").filter(_ < batchId)
     val g = if (gens.isEmpty) -1L else gens.max
-    // sweep crash leftovers: b dirs already covered by the generation
+    // sweep crash leftovers: b dirs already covered by the generation,
+    // and superseded generations a crash between rename and delete
+    // left behind (ADVICE r17 low — readLog only ever uses the max,
+    // so anything strictly below it is a permanent space leak)
     listIds(spark, dir, "b").filter(_ <= g)
       .foreach(i => f.delete(new Path(s"$dir/b$i"), true))
+    gens.filter(_ < g).foreach(i => f.delete(new Path(s"$dir/lg$i"), true))
     val liveIds = listIds(spark, dir, "b").filter(id => id > g && id < batchId)
     if (liveIds.size > threshold) {
       val m = liveIds.max
       val paths = (if (g >= 0) Seq(s"$dir/lg$g") else Nil) ++
         liveIds.sorted.map(i => s"$dir/b$i")
-      val folded = spark.read.schema(payloadSchema).parquet(paths: _*)
+      // TTL rows drop AT FOLD TIME (by their persisted __wt, never the
+      // fold's mtime — ADVICE r17 high): a refold cannot resurrect or
+      // rejuvenate expired facts, so state stays bounded under
+      // sustained traffic even though the generation dir itself is
+      // always freshly written
+      val folded = notExpired(
+        spark.read.schema(logSchema).parquet(paths: _*), ttlMs)
       val tmp = new Path(s"$dir/tmp-lg$m")
       f.delete(tmp, true)
       folded.write.mode("overwrite").parquet(tmp.toString)
@@ -191,12 +230,16 @@ object JoinState {
     * exactly Flink's `table.exec.state.ttl` trade (bounded state for
     * exactness on expired keys; processing-time based, so a
     * crash-replay after expiry sees the pruned state — the same
-    * caveat Flink documents). A generation's mtime is its FOLD time
-    * (later than its newest content), so folded rows live up to
-    * TTL + one compaction interval — the conservative side of the
-    * already-coarse per-directory expiry; the whole generation then
-    * drops at once. Stale `tmp-` dirs from a crashed compaction are
-    * swept by the same cutoff. */
+    * caveat Flink documents). PARTICIPATION exactness is enforced
+    * row-level by [[readLog]]/[[maybeCompact]]'s `__wt` filter; this
+    * per-directory mtime pass is the SPACE backstop that reclaims
+    * wholly-expired directories. A generation's mtime is its fold
+    * time (later than its newest content), so dropping a generation
+    * whose mtime passed the cutoff is always safe — and refolds
+    * refreshing that mtime no longer extend any row's life, because
+    * the fold itself already dropped rows past their `__wt` cutoff.
+    * Stale `tmp-` dirs from a crashed compaction are swept by the
+    * same cutoff. */
   def pruneLog(spark: SparkSession, dir: String, ttlMs: Long): Unit = {
     val f = fs(spark, dir)
     val p = new Path(dir)

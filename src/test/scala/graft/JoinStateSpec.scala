@@ -98,6 +98,49 @@ class JoinStateSpec extends SparkSpec {
       "fresh per-batch dirs must survive the generation's expiry")
   }
 
+  test("row-level TTL: compaction expires rows by their persisted write time — a refold cannot rejuvenate old facts (ADVICE r17)") {
+    val dir = newDir("js-wt")
+    // an aged batch: rows whose __wt is an hour old (written directly —
+    // writeLog always stamps 'now')
+    Seq(("old-a", System.currentTimeMillis() - 3600L * 1000),
+        ("old-b", System.currentTimeMillis() - 3600L * 1000))
+      .toDF("__payload", "__wt").write.parquet(s"$dir/b0")
+    JoinState.writeLog(Seq("fresh-1").toDF("__payload"), dir, 1L)
+    JoinState.writeLog(Seq("fresh-2").toDF("__payload"), dir, 2L)
+    // readLog with a TTL filters expired ROWS even before any fold
+    assert(JoinState.readLog(spark, dir, 3L, ttlMs = Some(60L * 1000))
+      .as[String].collect().toList.sorted === List("fresh-1", "fresh-2"),
+      "readLog must drop rows whose __wt passed the cutoff")
+    // the fold itself must drop expired rows — the generation's dir
+    // mtime is 'now', but the rows' __wt is what governs their life
+    JoinState.maybeCompact(spark, dir, 3L, threshold = 1, ttlMs = Some(60L * 1000))
+    assert(entries(dir).count(_.startsWith("lg")) === 1)
+    assert(payloads(dir, 3L) === List("fresh-1", "fresh-2"),
+      "a refold must not resurrect or rejuvenate expired facts")
+    // legacy dirs without __wt are kept by the row filter (unknown age
+    // expires only via pruneLog's per-directory mtime backstop)
+    Seq("legacy").toDF("__payload").write.parquet(s"$dir/b3")
+    assert(JoinState.readLog(spark, dir, 4L, ttlMs = Some(60L * 1000))
+      .as[String].collect().toList.sorted
+      === List("fresh-1", "fresh-2", "legacy"))
+  }
+
+  test("a superseded generation leaked by a crash between rename and delete is swept (ADVICE r17)") {
+    val dir = newDir("js-lgsweep")
+    // crash tableau: lg2 was superseded by lg5 but its delete never ran
+    Seq(("p0", System.currentTimeMillis()), ("p1", System.currentTimeMillis()))
+      .toDF("__payload", "__wt").write.parquet(s"$dir/lg2")
+    Seq(("p0", System.currentTimeMillis()), ("p1", System.currentTimeMillis()),
+        ("p5", System.currentTimeMillis()))
+      .toDF("__payload", "__wt").write.parquet(s"$dir/lg5")
+    assert(payloads(dir, 6L) === List("p0", "p1", "p5"),
+      "readLog must use only the max generation")
+    JoinState.maybeCompact(spark, dir, 6L, threshold = 1000)
+    assert(entries(dir).filter(_.startsWith("lg")) === List("lg5"),
+      s"the stale lg2 must be swept: ${entries(dir)}")
+    assert(payloads(dir, 6L) === List("p0", "p1", "p5"))
+  }
+
   test("crash window: a published generation with undeleted folded inputs never double-counts") {
     val dir = newDir("js-crash")
     (0L until 4L).foreach { b =>

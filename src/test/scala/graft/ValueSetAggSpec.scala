@@ -702,6 +702,46 @@ class ValueSetAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("percentile_disc ignores NULL values: nulls neither count toward N nor are pickable (ADVICE r17)") {
+    val conf = newConf("vs-discnull")
+    val r = runner(conf, "vs_src_dn", """
+      CREATE TABLE vs_dn (grp STRING, n BIGINT, d50 DOUBLE, d50r DOUBLE,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_dn
+      SELECT grp, count(*) AS n,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY amt) AS d50,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY amt DESC) AS d50r
+      FROM vs_acct GROUP BY grp""")
+    def state() = spark.table("vs_dn")
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // two null-amt rows alongside {10,20,30,40}: SQL percentile_disc
+    // skips nulls, so N=4 and asc d50 = 2nd of {10,20,30,40} = 20,
+    // desc d50 = 2nd of {40,30,20,10} = 30. Counting nulls toward N
+    // (the pre-fix bug) would give target 3 over a nulls-first array:
+    // asc picks 10, desc (nulls last) picks 20 — both wrong.
+    Topics.appendJson(Seq(
+      ("k1", "g1", None: Option[Double]), ("k2", "g1", None: Option[Double]),
+      ("k3", "g1", Some(10.0)), ("k4", "g1", Some(20.0)),
+      ("k5", "g1", Some(30.0)), ("k6", "g1", Some(40.0)))
+      .toDF("k", "grp", "amt"), "vs_src_dn", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((6L, Some(20.0), Some(30.0)))),
+      "nulls must not advance the cumulative count or the target")
+    // the picked holder tombstones: {10,30,40} → N=3, target 2 both ways
+    Topics.appendJson(Seq(("k4", "DEL", Some(0.0)))
+      .toDF("k", "grp", "amt"), "vs_src_dn", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((5L, Some(30.0), Some(30.0)))))
+    // an ALL-null group yields a null pick, not a fabricated value
+    Topics.appendJson(Seq(("m1", "g2", None: Option[Double]))
+      .toDF("k", "grp", "amt"), "vs_src_dn", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(state()("g2") === ((1L, None, None)),
+      "percentile_disc over only nulls must be NULL")
+    r.stopAll()
+  }
+
   test("percentile with a non-micro-aligned percentage rejects loudly (the stat key quantizes to 1e-6)") {
     // ADVICE r16: 1.0/3 would silently compute the quantized
     // percentile, and two ps within ~1e-6 would collide on one shared
