@@ -30,14 +30,25 @@ import statistics
 import sys
 
 
-def load_baseline(path):
-    # later rows win: re-baselined queries append a fresh row with a
-    # provenance note, superseding the original
+def parse_baseline(src):
+    """A baseline row is EXACTLY a two-cell line `| qNNN_name | 1.23 |`;
+    later rows win (re-baselines append a fresh row with a provenance
+    note). LINE-ANCHORED on purpose (VERDICT r17): the adjudication /
+    forensics tables also lead with a query cell followed by a numeric
+    column (a REPS floor or a full-suite reading — NOT a baseline), and
+    the old unanchored prefix match consumed those as re-baselines,
+    silently corrupting 23 of 246 gate rows in both directions. Extra
+    cells make a row unparseable as a baseline. Keep in lockstep with
+    graft.Bench.parseBaseline."""
     rows = {}
-    with open(path, encoding="utf-8") as f:
-        for m in re.finditer(r"\|\s*(q\w+)\s*\|\s*(\d+(?:\.\d+)?)\s*\|", f.read()):
-            rows[m.group(1)] = float(m.group(2))
+    for m in re.finditer(r"(?m)^\|\s*(q\w+)\s*\|\s*(\d+(?:\.\d+)?)\s*\|\s*$", src):
+        rows[m.group(1)] = float(m.group(2))
     return rows
+
+
+def load_baseline(path):
+    with open(path, encoding="utf-8") as f:
+        return parse_baseline(f.read())
 
 
 def main():

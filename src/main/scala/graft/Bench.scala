@@ -1,6 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** BASELINE.md row parser, shared semantics with dev/bench_gate.py's
+    * `load_baseline` — keep the two in lockstep.
+    *
+    * A baseline row is EXACTLY a two-cell line `| qNNN_name | 1.23 |`;
+    * later rows win (re-baselines append a fresh row with a provenance
+    * note). The match is LINE-ANCHORED on purpose (VERDICT r17): the
+    * adjudication/forensics tables also lead with a query cell followed
+    * by a numeric column (a REPS floor or a full-suite reading — NOT a
+    * baseline), and the old unanchored prefix match consumed those as
+    * re-baselines, silently corrupting 23 of 246 gate rows in both
+    * directions. Extra cells make a row unparseable as a baseline. */
+  def parseBaseline(src: String): Map[String, Double] = {
+    val row = """(?m)^\|\s*(q\w+)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|\s*$""".r
+    row.findAllMatchIn(src).map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -124,12 +141,8 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BASELINE_MD", "BASELINE.md"))
       if (!f.isFile) Map.empty
       else {
-        val row = """\|\s*(q\w+)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|""".r
         val src = scala.io.Source.fromFile(f, "UTF-8")
-        // later rows win: re-baselined queries append a fresh row
-        try row.findAllMatchIn(src.mkString)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        finally src.close()
+        try parseBaseline(src.mkString) finally src.close()
       }
     }
     val inflations = results.collect {

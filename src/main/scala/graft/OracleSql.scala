@@ -2079,6 +2079,38 @@ object OracleSql {
          FROM eve45 e
          LEFT JOIN latest45 l ON e.user_id = l.user_id
          LEFT JOIN bands45 b ON l.event_type = b.event_type""",
+    // Mid-chain FULL OUTER regular join (round 18): the folded net
+    // state equals the batch fact INNER dim1 FULL dim2 over FINAL dim
+    // states. dim1 = per-user latest type among user%8=0 (INNER gates
+    // other users out entirely); dim2 = per-type label
+    // 'L'+lastEpochSeen+'_'+type (unique per type so right-pad rows
+    // stay net-1), keyed on DIM1'S OUTPUT and excluding 'click'
+    // ('click'-latest users left-pad; never-latest band types
+    // right-pad with the whole left side null).
+    "q247_stream_midchain_full_join" ->
+      """WITH ev47 AS (
+           SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+           FROM events WHERE user_id % 4 = 0),
+         bounds47 AS (
+           SELECT min(ts_us) AS lo, (max(ts_us) - min(ts_us)) // 3 + 1 AS w
+           FROM ev47),
+         eve47 AS (
+           SELECT e.*, CAST((e.ts_us - b.lo) // b.w AS BIGINT) AS ep
+           FROM ev47 e CROSS JOIN bounds47 b),
+         latest47 AS (
+           SELECT user_id, event_type
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_us DESC, event_id DESC) AS rn
+                 FROM eve47 WHERE user_id % 8 = 0) WHERE rn = 1),
+         bands47 AS (
+           SELECT event_type,
+                  'L' || CAST(max(ep) AS VARCHAR) || '_' || event_type AS label
+           FROM eve47 WHERE event_type <> 'click' GROUP BY event_type)
+         SELECT e.event_id, e.user_id, l.event_type AS last_event_type,
+                b.label AS band_label, e.value
+         FROM eve47 e
+         JOIN latest47 l ON e.user_id = l.user_id
+         FULL JOIN bands47 b ON l.event_type = b.event_type""",
     // Streaming tumble replay: append-mode windowed aggregation over a
     // watermarked stream must equal the batch tumble — q07's SQL.
     "q203_stream_tumble_replay" ->

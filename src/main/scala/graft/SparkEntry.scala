@@ -3853,6 +3853,93 @@ object SparkEntry {
           col("band_label"), col("value"))
     }),
 
+    // ── MID-CHAIN FULL OUTER regular join, DRIVER-GATED (round 18,
+    //    VERDICT r17 item 2 — the affect-set bracket generalization):
+    //    facts INNER JOIN a per-user dim FULL JOIN a per-type dim
+    //    keyed on the FIRST dim's output. The FULL node null-dominates
+    //    the whole left subtree (facts + inner dim each bracket at it:
+    //    inner-flip + right-preserving pad pre/post + own LEFT pad
+    //    over Δ) and anti-joins its right child (band: inner-flip +
+    //    left-preserving pad pre/post + own RIGHT pad over Δ). Facts
+    //    stream BEFORE dims each epoch; both dims revise across
+    //    epochs. The folded net state must equal the batch INNER+FULL
+    //    join over FINAL dim states — fully-enriched rows, left pads
+    //    ('click'-latest users: null band), and right pads (band
+    //    types no user's latest type matches: whole left side null) ──
+    "q247_stream_midchain_full_join" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q247").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("dim_feed_q247", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType))))
+        r.registerTopicSource("band_feed_q247", StructType(Seq(
+          StructField("event_type", StringType), StructField("label", StringType))))
+        r.registerTopicSource("orders_feed_q247", StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("value", DoubleType))))
+        r.runScript("""
+          CREATE TABLE user_dim_q247 (user_id BIGINT, last_event_type STRING,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_dim_q247 SELECT user_id, event_type FROM dim_feed_q247;
+          CREATE TABLE band_dim_q247 (event_type STRING, label STRING,
+            PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO band_dim_q247 SELECT event_type, label FROM band_feed_q247;
+          CREATE TABLE enriched_q247 (event_id BIGINT, user_id BIGINT,
+            last_event_type STRING, band_label STRING, value DOUBLE, __op STRING)
+            WITH ('changelog.mode' = 'retract');
+          INSERT INTO enriched_q247 (event_id, user_id, last_event_type, band_label, value)
+          SELECT o.event_id, o.user_id, c.last_event_type, b.label, o.value
+          FROM orders_feed_q247 o
+          JOIN user_dim_q247 c ON o.user_id = c.user_id
+          FULL JOIN band_dim_q247 b ON c.last_event_type = b.event_type""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 3
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+        // facts FIRST: INNER-gated until their dim arrives, then the
+        // dim write flows them through the FULL node (retracting any
+        // right pad their latest type was holding up)
+        Topics.appendJson(slice.select("event_id", "user_id", "value"),
+          "orders_feed_q247", conf, Nil, 3 * i + 1)
+        r.processAllAvailable()
+        val dim = slice.where(pmod(col("user_id"), lit(8)) === 0)
+          .groupBy("user_id")
+          .agg(max_by(col("event_type"), struct(col("ts_us"), col("event_id")))
+            .as("event_type"))
+        Topics.appendJson(dim, "dim_feed_q247", conf, Nil, 3 * i + 2)
+        r.processAllAvailable()
+        // label unique PER TYPE (not just per epoch): identical right-
+        // pad rows would net past 1 and vanish from the ==1 fold below
+        val band = slice.where(col("event_type") =!= "click")
+          .select("event_type").distinct()
+          .withColumn("label",
+            concat(lit(s"L${i}_"), col("event_type")))
+        Topics.appendJson(band, "band_feed_q247", conf, Nil, 3 * i + 3)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      // fold the retract changelog: the net multiset is the final state
+      s.table("enriched_q247")
+        .groupBy("event_id", "user_id", "last_event_type", "band_label", "value")
+        .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+        .where(col("__n") === 1L)
+        .select(col("event_id"), col("user_id"), col("last_event_type"),
+          col("band_label"), col("value"))
+    }),
+
     // ── SAME-ID REPLACE lifecycle on the persisted IVF index
     //    (Similarity.scala § appendToIvfIndex): vec 42's embedding is
     //    replaced by vec 43's through tombstone → compact → append

@@ -340,16 +340,20 @@ final class StreamingStatementRunner(spark: SparkSession,
         // DISTINCT, sorts/limits, set differences and subqueries are
         // not linear — those shapes keep the documented snapshot path.
         // Sanctioned NON-linear exceptions, each with an exact bracket
-        // decomposition (round 17 — the per-side bracket engine,
-        // [[SidePlan]]): LEFT-DEEP CHAINS of INNER/LEFT OUTER joins at
-        // any length (each LEFT dim's bracket = inner-flip of exactly
-        // its spine node + a two-eval pad bracket, everything above
-        // and below verbatim — the decomposition composes per level,
-        // pad-of-pad rows included); a SINGLE RIGHT/FULL OUTER join;
-        // and SUBQUERY predicates (EXISTS / NOT EXISTS / IN / scalar)
-        // whose plans reference only NON-outer refs (brute pre/post
-        // bracket). Non-left-deep shapes, RIGHT/FULL OUTER inside a
-        // chain, self-joins, and CTEs stay snapshot.
+        // decomposition (rounds 17-18 — the per-side bracket engine,
+        // [[SidePlan]]): LEFT-DEEP CHAINS mixing INNER/LEFT/RIGHT/FULL
+        // OUTER at any length, PROVIDED each side is the null-produced
+        // side of AT MOST ONE spine node (the per-side affect-set rule
+        // below — r18 generalizes r17's INNER/LEFT-chains + single
+        // RIGHT/FULL): such a side's bracket = inner-flip of exactly
+        // that node + a two-eval pad bracket (+ FULL's own-pad term),
+        // everything above and below verbatim — the decomposition
+        // composes per level, pad-of-pad rows included. SUBQUERY
+        // predicates (EXISTS / NOT EXISTS / IN / scalar) whose plans
+        // reference only NON-outer refs bracket as brute pre/post
+        // pairs. Non-left-deep shapes, sides null-dominated by TWO OR
+        // MORE nodes (e.g. `fact LEFT d1 RIGHT d2`), self-joins, and
+        // multi-use CTEs stay snapshot.
         // Returns None = not applicable; otherwise the spine + the
         // per-ref bracket strategies.
         def regularJoinShape(select: String): Option[RegularShape] = {
@@ -498,53 +502,72 @@ final class StreamingStatementRunner(spark: SparkSession,
                 val rightRefs = spine.map(j => leafRef(j.right))
                 val baseRef = leafRef(spine.last.left)
                 val kinds = spine.map(_.joinType).toSeq
-                val multi = spine.size > 1
-                // RIGHT/FULL OUTER sanction only the two-side shape:
-                // inside a chain they null-dominate the whole left
-                // SUBTREE (several refs), whose brackets would need a
-                // recursive decomposition this engine does not prove
-                val kindsOk = kinds.forall {
-                  case Inner | LeftOuter => true
-                  case RightOuter | FullOuter => !multi
+                val kindsKnown = kinds.forall {
+                  case Inner | LeftOuter | RightOuter | FullOuter => true
                   case _ => false
                 }
-                if (!kindsOk || baseRef.isEmpty || rightRefs.exists(_.isEmpty)) None
+                if (!kindsKnown || baseRef.isEmpty || rightRefs.exists(_.isEmpty)) None
                 else {
-                  val plans = scala.collection.mutable.Map.empty[String, SidePlan]
-                  plans(baseRef.get) = kinds.head match {
-                    // single RIGHT OUTER: the base is the null side —
-                    // its pad bracket varies the LEFT state against the
-                    // right-preserving pad
-                    case RightOuter => OuterNullSide(0,
-                      bracketPadPreservedIsLeft = false, None)
-                    // single FULL OUTER: null side of the right-
-                    // preserving pad AND preserved by the left pad
-                    // (linear there — one pad over its delta)
-                    case FullOuter => OuterNullSide(0,
-                      bracketPadPreservedIsLeft = false,
-                      ownPadPreservedIsLeft = Some(true))
-                    case _ => LinearSide // Inner / LeftOuter chains preserve the base
-                  }
-                  rightRefs.zipWithIndex.foreach { case (r, idx) =>
-                    plans(r.get) = kinds(idx) match {
-                      case LeftOuter => OuterNullSide(idx,
-                        bracketPadPreservedIsLeft = true, None)
-                      case FullOuter => OuterNullSide(idx,
-                        bracketPadPreservedIsLeft = true,
-                        ownPadPreservedIsLeft = Some(false))
-                      // Inner right child, or a single RIGHT OUTER's
-                      // preserved side: linear (the verbatim eval's
-                      // pads are linear in the preserved side)
-                      case _ => LinearSide
+                  // ── per-side NON-LINEAR affect sets (round 18,
+                  // generalizing the per-node decomposition to
+                  // mid-chain RIGHT/FULL OUTER): spine node l's
+                  // LEFT-preserving pad (LEFT/FULL kinds) anti-joins
+                  // its RIGHT child — non-linear in that dim; its
+                  // RIGHT-preserving pad (RIGHT/FULL kinds) anti-joins
+                  // the whole LEFT subtree — non-linear in EVERY ref
+                  // below (the base + right children of deeper nodes,
+                  // idx > l in the top-down ordering). A side affected
+                  // by NO node is multiset-linear (verbatim eval); by
+                  // exactly ONE node l, out = inner + pads AT l is
+                  // exact with everything above and below verbatim —
+                  // the [[OuterNullSide]] bracket; by TWO OR MORE, the
+                  // brackets would need the recursive pad-of-pad
+                  // composition this engine does not prove → snapshot
+                  // (e.g. `fact LEFT d1 RIGHT d2`: d1 is the null side
+                  // of both its own node and the RIGHT above it). ──
+                  val affects = scala.collection.mutable.Map
+                    .empty[String, List[(Int, Boolean)]].withDefaultValue(Nil)
+                  kinds.zipWithIndex.foreach { case (k, l) =>
+                    if (k == LeftOuter || k == FullOuter) {
+                      val d = rightRefs(l).get
+                      affects(d) = affects(d) :+ (l -> false)
+                    }
+                    if (k == RightOuter || k == FullOuter) {
+                      val b = baseRef.get
+                      affects(b) = affects(b) :+ (l -> true)
+                      ((l + 1) until spine.size).foreach { j =>
+                        val d = rightRefs(j).get
+                        affects(d) = affects(d) :+ (l -> true)
+                      }
                     }
                   }
-                  // every FROM ref must be accounted for by the spine
-                  // walk (a ref hidden in a non-leaf subtree means the
-                  // shape is not the left-deep form this engine proves)
-                  if (!outerRefs.forall(plans.contains)) None
+                  val allSpineRefs = baseRef.get +: rightRefs.map(_.get).toSeq
+                  if (allSpineRefs.exists(r => affects(r).size > 1)) None
                   else {
-                    subRefs.foreach(r => plans(r) = SubquerySide)
-                    Some(RegularShape(kinds, plans.toMap))
+                    val plans = scala.collection.mutable.Map.empty[String, SidePlan]
+                    allSpineRefs.foreach { r =>
+                      plans(r) = affects(r) match {
+                        case Nil => LinearSide
+                        case List((l, inLeftSubtree)) =>
+                          // the non-linear pad preserves the node's
+                          // OTHER side; FULL adds the side's own
+                          // preserved pad (linear — one eval over Δ)
+                          OuterNullSide(l,
+                            bracketPadPreservedIsLeft = !inLeftSubtree,
+                            ownPadPreservedIsLeft =
+                              if (kinds(l) == FullOuter) Some(inLeftSubtree)
+                              else None)
+                        case _ => LinearSide // unreachable (guard above)
+                      }
+                    }
+                    // every FROM ref must be accounted for by the spine
+                    // walk (a ref hidden in a non-leaf subtree means the
+                    // shape is not the left-deep form this engine proves)
+                    if (!outerRefs.forall(plans.contains)) None
+                    else {
+                      subRefs.foreach(r => plans(r) = SubquerySide)
+                      Some(RegularShape(kinds, plans.toMap))
+                    }
                   }
                 }
             }

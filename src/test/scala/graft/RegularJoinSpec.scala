@@ -352,7 +352,7 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
-  test("mixed INNER + LEFT chain regular-joins; unsanctioned chains (RIGHT OUTER mid-chain) keep the snapshot path") {
+  test("mixed INNER + LEFT chain regular-joins; RIGHT OUTER mid-chain regular-joins (round 18); doubly-null-dominated sides keep snapshot") {
     val conf = newConf("rjm")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
     r.registerTopicSource("rjm_cust_feed", custSchema)
@@ -393,8 +393,10 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
 
     // ── a RIGHT OUTER inside a chain null-dominates the whole left
-    //    subtree — not provable by the per-node decomposition; the
-    //    guard must keep it on the documented snapshot path ──
+    //    subtree, but each left-subtree ref is null-produced by ONLY
+    //    that node here (the chain below is INNER) — the r18 affect-
+    //    set rule sanctions it: fact and the INNER dim each bracket
+    //    at the RIGHT node, the RIGHT dim is linear ──
     val conf2 = newConf("rjm2")
     val r2 = new StreamingStatementRunner(spark, topicConf = Some(conf2))
     r2.registerTopicSource("rjm2_cust_feed", custSchema)
@@ -414,20 +416,139 @@ class RegularJoinSpec extends SparkSpec {
       FROM rjm2_ord_feed o
       JOIN rjm2_cust c ON o.cid = c.cid
       RIGHT JOIN rjm2_prod p ON o.pid = p.pid""")
+    def state2(): Set[(Option[Long], Option[String], Option[String])] = {
+      val keyed = spark.table("rjm2_enr")
+        .groupBy("order_id", "cust_name", "brand")
+        .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+      assert(keyed.where(col("__n") < 0 || col("__n") > 1).count() === 0,
+        "rjm2_enr: net counts outside {0,1}")
+      keyed.where(col("__n") === 1L).select("order_id", "cust_name", "brand")
+        .as[(Option[Long], Option[String], Option[String])].collect().toSet
+    }
     Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjm2_cust_feed", conf2, Nil, 1)
     Topics.appendJson(Seq(RjProd("p1", "nike", 100.0)).toDF(), "rjm2_prod_feed", conf2, Nil, 1)
     r2.processAllAvailable()
+    // no facts yet: the RIGHT-preserved dim pads over the empty left subtree
+    assert(state2() === Set((None, None, Some("nike"))),
+      "an unmatched RIGHT dim must pad with the whole left subtree nulled")
     Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0)).toDF(), "rjm2_ord_feed", conf2, Nil, 1)
     r2.processAllAvailable()
-    // snapshot semantics: the revision does NOT re-emit order 1
+    assert(state2() === Set((Some(1L), Some("Ann"), Some("nike"))),
+      "the arriving fact must retract the RIGHT pad and emit the match")
+    // the INNER dim (inside the RIGHT node's left subtree) revises:
+    // TRUE regular-join semantics re-emit order 1 at the new name
     Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjm2_cust_feed", conf2, Nil, 2)
     r2.processAllAvailable()
-    val got = spark.table("rjm2_enr").select("order_id", "cust_name", "__op")
+    assert(state2() === Set((Some(1L), Some("Anna"), Some("nike"))),
+      "a dim revision below a mid-chain RIGHT OUTER must retract and re-emit")
+    r2.stopAll()
+
+    // ── a side null-dominated by TWO spine nodes (the LEFT dim under
+    //    a RIGHT above it) needs the recursive pad-of-pad composition
+    //    the engine does not prove — the guard must keep it on the
+    //    documented snapshot path ──
+    val conf3 = newConf("rjm3")
+    val r3 = new StreamingStatementRunner(spark, topicConf = Some(conf3))
+    r3.registerTopicSource("rjm3_cust_feed", custSchema)
+    r3.registerTopicSource("rjm3_prod_feed", prodSchema)
+    r3.registerTopicSource("rjm3_ord_feed", ordSchema)
+    r3.runScript("""
+      CREATE TABLE rjm3_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjm3_cust SELECT cid, name FROM rjm3_cust_feed;
+      CREATE TABLE rjm3_prod (pid STRING, brand STRING, price DOUBLE,
+        PRIMARY KEY (pid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjm3_prod SELECT pid, brand, price FROM rjm3_prod_feed;
+      CREATE TABLE rjm3_enr (order_id BIGINT, cust_name STRING, brand STRING,
+        __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjm3_enr (order_id, cust_name, brand)
+      SELECT o.order_id, c.name, p.brand
+      FROM rjm3_ord_feed o
+      LEFT JOIN rjm3_cust c ON o.cid = c.cid
+      RIGHT JOIN rjm3_prod p ON o.pid = p.pid""")
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjm3_cust_feed", conf3, Nil, 1)
+    Topics.appendJson(Seq(RjProd("p1", "nike", 100.0)).toDF(), "rjm3_prod_feed", conf3, Nil, 1)
+    r3.processAllAvailable()
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0)).toDF(), "rjm3_ord_feed", conf3, Nil, 1)
+    r3.processAllAvailable()
+    // snapshot semantics: the revision does NOT re-emit order 1
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjm3_cust_feed", conf3, Nil, 2)
+    r3.processAllAvailable()
+    val got = spark.table("rjm3_enr").select("order_id", "cust_name", "__op")
       .as[(Option[Long], Option[String], String)].collect().toSet
     assert(got.contains((Some(1L), Some("Ann"), "+I")) &&
         !got.exists(_._2.contains("Anna")),
-      s"a RIGHT OUTER mid-chain must keep frozen snapshot semantics (got $got)")
-    r2.stopAll()
+      s"a doubly-null-dominated LEFT dim must keep frozen snapshot semantics (got $got)")
+    r3.stopAll()
+  }
+
+  test("FULL OUTER mid-chain regular-joins (round 18): own-pad, bracket-pad and inner terms compose under upper joins") {
+    // fact INNER dim1 FULL dim2 — the FULL node affects fact and dim1
+    // (each singleton via its right-preserving pad) and dim2 (via the
+    // left-preserving pad); every side brackets at that one node
+    val conf = newConf("rjfm")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjfm_cust_feed", custSchema)
+    r.registerTopicSource("rjfm_prod_feed", prodSchema)
+    r.registerTopicSource("rjfm_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjfm_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjfm_cust SELECT cid, name FROM rjfm_cust_feed;
+      CREATE TABLE rjfm_prod (pid STRING, brand STRING, price DOUBLE,
+        PRIMARY KEY (pid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjfm_prod SELECT pid, brand, price FROM rjfm_prod_feed;
+      CREATE TABLE rjfm_enr (order_id BIGINT, cust_name STRING, brand STRING,
+        __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjfm_enr (order_id, cust_name, brand)
+      SELECT o.order_id, c.name, p.brand
+      FROM rjfm_ord_feed o
+      JOIN rjfm_cust c ON o.cid = c.cid
+      FULL JOIN rjfm_prod p ON o.pid = p.pid""")
+    def state(): Set[(Option[Long], Option[String], Option[String])] = {
+      val keyed = spark.table("rjfm_enr")
+        .groupBy("order_id", "cust_name", "brand")
+        .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+      assert(keyed.where(col("__n") < 0 || col("__n") > 1).count() === 0,
+        "rjfm_enr: net counts outside {0,1}")
+      keyed.where(col("__n") === 1L).select("order_id", "cust_name", "brand")
+        .as[(Option[Long], Option[String], Option[String])].collect().toSet
+    }
+    // dim2 with no left match pads right; a fact gated off by the
+    // INNER node (c9 unknown) contributes NOTHING (not even a left pad
+    // — the INNER node drops it before the FULL node sees it)
+    Topics.appendJson(Seq(RjProd("p1", "nike", 100.0)).toDF(), "rjfm_prod_feed", conf, Nil, 1)
+    Topics.appendJson(Seq(RjOrd(2, "c9", "p1", 20.0)).toDF(), "rjfm_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Set((None, None, Some("nike"))),
+      "an unmatched FULL dim must pad; an INNER-gated fact must not")
+    // the INNER dim arrives: order 2 now crosses the INNER node,
+    // matches p1 — the right pad retracts, the match emits
+    Topics.appendJson(Seq(RjCust("c9", "Cruz")).toDF(), "rjfm_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Set((Some(2L), Some("Cruz"), Some("nike"))),
+      "the INNER dim arriving must retract the FULL pad and emit the match")
+    // a fact with an UNKNOWN product but known customer: left pad at
+    // the FULL node (nulls on the prod side)
+    Topics.appendJson(Seq(RjOrd(3, "c9", "p9", 30.0)).toDF(), "rjfm_ord_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Set((Some(2L), Some("Cruz"), Some("nike")),
+      (Some(3L), Some("Cruz"), None)),
+      "a fact missing only the FULL dim must left-pad (own-pad term)")
+    // the INNER dim revises: BOTH the matched row and the pad-of-FULL
+    // row re-emit at the new name
+    Topics.appendJson(Seq(RjCust("c9", "Cruze")).toDF(), "rjfm_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Set((Some(2L), Some("Cruze"), Some("nike")),
+      (Some(3L), Some("Cruze"), None)),
+      "an INNER-dim revision below a FULL node must re-emit matches AND left pads")
+    // the FULL dim revises: the matched row re-emits; the left pad stays
+    Topics.appendJson(Seq(RjProd("p1", "adidas", 90.0)).toDF(), "rjfm_prod_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Set((Some(2L), Some("Cruze"), Some("adidas")),
+      (Some(3L), Some("Cruze"), None)),
+      "a FULL-dim revision must re-emit only its matches")
+    r.stopAll()
   }
 
   test("composition: a continuous aggregate DOWNSTREAM of the regular join folds re-emissions exactly") {
