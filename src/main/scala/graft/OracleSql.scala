@@ -2079,6 +2079,42 @@ object OracleSql {
          FROM eve45 e
          LEFT JOIN latest45 l ON e.user_id = l.user_id
          LEFT JOIN bands45 b ON l.event_type = b.event_type""",
+    // Array-of-percentages exact percentile (round 18): q244's
+    // latest-per-user discipline with the quartiles as one LIST column
+    // (dyadic ps + small-integer values interpolate exactly in binary
+    // on both engines — no rounding needed).
+    "q248_stream_percentile_array" ->
+      """WITH latest AS (
+           SELECT user_id, event_type
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 4 = 0) WHERE rn = 1)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                quantile_cont(CAST(user_id % 97 AS DOUBLE),
+                              [0.25, 0.5, 0.75]) AS qs,
+                quantile_cont(CAST(user_id % 97 AS DOUBLE), 0.5) AS med
+         FROM latest GROUP BY event_type""",
+    // Multi-use CTE self-join regular join (round 18): the folded net
+    // state equals the batch same-user event-pair join (eid1 < eid2)
+    // against the FINAL dim label 'L'+lastEpochSeen, over the user%8=0
+    // slice. The epoch index mirrors the gate's integer slicing.
+    "q249_stream_cte_selfjoin" ->
+      """WITH ev49 AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE user_id % 8 = 0),
+         bounds49 AS (
+           SELECT min(ts_us) AS lo, (max(ts_us) - min(ts_us)) // 3 + 1 AS w
+           FROM (SELECT epoch_us(ts) AS ts_us FROM events WHERE user_id % 4 = 0)),
+         eve49 AS (
+           SELECT e.*, CAST((e.ts_us - b.lo) // b.w AS BIGINT) AS ep
+           FROM ev49 e CROSS JOIN bounds49 b),
+         dim49 AS (
+           SELECT user_id, 'L' || CAST(max(ep) AS VARCHAR) AS label
+           FROM eve49 GROUP BY user_id)
+         SELECT a.event_id AS eid1, b.event_id AS eid2, a.user_id, d.label
+         FROM eve49 a
+         JOIN eve49 b ON a.user_id = b.user_id AND a.event_id < b.event_id
+         JOIN dim49 d ON a.user_id = d.user_id""",
     // Mid-chain FULL OUTER regular join (round 18): the folded net
     // state equals the batch fact INNER dim1 FULL dim2 over FINAL dim
     // states. dim1 = per-user latest type among user%8=0 (INNER gates

@@ -3853,6 +3853,128 @@ object SparkEntry {
           col("band_label"), col("value"))
     }),
 
+    // ── ARRAY-of-percentages EXACT percentile over an upsert
+    //    changelog driver, DRIVER-GATED (round 18, VERDICT r17
+    //    item 4): q244's latest-per-user multiset with the three
+    //    quartile picks emitted as ONE array<double> stat column —
+    //    the same weighted-Percentile recompute, one pass for N
+    //    picks. Dyadic percentages + small-integer values keep the
+    //    interpolation exact in binary on both engines (the q244
+    //    discipline), so the array hashes without rounding ──
+    "q248_stream_percentile_array" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q248").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_feed_q248", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+        r.runScript("""
+          CREATE TABLE user_latest_q248 (
+            user_id BIGINT, last_event_type STRING, last_value DOUBLE,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_latest_q248
+          SELECT user_id, event_type, value FROM events_feed_q248;
+          CREATE TABLE type_qs_q248 (event_type STRING, n_users BIGINT,
+            qs ARRAY<DOUBLE>, med DOUBLE,
+            PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO type_qs_q248
+          SELECT last_event_type, count(*) AS n_users,
+                 percentile(CAST(user_id % 97 AS DOUBLE), array(0.25, 0.5, 0.75)) AS qs,
+                 percentile(CAST(user_id % 97 AS DOUBLE), 0.5) AS med
+          FROM user_latest_q248 GROUP BY last_event_type""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 3
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_type"), col("value")),
+            struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.event_type"), col("__l.value"))
+        Topics.appendJson(slice, "events_feed_q248", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("type_qs_q248").select(col("event_type"), col("n_users"),
+        col("qs"), col("med"))
+    }),
+
+    // ── MULTI-USE CTE SELF-JOIN regular join, DRIVER-GATED (round 18,
+    //    VERDICT r17 item 3): a CTE over the fact feed referenced
+    //    TWICE (same-user event pairs) joined to a revisable user dim.
+    //    Each CTE site routes as its OWN side (per-occurrence
+    //    renaming), so the cross terms — a new fact pairing against
+    //    the OTHER site's logged state — and dim-revision re-emission
+    //    both hold. The folded net state must equal the batch pair
+    //    join over the FINAL dim state ──
+    "q249_stream_cte_selfjoin" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q249").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("facts_feed_q249", StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType))))
+        r.registerTopicSource("dim_feed_q249", StructType(Seq(
+          StructField("user_id", LongType), StructField("label", StringType))))
+        r.runScript("""
+          CREATE TABLE user_dim_q249 (user_id BIGINT, label STRING,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_dim_q249 SELECT user_id, label FROM dim_feed_q249;
+          CREATE TABLE pairs_q249 (eid1 BIGINT, eid2 BIGINT, user_id BIGINT,
+            label STRING, __op STRING) WITH ('changelog.mode' = 'retract');
+          INSERT INTO pairs_q249 (eid1, eid2, user_id, label)
+          WITH e AS (SELECT event_id, user_id FROM facts_feed_q249)
+          SELECT a.event_id, b.event_id, a.user_id, d.label
+          FROM e a
+          JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+          JOIN user_dim_q249 d ON a.user_id = d.user_id""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 3
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+        // facts FIRST (pairs form against both sites' logged state),
+        // then the dim revision re-labels every logged pair
+        Topics.appendJson(slice.where(pmod(col("user_id"), lit(8)) === 0)
+          .select("event_id", "user_id"), "facts_feed_q249", conf, Nil, 2 * i + 1)
+        r.processAllAvailable()
+        val dim = slice.where(pmod(col("user_id"), lit(8)) === 0)
+          .select("user_id").distinct()
+          .withColumn("label", lit(s"L$i"))
+        Topics.appendJson(dim, "dim_feed_q249", conf, Nil, 2 * i + 2)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("pairs_q249")
+        .groupBy("eid1", "eid2", "user_id", "label")
+        .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+        .where(col("__n") === 1L)
+        .select(col("eid1"), col("eid2"), col("user_id"), col("label"))
+    }),
+
     // ── MID-CHAIN FULL OUTER regular join, DRIVER-GATED (round 18,
     //    VERDICT r17 item 2 — the affect-set bracket generalization):
     //    facts INNER JOIN a per-user dim FULL JOIN a per-type dim

@@ -217,10 +217,50 @@ object MergeAggRewrite {
             //    percentage must be a foldable SCALAR (the array form
             //    emits an array the stat column cannot carry) and the
             //    input frequency the default 1 ──
+            // ── ARRAY-of-percentages form (round 18, VERDICT r17
+            //    item 4): the SAME multiset with N picks emitted as
+            //    one array<double> stat column — each element under
+            //    the scalar form's micro-alignment discipline. The
+            //    FREQUENCY-column form stays rejected: a real
+            //    frequency column would weight each row's multiset
+            //    count by a per-row value, which the ±sign netting
+            //    cannot carry — pre-expand the rows instead. ──
+            case pc: Percentile if pc.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+              require(pc.frequencyExpression.foldable &&
+                  pc.frequencyExpression.eval() == 1L,
+                s"merge aggregate over $driver: percentile with a frequency " +
+                  "column is not foldable — pre-expand the rows")
+              require(pc.percentageExpression.foldable,
+                s"merge aggregate over $driver: percentile needs literal percentages")
+              val ad = pc.percentageExpression.eval()
+                .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              val elemT = pc.percentageExpression.dataType
+                .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+              val ps = (0 until ad.numElements()).map { i =>
+                ad.get(i, elemT) match {
+                  case d: org.apache.spark.sql.types.Decimal => d.toDouble
+                  case d: Double => d
+                  case f: Float => f.toDouble
+                  case n: Number => n.doubleValue()
+                  case other => throw new IllegalArgumentException(
+                    s"merge aggregate over $driver: unsupported percentile " +
+                      s"percentage $other")
+                }
+              }
+              require(ps.nonEmpty,
+                s"merge aggregate over $driver: percentile needs at least one percentage")
+              ps.foreach { pv =>
+                require(pv >= 0.0 && pv <= 1.0,
+                  s"merge aggregate over $driver: percentile percentage $pv outside [0, 1]")
+                require(pv * 1e6 == math.rint(pv * 1e6),
+                  s"merge aggregate over $driver: percentile percentage $pv is " +
+                    "not representable at micro precision (the stat key " +
+                    "quantizes to 1e-6) — use micro-aligned percentages")
+              }
+              Cast(valueSetFor(pc.child,
+                s"pca${ps.map(p => math.round(p * 1e6)).mkString("_")}"),
+                ae.dataType)
             case pc: Percentile =>
-              require(!pc.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
-                s"merge aggregate over $driver: percentile with an ARRAY of " +
-                  "percentages is not foldable — call percentile once per value")
               require(pc.frequencyExpression.foldable &&
                   pc.frequencyExpression.eval() == 1L,
                 s"merge aggregate over $driver: percentile with a frequency " +

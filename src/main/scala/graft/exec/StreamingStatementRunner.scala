@@ -141,15 +141,37 @@ final class StreamingStatementRunner(spark: SparkSession,
       spineIdx: Int, bracketPadPreservedIsLeft: Boolean,
       ownPadPreservedIsLeft: Option[Boolean]) extends SidePlan
   /** The sanctioned regular-join select shape: a LEFT-DEEP join spine
-    * (`spineKinds` top-down; empty = no FROM join) of INNER/LEFT
-    * joins at any length — or a SINGLE join of any outer kind — each
-    * right child and the base a plain relation, plus subquery dims.
-    * `plans` maps every participating ref to its bracket strategy. */
+    * (`spineKinds` top-down; empty = no FROM join) of INNER/LEFT/
+    * RIGHT/FULL joins, each right child and the base a join-free
+    * single-relation subtree, plus subquery dims. `plans` maps every
+    * participating OCCURRENCE view name to its bracket strategy.
+    *
+    * Multi-use routing (round 18, VERDICT r17 item 3): a relation
+    * referenced at several FROM sites — directly or through a
+    * twice-referenced CTE — is renamed PER OCCURRENCE in [[evalPlan]]
+    * (`x`, `x__rjoc2`, …), each occurrence its own side with its own
+    * shadow view and bracket. The telescoping identity is exact over
+    * occurrences treated as independent variables: occurrence k's
+    * term varies only site k (earlier sites at pre, later at post),
+    * so the summed brackets still equal S(post…) − S(pre…) exactly —
+    * the self-join disease (both sites bound to ONE view, dropping
+    * the pre⋈Δ / Δ⋈post cross terms) cannot occur.
+    *
+    * `evalPlan` is the parsed, CTE-inlined, occurrence-renamed plan
+    * every term evaluation analyzes (the SQL text can no longer be
+    * used — it still names the shared relation). `occBase` maps each
+    * SYNTHETIC occurrence view name to its real table; `sideOrder`
+    * lists the outer occurrence view names in spine order. */
   private final case class RegularShape(
       spineKinds: Seq[org.apache.spark.sql.catalyst.plans.JoinType],
-      plans: Map[String, SidePlan]) {
+      plans: Map[String, SidePlan],
+      evalPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      occBase: Map[String, String],
+      sideOrder: Seq[String]) {
     def subRefs: Set[String] =
       plans.collect { case (r, SubquerySide) => r }.toSet
+    /** The real table behind an occurrence view name. */
+    def realOf(ref: String): String = occBase.getOrElse(ref, ref)
   }
 
   private def bind(bare: String): TargetBinding = synchronized {
@@ -328,8 +350,11 @@ final class StreamingStatementRunner(spark: SparkSession,
         def regularJoinPlan(driver: String): Option[(Seq[String], RegularShape)] =
           if (meta.changelogMode != ChangelogMode.Retract) None
           else regularJoinShape(select).flatMap { shape =>
-            val all = (refs ++ shape.subRefs.toSeq.sorted).distinct
-            if (all.size > 1 && changelogDims(driver, all))
+            // OCCURRENCE view names, not table names (round 18): a
+            // multi-use table contributes one side per FROM site. The
+            // changelog check runs on the REAL tables behind them.
+            val all = (shape.sideOrder ++ shape.subRefs.toSeq.sorted).distinct
+            if (all.size > 1 && changelogDims(driver, all.map(shape.realOf).distinct))
               Some((all, shape))
             else None
           }
@@ -372,12 +397,13 @@ final class StreamingStatementRunner(spark: SparkSession,
             // root-level WITH's definitions at their reference sites
             // (subquery references included) so the walk below sees
             // the real relations — a WITH wrapping the S6 join select
-            // then regular-joins identically. Single-use is enforced
-            // downstream by the refCounts guard (a twice-referenced
-            // CTE inlines its tables twice); recursive WITH and
-            // NESTED WITH (a CTE body containing its own WITH) keep
-            // the snapshot path via the walk's UnresolvedWith case.
-            val plan = rawPlan match {
+            // then regular-joins identically. A twice-referenced CTE
+            // inlines its tables twice; the per-occurrence renaming
+            // below (round 18) routes each site as its own side.
+            // Recursive WITH and NESTED WITH (a CTE body containing
+            // its own WITH) keep the snapshot path via the walk's
+            // UnresolvedWith case.
+            val inlined = rawPlan match {
               case w: UnresolvedWith if !w.allowRecursion =>
                 var defs = Map.empty[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
                 def substP(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
@@ -394,14 +420,70 @@ final class StreamingStatementRunner(spark: SparkSession,
                 substP(w.child)
               case p => p
             }
+            // ── PER-OCCURRENCE renaming (round 18): a relation at
+            // several MAIN-plan FROM sites (a direct self-join, or a
+            // twice-referenced CTE whose inlining above duplicated its
+            // table) gets occurrence k ≥ 2 renamed to `<name>__rjocK`,
+            // aliased back to the original name when the site carried
+            // no alias (so qualified column refs keep resolving; two
+            // UNALIASED sites stay ambiguous, exactly as the original
+            // SQL was). Each occurrence then routes as its OWN side —
+            // see [[RegularShape]]. Subquery plans are left alone
+            // (their brute pre/post bracket varies all of a dim's
+            // subquery occurrences together, which is exact). ──
+            val occBase = scala.collection.mutable.Map.empty[String, String]
+            val plan = {
+              import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+              import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+              val counts = scala.collection.mutable.Map.empty[String, Int]
+              inlined.foreach {
+                case r: UnresolvedRelation if r.multipartIdentifier.size == 1 =>
+                  val n = r.multipartIdentifier.head
+                  counts(n) = counts.getOrElse(n, 0) + 1
+                case _ =>
+              }
+              val dups = counts.collect { case (n, c) if c > 1 => n }.toSet
+              if (dups.isEmpty) inlined
+              else {
+                val seen = scala.collection.mutable.Map.empty[String, Int]
+                def renamed(r: UnresolvedRelation): Option[UnresolvedRelation] = {
+                  val n = r.multipartIdentifier.head
+                  val k = seen.getOrElse(n, 0) + 1
+                  seen(n) = k
+                  if (k == 1) None // first occurrence keeps the real name
+                  else {
+                    val occ = s"${n}__rjoc$k"
+                    occBase(occ) = n
+                    Some(r.copy(multipartIdentifier = Seq(occ)))
+                  }
+                }
+                // explicit recursion (not transformDown): an aliased
+                // site is handled at the alias node and its child is
+                // NOT revisited, so each site counts exactly once
+                def rewrite(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+                    : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+                  case sa @ SubqueryAlias(_, r: UnresolvedRelation)
+                      if r.multipartIdentifier.size == 1 &&
+                        dups(r.multipartIdentifier.head) =>
+                    renamed(r).map(nr => sa.copy(child = nr)).getOrElse(sa)
+                  case r: UnresolvedRelation
+                      if r.multipartIdentifier.size == 1 &&
+                        dups(r.multipartIdentifier.head) =>
+                    renamed(r).map(nr => SubqueryAlias(r.multipartIdentifier.head, nr))
+                      .getOrElse(r)
+                  case other => other.withNewChildren(other.children.map(rewrite))
+                }
+                rewrite(inlined)
+              }
+            }
             var ok = true
             val subPlans = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
             val outerRefs = scala.collection.mutable.Set.empty[String]
-            // SELF-JOIN guard (ADVICE r16): a table referenced twice in
-            // FROM binds BOTH occurrences to the one per-batch shadow
-            // view, so the telescoped term would compute delta-join-
-            // delta only, silently dropping the pre⋈Δ and Δ⋈post cross
-            // terms — such shapes keep the documented snapshot path
+            // post-renaming, single-part FROM refs are unique by
+            // construction; this guard still catches duplicated
+            // MULTI-PART refs (not renamed), which would otherwise
+            // bind both occurrences to one shadow view — the self-join
+            // disease (ADVICE r16)
             val refCounts = scala.collection.mutable.Map.empty[String, Int]
             plan.foreach { node =>
               node match {
@@ -491,7 +573,8 @@ final class StreamingStatementRunner(spark: SparkSession,
                 // shape) — the relation is linear by construction
                 Some(RegularShape(Nil,
                   (outerRefs.map(_ -> (LinearSide: SidePlan)) ++
-                    subRefs.map(_ -> (SubquerySide: SidePlan))).toMap))
+                    subRefs.map(_ -> (SubquerySide: SidePlan))).toMap,
+                  plan, occBase.toMap, outerRefs.toSeq.sorted))
               case Some(top) =>
                 val spine = scala.collection.mutable.ArrayBuffer(top)
                 var more = true
@@ -566,7 +649,8 @@ final class StreamingStatementRunner(spark: SparkSession,
                     if (!outerRefs.forall(plans.contains)) None
                     else {
                       subRefs.foreach(r => plans(r) = SubquerySide)
-                      Some(RegularShape(kinds, plans.toMap))
+                      Some(RegularShape(kinds, plans.toMap,
+                        plan, occBase.toMap, allSpineRefs))
                     }
                   }
                 }
@@ -1110,36 +1194,50 @@ final class StreamingStatementRunner(spark: SparkSession,
     var evalSession: SparkSession = spark
 
     /** A participating side: signed delta stream + state representation.
-      * `restore` is the steady binding for refs [[restoreRefView]]
-      * cannot re-derive (external MemoryStream views). */
-    case class Side(ref: String, viewSchema: StructType, signed: DataFrame,
-                    appendOnly: Boolean, restore: DataFrame)
+      * `ref` is the side's OCCURRENCE view name (term evaluations bind
+      * shadows under it); `src` the real table behind it — they differ
+      * only for the k ≥ 2 sites of a multi-use relation (round 18),
+      * whose sides each read the same underlying stream but carry their
+      * own `__side` tag, shadow view, and state directory. `restore` is
+      * the steady binding for refs [[restoreRefView]] cannot re-derive
+      * (external MemoryStream views). */
+    case class Side(ref: String, src: String, viewSchema: StructType,
+                    signed: DataFrame, appendOnly: Boolean, restore: DataFrame)
     val sides: Seq[Side] = refs.flatMap { r =>
-      if (synchronized { sources.contains(r) }) {
+      val src = shape.realOf(r)
+      if (synchronized { sources.contains(src) }) {
         // registered topic source: an insert-only record stream (the
         // view applies ALTER casts/watermark; key/$rowtime ride along)
-        val v = spark.table(r)
-        Some(Side(r, v.schema, v.withColumn(RetractAggRewrite.SignCol, lit(1)),
+        val v = spark.table(src)
+        Some(Side(r, src, v.schema, v.withColumn(RetractAggRewrite.SignCol, lit(1)),
           appendOnly = true, restore = v))
-      } else if (synchronized { topicOf.contains(catalog.qualify(r)) }) {
-        val m = catalog.getOrCreate(r)
+      } else if (synchronized { topicOf.contains(catalog.qualify(src)) }) {
+        val m = catalog.getOrCreate(src)
         val declared = m.schema.getOrElse(throw new IllegalArgumentException(
-          s"INSERT INTO ${target.qualified}: regular-join side $r has no declared schema"))
+          s"INSERT INTO ${target.qualified}: regular-join side $src has no declared schema"))
         val isUpsert = m.changelogMode == ChangelogMode.Upsert && m.primaryKey.nonEmpty
         val viewSchema = StructType(sunkSchema(m, declared).fields
           .filter(f => declared.fieldNames.contains(f.name)))
-        val signed = signedChangelogStream(r, m).select(
+        val signed = signedChangelogStream(src, m).select(
           (viewSchema.fieldNames.map(c => col(s"`$c`")) :+
             col(RetractAggRewrite.SignCol)).toIndexedSeq: _*)
-        synchronized { promotedDrivers += catalog.qualify(r) }
-        Some(Side(r, viewSchema, signed,
+        synchronized { promotedDrivers += catalog.qualify(src) }
+        Some(Side(r, src, viewSchema, signed,
           appendOnly = !isUpsert && m.changelogMode != ChangelogMode.Retract,
           restore = signed))
-      } else if (spark.catalog.tableExists(r) && spark.table(r).isStreaming) {
-        val v = spark.table(r) // external stream view (e.g. MemoryStream)
-        Some(Side(r, v.schema, v.withColumn(RetractAggRewrite.SignCol, lit(1)),
+      } else if (spark.catalog.tableExists(src) && spark.table(src).isStreaming) {
+        val v = spark.table(src) // external stream view (e.g. MemoryStream)
+        Some(Side(r, src, v.schema, v.withColumn(RetractAggRewrite.SignCol, lit(1)),
           appendOnly = true, restore = v))
-      } else None // static batch view: joins at its constant state, no delta
+      } else {
+        // static batch view: joins at its constant state, no delta. A
+        // SYNTHETIC occurrence of a static ref still needs its view
+        // name to resolve — bind it once (cloned into the statement
+        // session below)
+        if (r != src && spark.catalog.tableExists(src))
+          spark.table(src).createOrReplaceTempView(r)
+        None
+      }
     }
     require(sides.nonEmpty, s"INSERT INTO ${target.qualified}: regular join " +
       "needs at least one topic-backed or streaming side")
@@ -1380,6 +1478,36 @@ final class StreamingStatementRunner(spark: SparkSession,
     def planOf(ref: String): SidePlan =
       shape.plans.getOrElse(ref, LinearSide)
 
+    // ── term evaluation source. Un-renamed statements evaluate the
+    //    SQL text (a fresh parse per call, exactly the r17 behavior).
+    //    RENAMED statements (multi-use relations, round 18) must
+    //    evaluate the transformed plan — the text still names the
+    //    shared relation at every site — but a parsed tree REUSED
+    //    across analyses shares its parse-time ExprIds (every Alias,
+    //    ScalarSubquery/Exists/ListQuery carries one from its
+    //    constructor), and two term plans sharing subquery ids
+    //    desynchronize when unioned and planned together (observed:
+    //    the brute pre/post bracket's neg term silently evaluating
+    //    the wrong state). Regenerate those ids per evaluation. ──
+    def freshIds(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+      import org.apache.spark.sql.catalyst.expressions.{
+        Alias, Exists, ListQuery, NamedExpression, ScalarSubquery}
+      p.transformUpWithSubqueries {
+        case n => n.transformExpressionsUp {
+          case a: Alias =>
+            Alias(a.child, a.name)(NamedExpression.newExprId, a.qualifier,
+              a.explicitMetadata, a.nonInheritableMetadataKeys)
+          case s: ScalarSubquery => s.copy(exprId = NamedExpression.newExprId)
+          case e: Exists => e.copy(exprId = NamedExpression.newExprId)
+          case l: ListQuery => l.copy(exprId = NamedExpression.newExprId)
+        }
+      }
+    }
+    def evalSelect(sess: SparkSession): DataFrame =
+      if (shape.occBase.isEmpty) sess.sql(select)
+      else GraftSqlBridge.ofRows(sess, freshIds(shape.evalPlan))
+
     // ── statement-time validation (Flink rejects at submission):
     //    every term each side's bracket can emit must type-check and
     //    keep the sign channel visible, BEFORE the query starts ──
@@ -1388,7 +1516,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     val outArity = synchronized {
       try {
         sides.foreach(s => emptyOf(s.viewSchema).createOrReplaceTempView(s.ref))
-        val n = spark.sql(select).columns.length
+        val n = evalSelect(spark).columns.length
         // arity must hold with the delta side's hidden sign column
         // riding its view too: a `SELECT *` expands the sign into the
         // user columns and would only fail mid-stream with a confusing
@@ -1412,25 +1540,30 @@ final class StreamingStatementRunner(spark: SparkSession,
           planOf(sides(i).ref) match {
             case LinearSide =>
               setViews(selfSigned = true)
-              checkArity(injectSign(spark.sql(select)))
+              checkArity(injectSign(evalSelect(spark)))
             case SubquerySide =>
               // a subquery dim's columns never surface in the outer
               // plan — only the literal-signed pair needs to check
               setViews(selfSigned = false)
-              evalSigned(spark.sql(select), 1)
+              evalSigned(evalSelect(spark), 1)
             case o: OuterNullSide =>
               setViews(selfSigned = true)
-              checkArity(innerFlipTerm(spark.sql(select), o.spineIdx))
+              checkArity(innerFlipTerm(evalSelect(spark), o.spineIdx))
               o.ownPadPreservedIsLeft.foreach { pil =>
-                checkArity(padFrameAt(spark.sql(select), o.spineIdx, pil, None))
+                checkArity(padFrameAt(evalSelect(spark), o.spineIdx, pil, None))
               }
               setViews(selfSigned = false)
-              padFrameAt(spark.sql(select), o.spineIdx,
+              padFrameAt(evalSelect(spark), o.spineIdx,
                 o.bracketPadPreservedIsLeft, Some(1))
           }
         }
         n
-      } finally sides.foreach(s => restoreRefView(s.ref, s.restore))
+      } finally sides.foreach { s =>
+        // synthetic occurrence views must not linger in the MAIN
+        // session (the statement's clone re-binds its own per batch)
+        if (s.ref != s.src) spark.catalog.dropTempView(s.ref)
+        restoreRefView(s.src, s.restore)
+      }
     }
     val outNames: Seq[String] =
       if (targetCols.nonEmpty) targetCols
@@ -1533,15 +1666,15 @@ final class StreamingStatementRunner(spark: SparkSession,
                     // outer joins intact, the delta's pad rows ride
                     // along already signed
                     shadowAround(i, delta)
-                    Seq(injectSign(stmtSession.sql(select)))
+                    Seq(injectSign(evalSelect(stmtSession)))
                   case SubquerySide =>
                     // brute pre/post bracket: a subquery-dim change
                     // invalidates every row's verdict at once; exact,
                     // and unchanged rows net away in the content fold
                     shadowAround(i, pre(i))
-                    val neg = evalSigned(stmtSession.sql(select), -1)
+                    val neg = evalSigned(evalSelect(stmtSession), -1)
                     shadowAround(i, post(i))
-                    val pos = evalSigned(stmtSession.sql(select), 1)
+                    val pos = evalSigned(evalSelect(stmtSession), 1)
                     Seq(neg, pos)
                   case o: OuterNullSide =>
                     // out = inner + pads at the side's spine node:
@@ -1550,16 +1683,16 @@ final class StreamingStatementRunner(spark: SparkSession,
                     // OUTER) the side's own preserved pad over Δ
                     val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
                     shadowAround(i, delta)
-                    buf += innerFlipTerm(stmtSession.sql(select), o.spineIdx)
+                    buf += innerFlipTerm(evalSelect(stmtSession), o.spineIdx)
                     o.ownPadPreservedIsLeft.foreach { pil =>
                       shadowAround(i, delta)
-                      buf += padFrameAt(stmtSession.sql(select), o.spineIdx, pil, None)
+                      buf += padFrameAt(evalSelect(stmtSession), o.spineIdx, pil, None)
                     }
                     shadowAround(i, pre(i))
-                    buf += padFrameAt(stmtSession.sql(select), o.spineIdx,
+                    buf += padFrameAt(evalSelect(stmtSession), o.spineIdx,
                       o.bracketPadPreservedIsLeft, Some(-1))
                     shadowAround(i, post(i))
-                    buf += padFrameAt(stmtSession.sql(select), o.spineIdx,
+                    buf += padFrameAt(evalSelect(stmtSession), o.spineIdx,
                       o.bracketPadPreservedIsLeft, Some(1))
                     buf.toSeq
                 }
@@ -2079,6 +2212,13 @@ final class StreamingStatementRunner(spark: SparkSession,
         // "pct<micros-of-p>" decodes back to the percentage here.
         vs.stats.toSeq.filter(_.startsWith("pct")).sorted.map { st =>
           percentile(col("__v"), lit(st.drop(3).toLong / 1e6), col("__vsn"))
+            .as(s"${vs.name}_$st")
+        } ++
+        // ARRAY-of-percentages form ("pca<m1>_<m2>…", round 18): one
+        // weighted-Percentile pass emitting all picks as array<double>
+        vs.stats.toSeq.filter(_.startsWith("pca")).sorted.map { st =>
+          val ps = st.drop(3).split('_').map(m => lit(m.toLong / 1e6))
+          percentile(col("__v"), array(ps.toIndexedSeq: _*), col("__vsn"))
             .as(s"${vs.name}_$st")
         } ++
         (if (discStats.isEmpty) Nil

@@ -766,7 +766,7 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
-  test("CTE routing (round 17): a WITH wrapping the join select regular-joins identically; twice-referenced CTEs keep snapshot") {
+  test("CTE routing: a WITH wrapping the join select regular-joins identically; twice-referenced CTEs regular-join per-occurrence (round 18)") {
     val conf = newConf("rjw")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
     r.registerTopicSource("rjw_cust_feed", custSchema)
@@ -800,8 +800,10 @@ class RegularJoinSpec extends SparkSpec {
     assert(state() === Map(1L -> Seq("Anna", 10.0), 2L -> Seq(null, 20.0)))
     r.stopAll()
 
-    // ── a CTE referenced twice inlines its tables twice → the
-    //    self-join guard keeps the shape on the snapshot path ──
+    // ── a CTE referenced twice inlines its tables twice; the
+    //    per-occurrence renaming (round 18) routes each site as its
+    //    own side, so the shape regular-joins — a user factoring a
+    //    subquery into a CTE for reuse keeps retract semantics ──
     val conf2 = newConf("rjw2")
     val r2 = new StreamingStatementRunner(spark, topicConf = Some(conf2))
     r2.registerTopicSource("rjw2_cust_feed", custSchema)
@@ -818,16 +820,25 @@ class RegularJoinSpec extends SparkSpec {
       SELECT a.order_id, c.name, a.amount + b.amount
       FROM e a JOIN e b ON a.order_id = b.order_id
       JOIN rjw2_cust c ON a.cid = c.cid""")
+    def state2() = net("rjw2_enr", "order_id", "cust_name", "amount2")
     Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjw2_cust_feed", conf2, Nil, 1)
     r2.processAllAvailable()
+    // both CTE sites touch in ONE batch: occurrence a's term sees b at
+    // post, b's term sees a at pre — exactly one (1,1) pair nets out
     Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0)).toDF(), "rjw2_ord_feed", conf2, Nil, 1)
     r2.processAllAvailable()
+    assert(state2() === Map(1L -> Seq("Ann", 20.0)),
+      "the doubled CTE sites must pair each fact with itself exactly once")
+    // the dim revises: TRUE regular-join semantics through both sites
     Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjw2_cust_feed", conf2, Nil, 2)
     r2.processAllAvailable()
-    val got = spark.table("rjw2_enr").select("order_id", "cust_name", "amount2", "__op")
-      .as[(Long, String, Double, String)].collect().toSet
-    assert(got === Set((1L, "Ann", 20.0, "+I")),
-      s"a twice-referenced CTE must keep frozen snapshot semantics (got $got)")
+    assert(state2() === Map(1L -> Seq("Anna", 20.0)),
+      "a dim revision must retract and re-emit through a twice-referenced CTE")
+    // a later fact pairs against the FIRST site's logged state via the
+    // cross terms the one-view binding used to drop
+    Topics.appendJson(Seq(RjOrd(2, "c1", "p1", 30.0)).toDF(), "rjw2_ord_feed", conf2, Nil, 2)
+    r2.processAllAvailable()
+    assert(state2() === Map(1L -> Seq("Anna", 20.0), 2L -> Seq("Anna", 60.0)))
     r2.stopAll()
   }
 
@@ -974,10 +985,11 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
-  test("self-join shapes keep the snapshot path: a table referenced twice in FROM never regular-joins (ADVICE r16)") {
-    // the per-batch shadow view binds BOTH occurrences of a duplicated
-    // ref to one frame, so the telescoped term would silently drop the
-    // pre⋈Δ / Δ⋈post cross terms — the routing must refuse the shape
+  test("self-join shapes regular-join per-occurrence (round 18): each FROM site binds its own shadow view, cross terms intact") {
+    // the one-view binding used to drop the pre⋈Δ / Δ⋈post cross terms
+    // (the ADVICE r16 refusal); per-occurrence sides restore them —
+    // occurrence k's term varies only site k, earlier sites at pre,
+    // later at post
     val conf = newConf("rjsj")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
     r.registerTopicSource("rjs_cust_feed", custSchema)
@@ -993,19 +1005,72 @@ class RegularJoinSpec extends SparkSpec {
       FROM rjs_ord_feed o
       JOIN rjs_ord_feed o2 ON o.order_id = o2.order_id
       JOIN rjs_cust c ON o.cid = c.cid""")
+    def state() = net("rjs_enr", "order_id", "cust_name", "amount2")
     Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjs_cust_feed", conf, Nil, 1)
     r.processAllAvailable()
+    // both occurrences touch in one batch: exactly one (1,1) pair
     Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0)).toDF(), "rjs_ord_feed", conf, Nil, 1)
     r.processAllAvailable()
-    // SNAPSHOT semantics must hold: the dim revision does NOT re-emit
-    // (had the shape regular-joined, "Anna" would appear with a -D for
-    // "Ann"; worse, the broken telescoping would corrupt net state)
+    assert(state() === Map(1L -> Seq("Ann", 20.0)),
+      "a same-batch self-pair must net to exactly one row")
+    // the dim revises: regular-join semantics re-emit through the pair
     Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjs_cust_feed", conf, Nil, 2)
     r.processAllAvailable()
-    val got = spark.table("rjs_enr").select("order_id", "cust_name", "amount2", "__op")
-      .as[(Long, String, Double, String)].collect().toSet
-    assert(got === Set((1L, "Ann", 20.0, "+I")),
-      s"a self-joined FROM must keep frozen snapshot semantics (got $got)")
+    assert(state() === Map(1L -> Seq("Anna", 20.0)),
+      "a dim revision must retract and re-emit the self-joined pair")
+    // a later fact joins the occurrence sides' LOGGED states — the
+    // cross terms (Δ⋈post on site 1, pre⋈Δ on site 2) must both hold
+    Topics.appendJson(Seq(RjOrd(2, "c1", "p1", 30.0)).toDF(), "rjs_ord_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Anna", 20.0), 2L -> Seq("Anna", 60.0)),
+      "cross-batch self-pairs must come from the per-occurrence state logs")
+    r.stopAll()
+  }
+
+  test("self-join PLUS subquery blocklist: renamed plans evaluate subquery brackets with fresh ids per term (round 18)") {
+    // the shared-parsed-tree hazard: a reused tree's parse-time
+    // subquery ExprIds are identical across the brute pre/post
+    // analyses, desynchronizing the unioned terms — freshIds must
+    // regenerate them per evaluation
+    val conf = newConf("rjsb")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjsb_cust_feed", custSchema)
+    r.registerTopicSource("rjsb_ord_feed", ordSchema)
+    r.registerTopicSource("rjsb_block_feed", StructType(Seq(
+      StructField("uid", StringType), StructField("__op", StringType))))
+    r.runScript("""
+      CREATE TABLE rjsb_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjsb_cust SELECT cid, name FROM rjsb_cust_feed;
+      CREATE TABLE rjsb_block (uid STRING, __op STRING,
+        PRIMARY KEY (uid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjsb_block SELECT uid, __op FROM rjsb_block_feed;
+      CREATE TABLE rjsb_enr (order_id BIGINT, cust_name STRING, amount2 DOUBLE,
+        __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjsb_enr (order_id, cust_name, amount2)
+      SELECT o.order_id, c.name, o.amount + o2.amount
+      FROM rjsb_ord_feed o
+      JOIN rjsb_ord_feed o2 ON o.order_id = o2.order_id
+      JOIN rjsb_cust c ON o.cid = c.cid
+      WHERE NOT EXISTS (SELECT 1 FROM rjsb_block b WHERE b.uid = o.cid)""")
+    def state() = net("rjsb_enr", "order_id", "cust_name", "amount2")
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjsb_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0)).toDF(), "rjsb_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Ann", 20.0)))
+    // blocking c1 must RETRACT the self-joined pair (the neg term of
+    // the brute bracket reading the true PRE state is exactly what a
+    // shared subquery id corrupts)
+    Topics.appendJson(Seq(("c1", "+I")).toDF("uid", "__op"), "rjsb_block_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map.empty,
+      "blocking must retract the self-joined pair through the subquery bracket")
+    // unblocking re-admits at current dim state
+    Topics.appendJson(Seq(("c1", "-D")).toDF("uid", "__op"), "rjsb_block_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Ann", 20.0)),
+      "unblocking must re-admit the pair")
     r.stopAll()
   }
 

@@ -702,6 +702,63 @@ class ValueSetAggSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("percentile over an ARRAY of percentages: one multiset, N picks emitted as an array column (round 18)") {
+    val conf = newConf("vs-pcarr")
+    val r = runner(conf, "vs_src_pa", """
+      CREATE TABLE vs_pa (grp STRING, qs ARRAY<DOUBLE>, med DOUBLE,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_pa
+      SELECT grp, percentile(amt, array(0.25, 0.5, 0.75)) AS qs,
+             percentile(amt, 0.5) AS med
+      FROM vs_acct GROUP BY grp""")
+    def state() = spark.table("vs_pa")
+      .as[(String, Seq[Double], Double)].collect()
+      .map(t => t._1 -> ((t._2.toList, t._3))).toMap
+    def oracle(rows: (String, Double)*): (List[Double], Double) = {
+      rows.toSeq.toDF("grp", "amt").createOrReplaceTempView("vs_pa_oracle")
+      val o = spark.sql("""
+        SELECT percentile(amt, array(0.25, 0.5, 0.75)), percentile(amt, 0.5)
+        FROM vs_pa_oracle GROUP BY grp""").collect().head
+      (o.getSeq[Double](0).toList, o.getDouble(1))
+    }
+    Topics.appendJson(Seq(VsRow("k1", "g1", 10.0), VsRow("k2", "g1", 20.0),
+      VsRow("k3", "g1", 30.0), VsRow("k4", "g1", 40.0)).toDF(),
+      "vs_src_pa", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map("g1" -> ((List(17.5, 25.0, 32.5), 25.0))))
+    assert(state()("g1") === oracle(("g1", 10.0), ("g1", 20.0),
+      ("g1", 30.0), ("g1", 40.0)))
+    // a holder revises: every element of the array pick recomputes
+    Topics.appendJson(Seq(VsRow("k2", "g1", 100.0)).toDF(), "vs_src_pa", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state()("g1") === oracle(("g1", 10.0), ("g1", 100.0),
+      ("g1", 30.0), ("g1", 40.0)))
+    // tombstone: N drops, the interpolation shifts
+    Topics.appendJson(Seq(VsRow("k4", "DEL", 0.0)).toDF(), "vs_src_pa", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(state()("g1") === oracle(("g1", 10.0), ("g1", 100.0), ("g1", 30.0)))
+    r.stopAll()
+  }
+
+  test("percentile with a FREQUENCY column still rejects loudly (per-row weights cannot ride the sign netting)") {
+    val conf = newConf("vs-pcf")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("vs_src_pf", srcSchema)
+    r.runScript("""
+      CREATE TABLE vs_pf_acct (k STRING, grp STRING, amt DOUBLE, __op STRING,
+        PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO vs_pf_acct SELECT k, grp, amt, '+U' FROM vs_src_pf;
+      CREATE TABLE vs_pf_out (grp STRING, p DOUBLE,
+        PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
+    val err = intercept[IllegalArgumentException](
+      r.run("""INSERT INTO vs_pf_out
+        SELECT grp, percentile(amt, 0.5, 2) AS p
+        FROM vs_pf_acct GROUP BY grp"""))
+    assert(err.getMessage.contains("frequency"),
+      s"wrong rejection: ${err.getMessage}")
+    r.stopAll()
+  }
+
   test("percentile_disc ignores NULL values: nulls neither count toward N nor are pickable (ADVICE r17)") {
     val conf = newConf("vs-discnull")
     val r = runner(conf, "vs_src_dn", """
