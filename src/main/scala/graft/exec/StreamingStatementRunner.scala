@@ -1593,6 +1593,16 @@ final class StreamingStatementRunner(spark: SparkSession,
         .getOrElse(64)
     val stmtId = nextInsertId(target)
     val stateRoot = s"${checkpointDir(target, stmtId)}/graft-join-state"
+    // occurrences of the SAME table share ONE state directory (round
+    // 18): their deltas are the same stream, so the per-occurrence
+    // pre/post frames read identical content — writing per occurrence
+    // would double the log/snapshot IO for a self-join (and race the
+    // snapshot generation pruning against itself). Only the FIRST
+    // occurrence of each source performs the state writes.
+    val firstIdxOfSrc: Map[String, Int] =
+      sides.zipWithIndex.groupBy(_._1.src).map { case (src, xs) =>
+        src -> xs.map(_._2).min
+      }
     val union = sides.zipWithIndex.map { case (s, i) => encodeSide(s, i) }
       .reduce(_ unionByName _)
     // per-statement execution session (round 17): state reads, view
@@ -1616,14 +1626,16 @@ final class StreamingStatementRunner(spark: SparkSession,
               val post = new Array[DataFrame](sides.size)
               val writes = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
               sides.zipWithIndex.foreach { case (s, i) =>
-                val dir = s"$stateRoot/s$i"
+                val owner = firstIdxOfSrc(s.src)
+                val dir = s"$stateRoot/s$owner"
+                val ownsState = owner == i
                 if (s.appendOnly) {
-                  ttlMs.foreach(t => JoinState.pruneLog(stmtSession, dir, t))
+                  if (ownsState) ttlMs.foreach(t => JoinState.pruneLog(stmtSession, dir, t))
                   val logPre = JoinState.readLog(stmtSession, dir, batchId, ttlMs)
                   pre(i) = decode(logPre, s)
                   post(i) = deltaRows.get(i) match {
                     case Some(d) =>
-                      writes += { () =>
+                      if (ownsState) writes += { () =>
                         JoinState.writeLog(d.select("__payload"), dir, batchId)
                         // amortized: folds only every `threshold` batches
                         JoinState.maybeCompact(stmtSession, dir, batchId, compactThreshold, ttlMs)
@@ -1637,7 +1649,8 @@ final class StreamingStatementRunner(spark: SparkSession,
                   post(i) = deltaRows.get(i) match {
                     case Some(d) =>
                       val folded = JoinState.foldSnapshot(preFolded, d)
-                      writes += (() => JoinState.writeSnapshot(folded, dir, batchId, readGen))
+                      if (ownsState)
+                        writes += (() => JoinState.writeSnapshot(folded, dir, batchId, readGen))
                       decode(JoinState.explodeCnt(folded), s)
                     case None => pre(i)
                   }

@@ -1024,6 +1024,24 @@ class RegularJoinSpec extends SparkSpec {
     r.processAllAvailable()
     assert(state() === Map(1L -> Seq("Anna", 20.0), 2L -> Seq("Anna", 60.0)),
       "cross-batch self-pairs must come from the per-occurrence state logs")
+    // occurrences of the same table share ONE state directory (their
+    // deltas are the same stream): the fact log lives under the first
+    // occurrence's slot s0 only — never duplicated under s1
+    val stateDirs = {
+      val root = java.nio.file.Paths.get(conf.root, ".checkpoints")
+      val out = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (p.getFileName.toString == "graft-join-state") out += p
+      }
+      out.toList
+    }
+    assert(stateDirs.nonEmpty)
+    // side order is spine order [ord, cust, ord__rjoc2]: the second
+    // ord occurrence (index 2) shares owner slot s0, so exactly
+    // {s0, s1} exist and s2 never does
+    val slots = stateDirs.head.toFile.listFiles().map(_.getName).toList.sorted
+    assert(slots === List("s0", "s1"),
+      s"duplicate occurrences must share the owner slot's state: $slots")
     r.stopAll()
   }
 
