@@ -366,19 +366,20 @@ final class StreamingStatementRunner(spark: SparkSession,
         // not linear — those shapes keep the documented snapshot path.
         // Sanctioned NON-linear exceptions, each with an exact bracket
         // decomposition (rounds 17-18 — the per-side bracket engine,
-        // [[SidePlan]]): LEFT-DEEP CHAINS mixing INNER/LEFT/RIGHT/FULL
-        // OUTER at any length, PROVIDED each side is the null-produced
-        // side of AT MOST ONE spine node (the per-side affect-set rule
-        // below — r18 generalizes r17's INNER/LEFT-chains + single
-        // RIGHT/FULL): such a side's bracket = inner-flip of exactly
-        // that node + a two-eval pad bracket (+ FULL's own-pad term),
-        // everything above and below verbatim — the decomposition
-        // composes per level, pad-of-pad rows included. SUBQUERY
+        // [[SidePlan]]): join TREES of ANY shape (left-deep chains,
+        // bushy operands) mixing INNER/LEFT/RIGHT/FULL OUTER,
+        // PROVIDED each side is the null-produced side of AT MOST ONE
+        // join node (the per-side affect-set rule below): such a
+        // side's bracket = inner-flip of exactly that node + a
+        // two-eval pad bracket (+ FULL's own-pad term), everything
+        // above and below verbatim — the decomposition composes per
+        // level, pad-of-pad rows included. Multi-use relations and
+        // twice-referenced CTEs route PER OCCURRENCE. SUBQUERY
         // predicates (EXISTS / NOT EXISTS / IN / scalar) whose plans
         // reference only NON-outer refs bracket as brute pre/post
-        // pairs. Non-left-deep shapes, sides null-dominated by TWO OR
-        // MORE nodes (e.g. `fact LEFT d1 RIGHT d2`), self-joins, and
-        // multi-use CTEs stay snapshot.
+        // pairs. Sides null-dominated by TWO OR MORE nodes (e.g.
+        // `fact LEFT d1 RIGHT d2`) and duplicated multi-part refs
+        // stay snapshot.
         // Returns None = not applicable; otherwise the spine + the
         // per-ref bracket strategies.
         def regularJoinShape(select: String): Option[RegularShape] = {
@@ -538,34 +539,36 @@ final class StreamingStatementRunner(spark: SparkSession,
             // subquery reading an outer ref couples them non-linearly
             if (subRefs.exists(outerRefs.contains)) ok = false
             if (!ok) return None
-            // ── join-spine extraction: descend from the root through
-            //    unary operators to the top Join, then left-unfold —
-            //    the spine must be LEFT-DEEP with each operand a
-            //    join-free single-relation subtree ──
+            // ── GENERAL join-tree sanction (round 18, superseding the
+            //    left-deep spine walk): index every Join node of the
+            //    FROM tree in PRE-ORDER (identical to the old top-down
+            //    spine ordering on left-deep trees) and compute the
+            //    per-side NON-LINEAR affect sets — node l's
+            //    LEFT-preserving pad (LEFT/FULL kinds) anti-joins its
+            //    RIGHT subtree, so it is non-linear in EVERY ref
+            //    there; its RIGHT-preserving pad (RIGHT/FULL kinds)
+            //    anti-joins its LEFT subtree. A ref affected by NO
+            //    node is multiset-linear (verbatim eval over its
+            //    signed delta — tree SHAPE is irrelevant to
+            //    linearity, which sanctions BUSHY INNER trees and
+            //    multi-relation operands outright); by exactly ONE
+            //    node l, out = inner + pads AT l is exact with
+            //    everything above and below verbatim — the
+            //    [[OuterNullSide]] bracket; by TWO OR MORE, the
+            //    brackets would need the recursive pad-of-pad
+            //    composition this engine does not prove → snapshot
+            //    (e.g. `fact LEFT d1 RIGHT d2`: d1 is the null side
+            //    of both its own node and the RIGHT above it). ──
             @scala.annotation.tailrec
             def descendToJoin(p: LogicalPlan): Option[Join] = p match {
               case j: Join => Some(j)
               case u if u.children.size == 1 => descendToJoin(u.children.head)
               case _ => None
             }
-            // a join operand may be a PLAIN relation or any JOIN-free
-            // subtree over exactly ONE relation (derived tables,
-            // filtered selects, inlined CTE bodies): Project/Filter/
-            // alias wrappers are multiset-linear in their relation,
-            // the analyzed-side sign threading re-exposes the hidden
-            // channel through their projections, and forbidden
-            // operators (aggregates, DISTINCT, sorts…) anywhere in
-            // the subtree were already rejected by the global walk
-            // (round 17 — closes the FROM-subquery operand fallback)
-            def leafRef(p: LogicalPlan): Option[String] =
-              if (p.collectFirst { case j: Join => j }.isDefined) None
-              else p.collect {
-                case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-                  r.multipartIdentifier.last
-              } match {
-                case Seq(one) => Some(one)
-                case _ => None
-              }
+            def refsIn(p: LogicalPlan): Seq[String] = p.collect {
+              case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+                r.multipartIdentifier.last
+            }
             descendToJoin(plan) match {
               case None =>
                 // no FROM join: a single-relation select whose only
@@ -576,59 +579,29 @@ final class StreamingStatementRunner(spark: SparkSession,
                     subRefs.map(_ -> (SubquerySide: SidePlan))).toMap,
                   plan, occBase.toMap, outerRefs.toSeq.sorted))
               case Some(top) =>
-                val spine = scala.collection.mutable.ArrayBuffer(top)
-                var more = true
-                while (more) spine.last.left match {
-                  case j: Join => spine += j
-                  case _ => more = false
-                }
-                val rightRefs = spine.map(j => leafRef(j.right))
-                val baseRef = leafRef(spine.last.left)
-                val kinds = spine.map(_.joinType).toSeq
+                val joins = top.collect { case j: Join => j }
+                val kinds = joins.map(_.joinType).toSeq
                 val kindsKnown = kinds.forall {
                   case Inner | LeftOuter | RightOuter | FullOuter => true
                   case _ => false
                 }
-                if (!kindsKnown || baseRef.isEmpty || rightRefs.exists(_.isEmpty)) None
+                val treeRefs = refsIn(top)
+                if (!kindsKnown || treeRefs.isEmpty) None
                 else {
-                  // ── per-side NON-LINEAR affect sets (round 18,
-                  // generalizing the per-node decomposition to
-                  // mid-chain RIGHT/FULL OUTER): spine node l's
-                  // LEFT-preserving pad (LEFT/FULL kinds) anti-joins
-                  // its RIGHT child — non-linear in that dim; its
-                  // RIGHT-preserving pad (RIGHT/FULL kinds) anti-joins
-                  // the whole LEFT subtree — non-linear in EVERY ref
-                  // below (the base + right children of deeper nodes,
-                  // idx > l in the top-down ordering). A side affected
-                  // by NO node is multiset-linear (verbatim eval); by
-                  // exactly ONE node l, out = inner + pads AT l is
-                  // exact with everything above and below verbatim —
-                  // the [[OuterNullSide]] bracket; by TWO OR MORE, the
-                  // brackets would need the recursive pad-of-pad
-                  // composition this engine does not prove → snapshot
-                  // (e.g. `fact LEFT d1 RIGHT d2`: d1 is the null side
-                  // of both its own node and the RIGHT above it). ──
                   val affects = scala.collection.mutable.Map
                     .empty[String, List[(Int, Boolean)]].withDefaultValue(Nil)
-                  kinds.zipWithIndex.foreach { case (k, l) =>
-                    if (k == LeftOuter || k == FullOuter) {
-                      val d = rightRefs(l).get
-                      affects(d) = affects(d) :+ (l -> false)
-                    }
-                    if (k == RightOuter || k == FullOuter) {
-                      val b = baseRef.get
-                      affects(b) = affects(b) :+ (l -> true)
-                      ((l + 1) until spine.size).foreach { j =>
-                        val d = rightRefs(j).get
-                        affects(d) = affects(d) :+ (l -> true)
-                      }
-                    }
+                  joins.zipWithIndex.foreach { case (jn, l) =>
+                    if (jn.joinType == LeftOuter || jn.joinType == FullOuter)
+                      refsIn(jn.right).foreach(r =>
+                        affects(r) = affects(r) :+ (l -> false))
+                    if (jn.joinType == RightOuter || jn.joinType == FullOuter)
+                      refsIn(jn.left).foreach(r =>
+                        affects(r) = affects(r) :+ (l -> true))
                   }
-                  val allSpineRefs = baseRef.get +: rightRefs.map(_.get).toSeq
-                  if (allSpineRefs.exists(r => affects(r).size > 1)) None
+                  if (treeRefs.exists(r => affects(r).size > 1)) None
                   else {
                     val plans = scala.collection.mutable.Map.empty[String, SidePlan]
-                    allSpineRefs.foreach { r =>
+                    treeRefs.foreach { r =>
                       plans(r) = affects(r) match {
                         case Nil => LinearSide
                         case List((l, inLeftSubtree)) =>
@@ -643,14 +616,14 @@ final class StreamingStatementRunner(spark: SparkSession,
                         case _ => LinearSide // unreachable (guard above)
                       }
                     }
-                    // every FROM ref must be accounted for by the spine
-                    // walk (a ref hidden in a non-leaf subtree means the
-                    // shape is not the left-deep form this engine proves)
+                    // every FROM ref must live in the join tree (one
+                    // hidden elsewhere — e.g. a lateral — means the
+                    // shape is not the form this engine proves)
                     if (!outerRefs.forall(plans.contains)) None
                     else {
                       subRefs.foreach(r => plans(r) = SubquerySide)
                       Some(RegularShape(kinds, plans.toMap,
-                        plan, occBase.toMap, allSpineRefs))
+                        plan, occBase.toMap, treeRefs))
                     }
                   }
                 }
@@ -1274,34 +1247,28 @@ final class StreamingStatementRunner(spark: SparkSession,
           col("__sign"))
         .select(decodeCols(side) :+ col("__sign").as(SG): _*)
 
-    // ── the ANALYZED join spine: descend through unary operators to
-    //    the top Join, then left-unfold — mirrors the parsed-plan walk
-    //    that built `shape`, and must MATCH it (a side view containing
-    //    its own join would desynchronize spine ordinals; temp views
-    //    sit under SubqueryAlias so the unfold never enters them, but
-    //    the guard keeps the failure loud, not silently wrong) ──
+    // ── the ANALYZED join-tree index: every Join node in PRE-ORDER,
+    //    stopping at resolved temp-view boundaries (a shadow view's
+    //    STORED plan never carries a user join; a static view that
+    //    wraps its own join must not shift ordinals) — mirrors the
+    //    parsed-plan walk that built `shape`, and must MATCH it: the
+    //    guard keeps any desynchronization loud, not silently wrong ──
     def spineJoins(analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : IndexedSeq[org.apache.spark.sql.catalyst.plans.logical.Join] = {
-      import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
-      @scala.annotation.tailrec
-      def descend(p: LogicalPlan): Option[Join] = p match {
-        case j: Join => Some(j)
-        case u if u.children.size == 1 => descend(u.children.head)
-        case _ => None
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, View}
+      def joinsOf(p: LogicalPlan): Seq[Join] = p match {
+        case _: View => Nil
+        case j: Join => j +: j.children.flatMap(joinsOf)
+        case other => other.children.flatMap(joinsOf)
       }
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Join]
-      var cur = descend(analyzed)
-      while (cur.isDefined) {
-        buf += cur.get
-        cur = cur.get.left match { case j: Join => Some(j); case _ => None }
-      }
+      val buf = joinsOf(analyzed).toIndexedSeq
       require(buf.size == shape.spineKinds.size &&
-          buf.toSeq.map(_.joinType) == shape.spineKinds,
-        s"INSERT INTO ${target.qualified}: the analyzed join spine " +
+          buf.map(_.joinType) == shape.spineKinds,
+        s"INSERT INTO ${target.qualified}: the analyzed join tree " +
           s"(${buf.map(_.joinType).mkString(",")}) does not match the parsed " +
-          s"shape (${shape.spineKinds.mkString(",")}) — every regular-join " +
-          "side must be a plain relation, not a view wrapping its own join")
-      buf.toIndexedSeq
+          s"shape (${shape.spineKinds.mkString(",")}) — a regular-join side " +
+          "view must not wrap its own join")
+      buf
     }
 
     // ── CTE inlining on the ANALYZED plan (round 17): the analyzer

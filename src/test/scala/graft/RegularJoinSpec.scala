@@ -1036,12 +1036,74 @@ class RegularJoinSpec extends SparkSpec {
       out.toList
     }
     assert(stateDirs.nonEmpty)
-    // side order is spine order [ord, cust, ord__rjoc2]: the second
-    // ord occurrence (index 2) shares owner slot s0, so exactly
-    // {s0, s1} exist and s2 never does
+    // side order is tree pre-order [ord, ord__rjoc2, cust]: the second
+    // ord occurrence (index 1) shares owner slot s0, so exactly
+    // {s0, s2} exist and s1 never does
     val slots = stateDirs.head.toFile.listFiles().map(_.getName).toList.sorted
-    assert(slots === List("s0", "s1"),
+    assert(slots === List("s0", "s2"),
       s"duplicate occurrences must share the owner slot's state: $slots")
+    r.stopAll()
+  }
+
+  test("BUSHY join trees regular-join (round 18): a LEFT-joined composed-lookup subtree pads, upgrades, and re-pads per ref") {
+    // fact LEFT JOIN (cust JOIN badge ON name) — the right OPERAND is
+    // itself a join (non-left-deep). Both subtree refs are affected
+    // only by the LEFT node (the right-preserving INNER inside
+    // affects nobody), so each brackets there: inner-flip over its
+    // delta THROUGH the subtree join + the facts-preserving pad
+    // evaluated at its pre/post state
+    val conf = newConf("rjb")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjb_cust_feed", custSchema)
+    r.registerTopicSource("rjb_badge_feed", StructType(Seq(
+      StructField("name", StringType), StructField("badge", StringType))))
+    r.registerTopicSource("rjb_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjb_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjb_cust SELECT cid, name FROM rjb_cust_feed;
+      CREATE TABLE rjb_badge (name STRING, badge STRING,
+        PRIMARY KEY (name) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjb_badge SELECT name, badge FROM rjb_badge_feed;
+      CREATE TABLE rjb_enr (order_id BIGINT, cust_name STRING, badge STRING,
+        __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjb_enr (order_id, cust_name, badge)
+      SELECT o.order_id, c.name, b.badge
+      FROM rjb_ord_feed o
+      LEFT JOIN (rjb_cust c JOIN rjb_badge b ON c.name = b.name)
+        ON o.cid = c.cid""")
+    def state() = net("rjb_enr", "order_id", "cust_name", "badge")
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0)).toDF(), "rjb_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq(null, null)),
+      "a fact with no subtree match must pad")
+    // the cust half alone does NOT complete the subtree (INNER inside)
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjb_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq(null, null)),
+      "half a composed lookup must not upgrade the pad")
+    // the badge half arrives: the subtree completes, the pad upgrades
+    Topics.appendJson(Seq(("Ann", "GOLD")).toDF("name", "badge"),
+      "rjb_badge_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Ann", "GOLD")),
+      "the completing half must retract the pad and emit the match")
+    // cust revises to a name with NO badge: the subtree match
+    // DISAPPEARS and the fact re-pads (pad reappearance through a
+    // bushy subtree)
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjb_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq(null, null)),
+      "a revision breaking the subtree match must re-pad the fact")
+    // the new name's badge arrives: upgrade again
+    Topics.appendJson(Seq(("Anna", "SILVER")).toDF("name", "badge"),
+      "rjb_badge_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Anna", "SILVER")))
+    // a second fact joins the CURRENT composed state directly
+    Topics.appendJson(Seq(RjOrd(2, "c1", "p1", 20.0)).toDF(), "rjb_ord_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Anna", "SILVER"), 2L -> Seq("Anna", "SILVER")))
     r.stopAll()
   }
 
