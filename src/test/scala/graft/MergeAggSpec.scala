@@ -347,17 +347,18 @@ class MergeAggSpec extends SparkSpec {
              FROM ma_guard_s o JOIN ma_dim4 d ON o.product_id = d.pid
              GROUP BY d.cat"""))
     assert(err2.getMessage.contains("ARRIVAL order"))
-    // scalar percentile folds via the multiset since round 16
-    // (ValueSetAggSpec, q244); the ARRAY-of-percentages form emits an
-    // array the stat column cannot carry — still a loud rejection
+    // scalar AND array-of-percentages percentile fold via the multiset
+    // (rounds 16/18 — ValueSetAggSpec, q244/q248); the FREQUENCY-column
+    // form stays a loud rejection (per-row weights cannot ride the
+    // sign netting)
     r.run("""CREATE TABLE ma_bad4 (cat STRING, m DOUBLE,
              PRIMARY KEY (cat) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
     val err4 = intercept[IllegalArgumentException](
       r.run("""INSERT INTO ma_bad4
-             SELECT d.cat, percentile(o.order_id, array(0.25, 0.5))
+             SELECT d.cat, percentile(o.order_id, 0.5, 2)
              FROM ma_guard_s o JOIN ma_dim4 d ON o.product_id = d.pid
              GROUP BY d.cat"""))
-    assert(err4.getMessage.contains("ARRAY of percentages"))
+    assert(err4.getMessage.contains("frequency"))
     // hidden (subquery) aggregate over the join path rejects at
     // STATEMENT time
     r.run("""CREATE TABLE ma_bad3 (cat STRING, m BIGINT,

@@ -128,14 +128,15 @@ class RetractAggSpec extends SparkSpec {
 
     r.run("""CREATE TABLE g_bad (grp STRING, x DOUBLE,
              PRIMARY KEY (grp) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
-    // CONTINUOUS percentile and percentile_disc both fold via the
-    // multiset merge path (rounds 16-17, q244/q246); the
-    // ARRAY-of-percentages form is the residual degenerate rejection
+    // CONTINUOUS percentile, percentile_disc and the array-of-
+    // percentages form all fold via the multiset merge path (rounds
+    // 16-18, q244/q246/q248); the FREQUENCY-column form is the
+    // residual degenerate rejection
     val e1 = intercept[IllegalArgumentException](
       r.run("""INSERT INTO g_bad
-               SELECT grp, percentile(amt, array(0.25, 0.5))
+               SELECT grp, percentile(amt, 0.5, 2)
                FROM acct GROUP BY grp"""))
-    assert(e1.getMessage.contains("ARRAY of percentages"))
+    assert(e1.getMessage.contains("frequency"))
     // an aggregate hidden in a scalar subquery (an expression, not a
     // plan child — ADVICE r13 item 4) still sees raw revisions
     r.run("CREATE TABLE g_flat (k STRING, grp STRING)")

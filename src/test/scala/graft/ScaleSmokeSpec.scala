@@ -481,6 +481,58 @@ class ScaleSmokeSpec extends SparkSpec {
       r.stopAll()
       spark0.table("smoke_cj_enr").count()
       ()
+    },
+    // the round-18 MULTI-USE (self-join) regular join: a CTE over the
+    // fact feed referenced twice pairs each doc with its sibling
+    // (pair_key = doc_id/2 → ≤ 1 pair per key, so OUTPUT stays linear
+    // and the exponent isolates ENGINE cost), joined to a dim revising
+    // an eighth of its keys per epoch. Each fact delta joins BOTH
+    // occurrence sides' shared log (equi on pair_key — scan-linear);
+    // a dim revision re-emits via one fact-log scan per bracket term.
+    // Expected exponent ≈ 1; superlinear would mean an occurrence
+    // side re-reads state per row or the shared-slot ownership broke
+    "stream_selfjoin" -> { docs =>
+      import org.apache.spark.sql.types._
+      val spark0 = docs.sparkSession
+      val conf = graft.sources.TopicConf(
+        java.nio.file.Files.createTempDirectory("smoke-sj").toString)
+      val r = new graft.exec.StreamingStatementRunner(spark0, topicConf = Some(conf))
+      r.registerTopicSource("smoke_sj_dim_feed", StructType(Seq(
+        StructField("bucket", LongType), StructField("label", StringType))))
+      r.registerTopicSource("smoke_sj_fact_feed", StructType(Seq(
+        StructField("doc_id", LongType), StructField("pair_key", LongType),
+        StructField("bucket", LongType))))
+      r.runScript("""
+        CREATE TABLE smoke_sj_dim (bucket BIGINT, label STRING,
+          PRIMARY KEY (bucket) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO smoke_sj_dim SELECT bucket, label FROM smoke_sj_dim_feed;
+        CREATE TABLE smoke_sj_pairs (id1 BIGINT, id2 BIGINT, label STRING,
+          __op STRING) WITH ('changelog.mode' = 'retract');
+        INSERT INTO smoke_sj_pairs (id1, id2, label)
+        WITH e AS (SELECT doc_id, pair_key, bucket FROM smoke_sj_fact_feed)
+        SELECT a.doc_id, b.doc_id, d.label
+        FROM e a
+        JOIN e b ON a.pair_key = b.pair_key AND a.doc_id < b.doc_id
+        JOIN smoke_sj_dim d ON a.bucket = d.bucket""")
+      val epochs = 4
+      val feed = docs.select(col("doc_id"),
+        (col("doc_id") / 2).cast("long").as("pair_key"),
+        pmod(col("doc_id"), lit(256L)).as("bucket"))
+      (0 until epochs).foreach { i =>
+        val allDims = spark0.range(256).select(col("id").as("bucket"),
+          concat(lit(s"v$i-"), col("id")).as("label"))
+        val dims = if (i == 0) allDims
+          else allDims.where(pmod(col("bucket"), lit(8)) === (i % 8))
+        graft.sources.Topics.appendJson(dims, "smoke_sj_dim_feed", conf, Nil, 2 * i + 1)
+        r.processAllAvailable()
+        graft.sources.Topics.appendJson(
+          feed.where(pmod(col("doc_id"), lit(epochs)) === i),
+          "smoke_sj_fact_feed", conf, Nil, 2 * i + 2)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      spark0.table("smoke_sj_pairs").count()
+      ()
     })
 
   private def corpus(n: Long): DataFrame =
@@ -608,7 +660,10 @@ class ScaleSmokeSpec extends SparkSpec {
         "stream_fifo_firstlast", "stream_regular_join",
         // round 17: the chained LEFT OUTER bracket engine's per-level
         // pads must stay scan-linear at 100× too
-        "stream_chained_join").contains(n))
+        "stream_chained_join",
+        // round 18: the multi-use (self-join) per-occurrence sides
+        // share one fact log — both sides' reads must stay scan-linear
+        "stream_selfjoin").contains(n))
     }
     val warm = corpus(500)
     spot.foreach { case (_, f) => f(warm); spark.catalog.clearCache() }

@@ -534,14 +534,14 @@ class StreamingStatementRunnerSpec extends SparkSpec {
       INSERT INTO claim_keyed SELECT order_id, product_id FROM claim_orders_s;
       CREATE TABLE claim_out (product_id STRING, n BIGINT,
         PRIMARY KEY (product_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS""")
-    // an ARRAY-of-percentages percentile rejects (percentile_disc and
-    // scalar percentile both fold via the multiset since rounds 16-17;
-    // the array form is the residual degenerate rejection) — the
+    // a FREQUENCY-column percentile rejects (scalar, disc and
+    // array-of-percentages forms all fold via the multiset since
+    // rounds 16-18; per-row weights are the residual rejection) — the
     // writer claim taken at statement entry must be RELEASED
     intercept[IllegalArgumentException](
       r.run("""INSERT INTO claim_out
                SELECT product_id,
-                      percentile(order_id, array(0.25, 0.5))
+                      percentile(order_id, 0.5, 2)
                FROM claim_keyed GROUP BY product_id"""))
     // ... so the corrected statement can claim the same target
     val q = r.run("""INSERT INTO claim_out
