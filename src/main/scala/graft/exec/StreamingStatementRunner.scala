@@ -140,6 +140,29 @@ final class StreamingStatementRunner(spark: SparkSession,
   private final case class OuterNullSide(
       spineIdx: Int, bracketPadPreservedIsLeft: Boolean,
       ownPadPreservedIsLeft: Option[Boolean]) extends SidePlan
+  /** One term of a [[MultiNodeSide]] bracket. `flips` are affected
+    * nodes evaluated at their INNER component, `ownPads` (FULL nodes
+    * only) at the pad PRESERVING the side's own subtree — both linear
+    * continuations — and `terminal`, when present, is the pad
+    * preserving the node's OTHER side: non-linear in the side, so the
+    * term evaluates as a pre(−1)/post(+1) pair; absent, the term is
+    * one evaluation over the signed delta. Each pad/flip is
+    * `(preOrderJoinIdx, preservedIsLeft)`. */
+  private final case class MultiTerm(flips: Seq[Int],
+      ownPads: Seq[(Int, Boolean)], terminal: Option[(Int, Boolean)])
+  /** A side null-dominated by TWO OR MORE join nodes (round 18 —
+    * e.g. the LEFT dim in `fact LEFT d1 RIGHT d2`): every affected
+    * node is an ANCESTOR of the side's relation, so they nest along
+    * one root path and the bracket expands top-down node by node —
+    * out = inner + pads at the topmost affected node; inner recurses
+    * into the next node, the side-preserving pad (FULL) recurses too,
+    * and the other-side-preserving pad terminates as a brute pre/post
+    * bracket (exact for any content below). For k affected LEFT/RIGHT
+    * nodes that is 1 delta term + k bracket pairs = 2k+1 evaluations;
+    * each FULL node doubles the continuing branches. The summed terms
+    * equal the side's exact bracket because every non-terminal
+    * component is multiset-linear in the side. */
+  private final case class MultiNodeSide(terms: Seq[MultiTerm]) extends SidePlan
   /** The sanctioned regular-join select shape: a LEFT-DEEP join spine
     * (`spineKinds` top-down; empty = no FROM join) of INNER/LEFT/
     * RIGHT/FULL joins, each right child and the base a join-free
@@ -367,19 +390,19 @@ final class StreamingStatementRunner(spark: SparkSession,
         // Sanctioned NON-linear exceptions, each with an exact bracket
         // decomposition (rounds 17-18 — the per-side bracket engine,
         // [[SidePlan]]): join TREES of ANY shape (left-deep chains,
-        // bushy operands) mixing INNER/LEFT/RIGHT/FULL OUTER,
-        // PROVIDED each side is the null-produced side of AT MOST ONE
-        // join node (the per-side affect-set rule below): such a
-        // side's bracket = inner-flip of exactly that node + a
-        // two-eval pad bracket (+ FULL's own-pad term), everything
-        // above and below verbatim — the decomposition composes per
-        // level, pad-of-pad rows included. Multi-use relations and
-        // twice-referenced CTEs route PER OCCURRENCE. SUBQUERY
-        // predicates (EXISTS / NOT EXISTS / IN / scalar) whose plans
-        // reference only NON-outer refs bracket as brute pre/post
-        // pairs. Sides null-dominated by TWO OR MORE nodes (e.g.
-        // `fact LEFT d1 RIGHT d2`) and duplicated multi-part refs
-        // stay snapshot.
+        // bushy operands) mixing INNER/LEFT/RIGHT/FULL OUTER. A side
+        // null-produced by exactly ONE join node brackets there
+        // (inner-flip + a two-eval pad bracket + FULL's own-pad term,
+        // everything above and below verbatim); a side dominated by
+        // SEVERAL nodes — all ancestors of its relation, so nested on
+        // one root path — expands top-down into the [[MultiNodeSide]]
+        // term set (each node: inner-flip continues, FULL's own pad
+        // continues, the other-side pad terminates as a pre/post
+        // bracket). Multi-use relations and twice-referenced CTEs
+        // route PER OCCURRENCE. SUBQUERY predicates (EXISTS /
+        // NOT EXISTS / IN / scalar) whose plans reference only
+        // NON-outer refs bracket as brute pre/post pairs. Duplicated
+        // multi-part refs stay snapshot.
         // Returns None = not applicable; otherwise the spine + the
         // per-ref bracket strategies.
         def regularJoinShape(select: String): Option[RegularShape] = {
@@ -598,33 +621,53 @@ final class StreamingStatementRunner(spark: SparkSession,
                       refsIn(jn.left).foreach(r =>
                         affects(r) = affects(r) :+ (l -> true))
                   }
-                  if (treeRefs.exists(r => affects(r).size > 1)) None
+                  // ── multi-node bracket expansion (round 18): a
+                  // side's affected nodes are all ancestors of its
+                  // relation, nested along one root path — expand
+                  // top-down (ascending pre-order index): each node
+                  // branches into its INNER component (continue), its
+                  // side-preserving pad for FULL (continue), and its
+                  // other-side-preserving pad (terminate as a
+                  // pre/post bracket) ──
+                  def expand(nodes: List[(Int, Boolean)],
+                             flips: List[Int],
+                             owns: List[(Int, Boolean)]): List[MultiTerm] =
+                    nodes match {
+                      case Nil => List(MultiTerm(flips, owns, None))
+                      case (l, inLeft) :: rest =>
+                        val bracket = MultiTerm(flips, owns, Some(l -> !inLeft))
+                        val inner = expand(rest, flips :+ l, owns)
+                        val own =
+                          if (kinds(l) == FullOuter)
+                            expand(rest, flips, owns :+ (l -> inLeft))
+                          else Nil
+                        inner ++ own :+ bracket
+                    }
+                  val plans = scala.collection.mutable.Map.empty[String, SidePlan]
+                  treeRefs.foreach { r =>
+                    plans(r) = affects(r) match {
+                      case Nil => LinearSide
+                      case List((l, inLeftSubtree)) =>
+                        // the non-linear pad preserves the node's
+                        // OTHER side; FULL adds the side's own
+                        // preserved pad (linear — one eval over Δ)
+                        OuterNullSide(l,
+                          bracketPadPreservedIsLeft = !inLeftSubtree,
+                          ownPadPreservedIsLeft =
+                            if (kinds(l) == FullOuter) Some(inLeftSubtree)
+                            else None)
+                      case multi =>
+                        MultiNodeSide(expand(multi.sortBy(_._1), Nil, Nil))
+                    }
+                  }
+                  // every FROM ref must live in the join tree (one
+                  // hidden elsewhere — e.g. a lateral — means the
+                  // shape is not the form this engine proves)
+                  if (!outerRefs.forall(plans.contains)) None
                   else {
-                    val plans = scala.collection.mutable.Map.empty[String, SidePlan]
-                    treeRefs.foreach { r =>
-                      plans(r) = affects(r) match {
-                        case Nil => LinearSide
-                        case List((l, inLeftSubtree)) =>
-                          // the non-linear pad preserves the node's
-                          // OTHER side; FULL adds the side's own
-                          // preserved pad (linear — one eval over Δ)
-                          OuterNullSide(l,
-                            bracketPadPreservedIsLeft = !inLeftSubtree,
-                            ownPadPreservedIsLeft =
-                              if (kinds(l) == FullOuter) Some(inLeftSubtree)
-                              else None)
-                        case _ => LinearSide // unreachable (guard above)
-                      }
-                    }
-                    // every FROM ref must live in the join tree (one
-                    // hidden elsewhere — e.g. a lateral — means the
-                    // shape is not the form this engine proves)
-                    if (!outerRefs.forall(plans.contains)) None
-                    else {
-                      subRefs.foreach(r => plans(r) = SubquerySide)
-                      Some(RegularShape(kinds, plans.toMap,
-                        plan, occBase.toMap, treeRefs))
-                    }
+                    subRefs.foreach(r => plans(r) = SubquerySide)
+                    Some(RegularShape(kinds, plans.toMap,
+                      plan, occBase.toMap, treeRefs))
                   }
                 }
             }
@@ -1440,6 +1483,88 @@ final class StreamingStatementRunner(spark: SparkSession,
       }
       GraftSqlBridge.ofRows(evalSession, padded)
     }
+    // ── COMPOSED term for a multi-node bracket (round 18): apply a
+    //    SET of node actions in one rebuild — `flips` evaluate their
+    //    node's INNER component, `pads` its LeftAnti pad preserving
+    //    the given side (children swapped for a right-preserved pad).
+    //    All actioned nodes nest along the side's root path, so null
+    //    sets accumulate bottom-up: every node ABOVE a pad sees the
+    //    pad's dropped attributes replaced by null literals (the
+    //    null-semantics the real outer join gives a pad row), while
+    //    the pad's own condition still evaluates its real children.
+    //    `sign` literal for state (bracket) evaluations; None threads
+    //    the delta's own __jsign. Generalizes [[innerFlipTerm]] /
+    //    [[padFrameAt]], which stay on the proven single-node path. ──
+    def composedTerm(df: DataFrame, flips: Seq[Int], pads: Seq[(Int, Boolean)],
+                     sign: Option[Int]): DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{
+        Alias, AttributeReference, AttributeSet, Expression, Literal, NamedExpression}
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+      import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
+      val analyzed = prep(df)
+      val joins = spineJoins(analyzed)
+      val flipNodes = flips.map(joins(_))
+      val padNodes = pads.map { case (idx, pl) => (joins(idx), pl) }
+      def rebuild(p: LogicalPlan): (LogicalPlan, AttributeSet) = {
+        def nullifyIn(below: AttributeSet)(e: Expression): Expression =
+          if (below.isEmpty) e
+          else e.transform {
+            case a: AttributeReference if below.contains(a) =>
+              Literal(null, a.dataType)
+          }
+        p match {
+          case j: Join if flipNodes.exists(_ eq j) =>
+            val (lp, ln) = rebuild(j.left)
+            val (rp, rn) = rebuild(j.right)
+            val below = ln ++ rn
+            (j.copy(left = lp, right = rp, joinType = Inner,
+              condition = j.condition.map(nullifyIn(below))), below)
+          case j: Join if padNodes.exists(_._1 eq j) =>
+            val preservedIsLeft = padNodes.find(_._1 eq j).get._2
+            val (lp, ln) = rebuild(j.left)
+            val (rp, rn) = rebuild(j.right)
+            val below = ln ++ rn
+            val newNull = if (preservedIsLeft) j.right.outputSet else j.left.outputSet
+            val joined =
+              if (preservedIsLeft)
+                Join(lp, rp, LeftAnti, j.condition.map(nullifyIn(below)), j.hint)
+              else Join(rp, lp, LeftAnti, j.condition.map(nullifyIn(below)), j.hint)
+            (joined, below ++ newNull)
+          case pr: Project =>
+            val (c, below) = rebuild(pr.child)
+            (Project(pr.projectList.map { ne =>
+              nullifyIn(below)(ne) match {
+                case n: NamedExpression => n
+                case other => Alias(other, ne.name)()
+              }
+            }, c), below)
+          case other =>
+            val rebuilt = other.children.map(rebuild)
+            val below = rebuilt.map(_._2)
+              .foldLeft(AttributeSet.empty)(_ ++ _)
+            val p2 = other.withNewChildren(rebuilt.map(_._1))
+            val p3 = if (below.isEmpty) p2 else p2.transformExpressions {
+              case a: AttributeReference if below.contains(a) =>
+                Literal(null, a.dataType)
+            }
+            (p3, below)
+        }
+      }
+      val padded = rebuild(analyzed)._1 match {
+        case p: Project =>
+          val sg = sign match {
+            case Some(s) => Alias(Literal(s), SG)()
+            case None => Alias(p.child.output.find(_.name == SG).getOrElse(
+              throw new IllegalStateException(
+                "composed term over a delta frame: no __jsign")), SG)()
+          }
+          Project(p.projectList :+ sg, p.child)
+        case other => throw new IllegalArgumentException(
+          s"INSERT INTO ${target.qualified}: a composed bracket term needs " +
+            s"a top-level projection, got ${other.nodeName}")
+      }
+      GraftSqlBridge.ofRows(evalSession, padded)
+    }
     /** The side's bracket strategy; a topic side absent from the shape
       * map is linear by construction (defensive default). */
     def planOf(ref: String): SidePlan =
@@ -1522,6 +1647,19 @@ final class StreamingStatementRunner(spark: SparkSession,
               setViews(selfSigned = false)
               padFrameAt(evalSelect(spark), o.spineIdx,
                 o.bracketPadPreservedIsLeft, Some(1))
+            case m: MultiNodeSide =>
+              m.terms.foreach { t =>
+                t.terminal match {
+                  case None =>
+                    setViews(selfSigned = true)
+                    checkArity(composedTerm(evalSelect(spark),
+                      t.flips, t.ownPads, None))
+                  case Some(term) =>
+                    setViews(selfSigned = false)
+                    composedTerm(evalSelect(spark),
+                      t.flips, t.ownPads :+ term, Some(1))
+                }
+              }
           }
         }
         n
@@ -1675,6 +1813,27 @@ final class StreamingStatementRunner(spark: SparkSession,
                     buf += padFrameAt(evalSelect(stmtSession), o.spineIdx,
                       o.bracketPadPreservedIsLeft, Some(1))
                     buf.toSeq
+                  case m: MultiNodeSide =>
+                    // top-down expansion of a doubly-dominated side:
+                    // delta terms ride the signed delta through the
+                    // flipped/own-padded nodes; each terminal pad
+                    // brackets as a pre(−1)/post(+1) pair
+                    m.terms.flatMap { t =>
+                      t.terminal match {
+                        case None =>
+                          shadowAround(i, delta)
+                          Seq(composedTerm(evalSelect(stmtSession),
+                            t.flips, t.ownPads, None))
+                        case Some(term) =>
+                          shadowAround(i, pre(i))
+                          val neg = composedTerm(evalSelect(stmtSession),
+                            t.flips, t.ownPads :+ term, Some(-1))
+                          shadowAround(i, post(i))
+                          val pos = composedTerm(evalSelect(stmtSession),
+                            t.flips, t.ownPads :+ term, Some(1))
+                          Seq(neg, pos)
+                      }
+                    }
                 }
                 built.map(_.toDF((outNames :+ SG).toIndexedSeq: _*))
               }

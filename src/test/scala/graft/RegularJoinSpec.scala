@@ -352,7 +352,7 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
-  test("mixed INNER + LEFT chain regular-joins; RIGHT OUTER mid-chain regular-joins (round 18); doubly-null-dominated sides keep snapshot") {
+  test("mixed INNER + LEFT chain regular-joins; RIGHT OUTER mid-chain and doubly-null-dominated sides regular-join (round 18)") {
     val conf = newConf("rjm")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
     r.registerTopicSource("rjm_cust_feed", custSchema)
@@ -443,10 +443,10 @@ class RegularJoinSpec extends SparkSpec {
       "a dim revision below a mid-chain RIGHT OUTER must retract and re-emit")
     r2.stopAll()
 
-    // ── a side null-dominated by TWO spine nodes (the LEFT dim under
-    //    a RIGHT above it) needs the recursive pad-of-pad composition
-    //    the engine does not prove — the guard must keep it on the
-    //    documented snapshot path ──
+    // ── a side null-dominated by TWO nodes (the LEFT dim under a
+    //    RIGHT above it) runs the MULTI-NODE bracket (round 18): one
+    //    delta term through both inner flips + a pre/post pair per
+    //    affected node's terminal pad ──
     val conf3 = newConf("rjm3")
     val r3 = new StreamingStatementRunner(spark, topicConf = Some(conf3))
     r3.registerTopicSource("rjm3_cust_feed", custSchema)
@@ -466,19 +466,36 @@ class RegularJoinSpec extends SparkSpec {
       FROM rjm3_ord_feed o
       LEFT JOIN rjm3_cust c ON o.cid = c.cid
       RIGHT JOIN rjm3_prod p ON o.pid = p.pid""")
-    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjm3_cust_feed", conf3, Nil, 1)
+    def state3(): Set[(Option[Long], Option[String], Option[String])] = {
+      val keyed = spark.table("rjm3_enr")
+        .groupBy("order_id", "cust_name", "brand")
+        .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+      assert(keyed.where(col("__n") < 0 || col("__n") > 1).count() === 0,
+        "rjm3_enr: net counts outside {0,1}")
+      keyed.where(col("__n") === 1L).select("order_id", "cust_name", "brand")
+        .as[(Option[Long], Option[String], Option[String])].collect().toSet
+    }
     Topics.appendJson(Seq(RjProd("p1", "nike", 100.0)).toDF(), "rjm3_prod_feed", conf3, Nil, 1)
     r3.processAllAvailable()
+    // no facts: the RIGHT-preserved dim pads over the empty left subtree
+    assert(state3() === Set((None, None, Some("nike"))))
+    // a fact with NO cust match: the LEFT level pads the name, the
+    // RIGHT pad retracts (pad-of-pad through the doubly-dominated dim)
     Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0)).toDF(), "rjm3_ord_feed", conf3, Nil, 1)
     r3.processAllAvailable()
-    // snapshot semantics: the revision does NOT re-emit order 1
+    assert(state3() === Set((Some(1L), None, Some("nike"))),
+      "a matchless LEFT dim must pad inside the RIGHT-preserved row")
+    // the doubly-dominated dim ARRIVES: its multi-node bracket must
+    // upgrade the LEFT pad in place
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjm3_cust_feed", conf3, Nil, 1)
+    r3.processAllAvailable()
+    assert(state3() === Set((Some(1L), Some("Ann"), Some("nike"))),
+      "the dim arriving must retract its LEFT pad and re-emit enriched")
+    // ... and REVISE: true regular-join semantics through BOTH nodes
     Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjm3_cust_feed", conf3, Nil, 2)
     r3.processAllAvailable()
-    val got = spark.table("rjm3_enr").select("order_id", "cust_name", "__op")
-      .as[(Option[Long], Option[String], String)].collect().toSet
-    assert(got.contains((Some(1L), Some("Ann"), "+I")) &&
-        !got.exists(_._2.contains("Anna")),
-      s"a doubly-null-dominated LEFT dim must keep frozen snapshot semantics (got $got)")
+    assert(state3() === Set((Some(1L), Some("Anna"), Some("nike"))),
+      "a doubly-null-dominated dim revision must retract and re-emit")
     r3.stopAll()
   }
 
@@ -1042,6 +1059,72 @@ class RegularJoinSpec extends SparkSpec {
     val slots = stateDirs.head.toFile.listFiles().map(_.getName).toList.sorted
     assert(slots === List("s0", "s2"),
       s"duplicate occurrences must share the owner slot's state: $slots")
+    r.stopAll()
+  }
+
+  test("doubly-dominated dim under a FULL node (round 18): the own-pad continuation branch keeps left pads live through dim churn") {
+    // fact LEFT cust FULL prod — cust is affected by its own LEFT node
+    // AND the FULL above (whose left-preserving pad is linear in cust:
+    // the expansion's CONTINUING own-pad branch, not a terminal)
+    val conf = newConf("rjdf")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjdf_cust_feed", custSchema)
+    r.registerTopicSource("rjdf_prod_feed", prodSchema)
+    r.registerTopicSource("rjdf_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjdf_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjdf_cust SELECT cid, name FROM rjdf_cust_feed;
+      CREATE TABLE rjdf_prod (pid STRING, brand STRING, price DOUBLE,
+        PRIMARY KEY (pid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjdf_prod SELECT pid, brand, price FROM rjdf_prod_feed;
+      CREATE TABLE rjdf_enr (order_id BIGINT, cust_name STRING, brand STRING,
+        __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjdf_enr (order_id, cust_name, brand)
+      SELECT o.order_id, c.name, p.brand
+      FROM rjdf_ord_feed o
+      LEFT JOIN rjdf_cust c ON o.cid = c.cid
+      FULL JOIN rjdf_prod p ON o.pid = p.pid""")
+    def state(): Set[(Option[Long], Option[String], Option[String])] = {
+      val keyed = spark.table("rjdf_enr")
+        .groupBy("order_id", "cust_name", "brand")
+        .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+      assert(keyed.where(col("__n") < 0 || col("__n") > 1).count() === 0,
+        "rjdf_enr: net counts outside {0,1}")
+      keyed.where(col("__n") === 1L).select("order_id", "cust_name", "brand")
+        .as[(Option[Long], Option[String], Option[String])].collect().toSet
+    }
+    Topics.appendJson(Seq(RjProd("p1", "nike", 100.0)).toDF(), "rjdf_prod_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Set((None, None, Some("nike"))))
+    // fact with no cust: LEFT pad inside the FULL match
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0)).toDF(), "rjdf_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Set((Some(1L), None, Some("nike"))))
+    // the dominated dim arrives, then revises — through both nodes
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjdf_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Set((Some(1L), Some("Ann"), Some("nike"))))
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjdf_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Set((Some(1L), Some("Anna"), Some("nike"))))
+    // a fact unmatched on the FULL dim → own-pad row (2, null, null)
+    Topics.appendJson(Seq(RjOrd(2, "c9", "p9", 20.0)).toDF(), "rjdf_ord_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Set((Some(1L), Some("Anna"), Some("nike")),
+      (Some(2L), None, None)))
+    // its cust arrives while the prod is STILL missing: the own-pad
+    // CONTINUATION branch must upgrade the left pad's name in place
+    Topics.appendJson(Seq(RjCust("c9", "Cruz")).toDF(), "rjdf_cust_feed", conf, Nil, 3)
+    r.processAllAvailable()
+    assert(state() === Set((Some(1L), Some("Anna"), Some("nike")),
+      (Some(2L), Some("Cruz"), None)),
+      "a dim change under the FULL node's own pad must re-emit the pad row")
+    // finally the prod arrives: the own pad retracts, the match emits
+    Topics.appendJson(Seq(RjProd("p9", "adidas", 90.0)).toDF(), "rjdf_prod_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Set((Some(1L), Some("Anna"), Some("nike")),
+      (Some(2L), Some("Cruz"), Some("adidas"))))
     r.stopAll()
   }
 
