@@ -2115,6 +2115,35 @@ object OracleSql {
          FROM eve49 a
          JOIN eve49 b ON a.user_id = b.user_id AND a.event_id < b.event_id
          JOIN dim49 d ON a.user_id = d.user_id""",
+    // Doubly-null-dominated regular join (round 18, the multi-node
+    // bracket): the folded net state equals the batch
+    // fact LEFT dim1 RIGHT band over FINAL dim states — q247's data
+    // recipe with the RIGHT node preserving only bands (facts whose
+    // latest type has no band, or whose user has no dim row, DROP).
+    "q250_stream_doubly_dominated_join" ->
+      """WITH ev50 AS (
+           SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+           FROM events WHERE user_id % 4 = 0),
+         bounds50 AS (
+           SELECT min(ts_us) AS lo, (max(ts_us) - min(ts_us)) // 3 + 1 AS w
+           FROM ev50),
+         eve50 AS (
+           SELECT e.*, CAST((e.ts_us - b.lo) // b.w AS BIGINT) AS ep
+           FROM ev50 e CROSS JOIN bounds50 b),
+         latest50 AS (
+           SELECT user_id, event_type
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_us DESC, event_id DESC) AS rn
+                 FROM eve50 WHERE user_id % 8 = 0) WHERE rn = 1),
+         bands50 AS (
+           SELECT event_type,
+                  'L' || CAST(max(ep) AS VARCHAR) || '_' || event_type AS label
+           FROM eve50 WHERE event_type <> 'click' GROUP BY event_type)
+         SELECT e.event_id, e.user_id, l.event_type AS last_event_type,
+                b.label AS band_label, e.value
+         FROM eve50 e
+         LEFT JOIN latest50 l ON e.user_id = l.user_id
+         RIGHT JOIN bands50 b ON l.event_type = b.event_type""",
     // Mid-chain FULL OUTER regular join (round 18): the folded net
     // state equals the batch fact INNER dim1 FULL dim2 over FINAL dim
     // states. dim1 = per-user latest type among user%8=0 (INNER gates

@@ -3975,6 +3975,86 @@ object SparkEntry {
         .select(col("eid1"), col("eid2"), col("user_id"), col("label"))
     }),
 
+    // ── DOUBLY-NULL-DOMINATED regular join, DRIVER-GATED (round 18 —
+    //    the multi-node bracket): facts LEFT JOIN a per-user dim
+    //    RIGHT JOIN a per-type band keyed on the LEFT dim's output.
+    //    The user dim is null-produced by BOTH nodes (its own LEFT and
+    //    the RIGHT above), so its bracket runs the top-down expansion:
+    //    one delta term through both inner flips + a pre/post pair per
+    //    node's terminal pad. Facts stream BEFORE dims each epoch; the
+    //    folded net state must equal the batch LEFT+RIGHT join over
+    //    FINAL dim states — enriched rows, right pads (band types no
+    //    user's latest type matches, whole left side null), and the
+    //    DROP of facts whose latest type has no band ('click') or
+    //    whose user has no dim row (RIGHT preserves only bands) ──
+    "q250_stream_doubly_dominated_join" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q250").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("dim_feed_q250", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType))))
+        r.registerTopicSource("band_feed_q250", StructType(Seq(
+          StructField("event_type", StringType), StructField("label", StringType))))
+        r.registerTopicSource("orders_feed_q250", StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("value", DoubleType))))
+        r.runScript("""
+          CREATE TABLE user_dim_q250 (user_id BIGINT, last_event_type STRING,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_dim_q250 SELECT user_id, event_type FROM dim_feed_q250;
+          CREATE TABLE band_dim_q250 (event_type STRING, label STRING,
+            PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO band_dim_q250 SELECT event_type, label FROM band_feed_q250;
+          CREATE TABLE enriched_q250 (event_id BIGINT, user_id BIGINT,
+            last_event_type STRING, band_label STRING, value DOUBLE, __op STRING)
+            WITH ('changelog.mode' = 'retract');
+          INSERT INTO enriched_q250 (event_id, user_id, last_event_type, band_label, value)
+          SELECT o.event_id, o.user_id, c.last_event_type, b.label, o.value
+          FROM orders_feed_q250 o
+          LEFT JOIN user_dim_q250 c ON o.user_id = c.user_id
+          RIGHT JOIN band_dim_q250 b ON c.last_event_type = b.event_type""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 3
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+        Topics.appendJson(slice.select("event_id", "user_id", "value"),
+          "orders_feed_q250", conf, Nil, 3 * i + 1)
+        r.processAllAvailable()
+        val dim = slice.where(pmod(col("user_id"), lit(8)) === 0)
+          .groupBy("user_id")
+          .agg(max_by(col("event_type"), struct(col("ts_us"), col("event_id")))
+            .as("event_type"))
+        Topics.appendJson(dim, "dim_feed_q250", conf, Nil, 3 * i + 2)
+        r.processAllAvailable()
+        val band = slice.where(col("event_type") =!= "click")
+          .select("event_type").distinct()
+          .withColumn("label",
+            concat(lit(s"L${i}_"), col("event_type")))
+        Topics.appendJson(band, "band_feed_q250", conf, Nil, 3 * i + 3)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("enriched_q250")
+        .groupBy("event_id", "user_id", "last_event_type", "band_label", "value")
+        .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+        .where(col("__n") === 1L)
+        .select(col("event_id"), col("user_id"), col("last_event_type"),
+          col("band_label"), col("value"))
+    }),
+
     // ── MID-CHAIN FULL OUTER regular join, DRIVER-GATED (round 18,
     //    VERDICT r17 item 2 — the affect-set bracket generalization):
     //    facts INNER JOIN a per-user dim FULL JOIN a per-type dim
