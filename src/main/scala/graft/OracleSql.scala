@@ -2115,6 +2115,36 @@ object OracleSql {
          FROM eve49 a
          JOIN eve49 b ON a.user_id = b.user_id AND a.event_id < b.event_id
          JOIN dim49 d ON a.user_id = d.user_id""",
+    // Bushy (non-left-deep) regular join (round 18): the folded net
+    // state equals the batch fact LEFT (dim INNER band) over FINAL
+    // dim states — a fact pads when its user has no dim row OR its
+    // latest type has no band (the INNER inside the operand).
+    "q251_stream_bushy_join" ->
+      """WITH ev51 AS (
+           SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+           FROM events WHERE user_id % 4 = 0),
+         bounds51 AS (
+           SELECT min(ts_us) AS lo, (max(ts_us) - min(ts_us)) // 3 + 1 AS w
+           FROM ev51),
+         eve51 AS (
+           SELECT e.*, CAST((e.ts_us - b.lo) // b.w AS BIGINT) AS ep
+           FROM ev51 e CROSS JOIN bounds51 b),
+         latest51 AS (
+           SELECT user_id, event_type
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_us DESC, event_id DESC) AS rn
+                 FROM eve51 WHERE user_id % 8 = 0) WHERE rn = 1),
+         bands51 AS (
+           SELECT event_type,
+                  'L' || CAST(max(ep) AS VARCHAR) || '_' || event_type AS label
+           FROM eve51 WHERE event_type <> 'click' GROUP BY event_type),
+         lookup51 AS (
+           SELECT l.user_id, l.event_type, b.label
+           FROM latest51 l JOIN bands51 b ON l.event_type = b.event_type)
+         SELECT e.event_id, e.user_id, cb.event_type AS last_event_type,
+                cb.label AS band_label, e.value
+         FROM eve51 e
+         LEFT JOIN lookup51 cb ON e.user_id = cb.user_id""",
     // Doubly-null-dominated regular join (round 18, the multi-node
     // bracket): the folded net state equals the batch
     // fact LEFT dim1 RIGHT band over FINAL dim states — q247's data

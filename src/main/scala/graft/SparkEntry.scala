@@ -3975,6 +3975,84 @@ object SparkEntry {
         .select(col("eid1"), col("eid2"), col("user_id"), col("label"))
     }),
 
+    // ── BUSHY (non-left-deep) regular join, DRIVER-GATED (round 18):
+    //    facts LEFT JOIN a COMPOSED LOOKUP — (user_dim INNER band_dim
+    //    keyed on the user dim's output) as the right OPERAND. Both
+    //    subtree dims bracket at the LEFT node (inner-flip through
+    //    the bushy subtree + the facts-preserving pad pre/post); a
+    //    fact pads when its user has no dim row OR its latest type
+    //    has no band (the INNER inside drops half-complete lookups).
+    //    The folded net state must equal the batch bushy join over
+    //    FINAL dim states ──
+    "q251_stream_bushy_join" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q251").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("dim_feed_q251", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType))))
+        r.registerTopicSource("band_feed_q251", StructType(Seq(
+          StructField("event_type", StringType), StructField("label", StringType))))
+        r.registerTopicSource("orders_feed_q251", StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("value", DoubleType))))
+        r.runScript("""
+          CREATE TABLE user_dim_q251 (user_id BIGINT, last_event_type STRING,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_dim_q251 SELECT user_id, event_type FROM dim_feed_q251;
+          CREATE TABLE band_dim_q251 (event_type STRING, label STRING,
+            PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO band_dim_q251 SELECT event_type, label FROM band_feed_q251;
+          CREATE TABLE enriched_q251 (event_id BIGINT, user_id BIGINT,
+            last_event_type STRING, band_label STRING, value DOUBLE, __op STRING)
+            WITH ('changelog.mode' = 'retract');
+          INSERT INTO enriched_q251 (event_id, user_id, last_event_type, band_label, value)
+          SELECT o.event_id, o.user_id, c.last_event_type, b.label, o.value
+          FROM orders_feed_q251 o
+          LEFT JOIN (user_dim_q251 c
+                     JOIN band_dim_q251 b ON c.last_event_type = b.event_type)
+            ON o.user_id = c.user_id""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 3
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+        Topics.appendJson(slice.select("event_id", "user_id", "value"),
+          "orders_feed_q251", conf, Nil, 3 * i + 1)
+        r.processAllAvailable()
+        val dim = slice.where(pmod(col("user_id"), lit(8)) === 0)
+          .groupBy("user_id")
+          .agg(max_by(col("event_type"), struct(col("ts_us"), col("event_id")))
+            .as("event_type"))
+        Topics.appendJson(dim, "dim_feed_q251", conf, Nil, 3 * i + 2)
+        r.processAllAvailable()
+        val band = slice.where(col("event_type") =!= "click")
+          .select("event_type").distinct()
+          .withColumn("label",
+            concat(lit(s"L${i}_"), col("event_type")))
+        Topics.appendJson(band, "band_feed_q251", conf, Nil, 3 * i + 3)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("enriched_q251")
+        .groupBy("event_id", "user_id", "last_event_type", "band_label", "value")
+        .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+        .where(col("__n") === 1L)
+        .select(col("event_id"), col("user_id"), col("last_event_type"),
+          col("band_label"), col("value"))
+    }),
+
     // ── DOUBLY-NULL-DOMINATED regular join, DRIVER-GATED (round 18 —
     //    the multi-node bracket): facts LEFT JOIN a per-user dim
     //    RIGHT JOIN a per-type band keyed on the LEFT dim's output.
