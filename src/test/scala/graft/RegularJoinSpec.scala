@@ -1062,6 +1062,72 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("TRIPLY-dominated dim (round 18): the top-down expansion composes at k=3 across nested RIGHT pads") {
+    // ord LEFT cust RIGHT prod RIGHT badge(keyed on PROD's output):
+    // cust is null-produced by its own LEFT node and BOTH RIGHT nodes
+    // above — a 2k+1 = 7-evaluation bracket per touched batch
+    val conf = newConf("rjt3")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjt3_cust_feed", custSchema)
+    r.registerTopicSource("rjt3_prod_feed", prodSchema)
+    r.registerTopicSource("rjt3_badge_feed", StructType(Seq(
+      StructField("name", StringType), StructField("badge", StringType))))
+    r.registerTopicSource("rjt3_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjt3_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjt3_cust SELECT cid, name FROM rjt3_cust_feed;
+      CREATE TABLE rjt3_prod (pid STRING, brand STRING, price DOUBLE,
+        PRIMARY KEY (pid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjt3_prod SELECT pid, brand, price FROM rjt3_prod_feed;
+      CREATE TABLE rjt3_badge (name STRING, badge STRING,
+        PRIMARY KEY (name) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjt3_badge SELECT name, badge FROM rjt3_badge_feed;
+      CREATE TABLE rjt3_enr (order_id BIGINT, cust_name STRING, brand STRING,
+        badge STRING, __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjt3_enr (order_id, cust_name, brand, badge)
+      SELECT o.order_id, c.name, p.brand, q.badge
+      FROM rjt3_ord_feed o
+      LEFT JOIN rjt3_cust c ON o.cid = c.cid
+      RIGHT JOIN rjt3_prod p ON o.pid = p.pid
+      RIGHT JOIN rjt3_badge q ON p.brand = q.name""")
+    def state(): Set[(Option[Long], Option[String], Option[String], Option[String])] = {
+      val keyed = spark.table("rjt3_enr")
+        .groupBy("order_id", "cust_name", "brand", "badge")
+        .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("__n"))
+      assert(keyed.where(col("__n") < 0 || col("__n") > 1).count() === 0,
+        "rjt3_enr: net counts outside {0,1}")
+      keyed.where(col("__n") === 1L)
+        .select("order_id", "cust_name", "brand", "badge")
+        .as[(Option[Long], Option[String], Option[String], Option[String])]
+        .collect().toSet
+    }
+    // badge alone: the top RIGHT pads with everything below null
+    Topics.appendJson(Seq(("nike", "GOLD")).toDF("name", "badge"),
+      "rjt3_badge_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Set((None, None, None, Some("GOLD"))))
+    // prod arrives: the mid RIGHT pads (null, null, nike), which
+    // MATCHES the badge — the top pad retracts, the nested pad emits
+    Topics.appendJson(Seq(RjProd("p1", "nike", 100.0)).toDF(), "rjt3_prod_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Set((None, None, Some("nike"), Some("GOLD"))),
+      "a prod pad-row must retract the badge's own pad and carry it")
+    // fact + cust: the nested pad upgrades to the full enrichment
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0)).toDF(), "rjt3_ord_feed", conf, Nil, 1)
+    Topics.appendJson(Seq(RjCust("c1", "Ann")).toDF(), "rjt3_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Set((Some(1L), Some("Ann"), Some("nike"), Some("GOLD"))))
+    // the triply-dominated dim revises: exact re-emission through all
+    // three nodes (one delta term over three flips + three pre/post
+    // terminal-pad pairs)
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(), "rjt3_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Set((Some(1L), Some("Anna"), Some("nike"), Some("GOLD"))),
+      "a triply-dominated dim revision must retract and re-emit exactly")
+    r.stopAll()
+  }
+
   test("doubly-dominated dim under a FULL node (round 18): the own-pad continuation branch keeps left pads live through dim churn") {
     // fact LEFT cust FULL prod — cust is affected by its own LEFT node
     // AND the FULL above (whose left-preserving pad is linear in cust:
