@@ -43,6 +43,20 @@ def type_drift(duck_types, spark_types):
     return fatal, warns
 
 
+def nested_cols(types):
+    """Top-level array/map/struct output columns are FORBIDDEN: the
+    driver's pandas compare sorts with sort_values, which raises
+    'unhashable type: numpy.ndarray' on them (round-18 q248 failed the
+    gate while this script's stringified-tuple sort passed locally).
+    Unpack to scalar columns (qs[0] AS q25, ...) or explode to rows."""
+    bad = []
+    for c, t in types.items():
+        u = t.upper()
+        if "[]" in u or u.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+            bad.append(f"col '{c}': {t}")
+    return bad
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -119,6 +133,12 @@ def main():
             spark_cols = sq.columns
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        nested = nested_cols(spark_types) + nested_cols(duck_types)
+        if nested:
+            print(f"FAIL {name}: NESTED TOP-LEVEL OUTPUT (driver pandas "
+                  f"sort WOULD CRASH): " + "; ".join(sorted(set(nested))))
             n_fail += 1
             continue
         fatal, warns = type_drift(duck_types, spark_types)

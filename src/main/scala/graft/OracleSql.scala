@@ -2080,19 +2080,41 @@ object OracleSql {
          LEFT JOIN latest45 l ON e.user_id = l.user_id
          LEFT JOIN bands45 b ON l.event_type = b.event_type""",
     // Array-of-percentages exact percentile (round 18): q244's
-    // latest-per-user discipline with the quartiles as one LIST column
-    // (dyadic ps + small-integer values interpolate exactly in binary
-    // on both engines — no rounding needed).
+    // latest-per-user discipline with the quartiles computed as one
+    // LIST aggregate (dyadic ps + small-integer values interpolate
+    // exactly in binary on both engines — no rounding needed). The
+    // output unpacks the list into scalar q25/q50/q75 columns (DuckDB
+    // lists are 1-indexed): the driver's pandas compare cannot sort a
+    // top-level array column (round-18 red row).
     "q248_stream_percentile_array" ->
       """WITH latest AS (
            SELECT user_id, event_type
            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                    ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE user_id % 4 = 0) WHERE rn = 1),
+         agg48 AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                  quantile_cont(CAST(user_id % 97 AS DOUBLE),
+                                [0.25, 0.5, 0.75]) AS qs,
+                  quantile_cont(CAST(user_id % 97 AS DOUBLE), 0.5) AS med
+           FROM latest GROUP BY event_type)
+         SELECT event_type, n_users, qs[1] AS q25, qs[2] AS q50,
+                qs[3] AS q75, med
+         FROM agg48""",
+    // Multi-column count(DISTINCT a, b) over the latest-per-user upsert
+    // state (round 19): the pair (user_id % 16, event_id % 8) encodes
+    // bijectively as a*8+b (b < 8, both non-negative), so a
+    // single-column DISTINCT count here equals the engine's true
+    // struct-keyed multi-column form while keeping the output flat.
+    "q252_stream_multicol_distinct" ->
+      """WITH latest AS (
+           SELECT user_id, event_id, event_type
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
                  FROM events WHERE user_id % 4 = 0) WHERE rn = 1)
          SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
-                quantile_cont(CAST(user_id % 97 AS DOUBLE),
-                              [0.25, 0.5, 0.75]) AS qs,
-                quantile_cont(CAST(user_id % 97 AS DOUBLE), 0.5) AS med
+                CAST(count(DISTINCT (user_id % 16) * 8 + (event_id % 8))
+                     AS BIGINT) AS n_pairs
          FROM latest GROUP BY event_type""",
     // Multi-use CTE self-join regular join (round 18): the folded net
     // state equals the batch same-user event-pair join (eid1 < eid2)

@@ -3860,7 +3860,12 @@ object SparkEntry {
     //    the same weighted-Percentile recompute, one pass for N
     //    picks. Dyadic percentages + small-integer values keep the
     //    interpolation exact in binary on both engines (the q244
-    //    discipline), so the array hashes without rounding ──
+    //    discipline). The GATE projection unpacks the array into three
+    //    scalar DOUBLE columns (q25/q50/q75): the driver's pandas
+    //    compare cannot sort an ARRAY<DOUBLE> output column
+    //    (unhashable numpy.ndarray — round-18 red row), and top-level
+    //    array/map/struct outputs are now hard-rejected by
+    //    dev/check.py for exactly this reason ──
     "q248_stream_percentile_array" -> ((s, dir) => {
       import graft.sources.{TopicConf, Topics}
       import org.apache.spark.sql.types._
@@ -3908,7 +3913,8 @@ object SparkEntry {
       }
       r.stopAll()
       s.table("type_qs_q248").select(col("event_type"), col("n_users"),
-        col("qs"), col("med"))
+        col("qs").getItem(0).as("q25"), col("qs").getItem(1).as("q50"),
+        col("qs").getItem(2).as("q75"), col("med"))
     }),
 
     // ── MULTI-USE CTE SELF-JOIN regular join, DRIVER-GATED (round 18,
@@ -4065,6 +4071,66 @@ object SparkEntry {
     //    user's latest type matches, whole left side null), and the
     //    DROP of facts whose latest type has no band ('click') or
     //    whose user has no dim row (RIGHT preserves only bands) ──
+    // ── MULTI-COLUMN count(DISTINCT a, b) over an upsert changelog
+    //    driver, DRIVER-GATED (round 19, VERDICT r18 item 5): the
+    //    STRUCT-KEYED per-(group, value-tuple) multiset — previously
+    //    spec-only (ValueSetAggSpec). Each user revision retracts its
+    //    old (user_id % 16, event_id % 8) pair from its group's
+    //    multiset; a pair survives until its LAST holder leaves. The
+    //    final state must equal the batch latest-per-key aggregate.
+    //    The oracle encodes the pair as a*8+b (b < 8, both mods
+    //    non-negative — exact integer bijection), keeping the OUTPUT
+    //    flat while the engine exercises the true multi-column form ──
+    "q252_stream_multicol_distinct" -> ((s, dir) => {
+      import graft.sources.{TopicConf, Topics}
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events").where(pmod(col("user_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory("graft-q252").toString)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, graft.streaming.StreamReplay.statePartitions.toString)
+      val r = new exec.StreamingStatementRunner(s, topicConf = Some(conf))
+      try {
+        r.registerTopicSource("events_feed_q252", StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("event_type", StringType), StructField("ts_us", LongType))))
+        r.runScript("""
+          CREATE TABLE user_latest_q252 (
+            user_id BIGINT, last_event_id BIGINT, last_event_type STRING, ts_us BIGINT,
+            PRIMARY KEY (user_id) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO user_latest_q252
+          SELECT user_id, event_id, event_type, ts_us FROM events_feed_q252;
+          CREATE TABLE type_pairs_q252 (event_type STRING, n_users BIGINT,
+            n_pairs BIGINT,
+            PRIMARY KEY (event_type) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+          INSERT INTO type_pairs_q252
+          SELECT last_event_type, count(*) AS n_users,
+                 count(DISTINCT user_id % 16, last_event_id % 8) AS n_pairs
+          FROM user_latest_q252 GROUP BY last_event_type""")
+      } finally s.conf.set(spKey, spPrev)
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val epochs = 4
+      val width = math.max(1L, (hi - lo) / epochs + 1)
+      (0 until epochs).foreach { i =>
+        val slice = ev
+          .where(col("ts_us") >= lo + i * width && col("ts_us") < lo + (i + 1) * width)
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_id"), col("event_type"), col("ts_us")),
+            struct(col("ts_us"), col("event_id"))).as("__l"))
+          .select(col("user_id"), col("__l.event_id"), col("__l.event_type"),
+            col("__l.ts_us"))
+        Topics.appendJson(slice, "events_feed_q252", conf, Nil, i + 1)
+        r.processAllAvailable()
+      }
+      r.stopAll()
+      s.table("type_pairs_q252").select(col("event_type"), col("n_users"),
+        col("n_pairs"))
+    }),
+
     "q250_stream_doubly_dominated_join" -> ((s, dir) => {
       import graft.sources.{TopicConf, Topics}
       import org.apache.spark.sql.types._

@@ -152,7 +152,15 @@ object StreamBench {
         .outputMode("append").start()
       val tText = time { gateQ.processAllAvailable() }
       gateQ.stop()
-      nFlagsText = spark.table(name).count()
+      // count, then DROP the rep's in-memory result table (ADVICE r18:
+      // keeping every rep's memory sink grew the driver linearly with
+      // REPS); the gate is deterministic, so reps must agree — a
+      // divergence means the floor is timing different work
+      val flags = spark.table(name).count()
+      spark.catalog.dropTempView(name)
+      require(nFlagsText == 0L || flags == nFlagsText,
+        s"near-dup gate flag count diverged across reps: $nFlagsText vs $flags")
+      nFlagsText = flags
       index.unpersist()
       tText
     }
@@ -183,7 +191,11 @@ object StreamBench {
         .outputMode("append").start()
       val tVec = time { vecQ.processAllAvailable() }
       vecQ.stop()
-      nFlagsVec = spark.table(name).count()
+      val flags = spark.table(name).count()
+      spark.catalog.dropTempView(name)
+      require(nFlagsVec == 0L || flags == nFlagsVec,
+        s"vector gate flag count diverged across reps: $nFlagsVec vs $flags")
+      nFlagsVec = flags
       tVec
     }
 

@@ -46,12 +46,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, TimestampType
   * multiset emitted as a value-sorted array — Flink's retractable
   * COLLECT state), EXACT percentile/median/percentile_cont (the
   * multiset's net counts feed Spark's weighted Percentile, recomputed
-  * over live values), and EXACT percentile_disc (round 17 — the
-  * discrete cume_dist ≥ p pick over the same multiset, integral
-  * micro-arithmetic target). Nothing on the practical aggregate
-  * surface rejects anymore; the residual rejections are degenerate
-  * forms (array-of-percentages percentile, frequency-column
-  * percentile, multi-column DISTINCT under sum/avg).
+  * over live values, scalar AND array-of-percentages forms — the
+  * latter one pass for N picks, round 18), and EXACT percentile_disc
+  * (round 17 — the discrete cume_dist ≥ p pick over the same multiset,
+  * integral micro-arithmetic target). Nothing on the practical
+  * aggregate surface rejects anymore; the residual rejections are
+  * degenerate forms a user cannot meaningfully type:
+  *  - frequency-column percentile: a per-row weight cannot ride the
+  *    ±sign netting — pre-expand the rows;
+  *  - "multi-column DISTINCT under sum/avg": UNREACHABLE SQL — both
+  *    Spark and Flink declare sum/avg unary, so the analyzer rejects
+  *    `sum(DISTINCT a, b)` before this rewrite ever sees it (pinned by
+  *    MergeAggRejectionSpec); any single expression OVER multiple
+  *    columns (`sum(DISTINCT a + b)`) is already supported. The
+  *    reachable residue of [[distinctChild]]'s guard is
+  *    `sum(DISTINCT <literal>)`, rejected loudly.
   */
 object MergeAggRewrite {
 

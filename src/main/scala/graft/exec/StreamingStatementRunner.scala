@@ -68,6 +68,13 @@ final class StreamingStatementRunner(spark: SparkSession,
   private def checkpointRoot: String = s"${conf.root}/.checkpoints"
 
   private val queries = scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
+  /** Regular-join operator state directories by QUERY NAME — one entry
+    * per state-owning side: (real table, state dir, appendOnly). What
+    * [[progressSummary]] sizes into [[StatementProgress.joinState]]
+    * (VERDICT r18 item 6: a silently growing fact log is the first
+    * thing a production operator asks about). */
+  private val joinStateDirs =
+    scala.collection.mutable.Map.empty[String, Seq[(String, String, Boolean)]]
   /** Statement index among this runner's INSERTs, in run order —
     * restart-stable (same script ⇒ same index), unlike a timestamp or
     * a global counter surviving only one process. Partitions the
@@ -577,11 +584,21 @@ final class StreamingStatementRunner(spark: SparkSession,
             //    multi-relation operands outright); by exactly ONE
             //    node l, out = inner + pads AT l is exact with
             //    everything above and below verbatim — the
-            //    [[OuterNullSide]] bracket; by TWO OR MORE, the
-            //    brackets would need the recursive pad-of-pad
-            //    composition this engine does not prove → snapshot
-            //    (e.g. `fact LEFT d1 RIGHT d2`: d1 is the null side
-            //    of both its own node and the RIGHT above it). ──
+            //    [[OuterNullSide]] bracket; by TWO OR MORE (k nodes,
+            //    necessarily nested along one root path, e.g. d1 in
+            //    `fact LEFT d1 RIGHT d2`), [[MultiNodeSide]] expands
+            //    the nested pads TOP-DOWN into 2k+1 evaluation terms
+            //    per delta — at each affecting node, branch into its
+            //    INNER component (descend), its side-preserving FULL
+            //    pad (descend, linear), and its other-side-preserving
+            //    pad (terminate as a pre/post bracket); spec'd to
+            //    k=3 in RegularJoinSpec, q250/q251 driver-gated. The
+            //    shapes that GENUINELY still snapshot are rejected
+            //    EARLIER, not here: non-linear selects (a ref used
+            //    twice in one occurrence body, refCounts>1), a
+            //    subquery reading an outer ref (subRefs∩outerRefs),
+            //    unknown join kinds, and FROM refs hidden outside the
+            //    join tree (laterals). ──
             @scala.annotation.tailrec
             def descendToJoin(p: LogicalPlan): Option[Join] = p match {
               case j: Join => Some(j)
@@ -1219,6 +1236,14 @@ final class StreamingStatementRunner(spark: SparkSession,
       * (external MemoryStream views). */
     case class Side(ref: String, src: String, viewSchema: StructType,
                     signed: DataFrame, appendOnly: Boolean, restore: DataFrame)
+    // synthetic occurrence views of STATIC refs (a self-join site of a
+    // batch table): bound in the main session only for statement-time
+    // validation, then dropped with the side views and re-bound per
+    // batch in the statement session (ADVICE r18 — a once-bound main-
+    // session view leaked across statements and could silently pin a
+    // plan older than the real name's resolution, joining two versions
+    // of one table)
+    val staticOccViews = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val sides: Seq[Side] = refs.flatMap { r =>
       val src = shape.realOf(r)
       if (synchronized { sources.contains(src) }) {
@@ -1248,10 +1273,13 @@ final class StreamingStatementRunner(spark: SparkSession,
       } else {
         // static batch view: joins at its constant state, no delta. A
         // SYNTHETIC occurrence of a static ref still needs its view
-        // name to resolve — bind it once (cloned into the statement
-        // session below)
-        if (r != src && spark.catalog.tableExists(src))
+        // name to resolve — bind it for validation, re-bound per batch
+        // in the statement session so both sites of the self-join
+        // always resolve the same snapshot
+        if (r != src && spark.catalog.tableExists(src)) {
           spark.table(src).createOrReplaceTempView(r)
+          staticOccViews += (r -> src)
+        }
         None
       }
     }
@@ -1663,11 +1691,14 @@ final class StreamingStatementRunner(spark: SparkSession,
           }
         }
         n
-      } finally sides.foreach { s =>
-        // synthetic occurrence views must not linger in the MAIN
-        // session (the statement's clone re-binds its own per batch)
-        if (s.ref != s.src) spark.catalog.dropTempView(s.ref)
-        restoreRefView(s.src, s.restore)
+      } finally {
+        sides.foreach { s =>
+          // synthetic occurrence views must not linger in the MAIN
+          // session (the statement's clone re-binds its own per batch)
+          if (s.ref != s.src) spark.catalog.dropTempView(s.ref)
+          restoreRefView(s.src, s.restore)
+        }
+        staticOccViews.foreach { case (r, _) => spark.catalog.dropTempView(r) }
       }
     }
     val outNames: Seq[String] =
@@ -1713,12 +1744,28 @@ final class StreamingStatementRunner(spark: SparkSession,
     // per-statement execution session (round 17): state reads, view
     // shadows, and term analysis all live in this statement's clone
     val stmtSession = GraftSqlBridge.cloneSession(spark)
+    // register the state-owning dirs for progressSummary sizing —
+    // occurrence sides share their owner's directory, so only owners
+    synchronized {
+      joinStateDirs(queryDisplayName(target, stmtId)) =
+        sides.zipWithIndex.collect {
+          case (s, i) if firstIdxOfSrc(s.src) == i =>
+            (s.src, s"$stateRoot/s$i", s.appendOnly)
+        }
+    }
     union.writeStream.outputMode("append")
       .queryName(queryDisplayName(target, stmtId))
       .option("checkpointLocation", checkpointDir(target, stmtId))
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         {
           evalSession = stmtSession
+          // re-bind static synthetic occurrence views in THIS
+          // statement's session each batch: the real name and the
+          // occurrence name then always resolve the same snapshot
+          staticOccViews.foreach { case (r, src) =>
+            if (stmtSession.catalog.tableExists(src))
+              stmtSession.table(src).createOrReplaceTempView(r)
+          }
           val batch = GraftSqlBridge.toSession(stmtSession, batch0).persist()
           try {
             val touched = batch.groupBy("__side").count().collect()
@@ -1730,20 +1777,28 @@ final class StreamingStatementRunner(spark: SparkSession,
               val pre = new Array[DataFrame](sides.size)
               val post = new Array[DataFrame](sides.size)
               val writes = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+              // TTL cutoff fixed ONCE per micro-batch (ADVICE r18): a
+              // self-join's occurrence sides read the shared state dir
+              // through separate readLog calls — re-sampling the clock
+              // per call let pre(i)/pre(j) disagree on a row whose age
+              // crossed the boundary between them, so the folded batch
+              // state matched no single snapshot of the table
+              val ttlCutoff: Option[Long] =
+                ttlMs.map(System.currentTimeMillis() - _)
               sides.zipWithIndex.foreach { case (s, i) =>
                 val owner = firstIdxOfSrc(s.src)
                 val dir = s"$stateRoot/s$owner"
                 val ownsState = owner == i
                 if (s.appendOnly) {
                   if (ownsState) ttlMs.foreach(t => JoinState.pruneLog(stmtSession, dir, t))
-                  val logPre = JoinState.readLog(stmtSession, dir, batchId, ttlMs)
+                  val logPre = JoinState.readLog(stmtSession, dir, batchId, ttlCutoff)
                   pre(i) = decode(logPre, s)
                   post(i) = deltaRows.get(i) match {
                     case Some(d) =>
                       if (ownsState) writes += { () =>
                         JoinState.writeLog(d.select("__payload"), dir, batchId)
                         // amortized: folds only every `threshold` batches
-                        JoinState.maybeCompact(stmtSession, dir, batchId, compactThreshold, ttlMs)
+                        JoinState.maybeCompact(stmtSession, dir, batchId, compactThreshold, ttlCutoff)
                       }
                       pre(i).unionByName(decode(d, s))
                     case None => pre(i)
@@ -2648,13 +2703,24 @@ final class StreamingStatementRunner(spark: SparkSession,
             om.get(n).getLong(0)
         }.sum
       }
+      // regular-join operator state (VERDICT r18 item 6): size each
+      // state-owning side's directory — generations vs un-folded
+      // batch dirs (compaction health), bytes, and exact footer row
+      // counts; a driver-side metadata read, never a Spark job
+      val js = synchronized { joinStateDirs.get(Option(p.name).getOrElse("")) }
+        .getOrElse(Nil).map { case (src, dir, appendOnly) =>
+          val st = graft.streaming.JoinState.stats(spark, dir)
+          JoinSideState(src, if (appendOnly) "log" else "snapshot",
+            st.rows, st.bytes, st.generations, st.batchDirs)
+        }
       StatementProgress(
         name = Option(p.name).getOrElse(q.id.toString),
         batchId = p.batchId,
         inputRows = p.numInputRows,
         rowsPerSecond = p.processedRowsPerSecond,
         watermark = Option(p.eventTime.get("watermark")).getOrElse(""),
-        tombstonesDropped = dropped)
+        tombstonesDropped = dropped,
+        joinState = js)
     }
   }
 
@@ -2695,4 +2761,17 @@ final case class AggShape(contexts: Int, topIsAggregate: Boolean,
 final case class StatementProgress(name: String, batchId: Long,
                                    inputRows: Long, rowsPerSecond: Double,
                                    watermark: String,
-                                   tombstonesDropped: Long = 0L)
+                                   tombstonesDropped: Long = 0L,
+                                   joinState: Seq[JoinSideState] = Nil)
+
+/** Size of one regular-join side's operator state, per state-owning
+  * side (self-join occurrences share their owner's entry). `kind` is
+  * `"log"` for the append fact log (the join's unbounded side — watch
+  * `rows`/`bytes` grow and verify `join.state.ttl` holds them), or
+  * `"snapshot"` for a folded changelog dim. `generations` counts
+  * folded state files, `batchDirs` the not-yet-compacted per-batch
+  * directories — it should hover below `join.state.compact.threshold`;
+  * sustained growth means compaction is not keeping up. */
+final case class JoinSideState(table: String, kind: String,
+                               rows: Long, bytes: Long,
+                               generations: Int, batchDirs: Int)

@@ -107,22 +107,46 @@ class JoinStateSpec extends SparkSpec {
       .toDF("__payload", "__wt").write.parquet(s"$dir/b0")
     JoinState.writeLog(Seq("fresh-1").toDF("__payload"), dir, 1L)
     JoinState.writeLog(Seq("fresh-2").toDF("__payload"), dir, 2L)
+    // the cutoff is an ABSOLUTE instant the caller fixes once per
+    // micro-batch (ADVICE r18 — per-call clock sampling let self-join
+    // occurrence reads disagree across the TTL boundary)
+    val cutoff = Some(System.currentTimeMillis() - 60L * 1000)
     // readLog with a TTL filters expired ROWS even before any fold
-    assert(JoinState.readLog(spark, dir, 3L, ttlMs = Some(60L * 1000))
+    assert(JoinState.readLog(spark, dir, 3L, ttlCutoffMs = cutoff)
       .as[String].collect().toList.sorted === List("fresh-1", "fresh-2"),
       "readLog must drop rows whose __wt passed the cutoff")
     // the fold itself must drop expired rows — the generation's dir
     // mtime is 'now', but the rows' __wt is what governs their life
-    JoinState.maybeCompact(spark, dir, 3L, threshold = 1, ttlMs = Some(60L * 1000))
+    JoinState.maybeCompact(spark, dir, 3L, threshold = 1, ttlCutoffMs = cutoff)
     assert(entries(dir).count(_.startsWith("lg")) === 1)
     assert(payloads(dir, 3L) === List("fresh-1", "fresh-2"),
       "a refold must not resurrect or rejuvenate expired facts")
     // legacy dirs without __wt are kept by the row filter (unknown age
     // expires only via pruneLog's per-directory mtime backstop)
     Seq("legacy").toDF("__payload").write.parquet(s"$dir/b3")
-    assert(JoinState.readLog(spark, dir, 4L, ttlMs = Some(60L * 1000))
+    assert(JoinState.readLog(spark, dir, 4L, ttlCutoffMs = cutoff)
       .as[String].collect().toList.sorted
       === List("fresh-1", "fresh-2", "legacy"))
+  }
+
+  test("stats sizes the state exactly: footer row counts, bytes, generation vs batch-dir split (VERDICT r18 item 6)") {
+    val dir = newDir("js-stats")
+    assert(JoinState.stats(spark, dir) === JoinState.StateStats(0L, 0L, 0, 0),
+      "a nonexistent state dir must size to zero")
+    (0L until 5L).foreach { b =>
+      JoinState.writeLog(Seq(s"p$b", s"p$b-dup").toDF("__payload"), dir, b)
+    }
+    val before = JoinState.stats(spark, dir)
+    assert(before.rows === 10L,
+      s"footer row count must be exact, got ${before.rows}")
+    assert(before.generations === 0 && before.batchDirs === 5)
+    assert(before.bytes > 0L)
+    // after folding, the same rows live in one generation
+    JoinState.maybeCompact(spark, dir, 5L, threshold = 2)
+    val after = JoinState.stats(spark, dir)
+    assert(after.rows === 10L, "folding must not change the row count")
+    assert(after.generations === 1 && after.batchDirs === 0,
+      s"expected one generation and no batch dirs, got $after")
   }
 
   test("a superseded generation leaked by a crash between rename and delete is swept (ADVICE r17)") {

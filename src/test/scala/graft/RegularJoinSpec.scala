@@ -1323,6 +1323,46 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("progressSummary surfaces per-side join state size: fact-log rows/bytes and dim snapshot rows (VERDICT r18 item 6)") {
+    val conf = newConf("rjobs")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjobs_cust_feed", custOpSchema)
+    r.registerTopicSource("rjobs_ord_feed", ordSchema)
+    r.runScript("""
+      CREATE TABLE rjobs_cust (cid STRING, name STRING, __op STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjobs_cust SELECT cid, name, __op FROM rjobs_cust_feed;
+      CREATE TABLE rjobs_enr (order_id BIGINT, cust_name STRING,
+        amount DOUBLE, __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjobs_enr (order_id, cust_name, amount)
+      SELECT o.order_id, c.name, o.amount
+      FROM rjobs_ord_feed o JOIN rjobs_cust c ON o.cid = c.cid""")
+    Topics.appendJson(Seq(RjCustOp("c1", "Ann", "+I"), RjCustOp("c2", "Bob", "+I")).toDF(),
+      "rjobs_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    Topics.appendJson(Seq(RjOrd(1, "c1", "p1", 10.0), RjOrd(2, "c2", "p1", 20.0),
+      RjOrd(3, "c1", "p1", 30.0)).toDF().drop("pid"), "rjobs_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    val join = r.progressSummary.filter(_.joinState.nonEmpty)
+    assert(join.size === 1, s"exactly one statement keeps join state: $join")
+    val byTable = join.head.joinState.map(s => s.table -> s).toMap
+    val factLog = byTable("rjobs_ord_feed")
+    assert(factLog.kind === "log" && factLog.rows === 3L && factLog.bytes > 0L,
+      s"the fact log must size its 3 appended rows: $factLog")
+    val dim = byTable("rjobs_cust")
+    assert(dim.kind === "snapshot" && dim.rows === 2L && dim.bytes > 0L,
+      s"the dim snapshot must size its 2 net entries: $dim")
+    // state growth is visible: more facts, bigger log
+    Topics.appendJson(Seq(RjOrd(4, "c2", "p1", 40.0)).toDF().drop("pid"),
+      "rjobs_ord_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    val grown = r.progressSummary.filter(_.joinState.nonEmpty).head
+      .joinState.find(_.table == "rjobs_ord_feed").get
+    assert(grown.rows === 4L,
+      s"the log row count must track appended facts: $grown")
+    r.stopAll()
+  }
+
   test("upsert-target joined INSERT keeps the snapshot path; aggregate over a retract target still rejects cleanly") {
     val conf = newConf("rjg")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
