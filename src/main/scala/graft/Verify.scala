@@ -4,6 +4,27 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Gate outputs must be FLAT: the driver's pandas compare crashes
+    * sorting an array/map/struct TOP-LEVEL column (round-18 q248 red
+    * row — green locally, red at the driver). Refuse at dump time so
+    * the class cannot ship; `dev/check.py` carries the same guard for
+    * oracle-side outputs. Nested types INSIDE a query are fine. */
+  def assertFlat(name: String,
+                 df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val nested = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+                f.dataType.isInstanceOf[MapType] ||
+                f.dataType.isInstanceOf[StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }
+    require(nested.isEmpty,
+      s"$name emits nested TOP-LEVEL output columns (${nested.mkString(", ")}) " +
+        "— the driver's pandas sort crashes on them; unpack to scalar " +
+        "columns or explode to rows (CLAUDE.md hard-won rule)")
+    df
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -19,7 +40,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try assertFlat(name, fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

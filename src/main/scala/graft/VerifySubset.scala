@@ -30,7 +30,7 @@ object VerifySubset {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     args.drop(2).foreach { name =>
-      SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+      Verify.assertFlat(name, SparkEntry.queries(name)(spark, sfDir)).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
       spark.catalog.clearCache()
     }

@@ -264,12 +264,18 @@ object JoinState {
     * compaction are gated, but their EFFECT was invisible).
     * `generations` counts folded `lg`/`g` dirs, `batchDirs` the
     * un-folded per-batch `b` dirs (compaction health: it should hover
-    * under the compact threshold), `bytes` the on-disk footprint, and
-    * `rows` the exact record count summed from parquet FOOTERS — a
-    * driver-side metadata read bounded by one generation + threshold
-    * batch dirs, never a Spark job. Concurrent compaction can delete a
-    * listed file mid-read; such files are skipped (a snapshot need not
-    * be transactional). */
+    * under the compact threshold). `rows` is the exact record count of
+    * the PARTICIPATING read set — the newest generation plus (append
+    * logs only) the batch dirs above it, mirroring [[readLog]]/
+    * [[readSnapshot]] — summed from parquet FOOTERS; a snapshot side
+    * legitimately keeps TWO generations live between prunes and a
+    * crash can leave swept-later leftovers, which must not
+    * double-count the state. TTL-expired rows still on disk DO count
+    * (they are the space TTL reclaims). `bytes` is the TOTAL on-disk
+    * footprint including such leftovers. A driver-side metadata read
+    * bounded by one generation + threshold batch dirs, never a Spark
+    * job. Concurrent compaction can delete a listed file mid-read;
+    * such files are skipped (a snapshot need not be transactional). */
   final case class StateStats(rows: Long, bytes: Long,
                               generations: Int, batchDirs: Int)
 
@@ -277,11 +283,15 @@ object JoinState {
     val f = fs(spark, dir)
     val p = new Path(dir)
     if (!f.exists(p)) return StateStats(0L, 0L, 0, 0)
-    val entries = f.listStatus(p).toSeq.map(_.getPath.getName)
-      .filterNot(_.startsWith("tmp-"))
-    val generations = entries.count(n => n.startsWith("lg") ||
-      (n.startsWith("g") && !n.startsWith("lg")))
-    val batchDirs = entries.count(n => n.startsWith("b"))
+    val lgs = listIds(spark, dir, "lg")
+    val gs = listIds(spark, dir, "g")
+    val bs = listIds(spark, dir, "b")
+    val lgMax = if (lgs.isEmpty) -1L else lgs.max
+    val live: Seq[String] =
+      if (gs.nonEmpty) Seq(s"g${gs.max}")
+      else (if (lgMax >= 0) Seq(s"lg$lgMax") else Nil) ++
+        bs.filter(_ > lgMax).map(i => s"b$i")
+    val liveDirs = live.map(n => new Path(s"$dir/$n").toUri.getPath).toSet
     var rows = 0L
     var bytes = 0L
     val conf = spark.sparkContext.hadoopConfiguration
@@ -292,14 +302,18 @@ object JoinState {
       if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
           !st.getPath.toString.contains("/tmp-")) {
         bytes += st.getLen
-        scala.util.Try {
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-          try rows += r.getRecordCount finally r.close()
-        }
+        if (liveDirs.contains(st.getPath.getParent.toUri.getPath))
+          scala.util.Try {
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+            try rows += r.getRecordCount finally r.close()
+          }
       }
     }
-    StateStats(rows, bytes, generations, batchDirs)
+    // leftovers at/below the generation (crash window) are excluded:
+    // batchDirs is the NOT-YET-COMPACTED count, the compaction-health
+    // signal; their bytes still show in the footprint until swept
+    StateStats(rows, bytes, lgs.size + gs.size, bs.count(_ > lgMax))
   }
 
   /** `"<n> <unit>"` with unit ∈ ms|s|min|h|d (e.g. `"7 d"`, `"30 min"`). */

@@ -147,6 +147,19 @@ class JoinStateSpec extends SparkSpec {
     assert(after.rows === 10L, "folding must not change the row count")
     assert(after.generations === 1 && after.batchDirs === 0,
       s"expected one generation and no batch dirs, got $after")
+
+    // a SNAPSHOT side keeps read-gen + write-gen live between prunes:
+    // rows must count only the participating (newest) generation,
+    // bytes the whole footprint
+    val sdir = newDir("js-stats-snap")
+    Seq(("p0", 1L), ("p1", 1L)).toDF("__payload", "__cnt")
+      .write.parquet(s"$sdir/g1")
+    Seq(("p0", 1L), ("p1", 1L), ("p2", 1L)).toDF("__payload", "__cnt")
+      .write.parquet(s"$sdir/g2")
+    val snap = JoinState.stats(spark, sdir)
+    assert(snap.rows === 3L,
+      s"rows must mirror readSnapshot (newest generation only): $snap")
+    assert(snap.generations === 2 && snap.batchDirs === 0)
   }
 
   test("a superseded generation leaked by a crash between rename and delete is swept (ADVICE r17)") {
