@@ -159,6 +159,137 @@ class StreamingRestartSpec extends SparkSpec {
     assert(ops === Set(("Ann", "+I"), ("Ann", "-D"), ("Anna", "+I")))
   }
 
+  test("restart parity for a DOUBLY-DOMINATED join (round 18 multi-node expansion): hydrated brackets re-emit and re-pad exactly") {
+    // fact LEFT dim RIGHT band — the dim is the null side of its own
+    // node AND of the RIGHT above it, so its deltas route through the
+    // MultiNodeSide 2k+1 term set (k=2: inner-flips through both
+    // nodes + two pre/post terminal-pad pairs). A restart must hydrate
+    // the fact log and BOTH dim snapshots such that a post-crash dim
+    // revision nets the same retract/re-emit/re-pad set an
+    // uninterrupted run produces.
+    val conf = freshConf()
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("t", StringType)))
+    val bandSchema = StructType(Seq(
+      StructField("t", StringType), StructField("label", StringType)))
+    val factSchema = StructType(Seq(
+      StructField("order_id", IntegerType), StructField("uid", LongType)))
+    def newRunner(): StreamingStatementRunner = {
+      val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+      r.registerTopicSource("dim_src_dd", dimSchema)
+      r.registerTopicSource("band_src_dd", bandSchema)
+      r.registerTopicSource("fact_src_dd", factSchema)
+      r.runScript("""
+        CREATE TABLE dim_dd (uid BIGINT, t STRING,
+          PRIMARY KEY (uid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO dim_dd SELECT uid, t FROM dim_src_dd;
+        CREATE TABLE band_dd (t STRING, label STRING,
+          PRIMARY KEY (t) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO band_dd SELECT t, label FROM band_src_dd;
+        CREATE TABLE enr_dd (order_id INT, t STRING, label STRING, __op STRING)
+          WITH ('changelog.mode' = 'retract');
+        INSERT INTO enr_dd (order_id, t, label)
+        SELECT f.order_id, c.t, b.label
+        FROM fact_src_dd f
+        LEFT JOIN dim_dd c ON f.uid = c.uid
+        RIGHT JOIN band_dd b ON c.t = b.t""")
+      r
+    }
+    def net(): Set[(Option[Int], Option[String], String)] = spark.table("enr_dd")
+      .groupBy("order_id", "t", "label")
+      .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("n"))
+      .where(col("n") =!= 0L)
+      .select("order_id", "t", "label", "n").collect().map { r =>
+        assert(r.getLong(3) === 1L, s"net count outside {0,1}: $r")
+        (Option(r.get(0)).map(_.asInstanceOf[Int]),
+          Option(r.getString(1)), r.getString(2))
+      }.toSet
+
+    // ---- phase 1: bands, dim, one fact — then the process "dies" ----
+    val r1 = newRunner()
+    Topics.appendJson(Seq(("t1", "B1"), ("t2", "B2")).toDF("t", "label"),
+      "band_src_dd", conf, Nil, 1)
+    r1.processAllAvailable()
+    Topics.appendJson(Seq((1L, "t1")).toDF("uid", "t"), "dim_src_dd", conf, Nil, 1)
+    r1.processAllAvailable()
+    Topics.appendJson(Seq((1, 1L)).toDF("order_id", "uid"), "fact_src_dd", conf, Nil, 1)
+    r1.processAllAvailable()
+    r1.stopAll()
+    // o1 enriched through t1/B1; t2 has no matching dim -> right pad
+    assert(net() === Set((Some(1), Some("t1"), "B1"), (None, None, "B2")))
+
+    // ---- phase 2: restart; revise the doubly-dominated dim ----
+    val r2 = newRunner()
+    Topics.appendJson(Seq((1L, "t2")).toDF("uid", "t"), "dim_src_dd", conf, Nil, 2)
+    r2.processAllAvailable()
+    // the revision must (a) retract o1's t1/B1 row and re-emit through
+    // t2/B2 — the fact lives in the PRE-CRASH log; (b) retract t2's
+    // pad; (c) re-pad t1, now unmatched — all from hydrated state
+    assert(net() === Set((Some(1), Some("t2"), "B2"), (None, None, "B1")),
+      s"post-restart doubly-dominated revision broke parity: ${net()}")
+    // a fact whose uid has NO dim row is invisible under LEFT-then-
+    // RIGHT (its null t matches no band) — also after restart
+    Topics.appendJson(Seq((2, 9L)).toDF("order_id", "uid"), "fact_src_dd", conf, Nil, 2)
+    r2.processAllAvailable()
+    assert(net() === Set((Some(1), Some("t2"), "B2"), (None, None, "B1")))
+    // its dim arriving upgrades it through t1/B1 and consumes the pad
+    Topics.appendJson(Seq((9L, "t1")).toDF("uid", "t"), "dim_src_dd", conf, Nil, 3)
+    r2.processAllAvailable()
+    assert(net() === Set((Some(1), Some("t2"), "B2"), (Some(2), Some("t1"), "B1")),
+      s"post-restart fact upgrade broke parity: ${net()}")
+    r2.stopAll()
+  }
+
+  test("restart parity for a SELF-JOIN (round 18 per-occurrence sides): both occurrence reads hydrate the one shared fact log") {
+    // the two FROM sites of one table share a single state directory
+    // (the first occurrence owns the writes); after a restart, a new
+    // fact must pair against the PRE-CRASH facts through BOTH sites'
+    // cross terms — i.e. each renamed occurrence reads the hydrated
+    // shared log, not an empty per-occurrence one
+    val conf = freshConf()
+    val factSchema = StructType(Seq(
+      StructField("order_id", IntegerType), StructField("uid", LongType)))
+    def newRunner(): StreamingStatementRunner = {
+      val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+      r.registerTopicSource("fact_src_sj", factSchema)
+      r.runScript("""
+        CREATE TABLE pairs_sj (eid1 INT, eid2 INT, __op STRING)
+          WITH ('changelog.mode' = 'retract');
+        INSERT INTO pairs_sj (eid1, eid2)
+        SELECT a.order_id, b.order_id
+        FROM fact_src_sj a JOIN fact_src_sj b
+          ON a.uid = b.uid AND a.order_id < b.order_id""")
+      r
+    }
+    def net(): Set[(Int, Int)] = spark.table("pairs_sj")
+      .groupBy("eid1", "eid2")
+      .agg(sum(when(col("__op").startsWith("-"), -1L).otherwise(1L)).as("n"))
+      .where(col("n") =!= 0L)
+      .select("eid1", "eid2", "n").collect().map { r =>
+        assert(r.getLong(2) === 1L, s"net count outside {0,1}: $r")
+        (r.getInt(0), r.getInt(1))
+      }.toSet
+
+    val r1 = newRunner()
+    Topics.appendJson(Seq((1, 7L), (2, 7L)).toDF("order_id", "uid"),
+      "fact_src_sj", conf, Nil, 1)
+    r1.processAllAvailable()
+    r1.stopAll()
+    assert(net() === Set((1, 2)))
+
+    val r2 = newRunner()
+    Topics.appendJson(Seq((3, 7L), (4, 8L)).toDF("order_id", "uid"),
+      "fact_src_sj", conf, Nil, 2)
+    r2.processAllAvailable()
+    assert(net() === Set((1, 2), (1, 3), (2, 3)),
+      s"post-restart self-join must pair new facts against the hydrated shared log: ${net()}")
+    Topics.appendJson(Seq((5, 8L)).toDF("order_id", "uid"),
+      "fact_src_sj", conf, Nil, 3)
+    r2.processAllAvailable()
+    assert(net() === Set((1, 2), (1, 3), (2, 3), (4, 5)))
+    r2.stopAll()
+  }
+
   test("chained statement DAG across a restart: B streams A's topic, each changelog record flows exactly once") {
     // the reference's statement DAG is topic-chained: statement B's
     // source IS statement A's sink topic. Durability must hold for
