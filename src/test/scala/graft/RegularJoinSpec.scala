@@ -1323,6 +1323,61 @@ class RegularJoinSpec extends SparkSpec {
     r.stopAll()
   }
 
+  test("STATIC batch view self-joined in a regular join: occurrence sites resolve one snapshot, no main-session leak (ADVICE r18)") {
+    val conf = newConf("rjsv")
+    val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+    r.registerTopicSource("rjsv_cust_feed", custSchema)
+    r.registerTopicSource("rjsv_ord_feed", ordSchema)
+    Seq(("c1", "T-one"), ("c2", "T-two")).toDF("cid", "tag")
+      .createOrReplaceTempView("rjsv_sdim")
+    r.runScript("""
+      CREATE TABLE rjsv_cust (cid STRING, name STRING,
+        PRIMARY KEY (cid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+      INSERT INTO rjsv_cust SELECT cid, name FROM rjsv_cust_feed;
+      CREATE TABLE rjsv_enr (order_id BIGINT, cust_name STRING,
+        t1 STRING, t2 STRING, __op STRING) WITH ('changelog.mode' = 'retract');
+      INSERT INTO rjsv_enr (order_id, cust_name, t1, t2)
+      SELECT o.order_id, c.name, d1.tag, d2.tag
+      FROM rjsv_ord_feed o
+      JOIN rjsv_cust c ON o.cid = c.cid
+      JOIN rjsv_sdim d1 ON o.cid = d1.cid
+      JOIN rjsv_sdim d2 ON o.pid = d2.cid""")
+    // the synthetic occurrence view (second rjsv_sdim site) must NOT
+    // linger in the MAIN session after submission — it used to leak
+    // across statements and pin a stale plan
+    assert(!spark.catalog.tableExists("rjsv_sdim__rjoc2"),
+      "the static occurrence view leaked into the main session")
+    def state() = net("rjsv_enr", "order_id", "cust_name", "t1", "t2")
+    Topics.appendJson(Seq(RjCust("c1", "Ann"), RjCust("c2", "Bob")).toDF(),
+      "rjsv_cust_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    Topics.appendJson(Seq(RjOrd(1, "c1", "c2", 10.0)).toDF(),
+      "rjsv_ord_feed", conf, Nil, 1)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Ann", "T-one", "T-two")),
+      "both static sites must enrich")
+    // the user REPLACES the static view mid-stream: the statement keeps
+    // its submission-time snapshot CONSISTENTLY on both sites — a new
+    // fact must never join one old and one new version of the table
+    Seq(("c1", "X-one"), ("c2", "X-two")).toDF("cid", "tag")
+      .createOrReplaceTempView("rjsv_sdim")
+    Topics.appendJson(Seq(RjOrd(2, "c2", "c1", 20.0)).toDF(),
+      "rjsv_ord_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Ann", "T-one", "T-two"),
+      2L -> Seq("Bob", "T-two", "T-one")),
+      s"occurrence sites diverged on the static view's version: ${state()}")
+    // the CHANGELOG dim still revises past rows (the regular join is
+    // intact with static sides present)
+    Topics.appendJson(Seq(RjCust("c1", "Anna")).toDF(),
+      "rjsv_cust_feed", conf, Nil, 2)
+    r.processAllAvailable()
+    assert(state() === Map(1L -> Seq("Anna", "T-one", "T-two"),
+      2L -> Seq("Bob", "T-two", "T-one")))
+    r.stopAll()
+    spark.catalog.dropTempView("rjsv_sdim")
+  }
+
   test("progressSummary surfaces per-side join state size: fact-log rows/bytes and dim snapshot rows (VERDICT r18 item 6)") {
     val conf = newConf("rjobs")
     val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
