@@ -93,4 +93,80 @@ class MergeAggFuzzSpec extends SparkSpec {
       r.stopAll()
     }
   }
+
+  // ── chained regular join → retract-folded aggregate (the q242
+  //    class): a dim revision must move its facts' enriched rows
+  //    between groups THROUGH the retract changelog — and a group
+  //    emptied by tombstones must delete downstream ──
+  (0 until 2).foreach { idx =>
+    test(s"fuzz chained: regular join feeding a folded aggregate tracks the batch chain (seed $idx)") {
+      val rnd = new scala.util.Random(777 + idx * 31)
+      val tag = s"chfz$idx"
+      val conf = TopicConf(
+        java.nio.file.Files.createTempDirectory(s"graft-$tag").toString)
+      val r = new StreamingStatementRunner(spark, topicConf = Some(conf))
+      r.registerTopicSource(s"${tag}_dim_feed", StructType(Seq(
+        StructField("uid", LongType), StructField("t", StringType),
+        StructField("__op", StringType))))
+      r.registerTopicSource(s"${tag}_fact_feed", StructType(Seq(
+        StructField("order_id", IntegerType), StructField("uid", LongType),
+        StructField("amt", LongType))))
+      r.runScript(s"""
+        CREATE TABLE ${tag}_dim (uid BIGINT, t STRING, __op STRING,
+          PRIMARY KEY (uid) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO ${tag}_dim SELECT uid, t, __op FROM ${tag}_dim_feed;
+        CREATE TABLE ${tag}_enr (order_id INT, t STRING, amt BIGINT, __op STRING)
+          WITH ('changelog.mode' = 'retract');
+        INSERT INTO ${tag}_enr (order_id, t, amt)
+        SELECT f.order_id, c.t, f.amt
+        FROM ${tag}_fact_feed f JOIN ${tag}_dim c ON f.uid = c.uid;
+        CREATE TABLE ${tag}_agg (t STRING, n BIGINT, s BIGINT,
+          PRIMARY KEY (t) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS;
+        INSERT INTO ${tag}_agg
+        SELECT t, count(*) AS n, sum(amt) AS s FROM ${tag}_enr GROUP BY t""")
+
+      val dimState = scala.collection.mutable.Map.empty[Long, String]
+      val facts = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      var nextOrder = 1
+      var epoch = 0
+      val types = List("t1", "t2", "t3")
+      def expectedAgg(): Map[String, (Long, Long)] = facts.toSeq
+        .flatMap { case (_, uid, amt) => dimState.get(uid).map(t => (t, amt)) }
+        .groupBy(_._1)
+        .map { case (t, xs) => t -> ((xs.size.toLong, xs.map(_._2).sum)) }
+      def actualAgg(): Map[String, (Long, Long)] =
+        spark.table(s"${tag}_agg").as[(String, Long, Long)]
+          .collect().map(x => x._1 -> ((x._2, x._3))).toMap
+
+      (0 until 5).foreach { _ =>
+        if (rnd.nextBoolean()) {
+          val rows = (0 until (1 + rnd.nextInt(3))).map { _ =>
+            val f = (nextOrder, 1L + rnd.nextInt(5), (1L + rnd.nextInt(9)))
+            nextOrder += 1; facts += f; f
+          }
+          epoch += 1
+          Topics.appendJson(rows.toDF("order_id", "uid", "amt"),
+            s"${tag}_fact_feed", conf, Nil, epoch)
+        } else {
+          val uids = rnd.shuffle((1L to 5L).toList).take(1 + rnd.nextInt(3))
+          val rows = uids.map { u =>
+            if (dimState.contains(u) && rnd.nextInt(4) == 0) {
+              dimState.remove(u); (u, "t1", "-D")
+            } else {
+              val t = types(rnd.nextInt(types.size))
+              dimState(u) = t; (u, t, "+U")
+            }
+          }
+          epoch += 1
+          Topics.appendJson(rows.toDF("uid", "t", "__op"),
+            s"${tag}_dim_feed", conf, Nil, epoch)
+        }
+        r.processAllAvailable()
+        assert(actualAgg() === expectedAgg(),
+          s"[seed $idx, epoch $epoch] chained aggregate diverged from " +
+            s"the batch chain\n  dim: $dimState\n  facts: ${facts.size}")
+      }
+      r.stopAll()
+    }
+  }
 }
