@@ -64,10 +64,36 @@ RESTORED = {
 }
 
 
+STREAM_TABLE = """
+| sb:s1_s6_pipeline | 10711.5 |
+| sb:gate_neardup_text | 469.6 |
+
+re-pin (later rows win):
+
+| sb:gate_neardup_text | 495.9 |
+"""
+
+
 def main():
+    from stream_gate import parse_stream_baseline
+
     rows = parse_baseline(FORENSICS_TABLE)
     assert rows == {}, (
         f"forensics/adjudication tables must yield NO baseline rows, got {rows}")
+
+    # sb: rows (stream_gate.py) and q rows (bench_gate.py) are mutually
+    # invisible: neither parser can consume the other's baselines
+    assert parse_baseline(STREAM_TABLE) == {}, (
+        "sb: rows must be invisible to the batch-query parser")
+    srows = parse_stream_baseline(STREAM_TABLE)
+    assert srows == {"s1_s6_pipeline": 10711.5,
+                     "gate_neardup_text": 495.9}, (
+        f"sb: rows must parse with later-rows-win, got {srows}")
+    assert parse_stream_baseline(BASELINE_TABLE) == {}, (
+        "query baseline rows must be invisible to the stream parser")
+    assert parse_stream_baseline(FORENSICS_TABLE) == {}, (
+        "forensics tables must yield no stream baselines")
+    assert parse_stream_baseline("| sb:x | 1.5 | noise |") == {}
 
     rows = parse_baseline(BASELINE_TABLE)
     assert rows == {"q01_pricing_agg": 0.29, "q91_numeric_profile": 0.55}, (

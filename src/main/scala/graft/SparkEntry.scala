@@ -3811,13 +3811,42 @@ object SparkEntry {
           INSERT INTO band_dim_q245 SELECT event_type, label FROM band_feed_q245;
           CREATE TABLE enriched_q245 (event_id BIGINT, user_id BIGINT,
             last_event_type STRING, band_label STRING, value DOUBLE, __op STRING)
-            WITH ('changelog.mode' = 'retract');
+            WITH ('changelog.mode' = 'retract', 'join.state.ttl' = '7 d',
+                  'join.state.compact.threshold' = '2');
           INSERT INTO enriched_q245 (event_id, user_id, last_event_type, band_label, value)
           SELECT o.event_id, o.user_id, c.last_event_type, b.label, o.value
           FROM orders_feed_q245 o
           LEFT JOIN user_dim_q245 c ON o.user_id = c.user_id
           LEFT JOIN band_dim_q245 b ON c.last_event_type = b.event_type""")
       } finally s.conf.set(spKey, spPrev)
+      // joinState observability as a GUARD (VERDICT r19 item 5): at
+      // every drain the enriched statement's state report must show
+      // compaction keeping up — un-folded batch dirs can exceed the
+      // threshold by at most the batch just written (maybeCompact
+      // folds dirs STRICTLY BELOW the current batch), and the
+      // gen-atomic publish keeps at most two generations live. The
+      // 7-day TTL exercises the TTL'd read/compact path without
+      // expiring anything in-test, so the folded oracle is unchanged.
+      def assertJoinStateBounded(drain: String): Unit = {
+        val ps = r.progressSummary.filter(_.name.contains("enriched_q245"))
+        require(ps.nonEmpty && ps.forall(_.joinState.nonEmpty),
+          s"q245[$drain]: enriched statement reported no joinState")
+        ps.flatMap(_.joinState).foreach { side =>
+          require(side.batchDirs <= 2 + 1,
+            s"q245[$drain] ${side.table}: ${side.batchDirs} un-folded batch " +
+            s"dirs > compact.threshold+1 — compaction not keeping up")
+          require(side.generations <= 2,
+            s"q245[$drain] ${side.table}: ${side.generations} live " +
+            "generations — superseded generations not pruned")
+          // the fact LOG must be non-empty from the first drain on
+          // (facts stream first); dim snapshots are legitimately empty
+          // until their feed's first revision lands
+          if (side.kind == "log")
+            require(side.bytes > 0 && side.rows > 0,
+              s"q245[$drain] ${side.table}: empty fact-log state report " +
+              s"(rows=${side.rows}, bytes=${side.bytes})")
+        }
+      }
       val bounds = ev.agg(min("ts_us"), max("ts_us")).collect().head
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val epochs = 4
@@ -3831,17 +3860,20 @@ object SparkEntry {
         Topics.appendJson(slice.select("event_id", "user_id", "value"),
           "orders_feed_q245", conf, Nil, 3 * i + 1)
         r.processAllAvailable()
+        assertJoinStateBounded(s"e$i-facts")
         val dim = slice.where(pmod(col("user_id"), lit(8)) === 0)
           .groupBy("user_id")
           .agg(max_by(col("event_type"), struct(col("ts_us"), col("event_id")))
             .as("event_type"))
         Topics.appendJson(dim, "dim_feed_q245", conf, Nil, 3 * i + 2)
         r.processAllAvailable()
+        assertJoinStateBounded(s"e$i-dim")
         val band = slice.where(col("event_type") =!= "click")
           .select("event_type").distinct()
           .withColumn("label", lit(s"L$i"))
         Topics.appendJson(band, "band_feed_q245", conf, Nil, 3 * i + 3)
         r.processAllAvailable()
+        assertJoinStateBounded(s"e$i-band")
       }
       r.stopAll()
       // fold the retract changelog: the net multiset is the final state

@@ -134,7 +134,7 @@ object StreamBench {
     val streamDocs = docs.where(bucket >= 80)
     val nStreamDocs = streamDocs.count()
     streamDocs.repartition(5).write.mode("overwrite").parquet(s"$tmpRoot/doc_stream")
-    var nFlagsText = 0L
+    var nFlagsText = -1L // -1 = not yet measured; 0 is a legitimate count
 
     def runText(tmp: String): Double = {
       val index = graft.streaming.StreamingDedup.bucketIndex(
@@ -158,7 +158,7 @@ object StreamBench {
       // divergence means the floor is timing different work
       val flags = spark.table(name).count()
       spark.catalog.dropTempView(name)
-      require(nFlagsText == 0L || flags == nFlagsText,
+      require(nFlagsText < 0L || flags == nFlagsText,
         s"near-dup gate flag count diverged across reps: $nFlagsText vs $flags")
       nFlagsText = flags
       index.unpersist()
@@ -172,7 +172,7 @@ object StreamBench {
     val streamVecs = emb.where(vBucket >= 80)
     val nStreamVecs = streamVecs.count()
     streamVecs.repartition(5).write.mode("overwrite").parquet(s"$tmpRoot/vec_stream")
-    var nFlagsVec = 0L
+    var nFlagsVec = -1L // -1 = not yet measured; 0 is a legitimate count
 
     def runVec(tmp: String): Double = {
       graft.operators.Similarity.buildIvfIndex(
@@ -193,7 +193,7 @@ object StreamBench {
       vecQ.stop()
       val flags = spark.table(name).count()
       spark.catalog.dropTempView(name)
-      require(nFlagsVec == 0L || flags == nFlagsVec,
+      require(nFlagsVec < 0L || flags == nFlagsVec,
         s"vector gate flag count diverged across reps: $nFlagsVec vs $flags")
       nFlagsVec = flags
       tVec

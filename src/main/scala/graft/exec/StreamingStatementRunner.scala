@@ -1763,8 +1763,15 @@ final class StreamingStatementRunner(spark: SparkSession,
           // statement's session each batch: the real name and the
           // occurrence name then always resolve the same snapshot
           staticOccViews.foreach { case (r, src) =>
-            if (stmtSession.catalog.tableExists(src))
-              stmtSession.table(src).createOrReplaceTempView(r)
+            // fail loudly (ADVICE r19): a silent skip leaves r unbound
+            // (or stale from a prior batch) and the statement later
+            // dies with an unresolved-relation error naming the
+            // SYNTHETIC occurrence, hiding the real missing table
+            if (!stmtSession.catalog.tableExists(src))
+              throw new IllegalStateException(
+                s"static occurrence view '$r' cannot re-bind: source " +
+                s"table '$src' is missing from the statement session")
+            stmtSession.table(src).createOrReplaceTempView(r)
           }
           val batch = GraftSqlBridge.toSession(stmtSession, batch0).persist()
           try {
@@ -1797,6 +1804,7 @@ final class StreamingStatementRunner(spark: SparkSession,
                     case Some(d) =>
                       if (ownsState) writes += { () =>
                         JoinState.writeLog(d.select("__payload"), dir, batchId)
+                        graft.streaming.FaultInjection.point("log-written")
                         // amortized: folds only every `threshold` batches
                         JoinState.maybeCompact(stmtSession, dir, batchId, compactThreshold, ttlCutoff)
                       }
@@ -1900,8 +1908,13 @@ final class StreamingStatementRunner(spark: SparkSession,
                 .withColumn("__copy",
                   explode(sequence(lit(1L), abs(col("__net")))))
                 .select((outNames.map(c => col(s"`$c`")) :+ col("__op")).toIndexedSeq: _*)
+              graft.streaming.FaultInjection.point("join-pre-sink")
               sinkBatch(target, meta, recs, stmtId, batchId)
-              writes.foreach(_())
+              graft.streaming.FaultInjection.point("join-post-sink")
+              writes.foreach { w =>
+                w(); graft.streaming.FaultInjection.point("join-post-write")
+              }
+              graft.streaming.FaultInjection.point("join-pre-commit")
             }
           } finally batch.unpersist()
         }

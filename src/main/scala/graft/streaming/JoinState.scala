@@ -161,10 +161,12 @@ object JoinState {
       val tmp = new Path(s"$dir/tmp-lg$m")
       f.delete(tmp, true)
       folded.write.mode("overwrite").parquet(tmp.toString)
+      FaultInjection.point("compact-tmp-written")
       val dest = new Path(s"$dir/lg$m")
       f.delete(dest, true) // a replayed compaction overwrites its own gen
       require(f.rename(tmp, dest),
         s"regular-join log compaction: rename $tmp -> $dest failed")
+      FaultInjection.point("compact-renamed")
       liveIds.foreach(i => f.delete(new Path(s"$dir/b$i"), true))
       if (g >= 0) f.delete(new Path(s"$dir/lg$g"), true)
     }
@@ -217,6 +219,7 @@ object JoinState {
   def writeSnapshot(folded: DataFrame, dir: String, batchId: Long,
                     readGen: Option[Long]): Unit = {
     folded.write.mode("overwrite").parquet(s"$dir/g$batchId")
+    FaultInjection.point("snapshot-published")
     val spark = folded.sparkSession
     val f = fs(spark, dir)
     listIds(spark, dir, "g")
@@ -295,20 +298,33 @@ object JoinState {
     var rows = 0L
     var bytes = 0L
     val conf = spark.sparkContext.hadoopConfiguration
-    val it = f.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val n = st.getPath.getName
-      if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
-          !st.getPath.toString.contains("/tmp-")) {
-        bytes += st.getLen
-        if (liveDirs.contains(st.getPath.getParent.toUri.getPath))
-          scala.util.Try {
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-            try rows += r.getRecordCount finally r.close()
-          }
+    // the recursive listing is LAZY — hasNext/next stat subdirectories
+    // as the walk reaches them, so a concurrent compaction/prune
+    // deleting a b/lg/g directory mid-walk surfaces as
+    // FileNotFoundException from the iterator itself, not just from
+    // the footer open; honor the documented skip-on-concurrent-delete
+    // semantics for the walk too (an observability call must never
+    // crash a healthy stream)
+    try {
+      val it = f.listFiles(p, true)
+      var more = it.hasNext
+      while (more) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+            !st.getPath.toString.contains("/tmp-")) {
+          bytes += st.getLen
+          if (liveDirs.contains(st.getPath.getParent.toUri.getPath))
+            scala.util.Try {
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+              try rows += r.getRecordCount finally r.close()
+            }
+        }
+        more = it.hasNext
       }
+    } catch {
+      case _: java.io.FileNotFoundException => // remainder swept mid-walk
     }
     // leftovers at/below the generation (crash window) are excluded:
     // batchDirs is the NOT-YET-COMPACTED count, the compaction-health
