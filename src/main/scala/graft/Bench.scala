@@ -171,8 +171,12 @@ object Bench {
       if (subset.nonEmpty || contended) Seq.empty
       else results.collect {
         // carry the inflation so the ≤8 cap keeps the WORST offenders,
-        // not the alphabetically-first ones
-        case (n, v) if v > 0 && baseline.get(n).exists(b => b > 0 && v / b > 2.0) =>
+        // not the alphabetically-first ones. Trigger at >=1.5x (round
+        // 20): the forensics protocol's own threshold — r19 shipped
+        // q187 at 1.51x with `adjudicated` empty because this trigger
+        // sat at the gate's 2x, leaving the 1.5-2x band to a manual
+        // next-round floor run
+        case (n, v) if v > 0 && baseline.get(n).exists(b => b > 0 && v / b >= 1.5) =>
           n -> (v / baseline(n))
       }.sortBy(-_._2).take(8).map { case (n, _) =>
         val fn = SparkEntry.queries(n)

@@ -691,4 +691,53 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(heapHuge - heapMid < 512,
       s"driver heap grew ${heapHuge - heapMid} MB from 30k to 300k")
   }
+
+  test("1000x tier: third decade (300k -> 3M docs) — log-factor family, LSH banding, a regular-join drain") {
+    assume(tier >= 3, "set SPARK_GRAFT_SCALE_SMOKE=3 for the 1000x tier")
+    // Round 20 (VERDICT r19 item 4): q101 exact-substr is the only hot
+    // path over exponent 1.0 at the 100x tier (1.11 — the known
+    // window-sort log factor), and log-factor growth is exactly what
+    // another decade exposes; LSH banding (q19) and one regular-join
+    // drain ride along. Sizing: q101's cached positional-gram frame is
+    // ~1.2 G rows at 3M docs — run with SPARK_DRIVER_MEM=48g (the
+    // caches spill MEMORY_AND_DISK, but per-round broadcasts need JVM
+    // headroom; the tier-2 16g note, one decade up). This is a ~90 min
+    // soak, the per-round opt-in ceiling — keep the spot set to the
+    // three ops the decade actually interrogates.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val spot = ops.filter { case (n, _) =>
+      only.map(_.contains(n)).getOrElse(
+        Set("q101_exact_substr", "q19_pairs", "stream_regular_join")
+          .contains(n))
+    }
+    val warm = corpus(500)
+    spot.foreach { case (_, f) => f(warm); spark.catalog.clearCache() }
+    warm.unpersist()
+    val mid = corpus(300000L)
+    val t1 = spot.map { case (name, f) =>
+      val t = time(f(mid)); spark.catalog.clearCache(); name -> t
+    }
+    mid.unpersist()
+    val heapMid = usedHeapMb()
+    val huge = corpus(3000000L)
+    val t2 = spot.map { case (name, f) =>
+      val t = time(f(huge)); spark.catalog.clearCache(); name -> t
+    }
+    huge.unpersist()
+    val heapHuge = usedHeapMb()
+    val report = t1.zip(t2).map { case ((name, a), (_, b)) =>
+      f"$name%-24s ${a}%8.2fs -> ${b}%8.2fs  ratio ${b / a}%6.2fx  exp ${math.log(b / a) / math.log(10)}%5.2f"
+    }.mkString("\n")
+    info(s"1000x spot (300k -> 3M rows):\n$report")
+    info(s"driver heap after 300k: ${heapMid} MB; after 3M: ${heapHuge} MB")
+    t1.zip(t2).foreach { case ((name, a), (_, b)) =>
+      assert(b / a < 30.0, s"$name superlinear at 3M:\n$report")
+    }
+    // 1 GB slack (vs the lower tiers' 512 MB): at 3M docs the spilled
+    // cache/broadcast bookkeeping legitimately retains more JVM-side
+    // metadata; a corpus-sized leak (~1.2 GB of text alone) still blows it
+    assert(heapHuge - heapMid < 1024,
+      s"driver heap grew ${heapHuge - heapMid} MB from 300k to 3M")
+  }
 }
