@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (VERDICT r20 item 2): the compact summary JSON
+// printed by graft.Bench must be the BARE last line of stdout — two
+// rounds of BENCH_r*.json carried "parsed": null because sbt's logger
+// wrapped every forked-run line as "[info] {...}" and then appended its
+// own "[success] Total time..." after it. StdoutOutput passes the forked
+// JVM's stdout through verbatim (Spark's log4j noise goes to stderr);
+// showSuccess drops the trailing banner.
+Compile / run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,7 +21,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -236,13 +236,21 @@ object Bench {
     val worst = results.collect {
       case (n, v) if v > 0 && baseline.get(n).exists(_ > 0) =>
         (n, v, v / baseline(n))
-    }.sortBy(-_._3).take(8)
+    }.sortBy(-_._3).take(6)
       .map { case (n, v, i) =>
         "\"" + n + "\":[" + num(v, 3) + "," + num(i, 2) + "]"
       }.mkString("{", ",", "}")
+    // the 15 slowest per-query mins, as a "queries" map in the driver's
+    // full-artifact shape (VERDICT r20 item 2): the tail-captured line
+    // then carries enough per-query signal for PERF to diff a geomean;
+    // the complete 252-row map stays in bench_latest.json/history
+    val topQs = results.filter(_._2 > 0).sortBy(-_._2).take(15)
+      .map { case (n, v) => "\"" + n + "\":" + num(v, 3) }
+      .mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""n_queries":${results.size},"n_failed":$nFailed,"reps":$reps,""" +
+      s""""queries":$topQs,""" +
       s""""median_inflation":${num(medianInfl, 4)},"contended":$contended,""" +
       s""""adjudicated":$adjJson,"worst_vs_baseline":$worst,""" +
       s""""full":"bench_latest.json","sf":"$sfDir"}""")

@@ -16,7 +16,7 @@ object Explain {
     val executed = rawArgs.contains("--executed")
     val args = rawArgs.filterNot(_ == "--executed")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -917,11 +917,49 @@ class PlanQualitySpec extends SparkSpec {
   test("global sweep: no query plans a CartesianProduct") {
     // crossJoin is only ever used against a broadcast 1-row aggregate
     // (BroadcastNestedLoopJoin); a CartesianProduct anywhere means an
-    // equi-key was lost and the query would melt at scale
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
-      executedPlan(name).contains("CartesianProduct")
-    }
+    // equi-key was lost and the query would melt at scale.
+    //
+    // q2xx gates are excluded DELIBERATELY (round 21): their
+    // constructors execute the full staged streaming replay — 453 s of
+    // this suite's 537 s in the round-20 green run — and the only plan
+    // the sweep can then see is the final changelog fold, which is a
+    // join-free groupBy in every gate (asserted below), so the check
+    // was vacuous there. The join plans that matter for the gates are
+    // built per micro-batch inside StreamingStatementRunner and are
+    // exercised by RegularJoinSpec/RegularJoinFuzzSpec.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.matches("q2\\d{2}.*")).filter { name =>
+        executedPlan(name).contains("CartesianProduct")
+      }
     assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
+
+  test("q2xx gate folds stay join-free (keeps the cartesian sweep's exclusion honest)") {
+    // the sweep above skips q2xx because running their constructors
+    // costs a full replay each; this guard pins the precondition that
+    // makes the skip sound — a gate's RETURNED plan never contains a
+    // join node, so a cartesian there is impossible by construction.
+    // Source-level check (no replay needed): the text after the
+    // replay's stopAll() up to the block end must not call .join/
+    // crossJoin. If a future gate legitimately adds a join to its
+    // fold, move that gate back into the sweep instead of weakening
+    // this test.
+    val src = {
+      val s = scala.io.Source.fromFile(
+        "src/main/scala/graft/SparkEntry.scala", "UTF-8")
+      try s.mkString finally s.close()
+    }
+    val blocks = src.split("\"(?=q2\\d{2}_)").toSeq.tail
+    assert(blocks.nonEmpty)
+    val offenders = blocks.flatMap { b =>
+      val name = b.takeWhile(_ != '"')
+      val fold = b.split("stopAll\\(\\)").last
+        .split("\"q\\d+_").head
+      if (fold.contains(".join(") || fold.contains("crossJoin")) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"q2xx folds now contain joins — re-include in the sweep: $offenders")
   }
 
   test("cache hygiene: no InMemoryRelation survives a query's first action (CacheScope)") {
