@@ -67,6 +67,25 @@ final class StreamingStatementRunner(spark: SparkSession,
     * its Terraform statement set against durable Flink jobs). */
   private def checkpointRoot: String = s"${conf.root}/.checkpoints"
 
+  /** Per-statement execution session. KEEPS AQE's parallelism-first
+    * partition coalescing regardless of the session-global setting
+    * (round 21): a statement's per-micro-batch frames are deliberately
+    * small (the statePartitions narrowing) and its jobs are
+    * drain-latency-bound, and advisory-size coalescing decides from an
+    * exchange's INPUT bytes — it cannot see a join's output fan-out,
+    * so it folded q249's self-join pair explosion onto ONE task
+    * (A/B at sf0.1: 14.1 s → 20.0 s min-of-3). The session-global
+    * advisory-size coalescing (`graft.SessionTuning`) stays in force
+    * for batch analytics, where input bytes do predict work. Sys-prop
+    * parameterized like `graft.replay.statePartitions` — a production
+    * deploy that widens statePartitions can flip this to inherit. */
+  private def microBatchSession(): SparkSession = {
+    val s = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
+    s.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      sys.props.getOrElse("graft.microbatch.parallelismFirst", "true"))
+    s
+  }
+
   private val queries = scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
   /** Regular-join operator state directories by QUERY NAME — one entry
     * per state-owning side: (real table, state dir, appendOnly). What
@@ -1125,7 +1144,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     // live in this statement's OWN clone, so independent statements'
     // micro-batches no longer serialize on the runner lock; dim
     // freshness is PULLED from topic state before each analysis
-    val sess = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
+    val sess = microBatchSession()
     stream.writeStream.outputMode("append")
       .queryName(queryDisplayName(target, stmtId))
       .option("checkpointLocation", checkpointDir(target, stmtId))
@@ -1743,7 +1762,7 @@ final class StreamingStatementRunner(spark: SparkSession,
       .reduce(_ unionByName _)
     // per-statement execution session (round 17): state reads, view
     // shadows, and term analysis all live in this statement's clone
-    val stmtSession = GraftSqlBridge.cloneSession(spark)
+    val stmtSession = microBatchSession()
     // register the state-owning dirs for progressSummary sizing —
     // occurrence sides share their owner's directory, so only owners
     synchronized {
@@ -2203,7 +2222,7 @@ final class StreamingStatementRunner(spark: SparkSession,
     // per-statement execution session (round 17): shadow + re-analysis
     // in this statement's own clone — no runner-wide serialization;
     // dim freshness pulled before each analysis
-    val sess = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
+    val sess = microBatchSession()
     signedStream.writeStream.outputMode("append")
       .queryName(queryDisplayName(target, stmtId))
       .option("checkpointLocation", checkpointDir(target, stmtId))

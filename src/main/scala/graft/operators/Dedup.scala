@@ -417,17 +417,24 @@ object Dedup {
       col("bucket"))
     val r = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
       col("bucket"))
-    // sig_a/sig_b are functionally dependent on the ids, so carrying
-    // them through the pair distinct is safe and elides the sig join
+    // Verify BEFORE the distinct-shuffle (round 21, guide §2.3): the
+    // old shape carried both 64-long signatures (~1 KB/pair) through
+    // the candidate distinct and filtered after it. est_jaccard is a
+    // pure function of the pair (signatures are functionally dependent
+    // on the ids), so filter-then-distinct ≡ distinct-then-filter and
+    // the exchange now moves 3 narrow columns of only the SURVIVING
+    // pairs — at corpus scale the distinct was the query's entire
+    // shuffle. Cost: the codegen agreement kernel runs once per
+    // band-collision occurrence (≤ bands per pair) instead of once per
+    // unique pair — map-side compute traded for shuffle bytes.
     val cand = l.join(r, Seq("bucket")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
-    cand
       .withColumn("est_jaccard",
         graft.expressions.HashExpressions
           .signatureAgreement(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes)
       .where(col("est_jaccard") >= minJaccard)
-      .select("id_a", "id_b", "est_jaccard")
+      .select("id_a", "id_b", "est_jaccard").distinct()
+    cand
   }
 
   /** Point probe against a persisted index: near-dups of a SMALL probe

@@ -162,6 +162,23 @@ class JoinStateSpec extends SparkSpec {
     assert(snap.generations === 2 && snap.batchDirs === 0)
   }
 
+  test("stats footer memo: repeated calls stay exact and an in-place replay overwrite is re-counted (round 21)") {
+    // the per-drain gate asserts call stats() dozens of times per query;
+    // footer counts are memoized on (path, len, mtime). Same-path
+    // overwrites (a crash-replayed batch) must invalidate naturally.
+    val dir = newDir("js-stats-memo")
+    JoinState.writeLog(Seq("a", "b").toDF("__payload"), dir, 0L)
+    val first = JoinState.stats(spark, dir)
+    assert(first.rows === 2L)
+    // memo hit path: identical result on a re-call with no change
+    assert(JoinState.stats(spark, dir) === first)
+    // replay overwrites b0 with a DIFFERENT row count (len changes):
+    // the memo key no longer matches, so the fresh footer is read
+    JoinState.writeLog(Seq("a", "b", "c").toDF("__payload"), dir, 0L)
+    assert(JoinState.stats(spark, dir).rows === 3L,
+      "an overwritten batch dir must be re-counted, not served stale")
+  }
+
   test("a superseded generation leaked by a crash between rename and delete is swept (ADVICE r17)") {
     val dir = newDir("js-lgsweep")
     // crash tableau: lg2 was superseded by lg5 but its delete never ran
